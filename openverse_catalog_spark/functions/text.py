@@ -1,0 +1,92 @@
+"""Text analysis for training-data pipelines: language ID, quality
+scoring, token counting, document fingerprinting.
+
+All pure Catalyst expressions (regexp + array ops) so they run JVM-side
+at full scan speed and are DuckDB-oracle verifiable. Heuristics are
+deliberately simple + deterministic; swap in real models via pandas UDFs
+behind the same column contract when libraries are available.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from openverse_catalog_spark.functions.hashing import hash60
+
+# Tiny per-language stopword marker sets for the n-gram/stopword heuristic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "nicht"],
+    "fr": ["le", "la", "les", "et", "est", "une"],
+    "es": ["el", "la", "los", "es", "una", "que"],
+}
+
+EN_STOPWORDS = LANG_MARKERS["en"] + ["it", "for", "on", "with", "as", "at"]
+
+
+def tokens(c: Column) -> Column:
+    return F.filter(F.split(F.lower(c), r"[^a-z0-9]+"), lambda t: t != "")
+
+
+def token_count(c: Column) -> Column:
+    """Whitespace-ish token count (BPE-approximating regex split)."""
+    return F.size(tokens(c))
+
+
+def marker_hits(c: Column, words: list[str]) -> Column:
+    """How many tokens of the text are in the marker word list."""
+    toks = tokens(c)
+    wordset = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(wordset, t)))
+
+
+def lang_id(c: Column) -> Column:
+    """Pick the language whose marker-set hit count is highest (ties →
+    lexicographically first language code); no hits → 'und'."""
+    scored = F.array(
+        *[
+            F.struct(
+                (-marker_hits(c, words)).alias("neg_hits"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, words in sorted(LANG_MARKERS.items())
+        ]
+    )
+    best = F.array_min(scored)
+    return F.when(best["neg_hits"] < 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def quality_score(c: Column) -> Column:
+    """Composite [0,1] quality heuristic: mean of
+      - length score: min(n_chars / 200, 1)
+      - alpha ratio: alphabetic chars / all chars
+      - stopword score: min(stopword_ratio * 4, 1)  (prose has ~25%+)
+    """
+    n = F.length(c)
+    alpha = F.length(F.regexp_replace(F.lower(c), r"[^a-z]", ""))
+    ntok = token_count(c)
+    stop = marker_hits(c, EN_STOPWORDS)
+    length_score = F.least(n / F.lit(200.0), F.lit(1.0))
+    alpha_ratio = F.when(n > 0, alpha / n.cast("double")).otherwise(F.lit(0.0))
+    stop_score = F.least(
+        F.when(ntok > 0, stop / ntok.cast("double")).otherwise(F.lit(0.0)) * 4.0,
+        F.lit(1.0),
+    )
+    return (length_score + alpha_ratio + stop_score) / 3.0
+
+
+def punct_ratio(c: Column) -> Column:
+    n = F.length(c)
+    punct = F.length(F.regexp_replace(c, r"[^.,;:!?'\-]", ""))
+    return F.when(n > 0, punct / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def fingerprint(c: Column, k: int = 8) -> Column:
+    """Order-insensitive document fingerprint: hash of the k smallest
+    distinct token hashes (winnowing-style min-k sketch). Equal for
+    token-permuted duplicates; robust to small reorderings."""
+    hashes = F.array_sort(
+        F.transform(F.array_distinct(tokens(c)), lambda t: hash60(t))
+    )
+    return hash60(F.concat_ws(",", F.slice(hashes, 1, k)))

@@ -1,0 +1,239 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's exact dedup (``DELETE ... same provider AND same
+md5(foreign_identifier)`` — reference ``loader/sql.py:220-232``), this
+module adds the near-dup family a 100 TB text corpus needs:
+
+  * exact_dedupe        — hash-groupBy keep-one (reference J6 semantics)
+  * minhash_signatures  — char-shingle MinHash (N seeded permutations)
+  * minhash_lsh_pairs   — banded LSH candidate pairs (band-key equi-join)
+  * simhash             — 16-bit SimHash per document
+  * simhash_near_pairs  — pairs within a Hamming radius
+  * ngram_jaccard_pairs — exact n-gram Jaccard similarity for candidates
+
+All hashing is md5-based (functions/hashing.py) so every operator is
+DuckDB-oracle verifiable, and everything is pure Catalyst expressions —
+no Python UDFs in any hot path.
+
+Scale notes: MinHash/LSH is the scale path — cost is linear in corpus
+size (explode shingles → one groupBy per doc → one equi-join on band
+keys); it never forms the quadratic pair space. The quadratic operators
+(simhash_near_pairs on the full cross join, ngram_jaccard on arbitrary
+pairs) are intended to run on LSH-candidate output or within small
+blocking groups, which is how they're wired in the query suite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from openverse_catalog_spark.functions.hashing import hash60, seeded
+
+DEFAULT_SEEDS = 16
+DEFAULT_BANDS = 4  # 4 bands x 4 rows with 16 seeds
+DEFAULT_SHINGLE = 5  # character shingle width
+
+
+def normalize_text(c):
+    """lower + collapse whitespace; the canonical text key."""
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def exact_dedupe(
+    df: DataFrame, key_cols: list[str], order_cols: list | None = None
+) -> DataFrame:
+    """Keep one row per key (reference J6: arbitrary winner; we pin the
+    first by ``order_cols`` for determinism). row_number window — a single
+    hash-partition shuffle on the key."""
+    order_cols = order_cols or [F.col(key_cols[0])]
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def exact_text_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact-duplicate detection by normalized-text hash: returns
+    (text_hash, n_dups, keeper_id) for groups with >1 member."""
+    h = hash60(normalize_text(F.col(text_col)))
+    return (
+        df.select(F.col(id_col), h.alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("keeper_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def shingles_expr(text_col, k: int = DEFAULT_SHINGLE):
+    """Array of character k-shingles of the normalized text (JVM-side:
+    transform over an index sequence; no UDF)."""
+    t = normalize_text(text_col)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(t) - (k - 1), F.lit(1))),
+        lambda i: t.substr(i, F.lit(k)),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_seeds: int = DEFAULT_SEEDS,
+    k: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """One row per doc: id + mh_0..mh_{n-1} minhash values.
+
+    Plan shape: explode distinct shingles (map-side), then ONE groupBy
+    computing all N mins in a single aggregation pass — N seeded hashes
+    are projected per shingle before the shuffle, so the shuffle carries
+    only (id, h0..hN) partial mins thanks to partial aggregation.
+    """
+    sh = (
+        df.select(F.col(id_col), F.explode(shingles_expr(F.col(text_col), k)).alias("__sh"))
+        .distinct()
+    )
+    aggs = [F.min(seeded(s, F.col("__sh"))).alias(f"mh_{s}") for s in range(n_seeds)]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    n_seeds: int = DEFAULT_SEEDS,
+    n_bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any band key.
+
+    Band key = hash of the concatenated minhashes of that band's rows.
+    Self equi-join on (band_index, band_key) — never materializes the
+    quadratic pair space.
+    """
+    rows = n_seeds // n_bands
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                hash60(
+                    F.concat_ws(
+                        ",", *[F.col(f"mh_{b * rows + r}") for r in range(rows)]
+                    )
+                ).alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = signatures.select(
+        F.col(id_col), F.explode(bands).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = exploded.select(F.col(id_col).alias("id_a"), "band", "key")
+    b = exploded.select(F.col(id_col).alias("id_b"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def tokens_expr(text_col):
+    """Lower-cased word tokens (non-alphanumeric separators)."""
+    return F.filter(
+        F.split(F.lower(text_col), r"[^a-z0-9]+"), lambda t: t != ""
+    )
+
+
+def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit SimHash over word tokens: per bit b, sum (+1/-1) of token-hash
+    bit b across distinct tokens; simhash bit = 1 iff sum > 0."""
+    tok = df.select(
+        F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("__t")
+    ).distinct()
+    h = hash60(F.col("__t"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"__b{b}")
+        for b in range(16)
+    ]
+    sums = tok.groupBy(id_col).agg(*bit_sums)
+    sim = None
+    for b in range(16):
+        term = F.when(F.col(f"__b{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return sums.select(F.col(id_col), sim.cast("bigint").alias("simhash"))
+
+
+def simhash_near_pairs(
+    sims: DataFrame, id_col: str, max_hamming: int = 3, block_col: str | None = None
+) -> DataFrame:
+    """Pairs with Hamming(simhash) <= radius. With ``block_col`` the join
+    is an equi-join within blocks (the scale path); without it, a full
+    cross join — only for small candidate sets."""
+    a = sims.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"),
+        *( [F.col(block_col).alias("__blk")] if block_col else [] ),
+    )
+    b = sims.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"),
+        *( [F.col(block_col).alias("__blk")] if block_col else [] ),
+    )
+    joined = a.join(b, ["__blk"]) if block_col else a.crossJoin(b)
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    block_col: str | None = None,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity for document pairs.
+
+    Implemented as: explode distinct n-grams → self equi-join on the
+    n-gram (plus optional block) → count intersections → join per-doc
+    set sizes → |A∩B| / (|A|+|B|-|A∩B|). Pairs sharing no n-gram never
+    appear (their Jaccard is 0) — that's what makes this scale: the
+    shuffle is on n-grams, not on the pair space.
+    """
+    toks = tokens_expr(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    blk = [F.col(block_col)] if block_col else []
+    g = (
+        df.select(F.col(id_col), *blk, F.explode(grams).alias("__g"))
+        .distinct()
+    )
+    sizes = g.groupBy(id_col).agg(F.count("*").alias("__sz"))
+    join_cols = ["__g"] + ([block_col] if block_col else [])
+    a = g.select(F.col(id_col).alias("id_a"), *[F.col(c) for c in join_cols])
+    b = g.select(F.col(id_col).alias("id_b"), *[F.col(c) for c in join_cols])
+    inter = (
+        a.join(b, join_cols)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("__inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("__sza")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("__szb")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("__inter") / (F.col("__sza") + F.col("__szb") - F.col("__inter")),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out

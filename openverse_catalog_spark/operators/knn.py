@@ -1,0 +1,154 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+  * ``cosine_topk``    — exact brute-force top-k neighbors. JVM-side
+    higher-order functions (zip_with + aggregate) compute the dot
+    product; no Python crosses the boundary. Quadratic — the baseline
+    and the oracle-checkable path.
+  * ``lsh_bucket_topk`` — the scale path: random-hyperplane LSH buckets
+    (signs of dot products against deterministic md5-derived planes)
+    restrict the pair space to same-bucket candidates; exact cosine is
+    then computed within buckets only. Sub-quadratic; recall < 1 by
+    construction (probe multiple hash tables to raise it).
+
+At cluster scale the brute-force path should only ever run broadcast-side
+(queries broadcast against a partitioned corpus); ``cosine_topk`` does
+exactly that when ``queries`` is small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """JVM-side dot product of two double arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def _as_double(df: DataFrame, vec_col: str) -> DataFrame:
+    return df.withColumn(vec_col, F.col(vec_col).cast("array<double>"))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query against the corpus.
+
+    Plan: broadcast the (small) query side → BroadcastNestedLoopJoin over
+    the partitioned corpus → per-query rank window. The corpus is never
+    shuffled; the only shuffle is the final per-query top-k (tiny).
+    Returns (query_id, neighbor_id, cosine, rank).
+    """
+    corpus = _as_double(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    q = _as_double(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    if broadcast_queries:
+        q = F.broadcast(q)
+    pairs = corpus.crossJoin(q).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        cosine_expr(F.col("__qv"), F.col("__cv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def random_planes(dim: int, n_planes: int, seed: str = "plane") -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from md5 — reproducible
+    across engines and runs (no RNG state)."""
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        vec = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}|{p}|{d}".encode()).hexdigest()
+            # map 8 hex digits to [-1, 1)
+            vec.append(int(h[:8], 16) / 2**31 - 1.0)
+        planes.append(vec)
+    return planes
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_planes: int = 6,
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate all-pairs top-k: bucket by hyperplane-sign signature,
+    exact cosine within buckets. One equi-join shuffle on the bucket key
+    instead of a cross join. Returns (query_id, neighbor_id, cosine, rank)
+    for neighbors found in the same bucket."""
+    corpus = _as_double(corpus, vec_col)
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    planes = random_planes(dim, n_planes)
+    sig = None
+    for p, plane in enumerate(planes):
+        d = dot_expr(F.col(vec_col), F.array(*[F.lit(x) for x in plane]))
+        bit = F.when(d >= 0, F.lit(2**p)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    bucketed = corpus.select(
+        F.col(id_col), F.col(vec_col), sig.alias("__bucket")
+    )
+    a = bucketed.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"), "__bucket"
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"), "__bucket"
+    )
+    pairs = a.join(b, "__bucket").filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id", "neighbor_id", cosine_expr(F.col("__qv"), F.col("__cv")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine >= threshold, bucketed by
+    LSH signature so near-identical vectors (which agree on all plane
+    signs with overwhelming probability) meet in a bucket."""
+    topk = lsh_bucket_topk(corpus, id_col, vec_col, k=50, n_planes=n_planes)
+    return (
+        topk.filter((F.col("cosine") >= threshold) & (F.col("query_id") < F.col("neighbor_id")))
+        .select(
+            F.col("query_id").alias("id_a"),
+            F.col("neighbor_id").alias("id_b"),
+            "cosine",
+        )
+    )

@@ -1,0 +1,174 @@
+"""Upsert MERGE compiler.
+
+Re-expresses the reference's ``INSERT ... ON CONFLICT (provider,
+md5(foreign_identifier)) DO UPDATE SET <per-column strategies>`` (reference
+``catalog/dags/common/loader/sql.py:264-332``, strategy SQL at
+``columns.py:38-78``) as a distributed full-outer-join merge:
+
+    target ⟗ source ON merge keys
+      matched      → per-column strategy expression (ColumnSpec.merge_expr)
+      not matched  → insert with defaults (uuid identifier, NOW() stamps)
+      target-only  → unchanged
+
+Preprocessing mirrors the reference's upsert statement exactly:
+  * DISTINCT ON (url): one row per direct URL within the batch
+    (``loader/sql.py:319``) — implemented as a deterministic row_number
+    window (the reference is arbitrary-winner; we pin an order, SURVEY §7.3)
+  * url-conflict anti-join: skip new rows whose url already exists in the
+    target under a DIFFERENT (provider, foreign_identifier)
+    (``loader/sql.py:322-326``)
+
+Scale posture: the join shuffles both sides on the merge key — exactly the
+plan Delta's MERGE would produce without a file-pruning pass. For 100 TB
+canonical tables the target should be bucketed/partitioned by provider so
+only touched partitions are rewritten; AQE handles skewed providers. No
+Python runs per-row: every strategy is a Catalyst expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from openverse_catalog_spark.schemas.columns import ColumnSpec, UpsertStrategy
+
+
+DEFAULT_MERGE_KEYS = ("provider", "foreign_identifier")
+
+
+def distinct_on(
+    df: DataFrame, partition_cols: list[str], order_cols: list, keep: str = "first"
+) -> DataFrame:
+    """Postgres ``DISTINCT ON`` as a ranking window (SURVEY W2/W3).
+
+    ``order_cols`` are Column expressions (e.g. ``F.col("updated_on").desc()``).
+    """
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def url_conflict_filter(
+    source: DataFrame, target: DataFrame, keys: tuple[str, ...] = DEFAULT_MERGE_KEYS
+) -> DataFrame:
+    """Drop source rows whose ``url`` exists in target under a different
+    natural key (reference ``loader/sql.py:322-326``).
+
+    left_anti join on url with a key-mismatch condition; target side is
+    projected to (url, keys) before the join so only those columns shuffle.
+    """
+    tgt_urls = target.select(
+        F.col("url").alias("__t_url"), *[F.col(k).alias(f"__t_{k}") for k in keys]
+    )
+    cond = source["url"] == tgt_urls["__t_url"]
+    key_mismatch = None
+    for k in keys:
+        ne = ~(source[k].eqNullSafe(tgt_urls[f"__t_{k}"]))
+        key_mismatch = ne if key_mismatch is None else (key_mismatch | ne)
+    return source.join(tgt_urls, cond & key_mismatch, "left_anti")
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    columns: list[ColumnSpec],
+    keys: tuple[str, ...] = DEFAULT_MERGE_KEYS,
+    dedupe_source_on_url: bool = True,
+    guard_url_conflicts: bool = True,
+    deterministic: bool = False,
+    status_col: str | None = None,
+) -> DataFrame:
+    """Compile and execute the upsert merge; returns the new target state.
+
+    ``columns`` must cover every column of ``target``; ``source`` may lack
+    db-only columns (they are inserted with defaults). ``deterministic``
+    replaces NOW()/uuid() with fixed values so results hash stably in
+    oracle tests (reference tests inject timestamps the same way,
+    SURVEY §7.3).
+    """
+    key_list = list(keys)
+
+    if dedupe_source_on_url and "url" in source.columns:
+        # DISTINCT ON (url) — pin lexicographic key order as the winner.
+        source = distinct_on(source, ["url"], [F.col(k) for k in key_list])
+    if guard_url_conflicts and "url" in source.columns:
+        source = url_conflict_filter(source, target, keys)
+
+    # Align source to the full column set (version-missing cols → NULL,
+    # reference loader/sql.py:240-261).
+    for c in columns:
+        if c.name not in source.columns:
+            source = source.withColumn(c.name, F.lit(None).cast(c.spark_type))
+
+    now = F.lit("2024-01-01 00:00:00").cast("timestamp") if deterministic else F.current_timestamp()
+
+    def new_uuid():
+        if deterministic:
+            # stable surrogate from the natural key
+            return F.md5(F.concat_ws("|", *[F.coalesce(F.col(f"__s_{k}").cast("string"), F.lit("")) for k in key_list]))
+        return F.expr("uuid()")
+
+    t = target.select([F.col(c.name).alias(f"__t_{c.name}") for c in columns])
+    s = source.select([F.col(c.name).alias(f"__s_{c.name}") for c in columns])
+
+    cond = None
+    for k in key_list:
+        eq = F.col(f"__t_{k}").eqNullSafe(F.col(f"__s_{k}"))
+        cond = eq if cond is None else (cond & eq)
+
+    joined = t.join(s, cond, "full_outer")
+
+    in_src = F.col(f"__s_{key_list[0]}").isNotNull()
+    in_tgt = F.col(f"__t_{key_list[0]}").isNotNull()
+
+    out_cols = []
+    for c in columns:
+        tcol = F.col(f"__t_{c.name}")
+        scol = F.col(f"__s_{c.name}")
+        # matched: per-column strategy
+        if c.upsert_strategy == UpsertStrategy.now:
+            matched = now
+            inserted = now
+        elif c.upsert_strategy == UpsertStrategy.false:
+            matched = F.lit(False)
+            inserted = F.lit(False)
+        elif c.upsert_strategy == UpsertStrategy.no_change:
+            matched = tcol
+            inserted = now if c.datatype.name == "timestamp" else (
+                new_uuid() if c.name == "identifier" else scol
+            )
+        else:
+            matched = c.merge_expr(tcol, scol)
+            inserted = scol
+        out = (
+            F.when(in_src & in_tgt, matched)
+            .when(in_src, inserted)
+            .otherwise(tcol)
+        )
+        out_cols.append(out.alias(c.name))
+
+    if status_col:
+        out_cols.append(
+            F.when(in_src & in_tgt, F.lit("updated"))
+            .when(in_src, F.lit("inserted"))
+            .otherwise(F.lit("kept"))
+            .alias(status_col)
+        )
+    return joined.select(out_cols)
+
+
+def merge_metrics(
+    loaded: int, cleaned: int, upserted: int, missing: int, fid_dups: int
+) -> dict[str, int]:
+    """Post-upsert accounting (reference ``loader/loader.py:44-67``):
+    url_dup = loaded - missing - foreign_id_dup - upserted."""
+    return {
+        "loaded": loaded,
+        "missing_columns": missing,
+        "foreign_id_dup": fid_dups,
+        "upserted": upserted,
+        "url_dup": loaded - missing - fid_dups - upserted,
+    }

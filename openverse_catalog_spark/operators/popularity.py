@@ -1,0 +1,86 @@
+"""Popularity scoring pipeline (percentile constants + standardized score).
+
+Reference: ``catalog/dags/common/popularity/sql.py`` —
+  * per-provider discrete percentile of a metric read from ``meta_data``
+    (``percentile_disc($3) WITHIN GROUP (ORDER BY (meta_data->>metric)::float)``,
+    ``sql.py:214-229``)
+  * constants matview: ``val==0 -> 1`` guard then
+    ``constant = ((1-percentile)/percentile) * val`` (``sql.py:249-283``)
+  * standardized popularity ``m / (m + constant)`` applied per row via an
+    implicit broadcast join (``sql.py:301-326``)
+
+Scale: percentile_disc is exact. The group count is tiny (one row per
+provider) but the per-group value sets are huge at 100 TB, so we compute
+it with a sort-based window rather than collecting values: rank each value
+within its provider, pick the row at ceil(p * n). One shuffle on provider
+(AQE splits skewed providers). ``approx=True`` swaps in
+``percentile_approx`` for cluster-scale runs where exactness isn't
+required by an oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def percentile_disc_by_group(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    percentile: float,
+    out_col: str = "percentile_value",
+    approx: bool = False,
+) -> DataFrame:
+    """Exact discrete percentile per group: the smallest value v in the
+    group such that cume_dist(v) >= p — identical to Postgres
+    ``percentile_disc`` and DuckDB ``quantile_disc``."""
+    clean = df.filter(F.col(value_col).isNotNull())
+    if approx:
+        return clean.groupBy(*group_cols).agg(
+            F.percentile_approx(value_col, percentile, 100_000).alias(out_col)
+        )
+    w = Window.partitionBy(*group_cols).orderBy(F.col(value_col))
+    ranked = clean.select(
+        *group_cols,
+        F.col(value_col),
+        F.row_number().over(w).alias("__rn"),
+        F.count("*").over(Window.partitionBy(*group_cols)).alias("__n"),
+    )
+    # percentile_disc(p) = value at row ceil(p * n) of the ascending order
+    picked = ranked.filter(F.col("__rn") == F.ceil(F.lit(percentile) * F.col("__n")))
+    return picked.select(*group_cols, F.col(value_col).alias(out_col))
+
+
+def popularity_constants(
+    percentiles_df: DataFrame,
+    percentile: float,
+    value_col: str = "percentile_value",
+) -> DataFrame:
+    """``CASE WHEN val = 0 THEN 1 ELSE val END`` zero guard then
+    ``constant = ((1 - p) / p) * val`` (reference sql.py:249-283)."""
+    guarded = F.when(F.col(value_col) == 0, F.lit(1.0)).otherwise(F.col(value_col))
+    return percentiles_df.withColumn("raw_value", F.col(value_col)).withColumn(
+        "constant", ((1 - F.lit(percentile)) / F.lit(percentile)) * guarded
+    )
+
+
+def standardized_popularity(
+    facts: DataFrame,
+    constants: DataFrame,
+    group_cols: list[str],
+    metric_col: str,
+    out_col: str = "standardized_popularity",
+) -> DataFrame:
+    """``metric / (metric + constant)`` per row. Constants table is one row
+    per provider — broadcast join, no shuffle of the fact side."""
+    joined = facts.join(
+        F.broadcast(constants.select(*group_cols, "constant")), group_cols, "left"
+    )
+    return joined.withColumn(
+        out_col,
+        F.when(
+            F.col(metric_col).isNotNull() & F.col("constant").isNotNull(),
+            F.col(metric_col) / (F.col(metric_col) + F.col("constant")),
+        ),
+    )

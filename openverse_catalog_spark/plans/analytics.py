@@ -1,0 +1,594 @@
+"""The engine's query suite: every SURVEY §2 operator family expressed
+over the driver's synthetic tables, each paired with an ANSI-SQL oracle
+DuckDB runs on the same parquet (the driver's correctness gate).
+
+Each entry: name -> (spark_fn(spark, sf_dir) -> DataFrame, oracle_sql | None).
+Column names are aliased identically on both sides; floating aggregates are
+rounded so double-summation order differences collapse; timestamps are
+emitted as epoch microseconds (engine-neutral).
+
+The Spark side is the product — idiomatic DataFrame programs calling the
+library operators; the SQL is only the cross-check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from openverse_catalog_spark.functions.hashing import hash60, hash60_sql
+from openverse_catalog_spark.operators import dedupe as dd
+from openverse_catalog_spark.operators import knn
+from openverse_catalog_spark.operators.merge import (
+    distinct_on,
+    merge_upsert,
+    url_conflict_filter,
+)
+from openverse_catalog_spark.operators.popularity import (
+    percentile_disc_by_group,
+    popularity_constants,
+    standardized_popularity,
+)
+from openverse_catalog_spark.schemas.columns import ColumnSpec, Datatype, UpsertStrategy
+from openverse_catalog_spark.session import load_tables
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return load_tables(spark, sf_dir, names)
+
+
+# ===========================================================================
+# Aggregations (SURVEY §2.5)
+# ===========================================================================
+
+
+@register(
+    "agg_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary(spark, sf_dir):
+    """Map-side partial agg -> single shuffle on the (tiny) group key."""
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "sum_disc_price"
+        ),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "agg_dup_detection",
+    """
+    SELECT o_custkey, count(*) AS n_orders
+    FROM orders GROUP BY o_custkey HAVING count(*) > 1
+    """,
+)
+def agg_dup_detection(spark, sf_dir):
+    """A1: GROUP BY + HAVING duplicate detection (photos.sql:42-49)."""
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") > 1)
+    )
+
+
+@register(
+    "agg_count_distinct",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_count_distinct(spark, sf_dir):
+    """A2: grouped COUNT(DISTINCT) (taxa.sql:102-107)."""
+    e = _t(spark, sf_dir, "events")["events"]
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"), F.count("*").alias("n_events")
+    )
+
+
+@register(
+    "agg_percentile_disc",
+    """
+    SELECT event_type,
+           quantile_disc(value, 0.85) AS p85,
+           quantile_disc(value, 0.50) AS p50
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_percentile_disc(spark, sf_dir):
+    """A7: exact discrete percentile per group (popularity/sql.py:214-229).
+    Implemented sort-based (scales to huge groups), not collect-based."""
+    e = _t(spark, sf_dir, "events")["events"]
+    p85 = percentile_disc_by_group(e, ["event_type"], "value", 0.85, "p85")
+    p50 = percentile_disc_by_group(e, ["event_type"], "value", 0.50, "p50")
+    return p85.join(p50, "event_type")
+
+
+@register(
+    "agg_popularity_constants",
+    """
+    WITH p AS (
+      SELECT event_type, quantile_disc(value, 0.85) AS raw_value FROM events GROUP BY event_type
+    )
+    SELECT event_type, raw_value,
+           round(((1 - 0.85) / 0.85) * (CASE WHEN raw_value = 0 THEN 1 ELSE raw_value END), 6) AS constant
+    FROM p
+    """,
+)
+def agg_popularity_constants(spark, sf_dir):
+    """A8: percentile -> zero-guard -> ((1-p)/p)*value (popularity/sql.py:249-283)."""
+    e = _t(spark, sf_dir, "events")["events"]
+    p = percentile_disc_by_group(e, ["event_type"], "value", 0.85, "percentile_value")
+    c = popularity_constants(p, 0.85)
+    return c.select(
+        "event_type", "raw_value", F.round("constant", 6).alias("constant")
+    )
+
+
+@register(
+    "join_broadcast_standardized",
+    """
+    WITH c AS (
+      SELECT event_type,
+             ((1 - 0.85) / 0.85) * (CASE WHEN quantile_disc(value, 0.85) = 0 THEN 1
+                                         ELSE quantile_disc(value, 0.85) END) AS constant
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, round(e.value / (e.value + c.constant), 6) AS standardized_popularity
+    FROM events e JOIN c USING (event_type)
+    """,
+)
+def join_broadcast_standardized(spark, sf_dir):
+    """J8 + popularity math: constants broadcast-joined to the fact table,
+    score = m/(m+constant) (popularity/sql.py:301-326). The fact side never
+    shuffles — explain shows BroadcastHashJoin."""
+    e = _t(spark, sf_dir, "events")["events"]
+    p = percentile_disc_by_group(e, ["event_type"], "value", 0.85, "percentile_value")
+    c = popularity_constants(p, 0.85)
+    scored = standardized_popularity(e, c, ["event_type"], "value")
+    return scored.select(
+        "event_id", F.round("standardized_popularity", 6).alias("standardized_popularity")
+    )
+
+
+# ===========================================================================
+# Joins (SURVEY §2.3)
+# ===========================================================================
+
+
+@register(
+    "join_5way_enrich",
+    """
+    SELECT r.r_name, n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def join_5way_enrich(spark, sf_dir):
+    """J1: the iNaturalist-style 5-way equi join
+    (transformed_table.template.sql:55-67) — small dims broadcast, big
+    sides shuffle once on the join key; no manual 2M-row batching."""
+    t = _t(spark, sf_dir, "lineitem", "orders", "customer", "nation", "region")
+    return (
+        t["lineitem"]
+        .join(t["orders"], t["lineitem"].l_orderkey == t["orders"].o_orderkey)
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "join_anti_orphans",
+    """
+    SELECT c.c_custkey, c.c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti_orphans(spark, sf_dir):
+    """J2: anti-join (photo_dupes NOT EXISTS, transformed_table:69-71)."""
+    t = _t(spark, sf_dir, "customer", "orders")
+    return t["customer"].join(
+        t["orders"], t["customer"].c_custkey == t["orders"].o_custkey, "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@register(
+    "join_semi_active",
+    """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def join_semi_active(spark, sf_dir):
+    """Semi-join complement of J2."""
+    t = _t(spark, sf_dir, "customer", "orders")
+    urgent = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+    return t["customer"].join(
+        urgent, t["customer"].c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_md5_surrogate",
+    """
+    WITH dim AS (SELECT DISTINCT md5(c_mktsegment) AS seg_key, c_mktsegment AS seg_name
+                 FROM customer)
+    SELECT d.seg_name, count(*) AS n, round(sum(c.c_acctbal), 2) AS total_bal
+    FROM customer c JOIN dim d ON md5(c.c_mktsegment) = d.seg_key
+    GROUP BY d.seg_name
+    """,
+)
+def join_md5_surrogate(spark, sf_dir):
+    """J5: equi-join on md5 surrogate keys (taxa.sql:112-116, 175-179)."""
+    c = _t(spark, sf_dir, "customer")["customer"]
+    dim = (
+        c.select(
+            F.md5("c_mktsegment").alias("seg_key"),
+            F.col("c_mktsegment").alias("seg_name"),
+        )
+        .distinct()
+    )
+    return (
+        c.withColumn("seg_key", F.md5("c_mktsegment"))
+        .join(F.broadcast(dim), "seg_key")
+        .groupBy("seg_name")
+        .agg(F.count("*").alias("n"), F.round(F.sum("c_acctbal"), 2).alias("total_bal"))
+    )
+
+
+@register(
+    "join_theta_explode",
+    """
+    WITH tok AS (
+      SELECT p_partkey, p_size, unnest(string_split(p_type, ' ')) AS word
+      FROM part
+    ),
+    dim AS (SELECT DISTINCT word FROM tok)
+    SELECT d.word, count(*) AS n_parts, min(t.p_size) AS min_size, max(t.p_size) AS max_size
+    FROM tok t JOIN dim d ON t.word = d.word
+    GROUP BY d.word
+    """,
+)
+def join_theta_explode(spark, sf_dir):
+    """J4: theta-join converted to equi-join by exploding a delimited
+    string (ancestry ANY-join, taxa.sql:248-251)."""
+    p = _t(spark, sf_dir, "part")["part"]
+    tok = p.select(
+        "p_partkey", "p_size", F.explode(F.split("p_type", " ")).alias("word")
+    )
+    dim = tok.select("word").distinct()
+    return (
+        tok.join(F.broadcast(dim), "word")
+        .groupBy("word")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.min("p_size").alias("min_size"),
+            F.max("p_size").alias("max_size"),
+        )
+    )
+
+
+# ===========================================================================
+# Windows / dedup / DISTINCT ON (SURVEY §2.6, J6)
+# ===========================================================================
+
+
+@register(
+    "dedup_keep_latest",
+    """
+    SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us
+    FROM (SELECT user_id, event_type, event_id, ts,
+                 row_number() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
+def dedup_keep_latest(spark, sf_dir):
+    """J6/W3: dedup via ranking window — keep newest row per natural key
+    (loader/sql.py:220-232 dedup, pinned deterministic winner)."""
+    e = _t(spark, sf_dir, "events")["events"]
+    out = dd.exact_dedupe(
+        e, ["user_id", "event_type"], [F.col("ts").desc(), F.col("event_id").desc()]
+    )
+    return out.select(
+        "user_id", "event_type", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+
+
+@register(
+    "window_distinct_on",
+    """
+    SELECT user_id, event_id AS last_event_id, event_type AS last_type
+    FROM (SELECT user_id, event_id, event_type,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
+def window_distinct_on(spark, sf_dir):
+    """W2: DISTINCT ON (audioset_view newest-updated_on, popularity/sql.py:341-357)."""
+    e = _t(spark, sf_dir, "events")["events"]
+    out = distinct_on(e, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()])
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_type"),
+    )
+
+
+@register(
+    "window_running_sum",
+    """
+    SELECT o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    """,
+)
+def window_running_sum(spark, sf_dir):
+    """W1: analytic window with explicit frame (taxa.sql:125-128 running
+    title length)."""
+    o = _t(spark, sf_dir, "orders")["orders"]
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey", F.round(F.sum("o_totalprice").over(w), 2).alias("running_total")
+    )
+
+
+@register(
+    "agg_string_cutoff",
+    """
+    WITH ranked AS (
+      SELECT n.n_name, c.c_name,
+             sum(length(c.c_name) + 2) OVER (
+               PARTITION BY n.n_name ORDER BY c.c_name
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_len
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    )
+    SELECT n_name,
+           string_agg(CASE WHEN running_len < 256 THEN c_name END, ', ' ORDER BY c_name) AS title,
+           count(CASE WHEN running_len >= 256 THEN 1 END) AS n_overflow
+    FROM ranked GROUP BY n_name
+    """,
+)
+def agg_string_cutoff(spark, sf_dir):
+    """A3+W1: ordered string_agg under a running-length cutoff, overflow
+    counted (taxa.sql:125-150 vernacular-name title building)."""
+    t = _t(spark, sf_dir, "customer", "nation")
+    joined = t["customer"].join(
+        F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    w = (
+        Window.partitionBy("n_name")
+        .orderBy("c_name")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = joined.select(
+        "n_name",
+        "c_name",
+        F.sum(F.length("c_name") + 2).over(w).alias("running_len"),
+    )
+    return ranked.groupBy("n_name").agg(
+        F.array_join(
+            F.array_sort(
+                F.collect_list(F.when(F.col("running_len") < 256, F.col("c_name")))
+            ),
+            ", ",
+        ).alias("title"),
+        F.count(F.when(F.col("running_len") >= 256, F.lit(1))).alias("n_overflow"),
+    )
+
+
+@register(
+    "agg_collect_slice_topk",
+    """
+    WITH names AS (
+      SELECT n.n_name, list_sort(list(c.c_name)) AS all_names
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE c.c_acctbal > 0
+      GROUP BY n.n_name
+    )
+    SELECT n_name, array_to_string(all_names[1:20], '|') AS top20,
+           len(all_names) AS n_total
+    FROM names
+    """,
+)
+def agg_collect_slice_topk(spark, sf_dir):
+    """A4+T1/T2: filtered ordered aggregation + top-20 slice
+    (taxa.sql:228-247 tag building)."""
+    t = _t(spark, sf_dir, "customer", "nation")
+    joined = (
+        t["customer"]
+        .filter(F.col("c_acctbal") > 0)
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return joined.groupBy("n_name").agg(
+        F.array_join(F.slice(F.array_sort(F.collect_list("c_name")), 1, 20), "|").alias(
+            "top20"
+        ),
+        F.count("*").alias("n_total"),
+    )
+
+
+@register(
+    "topk_per_group",
+    """
+    SELECT c_mktsegment, o_orderkey, o_totalprice
+    FROM (SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+                 row_number() OVER (PARTITION BY c.c_mktsegment
+                                    ORDER BY o.o_totalprice DESC, o.o_orderkey) rn
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+    WHERE rn <= 3
+    """,
+)
+def topk_per_group(spark, sf_dir):
+    """T1: top-k per group via ranking window."""
+    t = _t(spark, sf_dir, "orders", "customer")
+    joined = t["orders"].join(
+        t["customer"], F.col("o_custkey") == F.col("c_custkey")
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+    )
+
+
+# ===========================================================================
+# Set ops (SURVEY §2.8)
+# ===========================================================================
+
+
+@register(
+    "set_union_accounts",
+    """
+    SELECT s_name AS name, round(s_acctbal, 2) AS acctbal, 'supplier' AS kind FROM supplier
+    UNION ALL
+    SELECT c_name, round(c_acctbal, 2), 'customer' FROM customer WHERE c_acctbal < 0
+    """,
+)
+def set_union_accounts(spark, sf_dir):
+    """U1: UNION ALL assembly (create_schema.sql:140-167)."""
+    t = _t(spark, sf_dir, "supplier", "customer")
+    s = t["supplier"].select(
+        F.col("s_name").alias("name"),
+        F.round("s_acctbal", 2).alias("acctbal"),
+        F.lit("supplier").alias("kind"),
+    )
+    c = (
+        t["customer"]
+        .filter(F.col("c_acctbal") < 0)
+        .select(
+            F.col("c_name").alias("name"),
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.lit("customer").alias("kind"),
+        )
+    )
+    return s.unionAll(c)
+
+
+# ===========================================================================
+# Incremental patterns (SURVEY §2.10)
+# ===========================================================================
+
+
+@register(
+    "date_time_slices",
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE)::VARCHAR AS day,
+           extract(hour FROM ts) AS hour,
+           count(*) AS n, round(sum(value), 2) AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
+def date_time_slices(spark, sf_dir):
+    """I1/I2: event-time day/hour slicing (dated DAGs + adaptive
+    time-slicing, provider_dag_factory.py:96-99)."""
+    e = _t(spark, sf_dir, "events")["events"]
+    return e.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        F.hour("ts").cast("bigint").alias("hour"),
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+
+
+@register(
+    "incremental_rollup_merge",
+    """
+    WITH old_agg AS (
+      SELECT user_id, count(*) AS n, sum(value) AS total
+      FROM events WHERE ts < TIMESTAMP '2024-01-21' GROUP BY user_id
+    ),
+    delta_agg AS (
+      SELECT user_id, count(*) AS n, sum(value) AS total
+      FROM events WHERE ts >= TIMESTAMP '2024-01-21' GROUP BY user_id
+    )
+    SELECT coalesce(o.user_id, d.user_id) AS user_id,
+           coalesce(o.n, 0) + coalesce(d.n, 0) AS n_events,
+           round(coalesce(o.total, 0) + coalesce(d.total, 0), 2) AS total_value
+    FROM old_agg o FULL OUTER JOIN delta_agg d ON o.user_id = d.user_id
+    """,
+)
+def incremental_rollup_merge(spark, sf_dir):
+    """I3/I5: incremental matview refresh as partial-agg + merge — the
+    Spark shape of 'REFRESH MATERIALIZED VIEW' done incrementally over a
+    new date partition (popularity/sql.py:286-298)."""
+    e = _t(spark, sf_dir, "events")["events"]
+    cutoff = F.lit("2024-01-21").cast("timestamp")
+    old_agg = (
+        e.filter(F.col("ts") < cutoff)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("o_n"), F.sum("value").alias("o_total"))
+    )
+    delta = (
+        e.filter(F.col("ts") >= cutoff)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("d_n"), F.sum("value").alias("d_total"))
+    )
+    merged = old_agg.join(delta, "user_id", "full_outer")
+    return merged.select(
+        "user_id",
+        (F.coalesce("o_n", F.lit(0)) + F.coalesce("d_n", F.lit(0))).alias("n_events"),
+        F.round(
+            F.coalesce("o_total", F.lit(0.0)) + F.coalesce("d_total", F.lit(0.0)), 2
+        ).alias("total_value"),
+    )

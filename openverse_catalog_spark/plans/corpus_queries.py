@@ -1,0 +1,357 @@
+"""Training-data pipeline operators over the documents/embeddings tables:
+exact + near deduplication (MinHash-LSH, SimHash, n-gram Jaccard),
+similarity search, and text analysis. All md5-hash-based so the DuckDB
+oracle computes bit-identical results (functions/hashing.py).
+
+The dedup queries run on a corpus deliberately salted with duplicates:
+    base documents
+  + exact copies   (doc_id % 7 = 0  -> id + 1_000_000)
+  + near copies    (doc_id % 10 = 0 -> id + 2_000_000, first 15 chars cut)
+constructed identically on both engines, so the detectors have real work
+to do and the checks are strong.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from openverse_catalog_spark.functions import text as tx
+from openverse_catalog_spark.functions.hashing import hash60_sql, seeded_sql
+from openverse_catalog_spark.operators import dedupe as dd
+from openverse_catalog_spark.operators import knn
+from openverse_catalog_spark.plans.analytics import _t, register
+
+# --- the salted corpus (identical construction both engines) ---------------
+
+_CORPUS_SQL = """
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, source FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, substr(text, 16), source FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+def _corpus(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")["documents"].select("doc_id", "text", "source")
+    exact = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "source"
+    )
+    near = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.expr("substr(text, 16)").alias("text"),
+        "source",
+    )
+    return d.unionAll(exact).unionAll(near)
+
+
+# --- exact dedup -----------------------------------------------------------
+
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+@register(
+    "dedup_exact_text",
+    f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    hashed AS (
+      SELECT doc_id,
+             {hash60_sql(_NORM_SQL)} AS text_hash
+      FROM corpus
+    )
+    SELECT text_hash, count(*) AS n_dups, min(doc_id) AS keeper_id
+    FROM hashed GROUP BY text_hash HAVING count(*) > 1
+    """,
+)
+def dedup_exact_text(spark, sf_dir):
+    """Exact dedup by normalized-text hash: one groupBy, map-side partial
+    agg; the canonical J6 shape at corpus scale."""
+    return dd.exact_text_dup_groups(_corpus(spark, sf_dir), "doc_id", "text")
+
+
+# --- MinHash + LSH ---------------------------------------------------------
+
+_N_SEEDS, _N_BANDS, _K = 16, 4, 5
+
+
+def _minhash_oracle() -> str:
+    mins = ",\n             ".join(
+        f"min({seeded_sql(s, 'sh')}) AS mh_{s}" for s in range(_N_SEEDS)
+    )
+    rows = _N_SEEDS // _N_BANDS
+    band_selects = []
+    for b in range(_N_BANDS):
+        concat = " || ',' || ".join(
+            f"CAST(mh_{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, {hash60_sql('(' + concat + ')')} AS key FROM mh"
+        )
+    bands = "\n      UNION ALL ".join(band_selects)
+    return f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    t AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM corpus),
+    sh AS (SELECT DISTINCT doc_id, substr(t, i, {_K}) AS sh FROM (
+             SELECT doc_id, t,
+                    unnest(range(1, greatest(length(t) - {_K - 1}, 1) + 1)) AS i
+             FROM t)),
+    mh AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    bands AS ({bands})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    """
+
+
+@register("dedup_minhash_lsh", _minhash_oracle())
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash (16 perms) + banded LSH (4x4) candidate pairs — the scale
+    path for near-dup detection: explode shingles -> one groupBy for all
+    16 mins -> band-key equi-join. Never materializes the pair space."""
+    corpus = _corpus(spark, sf_dir)
+    sigs = dd.minhash_signatures(corpus, "doc_id", "text", _N_SEEDS, _K)
+    return dd.minhash_lsh_pairs(sigs, "doc_id", _N_SEEDS, _N_BANDS)
+
+
+# --- SimHash ---------------------------------------------------------------
+
+
+def _simhash_oracle() -> str:
+    h = hash60_sql("tok")
+    bit_sums = ",\n             ".join(
+        f"sum(CASE WHEN (({h}) >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(16)
+    )
+    recombine = " + ".join(f"CASE WHEN b{b} > 0 THEN {2**b} ELSE 0 END" for b in range(16))
+    return f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    tok AS (SELECT DISTINCT doc_id, tok FROM (
+              SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+              FROM corpus) WHERE tok <> ''),
+    sums AS (SELECT doc_id, {bit_sums} FROM tok GROUP BY doc_id)
+    SELECT doc_id, CAST({recombine} AS BIGINT) AS simhash FROM sums
+    """
+
+
+@register("dedup_simhash", _simhash_oracle())
+def dedup_simhash(spark, sf_dir):
+    """16-bit SimHash per document (token-hash bit voting)."""
+    return dd.simhash16(_corpus(spark, sf_dir), "doc_id", "text")
+
+
+def _simhash_pairs_oracle() -> str:
+    h = hash60_sql("tok")
+    bit_sums = ",\n             ".join(
+        f"sum(CASE WHEN (({h}) >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(16)
+    )
+    recombine = " + ".join(f"CASE WHEN b{b} > 0 THEN {2**b} ELSE 0 END" for b in range(16))
+    return f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    tok AS (SELECT DISTINCT doc_id, tok FROM (
+              SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+              FROM corpus) WHERE tok <> ''),
+    sums AS (SELECT doc_id, {bit_sums} FROM tok GROUP BY doc_id),
+    sims AS (SELECT doc_id, CAST({recombine} AS BIGINT) AS simhash FROM sums),
+    withsrc AS (SELECT s.doc_id, s.simhash, c.source FROM sims s JOIN corpus c USING (doc_id))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM withsrc a JOIN withsrc b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
+
+@register("dedup_simhash_pairs", _simhash_pairs_oracle())
+def dedup_simhash_pairs(spark, sf_dir):
+    """Near-dup pairs at Hamming<=3, blocked by source so the pair space
+    stays linear-ish (block equi-join, not a cross join)."""
+    corpus = _corpus(spark, sf_dir)
+    sims = dd.simhash16(corpus, "doc_id", "text").join(
+        corpus.select("doc_id", "source"), "doc_id"
+    )
+    return dd.simhash_near_pairs(sims, "doc_id", max_hamming=3, block_col="source")
+
+
+# --- n-gram Jaccard --------------------------------------------------------
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    toks AS (SELECT doc_id, source,
+                    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
+             FROM corpus),
+    grams AS (SELECT DISTINCT doc_id, source,
+                     array_to_string(tk[i:i+2], ' ') AS g
+              FROM (SELECT doc_id, source, tk,
+                           unnest(range(1, greatest(len(tk) - 2, 1) + 1)) AS i
+                    FROM toks)),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM grams a JOIN grams b ON a.g = b.g AND a.source = b.source AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.3
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard >= 0.3 within source blocks. The shuffle
+    is on n-grams (linear), not pairs."""
+    out = dd.ngram_jaccard_pairs(
+        _corpus(spark, sf_dir), "doc_id", "text", n=3, block_col="source", min_jaccard=0.3
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+# --- similarity search -----------------------------------------------------
+
+
+@register(
+    "knn_cosine_topk",
+    """
+    WITH ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+                FROM embeddings, generate_series(1, 64) AS t(i)),
+    norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
+    dots AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, sum(a.x * b.x) AS dot
+             FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id <> b.vec_id
+             WHERE a.vec_id % 20 = 0
+             GROUP BY 1, 2),
+    scored AS (SELECT query_id, neighbor_id, dot / (na.nrm * nb.nrm) AS cosine
+               FROM dots JOIN norms na ON na.vec_id = query_id
+                         JOIN norms nb ON nb.vec_id = neighbor_id),
+    ranked AS (SELECT query_id, neighbor_id, cosine,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, neighbor_id) AS rank
+               FROM scored)
+    SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def knn_cosine_topk(spark, sf_dir):
+    """Exact brute-force top-3 cosine neighbors for the query subset
+    (vec_id % 20 = 0). JVM-side zip_with/aggregate dot products; query
+    side broadcast so the corpus never shuffles."""
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    queries = e.filter(F.col("vec_id") % 20 == 0)
+    out = knn.cosine_topk(e, queries, "vec_id", "embedding", k=3)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
+    )
+
+
+@register("knn_lsh_bucketed")  # approximate — rows-only check (no oracle)
+def knn_lsh_bucketed(spark, sf_dir):
+    """ANN scale path: random-hyperplane LSH buckets, exact cosine within
+    buckets only. Approximate by construction -> no SQL oracle; the
+    accompanying test checks recall against the exact path."""
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    out = knn.lsh_bucket_topk(e, "vec_id", "embedding", k=3, n_planes=6, dim=64)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
+    )
+
+
+# --- text analysis ---------------------------------------------------------
+
+
+@register(
+    "text_token_count",
+    """
+    SELECT doc_id,
+           len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS n_tokens,
+           length(text) AS n_chars
+    FROM documents
+    """,
+)
+def text_token_count(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return d.select(
+        "doc_id",
+        tx.token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+
+
+def _lang_oracle() -> str:
+    hits = []
+    for lang, words in sorted(tx.LANG_MARKERS.items()):
+        lst = ", ".join(f"'{w}'" for w in words)
+        hits.append(
+            f"len(list_filter(tk, t -> list_contains([{lst}], t))) AS h_{lang}"
+        )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
+      FROM documents
+    ),
+    hits AS (SELECT doc_id, {', '.join(hits)} FROM toks)
+    SELECT doc_id,
+           CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+                WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+                WHEN h_es >= h_fr THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM hits
+    """
+
+
+@register("text_lang_id", _lang_oracle())
+def text_lang_id(spark, sf_dir):
+    """Stopword-marker language ID (ties -> lexicographically first)."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return d.select("doc_id", tx.lang_id(F.col("text")).alias("lang_pred"))
+
+
+@register(
+    "text_quality_score",
+    f"""
+    WITH base AS (
+      SELECT doc_id, length(text) AS n,
+             length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, n, alpha, len(tk) AS ntok,
+             len(list_filter(tk, t -> list_contains([{", ".join(repr(w) for w in tx.EN_STOPWORDS)}], t))) AS stop
+      FROM base
+    )
+    SELECT doc_id,
+           round((least(n / 200.0, 1.0)
+                  + CASE WHEN n > 0 THEN CAST(alpha AS DOUBLE) / n ELSE 0.0 END
+                  + least(CASE WHEN ntok > 0 THEN CAST(stop AS DOUBLE) / ntok ELSE 0.0 END * 4.0, 1.0)
+                 ) / 3.0, 4) AS quality
+    FROM feats
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    """Length / alpha-ratio / stopword-ratio composite quality heuristic."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return d.select(
+        "doc_id", F.round(tx.quality_score(F.col("text")), 4).alias("quality")
+    )
+
+
+@register(
+    "text_fingerprint",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_sort(list_transform(
+               list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')),
+               t -> {hash60_sql('t')})) AS hs
+      FROM documents
+    )
+    SELECT doc_id,
+           {hash60_sql("array_to_string(list_transform(hs[1:8], h -> CAST(h AS VARCHAR)), ',')")} AS fingerprint
+    FROM toks
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Min-k token-hash sketch fingerprint (order-insensitive)."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return d.select("doc_id", tx.fingerprint(F.col("text"), 8).alias("fingerprint"))

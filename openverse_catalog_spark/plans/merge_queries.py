@@ -1,0 +1,413 @@
+"""Upsert-MERGE and cleaning operators as oracle-checked queries.
+
+These pin the reference's most load-bearing semantics (SURVEY §2.4, the
+``test_sql.py`` upsert matrix) on the driver's synthetic tables: a target
+("canonical table") and source ("staging batch") are derived
+deterministically from ``orders``, merged with per-column strategies by
+the library compiler, and compared against a DuckDB full-outer-join
+oracle implementing the same strategy SQL the reference generates
+(reference ``columns.py:38-78``, ``loader/sql.py:264-332``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from openverse_catalog_spark.operators.merge import (
+    distinct_on,
+    merge_upsert,
+    url_conflict_filter,
+)
+from openverse_catalog_spark.plans.analytics import _t, register
+from openverse_catalog_spark.schemas.columns import (
+    ColumnSpec,
+    Datatype,
+    UpsertStrategy,
+    clean_bool_expr,
+    clean_int_expr,
+    clean_string_expr,
+    pg_int4_guard,
+)
+from openverse_catalog_spark.functions.cleaning import (
+    extract_filetype_expr,
+    clean_tags_expr,
+)
+
+# --- derivation of the synthetic staging/target inputs (same in SQL) -------
+# target: orders with o_orderkey % 4 != 3   (the canonical table)
+# source: orders with o_orderkey % 4 != 1   (the new batch; overlap %4 in {0,2})
+#
+# column construction injects every upsert edge case:
+#   status: src NULL when key%3=0            -> newest_non_null keeps tgt
+#   total:  src = price+1, NULL when key%7=0 -> newest_non_null keeps tgt
+#   tags:   tgt NULL when key%5=0; src NULL when key%11=0 -> array merge fallbacks
+#   meta:   per-key coalesce with null-stripping (jsonb object merge)
+
+_TGT_SQL = """
+  SELECT o_orderkey AS fid,
+         o_orderstatus AS status,
+         o_totalprice AS total,
+         CASE WHEN o_orderkey % 5 = 0 THEN NULL
+              ELSE ['p' || CAST(o_orderkey % 7 AS VARCHAR)] END AS tags,
+         CASE WHEN o_orderkey % 6 = 0 THEN NULL ELSE o_orderpriority END AS m_priority,
+         'seg' || CAST(o_orderkey % 3 AS VARCHAR) AS m_segment
+  FROM orders WHERE o_orderkey % 4 <> 3
+"""
+
+_SRC_SQL = """
+  SELECT o_orderkey AS fid,
+         CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE 'X' || o_orderstatus END AS status,
+         CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_totalprice + 1 END AS total,
+         CASE WHEN o_orderkey % 11 = 0 THEN NULL
+              ELSE ['p' || CAST(o_orderkey % 5 AS VARCHAR), 'q'] END AS tags,
+         CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE 'NEW' END AS m_priority,
+         CAST(NULL AS VARCHAR) AS m_segment
+  FROM orders WHERE o_orderkey % 4 <> 1
+"""
+
+
+def _tgt_df(o):
+    k = F.col("o_orderkey")
+    return o.filter(k % 4 != 3).select(
+        k.alias("fid"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("total"),
+        F.when(k % 5 == 0, F.lit(None)).otherwise(
+            F.array(F.concat(F.lit("p"), (k % 7).cast("string")))
+        ).alias("tags"),
+        F.create_map(
+            F.lit("priority"),
+            F.when(k % 6 == 0, F.lit(None).cast("string")).otherwise(
+                F.col("o_orderpriority")
+            ),
+            F.lit("segment"),
+            F.concat(F.lit("seg"), (k % 3).cast("string")),
+        ).alias("meta"),
+    )
+
+
+def _src_df(o):
+    k = F.col("o_orderkey")
+    return o.filter(k % 4 != 1).select(
+        k.alias("fid"),
+        F.when(k % 3 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("X"), F.col("o_orderstatus")))
+        .alias("status"),
+        F.when(k % 7 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("o_totalprice") + 1)
+        .alias("total"),
+        F.when(k % 11 == 0, F.lit(None).cast("array<string>"))
+        .otherwise(
+            F.array(F.concat(F.lit("p"), (k % 5).cast("string")), F.lit("q"))
+        )
+        .alias("tags"),
+        F.create_map(
+            F.lit("priority"),
+            F.when(k % 2 == 0, F.lit(None).cast("string")).otherwise(F.lit("NEW")),
+            F.lit("segment"),
+            F.lit(None).cast("string"),
+        ).alias("meta"),
+    )
+
+
+_MERGE_COLS = [
+    ColumnSpec("fid", Datatype.int, required=True, upsert_strategy=UpsertStrategy.no_change),
+    ColumnSpec("status", Datatype.char),
+    ColumnSpec("total", Datatype.double),
+    ColumnSpec("tags", Datatype.array_str, upsert_strategy=UpsertStrategy.merge_array),
+    ColumnSpec("meta", Datatype.jsonb_map, upsert_strategy=UpsertStrategy.merge_jsonb_objects),
+]
+
+
+@register(
+    "merge_upsert_strategies",
+    f"""
+    WITH t AS ({_TGT_SQL}), s AS ({_SRC_SQL})
+    SELECT coalesce(t.fid, s.fid) AS fid,
+           CASE WHEN t.fid IS NOT NULL AND s.fid IS NOT NULL THEN coalesce(s.status, t.status)
+                WHEN s.fid IS NOT NULL THEN s.status ELSE t.status END AS status,
+           round(CASE WHEN t.fid IS NOT NULL AND s.fid IS NOT NULL THEN coalesce(s.total, t.total)
+                      WHEN s.fid IS NOT NULL THEN s.total ELSE t.total END, 2) AS total,
+           CASE WHEN t.fid IS NOT NULL AND s.fid IS NOT NULL THEN
+                  CASE WHEN t.tags IS NULL THEN array_to_string(s.tags, '|')
+                       WHEN s.tags IS NULL THEN array_to_string(t.tags, '|')
+                       ELSE array_to_string(list_sort(list_distinct(list_cat(t.tags, s.tags))), '|') END
+                WHEN s.fid IS NOT NULL THEN array_to_string(s.tags, '|')
+                ELSE array_to_string(t.tags, '|') END AS tags_s,
+           CASE WHEN t.fid IS NOT NULL AND s.fid IS NOT NULL THEN
+                  concat_ws(';',
+                    CASE WHEN coalesce(s.m_priority, t.m_priority) IS NOT NULL
+                         THEN 'priority=' || coalesce(s.m_priority, t.m_priority) END,
+                    CASE WHEN coalesce(s.m_segment, t.m_segment) IS NOT NULL
+                         THEN 'segment=' || coalesce(s.m_segment, t.m_segment) END)
+                WHEN s.fid IS NOT NULL THEN
+                  concat_ws(';',
+                    CASE WHEN s.m_priority IS NOT NULL THEN 'priority=' || s.m_priority END,
+                    CASE WHEN s.m_segment IS NOT NULL THEN 'segment=' || s.m_segment END)
+                ELSE
+                  concat_ws(';',
+                    CASE WHEN t.m_priority IS NOT NULL THEN 'priority=' || t.m_priority END,
+                    CASE WHEN t.m_segment IS NOT NULL THEN 'segment=' || t.m_segment END)
+           END AS meta_s,
+           CASE WHEN t.fid IS NOT NULL AND s.fid IS NOT NULL THEN 'updated'
+                WHEN s.fid IS NOT NULL THEN 'inserted' ELSE 'kept' END AS row_status
+    FROM t FULL OUTER JOIN s ON t.fid = s.fid
+    """,
+)
+def merge_upsert_strategies(spark, sf_dir):
+    """J7 + §2.4: the per-column-strategy MERGE, executed by the library
+    compiler (operators/merge.py) — newest_non_null fallbacks, array
+    set-union with null fallbacks, jsonb-object merge with null-stripping
+    and new-key-wins, and outer-join row classification."""
+    o = _t(spark, sf_dir, "orders")["orders"]
+    merged = merge_upsert(
+        _tgt_df(o),
+        _src_df(o),
+        _MERGE_COLS,
+        keys=("fid",),
+        dedupe_source_on_url=False,
+        guard_url_conflicts=False,
+        status_col="row_status",
+    )
+    meta_s = F.concat_ws(
+        ";",
+        F.transform(
+            F.array_sort(F.map_keys(F.col("meta"))),
+            lambda key: F.concat(key, F.lit("="), F.element_at(F.col("meta"), key)),
+        ),
+    )
+    return merged.select(
+        "fid",
+        "status",
+        F.round("total", 2).alias("total"),
+        F.array_join(F.col("tags"), "|").alias("tags_s"),
+        meta_s.alias("meta_s"),
+        "row_status",
+    )
+
+
+# --- DISTINCT ON (url) + url-conflict guard (loader/sql.py:319-326) --------
+
+_STAGE_SQL = """
+  SELECT o_orderkey AS fid,
+         'prov' || CAST(o_orderkey % 2 AS VARCHAR) AS provider,
+         'http://img.example/' || CAST(o_orderkey % 5000 AS VARCHAR) AS url,
+         o_totalprice AS total
+  FROM orders WHERE o_orderkey % 3 = 0
+"""
+
+_CANON_SQL = """
+  SELECT o_orderkey AS fid,
+         'prov' || CAST(o_orderkey % 2 AS VARCHAR) AS provider,
+         'http://img.example/' || CAST(o_orderkey % 5000 AS VARCHAR) AS url
+  FROM orders WHERE o_orderkey % 4 = 0
+"""
+
+
+def _stage_df(o):
+    k = F.col("o_orderkey")
+    return o.filter(k % 3 == 0).select(
+        k.alias("fid"),
+        F.concat(F.lit("prov"), (k % 2).cast("string")).alias("provider"),
+        F.concat(F.lit("http://img.example/"), (k % 5000).cast("string")).alias("url"),
+        F.col("o_totalprice").alias("total"),
+    )
+
+
+def _canon_df(o):
+    k = F.col("o_orderkey")
+    return o.filter(k % 4 == 0).select(
+        k.alias("fid"),
+        F.concat(F.lit("prov"), (k % 2).cast("string")).alias("provider"),
+        F.concat(F.lit("http://img.example/"), (k % 5000).cast("string")).alias("url"),
+    )
+
+
+@register(
+    "merge_url_guards",
+    f"""
+    WITH stage AS ({_STAGE_SQL}), canon AS ({_CANON_SQL}),
+    dedup AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY url ORDER BY provider, fid) AS rn
+        FROM stage)
+      WHERE rn = 1
+    )
+    SELECT d.fid, d.provider, d.url, round(d.total, 2) AS total
+    FROM dedup d
+    WHERE NOT EXISTS (
+      SELECT 1 FROM canon c
+      WHERE c.url = d.url AND NOT (c.provider = d.provider AND c.fid = d.fid)
+    )
+    """,
+)
+def merge_url_guards(spark, sf_dir):
+    """W3 + J3: DISTINCT ON (url) one-row-per-url batch winner, then the
+    url-conflict anti-join against the canonical table
+    (loader/sql.py:319-326)."""
+    o = _t(spark, sf_dir, "orders")["orders"]
+    stage, canon = _stage_df(o), _canon_df(o)
+    deduped = distinct_on(stage, ["url"], [F.col("provider"), F.col("fid")])
+    survived = url_conflict_filter(deduped, canon, keys=("provider", "fid"))
+    return survived.select(
+        "fid", "provider", "url", F.round("total", 2).alias("total")
+    )
+
+
+# --- cleaning expressions (P3-P8) ------------------------------------------
+
+
+@register(
+    "clean_sanitize_strings",
+    r"""
+    WITH raw AS (
+      SELECT doc_id,
+             '  ' || substr(text, 1, 60) || '  "q"  ' AS messy,
+             CAST(doc_id * 1000 AS VARCHAR) || '.' || CAST(doc_id % 10 AS VARCHAR) AS num_s,
+             CASE doc_id % 5 WHEN 0 THEN 't' WHEN 1 THEN 'f' WHEN 2 THEN 'true'
+                             WHEN 3 THEN 'no' ELSE 'xx' END AS bool_s
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN length(replace(trim(regexp_replace(messy, '\s+', ' ', 'g')), '"', '''')) > 40
+                THEN substr(replace(trim(regexp_replace(messy, '\s+', ' ', 'g')), '"', ''''), 1, 40)
+                ELSE replace(trim(regexp_replace(messy, '\s+', ' ', 'g')), '"', '''') END AS cleaned,
+           CAST(trunc(CAST(num_s AS DOUBLE)) AS BIGINT) AS as_int,
+           CAST(CASE WHEN bool_s IN ('t', 'true', '1', 'yes') THEN true
+                     WHEN bool_s IN ('f', 'false', '0', 'no') THEN false END AS VARCHAR) AS as_bool
+    FROM raw
+    """,
+)
+def clean_sanitize_strings(spark, sf_dir):
+    """P3-P6: whitespace collapse, quote swap, char-limit truncate, int
+    and bool coercion — the columns.py prepare_string semantics as pure
+    Catalyst expressions (schemas/columns.py clean_* builders)."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    k = F.col("doc_id")
+    raw = d.select(
+        k,
+        F.concat(F.lit("  "), F.substring("text", 1, 60), F.lit('  "q"  ')).alias("messy"),
+        F.concat((k * 1000).cast("string"), F.lit("."), (k % 10).cast("string")).alias("num_s"),
+        (
+            F.when(k % 5 == 0, F.lit("t"))
+            .when(k % 5 == 1, F.lit("f"))
+            .when(k % 5 == 2, F.lit("true"))
+            .when(k % 5 == 3, F.lit("no"))
+            .otherwise(F.lit("xx"))
+        ).alias("bool_s"),
+    )
+    return raw.select(
+        "doc_id",
+        clean_string_expr(F.col("messy"), size=40, truncate=True).alias("cleaned"),
+        clean_int_expr(F.col("num_s")).alias("as_int"),
+        clean_bool_expr(F.col("bool_s")).cast("string").alias("as_bool"),
+    )
+
+
+@register(
+    "clean_filetype_url",
+    """
+    WITH urls AS (
+      SELECT p_partkey,
+             'https://img.example.com/p/' || CAST(p_partkey AS VARCHAR) ||
+             CASE p_partkey % 5 WHEN 0 THEN '.JPEG?trackid=123' WHEN 1 THEN '.png'
+                                WHEN 2 THEN '.TIF' WHEN 3 THEN '.svg?x=1' ELSE '.webp' END AS url
+      FROM part
+    )
+    SELECT p_partkey, url,
+           CASE lower(regexp_extract(url, '\\.(\\w{{1,5}})(\\?.*)?$', 1))
+                WHEN 'jpeg' THEN 'jpg' WHEN 'tif' THEN 'tiff'
+                ELSE CASE WHEN lower(regexp_extract(url, '\\.(\\w{{1,5}})(\\?.*)?$', 1))
+                               IN ('jpg','png','gif','svg','tiff','webp')
+                          THEN lower(regexp_extract(url, '\\.(\\w{{1,5}})(\\?.*)?$', 1)) END END AS filetype,
+           regexp_replace(url, '\\?.*$', '') AS url_stripped
+    FROM urls
+    """.replace("{{", "{").replace("}}", "}"),
+)
+def clean_filetype_url(spark, sf_dir):
+    """P7/P8/P19: filetype from URL extension with jpeg->jpg / tif->tiff
+    unification (extensions.py:7-12, media.py:313-325) + query-param
+    stripping (jamendo.py:69-106)."""
+    p = _t(spark, sf_dir, "part")["part"]
+    k = F.col("p_partkey")
+    urls = p.select(
+        k,
+        F.concat(
+            F.lit("https://img.example.com/p/"),
+            k.cast("string"),
+            F.when(k % 5 == 0, F.lit(".JPEG?trackid=123"))
+            .when(k % 5 == 1, F.lit(".png"))
+            .when(k % 5 == 2, F.lit(".TIF"))
+            .when(k % 5 == 3, F.lit(".svg?x=1"))
+            .otherwise(F.lit(".webp")),
+        ).alias("url"),
+    )
+    return urls.select(
+        "p_partkey",
+        "url",
+        extract_filetype_expr(
+            F.col("url"), ("jpg", "png", "gif", "svg", "tiff", "webp")
+        ).alias("filetype"),
+        F.regexp_replace("url", r"\?.*$", "").alias("url_stripped"),
+    )
+
+
+@register(
+    "clean_tags_blacklist",
+    """
+    WITH raw AS (
+      SELECT p_partkey,
+             [lower(string_split(p_type, ' ')[1]), 'no person', 'uploaded:by=x',
+              lower(p_brand), 'cc0'] AS tags
+      FROM part
+    ),
+    flt AS (
+      SELECT p_partkey,
+             list_sort(list_distinct(list_transform(
+               list_filter(tags, t -> t IS NOT NULL AND trim(t) <> ''
+                 AND lower(trim(t)) NOT IN ('no person', 'squareformat')
+                 AND NOT contains(lower(trim(t)), 'flickriosapp')
+                 AND NOT contains(lower(trim(t)), 'uploaded')
+                 AND NOT contains(lower(trim(t)), ':')
+                 AND NOT contains(lower(trim(t)), '=')
+                 AND NOT contains(lower(trim(t)), 'cc0')
+                 AND NOT contains(lower(trim(t)), 'by-nc')
+                 AND NOT contains(lower(trim(t)), 'by-nd')
+                 AND NOT contains(lower(trim(t)), 'by-sa')
+                 AND NOT contains(lower(trim(t)), 'by-nc-nd')
+                 AND NOT contains(lower(trim(t)), 'by-nc-sa')
+                 AND NOT contains(lower(trim(t)), 'pdm')),
+               t -> trim(t) || '@provider_x'))) AS tag_keys
+      FROM raw
+    )
+    SELECT p_partkey, array_to_string(tag_keys, '|') AS tags_s FROM flt
+    """,
+)
+def clean_tags_blacklist(spark, sf_dir):
+    """P9: tag blacklist filter + {name, provider} enrichment
+    (media.py:252-311). Structs serialized name@provider for comparison."""
+    p = _t(spark, sf_dir, "part")["part"]
+    raw = p.select(
+        "p_partkey",
+        F.array(
+            F.lower(F.element_at(F.split("p_type", " "), 1)),
+            F.lit("no person"),
+            F.lit("uploaded:by=x"),
+            F.lower("p_brand"),
+            F.lit("cc0"),
+        ).alias("tags"),
+    )
+    cleaned = raw.select(
+        "p_partkey",
+        clean_tags_expr(F.col("tags"), F.lit("provider_x")).alias("tags"),
+    )
+    return cleaned.select(
+        "p_partkey",
+        F.array_join(
+            F.transform(
+                F.col("tags"), lambda t: F.concat(t["name"], F.lit("@"), t["provider"])
+            ),
+            "|",
+        ).alias("tags_s"),
+    )

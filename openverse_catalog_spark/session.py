@@ -1,0 +1,92 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs on local[N]; the configs are chosen so the same plans
+scale to a multi-executor cluster: AQE handles skew + partition coalescing,
+shuffle partitions sized for the local core count (override
+``spark.sql.shuffle.partitions`` upward on a real cluster), Arrow enabled
+for the (rare) pandas-UDF paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "openverse-catalog-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    Defaults favor correctness of the declarative plan + letting AQE pick
+    physical details at runtime:
+      - AQE on (partition coalescing, skew-join splitting, runtime replan)
+      - broadcast threshold left at default 10MB; dimension tables in this
+        engine are far smaller and get explicit ``F.broadcast`` hints anyway
+      - ANSI off: the reference's coercion semantics are null-on-failure
+        (``int(float(x)) except -> None``), which matches non-ANSI casts
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", cpus))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # testdata events.parquet stores TIMESTAMP(NANOS) which the Parquet
+        # reader rejects; read as long and convert (load_tables).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):
+    """Read the synthetic testdata parquet tables and register temp views.
+
+    Returns dict name -> DataFrame. Partition pruning / column pruning are
+    Catalyst's job; we just declare the scans.
+    """
+    names = names or (
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    )
+    out = {}
+    for n in names:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet"))
+        # TIMESTAMP(NANOS) columns arrive as long (nanosAsLong); convert to
+        # microsecond timestamps (same truncation DuckDB applies on read).
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        for field in df.schema.fields:
+            if field.name == "ts" and isinstance(field.dataType, T.LongType):
+                df = df.withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                )
+        df.createOrReplaceTempView(n)
+        out[n] = df
+    return out
