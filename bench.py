@@ -1,0 +1,77 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced with a count() (no driver-side materialization cost);
+the session is warmed with a trivial job first so JVM startup isn't billed
+to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from openverse_catalog_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per operator family, weighted toward the pipelines the
+# reference actually runs (join-enrich, merge-upsert, popularity, dedup).
+HEADLINE = [
+    "agg_pricing_summary",
+    "join_5way_enrich",
+    "merge_upsert_strategies",
+    "merge_url_guards",
+    "join_broadcast_standardized",
+    "agg_percentile_disc",
+    "window_running_sum",
+    "dedup_keep_latest",
+    "agg_string_cutoff",
+    "dedup_exact_text",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    "knn_cosine_topk",
+    "text_quality_score",
+    "text_fingerprint",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    from openverse_catalog_spark.plans.analytics import QUERIES  # registry
+    from openverse_catalog_spark.plans import merge_queries  # noqa: F401
+    from openverse_catalog_spark.plans import corpus_queries  # noqa: F401
+
+    spark = get_spark("bench")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm up
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -28,7 +28,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from openverse_catalog_spark.functions.hashing import hash60, seeded
+from openverse_catalog_spark.functions.hashing import (
+    MERSENNE_P,
+    hash60,
+    perm_expr,
+    perm_params,
+)
 
 DEFAULT_SEEDS = 16
 DEFAULT_BANDS = 4  # 4 bands x 4 rows with 16 seeds
@@ -86,16 +91,33 @@ def minhash_signatures(
 ) -> DataFrame:
     """One row per doc: id + mh_0..mh_{n-1} minhash values.
 
-    Plan shape: explode distinct shingles (map-side), then ONE groupBy
-    computing all N mins in a single aggregation pass — N seeded hashes
-    are projected per shingle before the shuffle, so the shuffle carries
-    only (id, h0..hN) partial mins thanks to partial aggregation.
+    Plan shape: explode distinct shingles (map-side), hash each shingle
+    ONCE (md5), derive the N permutations with integer multiply-adds
+    (universal hashing — no per-seed rehash), then ONE groupBy computing
+    all N mins in a single aggregation pass; the shuffle carries only
+    (id, h0..hN) partial mins thanks to partial aggregation.
     """
-    sh = (
-        df.select(F.col(id_col), F.explode(shingles_expr(F.col(text_col), k)).alias("__sh"))
-        .distinct()
-    )
-    aggs = [F.min(seeded(s, F.col("__sh"))).alias(f"mh_{s}") for s in range(n_seeds)]
+    # No distinct(): min() is duplicate-insensitive, and skipping it saves a
+    # full shuffle of the exploded shingle set — the explode feeds straight
+    # into map-side partial aggregation. The normalized text is materialized
+    # as a column FIRST so the per-shingle substr lambda references a plain
+    # attribute — otherwise Catalyst re-evaluates the regexp normalization
+    # once per shingle (O(L^2) per document).
+    norm = df.select(F.col(id_col), normalize_text(F.col(text_col)).alias("__t"))
+    sh = norm.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length("__t") - (k - 1), F.lit(1))),
+                lambda i: F.col("__t").substr(i, F.lit(k)),
+            )
+        ).alias("__sh"),
+    ).withColumn("__h", hash60(F.col("__sh")) % MERSENNE_P)
+    params = perm_params(n_seeds)
+    aggs = [
+        F.min(perm_expr(F.col("__h"), a, b)).alias(f"mh_{s}")
+        for s, (a, b) in enumerate(params)
+    ]
     return sh.groupBy(id_col).agg(*aggs)
 
 
@@ -206,14 +228,19 @@ def ngram_jaccard_pairs(
     appear (their Jaccard is 0) — that's what makes this scale: the
     shuffle is on n-grams, not on the pair space.
     """
-    toks = tokens_expr(F.col(text_col))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
     blk = [F.col(block_col)] if block_col else []
+    # Materialize the token array before building grams — referencing the
+    # raw tokens_expr inside the transform lambda would re-run the regexp
+    # split once per gram.
+    toked = df.select(
+        F.col(id_col), *blk, tokens_expr(F.col(text_col)).alias("__tk")
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("__tk") - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(F.col("__tk"), i, n)),
+    )
     g = (
-        df.select(F.col(id_col), *blk, F.explode(grams).alias("__g"))
+        toked.select(F.col(id_col), *blk, F.explode(grams).alias("__g"))
         .distinct()
     )
     sizes = g.groupBy(id_col).agg(F.count("*").alias("__sz"))

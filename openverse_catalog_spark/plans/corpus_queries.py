@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from openverse_catalog_spark.functions import text as tx
-from openverse_catalog_spark.functions.hashing import hash60_sql, seeded_sql
+from openverse_catalog_spark.functions.hashing import hash60_sql
 from openverse_catalog_spark.operators import dedupe as dd
 from openverse_catalog_spark.operators import knn
 from openverse_catalog_spark.plans.analytics import _t, register
@@ -76,8 +76,16 @@ _N_SEEDS, _N_BANDS, _K = 16, 4, 5
 
 
 def _minhash_oracle() -> str:
+    from openverse_catalog_spark.functions.hashing import (
+        MERSENNE_P,
+        perm_params,
+        perm_sql,
+    )
+
+    base = f"({hash60_sql('sh')} % {MERSENNE_P})"
     mins = ",\n             ".join(
-        f"min({seeded_sql(s, 'sh')}) AS mh_{s}" for s in range(_N_SEEDS)
+        f"min({perm_sql('h', a, b)}) AS mh_{s}"
+        for s, (a, b) in enumerate(perm_params(_N_SEEDS))
     )
     rows = _N_SEEDS // _N_BANDS
     band_selects = []
@@ -96,7 +104,8 @@ def _minhash_oracle() -> str:
              SELECT doc_id, t,
                     unnest(range(1, greatest(length(t) - {_K - 1}, 1) + 1)) AS i
              FROM t)),
-    mh AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    hs AS (SELECT doc_id, {base} AS h FROM sh),
+    mh AS (SELECT doc_id, {mins} FROM hs GROUP BY doc_id),
     bands AS ({bands})
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
