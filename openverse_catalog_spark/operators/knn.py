@@ -100,33 +100,49 @@ def lsh_bucket_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 3,
-    n_planes: int = 6,
+    n_planes: int = 4,
+    n_tables: int = 8,
     dim: int | None = None,
 ) -> DataFrame:
-    """Approximate all-pairs top-k: bucket by hyperplane-sign signature,
-    exact cosine within buckets. One equi-join shuffle on the bucket key
-    instead of a cross join. Returns (query_id, neighbor_id, cosine, rank)
-    for neighbors found in the same bucket."""
+    """Approximate all-pairs top-k: L independent hash tables of m
+    hyperplane-sign bits; candidates = pairs sharing any table's bucket;
+    exact cosine on the (deduped) candidate set only.
+
+    Single-table sign-LSH recall is (1 - theta/pi)^m per neighbor, which
+    is poor for the moderate-angle nearest neighbors of real embedding
+    corpora — multiple tables union their candidates: recall
+    1-(1-r)^L. Cost stays sub-quadratic: one explode (L rows per vector)
+    + one equi-join shuffle on (table, bucket)."""
     corpus = _as_double(corpus, vec_col)
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
-    planes = random_planes(dim, n_planes)
-    sig = None
-    for p, plane in enumerate(planes):
-        d = dot_expr(F.col(vec_col), F.array(*[F.lit(x) for x in plane]))
-        bit = F.when(d >= 0, F.lit(2**p)).otherwise(F.lit(0))
-        sig = bit if sig is None else sig + bit
-    bucketed = corpus.select(
-        F.col(id_col), F.col(vec_col), sig.alias("__bucket")
+    table_sigs = []
+    for t in range(n_tables):
+        planes = random_planes(dim, n_planes, seed=f"plane{t}")
+        sig = None
+        for p, plane in enumerate(planes):
+            d = dot_expr(F.col(vec_col), F.array(*[F.lit(x) for x in plane]))
+            bit = F.when(d >= 0, F.lit(2**p)).otherwise(F.lit(0))
+            sig = bit if sig is None else sig + bit
+        table_sigs.append(
+            F.struct(F.lit(t).alias("tbl"), sig.cast("long").alias("bucket"))
+        )
+    exploded = corpus.select(
+        F.col(id_col), F.col(vec_col), F.explode(F.array(*table_sigs)).alias("tb")
+    ).select(id_col, vec_col, F.col("tb.tbl").alias("__tbl"), F.col("tb.bucket").alias("__bucket"))
+    a = exploded.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"), "__tbl", "__bucket"
     )
-    a = bucketed.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"), "__bucket"
+    b = exploded.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"), "__tbl", "__bucket"
     )
-    b = bucketed.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"), "__bucket"
+    cand = (
+        a.join(b, ["__tbl", "__bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "__qv", "__cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
-    pairs = a.join(b, "__bucket").filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = pairs.select(
+    scored = cand.select(
         "query_id", "neighbor_id", cosine_expr(F.col("__qv"), F.col("__cv")).alias("cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -143,7 +159,7 @@ def embedding_near_dup_pairs(
     """Near-duplicate pairs by embedding cosine >= threshold, bucketed by
     LSH signature so near-identical vectors (which agree on all plane
     signs with overwhelming probability) meet in a bucket."""
-    topk = lsh_bucket_topk(corpus, id_col, vec_col, k=50, n_planes=n_planes)
+    topk = lsh_bucket_topk(corpus, id_col, vec_col, k=50, n_planes=n_planes)  # noqa: E501
     return (
         topk.filter((F.col("cosine") >= threshold) & (F.col("query_id") < F.col("neighbor_id")))
         .select(

@@ -257,7 +257,7 @@ def knn_lsh_bucketed(spark, sf_dir):
     buckets only. Approximate by construction -> no SQL oracle; the
     accompanying test checks recall against the exact path."""
     e = _t(spark, sf_dir, "embeddings")["embeddings"]
-    out = knn.lsh_bucket_topk(e, "vec_id", "embedding", k=3, n_planes=6, dim=64)
+    out = knn.lsh_bucket_topk(e, "vec_id", "embedding", k=3, n_planes=4, n_tables=8, dim=64)
     return out.select(
         "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
     )

@@ -1,0 +1,135 @@
+"""Column-spec cleaning semantics — re-expression of the reference's
+``test_columns.py`` (prepare_string per type) and ``test_media.py``
+(tag enrichment, meta_data injection) unit coverage."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from openverse_catalog_spark.functions.cleaning import (
+    clean_tags_expr,
+    default_source_expr,
+    enrich_meta_data_expr,
+    extract_filetype_expr,
+    unify_filetype_expr,
+)
+from openverse_catalog_spark.functions.licenses import (
+    canonical_version_expr,
+    license_url_from_pair,
+    normalize_license,
+)
+from openverse_catalog_spark.schemas.columns import (
+    PG_INT_MAX,
+    clean_bool_expr,
+    clean_int_expr,
+    clean_string_expr,
+    pg_int4_guard,
+)
+
+
+def one(spark, expr, value, typ="string"):
+    df = spark.createDataFrame([(value,)], f"v {typ}")
+    return df.select(expr(F.col("v")).alias("out")).first()["out"]
+
+
+def test_string_whitespace_collapse(spark):
+    got = one(spark, lambda c: clean_string_expr(c, None, False), "a \t\n b  c")
+    assert got == "a b c"
+
+
+def test_string_quote_swap_and_empty_null(spark):
+    assert one(spark, lambda c: clean_string_expr(c, None, False), 'say "hi"') == "say 'hi'"
+    assert one(spark, lambda c: clean_string_expr(c, None, False), "   ") is None
+
+
+def test_char_limit_truncate_vs_nullout(spark):
+    long = "x" * 100
+    assert one(spark, lambda c: clean_string_expr(c, 10, True), long) == "x" * 10
+    assert one(spark, lambda c: clean_string_expr(c, 10, False), long) is None
+
+
+def test_int_coercion(spark):
+    assert one(spark, clean_int_expr, "42.9") == 42
+    assert one(spark, clean_int_expr, "-3.7") == -3
+    assert one(spark, clean_int_expr, "garbage") is None
+
+
+def test_pg_int4_guard(spark):
+    assert one(spark, lambda c: pg_int4_guard(c.cast("long")), str(PG_INT_MAX + 1)) is None
+    assert one(spark, lambda c: pg_int4_guard(c.cast("long")), "100") == 100
+
+
+def test_bool_coercion(spark):
+    assert one(spark, clean_bool_expr, "t") is True
+    assert one(spark, clean_bool_expr, "FALSE") is False
+    assert one(spark, clean_bool_expr, "maybe") is None
+
+
+def test_filetype_extract_and_unify(spark):
+    valid = ("jpg", "png", "tiff")
+    assert one(spark, lambda c: extract_filetype_expr(c, valid), "http://x/a.JPEG?q=1") == "jpg"
+    assert one(spark, lambda c: extract_filetype_expr(c, valid), "http://x/a.TIF") == "tiff"
+    assert one(spark, lambda c: extract_filetype_expr(c, valid), "http://x/a.exe") is None
+    assert one(spark, unify_filetype_expr, "JPEG") == "jpg"
+
+
+def test_tag_blacklist_and_enrichment(spark):
+    df = spark.createDataFrame(
+        [(["Nature", "no person", "uploaded:by=flickr", "cc0", "Nature", " sky "],)],
+        "tags array<string>",
+    )
+    out = df.select(
+        clean_tags_expr(F.col("tags"), F.lit("flickr")).alias("t")
+    ).first()["t"]
+    assert [(t["name"], t["provider"]) for t in out] == [
+        ("Nature", "flickr"),
+        ("sky", "flickr"),
+    ]
+
+
+def test_meta_data_enrichment(spark):
+    df = spark.createDataFrame(
+        [({"views": "10", "license_url": "stale"},)], "m map<string,string>"
+    )
+    out = df.select(
+        enrich_meta_data_expr(
+            F.col("m"), F.lit("https://cc/by/4.0/"), F.lit(None).cast("string")
+        ).alias("o")
+    ).first()["o"]
+    assert out == {
+        "views": "10",
+        "license_url": "https://cc/by/4.0/",
+        "raw_license_url": "https://cc/by/4.0/",
+    }
+
+
+def test_default_source(spark):
+    df = spark.createDataFrame([("", "flickr"), ("sub", "flickr")], "s string, p string")
+    out = df.select(default_source_expr(F.col("s"), F.col("p")).alias("o")).collect()
+    assert [r["o"] for r in out] == ["flickr", "sub"]
+
+
+def test_license_version_canonicalization(spark):
+    assert one(spark, canonical_version_expr, "2") == "2.0"
+    assert one(spark, canonical_version_expr, "4.00") == "4.0"
+    assert one(spark, canonical_version_expr, "junk") is None
+
+
+def test_license_url_from_pair(spark):
+    df = spark.createDataFrame([("by", "4.0"), ("cc0", "1.0")], "l string, v string")
+    out = df.select(license_url_from_pair(F.col("l"), F.col("v")).alias("u")).collect()
+    assert out[0]["u"] == "https://creativecommons.org/licenses/by/4.0/"
+    assert out[1]["u"] == "https://creativecommons.org/publicdomain/zero/1.0/"
+
+
+def test_normalize_license_validates_pairs(spark):
+    df = spark.createDataFrame(
+        [("BY", "4.0"), ("by-nc", "2"), ("bogus", "1.0"), ("CC0", None)],
+        "license string, license_version string",
+    )
+    out = normalize_license(df, spark).collect()
+    got = [(r["license"], r["license_version"]) for r in out]
+    assert ("by", "4.0") in got
+    assert ("by-nc", "2.0") in got
+    assert ("cc0", "1.0") in got
+    assert (None, None) in got  # bogus license nulled out -> dropped later

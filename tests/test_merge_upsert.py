@@ -1,0 +1,175 @@
+"""Upsert MERGE semantics matrix — re-expression of the reference's
+``catalog/tests/dags/common/loader/test_sql.py`` acceptance cases
+(insert :476-602, newest-non-null replacement :661-891,
+does-not-replace-with-nulls :785, meta_data merge :892-1025, tags merge
+:1026-1248, duplicate-URL no-merge :1249-1423) against the Spark merge
+compiler.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from openverse_catalog_spark.operators.merge import (
+    distinct_on,
+    merge_upsert,
+    url_conflict_filter,
+)
+from openverse_catalog_spark.schemas.columns import (
+    ColumnSpec,
+    Datatype,
+    UpsertStrategy,
+)
+
+COLS = [
+    ColumnSpec("provider", Datatype.char, required=True, upsert_strategy=UpsertStrategy.no_change),
+    ColumnSpec("foreign_identifier", Datatype.char, required=True, upsert_strategy=UpsertStrategy.no_change),
+    ColumnSpec("url", Datatype.char, required=True),
+    ColumnSpec("title", Datatype.char),
+    ColumnSpec("filesize", Datatype.int),
+    ColumnSpec("meta_data", Datatype.jsonb_map, upsert_strategy=UpsertStrategy.merge_jsonb_objects),
+    ColumnSpec("tags", Datatype.jsonb_tags, upsert_strategy=UpsertStrategy.merge_jsonb_arrays),
+    ColumnSpec("removed_from_source", Datatype.bool, upsert_strategy=UpsertStrategy.false),
+]
+
+SCHEMA = T.StructType([c.struct_field() for c in COLS])
+
+
+def mk(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def row(provider="p", fid="f1", url="http://u/1", title=None, filesize=None,
+        meta=None, tags=None, removed=None):
+    return (provider, fid, url, title, filesize, meta, tags, removed)
+
+
+def run_merge(spark, target_rows, source_rows, **kw):
+    tgt = mk(spark, target_rows)
+    src = mk(spark, source_rows)
+    out = merge_upsert(tgt, src, COLS, **kw)
+    return {(r["provider"], r["foreign_identifier"]): r.asDict() for r in out.collect()}
+
+
+def test_insert_new_rows(spark):
+    got = run_merge(spark, [], [row(title="hello", filesize=10)])
+    assert got[("p", "f1")]["title"] == "hello"
+    assert got[("p", "f1")]["filesize"] == 10
+    assert got[("p", "f1")]["removed_from_source"] is False
+
+
+def test_newest_non_null_replaces(spark):
+    got = run_merge(
+        spark,
+        [row(title="old", filesize=1)],
+        [row(title="new", filesize=2)],
+    )
+    assert got[("p", "f1")]["title"] == "new"
+    assert got[("p", "f1")]["filesize"] == 2
+
+
+def test_does_not_replace_with_nulls(spark):
+    # reference test_sql.py:785 — EXCLUDED null must not clobber old value
+    got = run_merge(
+        spark,
+        [row(title="old", filesize=1)],
+        [row(title=None, filesize=None)],
+    )
+    assert got[("p", "f1")]["title"] == "old"
+    assert got[("p", "f1")]["filesize"] == 1
+
+
+def test_untouched_rows_kept(spark):
+    got = run_merge(
+        spark,
+        [row(fid="keepme", url="http://u/k", title="kept")],
+        [row(fid="newone", url="http://u/n", title="fresh")],
+    )
+    assert got[("p", "keepme")]["title"] == "kept"
+    assert got[("p", "newone")]["title"] == "fresh"
+
+
+def test_meta_data_merge_new_key_wins(spark):
+    # jsonb_strip_nulls(old) || jsonb_strip_nulls(new) — columns.py:42-52
+    got = run_merge(
+        spark,
+        [row(meta={"a": "1", "b": "2", "gone": None})],
+        [row(meta={"b": "9", "c": "3", "dead": None})],
+    )
+    assert got[("p", "f1")]["meta_data"] == {"a": "1", "b": "9", "c": "3"}
+
+
+def test_meta_data_null_sides(spark):
+    got = run_merge(spark, [row(meta=None)], [row(meta={"k": "v"})])
+    assert got[("p", "f1")]["meta_data"] == {"k": "v"}
+    got = run_merge(spark, [row(meta={"k": "v"})], [row(meta=None)])
+    assert got[("p", "f1")]["meta_data"] == {"k": "v"}
+    got = run_merge(spark, [row(meta=None)], [row(meta=None)])
+    assert got[("p", "f1")]["meta_data"] is None
+
+
+def test_tags_merge_distinct_union(spark):
+    t1 = [Row(name="a", provider="p"), Row(name="b", provider="p")]
+    t2 = [Row(name="b", provider="p"), Row(name="c", provider="p")]
+    got = run_merge(spark, [row(tags=t1)], [row(tags=t2)])
+    names = [t["name"] for t in got[("p", "f1")]["tags"]]
+    assert names == ["a", "b", "c"]  # distinct + pinned sort
+
+
+def test_tags_null_handling(spark):
+    t1 = [Row(name="a", provider="p")]
+    got = run_merge(spark, [row(tags=None)], [row(tags=t1)])
+    assert [t["name"] for t in got[("p", "f1")]["tags"]] == ["a"]
+    got = run_merge(spark, [row(tags=t1)], [row(tags=None)])
+    assert [t["name"] for t in got[("p", "f1")]["tags"]] == ["a"]
+
+
+def test_removed_reset_false_on_update(spark):
+    got = run_merge(spark, [row(removed=True)], [row()])
+    assert got[("p", "f1")]["removed_from_source"] is False
+
+
+def test_duplicate_url_within_batch_picks_one(spark):
+    # DISTINCT ON (url) — loader/sql.py:319; deterministic winner = lowest key
+    got = run_merge(
+        spark,
+        [],
+        [
+            row(fid="z2", url="http://same", title="loser"),
+            row(fid="a1", url="http://same", title="winner"),
+        ],
+    )
+    assert ("p", "a1") in got and ("p", "z2") not in got
+    assert got[("p", "a1")]["title"] == "winner"
+
+
+def test_url_conflict_with_target_skipped(spark):
+    # loader/sql.py:322-326 — same url, different fid in target -> skip new row
+    got = run_merge(
+        spark,
+        [row(fid="orig", url="http://taken", title="original")],
+        [row(fid="intruder", url="http://taken", title="stolen")],
+    )
+    assert ("p", "intruder") not in got
+    assert got[("p", "orig")]["title"] == "original"
+
+
+def test_url_conflict_same_fid_merges(spark):
+    got = run_merge(
+        spark,
+        [row(fid="same", url="http://taken", title="old")],
+        [row(fid="same", url="http://taken", title="new")],
+    )
+    assert got[("p", "same")]["title"] == "new"
+
+
+def test_distinct_on_helper_deterministic(spark):
+    df = spark.createDataFrame(
+        [("u1", 1, "b"), ("u1", 2, "a"), ("u2", 3, "c")], "k string, n int, v string"
+    )
+    out = distinct_on(df, ["k"], [F.col("n").desc()]).collect()
+    got = {r["k"]: r["n"] for r in out}
+    assert got == {"u1": 2, "u2": 3}

@@ -1,0 +1,137 @@
+"""Operator-level tests: popularity percentiles, dedup family, KNN,
+text functions — semantics pinned against hand-computed expectations
+(golden-value style, like the reference's popularity test_sql.py)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from openverse_catalog_spark.functions import text as tx
+from openverse_catalog_spark.operators import dedupe as dd
+from openverse_catalog_spark.operators import knn
+from openverse_catalog_spark.operators.popularity import (
+    percentile_disc_by_group,
+    popularity_constants,
+    standardized_popularity,
+)
+
+
+def test_percentile_disc_exact(spark):
+    # percentile_disc picks an actual data value: smallest v with cume_dist >= p
+    rows = [("a", float(v)) for v in range(1, 11)]  # 1..10
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = percentile_disc_by_group(df, ["g"], "v", 0.85).first()
+    assert got["percentile_value"] == 9.0  # ceil(0.85*10) = 9th value
+    got = percentile_disc_by_group(df, ["g"], "v", 0.5).first()
+    assert got["percentile_value"] == 5.0
+
+
+def test_popularity_constants_zero_guard(spark):
+    # reference popularity/sql.py:263-268 — 0 percentile value -> 1
+    df = spark.createDataFrame([("p1", 0.0), ("p2", 100.0)], "g string, percentile_value double")
+    got = {r["g"]: r["constant"] for r in popularity_constants(df, 0.85).collect()}
+    assert math.isclose(got["p1"], (0.15 / 0.85) * 1.0)
+    assert math.isclose(got["p2"], (0.15 / 0.85) * 100.0)
+
+
+def test_standardized_popularity_math(spark):
+    facts = spark.createDataFrame([("p", 100.0)], "g string, m double")
+    consts = spark.createDataFrame([("p", 25.0)], "g string, constant double")
+    got = standardized_popularity(facts, consts, ["g"], "m").first()
+    assert math.isclose(got["standardized_popularity"], 100.0 / 125.0)
+
+
+def test_exact_dedupe_keeps_one(spark):
+    df = spark.createDataFrame(
+        [("p", "f", 1), ("p", "f", 2), ("p", "g", 3)], "prov string, fid string, n int"
+    )
+    out = dd.exact_dedupe(df, ["prov", "fid"], [F.col("n").desc()]).collect()
+    got = {(r["prov"], r["fid"]): r["n"] for r in out}
+    assert got == {("p", "f"): 2, ("p", "g"): 3}
+
+
+def test_minhash_identical_docs_collide(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "completely different text about spark engines and parquet files")],
+        "id long, text string",
+    )
+    sigs = dd.minhash_signatures(df, "id", "text")
+    pairs = dd.minhash_lsh_pairs(sigs, "id").collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_simhash_identical_equal_distinct_differ(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "zeta eta theta iota kappa")],
+        "id long, text string",
+    )
+    got = {r["id"]: r["simhash"] for r in dd.simhash16(df, "id", "text").collect()}
+    assert got[1] == got[2]
+    assert got[1] != got[3]
+
+
+def test_ngram_jaccard_exact_value(spark):
+    # doc1: tokens a b c d -> 3-grams {a b c, b c d}; doc2: a b c e -> {a b c, b c e}
+    # intersection 1, union 3 -> jaccard 1/3
+    df = spark.createDataFrame(
+        [(1, "a b c d", "s"), (2, "a b c e", "s")], "id long, text string, src string"
+    )
+    got = dd.ngram_jaccard_pairs(df, "id", "text", n=3, block_col="src").first()
+    assert math.isclose(got["jaccard"], 1 / 3)
+
+
+def test_cosine_topk_exact(spark):
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.9, 0.1]),   # closest to 1
+        (3, [0.0, 1.0]),   # orthogonal to 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = knn.cosine_topk(df, df.filter("vec_id = 1"), k=2).collect()
+    ranked = sorted(out, key=lambda r: r["rank"])
+    assert [r["neighbor_id"] for r in ranked] == [2, 3]
+    assert ranked[0]["cosine"] > 0.99
+
+
+def test_lsh_recall_against_exact(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = knn.cosine_topk(emb, emb, k=1, broadcast_queries=False)
+    approx = knn.lsh_bucket_topk(emb, k=1, n_planes=4, n_tables=8, dim=64)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall > 0.5  # 8 tables x 4 planes: union of candidates
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog of a house"),
+         (2, "der hund und die katze ist nicht da"),
+         (3, "xyzzy plugh 12345")],
+        "id long, text string",
+    )
+    got = {r["id"]: r["l"] for r in df.select("id", tx.lang_id(F.col("text")).alias("l")).collect()}
+    assert got == {1: "en", 2: "de", 3: "und"}
+
+
+def test_fingerprint_order_insensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "delta gamma beta alpha"),
+         (3, "alpha beta gamma epsilon")],
+        "id long, text string",
+    )
+    got = {r["id"]: r["f"] for r in df.select("id", tx.fingerprint(F.col("text")).alias("f")).collect()}
+    assert got[1] == got[2]
+    assert got[1] != got[3]
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([(1, "Hello, world! 123")], "id long, text string")
+    assert df.select(tx.token_count(F.col("text")).alias("n")).first()["n"] == 3
