@@ -1,0 +1,100 @@
+"""Structured-Streaming and multimodal operators as driver-gate queries.
+
+The streaming queries run a real AvailableNow stream to completion inside
+the callable and return the sink table — so the driver's batch-style
+(rows + values) check verifies genuine streaming execution against a
+batch SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from openverse_catalog_spark.operators.multimodal import (
+    attach_binary_payload,
+    extract_image_metadata,
+    frame_sample_plan,
+)
+from openverse_catalog_spark.plans.analytics import _t, register
+from openverse_catalog_spark.streaming.incremental import (
+    stream_merge_foreach_batch,
+    stream_windowed_counts,
+    watermarked_late_counts,
+)
+
+
+@register(
+    "stream_windowed_counts",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type, count(*) AS n, round(sum(value), 2) AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_stream_windowed_counts(spark, sf_dir):
+    """I1 as Structured Streaming: AvailableNow file stream -> event-time
+    tumbling window agg -> memory sink; result equals the batch rollup."""
+    return stream_windowed_counts(spark, sf_dir)
+
+
+@register(
+    "stream_watermarked_append",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type, count(*) AS n
+    FROM events
+    WHERE date_trunc('day', ts) + INTERVAL 1 DAY
+          <= (SELECT max(ts) - INTERVAL 2 HOUR FROM events)
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_watermarked_append(spark, sf_dir):
+    """I3: watermark + append mode — only windows the final watermark
+    passed are emitted (the oracle reproduces the watermark cutoff)."""
+    return watermarked_late_counts(spark, sf_dir)
+
+
+@register(
+    "stream_foreach_batch_merge",
+    """
+    SELECT user_id, count(*) AS n, round(sum(value), 2) AS total
+    FROM events GROUP BY user_id
+    """,
+)
+def q_stream_foreach_batch_merge(spark, sf_dir):
+    """I5: foreachBatch incremental rollup merge — accumulated partial
+    aggregates equal the full batch recompute."""
+    return stream_merge_foreach_batch(spark, sf_dir)
+
+
+@register(
+    "multimodal_image_meta",
+    """
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CASE WHEN doc_id % 3 = 0 THEN 'png' ELSE 'jpg' END AS format,
+           CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) % 1920 + 1 AS width,
+           CAST(('0x' || substr(md5(text), 16, 15)) AS BIGINT) % 1080 + 1 AS height
+    FROM documents
+    """,
+)
+def q_multimodal_image_meta(spark, sf_dir):
+    """Multimodal plumbing: binary payload column -> Arrow-batched
+    mapInPandas metadata extraction (decode stubbed deterministically; the
+    oracle reproduces the stub's md5 arithmetic)."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return extract_image_metadata(attach_binary_payload(d))
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id, strlen(text) % 300 + 1 AS n_frames,
+           unnest(range(0, strlen(text) % 300 + 1, 30)) AS frame_idx
+    FROM documents
+    """,
+)
+def q_multimodal_frame_sample(spark, sf_dir):
+    """Video frame-sampling shape: per-payload frame index explosion."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return frame_sample_plan(attach_binary_payload(d), every_n=30)

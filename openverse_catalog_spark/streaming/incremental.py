@@ -1,0 +1,157 @@
+"""Incremental / streaming patterns (SURVEY §2.10).
+
+The reference is batch-only, but its dated ingestion (I1), reingestion
+re-merge (I3), and matview refresh (I5) are incremental-batch shapes that
+map onto Structured Streaming:
+
+  * ``stream_windowed_counts`` — Trigger.AvailableNow file stream over the
+    events table with event-time tumbling windows: the Spark-native form
+    of the reference's daily-dated DAG runs (provider_dag_factory.py:96-99).
+  * ``stream_merge_foreach_batch`` — foreachBatch incremental MERGE of
+    each micro-batch into a canonical aggregate (the I5 'refresh
+    materialized view' done incrementally instead of full recompute).
+  * ``watermarked_late_counts`` — watermark + append mode: the streaming
+    analog of reingestion's late/re-arriving data handling (I3).
+
+At scale: AvailableNow gives exactly-once incremental batches over a
+landing zone with checkpoint tracking — the direct replacement for the
+reference's Airflow catchup machinery.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # file streams require a directory source; point at the sf dir and
+    # glob-filter to the events file
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def stream_windowed_counts(
+    spark: SparkSession, sf_dir: str, window: str = "1 day"
+) -> DataFrame:
+    """Run an AvailableNow streaming aggregation to completion and return
+    the result as a (batch) DataFrame: per (event-time window, event_type)
+    counts + sums. Complete output mode -> memory sink."""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+    name = "stream_windowed_counts_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def watermarked_late_counts(
+    spark: SparkSession, sf_dir: str, window: str = "1 day", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermark + append-mode windowed counts: only windows the watermark
+    has passed are emitted — the late-data contract the reference handles
+    by re-running old dates (I3)."""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "n",
+        )
+    )
+    name = "stream_late_counts_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def stream_merge_foreach_batch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """foreachBatch incremental rollup: each micro-batch's partial per-user
+    aggregate is merged (full-outer coalesce-sum) into an accumulating
+    state table — the incremental 'REFRESH MATERIALIZED VIEW'
+    (popularity/sql.py:286-298) without full recompute."""
+    state: dict[str, DataFrame] = {}
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        part = batch_df.groupBy("user_id").agg(
+            F.count("*").alias("n"), F.sum("value").alias("total")
+        )
+        if "agg" not in state:
+            state["agg"] = part
+        else:
+            old = state["agg"].select(
+                F.col("user_id"),
+                F.col("n").alias("o_n"),
+                F.col("total").alias("o_total"),
+            )
+            state["agg"] = (
+                old.join(part, "user_id", "full_outer")
+                .select(
+                    "user_id",
+                    (F.coalesce("o_n", F.lit(0)) + F.coalesce("n", F.lit(0))).alias("n"),
+                    (
+                        F.coalesce("o_total", F.lit(0.0))
+                        + F.coalesce("total", F.lit(0.0))
+                    ).alias("total"),
+                )
+            )
+        state["agg"] = state["agg"].localCheckpoint()
+
+    q = (
+        _events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+    return state["agg"].select(
+        "user_id", "n", F.round("total", 2).alias("total")
+    )

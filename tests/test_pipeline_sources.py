@@ -1,0 +1,166 @@
+"""End-to-end media pipeline + TSV source + streaming + multimodal tests.
+
+The pipeline test is the Spark equivalent of the reference's
+``test_sql.py`` end-to-end loader cases: reference-shaped staging rows ->
+clean -> dedupe -> MERGE -> assert surviving rows and merged values.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from openverse_catalog_spark.operators.multimodal import (
+    attach_binary_payload,
+    extract_image_metadata,
+)
+from openverse_catalog_spark.plans.media_pipeline import (
+    clean_media_batch,
+    empty_canonical,
+    ingest_media_batch,
+)
+from openverse_catalog_spark.schemas.columns import (
+    IMAGE_TSV_COLUMNS,
+    spark_schema,
+)
+from openverse_catalog_spark.sources.tsv import (
+    enforce_malformed_cap,
+    read_tsv,
+    write_tsv,
+)
+from openverse_catalog_spark.streaming.incremental import stream_windowed_counts
+
+
+def staging_row(
+    fid="f1",
+    landing="http://x.org/p/1",
+    url="http://img.x.org/1.jpg",
+    license="by",
+    version="4.0",
+    provider="flickr",
+    title="A  Title",
+    **over,
+):
+    base = {
+        "foreign_identifier": fid,
+        "foreign_landing_url": landing,
+        "url": url,
+        "thumbnail": None,
+        "filetype": None,
+        "filesize": None,
+        "license": license,
+        "license_version": version,
+        "creator": None,
+        "creator_url": None,
+        "title": title,
+        "meta_data": None,
+        "tags": None,
+        "category": None,
+        "watermarked": None,
+        "provider": provider,
+        "source": None,
+        "ingestion_type": None,
+        "width": None,
+        "height": None,
+    }
+    base.update(over)
+    return tuple(base[c.name] for c in IMAGE_TSV_COLUMNS)
+
+
+def mk_staging(spark, rows):
+    return spark.createDataFrame(rows, spark_schema(IMAGE_TSV_COLUMNS))
+
+
+def test_clean_media_batch_semantics(spark):
+    rows = [
+        staging_row(),  # valid
+        staging_row(fid="f2", license="bogus"),  # invalid license -> dropped
+        staging_row(fid=None),  # missing required -> dropped
+        staging_row(fid="f4", url="http://img.x.org/4.JPEG"),  # filetype backfill
+    ]
+    out = clean_media_batch(mk_staging(spark, rows), spark)
+    got = {r["foreign_identifier"]: r.asDict() for r in out.collect()}
+    assert set(got) == {"f1", "f4"}
+    assert got["f1"]["title"] == "A Title"  # whitespace collapsed
+    assert got["f1"]["source"] == "flickr"  # defaulted to provider
+    assert got["f1"]["meta_data"]["license_url"].endswith("/by/4.0/")
+    assert got["f4"]["filetype"] == "jpg"  # from URL extension, unified
+
+
+def test_ingest_media_batch_end_to_end(spark):
+    target = empty_canonical(spark)
+    batch1 = mk_staging(
+        spark,
+        [
+            staging_row(),
+            staging_row(fid="f1", url="http://img.x.org/1b.jpg"),  # dup fid -> dedup
+            staging_row(fid="f2", url="http://img.x.org/2.jpg", title="two"),
+        ],
+    )
+    r1 = ingest_media_batch(batch1, target, spark, deterministic=True)
+    state = {r["foreign_identifier"]: r.asDict() for r in r1.merged.collect()}
+    assert set(state) == {"f1", "f2"}
+    assert r1.metrics["loaded"] == 3
+    assert r1.metrics["foreign_id_dup"] == 1
+
+    # second batch: update f2 with newer title, new f3, url conflict on f1's url
+    batch2 = mk_staging(
+        spark,
+        [
+            staging_row(fid="f2", url="http://img.x.org/2.jpg", title="two-v2"),
+            staging_row(fid="f3", url="http://img.x.org/3.jpg", title="three"),
+            staging_row(fid="intruder", url=state["f1"]["url"]),  # skipped
+        ],
+    )
+    r2 = ingest_media_batch(batch2, r1.merged, spark, deterministic=True)
+    state2 = {r["foreign_identifier"]: r.asDict() for r in r2.merged.collect()}
+    assert set(state2) == {"f1", "f2", "f3"}
+    assert state2["f2"]["title"] == "two-v2"
+    assert state2["f2"]["created_on"] is not None
+    assert state2["f2"]["removed_from_source"] is False
+
+
+def test_tsv_roundtrip(spark):
+    rows = [
+        staging_row(
+            meta_data={"views": "5"},
+            tags=[{"name": "a", "provider": "flickr"}],
+            watermarked=True,
+            width=100,
+        ),
+        staging_row(fid="f2", url="http://img.x.org/2.png", title=None),
+    ]
+    df = mk_staging(spark, rows)
+    with tempfile.TemporaryDirectory() as d:
+        write_tsv(df, f"{d}/batch", IMAGE_TSV_COLUMNS)
+        back, corrupt = read_tsv(spark, f"{d}/batch", IMAGE_TSV_COLUMNS)
+        assert enforce_malformed_cap(corrupt) == 0
+        got = {r["foreign_identifier"]: r.asDict() for r in back.collect()}
+    assert set(got) == {"f1", "f2"}
+    assert got["f1"]["meta_data"] == {"views": "5"}
+    assert got["f1"]["tags"][0]["name"] == "a"
+    assert got["f1"]["watermarked"] is True
+    assert got["f1"]["width"] == 100
+    assert got["f2"]["title"] is None
+
+
+def test_streaming_windowed_counts_matches_batch(spark, sf_dir):
+    stream = stream_windowed_counts(spark, sf_dir)
+    from openverse_catalog_spark.session import load_tables
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    batch = ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    assert sorted(map(tuple, stream.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_multimodal_metadata_stub(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    meta = extract_image_metadata(attach_binary_payload(docs))
+    rows = meta.collect()
+    assert len(rows) == docs.count()
+    assert all(1 <= r["width"] <= 1920 and 1 <= r["height"] <= 1080 for r in rows)
+    assert all(r["n_bytes"] > 0 for r in rows)
