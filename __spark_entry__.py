@@ -17,6 +17,7 @@ from openverse_catalog_spark.plans import analytics as _analytics  # noqa: F401
 from openverse_catalog_spark.plans import merge_queries as _merge  # noqa: F401
 from openverse_catalog_spark.plans import corpus_queries as _corpus  # noqa: F401
 from openverse_catalog_spark.plans import stream_queries as _stream  # noqa: F401
+from openverse_catalog_spark.plans import clean_queries as _clean  # noqa: F401
 from openverse_catalog_spark.plans.analytics import ORACLES, QUERIES
 
 

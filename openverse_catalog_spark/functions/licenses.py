@@ -51,7 +51,7 @@ def license_dim(spark: SparkSession) -> DataFrame:
 def canonical_version_expr(version: Column) -> Column:
     """``str(float(v))`` canonicalization (licenses.py:212-226): '2' -> '2.0',
     '4.00' -> '4.0'; non-numeric -> NULL."""
-    d = version.cast("string").cast("double")
+    d = version.cast("string").try_cast("double")
     return F.when(d.isNull(), F.lit(None).cast("string")).otherwise(
         F.concat(F.floor(d).cast("string"), F.lit("."), ((d - F.floor(d)) * 10).cast("int").cast("string"))
     )

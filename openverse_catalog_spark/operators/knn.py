@@ -149,6 +149,126 @@ def lsh_bucket_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def cosine_near_dup_pairs_exact(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (cosine >= threshold,
+    id_a < id_b). O(n^2) by construction — the correctness baseline the
+    approximate paths (``embedding_near_dup_pairs``, ``lsh_bucket_topk``)
+    are measured against.
+
+    Plan shape: norms are precomputed once per side (no repeated
+    aggregate under the filter); the pair space is a range-partitioned
+    self cross-join, all JVM-side (zip_with/aggregate), so each of the
+    n^2/2 candidate dots stays inside whole-stage codegen. At cluster
+    scale run this only within LSH/IVF buckets — standalone it exists to
+    pin semantics and measure recall.
+    """
+    base = _as_double(corpus, vec_col).select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        norm_expr(F.col(vec_col)).alias("__n"),
+    )
+    a = base.select(
+        F.col("__id").alias("id_a"), F.col("__v").alias("__va"), F.col("__n").alias("__na")
+    )
+    b = base.select(
+        F.col("__id").alias("id_b"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (dot_expr(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.round(F.col("cosine"), 6) >= threshold)
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    centroid_mod: int = 40,
+    query_mod: int = 20,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: a deterministic centroid subset
+    (``id % centroid_mod = 0``) partitions the corpus into inverted
+    lists (each vector assigned to its nearest centroid by cosine);
+    each query probes its ``nprobe`` nearest centroids and ranks exact
+    cosine only within those lists.
+
+    Every step is deterministic (ties broken by centroid id / neighbor
+    id), so unlike random-projection LSH this ANN path is fully
+    oracle-checkable. Cost: n*C assignment dots (centroids broadcast —
+    the corpus never shuffles for assignment) + |q|*C probe dots +
+    candidate dots ~ n*nprobe/C per query. At cluster scale the
+    assignment is the partitioning: lists co-locate, and the candidate
+    join is an equi-join on centroid_id instead of a cross join.
+    """
+    base = _as_double(corpus, vec_col)
+    cents = F.broadcast(
+        base.filter(F.col(id_col) % centroid_mod == 0).select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("__cv")
+        )
+    )
+    # inverted lists: nearest centroid per corpus vector
+    ac = (
+        base.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv"))
+        .join(cents, how="cross")
+        .select(
+            "neighbor_id",
+            "centroid_id",
+            "__nv",
+            cosine_expr(F.col("__nv"), F.col("__cv")).alias("__c"),
+        )
+    )
+    w_assign = Window.partitionBy("neighbor_id").orderBy(
+        F.col("__c").desc(), F.col("centroid_id")
+    )
+    assign = (
+        ac.withColumn("__r", F.row_number().over(w_assign))
+        .filter(F.col("__r") == 1)
+        .select("neighbor_id", "centroid_id", "__nv")
+    )
+    # probe lists: nprobe nearest centroids per query
+    pc = (
+        base.filter(F.col(id_col) % query_mod == 0)
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+        .join(cents, how="cross")
+        .select(
+            "query_id",
+            "centroid_id",
+            "__qv",
+            cosine_expr(F.col("__qv"), F.col("__cv")).alias("__c"),
+        )
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.col("__c").desc(), F.col("centroid_id"))
+    probe = (
+        pc.withColumn("__r", F.row_number().over(w_probe))
+        .filter(F.col("__r") <= nprobe)
+        .select("query_id", "centroid_id", "__qv")
+    )
+    # exact rank within probed lists only (equi-join on centroid_id —
+    # each neighbor lives in exactly one list, so no pair dedup needed)
+    cand = probe.join(assign, "centroid_id").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine_expr(F.col("__qv"), F.col("__nv")).alias("cosine")
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(wk)).filter(F.col("rank") <= k)
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",

@@ -1,0 +1,204 @@
+"""Cleaning/enrichment operators as oracle-checked queries: license
+normalization (SURVEY P2/P11), URL scheme upgrade (P7), and type
+coercion (P5/P6 + the PG int4 guard).
+
+Inputs are synthesized deterministically from the driver's tables so the
+detectors exercise every edge case (invalid pairs, garbage ints,
+overflow, missing schemes) while both engines see identical data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from openverse_catalog_spark.functions.licenses import license_pairs, normalize_license
+from openverse_catalog_spark.functions.urls import upgrade_url
+from openverse_catalog_spark.plans.analytics import _t, register
+from openverse_catalog_spark.schemas.columns import (
+    clean_bool_expr,
+    clean_int_expr,
+    pg_int4_guard,
+)
+
+# --- P2/P11: license normalization ----------------------------------------
+# Raw (license, version) pairs per o_orderkey % 7 — covers lower/trim,
+# version canonicalization str(float(v)), cc0/pdm version defaulting,
+# invalid pairs and unknown licenses (both null out -> P2 drop filter).
+
+_LIC_RAW_SQL = """
+  SELECT o_orderkey,
+         CASE o_orderkey % 7
+           WHEN 0 THEN 'BY'       WHEN 1 THEN 'by-nc-sa'
+           WHEN 2 THEN 'cc0'      WHEN 3 THEN 'by-nd'
+           WHEN 4 THEN 'PDM'      WHEN 5 THEN 'junklicense'
+           ELSE ' By-Sa ' END AS lic_raw,
+         CASE o_orderkey % 7
+           WHEN 0 THEN '2.0' WHEN 1 THEN '4' WHEN 2 THEN CAST(NULL AS VARCHAR)
+           WHEN 3 THEN '5.0' WHEN 4 THEN '1.00' WHEN 5 THEN '1.0'
+           ELSE '3.0' END AS ver_raw
+  FROM orders
+"""
+
+
+def _license_oracle() -> str:
+    dim_rows = ",\n      ".join(
+        f"('{lic}', '{ver}', '{url}')" for lic, ver, url in license_pairs()
+    )
+    return f"""
+    WITH raw AS ({_LIC_RAW_SQL}),
+    norm AS (
+      SELECT o_orderkey, lower(trim(lic_raw)) AS lic,
+             COALESCE(
+               CASE WHEN try_cast(ver_raw AS DOUBLE) IS NOT NULL THEN
+                 CAST(CAST(floor(try_cast(ver_raw AS DOUBLE)) AS BIGINT) AS VARCHAR)
+                 || '.' ||
+                 CAST(CAST((try_cast(ver_raw AS DOUBLE)
+                            - floor(try_cast(ver_raw AS DOUBLE))) * 10 AS INT) AS VARCHAR)
+               END,
+               CASE WHEN lower(trim(lic_raw)) IN ('cc0', 'pdm', 'publicdomain')
+                    THEN '1.0' END) AS ver
+      FROM raw),
+    dim AS (SELECT * FROM (VALUES
+      {dim_rows}) AS v(license, license_version, license_url))
+    SELECT o_orderkey, d.license, d.license_version, d.license_url
+    FROM norm LEFT JOIN dim d
+      ON d.license = norm.lic AND d.license_version = norm.ver
+    """
+
+
+@register("clean_license_normalize", _license_oracle())
+def clean_license_normalize(spark, sf_dir):
+    """License (pair) validation against the canonical CC dimension —
+    invalid pairs null out (the P2 drop filter keys on that). One
+    broadcast hash join; the fact side never shuffles."""
+    o = _t(spark, sf_dir, "orders")["orders"]
+    k = F.col("o_orderkey")
+    raw = o.select(
+        "o_orderkey",
+        F.when(k % 7 == 0, "BY").when(k % 7 == 1, "by-nc-sa")
+        .when(k % 7 == 2, "cc0").when(k % 7 == 3, "by-nd")
+        .when(k % 7 == 4, "PDM").when(k % 7 == 5, "junklicense")
+        .otherwise(" By-Sa ").alias("license"),
+        F.when(k % 7 == 0, "2.0").when(k % 7 == 1, "4")
+        .when(k % 7 == 2, F.lit(None).cast("string"))
+        .when(k % 7 == 3, "5.0").when(k % 7 == 4, "1.00")
+        .when(k % 7 == 5, "1.0").otherwise("3.0").alias("license_version"),
+    )
+    out = normalize_license(raw, spark)
+    return out.select("o_orderkey", "license", "license_version", "license_url")
+
+
+# --- P7: URL scheme upgrade ------------------------------------------------
+# Six shapes per c_custkey % 6: upgradeable http, schemeless TLS,
+# already-https, non-TLS http, schemeless non-TLS, invalid (no tld).
+
+_URL_RAW_SQL = """
+  SELECT c_custkey,
+         CASE c_custkey % 6
+           WHEN 0 THEN 'http://example.com/img/' || CAST(c_custkey AS VARCHAR) || '.jpg'
+           WHEN 1 THEN 'example.org/page/' || CAST(c_custkey AS VARCHAR)
+           WHEN 2 THEN 'https://secure.net/a/' || CAST(c_custkey AS VARCHAR)
+           WHEN 3 THEN 'http://plain-site.org/' || CAST(c_custkey AS VARCHAR)
+           WHEN 4 THEN 'noscheme.info/x'
+           ELSE 'not a url' END AS url_raw
+  FROM customer
+"""
+
+
+@register(
+    "clean_url_upgrade",
+    f"""
+    WITH raw AS ({_URL_RAW_SQL})
+    SELECT c_custkey,
+           CASE c_custkey % 6
+             WHEN 0 THEN 'https://example.com/img/' || CAST(c_custkey AS VARCHAR) || '.jpg'
+             WHEN 1 THEN 'https://example.org/page/' || CAST(c_custkey AS VARCHAR)
+             WHEN 2 THEN 'https://secure.net/a/' || CAST(c_custkey AS VARCHAR)
+             WHEN 3 THEN 'http://plain-site.org/' || CAST(c_custkey AS VARCHAR)
+             WHEN 4 THEN 'http://noscheme.info/x'
+             ELSE CAST(NULL AS VARCHAR) END AS url
+    FROM raw
+    """,
+)
+def clean_url_upgrade(spark, sf_dir):
+    """Scheme addition/repair + https upgrade via the broadcast TLS
+    dimension (the reference's live probe, precomputed — urls.py:20-136).
+    The oracle pins the expected output per input shape."""
+    c = _t(spark, sf_dir, "customer")["customer"]
+    k = F.col("c_custkey")
+    ks = k.cast("string")
+    raw = c.select(
+        "c_custkey",
+        F.when(k % 6 == 0, F.concat(F.lit("http://example.com/img/"), ks, F.lit(".jpg")))
+        .when(k % 6 == 1, F.concat(F.lit("example.org/page/"), ks))
+        .when(k % 6 == 2, F.concat(F.lit("https://secure.net/a/"), ks))
+        .when(k % 6 == 3, F.concat(F.lit("http://plain-site.org/"), ks))
+        .when(k % 6 == 4, F.lit("noscheme.info/x"))
+        .otherwise(F.lit("not a url")).alias("url"),
+    )
+    return upgrade_url(raw, spark, "url").select("c_custkey", "url")
+
+
+# --- P5/P6: int/bool coercion + int4 guard ---------------------------------
+
+_COERCE_RAW_SQL = """
+  SELECT l_orderkey, l_linenumber,
+         CASE (l_orderkey + l_linenumber) % 6
+           WHEN 0 THEN CAST(l_orderkey AS VARCHAR) || '.7'
+           WHEN 1 THEN ' ' || CAST(l_orderkey AS VARCHAR) || ' '
+           WHEN 2 THEN 'abc'
+           WHEN 3 THEN '3000000000'
+           WHEN 4 THEN ''
+           ELSE '-12.9' END AS int_raw,
+         CASE (l_orderkey + l_linenumber) % 7
+           WHEN 0 THEN 't'     WHEN 1 THEN 'FALSE' WHEN 2 THEN '1'
+           WHEN 3 THEN 'no'    WHEN 4 THEN 'maybe' WHEN 5 THEN ''
+           ELSE ' True ' END AS bool_raw
+  FROM lineitem
+"""
+
+
+@register(
+    "clean_coerce_types",
+    f"""
+    WITH raw AS ({_COERCE_RAW_SQL}),
+    c AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(trunc(try_cast(int_raw AS DOUBLE)) AS BIGINT) AS i,
+             lower(trim(bool_raw)) AS b
+      FROM raw)
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN abs(i) > 2147483647 THEN NULL ELSE i END AS int_clean,
+           CASE WHEN b IN ('t', 'true', '1', 'yes') THEN TRUE
+                WHEN b IN ('f', 'false', '0', 'no') THEN FALSE
+                ELSE NULL END AS bool_clean
+    FROM c
+    """,
+)
+def clean_coerce_types(spark, sf_dir):
+    """``int(float(x))``-else-NULL coercion with the PG int4 overflow
+    guard (media.py:327-340) and truthy bool mapping — pure expressions,
+    zero shuffles."""
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    m6 = (F.col("l_orderkey") + F.col("l_linenumber")) % 6
+    m7 = (F.col("l_orderkey") + F.col("l_linenumber")) % 7
+    ks = F.col("l_orderkey").cast("string")
+    raw = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(m6 == 0, F.concat(ks, F.lit(".7")))
+        .when(m6 == 1, F.concat(F.lit(" "), ks, F.lit(" ")))
+        .when(m6 == 2, F.lit("abc"))
+        .when(m6 == 3, F.lit("3000000000"))
+        .when(m6 == 4, F.lit(""))
+        .otherwise(F.lit("-12.9")).alias("int_raw"),
+        F.when(m7 == 0, "t").when(m7 == 1, "FALSE").when(m7 == 2, "1")
+        .when(m7 == 3, "no").when(m7 == 4, "maybe").when(m7 == 5, "")
+        .otherwise(" True ").alias("bool_raw"),
+    )
+    return raw.select(
+        "l_orderkey",
+        "l_linenumber",
+        pg_int4_guard(clean_int_expr(F.col("int_raw"))).alias("int_clean"),
+        clean_bool_expr(F.col("bool_raw")).alias("bool_clean"),
+    )

@@ -263,6 +263,131 @@ def knn_lsh_bucketed(spark, sf_dir):
     )
 
 
+# --- embedding-cosine near-dup + IVF ANN -----------------------------------
+#
+# The embeddings table has no natural near-dups (max off-diagonal cosine
+# ~0.51 at sf0.01), so the dedup queries salt it the same way the text
+# corpus is salted: exact copies (scaled x1.5 — cosine exactly 1) and near
+# copies (first coordinate zeroed — cosine ~0.93-0.999). Threshold 0.9
+# cleanly separates salted pairs from the natural background.
+
+_EMBED_SX_SQL = """
+    ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+           FROM embeddings, generate_series(1, 64) AS t(i)),
+    sx AS (SELECT vec_id, i, x FROM ex
+           UNION ALL
+           SELECT vec_id + 1000000, i, x * 1.5 FROM ex WHERE vec_id % 7 = 0
+           UNION ALL
+           SELECT vec_id + 2000000, i, CASE WHEN i = 1 THEN 0.0 ELSE x END
+           FROM ex WHERE vec_id % 10 = 0)
+"""
+
+
+def _embed_corpus(spark, sf_dir):
+    e = (
+        _t(spark, sf_dir, "embeddings")["embeddings"]
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    exact = e.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
+    )
+    near = e.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"),
+        F.concat(F.array(F.lit(0.0)), F.slice("embedding", 2, 63)).alias("embedding"),
+    )
+    return e.unionAll(exact).unionAll(near)
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+    WITH {_EMBED_SX_SQL},
+    norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM sx GROUP BY vec_id),
+    dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS dot
+             FROM sx a JOIN sx b ON a.i = b.i AND a.vec_id < b.vec_id
+             GROUP BY 1, 2)
+    SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dots JOIN norms na ON na.vec_id = id_a
+              JOIN norms nb ON nb.vec_id = id_b
+    WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.9
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Exact embedding-cosine near-dup pairs (cosine >= 0.9) over the
+    salted corpus — the correctness baseline for embedding dedup."""
+    out = knn.cosine_near_dup_pairs_exact(
+        _embed_corpus(spark, sf_dir), "vec_id", "embedding", threshold=0.9
+    )
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+@register("dedup_embedding_lsh")  # approximate — rows-only check (no oracle)
+def dedup_embedding_lsh(spark, sf_dir):
+    """Scale path for embedding near-dup: sign-LSH buckets restrict the
+    pair space, exact cosine verified within buckets only. Approximate by
+    construction (recall pinned against the exact path in tests)."""
+    out = knn.embedding_near_dup_pairs(
+        _embed_corpus(spark, sf_dir), "vec_id", "embedding", threshold=0.9
+    )
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def _ivf_oracle() -> str:
+    return """
+    WITH ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+                FROM embeddings, generate_series(1, 64) AS t(i)),
+    norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
+    cex AS (SELECT vec_id AS centroid_id, i, x FROM ex WHERE vec_id % 40 = 0),
+    adot AS (SELECT e.vec_id, c.centroid_id, sum(e.x * c.x) AS dot
+             FROM ex e JOIN cex c ON e.i = c.i GROUP BY 1, 2),
+    acos AS (SELECT adot.vec_id, adot.centroid_id, dot / (n1.nrm * n2.nrm) AS c
+             FROM adot JOIN norms n1 ON n1.vec_id = adot.vec_id
+                       JOIN norms n2 ON n2.vec_id = adot.centroid_id),
+    assign AS (SELECT vec_id AS neighbor_id, centroid_id FROM (
+                 SELECT vec_id, centroid_id,
+                        row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY c DESC, centroid_id) AS r
+                 FROM acos) WHERE r = 1),
+    probe AS (SELECT vec_id AS query_id, centroid_id FROM (
+                SELECT vec_id, centroid_id,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY c DESC, centroid_id) AS r
+                FROM acos WHERE vec_id % 20 = 0) WHERE r <= 2),
+    cand AS (SELECT p.query_id, a.neighbor_id
+             FROM probe p JOIN assign a USING (centroid_id)
+             WHERE p.query_id <> a.neighbor_id),
+    cdot AS (SELECT query_id, neighbor_id, sum(qa.x * nb.x) AS dot
+             FROM cand JOIN ex qa ON qa.vec_id = cand.query_id
+                       JOIN ex nb ON nb.vec_id = cand.neighbor_id AND nb.i = qa.i
+             GROUP BY 1, 2),
+    scored AS (SELECT query_id, neighbor_id, dot / (na.nrm * nb.nrm) AS cosine
+               FROM cdot JOIN norms na ON na.vec_id = cdot.query_id
+                         JOIN norms nb ON nb.vec_id = cdot.neighbor_id),
+    ranked AS (SELECT query_id, neighbor_id, cosine,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, neighbor_id) AS rank
+               FROM scored)
+    SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
+    FROM ranked WHERE rank <= 3
+    """
+
+
+@register("knn_ivf", _ivf_oracle())
+def knn_ivf(spark, sf_dir):
+    """IVF ANN: deterministic centroids (vec_id % 40 = 0), nearest-centroid
+    inverted lists, nprobe=2 probing, exact top-3 within probed lists.
+    Fully deterministic, so — unlike random-projection LSH — this ANN
+    path is hash-match oracle-checkable end to end."""
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    out = knn.ivf_topk(
+        e, "vec_id", "embedding", k=3, centroid_mod=40, query_mod=20, nprobe=2
+    )
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
+    )
+
+
 # --- text analysis ---------------------------------------------------------
 
 

@@ -203,7 +203,8 @@ def clean_int_expr(c: SparkCol) -> SparkCol:
     Non-ANSI double cast yields NULL on garbage; the truncation toward zero
     of float→int matches Python ``int()``.
     """
-    d = c.cast("string").cast("double")
+    # try_cast: null-on-garbage regardless of the session's ANSI setting
+    d = c.cast("string").try_cast("double")
     return F.when(d.isNull(), F.lit(None).cast("long")).otherwise(
         d.cast("long")
     )

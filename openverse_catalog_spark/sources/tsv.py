@@ -90,11 +90,11 @@ def read_tsv(
                 F.when(col == "t", True).when(col == "f", False).alias(c.name)
             )
         elif c.datatype == Datatype.int:
-            typed_cols.append(col.cast("long").alias(c.name))
+            typed_cols.append(col.try_cast("long").alias(c.name))
         elif c.datatype == Datatype.double:
-            typed_cols.append(col.cast("double").alias(c.name))
+            typed_cols.append(col.try_cast("double").alias(c.name))
         elif c.datatype == Datatype.timestamp:
-            typed_cols.append(col.cast("timestamp").alias(c.name))
+            typed_cols.append(col.try_cast("timestamp").alias(c.name))
         else:
             typed_cols.append(col.alias(c.name))
     return good.select(typed_cols), corrupt

@@ -133,3 +133,42 @@ def test_normalize_license_validates_pairs(spark):
     assert ("by-nc", "2.0") in got
     assert ("cc0", "1.0") in got
     assert (None, None) in got  # bogus license nulled out -> dropped later
+
+
+def test_url_upgrade_semantics(spark):
+    from openverse_catalog_spark.functions.urls import upgrade_url
+
+    rows = [
+        (1, "http://example.com/a"),     # TLS-capable -> https
+        (2, "example.org/b"),            # schemeless TLS -> https://
+        (3, "http://unknown-site.org/c"),  # not in table -> unchanged
+        (4, "bare.info/d"),              # schemeless non-TLS -> http://
+        (5, "not a url"),                # no tld -> NULL
+        (6, "ftp://example.com/e"),      # non-http scheme untouched
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    got = {r["id"]: r["url"] for r in upgrade_url(df, spark, "url").collect()}
+    assert got[1] == "https://example.com/a"
+    assert got[2] == "https://example.org/b"
+    assert got[3] == "http://unknown-site.org/c"
+    assert got[4] == "http://bare.info/d"
+    assert got[5] is None
+    assert got[6] == "ftp://example.com/e"
+
+
+def test_license_normalize_pairs(spark):
+    from openverse_catalog_spark.functions.licenses import normalize_license
+
+    rows = [
+        (1, " By ", "2"),        # trim/lower + version canonicalization
+        (2, "cc0", None),        # special default version
+        (3, "by-nd", "5.0"),     # invalid pair -> nulls
+        (4, "nonsense", "1.0"),  # unknown license -> nulls
+    ]
+    df = spark.createDataFrame(rows, "id long, license string, license_version string")
+    out = {r["id"]: r for r in normalize_license(df, spark).collect()}
+    assert (out[1]["license"], out[1]["license_version"]) == ("by", "2.0")
+    assert out[1]["license_url"] == "https://creativecommons.org/licenses/by/2.0/"
+    assert (out[2]["license"], out[2]["license_version"]) == ("cc0", "1.0")
+    assert out[3]["license"] is None and out[3]["license_version"] is None
+    assert out[4]["license"] is None

@@ -135,3 +135,47 @@ def test_fingerprint_order_insensitive(spark):
 def test_token_count(spark):
     df = spark.createDataFrame([(1, "Hello, world! 123")], "id long, text string")
     assert df.select(tx.token_count(F.col("text")).alias("n")).first()["n"] == 3
+
+
+def test_ivf_recall_against_exact(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    exact = knn.cosine_topk(emb, queries, k=3)
+    approx = knn.ivf_topk(emb, k=3, centroid_mod=40, query_mod=20, nprobe=2)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(e & a) / len(e) > 0.4  # nprobe=2 of ~13 lists
+
+
+def test_embedding_near_dup_exact_finds_salted(spark):
+    # scaled copy (cos=1) and perturbed copy (cos~0.999) must surface;
+    # an orthogonal-ish distinct vector must not
+    rows = [
+        (1, [1.0, 2.0, 3.0, 4.0]),
+        (2, [2.0, 4.0, 6.0, 8.0]),       # scaled -> cosine 1.0
+        (3, [1.0, 2.0, 3.0, 4.1]),       # near
+        (4, [-4.0, 3.0, -2.0, 1.0]),     # far
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in knn.cosine_near_dup_pairs_exact(df, threshold=0.99).collect()
+    }
+    assert (1, 2) in got and (1, 3) in got and (2, 3) in got
+    assert all(4 not in pair for pair in got)
+
+
+def test_embedding_lsh_near_dup_recall(spark, sf_dir):
+    from openverse_catalog_spark.plans.corpus_queries import _embed_corpus
+
+    corpus = _embed_corpus(spark, sf_dir)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in knn.cosine_near_dup_pairs_exact(corpus, threshold=0.9).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in knn.embedding_near_dup_pairs(corpus, threshold=0.9).collect()
+    }
+    assert exact, "salted corpus must contain near-dups"
+    assert len(exact & approx) / len(exact) > 0.9  # near-identical vectors collide
