@@ -35,7 +35,12 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash_pairs",
     "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
     "knn_cosine_topk",
+    "knn_ivf",
+    "clean_license_normalize",
+    "clean_coerce_types",
     "text_quality_score",
     "text_fingerprint",
 ]
@@ -47,6 +52,7 @@ def main() -> None:
     from openverse_catalog_spark.plans.analytics import QUERIES  # registry
     from openverse_catalog_spark.plans import merge_queries  # noqa: F401
     from openverse_catalog_spark.plans import corpus_queries  # noqa: F401
+    from openverse_catalog_spark.plans import clean_queries  # noqa: F401
 
     spark = get_spark("bench")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm up

@@ -51,24 +51,49 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query against the corpus.
 
-    Plan: broadcast the (small) query side → BroadcastNestedLoopJoin over
-    the partitioned corpus → per-query rank window. The corpus is never
-    shuffled; the only shuffle is the final per-query top-k (tiny).
-    Returns (query_id, neighbor_id, cosine, rank).
+    Plan: the (small) query side is broadcast as a normalized float64
+    matrix; each Arrow batch of the partitioned corpus is scored with one
+    numpy GEMM and reduced to a per-batch partial top-k inside
+    ``mapInPandas``. The corpus never shuffles — the only shuffle is the
+    final per-query rank over batches*k candidate rows.
+    Returns (query_id, neighbor_id, cosine, rank). ``broadcast_queries``
+    is kept for API compatibility (the query side is always broadcast).
     """
-    corpus = _as_double(corpus, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    spark = corpus.sparkSession
+    base = _as_double(corpus, vec_col)
+    q_ids, q_mat = _stack_normalized(
+        _as_double(queries, vec_col).select(id_col, vec_col).toPandas(), id_col, vec_col
     )
-    q = _as_double(queries, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
-    )
-    if broadcast_queries:
-        q = F.broadcast(q)
-    pairs = corpus.crossJoin(q).filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = pairs.select(
-        "query_id",
-        "neighbor_id",
-        cosine_expr(F.col("__qv"), F.col("__cv")).alias("cosine"),
+    bc = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        bq_ids, bq_mat = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c_ids, c_mat = _stack_normalized(pdf, id_col, vec_col)
+            scores = bq_mat @ c_mat.T  # (n_queries, batch)
+            # partial top-(k+1) per query within this batch (+1 covers a
+            # possible self-pair, dropped below) — the rank shuffle then
+            # carries batches*k rows per query instead of the whole corpus
+            kk = min(k + 1, scores.shape[1])
+            top = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+            qi = np.repeat(np.arange(len(bq_ids)), kk)
+            cj = top.reshape(-1)
+            keep = bq_ids[qi] != c_ids[cj]
+            yield pd.DataFrame(
+                {
+                    "query_id": bq_ids[qi][keep],
+                    "neighbor_id": c_ids[cj][keep],
+                    "cosine": scores[qi, cj][keep],
+                }
+            )
+
+    scored = base.select(id_col, vec_col).mapInPandas(
+        gen, "query_id long, neighbor_id long, cosine double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -95,6 +120,51 @@ def random_planes(dim: int, n_planes: int, seed: str = "plane") -> list[list[flo
     return planes
 
 
+def _sign_bucket_stage(
+    base: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    n_tables: int,
+    dim: int,
+) -> DataFrame:
+    """(id, vec) -> (id, vec, __tbl, __bucket), one row per hash table.
+
+    All n_tables*n_planes hyperplanes form one matrix, so the signatures
+    for every table come from a single (batch x dim) @ (dim x T*P) GEMM
+    per Arrow batch instead of T*P interpreted per-row dot expressions.
+    """
+    import numpy as np
+
+    plane_mat = np.concatenate(
+        [random_planes(dim, n_planes, seed=f"plane{t}") for t in range(n_tables)]
+    )  # (n_tables*n_planes, dim)
+    pow2 = np.array([2**p for p in range(n_planes)], dtype="int64")
+
+    def sign_buckets(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+            bits = (mat @ plane_mat.T >= 0).reshape(len(pdf), n_tables, n_planes)
+            buckets = (bits * pow2[None, None, :]).sum(axis=2)  # (n, n_tables)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(dtype="int64").repeat(n_tables),
+                    vec_col: pdf[vec_col].to_numpy().repeat(n_tables),
+                    "__tbl": np.tile(np.arange(n_tables, dtype="int64"), len(pdf)),
+                    "__bucket": buckets.reshape(-1),
+                }
+            )
+
+    return base.select(id_col, vec_col).mapInPandas(
+        sign_buckets,
+        f"{id_col} long, {vec_col} array<double>, __tbl long, __bucket long",
+    )
+
+
 def lsh_bucket_topk(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -106,47 +176,56 @@ def lsh_bucket_topk(
 ) -> DataFrame:
     """Approximate all-pairs top-k: L independent hash tables of m
     hyperplane-sign bits; candidates = pairs sharing any table's bucket;
-    exact cosine on the (deduped) candidate set only.
+    exact cosine within buckets only, via one local numpy GEMM per bucket
+    (``applyInPandas``).
 
     Single-table sign-LSH recall is (1 - theta/pi)^m per neighbor, which
     is poor for the moderate-angle nearest neighbors of real embedding
     corpora — multiple tables union their candidates: recall
-    1-(1-r)^L. Cost stays sub-quadratic: one explode (L rows per vector)
-    + one equi-join shuffle on (table, bucket)."""
-    corpus = _as_double(corpus, vec_col)
+    1-(1-r)^L. Cost stays sub-quadratic: the only shuffles are the
+    (table, bucket) grouping, the cross-table pair distinct, and the
+    final per-query top-k."""
+    base = _as_double(corpus, vec_col)
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
-    table_sigs = []
-    for t in range(n_tables):
-        planes = random_planes(dim, n_planes, seed=f"plane{t}")
-        sig = None
-        for p, plane in enumerate(planes):
-            d = dot_expr(F.col(vec_col), F.array(*[F.lit(x) for x in plane]))
-            bit = F.when(d >= 0, F.lit(2**p)).otherwise(F.lit(0))
-            sig = bit if sig is None else sig + bit
-        table_sigs.append(
-            F.struct(F.lit(t).alias("tbl"), sig.cast("long").alias("bucket"))
+        dim = len(base.select(vec_col).first()[0])
+    exploded = _sign_bucket_stage(base, id_col, vec_col, n_planes, n_tables, dim)
+
+    def per_bucket(pdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {
+                    "query_id": np.array([], dtype="int64"),
+                    "neighbor_id": np.array([], dtype="int64"),
+                    "cosine": np.array([], dtype="float64"),
+                }
+            )
+        ids, mat = _stack_normalized(pdf, id_col, vec_col)
+        scores = mat @ mat.T
+        i, j = np.nonzero(ids[:, None] != ids[None, :])
+        return pd.DataFrame(
+            {"query_id": ids[i], "neighbor_id": ids[j], "cosine": scores[i, j]}
         )
-    exploded = corpus.select(
-        F.col(id_col), F.col(vec_col), F.explode(F.array(*table_sigs)).alias("tb")
-    ).select(id_col, vec_col, F.col("tb.tbl").alias("__tbl"), F.col("tb.bucket").alias("__bucket"))
-    a = exploded.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"), "__tbl", "__bucket"
-    )
-    b = exploded.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"), "__tbl", "__bucket"
-    )
-    cand = (
-        a.join(b, ["__tbl", "__bucket"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "__qv", "__cv")
+
+    scored = (
+        exploded.groupBy("__tbl", "__bucket")
+        .applyInPandas(per_bucket, "query_id long, neighbor_id long, cosine double")
         .dropDuplicates(["query_id", "neighbor_id"])
-    )
-    scored = cand.select(
-        "query_id", "neighbor_id", cosine_expr(F.col("__qv"), F.col("__cv")).alias("cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _stack_normalized(pdf, id_col: str, vec_col: str):
+    import numpy as np
+
+    ids = pdf[id_col].to_numpy(dtype="int64")
+    mat = np.stack([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    norms[norms == 0] = 1.0
+    return ids, mat / norms[:, None]
 
 
 def cosine_near_dup_pairs_exact(
@@ -160,34 +239,40 @@ def cosine_near_dup_pairs_exact(
     approximate paths (``embedding_near_dup_pairs``, ``lsh_bucket_topk``)
     are measured against.
 
-    Plan shape: norms are precomputed once per side (no repeated
-    aggregate under the filter); the pair space is a range-partitioned
-    self cross-join, all JVM-side (zip_with/aggregate), so each of the
-    n^2/2 candidate dots stays inside whole-stage codegen. At cluster
-    scale run this only within LSH/IVF buckets — standalone it exists to
-    pin semantics and measure recall.
+    Dense pairwise scoring is linear algebra, not per-row expression
+    work: interpreted zip_with/aggregate dots cost ~10us/pair, while a
+    BLAS GEMM does the same in ~1ns/pair. So one side is broadcast as a
+    normalized float64 matrix and each Arrow batch of the other side is
+    scored with a single ``Q @ M.T`` inside ``mapInPandas`` — the corpus
+    side streams through executors in parallel and never shuffles. The
+    broadcast bounds corpus size; at cluster scale run this within
+    LSH/IVF buckets (``embedding_near_dup_pairs``) where each block
+    fits.
     """
-    base = _as_double(corpus, vec_col).select(
-        F.col(id_col).alias("__id"),
-        F.col(vec_col).alias("__v"),
-        norm_expr(F.col(vec_col)).alias("__n"),
-    )
-    a = base.select(
-        F.col("__id").alias("id_a"), F.col("__v").alias("__va"), F.col("__n").alias("__na")
-    )
-    b = base.select(
-        F.col("__id").alias("id_b"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb")
-    )
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            (dot_expr(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))).alias(
-                "cosine"
-            ),
-        )
-        .filter(F.round(F.col("cosine"), 6) >= threshold)
+    spark = corpus.sparkSession
+    base = _as_double(corpus, vec_col)
+    ids, mat = _stack_normalized(base.select(id_col, vec_col).toPandas(), id_col, vec_col)
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        b_ids, b_mat = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q_ids, q_mat = _stack_normalized(pdf, id_col, vec_col)
+            scores = q_mat @ b_mat.T
+            qi, cj = np.nonzero(
+                (np.round(scores, 6) >= threshold) & (q_ids[:, None] < b_ids[None, :])
+            )
+            yield pd.DataFrame(
+                {"id_a": q_ids[qi], "id_b": b_ids[cj], "cosine": scores[qi, cj]}
+            )
+
+    return base.select(id_col, vec_col).mapInPandas(
+        gen, "id_a long, id_b long, cosine double"
     )
 
 
@@ -275,16 +360,43 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     n_planes: int = 4,
+    n_tables: int = 8,
+    dim: int | None = None,
 ) -> DataFrame:
-    """Near-duplicate pairs by embedding cosine >= threshold, bucketed by
-    LSH signature so near-identical vectors (which agree on all plane
-    signs with overwhelming probability) meet in a bucket."""
-    topk = lsh_bucket_topk(corpus, id_col, vec_col, k=50, n_planes=n_planes)  # noqa: E501
-    return (
-        topk.filter((F.col("cosine") >= threshold) & (F.col("query_id") < F.col("neighbor_id")))
-        .select(
-            F.col("query_id").alias("id_a"),
-            F.col("neighbor_id").alias("id_b"),
-            "cosine",
+    """Near-duplicate pairs by embedding cosine >= threshold — the scale
+    path. Sign-LSH bucketing (near-identical vectors agree on all plane
+    signs with overwhelming probability) shrinks the pair space to
+    same-bucket candidates; each bucket is then scored with one local
+    numpy GEMM via ``applyInPandas``, so the quadratic work is per-bucket
+    (bounded) and the only shuffles are the bucket grouping and the final
+    pair distinct. Recall is pinned against
+    ``cosine_near_dup_pairs_exact`` in tests.
+    """
+    base = _as_double(corpus, vec_col)
+    if dim is None:
+        dim = len(base.select(vec_col).first()[0])
+    exploded = _sign_bucket_stage(base, id_col, vec_col, n_planes, n_tables, dim)
+
+    def per_bucket(pdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {
+                    "id_a": np.array([], dtype="int64"),
+                    "id_b": np.array([], dtype="int64"),
+                    "cosine": np.array([], dtype="float64"),
+                }
+            )
+        ids, mat = _stack_normalized(pdf, id_col, vec_col)
+        scores = mat @ mat.T
+        i, j = np.nonzero(
+            (np.round(scores, 6) >= threshold) & (ids[:, None] < ids[None, :])
         )
+        return pd.DataFrame({"id_a": ids[i], "id_b": ids[j], "cosine": scores[i, j]})
+
+    pairs = exploded.groupBy("__tbl", "__bucket").applyInPandas(
+        per_bucket, "id_a long, id_b long, cosine double"
     )
+    return pairs.dropDuplicates(["id_a", "id_b"])

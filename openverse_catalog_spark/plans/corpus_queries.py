@@ -328,7 +328,8 @@ def dedup_embedding_lsh(spark, sf_dir):
     pair space, exact cosine verified within buckets only. Approximate by
     construction (recall pinned against the exact path in tests)."""
     out = knn.embedding_near_dup_pairs(
-        _embed_corpus(spark, sf_dir), "vec_id", "embedding", threshold=0.9
+        _embed_corpus(spark, sf_dir), "vec_id", "embedding", threshold=0.9,
+        n_planes=6, n_tables=8,
     )
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
