@@ -55,7 +55,13 @@ def main() -> None:
     from openverse_catalog_spark.plans import clean_queries  # noqa: F401
 
     spark = get_spark("bench")
-    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm up
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm JVM
+
+    def _ident(batches):
+        yield from batches
+
+    # warm the Python/Arrow worker pool (several queries use mapInPandas)
+    spark.range(64, numPartitions=32).mapInPandas(_ident, "id long").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

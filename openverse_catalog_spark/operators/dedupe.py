@@ -97,28 +97,62 @@ def minhash_signatures(
     all N mins in a single aggregation pass; the shuffle carries only
     (id, h0..hN) partial mins thanks to partial aggregation.
     """
-    # No distinct(): min() is duplicate-insensitive, and skipping it saves a
-    # full shuffle of the exploded shingle set — the explode feeds straight
-    # into map-side partial aggregation. The normalized text is materialized
-    # as a column FIRST so the per-shingle substr lambda references a plain
-    # attribute — otherwise Catalyst re-evaluates the regexp normalization
-    # once per shingle (O(L^2) per document).
-    norm = df.select(F.col(id_col), normalize_text(F.col(text_col)).alias("__t"))
-    sh = norm.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.length("__t") - (k - 1), F.lit(1))),
-                lambda i: F.col("__t").substr(i, F.lit(k)),
-            )
-        ).alias("__sh"),
-    ).withColumn("__h", hash60(F.col("__sh")) % MERSENNE_P)
+    # Whole signature computed per doc inside one Arrow batch stage:
+    # no shingle explode, no groupBy — the operator is embarrassingly
+    # parallel (zero shuffles), where the expression formulation paid an
+    # interpreted-HOF explode of |text| rows per doc plus a 16-min
+    # aggregation shuffle. md5 parity with the DuckDB oracle is kept
+    # (hashlib md5 == Spark md5 == DuckDB md5 on UTF-8 bytes); min() is
+    # duplicate-insensitive so shingle dedup is skipped on purpose.
+    import numpy as np
+
     params = perm_params(n_seeds)
-    aggs = [
-        F.min(perm_expr(F.col("__h"), a, b)).alias(f"mh_{s}")
-        for s, (a, b) in enumerate(params)
-    ]
-    return sh.groupBy(id_col).agg(*aggs)
+    perm_a = np.array([a for a, _ in params], dtype="int64")[:, None]
+    perm_b = np.array([b for _, b in params], dtype="int64")[:, None]
+
+    def gen(batches):
+        import hashlib
+        import re
+
+        import pandas as pd
+
+        # Java \s (ASCII incl. \x0B), not Python's Unicode-aware \s —
+        # keeps parity with the expression/oracle normalization
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
+        for pdf in batches:
+            ids, rows = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                t = ws.sub(" ", (text or "").lower()).strip()
+                n_sh = max(len(t) - (k - 1), 1)
+                hs = np.fromiter(
+                    (
+                        int(hashlib.md5(t[i : i + k].encode()).hexdigest()[:15], 16)
+                        % MERSENNE_P
+                        for i in range(n_sh)
+                    ),
+                    dtype="int64",
+                    count=n_sh,
+                )
+                ids.append(doc_id)
+                rows.append(((perm_a * hs[None, :] + perm_b) % MERSENNE_P).min(axis=1))
+            mh = (
+                np.stack(rows)
+                if rows
+                else np.zeros((0, n_seeds), dtype="int64")
+            )
+            data = {id_col: np.array(ids, dtype="int64")}
+            for s in range(n_seeds):
+                data[f"mh_{s}"] = mh[:, s]
+            yield pd.DataFrame(data)
+
+    schema = f"{id_col} long, " + ", ".join(f"mh_{s} long" for s in range(n_seeds))
+    # CPU-bound hashing: spread docs across all cores (cheap round-robin
+    # shuffle of raw docs; on a real cluster the input already has enough
+    # splits and this coalesces to a no-op cost-wise)
+    src = df.select(id_col, text_col).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
+    return src.mapInPandas(gen, schema)
 
 
 def minhash_lsh_pairs(
@@ -169,23 +203,54 @@ def tokens_expr(text_col):
 
 def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """16-bit SimHash over word tokens: per bit b, sum (+1/-1) of token-hash
-    bit b across distinct tokens; simhash bit = 1 iff sum > 0."""
-    tok = df.select(
-        F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("__t")
-    ).distinct()
-    h = hash60(F.col("__t"))
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"__b{b}")
-        for b in range(16)
-    ]
-    sums = tok.groupBy(id_col).agg(*bit_sums)
-    sim = None
-    for b in range(16):
-        term = F.when(F.col(f"__b{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
-        sim = term if sim is None else sim + term
-    return sums.select(F.col(id_col), sim.cast("bigint").alias("simhash"))
+    bit b across distinct tokens; simhash bit = 1 iff sum > 0.
+
+    Like ``minhash_signatures``, the whole sketch is computed per doc in
+    one Arrow batch stage (hashlib md5 + numpy bit votes) — zero shuffles,
+    where the expression form paid a token explode + distinct + 16-sum
+    aggregation (two shuffles). md5 keeps oracle parity.
+    """
+    import numpy as np
+
+    bit_idx = np.arange(16, dtype="int64")
+
+    def gen(batches):
+        import hashlib
+        import re
+
+        import pandas as pd
+
+        sep = re.compile(r"[^a-z0-9]+")
+        for pdf in batches:
+            ids, sims = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = {t for t in sep.split((text or "").lower()) if t}
+                ids.append(doc_id)
+                if not toks:
+                    sims.append(0)
+                    continue
+                hs = np.fromiter(
+                    (
+                        int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+                        for t in toks
+                    ),
+                    dtype="int64",
+                    count=len(toks),
+                )
+                bits = (hs[:, None] >> bit_idx[None, :]) & 1
+                votes = (2 * bits - 1).sum(axis=0)
+                sims.append(int(((votes > 0) << bit_idx).sum()))
+            yield pd.DataFrame(
+                {
+                    id_col: np.array(ids, dtype="int64"),
+                    "simhash": np.array(sims, dtype="int64"),
+                }
+            )
+
+    src = df.select(id_col, text_col).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
+    return src.mapInPandas(gen, f"{id_col} long, simhash long")
 
 
 def simhash_near_pairs(
@@ -229,19 +294,53 @@ def ngram_jaccard_pairs(
     shuffle is on n-grams, not on the pair space.
     """
     blk = [F.col(block_col)] if block_col else []
-    # Materialize the token array before building grams — referencing the
-    # raw tokens_expr inside the transform lambda would re-run the regexp
-    # split once per gram.
-    toked = df.select(
-        F.col(id_col), *blk, tokens_expr(F.col(text_col)).alias("__tk")
+    # Distinct n-grams are generated and md5-hashed per doc inside one
+    # Arrow batch stage: the expression form paid an interpreted
+    # transform/slice/concat_ws per gram plus a distinct() shuffle of the
+    # full gram strings; this emits already-distinct compact int64 gram
+    # keys (60-bit md5 — collision odds ~|grams|^2/2^61, nil), so the
+    # join shuffle carries 8-byte keys instead of strings. Gram-hash
+    # intersection counts equal gram-string counts absent collisions, so
+    # oracle parity holds.
+    import numpy as np
+
+    blk_schema = (
+        f", {block_col} {df.schema[block_col].dataType.simpleString()}"
+        if block_col
+        else ""
     )
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size("__tk") - (n - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(F.col("__tk"), i, n)),
-    )
+
+    def gen(batches):
+        import hashlib
+        import re
+
+        import pandas as pd
+
+        sep = re.compile(r"[^a-z0-9]+")
+        for pdf in batches:
+            out_id, out_blk, out_g = [], [], []
+            blk_vals = pdf[block_col] if block_col else None
+            for row_i, (doc_id, text) in enumerate(zip(pdf[id_col], pdf[text_col])):
+                toks = [t for t in sep.split((text or "").lower()) if t]
+                n_g = max(len(toks) - (n - 1), 1)
+                grams = {" ".join(toks[i : i + n]) for i in range(n_g)}
+                for g_str in grams:
+                    out_id.append(doc_id)
+                    out_g.append(
+                        int(hashlib.md5(g_str.encode()).hexdigest()[:15], 16)
+                    )
+                    if block_col:
+                        out_blk.append(blk_vals.iloc[row_i])
+            data = {id_col: np.array(out_id, dtype="int64")}
+            if block_col:
+                data[block_col] = out_blk
+            data["__g"] = np.array(out_g, dtype="int64")
+            yield pd.DataFrame(data)
+
     g = (
-        toked.select(F.col(id_col), *blk, F.explode(grams).alias("__g"))
-        .distinct()
+        df.select(F.col(id_col), *blk, F.col(text_col))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .mapInPandas(gen, f"{id_col} long{blk_schema}, __g long")
     )
     sizes = g.groupBy(id_col).agg(F.count("*").alias("__sz"))
     join_cols = ["__g"] + ([block_col] if block_col else [])
