@@ -202,3 +202,138 @@ def clean_coerce_types(spark, sf_dir):
         pg_int4_guard(clean_int_expr(F.col("int_raw"))).alias("int_clean"),
         clean_bool_expr(F.col("bool_raw")).alias("bool_clean"),
     )
+
+
+# --- P13/P14/P21: provider parse (tag split, size coalesce, title regex) ---
+
+_PARSE_RAW_SQL = """
+  SELECT p_partkey,
+         p_name || CASE WHEN p_partkey % 3 = 0
+                        THEN ' | Free Photo - stocksite' ELSE '' END AS title_raw,
+         p_name || ' ' || p_type AS tag_blob,
+         CASE WHEN p_partkey % 5 = 0 THEN NULL
+              ELSE 'http://img.test/l/' || CAST(p_partkey AS VARCHAR) END AS url_l,
+         CASE WHEN p_partkey % 3 = 0 THEN NULL
+              ELSE 'http://img.test/m/' || CAST(p_partkey AS VARCHAR) END AS url_m,
+         'http://img.test/s/' || CAST(p_partkey AS VARCHAR) AS url_s
+  FROM part
+"""
+
+
+@register(
+    "clean_provider_parse",
+    f"""
+    WITH raw AS ({_PARSE_RAW_SQL})
+    SELECT p_partkey,
+           regexp_replace(title_raw, ' \\| Free Photo.*$', '') AS title,
+           array_to_string(
+             list_sort(list_distinct(
+               list_filter(string_split_regex(lower(tag_blob), '\\s+'), t -> t <> '')
+             ))[1:3], ',') AS tags,
+           COALESCE(url_l, url_m, url_s) AS image_url
+    FROM raw
+    """,
+)
+def clean_provider_parse(spark, sf_dir):
+    """Provider-parser record functions as one narrow projection:
+    marketing-suffix strip (P21, rawpixel.py:182-220), whitespace tag
+    split -> sorted distinct -> cap (P13, flickr.py:313-324), and
+    largest-image coalesce (P14, flickr.py:274-282). Zero shuffles."""
+    p = _t(spark, sf_dir, "part")["part"]
+    k = F.col("p_partkey")
+    ks = k.cast("string")
+    raw = p.select(
+        "p_partkey",
+        F.concat(
+            F.col("p_name"),
+            F.when(k % 3 == 0, F.lit(" | Free Photo - stocksite")).otherwise(F.lit("")),
+        ).alias("title_raw"),
+        F.concat_ws(" ", "p_name", "p_type").alias("tag_blob"),
+        F.when(k % 5 == 0, F.lit(None)).otherwise(
+            F.concat(F.lit("http://img.test/l/"), ks)
+        ).alias("url_l"),
+        F.when(k % 3 == 0, F.lit(None)).otherwise(
+            F.concat(F.lit("http://img.test/m/"), ks)
+        ).alias("url_m"),
+        F.concat(F.lit("http://img.test/s/"), ks).alias("url_s"),
+    )
+    tags = F.slice(
+        F.array_sort(
+            F.array_distinct(
+                F.filter(F.split(F.lower("tag_blob"), r"\s+"), lambda t: t != "")
+            )
+        ),
+        1,
+        3,
+    )
+    return raw.select(
+        "p_partkey",
+        F.regexp_replace("title_raw", r" \| Free Photo.*$", "").alias("title"),
+        F.array_join(tags, ",").alias("tags"),
+        F.coalesce("url_l", "url_m", "url_s").alias("image_url"),
+    )
+
+
+# --- P12/P16: HTML text extraction + key-value list lookup -----------------
+
+_HTML_RAW_SQL = """
+  SELECT p_partkey,
+         '<p>' || p_name || ' <b>' || p_brand || '</b> &amp; more</p>' AS html_raw,
+         [struct_pack(name := 'type', value := p_type),
+          struct_pack(name := 'brand', value := p_brand)] AS kv
+  FROM part
+"""
+
+
+@register(
+    "clean_html_kv_extract",
+    f"""
+    WITH raw AS ({_HTML_RAW_SQL})
+    SELECT p_partkey,
+           trim(regexp_replace(
+             replace(regexp_replace(html_raw, '<[^>]+>', ' ', 'g'), '&amp;', '&'),
+             '\\s+', ' ', 'g')) AS description,
+           (list_filter(kv, x -> x.name = 'brand')[1]).value AS brand,
+           (list_filter(kv, x -> x.name = 'artist')[1]).value AS artist
+    FROM raw
+    """,
+)
+def clean_html_kv_extract(spark, sf_dir):
+    """HTML -> text description (P12, flickr.py:294-311 — tag strip +
+    entity decode + whitespace collapse as expressions, no per-row
+    parser) and first-value-by-name extraction from [{name, value}]
+    lists (P16, wikimedia_commons.py:432-453); missing names yield NULL
+    via the null-safe element get."""
+    p = _t(spark, sf_dir, "part")["part"]
+    raw = p.select(
+        "p_partkey",
+        F.concat(
+            F.lit("<p>"), F.col("p_name"), F.lit(" <b>"), F.col("p_brand"),
+            F.lit("</b> &amp; more</p>"),
+        ).alias("html_raw"),
+        F.array(
+            F.struct(F.lit("type").alias("name"), F.col("p_type").alias("value")),
+            F.struct(F.lit("brand").alias("name"), F.col("p_brand").alias("value")),
+        ).alias("kv"),
+    )
+
+    def kv_value(name):
+        return F.get(
+            F.filter(F.col("kv"), lambda x: x.getField("name") == name), 0
+        ).getField("value")
+
+    desc = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace("html_raw", "<[^>]+>", " "), "&amp;", "&"
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    return raw.select(
+        "p_partkey",
+        desc.alias("description"),
+        kv_value("brand").alias("brand"),
+        kv_value("artist").alias("artist"),
+    )

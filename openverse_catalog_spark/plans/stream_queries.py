@@ -98,3 +98,47 @@ def q_multimodal_frame_sample(spark, sf_dir):
     """Video frame-sampling shape: per-payload frame index explosion."""
     d = _t(spark, sf_dir, "documents")["documents"]
     return frame_sample_plan(attach_binary_payload(d), every_n=30)
+
+
+@register(
+    "stream_dedup_first_seen",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def q_stream_dedup_first_seen(spark, sf_dir):
+    """J6/I4 as streaming: watermark-bounded dropDuplicates emits each
+    (user_id, event_type) exactly once across micro-batches."""
+    from openverse_catalog_spark.streaming.incremental import stream_dedup_first_seen
+
+    return stream_dedup_first_seen(spark, sf_dir)
+
+
+@register(
+    "stream_sessionize",
+    """
+    WITH e AS (SELECT user_id, ts FROM events),
+    g AS (SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_s
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (SELECT user_id, ts,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM g),
+    sess AS (SELECT user_id, sid,
+                    count(*) AS n_events,
+                    min(ts) AS start_ts,
+                    max(ts) + INTERVAL 30 MINUTE AS end_ts
+             FROM s GROUP BY 1, 2)
+    SELECT user_id, CAST(epoch_us(start_ts) AS BIGINT) AS session_start_us, n_events
+    FROM sess
+    WHERE end_ts <= (SELECT max(ts) - INTERVAL 2 HOUR FROM events)
+    """,
+)
+def q_stream_sessionize(spark, sf_dir):
+    """Stateful session windows (30-min gap) in append mode; the oracle
+    reproduces the sessionization as a gap-islands window query plus the
+    watermark cutoff (sessions whose end passed max_ts - 2h)."""
+    from openverse_catalog_spark.streaming.incremental import stream_sessionize
+
+    return stream_sessionize(spark, sf_dir)

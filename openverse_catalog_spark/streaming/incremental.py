@@ -155,3 +155,67 @@ def stream_merge_foreach_batch(
     return state["agg"].select(
         "user_id", "n", F.round("total", 2).alias("total")
     )
+
+
+def stream_dedup_first_seen(
+    spark: SparkSession, sf_dir: str, key_cols: tuple[str, ...] = ("user_id", "event_type")
+) -> DataFrame:
+    """Streaming exact dedup: ``dropDuplicates`` on the natural key with a
+    watermark bounding the dedup state — the streaming form of the
+    reference's (provider, md5(foreign_id)) staging dedup (J6,
+    loader/sql.py:220-232). Emits each key once, on first arrival; only
+    the key columns are returned (which physical row wins first-arrival
+    is stream-order-dependent, the key set is not)."""
+    dedup = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 day")
+        .dropDuplicates([*key_cols])
+        .select(*key_cols)
+    )
+    name = "stream_dedup_sink"
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def stream_sessionize(
+    spark: SparkSession,
+    sf_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stateful sessionization with built-in session windows: per-user
+    event sessions that close after ``gap`` of inactivity; append mode
+    emits a session once the watermark passes its end (last event + gap).
+    The custom-stateful-operator slot — expressed with
+    ``session_window`` so state management, merge and eviction stay in
+    Tungsten rather than a hand-rolled applyInPandasWithState."""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", watermark)
+        .groupBy(F.col("user_id"), F.session_window("ts", gap).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "n_events",
+        )
+    )
+    name = "stream_sessionize_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
