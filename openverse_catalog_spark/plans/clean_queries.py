@@ -337,3 +337,55 @@ def clean_html_kv_extract(spark, sf_dir):
         kv_value("brand").alias("brand"),
         kv_value("artist").alias("artist"),
     )
+
+
+# --- S4: malformed-row-tolerant TSV parse ----------------------------------
+
+_TSV_LINE_SQL = """
+  SELECT o_orderkey,
+         CAST(o_orderkey AS VARCHAR) || chr(9) || o_orderstatus || chr(9) ||
+         CASE WHEN o_orderkey % 97 = 0 THEN 'xx'
+              ELSE CAST(round(o_totalprice, 2) AS VARCHAR) END AS line
+  FROM orders
+"""
+
+
+@register(
+    "source_tsv_tolerant",
+    f"""
+    WITH raw AS ({_TSV_LINE_SQL})
+    SELECT o_orderkey AS fid,
+           string_split(line, chr(9))[2] AS status,
+           round(try_cast(string_split(line, chr(9))[3] AS DOUBLE), 2) AS total
+    FROM raw WHERE o_orderkey % 97 <> 0
+    """,
+)
+def source_tsv_tolerant(spark, sf_dir):
+    """S4: tolerant TSV ingestion — PERMISSIVE ``from_csv`` with a
+    corrupt-record column; malformed rows (bad numeric field) are
+    isolated instead of failing the load (the reference rewrote the file
+    and retried COPY, loader/sql.py:109-141 — here it's one pass). The
+    surviving-row set is the oracle contract; the <=10-corrupt-rows cap
+    is a driver-side count check (sources/tsv.py)."""
+    o = _t(spark, sf_dir, "orders")["orders"]
+    k = F.col("o_orderkey")
+    lines = o.select(
+        F.concat_ws(
+            "\t",
+            k.cast("string"),
+            F.col("o_orderstatus"),
+            F.when(k % 97 == 0, F.lit("xx")).otherwise(
+                F.round("o_totalprice", 2).cast("string")
+            ),
+        ).alias("line")
+    )
+    parsed = lines.select(
+        F.from_csv(
+            "line",
+            "fid BIGINT, status STRING, total DOUBLE, _corrupt STRING",
+            {"sep": "\t", "mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ).alias("r")
+    ).select("r.*")
+    return parsed.filter(F.col("_corrupt").isNull()).select(
+        "fid", "status", F.round("total", 2).alias("total")
+    )

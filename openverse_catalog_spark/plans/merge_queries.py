@@ -411,3 +411,93 @@ def clean_tags_blacklist(spark, sf_dir):
             "|",
         ).alias("tags_s"),
     )
+
+
+# --- A10 + post-upsert accounting (loader/loader.py:44-67) -----------------
+# One staging batch flows loaded -> clean (missing required) -> fid-dedup ->
+# DISTINCT ON url + url-conflict guard; the report derives every count from
+# the same identity the reference uses:
+#   url_dup = loaded - missing_columns - foreign_id_dup - upserted
+
+_REPORT_STAGE_SQL = """
+  SELECT o_orderkey % 600 AS fid,
+         'prov' || CAST(o_orderkey % 2 AS VARCHAR) AS provider,
+         CASE WHEN o_orderkey % 13 = 0 THEN NULL
+              ELSE 'http://u/' || CAST(o_orderkey % 500 AS VARCHAR) END AS url
+  FROM orders
+"""
+
+_REPORT_CANON_SQL = """
+  SELECT o_orderkey % 600 AS fid,
+         'prov' || CAST(o_orderkey % 2 AS VARCHAR) AS provider,
+         'http://u/' || CAST((o_orderkey + 1) % 500 AS VARCHAR) AS url
+  FROM orders WHERE o_orderkey % 4 = 0
+"""
+
+
+@register(
+    "merge_load_report",
+    f"""
+    WITH stage AS ({_REPORT_STAGE_SQL}), canon AS ({_REPORT_CANON_SQL}),
+    cleaned AS (SELECT * FROM stage WHERE url IS NOT NULL),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY provider, fid ORDER BY url) AS rn
+        FROM cleaned) WHERE rn = 1),
+    urlone AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY url ORDER BY provider, fid) AS rn2
+        FROM deduped) WHERE rn2 = 1),
+    survived AS (
+      SELECT * FROM urlone d
+      WHERE NOT EXISTS (
+        SELECT 1 FROM canon c
+        WHERE c.url = d.url AND NOT (c.provider = d.provider AND c.fid = d.fid))),
+    n AS (SELECT (SELECT count(*) FROM stage) AS loaded,
+                 (SELECT count(*) FROM cleaned) AS n_clean,
+                 (SELECT count(*) FROM deduped) AS n_dedup,
+                 (SELECT count(*) FROM survived) AS upserted)
+    SELECT loaded,
+           loaded - n_clean AS missing_columns,
+           n_clean - n_dedup AS foreign_id_dup,
+           upserted,
+           n_dedup - upserted AS url_dup
+    FROM n
+    """,
+)
+def merge_load_report(spark, sf_dir):
+    """A10: the run-statistics report as one distributed DataFrame — each
+    pipeline stage's count is a single-row aggregate, combined by cross
+    join (no driver-side collect loops). The identity matches the
+    reference: url_dup = loaded - missing - fid_dup - upserted."""
+    o = _t(spark, sf_dir, "orders")["orders"]
+    k = F.col("o_orderkey")
+    stage = o.select(
+        (k % 600).alias("fid"),
+        F.concat(F.lit("prov"), (k % 2).cast("string")).alias("provider"),
+        F.when(k % 13 == 0, F.lit(None)).otherwise(
+            F.concat(F.lit("http://u/"), (k % 500).cast("string"))
+        ).alias("url"),
+    )
+    canon = o.filter(k % 4 == 0).select(
+        (k % 600).alias("fid"),
+        F.concat(F.lit("prov"), (k % 2).cast("string")).alias("provider"),
+        F.concat(F.lit("http://u/"), ((k + 1) % 500).cast("string")).alias("url"),
+    )
+    cleaned = stage.na.drop(subset=["url"])
+    deduped = distinct_on(cleaned, ["provider", "fid"], [F.col("url")])
+    urlone = distinct_on(deduped, ["url"], [F.col("provider"), F.col("fid")])
+    survived = url_conflict_filter(urlone, canon, keys=("provider", "fid"))
+    counts = (
+        stage.agg(F.count("*").alias("loaded"))
+        .crossJoin(cleaned.agg(F.count("*").alias("n_clean")))
+        .crossJoin(deduped.agg(F.count("*").alias("n_dedup")))
+        .crossJoin(survived.agg(F.count("*").alias("upserted")))
+    )
+    return counts.select(
+        "loaded",
+        (F.col("loaded") - F.col("n_clean")).alias("missing_columns"),
+        (F.col("n_clean") - F.col("n_dedup")).alias("foreign_id_dup"),
+        "upserted",
+        (F.col("n_dedup") - F.col("upserted")).alias("url_dup"),
+    )
