@@ -299,48 +299,67 @@ def ivf_topk(
     assignment is the partitioning: lists co-locate, and the candidate
     join is an equi-join on centroid_id instead of a cross join.
     """
+    spark = corpus.sparkSession
     base = _as_double(corpus, vec_col)
-    cents = F.broadcast(
-        base.filter(F.col(id_col) % centroid_mod == 0).select(
-            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("__cv")
-        )
+    # centroids sorted by id so numpy first-max/stable-sort tie-breaks
+    # reproduce the oracle's ORDER BY cosine DESC, centroid_id
+    cent_pdf = (
+        base.filter(F.col(id_col) % centroid_mod == 0)
+        .select(id_col, vec_col)
+        .toPandas()
+        .sort_values(id_col)
     )
-    # inverted lists: nearest centroid per corpus vector
-    ac = (
-        base.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv"))
-        .join(cents, how="cross")
-        .select(
-            "neighbor_id",
-            "centroid_id",
-            "__nv",
-            cosine_expr(F.col("__nv"), F.col("__cv")).alias("__c"),
-        )
+    c_ids, c_mat = _stack_normalized(cent_pdf, id_col, vec_col)
+    bc = spark.sparkContext.broadcast((c_ids, c_mat))
+
+    # inverted lists: nearest centroid per corpus vector — one GEMM per
+    # Arrow batch against the broadcast centroid matrix, no shuffle
+    def assign_gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        b_ids, b_mat = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, mat = _stack_normalized(pdf, id_col, vec_col)
+            best = (mat @ b_mat.T).argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": ids,
+                    "centroid_id": b_ids[best],
+                    "__nv": pdf[vec_col].to_numpy(),
+                }
+            )
+
+    assign = base.select(id_col, vec_col).mapInPandas(
+        assign_gen, "neighbor_id long, centroid_id long, __nv array<double>"
     )
-    w_assign = Window.partitionBy("neighbor_id").orderBy(
-        F.col("__c").desc(), F.col("centroid_id")
-    )
-    assign = (
-        ac.withColumn("__r", F.row_number().over(w_assign))
-        .filter(F.col("__r") == 1)
-        .select("neighbor_id", "centroid_id", "__nv")
-    )
-    # probe lists: nprobe nearest centroids per query
-    pc = (
-        base.filter(F.col(id_col) % query_mod == 0)
-        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
-        .join(cents, how="cross")
-        .select(
-            "query_id",
-            "centroid_id",
-            "__qv",
-            cosine_expr(F.col("__qv"), F.col("__cv")).alias("__c"),
-        )
-    )
-    w_probe = Window.partitionBy("query_id").orderBy(F.col("__c").desc(), F.col("centroid_id"))
+
+    # probe lists: nprobe nearest centroids per query — same GEMM shape
+    def probe_gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        b_ids, b_mat = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, mat = _stack_normalized(pdf, id_col, vec_col)
+            order = np.argsort(-(mat @ b_mat.T), axis=1, kind="stable")[:, :nprobe]
+            reps = order.shape[1]
+            yield pd.DataFrame(
+                {
+                    "query_id": ids.repeat(reps),
+                    "centroid_id": b_ids[order.reshape(-1)],
+                    "__qv": pdf[vec_col].to_numpy().repeat(reps),
+                }
+            )
+
     probe = (
-        pc.withColumn("__r", F.row_number().over(w_probe))
-        .filter(F.col("__r") <= nprobe)
-        .select("query_id", "centroid_id", "__qv")
+        base.filter(F.col(id_col) % query_mod == 0)
+        .select(id_col, vec_col)
+        .mapInPandas(probe_gen, "query_id long, centroid_id long, __qv array<double>")
     )
     # exact rank within probed lists only (equi-join on centroid_id —
     # each neighbor lives in exactly one list, so no pair dedup needed)
