@@ -363,3 +363,41 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     return out
+
+
+def dup_components_bounded(
+    pairs: DataFrame,
+    rounds: int = 3,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Keeper selection over a near-dup pair set: min-label propagation
+    for a FIXED number of rounds assigns every paired doc a canonical id
+    (the smallest id reachable within ``rounds`` hops). For dup clusters
+    of diameter <= rounds this IS connected components; deeper chains
+    keep propagating in later incremental runs (the operator is
+    idempotent and monotone, so re-running converges).
+
+    Each round is one equi-join + one min-aggregate — 2 shuffles — the
+    standard scalable CC shape (no driver-side graph). Returns
+    (doc_id, canonical_id); docs in no pair are absent (they keep
+    themselves).
+    """
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    for _ in range(rounds):
+        via_nb = edges.join(
+            labels.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "label")
+        labels = (
+            labels.unionByName(via_nb)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("canonical_id"))

@@ -75,7 +75,9 @@ def dedup_exact_text(spark, sf_dir):
 _N_SEEDS, _N_BANDS, _K = 16, 4, 5
 
 
-def _minhash_oracle() -> str:
+def _minhash_pair_ctes() -> str:
+    """The shared CTE chain ending in ``cand_pairs(id_a, id_b)`` —
+    reused by the pair query and the components query."""
     from openverse_catalog_spark.functions.hashing import (
         MERSENNE_P,
         perm_params,
@@ -98,7 +100,7 @@ def _minhash_oracle() -> str:
         )
     bands = "\n      UNION ALL ".join(band_selects)
     return f"""
-    WITH corpus AS ({_CORPUS_SQL}),
+    corpus AS ({_CORPUS_SQL}),
     t AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM corpus),
     sh AS (SELECT DISTINCT doc_id, substr(t, i, {_K}) AS sh FROM (
              SELECT doc_id, t,
@@ -106,9 +108,18 @@ def _minhash_oracle() -> str:
              FROM t)),
     hs AS (SELECT doc_id, {base} AS h FROM sh),
     mh AS (SELECT doc_id, {mins} FROM hs GROUP BY doc_id),
-    bands AS ({bands})
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    bands AS ({bands}),
+    cand_pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+    """
+
+
+def _minhash_oracle() -> str:
+    return f"""
+    WITH {_minhash_pair_ctes()}
+    SELECT id_a, id_b FROM cand_pairs
     """
 
 
@@ -261,6 +272,42 @@ def knn_lsh_bucketed(spark, sf_dir):
     return out.select(
         "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
     )
+
+
+def _components_oracle(rounds: int = 3) -> str:
+    prev = "l0"
+    steps = []
+    for r in range(1, rounds + 1):
+        steps.append(
+            f"""l{r} AS (SELECT node, min(label) AS label FROM (
+          SELECT node, label FROM {prev}
+          UNION ALL
+          SELECT e.src AS node, l.label FROM edges e JOIN {prev} l ON l.node = e.dst
+        ) GROUP BY node)"""
+        )
+        prev = f"l{r}"
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH {_minhash_pair_ctes()},
+    edges AS (SELECT id_a AS src, id_b AS dst FROM cand_pairs
+              UNION ALL
+              SELECT id_b AS src, id_a AS dst FROM cand_pairs),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+    {chain}
+    SELECT node AS doc_id, label AS canonical_id FROM {prev}
+    """
+
+
+@register("dedup_components", _components_oracle())
+def dedup_components(spark, sf_dir):
+    """Keeper selection: MinHash-LSH candidate pairs -> bounded min-label
+    propagation (3 rounds of join + min-aggregate) -> (doc_id,
+    canonical_id). The last step of a real dedup pipeline — which
+    physical doc survives each near-dup cluster."""
+    corpus = _corpus(spark, sf_dir)
+    sigs = dd.minhash_signatures(corpus, "doc_id", "text", _N_SEEDS, _K)
+    pairs = dd.minhash_lsh_pairs(sigs, "doc_id", _N_SEEDS, _N_BANDS)
+    return dd.dup_components_bounded(pairs, rounds=3)
 
 
 # --- embedding-cosine near-dup + IVF ANN -----------------------------------

@@ -179,3 +179,15 @@ def test_embedding_lsh_near_dup_recall(spark, sf_dir):
     }
     assert exact, "salted corpus must contain near-dups"
     assert len(exact & approx) / len(exact) > 0.9  # near-identical vectors collide
+
+
+def test_dup_components_bounded(spark):
+    # two clusters: star {1,2,3} and chain 10-11-12 (diameter 2)
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (10, 11), (11, 12)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["canonical_id"]
+        for r in dd.dup_components_bounded(pairs, rounds=3).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
