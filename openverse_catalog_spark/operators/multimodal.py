@@ -97,3 +97,53 @@ def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
         )
         .select("doc_id", "n_frames", "frame_idx")
     )
+
+
+def resize_plan(meta: DataFrame, max_edge: int = 512) -> DataFrame:
+    """Image-resize planning: aspect-preserving shrink-to-fit target
+    dimensions (never upscale) as pure expressions over the decoded
+    metadata — the real resize kernel slots into the same mapInPandas
+    stage as the decoder; dimension math stays JVM-side and testable."""
+    w, h = F.col("width"), F.col("height")
+    scale = F.least(F.lit(1.0), F.lit(max_edge) / F.greatest(w, h))
+    return meta.select(
+        "doc_id",
+        "width",
+        "height",
+        F.greatest(F.lit(1), F.floor(w * scale)).cast("long").alias("target_w"),
+        F.greatest(F.lit(1), F.floor(h * scale)).cast("long").alias("target_h"),
+        F.round(scale, 6).alias("scale"),
+    )
+
+
+def audio_chunk_plan(df: DataFrame, chunk_ms: int = 1000) -> DataFrame:
+    """Audio chunking plumbing: derive a (stubbed) duration per payload,
+    explode fixed-width chunk windows, and attach a deterministic
+    per-chunk feature stub (md5-derived pseudo-energy) — the shape a real
+    spectrogram/feature extractor runs over, one row per chunk."""
+    duration = (F.length(F.col("payload")) % 5000 + 1000).alias("duration_ms")
+    chunked = (
+        df.withColumn("duration_ms", duration)
+        .withColumn(
+            "chunk_idx",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.floor((F.col("duration_ms") - 1) / chunk_ms).cast("long"),
+                )
+            ),
+        )
+    )
+    energy_h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.col("doc_id"), F.col("chunk_idx"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return chunked.select(
+        "doc_id",
+        "duration_ms",
+        "chunk_idx",
+        F.round((energy_h % 1000) / 1000.0, 3).alias("energy_stub"),
+    )

@@ -142,3 +142,55 @@ def q_stream_sessionize(spark, sf_dir):
     from openverse_catalog_spark.streaming.incremental import stream_sessionize
 
     return stream_sessionize(spark, sf_dir)
+
+
+@register(
+    "multimodal_resize",
+    """
+    WITH meta AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) % 1920 + 1 AS width,
+             CAST(('0x' || substr(md5(text), 16, 15)) AS BIGINT) % 1080 + 1 AS height
+      FROM documents
+    ),
+    s AS (SELECT *, least(1.0, 512.0 / greatest(width, height)) AS scale FROM meta)
+    SELECT doc_id, width, height,
+           greatest(1, CAST(floor(width * scale) AS BIGINT)) AS target_w,
+           greatest(1, CAST(floor(height * scale) AS BIGINT)) AS target_h,
+           round(scale, 6) AS scale
+    FROM s
+    """,
+)
+def q_multimodal_resize(spark, sf_dir):
+    """Aspect-preserving resize planning over decoded (stubbed) image
+    metadata; dimension math as expressions."""
+    from openverse_catalog_spark.operators.multimodal import resize_plan
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return resize_plan(extract_image_metadata(attach_binary_payload(d)))
+
+
+@register(
+    "multimodal_audio_chunks",
+    """
+    WITH base AS (
+      SELECT doc_id, strlen(text) % 5000 + 1000 AS duration_ms FROM documents
+    ),
+    ch AS (SELECT doc_id, duration_ms,
+                  unnest(range(0, CAST(floor((duration_ms - 1) / 1000) AS BIGINT) + 1))
+                    AS chunk_idx
+           FROM base)
+    SELECT doc_id, duration_ms, chunk_idx,
+           round((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' ||
+                                        CAST(chunk_idx AS VARCHAR)), 1, 15)) AS BIGINT)
+                  % 1000) / 1000.0, 3) AS energy_stub
+    FROM ch
+    """,
+)
+def q_multimodal_audio_chunks(spark, sf_dir):
+    """Audio chunk-window explosion with a deterministic per-chunk
+    feature stub — one row per 1s chunk, the feature-extraction shape."""
+    from openverse_catalog_spark.operators.multimodal import audio_chunk_plan
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return audio_chunk_plan(attach_binary_payload(d))
