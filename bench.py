@@ -35,6 +35,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash_pairs",
     "dedup_ngram_jaccard",
+    "dedup_components",
     "dedup_embedding_cosine",
     "dedup_embedding_lsh",
     "knn_cosine_topk",
