@@ -52,6 +52,36 @@ def percentile_disc_by_group(
     return picked.select(*group_cols, F.col(value_col).alias(out_col))
 
 
+def percentile_disc_multi(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    percentiles: dict[str, float],
+) -> DataFrame:
+    """Several exact discrete percentiles in ONE pass: rank once, then a
+    single grouped aggregation picks every requested quantile row
+    (``min(when(rn == ceil(p*n), value))``). One shuffle + one sort total,
+    where per-percentile calls would rescan and re-sort the fact for each
+    p and join the results."""
+    clean = df.filter(F.col(value_col).isNotNull())
+    w = Window.partitionBy(*group_cols).orderBy(F.col(value_col))
+    ranked = clean.select(
+        *group_cols,
+        F.col(value_col),
+        F.row_number().over(w).alias("__rn"),
+        F.count("*").over(Window.partitionBy(*group_cols)).alias("__n"),
+    )
+    aggs = [
+        F.min(
+            F.when(
+                F.col("__rn") == F.ceil(F.lit(p) * F.col("__n")), F.col(value_col)
+            )
+        ).alias(out)
+        for out, p in percentiles.items()
+    ]
+    return ranked.groupBy(*group_cols).agg(*aggs)
+
+
 def popularity_constants(
     percentiles_df: DataFrame,
     percentile: float,

@@ -131,11 +131,12 @@ def agg_count_distinct(spark, sf_dir):
 )
 def agg_percentile_disc(spark, sf_dir):
     """A7: exact discrete percentile per group (popularity/sql.py:214-229).
-    Implemented sort-based (scales to huge groups), not collect-based."""
+    Sort-based (scales to huge groups), both percentiles picked from one
+    ranked pass — one scan + one shuffle, not one per percentile."""
+    from openverse_catalog_spark.operators.popularity import percentile_disc_multi
+
     e = _t(spark, sf_dir, "events")["events"]
-    p85 = percentile_disc_by_group(e, ["event_type"], "value", 0.85, "p85")
-    p50 = percentile_disc_by_group(e, ["event_type"], "value", 0.50, "p50")
-    return p85.join(p50, "event_type")
+    return percentile_disc_multi(e, ["event_type"], "value", {"p85": 0.85, "p50": 0.50})
 
 
 @register(

@@ -191,3 +191,12 @@ def test_dup_components_bounded(spark):
         for r in dd.dup_components_bounded(pairs, rounds=3).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_percentile_disc_multi_one_pass(spark):
+    from openverse_catalog_spark.operators.popularity import percentile_disc_multi
+
+    rows = [("a", float(v)) for v in range(1, 11)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = percentile_disc_multi(df, ["g"], "v", {"p85": 0.85, "p50": 0.5}).first()
+    assert (got["p85"], got["p50"]) == (9.0, 5.0)
