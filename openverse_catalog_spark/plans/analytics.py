@@ -593,3 +593,31 @@ def incremental_rollup_merge(spark, sf_dir):
             F.coalesce("o_total", F.lit(0.0)) + F.coalesce("d_total", F.lit(0.0)), 2
         ).alias("total_value"),
     )
+
+
+@register(
+    "json_metric_extract",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           count(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+                      THEN 1 END) AS n_high,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)
+                     / (CAST(json_extract_string(props, '$.k') AS BIGINT) + 25.0)), 6)
+             AS std_pop
+    FROM events GROUP BY event_type
+    """,
+)
+def json_metric_extract(spark, sf_dir):
+    """§2.9 json family: the reference reads popularity metrics out of
+    jsonb (``meta_data->>metric``, popularity/sql.py:219-222, 318) — here
+    the metric comes out of the ``props`` JSON column via
+    get_json_object, feeds the m/(m+c) standardized-popularity math, and
+    aggregates per provider-analog. JSON parse + math stay codegen'd."""
+    e = _t(spark, sf_dir, "events")["events"]
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count(F.when(k > 50, 1)).alias("n_high"),
+        F.round(F.avg(k / (k + F.lit(25.0))), 6).alias("std_pop"),
+    )

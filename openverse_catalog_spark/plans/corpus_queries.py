@@ -537,3 +537,41 @@ def text_fingerprint(spark, sf_dir):
     """Min-k token-hash sketch fingerprint (order-insensitive)."""
     d = _t(spark, sf_dir, "documents")["documents"]
     return d.select("doc_id", tx.fingerprint(F.col("text"), 8).alias("fingerprint"))
+
+
+# --- 60-bit banded SimHash (exact sub-quadratic near-dup) ------------------
+
+
+def _simhash60_pairs_oracle() -> str:
+    h = hash60_sql("tok")
+    bit_sums = ",\n             ".join(
+        f"sum(CASE WHEN (({h}) >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(60)
+    )
+    recombine = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN {2**b} ELSE 0 END" for b in range(60)
+    )
+    return f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    tok AS (SELECT DISTINCT doc_id, tok FROM (
+              SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+              FROM corpus) WHERE tok <> ''),
+    sums AS (SELECT doc_id, {bit_sums} FROM tok GROUP BY doc_id),
+    sims AS (SELECT doc_id, CAST({recombine} AS BIGINT) AS simhash FROM sums)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
+
+@register("dedup_simhash60_banded", _simhash60_pairs_oracle())
+def dedup_simhash60_banded(spark, sf_dir):
+    """Global (no blocking column) Hamming<=3 near-dup pairs on a 60-bit
+    SimHash via band blocking — EXACT by pigeonhole (4 bands > 3 diffs)
+    and sub-quadratic; the oracle brute-forces all pairs to prove no
+    candidate is missed."""
+    corpus = _corpus(spark, sf_dir)
+    sims = dd.simhash60(corpus, "doc_id", "text")
+    return dd.simhash_banded_pairs(sims, "doc_id", max_hamming=3, n_bands=4, bits=60)
+
