@@ -215,7 +215,10 @@ _PARSE_RAW_SQL = """
               ELSE 'http://img.test/l/' || CAST(p_partkey AS VARCHAR) END AS url_l,
          CASE WHEN p_partkey % 3 = 0 THEN NULL
               ELSE 'http://img.test/m/' || CAST(p_partkey AS VARCHAR) END AS url_m,
-         'http://img.test/s/' || CAST(p_partkey AS VARCHAR) AS url_s
+         'http://img.test/s/' || CAST(p_partkey AS VARCHAR) ||
+         CASE WHEN p_partkey % 2 = 0
+              THEN '?trackid=' || CAST(p_partkey AS VARCHAR) ELSE '' END AS url_s,
+         p_brand
   FROM part
 """
 
@@ -230,15 +233,21 @@ _PARSE_RAW_SQL = """
              list_sort(list_distinct(
                list_filter(string_split_regex(lower(tag_blob), '\\s+'), t -> t <> '')
              ))[1:3], ',') AS tags,
-           COALESCE(url_l, url_m, url_s) AS image_url
+           regexp_replace(COALESCE(url_l, url_m, url_s),
+                          '[?&]trackid=[^&]*', '') AS image_url,
+           CASE p_brand WHEN 'Brand#2' THEN 'museumx'
+                        WHEN 'Brand#17' THEN 'artcollective'
+                        ELSE 'stocksite' END AS source
     FROM raw
     """,
 )
 def clean_provider_parse(spark, sf_dir):
     """Provider-parser record functions as one narrow projection:
     marketing-suffix strip (P21, rawpixel.py:182-220), whitespace tag
-    split -> sorted distinct -> cap (P13, flickr.py:313-324), and
-    largest-image coalesce (P14, flickr.py:274-282). Zero shuffles."""
+    split -> sorted distinct -> cap (P13, flickr.py:313-324),
+    largest-image coalesce (P14, flickr.py:274-282), tracking-param strip
+    (P19, jamendo.py:69-106), and sub-provider source mapping via an
+    in-expression literal map (P15, flickr.py:250-253). Zero shuffles."""
     p = _t(spark, sf_dir, "part")["part"]
     k = F.col("p_partkey")
     ks = k.cast("string")
@@ -255,7 +264,12 @@ def clean_provider_parse(spark, sf_dir):
         F.when(k % 3 == 0, F.lit(None)).otherwise(
             F.concat(F.lit("http://img.test/m/"), ks)
         ).alias("url_m"),
-        F.concat(F.lit("http://img.test/s/"), ks).alias("url_s"),
+        F.concat(
+            F.lit("http://img.test/s/"),
+            ks,
+            F.when(k % 2 == 0, F.concat(F.lit("?trackid="), ks)).otherwise(F.lit("")),
+        ).alias("url_s"),
+        "p_brand",
     )
     tags = F.slice(
         F.array_sort(
@@ -266,11 +280,19 @@ def clean_provider_parse(spark, sf_dir):
         1,
         3,
     )
+    sub_provider = F.create_map(
+        F.lit("Brand#2"), F.lit("museumx"), F.lit("Brand#17"), F.lit("artcollective")
+    )
     return raw.select(
         "p_partkey",
         F.regexp_replace("title_raw", r" \| Free Photo.*$", "").alias("title"),
         F.array_join(tags, ",").alias("tags"),
-        F.coalesce("url_l", "url_m", "url_s").alias("image_url"),
+        F.regexp_replace(
+            F.coalesce("url_l", "url_m", "url_s"), r"[?&]trackid=[^&]*", ""
+        ).alias("image_url"),
+        F.coalesce(
+            F.element_at(sub_provider, F.col("p_brand")), F.lit("stocksite")
+        ).alias("source"),
     )
 
 
