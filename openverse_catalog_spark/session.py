@@ -56,12 +56,29 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def ensure_runtime_confs(spark: SparkSession) -> None:
+    """Set the runtime-settable confs the engine depends on, so queries
+    behave identically when the caller (e.g. the driver's gate) built its
+    own SparkSession: TIMESTAMP(NANOS) parquet columns read as long, and
+    non-ANSI null-on-garbage coercion semantics."""
+    for k, v in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.ansi.enabled", "false"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-settable in this session; get_spark sets it at build
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):
     """Read the synthetic testdata parquet tables and register temp views.
 
     Returns dict name -> DataFrame. Partition pruning / column pruning are
     Catalyst's job; we just declare the scans.
     """
+    ensure_runtime_confs(spark)
     names = names or (
         "region",
         "nation",

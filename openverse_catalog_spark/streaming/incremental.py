@@ -40,6 +40,9 @@ EVENTS_SCHEMA = T.StructType(
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openverse_catalog_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
     # file streams require a directory source; point at the sf dir and
     # glob-filter to the events file
     raw = (
