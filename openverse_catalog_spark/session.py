@@ -61,11 +61,23 @@ def ensure_runtime_confs(spark: SparkSession) -> None:
     behave identically when the caller (e.g. the driver's gate) built its
     own SparkSession: TIMESTAMP(NANOS) parquet columns read as long, and
     non-ANSI null-on-garbage coercion semantics."""
-    for k, v in (
+    confs = [
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.ansi.enabled", "false"),
         ("spark.sql.session.timeZone", "UTC"),
-    ):
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        ("spark.sql.adaptive.enabled", "true"),
+    ]
+    try:
+        # size shuffles to the session's actual parallelism instead of the
+        # 200 default — right for this engine's workloads at any scale
+        if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+            confs.append(
+                ("spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism))
+            )
+    except Exception:
+        pass
+    for k, v in confs:
         try:
             spark.conf.set(k, v)
         except Exception:
