@@ -164,3 +164,25 @@ def test_multimodal_metadata_stub(spark, sf_dir):
     assert len(rows) == docs.count()
     assert all(1 <= r["width"] <= 1920 and 1 <= r["height"] <= 1080 for r in rows)
     assert all(r["n_bytes"] > 0 for r in rows)
+
+
+def test_stream_dedup_first_seen_matches_distinct(spark, sf_dir):
+    from openverse_catalog_spark.streaming.incremental import stream_dedup_first_seen
+
+    got = stream_dedup_first_seen(spark, sf_dir)
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    assert got.count() == batch.count()
+    assert got.exceptAll(batch).count() == 0
+
+
+def test_stream_sessionize_emits_closed_sessions(spark, sf_dir):
+    from openverse_catalog_spark.streaming.incremental import stream_sessionize
+
+    got = stream_sessionize(spark, sf_dir)
+    rows = got.collect()
+    assert len(rows) > 0
+    assert all(r["n_events"] >= 1 for r in rows)
