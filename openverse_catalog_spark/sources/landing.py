@@ -1,0 +1,119 @@
+"""Provider-API landing zone: driver-side paged fetch -> JSONL landing
+files -> distributed ``spark.read.json``.
+
+Reference: the generic ingester loop
+``catalog/dags/providers/provider_api_scripts/provider_data_ingester.py:203-280``
+(get_next_query_params -> HTTP GET -> get_batch_data -> per-record
+transform, stop on empty batch / ingestion limit) and the rate-limited
+requester ``catalog/dags/common/requester.py:31-161``.
+
+Spark-first split: fetching is inherently sequential-per-provider and
+rate-limited, so it stays on the driver (or a thin fetch tier) and ONLY
+writes raw JSONL batches to a date-partitioned landing zone; all
+parsing/cleaning/merging happens distributed from the landing files.
+Executors never make network calls — at 1000 executors that would melt
+any provider API and make retries non-deterministic.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class PagedFetcher:
+    """The ingester loop contract with the transport injected.
+
+    ``fetch_fn(query_params) -> dict | None`` plays the HTTP GET;
+    ``get_batch_data(response) -> list[dict] | None`` extracts records;
+    ``get_next_query_params(prev) -> dict`` advances the cursor. Stops on
+    empty/None batch or ``ingestion_limit`` records
+    (provider_data_ingester.py:136-143, 203-280). ``min_delay`` seconds
+    between requests is the politeness budget (requester.py:31-68).
+    """
+
+    def __init__(
+        self,
+        fetch_fn: Callable[[dict], dict | None],
+        get_batch_data: Callable[[dict], list[dict] | None],
+        get_next_query_params: Callable[[dict | None], dict],
+        ingestion_limit: int | None = None,
+        min_delay: float = 0.0,
+        max_batches: int = 10_000,
+    ) -> None:
+        self.fetch_fn = fetch_fn
+        self.get_batch_data = get_batch_data
+        self.get_next_query_params = get_next_query_params
+        self.ingestion_limit = ingestion_limit
+        self.min_delay = min_delay
+        self.max_batches = max_batches
+
+    def batches(self) -> Iterator[list[dict]]:
+        params: dict | None = None
+        fetched = 0
+        last_request = 0.0
+        for _ in range(self.max_batches):
+            params = self.get_next_query_params(params)
+            wait = self.min_delay - (time.monotonic() - last_request)
+            if wait > 0:
+                time.sleep(wait)
+            last_request = time.monotonic()
+            response = self.fetch_fn(params)
+            if response is None:
+                return
+            batch = self.get_batch_data(response)
+            if not batch:
+                return
+            if self.ingestion_limit is not None:
+                batch = batch[: self.ingestion_limit - fetched]
+            fetched += len(batch)
+            yield batch
+            if self.ingestion_limit is not None and fetched >= self.ingestion_limit:
+                return
+
+
+def write_landing(
+    fetcher: PagedFetcher,
+    landing_dir: str,
+    ingest_date: str,
+    provider: str,
+) -> int:
+    """Drain the fetcher into ``landing_dir/ingest_date=<d>/<provider>-N.jsonl``
+    (one file per API batch — append-only, idempotent per (date, batch));
+    returns the record count. The date directory IS the event-time
+    partition Spark prunes on (SURVEY I1)."""
+    part_dir = os.path.join(landing_dir, f"ingest_date={ingest_date}")
+    os.makedirs(part_dir, exist_ok=True)
+    n = 0
+    for i, batch in enumerate(fetcher.batches()):
+        path = os.path.join(part_dir, f"{provider}-{i:05d}.jsonl")
+        with open(path, "w", encoding="utf-8") as f:
+            for record in batch:
+                f.write(json.dumps(record, ensure_ascii=False) + "\n")
+        n += len(batch)
+    return n
+
+
+def read_json_landing(
+    spark: SparkSession,
+    landing_dir: str,
+    schema: str | None = None,
+) -> DataFrame:
+    """Distributed read of the landing zone. With an explicit schema the
+    scan avoids the inference pass AND gets a corrupt-record column
+    (PERMISSIVE), mirroring the tolerant TSV path; ``ingest_date`` comes
+    in as a partition column for free pruning."""
+    reader = spark.read.option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt"
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.json(landing_dir)
+    if "_corrupt" in df.columns:
+        df = df.filter(F.col("_corrupt").isNull()).drop("_corrupt")
+    return df

@@ -186,3 +186,41 @@ def test_stream_sessionize_emits_closed_sessions(spark, sf_dir):
     rows = got.collect()
     assert len(rows) > 0
     assert all(r["n_events"] >= 1 for r in rows)
+
+
+def test_paged_fetch_to_landing_roundtrip(spark, tmp_path):
+    from openverse_catalog_spark.sources.landing import (
+        PagedFetcher,
+        read_json_landing,
+        write_landing,
+    )
+
+    pages = {
+        0: [{"fid": "a", "n": 1}, {"fid": "b", "n": 2}],
+        1: [{"fid": "c", "n": 3}],
+        2: [],  # empty batch -> stop
+    }
+
+    fetcher = PagedFetcher(
+        fetch_fn=lambda p: {"page": p["page"], "items": pages[p["page"]]},
+        get_batch_data=lambda r: r["items"],
+        get_next_query_params=lambda prev: {"page": 0} if prev is None else {"page": prev["page"] + 1},
+    )
+    n = write_landing(fetcher, str(tmp_path), "2024-01-02", "provtest")
+    assert n == 3
+    df = read_json_landing(spark, str(tmp_path), "fid string, n long, _corrupt string")
+    rows = {r["fid"]: (r["n"], str(r["ingest_date"])) for r in df.collect()}
+    assert rows == {"a": (1, "2024-01-02"), "b": (2, "2024-01-02"), "c": (3, "2024-01-02")}
+
+
+def test_paged_fetch_ingestion_limit(spark):
+    from openverse_catalog_spark.sources.landing import PagedFetcher
+
+    fetcher = PagedFetcher(
+        fetch_fn=lambda p: {"items": [{"i": k} for k in range(5)]},
+        get_batch_data=lambda r: r["items"],
+        get_next_query_params=lambda prev: {},
+        ingestion_limit=7,
+    )
+    got = [len(b) for b in fetcher.batches()]
+    assert got == [5, 2]  # cap applied mid-batch, then stop
