@@ -383,9 +383,14 @@ def dup_components_bounded(
     (doc_id, canonical_id); docs in no pair are absent (they keep
     themselves).
     """
-    edges = pairs.select(
-        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    ).union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        # materialize once: every round joins against edges, and without
+        # this the whole upstream pair-generation lineage (e.g. the
+        # MinHash pipeline) re-executes per round
+        .localCheckpoint()
+    )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
