@@ -501,3 +501,48 @@ def merge_load_report(spark, sf_dir):
         "upserted",
         (F.col("n_dedup") - F.col("upserted")).alias("url_dup"),
     )
+
+
+@register(
+    "merge_idempotent_reingest",
+    f"""
+    WITH t AS ({_TGT_SQL}), s AS ({_SRC_SQL})
+    SELECT coalesce(t.fid, s.fid) AS fid,
+           CASE WHEN t.fid IS NOT NULL AND s.fid IS NOT NULL THEN coalesce(s.status, t.status)
+                WHEN s.fid IS NOT NULL THEN s.status ELSE t.status END AS status,
+           round(CASE WHEN t.fid IS NOT NULL AND s.fid IS NOT NULL THEN coalesce(s.total, t.total)
+                      WHEN s.fid IS NOT NULL THEN s.total ELSE t.total END, 2) AS total,
+           CASE WHEN t.fid IS NOT NULL AND s.fid IS NOT NULL THEN
+                  CASE WHEN t.tags IS NULL THEN array_to_string(s.tags, '|')
+                       WHEN s.tags IS NULL THEN array_to_string(t.tags, '|')
+                       ELSE array_to_string(list_sort(list_distinct(list_cat(t.tags, s.tags))), '|') END
+                WHEN s.fid IS NOT NULL THEN array_to_string(s.tags, '|')
+                ELSE array_to_string(t.tags, '|') END AS tags_s
+    FROM t FULL OUTER JOIN s ON t.fid = s.fid
+    """,
+)
+def merge_idempotent_reingest(spark, sf_dir):
+    """I3: reingestion is a re-MERGE of already-seen data — the upsert
+    must be idempotent. The engine applies the SAME source batch twice
+    (merge, then merge again into the result); the oracle computes a
+    single application. Equality proves every strategy is idempotent:
+    coalesce(s, coalesce(s, t)) == coalesce(s, t), set-union twice ==
+    once, jsonb new-wins twice == once."""
+    o = _t(spark, sf_dir, "orders")["orders"]
+    cols = [c for c in _MERGE_COLS if c.name != "meta"]
+    tgt = _tgt_df(o).drop("meta")
+    src = _src_df(o).drop("meta")
+    once = merge_upsert(
+        tgt, src, cols, keys=("fid",),
+        dedupe_source_on_url=False, guard_url_conflicts=False,
+    )
+    twice = merge_upsert(
+        once, src, cols, keys=("fid",),
+        dedupe_source_on_url=False, guard_url_conflicts=False,
+    )
+    return twice.select(
+        "fid",
+        "status",
+        F.round("total", 2).alias("total"),
+        F.array_join(F.col("tags"), "|").alias("tags_s"),
+    )
