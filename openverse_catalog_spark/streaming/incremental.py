@@ -222,3 +222,29 @@ def stream_sessionize(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def publish_swap(
+    df: DataFrame,
+    base_dir: str,
+    name: str,
+    spark: SparkSession | None = None,
+) -> str:
+    """S13 analog: atomic publish of a recomputed table — write the new
+    snapshot to a versioned path, then swap the readable view to it.
+    Readers of ``name`` see either the old snapshot or the new one,
+    never a partial write (the reference's Elasticsearch alias-promote,
+    data_refresh_task_factory.py:183-240, done with paths + a view).
+
+    Returns the snapshot path. Old snapshots are left for time-travel /
+    rollback; a retention job prunes them (deployment concern).
+    """
+    import time as _time
+
+    spark = spark or df.sparkSession
+    version = int(_time.time() * 1000)
+    path = f"{base_dir}/{name}/v={version}"
+    df.write.mode("overwrite").parquet(path)
+    # the swap: re-pointing a view is a metadata-only operation
+    spark.read.parquet(path).createOrReplaceTempView(name)
+    return path

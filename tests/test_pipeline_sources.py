@@ -224,3 +224,16 @@ def test_paged_fetch_ingestion_limit(spark):
     )
     got = [len(b) for b in fetcher.batches()]
     assert got == [5, 2]  # cap applied mid-batch, then stop
+
+
+def test_publish_swap_atomic_view(spark, sf_dir, tmp_path):
+    from openverse_catalog_spark.streaming.incremental import publish_swap
+
+    v1 = spark.range(5).withColumnRenamed("id", "k")
+    p1 = publish_swap(v1, str(tmp_path), "scored_media")
+    assert spark.table("scored_media").count() == 5
+    v2 = spark.range(9).withColumnRenamed("id", "k")
+    p2 = publish_swap(v2, str(tmp_path), "scored_media")
+    assert spark.table("scored_media").count() == 9
+    assert p1 != p2  # old snapshot retained for rollback
+    assert spark.read.parquet(p1).count() == 5
