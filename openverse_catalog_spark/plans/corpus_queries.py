@@ -575,3 +575,71 @@ def dedup_simhash60_banded(spark, sf_dir):
     sims = dd.simhash60(corpus, "doc_id", "text")
     return dd.simhash_banded_pairs(sims, "doc_id", max_hamming=3, n_bands=4, bits=60)
 
+
+
+def _quality_filtered_oracle() -> str:
+    # documents.doc_id aligns with embeddings.vec_id; corpus restricted to
+    # docs whose quality heuristic clears 0.5 before the exact top-k
+    quality = """
+    WITH base AS (
+      SELECT doc_id, length(text) AS n,
+             length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, n, alpha, len(tk) AS ntok,
+             len(list_filter(tk, t -> list_contains([{stop}], t))) AS stop
+      FROM base
+    ),
+    q AS (
+      SELECT doc_id,
+             (least(n / 200.0, 1.0)
+              + CASE WHEN n > 0 THEN CAST(alpha AS DOUBLE) / n ELSE 0.0 END
+              + least(CASE WHEN ntok > 0 THEN CAST(stop AS DOUBLE) / ntok ELSE 0.0 END * 4.0, 1.0)
+             ) / 3.0 AS quality
+      FROM feats
+    )""".format(stop=", ".join(repr(w) for w in tx.EN_STOPWORDS))
+    return f"""
+    {quality},
+    keep AS (SELECT doc_id FROM q WHERE quality >= 0.5),
+    ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+           FROM embeddings JOIN keep ON keep.doc_id = embeddings.vec_id,
+                generate_series(1, 64) AS t(i)),
+    norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
+    dots AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, sum(a.x * b.x) AS dot
+             FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id <> b.vec_id
+             WHERE a.vec_id % 20 = 0
+             GROUP BY 1, 2),
+    scored AS (SELECT query_id, neighbor_id, dot / (na.nrm * nb.nrm) AS cosine
+               FROM dots JOIN norms na ON na.vec_id = query_id
+                         JOIN norms nb ON nb.vec_id = neighbor_id),
+    ranked AS (SELECT query_id, neighbor_id, cosine,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, neighbor_id) AS rank
+               FROM scored)
+    SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
+    FROM ranked WHERE rank <= 3
+    """
+
+
+@register("knn_quality_filtered", _quality_filtered_oracle())
+def knn_quality_filtered(spark, sf_dir):
+    """Cross-table composition: restrict the ANN corpus to documents
+    whose text-quality heuristic clears 0.5 (embeddings.vec_id joined to
+    documents.doc_id — at scale a broadcast of the keep-list or a
+    pre-filtered corpus write), then exact GEMM top-3 — the
+    filtered-retrieval shape RAG/data-curation pipelines run."""
+    t = _t(spark, sf_dir, "documents", "embeddings")
+    keep = (
+        t["documents"]
+        .select("doc_id", tx.quality_score(F.col("text")).alias("q"))
+        .filter(F.col("q") >= 0.5)
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    corpus = t["embeddings"].join(keep, "vec_id").select("vec_id", "embedding")
+    queries = corpus.filter(F.col("vec_id") % 20 == 0)
+    out = knn.cosine_topk(corpus, queries, "vec_id", "embedding", k=3)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
+    )
