@@ -26,6 +26,8 @@ HEADLINE = [
     "join_5way_enrich",
     "merge_upsert_strategies",
     "merge_url_guards",
+    "merge_load_report",
+    "source_tsv_tolerant",
     "join_broadcast_standardized",
     "agg_percentile_disc",
     "window_running_sum",
@@ -34,12 +36,15 @@ HEADLINE = [
     "dedup_exact_text",
     "dedup_minhash_lsh",
     "dedup_simhash_pairs",
+    "dedup_simhash60_banded",
     "dedup_ngram_jaccard",
     "dedup_components",
     "dedup_embedding_cosine",
     "dedup_embedding_lsh",
     "knn_cosine_topk",
     "knn_ivf",
+    "knn_quality_filtered",
+    "json_metric_extract",
     "clean_license_normalize",
     "clean_coerce_types",
     "text_quality_score",
