@@ -97,6 +97,45 @@ def normalize_license(
     return out
 
 
+def backfill_license_url(
+    df: DataFrame,
+    spark: SparkSession,
+    license_col: str = "license",
+    version_col: str = "license_version",
+    url_col: str = "license_url",
+) -> DataFrame:
+    """Maintenance backfill (reference
+    ``catalog/dags/maintenance/add_license_url.py:59-132``): rows whose
+    ``license_url`` is missing get the canonical URL for their
+    (license, version) pair; rows that already carry one are untouched
+    (the reference's ``WHERE meta_data->>'license_url' IS NULL`` guard).
+    Adds a ``backfilled`` flag so the job can report update counts.
+
+    One broadcast hash join against the ~32-row pair dimension — the
+    canonical table never shuffles, so the backfill is a single
+    map-side pass at any scale."""
+    dim = F.broadcast(
+        license_dim(spark)
+        .withColumnRenamed("license", "__lic")
+        .withColumnRenamed("license_version", "__ver")
+        .withColumnRenamed("license_url", "__canon_url")
+    )
+    joined = df.join(
+        dim,
+        (F.lower(F.trim(F.col(license_col))) == F.col("__lic"))
+        & (F.col(version_col) == F.col("__ver")),
+        "left",
+    )
+    return (
+        joined.withColumn(
+            "backfilled",
+            F.col(url_col).isNull() & F.col("__canon_url").isNotNull(),
+        )
+        .withColumn(url_col, F.coalesce(F.col(url_col), F.col("__canon_url")))
+        .drop("__lic", "__ver", "__canon_url")
+    )
+
+
 def license_url_from_pair(lic: Column, ver: Column) -> Column:
     """Derive the canonical URL from a valid (license, version) pair
     (licenses.py:191-209) as a pure expression."""

@@ -228,6 +228,54 @@ def _stack_normalized(pdf, id_col: str, vec_col: str):
     return ids, mat / norms[:, None]
 
 
+def quantize_int8(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage/transfer
+    scale path for embedding columns (a 4x shrink before ANN probing;
+    the full-precision vector is only re-read for final re-ranking).
+
+    Per vector: ``scale = max(|x|)``, ``q_i = floor(x_i/scale*127 + 0.5)``
+    (explicit half-up so every engine agrees bit-for-bit; banker's
+    rounding would diverge between numpy and SQL engines). Emits the
+    quantized checksum and reconstruction RMSE so the quality loss is
+    observable per row.
+
+    Embarrassingly parallel — no shuffle, one Arrow-batched numpy pass."""
+    base = _as_double(corpus, vec_col)
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype="int64")
+            mat = np.stack([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+            scale = np.abs(mat).max(axis=1)
+            safe = np.where(scale == 0, 1.0, scale)
+            q = np.floor(mat / safe[:, None] * 127.0 + 0.5)
+            q[scale == 0] = 0.0
+            recon = q * safe[:, None] / 127.0
+            recon[scale == 0] = 0.0
+            rmse = np.sqrt(((mat - recon) ** 2).mean(axis=1))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "scale": scale,
+                    "q_sum": q.sum(axis=1).astype("int64"),
+                    "rmse": rmse,
+                }
+            )
+
+    return base.select(id_col, vec_col).mapInPandas(
+        gen, f"{id_col} long, scale double, q_sum long, rmse double"
+    )
+
+
 def cosine_near_dup_pairs_exact(
     corpus: DataFrame,
     id_col: str = "vec_id",

@@ -57,6 +57,7 @@ def percentile_disc_multi(
     group_cols: list[str],
     value_col: str,
     percentiles: dict[str, float],
+    count_col: str | None = None,
 ) -> DataFrame:
     """Several exact discrete percentiles in ONE pass: rank once, then a
     single grouped aggregation picks every requested quantile row
@@ -79,6 +80,10 @@ def percentile_disc_multi(
         ).alias(out)
         for out, p in percentiles.items()
     ]
+    if count_col is not None:
+        # __n is already the per-group size from the ranking pass — no
+        # extra scan or shuffle to report group cardinality alongside.
+        aggs.append(F.max("__n").alias(count_col))
     return ranked.groupBy(*group_cols).agg(*aggs)
 
 

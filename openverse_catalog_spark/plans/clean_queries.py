@@ -411,3 +411,114 @@ def source_tsv_tolerant(spark, sf_dir):
     return parsed.filter(F.col("_corrupt").isNull()).select(
         "fid", "status", F.round("total", 2).alias("total")
     )
+
+
+# --- maintenance backfill + URL domain stats -------------------------------
+
+
+def _backfill_oracle() -> str:
+    dim_rows = ",\n      ".join(
+        f"('{lic}', '{ver}', '{url}')" for lic, ver, url in license_pairs()
+    )
+    return f"""
+    WITH raw AS (
+      SELECT o_orderkey,
+             CASE o_orderkey % 6
+               WHEN 0 THEN 'by'   WHEN 1 THEN 'by-nc' WHEN 2 THEN 'cc0'
+               WHEN 3 THEN 'BY-SA' WHEN 4 THEN 'pdm'  ELSE 'by-nd' END AS license,
+             CASE o_orderkey % 6
+               WHEN 0 THEN '2.0' WHEN 1 THEN '4.0' WHEN 2 THEN '1.0'
+               WHEN 3 THEN '3.0' WHEN 4 THEN '1.0' ELSE '9.9' END AS license_version,
+             CASE WHEN o_orderkey % 3 = 0
+                  THEN 'https://existing.example/' || CAST(o_orderkey AS VARCHAR)
+             END AS license_url
+      FROM orders),
+    dim AS (SELECT * FROM (VALUES
+      {dim_rows}) AS v(license, license_version, license_url))
+    SELECT r.o_orderkey, r.license, r.license_version,
+           COALESCE(r.license_url, d.license_url) AS license_url,
+           (r.license_url IS NULL AND d.license_url IS NOT NULL) AS backfilled
+    FROM raw r LEFT JOIN dim d
+      ON d.license = lower(trim(r.license))
+     AND d.license_version = r.license_version
+    """
+
+
+@register("merge_license_backfill", _backfill_oracle())
+def merge_license_backfill(spark, sf_dir):
+    """Maintenance backfill job (reference add_license_url.py:59-132):
+    fill missing license_url from the canonical pair dimension, leave
+    existing values untouched, report a backfilled flag. Broadcast dim
+    join — the canonical table is one map-side pass, no shuffle. The
+    by-nd/9.9 shape is an invalid pair that stays NULL (unfixable rows
+    are reported, not guessed)."""
+    from openverse_catalog_spark.functions.licenses import backfill_license_url
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    k = F.col("o_orderkey")
+    raw = o.select(
+        "o_orderkey",
+        F.when(k % 6 == 0, "by").when(k % 6 == 1, "by-nc").when(k % 6 == 2, "cc0")
+        .when(k % 6 == 3, "BY-SA").when(k % 6 == 4, "pdm")
+        .otherwise("by-nd").alias("license"),
+        F.when(k % 6 == 0, "2.0").when(k % 6 == 1, "4.0").when(k % 6 == 2, "1.0")
+        .when(k % 6 == 3, "3.0").when(k % 6 == 4, "1.0")
+        .otherwise("9.9").alias("license_version"),
+        F.when(
+            k % 3 == 0,
+            F.concat(F.lit("https://existing.example/"), k.cast("string")),
+        ).alias("license_url"),
+    )
+    out = backfill_license_url(raw, spark)
+    return out.select(
+        "o_orderkey", "license", "license_version", "license_url", "backfilled"
+    )
+
+
+_DOMAIN_RE = "^(?:https?://)?([^/]+)"
+
+
+@register(
+    "clean_url_domain_stats",
+    f"""
+    WITH raw AS ({_URL_RAW_SQL}),
+    d AS (SELECT c_custkey,
+                 regexp_extract(lower(url_raw), '{_DOMAIN_RE}', 1) AS domain
+          FROM raw)
+    SELECT domain, count(*) AS n_urls,
+           count(DISTINCT c_custkey) AS n_keys,
+           min(c_custkey) AS first_key
+    FROM d WHERE domain LIKE '%.%'
+    GROUP BY domain
+    """,
+)
+def clean_url_domain_stats(spark, sf_dir):
+    """Source-mix accounting: host extracted from each URL (pure regexp,
+    no UDF), tld-sanity filter (domain must contain a dot — urls.py:44-52),
+    then one grouped count/distinct per domain. At 100 TB this is a single
+    scan + one shuffle on a low-cardinality key with map-side partials."""
+    c = _t(spark, sf_dir, "customer")["customer"]
+    k = F.col("c_custkey")
+    ks = k.cast("string")
+    raw = c.select(
+        "c_custkey",
+        F.when(k % 6 == 0, F.concat(F.lit("http://example.com/img/"), ks, F.lit(".jpg")))
+        .when(k % 6 == 1, F.concat(F.lit("example.org/page/"), ks))
+        .when(k % 6 == 2, F.concat(F.lit("https://secure.net/a/"), ks))
+        .when(k % 6 == 3, F.concat(F.lit("http://plain-site.org/"), ks))
+        .when(k % 6 == 4, F.lit("noscheme.info/x"))
+        .otherwise(F.lit("not a url")).alias("url_raw"),
+    )
+    d = raw.select(
+        "c_custkey",
+        F.regexp_extract(F.lower("url_raw"), _DOMAIN_RE, 1).alias("domain"),
+    )
+    return (
+        d.filter(F.col("domain").contains("."))
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.countDistinct("c_custkey").alias("n_keys"),
+            F.min("c_custkey").alias("first_key"),
+        )
+    )

@@ -643,3 +643,76 @@ def knn_quality_filtered(spark, sf_dir):
     return out.select(
         "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
     )
+
+
+# --- corpus token-length distribution (per-language percentiles) -----------
+
+
+@register(
+    "text_token_histogram",
+    """
+    WITH tc AS (
+      SELECT lang,
+             len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '')) AS nt
+      FROM documents
+    )
+    SELECT lang,
+           quantile_disc(nt, 0.25) AS p25,
+           quantile_disc(nt, 0.50) AS p50,
+           quantile_disc(nt, 0.75) AS p75,
+           quantile_disc(nt, 0.95) AS p95,
+           count(*) AS n_docs
+    FROM tc GROUP BY lang
+    """,
+)
+def text_token_histogram(spark, sf_dir):
+    """Corpus-profile staple: the token-count distribution per language
+    bucket (quality cutoffs are usually set from these quantiles). All
+    four discrete percentiles AND the group count come from ONE ranked
+    pass — one shuffle total, never a scan per percentile."""
+    from openverse_catalog_spark.operators.popularity import percentile_disc_multi
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    tc = d.select("lang", tx.token_count(F.col("text")).alias("nt"))
+    return percentile_disc_multi(
+        tc, ["lang"], "nt",
+        {"p25": 0.25, "p50": 0.50, "p75": 0.75, "p95": 0.95},
+        count_col="n_docs",
+    )
+
+
+# --- int8 embedding quantization ------------------------------------------
+
+
+@register(
+    "embed_quantize_int8",
+    """
+    WITH ex AS (SELECT vec_id, CAST(x AS DOUBLE) AS x
+                FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)),
+    s AS (SELECT vec_id, max(abs(x)) AS scale FROM ex GROUP BY vec_id),
+    q AS (SELECT e.vec_id, e.x, s.scale,
+                 CASE WHEN s.scale = 0 THEN 0.0
+                      ELSE floor(e.x / s.scale * 127 + 0.5) END AS q
+          FROM ex e JOIN s USING (vec_id))
+    SELECT vec_id,
+           round(any_value(scale), 6) AS scale,
+           CAST(sum(q) AS BIGINT) AS q_sum,
+           round(sqrt(avg(pow(x - CASE WHEN scale = 0 THEN 0.0
+                                       ELSE q * scale / 127 END, 2))), 6) AS rmse
+    FROM q GROUP BY vec_id
+    """,
+)
+def embed_quantize_int8(spark, sf_dir):
+    """Symmetric int8 quantization of the embedding column (4x storage
+    shrink for the ANN scale path) with per-vector reconstruction RMSE.
+    Half-up rounding is explicit (floor(x+0.5)) so numpy and the SQL
+    oracle agree bit-for-bit. No shuffle — one Arrow-batched numpy pass."""
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    out = knn.quantize_int8(e, "vec_id", "embedding")
+    return out.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        "q_sum",
+        F.round("rmse", 6).alias("rmse"),
+    )

@@ -200,3 +200,51 @@ def test_percentile_disc_multi_one_pass(spark):
     df = spark.createDataFrame(rows, "g string, v double")
     got = percentile_disc_multi(df, ["g"], "v", {"p85": 0.85, "p50": 0.5}).first()
     assert (got["p85"], got["p50"]) == (9.0, 5.0)
+
+
+def test_quantize_int8_golden(spark):
+    # vec [0.5, -1.0, 0.25]: scale 1.0, q = [64, -127, 32] (0.5*127=63.5
+    # rounds HALF-UP to 64), q_sum = -31; zero vector stays all-zero.
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: r for r in knn.quantize_int8(df).collect()}
+    assert got[1]["scale"] == 1.0 and got[1]["q_sum"] == 64 - 127 + 32
+    recon = [64 / 127, -1.0, 32 / 127]
+    want = math.sqrt(sum((a - b) ** 2 for a, b in zip([0.5, -1.0, 0.25], recon)) / 3)
+    assert abs(got[1]["rmse"] - want) < 1e-12
+    assert got[2]["scale"] == 0.0 and got[2]["q_sum"] == 0 and got[2]["rmse"] == 0.0
+
+
+def test_license_backfill_guard(spark):
+    from openverse_catalog_spark.functions.licenses import backfill_license_url
+
+    df = spark.createDataFrame(
+        [
+            (1, "by", "4.0", None),            # missing -> filled from dim
+            (2, "by", "4.0", "http://keep/x"),  # present -> untouched
+            (3, "by-nd", "9.9", None),          # invalid pair -> stays NULL
+        ],
+        "id long, license string, license_version string, license_url string",
+    )
+    got = {r["id"]: r for r in backfill_license_url(df, spark).collect()}
+    assert got[1]["license_url"] == "https://creativecommons.org/licenses/by/4.0/"
+    assert got[1]["backfilled"] is True
+    assert got[2]["license_url"] == "http://keep/x" and got[2]["backfilled"] is False
+    assert got[3]["license_url"] is None and got[3]["backfilled"] is False
+
+
+def test_percentile_multi_count_col(spark):
+    from openverse_catalog_spark.operators.popularity import percentile_disc_multi
+
+    rows = [("a", float(v)) for v in range(1, 11)] + [("b", 7.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        r["g"]: r
+        for r in percentile_disc_multi(
+            df, ["g"], "v", {"p50": 0.5, "p95": 0.95}, count_col="n"
+        ).collect()
+    }
+    assert got["a"]["p50"] == 5.0 and got["a"]["p95"] == 10.0 and got["a"]["n"] == 10
+    assert got["b"]["p50"] == 7.0 and got["b"]["n"] == 1
