@@ -194,3 +194,21 @@ def q_multimodal_audio_chunks(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")["documents"]
     return audio_chunk_plan(attach_binary_payload(d))
+
+
+@register(
+    "stream_stateful_quota",
+    """
+    SELECT event_type, count(*) AS cum_n,
+           round(sum(value), 2) AS cum_total,
+           count(*) > 300 AS over_quota
+    FROM events GROUP BY event_type
+    """,
+)
+def q_stream_stateful_quota(spark, sf_dir):
+    """I4 as a custom stateful operator (applyInPandasWithState): per-key
+    running fetch counter + quota flag; final state matches the batch
+    aggregate whatever the micro-batching."""
+    from openverse_catalog_spark.streaming.incremental import stream_stateful_quota
+
+    return stream_stateful_quota(spark, sf_dir)

@@ -224,6 +224,75 @@ def stream_sessionize(
     return spark.table(name)
 
 
+def stream_stateful_quota(
+    spark: SparkSession, sf_dir: str, quota: int = 300
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    a per-key running (count, value-sum) with a quota flag — the
+    reference's overfetch/cutoff detection (I4,
+    time_delineated_provider_data_ingester.py:221-259) as streaming
+    state instead of an ingestion-side accumulator.
+
+    Each micro-batch updates the group's GroupState and emits the new
+    cumulative row; because cumulative counts are monotone per key, the
+    final state is recovered batch-count-independently with one
+    ``max_by`` pass over the sink — so the operator stays deterministic
+    (and oracle-checkable) however the stream is micro-batched.
+
+    State is one small tuple per key: bounded by key cardinality, not
+    stream length — the shape that survives unbounded streams."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "cum_n": [n],
+                "cum_total": [total],
+                "over_quota": [n > quota],
+            }
+        )
+
+    out = (
+        _events_stream(spark, sf_dir)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            fn,
+            outputStructType="event_type string, cum_n long, cum_total double, over_quota boolean",
+            stateStructType="n long, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    name = "stream_stateful_quota_sink"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+    # final state per key = the emission with the largest cumulative count
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.max("cum_n").alias("cum_n"),
+            F.round(F.max_by("cum_total", "cum_n"), 2).alias("cum_total"),
+            F.max_by("over_quota", "cum_n").alias("over_quota"),
+        )
+    )
+
+
 def publish_swap(
     df: DataFrame,
     base_dir: str,

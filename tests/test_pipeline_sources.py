@@ -237,3 +237,22 @@ def test_publish_swap_atomic_view(spark, sf_dir, tmp_path):
     assert spark.table("scored_media").count() == 9
     assert p1 != p2  # old snapshot retained for rollback
     assert spark.read.parquet(p1).count() == 5
+
+
+def test_stream_stateful_quota_matches_batch(spark, sf_dir):
+    from openverse_catalog_spark.session import load_tables
+    from openverse_catalog_spark.streaming.incremental import stream_stateful_quota
+
+    got = {r["event_type"]: r for r in stream_stateful_quota(spark, sf_dir).collect()}
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    want = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k, w in want.items():
+        assert got[k]["cum_n"] == w["n"]
+        assert abs(got[k]["cum_total"] - w["total"]) < 1e-6
+        assert got[k]["over_quota"] == (w["n"] > 300)
