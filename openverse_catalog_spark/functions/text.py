@@ -90,3 +90,39 @@ def fingerprint(c: Column, k: int = 8) -> Column:
         F.transform(F.array_distinct(tokens(c)), lambda t: hash60(t))
     )
     return hash60(F.concat_ws(",", F.slice(hashes, 1, k)))
+
+
+def repetition_profile(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document repetition stats (Gopher-style quality signals):
+    total tokens, distinct tokens, and the most-frequent token's count.
+    Zero-token documents are dropped (no fractions exist for them).
+
+    A Counter per row inside one Arrow-batched pass — embarrassingly
+    parallel, no shuffle; the expression-only alternative is an
+    O(distinct x tokens) interpreted HOF per row, which does not scale."""
+
+    def gen(batches):
+        import re
+        from collections import Counter
+
+        import pandas as pd
+
+        sep = re.compile(r"[^a-z0-9]+")
+        for pdf in batches:
+            ids, nt, nd, mx = [], [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in sep.split((text or "").lower()) if t]
+                if not toks:
+                    continue
+                c = Counter(toks)
+                ids.append(doc_id)
+                nt.append(len(toks))
+                nd.append(len(c))
+                mx.append(max(c.values()))
+            yield pd.DataFrame(
+                {id_col: ids, "n_tokens": nt, "n_distinct": nd, "max_count": mx}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        gen, f"{id_col} long, n_tokens long, n_distinct long, max_count long"
+    )

@@ -365,6 +365,83 @@ def ngram_jaccard_pairs(
     return out
 
 
+def doc_gram_keys(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5
+) -> DataFrame:
+    """Distinct word-n-gram keys per document as compact int64s (60-bit
+    md5 of the space-joined gram — same keying as ngram_jaccard_pairs,
+    so counts are oracle-matchable via md5 in SQL). One Arrow-batched
+    pass, no shuffle; downstream joins carry 8-byte keys, not strings."""
+    import numpy as np
+
+    def gen(batches):
+        import hashlib
+        import re
+
+        import pandas as pd
+
+        sep = re.compile(r"[^a-z0-9]+")
+        for pdf in batches:
+            out_id, out_g = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in sep.split((text or "").lower()) if t]
+                n_g = max(len(toks) - (n - 1), 1)
+                grams = {" ".join(toks[i : i + n]) for i in range(n_g)}
+                for g_str in grams:
+                    out_id.append(doc_id)
+                    out_g.append(
+                        int(hashlib.md5(g_str.encode()).hexdigest()[:15], 16)
+                    )
+            yield pd.DataFrame(
+                {
+                    id_col: np.array(out_id, dtype="int64"),
+                    "__g": np.array(out_g, dtype="int64"),
+                }
+            )
+
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .mapInPandas(gen, f"{id_col} long, __g long")
+    )
+
+
+def contamination_check(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: for every (corpus doc, benchmark doc)
+    pair sharing at least ``min_shared`` distinct word-n-grams, emit the
+    shared-gram count and the fraction of the benchmark doc covered —
+    the standard pre-training leak check (an n-gram-overlap variant of
+    the GPT-3/PaLM decontamination procedure).
+
+    Scale shape: both sides reduce to (id, gram-key) lists; the join is
+    an equi-join on the gram key, so the shuffle is proportional to the
+    gram sets, never the doc-pair cross product. The benchmark side is
+    tiny by construction — at cluster scale mark it broadcast-able."""
+    dg = doc_gram_keys(docs, id_col, text_col, n)
+    bg = doc_gram_keys(bench, bench_id_col, text_col, n)
+    bench_sizes = bg.groupBy(bench_id_col).agg(F.count("*").alias("__bsz"))
+    shared = (
+        dg.join(bg, "__g")
+        .groupBy(id_col, bench_id_col)
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return shared.join(F.broadcast(bench_sizes), bench_id_col).select(
+        id_col,
+        bench_id_col,
+        "n_shared",
+        (F.col("n_shared") / F.col("__bsz")).alias("bench_overlap"),
+    )
+
+
 def dup_components_bounded(
     pairs: DataFrame,
     rounds: int = 3,

@@ -716,3 +716,171 @@ def embed_quantize_int8(spark, sf_dir):
         "q_sum",
         F.round("rmse", 6).alias("rmse"),
     )
+
+
+# --- deterministic train/val/test split assignment -------------------------
+
+
+@register(
+    "corpus_split_assign",
+    f"""
+    SELECT doc_id,
+           {hash60_sql("CAST(doc_id AS VARCHAR)")} % 100 AS bucket,
+           CASE WHEN {hash60_sql("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'train'
+                WHEN {hash60_sql("CAST(doc_id AS VARCHAR)")} % 100 < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def corpus_split_assign(spark, sf_dir):
+    """Deterministic hash-based train/val/test assignment (90/5/5): the
+    split is a pure function of the stable doc id, so it is reproducible
+    across runs, engines and re-partitions — never sample() for splits
+    (sampling is partitioning-dependent). Zero shuffles."""
+    from openverse_catalog_spark.functions.hashing import hash60
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    bucket = hash60(F.col("doc_id").cast("string")) % 100
+    return d.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 90, "train").when(bucket < 95, "val")
+        .otherwise("test").alias("split"),
+    )
+
+
+# --- repetition profile (Gopher-style quality signal) ----------------------
+
+
+@register(
+    "text_repetition",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                t -> t <> '')) AS tok
+      FROM documents
+    ),
+    tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+    agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                   count(*) AS n_distinct, max(c) AS max_count
+            FROM tc GROUP BY doc_id)
+    SELECT doc_id, n_tokens, n_distinct,
+           round(1 - CAST(n_distinct AS DOUBLE) / n_tokens, 4) AS dup_frac,
+           round(CAST(max_count AS DOUBLE) / n_tokens, 4) AS top_frac
+    FROM agg
+    """,
+)
+def text_repetition(spark, sf_dir):
+    """Token-repetition quality signals: duplicate-token fraction and
+    top-token dominance per doc — one Arrow pass with a Counter per row
+    (no explode/shuffle; the oracle's two grouped aggregations are the
+    shape we deliberately avoid at scale)."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    prof = tx.repetition_profile(d)
+    return prof.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.round(1 - F.col("n_distinct") / F.col("n_tokens"), 4).alias("dup_frac"),
+        F.round(F.col("max_count") / F.col("n_tokens"), 4).alias("top_frac"),
+    )
+
+
+# --- benchmark decontamination check ---------------------------------------
+
+
+def _contamination_oracle() -> str:
+    gram = hash60_sql("array_to_string(tk[i:i+4], ' ')")
+    tok_cte = (
+        "SELECT {id} AS id, list_filter(string_split_regex(lower(text), "
+        "'[^a-z0-9]+'), t -> t <> '') AS tk FROM {src}"
+    )
+    grams = (
+        "SELECT DISTINCT id, " + gram + " AS g FROM ("
+        "SELECT id, tk, unnest(range(1, greatest(len(tk) - 4, 1) + 1)) AS i "
+        "FROM {toks})"
+    )
+    return f"""
+    WITH dtok AS ({tok_cte.format(id='doc_id', src='documents')}),
+    btok AS ({tok_cte.format(id='doc_id + 9000000', src='(SELECT * FROM documents WHERE doc_id % 50 = 0)')}),
+    dg AS ({grams.format(toks='dtok')}),
+    bg AS ({grams.format(toks='btok')}),
+    bsz AS (SELECT id AS bench_id, count(*) AS bsz FROM bg GROUP BY 1),
+    sh AS (SELECT dg.id AS doc_id, bg.id AS bench_id, count(*) AS n_shared
+           FROM dg JOIN bg ON dg.g = bg.g
+           GROUP BY 1, 2 HAVING count(*) >= 2)
+    SELECT doc_id, bench_id, n_shared,
+           round(CAST(n_shared AS DOUBLE) / bsz, 4) AS bench_overlap
+    FROM sh JOIN bsz USING (bench_id)
+    """
+
+
+@register("text_contamination", _contamination_oracle())
+def text_contamination(spark, sf_dir):
+    """Benchmark decontamination: which corpus docs share >= 2 distinct
+    word-5-grams with a benchmark set (here: every 50th doc, re-keyed).
+    Gram-key equi-join — shuffle scales with gram sets, not doc pairs."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    bench = d.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 9_000_000).alias("bench_id"), "text"
+    )
+    out = dd.contamination_check(d, bench, min_shared=2)
+    return out.select(
+        "doc_id", "bench_id", "n_shared",
+        F.round("bench_overlap", 4).alias("bench_overlap"),
+    )
+
+
+# --- PII pattern flags -----------------------------------------------------
+
+_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+_PHONE_RE = "\\d{3}[-.]\\d{3}[-.]\\d{4}"
+
+
+@register(
+    "text_pii_flags",
+    f"""
+    WITH salted AS (
+      SELECT doc_id,
+             text ||
+             CASE WHEN doc_id % 7 = 0
+                  THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com now'
+                  ELSE '' END ||
+             CASE WHEN doc_id % 11 = 0
+                  THEN ' call 555-867-5309 or 212.555.0000' ELSE '' END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t, '{_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(t, '{_PHONE_RE}')) AS n_phones,
+           (len(regexp_extract_all(t, '{_EMAIL_RE}'))
+            + len(regexp_extract_all(t, '{_PHONE_RE}'))) > 0 AS has_pii
+    FROM salted
+    """,
+)
+def text_pii_flags(spark, sf_dir):
+    """PII pre-filter signals: email/phone pattern counts per doc (the
+    redaction pipeline's routing bits). Pure JVM regexp at scan speed —
+    the corpus is salted with synthetic matches so both engines exercise
+    hit and miss paths."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    k = F.col("doc_id")
+    t = F.concat(
+        F.col("text"),
+        F.when(
+            k % 7 == 0,
+            F.concat(F.lit(" contact user"), k.cast("string"),
+                     F.lit("@mail.example.com now")),
+        ).otherwise(""),
+        F.when(k % 11 == 0, F.lit(" call 555-867-5309 or 212.555.0000"))
+        .otherwise(""),
+    )
+    n_em = F.size(F.regexp_extract_all(t, F.lit(_EMAIL_RE), 0))
+    n_ph = F.size(F.regexp_extract_all(t, F.lit(_PHONE_RE), 0))
+    return d.select(
+        "doc_id",
+        n_em.alias("n_emails"),
+        n_ph.alias("n_phones"),
+        ((n_em + n_ph) > 0).alias("has_pii"),
+    )

@@ -248,3 +248,34 @@ def test_percentile_multi_count_col(spark):
     }
     assert got["a"]["p50"] == 5.0 and got["a"]["p95"] == 10.0 and got["a"]["n"] == 10
     assert got["b"]["p50"] == 7.0 and got["b"]["n"] == 1
+
+
+def test_repetition_profile_golden(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x y z"), (3, "   "), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in tx.repetition_profile(df).collect()}
+    assert set(got) == {1, 2}  # empty/null docs dropped
+    assert (got[1]["n_tokens"], got[1]["n_distinct"], got[1]["max_count"]) == (4, 2, 3)
+    assert (got[2]["n_tokens"], got[2]["n_distinct"], got[2]["max_count"]) == (3, 3, 1)
+
+
+def test_contamination_finds_exact_copy_only(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three four five six seven"),
+            (2, "totally different words here nothing shared at all"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "one two three four five six seven")],
+        "bench_id long, text string",
+    )
+    got = dd.contamination_check(docs, bench, min_shared=1).collect()
+    assert len(got) == 1
+    r = got[0]
+    # doc 1 shares all 3 of the benchmark's 5-grams -> full overlap
+    assert (r["doc_id"], r["bench_id"], r["n_shared"]) == (1, 100, 3)
+    assert abs(r["bench_overlap"] - 1.0) < 1e-9
