@@ -49,6 +49,14 @@ HEADLINE = [
     "clean_coerce_types",
     "text_quality_score",
     "text_fingerprint",
+    "text_repetition",
+    "text_contamination",
+    "text_token_histogram",
+    "text_pii_flags",
+    "corpus_split_assign",
+    "embed_quantize_int8",
+    "merge_license_backfill",
+    "clean_url_domain_stats",
 ]
 
 

@@ -90,3 +90,42 @@ def test_exact_dedupe_single_shuffle(spark, sf_dir):
     # normalize+hash are narrow; the only wide op is the groupBy on the
     # hash key (union of 3 corpus branches feeds one aggregation)
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_bucketed_join_eliminates_shuffle(spark, sf_dir):
+    """Co-located join: both sides bucketed by the join key -> the
+    sort-merge join reads bucket-aligned files and needs NO exchange on
+    either side. This is the 100 TB strategy for repeated fact-fact
+    joins (bucket once at write time, join shuffle-free forever)."""
+    from openverse_catalog_spark.session import load_tables
+
+    t = load_tables(spark, sf_dir, ["orders", "customer"])
+    spark.sql("DROP TABLE IF EXISTS tb_orders")
+    spark.sql("DROP TABLE IF EXISTS tb_customer")
+    try:
+        t["orders"].write.bucketBy(4, "o_custkey").sortBy("o_custkey").mode(
+            "overwrite"
+        ).format("parquet").saveAsTable("tb_orders")
+        t["customer"].write.bucketBy(4, "c_custkey").sortBy("c_custkey").mode(
+            "overwrite"
+        ).format("parquet").saveAsTable("tb_customer")
+        j = (
+            spark.table("tb_orders")
+            .join(
+                spark.table("tb_customer"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .select("o_orderkey", "c_name")
+        )
+        # force the sort-merge path (broadcast would hide the bucketing)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = _plan(j)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert "Bucketed: true" in plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS tb_orders")
+        spark.sql("DROP TABLE IF EXISTS tb_customer")
