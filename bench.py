@@ -57,6 +57,7 @@ HEADLINE = [
     "embed_quantize_int8",
     "merge_license_backfill",
     "clean_url_domain_stats",
+    "dedup_funnel",
 ]
 
 

@@ -75,9 +75,12 @@ def dedup_exact_text(spark, sf_dir):
 _N_SEEDS, _N_BANDS, _K = 16, 4, 5
 
 
-def _minhash_pair_ctes() -> str:
+def _minhash_pair_ctes(src: str = "corpus") -> str:
     """The shared CTE chain ending in ``cand_pairs(id_a, id_b)`` —
-    reused by the pair query and the components query."""
+    reused by the pair, components and funnel queries. ``src`` is the
+    (doc_id, text) CTE the chain reads; when it is not the default
+    corpus, the caller supplies the source CTEs and the leading corpus
+    CTE is still emitted first (sources derive from it)."""
     from openverse_catalog_spark.functions.hashing import (
         MERSENNE_P,
         perm_params,
@@ -99,9 +102,9 @@ def _minhash_pair_ctes() -> str:
             f"SELECT doc_id, {b} AS band, {hash60_sql('(' + concat + ')')} AS key FROM mh"
         )
     bands = "\n      UNION ALL ".join(band_selects)
+    lead = f"corpus AS ({_CORPUS_SQL}),\n    " if src == "corpus" else ""
     return f"""
-    corpus AS ({_CORPUS_SQL}),
-    t AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM corpus),
+    {lead}t AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM {src}),
     sh AS (SELECT DISTINCT doc_id, substr(t, i, {_K}) AS sh FROM (
              SELECT doc_id, t,
                     unnest(range(1, greatest(length(t) - {_K - 1}, 1) + 1)) AS i
@@ -274,7 +277,9 @@ def knn_lsh_bucketed(spark, sf_dir):
     )
 
 
-def _components_oracle(rounds: int = 3) -> str:
+def _label_prop_sql(rounds: int = 3) -> tuple[str, str]:
+    """CTE fragment for bounded min-label propagation over ``cand_pairs``;
+    returns (fragment, final_cte_name)."""
     prev = "l0"
     steps = []
     for r in range(1, rounds + 1):
@@ -287,14 +292,20 @@ def _components_oracle(rounds: int = 3) -> str:
         )
         prev = f"l{r}"
     chain = ",\n    ".join(steps)
-    return f"""
-    WITH {_minhash_pair_ctes()},
-    edges AS (SELECT id_a AS src, id_b AS dst FROM cand_pairs
+    frag = f"""edges AS (SELECT id_a AS src, id_b AS dst FROM cand_pairs
               UNION ALL
               SELECT id_b AS src, id_a AS dst FROM cand_pairs),
     l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
-    {chain}
-    SELECT node AS doc_id, label AS canonical_id FROM {prev}
+    {chain}"""
+    return frag, prev
+
+
+def _components_oracle(rounds: int = 3) -> str:
+    frag, last = _label_prop_sql(rounds)
+    return f"""
+    WITH {_minhash_pair_ctes()},
+    {frag}
+    SELECT node AS doc_id, label AS canonical_id FROM {last}
     """
 
 
@@ -883,4 +894,64 @@ def text_pii_flags(spark, sf_dir):
         n_em.alias("n_emails"),
         n_ph.alias("n_phones"),
         ((n_em + n_ph) > 0).alias("has_pii"),
+    )
+
+
+# --- dedup funnel: per-stage survivor accounting ---------------------------
+
+
+def _funnel_oracle() -> str:
+    frag, last = _label_prop_sql(3)
+    return f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    hashed AS (SELECT doc_id, {hash60_sql(_NORM_SQL)} AS h FROM corpus),
+    s1k AS (SELECT min(doc_id) AS doc_id FROM hashed GROUP BY h),
+    surv1 AS (SELECT c.doc_id, c.text FROM corpus c JOIN s1k USING (doc_id)),
+    {_minhash_pair_ctes(src="surv1")},
+    {frag},
+    drops AS (SELECT node FROM {last} WHERE label <> node),
+    n0 AS (SELECT count(*) AS c FROM corpus),
+    n1 AS (SELECT count(*) AS c FROM surv1),
+    n2 AS (SELECT (SELECT c FROM n1) - count(*) AS c FROM drops)
+    SELECT '00_ingested' AS stage, c AS n_docs FROM n0
+    UNION ALL SELECT '10_exact_dedup' AS stage, c AS n_docs FROM n1
+    UNION ALL SELECT '20_near_dedup' AS stage, c AS n_docs FROM n2
+    """
+
+
+@register("dedup_funnel", _funnel_oracle())
+def dedup_funnel(spark, sf_dir):
+    """The full dedup pipeline as one job with per-stage survivor counts
+    (the report a corpus-curation run actually ships): ingested -> exact
+    keeper per normalized-text hash -> MinHash-LSH near-dup components,
+    non-canonical members dropped. Composes the same operators the
+    individual queries pin, so the funnel is oracle-checked end to end."""
+    from openverse_catalog_spark.functions.hashing import hash60
+    from openverse_catalog_spark.operators.dedupe import normalize_text
+
+    corpus = _corpus(spark, sf_dir)
+    # stage 1: exact dedup — keep the smallest doc_id per text hash
+    keepers = (
+        corpus.select("doc_id", hash60(normalize_text(F.col("text"))).alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    surv1 = corpus.join(keepers, "doc_id")
+    # stage 2: near-dup components on the exact survivors
+    sigs = dd.minhash_signatures(surv1, "doc_id", "text", _N_SEEDS, _K)
+    pairs = dd.minhash_lsh_pairs(sigs, "doc_id", _N_SEEDS, _N_BANDS)
+    comps = dd.dup_components_bounded(pairs, rounds=3)
+    drops = comps.filter(F.col("canonical_id") != F.col("doc_id")).select("doc_id")
+    surv2 = surv1.join(drops, "doc_id", "left_anti")
+
+    def _n(df, stage):
+        return df.agg(F.count("*").alias("n_docs")).select(
+            F.lit(stage).alias("stage"), "n_docs"
+        )
+
+    return (
+        _n(corpus, "00_ingested")
+        .unionAll(_n(surv1, "10_exact_dedup"))
+        .unionAll(_n(surv2, "20_near_dedup"))
     )
