@@ -58,6 +58,8 @@ HEADLINE = [
     "merge_license_backfill",
     "clean_url_domain_stats",
     "dedup_funnel",
+    "text_pii_redact",
+    "agg_rollup_day_type",
 ]
 
 

@@ -621,3 +621,31 @@ def json_metric_extract(spark, sf_dir):
         F.count(F.when(k > 50, 1)).alias("n_high"),
         F.round(F.avg(k / (k + F.lit(25.0))), 6).alias("std_pop"),
     )
+
+
+@register(
+    "agg_rollup_day_type",
+    """
+    SELECT COALESCE(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL') AS day,
+           COALESCE(event_type, 'ALL') AS event_type,
+           count(*) AS n, round(sum(value), 2) AS total
+    FROM events
+    GROUP BY ROLLUP (date_trunc('day', ts), event_type)
+    """,
+)
+def agg_rollup_day_type(spark, sf_dir):
+    """Hierarchical rollup (day, event_type) -> day -> grand total in ONE
+    pass — engine capability past the reference's surface (it has no
+    grouping sets; SURVEY §2.5). Spark expands the rollup map-side, so it
+    is still a single shuffle with partial aggregation."""
+    e = _t(spark, sf_dir, "events")["events"]
+    return (
+        e.rollup(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("d"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.coalesce("d", F.lit("ALL")).alias("day"),
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            "n",
+            "total",
+        )
+    )

@@ -955,3 +955,51 @@ def dedup_funnel(spark, sf_dir):
         .unionAll(_n(surv1, "10_exact_dedup"))
         .unionAll(_n(surv2, "20_near_dedup"))
     )
+
+
+@register(
+    "text_pii_redact",
+    f"""
+    WITH salted AS (
+      SELECT doc_id,
+             text ||
+             CASE WHEN doc_id % 7 = 0
+                  THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com now'
+                  ELSE '' END ||
+             CASE WHEN doc_id % 11 = 0
+                  THEN ' call 555-867-5309 or 212.555.0000' ELSE '' END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           {hash60_sql("regexp_replace(regexp_replace(t, '" + _EMAIL_RE + "', '[EMAIL]', 'g'), '" + _PHONE_RE + "', '[PHONE]', 'g')")} AS redacted_hash,
+           length(t) - length(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '[EMAIL]', 'g'), '{_PHONE_RE}', '[PHONE]', 'g')) AS chars_removed
+    FROM salted
+    """,
+)
+def text_pii_redact(spark, sf_dir):
+    """PII redaction: replace every email/phone match with a placeholder
+    token — the write path of the PII pipeline (flags route, this
+    rewrites). Pure JVM regexp_replace at scan speed; the oracle compares
+    a hash of the redacted text plus the removed-character delta."""
+    from openverse_catalog_spark.functions.hashing import hash60
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    k = F.col("doc_id")
+    t = F.concat(
+        F.col("text"),
+        F.when(
+            k % 7 == 0,
+            F.concat(F.lit(" contact user"), k.cast("string"),
+                     F.lit("@mail.example.com now")),
+        ).otherwise(""),
+        F.when(k % 11 == 0, F.lit(" call 555-867-5309 or 212.555.0000"))
+        .otherwise(""),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(t, _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+    )
+    return d.select(
+        "doc_id",
+        hash60(red).alias("redacted_hash"),
+        (F.length(t) - F.length(red)).cast("bigint").alias("chars_removed"),
+    )
