@@ -60,6 +60,8 @@ HEADLINE = [
     "dedup_funnel",
     "text_pii_redact",
     "agg_rollup_day_type",
+    "join_asof_last_click",
+    "join_range_clicks_after_signup",
 ]
 
 

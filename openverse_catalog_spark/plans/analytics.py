@@ -649,3 +649,95 @@ def agg_rollup_day_type(spark, sf_dir):
             "total",
         )
     )
+
+
+@register(
+    "join_asof_last_click",
+    """
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT * FROM events WHERE event_type = 'click'),
+         m AS (
+           SELECT p.event_id, c.event_id AS click_id,
+                  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+           FROM p ASOF LEFT JOIN c
+             ON p.user_id = c.user_id AND p.ts >= c.ts
+         )
+    SELECT event_id,
+           CASE WHEN gap_us <= 86400000000 THEN click_id END AS click_id,
+           CASE WHEN gap_us <= 86400000000 THEN gap_us END AS gap_us
+    FROM m
+    """,
+)
+def join_asof_last_click(spark, sf_dir):
+    """As-of join (capability past the reference — SURVEY §2.3 notes it
+    has none): each purchase matched to the user's latest click at or
+    before it, null if none within 24 h. Union+window implementation —
+    ONE shuffle on user_id, no inequality join (which Spark would plan
+    as a per-key nested loop). Oracle is DuckDB's native ASOF JOIN, so
+    the semantics are pinned against an independent implementation."""
+    from openverse_catalog_spark.operators.joins import asof_join
+
+    e = _t(spark, sf_dir, "events")["events"]
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    res = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        right_cols=["click_id"],
+        tolerance_s=86_400,
+    )
+    return res.select("event_id", "click_id", F.col("_asof_gap_us").alias("gap_us"))
+
+
+@register(
+    "join_range_clicks_after_signup",
+    """
+    SELECT s.event_id,
+           count(c.event_id) AS n_clicks,
+           max(epoch_us(c.ts)) AS last_click_us
+    FROM (SELECT * FROM events WHERE event_type = 'signup') s
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = s.user_id
+     AND c.ts > s.ts AND c.ts <= s.ts + INTERVAL 24 HOUR
+    GROUP BY s.event_id
+    """,
+)
+def join_range_clicks_after_signup(spark, sf_dir):
+    """Bounded range join (interval join — absent from both the
+    reference and Spark's primitives): clicks within 24 h after each
+    signup, aggregated per signup. Bucketed rewrite — both sides keyed
+    by (user_id, 24h-bucket) with the left duplicated into ≤2 buckets,
+    so the physical plan is a hash equi-join + filter, never the
+    nested-loop an inequality join would cost. Unmatched signups kept
+    via a left join back onto the anchor set (count 0)."""
+    from openverse_catalog_spark.operators.joins import range_join_bucketed
+
+    e = _t(spark, sf_dir, "events")["events"]
+    signups = e.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    pairs = range_join_bucketed(
+        signups,
+        clicks,
+        on=["user_id"],
+        lower_s=0,
+        upper_s=86_400,
+        right_cols=["ts", "click_id"],
+    )
+    per_signup = pairs.groupBy("event_id").agg(
+        F.count("r_click_id").alias("n_clicks"),
+        F.max(F.unix_micros("r_ts")).alias("last_click_us"),
+    )
+    return signups.select("event_id").join(per_signup, "event_id", "left").select(
+        "event_id",
+        F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+        "last_click_us",
+    )

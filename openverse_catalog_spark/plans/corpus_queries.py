@@ -937,7 +937,10 @@ def dedup_funnel(spark, sf_dir):
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    surv1 = corpus.join(keepers, "doc_id")
+    # materialize once: surv1 feeds three consumers (its own count, the
+    # MinHash signature pass, and the anti-join's left side) — without
+    # this the scan + hash + groupBy + join lineage runs 3x
+    surv1 = corpus.join(keepers, "doc_id").localCheckpoint()
     # stage 2: near-dup components on the exact survivors
     sigs = dd.minhash_signatures(surv1, "doc_id", "text", _N_SEEDS, _K)
     pairs = dd.minhash_lsh_pairs(sigs, "doc_id", _N_SEEDS, _N_BANDS)
