@@ -18,6 +18,7 @@ from openverse_catalog_spark.plans import merge_queries as _merge  # noqa: F401
 from openverse_catalog_spark.plans import corpus_queries as _corpus  # noqa: F401
 from openverse_catalog_spark.plans import stream_queries as _stream  # noqa: F401
 from openverse_catalog_spark.plans import clean_queries as _clean  # noqa: F401
+from openverse_catalog_spark.plans import sampling_queries as _sampling  # noqa: F401
 from openverse_catalog_spark.plans.analytics import ORACLES, QUERIES
 
 

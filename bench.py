@@ -62,6 +62,8 @@ HEADLINE = [
     "agg_rollup_day_type",
     "join_asof_last_click",
     "join_range_clicks_after_signup",
+    "corpus_mix_langs",
+    "sample_stratified_source",
 ]
 
 

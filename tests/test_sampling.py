@@ -1,0 +1,97 @@
+"""Sampling operator invariants: determinism across partitionings, exact
+stratified cardinality, mix-rate math, and shuffle-free fact-side plans."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from openverse_catalog_spark.operators import sampling as smp
+from openverse_catalog_spark.session import load_tables
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_tables(spark, sf_dir, ("documents",))["documents"]
+
+
+def _ids(df):
+    return sorted(r.doc_id for r in df.select("doc_id").collect())
+
+
+def test_hash_sample_partition_independent(docs):
+    a = _ids(smp.hash_sample(docs, "doc_id", 0.3, "s"))
+    b = _ids(smp.hash_sample(docs.repartition(13, "source"), "doc_id", 0.3, "s"))
+    assert a == b and 0 < len(a) < docs.count()
+
+
+def test_hash_sample_salts_independent(docs):
+    a = set(_ids(smp.hash_sample(docs, "doc_id", 0.5, "saltA")))
+    b = set(_ids(smp.hash_sample(docs, "doc_id", 0.5, "saltB")))
+    # different salts -> different (overlapping ~25%) draws
+    assert a != b and a & b
+
+
+def test_hash_sample_rate_monotone(docs):
+    small = set(_ids(smp.hash_sample(docs, "doc_id", 0.1, "s")))
+    big = set(_ids(smp.hash_sample(docs, "doc_id", 0.4, "s")))
+    assert small <= big  # nested samples: raising the rate only adds rows
+
+
+def test_stratified_exact_n(docs):
+    out = smp.stratified_sample(docs, ["source"], 3, "doc_id")
+    per = out.groupBy("source").count().collect()
+    n_sources = docs.select("source").distinct().count()
+    assert len(per) == n_sources and all(r["count"] == 3 for r in per)
+    # deterministic under repartitioning
+    again = smp.stratified_sample(
+        docs.repartition(7), ["source"], 3, "doc_id"
+    )
+    assert _ids(out) == _ids(again)
+
+
+def test_domain_mix_rates_and_proportions(docs):
+    weights = {"en": 0.3, "de": 0.2, "es": 0.2, "fr": 0.15, "zh": 0.15}
+    rates = {
+        r.domain: (r.rate, r.n_rows)
+        for r in smp.domain_mix_rates(docs, "lang", weights).collect()
+    }
+    assert max(rate for rate, _ in rates.values()) == pytest.approx(1.0)
+    mixed = smp.domain_mix(docs, "doc_id", "lang", weights)
+    got = {r.lang: r["count"] for r in mixed.groupBy("lang").count().collect()}
+    # kept counts should track the target ratio (hash noise ~ sqrt(n))
+    binding = max(rates, key=lambda d: rates[d][0])
+    scale = got[binding] / weights[binding]
+    for lang, w in weights.items():
+        assert got[lang] == pytest.approx(w * scale, rel=0.35)
+
+
+def test_domain_mix_unknown_domain_dropped(spark):
+    df = spark.createDataFrame(
+        [(i, "keep" if i % 2 else "junk") for i in range(100)], "id long, d string"
+    )
+    out = smp.domain_mix(df, "id", "d", {"keep": 1.0})
+    assert out.filter(F.col("d") == "junk").count() == 0
+    assert out.count() == 50  # binding domain keeps everything
+
+
+def _plan(df):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_hash_sample_is_narrow(docs):
+    plan = _plan(smp.hash_sample(docs, "doc_id", 0.2))
+    assert "Exchange" not in plan  # pure filter: no shuffle at any scale
+
+
+def test_domain_mix_fact_side_not_shuffled(docs):
+    plan = _plan(smp.domain_mix(docs, "doc_id", "lang", {"en": 1.0, "de": 1.0}))
+    # rate table joins via broadcast; the only exchanges allowed are the
+    # tiny rate-table aggregation, never a repartition of the fact scan
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
