@@ -64,6 +64,8 @@ HEADLINE = [
     "join_range_clicks_after_signup",
     "corpus_mix_langs",
     "sample_stratified_source",
+    "corpus_pack_sequences",
+    "corpus_chunk_docs",
 ]
 
 
