@@ -66,6 +66,7 @@ HEADLINE = [
     "sample_stratified_source",
     "corpus_pack_sequences",
     "corpus_chunk_docs",
+    "sketch_cms_heavy_hitters",
 ]
 
 

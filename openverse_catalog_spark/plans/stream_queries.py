@@ -17,10 +17,33 @@ from openverse_catalog_spark.operators.multimodal import (
 )
 from openverse_catalog_spark.plans.analytics import _t, register
 from openverse_catalog_spark.streaming.incremental import (
+    stream_click_purchase_join,
     stream_merge_foreach_batch,
     stream_windowed_counts,
     watermarked_late_counts,
 )
+
+
+@register(
+    "stream_stream_join",
+    """
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+    FROM events p
+    JOIN events c
+      ON c.user_id = p.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+    """,
+)
+def q_stream_stream_join(spark, sf_dir):
+    """Watermarked stream-stream interval join (purchase x prior-hour
+    clicks per user) run to completion under AvailableNow; the emitted
+    append-mode matches must equal the batch interval join the oracle
+    runs. The equi-key (user_id) + time-range condition keeps streaming
+    state bounded by the watermark."""
+    return stream_click_purchase_join(spark, sf_dir)
 
 
 @register(

@@ -83,6 +83,61 @@ def stream_windowed_counts(
     return spark.table(name)
 
 
+def stream_click_purchase_join(
+    spark: SparkSession, sf_dir: str, within: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream inner join: purchases matched to the same user's
+    clicks in the hour before (strict). Both sides carry watermarks and
+    the join condition pairs the user_id equi-key with an event-time
+    range, so Spark plans a symmetric hash join partitioned on user_id
+    whose per-key state is bounded by watermark + range — the form that
+    runs indefinitely on unbounded streams (a condition without the
+    time bound would accrete state forever). AvailableNow to a memory
+    sink; the emitted matches equal the batch interval join, which is
+    the oracle."""
+    ev = _events_stream(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", within)
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", within)
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            f"p_user = c_user AND c_ts >= p_ts - INTERVAL {within}"
+            " AND c_ts < p_ts"
+        ),
+    ).select(
+        "purchase_id",
+        "click_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+    )
+    name = "stream_click_purchase_join_sink"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def watermarked_late_counts(
     spark: SparkSession, sf_dir: str, window: str = "1 day", watermark: str = "2 hours"
 ) -> DataFrame:

@@ -1,0 +1,74 @@
+"""Sketch invariants: CMS one-sided error and mergeability; HLL
+(Datasketches) partial-union equivalence — the properties that make both
+safe to distribute across partitions, batches, and days."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from openverse_catalog_spark.operators import sketches as sk
+
+
+@pytest.fixture(scope="module")
+def vals(spark):
+    # zipf-ish: value v appears (101 - v) times, v in 1..100
+    rows = [(v,) for v in range(1, 101) for _ in range(101 - v)]
+    return spark.createDataFrame(rows, "v long")
+
+
+def test_cms_never_underestimates(vals, spark):
+    grid = sk.cms_build(vals, "v", width=32, depth=4)
+    cand = vals.distinct()
+    est = sk.cms_estimate(cand, "v", grid, 32, 4)
+    truth = vals.groupBy("v").agg(F.count(F.lit(1)).alias("t"))
+    joined = est.join(truth, "v").collect()
+    assert len(joined) == 100
+    assert all(r.est >= r.t for r in joined)  # one-sided by construction
+    # depth*width = 128 cells for 100 keys: top keys should be near-exact
+    top = {r.v: (r.est, r.t) for r in joined if r.v <= 5}
+    for est_v, t in top.values():
+        assert est_v - t <= 0.1 * sum(101 - v for v in range(1, 101))
+
+
+def test_cms_grids_merge_by_addition(vals, spark):
+    half1 = vals.filter(F.col("v") % 2 == 0)
+    half2 = vals.filter(F.col("v") % 2 == 1)
+    merged = (
+        sk.cms_build(half1, "v", 32, 4)
+        .unionByName(sk.cms_build(half2, "v", 32, 4))
+        .groupBy("row", "cell")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = sk.cms_build(vals, "v", 32, 4)
+    key = lambda r: (r.row, r.cell, r.cnt)  # noqa: E731
+    assert sorted(map(key, merged.collect())) == sorted(map(key, whole.collect()))
+
+
+def test_cms_estimate_zero_for_unseen(vals, spark):
+    grid = sk.cms_build(vals.filter("v <= 3"), "v", 1024, 4)
+    cand = spark.createDataFrame([(999999,)], "v long")
+    est = sk.cms_estimate(cand, "v", grid, 1024, 4).collect()
+    # wide grid -> no collision; unseen value estimates 0 via the left join
+    assert est[0].est == 0
+
+
+def test_hll_partial_union_matches_direct(spark):
+    df = spark.createDataFrame([(i % 400, i % 3) for i in range(5000)], "v long, g int")
+    direct = df.agg(F.hll_sketch_estimate(F.hll_sketch_agg("v")).alias("n")).head().n
+    merged = (
+        df.groupBy("g")
+        .agg(F.hll_sketch_agg("v").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n"))
+        .head()
+        .n
+    )
+    # partial sketches per group unioned == one-shot sketch: same digest
+    assert merged == direct
+    assert abs(direct - 400) / 400 < 0.05
+
+
+def test_approx_count_distinct_error_bounded(spark):
+    df = spark.createDataFrame([(i % 1000,) for i in range(20000)], "v long")
+    approx = df.agg(F.approx_count_distinct("v", rsd=0.02).alias("n")).head().n
+    assert abs(approx - 1000) / 1000 < 0.06
