@@ -67,6 +67,8 @@ HEADLINE = [
     "corpus_pack_sequences",
     "corpus_chunk_docs",
     "sketch_cms_heavy_hitters",
+    "quality_report_orders",
+    "agg_salted_distinct_users",
 ]
 
 

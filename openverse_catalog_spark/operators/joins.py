@@ -38,6 +38,70 @@ from pyspark.sql import functions as F
 US_PER_SEC = 1_000_000
 
 
+def salted_count_distinct(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    val_col: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Exact COUNT(DISTINCT val) per key, skew-proof via value-salting.
+
+    A plain grouped countDistinct must co-locate every row of a hot key
+    on one task. Salting by hash(value) % R splits each key's DISTINCT
+    state across R tasks — correct because a given value always lands in
+    the same salt bucket, so bucket-local distinct counts sum to the
+    exact global one. Two shuffles, but the second moves only
+    |keys| x R rows. Returns (key_cols..., n_distinct).
+    """
+    from openverse_catalog_spark.functions.hashing import hash60
+
+    salt = (hash60(F.col(val_col).cast("string")) % F.lit(n_salts)).alias(
+        "_salt"
+    )
+    partial = (
+        df.select(*key_cols, val_col, salt)
+        .groupBy(*key_cols, "_salt")
+        .agg(F.countDistinct(val_col).alias("_nd"))
+    )
+    return partial.groupBy(*key_cols).agg(
+        F.sum("_nd").alias("n_distinct")
+    )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: Sequence[str],
+    salt_src: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Inner equi-join with the fact side salted and the dim replicated.
+
+    For a dim too big to broadcast joined on a skewed key: a sort-merge
+    join puts every row of a hot key in one task. Salting the fact by
+    hash(salt_src) % R and exploding the dim into all R salt values
+    spreads each key over R tasks at the cost of an R x dim-size
+    replica (choose R so R·|dim| ≪ |fact|). Result set is identical to
+    the unsalted join. AQE's skew-join split handles moderate skew
+    automatically; this is the explicit form for the extreme tail.
+    """
+    from openverse_catalog_spark.functions.hashing import hash60
+
+    on = list(on)
+    f = fact.withColumn(
+        "_salt", hash60(F.col(salt_src).cast("string")) % F.lit(n_salts)
+    )
+    d = dim.withColumn(
+        "_salt",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("bigint"), F.lit(n_salts - 1).cast("bigint")
+            )
+        ),
+    )
+    return f.join(d, [*on, "_salt"]).drop("_salt")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -741,3 +741,22 @@ def join_range_clicks_after_signup(spark, sf_dir):
         F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
         "last_click_us",
     )
+
+
+@register(
+    "agg_salted_distinct_users",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_distinct
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_salted_distinct_users(spark, sf_dir):
+    """Skew-proof exact distinct: 5 event types over the whole table is
+    the worst-case hot-key shape for COUNT(DISTINCT). Value-salting
+    splits each key's distinct state over 16 tasks (same value -> same
+    salt bucket, so bucket counts sum exactly); the second shuffle moves
+    only keys x 16 rows. The oracle is the plain grouped DISTINCT."""
+    from openverse_catalog_spark.operators.joins import salted_count_distinct
+
+    e = _t(spark, sf_dir, "events")["events"]
+    return salted_count_distinct(e, ["event_type"], "user_id", 16)
