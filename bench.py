@@ -69,6 +69,8 @@ HEADLINE = [
     "sketch_cms_heavy_hitters",
     "quality_report_orders",
     "agg_salted_distinct_users",
+    "merge_snapshot_diff",
+    "corpus_vocab_topk",
 ]
 
 

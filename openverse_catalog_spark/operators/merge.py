@@ -27,6 +27,8 @@ Python runs per-row: every strategy is a Catalyst expression.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -172,3 +174,42 @@ def merge_metrics(
         "upserted": upserted,
         "url_dup": loaded - missing - fid_dups - upserted,
     }
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Change-data capture between two keyed snapshots: one row per key
+    that was added, removed, or changed (unchanged keys are dropped).
+
+    Each side is reduced to (keys, row_hash) BEFORE the join — the
+    md5-of-concatenated-columns collapses arbitrarily wide rows to one
+    64-char value, so the full-outer join shuffles keys + a hash, not
+    the payload. The join is a plain equi-join on the keys (bucketable /
+    AQE-splittable); diffing two 100 TB snapshots moves only key+hash.
+    NULLs hash distinctly from empty strings via a sentinel.
+    """
+    def hashed(df: DataFrame, alias: str) -> DataFrame:
+        parts = []
+        for c in compare_cols:
+            parts.append(F.coalesce(F.col(c).cast("string"), F.lit("\x00null")))
+            parts.append(F.lit("\x1f"))
+        return df.select(
+            *keys, F.md5(F.concat(*parts)).alias(alias)
+        )
+
+    o = hashed(old, "_oh")
+    n = hashed(new, "_nh")
+    joined = o.join(n, list(keys), "full_outer")
+    change = (
+        F.when(F.col("_oh").isNull(), F.lit("added"))
+        .when(F.col("_nh").isNull(), F.lit("removed"))
+        .when(F.col("_oh") != F.col("_nh"), F.lit("changed"))
+    )
+    return (
+        joined.select(*keys, change.alias("change_type"))
+        .filter(F.col("change_type").isNotNull())
+    )

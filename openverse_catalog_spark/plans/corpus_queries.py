@@ -1006,3 +1006,84 @@ def text_pii_redact(spark, sf_dir):
         hash60(red).alias("redacted_hash"),
         (F.length(t) - F.length(red)).cast("bigint").alias("chars_removed"),
     )
+
+
+# --- vocabulary construction / coverage ------------------------------------
+
+_UNNEST_TOKS = (
+    "SELECT lang, unnest(list_filter(string_split_regex(lower(text),"
+    " '[^a-z0-9]+'), x -> x <> '')) AS tok FROM documents"
+)
+
+
+@register(
+    "corpus_vocab_topk",
+    f"""
+    SELECT tok AS token, count(*) AS cnt
+    FROM ({_UNNEST_TOKS})
+    GROUP BY tok
+    ORDER BY cnt DESC, token
+    LIMIT 50
+    """,
+)
+def corpus_vocab_topk(spark, sf_dir):
+    """Vocabulary construction: global token counts, top 50 with a
+    deterministic (count desc, token) tie-break. The explode multiplies
+    rows but stays narrow; the groupBy partially aggregates map-side so
+    the shuffle carries one row per distinct token per task — the only
+    scalable shape for a 100 TB vocab count."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    toks = d.select(F.explode(tx.tokens(F.col("text"))).alias("token"))
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "token")
+        .limit(50)
+    )
+
+
+@register(
+    "corpus_oov_rate",
+    f"""
+    WITH toks AS ({_UNNEST_TOKS}),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+        ORDER BY cnt DESC, tok LIMIT 30
+      )
+    )
+    SELECT t.lang,
+           count(*) AS n_tokens,
+           round(CAST(count(*) FILTER (WHERE v.tok IS NULL) AS DOUBLE)
+                 / count(*), 6) AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+    GROUP BY t.lang
+    """,
+)
+def corpus_oov_rate(spark, sf_dir):
+    """Vocabulary coverage: per-language fraction of token occurrences
+    outside the global top-30 vocab — the OOV metric that decides vocab
+    size. The vocab is tiny by construction, so coverage scoring is a
+    broadcast join against the exploded token stream; no token shuffle
+    beyond the vocab count itself."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    toks = d.select("lang", F.explode(tx.tokens(F.col("text"))).alias("tok"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "tok")
+        .limit(30)
+        .select("tok", F.lit(1).alias("_v"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(F.when(F.col("_v").isNull(), 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("oov_rate"),
+        )
+    )

@@ -546,3 +546,54 @@ def merge_idempotent_reingest(spark, sf_dir):
         F.round("total", 2).alias("total"),
         F.array_join(F.col("tags"), "|").alias("tags_s"),
     )
+
+
+@register(
+    "merge_snapshot_diff",
+    """
+    WITH old AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 11 <> 3
+    ),
+    new AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 13 <> 5
+    )
+    SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN o.o_totalprice <> n.o_totalprice
+                  OR o.o_custkey <> n.o_custkey
+                  OR o.o_orderstatus <> n.o_orderstatus THEN 'changed'
+           END AS change_type
+    FROM old o FULL JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE NOT (o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+               AND o.o_totalprice = n.o_totalprice
+               AND o.o_custkey = n.o_custkey
+               AND o.o_orderstatus = n.o_orderstatus)
+    """,
+)
+def merge_snapshot_diff(spark, sf_dir):
+    """CDC between two snapshot versions (the incremental form of the
+    reference's full-refresh diffing): rows are reduced to (key,
+    md5-row-hash) BEFORE the full-outer join, so diffing wide snapshots
+    shuffles keys + 32 bytes instead of the payload. Old/new versions
+    are carved from orders identically on both engines (dropped keys ->
+    added/removed; +1 price for every 7th key -> changed)."""
+    from openverse_catalog_spark.operators.merge import snapshot_diff
+
+    o = _t(spark, sf_dir, "orders")["orders"].select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    old = o.filter(F.col("o_orderkey") % 11 != 3)
+    new = o.filter(F.col("o_orderkey") % 13 != 5).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return snapshot_diff(
+        old, new, ["o_orderkey"], ["o_custkey", "o_orderstatus", "o_totalprice"]
+    )

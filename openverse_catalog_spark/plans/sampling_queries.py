@@ -104,3 +104,31 @@ def corpus_mix_langs(spark, sf_dir):
     return smp.domain_mix(d, "doc_id", "lang", _MIX_WEIGHTS, _MIX_SALT).select(
         "doc_id", "lang"
     )
+
+
+_TOPK_SALT, _TOPK_N = "res1", 50
+
+
+@register(
+    "sample_topk_hash",
+    f"""
+    SELECT doc_id, source FROM documents
+    ORDER BY {smp.keyhash_sql("doc_id", _TOPK_SALT)}, doc_id
+    LIMIT {_TOPK_N}
+    """,
+)
+def sample_topk_hash(spark, sf_dir):
+    """Fixed-size uniform draw (the deterministic reservoir analog):
+    the 50 smallest salted key-hashes. Spark plans TakeOrderedAndProject
+    — each partition keeps a local top-50 heap and only those rows reach
+    the driver-side merge, so no global sort and no full shuffle at any
+    scale. Same nested-sample property as hash_sample: growing n only
+    adds rows."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    h = smp._keyhash(F.col("doc_id"), _TOPK_SALT)
+    return (
+        d.select("doc_id", "source", h.alias("_h"))
+        .orderBy("_h", "doc_id")
+        .limit(_TOPK_N)
+        .drop("_h")
+    )

@@ -106,3 +106,31 @@ def test_salted_join_equals_plain_join(skewed, spark):
         for r in salted_join(skewed, dim, ["k"], salt_src="v", n_salts=8).collect()
     )
     assert salted == plain and len(plain) > 0
+
+
+def test_snapshot_diff_classifies_and_drops_unchanged(spark):
+    from openverse_catalog_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", None), (4, "d", 4.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "B", 2.0), (3, "c", 3.0), (5, "e", 5.0)],
+        "k long, s string, v double",
+    )
+    got = {
+        r.k: r.change_type
+        for r in snapshot_diff(old, new, ["k"], ["s", "v"]).collect()
+    }
+    # 1 unchanged -> absent; NULL -> value counts as a change (k=3)
+    assert got == {2: "changed", 3: "changed", 4: "removed", 5: "added"}
+
+
+def test_snapshot_diff_null_vs_empty_string_distinct(spark):
+    from openverse_catalog_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame([(1, None)], "k long, s string")
+    new = spark.createDataFrame([(1, "")], "k long, s string")
+    got = snapshot_diff(old, new, ["k"], ["s"]).collect()
+    assert len(got) == 1 and got[0].change_type == "changed"

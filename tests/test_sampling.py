@@ -95,3 +95,14 @@ def test_domain_mix_fact_side_not_shuffled(docs):
     # rate table joins via broadcast; the only exchanges allowed are the
     # tiny rate-table aggregation, never a repartition of the fact scan
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_topk_hash_uses_partial_topk_not_full_sort(docs):
+    from openverse_catalog_spark.plans import sampling_queries as sq
+
+    df = sq.sample_topk_hash(docs.sparkSession, "/root/testdata/sf0.001")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "TakeOrderedAndProject" in plan  # per-partition heap, no global sort
