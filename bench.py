@@ -81,6 +81,11 @@ def main() -> None:
     from openverse_catalog_spark.plans import merge_queries  # noqa: F401
     from openverse_catalog_spark.plans import corpus_queries  # noqa: F401
     from openverse_catalog_spark.plans import clean_queries  # noqa: F401
+    from openverse_catalog_spark.plans import sampling_queries  # noqa: F401
+    from openverse_catalog_spark.plans import packing_queries  # noqa: F401
+    from openverse_catalog_spark.plans import sketch_queries  # noqa: F401
+    from openverse_catalog_spark.plans import quality_queries  # noqa: F401
+    from openverse_catalog_spark.plans import layout_queries  # noqa: F401
 
     spark = get_spark("bench")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm JVM
