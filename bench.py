@@ -71,6 +71,8 @@ HEADLINE = [
     "agg_salted_distinct_users",
     "merge_snapshot_diff",
     "corpus_vocab_topk",
+    "dedup_incremental_batch",
+    "window_event_gaps",
 ]
 
 

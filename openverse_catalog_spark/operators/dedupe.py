@@ -577,3 +577,46 @@ def simhash_banded_pairs(
         .select("id_a", "id_b", "hamming")
         .distinct()
     )
+
+
+def minhash_lsh_match_index(
+    probe_sigs: DataFrame,
+    index_sigs: DataFrame,
+    id_col: str,
+    n_seeds: int = DEFAULT_SEEDS,
+    n_bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Probe a persisted signature INDEX with a new batch's signatures:
+    distinct (probe_id, index_id) band collisions.
+
+    The incremental-dedup shape for a growing corpus: the historical
+    side is a stored signature table (computed once per doc, ever);
+    each day's batch is banded and equi-joined against it — cost scales
+    with |batch| x collision rate, never with |corpus|^2, and the
+    band-key join is a plain hash join (broadcastable when the batch is
+    small, AQE-splittable when a band key is hot).
+    """
+
+    def banded(sigs: DataFrame, out: str) -> DataFrame:
+        rows = n_seeds // n_bands
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    hash60(
+                        F.concat_ws(
+                            ",",
+                            *[F.col(f"mh_{b * rows + r}") for r in range(rows)],
+                        )
+                    ).alias("key"),
+                )
+                for b in range(n_bands)
+            ]
+        )
+        return sigs.select(F.col(id_col).alias(out), F.explode(bands).alias("bk")).select(
+            out, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+        )
+
+    p = banded(probe_sigs, "probe_id")
+    x = banded(index_sigs, "index_id")
+    return p.join(x, ["band", "key"]).select("probe_id", "index_id").distinct()

@@ -760,3 +760,34 @@ def agg_salted_distinct_users(spark, sf_dir):
 
     e = _t(spark, sf_dir, "events")["events"]
     return salted_count_distinct(e, ["event_type"], "user_id", 16)
+
+
+@register(
+    "window_event_gaps",
+    """
+    SELECT event_id,
+           epoch_us(ts) - epoch_us(lag(ts) OVER w)  AS gap_prev_us,
+           epoch_us(lead(ts) OVER w) - epoch_us(ts) AS gap_next_us,
+           row_number() OVER w AS seq
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_event_gaps(spark, sf_dir):
+    """lead/lag inter-event gaps + per-user sequence numbers in a single
+    window pass: one shuffle on user_id serves all three functions
+    (Spark collapses same-spec window expressions into one Window
+    operator). The per-user event-history shape behind sessionization
+    and funnel timing."""
+    e = _t(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias(
+            "gap_prev_us"
+        ),
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias(
+            "gap_next_us"
+        ),
+        F.row_number().over(w).alias("seq"),
+    )

@@ -1087,3 +1087,61 @@ def corpus_oov_rate(spark, sf_dir):
             ).alias("oov_rate"),
         )
     )
+
+
+# --- incremental dedup: new batch probed against a signature index ---------
+
+_BATCH_COND_SQL = "(doc_id % 5 = 0 OR doc_id >= 3000000)"
+_INC_SRC_SQL = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 3000000, substr(text, 16) FROM documents
+      WHERE doc_id % 15 = 1
+"""
+
+
+def _incremental_oracle() -> str:
+    return f"""
+    WITH src AS ({_INC_SRC_SQL}),
+    {_minhash_pair_ctes(src="src")},
+    batch AS (SELECT doc_id FROM src WHERE {_BATCH_COND_SQL}),
+    crossed AS (
+      SELECT DISTINCT
+             CASE WHEN {_BATCH_COND_SQL.replace("doc_id", "id_a")}
+                  THEN id_a ELSE id_b END AS doc_id
+      FROM cand_pairs
+      WHERE {_BATCH_COND_SQL.replace("doc_id", "id_a")}
+            <> {_BATCH_COND_SQL.replace("doc_id", "id_b")}
+    )
+    SELECT b.doc_id, c.doc_id IS NOT NULL AS is_dup
+    FROM batch b LEFT JOIN crossed c ON c.doc_id = b.doc_id
+    """
+
+
+@register("dedup_incremental_batch", _incremental_oracle())
+def dedup_incremental_batch(spark, sf_dir):
+    """Incremental dedup — the production shape at 100 TB: the corpus
+    keeps a persisted minhash-signature index (one signature per doc,
+    computed once EVER); each incoming batch is signed and band-probed
+    against it. Cost scales with |batch|, never |corpus|^2 and never a
+    daily full-corpus re-LSH. Batch = every 5th doc plus near-copies of
+    indexed docs, so cross-matches are guaranteed; output flags each
+    batch doc as dup-against-index or novel."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    near = d.filter(F.col("doc_id") % 15 == 1).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        F.expr("substr(text, 16)").alias("text"),
+    )
+    allsrc = d.select("doc_id", "text").unionByName(near)
+    is_batch = (F.col("doc_id") % 5 == 0) | (F.col("doc_id") >= 3_000_000)
+    index = allsrc.filter(~is_batch)
+    batch = allsrc.filter(is_batch)
+    index_sigs = dd.minhash_signatures(index, "doc_id", "text", _N_SEEDS, _K)
+    batch_sigs = dd.minhash_signatures(batch, "doc_id", "text", _N_SEEDS, _K)
+    matches = dd.minhash_lsh_match_index(
+        batch_sigs, index_sigs, "doc_id", _N_SEEDS, _N_BANDS
+    )
+    hit = matches.select(F.col("probe_id").alias("doc_id")).distinct()
+    return batch.select("doc_id").join(
+        hit.withColumn("_m", F.lit(1)), "doc_id", "left"
+    ).select("doc_id", F.col("_m").isNotNull().alias("is_dup"))
