@@ -73,6 +73,7 @@ HEADLINE = [
     "corpus_vocab_topk",
     "dedup_incremental_batch",
     "window_event_gaps",
+    "corpus_build_funnel",
 ]
 
 

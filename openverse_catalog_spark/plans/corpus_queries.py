@@ -1145,3 +1145,124 @@ def dedup_incremental_batch(spark, sf_dir):
     return batch.select("doc_id").join(
         hit.withColumn("_m", F.lit(1)), "doc_id", "left"
     ).select("doc_id", F.col("_m").isNotNull().alias("is_dup"))
+
+
+# --- end-to-end corpus build: quality -> dedup -> mix -> pack --------------
+
+
+def _build_funnel_oracle() -> str:
+    from openverse_catalog_spark.operators.sampling import (
+        keyhash_sql,
+        threshold_sql,
+    )
+
+    stopwords = ", ".join(repr(w) for w in tx.EN_STOPWORDS)
+    tok_sql = (
+        "len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),"
+        " t -> t <> ''))"
+    )
+    return f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    qb AS (
+      SELECT doc_id, text, source, length(text) AS n,
+             length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
+      FROM corpus
+    ),
+    qf AS (
+      SELECT doc_id, text, source, n, alpha, len(tk) AS ntok,
+             len(list_filter(tk, t -> list_contains([{stopwords}], t))) AS stop
+      FROM qb
+    ),
+    q AS (
+      SELECT doc_id, text, source FROM qf
+      WHERE round((least(n / 200.0, 1.0)
+                   + CASE WHEN n > 0 THEN CAST(alpha AS DOUBLE) / n ELSE 0.0 END
+                   + least(CASE WHEN ntok > 0 THEN CAST(stop AS DOUBLE) / ntok ELSE 0.0 END * 4.0, 1.0)
+                  ) / 3.0, 4) >= 0.5
+    ),
+    hashed AS (SELECT doc_id, {hash60_sql(_NORM_SQL)} AS h FROM q),
+    s2k AS (SELECT min(doc_id) AS doc_id FROM hashed GROUP BY h),
+    s2 AS (SELECT q.* FROM q JOIN s2k USING (doc_id)),
+    counts AS (SELECT source, count(*) AS nr FROM s2 GROUP BY source),
+    need AS (SELECT source, CAST(0.05 AS DOUBLE) / nr AS need FROM counts),
+    rates AS (SELECT source, need / (SELECT max(need) FROM need) AS rate FROM need),
+    s3 AS (
+      SELECT s2.* FROM s2 JOIN rates r ON r.source = s2.source
+      WHERE {keyhash_sql("s2.doc_id", "fmix")} < {threshold_sql("r.rate")}
+    ),
+    toks AS (SELECT source, doc_id, {tok_sql} AS n_tok FROM s3),
+    off AS (
+      SELECT source, n_tok,
+             sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - n_tok AS start
+      FROM toks
+    ),
+    bins AS (
+      SELECT source, CAST(floor(start / 512) AS BIGINT) AS bin,
+             sum(n_tok) AS btok
+      FROM off GROUP BY source, bin
+    )
+    SELECT '00_ingested' AS stage, count(*) AS n FROM corpus
+    UNION ALL SELECT '10_quality', count(*) FROM q
+    UNION ALL SELECT '20_exact_dedup', count(*) FROM s2
+    UNION ALL SELECT '30_domain_mix', count(*) FROM s3
+    UNION ALL SELECT '40_packed_bins', count(*) FROM bins
+    UNION ALL SELECT '41_packed_tokens', CAST(coalesce(sum(btok), 0) AS BIGINT) FROM bins
+    """
+
+
+@register("corpus_build_funnel", _build_funnel_oracle())
+def corpus_build_funnel(spark, sf_dir):
+    """The whole training-corpus build as ONE oracle-gated job: salted
+    ingest -> quality floor -> exact-dedup keepers -> uniform domain mix
+    (hash-threshold, broadcast rates) -> per-shard sequence packing,
+    reporting per-stage survivor counts plus packed-bin/token totals.
+    Composes the individually-pinned operators end to end; every stage
+    keeps its scale shape (narrow filters, one keyed shuffle for dedup,
+    broadcast mix rates, shard-parallel packing)."""
+    from openverse_catalog_spark.functions.hashing import hash60
+    from openverse_catalog_spark.operators import packing as pk
+    from openverse_catalog_spark.operators import sampling as smp
+    from openverse_catalog_spark.operators.dedupe import normalize_text
+
+    corpus = _corpus(spark, sf_dir)
+    q = corpus.filter(
+        F.round(tx.quality_score(F.col("text")), 4) >= 0.5
+    ).localCheckpoint()
+    keepers = (
+        q.select("doc_id", hash60(normalize_text(F.col("text"))).alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    s2 = q.join(keepers, "doc_id").localCheckpoint()
+    weights = {f"src{i}": 0.05 for i in range(20)}
+    s3 = smp.domain_mix(s2, "doc_id", "source", weights, "fmix").localCheckpoint()
+    toks = s3.select(
+        "source", "doc_id", tx.token_count(F.col("text")).alias("n_tok")
+    )
+    bins = (
+        pk.pack_offsets(toks, "source", "doc_id", "n_tok", 512)
+        .groupBy("source", "_bin")
+        .agg(F.sum("n_tok").alias("btok"))
+        .localCheckpoint()
+    )
+
+    def _n(df, stage):
+        return df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(stage).alias("stage"), "n"
+        )
+
+    toktotal = bins.agg(
+        F.coalesce(F.sum("btok"), F.lit(0)).cast("bigint").alias("n")
+    ).select(F.lit("41_packed_tokens").alias("stage"), "n")
+    return (
+        _n(corpus, "00_ingested")
+        .unionAll(_n(q, "10_quality"))
+        .unionAll(_n(s2, "20_exact_dedup"))
+        .unionAll(_n(s3, "30_domain_mix"))
+        .unionAll(_n(bins, "40_packed_bins"))
+        .unionAll(toktotal)
+    )
