@@ -64,3 +64,45 @@ def quality_report_orders(spark, sf_dir):
         ],
         fk_rules=[q.fk("o_custkey", t["customer"], "c_custkey")],
     )
+
+
+@register(
+    "profile_documents",
+    """
+    WITH s AS (
+      SELECT count(*) AS n_rows,
+             count(*) FILTER (WHERE doc_id IS NULL) AS n0,
+             count(DISTINCT doc_id) AS d0,
+             CAST(min(doc_id) AS VARCHAR) AS mn0,
+             CAST(max(doc_id) AS VARCHAR) AS mx0,
+             count(*) FILTER (WHERE lang IS NULL) AS n1,
+             count(DISTINCT lang) AS d1,
+             min(lang) AS mn1, max(lang) AS mx1,
+             count(*) FILTER (WHERE source IS NULL) AS n2,
+             count(DISTINCT source) AS d2,
+             min(source) AS mn2, max(source) AS mx2,
+             count(*) FILTER (WHERE n_chars IS NULL) AS n3,
+             count(DISTINCT n_chars) AS d3,
+             CAST(min(n_chars) AS VARCHAR) AS mn3,
+             CAST(max(n_chars) AS VARCHAR) AS mx3
+      FROM documents
+    )
+    SELECT "column", n_rows, n_nulls, ndv, min_s, max_s FROM (
+      SELECT 'doc_id' AS "column", n_rows, n0 AS n_nulls, d0 AS ndv,
+             mn0 AS min_s, mx0 AS max_s FROM s
+      UNION ALL SELECT 'lang', n_rows, n1, d1, mn1, mx1 FROM s
+      UNION ALL SELECT 'source', n_rows, n2, d2, mn2, mx2 FROM s
+      UNION ALL SELECT 'n_chars', n_rows, n3, d3, mn3, mx3 FROM s
+    )
+    """,
+)
+def profile_documents(spark, sf_dir):
+    """ANALYZE-TABLE analog: per-column null counts, NDV, and min/max
+    for four columns in ONE aggregation over one scan (exact-NDV mode
+    here so the profiler is value-gated; the default approx mode swaps
+    COUNT(DISTINCT)'s Expand replication for single-pass HLL — the
+    shape you run on the real 100 TB table)."""
+    from openverse_catalog_spark.operators.profile import profile_table
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return profile_table(d, ["doc_id", "lang", "source", "n_chars"], exact=True)
