@@ -1,0 +1,96 @@
+"""Property-based invariants (hypothesis): the algebraic laws the
+operators rely on, checked over randomized inputs rather than fixtures.
+Each example round-trips through Spark, so example counts stay small;
+the properties are the point, not the volume."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from openverse_catalog_spark.operators import sampling as smp
+from openverse_catalog_spark.operators.merge import snapshot_diff
+from openverse_catalog_spark.operators.packing import pack_offsets
+
+_settings = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    rates=st.tuples(
+        st.floats(0.05, 0.95), st.floats(0.05, 0.95)
+    ),
+    salt=st.sampled_from(["p1", "p2", "p3"]),
+)
+@_settings
+def test_hash_samples_nest_by_rate(spark, rates, salt):
+    lo, hi = min(rates), max(rates)
+    df = spark.range(0, 400).withColumnRenamed("id", "k")
+    small = {r.k for r in smp.hash_sample(df, "k", lo, salt).collect()}
+    big = {r.k for r in smp.hash_sample(df, "k", hi, salt).collect()}
+    assert small <= big  # one threshold, nested membership
+
+
+@given(
+    toks=st.lists(st.integers(1, 200), min_size=1, max_size=40),
+    budget=st.integers(50, 500),
+)
+@_settings
+def test_pack_partitions_every_doc_exactly_once(spark, toks, budget):
+    rows = [(i, "s", t) for i, t in enumerate(toks)]
+    df = spark.createDataFrame(rows, "doc_id long, shard string, n_tok long")
+    out = pack_offsets(df, "shard", "doc_id", "n_tok", budget).collect()
+    assert len(out) == len(toks)  # total function: no doc dropped/duplicated
+    by_id = sorted(out, key=lambda r: r.doc_id)
+    # starts are exact prefix sums; bins are the start-offset intervals
+    cum = 0
+    for r in by_id:
+        assert r["_start"] == cum and r["_bin"] == cum // budget
+        cum += r["n_tok"]
+
+
+@given(
+    a_keys=st.sets(st.integers(0, 30), max_size=12),
+    b_keys=st.sets(st.integers(0, 30), max_size=12),
+)
+@_settings
+def test_snapshot_diff_antisymmetric(spark, a_keys, b_keys):
+    mk = lambda ks: spark.createDataFrame(  # noqa: E731
+        [(k, f"v{k}") for k in sorted(ks)], "k long, s string"
+    )
+    fwd = {
+        (r.k, r.change_type)
+        for r in snapshot_diff(mk(a_keys), mk(b_keys), ["k"], ["s"]).collect()
+    }
+    rev = {
+        (r.k, r.change_type)
+        for r in snapshot_diff(mk(b_keys), mk(a_keys), ["k"], ["s"]).collect()
+    }
+    flip = {"added": "removed", "removed": "added", "changed": "changed"}
+    assert rev == {(k, flip[c]) for k, c in fwd}
+    # equal values on shared keys -> only membership changes are reported
+    assert {k for k, c in fwd if c == "added"} == b_keys - a_keys
+    assert {k for k, c in fwd if c == "removed"} == a_keys - b_keys
+
+
+@given(weights=st.dictionaries(
+    st.sampled_from(["a", "b", "c"]), st.floats(0.1, 1.0), min_size=1
+))
+@_settings
+def test_domain_mix_never_upsamples(spark, weights):
+    rows = [(i, d) for i, d in enumerate(["a", "b", "c"] * 50)]
+    df = spark.createDataFrame(rows, "k long, d string")
+    before = {r.d: r["count"] for r in df.groupBy("d").count().collect()}
+    after = {
+        r.d: r["count"]
+        for r in smp.domain_mix(df, "k", "d", weights)
+        .groupBy("d")
+        .count()
+        .collect()
+    }
+    for d, n in after.items():
+        assert d in weights and n <= before[d]
