@@ -19,9 +19,26 @@ from openverse_catalog_spark.plans.analytics import _t, register
 from openverse_catalog_spark.streaming.incremental import (
     stream_click_purchase_join,
     stream_merge_foreach_batch,
+    stream_static_enrich,
     stream_windowed_counts,
     watermarked_late_counts,
 )
+
+
+@register(
+    "stream_static_join",
+    """
+    SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment AS segment
+    FROM events e
+    LEFT JOIN customer c ON c.c_custkey = e.user_id
+    """,
+)
+def q_stream_static_join(spark, sf_dir):
+    """Stream-static reference enrichment: the event stream left-joined
+    to the broadcast customer dimension per micro-batch — no streaming
+    state, no watermark needed. AvailableNow output equals the batch
+    left join the oracle runs."""
+    return stream_static_enrich(spark, sf_dir)
 
 
 @register(

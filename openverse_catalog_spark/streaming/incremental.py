@@ -138,6 +138,41 @@ def stream_click_purchase_join(
     return spark.table(name)
 
 
+def stream_static_enrich(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-static join: the event stream enriched against a static
+    dimension (customer market segment). The static side is a plain
+    batch DataFrame re-resolved per micro-batch and hash-joined
+    (broadcast when small) WITHOUT any streaming state — the standard
+    shape for reference-data enrichment in a pipeline, and the one join
+    kind that needs no watermark at all. AvailableNow to a memory sink;
+    equals the batch left join, which is the oracle."""
+    from openverse_catalog_spark.session import load_tables
+
+    dim = load_tables(spark, sf_dir, ("customer",))["customer"].select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    enriched = (
+        _events_stream(spark, sf_dir)
+        .select("event_id", "user_id", "event_type")
+        .join(F.broadcast(dim), "user_id", "left")
+        .select("event_id", "user_id", "event_type", "segment")
+    )
+    name = "stream_static_enrich_sink"
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def watermarked_late_counts(
     spark: SparkSession, sf_dir: str, window: str = "1 day", watermark: str = "2 hours"
 ) -> DataFrame:
