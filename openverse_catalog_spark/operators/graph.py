@@ -53,6 +53,8 @@ def pagerank(
         .cache()
     )
     n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("rank"))
     rank = nodes.select("node", (F.lit(1.0) / F.lit(float(n))).alias("rank"))
     base = (1.0 - damping) / float(n)
     for _ in range(n_iter):

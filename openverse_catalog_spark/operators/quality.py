@@ -47,8 +47,12 @@ class Rule:
 
 def _viol(cond: Column) -> Column:
     """Count rows where the rule is violated (null predicate = violation
-    for value rules — an unknown value cannot be proven valid)."""
-    return F.sum(F.when(F.coalesce(cond, F.lit(False)), 0).otherwise(1))
+    for value rules — an unknown value cannot be proven valid; an empty
+    table violates nothing — sum over zero rows coalesces to 0)."""
+    return F.coalesce(
+        F.sum(F.when(F.coalesce(cond, F.lit(False)), 0).otherwise(1)),
+        F.lit(0),
+    )
 
 
 def not_null(col: str) -> Rule:
