@@ -74,6 +74,7 @@ HEADLINE = [
     "dedup_incremental_batch",
     "window_event_gaps",
     "corpus_build_funnel",
+    "agg_grouping_sets_cube",
 ]
 
 

@@ -791,3 +791,115 @@ def window_event_gaps(spark, sf_dir):
         ),
         F.row_number().over(w).alias("seq"),
     )
+
+
+@register(
+    "agg_grouping_sets_cube",
+    """
+    SELECT coalesce(event_type, '(all)') AS event_type,
+           coalesce(CAST(user_id % 4 AS VARCHAR), '(all)') AS cohort,
+           count(*) AS n,
+           round(sum(value), 2) AS total
+    FROM events
+    GROUP BY CUBE (event_type, CAST(user_id % 4 AS VARCHAR))
+    """,
+)
+def agg_grouping_sets_cube(spark, sf_dir):
+    """CUBE over (event_type, cohort): all four grouping sets computed
+    in one shuffle via Expand — 4x the rows into the exchange but ONE
+    pass over the input, vs four separate aggregations reading the
+    table four times."""
+    e = _t(spark, sf_dir, "events")["events"]
+    cohort = (F.col("user_id") % 4).cast("string")
+    return (
+        e.cube(F.col("event_type"), cohort.alias("cohort"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+            F.coalesce("cohort", F.lit("(all)")).alias("cohort"),
+            "n",
+            "total",
+        )
+    )
+
+
+@register(
+    "set_intersect_except_buyers",
+    """
+    SELECT user_id, 'both' AS cls FROM (
+      SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 150
+      INTERSECT
+      SELECT user_id FROM events WHERE event_type = 'error' AND value > 150
+    )
+    UNION ALL
+    SELECT user_id, 'buyer_only' AS cls FROM (
+      SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 150
+      EXCEPT
+      SELECT user_id FROM events WHERE event_type = 'error' AND value > 150
+    )
+    """,
+)
+def set_intersect_except_buyers(spark, sf_dir):
+    """INTERSECT / EXCEPT set classification (buyers who did/didn't hit
+    errors): Spark plans both as hash aggregates + left-semi/anti joins
+    on the deduplicated key sets — no full-row comparison."""
+    e = _t(spark, sf_dir, "events")["events"]
+    hi = F.col("value") > 150
+    buyers = e.filter((F.col("event_type") == "purchase") & hi).select("user_id")
+    errs = e.filter((F.col("event_type") == "error") & hi).select("user_id")
+    both = buyers.intersect(errs).select("user_id", F.lit("both").alias("cls"))
+    only = buyers.subtract(errs).select(
+        "user_id", F.lit("buyer_only").alias("cls")
+    )
+    return both.unionAll(only)
+
+
+@register(
+    "window_ntile_value_deciles",
+    """
+    SELECT event_id,
+           ntile(10) OVER (ORDER BY value, event_id) AS decile
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def window_ntile_value_deciles(spark, sf_dir):
+    """ntile decile assignment over purchase values (the spend-tiering
+    shape). A global ORDER BY window is single-partition by nature —
+    acceptable for ranked outputs that have already been aggregated or
+    filtered (here: one event type); for full-table quantiles use the
+    sort-free percentile_disc_multi operator instead."""
+    e = _t(spark, sf_dir, "events")["events"]
+    w = Window.orderBy("value", "event_id")
+    return e.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.ntile(10).over(w).alias("decile")
+    )
+
+
+@register(
+    "agg_mode_per_group",
+    """
+    SELECT user_id,
+           (max(struct_pack(cnt := cnt, et := event_type))).et AS top_type,
+           max(cnt) AS n
+    FROM (
+      SELECT user_id, event_type, count(*) AS cnt
+      FROM events GROUP BY user_id, event_type
+    ) t
+    GROUP BY user_id
+    """,
+)
+def agg_mode_per_group(spark, sf_dir):
+    """Per-user modal event type via count-then-max_by: two partial-agg
+    shuffles on bounded keys, never a per-group sort. DuckDB arg_max
+    and Spark max_by share tie semantics here because (user, type)
+    counts are made unique by the deterministic tie-break column."""
+    e = _t(spark, sf_dir, "events")["events"]
+    counted = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # deterministic across engines: prefer higher count, then later type
+    # name — folded into one orderable struct for max_by
+    return counted.groupBy("user_id").agg(
+        F.expr("max_by(event_type, struct(cnt, event_type))").alias("top_type"),
+        F.max("cnt").alias("n"),
+    )
