@@ -903,3 +903,65 @@ def agg_mode_per_group(spark, sf_dir):
         F.expr("max_by(event_type, struct(cnt, event_type))").alias("top_type"),
         F.max("cnt").alias("n"),
     )
+
+
+@register(
+    "merge_scd2_history",
+    """
+    WITH marked AS (
+      SELECT user_id, event_type AS state, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    islands AS (
+      SELECT user_id, state, ts,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      FROM marked
+    ),
+    spans AS (
+      SELECT user_id, state, grp,
+             min(ts) AS valid_from, count(*) AS n_events
+      FROM islands GROUP BY user_id, state, grp
+    )
+    SELECT user_id, state,
+           epoch_us(valid_from) AS valid_from_us,
+           epoch_us(lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)) AS valid_to_us,
+           n_events
+    FROM spans
+    """,
+)
+def merge_scd2_history(spark, sf_dir):
+    """SCD type-2 history from an event stream: collapse consecutive
+    same-state events into validity spans (gaps-and-islands via a
+    change-flag running sum), then close each span with the next span's
+    start (lead; NULL = current). All three window passes share the
+    user_id partitioning, so the whole history build is ONE shuffle —
+    the warehouse-history shape the reference's full-refresh tables
+    never had."""
+    e = _t(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked = e.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "ts",
+        "event_id",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        ).otherwise(0).alias("chg"),
+    )
+    islands = marked.withColumn("grp", F.sum("chg").over(run))
+    spans = islands.groupBy("user_id", "state", "grp").agg(
+        F.min("ts").alias("valid_from"), F.count(F.lit(1)).alias("n_events")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    return spans.select(
+        "user_id",
+        "state",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros(F.lead("valid_from").over(w2)).alias("valid_to_us"),
+        "n_events",
+    )
