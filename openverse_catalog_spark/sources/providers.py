@@ -1,0 +1,217 @@
+"""Concrete provider adapters: the reference's per-provider ingester
+scripts re-expressed as small parse layers over the generic
+PagedFetcher -> JSONL landing -> Spark staging path.
+
+Two representative API shapes are implemented (they cover the two
+pagination families the reference's ~40 providers use):
+
+  * ``FlickrStyleAdapter`` — page-number pagination and flat photo
+    records (reference: catalog/dags/providers/provider_api_scripts/
+    flickr.py:250-330 — license-id map, owner URL assembly, size-coalesce
+    url pick, space-separated tags).
+  * ``WikimediaStyleAdapter`` — continue-token pagination and nested
+    page maps (reference: wikimedia_commons.py:150-260 — gcmcontinue
+    token, imageinfo extraction, "File:" title strip, extmetadata
+    license parse).
+
+Adapters parse records driver-side inside the fetch loop (exactly where
+the reference's ingester classes run), so the landing zone already holds
+normalized staging rows; Spark picks them up with an explicit schema and
+the shared clean -> dedupe -> merge pipeline takes over. Everything
+downstream of the landing file is identical across providers — that is
+the switch-over contract.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from openverse_catalog_spark.schemas.columns import (
+    IMAGE_TSV_COLUMNS,
+    spark_schema,
+)
+from openverse_catalog_spark.sources.landing import PagedFetcher
+
+STAGING_FIELDS = [c.name for c in IMAGE_TSV_COLUMNS]
+
+
+def _staging(**fields) -> dict:
+    rec = {name: None for name in STAGING_FIELDS}
+    rec.update(fields)
+    return rec
+
+
+class FlickrStyleAdapter:
+    """Page-number pagination; flat photo dicts (flickr.py)."""
+
+    provider = "flickr"
+    per_page = 500  # reference batch_limit (flickr.py:52-65)
+
+    # license id -> (license, version): flickr.py LICENSE_INFO
+    LICENSES = {
+        "1": ("by-nc-sa", "2.0"),
+        "2": ("by-nc", "2.0"),
+        "3": ("by-nc-nd", "2.0"),
+        "4": ("by", "2.0"),
+        "5": ("by-sa", "2.0"),
+        "6": ("by-nd", "2.0"),
+        "9": ("cc0", "1.0"),
+        "10": ("pdm", "1.0"),
+    }
+
+    def get_next_query_params(self, prev: dict | None) -> dict:
+        page = 1 if prev is None else prev["page"] + 1
+        return {"page": page, "per_page": self.per_page}
+
+    def get_batch_data(self, response: dict) -> list[dict] | None:
+        photos = response.get("photos") or {}
+        if photos.get("page", 0) > photos.get("pages", 0):
+            return None
+        return photos.get("photo") or None
+
+    def parse_record(self, raw: dict) -> dict | None:
+        fid = raw.get("id")
+        owner = (raw.get("owner") or "").strip()
+        lic = self.LICENSES.get(str(raw.get("license")))
+        url = raw.get("url_l") or raw.get("url_m") or raw.get("url_s")
+        if not (fid and owner and lic and url):
+            return None  # required fields (flickr.py:286-298)
+        return _staging(
+            foreign_identifier=str(fid),
+            foreign_landing_url=f"https://www.flickr.com/photos/{owner}/{fid}",
+            url=url,
+            license=lic[0],
+            license_version=lic[1],
+            creator=raw.get("ownername"),
+            creator_url=f"https://www.flickr.com/photos/{owner}",
+            title=raw.get("title") or None,
+            tags=[
+                {"name": t, "provider": self.provider}
+                for t in sorted({t for t in (raw.get("tags") or "").split() if t})[:20]
+            ]
+            or None,
+            provider=self.provider,
+            width=raw.get("width_l"),
+            height=raw.get("height_l"),
+        )
+
+
+class WikimediaStyleAdapter:
+    """Continue-token pagination; nested page maps (wikimedia_commons.py)."""
+
+    provider = "wikimedia"
+
+    def __init__(self) -> None:
+        self._token: str | None = None
+        self._exhausted = False
+
+    def get_next_query_params(self, prev: dict | None) -> dict:
+        base = {"action": "query", "generator": "categorymembers"}
+        if prev is None:
+            return base
+        return {**base, "gcmcontinue": self._token or ""}
+
+    def observe_response(self, response: dict) -> None:
+        # the reference stops when the response carries no continue token
+        # (wikimedia_commons.py continue handling) — adapter state, since
+        # the cursor lives in the RESPONSE, not the request params
+        self._token = (response.get("continue") or {}).get("gcmcontinue")
+        if self._token is None:
+            self._exhausted = True
+
+    def get_batch_data(self, response: dict) -> list[dict] | None:
+        pages = (response.get("query") or {}).get("pages") or {}
+        return list(pages.values()) or None
+
+    @staticmethod
+    def _license_pair(short_name: str) -> tuple[str, str] | None:
+        # "CC BY-SA 4.0" -> ("by-sa", "4.0"); "CC0" -> ("cc0", "1.0")
+        s = (short_name or "").strip()
+        if s.lower() == "cc0":
+            return ("cc0", "1.0")
+        parts = s.split()
+        if len(parts) >= 3 and parts[0].upper() == "CC":
+            return ("-".join(parts[1:-1]).lower(), parts[-1])
+        return None
+
+    def parse_record(self, raw: dict) -> dict | None:
+        infos = raw.get("imageinfo") or []
+        info = infos[0] if infos else {}
+        meta = info.get("extmetadata") or {}
+        lic = self._license_pair(
+            (meta.get("LicenseShortName") or {}).get("value", "")
+        )
+        fid = raw.get("pageid")
+        url = info.get("url")
+        if not (fid and url and lic):
+            return None
+        title = (raw.get("title") or "").removeprefix("File:").strip() or None
+        return _staging(
+            foreign_identifier=str(fid),
+            foreign_landing_url=info.get("descriptionurl"),
+            url=url,
+            license=lic[0],
+            license_version=lic[1],
+            creator=(meta.get("Artist") or {}).get("value"),
+            title=title,
+            provider=self.provider,
+            width=info.get("width"),
+            height=info.get("height"),
+        )
+
+
+def provider_fetcher(
+    adapter,
+    fetch_fn: Callable[[dict], dict | None],
+    ingestion_limit: int | None = None,
+    min_delay: float = 0.0,
+) -> PagedFetcher:
+    """Wire an adapter into the generic fetch loop: records are parsed
+    (and invalid ones dropped) INSIDE the loop, so the landing zone
+    holds normalized staging rows and every provider shares the exact
+    same downstream pipeline."""
+
+    def fetch(params: dict) -> dict | None:
+        # response-carried cursors (continue tokens): the adapter marks
+        # itself exhausted from the PREVIOUS response; the current batch
+        # is still consumed, the NEXT fetch ends the loop
+        if getattr(adapter, "_exhausted", False):
+            return None
+        response = fetch_fn(params)
+        if response is not None and hasattr(adapter, "observe_response"):
+            adapter.observe_response(response)
+        return response
+
+    inner = PagedFetcher(
+        fetch_fn=fetch,
+        get_batch_data=adapter.get_batch_data,
+        get_next_query_params=adapter.get_next_query_params,
+        ingestion_limit=ingestion_limit,
+        min_delay=min_delay,
+    )
+    return _ParsedFetcher(inner, adapter)
+
+
+class _ParsedFetcher:
+    """Maps parse_record over RAW batches. Pagination is driven by raw
+    batch emptiness (the reference's contract), so a page whose records
+    are ALL invalid is skipped without ending ingestion."""
+
+    def __init__(self, inner: PagedFetcher, adapter) -> None:
+        self.inner = inner
+        self.adapter = adapter
+
+    def batches(self):
+        for raw in self.inner.batches():
+            parsed = [
+                r for r in map(self.adapter.parse_record, raw) if r is not None
+            ]
+            if parsed:
+                yield parsed
+
+
+def staging_schema():
+    """Schema for reading a provider landing zone into staging form
+    (pass to read_json_landing — explicit schema skips inference and
+    enables the PERMISSIVE corrupt-record column)."""
+    return spark_schema(IMAGE_TSV_COLUMNS)
