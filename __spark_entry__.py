@@ -24,6 +24,8 @@ from openverse_catalog_spark.plans import sketch_queries as _sketches  # noqa: F
 from openverse_catalog_spark.plans import quality_queries as _quality  # noqa: F401
 from openverse_catalog_spark.plans import layout_queries as _layout  # noqa: F401
 from openverse_catalog_spark.plans import graph_queries as _graph  # noqa: F401
+from openverse_catalog_spark.plans import window_queries as _window  # noqa: F401
+from openverse_catalog_spark.plans import search_queries as _search  # noqa: F401
 from openverse_catalog_spark.plans.analytics import ORACLES, QUERIES
 
 

@@ -1,0 +1,261 @@
+"""IR-style text search over the documents table: TF-IDF term ranking,
+BM25 retrieval, and PMI collocation mining.
+
+A training-data engine needs keyword retrieval next to embedding KNN
+(operators/knn.py): BM25 is the standard lexical baseline, TF-IDF the
+standard per-corpus term profile, and PMI the standard collocation
+statistic for tokenizer/vocab work. All three are pure DataFrame
+programs — tokenization is a row-local JVM expression (split + filter,
+no UDF), counts are partial-agg groupBys, and the scalar corpus stats
+(N, avgdl, totals) ride along as broadcast one-row joins, so nothing
+here adds a shuffle beyond the count aggregations themselves.
+
+Determinism: both engines rank on the ROUNDED score with a full tie
+break, so last-ulp ln() differences between libm implementations cannot
+reorder the output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from openverse_catalog_spark.plans.analytics import _t, register
+
+# Identical tokenization on both engines: lowercase, split on non-letters,
+# keep tokens of length >= 3.
+_TOKS_SQL = "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> length(x) >= 3)"
+
+
+def _tokens_col():
+    return F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: F.length(x) >= 3
+    )
+
+
+@register(
+    "search_tfidf_topk",
+    f"""
+    WITH toks AS (
+      SELECT source, unnest({_TOKS_SQL}) AS term FROM documents
+    ),
+    tf AS (SELECT source, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    n_src AS (SELECT count(DISTINCT source) AS n FROM tf),
+    df AS (SELECT term, count(DISTINCT source) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.source, tf.term, tf.tf,
+             round(tf.tf * ln((1.0 + n_src.n) / (1.0 + df.df)), 6) AS score
+      FROM tf JOIN df USING (term), n_src
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY score DESC, term) AS rk
+      FROM scored
+    )
+    SELECT source, term, CAST(tf AS BIGINT) AS tf, score
+    FROM ranked WHERE rk <= 5
+    """,
+)
+def search_tfidf_topk(spark, sf_dir):
+    """Top-5 distinguishing terms per source by smoothed TF-IDF
+    (idf = ln((1+N)/(1+df)), sklearn-style smoothing so the ratio is
+    defined even for terms present in every source).
+
+    Plan: one explode + groupBy for tf (partial agg on (source, term)),
+    a tiny df aggregate joined broadcast (vocab-sized), the scalar N as
+    a one-row broadcast, then a per-source top-k window. The only big
+    shuffle is the tf groupBy; everything after operates on vocab-sized
+    data. Ranking uses the rounded score + term tie-break so both
+    engines order identically."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    toks = d.select("source", F.explode(_tokens_col()).alias("term"))
+    tf = toks.groupBy("source", "term").agg(F.count("*").alias("tf"))
+    n_src = tf.select(F.countDistinct("source").alias("n"))
+    df = tf.groupBy("term").agg(F.countDistinct("source").alias("df"))
+    scored = (
+        tf.crossJoin(F.broadcast(n_src))
+        .join(F.broadcast(df), "term")
+        .select(
+            "source",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf") * F.log((1.0 + F.col("n")) / (1.0 + F.col("df"))), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("source", "term", "tf", "score")
+    )
+
+
+_BM25_TERMS = ["join", "hash", "vector", "spark"]
+_K1, _B = 1.2, 0.75
+
+
+@register(
+    "search_bm25",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks
+      WHERE term IN ('join', 'hash', 'vector', 'spark') GROUP BY 1, 2
+    ),
+    idf AS (
+      SELECT tf.term,
+             ln(1.0 + (stats.n - count(DISTINCT tf.doc_id) + 0.5)
+                      / (count(DISTINCT tf.doc_id) + 0.5)) AS idf
+      FROM tf, stats GROUP BY tf.term, stats.n
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             sum(idf.idf * tf.tf * ({_K1} + 1.0)
+                 / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.dl / stats.avgdl)))
+               AS score
+      FROM tf
+      JOIN idf USING (term)
+      JOIN dl USING (doc_id), stats
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, round(score, 6) AS score
+    FROM scored ORDER BY round(score, 6) DESC, doc_id LIMIT 20
+    """,
+)
+def search_bm25(spark, sf_dir):
+    """BM25 retrieval (k1=1.2, b=0.75) for a fixed conjunctive-OR query,
+    top-20 docs.
+
+    Plan shape for scale: the per-doc token explode feeds TWO partial
+    aggregates (doc length, and tf restricted to the query terms — the
+    term filter is pushed below the groupBy so the tf shuffle carries
+    only query-term rows, a tiny fraction of the corpus). idf is a
+    vocab-of-4 broadcast; corpus stats a one-row broadcast; final top-20
+    is TakeOrderedAndProject (per-partition heaps, no global sort)."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    toks = d.select("doc_id", F.explode(_tokens_col()).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.select(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
+    tf = (
+        toks.filter(F.col("term").isin(_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    idf = (
+        tf.crossJoin(F.broadcast(stats.select("n")))
+        .groupBy("term", "n")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .select(
+            "term",
+            F.log(
+                1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ).alias("idf"),
+        )
+    )
+    per_term = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .select(
+            "doc_id",
+            (
+                F.col("idf")
+                * F.col("tf")
+                * (_K1 + 1.0)
+                / (F.col("tf") + _K1 * (1.0 - _B + _B * F.col("dl") / F.col("avgdl")))
+            ).alias("term_score"),
+        )
+    )
+    scored = per_term.groupBy("doc_id").agg(
+        F.round(F.sum("term_score"), 6).alias("score")
+    )
+    return scored.orderBy(F.col("score").desc(), "doc_id").limit(20)
+
+
+@register(
+    "search_pmi_bigrams",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS ts FROM documents
+    ),
+    uni AS (
+      SELECT tok, count(*) AS c FROM (SELECT unnest(ts) AS tok FROM toks)
+      GROUP BY 1
+    ),
+    uni_total AS (SELECT sum(c) AS t FROM uni),
+    big AS (
+      SELECT ts[i] AS w1, ts[i + 1] AS w2, count(*) AS c_ab
+      FROM toks, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+      WHERE len(ts) >= 2
+      GROUP BY 1, 2
+    ),
+    big_total AS (SELECT sum(c_ab) AS b FROM big),
+    pmi AS (
+      SELECT big.w1, big.w2, big.c_ab,
+             round(ln((big.c_ab / big_total.b)
+                      / ((u1.c / uni_total.t) * (u2.c / uni_total.t))), 6) AS pmi
+      FROM big
+      JOIN uni u1 ON u1.tok = big.w1
+      JOIN uni u2 ON u2.tok = big.w2, big_total, uni_total
+      WHERE big.c_ab >= 5
+    )
+    SELECT w1, w2, CAST(c_ab AS BIGINT) AS c_ab, pmi
+    FROM pmi ORDER BY pmi DESC, w1, w2 LIMIT 20
+    """,
+)
+def search_pmi_bigrams(spark, sf_dir):
+    """Top-20 adjacent-token collocations by pointwise mutual information
+    (min pair count 5) — the statistic behind BPE-merge candidates and
+    multi-word-expression mining.
+
+    The load-bearing scale decision: bigram *extraction is row-local* —
+    a ``transform`` over the token array builds (w1, w2) structs inside
+    the row, so there is NO positions self-join (the oracle's lateral
+    unnest form is quadratic in engine work; ours is an Expand). The two
+    groupBys (unigrams, bigrams) are the only shuffles, both on bounded
+    vocab/vocab² key spaces; totals ride as one-row broadcasts and the
+    unigram joins broadcast vocab-sized tables."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    toks = d.select(_tokens_col().alias("ts")).filter(F.size("ts") >= 2)
+    uni = (
+        toks.select(F.explode("ts").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    uni_total = uni.select(F.sum("c").alias("t"))
+    bigrams = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ts) - 1), "
+                "i -> struct(element_at(ts, i) AS w1, element_at(ts, i + 1) AS w2))"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    big = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c_ab"))
+    big_total = big.select(F.sum("c_ab").alias("b"))
+    pmi = (
+        big.filter(F.col("c_ab") >= 5)
+        .join(F.broadcast(uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))), "w1")
+        .join(F.broadcast(uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))), "w2")
+        .crossJoin(F.broadcast(uni_total))
+        .crossJoin(F.broadcast(big_total))
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            F.round(
+                F.log(
+                    (F.col("c_ab") / F.col("b"))
+                    / ((F.col("c1") / F.col("t")) * (F.col("c2") / F.col("t")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return pmi.orderBy(F.col("pmi").desc(), "w1", "w2").limit(20)

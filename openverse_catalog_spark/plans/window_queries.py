@@ -1,0 +1,213 @@
+"""Advanced window / reshaping / statistical aggregates.
+
+The reference's window surface stops at ROWS frames and DISTINCT ON
+(SURVEY §2.6); a general analytics engine also needs event-time RANGE
+frames, distribution ranks, pivot/unpivot reshaping, and the regression
+aggregate family. Each query here is one shuffle (or zero for the
+row-local reshapes) and every floating aggregate is rounded so the
+DuckDB oracle hash-matches despite summation-order differences.
+
+Scale notes (100 TB posture) are in each docstring: RANGE frames and
+rank windows partition by a high-cardinality key (user/customer), so
+state per task is bounded by the largest single key's rows; pivots use
+an explicit value list so the plan is static (no discovery job) and the
+output width is fixed; unpivot is a row-local Expand, no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from openverse_catalog_spark.plans.analytics import _t, register
+
+_7D_US = 7 * 86400 * 1_000_000  # seven days in microseconds
+
+
+@register(
+    "window_time_range_frame",
+    """
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_7d,
+           round(sum(value) OVER w, 2) AS sum_7d
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL '7' DAY PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_time_range_frame(spark, sf_dir):
+    """Event-time RANGE frame: trailing 7-day running count/sum per user.
+
+    Unlike the reference's only analytic window (ROWS frame,
+    inaturalist/taxa.sql:125-128), this frame is defined on *event time*,
+    so late/duplicate timestamps land in the correct window regardless of
+    row order. Spark has no interval RANGE frame over timestamps, so the
+    idiomatic rewrite orders by ``unix_micros(ts)`` (exact, no precision
+    loss) with a microsecond rangeBetween — same inclusive bounds as the
+    SQL ``RANGE BETWEEN INTERVAL ... PRECEDING``. One shuffle on user_id;
+    per-task window state is bounded by one user's events."""
+    e = _t(spark, sf_dir, "events")["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-_7D_US, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_7d"),
+        F.round(F.sum("value").over(w), 2).alias("sum_7d"),
+    )
+
+
+@register(
+    "window_rank_distribution",
+    """
+    SELECT c_custkey, c_mktsegment,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd,
+           round(first_value(c_acctbal) OVER
+                 (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
+             AS seg_top_bal
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_rank_distribution(spark, sf_dir):
+    """Distribution ranks (percent_rank / cume_dist) plus a full-frame
+    first_value, all sharing ONE c_mktsegment shuffle — Spark collapses
+    same-spec windows into a single Window operator, and the differing
+    frame on first_value still reuses the same sort order. Ties broken
+    by c_custkey so ranks are deterministic on both engines."""
+    c = _t(spark, sf_dir, "customer")["customer"]
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    w_top = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(F.col("c_acctbal").desc(), "c_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.round(F.first("c_acctbal").over(w_top), 2).alias("seg_top_bal"),
+    )
+
+
+_STATUSES = ["F", "O", "P"]
+
+
+@register(
+    "pivot_priority_status",
+    """
+    SELECT o_orderpriority,
+           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS total_F,
+           round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS total_O,
+           round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS total_P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_priority_status(spark, sf_dir):
+    """Pivot (long -> wide): order totals per priority x status.
+
+    The status list is passed explicitly, so Spark skips the
+    distinct-values discovery job and the plan is a single hash
+    aggregate with conditional sums — one shuffle on the grouping key,
+    fixed output width. At 100 TB an implicit pivot would first scan the
+    fact table just to learn the column set; never do that."""
+    o = _t(spark, sf_dir, "orders")["orders"]
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", _STATUSES)
+        .agg(F.sum("o_totalprice"))
+    )
+    return wide.select(
+        "o_orderpriority",
+        *[F.round(F.col(s), 2).alias(f"total_{s}") for s in _STATUSES],
+    )
+
+
+@register(
+    "unpivot_part_measures",
+    """
+    SELECT p_partkey, 'size' AS measure, CAST(p_size AS DOUBLE) AS val FROM part
+    UNION ALL
+    SELECT p_partkey, 'retailprice', CAST(p_retailprice AS DOUBLE) FROM part
+    """,
+)
+def unpivot_part_measures(spark, sf_dir):
+    """Unpivot (wide -> long) via ``unpivot`` — a row-local Expand
+    operator: each input row emits one row per measure with NO shuffle
+    and no second scan (the UNION ALL oracle form reads the table twice;
+    the Spark plan reads it once). This is the standard shape for
+    feeding per-column metric pipelines from a wide table."""
+    p = _t(spark, sf_dir, "part")["part"]
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").cast("double").alias("retailprice"),
+    ).unpivot("p_partkey", ["size", "retailprice"], "measure", "val")
+
+
+@register(
+    "agg_regression_stats",
+    """
+    SELECT l_returnflag,
+           round(corr(l_extendedprice, l_quantity), 6) AS price_qty_corr,
+           round(covar_samp(l_extendedprice, l_quantity), 2) AS price_qty_covar,
+           round(stddev_samp(l_discount), 6) AS discount_sd,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS price_per_qty,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS price_at_zero
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_regression_stats(spark, sf_dir):
+    """Statistical aggregate family (corr / covar / stddev / OLS slope +
+    intercept) per return flag — all are algebraic aggregates, so Spark
+    computes them map-side-partial in the SAME single hash aggregate as
+    a plain sum: one shuffle of 3 grouping keys x a few moments, no
+    second pass. Rounded because moment summation order differs between
+    engines at the last ulp."""
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("price_qty_corr"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 2).alias(
+            "price_qty_covar"
+        ),
+        F.round(F.stddev_samp("l_discount"), 6).alias("discount_sd"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias(
+            "price_per_qty"
+        ),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias(
+            "price_at_zero"
+        ),
+    )
+
+
+@register(
+    "agg_value_histogram",
+    """
+    SELECT CAST(floor(value / 25) AS BIGINT) AS bin,
+           count(*) AS n,
+           round(min(value), 2) AS lo,
+           round(max(value), 2) AS hi
+    FROM events GROUP BY 1
+    """,
+)
+def agg_value_histogram(spark, sf_dir):
+    """Fixed-width histogram of event values — the scalable histogram
+    shape: bucket id is a pure expression (no sort, no percentile
+    state), then an ordinary partial-agg groupBy on a bounded key space.
+    At 100 TB this is the ONLY histogram that stays one cheap shuffle;
+    equi-depth variants need a quantile pass first."""
+    e = _t(spark, sf_dir, "events")["events"]
+    return (
+        e.groupBy(F.floor(F.col("value") / 25).alias("bin"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+    )
