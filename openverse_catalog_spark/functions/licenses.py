@@ -59,7 +59,7 @@ def canonical_version_expr(version: Column) -> Column:
 
 def normalize_license(
     df: DataFrame,
-    spark: SparkSession,
+    spark: SparkSession | None = None,
     license_col: str = "license",
     version_col: str = "license_version",
 ) -> DataFrame:
@@ -68,33 +68,34 @@ def normalize_license(
     record — reference media.py:117-121, licenses.py:238-248). Adds
     ``license_url``.
 
-    Broadcast join: the dimension is ~32 rows, so this compiles to a
-    BroadcastHashJoin with no shuffle of the fact side.
+    The pair set is the static cross product ``_CC_LICENSES x _CC_VERSIONS``
+    plus the two fixed public-domain pairs, so validity compiles to pure
+    ``isin`` expressions — no join operator at all, the row stays inside one
+    whole-stage-codegen span. (``spark`` is accepted for signature
+    compatibility; nothing driver-side is needed.)
     """
-    dim = F.broadcast(
-        license_dim(spark).withColumnRenamed("license", "__lic").withColumnRenamed(
-            "license_version", "__ver"
-        )
-    )
     lic = F.lower(F.trim(F.col(license_col)))
     ver = F.coalesce(
         canonical_version_expr(F.col(version_col)),
         # cc0/pdm tolerate missing version -> fixed 1.0
         F.when(lic.isin(*_SPECIAL.keys()), F.lit("1.0")),
     )
-    out = (
-        df.withColumn("__lic_in", lic)
-        .withColumn("__ver_in", ver)
-        .join(
-            dim,
-            (F.col("__lic_in") == F.col("__lic")) & (F.col("__ver_in") == F.col("__ver")),
-            "left",
-        )
-        .withColumn(license_col, F.col("__lic"))
-        .withColumn(version_col, F.col("__ver"))
-        .drop("__lic_in", "__ver_in", "__lic", "__ver")
+    valid = (lic.isin(_CC_LICENSES) & ver.isin(_CC_VERSIONS)) | (
+        lic.isin("cc0", "pdm") & (ver == "1.0")
     )
-    return out
+    out_lic = F.when(valid, lic)
+    out_ver = F.when(valid, ver)
+    url = F.when(valid, license_url_from_pair(lic, ver))
+    cols = []
+    for c in df.columns:
+        if c == license_col:
+            cols.append(out_lic.alias(license_col))
+        elif c == version_col:
+            cols.append(out_ver.alias(version_col))
+        else:
+            cols.append(F.col(c))
+    cols.append(url.alias("license_url"))
+    return df.select(*cols)
 
 
 def backfill_license_url(

@@ -91,68 +91,36 @@ def minhash_signatures(
 ) -> DataFrame:
     """One row per doc: id + mh_0..mh_{n-1} minhash values.
 
-    Plan shape: explode distinct shingles (map-side), hash each shingle
-    ONCE (md5), derive the N permutations with integer multiply-adds
-    (universal hashing — no per-seed rehash), then ONE groupBy computing
-    all N mins in a single aggregation pass; the shuffle carries only
-    (id, h0..hN) partial mins thanks to partial aggregation.
+    Plan shape: the whole signature is ONE row-local JVM expression —
+    hash each in-row shingle once (md5), derive the N permutations with
+    integer multiply-adds (universal hashing — no per-seed rehash), and
+    fold all N running mins in a single ``aggregate`` over the shingle
+    array. Zero shuffles, zero Python: the sketch rides the scan inside
+    whole-stage codegen. min() is duplicate-insensitive so shingle dedup
+    is skipped on purpose. The mins array is materialized under one
+    alias and split into mh_* columns in a second projection; Catalyst
+    keeps the expensive aggregate single-evaluated (CollapseProject
+    refuses to inline non-cheap expressions referenced N times).
     """
-    # Whole signature computed per doc inside one Arrow batch stage:
-    # no shingle explode, no groupBy — the operator is embarrassingly
-    # parallel (zero shuffles), where the expression formulation paid an
-    # interpreted-HOF explode of |text| rows per doc plus a 16-min
-    # aggregation shuffle. md5 parity with the DuckDB oracle is kept
-    # (hashlib md5 == Spark md5 == DuckDB md5 on UTF-8 bytes); min() is
-    # duplicate-insensitive so shingle dedup is skipped on purpose.
-    import numpy as np
-
     params = perm_params(n_seeds)
-    perm_a = np.array([a for a, _ in params], dtype="int64")[:, None]
-    perm_b = np.array([b for _, b in params], dtype="int64")[:, None]
-
-    def gen(batches):
-        import hashlib
-        import re
-
-        import pandas as pd
-
-        # Java \s (ASCII incl. \x0B), not Python's Unicode-aware \s —
-        # keeps parity with the expression/oracle normalization
-        ws = re.compile(r"[ \t\n\x0b\f\r]+")
-        for pdf in batches:
-            ids, rows = [], []
-            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                t = ws.sub(" ", (text or "").lower()).strip()
-                n_sh = max(len(t) - (k - 1), 1)
-                hs = np.fromiter(
-                    (
-                        int(hashlib.md5(t[i : i + k].encode()).hexdigest()[:15], 16)
-                        % MERSENNE_P
-                        for i in range(n_sh)
-                    ),
-                    dtype="int64",
-                    count=n_sh,
-                )
-                ids.append(doc_id)
-                rows.append(((perm_a * hs[None, :] + perm_b) % MERSENNE_P).min(axis=1))
-            mh = (
-                np.stack(rows)
-                if rows
-                else np.zeros((0, n_seeds), dtype="int64")
-            )
-            data = {id_col: np.array(ids, dtype="int64")}
-            for s in range(n_seeds):
-                data[f"mh_{s}"] = mh[:, s]
-            yield pd.DataFrame(data)
-
-    schema = f"{id_col} long, " + ", ".join(f"mh_{s} long" for s in range(n_seeds))
-    # CPU-bound hashing: spread docs across all cores (cheap round-robin
-    # shuffle of raw docs; on a real cluster the input already has enough
-    # splits and this coalesces to a no-op cost-wise)
-    src = df.select(id_col, text_col).repartition(
-        df.sparkSession.sparkContext.defaultParallelism
+    hs = F.transform(
+        shingles_expr(F.coalesce(F.col(text_col), F.lit("")), k),
+        lambda s: hash60(s) % MERSENNE_P,
     )
-    return src.mapInPandas(gen, schema)
+    init = F.array_repeat(F.lit(MERSENNE_P).cast("long"), n_seeds)
+    mins = F.aggregate(
+        hs,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(*[(F.lit(a) * h + F.lit(b)) % MERSENNE_P for a, b in params]),
+            lambda a, c: F.least(a, c),
+        ),
+    )
+    sig = df.select(F.col(id_col), mins.alias("__mh"))
+    return sig.select(
+        id_col, *[F.col("__mh").getItem(s).alias(f"mh_{s}") for s in range(n_seeds)]
+    )
 
 
 def minhash_lsh_pairs(
@@ -201,56 +169,51 @@ def tokens_expr(text_col):
     )
 
 
-def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """16-bit SimHash over word tokens: per bit b, sum (+1/-1) of token-hash
-    bit b across distinct tokens; simhash bit = 1 iff sum > 0.
+def _simhash_expr(text_col, bits: int):
+    """SimHash as a single row-local JVM expression: per bit b, sum
+    (+1/-1) of token-hash bit b across the doc's DISTINCT tokens; output
+    bit b = 1 iff the vote sum > 0. Token hash = ``hash60`` (md5-based),
+    identical on both engines, so oracle values are unchanged.
 
-    Like ``minhash_signatures``, the whole sketch is computed per doc in
-    one Arrow batch stage (hashlib md5 + numpy bit votes) — zero shuffles,
-    where the expression form paid a token explode + distinct + 16-sum
-    aggregation (two shuffles). md5 keeps oracle parity.
-    """
-    import numpy as np
-
-    bit_idx = np.arange(16, dtype="int64")
-
-    def gen(batches):
-        import hashlib
-        import re
-
-        import pandas as pd
-
-        sep = re.compile(r"[^a-z0-9]+")
-        for pdf in batches:
-            ids, sims = [], []
-            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                toks = {t for t in sep.split((text or "").lower()) if t}
-                ids.append(doc_id)
-                if not toks:
-                    sims.append(0)
-                    continue
-                hs = np.fromiter(
-                    (
-                        int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
-                        for t in toks
-                    ),
-                    dtype="int64",
-                    count=len(toks),
-                )
-                bits = (hs[:, None] >> bit_idx[None, :]) & 1
-                votes = (2 * bits - 1).sum(axis=0)
-                sims.append(int(((votes > 0) << bit_idx).sum()))
-            yield pd.DataFrame(
-                {
-                    id_col: np.array(ids, dtype="int64"),
-                    "simhash": np.array(sims, dtype="int64"),
-                }
-            )
-
-    src = df.select(id_col, text_col).repartition(
-        df.sparkSession.sparkContext.defaultParallelism
+    Everything is higher-order array functions over the in-row token
+    array — no Python, no Arrow transfer, no shuffle, and the whole
+    sketch stays inside one whole-stage-codegen span. The per-token bit
+    unroll lives INSIDE the fold lambda (one md5 per token; ``votes`` is
+    referenced exactly once downstream so the aggregate subtree is never
+    duplicated)."""
+    toks = F.array_distinct(tokens_expr(F.coalesce(text_col, F.lit(""))))
+    hs = F.transform(toks, hash60)
+    zeros = F.array_repeat(F.lit(0).cast("long"), bits)
+    votes = F.aggregate(
+        hs,
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
+                        F.lit(1).cast("long"),
+                    ).otherwise(F.lit(-1).cast("long"))
+                    for b in range(bits)
+                ]
+            ),
+            lambda a, c: a + c,
+        ),
     )
-    return src.mapInPandas(gen, f"{id_col} long, simhash long")
+    weights = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
+    weighted = F.zip_with(
+        votes, weights, lambda v, w: F.when(v > 0, w).otherwise(F.lit(0).cast("long"))
+    )
+    return F.aggregate(weighted, F.lit(0).cast("long"), lambda a, x: a + x)
+
+
+def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit SimHash over word tokens — see ``_simhash_expr``. Pure
+    narrow projection: the sketch rides the scan, zero shuffles."""
+    return df.select(
+        F.col(id_col), _simhash_expr(F.col(text_col), 16).alias("simhash")
+    )
 
 
 def simhash_near_pairs(
@@ -486,48 +449,13 @@ def dup_components_bounded(
 
 
 def simhash60(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """60-bit SimHash per document (same construction as ``simhash16``
-    widened to the full hash60 width) — enough bits that random 60-bit
-    collisions at Hamming <= 3 are ~3e-14, so banded blocking is both
-    exact and sub-quadratic."""
-    import numpy as np
-
-    bit_idx = np.arange(60, dtype="int64")
-
-    def gen(batches):
-        import hashlib
-        import re
-
-        import pandas as pd
-
-        sep = re.compile(r"[^a-z0-9]+")
-        for pdf in batches:
-            ids, sims = [], []
-            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                toks = {t for t in sep.split((text or "").lower()) if t}
-                ids.append(doc_id)
-                if not toks:
-                    sims.append(0)
-                    continue
-                hs = np.fromiter(
-                    (int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in toks),
-                    dtype="int64",
-                    count=len(toks),
-                )
-                bits = (hs[:, None] >> bit_idx[None, :]) & 1
-                votes = (2 * bits - 1).sum(axis=0)
-                sims.append(int(((votes > 0) << bit_idx).sum()))
-            yield pd.DataFrame(
-                {
-                    id_col: np.array(ids, dtype="int64"),
-                    "simhash": np.array(sims, dtype="int64"),
-                }
-            )
-
-    src = df.select(id_col, text_col).repartition(
-        df.sparkSession.sparkContext.defaultParallelism
+    """60-bit SimHash per document (``_simhash_expr`` widened to the full
+    hash60 width) — enough bits that random 60-bit collisions at
+    Hamming <= 3 are ~3e-14, so banded blocking is both exact and
+    sub-quadratic. Pure narrow projection, zero shuffles."""
+    return df.select(
+        F.col(id_col), _simhash_expr(F.col(text_col), 60).alias("simhash")
     )
-    return src.mapInPandas(gen, f"{id_col} long, simhash long")
 
 
 def simhash_banded_pairs(

@@ -38,10 +38,15 @@ def test_5way_join_broadcasts_all_dims(spark, sf_dir):
 
 
 def test_license_dim_joins_broadcast(spark, sf_dir):
-    for name in ("clean_license_normalize", "merge_license_backfill"):
-        plan = _plan(QUERIES[name](spark, sf_dir))
-        assert "BroadcastHashJoin" in plan, name
-        assert "SortMergeJoin" not in plan, name
+    # normalize compiles to pure isin/when expressions: no join operator
+    # at all, the row never leaves its scan task
+    plan = _plan(QUERIES["clean_license_normalize"](spark, sf_dir))
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+    # backfill still joins the ~32-row pair dimension: must broadcast
+    plan = _plan(QUERIES["merge_license_backfill"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
 
 
 def test_filter_and_projection_reach_parquet_scan(spark, sf_dir):
