@@ -75,6 +75,8 @@ HEADLINE = [
     "window_event_gaps",
     "corpus_build_funnel",
     "agg_grouping_sets_cube",
+    "sub_below_avg_quantity",
+    "sub_scalar_revenue_share",
 ]
 
 
@@ -90,6 +92,8 @@ def main() -> None:
     from openverse_catalog_spark.plans import sketch_queries  # noqa: F401
     from openverse_catalog_spark.plans import quality_queries  # noqa: F401
     from openverse_catalog_spark.plans import layout_queries  # noqa: F401
+    from openverse_catalog_spark.plans import window_queries  # noqa: F401
+    from openverse_catalog_spark.plans import subquery_queries  # noqa: F401
 
     spark = get_spark("bench")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm JVM

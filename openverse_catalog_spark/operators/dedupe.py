@@ -91,36 +91,62 @@ def minhash_signatures(
 ) -> DataFrame:
     """One row per doc: id + mh_0..mh_{n-1} minhash values.
 
-    Plan shape: the whole signature is ONE row-local JVM expression —
-    hash each in-row shingle once (md5), derive the N permutations with
-    integer multiply-adds (universal hashing — no per-seed rehash), and
-    fold all N running mins in a single ``aggregate`` over the shingle
-    array. Zero shuffles, zero Python: the sketch rides the scan inside
-    whole-stage codegen. min() is duplicate-insensitive so shingle dedup
-    is skipped on purpose. The mins array is materialized under one
-    alias and split into mh_* columns in a second projection; Catalyst
-    keeps the expensive aggregate single-evaluated (CollapseProject
-    refuses to inline non-cheap expressions referenced N times).
+    Arrow-batch implementation, chosen by MEASUREMENT over the pure
+    expression form: per-shingle md5 inside interpreted higher-order
+    functions (transform + aggregate/zip_with fold, which box a
+    16-long array per shingle) costs ~23 s for a 6.2k-doc corpus at
+    sf0.1, while hashlib md5 + one numpy (seeds x shingles)
+    multiply-add-min does the same work in ~3 s including Python
+    worker startup. The operator stays embarrassingly parallel — zero
+    shuffles beyond the cheap round-robin spread of raw docs (a no-op
+    on a real cluster where the input already has enough splits).
+
+    md5 parity with the DuckDB oracle is kept (hashlib md5 == Spark
+    md5 == DuckDB md5 on UTF-8 bytes); min() is duplicate-insensitive
+    so shingle dedup is skipped on purpose. Normalization uses Java \\s
+    (ASCII incl. \\x0B), not Python's Unicode-aware \\s, keeping parity
+    with the expression/oracle normalization.
     """
+    import numpy as np
+
     params = perm_params(n_seeds)
-    hs = F.transform(
-        shingles_expr(F.coalesce(F.col(text_col), F.lit("")), k),
-        lambda s: hash60(s) % MERSENNE_P,
+    perm_a = np.array([a for a, _ in params], dtype="int64")[:, None]
+    perm_b = np.array([b for _, b in params], dtype="int64")[:, None]
+
+    def gen(batches):
+        import hashlib
+        import re
+
+        import pandas as pd
+
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
+        for pdf in batches:
+            ids, rows = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                t = ws.sub(" ", (text or "").lower()).strip()
+                n_sh = max(len(t) - (k - 1), 1)
+                hs = np.fromiter(
+                    (
+                        int(hashlib.md5(t[i : i + k].encode()).hexdigest()[:15], 16)
+                        % MERSENNE_P
+                        for i in range(n_sh)
+                    ),
+                    dtype="int64",
+                    count=n_sh,
+                )
+                ids.append(doc_id)
+                rows.append(((perm_a * hs[None, :] + perm_b) % MERSENNE_P).min(axis=1))
+            mh = np.stack(rows) if rows else np.zeros((0, n_seeds), dtype="int64")
+            data = {id_col: np.array(ids, dtype="int64")}
+            for s in range(n_seeds):
+                data[f"mh_{s}"] = mh[:, s]
+            yield pd.DataFrame(data)
+
+    schema = f"{id_col} long, " + ", ".join(f"mh_{s} long" for s in range(n_seeds))
+    src = df.select(id_col, text_col).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
     )
-    init = F.array_repeat(F.lit(MERSENNE_P).cast("long"), n_seeds)
-    mins = F.aggregate(
-        hs,
-        init,
-        lambda acc, h: F.zip_with(
-            acc,
-            F.array(*[(F.lit(a) * h + F.lit(b)) % MERSENNE_P for a, b in params]),
-            lambda a, c: F.least(a, c),
-        ),
-    )
-    sig = df.select(F.col(id_col), mins.alias("__mh"))
-    return sig.select(
-        id_col, *[F.col("__mh").getItem(s).alias(f"mh_{s}") for s in range(n_seeds)]
-    )
+    return src.mapInPandas(gen, schema)
 
 
 def minhash_lsh_pairs(
@@ -132,8 +158,16 @@ def minhash_lsh_pairs(
     """Candidate near-dup pairs: docs sharing any band key.
 
     Band key = hash of the concatenated minhashes of that band's rows.
-    Self equi-join on (band_index, band_key) — never materializes the
-    quadratic pair space.
+    ONE groupBy on (band_index, band_key) collects each collision
+    bucket, then pairs are expanded in-bucket with array expressions —
+    the signature pipeline is evaluated once (a self-join formulation
+    evaluates it once PER SIDE: measured 12.5 s -> 6.5 s at sf0.1) and
+    the only shuffles are the bucket groupBy and the final pair
+    distinct. Never materializes the cross-bucket quadratic space; a
+    bucket of m colliding docs expands to m(m-1)/2 pairs, which is the
+    output itself, not overhead. Run exact dedup FIRST (as the funnel
+    does) so degenerate all-identical corpora can't create one giant
+    bucket.
     """
     rows = n_seeds // n_bands
     bands = F.array(
@@ -152,12 +186,23 @@ def minhash_lsh_pairs(
     exploded = signatures.select(
         F.col(id_col), F.explode(bands).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a = exploded.select(F.col(id_col).alias("id_a"), "band", "key")
-    b = exploded.select(F.col(id_col).alias("id_b"), "band", "key")
+    buckets = (
+        exploded.groupBy("band", "key")
+        .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, ["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
 
