@@ -27,6 +27,7 @@ from openverse_catalog_spark.plans import graph_queries as _graph  # noqa: F401
 from openverse_catalog_spark.plans import window_queries as _window  # noqa: F401
 from openverse_catalog_spark.plans import search_queries as _search  # noqa: F401
 from openverse_catalog_spark.plans import subquery_queries as _subquery  # noqa: F401
+from openverse_catalog_spark.plans import clustering_queries as _clustering  # noqa: F401
 from openverse_catalog_spark.plans.analytics import ORACLES, QUERIES
 
 

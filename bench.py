@@ -77,6 +77,7 @@ HEADLINE = [
     "agg_grouping_sets_cube",
     "sub_below_avg_quantity",
     "sub_scalar_revenue_share",
+    "dedup_fuzzy_titles",
 ]
 
 
@@ -94,6 +95,7 @@ def main() -> None:
     from openverse_catalog_spark.plans import layout_queries  # noqa: F401
     from openverse_catalog_spark.plans import window_queries  # noqa: F401
     from openverse_catalog_spark.plans import subquery_queries  # noqa: F401
+    from openverse_catalog_spark.plans import clustering_queries  # noqa: F401
 
     spark = get_spark("bench")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm JVM

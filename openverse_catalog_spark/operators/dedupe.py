@@ -598,3 +598,50 @@ def minhash_lsh_match_index(
     p = banded(probe_sigs, "probe_id")
     x = banded(index_sigs, "index_id")
     return p.join(x, ["band", "key"]).select("probe_id", "index_id").distinct()
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list,
+    max_dist: int,
+) -> DataFrame:
+    """Edit-distance near-dup pairs: (id_a, id_b, dist) for rows in the
+    same block with Levenshtein(text) <= max_dist.
+
+    The edit-distance family complements the token-set sketches
+    (minhash/simhash/jaccard): it catches character-level corruption —
+    OCR noise, truncation, encoding damage — that token sketches score
+    as distant. The reference dedups only on exact (provider,
+    md5(foreign_identifier)) keys (loader/sql.py:220-232); this is the
+    natural near-dup extension for title/caption catalogs.
+
+    Scale shape: block equi-join (never a cross join), with the JVM
+    ``levenshtein(l, r, threshold)`` form — the banded DP early-exits
+    once the distance provably exceeds the threshold, O(len * max_dist)
+    per comparison instead of O(len^2). Cost is sum over blocks of
+    m^2/2, so block choice is the scale knob; at 100 TB block on
+    (lang, prefix-token) or an LSH bucket, exactly as the simhash
+    blocked join does.
+    """
+    base = df.select(
+        F.col(id_col),
+        *[c.alias(f"__blk{i}") for i, c in enumerate(block_cols)],
+        F.col(text_col).alias("__t"),
+    ).localCheckpoint(eager=False)
+    keys = [f"__blk{i}" for i in range(len(block_cols))]
+    a = base.select(
+        F.col(id_col).alias("id_a"), *keys, F.col("__t").alias("__ta")
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), *keys, F.col("__t").alias("__tb")
+    )
+    dist = F.levenshtein(F.col("__ta"), F.col("__tb"), max_dist)
+    return (
+        a.join(b, keys)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", dist)
+        .filter(F.col("dist") >= 0)
+        .select("id_a", "id_b", "dist")
+    )

@@ -1,0 +1,113 @@
+"""k-means + fuzzy (Levenshtein) pair operator invariants."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from openverse_catalog_spark.operators.clustering import assign_clusters, kmeans
+from openverse_catalog_spark.operators.dedupe import fuzzy_pairs
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    # three well-separated 4-d blobs, 20 points each, ids interleaved so
+    # the k lowest ids span all three blobs (seeds are not degenerate)
+    rows = []
+    centers = [(0.0, 0.0, 0.0, 0.0), (10.0, 10.0, 0.0, 0.0), (0.0, 10.0, 10.0, 5.0)]
+    for i in range(60):
+        c = centers[i % 3]
+        jitter = ((i * 37) % 10) / 20.0  # deterministic, max 0.45
+        rows.append((i, [v + jitter for v in c]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_kmeans_recovers_separated_blobs(clustered):
+    got = kmeans(clustered, "embedding", "vec_id", k=3, n_iter=4, dim=4)
+    out = {r["vec_id"]: r["cid"] for r in got.collect()}
+    assert len(out) == 60
+    # every point in the same blob lands in the same cluster
+    for blob in range(3):
+        cids = {out[i] for i in range(60) if i % 3 == blob}
+        assert len(cids) == 1, f"blob {blob} split across {cids}"
+    # and the three blobs land in three distinct clusters
+    assert len({out[0], out[1], out[2]}) == 3
+
+
+def test_kmeans_partition_layout_independent(clustered):
+    a = kmeans(clustered, "embedding", "vec_id", k=3, n_iter=3, dim=4)
+    b = kmeans(
+        clustered.repartition(7, "vec_id"), "embedding", "vec_id", k=3, n_iter=3, dim=4
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_assign_clusters_tie_breaks_lowest_index(spark):
+    df = spark.createDataFrame([([1.0, 1.0],)], "v array<double>")
+    # two identical centroids: first (lowest cid) must win
+    cid = df.select(
+        assign_clusters(F.col("v"), [[0.0, 0.0], [0.0, 0.0], [1.0, 1.0]]).alias("c")
+    ).first()["c"]
+    assert cid == 2  # exact match beats ties elsewhere
+    cid = df.select(
+        assign_clusters(F.col("v"), [[0.0, 0.0], [0.0, 0.0]]).alias("c")
+    ).first()["c"]
+    assert cid == 0
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    # k=3 over two tight blobs: one seed centroid ends up empty after
+    # the first assignment; the loop must not crash and must still
+    # assign every point
+    rows = [(i, [0.0 + i * 0.01, 0.0]) for i in range(5)]
+    rows += [(10 + i, [100.0 + i * 0.01, 0.0]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = kmeans(df, "embedding", "vec_id", k=3, n_iter=3, dim=2)
+    assert got.count() == 10
+    assert got.select("cid").distinct().count() <= 3
+
+
+def _brute_pairs(rows, max_dist):
+    import itertools
+
+    def lev(a, b):
+        m, n = len(a), len(b)
+        d = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, n + 1):
+                prev, d[j] = d[j], min(
+                    d[j] + 1, d[j - 1] + 1, prev + (a[i - 1] != b[j - 1])
+                )
+        return d[n]
+
+    out = set()
+    for (ia, ba, ta), (ib, bb, tb) in itertools.combinations(rows, 2):
+        if ba == bb and lev(ta, tb) <= max_dist:
+            out.add((min(ia, ib), max(ia, ib), lev(ta, tb)))
+    return out
+
+
+def test_fuzzy_pairs_matches_bruteforce(spark):
+    rows = [
+        (1, "x", "kitten in the yard"),
+        (2, "x", "sitten in the yard"),  # dist 1 to id 1
+        (3, "x", "mitten on the yard"),  # dist 2 to id 1
+        (4, "y", "kitten in the yard"),  # other block: never paired with 1
+        (5, "x", "completely different"),
+        (6, "x", "kitten in the yards"),  # dist 1 to id 1
+    ]
+    df = spark.createDataFrame(rows, "id long, blk string, t string")
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in fuzzy_pairs(df, "id", "t", [F.col("blk")], 2).collect()
+    }
+    assert got == _brute_pairs(rows, 2)
+    assert all(a < b for a, b, _ in got)
+
+
+def test_fuzzy_pairs_threshold_excludes(spark):
+    df = spark.createDataFrame(
+        [(1, "b", "aaaa"), (2, "b", "zzzz")], "id long, blk string, t string"
+    )
+    assert fuzzy_pairs(df, "id", "t", [F.col("blk")], 3).count() == 0
