@@ -27,30 +27,26 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openverse_catalog_spark.session import ensure_runtime_confs
 
     ensure_runtime_confs(spark)
-    # file streams require a directory source; point at the sf dir and
-    # glob-filter to the events file
+    # file streams require an explicit schema; take it from a batch read so
+    # the stream tracks however the generator wrote `ts` (plain TIMESTAMP
+    # vs TIMESTAMP(NANOS), which Spark surfaces as long nanos)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(schema["ts"].dataType, T.LongType):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(schema["ts"].dataType, T.TimestampNTZType):
+        # watermarks require TIMESTAMP (LTZ); session TZ is pinned UTC so
+        # the cast is a pure type change, not a wall-clock shift
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def stream_windowed_counts(
