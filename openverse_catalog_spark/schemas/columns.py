@@ -163,6 +163,22 @@ class ColumnSpec:
         if s == UpsertStrategy.merge_jsonb_objects:
             # jsonb_strip_nulls(old) || jsonb_strip_nulls(new): new keys win,
             # null-valued keys stripped first — columns.py:42-52.
+            if self.datatype == Datatype.jsonb_struct:
+                # fixed-key object (audio_set): the key-wise merge reduces
+                # to field-wise coalesce(new, old); whole-side NULLs fall
+                # back to the other side
+                fields = self.spark_type.fieldNames()
+                merged = F.struct(
+                    *[
+                        F.coalesce(src[f], tgt[f]).alias(f)
+                        for f in fields
+                    ]
+                )
+                return (
+                    F.when(src.isNull(), tgt)
+                    .when(tgt.isNull(), src)
+                    .otherwise(merged)
+                )
             return merge_map_expr(tgt, src)
         if s in (UpsertStrategy.merge_jsonb_arrays, UpsertStrategy.merge_array):
             # distinct(old || new) with null fallbacks — columns.py:55-74.

@@ -27,18 +27,57 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from openverse_catalog_spark.schemas.columns import (
+    AUDIO_TSV_COLUMNS,
     IMAGE_TSV_COLUMNS,
     spark_schema,
 )
 from openverse_catalog_spark.sources.landing import PagedFetcher
 
 STAGING_FIELDS = [c.name for c in IMAGE_TSV_COLUMNS]
+AUDIO_STAGING_FIELDS = [c.name for c in AUDIO_TSV_COLUMNS]
 
 
 def _staging(**fields) -> dict:
     rec = {name: None for name in STAGING_FIELDS}
     rec.update(fields)
     return rec
+
+
+def _audio_staging(**fields) -> dict:
+    rec = {name: None for name in AUDIO_STAGING_FIELDS}
+    rec.update(fields)
+    return rec
+
+
+def _cc_pair_from_url(url: str | None) -> tuple[str, str] | None:
+    """Driver-side CC license-URL parse: the fetch-loop twin of the
+    licenses.py:87-134 path map (the Spark-side form is the broadcast
+    license dim in functions/licenses.py). Returns (license, version)."""
+    if not url:
+        return None
+    path = url.split("creativecommons.org/", 1)
+    if len(path) != 2:
+        return None
+    parts = [p for p in path[1].split("/") if p]
+    if len(parts) >= 2 and parts[0] == "licenses":
+        lic = parts[1].lower()
+        ver = parts[2] if len(parts) > 2 else "1.0"
+        return (lic, ver)
+    if parts[:2] == ["publicdomain", "zero"]:
+        return ("cc0", "1.0")
+    if parts[:2] == ["publicdomain", "mark"]:
+        return ("pdm", "1.0")
+    return None
+
+
+def _strip_query_param(url: str, param: str) -> str:
+    """Remove one query parameter, preserving the rest (jamendo.py:70-76)."""
+    from urllib.parse import parse_qs, urlencode, urlsplit
+
+    parts = urlsplit(url)
+    q = parse_qs(parts.query)
+    q.pop(param, None)
+    return parts._replace(query=urlencode(q, doseq=True)).geturl()
 
 
 class FlickrStyleAdapter:
@@ -160,6 +199,153 @@ class WikimediaStyleAdapter:
         )
 
 
+class JamendoStyleAdapter:
+    """Offset pagination; AUDIO media type with audio_set / genres /
+    set_position (reference: jamendo.py:44-66 offset advance, :117-132
+    'from'-param strip on the audio URL, :77-112 trackid strip + trailing
+    slash on album thumbnails, :169-239 record assembly — duration s->ms,
+    category 'music', license from CC URL)."""
+
+    provider = "jamendo"
+    media_type = "audio"
+    batch_limit = 200  # jamendo.py:38
+
+    def get_next_query_params(self, prev: dict | None) -> dict:
+        if prev is None:
+            return {"limit": self.batch_limit, "offset": 0}
+        return {**prev, "offset": prev["offset"] + self.batch_limit}
+
+    def get_batch_data(self, response: dict) -> list[dict] | None:
+        return response.get("results") or None
+
+    @staticmethod
+    def _thumb(url: str | None) -> str | None:
+        # trailing slash before query, then trackid strip (jamendo.py:77-112)
+        if not url:
+            return None
+        if "/?" not in url:
+            url = url.replace("?", "/?")
+        return _strip_query_param(url, "trackid")
+
+    def parse_record(self, raw: dict) -> dict | None:
+        fid = raw.get("id")
+        landing = raw.get("shareurl")
+        audio_url = raw.get("audio")
+        lic = _cc_pair_from_url(raw.get("license_ccurl"))
+        if not (fid and landing and audio_url and lic):
+            return None
+        audio_url = _strip_query_param(audio_url, "from")
+        duration = raw.get("duration")
+        musicinfo = raw.get("musicinfo") or {}
+        tags = []
+        if musicinfo.get("vocalinstrumental"):
+            tags.append(musicinfo["vocalinstrumental"])
+        if musicinfo.get("speed"):
+            tags.append(f"speed_{musicinfo['speed']}")
+        set_id = raw.get("album_id")
+        set_name = raw.get("album_name")
+        audio_set = None
+        if set_id and set_name:
+            slug = set_name.lower().replace(" ", "-").replace("/", "-")
+            audio_set = {
+                "foreign_identifier": str(set_id),
+                "title": set_name,
+                "foreign_landing_url": f"https://www.jamendo.com/album/{set_id}/{slug}",
+                "creator": raw.get("artist_name"),
+                "creator_url": None,
+                "url": None,
+                "filesize": None,
+                "filetype": None,
+                "thumbnail": self._thumb(raw.get("album_image")),
+            }
+        return _audio_staging(
+            foreign_identifier=str(fid),
+            foreign_landing_url=landing,
+            url=audio_url,
+            thumbnail=self._thumb(raw.get("image")),
+            license=lic[0],
+            license_version=lic[1],
+            creator=(raw.get("artist_name") or "").strip() or None,
+            creator_url=(
+                f"https://www.jamendo.com/artist/{raw['artist_id']}/{raw['artist_idstr']}"
+                if raw.get("artist_id") and raw.get("artist_idstr")
+                else None
+            ),
+            title=raw.get("name") or None,
+            meta_data={
+                k: str(v)
+                for k, v in {
+                    "release_date": raw.get("releasedate"),
+                    "downloads": (raw.get("stats") or {}).get("rate_download_total"),
+                    "listens": (raw.get("stats") or {}).get("rate_listened_total"),
+                }.items()
+                if v is not None
+            }
+            or None,
+            tags=[{"name": t, "provider": self.provider} for t in tags] or None,
+            category="music",
+            provider=self.provider,
+            duration=int(duration) * 1000 if duration else None,  # s -> ms
+            genres=(musicinfo.get("tags") or {}).get("genres") or None,
+            audio_set=audio_set,
+            set_position=raw.get("position"),
+            filetype="mp3",
+        )
+
+
+class StockSnapStyleAdapter:
+    """Single static endpoint, fixed CC0 license, no pagination — the
+    smallest provider surface (reference: stocksnap.py — one bulk page,
+    every record CC0 1.0, camera EXIF into meta_data). The SURVEY §7.1
+    step-5 'static ingest' shape."""
+
+    provider = "stocksnap"
+
+    def __init__(self) -> None:
+        self._done = False
+
+    def get_next_query_params(self, prev: dict | None) -> dict:
+        return {}
+
+    def get_batch_data(self, response: dict) -> list[dict] | None:
+        if self._done:
+            return None
+        self._done = True
+        return response.get("results") or None
+
+    def parse_record(self, raw: dict) -> dict | None:
+        fid = raw.get("img_id")
+        if not fid:
+            return None
+        sizes = raw.get("sizes") or {}
+        best = sizes.get("original") or sizes.get("large") or {}
+        url = best.get("url")
+        if not url:
+            return None
+        return _staging(
+            foreign_identifier=str(fid),
+            foreign_landing_url=f"https://stocksnap.io/photo/{fid}",
+            url=url,
+            license="cc0",
+            license_version="1.0",
+            creator=raw.get("author_name"),
+            creator_url=raw.get("author_profile"),
+            title=raw.get("title") or None,
+            tags=[
+                {"name": t.lower(), "provider": self.provider}
+                for t in (raw.get("keywords") or [])
+            ]
+            or None,
+            meta_data=(
+                {k: str(v) for k, v in (raw.get("camera") or {}).items() if v}
+                or None
+            ),
+            provider=self.provider,
+            width=best.get("width"),
+            height=best.get("height"),
+        )
+
+
 def provider_fetcher(
     adapter,
     fetch_fn: Callable[[dict], dict | None],
@@ -215,3 +401,9 @@ def staging_schema():
     (pass to read_json_landing — explicit schema skips inference and
     enables the PERMISSIVE corrupt-record column)."""
     return spark_schema(IMAGE_TSV_COLUMNS)
+
+
+def audio_staging_schema():
+    """Audio-media staging schema (25-col audio TSV: duration, bit_rate,
+    sample_rate, genres, audio_set, set_position, alt_files)."""
+    return spark_schema(AUDIO_TSV_COLUMNS)

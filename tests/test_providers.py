@@ -20,7 +20,10 @@ from openverse_catalog_spark.sources.landing import (
 )
 from openverse_catalog_spark.sources.providers import (
     FlickrStyleAdapter,
+    JamendoStyleAdapter,
+    StockSnapStyleAdapter,
     WikimediaStyleAdapter,
+    audio_staging_schema,
     provider_fetcher,
     staging_schema,
 )
@@ -166,3 +169,115 @@ def test_all_invalid_page_does_not_end_ingestion(spark):
     fetcher = provider_fetcher(FlickrStyleAdapter(), _flickr_fetch(pages))
     got = [len(b) for b in fetcher.batches()]
     assert got == [1, 1]  # page 2 skipped, page 3 reached
+
+
+def _jamendo_track(i: int, **over) -> dict:
+    d = {
+        "id": 7000 + i,
+        "name": f"Track {i}",
+        "duration": 120 + i,
+        "shareurl": f"https://www.jamendo.com/track/{7000 + i}",
+        "audio": f"https://prod-1.storage.jamendo.com/?trackid={7000 + i}&format=mp32&from=app-devsite",
+        "image": f"https://usercontent.jamendo.com?type=album&id={i}&width=200",
+        "license_ccurl": "https://creativecommons.org/licenses/by-nc/2.0/",
+        "artist_id": 42,
+        "artist_idstr": "the_band",
+        "artist_name": "The Band ",
+        "album_id": 900 + (i % 2),
+        "album_name": f"Album {i % 2}",
+        "album_image": f"https://usercontent.jamendo.com?type=album&id={900 + (i % 2)}&width=200&trackid={7000 + i}",
+        "position": i + 1,
+        "releasedate": "2014-05-01",
+        "stats": {"rate_download_total": 10 * i, "rate_listened_total": 100 * i},
+        "musicinfo": {
+            "vocalinstrumental": "instrumental",
+            "speed": "medium",
+            "tags": {"genres": ["electronic", "ambient"]},
+        },
+    }
+    d.update(over)
+    return d
+
+
+def _jamendo_fetch(pages: list[list[dict]]):
+    def fetch(params: dict) -> dict:
+        idx = params["offset"] // JamendoStyleAdapter.batch_limit
+        return {"results": pages[idx] if idx < len(pages) else []}
+
+    return fetch
+
+
+def test_jamendo_style_audio_end_to_end(spark):
+    pages = [
+        [_jamendo_track(i) for i in range(3)],
+        [
+            _jamendo_track(3),
+            _jamendo_track(4, license_ccurl="https://example.com/none"),  # dropped
+            _jamendo_track(5, audio=None),  # dropped
+        ],
+    ]
+    fetcher = provider_fetcher(JamendoStyleAdapter(), _jamendo_fetch(pages))
+    with tempfile.TemporaryDirectory() as tmp:
+        n = write_landing(fetcher, tmp, "2024-02-01", "jamendo")
+        assert n == 4
+        staging = read_json_landing(spark, tmp, audio_staging_schema()).drop(
+            "ingest_date"
+        )
+        res = ingest_media_batch(
+            staging,
+            empty_canonical(spark, "audio"),
+            spark,
+            media_type="audio",
+            deterministic=True,
+        )
+        rows = {r.foreign_identifier: r for r in res.merged.collect()}
+    assert len(rows) == 4
+    r = rows["7000"]
+    assert r.license == "by-nc" and r.license_version == "2.0"
+    assert r.duration == 120_000  # seconds -> milliseconds
+    assert r.category == "music" and r.genres == ["electronic", "ambient"]
+    # 'from' param stripped, trackid preserved on the audio url
+    assert "from=" not in r.url and "trackid=7000" in r.url
+    assert r.creator == "The Band"  # stripped
+    # audio_set: trackid stripped from album thumbnail + slash added, so
+    # every track of one album carries IDENTICAL set data (jamendo.py:80-92)
+    sets = {
+        rows[f].audio_set["foreign_identifier"]: rows[f].audio_set["thumbnail"]
+        for f in ("7000", "7002")
+    }
+    assert sets["900"] == "https://usercontent.jamendo.com/?type=album&id=900&width=200"
+    assert rows["7000"].audio_set == rows["7002"].audio_set
+    assert rows["7000"].set_position == 1
+
+
+def test_stocksnap_style_static_single_page(spark):
+    results = [
+        {
+            "img_id": f"IMG{i}",
+            "title": f"Snap {i}",
+            "author_name": "Someone",
+            "author_profile": "https://stocksnap.io/author/1",
+            "keywords": ["Sky", "CLOUD"],
+            "camera": {"model": "X100", "iso": 200},
+            "sizes": {"original": {"url": f"https://cdn.test/{i}.jpg", "width": 4000, "height": 3000}},
+        }
+        for i in range(3)
+    ] + [{"img_id": "IMGBAD", "sizes": {}}]
+    adapter = StockSnapStyleAdapter()
+    fetcher = provider_fetcher(adapter, lambda p: {"results": results})
+    with tempfile.TemporaryDirectory() as tmp:
+        n = write_landing(fetcher, tmp, "2024-02-02", "stocksnap")
+        assert n == 3  # single page consumed exactly once; bad record dropped
+        staging = read_json_landing(spark, tmp, staging_schema()).drop(
+            "ingest_date"
+        )
+        res = ingest_media_batch(
+            staging, empty_canonical(spark), spark, deterministic=True
+        )
+        rows = {r.foreign_identifier: r for r in res.merged.collect()}
+    assert set(rows) == {"IMG0", "IMG1", "IMG2"}
+    r = rows["IMG0"]
+    assert r.license == "cc0" and r.license_version == "1.0"
+    assert [t["name"] for t in r.tags] == ["sky", "cloud"]
+    assert r.meta_data["iso"] == "200"
+    assert r.width == 4000
