@@ -597,3 +597,99 @@ def merge_snapshot_diff(spark, sf_dir):
     return snapshot_diff(
         old, new, ["o_orderkey"], ["o_custkey", "o_orderstatus", "o_totalprice"]
     )
+
+
+# --- jsonb_struct merge (audio_set, columns.py:42-52 on a fixed-key object)
+
+_ASET_ORACLE = """
+  WITH t AS (
+    SELECT o_orderkey AS fid,
+           o_orderkey % 13 <> 0 AS t_present,
+           CASE WHEN o_orderkey % 13 <> 0 THEN 'T' || CAST(o_orderkey % 10 AS VARCHAR) END AS t_title,
+           CASE WHEN o_orderkey % 13 <> 0 AND o_orderkey % 2 <> 0 THEN 'c1' END AS t_creator,
+           CASE WHEN o_orderkey % 13 <> 0 THEN 'thumb' || CAST(o_orderkey % 3 AS VARCHAR) END AS t_thumb
+    FROM orders WHERE o_orderkey % 4 <> 3
+  ), s AS (
+    SELECT o_orderkey AS fid,
+           o_orderkey % 9 <> 0 AS s_present,
+           CASE WHEN o_orderkey % 9 <> 0 AND o_orderkey % 3 <> 0 THEN 'S' || CAST(o_orderkey % 5 AS VARCHAR) END AS s_title,
+           CASE WHEN o_orderkey % 9 <> 0 AND o_orderkey % 5 = 0 THEN 'c2' END AS s_creator,
+           CAST(NULL AS VARCHAR) AS s_thumb
+    FROM orders WHERE o_orderkey % 4 <> 1
+  )
+  SELECT coalesce(t.fid, s.fid) AS fid,
+         CASE WHEN t.fid IS NOT NULL AND s.fid IS NOT NULL THEN
+                CASE WHEN NOT s.s_present THEN t.t_title
+                     WHEN NOT t.t_present THEN s.s_title
+                     ELSE coalesce(s.s_title, t.t_title) END
+              WHEN s.fid IS NOT NULL THEN s.s_title ELSE t.t_title END AS set_title,
+         CASE WHEN t.fid IS NOT NULL AND s.fid IS NOT NULL THEN
+                CASE WHEN NOT s.s_present THEN t.t_creator
+                     WHEN NOT t.t_present THEN s.s_creator
+                     ELSE coalesce(s.s_creator, t.t_creator) END
+              WHEN s.fid IS NOT NULL THEN s.s_creator ELSE t.t_creator END AS set_creator,
+         CASE WHEN t.fid IS NOT NULL AND s.fid IS NOT NULL THEN
+                CASE WHEN NOT s.s_present THEN t.t_thumb
+                     WHEN NOT t.t_present THEN s.s_thumb
+                     ELSE coalesce(s.s_thumb, t.t_thumb) END
+              WHEN s.fid IS NOT NULL THEN s.s_thumb ELSE t.t_thumb END AS set_thumb,
+         CASE WHEN t.fid IS NOT NULL AND s.fid IS NOT NULL THEN NOT (t.t_present OR s.s_present)
+              WHEN s.fid IS NOT NULL THEN NOT s.s_present
+              ELSE NOT t.t_present END AS set_is_null
+  FROM t FULL OUTER JOIN s ON t.fid = s.fid
+"""
+
+
+def _aset_struct(title, creator, thumb):
+    from openverse_catalog_spark.schemas.columns import AUDIO_SET_STRUCT
+
+    fields = {f.name: F.lit(None).cast(f.dataType) for f in AUDIO_SET_STRUCT.fields}
+    fields["title"] = title
+    fields["creator"] = creator
+    fields["thumbnail"] = thumb
+    return F.struct(*[fields[f.name].alias(f.name) for f in AUDIO_SET_STRUCT.fields])
+
+
+@register("merge_struct_audio_set", _ASET_ORACLE)
+def merge_struct_audio_set(spark, sf_dir):
+    """§2.4 merge_jsonb_objects on the fixed-key audio_set struct
+    (columns.py:42-52 applied to the jsonb_struct column of the audio
+    schema): field-wise new-wins coalesce, whole-side NULL fallbacks.
+    The struct never explodes to a map — one codegen'd projection."""
+    o = _t(spark, sf_dir, "orders")["orders"]
+    k = F.col("o_orderkey")
+    tgt = o.filter(k % 4 != 3).select(
+        k.alias("fid"),
+        F.when(k % 13 == 0, F.lit(None)).otherwise(
+            _aset_struct(
+                F.concat(F.lit("T"), (k % 10).cast("string")),
+                F.when(k % 2 != 0, F.lit("c1")),
+                F.concat(F.lit("thumb"), (k % 3).cast("string")),
+            )
+        ).alias("aset"),
+    )
+    src = o.filter(k % 4 != 1).select(
+        k.alias("fid"),
+        F.when(k % 9 == 0, F.lit(None)).otherwise(
+            _aset_struct(
+                F.when(k % 3 != 0, F.concat(F.lit("S"), (k % 5).cast("string"))),
+                F.when(k % 5 == 0, F.lit("c2")),
+                F.lit(None).cast("string"),
+            )
+        ).alias("aset"),
+    )
+    cols = [
+        ColumnSpec("fid", Datatype.int, required=True, upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("aset", Datatype.jsonb_struct, upsert_strategy=UpsertStrategy.merge_jsonb_objects),
+    ]
+    merged = merge_upsert(
+        tgt, src, cols, keys=("fid",),
+        dedupe_source_on_url=False, guard_url_conflicts=False,
+    )
+    return merged.select(
+        "fid",
+        F.col("aset.title").alias("set_title"),
+        F.col("aset.creator").alias("set_creator"),
+        F.col("aset.thumbnail").alias("set_thumb"),
+        F.col("aset").isNull().alias("set_is_null"),
+    )
