@@ -116,6 +116,13 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
                 df = df.withColumn(
                     "ts", F.timestamp_micros(F.expr("ts div 1000"))
                 )
+            elif isinstance(field.dataType, T.TimestampNTZType):
+                # plain parquet TIMESTAMP surfaces as NTZ; session TZ is
+                # pinned UTC, so casting to TIMESTAMP (LTZ) is a pure type
+                # change that keeps unix_micros/watermark exprs working
+                df = df.withColumn(
+                    field.name, F.col(field.name).cast("timestamp")
+                )
         df.createOrReplaceTempView(n)
         out[n] = df
     return out
