@@ -120,19 +120,30 @@ def minhash_signatures(
         import pandas as pd
 
         ws = re.compile(r"[ \t\n\x0b\f\r]+")
+        # shingle-hash memo shared across the batch: common k-grams repeat
+        # heavily across docs, and min() is duplicate-insensitive, so each
+        # doc contributes its shingle SET and each unique shingle is
+        # md5'd exactly once per partition
+        memo: dict[str, int] = {}
+
+        def shash(sh: str) -> int:
+            v = memo.get(sh)
+            if v is None:
+                v = (
+                    int(hashlib.md5(sh.encode()).hexdigest()[:15], 16)
+                    % MERSENNE_P
+                )
+                memo[sh] = v
+            return v
+
         for pdf in batches:
             ids, rows = [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 t = ws.sub(" ", (text or "").lower()).strip()
                 n_sh = max(len(t) - (k - 1), 1)
+                uniq = {t[i : i + k] for i in range(n_sh)}
                 hs = np.fromiter(
-                    (
-                        int(hashlib.md5(t[i : i + k].encode()).hexdigest()[:15], 16)
-                        % MERSENNE_P
-                        for i in range(n_sh)
-                    ),
-                    dtype="int64",
-                    count=n_sh,
+                    (shash(s) for s in uniq), dtype="int64", count=len(uniq)
                 )
                 ids.append(doc_id)
                 rows.append(((perm_a * hs[None, :] + perm_b) % MERSENNE_P).min(axis=1))
