@@ -52,6 +52,7 @@ HEADLINE = [
     "text_repetition",
     "text_contamination",
     "text_token_histogram",
+    "text_unigram_nll",
     "text_pii_flags",
     "corpus_split_assign",
     "embed_quantize_int8",

@@ -1266,3 +1266,51 @@ def corpus_build_funnel(spark, sf_dir):
         .unionAll(_n(bins, "40_packed_bins"))
         .unionAll(toktotal)
     )
+
+
+# --- corpus unigram language-model scoring (perplexity-style quality) ------
+
+
+@register(
+    "text_unigram_nll",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                t -> t <> '')) AS token
+      FROM documents
+    ), vocab AS (
+      SELECT token, count(*) AS n FROM tok GROUP BY token
+    ), tot AS (SELECT sum(n) AS nn FROM vocab)
+    SELECT doc_id, count(*) AS n_tokens,
+           round(avg(-log2(vocab.n / tot.nn)), 4) AS avg_nll
+    FROM tok JOIN vocab ON tok.token = vocab.token CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def text_unigram_nll(spark, sf_dir):
+    """Unigram-LM corpus scoring: each doc's mean negative log2
+    probability of its tokens under the corpus's own unigram
+    distribution — the cheap perplexity proxy data-curation pipelines
+    use to rank docs as 'typical' vs 'weird' (gibberish and boilerplate
+    both land in the tails). Two aggregations over ONE exploded token
+    relation: (a) vocab = groupBy(token).count (map-side partial agg),
+    (b) docs re-join the vocab and aggregate per doc_id. The corpus
+    total folds in as a 1-row broadcast cross join; the token->vocab
+    join is a plain equi-join AQE turns into a broadcast when the vocab
+    fits (it does here) and a shuffle join when a 100 TB corpus's
+    vocabulary doesn't — nothing in the plan assumes either."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    tok = d.select("doc_id", F.explode(tx.tokens(F.col("text"))).alias("token"))
+    vocab = tok.groupBy("token").agg(F.count("*").alias("n"))
+    total = vocab.agg(F.sum("n").alias("nn"))
+    scored = (
+        tok.join(vocab, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(-F.log2(F.col("n") / F.col("nn"))), 4).alias("avg_nll"),
+        )
+    )
+    return scored
