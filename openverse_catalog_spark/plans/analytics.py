@@ -965,3 +965,86 @@ def merge_scd2_history(spark, sf_dir):
         F.unix_micros(F.lead("valid_from").over(w2)).alias("valid_to_us"),
         "n_events",
     )
+
+
+# --- percentile-clipped (winsorized) per-group statistics ------------------
+
+
+@register(
+    "agg_winsorized_values",
+    """
+    WITH th AS (
+      SELECT event_type,
+             quantile_disc(value, 0.05) AS lo,
+             quantile_disc(value, 0.95) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           count(*) AS n,
+           round(avg(CASE WHEN e.value < th.lo THEN th.lo
+                          WHEN e.value > th.hi THEN th.hi
+                          ELSE e.value END), 4) AS clipped_mean,
+           round(th.lo, 4) AS lo, round(th.hi, 4) AS hi
+    FROM events e JOIN th USING (event_type)
+    GROUP BY e.event_type, th.lo, th.hi
+    """,
+)
+def agg_winsorized_values(spark, sf_dir):
+    """Outlier-robust per-group statistics: clip each group's values at
+    its own exact p05/p95 (discrete percentiles — the A7 operator reused
+    as a threshold source) and average the clipped column. The
+    threshold table is group-cardinality rows, so it broadcasts back
+    onto the fact side: one ranked pass for thresholds + one
+    broadcast-join pass for the clip — the fact table shuffles once,
+    for the threshold ranking, never for the join."""
+    from openverse_catalog_spark.operators.popularity import percentile_disc_multi
+
+    ev = _t(spark, sf_dir, "events")["events"]
+    th = percentile_disc_multi(
+        ev, ["event_type"], "value", {"lo": 0.05, "hi": 0.95}
+    )
+    clipped = F.when(F.col("value") < F.col("lo"), F.col("lo")).when(
+        F.col("value") > F.col("hi"), F.col("hi")
+    ).otherwise(F.col("value"))
+    return (
+        ev.join(F.broadcast(th), "event_type")
+        .groupBy("event_type", "lo", "hi")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(clipped), 4).alias("clipped_mean"),
+        )
+        .select(
+            "event_type", "n", "clipped_mean",
+            F.round("lo", 4).alias("lo"), F.round("hi", 4).alias("hi"),
+        )
+    )
+
+
+# --- one-pass pairwise correlation matrix ----------------------------------
+
+
+@register(
+    "agg_corr_matrix",
+    """
+    SELECT round(corr(l_quantity, l_extendedprice), 6) AS qty_price,
+           round(corr(l_quantity, l_discount), 6) AS qty_disc,
+           round(corr(l_extendedprice, l_discount), 6) AS price_disc,
+           round(corr(l_extendedprice, l_tax), 6) AS price_tax,
+           count(*) AS n
+    FROM lineitem
+    """,
+)
+def agg_corr_matrix(spark, sf_dir):
+    """Pairwise Pearson correlations of the fact table's numeric
+    columns, all in ONE aggregation pass (each corr is an independent
+    accumulator in the same partial-agg; the table is scanned once and
+    never shuffled — partials reduce to a single row). The feature-
+    drift / collinearity screen run before training-data featurization."""
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price"),
+        F.round(F.corr("l_quantity", "l_discount"), 6).alias("qty_disc"),
+        F.round(F.corr("l_extendedprice", "l_discount"), 6).alias("price_disc"),
+        F.round(F.corr("l_extendedprice", "l_tax"), 6).alias("price_tax"),
+        F.count(F.lit(1)).alias("n"),
+    )
