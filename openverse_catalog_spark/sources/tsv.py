@@ -78,8 +78,25 @@ def read_tsv(
         .csv(path)
     )
     raw = raw.cache()
-    corrupt = raw.filter(F.col("_corrupt").isNotNull()).select("_corrupt")
-    good = raw.filter(F.col("_corrupt").isNull()).drop("_corrupt")
+    # A row is malformed if the CSV line itself is unparseable OR any
+    # jsonb column holds non-NULL text that is not valid JSON — the
+    # latter is exactly what raises InvalidTextRepresentation in the
+    # reference's COPY loop (loader/sql.py:124-141; its malformed-row
+    # fixtures are all broken-JSON rows, test_sql.py:240-301).
+    bad_json = F.lit(False)
+    for c in columns:
+        if c.datatype in _COMPLEX:
+            col = F.col(c.name)
+            bad_json = bad_json | (
+                col.isNotNull() & F.from_json(col, c.spark_type).isNull()
+            )
+    corrupt = raw.filter(F.col("_corrupt").isNotNull() | bad_json).select(
+        F.coalesce(
+            F.col("_corrupt"),
+            F.concat_ws("\t", *[F.col(c.name) for c in columns]),
+        ).alias("_corrupt")
+    )
+    good = raw.filter(F.col("_corrupt").isNull() & ~bad_json).drop("_corrupt")
     typed_cols = []
     for c in columns:
         col = F.col(c.name)
