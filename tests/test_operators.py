@@ -279,3 +279,34 @@ def test_contamination_finds_exact_copy_only(spark):
     # doc 1 shares all 3 of the benchmark's 5-grams -> full overlap
     assert (r["doc_id"], r["bench_id"], r["n_shared"]) == (1, 100, 3)
     assert abs(r["bench_overlap"] - 1.0) < 1e-9
+
+
+def test_percentile_matches_reference_golden_scenario(spark):
+    """The reference's live-Postgres percentile test, verbatim
+    (popularity/test_sql.py:202-295): my_provider views [0,50,75,150]
+    at p=0.5 -> 50.0; diff_provider comments [0,50] at p=0.3 -> 0.0;
+    a provider with no rows for the metric yields no percentile row."""
+    rows = [
+        ("my_provider", "views", 0.0),
+        ("my_provider", "views", 50.0),
+        ("my_provider", "views", 75.0),
+        ("my_provider", "views", 150.0),
+        ("diff_provider", "comments", 0.0),
+        ("diff_provider", "comments", 50.0),
+    ]
+    df = spark.createDataFrame(rows, "provider string, metric string, v double")
+    p50 = percentile_disc_by_group(
+        df.filter("provider = 'my_provider' AND metric = 'views'"),
+        ["provider"], "v", 0.5,
+    ).first()
+    assert p50["percentile_value"] == 50.0
+    p30 = percentile_disc_by_group(
+        df.filter("provider = 'diff_provider' AND metric = 'comments'"),
+        ["provider"], "v", 0.3,
+    ).first()
+    assert p30["percentile_value"] == 0.0
+    missing = percentile_disc_by_group(
+        df.filter("provider = 'diff_provider' AND metric = 'views'"),
+        ["provider"], "v", 0.3,
+    )
+    assert missing.count() == 0
