@@ -24,6 +24,7 @@ from openverse_catalog_spark.session import get_spark  # noqa: E402
 HEADLINE = [
     "agg_pricing_summary",
     "join_5way_enrich",
+    "pipeline_taxa_enrich",
     "merge_upsert_strategies",
     "merge_url_guards",
     "merge_load_report",

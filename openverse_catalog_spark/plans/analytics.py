@@ -1048,3 +1048,134 @@ def agg_corr_matrix(spark, sf_dir):
         F.round(F.corr("l_extendedprice", "l_tax"), 6).alias("price_tax"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --- the reference's taxa.sql mini-pipeline, end to end --------------------
+
+
+@register(
+    "pipeline_taxa_enrich",
+    """
+    WITH ranked AS (
+      SELECT n.n_name, n.n_nationkey, n.n_regionkey, c.c_name, c.c_mktsegment,
+             sum(length(c.c_name) + 2) OVER (
+               PARTITION BY n.n_name ORDER BY c.c_name
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_len
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ),
+    agg AS (
+      SELECT n_name, n_nationkey, n_regionkey,
+             count(DISTINCT c_mktsegment) AS n_sources,
+             string_agg(CASE WHEN running_len < 256 THEN c_name END, ', '
+                        ORDER BY c_name) AS title,
+             array_to_string(
+               list_slice(
+                 coalesce(list(c_name ORDER BY c_name)
+                            FILTER (WHERE running_len >= 256), []),
+                 1, 20),
+               '|') AS overflow_tags
+      FROM ranked
+      GROUP BY n_name, n_nationkey, n_regionkey
+    ),
+    anc_dim AS (
+      SELECT 'r' || CAST(r_regionkey AS VARCHAR) AS akey, r_name AS aname FROM region
+      UNION ALL
+      SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS akey, n_name AS aname FROM nation
+    ),
+    lineage AS (
+      SELECT a.n_name, array_to_string(list_sort(list(d.aname)), '>') AS lineage
+      FROM agg a,
+           unnest(string_split('r' || CAST(a.n_regionkey AS VARCHAR) || '/n'
+                               || CAST(a.n_nationkey AS VARCHAR), '/')) AS u(akey)
+      JOIN anc_dim d ON d.akey = u.akey
+      GROUP BY a.n_name
+    )
+    SELECT a.n_name, a.n_sources, a.title, a.overflow_tags,
+           r.r_name AS region_name, l.lineage
+    FROM agg a
+    LEFT JOIN region r ON md5(CAST(a.n_regionkey AS VARCHAR))
+                        = md5(CAST(r.r_regionkey AS VARCHAR))
+    LEFT JOIN lineage l ON a.n_name = l.n_name
+    """,
+)
+def pipeline_taxa_enrich(spark, sf_dir):
+    """SURVEY §3.2's taxa.sql mini-pipeline END TO END in one job: the
+    grouped count-distinct (taxa.sql:102-107), the windowed running-
+    length title cutoff (:125-128), the filtered ordered aggregation with
+    overflow->tags and top-20 slice (:144-150, 228-247), the md5-
+    surrogate left join (:175-179), and the ancestry explode self-join
+    re-aggregated to a lineage string (:248-256) — chained as ONE
+    Catalyst plan where the reference runs a serialized SQL script.
+    Shuffle budget: one exchange on the nation key for the window +
+    grouped agg (shared), everything else broadcasts (region/nation dims
+    are tiny; at 100 TB the taxa dim itself stays far under the fact
+    tables this enriches)."""
+    t = _t(spark, sf_dir, "customer", "nation", "region")
+    c, n, r = t["customer"], t["nation"], t["region"]
+
+    joined = c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    w = (
+        Window.partitionBy("n_name")
+        .orderBy("c_name")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = joined.select(
+        "n_name", "n_nationkey", "n_regionkey", "c_name", "c_mktsegment",
+        F.sum(F.length("c_name") + 2).over(w).alias("running_len"),
+    )
+    agg = ranked.groupBy("n_name", "n_nationkey", "n_regionkey").agg(
+        F.countDistinct("c_mktsegment").alias("n_sources"),
+        F.array_join(
+            F.array_sort(
+                F.collect_list(F.when(F.col("running_len") < 256, F.col("c_name")))
+            ),
+            ", ",
+        ).alias("title"),
+        F.array_join(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("running_len") >= 256, F.col("c_name"))
+                    )
+                ),
+                1, 20,
+            ),
+            "|",
+        ).alias("overflow_tags"),
+    )
+
+    anc_dim = r.select(
+        F.concat(F.lit("r"), F.col("r_regionkey").cast("string")).alias("akey"),
+        F.col("r_name").alias("aname"),
+    ).unionAll(
+        n.select(
+            F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("akey"),
+            F.col("n_name").alias("aname"),
+        )
+    )
+    ancestry = F.split(
+        F.concat(
+            F.lit("r"), F.col("n_regionkey").cast("string"),
+            F.lit("/n"), F.col("n_nationkey").cast("string"),
+        ),
+        "/",
+    )
+    lineage = (
+        agg.select("n_name", F.explode(ancestry).alias("akey"))
+        .join(F.broadcast(anc_dim), "akey")
+        .groupBy("n_name")
+        .agg(F.array_join(F.array_sort(F.collect_list("aname")), ">").alias("lineage"))
+    )
+
+    region_dim = r.select(
+        F.md5(F.col("r_regionkey").cast("string")).alias("rk_md5"), "r_name"
+    )
+    return (
+        agg.withColumn("rk_md5", F.md5(F.col("n_regionkey").cast("string")))
+        .join(F.broadcast(region_dim), "rk_md5", "left")
+        .join(lineage, "n_name", "left")
+        .select(
+            "n_name", "n_sources", "title", "overflow_tags",
+            F.col("r_name").alias("region_name"), "lineage",
+        )
+    )
