@@ -1123,7 +1123,12 @@ def pipeline_taxa_enrich(spark, sf_dir):
         "n_name", "n_nationkey", "n_regionkey", "c_name", "c_mktsegment",
         F.sum(F.length("c_name") + 2).over(w).alias("running_len"),
     )
-    agg = ranked.groupBy("n_name", "n_nationkey", "n_regionkey").agg(
+    # group by n_name ALONE (nationkey/regionkey are functionally
+    # dependent, carried with first()) so the aggregation reuses the
+    # window's hash partitioning instead of re-exchanging on the wider key
+    agg = ranked.groupBy("n_name").agg(
+        F.first("n_nationkey").alias("n_nationkey"),
+        F.first("n_regionkey").alias("n_regionkey"),
         F.countDistinct("c_mktsegment").alias("n_sources"),
         F.array_join(
             F.array_sort(
