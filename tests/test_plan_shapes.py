@@ -134,3 +134,24 @@ def test_bucketed_join_eliminates_shuffle(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS tb_orders")
         spark.sql("DROP TABLE IF EXISTS tb_customer")
+
+
+def test_taxa_pipeline_shuffle_budget(spark, sf_dir):
+    """The end-to-end taxa enrichment holds its declared shuffle budget:
+    the fact side exchanges at most twice (window partitioning reused by
+    the aggregation; lineage re-agg is dim-sized) and every dimension
+    joins as a broadcast."""
+    from openverse_catalog_spark.plans.analytics import QUERIES
+
+    plan = _plan(QUERIES["pipeline_taxa_enrich"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_winsorize_threshold_broadcasts(spark, sf_dir):
+    """The percentile-threshold table joins back to the fact side as a
+    broadcast — the fact table never shuffles for the clip join."""
+    from openverse_catalog_spark.plans.analytics import QUERIES
+
+    plan = _plan(QUERIES["agg_winsorized_values"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
