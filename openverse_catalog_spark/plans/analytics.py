@@ -1184,3 +1184,44 @@ def pipeline_taxa_enrich(spark, sf_dir):
             F.col("r_name").alias("region_name"), "lineage",
         )
     )
+
+
+# --- explicit skew-salted join ---------------------------------------------
+
+
+@register(
+    "join_salted_hot_keys",
+    """
+    WITH dim AS (
+      SELECT c_custkey % 50 AS k, count(*) AS n_cust
+      FROM customer GROUP BY c_custkey % 50
+    )
+    SELECT e.event_type, count(*) AS n, sum(d.n_cust) AS cust_weight
+    FROM events e JOIN dim d ON e.user_id % 50 = d.k
+    GROUP BY e.event_type
+    """,
+)
+def join_salted_hot_keys(spark, sf_dir):
+    """Explicit fact-salt + dim-replicate join on a pathologically hot
+    key space (50 distinct keys over the whole events table — every key
+    is a hot key, the case AQE's skew splitter can only partially save).
+    ``salted_join`` spreads each key over R tasks by salting the fact
+    with a uniform column and exploding the dim R ways; the result set
+    is IDENTICAL to the unsalted join, which is exactly what the oracle
+    checks. Dim here is deliberately joined non-broadcast in spirit: at
+    scale this is the too-big-to-broadcast dim on a skewed key."""
+    from openverse_catalog_spark.operators.joins import salted_join
+
+    t = _t(spark, sf_dir, "events", "customer")
+    fact = t["events"].select(
+        "event_id", "event_type", (F.col("user_id") % 50).alias("k")
+    )
+    dim = (
+        t["customer"]
+        .groupBy((F.col("c_custkey") % 50).alias("k"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    out = salted_join(fact, dim, ["k"], salt_src="event_id", n_salts=8)
+    return out.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("n_cust").alias("cust_weight")
+    )

@@ -37,6 +37,8 @@ PROBES = [
     ("corpus_pack_sequences", {"documents": ["doc_id"]}),
     ("window_event_gaps", {"events": ["event_id", "user_id"]}),
     ("agg_salted_distinct_users", {"events": ["event_id", "user_id"]}),
+    ("pipeline_taxa_enrich", {"customer": ["c_custkey"]}),
+    ("text_unigram_nll", {"documents": ["doc_id"]}),
 ]
 
 
