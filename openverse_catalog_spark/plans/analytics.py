@@ -1196,7 +1196,7 @@ def pipeline_taxa_enrich(spark, sf_dir):
       SELECT c_custkey % 50 AS k, count(*) AS n_cust
       FROM customer GROUP BY c_custkey % 50
     )
-    SELECT e.event_type, count(*) AS n, sum(d.n_cust) AS cust_weight
+    SELECT e.event_type, count(*) AS n, CAST(sum(d.n_cust) AS BIGINT) AS cust_weight
     FROM events e JOIN dim d ON e.user_id % 50 = d.k
     GROUP BY e.event_type
     """,
