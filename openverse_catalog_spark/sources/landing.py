@@ -117,3 +117,33 @@ def read_json_landing(
     if "_corrupt" in df.columns:
         df = df.filter(F.col("_corrupt").isNull()).drop("_corrupt")
     return df
+
+
+def reingestion_day_shifts(tiers: list[tuple[int, int]]) -> list[list[int]]:
+    """Tiered re-ingestion day-shift lists (SURVEY I3): ``tiers`` is
+    ``[(day_step, repeats), ...]`` — daily/weekly/monthly/... levels; the
+    i-th output list counts by ``step_i`` starting where the previous
+    tier left off (reference ``common/helpers.py:
+    get_partitioned_reingestion_days``; tier configs
+    ``provider_reingestion_workflows.py:58-115``, e.g. Flickr's
+    (1,7)(7,12)(15,20)(30,24)(90,24)(180,40) = 127 shifted days + day 0).
+    Each returned day-shift feeds one dated re-MERGE run — the
+    idempotent-upsert form of late-data handling."""
+    tiers = [t for t in tiers if t[1] != 0]
+    out = []
+    base = 0
+    for step, repeats in tiers:
+        out.append([base + step * (j + 1) for j in range(repeats)])
+        base += step * repeats
+    return out
+
+
+def reingestion_dates(logical_date: str, tiers: list[tuple[int, int]]) -> list[list[str]]:
+    """The day-shift lists resolved to ISO dates relative to
+    ``logical_date`` (provider_dag_factory.py:420-445's example
+    semantics), day 0 prepended as the first level."""
+    from datetime import date, timedelta
+
+    d0 = date.fromisoformat(logical_date)
+    shifts = [[0]] + reingestion_day_shifts(tiers)
+    return [[(d0 - timedelta(days=s)).isoformat() for s in level] for level in shifts]

@@ -256,3 +256,33 @@ def test_stream_stateful_quota_matches_batch(spark, sf_dir):
         assert got[k]["cum_n"] == w["n"]
         assert abs(got[k]["cum_total"] - w["total"]) < 1e-6
         assert got[k]["over_quota"] == (w["n"] > 300)
+
+
+def test_reingestion_day_shifts_reference_example():
+    """The reference helper's own doctest example (common/helpers.py):
+    (1,2),(2,3),(3,2) -> [[1, 2], [4, 6, 8], [11, 14]]."""
+    from openverse_catalog_spark.sources.landing import reingestion_day_shifts
+
+    assert reingestion_day_shifts([(1, 2), (2, 3), (3, 2)]) == [
+        [1, 2], [4, 6, 8], [11, 14],
+    ]
+
+
+def test_reingestion_flickr_tier_config():
+    """Flickr's production tier config spans 128 reingestion days
+    (provider_reingestion_workflows.py:69-77; zero-repeat tiers drop)."""
+    from openverse_catalog_spark.sources.landing import (
+        reingestion_day_shifts,
+        reingestion_dates,
+    )
+
+    tiers = [(1, 7), (7, 12), (15, 20), (30, 24), (90, 24), (180, 40)]
+    levels = reingestion_day_shifts(tiers)
+    n_days = sum(len(lv) for lv in levels)
+    assert n_days == 127  # + day 0 = the documented 128 reingestion days
+    assert levels[0] == [1, 2, 3, 4, 5, 6, 7]
+    assert levels[1][0] == 14  # weekly tier starts after the daily span
+    dates = reingestion_dates("2020-01-01", [(1, 2), (2, 3)])
+    assert dates[0] == ["2020-01-01"]
+    assert dates[1] == ["2019-12-31", "2019-12-30"]
+    assert dates[2] == ["2019-12-28", "2019-12-26", "2019-12-24"]
