@@ -147,3 +147,13 @@ def reingestion_dates(logical_date: str, tiers: list[tuple[int, int]]) -> list[l
     d0 = date.fromisoformat(logical_date)
     shifts = [[0]] + reingestion_day_shifts(tiers)
     return [[(d0 - timedelta(days=s)).isoformat() for s in level] for level in shifts]
+
+
+def hash_prefix_partitions(prefix_length: int = 2) -> list[str]:
+    """Input-split planning by id-hash prefix (reference
+    ``smithsonian.py:232-236, 414-418``): the fetch space partitions into
+    16^n slices ('00'..'ff' for n=2), each an independent query the
+    driver can fan out — the API-side analog of Spark's input splits.
+    Uniform by construction (md5 prefixes), so the fan-out is skew-free
+    regardless of how record ids cluster."""
+    return [format(h, f"0{prefix_length}x") for h in range(16 ** prefix_length)]

@@ -286,3 +286,14 @@ def test_reingestion_flickr_tier_config():
     assert dates[0] == ["2020-01-01"]
     assert dates[1] == ["2019-12-31", "2019-12-30"]
     assert dates[2] == ["2019-12-28", "2019-12-26", "2019-12-24"]
+
+
+def test_hash_prefix_partitions():
+    """smithsonian.py:232-236 parity: 16^n uniform slices, zero-padded."""
+    from openverse_catalog_spark.sources.landing import hash_prefix_partitions
+
+    p1 = hash_prefix_partitions(1)
+    assert p1 == [format(h, "x") for h in range(16)]
+    p2 = hash_prefix_partitions(2)
+    assert len(p2) == 256 and p2[0] == "00" and p2[-1] == "ff"
+    assert len(set(p2)) == 256
