@@ -45,6 +45,19 @@ def normalize_text(c):
     return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure enough partitions for an Arrow pass WITHOUT shuffling a
+    corpus that is already well-split: a 100 TB input arrives with
+    thousands of file splits, where a blanket repartition() would be a
+    full-corpus shuffle for nothing. Only a small local input (fewer
+    splits than cores — exactly the sf0.x single-file test tables) gets
+    spread; everything else passes through untouched."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedupe(
     df: DataFrame, key_cols: list[str], order_cols: list | None = None
 ) -> DataFrame:
@@ -154,9 +167,7 @@ def minhash_signatures(
             yield pd.DataFrame(data)
 
     schema = f"{id_col} long, " + ", ".join(f"mh_{s} long" for s in range(n_seeds))
-    src = df.select(id_col, text_col).repartition(
-        df.sparkSession.sparkContext.defaultParallelism
-    )
+    src = _spread(df.select(id_col, text_col))
     return src.mapInPandas(gen, schema)
 
 
@@ -386,8 +397,7 @@ def ngram_jaccard_pairs(
             yield pd.DataFrame(data)
 
     g = (
-        df.select(F.col(id_col), *blk, F.col(text_col))
-        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+        _spread(df.select(F.col(id_col), *blk, F.col(text_col)))
         .mapInPandas(gen, f"{id_col} long{blk_schema}, __g long")
         # the gram table feeds THREE consumers (per-doc sizes + both
         # self-join sides); lazy-checkpoint so the Arrow stage runs once
@@ -451,8 +461,7 @@ def doc_gram_keys(
             )
 
     return (
-        df.select(F.col(id_col), F.col(text_col))
-        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+        _spread(df.select(F.col(id_col), F.col(text_col)))
         .mapInPandas(gen, f"{id_col} long, __g long")
     )
 
