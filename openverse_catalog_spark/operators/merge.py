@@ -213,3 +213,39 @@ def snapshot_diff(
         joined.select(*keys, change.alias("change_type"))
         .filter(F.col("change_type").isNotNull())
     )
+
+
+def merge_upsert_pruned(
+    target: DataFrame,
+    source: DataFrame,
+    columns: list[ColumnSpec],
+    keys: tuple[str, ...] = DEFAULT_MERGE_KEYS,
+    partition_col: str = "provider",
+    **kwargs,
+) -> DataFrame:
+    """Partition-pruned upsert: only target slices whose ``partition_col``
+    value appears in the batch enter the merge join; every other slice
+    passes through UNTOUCHED (and with the canonical table partitioned by
+    provider on disk, the anti side is metadata-only pruning — those
+    files are never read, let alone rewritten). A typical provider batch
+    touches one provider of dozens, so the full-outer merge join runs
+    against a small fraction of the 100 TB table instead of all of it —
+    the DataFrame analog of Delta MERGE's file-pruning on a partitioned
+    key. Results are row-identical to ``merge_upsert`` because rows of
+    untouched partitions can only ever classify as 'kept' (the merge
+    keys include the partition column)."""
+    if partition_col not in [k for k in keys]:
+        raise ValueError(
+            f"partition_col {partition_col!r} must be a merge key for "
+            "pruning to preserve semantics"
+        )
+    batch_parts = F.broadcast(source.select(partition_col).distinct())
+    affected = target.join(batch_parts, partition_col, "left_semi")
+    untouched = target.join(batch_parts, partition_col, "left_anti")
+    merged = merge_upsert(affected, source, columns, keys=keys, **kwargs)
+    status_col = kwargs.get("status_col")
+    if status_col:
+        untouched = untouched.withColumn(status_col, F.lit("kept"))
+    return merged.unionByName(
+        untouched.select(merged.columns), allowMissingColumns=False
+    )

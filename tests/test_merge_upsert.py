@@ -173,3 +173,51 @@ def test_distinct_on_helper_deterministic(spark):
     out = distinct_on(df, ["k"], [F.col("n").desc()]).collect()
     got = {r["k"]: r["n"] for r in out}
     assert got == {"u1": 2, "u2": 3}
+
+
+def test_pruned_merge_equals_full_merge(spark):
+    """merge_upsert_pruned is row-identical to merge_upsert while only
+    joining the partitions the batch touches."""
+    from openverse_catalog_spark.operators.merge import (
+        merge_upsert,
+        merge_upsert_pruned,
+    )
+    from openverse_catalog_spark.schemas.columns import (
+        ColumnSpec,
+        Datatype,
+        UpsertStrategy,
+    )
+
+    cols = [
+        ColumnSpec("provider", Datatype.char, required=True,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("foreign_identifier", Datatype.char, required=True,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("title", Datatype.char),
+    ]
+    target = spark.createDataFrame(
+        [("p1", "a", "old-a"), ("p1", "b", "old-b"),
+         ("p2", "x", "old-x"), ("p3", "y", "old-y")],
+        "provider string, foreign_identifier string, title string",
+    )
+    source = spark.createDataFrame(
+        [("p1", "a", "new-a"), ("p1", "c", "new-c")],
+        "provider string, foreign_identifier string, title string",
+    )
+    kw = dict(dedupe_source_on_url=False, guard_url_conflicts=False,
+              status_col="st")
+    full = merge_upsert(target, source, cols, **kw)
+    pruned = merge_upsert_pruned(target, source, cols, **kw)
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, pruned.collect()))
+    # p2/p3 rows classify as kept and never enter the merge join
+    kept = {r.provider for r in pruned.filter("st = 'kept'").collect()}
+    assert {"p2", "p3"} <= kept
+
+
+def test_pruned_merge_requires_partition_key(spark):
+    import pytest as _pytest
+
+    from openverse_catalog_spark.operators.merge import merge_upsert_pruned
+
+    with _pytest.raises(ValueError, match="merge key"):
+        merge_upsert_pruned(None, None, [], keys=("foreign_identifier",))
