@@ -26,6 +26,7 @@ HEADLINE = [
     "join_5way_enrich",
     "pipeline_taxa_enrich",
     "merge_upsert_strategies",
+    "merge_partition_pruned",
     "merge_url_guards",
     "merge_load_report",
     "source_tsv_tolerant",
