@@ -110,9 +110,11 @@ def minhash_signatures(
     16-long array per shingle) costs ~23 s for a 6.2k-doc corpus at
     sf0.1, while hashlib md5 + one numpy (seeds x shingles)
     multiply-add-min does the same work in ~3 s including Python
-    worker startup. The operator stays embarrassingly parallel — zero
-    shuffles beyond the cheap round-robin spread of raw docs (a no-op
-    on a real cluster where the input already has enough splits).
+    worker startup; batch-level shingle-hash memoization plus per-doc
+    shingle-set dedup halves that again. The operator stays
+    embarrassingly parallel — zero shuffles (``_spread`` only
+    round-robins inputs with fewer splits than cores, i.e. the local
+    single-file test tables; a well-split corpus passes through).
 
     md5 parity with the DuckDB oracle is kept (hashlib md5 == Spark
     md5 == DuckDB md5 on UTF-8 bytes); min() is duplicate-insensitive

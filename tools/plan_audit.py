@@ -56,6 +56,22 @@ AUDIT = [
         "keeper groupBy (one keyed shuffle), mix (broadcast rates), "
         "packing (shard-parallel window).",
     ),
+    (
+        "pipeline_taxa_enrich",
+        "The taxa.sql mini-pipeline in one plan: window + aggregation "
+        "share ONE fact exchange; region/nation/ancestor dims broadcast.",
+    ),
+    (
+        "merge_partition_pruned",
+        "Partition-pruned merge: broadcast semi/anti split sends only "
+        "the batch's provider slice into the full-outer merge join.",
+    ),
+    (
+        "text_unigram_nll",
+        "Unigram-LM scoring: vocab aggregates map-side; the corpus total "
+        "folds in as a 1-row broadcast; the token->vocab join stays an "
+        "equi-join AQE sizes at runtime.",
+    ),
 ]
 
 
