@@ -310,3 +310,35 @@ def test_percentile_matches_reference_golden_scenario(spark):
         ["provider"], "v", 0.3,
     )
     assert missing.count() == 0
+
+
+def test_simhash_hybrid_matches_expression_form(spark):
+    """The Arrow-vote hybrid (production path) is bit-identical to the
+    pure-expression SimHash it replaced, at both widths."""
+    from openverse_catalog_spark.operators.dedupe import (
+        _simhash_expr,
+        _simhash_hybrid,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, ""),
+            (4, None),
+            (5, "Pack my box with five dozen liquor jugs, 42 times."),
+        ],
+        "doc_id long, text string",
+    )
+    for bits in (16, 60):
+        expr = {
+            r.doc_id: r.simhash
+            for r in docs.select(
+                "doc_id", _simhash_expr(F.col("text"), bits).alias("simhash")
+            ).collect()
+        }
+        hybrid = {
+            r.doc_id: r.simhash
+            for r in _simhash_hybrid(docs, "doc_id", "text", bits).collect()
+        }
+        assert expr == hybrid
