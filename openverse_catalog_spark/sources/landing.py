@@ -157,3 +157,55 @@ def hash_prefix_partitions(prefix_length: int = 2) -> list[str]:
     Uniform by construction (md5 prefixes), so the fan-out is skew-free
     regardless of how record ids cluster."""
     return [format(h, f"0{prefix_length}x") for h in range(16 ** prefix_length)]
+
+
+def adaptive_time_slices(
+    date: str,
+    count_fn,
+    max_records: int = 3000,
+    min_divisions: int = 4,
+    max_divisions: int = 12,
+    division_threshold: int = 10_000,
+) -> list[tuple[str, str]]:
+    """Adaptive time-slicing for skewed fetch days (SURVEY I2; reference
+    ``time_delineated_provider_data_ingester.py:119-196`` with Flickr's
+    production constants ``flickr.py:52-65``): probe the day's record
+    count; under ``max_records`` → one slice; otherwise probe each hour —
+    empty hours drop, small hours stay whole, heavy hours split into
+    ``min_divisions`` (or ``max_divisions`` past ``division_threshold``)
+    even sub-slices. ``count_fn(start_iso, end_iso) -> int`` is the
+    provider's count probe. Costs ONE extra request on a quiet day and
+    25 on a heavy one, exactly the reference's budget. The returned
+    (start, end) ISO pairs are the fetch fan-out units — shuffle-side
+    skew is AQE's job, this keeps the FETCH side skew-free."""
+    from datetime import datetime, timedelta
+
+    d0 = datetime.fromisoformat(f"{date}T00:00:00+00:00")
+
+    def slices(start, end, n):
+        total = (end - start).total_seconds()
+        if total % n:
+            raise ValueError(f"{start}..{end} does not divide evenly by {n}")
+        step = timedelta(seconds=int(total / n))
+        return [(start + i * step, start + (i + 1) * step) for i in range(n)]
+
+    def iso(pair):
+        return (pair[0].isoformat(), pair[1].isoformat())
+
+    day = (d0, d0 + timedelta(days=1))
+    n_day = count_fn(*iso(day))
+    if n_day == 0:
+        return []
+    if n_day < max_records:
+        return [iso(day)]
+    out = []
+    for hour in slices(*day, 24):
+        n = count_fn(*iso(hour))
+        if n == 0:
+            continue
+        if n < max_records:
+            out.append(iso(hour))
+            continue
+        n_div = min_divisions if n < division_threshold else max_divisions
+        out.extend(iso(p) for p in slices(*hour, n_div))
+    return out

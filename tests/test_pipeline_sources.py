@@ -297,3 +297,47 @@ def test_hash_prefix_partitions():
     p2 = hash_prefix_partitions(2)
     assert len(p2) == 256 and p2[0] == "00" and p2[-1] == "ff"
     assert len(set(p2)) == 256
+
+
+def test_adaptive_time_slices_reference_behavior():
+    """I2 parity (time_delineated_provider_data_ingester.py:119-196):
+    quiet day -> one slice; heavy day -> per-hour probes where empty
+    hours drop, small hours stay whole, heavy hours split 4 ways and
+    very heavy hours 12 ways (flickr.py constants)."""
+    from openverse_catalog_spark.sources.landing import adaptive_time_slices
+
+    # quiet day: single full-day slice, one probe
+    probes = []
+
+    def quiet(s, e):
+        probes.append((s, e))
+        return 100
+
+    got = adaptive_time_slices("2024-03-01", quiet)
+    assert got == [("2024-03-01T00:00:00+00:00", "2024-03-02T00:00:00+00:00")]
+    assert len(probes) == 1
+
+    # empty day: no slices
+    assert adaptive_time_slices("2024-03-01", lambda s, e: 0) == []
+
+    # heavy day: hour 0 empty, hour 1 small, hour 2 heavy (4 slices),
+    # hour 3 very heavy (12 slices), rest empty -> 25 probes total
+    def heavy(s, e):
+        probes2.append((s, e))
+        hour = int(s[11:13])
+        if s[11:19] == "00:00:00" and e[11:13] == "00" and s[8:10] != e[8:10]:
+            return 50_000  # the full-day probe
+        return {1: 500, 2: 5_000, 3: 50_000}.get(hour, 0)
+
+    probes2 = []
+    got = adaptive_time_slices("2024-03-01", heavy)
+    assert len(probes2) == 25  # 1 day probe + 24 hour probes
+    hours = [s[11:13] for s, _ in got]
+    assert hours.count("01") == 1  # whole hour
+    assert hours.count("02") == 4  # min_divisions
+    assert hours.count("03") == 12  # max_divisions
+    assert len(got) == 17
+    # sub-slices tile the hour exactly
+    h2 = [(s, e) for s, e in got if s[11:13] == "02"]
+    assert h2[0][0].endswith("02:00:00+00:00")
+    assert h2[-1][0].endswith("02:45:00+00:00") and h2[-1][1].endswith("03:00:00+00:00")
