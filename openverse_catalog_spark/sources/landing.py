@@ -26,6 +26,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+class OverfetchError(RuntimeError):
+    """API served more records than its own reported total (I4)."""
+
+
 class PagedFetcher:
     """The ingester loop contract with the transport injected.
 
@@ -45,6 +49,8 @@ class PagedFetcher:
         ingestion_limit: int | None = None,
         min_delay: float = 0.0,
         max_batches: int = 10_000,
+        expected_count_fn: Callable[[dict], int] | None = None,
+        raise_on_overfetch: bool = True,
     ) -> None:
         self.fetch_fn = fetch_fn
         self.get_batch_data = get_batch_data
@@ -52,6 +58,14 @@ class PagedFetcher:
         self.ingestion_limit = ingestion_limit
         self.min_delay = min_delay
         self.max_batches = max_batches
+        # I4 overfetch guard (time_delineated_provider_data_ingester.py:
+        # 221-259): some APIs keep serving pages past their own reported
+        # total — fetching more than the stated count flags the bug
+        # (raise, or log-and-continue when raise_on_overfetch=False)
+        self.expected_count_fn = expected_count_fn
+        self.raise_on_overfetch = raise_on_overfetch
+        self.fetched_count = 0
+        self.overfetched = False
 
     def batches(self) -> Iterator[list[dict]]:
         params: dict | None = None
@@ -72,6 +86,17 @@ class PagedFetcher:
             if self.ingestion_limit is not None:
                 batch = batch[: self.ingestion_limit - fetched]
             fetched += len(batch)
+            self.fetched_count = fetched
+            if self.expected_count_fn is not None:
+                total = self.expected_count_fn(response)
+                if total is not None and fetched > total:
+                    self.overfetched = True
+                    msg = (
+                        f"Expected {total} records, but {fetched} have been"
+                        " fetched. Consider reducing the ingestion interval."
+                    )
+                    if self.raise_on_overfetch:
+                        raise OverfetchError(msg)
             yield batch
             if self.ingestion_limit is not None and fetched >= self.ingestion_limit:
                 return

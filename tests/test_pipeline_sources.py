@@ -341,3 +341,33 @@ def test_adaptive_time_slices_reference_behavior():
     h2 = [(s, e) for s, e in got if s[11:13] == "02"]
     assert h2[0][0].endswith("02:00:00+00:00")
     assert h2[-1][0].endswith("02:45:00+00:00") and h2[-1][1].endswith("03:00:00+00:00")
+
+
+def test_overfetch_guard():
+    """I4: fetching past the API's reported total raises (or merely
+    flags with raise_on_overfetch=False) — t_d_p_d_i.py:221-259."""
+    import pytest as _pytest
+
+    from openverse_catalog_spark.sources.landing import (
+        OverfetchError,
+        PagedFetcher,
+    )
+
+    def make(raise_on):
+        pages = iter([[1, 2], [3, 4], [5, 6]])
+        return PagedFetcher(
+            fetch_fn=lambda p: {"total": 3},
+            get_batch_data=lambda r: next(pages, None),
+            get_next_query_params=lambda prev: {},
+            expected_count_fn=lambda r: r["total"],
+            raise_on_overfetch=raise_on,
+        )
+
+    f = make(True)
+    with _pytest.raises(OverfetchError, match="Expected 3"):
+        list(f.batches())
+    assert f.fetched_count == 4
+
+    f2 = make(False)
+    assert [len(b) for b in f2.batches()] == [2, 2, 2]
+    assert f2.overfetched
