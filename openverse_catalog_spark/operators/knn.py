@@ -467,3 +467,69 @@ def embedding_near_dup_pairs(
         per_bucket, "id_a long, id_b long, cosine double"
     )
     return pairs.dropDuplicates(["id_a", "id_b"])
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "neighbor_id",
+    vec_col: str = "embedding",
+    rel_col: str = "cosine",
+    lam: float = 0.7,
+    k: int = 3,
+) -> DataFrame:
+    """Maximal-Marginal-Relevance re-ranking of retrieval candidates:
+    greedily pick k items maximizing ``lam*relevance - (1-lam)*max
+    similarity to already-picked`` — the standard diversity pass between
+    ANN retrieval and downstream use (dedupe-at-retrieval-time).
+
+    The candidate set per query is tiny (top-N from ``cosine_topk``), so
+    the greedy loop runs inside ``applyInPandas`` per query group: state
+    is an N x N sim matrix per group, never the corpus. The only shuffle
+    is the groupBy on query_id over candidate rows (queries x N rows
+    total). Ties break on ascending id, making the greedy argmax — and
+    therefore the whole operator — deterministic and oracle-checkable
+    despite being iterative."""
+    import numpy as np
+
+    cand = candidates.join(
+        corpus.select(F.col(id_col), F.col(vec_col)), id_col
+    ).select(query_col, id_col, rel_col, vec_col)
+
+    def pick(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        vecs = np.stack([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+        nrm = np.linalg.norm(vecs, axis=1)
+        nrm[nrm == 0] = 1.0
+        vecs = vecs / nrm[:, None]
+        sims = vecs @ vecs.T
+        rel = pdf[rel_col].to_numpy(dtype="float64")
+        n = len(pdf)
+        chosen: list[int] = []
+        scores: list[float] = []
+        avail = np.ones(n, dtype=bool)
+        for _ in range(min(k, n)):
+            if chosen:
+                penalty = sims[:, chosen].max(axis=1)
+            else:
+                penalty = np.zeros(n)
+            mmr = lam * rel - (1 - lam) * penalty
+            mmr_masked = np.where(avail, mmr, -np.inf)
+            best = int(np.argmax(mmr_masked))  # ties -> lowest index = lowest id
+            chosen.append(best)
+            scores.append(float(mmr[best]))
+            avail[best] = False
+        return pd.DataFrame(
+            {
+                query_col: pdf[query_col].iloc[chosen].to_numpy(),
+                id_col: pdf[id_col].iloc[chosen].to_numpy(),
+                "mmr_rank": np.arange(1, len(chosen) + 1, dtype="int32"),
+                "score": np.array(scores),
+            }
+        )
+
+    schema = f"{query_col} long, {id_col} long, mmr_rank int, score double"
+    return cand.groupBy(query_col).applyInPandas(pick, schema)

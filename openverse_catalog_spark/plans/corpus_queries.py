@@ -1314,3 +1314,90 @@ def text_unigram_nll(spark, sf_dir):
         )
     )
     return scored
+
+
+# --- MMR-diversified retrieval --------------------------------------------
+
+
+@register(
+    "knn_mmr_rerank",
+    """
+    WITH ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+                FROM embeddings, generate_series(1, 64) AS t(i)),
+    norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
+    dots AS (SELECT a.vec_id AS query_id, b.vec_id AS cid, sum(a.x * b.x) AS dot
+             FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id <> b.vec_id
+             WHERE a.vec_id % 25 = 0
+             GROUP BY 1, 2),
+    scored AS (SELECT query_id, cid, dot / (na.nrm * nb.nrm) AS rel
+               FROM dots JOIN norms na ON na.vec_id = query_id
+                         JOIN norms nb ON nb.vec_id = cid),
+    cand AS (SELECT query_id, cid, rel FROM (
+               SELECT query_id, cid, rel,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY rel DESC, cid) AS rn
+               FROM scored) WHERE rn <= 6),
+    psim AS (SELECT c1.query_id, c1.cid AS a, c2.cid AS b,
+                    sum(ea.x * eb.x) / (na.nrm * nb.nrm) AS s
+             FROM cand c1
+             JOIN cand c2 ON c1.query_id = c2.query_id AND c1.cid <> c2.cid
+             JOIN ex ea ON ea.vec_id = c1.cid
+             JOIN ex eb ON eb.vec_id = c2.cid AND ea.i = eb.i
+             JOIN norms na ON na.vec_id = c1.cid
+             JOIN norms nb ON nb.vec_id = c2.cid
+             GROUP BY c1.query_id, c1.cid, c2.cid, na.nrm, nb.nrm),
+    p1 AS (SELECT query_id, cid, 0.7 * rel AS score FROM (
+             SELECT query_id, cid, rel,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY 0.7 * rel DESC, cid) AS rn
+             FROM cand) WHERE rn = 1),
+    m2 AS (SELECT c.query_id, c.cid,
+                  0.7 * c.rel - 0.3 * ps.s AS score
+           FROM cand c
+           JOIN p1 ON p1.query_id = c.query_id AND c.cid <> p1.cid
+           JOIN psim ps ON ps.query_id = c.query_id
+                        AND ps.a = c.cid AND ps.b = p1.cid),
+    p2 AS (SELECT query_id, cid, score FROM (
+             SELECT query_id, cid, score,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, cid) AS rn
+             FROM m2) WHERE rn = 1),
+    m3 AS (SELECT c.query_id, c.cid,
+                  0.7 * c.rel - 0.3 * greatest(s1.s, s2.s) AS score
+           FROM cand c
+           JOIN p1 ON p1.query_id = c.query_id AND c.cid <> p1.cid
+           JOIN p2 ON p2.query_id = c.query_id AND c.cid <> p2.cid
+           JOIN psim s1 ON s1.query_id = c.query_id
+                        AND s1.a = c.cid AND s1.b = p1.cid
+           JOIN psim s2 ON s2.query_id = c.query_id
+                        AND s2.a = c.cid AND s2.b = p2.cid),
+    p3 AS (SELECT query_id, cid, score FROM (
+             SELECT query_id, cid, score,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, cid) AS rn
+             FROM m3) WHERE rn = 1)
+    SELECT query_id, cid AS neighbor_id, 1 AS mmr_rank, round(score, 6) AS score FROM p1
+    UNION ALL
+    SELECT query_id, cid, 2, round(score, 6) FROM p2
+    UNION ALL
+    SELECT query_id, cid, 3, round(score, 6) FROM p3
+    """,
+)
+def knn_mmr_rerank(spark, sf_dir):
+    """Diversified retrieval: exact top-6 cosine candidates per query,
+    then Maximal-Marginal-Relevance greedy re-rank to 3 (lambda=0.7) —
+    the retrieve-then-diversify pattern RAG and curation pipelines run
+    so near-duplicate neighbors don't crowd the result list. The greedy
+    loop is iterative, but candidates-per-query is bounded (6), so it
+    runs in applyInPandas per query group with an N x N sim matrix as
+    the only state; the oracle UNROLLS all three greedy selections as
+    chained CTEs — value-exact despite the iteration (same pinning
+    strategy as the PageRank oracle)."""
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    queries = e.filter(F.col("vec_id") % 25 == 0)
+    cand = knn.cosine_topk(e, queries, "vec_id", "embedding", k=6)
+    out = knn.mmr_rerank(cand, e.withColumnRenamed("vec_id", "neighbor_id"),
+                         lam=0.7, k=3)
+    return out.select(
+        "query_id", "neighbor_id", "mmr_rank", F.round("score", 6).alias("score")
+    )

@@ -342,3 +342,34 @@ def test_simhash_hybrid_matches_expression_form(spark):
             for r in _simhash_hybrid(docs, "doc_id", "text", bits).collect()
         }
         assert expr == hybrid
+
+
+def test_mmr_rerank_prefers_diversity(spark):
+    """MMR picks the diverse third item over a near-duplicate of the
+    first pick even when the duplicate has higher raw relevance."""
+    import math
+
+    from openverse_catalog_spark.operators.knn import mmr_rerank
+
+    def vec(x, y):
+        return [float(x), float(y)] + [0.0] * 62
+
+    corpus = spark.createDataFrame(
+        [
+            (1, vec(1, 0)),        # top relevance
+            (2, vec(0.999, 0.04)), # near-dup of 1, 2nd relevance
+            (3, vec(0.6, 0.8)),    # diverse, 3rd relevance
+        ],
+        "neighbor_id long, embedding array<double>",
+    )
+    cand = spark.createDataFrame(
+        [(10, 1, 0.99), (10, 2, 0.98), (10, 3, 0.80)],
+        "query_id long, neighbor_id long, cosine double",
+    )
+    got = {
+        r.mmr_rank: r.neighbor_id
+        for r in mmr_rerank(cand, corpus, lam=0.5, k=3).collect()
+    }
+    assert got[1] == 1      # pure relevance
+    assert got[2] == 3      # diversity beats the near-duplicate
+    assert got[3] == 2
