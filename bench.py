@@ -45,6 +45,7 @@ HEADLINE = [
     "dedup_embedding_lsh",
     "knn_cosine_topk",
     "knn_ivf",
+    "knn_mmr_rerank",
     "knn_quality_filtered",
     "json_metric_extract",
     "clean_license_normalize",
