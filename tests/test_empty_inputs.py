@@ -92,3 +92,67 @@ def test_misc_ops_on_empty(empty_kv, spark):
     assert compaction_plan(files, 100).count() == 0
     edges = spark.createDataFrame([], "src long, dst long")
     assert pagerank(edges, 2).count() == 0
+
+
+def test_mmr_rerank_on_empty(spark):
+    from openverse_catalog_spark.operators.knn import mmr_rerank
+
+    cand = spark.createDataFrame(
+        [], "query_id long, neighbor_id long, cosine double"
+    )
+    corpus = spark.createDataFrame(
+        [], "neighbor_id long, embedding array<double>"
+    )
+    out = mmr_rerank(cand, corpus, k=3)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "mmr_rank", "score"]
+
+
+def test_mmr_rerank_fewer_candidates_than_k(spark):
+    from openverse_catalog_spark.operators.knn import mmr_rerank
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0] + [0.0] * 63)], "neighbor_id long, embedding array<double>"
+    )
+    cand = spark.createDataFrame(
+        [(7, 1, 0.9)], "query_id long, neighbor_id long, cosine double"
+    )
+    rows = mmr_rerank(cand, corpus, k=3).collect()
+    assert len(rows) == 1 and rows[0].mmr_rank == 1
+
+
+def test_pruned_merge_on_empty_source(spark):
+    from openverse_catalog_spark.operators.merge import merge_upsert_pruned
+    from openverse_catalog_spark.schemas.columns import (
+        ColumnSpec,
+        Datatype,
+        UpsertStrategy,
+    )
+
+    cols = [
+        ColumnSpec("provider", Datatype.char, required=True,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("fid", Datatype.char, required=True,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("title", Datatype.char),
+    ]
+    tgt = spark.createDataFrame(
+        [("p1", "a", "t")], "provider string, fid string, title string"
+    )
+    src = spark.createDataFrame([], "provider string, fid string, title string")
+    out = merge_upsert_pruned(
+        tgt, src, cols, keys=("provider", "fid"),
+        dedupe_source_on_url=False, guard_url_conflicts=False,
+    )
+    assert [tuple(r) for r in out.collect()] == [("p1", "a", "t")]
+
+
+def test_adaptive_slices_and_reingestion_empty_tiers():
+    from openverse_catalog_spark.sources.landing import (
+        reingestion_day_shifts,
+        reingestion_dates,
+    )
+
+    assert reingestion_day_shifts([]) == []
+    assert reingestion_dates("2024-01-01", []) == [["2024-01-01"]]
+    assert reingestion_day_shifts([(1, 0), (7, 0)]) == []
