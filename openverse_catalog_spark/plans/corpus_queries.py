@@ -265,11 +265,47 @@ def knn_cosine_topk(spark, sf_dir):
     )
 
 
-@register("knn_lsh_bucketed")  # approximate — rows-only check (no oracle)
+@register("knn_lsh_bucketed", """
+    WITH ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+                FROM embeddings, generate_series(1, 64) AS t(i)),
+    norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
+    pl AS (SELECT ts.t, ps.p, ds.d,
+                  CAST(('0x' || substr(md5('plane' || CAST(ts.t AS VARCHAR) || '|' ||
+                        CAST(ps.p AS VARCHAR) || '|' || CAST(ds.d AS VARCHAR)), 1, 8))
+                       AS BIGINT) / 2147483648.0 - 1.0 AS w
+           FROM generate_series(0, 7) AS ts(t),
+                generate_series(0, 3) AS ps(p),
+                generate_series(0, 63) AS ds(d)),
+    proj AS (SELECT e.vec_id, pl.t, pl.p, sum(e.x * pl.w) AS s
+             FROM ex e JOIN pl ON pl.d = e.i - 1
+             GROUP BY 1, 2, 3),
+    buck AS (SELECT vec_id, t,
+                    sum(CASE WHEN s >= 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS bucket
+             FROM proj GROUP BY vec_id, t),
+    cand AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+             FROM buck a JOIN buck b
+               ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+    dots AS (SELECT c.query_id, c.neighbor_id, sum(ea.x * eb.x) AS dot
+             FROM cand c
+             JOIN ex ea ON ea.vec_id = c.query_id
+             JOIN ex eb ON eb.vec_id = c.neighbor_id AND ea.i = eb.i
+             GROUP BY 1, 2),
+    scored AS (SELECT query_id, neighbor_id, dot / (na.nrm * nb.nrm) AS cosine
+               FROM dots JOIN norms na ON na.vec_id = query_id
+                         JOIN norms nb ON nb.vec_id = neighbor_id),
+    ranked AS (SELECT query_id, neighbor_id, cosine,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, neighbor_id) AS rank
+               FROM scored)
+    SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
+    FROM ranked WHERE rank <= 3
+    """)
 def knn_lsh_bucketed(spark, sf_dir):
     """ANN scale path: random-hyperplane LSH buckets, exact cosine within
-    buckets only. Approximate by construction -> no SQL oracle; the
-    accompanying test checks recall against the exact path."""
+    buckets only. APPROXIMATE relative to exact knn (recall pinned in
+    tests) yet fully DETERMINISTIC: the hyperplanes are md5-derived, so
+    the oracle recomputes the identical planes, buckets, candidates and
+    in-bucket cosines in SQL — the whole LSH path is value-gated."""
     e = _t(spark, sf_dir, "embeddings")["embeddings"]
     out = knn.lsh_bucket_topk(e, "vec_id", "embedding", k=3, n_planes=4, n_tables=8, dim=64)
     return out.select(
@@ -380,11 +416,53 @@ def dedup_embedding_cosine(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
-@register("dedup_embedding_lsh")  # approximate — rows-only check (no oracle)
+@register("dedup_embedding_lsh", """
+    WITH base AS (
+      SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, generate_series(1, 64) AS t(i)
+      UNION ALL
+      SELECT vec_id + 1000000, i, CAST(embedding[i] AS DOUBLE) * 1.5
+      FROM embeddings, generate_series(1, 64) AS t(i) WHERE vec_id % 7 = 0
+      UNION ALL
+      SELECT vec_id + 2000000, i,
+             CASE WHEN i = 1 THEN 0.0 ELSE CAST(embedding[i] AS DOUBLE) END
+      FROM embeddings, generate_series(1, 64) AS t(i) WHERE vec_id % 10 = 0
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM base GROUP BY vec_id),
+    pl AS (SELECT ts.t, ps.p, ds.d,
+                  CAST(('0x' || substr(md5('plane' || CAST(ts.t AS VARCHAR) || '|' ||
+                        CAST(ps.p AS VARCHAR) || '|' || CAST(ds.d AS VARCHAR)), 1, 8))
+                       AS BIGINT) / 2147483648.0 - 1.0 AS w
+           FROM generate_series(0, 7) AS ts(t),
+                generate_series(0, 5) AS ps(p),
+                generate_series(0, 63) AS ds(d)),
+    proj AS (SELECT b.vec_id, pl.t, pl.p, sum(b.x * pl.w) AS s
+             FROM base b JOIN pl ON pl.d = b.i - 1
+             GROUP BY 1, 2, 3),
+    buck AS (SELECT vec_id, t,
+                    sum(CASE WHEN s >= 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS bucket
+             FROM proj GROUP BY vec_id, t),
+    cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+             FROM buck a JOIN buck b
+               ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+    dots AS (SELECT c.id_a, c.id_b, sum(ea.x * eb.x) AS dot
+             FROM cand c
+             JOIN base ea ON ea.vec_id = c.id_a
+             JOIN base eb ON eb.vec_id = c.id_b AND ea.i = eb.i
+             GROUP BY 1, 2),
+    scored AS (SELECT id_a, id_b, dot / (na.nrm * nb.nrm) AS cosine
+               FROM dots JOIN norms na ON na.vec_id = id_a
+                         JOIN norms nb ON nb.vec_id = id_b)
+    SELECT id_a, id_b, round(cosine, 6) AS cosine
+    FROM scored WHERE round(cosine, 6) >= 0.9
+    """)
 def dedup_embedding_lsh(spark, sf_dir):
     """Scale path for embedding near-dup: sign-LSH buckets restrict the
-    pair space, exact cosine verified within buckets only. Approximate by
-    construction (recall pinned against the exact path in tests)."""
+    pair space, exact cosine verified within buckets only. Approximate
+    RELATIVE TO the exact path (recall pinned in tests), but
+    deterministic end to end — md5-derived planes let the oracle rebuild
+    the same buckets/candidates/pairs in SQL, so even the LSH dedup is
+    value-gated."""
     out = knn.embedding_near_dup_pairs(
         _embed_corpus(spark, sf_dir), "vec_id", "embedding", threshold=0.9,
         n_planes=6, n_tables=8,
