@@ -369,6 +369,52 @@ AUDIO_TSV_COLUMNS: list[ColumnSpec] = [
 ]
 
 
+# Legacy image TSV v000 (reference tsv_columns.py:45-65): no filetype /
+# category, width+height between thumbnail and filesize.
+IMAGE_TSV_COLUMNS_V000: list[ColumnSpec] = [
+    FOREIGN_ID,
+    LANDING_URL,
+    DIRECT_URL,
+    THUMBNAIL,
+    WIDTH,
+    HEIGHT,
+    FILESIZE,
+    LICENSE,
+    LICENSE_VERSION,
+    CREATOR,
+    CREATOR_URL,
+    TITLE,
+    META_DATA,
+    TAGS,
+    WATERMARKED,
+    PROVIDER,
+    SOURCE,
+    INGESTION_TYPE,
+]
+
+# Versioned registry (reference tsv_columns.py:7-11 CURRENT_VERSION +
+# COLUMNS): order in each list IS the TSV column order for that version.
+TSV_COLUMNS: dict[tuple[str, str], list[ColumnSpec]] = {
+    ("image", "000"): IMAGE_TSV_COLUMNS_V000,
+    ("image", "001"): IMAGE_TSV_COLUMNS,
+    ("audio", "001"): AUDIO_TSV_COLUMNS,
+}
+
+CURRENT_TSV_VERSION = {"image": "001", "audio": "001"}
+
+
+def tsv_columns(media_type: str, version: str | None = None) -> list[ColumnSpec]:
+    """Column list for a media type + TSV version (default: current).
+    Rows read under an older version merge with NULLs for the missing
+    columns (loader/sql.py:240-261 semantics — merge_upsert aligns
+    version-missing columns automatically)."""
+    v = version or CURRENT_TSV_VERSION[media_type]
+    try:
+        return TSV_COLUMNS[(media_type, v)]
+    except KeyError:
+        raise ValueError(f"unknown TSV schema {media_type!r} v{v!r}") from None
+
+
 def spark_schema(columns: list[ColumnSpec]) -> T.StructType:
     return T.StructType([c.struct_field() for c in columns])
 

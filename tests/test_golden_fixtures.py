@@ -80,3 +80,42 @@ def test_duplicate_foreign_identifier_deduped(spark):
     # (test_sql.py:440-475)
     assert deduped.count() == 3
     assert deduped.filter(F.col("foreign_identifier") == "135257").count() == 1
+
+
+def test_v000_tsv_reads_and_merges_into_current_schema(spark, tmp_path):
+    """Schema-version evolution (tsv_columns.py:45-65, loader/sql.py:
+    240-261): a legacy v000 TSV (no filetype/category, width+height
+    early) loads under the v000 column order and merges into the
+    current canonical table with NULLs for the version-missing columns."""
+    from openverse_catalog_spark.operators.merge import merge_upsert
+    from openverse_catalog_spark.schemas.columns import (
+        image_db_schema,
+        tsv_columns,
+    )
+    from openverse_catalog_spark.sources.tsv import read_tsv
+
+    v000 = tsv_columns("image", "000")
+    assert [c.name for c in v000][:7] == [
+        "foreign_identifier", "foreign_landing_url", "url", "thumbnail",
+        "width", "height", "filesize",
+    ]
+    line = "\t".join(
+        ["fidA", "https://l.test/a", "https://i.test/a.jpg", "\\N",
+         "640", "480", "\\N", "cc0", "1.0", "Cr", "\\N", "T",
+         "\\N", "\\N", "f", "provA", "provA", "provider_api"]
+    )
+    p = tmp_path / "v000.tsv"
+    p.write_text(line + "\n")
+    good, corrupt = read_tsv(spark, str(p), v000)
+    assert corrupt.count() == 0
+    row = good.first()
+    assert row.width == 640 and row.license == "cc0"
+
+    from openverse_catalog_spark.plans.media_pipeline import empty_canonical
+
+    merged = merge_upsert(
+        empty_canonical(spark), good, image_db_schema(), deterministic=True
+    )
+    out = merged.first()
+    assert out.foreign_identifier == "fidA" and out.width == 640
+    assert out.filetype is None and out.category is None  # version-missing
