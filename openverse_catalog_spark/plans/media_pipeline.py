@@ -110,28 +110,39 @@ def ingest_media_batch(
     (provider_dag_factory.py:203-279). Metrics mirror
     loader/loader.py:44-67.
     """
+    from pyspark.sql import Observation
+
     db_cols = image_db_schema() if media_type == "image" else audio_db_schema()
-    loaded = staging.count()
-    # Cache the cleaned batch: its count feeds two metrics and it is the
-    # dedupe input — without the cache the full clean lineage would be
-    # recomputed once per action (4x the scan at 100 TB).
-    cleaned = clean_media_batch(staging, spark, media_type).cache()
-    n_cleaned = cleaned.count()
+    # Stage counts ride the plan as Observations instead of separate
+    # count() actions: the WHOLE pipeline (clean -> dedupe -> merge ->
+    # per-status counts) executes in ONE pass — at 100 TB the previous
+    # form paid four extra full-lineage passes just for metrics.
+    obs_load, obs_clean, obs_dedup = Observation(), Observation(), Observation()
+    n = F.count(F.lit(1)).alias("n")
+    staged = staging.observe(obs_load, n)
+    cleaned = clean_media_batch(staged, spark, media_type).observe(obs_clean, n)
     deduped = exact_dedupe(
         cleaned, ["provider", "foreign_identifier"], [F.col("url")]
-    )
-    n_clean = deduped.count()
-    before = target.count()
+    ).observe(obs_dedup, n)
     merged = merge_upsert(
-        target, deduped, db_cols, deterministic=deterministic
-    )
-    merged = merged.cache()
-    after = merged.count()
-    cleaned.unpersist()
+        target, deduped, db_cols, deterministic=deterministic,
+        status_col="__merge_status",
+    ).cache()
+    by_status = {
+        r["__merge_status"]: r["cnt"]
+        for r in merged.groupBy("__merge_status")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    loaded = obs_load.get["n"]
+    n_cleaned = obs_clean.get["n"]
+    n_clean = obs_dedup.get["n"]
+    merged = merged.drop("__merge_status")
     metrics = merge_metrics(
         loaded=loaded,
         cleaned=n_clean,
-        upserted=after - before if after >= before else 0,
+        # net-new rows, identical to the old after-minus-before accounting
+        upserted=by_status.get("inserted", 0),
         missing=loaded - n_cleaned if loaded else 0,
         fid_dups=n_cleaned - n_clean,
     )
