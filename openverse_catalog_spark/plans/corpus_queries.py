@@ -1479,3 +1479,68 @@ def knn_mmr_rerank(spark, sf_dir):
     return out.select(
         "query_id", "neighbor_id", "mmr_rank", F.round("score", 6).alias("score")
     )
+
+
+# --- per-source embedding centroids (corpus drift analytics) ---------------
+
+
+@register(
+    "embed_source_centroids",
+    """
+    WITH ex AS (
+      SELECT e.vec_id, d.source, t.i, CAST(e.embedding[t.i] AS DOUBLE) AS x
+      FROM embeddings e
+      JOIN documents d ON d.doc_id = e.vec_id,
+      generate_series(1, 64) AS t(i)
+    ),
+    cent AS (SELECT source, i, avg(x) AS c,
+                    count(DISTINCT vec_id) AS n_vecs
+             FROM ex GROUP BY source, i),
+    gc AS (SELECT i, avg(x) AS g FROM ex GROUP BY i)
+    SELECT cent.source,
+           CAST(max(cent.n_vecs) AS BIGINT) AS n_vecs,
+           round(sqrt(sum(cent.c * cent.c)), 6) AS centroid_norm,
+           round(sum(cent.c * gc.g)
+                 / (sqrt(sum(cent.c * cent.c)) * sqrt(sum(gc.g * gc.g))),
+                 6) AS cos_to_global
+    FROM cent JOIN gc ON cent.i = gc.i
+    GROUP BY cent.source
+    """,
+)
+def embed_source_centroids(spark, sf_dir):
+    """Embedding-drift profile: each source's mean embedding (centroid),
+    its norm, and its cosine to the global centroid — the monitoring
+    query that catches a provider whose embeddings shift (model change,
+    content drift) before it pollutes dedup/ANN thresholds. Per-dim
+    means via posexplode + groupBy: the shuffle carries (source, dim)
+    partial sums — 64 x sources rows, regardless of corpus size."""
+    t = _t(spark, sf_dir, "documents", "embeddings")
+    ex = (
+        t["embeddings"]
+        .join(t["documents"].select(F.col("doc_id").alias("vec_id"), "source"), "vec_id")
+        .select(
+            "vec_id", "source",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("i0", "x"),
+        )
+        .select("vec_id", "source", (F.col("i0") + 1).alias("i"), "x")
+    )
+    cent = ex.groupBy("source", "i").agg(
+        F.avg("x").alias("c"), F.countDistinct("vec_id").alias("n_vecs")
+    )
+    glob = ex.groupBy("i").agg(F.avg("x").alias("g"))
+    return (
+        cent.join(F.broadcast(glob), "i")
+        .groupBy("source")
+        .agg(
+            F.max("n_vecs").cast("bigint").alias("n_vecs"),
+            F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 6).alias("centroid_norm"),
+            F.round(
+                F.sum(F.col("c") * F.col("g"))
+                / (
+                    F.sqrt(F.sum(F.col("c") * F.col("c")))
+                    * F.sqrt(F.sum(F.col("g") * F.col("g")))
+                ),
+                6,
+            ).alias("cos_to_global"),
+        )
+    )
