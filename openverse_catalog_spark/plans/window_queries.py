@@ -211,3 +211,58 @@ def agg_value_histogram(spark, sf_dir):
             F.round(F.max("value"), 2).alias("hi"),
         )
     )
+
+
+# --- ordered conversion funnel ---------------------------------------------
+
+
+@register(
+    "window_conversion_funnel",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purch
+      FROM events GROUP BY user_id
+    )
+    SELECT count(*) FILTER (WHERE t_view IS NOT NULL) AS viewed,
+           count(*) FILTER (WHERE t_view IS NOT NULL AND t_click > t_view) AS clicked_after_view,
+           count(*) FILTER (WHERE t_view IS NOT NULL AND t_click > t_view
+                              AND t_purch > t_click) AS purchased_after_click,
+           round(avg(epoch_us(t_purch - t_click) / 1e6)
+                 FILTER (WHERE t_view IS NOT NULL AND t_click > t_view
+                           AND t_purch > t_click), 2) AS avg_click_to_purchase_s
+    FROM firsts
+    """,
+)
+def window_conversion_funnel(spark, sf_dir):
+    """Ordered conversion funnel: first-view -> first-click -> first-
+    purchase per user, each stage requiring event-time order, plus the
+    mean click->purchase latency of full converters. ONE conditional-min
+    aggregation per user (map-side partials, single user_id shuffle)
+    replaces the three self-joins a naive funnel runs — the sequence-
+    analytics staple for behavioral/training-data telemetry."""
+    e = _t(spark, sf_dir, "events")["events"]
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purch"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purch") > F.col("t_click"))
+    return firsts.agg(
+        F.count(F.when(viewed, 1)).alias("viewed"),
+        F.count(F.when(clicked, 1)).alias("clicked_after_view"),
+        F.count(F.when(purchased, 1)).alias("purchased_after_click"),
+        F.round(
+            F.avg(
+                F.when(
+                    purchased,
+                    (F.unix_micros("t_purch") - F.unix_micros("t_click")) / 1e6,
+                )
+            ),
+            2,
+        ).alias("avg_click_to_purchase_s"),
+    )
