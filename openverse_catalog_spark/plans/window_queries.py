@@ -266,3 +266,47 @@ def window_conversion_funnel(spark, sf_dir):
             2,
         ).alias("avg_click_to_purchase_s"),
     )
+
+
+# --- gap fill: last observation carried forward ----------------------------
+
+
+@register(
+    "window_locf_fill",
+    """
+    WITH src AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+      FROM events
+    )
+    SELECT event_id,
+           round(coalesce(
+             last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             -1.0), 2) AS filled
+    FROM src
+    """,
+)
+def window_locf_fill(spark, sf_dir):
+    """Last-observation-carried-forward gap fill (IGNORE NULLS running
+    last_value): nulled readings take the most recent non-null value of
+    the same user in event-time order — the telemetry/time-series
+    imputation every sensor/metrics pipeline needs. One user_id shuffle;
+    the frame is cumulative so state per group is a single value."""
+    e = _t(spark, sf_dir, "events")["events"]
+    src = e.select(
+        "user_id", "event_id", "ts",
+        F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(F.col("value")).alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return src.select(
+        "event_id",
+        F.round(
+            F.coalesce(F.last("v", ignorenulls=True).over(w), F.lit(-1.0)), 2
+        ).alias("filled"),
+    )
