@@ -27,6 +27,7 @@ SUBSTRING_BLACKLISTED_TAGS = (
     ":",
     "=",
     "cc0",
+    "by",
     "by-nc",
     "by-nd",
     "by-sa",

@@ -372,6 +372,7 @@ def clean_filetype_url(spark, sf_dir):
                  AND NOT contains(lower(trim(t)), ':')
                  AND NOT contains(lower(trim(t)), '=')
                  AND NOT contains(lower(trim(t)), 'cc0')
+                 AND NOT contains(lower(trim(t)), 'by')
                  AND NOT contains(lower(trim(t)), 'by-nc')
                  AND NOT contains(lower(trim(t)), 'by-nd')
                  AND NOT contains(lower(trim(t)), 'by-sa')
