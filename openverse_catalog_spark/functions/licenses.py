@@ -17,27 +17,58 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# Canonical CC license pairs (public creativecommons.org structure; the
-# reference's equivalents live in catalog/dags/common/licenses/constants.py).
-# path fragment -> (license, version); "N/A" versions resolve via special-case.
+# Canonical CC license pairs, mirroring the reference's full recognized
+# set (catalog/dags/common/licenses/constants.py): the live grid
+# (_SIMPLE_LICENSE_PATHS :3-50), the 2.1 jurisdiction versions whose
+# pair->URL falls back to unported 2.0 (_SPECIAL_REVERSE_ONLY_PATHS
+# :96-102), the retired/unported families (nc, nc-sa, nd, nd-nc, sa,
+# sampling, devnations...), and the special cases (:78-94 — by-nc-nd 1.0
+# lives at the historical by-nd-nc path; publicdomain has version N/A).
 _CC_LICENSES = ["by", "by-sa", "by-nc", "by-nd", "by-nc-sa", "by-nc-nd"]
 _CC_VERSIONS = ["1.0", "2.0", "2.5", "3.0", "4.0"]
+_RETIRED_PATHS = [
+    ("devnations", "2.0", "licenses/devnations/2.0"),
+    ("nc", "1.0", "licenses/nc/1.0"),
+    ("nc", "2.0", "licenses/nc/2.0/jp"),
+    ("nc-sa", "1.0", "licenses/nc-sa/1.0"),
+    ("nc-sa", "2.0", "licenses/nc-sa/2.0/jp"),
+    ("nc-sampling+", "1.0", "licenses/nc-sampling+/1.0"),
+    ("nd", "1.0", "licenses/nd/1.0"),
+    ("nd", "2.0", "licenses/nd/2.0/jp"),
+    ("nd-nc", "1.0", "licenses/nd-nc/1.0"),
+    ("nd-nc", "2.0", "licenses/nd-nc/2.0/jp"),
+    ("sa", "1.0", "licenses/sa/1.0"),
+    ("sa", "2.0", "licenses/sa/2.0/jp"),
+    ("sampling+", "1.0", "licenses/sampling+/1.0"),
+    ("sampling", "1.0", "licenses/sampling/1.0"),
+    ("publicdomain", "N/A", "licenses/publicdomain"),
+]
 _SPECIAL = {
-    # license -> fixed version (cc0/pdm have single versions)
+    # license -> fixed version when the version is absent
     "cc0": "1.0",
     "pdm": "1.0",
-    "publicdomain": "1.0",
+    "publicdomain": "N/A",
 }
+_BASE = "https://creativecommons.org/"
 
 
 def license_pairs() -> list[tuple[str, str, str]]:
-    """(license, version, canonical_url) for every valid pair."""
+    """(license, version, canonical_url) for every valid pair the
+    reference recognizes (constants.py get_reverse_license_path_map)."""
     rows = []
     for lic in _CC_LICENSES:
         for ver in _CC_VERSIONS:
-            rows.append((lic, ver, f"https://creativecommons.org/licenses/{lic}/{ver}/"))
-    rows.append(("cc0", "1.0", "https://creativecommons.org/publicdomain/zero/1.0/"))
-    rows.append(("pdm", "1.0", "https://creativecommons.org/publicdomain/mark/1.0/"))
+            if (lic, ver) == ("by-nc-nd", "1.0"):
+                # historical naming: 1.0-era path is by-nd-nc
+                rows.append((lic, ver, f"{_BASE}licenses/by-nd-nc/1.0/"))
+            else:
+                rows.append((lic, ver, f"{_BASE}licenses/{lic}/{ver}/"))
+        # 2.1 releases were jurisdiction-only; pair URL falls back to 2.0
+        rows.append((lic, "2.1", f"{_BASE}licenses/{lic}/2.0/"))
+    for lic, ver, path in _RETIRED_PATHS:
+        rows.append((lic, ver, f"{_BASE}{path}/"))
+    rows.append(("cc0", "1.0", f"{_BASE}publicdomain/zero/1.0/"))
+    rows.append(("pdm", "1.0", f"{_BASE}publicdomain/mark/1.0/"))
     return rows
 
 
@@ -68,24 +99,24 @@ def normalize_license(
     record — reference media.py:117-121, licenses.py:238-248). Adds
     ``license_url``.
 
-    The pair set is the static cross product ``_CC_LICENSES x _CC_VERSIONS``
-    plus the two fixed public-domain pairs, so validity compiles to pure
-    ``isin`` expressions — no join operator at all, the row stays inside one
-    whole-stage-codegen span. (``spark`` is accepted for signature
-    compatibility; nothing driver-side is needed.)
+    The pair set is the full reference-recognized list (license_pairs),
+    compiled into a literal pair->URL map, so validity AND the canonical
+    URL are one map lookup — no join operator at all, the row stays
+    inside one whole-stage-codegen span. (``spark`` is accepted for
+    signature compatibility; nothing driver-side is needed.)
     """
     lic = F.lower(F.trim(F.col(license_col)))
     ver = F.coalesce(
         canonical_version_expr(F.col(version_col)),
-        # cc0/pdm tolerate missing version -> fixed 1.0
-        F.when(lic.isin(*_SPECIAL.keys()), F.lit("1.0")),
+        # cc0/pdm tolerate a missing version (fixed 1.0); the retired
+        # publicdomain license is versionless (N/A) — constants.py:84
+        *[F.when(lic == l, F.lit(v)) for l, v in _SPECIAL.items()],
     )
-    valid = (lic.isin(_CC_LICENSES) & ver.isin(_CC_VERSIONS)) | (
-        lic.isin("cc0", "pdm") & (ver == "1.0")
-    )
+    url_by_pair = F.element_at(_pair_url_map(), F.concat_ws("|", lic, ver))
+    valid = url_by_pair.isNotNull()
     out_lic = F.when(valid, lic)
     out_ver = F.when(valid, ver)
-    url = F.when(valid, license_url_from_pair(lic, ver))
+    url = url_by_pair
     cols = []
     for c in df.columns:
         if c == license_col:
@@ -137,14 +168,20 @@ def backfill_license_url(
     )
 
 
+def _pair_url_map() -> Column:
+    """Literal map pair-key -> canonical URL (reverse path map,
+    constants.py:119-130). A compile-time literal: the whole lookup stays
+    inside one codegen span, no join, no broadcast variable."""
+    entries = []
+    for lic, ver, url in license_pairs():
+        entries.append(F.lit(f"{lic}|{ver}"))
+        entries.append(F.lit(url))
+    return F.create_map(*entries)
+
+
 def license_url_from_pair(lic: Column, ver: Column) -> Column:
     """Derive the canonical URL from a valid (license, version) pair
-    (licenses.py:191-209) as a pure expression."""
-    return (
-        F.when(lic == "cc0", F.lit("https://creativecommons.org/publicdomain/zero/1.0/"))
-        .when(lic == "pdm", F.lit("https://creativecommons.org/publicdomain/mark/1.0/"))
-        .when(
-            lic.isNotNull() & ver.isNotNull(),
-            F.concat(F.lit("https://creativecommons.org/licenses/"), lic, F.lit("/"), ver, F.lit("/")),
-        )
-    )
+    (licenses.py:191-209) as a pure map-literal lookup — exact for the
+    special paths too (by-nd-nc 1.0, jurisdiction 2.0 variants, 2.1
+    fallbacks), which a string-concat formula gets wrong."""
+    return F.element_at(_pair_url_map(), F.concat_ws("|", lic, ver))

@@ -55,8 +55,8 @@ def _license_oracle() -> str:
                  CAST(CAST((try_cast(ver_raw AS DOUBLE)
                             - floor(try_cast(ver_raw AS DOUBLE))) * 10 AS INT) AS VARCHAR)
                END,
-               CASE WHEN lower(trim(lic_raw)) IN ('cc0', 'pdm', 'publicdomain')
-                    THEN '1.0' END) AS ver
+               CASE WHEN lower(trim(lic_raw)) IN ('cc0', 'pdm') THEN '1.0'
+                    WHEN lower(trim(lic_raw)) = 'publicdomain' THEN 'N/A' END) AS ver
       FROM raw),
     dim AS (SELECT * FROM (VALUES
       {dim_rows}) AS v(license, license_version, license_url))
