@@ -185,3 +185,60 @@ def license_url_from_pair(lic: Column, ver: Column) -> Column:
     special paths too (by-nd-nc 1.0, jurisdiction 2.0 variants, 2.1
     fallbacks), which a string-concat formula gets wrong."""
     return F.element_at(_pair_url_map(), F.concat_ws("|", lic, ver))
+
+
+def license_path_entries() -> list[tuple[str, str, str]]:
+    """(path_fragment, license, version) for every URL path the reference
+    recognizes (constants.py get_license_path_map: simple :3-50,
+    irreversible 2.1 jurisdiction :52-76, special cases :78-94)."""
+    rows = []
+    for lic in _CC_LICENSES:
+        for ver in _CC_VERSIONS:
+            if (lic, ver) == ("by-nc-nd", "1.0"):
+                rows.append(("licenses/by-nd-nc/1.0", lic, ver))
+            else:
+                rows.append((f"licenses/{lic}/{ver}", lic, ver))
+        for j in ("au", "es", "jp"):
+            rows.append((f"licenses/{lic}/2.1/{j}", lic, "2.1"))
+    for lic, ver, path in _RETIRED_PATHS:
+        rows.append((path, lic, ver))
+    rows.append(("licenses/by-nd-nc/2.0/jp", "by-nc-nd", "2.0"))
+    rows.append(("licenses/mark/1.0", "pdm", "1.0"))
+    rows.append(("publicdomain/zero/1.0", "cc0", "1.0"))
+    rows.append(("publicdomain/mark/1.0", "pdm", "1.0"))
+    return rows
+
+
+_FRAG_RE = (
+    r"https://creativecommons\.org/"
+    r"((?:licenses/[a-z+\-]+/[0-9]\.[0-9](?:/(?:jp|au|es))?)"
+    r"|publicdomain/(?:zero|mark)/1\.0"
+    r"|licenses/publicdomain)"
+)
+
+
+def license_from_url_expr(url: Column) -> Column:
+    """Derive struct(license, license_version) from a license URL — the
+    reference's URL direction (licenses.py:87-134) minus the live
+    redirect probe (urls.py rewrite — a network call; SURVEY §1.4 rules
+    those out of executors): lowercase, force https scheme, ensure a
+    trailing slash, require the creativecommons.org host, then match the
+    recognized path fragment and look the pair up in the literal path
+    map. Extra path suffixes (deed.xx, legalcode) are tolerated exactly
+    like the reference's substring match."""
+    u = F.lower(F.trim(url))
+    u = F.when(
+        u.rlike(r"^[a-z][a-z0-9+.\-]*://"),
+        F.regexp_replace(u, r"^[a-z][a-z0-9+.\-]*://", "https://"),
+    ).otherwise(F.concat(F.lit("https://"), u))
+    u = F.when(u.endswith("/"), u).otherwise(F.concat(u, F.lit("/")))
+    frag = F.regexp_extract(u, _FRAG_RE, 1)
+    entries = []
+    for path, lic, ver in license_path_entries():
+        entries.append(F.lit(path))
+        entries.append(F.lit(f"{lic}|{ver}"))
+    pair = F.element_at(F.create_map(*entries), frag)
+    return F.struct(
+        F.split(pair, r"\|").getItem(0).alias("license"),
+        F.split(pair, r"\|").getItem(1).alias("license_version"),
+    )

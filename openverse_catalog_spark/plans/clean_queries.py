@@ -640,3 +640,84 @@ def clean_domain_blocklist(spark, sf_dir):
         .groupBy("domain")
         .agg(F.count("*").alias("n_kept"), F.min("k").alias("first_key"))
     )
+
+
+# --- P11 URL direction: license pair FROM a license URL --------------------
+
+
+def _license_from_url_oracle() -> str:
+    from openverse_catalog_spark.functions.licenses import (
+        _FRAG_RE,
+        license_path_entries,
+    )
+
+    path_rows = ",\n      ".join(
+        f"('{p}', '{lic}', '{ver}')" for p, lic, ver in license_path_entries()
+    )
+    frag_re = _FRAG_RE.replace("'", "''")
+    return f"""
+    WITH raw AS (
+      SELECT o_orderkey,
+             CASE o_orderkey % 8
+               WHEN 0 THEN 'https://creativecommons.org/licenses/by/4.0/'
+               WHEN 1 THEN 'http://creativecommons.org/licenses/by-nc/2.0'
+               WHEN 2 THEN 'creativecommons.org/publicdomain/zero/1.0/'
+               WHEN 3 THEN 'HTTPS://CREATIVECOMMONS.ORG/licenses/by-sa/3.0/legalcode'
+               WHEN 4 THEN 'https://creativecommons.org/licenses/by-nd-nc/1.0/'
+               WHEN 5 THEN 'https://creativecommons.org/licenses/by-nc/2.1/jp/'
+               WHEN 6 THEN 'https://example.com/licenses/by/4.0/'
+               ELSE 'not a url' END AS url_raw
+      FROM orders
+    ),
+    fixed AS (
+      SELECT o_orderkey,
+             CASE WHEN regexp_matches(lower(trim(url_raw)), '^[a-z][a-z0-9+.\\-]*://')
+                  THEN regexp_replace(lower(trim(url_raw)), '^[a-z][a-z0-9+.\\-]*://', 'https://')
+                  ELSE 'https://' || lower(trim(url_raw)) END AS u0
+      FROM raw
+    ),
+    slashed AS (
+      SELECT o_orderkey,
+             CASE WHEN u0 LIKE '%/' THEN u0 ELSE u0 || '/' END AS u
+      FROM fixed
+    ),
+    frag AS (
+      SELECT o_orderkey, regexp_extract(u, '{frag_re}', 1) AS f FROM slashed
+    ),
+    pm AS (SELECT * FROM (VALUES
+      {path_rows}) AS v(path, license, license_version))
+    SELECT fr.o_orderkey, pm.license, pm.license_version
+    FROM frag fr LEFT JOIN pm ON pm.path = fr.f
+    """
+
+
+@register("clean_license_from_url", _license_from_url_oracle())
+def clean_license_from_url(spark, sf_dir):
+    """P11, URL direction (licenses.py:87-134): scheme force, slash
+    repair, creativecommons.org host check, recognized-path match (extra
+    deed/legalcode suffixes tolerated), literal path->pair map lookup —
+    including the historical by-nd-nc 1.0 naming and jurisdiction 2.1
+    paths. One codegen projection, no join, no UDF; the non-CC and
+    garbage URLs fall out as NULL pairs (P2 then drops them)."""
+    from openverse_catalog_spark.functions.licenses import license_from_url_expr
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    k = F.col("o_orderkey")
+    raw = o.select(
+        "o_orderkey",
+        F.when(k % 8 == 0, "https://creativecommons.org/licenses/by/4.0/")
+        .when(k % 8 == 1, "http://creativecommons.org/licenses/by-nc/2.0")
+        .when(k % 8 == 2, "creativecommons.org/publicdomain/zero/1.0/")
+        .when(k % 8 == 3, "HTTPS://CREATIVECOMMONS.ORG/licenses/by-sa/3.0/legalcode")
+        .when(k % 8 == 4, "https://creativecommons.org/licenses/by-nd-nc/1.0/")
+        .when(k % 8 == 5, "https://creativecommons.org/licenses/by-nc/2.1/jp/")
+        .when(k % 8 == 6, "https://example.com/licenses/by/4.0/")
+        .otherwise("not a url")
+        .alias("url_raw"),
+    )
+    pair = license_from_url_expr(F.col("url_raw"))
+    return raw.select(
+        "o_orderkey",
+        pair["license"].alias("license"),
+        pair["license_version"].alias("license_version"),
+    )
