@@ -37,8 +37,11 @@ from openverse_catalog_spark.schemas.columns import (
     image_db_schema,
 )
 
+# reference extensions.py:1-4 image set (jpeg/tif arrive unified to jpg/tiff
+# by extract_filetype_expr before the validity check)
 VALID_IMAGE_FILETYPES = ("jpg", "png", "gif", "svg", "tiff", "webp", "bmp")
-VALID_AUDIO_FILETYPES = ("mp3", "ogg", "wav", "flac", "aiff", "mid", "oga", "opus")
+# reference extensions.py:1-4 audio set
+VALID_AUDIO_FILETYPES = ("mp3", "ogg", "wav", "aiff", "flac", "wma", "mp4", "aac", "m4a", "m4b")
 
 
 @dataclass
