@@ -36,6 +36,41 @@ SUBSTRING_BLACKLISTED_TAGS = (
     "pdm",
 )
 
+# Default image category per provider — reference media.py:168-170 +
+# provider_details.py:142-162 (category = record value OR this default).
+DEFAULT_IMAGE_CATEGORY = {
+    "stocksnap": "photograph",
+    "animaldiversity": "photograph",
+    "brooklynmuseum": "digitized_artwork",
+    "capl": "photograph",
+    "clevelandmuseum": "digitized_artwork",
+    "deviantart": "digitized_artwork",
+    "digitaltmuseum": "digitized_artwork",
+    "floraon": "photograph",
+    "inaturalist": "photograph",
+    "mccordmuseum": "digitized_artwork",
+    "met": "digitized_artwork",
+    "museumsvictoria": "digitized_artwork",
+    "nappy": "photograph",
+    "phylopic": "illustration",
+    "rijksmuseum": "digitized_artwork",
+    "sciencemuseum": "photograph",
+    "svgsilh": "illustration",
+    "thorvaldsenmuseum": "digitized_artwork",
+    "worms": "photograph",
+}
+
+
+def default_category_expr(category, provider):
+    """category OR the per-provider default (media.py:168-170); literal
+    map lookup, providers without a default stay NULL."""
+    entries = []
+    for prov, cat in DEFAULT_IMAGE_CATEGORY.items():
+        entries.append(F.lit(prov))
+        entries.append(F.lit(cat))
+    return F.coalesce(category, F.element_at(F.create_map(*entries), provider))
+
+
 # Filetype unification — reference media.py:39,313-325.
 FILETYPE_EQUIVALENTS = {"jpeg": "jpg", "tif": "tiff"}
 

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from openverse_catalog_spark.functions.cleaning import (
     clean_columns,
     clean_tags_expr,
+    default_category_expr,
     default_source_expr,
     drop_missing_required,
     enrich_meta_data_expr,
@@ -88,6 +89,11 @@ def clean_media_batch(
             F.coalesce(F.col("ingestion_type"), F.lit("provider_api")),
         )
     )
+    if media_type == "image":
+        df = df.withColumn(
+            "category",
+            default_category_expr(F.col("category"), F.col("provider")),
+        )
     if "tags" in df.columns:
         # staging tags may arrive as plain strings or structs; enrichment
         # normalizes struct form {name, provider}

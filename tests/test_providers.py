@@ -281,3 +281,6 @@ def test_stocksnap_style_static_single_page(spark):
     assert [t["name"] for t in r.tags] == ["sky", "cloud"]
     assert r.meta_data["iso"] == "200"
     assert r.width == 4000
+    # per-provider category default (media.py:168-170, provider_details
+    # DEFAULT_IMAGE_CATEGORY): stocksnap -> photograph
+    assert r.category == "photograph"
