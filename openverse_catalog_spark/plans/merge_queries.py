@@ -755,3 +755,50 @@ def merge_partition_pruned(spark, sf_dir):
         dedupe_source_on_url=False, guard_url_conflicts=False,
         status_col="st",
     )
+
+
+# --- provider staleness expiration (retired image_expiration_workflow) ----
+
+
+@register(
+    "merge_expire_stale",
+    """
+    WITH win AS (SELECT * FROM (VALUES
+        ('click', 5), ('view', 10), ('signup', 15),
+        ('purchase', 20), ('error', 25)) AS v(provider, max_days))
+    SELECT e.event_type AS provider,
+           count(*) FILTER (WHERE e.ts < TIMESTAMP '2024-01-25 00:00:00'
+                              - to_days(w.max_days)) AS n_expired,
+           count(*) FILTER (WHERE e.ts >= TIMESTAMP '2024-01-25 00:00:00'
+                              - to_days(w.max_days)) AS n_fresh
+    FROM events e JOIN win w ON w.provider = e.event_type
+    GROUP BY e.event_type
+    """,
+)
+def merge_expire_stale(spark, sf_dir):
+    """Provider staleness expiration (reference retired/common/loader/
+    sql.py:1-35 + loader/sql.py:29-41 OLDEST_PER_PROVIDER): rows whose
+    updated_on is older than the provider's staleness window get flagged
+    removed_from_source — the batch watermark analog of streaming
+    late-data cutoffs (SURVEY I3). The per-provider window is a literal
+    map (no join for the threshold); the flag + counts are one scan with
+    map-side partials. Deterministic 'now' so the oracle pins values."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    windows = {"click": 5, "view": 10, "signup": 15, "purchase": 20, "error": 25}
+    entries = []
+    for p, d in windows.items():
+        entries.append(F.lit(p))
+        entries.append(F.lit(d))
+    max_days = F.element_at(F.create_map(*entries), F.col("event_type"))
+    now_us = F.unix_micros(F.lit("2024-01-25 00:00:00").cast("timestamp"))
+    expired = F.unix_micros(F.col("ts")) < (
+        now_us - max_days.cast("long") * F.lit(86_400_000_000)
+    )
+    return (
+        ev.filter(max_days.isNotNull())
+        .groupBy(F.col("event_type").alias("provider"))
+        .agg(
+            F.count(F.when(expired, 1)).alias("n_expired"),
+            F.count(F.when(~expired, 1)).alias("n_fresh"),
+        )
+    )
