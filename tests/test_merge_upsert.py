@@ -221,3 +221,56 @@ def test_pruned_merge_requires_partition_key(spark):
 
     with _pytest.raises(ValueError, match="merge key"):
         merge_upsert_pruned(None, None, [], keys=("foreign_identifier",))
+
+
+def test_post_merge_uniqueness_audit(spark):
+    """SURVEY §4 custom #3: the reference enforces (provider, md5(fid))
+    and url uniqueness with unique indexes (0003_...sql:46-54); here the
+    same invariants are a post-merge validation query — the quality-rule
+    compiler over the merge output, one scan."""
+    from pyspark.sql import functions as F
+
+    from openverse_catalog_spark.operators.merge import merge_upsert
+    from openverse_catalog_spark.operators.quality import (
+        not_null,
+        quality_report,
+        unique,
+    )
+    from openverse_catalog_spark.schemas.columns import (
+        ColumnSpec,
+        Datatype,
+        UpsertStrategy,
+    )
+
+    cols = [
+        ColumnSpec("provider", Datatype.char, required=True,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("foreign_identifier", Datatype.char, required=True,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("url", Datatype.char, required=True,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("title", Datatype.char),
+    ]
+    tgt = spark.createDataFrame(
+        [("p1", "a", "http://u/1", "t1"), ("p1", "b", "http://u/2", "t2")],
+        "provider string, foreign_identifier string, url string, title string",
+    )
+    # batch carries an in-batch url dup AND a url conflicting with b's
+    src = spark.createDataFrame(
+        [("p1", "a", "http://u/1", "t1x"),
+         ("p1", "c", "http://u/3", "t3"),
+         ("p1", "c2", "http://u/3", "dup-url"),
+         ("p1", "d", "http://u/2", "conflicts-with-b")],
+        "provider string, foreign_identifier string, url string, title string",
+    )
+    merged = merge_upsert(tgt, src, cols, keys=("provider", "foreign_identifier"))
+    audited = merged.withColumn(
+        "pk", F.concat_ws("|", "provider", "foreign_identifier")
+    )
+    report = quality_report(
+        audited,
+        [unique("pk"), unique("url"), not_null("provider"),
+         not_null("foreign_identifier"), not_null("url")],
+    )
+    failed = [r.check for r in report.collect() if not r.passed]
+    assert failed == [], f"post-merge constraint violations: {failed}"
