@@ -82,6 +82,16 @@ HEADLINE = [
     "sub_below_avg_quantity",
     "sub_scalar_revenue_share",
     "dedup_fuzzy_titles",
+    "merge_struct_audio_set",
+    "clean_license_from_url",
+    "agg_winsorized_values",
+    "agg_corr_matrix",
+    "window_conversion_funnel",
+    "window_locf_fill",
+    "embed_source_centroids",
+    "join_salted_hot_keys",
+    "dedup_url_canonical",
+    "merge_expire_stale",
 ]
 
 
