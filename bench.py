@@ -25,6 +25,7 @@ HEADLINE = [
     "agg_pricing_summary",
     "join_5way_enrich",
     "pipeline_taxa_enrich",
+    "pipeline_popularity_refresh",
     "merge_upsert_strategies",
     "merge_partition_pruned",
     "merge_url_guards",

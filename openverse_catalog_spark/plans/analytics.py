@@ -1225,3 +1225,55 @@ def join_salted_hot_keys(spark, sf_dir):
     return out.groupBy("event_type").agg(
         F.count("*").alias("n"), F.sum("n_cust").alias("cust_weight")
     )
+
+
+# --- the §3.3 popularity refresh, end to end -------------------------------
+
+
+@register(
+    "pipeline_popularity_refresh",
+    """
+    WITH p AS (
+      SELECT event_type, quantile_disc(value, 0.85) AS raw_value
+      FROM events GROUP BY event_type
+    ),
+    c AS (
+      SELECT event_type, raw_value,
+             ((1 - 0.85) / 0.85) * (CASE WHEN raw_value = 0 THEN 1
+                                         ELSE raw_value END) AS constant
+      FROM p
+    )
+    SELECT e.event_type,
+           round(c.raw_value, 4) AS raw_value,
+           round(c.constant, 6) AS constant,
+           count(*) AS n_scored,
+           round(avg(e.value / (e.value + c.constant)), 6) AS avg_score,
+           round(max(e.value / (e.value + c.constant)), 6) AS max_score
+    FROM events e JOIN c USING (event_type)
+    GROUP BY e.event_type, c.raw_value, c.constant
+    """,
+)
+def pipeline_popularity_refresh(spark, sf_dir):
+    """SURVEY §3.3 as ONE job: percentile metrics (A7, exact disc) ->
+    popularity constants with the zero-guard (A8) -> standardized
+    m/(m+c) scoring of every row via broadcast join (J8) -> per-provider
+    refresh summary. The reference runs this as three serialized steps
+    (metrics upsert, REFRESH MATERIALIZED VIEW constants, full matview
+    recompute — popularity/sql.py:139-421); here the whole refresh is
+    one Catalyst plan: the fact table shuffles ONCE (for the percentile
+    ranking) and the constants come back as a broadcast, so refreshing
+    the scored view at 100 TB costs one scan + one keyed exchange."""
+    e = _t(spark, sf_dir, "events")["events"]
+    p = percentile_disc_by_group(e, ["event_type"], "value", 0.85, "percentile_value")
+    c = popularity_constants(p, 0.85)
+    scored = standardized_popularity(e, c, ["event_type"], "value")
+    summary = scored.groupBy("event_type").agg(
+        F.round(F.max("constant"), 6).alias("constant"),
+        F.count(F.lit(1)).alias("n_scored"),
+        F.round(F.avg("standardized_popularity"), 6).alias("avg_score"),
+        F.round(F.max("standardized_popularity"), 6).alias("max_score"),
+    )
+    raw = c.select("event_type", F.round("raw_value", 4).alias("raw_value"))
+    return summary.join(F.broadcast(raw), "event_type").select(
+        "event_type", "raw_value", "constant", "n_scored", "avg_score", "max_score"
+    )
