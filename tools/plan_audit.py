@@ -67,6 +67,12 @@ AUDIT = [
         "the batch's provider slice into the full-outer merge join.",
     ),
     (
+        "pipeline_popularity_refresh",
+        "The whole popularity refresh: ONE fact exchange for the "
+        "percentile ranking; constants and raw values return as "
+        "broadcasts for the scoring join.",
+    ),
+    (
         "text_unigram_nll",
         "Unigram-LM scoring: vocab aggregates map-side; the corpus total "
         "folds in as a 1-row broadcast; the token->vocab join stays an "
