@@ -61,6 +61,13 @@ def license_pairs() -> list[tuple[str, str, str]]:
             if (lic, ver) == ("by-nc-nd", "1.0"):
                 # historical naming: 1.0-era path is by-nd-nc
                 rows.append((lic, ver, f"{_BASE}licenses/by-nd-nc/1.0/"))
+            elif (lic, ver) == ("by-nc-nd", "2.0"):
+                # _SPECIAL_CASE_LICENSE_PATHS is dict.update()'d AFTER the
+                # simple paths in get_reverse_license_path_map
+                # (constants.py:119-126), so the special entry wins: the
+                # canonical pair->URL for (by-nc-nd, 2.0) is the historical
+                # jp-jurisdiction by-nd-nc path, not licenses/by-nc-nd/2.0/.
+                rows.append((lic, ver, f"{_BASE}licenses/by-nd-nc/2.0/jp/"))
             else:
                 rows.append((lic, ver, f"{_BASE}licenses/{lic}/{ver}/"))
         # 2.1 releases were jurisdiction-only; pair URL falls back to 2.0
@@ -210,7 +217,11 @@ def license_path_entries() -> list[tuple[str, str, str]]:
 
 
 _FRAG_RE = (
-    r"https://creativecommons\.org/"
+    # Anchored: the reference rejects any URL whose netloc is not
+    # creativecommons.org (_get_valid_cc_url, licenses.py:170-175), so a
+    # CC path embedded mid-string (e.g. in a redirect query param) must
+    # NOT match.
+    r"^https://creativecommons\.org/"
     r"((?:licenses/[a-z+\-]+/[0-9]\.[0-9](?:/(?:jp|au|es))?)"
     r"|publicdomain/(?:zero|mark)/1\.0"
     r"|licenses/publicdomain)"

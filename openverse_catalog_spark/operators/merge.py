@@ -239,6 +239,20 @@ def merge_upsert_pruned(
             f"partition_col {partition_col!r} must be a merge key for "
             "pruning to preserve semantics"
         )
+    # Source preprocessing must happen against the FULL target, not the
+    # pruned slice: the url-conflict guard (reference loader/sql.py:322-326)
+    # skips a new row whose url exists under a different natural key in ANY
+    # partition, including ones this batch doesn't touch. url_conflict_filter
+    # projects the target to (url, keys) before joining, so the "full target"
+    # side of this guard is a narrow column scan, not a full-width read.
+    dedupe = kwargs.pop("dedupe_source_on_url", True)
+    guard = kwargs.pop("guard_url_conflicts", True)
+    if dedupe and "url" in source.columns:
+        source = distinct_on(source, ["url"], [F.col(k) for k in keys])
+    if guard and "url" in source.columns:
+        source = url_conflict_filter(source, target, keys)
+    kwargs["dedupe_source_on_url"] = False
+    kwargs["guard_url_conflicts"] = False
     batch_parts = F.broadcast(source.select(partition_col).distinct())
     affected = target.join(batch_parts, partition_col, "left_semi")
     untouched = target.join(batch_parts, partition_col, "left_anti")

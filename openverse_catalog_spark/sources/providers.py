@@ -49,24 +49,44 @@ def _audio_staging(**fields) -> dict:
     return rec
 
 
+def _license_path_map() -> dict[str, tuple[str, str]]:
+    """path fragment -> (license, version), built once from the same
+    table the Spark-side expression compiles (functions/licenses.py
+    license_path_entries), so driver- and executor-side parses recognize
+    exactly the same URL set (reference get_license_path_map,
+    constants.py:109-116)."""
+    global _PATH_MAP
+    if _PATH_MAP is None:
+        from openverse_catalog_spark.functions.licenses import license_path_entries
+
+        _PATH_MAP = {path: (lic, ver) for path, lic, ver in license_path_entries()}
+    return _PATH_MAP
+
+
+_PATH_MAP: dict[str, tuple[str, str]] | None = None
+
+
 def _cc_pair_from_url(url: str | None) -> tuple[str, str] | None:
     """Driver-side CC license-URL parse: the fetch-loop twin of the
     licenses.py:87-134 path map (the Spark-side form is the broadcast
-    license dim in functions/licenses.py). Returns (license, version)."""
+    license dim in functions/licenses.py). Returns (license, version),
+    or None for any URL whose path is not in the recognized set — the
+    reference drops such records at ingest (get_license_info) rather
+    than fabricating a version."""
     if not url:
         return None
     path = url.split("creativecommons.org/", 1)
     if len(path) != 2:
         return None
-    parts = [p for p in path[1].split("/") if p]
-    if len(parts) >= 2 and parts[0] == "licenses":
-        lic = parts[1].lower()
-        ver = parts[2] if len(parts) > 2 else "1.0"
-        return (lic, ver)
-    if parts[:2] == ["publicdomain", "zero"]:
-        return ("cc0", "1.0")
-    if parts[:2] == ["publicdomain", "mark"]:
-        return ("pdm", "1.0")
+    parts = [p.lower() for p in path[1].split("/") if p]
+    # tolerate deed.xx / legalcode suffixes like the reference's substring
+    # match by probing the longest recognized prefixes (max depth 4:
+    # licenses/<lic>/<ver>/<jur>)
+    pmap = _license_path_map()
+    for depth in (4, 3, 2):
+        frag = "/".join(parts[:depth])
+        if frag in pmap:
+            return pmap[frag]
     return None
 
 

@@ -214,6 +214,48 @@ def test_pruned_merge_equals_full_merge(spark):
     assert {"p2", "p3"} <= kept
 
 
+def test_pruned_merge_cross_partition_url_guard(spark):
+    """With guard_url_conflicts=True (the default), a source row whose url
+    already exists in an UNTOUCHED partition under a different natural key
+    must be skipped (reference loader/sql.py:322-326): the guard must run
+    against the full target, not just the pruned slice."""
+    from openverse_catalog_spark.operators.merge import (
+        merge_upsert,
+        merge_upsert_pruned,
+    )
+    from openverse_catalog_spark.schemas.columns import (
+        ColumnSpec,
+        Datatype,
+        UpsertStrategy,
+    )
+
+    cols = [
+        ColumnSpec("provider", Datatype.char, required=True,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("foreign_identifier", Datatype.char, required=True,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("url", Datatype.char),
+        ColumnSpec("title", Datatype.char),
+    ]
+    target = spark.createDataFrame(
+        [("p1", "a", "http://a", "old-a"),
+         ("p2", "x", "http://taken", "old-x")],
+        "provider string, foreign_identifier string, url string, title string",
+    )
+    # batch touches only p1; the second row's url is taken by p2/x
+    source = spark.createDataFrame(
+        [("p1", "a", "http://a", "new-a"),
+         ("p1", "intruder", "http://taken", "stolen")],
+        "provider string, foreign_identifier string, url string, title string",
+    )
+    kw = dict(status_col="st")  # guard_url_conflicts defaults to True
+    full = merge_upsert(target, source, cols, **kw)
+    pruned = merge_upsert_pruned(target, source, cols, **kw)
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, pruned.collect()))
+    assert pruned.filter("foreign_identifier = 'intruder'").count() == 0
+    assert pruned.filter("foreign_identifier = 'a'").collect()[0]["title"] == "new-a"
+
+
 def test_pruned_merge_requires_partition_key(spark):
     import pytest as _pytest
 
