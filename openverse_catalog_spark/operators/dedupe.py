@@ -345,6 +345,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     block_col: str | None = None,
     min_jaccard: float = 0.0,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard similarity for document pairs.
 
@@ -353,6 +354,15 @@ def ngram_jaccard_pairs(
     set sizes → |A∩B| / (|A|+|B|-|A∩B|). Pairs sharing no n-gram never
     appear (their Jaccard is 0) — that's what makes this scale: the
     shuffle is on n-grams, not on the pair space.
+
+    ``max_df`` caps gram document frequency: grams shared by more than
+    ``max_df`` docs (within the block, if blocking) are dropped BEFORE
+    the self-join, and per-doc set sizes are computed over the capped
+    gram space, so the Jaccard is exact over the restricted universe.
+    Without a cap the pair aggregate emits Σ df(g)² rows — one stop-gram
+    shared by 1M docs would alone produce 10¹² pairs; with it the
+    self-join output is bounded by |grams| × max_df. Always set it at
+    corpus scale (stop-grams carry no dedup signal anyway).
     """
     blk = [F.col(block_col)] if block_col else []
     # Distinct n-grams are generated and md5-hashed per doc inside one
@@ -405,8 +415,19 @@ def ngram_jaccard_pairs(
         # self-join sides); lazy-checkpoint so the Arrow stage runs once
         .localCheckpoint(eager=False)
     )
-    sizes = g.groupBy(id_col).agg(F.count("*").alias("__sz"))
     join_cols = ["__g"] + ([block_col] if block_col else [])
+    if max_df is not None:
+        # Drop stop-grams before the self-join: one extra groupBy on the
+        # gram key (same shuffle partitioning the join needs) + a
+        # broadcast-unfriendly but narrow semi-join of 8-byte keys.
+        keep = (
+            g.groupBy(*join_cols)
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .drop("__df")
+        )
+        g = g.join(keep, join_cols, "left_semi").localCheckpoint(eager=False)
+    sizes = g.groupBy(id_col).agg(F.count("*").alias("__sz"))
     a = g.select(F.col(id_col).alias("id_a"), *[F.col(c) for c in join_cols])
     b = g.select(F.col(id_col).alias("id_b"), *[F.col(c) for c in join_cols])
     inter = (

@@ -41,6 +41,13 @@ def _as_double(df: DataFrame, vec_col: str) -> DataFrame:
     return df.withColumn(vec_col, F.col(vec_col).cast("array<double>"))
 
 
+#: Hard ceiling on the query rows ``cosine_topk`` will collect to the
+#: driver for broadcast. 64 KiB rows x 64 dims x 8 B = 32 MiB matrix —
+#: comfortably broadcastable; anything bigger must use the partitioned
+#: exact path (``cosine_near_dup_pairs_blocked`` shape) or IVF/LSH.
+MAX_BROADCAST_QUERIES = 65536
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -48,6 +55,7 @@ def cosine_topk(
     vec_col: str = "embedding",
     k: int = 3,
     broadcast_queries: bool = True,
+    max_queries: int = MAX_BROADCAST_QUERIES,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query against the corpus.
 
@@ -58,12 +66,27 @@ def cosine_topk(
     final per-query rank over batches*k candidate rows.
     Returns (query_id, neighbor_id, cosine, rank). ``broadcast_queries``
     is kept for API compatibility (the query side is always broadcast).
+
+    The driver-side collect of the query matrix is BOUNDED: more than
+    ``max_queries`` rows raises instead of silently materializing an
+    unbounded matrix on the driver (the 100 TB failure mode). Large
+    query sets belong on the IVF path (``ivf_topk``) or a block-pair
+    exact pass (``cosine_near_dup_pairs_blocked`` shape).
     """
     spark = corpus.sparkSession
     base = _as_double(corpus, vec_col)
-    q_ids, q_mat = _stack_normalized(
-        _as_double(queries, vec_col).select(id_col, vec_col).toPandas(), id_col, vec_col
+    q_pdf = (
+        _as_double(queries, vec_col)
+        .select(id_col, vec_col)
+        .limit(max_queries + 1)
+        .toPandas()
     )
+    if len(q_pdf) > max_queries:
+        raise ValueError(
+            f"cosine_topk query side exceeds max_queries={max_queries}; "
+            "use ivf_topk / lsh_bucket_topk or a partitioned exact pass"
+        )
+    q_ids, q_mat = _stack_normalized(q_pdf, id_col, vec_col)
     bc = spark.sparkContext.broadcast((q_ids, q_mat))
 
     def gen(batches):
@@ -283,9 +306,11 @@ def cosine_near_dup_pairs_exact(
     threshold: float = 0.9,
 ) -> DataFrame:
     """Exact embedding-cosine near-duplicate pairs (cosine >= threshold,
-    id_a < id_b). O(n^2) by construction — the correctness baseline the
-    approximate paths (``embedding_near_dup_pairs``, ``lsh_bucket_topk``)
-    are measured against.
+    id_a < id_b). O(n^2) by construction — the small-input correctness
+    baseline the approximate paths (``embedding_near_dup_pairs``,
+    ``lsh_bucket_topk``) are measured against, and the per-bucket kernel
+    those paths run. For a full corpus use
+    ``cosine_near_dup_pairs_blocked`` (same results, no broadcast).
 
     Dense pairwise scoring is linear algebra, not per-row expression
     work: interpreted zip_with/aggregate dots cost ~10us/pair, while a
@@ -324,6 +349,102 @@ def cosine_near_dup_pairs_exact(
     )
 
 
+def cosine_near_dup_pairs_blocked(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (cosine >= threshold,
+    id_a < id_b) WITHOUT a driver collect or full-corpus broadcast — the
+    distributed form of ``cosine_near_dup_pairs_exact``, same results.
+
+    Triangle blocking: hash every vector into one of ``n_blocks`` blocks,
+    replicate it into each of the ``n_blocks`` unordered block pairs that
+    contain its block (explode — n_blocks rows per vector), and score
+    each block-pair group with one local GEMM in ``applyInPandas``
+    (self-block groups take the upper triangle; cross-block groups score
+    A x B once). Every pair of vectors lands in exactly one group, so the
+    union of group outputs is the exact pair set with no dedup pass.
+
+    The O(n²) FLOPs are inherent to exact all-pairs, but memory per task
+    is 2n/n_blocks vectors and the work spreads over n_blocks*(n_blocks+1)/2
+    independent groups — pick n_blocks ~ sqrt(cluster cores) so each
+    group's matrix fits executor memory. Replication factor is n_blocks
+    (rows shuffled = n * n_blocks), the standard all-pairs tradeoff.
+    """
+    base = _as_double(corpus, vec_col)
+    pair_arr = F.array(
+        *[
+            F.struct(
+                F.least(F.col("__b"), F.lit(j)).alias("i"),
+                F.greatest(F.col("__b"), F.lit(j)).alias("j"),
+            )
+            for j in range(n_blocks)
+        ]
+    )
+    exploded = (
+        base.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("__b"),
+        )
+        .select(id_col, vec_col, "__b", F.explode(pair_arr).alias("__p"))
+        .select(
+            id_col,
+            vec_col,
+            "__b",
+            F.col("__p.i").alias("__pi"),
+            F.col("__p.j").alias("__pj"),
+        )
+    )
+
+    def per_pair(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "id_a": np.array([], dtype="int64"),
+                "id_b": np.array([], dtype="int64"),
+                "cosine": np.array([], dtype="float64"),
+            }
+        )
+        if len(pdf) < 2:
+            return empty
+        pi, pj = int(pdf["__pi"].iloc[0]), int(pdf["__pj"].iloc[0])
+        if pi == pj:
+            ids, mat = _stack_normalized(pdf, id_col, vec_col)
+            scores = mat @ mat.T
+            i, j = np.nonzero(
+                (np.round(scores, 6) >= threshold) & (ids[:, None] < ids[None, :])
+            )
+            return pd.DataFrame(
+                {"id_a": ids[i], "id_b": ids[j], "cosine": scores[i, j]}
+            )
+        left = pdf[pdf["__b"] == pi]
+        right = pdf[pdf["__b"] == pj]
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        l_ids, l_mat = _stack_normalized(left, id_col, vec_col)
+        r_ids, r_mat = _stack_normalized(right, id_col, vec_col)
+        scores = l_mat @ r_mat.T
+        i, j = np.nonzero(np.round(scores, 6) >= threshold)
+        a, b = l_ids[i], r_ids[j]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(a, b),
+                "id_b": np.maximum(a, b),
+                "cosine": scores[i, j],
+            }
+        )
+
+    return exploded.groupBy("__pi", "__pj").applyInPandas(
+        per_pair, "id_a long, id_b long, cosine double"
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -354,9 +475,15 @@ def ivf_topk(
     cent_pdf = (
         base.filter(F.col(id_col) % centroid_mod == 0)
         .select(id_col, vec_col)
+        .limit(MAX_BROADCAST_QUERIES + 1)
         .toPandas()
         .sort_values(id_col)
     )
+    if len(cent_pdf) > MAX_BROADCAST_QUERIES:
+        raise ValueError(
+            f"ivf_topk centroid count exceeds {MAX_BROADCAST_QUERIES}; "
+            "raise centroid_mod (C should grow ~sqrt(n), not n)"
+        )
     c_ids, c_mat = _stack_normalized(cent_pdf, id_col, vec_col)
     bc = spark.sparkContext.broadcast((c_ids, c_mat))
 

@@ -175,24 +175,28 @@ def _simhash_pairs_oracle() -> str:
               SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
               FROM corpus) WHERE tok <> ''),
     sums AS (SELECT doc_id, {bit_sums} FROM tok GROUP BY doc_id),
-    sims AS (SELECT doc_id, CAST({recombine} AS BIGINT) AS simhash FROM sums),
-    withsrc AS (SELECT s.doc_id, s.simhash, c.source FROM sims s JOIN corpus c USING (doc_id))
+    sims AS (SELECT doc_id, CAST({recombine} AS BIGINT) AS simhash FROM sums)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            bit_count(xor(a.simhash, b.simhash)) AS hamming
-    FROM withsrc a JOIN withsrc b ON a.source = b.source AND a.doc_id < b.doc_id
+    FROM sims a JOIN sims b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """
 
 
 @register("dedup_simhash_pairs", _simhash_pairs_oracle())
 def dedup_simhash_pairs(spark, sf_dir):
-    """Near-dup pairs at Hamming<=3, blocked by source so the pair space
-    stays linear-ish (block equi-join, not a cross join)."""
+    """GLOBAL near-dup pairs at Hamming<=3 on the 16-bit sketch, found
+    EXACTLY by pigeonhole banding (4 bands x 4 bits: any pair with <= 3
+    differing bits shares an identical band) — a band-key equi-join, the
+    same plan shape as the 60-bit path, instead of the old 5-ary
+    ``source`` blocking whose per-block join was quadratic in block
+    size. The oracle brute-forces all pairs to prove banding misses
+    nothing. A 16-bit key space still buckets a 100 TB corpus coarsely
+    (~n/16 docs per band key) — ``dedup_simhash60_banded`` is the scale
+    path; this query pins the narrow-width banding kernel it reuses."""
     corpus = _corpus(spark, sf_dir)
-    sims = dd.simhash16(corpus, "doc_id", "text").join(
-        corpus.select("doc_id", "source"), "doc_id"
-    )
-    return dd.simhash_near_pairs(sims, "doc_id", max_hamming=3, block_col="source")
+    sims = dd.simhash16(corpus, "doc_id", "text")
+    return dd.simhash_banded_pairs(sims, "doc_id", max_hamming=3, n_bands=4, bits=16)
 
 
 # --- n-gram Jaccard --------------------------------------------------------
@@ -205,11 +209,14 @@ def dedup_simhash_pairs(spark, sf_dir):
     toks AS (SELECT doc_id, source,
                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
              FROM corpus),
-    grams AS (SELECT DISTINCT doc_id, source,
+    allgrams AS (SELECT DISTINCT doc_id, source,
                      array_to_string(tk[i:i+2], ' ') AS g
               FROM (SELECT doc_id, source, tk,
                            unnest(range(1, greatest(len(tk) - 2, 1) + 1)) AS i
                     FROM toks)),
+    dfc AS (SELECT g, source, count(*) AS df FROM allgrams GROUP BY 1, 2),
+    grams AS (SELECT allgrams.* FROM allgrams
+              JOIN dfc USING (g, source) WHERE df <= 64),
     sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
     inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
               FROM grams a JOIN grams b ON a.g = b.g AND a.source = b.source AND a.doc_id < b.doc_id
@@ -221,10 +228,14 @@ def dedup_simhash_pairs(spark, sf_dir):
     """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    """Exact word-3-gram Jaccard >= 0.3 within source blocks. The shuffle
-    is on n-grams (linear), not pairs."""
+    """Exact word-3-gram Jaccard >= 0.3 within source blocks over the
+    df-capped gram universe (grams shared by > 64 docs in a block are
+    stop-grams and dropped before the self-join, bounding pair output
+    at |grams| x 64 instead of Σ df(g)²). Shuffle is on n-grams
+    (linear), never on the pair space."""
     out = dd.ngram_jaccard_pairs(
-        _corpus(spark, sf_dir), "doc_id", "text", n=3, block_col="source", min_jaccard=0.3
+        _corpus(spark, sf_dir), "doc_id", "text", n=3, block_col="source",
+        min_jaccard=0.3, max_df=64,
     )
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
@@ -409,9 +420,15 @@ def _embed_corpus(spark, sf_dir):
 )
 def dedup_embedding_cosine(spark, sf_dir):
     """Exact embedding-cosine near-dup pairs (cosine >= 0.9) over the
-    salted corpus — the correctness baseline for embedding dedup."""
-    out = knn.cosine_near_dup_pairs_exact(
-        _embed_corpus(spark, sf_dir), "vec_id", "embedding", threshold=0.9
+    salted corpus, computed DISTRIBUTED via triangle block-pairs
+    (``cosine_near_dup_pairs_blocked``): no driver collect, no
+    full-corpus broadcast — the per-group GEMM is the same kernel the
+    old broadcast baseline used, but memory per task is 2n/B vectors.
+    Results identical to the brute-force oracle (the blocking is a
+    partition of the pair space, not an approximation)."""
+    out = knn.cosine_near_dup_pairs_blocked(
+        _embed_corpus(spark, sf_dir), "vec_id", "embedding", threshold=0.9,
+        n_blocks=8,
     )
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 

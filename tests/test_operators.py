@@ -165,6 +165,51 @@ def test_embedding_near_dup_exact_finds_salted(spark):
     assert all(4 not in pair for pair in got)
 
 
+def test_blocked_exact_pairs_equal_broadcast_exact(spark, sf_dir):
+    """Triangle block-pair exact pairs must be row-identical to the
+    broadcast brute-force baseline — blocking partitions the pair space,
+    it doesn't approximate it."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in knn.cosine_near_dup_pairs_exact(emb, threshold=0.8).collect()
+    }
+    blocked = [
+        (r["id_a"], r["id_b"])
+        for r in knn.cosine_near_dup_pairs_blocked(
+            emb, threshold=0.8, n_blocks=5
+        ).collect()
+    ]
+    assert len(blocked) == len(set(blocked))  # each pair in exactly one group
+    assert set(blocked) == exact
+
+
+def test_cosine_topk_bounds_query_collect(spark):
+    import pytest as _pytest
+
+    rows = [(i, [float(i), 1.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="max_queries"):
+        knn.cosine_topk(df, df, k=1, max_queries=5)
+
+
+def test_ngram_max_df_bounds_stop_gram_pairs(spark):
+    """A gram shared by every doc must not explode the pair space when
+    max_df is set: with the stop-gram dropped, only genuinely similar
+    docs pair."""
+    stop = "aaa bbb ccc"
+    rows = [(i, f"{stop} unique{i} token{i} word{i}") for i in range(30)]
+    rows.append((100, f"{stop} unique1 token1 word1"))  # true dup of doc 1
+    df = spark.createDataFrame(rows, "id long, text string")
+    uncapped = dd.ngram_jaccard_pairs(df, "id", "text", n=3).collect()
+    capped = dd.ngram_jaccard_pairs(df, "id", "text", n=3, max_df=10).collect()
+    # every doc shares the stop-gram -> uncapped pairs all 31*30/2 docs
+    assert len(uncapped) == 31 * 30 // 2
+    # capped: only the true dup pair survives (all its grams are rare)
+    assert {(r["id_a"], r["id_b"]) for r in capped} == {(1, 100)}
+    assert capped[0]["jaccard"] == 1.0
+
+
 def test_embedding_lsh_near_dup_recall(spark, sf_dir):
     from openverse_catalog_spark.plans.corpus_queries import _embed_corpus
 

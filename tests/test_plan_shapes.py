@@ -155,3 +155,26 @@ def test_winsorize_threshold_broadcasts(spark, sf_dir):
 
     plan = _plan(QUERIES["agg_winsorized_values"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_simhash_pairs_joins_on_band_key_not_source(spark, sf_dir):
+    """dedup_simhash_pairs must candidate-join on the (band, key) pair —
+    a key space of n_bands * 2^band_bits values — never on a handful-of-
+    values blocking column like ``source`` (5 distinct values -> each
+    block is ~corpus/5 and the within-block join is quadratic). Pins
+    VERDICT r1 'What's wrong' #1."""
+    plan = _plan(QUERIES["dedup_simhash_pairs"](spark, sf_dir))
+    assert "source" not in plan  # the 5-ary blocking column is gone
+    # the band equi-join keys are present in the join condition
+    assert "band" in plan and "key" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_cosine_query_has_no_driver_collect(spark, sf_dir):
+    """The registered exact-cosine dedup query runs the triangle
+    block-pair plan: grouped GEMM via FlatMapGroupsInPandas, no
+    full-corpus broadcast side and no cartesian pair join. Pins VERDICT
+    r1 'What's wrong' #4."""
+    plan = _plan(QUERIES["dedup_embedding_cosine"](spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
