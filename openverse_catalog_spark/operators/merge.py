@@ -82,6 +82,7 @@ def merge_upsert(
     guard_url_conflicts: bool = True,
     deterministic: bool = False,
     status_col: str | None = None,
+    validate_unique: bool = False,
 ) -> DataFrame:
     """Compile and execute the upsert merge; returns the new target state.
 
@@ -89,7 +90,11 @@ def merge_upsert(
     db-only columns (they are inserted with defaults). ``deterministic``
     replaces NOW()/uuid() with fixed values so results hash stably in
     oracle tests (reference tests inject timestamps the same way,
-    SURVEY §7.3).
+    SURVEY §7.3). ``validate_unique`` applies ``enforce_unique`` to the
+    merged state, so the output satisfies the reference's unique-index
+    invariants even when the INCOMING target was already dirty (the
+    merge itself never creates a new violation: the join is keyed and
+    the source is url-deduped + url-guarded).
     """
     key_list = list(keys)
 
@@ -159,7 +164,66 @@ def merge_upsert(
             .otherwise(F.lit("kept"))
             .alias(status_col)
         )
-    return joined.select(out_cols)
+    result = joined.select(out_cols)
+    if validate_unique and "url" in result.columns:
+        result = enforce_unique(result, keys=keys)
+    return result
+
+
+def uniqueness_report(
+    df: DataFrame,
+    keys: tuple[str, ...] = DEFAULT_MERGE_KEYS,
+    url_col: str = "url",
+) -> DataFrame:
+    """Violations of the reference's canonical-table unique indexes
+    (``docker/local_postgres/0003_openledger_image_schema.sql:46-54``:
+    UNIQUE (provider, md5(foreign_identifier)) and UNIQUE (url)) as a
+    report DataFrame (constraint, key, n) — one row per key value that
+    appears more than once. NULL urls are exempt (a Postgres unique
+    index admits any number of NULLs).
+
+    Two map-side-combined groupBys on narrow projections; no join.
+    """
+    key_expr = F.concat_ws(
+        "|", F.col(keys[0]), F.md5(F.col(keys[1]).cast("string"))
+    )
+    by_key = (
+        df.groupBy(key_expr.alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .select(F.lit("provider_md5_fid").alias("constraint"), "key", "n")
+    )
+    by_url = (
+        df.filter(F.col(url_col).isNotNull())
+        .groupBy(F.col(url_col).alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .select(F.lit("url").alias("constraint"), "key", "n")
+    )
+    return by_key.unionByName(by_url)
+
+
+def enforce_unique(
+    df: DataFrame,
+    keys: tuple[str, ...] = DEFAULT_MERGE_KEYS,
+    url_col: str = "url",
+) -> DataFrame:
+    """Enforce both canonical-table uniqueness invariants on a table
+    state, keeping a deterministic winner per violated key — the
+    DataFrame analog of the reference's unique indexes, which REJECT
+    the violating insert (here: the lexicographically-first row wins,
+    so the operation is idempotent and order-independent).
+
+    Pass 1: one row per natural key (ordered by url, then remaining
+    columns are already functionally determined by the merge). Pass 2:
+    one row per non-NULL url (ordered by the natural key); NULL-url rows
+    pass through untouched. Each pass is a single keyed window — two
+    shuffles total on narrow keys."""
+    df = distinct_on(df, list(keys), [F.col(url_col).asc_nulls_last()])
+    with_url = df.filter(F.col(url_col).isNotNull())
+    without_url = df.filter(F.col(url_col).isNull())
+    kept = distinct_on(with_url, [url_col], [F.col(k) for k in keys])
+    return kept.unionByName(without_url)
 
 
 def merge_metrics(

@@ -721,3 +721,216 @@ def clean_license_from_url(spark, sf_dir):
         pair["license"].alias("license"),
         pair["license_version"].alias("license_version"),
     )
+
+
+# --- stored-TSV re-clean (maintenance job) ---------------------------------
+# The reference's tsv_cleaner (catalog/dags/common/tsv_cleaner.py:30-62)
+# re-runs every stored TSV row through the ImageStore cleaning path. Here:
+# serialize dirty rows to TSV lines (\N null sentinel), parse them back
+# with the tolerant reader, and push the batch through clean_media_batch —
+# one DataFrame job, no per-row Python.
+
+
+def _stored_tsv_oracle() -> str:
+    dim_rows = ",\n      ".join(
+        f"('{lic}', '{ver}', '{url}')" for lic, ver, url in license_pairs()
+    )
+    return f"""
+    WITH ks AS (SELECT o_orderkey AS k FROM orders),
+    fields AS (
+      SELECT k,
+        CASE WHEN k % 31 = 0 THEN NULL ELSE 'f' || CAST(k AS VARCHAR) END AS fid,
+        'http://site/p/' || CAST(k AS VARCHAR) AS landing,
+        CASE WHEN k % 29 = 0 THEN NULL
+             ELSE 'http://img.site/i' || CAST(k AS VARCHAR) ||
+                  CASE k % 5 WHEN 0 THEN '.JPG' WHEN 1 THEN '.jpeg'
+                             WHEN 2 THEN '.png' WHEN 3 THEN '.svg'
+                             ELSE '.txt' END END AS url,
+        CASE k % 7 WHEN 0 THEN 'BY' WHEN 1 THEN 'by-nc-sa' WHEN 2 THEN 'cc0'
+                   WHEN 3 THEN 'by-nd' WHEN 4 THEN 'PDM' WHEN 5 THEN 'junklicense'
+                   ELSE ' By-Sa ' END AS lic_raw,
+        CASE k % 7 WHEN 0 THEN '2.0' WHEN 1 THEN '4' WHEN 2 THEN CAST(NULL AS VARCHAR)
+                   WHEN 3 THEN '5.0' WHEN 4 THEN '1.00' WHEN 5 THEN '1.0'
+                   ELSE '3.0' END AS ver_raw,
+        '  T' || CAST(k AS VARCHAR) || '  "x"  q  ' AS title_raw,
+        'prov' || CAST(k % 4 AS VARCHAR) AS provider
+      FROM ks),
+    norm AS (
+      SELECT *, lower(trim(lic_raw)) AS lic,
+             COALESCE(
+               CASE WHEN try_cast(ver_raw AS DOUBLE) IS NOT NULL THEN
+                 CAST(CAST(floor(try_cast(ver_raw AS DOUBLE)) AS BIGINT) AS VARCHAR)
+                 || '.' ||
+                 CAST(CAST((try_cast(ver_raw AS DOUBLE)
+                            - floor(try_cast(ver_raw AS DOUBLE))) * 10 AS INT) AS VARCHAR)
+               END,
+               CASE WHEN lower(trim(lic_raw)) IN ('cc0', 'pdm') THEN '1.0'
+                    WHEN lower(trim(lic_raw)) = 'publicdomain' THEN 'N/A' END) AS ver
+      FROM fields),
+    dim(lic_d, ver_d, url_d) AS (VALUES {dim_rows}),
+    valid AS (SELECT norm.*, url_d AS license_url FROM norm
+              JOIN dim ON lic = lic_d AND ver = ver_d),
+    ft AS (
+      SELECT *,
+        CASE WHEN lower(regexp_extract(url, '\\.(\\w{{1,5}})(\\?.*)?$', 1)) = 'jpeg' THEN 'jpg'
+             WHEN lower(regexp_extract(url, '\\.(\\w{{1,5}})(\\?.*)?$', 1)) = 'tif' THEN 'tiff'
+             ELSE lower(regexp_extract(url, '\\.(\\w{{1,5}})(\\?.*)?$', 1)) END AS ext
+      FROM valid)
+    SELECT fid AS foreign_identifier, provider, lic AS license,
+           ver AS license_version,
+           replace(trim(regexp_replace(title_raw, '\\s+', ' ', 'g')), '"', '''') AS title,
+           provider AS source,
+           CASE WHEN ext IN ('jpg', 'png', 'gif', 'svg', 'tiff', 'webp', 'bmp')
+                THEN ext END AS filetype,
+           license_url
+    FROM ft WHERE fid IS NOT NULL AND url IS NOT NULL
+    """
+
+
+@register("clean_stored_tsv", _stored_tsv_oracle())
+def clean_stored_tsv(spark, sf_dir):
+    """Stored-TSV re-clean (reference tsv_cleaner.py:30-62): dirty rows
+    are serialized to TSV lines with the \\N null sentinel, read back via
+    the same from_csv path the S4 loader uses, widened to the full
+    staging schema, and re-cleaned by clean_media_batch (sanitize ->
+    license normalize -> source/filetype defaults -> required drop).
+    One Arrow-free codegen pass over the lines; the only non-projection
+    work is the required-row filter."""
+    from openverse_catalog_spark.plans.media_pipeline import clean_media_batch
+    from openverse_catalog_spark.schemas.columns import IMAGE_TSV_COLUMNS
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    k = F.col("o_orderkey")
+    null_s = F.lit(r"\N")
+    line = F.concat_ws(
+        "\t",
+        F.coalesce(
+            F.when(k % 31 != 0, F.concat(F.lit("f"), k.cast("string"))), null_s
+        ),
+        F.concat(F.lit("http://site/p/"), k.cast("string")),
+        F.coalesce(
+            F.when(
+                k % 29 != 0,
+                F.concat(
+                    F.lit("http://img.site/i"),
+                    k.cast("string"),
+                    F.when(k % 5 == 0, ".JPG")
+                    .when(k % 5 == 1, ".jpeg")
+                    .when(k % 5 == 2, ".png")
+                    .when(k % 5 == 3, ".svg")
+                    .otherwise(".txt"),
+                ),
+            ),
+            null_s,
+        ),
+        F.when(k % 7 == 0, "BY")
+        .when(k % 7 == 1, "by-nc-sa")
+        .when(k % 7 == 2, "cc0")
+        .when(k % 7 == 3, "by-nd")
+        .when(k % 7 == 4, "PDM")
+        .when(k % 7 == 5, "junklicense")
+        .otherwise(" By-Sa "),
+        F.coalesce(
+            F.when(k % 7 == 0, "2.0")
+            .when(k % 7 == 1, "4")
+            .when(k % 7 == 3, "5.0")
+            .when(k % 7 == 4, "1.00")
+            .when(k % 7 == 5, "1.0")
+            .when(k % 7 == 6, "3.0"),
+            null_s,
+        ),
+        F.concat(F.lit("  T"), k.cast("string"), F.lit('  "x"  q  ')),
+        F.concat(F.lit("prov"), (k % 4).cast("string")),
+    )
+    parsed = o.select(line.alias("line")).select(
+        F.from_csv(
+            "line",
+            "foreign_identifier STRING, foreign_landing_url STRING, url STRING, "
+            "license STRING, license_version STRING, title STRING, provider STRING",
+            {"sep": "\t", "nullValue": r"\N"},
+        ).alias("r")
+    ).select("r.*")
+    staging = parsed.select(
+        *[
+            F.col(c.name) if c.name in parsed.columns
+            else F.lit(None).cast(c.spark_type).alias(c.name)
+            for c in IMAGE_TSV_COLUMNS
+        ]
+    )
+    cleaned = clean_media_batch(staging, spark, "image")
+    return cleaned.select(
+        "foreign_identifier",
+        "provider",
+        "license",
+        "license_version",
+        "title",
+        "source",
+        "filetype",
+        F.element_at(F.col("meta_data"), "license_url").alias("license_url"),
+    )
+
+
+# --- pending-media report (media x reports join) ---------------------------
+# Reference report_pending_reported_media.py:72-80 counts DISTINCT urls of
+# pending reports per reason. The two-table form: reports reference media
+# by identifier; the url lives on the media table, so the report joins
+# media (big) to reports (small) — broadcast the reports side.
+
+_REPORTS_SQL = """
+  SELECT o_orderkey AS report_id,
+         o_custkey AS media_key,
+         CASE o_orderkey % 4 WHEN 0 THEN 'mature' WHEN 1 THEN 'dmca'
+                             WHEN 2 THEN 'other' ELSE 'illegal' END AS reason,
+         CASE WHEN o_orderkey % 3 = 0 THEN 'pending_review' ELSE 'reviewed' END AS status
+  FROM orders WHERE o_orderkey % 11 = 0
+"""
+
+_MEDIA_URL_SQL = """
+  SELECT c_custkey AS media_key,
+         'http://m/' || CAST(c_custkey % 1100 AS VARCHAR) AS url
+  FROM customer
+"""
+
+
+@register(
+    "agg_pending_reports",
+    f"""
+    WITH reports AS ({_REPORTS_SQL}),
+    media AS ({_MEDIA_URL_SQL})
+    SELECT r.reason, CAST(COUNT(DISTINCT m.url) AS BIGINT) AS pending_url_count
+    FROM reports r JOIN media m USING (media_key)
+    WHERE r.status = 'pending_review'
+    GROUP BY r.reason
+    """,
+)
+def agg_pending_reports(spark, sf_dir):
+    """Pending-media report (report_pending_reported_media.py:72-80) in
+    two-table join form: the (small) reports table is filtered to
+    pending_review, broadcast, and joined to the media table to fetch
+    urls; COUNT(DISTINCT url) per reason. The media side never shuffles
+    for the join — only the distinct-url aggregate moves data, and it
+    moves (reason, url) pairs, not media rows."""
+    t = _t(spark, sf_dir, "orders", "customer")
+    o, c = t["orders"], t["customer"]
+    k = F.col("o_orderkey")
+    reports = o.filter(k % 11 == 0).select(
+        F.col("o_custkey").alias("media_key"),
+        F.when(k % 4 == 0, "mature")
+        .when(k % 4 == 1, "dmca")
+        .when(k % 4 == 2, "other")
+        .otherwise("illegal")
+        .alias("reason"),
+        F.when(k % 3 == 0, "pending_review").otherwise("reviewed").alias("status"),
+    )
+    media = c.select(
+        F.col("c_custkey").alias("media_key"),
+        F.concat(F.lit("http://m/"), (F.col("c_custkey") % 1100).cast("string")).alias(
+            "url"
+        ),
+    )
+    pending = F.broadcast(reports.filter(F.col("status") == "pending_review"))
+    return (
+        media.join(pending, "media_key")
+        .groupBy("reason")
+        .agg(F.count_distinct("url").alias("pending_url_count"))
+    )

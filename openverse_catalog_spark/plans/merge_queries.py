@@ -802,3 +802,114 @@ def merge_expire_stale(spark, sf_dir):
             F.count(F.when(~expired, 1)).alias("n_fresh"),
         )
     )
+
+
+# --- canonical-table uniqueness invariants ---------------------------------
+# The reference enforces UNIQUE (provider, md5(foreign_identifier)) and
+# UNIQUE (url) with indexes (0003_openledger_image_schema.sql:46-54). Here
+# the invariants are operators: `uniqueness_report` quantifies violations,
+# `enforce_unique` (also reachable as merge_upsert(validate_unique=True))
+# repairs a dirty state with a deterministic keeper per key.
+
+_DIRTY_MEDIA_SQL = """
+  SELECT 'p' || CAST(c_custkey % 3 AS VARCHAR) AS provider,
+         'f' || CAST(c_custkey % 120 AS VARCHAR) AS foreign_identifier,
+         CASE WHEN c_custkey % 17 = 0 THEN NULL
+              ELSE 'http://m/' || CAST(c_custkey % 90 AS VARCHAR) END AS url,
+         'T' || CAST(c_custkey AS VARCHAR) AS title
+  FROM customer
+"""
+
+
+def _dirty_media_df(c):
+    k = F.col("c_custkey")
+    return c.select(
+        F.concat(F.lit("p"), (k % 3).cast("string")).alias("provider"),
+        F.concat(F.lit("f"), (k % 120).cast("string")).alias("foreign_identifier"),
+        F.when(k % 17 != 0, F.concat(F.lit("http://m/"), (k % 90).cast("string")))
+        .alias("url"),
+        F.concat(F.lit("T"), k.cast("string")).alias("title"),
+    )
+
+
+_UNIQUE_COLS = [
+    ColumnSpec("provider", Datatype.char, required=True,
+               upsert_strategy=UpsertStrategy.no_change),
+    ColumnSpec("foreign_identifier", Datatype.char, required=True,
+               upsert_strategy=UpsertStrategy.no_change),
+    ColumnSpec("url", Datatype.char),
+    ColumnSpec("title", Datatype.char),
+]
+
+
+@register(
+    "merge_unique_guard",
+    f"""
+    WITH dirty AS ({_DIRTY_MEDIA_SQL}),
+    batch AS (
+      SELECT 'pnew' AS provider, 'n' || CAST(c_custkey AS VARCHAR) AS foreign_identifier,
+             'http://new/' || CAST(c_custkey AS VARCHAR) AS url,
+             'NT' || CAST(c_custkey AS VARCHAR) AS title
+      FROM customer WHERE c_custkey % 50 = 0),
+    merged AS (SELECT * FROM dirty UNION ALL SELECT * FROM batch),
+    p1 AS (SELECT *, row_number() OVER (
+             PARTITION BY provider, foreign_identifier
+             ORDER BY url NULLS LAST) AS rn
+           FROM merged),
+    k1 AS (SELECT provider, foreign_identifier, url, title FROM p1 WHERE rn = 1),
+    p2 AS (SELECT *, row_number() OVER (
+             PARTITION BY url ORDER BY provider, foreign_identifier) AS rn
+           FROM k1 WHERE url IS NOT NULL)
+    SELECT provider, foreign_identifier, url, title FROM p2 WHERE rn = 1
+    UNION ALL
+    SELECT provider, foreign_identifier, url, title FROM k1 WHERE url IS NULL
+    """,
+)
+def merge_unique_guard(spark, sf_dir):
+    """Upsert into a DIRTY canonical table (seeded cross-provider url
+    dups and (provider, fid) dups) with validate_unique=True: the merge
+    inserts a clean batch, then `enforce_unique` repairs both unique-
+    index invariants with deterministic keepers (first-by-url per key,
+    first-by-key per url; NULL urls exempt). The oracle replays the
+    keeper windows in SQL, proving the enforced state — not just the
+    report — is reproducible."""
+    from openverse_catalog_spark.operators.merge import merge_upsert
+
+    c = _t(spark, sf_dir, "customer")["customer"]
+    dirty = _dirty_media_df(c)
+    ck = F.col("c_custkey")
+    batch = c.filter(ck % 50 == 0).select(
+        F.lit("pnew").alias("provider"),
+        F.concat(F.lit("n"), ck.cast("string")).alias("foreign_identifier"),
+        F.concat(F.lit("http://new/"), ck.cast("string")).alias("url"),
+        F.concat(F.lit("NT"), ck.cast("string")).alias("title"),
+    )
+    return merge_upsert(
+        dirty, batch, _UNIQUE_COLS, deterministic=True, validate_unique=True
+    )
+
+
+@register(
+    "agg_unique_violations",
+    f"""
+    WITH dirty AS ({_DIRTY_MEDIA_SQL}),
+    by_key AS (
+      SELECT 'provider_md5_fid' AS "constraint",
+             provider || '|' || md5(foreign_identifier) AS key,
+             CAST(count(*) AS BIGINT) AS n
+      FROM dirty GROUP BY 2 HAVING count(*) > 1),
+    by_url AS (
+      SELECT 'url' AS "constraint", url AS key, CAST(count(*) AS BIGINT) AS n
+      FROM dirty WHERE url IS NOT NULL GROUP BY 2 HAVING count(*) > 1)
+    SELECT * FROM by_key UNION ALL SELECT * FROM by_url
+    """,
+)
+def agg_unique_violations(spark, sf_dir):
+    """Uniqueness-violation report over a dirty canonical state: one row
+    per (constraint, key) with its duplicate count — the observability
+    half of the unique-index analog (quality-rule style). Two narrow
+    map-side-combined groupBys, no join."""
+    from openverse_catalog_spark.operators.merge import uniqueness_report
+
+    c = _t(spark, sf_dir, "customer")["customer"]
+    return uniqueness_report(_dirty_media_df(c))

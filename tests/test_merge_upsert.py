@@ -316,3 +316,54 @@ def test_post_merge_uniqueness_audit(spark):
     )
     failed = [r.check for r in report.collect() if not r.passed]
     assert failed == [], f"post-merge constraint violations: {failed}"
+
+
+def test_merge_validate_unique_repairs_dirty_target(spark):
+    """merge_upsert(validate_unique=True) output satisfies both unique-
+    index invariants (0003_...sql:46-54) even when the incoming target
+    violates them, with deterministic keepers; uniqueness_report is
+    empty afterwards and names the violations before."""
+    from openverse_catalog_spark.operators.merge import (
+        merge_upsert,
+        uniqueness_report,
+    )
+    from openverse_catalog_spark.schemas.columns import (
+        ColumnSpec,
+        Datatype,
+        UpsertStrategy,
+    )
+
+    cols = [
+        ColumnSpec("provider", Datatype.char, required=True,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("foreign_identifier", Datatype.char, required=True,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("url", Datatype.char),
+        ColumnSpec("title", Datatype.char),
+    ]
+    # dirty: key dup (p1,a) x2; url dup http://u across p1/p2; two NULL urls
+    target = spark.createDataFrame(
+        [("p1", "a", "http://u", "t1"), ("p1", "a", "http://z", "t2"),
+         ("p2", "b", "http://u", "t3"),
+         ("p1", "n1", None, "t4"), ("p2", "n2", None, "t5")],
+        "provider string, foreign_identifier string, url string, title string",
+    )
+    source = spark.createDataFrame(
+        [("p3", "c", "http://new", "t6")],
+        "provider string, foreign_identifier string, url string, title string",
+    )
+    before = uniqueness_report(target).collect()
+    assert {(r["constraint"], r["n"]) for r in before} == {
+        ("provider_md5_fid", 2), ("url", 2),
+    }
+    out = merge_upsert(target, source, cols, deterministic=True,
+                       validate_unique=True)
+    assert uniqueness_report(out).count() == 0
+    rows = {(r["provider"], r["foreign_identifier"]): r for r in out.collect()}
+    # key dup: keeper is the url-ascending row; url dup: keeper is the
+    # key-ascending row -> (p1,a,http://u) survives, (p2,b) is dropped
+    assert rows[("p1", "a")]["url"] == "http://u"
+    assert ("p2", "b") not in rows
+    # NULL urls are exempt from the url constraint
+    assert ("p1", "n1") in rows and ("p2", "n2") in rows
+    assert ("p3", "c") in rows  # the inserted batch row
