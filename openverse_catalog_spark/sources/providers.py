@@ -371,49 +371,85 @@ def provider_fetcher(
     fetch_fn: Callable[[dict], dict | None],
     ingestion_limit: int | None = None,
     min_delay: float = 0.0,
-) -> PagedFetcher:
+) -> "_ParsedFetcher":
     """Wire an adapter into the generic fetch loop: records are parsed
     (and invalid ones dropped) INSIDE the loop, so the landing zone
     holds normalized staging rows and every provider shares the exact
-    same downstream pipeline."""
+    same downstream pipeline.
 
-    def fetch(params: dict) -> dict | None:
-        # response-carried cursors (continue tokens): the adapter marks
-        # itself exhausted from the PREVIOUS response; the current batch
-        # is still consumed, the NEXT fetch ends the loop
-        if getattr(adapter, "_exhausted", False):
-            return None
-        response = fetch_fn(params)
-        if response is not None and hasattr(adapter, "observe_response"):
-            adapter.observe_response(response)
-        return response
+    Adapters may expose ``sweeps() -> iterable`` to run the whole paged
+    loop once per outer value (the reference's
+    ``ingest_records(**kwargs)`` overrides: per-license for
+    museum_victoria.py:45-48, per-building for finnish_museums.py:61-64,
+    per-year-range for science_museum.py:74-79, per-hash-prefix for
+    smithsonian.py:411-415); ``get_next_query_params`` then receives the
+    sweep value as its second argument."""
 
-    inner = PagedFetcher(
-        fetch_fn=fetch,
-        get_batch_data=adapter.get_batch_data,
-        get_next_query_params=adapter.get_next_query_params,
-        ingestion_limit=ingestion_limit,
-        min_delay=min_delay,
-    )
-    return _ParsedFetcher(inner, adapter)
+    def make_inner(sweep):
+        def fetch(params: dict) -> dict | None:
+            # response-carried cursors (continue tokens): the adapter
+            # marks itself exhausted from the PREVIOUS response; the
+            # current batch is still consumed, the NEXT fetch ends it
+            if getattr(adapter, "_exhausted", False):
+                return None
+            response = fetch_fn(params)
+            if response is not None and hasattr(adapter, "observe_response"):
+                adapter.observe_response(response)
+            return response
+
+        if sweep is _NO_SWEEP:
+            next_params = adapter.get_next_query_params
+        else:
+            def next_params(prev):
+                return adapter.get_next_query_params(prev, sweep)
+
+        return PagedFetcher(
+            fetch_fn=fetch,
+            get_batch_data=adapter.get_batch_data,
+            get_next_query_params=next_params,
+            ingestion_limit=ingestion_limit,
+            min_delay=min_delay,
+        )
+
+    return _ParsedFetcher(make_inner, adapter)
+
+
+_NO_SWEEP = object()
 
 
 class _ParsedFetcher:
-    """Maps parse_record over RAW batches. Pagination is driven by raw
-    batch emptiness (the reference's contract), so a page whose records
-    are ALL invalid is skipped without ending ingestion."""
+    """Maps parse_record over RAW batches, flattening list returns (one
+    API object can stage several records: SMK alternative images,
+    Brooklyn/Met/NYPL capture lists). Pagination is driven by raw batch
+    emptiness (the reference's contract), so a page whose records are
+    ALL invalid is skipped without ending ingestion."""
 
-    def __init__(self, inner: PagedFetcher, adapter) -> None:
-        self.inner = inner
+    def __init__(self, make_inner, adapter) -> None:
+        self._make_inner = make_inner
         self.adapter = adapter
 
     def batches(self):
-        for raw in self.inner.batches():
-            parsed = [
-                r for r in map(self.adapter.parse_record, raw) if r is not None
-            ]
-            if parsed:
-                yield parsed
+        sweeps = (
+            list(self.adapter.sweeps())
+            if hasattr(self.adapter, "sweeps")
+            else [_NO_SWEEP]
+        )
+        for sweep in sweeps:
+            self.adapter._exhausted = False
+            if hasattr(self.adapter, "start_sweep"):
+                self.adapter.start_sweep(sweep)
+            for raw in self._make_inner(sweep).batches():
+                parsed: list[dict] = []
+                for rec in raw:
+                    out = self.adapter.parse_record(rec)
+                    if out is None:
+                        continue
+                    if isinstance(out, list):
+                        parsed.extend(r for r in out if r is not None)
+                    else:
+                        parsed.append(out)
+                if parsed:
+                    yield parsed
 
 
 def staging_schema():
