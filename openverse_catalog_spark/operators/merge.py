@@ -214,15 +214,23 @@ def enforce_unique(
     the violating insert (here: the lexicographically-first row wins,
     so the operation is idempotent and order-independent).
 
-    Pass 1: one row per natural key (ordered by url, then remaining
-    columns are already functionally determined by the merge). Pass 2:
-    one row per non-NULL url (ordered by the natural key); NULL-url rows
-    pass through untouched. Each pass is a single keyed window — two
-    shuffles total on narrow keys."""
-    df = distinct_on(df, list(keys), [F.col(url_col).asc_nulls_last()])
+    Pass 1: one row per natural key (ordered by url, with every
+    remaining column as a tiebreaker so the keeper is total even on a
+    dirty input where the key does NOT determine the row). Pass 2: one
+    row per non-NULL url (ordered by the natural key + tiebreakers);
+    NULL-url rows pass through untouched. Each pass is a single keyed
+    window — two shuffles total on narrow keys."""
+    rest = [c for c in df.columns if c not in keys and c != url_col]
+    df = distinct_on(
+        df,
+        list(keys),
+        [F.col(url_col).asc_nulls_last()] + [F.col(c) for c in rest],
+    )
     with_url = df.filter(F.col(url_col).isNotNull())
     without_url = df.filter(F.col(url_col).isNull())
-    kept = distinct_on(with_url, [url_col], [F.col(k) for k in keys])
+    kept = distinct_on(
+        with_url, [url_col], [F.col(k) for k in keys] + [F.col(c) for c in rest]
+    )
     return kept.unionByName(without_url)
 
 

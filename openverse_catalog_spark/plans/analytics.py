@@ -1277,3 +1277,273 @@ def pipeline_popularity_refresh(spark, sf_dir):
     return summary.join(F.broadcast(raw), "event_type").select(
         "event_type", "raw_value", "constant", "n_scored", "avg_score", "max_score"
     )
+
+
+# --- the iNaturalist bulk load, end to end ---------------------------------
+#
+# The reference's largest batch pipeline (inaturalist.py:101-158 +
+# provider_csv_load_scripts/inaturalist/transformed_table.template.sql):
+# PHOTOS (~120M) ⋈ OBSERVATIONS (~70M) ⋈ OBSERVERS ⋈ TAXA_ENRICHED ⋈
+# LICENSE_CODES, photos with multiple observations dropped via a NOT
+# EXISTS against PHOTO_DUPES (transformed_table:69-71), then the standard
+# clean + upsert with per-batch statistics consolidated at the end
+# (inaturalist.py:160-184). The reference serializes 2M-photo_id batches
+# through one Postgres connection (max_active_tis_per_dag=1, median 18
+# min/batch — BASELINE.md's ≈1.9k rows/s anchor); here the whole load is
+# ONE distributed plan.
+#
+# Stand-ins: lineitem→photos (photo_id=l_orderkey, so multi-line orders
+# are exactly the reference's multi-observation dupes), orders→
+# observations, supplier→observers, customer→taxa_enriched (with a
+# 'Not assigned' drop analog, taxa.sql:180), a 6-row literal dim→
+# LICENSE_CODES (INNER join drops unlicensed photos, the AIR rows).
+
+_INAT_EXT_SQL = """
+      CASE WHEN l_quantity >= 48 THEN NULL
+           WHEN l_linenumber % 4 = 0 THEN 'JPG'
+           WHEN l_linenumber % 4 = 1 THEN 'jpeg'
+           WHEN l_linenumber % 4 = 2 THEN 'Png'
+           ELSE 'gif' END
+"""
+
+_INAT_ORACLE_BODY = f"""
+    WITH photos AS (
+      SELECT l_orderkey AS photo_id,
+             l_suppkey AS observer_id,
+             {_INAT_EXT_SQL} AS ext,
+             l_returnflag || l_linestatus AS license_code,
+             CAST(l_quantity AS INTEGER) AS width,
+             l_linenumber * 100 AS height
+      FROM lineitem
+    ),
+    solo AS (
+      SELECT * FROM photos
+      QUALIFY count(*) OVER (PARTITION BY photo_id) = 1
+    ),
+    license_codes AS (
+      SELECT * FROM (VALUES
+        ('AF', 'by',    '4.0', 'https://creativecommons.org/licenses/by/4.0/'),
+        ('NF', 'by-nc', '4.0', 'https://creativecommons.org/licenses/by-nc/4.0/'),
+        ('NO', 'cc0',   '1.0', 'https://creativecommons.org/publicdomain/zero/1.0/')
+      ) AS t(code, license, license_version, license_url)
+    ),
+    taxa_enriched AS (
+      SELECT c_custkey AS taxon_id, c_name AS title,
+             lower(c_mktsegment) || ',inaturalist' AS tags
+      FROM customer WHERE c_mktsegment <> 'MACHINERY'
+    ),
+    loaded AS (
+      SELECT p.photo_id, p.ext, p.width, p.height,
+             lc.license, lc.license_version, lc.license_url,
+             s.s_name AS creator, p.observer_id,
+             t.title, t.tags
+      FROM solo p
+      JOIN orders o ON p.photo_id = o.o_orderkey
+      JOIN supplier s ON p.observer_id = s.s_suppkey
+      JOIN taxa_enriched t ON o.o_custkey = t.taxon_id
+      JOIN license_codes lc ON p.license_code = lc.code
+    )
+"""
+
+
+@register(
+    "pipeline_inaturalist_bulk",
+    f"""
+    {_INAT_ORACLE_BODY}
+    SELECT CAST(photo_id AS VARCHAR) AS foreign_identifier,
+           'https://www.inaturalist.org/photos/' || CAST(photo_id AS VARCHAR)
+             AS foreign_landing_url,
+           'https://inaturalist-open-data.s3.amazonaws.com/photos/'
+             || CAST(photo_id AS VARCHAR) || '/original.' || ext AS url,
+           lower(ext) AS filetype,
+           license, license_version, license_url,
+           creator,
+           'https://www.inaturalist.org/users/' || CAST(observer_id AS VARCHAR)
+             AS creator_url,
+           title, tags,
+           'photograph' AS category,
+           'inaturalist' AS provider,
+           'inaturalist' AS source,
+           'sql_bulk_load' AS ingestion_type,
+           width, height
+    FROM loaded
+    WHERE ext IS NOT NULL
+    """,
+)
+def pipeline_inaturalist_bulk(spark, sf_dir):
+    """The reference's iNaturalist bulk load as ONE Catalyst plan
+    (transformed_table.template.sql:17-73 + the clean step of
+    inaturalist.py:135-144). Where the reference pulls 2M-row photo_id
+    ranges one at a time through a single connection — its own measured
+    anchor is ~18 min/batch — this declares the whole 5-table join and
+    lets AQE pick the physical strategy.
+
+    Scale plan (the shape that must survive 120M photos ⋈ 70M
+    observations at 100 TB): the dupes guard is a window count over
+    photo_id, which hash-partitions photos by the SAME key the
+    observations join needs, so the exchange is reused — photos shuffle
+    once, observations shuffle once, and observers/taxa/license_codes
+    (≤ a few M rows, license dim is 6 rows) come in as broadcasts with
+    zero additional fact movement. No serialized batching, no driver
+    loop; batch ranges fall out of partition pruning if the photos
+    source is written partitioned on photo_id ranges."""
+    t = _t(spark, sf_dir, "lineitem", "orders", "supplier", "customer")
+    li, o, s, c = t["lineitem"], t["orders"], t["supplier"], t["customer"]
+
+    ln = F.col("l_linenumber")
+    ext = F.when(F.col("l_quantity") >= 48, F.lit(None).cast("string")).otherwise(
+        F.when(ln % 4 == 0, "JPG")
+        .when(ln % 4 == 1, "jpeg")
+        .when(ln % 4 == 2, "Png")
+        .otherwise("gif")
+    )
+    photos = li.select(
+        F.col("l_orderkey").alias("photo_id"),
+        F.col("l_suppkey").alias("observer_id"),
+        ext.alias("ext"),
+        F.concat("l_returnflag", "l_linestatus").alias("license_code"),
+        F.col("l_quantity").cast("int").alias("width"),
+        (ln * 100).alias("height"),
+    )
+    # PHOTO_DUPES NOT-EXISTS (transformed_table:69-71): photos carrying
+    # multiple observation records are skipped. A window count partitions
+    # by photo_id — the exact key of the observations join below.
+    solo = photos.withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy("photo_id"))
+    ).filter(F.col("__n") == 1).drop("__n")
+
+    license_codes = spark.createDataFrame(
+        [
+            ("AF", "by", "4.0", "https://creativecommons.org/licenses/by/4.0/"),
+            ("NF", "by-nc", "4.0", "https://creativecommons.org/licenses/by-nc/4.0/"),
+            ("NO", "cc0", "1.0", "https://creativecommons.org/publicdomain/zero/1.0/"),
+        ],
+        "code string, license string, license_version string, license_url string",
+    )
+    taxa = c.filter(F.col("c_mktsegment") != "MACHINERY").select(
+        F.col("c_custkey").alias("taxon_id"),
+        F.col("c_name").alias("title"),
+        F.concat(F.lower("c_mktsegment"), F.lit(",inaturalist")).alias("tags"),
+    )
+    observations = o.select(
+        F.col("o_orderkey").alias("observation_uuid"),
+        F.col("o_custkey").alias("taxon_id"),
+    )
+
+    loaded = (
+        solo.join(observations, solo.photo_id == observations.observation_uuid)
+        .join(F.broadcast(s), solo.observer_id == s.s_suppkey)
+        .join(F.broadcast(taxa), "taxon_id")
+        .join(F.broadcast(license_codes), solo.license_code == license_codes.code)
+    )
+    pid = F.col("photo_id").cast("string")
+    return loaded.filter(F.col("ext").isNotNull()).select(
+        pid.alias("foreign_identifier"),
+        F.concat(F.lit("https://www.inaturalist.org/photos/"), pid).alias(
+            "foreign_landing_url"
+        ),
+        F.concat(
+            F.lit("https://inaturalist-open-data.s3.amazonaws.com/photos/"),
+            pid,
+            F.lit("/original."),
+            F.col("ext"),
+        ).alias("url"),
+        F.lower("ext").alias("filetype"),
+        "license",
+        "license_version",
+        "license_url",
+        F.col("s_name").alias("creator"),
+        F.concat(
+            F.lit("https://www.inaturalist.org/users/"),
+            F.col("observer_id").cast("string"),
+        ).alias("creator_url"),
+        "title",
+        "tags",
+        F.lit("photograph").alias("category"),
+        F.lit("inaturalist").alias("provider"),
+        F.lit("inaturalist").alias("source"),
+        F.lit("sql_bulk_load").alias("ingestion_type"),
+        "width",
+        "height",
+    )
+
+
+@register(
+    "agg_inaturalist_load_stats",
+    f"""
+    {_INAT_ORACLE_BODY}
+    SELECT count(*) AS loaded,
+           count(*) FILTER (WHERE ext IS NULL) AS missing_columns,
+           count(*) FILTER (WHERE ext IS NOT NULL)
+             - count(DISTINCT photo_id) FILTER (WHERE ext IS NOT NULL)
+             AS foreign_id_dup,
+           count(DISTINCT photo_id) FILTER (WHERE ext IS NOT NULL)
+             - count(DISTINCT 'https://inaturalist-open-data.s3.amazonaws.com/photos/'
+                 || CAST(photo_id AS VARCHAR) || '/original.' || ext)
+             AS url_dup,
+           count(DISTINCT 'https://inaturalist-open-data.s3.amazonaws.com/photos/'
+                 || CAST(photo_id AS VARCHAR) || '/original.' || ext) AS upserted
+    FROM loaded
+    """,
+)
+def agg_inaturalist_load_stats(spark, sf_dir):
+    """consolidate_load_statistics (inaturalist.py:160-184) without the
+    per-batch xcom plumbing: loaded / missing_columns / foreign_id_dup /
+    url_dup-as-remainder / upserted in ONE aggregation pass over the
+    transformed frame — the reference sums these per 2M-row batch; a
+    distributed engine computes them globally with a single map-side
+    partial agg (no second scan, no driver loop)."""
+    # Rebuild the pre-clean frame (loaded includes the missing-url rows;
+    # the observers join is FK-total so it cannot change counts and is
+    # omitted — the oracle keeps it, proving that equivalence).
+    t = _t(spark, sf_dir, "lineitem", "orders", "supplier", "customer")
+    li, o, c = t["lineitem"], t["orders"], t["customer"]
+    ln = F.col("l_linenumber")
+    ext = F.when(F.col("l_quantity") >= 48, F.lit(None).cast("string")).otherwise(
+        F.when(ln % 4 == 0, "JPG")
+        .when(ln % 4 == 1, "jpeg")
+        .when(ln % 4 == 2, "Png")
+        .otherwise("gif")
+    )
+    photos = li.select(
+        F.col("l_orderkey").alias("photo_id"),
+        F.col("l_suppkey").alias("observer_id"),
+        ext.alias("ext"),
+        F.concat("l_returnflag", "l_linestatus").alias("license_code"),
+    )
+    solo = photos.withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy("photo_id"))
+    ).filter(F.col("__n") == 1).drop("__n")
+    lic_codes = ["AF", "NF", "NO"]
+    taxa_keys = c.filter(F.col("c_mktsegment") != "MACHINERY").select(
+        F.col("c_custkey").alias("taxon_id")
+    )
+    observations = o.select(
+        F.col("o_orderkey").alias("observation_uuid"),
+        F.col("o_custkey").alias("taxon_id"),
+    )
+    loaded = (
+        solo.filter(F.col("license_code").isin(lic_codes))
+        .join(observations, solo.photo_id == observations.observation_uuid)
+        .join(F.broadcast(taxa_keys), "taxon_id")
+    )
+    url = F.concat(
+        F.lit("https://inaturalist-open-data.s3.amazonaws.com/photos/"),
+        F.col("photo_id").cast("string"),
+        F.lit("/original."),
+        F.col("ext"),
+    )
+    ok = F.col("ext").isNotNull()
+    return loaded.agg(
+        F.count(F.lit(1)).alias("loaded"),
+        F.count(F.when(~ok, 1)).alias("missing_columns"),
+        (
+            F.count(F.when(ok, 1))
+            - F.countDistinct(F.when(ok, F.col("photo_id")))
+        ).alias("foreign_id_dup"),
+        (
+            F.countDistinct(F.when(ok, F.col("photo_id")))
+            - F.countDistinct(F.when(ok, url))
+        ).alias("url_dup"),
+        F.countDistinct(F.when(ok, url)).alias("upserted"),
+    )

@@ -934,3 +934,142 @@ def agg_pending_reports(spark, sf_dir):
         .groupBy("reason")
         .agg(F.count_distinct("url").alias("pending_url_count"))
     )
+
+
+# --- sub-provider retro-attribution + audit --------------------------------
+#
+# The reference attributes Flickr Commons institutions as sub-providers
+# two ways: at parse time (flickr.py:249-253, owner nsid looked up in
+# prov.FLICKR_SUB_PROVIDERS) and retroactively over the already-loaded
+# catalog (retired/update_workflows/update_sql.py: a temp
+# (creator_url, sub_provider) table joined into an UPDATE ... SET source).
+# A maintenance audit (flickr_audit_sub_provider_workflow.py:45-153)
+# counts each institution's CC-licensed images and suggests new
+# sub-providers above a minimum count.
+
+_SUB_PROV_DIM = [
+    (3, "nasa"),
+    (7, "bio_diversity"),
+    (11, "spacex"),
+    (19, "woc_tech"),
+]
+
+_SUB_PROV_DIM_SQL = "SELECT * FROM (VALUES " + ", ".join(
+    f"('https://www.flickr.com/photos/u{n}', '{s}')" for n, s in _SUB_PROV_DIM
+) + ") AS v(creator_url, sub_provider)"
+
+
+@register(
+    "clean_sub_provider_update",
+    f"""
+    WITH catalog AS (
+      SELECT o_orderkey,
+             CASE WHEN o_custkey % 3 = 0 THEN 'flickr' ELSE 'wikimedia' END
+               AS provider,
+             'https://www.flickr.com/photos/u' || CAST(o_custkey % 50 AS VARCHAR)
+               AS creator_url,
+             CASE WHEN o_custkey % 3 = 0 THEN 'flickr' ELSE 'wikimedia' END
+               AS source
+      FROM orders),
+    dim AS ({_SUB_PROV_DIM_SQL})
+    SELECT c.o_orderkey, c.provider, c.creator_url,
+           CASE WHEN c.provider = 'flickr' AND d.sub_provider IS NOT NULL
+                THEN d.sub_provider ELSE c.source END AS source,
+           (c.provider = 'flickr' AND d.sub_provider IS NOT NULL) AS updated
+    FROM catalog c LEFT JOIN dim d ON c.creator_url = d.creator_url
+    """,
+)
+def clean_sub_provider_update(spark, sf_dir):
+    """Retroactive sub-provider migration (retired update_sql.py): build
+    the (creator_url, sub_provider) dimension from the configured nsid
+    sets, broadcast it against the catalog, and rewrite source for
+    matching provider='flickr' rows — the reference runs one UPDATE per
+    sub-provider through a temp table; here it is a single broadcast
+    left join + conditional overwrite, one map-side pass over the
+    catalog with zero shuffles at any scale."""
+    o = _t(spark, sf_dir, "orders")["orders"]
+    provider = F.when(F.col("o_custkey") % 3 == 0, "flickr").otherwise("wikimedia")
+    catalog = o.select(
+        "o_orderkey",
+        provider.alias("provider"),
+        F.concat(
+            F.lit("https://www.flickr.com/photos/u"),
+            (F.col("o_custkey") % 50).cast("string"),
+        ).alias("creator_url"),
+        provider.alias("source"),
+    )
+    dim = spark.createDataFrame(
+        [(f"https://www.flickr.com/photos/u{n}", s) for n, s in _SUB_PROV_DIM],
+        "creator_url string, sub_provider string",
+    )
+    hit = (F.col("provider") == "flickr") & F.col("sub_provider").isNotNull()
+    return (
+        catalog.join(F.broadcast(dim), "creator_url", "left")
+        .select(
+            "o_orderkey",
+            "provider",
+            "creator_url",
+            F.when(hit, F.col("sub_provider")).otherwise(F.col("source")).alias(
+                "source"
+            ),
+            hit.alias("updated"),
+        )
+    )
+
+
+@register(
+    "agg_sub_provider_audit",
+    f"""
+    WITH dim AS ({_SUB_PROV_DIM_SQL}),
+    cc AS (
+      SELECT user_id % 50 AS nsid, count(*) AS cc_count
+      FROM events
+      WHERE value >= 1 AND user_id % 50 <> 13
+      GROUP BY user_id % 50
+    )
+    SELECT cc.nsid, 'institution_' || CAST(cc.nsid AS VARCHAR) AS name, cc.cc_count
+    FROM cc
+    LEFT JOIN dim d
+      ON d.creator_url = 'https://www.flickr.com/photos/u' || CAST(cc.nsid AS VARCHAR)
+    WHERE d.sub_provider IS NULL AND cc.cc_count >= 190
+    """,
+)
+def agg_sub_provider_audit(spark, sf_dir):
+    """Sub-provider audit (flickr_audit_sub_provider_workflow.py:119-153):
+    count CC-licensed images per institution nsid, drop the skip-list,
+    drop institutions already configured as sub-providers (anti
+    semantics via broadcast left join + NULL filter), and suggest those
+    above minimum_image_count (the reference uses 300; scaled to 190
+    for the synthetic distribution so the gate discriminates). One
+    shuffle on a small key space with map-side partials; the configured
+    dimension broadcasts."""
+    e = _t(spark, sf_dir, "events")["events"]
+    nsid = (F.col("user_id") % 50).alias("nsid")
+    cc = (
+        e.filter((F.col("value") >= 1) & (F.col("user_id") % 50 != 13))
+        .groupBy(nsid)
+        .agg(F.count(F.lit(1)).alias("cc_count"))
+    )
+    dim = spark.createDataFrame(
+        [(f"https://www.flickr.com/photos/u{n}", s) for n, s in _SUB_PROV_DIM],
+        "creator_url string, sub_provider string",
+    )
+    return (
+        cc.join(
+            F.broadcast(dim),
+            F.concat(
+                F.lit("https://www.flickr.com/photos/u"),
+                F.col("nsid").cast("string"),
+            )
+            == dim.creator_url,
+            "left",
+        )
+        .filter(F.col("sub_provider").isNull() & (F.col("cc_count") >= 190))
+        .select(
+            "nsid",
+            F.concat(F.lit("institution_"), F.col("nsid").cast("string")).alias(
+                "name"
+            ),
+            "cc_count",
+        )
+    )

@@ -854,11 +854,11 @@ _UNIQUE_COLS = [
     merged AS (SELECT * FROM dirty UNION ALL SELECT * FROM batch),
     p1 AS (SELECT *, row_number() OVER (
              PARTITION BY provider, foreign_identifier
-             ORDER BY url NULLS LAST) AS rn
+             ORDER BY url NULLS LAST, title) AS rn
            FROM merged),
     k1 AS (SELECT provider, foreign_identifier, url, title FROM p1 WHERE rn = 1),
     p2 AS (SELECT *, row_number() OVER (
-             PARTITION BY url ORDER BY provider, foreign_identifier) AS rn
+             PARTITION BY url ORDER BY provider, foreign_identifier, title) AS rn
            FROM k1 WHERE url IS NOT NULL)
     SELECT provider, foreign_identifier, url, title FROM p2 WHERE rn = 1
     UNION ALL

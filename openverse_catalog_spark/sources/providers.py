@@ -118,6 +118,30 @@ class FlickrStyleAdapter:
         "10": ("pdm", "1.0"),
     }
 
+    # sub-provider name -> owner nsid set (provider_details.py
+    # FLICKR_SUB_PROVIDERS; attribution at flickr.py:249-253): records
+    # from these Flickr Commons accounts carry the institution as their
+    # `source` while `provider` stays 'flickr'.
+    SUB_PROVIDERS = {
+        "nasa": {
+            "24662369@N07",
+            "35067687@N04",
+            "29988733@N04",
+            "28634332@N05",
+            "108488366@N07",
+            "136485307@N06",
+        },
+        "bio_diversity": {"61021753@N02"},
+        "spacex": {"130608600@N05"},
+        "woc_tech": {"136629440@N06"},
+    }
+
+    def _source(self, owner: str) -> str:
+        return next(
+            (s for s, nsids in self.SUB_PROVIDERS.items() if owner in nsids),
+            self.provider,
+        )
+
     def get_next_query_params(self, prev: dict | None) -> dict:
         page = 1 if prev is None else prev["page"] + 1
         return {"page": page, "per_page": self.per_page}
@@ -150,6 +174,7 @@ class FlickrStyleAdapter:
             ]
             or None,
             provider=self.provider,
+            source=self._source(owner),
             width=raw.get("width_l"),
             height=raw.get("height_l"),
         )

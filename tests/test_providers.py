@@ -284,3 +284,16 @@ def test_stocksnap_style_static_single_page(spark):
     # per-provider category default (media.py:168-170, provider_details
     # DEFAULT_IMAGE_CATEGORY): stocksnap -> photograph
     assert r.category == "photograph"
+
+
+def test_flickr_sub_provider_attribution():
+    """Owner nsid in a configured sub-provider set -> source is the
+    institution; anyone else -> source falls back to the provider
+    (flickr.py:249-253, provider_details FLICKR_SUB_PROVIDERS)."""
+    a = FlickrStyleAdapter()
+    nasa = a.parse_record(_flickr_photo(1, owner="24662369@N07"))
+    assert nasa["source"] == "nasa" and nasa["provider"] == "flickr"
+    spacex = a.parse_record(_flickr_photo(2, owner="130608600@N05"))
+    assert spacex["source"] == "spacex"
+    plain = a.parse_record(_flickr_photo(3))
+    assert plain["source"] == "flickr"
