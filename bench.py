@@ -93,6 +93,11 @@ HEADLINE = [
     "join_salted_hot_keys",
     "dedup_url_canonical",
     "merge_expire_stale",
+    "pipeline_inaturalist_bulk",
+    "clean_sub_provider_update",
+    "merge_unique_guard",
+    "clean_stored_tsv",
+    "agg_pending_reports",
 ]
 
 
@@ -120,6 +125,21 @@ def main() -> None:
 
     # warm the Python/Arrow worker pool (several queries use mapInPandas)
     spark.range(64, numPartitions=32).mapInPandas(_ident, "id long").count()
+
+    # warm the parquet scans (footer reads + OS page cache) so the first
+    # headline query isn't billed for first-touch I/O — keeps per-query
+    # deltas attributable round over round
+    from openverse_catalog_spark.session import load_tables
+
+    for tdf in load_tables(
+        spark,
+        sf_dir,
+        [
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events", "documents", "embeddings",
+        ],
+    ).values():
+        tdf.count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

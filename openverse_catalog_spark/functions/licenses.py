@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from openverse_catalog_spark.schemas.columns import let_
+
 # Canonical CC license pairs, mirroring the reference's full recognized
 # set (catalog/dags/common/licenses/constants.py): the live grid
 # (_SIMPLE_LICENSE_PATHS :3-50), the 2.1 jurisdiction versions whose
@@ -89,9 +91,15 @@ def license_dim(spark: SparkSession) -> DataFrame:
 def canonical_version_expr(version: Column) -> Column:
     """``str(float(v))`` canonicalization (licenses.py:212-226): '2' -> '2.0',
     '4.00' -> '4.0'; non-numeric -> NULL."""
-    d = version.cast("string").try_cast("double")
-    return F.when(d.isNull(), F.lit(None).cast("string")).otherwise(
-        F.concat(F.floor(d).cast("string"), F.lit("."), ((d - F.floor(d)) * 10).cast("int").cast("string"))
+    return let_(
+        version.cast("string").try_cast("double"),
+        lambda d: F.when(d.isNull(), F.lit(None).cast("string")).otherwise(
+            F.concat(
+                F.floor(d).cast("string"),
+                F.lit("."),
+                ((d - F.floor(d)) * 10).cast("int").cast("string"),
+            )
+        ),
     )
 
 
@@ -112,27 +120,40 @@ def normalize_license(
     inside one whole-stage-codegen span. (``spark`` is accepted for
     signature compatibility; nothing driver-side is needed.)
     """
-    lic = F.lower(F.trim(F.col(license_col)))
-    ver = F.coalesce(
-        canonical_version_expr(F.col(version_col)),
-        # cc0/pdm tolerate a missing version (fixed 1.0); the retired
-        # publicdomain license is versionless (N/A) — constants.py:84
-        *[F.when(lic == l, F.lit(v)) for l, v in _SPECIAL.items()],
+    # Nested let-bindings: lic, ver and the map lookup are each evaluated
+    # once per row and reused as lambda-variable leaves — without this,
+    # CollapseProject re-inlines the upstream sanitize chain into every
+    # one of the ~10 references below and the stage falls out of codegen
+    # (see let_'s docstring).
+    packed = let_(
+        F.lower(F.trim(F.col(license_col))),
+        lambda lic: let_(
+            F.coalesce(
+                canonical_version_expr(F.col(version_col)),
+                # cc0/pdm tolerate a missing version (fixed 1.0); the
+                # retired publicdomain license is versionless (N/A) —
+                # constants.py:84
+                *[F.when(lic == l, F.lit(v)) for l, v in _SPECIAL.items()],
+            ),
+            lambda ver: let_(
+                F.element_at(_pair_url_map(), F.concat_ws("|", lic, ver)),
+                lambda url: F.struct(
+                    F.when(url.isNotNull(), lic).alias("lic"),
+                    F.when(url.isNotNull(), ver).alias("ver"),
+                    url.alias("url"),
+                ),
+            ),
+        ),
     )
-    url_by_pair = F.element_at(_pair_url_map(), F.concat_ws("|", lic, ver))
-    valid = url_by_pair.isNotNull()
-    out_lic = F.when(valid, lic)
-    out_ver = F.when(valid, ver)
-    url = url_by_pair
     cols = []
     for c in df.columns:
         if c == license_col:
-            cols.append(out_lic.alias(license_col))
+            cols.append(packed["lic"].alias(license_col))
         elif c == version_col:
-            cols.append(out_ver.alias(version_col))
+            cols.append(packed["ver"].alias(version_col))
         else:
             cols.append(F.col(c))
-    cols.append(url.alias("license_url"))
+    cols.append(packed["url"].alias("license_url"))
     return df.select(*cols)
 
 

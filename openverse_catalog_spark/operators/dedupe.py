@@ -636,6 +636,68 @@ def simhash_banded_pairs(
     )
 
 
+def simhash_pair_census(
+    sims: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    bits: int = 16,
+) -> DataFrame:
+    """Exact (hamming, n_pairs) census of all doc pairs within
+    ``max_hamming`` on a narrow sketch, WITHOUT materializing the pairs:
+    collapse docs to (simhash, cnt) — a ``bits``-wide sketch has at most
+    2^bits distinct values, so this frame is bounded regardless of corpus
+    size — run the pigeonhole band join over distinct values only, and
+    recover doc-pair counts as cnt_u * cnt_v per qualifying value pair
+    plus C(cnt, 2) inside each value (hamming 0).
+
+    Scale shape: one map-side-combined groupBy over the corpus (the only
+    doc-cardinality step), then all joins/aggregates run on a <= 2^bits-row
+    frame that broadcasts. Output is <= max_hamming + 1 rows."""
+    assert max_hamming < n_bands, "pigeonhole exactness needs max_hamming < n_bands"
+    vals = sims.groupBy("simhash").agg(F.count(F.lit(1)).alias("cnt"))
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * band_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = vals.select("simhash", "cnt", F.explode(bands).alias("bk")).select(
+        "simhash", "cnt", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a = exploded.select(
+        F.col("simhash").alias("sh_a"), F.col("cnt").alias("cnt_a"), "band", "key"
+    )
+    b = exploded.select(
+        F.col("simhash").alias("sh_b"), F.col("cnt").alias("cnt_b"), "band", "key"
+    )
+    cross_value = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("sh_a") < F.col("sh_b"))
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        # a value pair can collide in several bands — count it once
+        .select("sh_a", "sh_b", "hamming", "cnt_a", "cnt_b")
+        .distinct()
+        .select("hamming", (F.col("cnt_a") * F.col("cnt_b")).alias("n"))
+    )
+    within_value = vals.filter(F.col("cnt") > 1).select(
+        F.lit(0).alias("hamming"),
+        (F.col("cnt") * (F.col("cnt") - 1) / 2).cast("long").alias("n"),
+    )
+    return (
+        cross_value.unionByName(within_value)
+        .groupBy("hamming")
+        .agg(F.sum("n").alias("n_pairs"))
+    )
+
+
 def minhash_lsh_match_index(
     probe_sigs: DataFrame,
     index_sigs: DataFrame,

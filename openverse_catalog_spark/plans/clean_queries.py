@@ -842,14 +842,30 @@ def clean_stored_tsv(spark, sf_dir):
         F.concat(F.lit("  T"), k.cast("string"), F.lit('  "x"  q  ')),
         F.concat(F.lit("prov"), (k % 4).cast("string")),
     )
-    parsed = o.select(line.alias("line")).select(
+    # The stored-TSV lines arrive as one small blob locally (a single
+    # parquet row-group -> 1 partition), but the per-row work downstream
+    # (from_csv + the full sanitize/normalize expression chain) is the
+    # expensive part — spread it across the cluster before parsing, the
+    # way the reference's real TSVs arrive pre-split in S3 parts. The
+    # checkpoint is REQUIRED, not just nice — it cuts lineage AFTER the
+    # from_csv parse, which fixes two measured pathologies at once:
+    # (1) a plain repartition lets Catalyst push the parse+required-
+    # filter back into the single-partition scan (12 s -> 26 s), and
+    # (2) projection collapse inlines from_csv(line) into EVERY leaf of
+    # the sanitize expression tree, so the CSV parse re-runs dozens of
+    # times per row. With the parsed 7-column frame pinned, downstream
+    # clean expressions reference materialized columns (12 s -> ~1 s).
+    lines = o.select(line.alias("line")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    parsed = lines.select(
         F.from_csv(
             "line",
             "foreign_identifier STRING, foreign_landing_url STRING, url STRING, "
             "license STRING, license_version STRING, title STRING, provider STRING",
             {"sep": "\t", "nullValue": r"\N"},
         ).alias("r")
-    ).select("r.*")
+    ).select("r.*").localCheckpoint(eager=False)
     staging = parsed.select(
         *[
             F.col(c.name) if c.name in parsed.columns

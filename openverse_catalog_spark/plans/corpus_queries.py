@@ -176,27 +176,37 @@ def _simhash_pairs_oracle() -> str:
               FROM corpus) WHERE tok <> ''),
     sums AS (SELECT doc_id, {bit_sums} FROM tok GROUP BY doc_id),
     sims AS (SELECT doc_id, CAST({recombine} AS BIGINT) AS simhash FROM sums)
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    SELECT bit_count(xor(a.simhash, b.simhash)) AS hamming,
+           count(*) AS n_pairs
     FROM sims a JOIN sims b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    GROUP BY 1
     """
 
 
 @register("dedup_simhash_pairs", _simhash_pairs_oracle())
 def dedup_simhash_pairs(spark, sf_dir):
-    """GLOBAL near-dup pairs at Hamming<=3 on the 16-bit sketch, found
-    EXACTLY by pigeonhole banding (4 bands x 4 bits: any pair with <= 3
-    differing bits shares an identical band) — a band-key equi-join, the
-    same plan shape as the 60-bit path, instead of the old 5-ary
-    ``source`` blocking whose per-block join was quadratic in block
-    size. The oracle brute-forces all pairs to prove banding misses
-    nothing. A 16-bit key space still buckets a 100 TB corpus coarsely
-    (~n/16 docs per band key) — ``dedup_simhash60_banded`` is the scale
-    path; this query pins the narrow-width banding kernel it reuses."""
+    """GLOBAL near-dup pair census at Hamming<=3 on the 16-bit sketch,
+    computed in VALUE space: a 16-bit sketch has <= 65,536 distinct
+    values, so the docs collapse to one (simhash, count) row each, the
+    pigeonhole band join (4 bands x 4 bits — any pair with <= 3
+    differing bits shares an identical band) runs over distinct VALUES,
+    and doc-pair counts come back as products of value counts (plus
+    C(n,2) within each value for hamming 0). The oracle brute-forces
+    all doc pairs to prove the banding misses nothing.
+
+    This shape exists because pair ENUMERATION on a 16-bit sketch is
+    intrinsically quadratic — on a near-dup-heavy corpus most docs sit
+    within 3 bits of most others (sf0.1: 11.1M qualifying pairs from
+    6.2k docs), so any engine must materialize O(n^2) rows; no plan
+    fixes an output-size problem. The census answers the question the
+    sketch can actually support at 100 TB (how much near-duplication,
+    at what radius) with doc-level cost = one groupBy on the sketch;
+    enumeration belongs to the discriminative 60-bit path
+    (``dedup_simhash60_banded``)."""
     corpus = _corpus(spark, sf_dir)
     sims = dd.simhash16(corpus, "doc_id", "text")
-    return dd.simhash_banded_pairs(sims, "doc_id", max_hamming=3, n_bands=4, bits=16)
+    return dd.simhash_pair_census(sims, max_hamming=3, n_bands=4, bits=16)
 
 
 # --- n-gram Jaccard --------------------------------------------------------

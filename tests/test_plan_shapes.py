@@ -178,3 +178,24 @@ def test_embedding_cosine_query_has_no_driver_collect(spark, sf_dir):
     plan = _plan(QUERIES["dedup_embedding_cosine"](spark, sf_dir))
     assert "FlatMapGroupsInPandas" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_inaturalist_bulk_single_fact_exchange(spark, sf_dir):
+    """pipeline_inaturalist_bulk: the photos fact moves ONCE — the dupes
+    window's hashpartitioning(photo_id) exchange is the only shuffle on
+    the fact side (the observations join keys on the same column, so at
+    scale the SMJ reuses it); observers/taxa/license_codes come in as
+    broadcasts; the taxa 'Not assigned' filter is pushed into the scan."""
+    from openverse_catalog_spark.plans.analytics import QUERIES
+
+    plan = _plan(QUERIES["pipeline_inaturalist_bulk"](spark, sf_dir))
+    # one shuffle exchange total on the lineitem side (formatted mode:
+    # each shuffle prints one "Arguments: hashpartitioning(...)" detail)
+    shuffles = [
+        line for line in plan.splitlines() if "Arguments: hashpartitioning" in line
+    ]
+    assert len(shuffles) == 1 and "photo_id" in shuffles[0]
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # predicate pushdown reached the taxa scan
+    assert "MACHINERY" in plan

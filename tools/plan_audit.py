@@ -78,6 +78,23 @@ AUDIT = [
         "folds in as a 1-row broadcast; the token->vocab join stays an "
         "equi-join AQE sizes at runtime.",
     ),
+    (
+        "pipeline_inaturalist_bulk",
+        "The reference's largest batch load (5-table join + dupes guard) "
+        "in one plan: the photos fact shuffles ONCE for the dupes window "
+        "(hashpartitioning(photo_id), the same key the observations join "
+        "needs, so at scale the SMJ reuses it); observers/taxa/"
+        "license_codes broadcast; the 'Not assigned' taxa filter pushes "
+        "into the scan. The reference serializes this as 2M-row batches "
+        "through one connection.",
+    ),
+    (
+        "dedup_simhash_pairs",
+        "Near-dup census in VALUE space: docs collapse to <= 2^16 "
+        "(simhash, count) rows in one map-side-combined groupBy; the "
+        "band join and the hamming filter run over distinct values, so "
+        "no doc-pair row is ever materialized.",
+    ),
 ]
 
 
