@@ -2,12 +2,15 @@
 ``binary`` columns with typed metadata, processed via Arrow-batched
 ``mapInPandas``.
 
-The decode step is STUBBED (image/audio libraries are not in this
-container): ``decode_stub=True`` derives deterministic fake metadata from
-an md5 of the payload, so the Spark-side plumbing — schema, partition
-preservation, UDF signature, Arrow batch shape — is real and testable,
-and the fake values are reproducible enough to oracle-check. Swap
-``_decode_one`` for a real PIL/ffmpeg call when available.
+Header-level decode is REAL: ``parse_image_header`` parses PNG IHDR,
+GIF screen descriptors, BMP info headers and walks JPEG markers to the
+SOF frame — no imaging library needed, oracle-checked end to end by
+``multimodal_header_dims``. Only PIXEL decode is stubbed
+(``decode_stub=True`` derives deterministic fake metadata from an md5 of
+the payload — PIL/ffmpeg are not in this container; swap ``_decode_one``
+for a real call when available). The Spark-side plumbing — schema,
+partition preservation, UDF signature, Arrow batch shape — is identical
+for both.
 
 Scale notes: mapInPandas streams Arrow batches — payloads never
 materialize row-at-a-time in Python; partition sizing should target
@@ -48,13 +51,99 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def _decode_one(payload: bytes, fmt: str, decode_stub: bool) -> tuple[int, int]:
     if not decode_stub:
-        # Real path: PIL.Image.open(io.BytesIO(payload)).size — library
-        # not present in this environment.
-        raise NotImplementedError("real image decode requires PIL/ffmpeg")
+        # Full pixel decode requires PIL/ffmpeg (not in this container);
+        # header-level decode (dimensions/format) is REAL — see
+        # parse_image_header below.
+        raise NotImplementedError("real pixel decode requires PIL/ffmpeg")
     h = hashlib.md5(payload).hexdigest()
     width = int(h[:15], 16) % 1920 + 1
     height = int(h[15:30], 16) % 1080 + 1
     return width, height
+
+
+# ---------------------------------------------------------------------------
+# REAL header-level decode — no imaging library required
+# ---------------------------------------------------------------------------
+
+
+def parse_image_header(b: bytes) -> tuple[str | None, int | None, int | None]:
+    """Actual image-container parsing from raw bytes: PNG IHDR, GIF
+    logical screen descriptor, BMP info header, and a JPEG marker walk to
+    the first SOF frame header. This is the real thing (the same fields
+    `identify`/PIL report), not a stub — only pixel decode needs an
+    imaging library. Returns (format, width, height) or Nones."""
+    import struct
+
+    if len(b) >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", b[16:24])
+        return "png", w, h
+    if len(b) >= 10 and b[:3] == b"GIF":
+        w, h = struct.unpack("<HH", b[6:10])
+        return "gif", w, h
+    if len(b) >= 26 and b[:2] == b"BM":
+        w, h = struct.unpack("<ii", b[18:26])
+        return "bmp", w, abs(h)  # negative height = top-down DIB
+    if len(b) >= 4 and b[:2] == b"\xff\xd8":  # JPEG SOI
+        i = 2
+        while i + 9 <= len(b):
+            if b[i] != 0xFF:
+                break
+            marker = b[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker in (0x01,) or 0xD0 <= marker <= 0xD9:  # standalone
+                i += 2
+                continue
+            if i + 4 > len(b):
+                break
+            seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+            # SOFn (C0-CF except C4/C8/CC): precision(1) height(2) width(2)
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 <= len(b):
+                    h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                    return "jpg", w, h
+                break
+            i += 2 + seg_len
+    return None, None, None
+
+
+def synthesize_image_bytes(doc_id: int, fmt: str, width: int, height: int) -> bytes:
+    """Build a minimal VALID container header for the given format — the
+    test/oracle harness for parse_image_header (pack -> parse roundtrip).
+    The JPEG variant includes a variable-length COM segment before the
+    SOF0 so the marker walk is genuinely exercised."""
+    import struct
+
+    if fmt == "png":
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", 13)
+            + b"IHDR"
+            + struct.pack(">II", width, height)
+            + b"\x08\x02\x00\x00\x00"
+            + b"\x00\x00\x00\x00"
+        )
+    if fmt == "gif":
+        return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00"
+    if fmt == "bmp":
+        return (
+            b"BM"
+            + b"\x00" * 16
+            + struct.pack("<ii", width, -height if doc_id % 2 else height)
+            + b"\x00" * 4
+        )
+    # jpg: SOI + COM (variable length) + SOF0
+    com_fill = b"x" * (doc_id % 8)
+    com = b"\xff\xfe" + struct.pack(">H", 2 + len(com_fill)) + com_fill
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">HH", height, width)
+        + b"\x01\x11\x00"
+    )
+    return b"\xff\xd8" + com + sof0
 
 
 def extract_image_metadata(
@@ -78,6 +167,55 @@ def extract_image_metadata(
                     "format": pdf["format"],
                     "width": [d[0] for d in dims],
                     "height": [d[1] for d in dims],
+                }
+            )
+
+    return df.mapInPandas(decode, IMAGE_META_SCHEMA)
+
+
+def attach_real_image_payload(df: DataFrame) -> DataFrame:
+    """Arrow-batched payload synthesis: one real container header per doc
+    (format round-robined png/jpg/gif/bmp, dimensions derived from
+    doc_id) — the ingest-side twin of extract_image_header_metadata."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts = ["png", "jpg", "gif", "bmp"]
+            payloads = [
+                synthesize_image_bytes(
+                    int(d), fmts[int(d) % 4], int(d * 7) % 1920 + 1, int(d * 13) % 1080 + 1
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return df.select("doc_id").mapInPandas(
+        synth,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def extract_image_header_metadata(df: DataFrame) -> DataFrame:
+    """REAL dimension/format extraction over a binary payload column via
+    parse_image_header — same narrow mapInPandas shape as the stubbed
+    full decode, but the parsing is genuine container parsing. No
+    shuffle; Arrow batches stream through Python."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [parse_image_header(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "format": [p[0] for p in parsed],
+                    "width": [p[1] for p in parsed],
+                    "height": [p[2] for p in parsed],
                 }
             )
 

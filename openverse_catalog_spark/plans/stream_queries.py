@@ -141,6 +141,38 @@ def q_multimodal_frame_sample(spark, sf_dir):
 
 
 @register(
+    "multimodal_header_dims",
+    """
+    SELECT doc_id,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 33 WHEN 1 THEN 18 + doc_id % 8
+                                WHEN 2 THEN 13 ELSE 30 END AS BIGINT) AS n_bytes,
+           CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpg'
+                           WHEN 2 THEN 'gif' ELSE 'bmp' END AS format,
+           (doc_id * 7) % 1920 + 1 AS width,
+           (doc_id * 13) % 1080 + 1 AS height
+    FROM documents
+    """,
+)
+def q_multimodal_header_dims(spark, sf_dir):
+    """REAL image decode at the container-header level — no stub: payloads
+    are genuine PNG/GIF/BMP headers and JPEGs with a variable-length COM
+    segment ahead of the SOF0 (so the marker walk is exercised), and
+    parse_image_header extracts format/width/height by actually parsing
+    the bytes (PNG IHDR, GIF screen descriptor, BMP info header incl.
+    top-down negative heights, JPEG SOFn scan). The oracle recomputes the
+    synthesis formulas, pinning the pack -> parse roundtrip exactly.
+    Plumbing is the production shape: binary column, Arrow-batched
+    mapInPandas, no shuffle."""
+    from openverse_catalog_spark.operators.multimodal import (
+        attach_real_image_payload,
+        extract_image_header_metadata,
+    )
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return extract_image_header_metadata(attach_real_image_payload(d))
+
+
+@register(
     "stream_dedup_first_seen",
     "SELECT DISTINCT user_id, event_type FROM events",
 )

@@ -371,3 +371,42 @@ def test_overfetch_guard():
     f2 = make(False)
     assert [len(b) for b in f2.batches()] == [2, 2, 2]
     assert f2.overfetched
+
+
+def test_parse_image_header_real_formats():
+    """parse_image_header is a real container parser: PNG IHDR, GIF
+    screen descriptor, BMP (incl. top-down negative height), JPEG marker
+    walk past a COM segment; garbage/truncated input -> Nones."""
+    from openverse_catalog_spark.operators.multimodal import (
+        parse_image_header,
+        synthesize_image_bytes,
+    )
+
+    assert parse_image_header(synthesize_image_bytes(0, "png", 800, 600)) == (
+        "png", 800, 600,
+    )
+    assert parse_image_header(synthesize_image_bytes(2, "gif", 12, 7)) == (
+        "gif", 12, 7,
+    )
+    # odd doc_id -> negative (top-down) BMP height, parser reports abs
+    assert parse_image_header(synthesize_image_bytes(3, "bmp", 31, 9)) == (
+        "bmp", 31, 9,
+    )
+    # jpeg with 5 bytes of COM filler before the SOF0
+    assert parse_image_header(synthesize_image_bytes(5, "jpg", 1920, 1080)) == (
+        "jpg", 1920, 1080,
+    )
+    # jpeg with a fill byte (0xFF padding) before the next marker
+    import struct
+
+    raw = (
+        b"\xff\xd8\xff"  # SOI + fill byte
+        + b"\xff\xc2"  # progressive SOF2
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">HH", 10, 20)
+        + b"\x01\x11\x00"
+    )
+    assert parse_image_header(raw) == ("jpg", 20, 10)
+    assert parse_image_header(b"not an image") == (None, None, None)
+    assert parse_image_header(b"\x89PNG\r\n\x1a\n\x00") == (None, None, None)
