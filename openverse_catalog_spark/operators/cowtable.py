@@ -1,0 +1,263 @@
+"""Manifest-based copy-on-write parquet table: the ACID-shaped canonical
+table with file-skipping MERGE, snapshot isolation and time travel.
+
+The reference keeps its canonical media table in Postgres and upserts
+with ``INSERT ... ON CONFLICT`` under unique indexes
+(``catalog/dags/common/loader/sql.py:264-332``,
+``docker/local_postgres/0003_openledger_image_schema.sql:46-54``). At
+100 TB that table is a lake-format table (Delta/Iceberg); neither is in
+this environment, so this module implements the minimal version of the
+same contract from parquet + JSON manifests only:
+
+  <root>/data/v<N>/part-*.parquet   immutable data files (copy-on-write)
+  <root>/manifests/v<N>.json        file list + per-file key-range stats
+  <root>/VERSION                    current-version pointer, atomic swap
+
+MERGE semantics are exactly ``merge_upsert`` / ``merge_upsert_pruned``
+(url dedupe, cross-partition url-conflict guard against the FULL table,
+per-column upsert strategies), but the physical work is bounded by FILE
+SKIPPING: data files are range-clustered on the merge key at write time,
+each manifest entry carries the file's (min, max) composite-key range,
+and a merge rewrites only the files whose range intersects the batch —
+every other file is carried into the new snapshot by reference, never
+read. Readers pin a manifest version, so they see either the old or the
+new snapshot, never a mix; historical versions stay readable until
+``vacuum``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from openverse_catalog_spark.operators.merge import (
+    DEFAULT_MERGE_KEYS,
+    distinct_on,
+    merge_upsert,
+    url_conflict_filter,
+)
+from openverse_catalog_spark.schemas.columns import ColumnSpec, spark_schema
+
+
+def _file_stats(spark: SparkSession, dir_path: str, keys: tuple[str, ...]) -> list[dict]:
+    """One column-pruned scan over a data directory -> per-file manifest
+    entries (row count + min/max of each merge key)."""
+    df = spark.read.parquet(dir_path)
+    aggs = [F.count(F.lit(1)).alias("rows")]
+    for k in keys:
+        aggs += [F.min(k).alias(f"min_{k}"), F.max(k).alias(f"max_{k}")]
+    rows = (
+        df.groupBy(F.input_file_name().alias("__file"))
+        .agg(*aggs)
+        .collect()
+    )
+    entries = []
+    for r in rows:
+        path = r["__file"]
+        # store paths relative to the table root for relocatability
+        rel = path.split("/data/", 1)[1] if "/data/" in path else path
+        entries.append(
+            {
+                "path": "data/" + rel,
+                "rows": r["rows"],
+                "min": {k: r[f"min_{k}"] for k in keys},
+                "max": {k: r[f"max_{k}"] for k in keys},
+            }
+        )
+    return sorted(entries, key=lambda e: e["path"])
+
+
+class CowTable:
+    """Handle on a copy-on-write table rooted at ``root``."""
+
+    def __init__(self, spark: SparkSession, root: str, keys: tuple[str, ...] = DEFAULT_MERGE_KEYS):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.keys = tuple(keys)
+
+    # -- bootstrap ----------------------------------------------------------
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        df: DataFrame,
+        keys: tuple[str, ...] = DEFAULT_MERGE_KEYS,
+        target_files: int = 8,
+    ) -> "CowTable":
+        """Initialize version 1: range-cluster the data on the merge key
+        (so per-file key ranges are tight and file skipping bites) and
+        write the first manifest."""
+        t = cls(spark, root, keys)
+        os.makedirs(f"{t.root}/manifests", exist_ok=True)
+        data_dir = f"{t.root}/data/v1"
+        df.repartitionByRange(target_files, *[F.col(k) for k in keys]).write.mode(
+            "error"
+        ).parquet(data_dir)
+        entries = _file_stats(spark, data_dir, t.keys)
+        t._commit(1, entries, op="create")
+        return t
+
+    # -- manifest plumbing --------------------------------------------------
+
+    @property
+    def version(self) -> int:
+        with open(f"{self.root}/VERSION") as f:
+            return int(f.read().strip())
+
+    def _manifest(self, version: int | None = None) -> dict:
+        v = self.version if version is None else version
+        with open(f"{self.root}/manifests/v{v}.json") as f:
+            return json.load(f)
+
+    def _commit(self, version: int, entries: list[dict], op: str) -> None:
+        manifest = {
+            "version": version,
+            "operation": op,
+            "keys": list(self.keys),
+            "files": entries,
+            "rows": sum(e["rows"] for e in entries),
+        }
+        mpath = f"{self.root}/manifests/v{version}.json"
+        with open(mpath, "w") as f:
+            json.dump(manifest, f, indent=1, default=str)
+        # atomic pointer swap: readers see v_old or v_new, never a mix
+        tmp = f"{self.root}/.VERSION.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, f"{self.root}/VERSION")
+
+    def history(self) -> list[dict]:
+        out = []
+        for name in sorted(os.listdir(f"{self.root}/manifests")):
+            with open(f"{self.root}/manifests/{name}") as f:
+                m = json.load(f)
+            out.append({k: m[k] for k in ("version", "operation", "rows")})
+        return sorted(out, key=lambda m: m["version"])
+
+    # -- reads --------------------------------------------------------------
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Snapshot read (time travel with ``version``): exactly the files
+        the manifest lists, nothing else."""
+        m = self._manifest(version)
+        paths = [f"{self.root}/{e['path']}" for e in m["files"]]
+        return self.spark.read.parquet(*paths)
+
+    # -- merge --------------------------------------------------------------
+
+    def _affected_split(self, m: dict, source: DataFrame) -> tuple[list[dict], list[dict]]:
+        """File skipping: a data file must be rewritten only if its
+        composite-key range intersects one of the batch's per-partition
+        key boxes. The batch summary is a tiny driver-side collect (one
+        row per distinct value of keys[0] — providers, in the reference's
+        schema)."""
+        k0, k1 = self.keys[0], self.keys[1]
+        boxes = {
+            r[k0]: (r["lo"], r["hi"])
+            for r in source.groupBy(k0)
+            .agg(F.min(k1).alias("lo"), F.max(k1).alias("hi"))
+            .collect()
+        }
+        affected, untouched = [], []
+        for e in m["files"]:
+            lo = (e["min"][k0], e["min"][k1])
+            hi = (e["max"][k0], e["max"][k1])
+            hit = any(
+                lo <= (p, fhi) and (p, flo) <= hi for p, (flo, fhi) in boxes.items()
+            )
+            (affected if hit else untouched).append(e)
+        return affected, untouched
+
+    def merge(
+        self,
+        source: DataFrame,
+        columns: list[ColumnSpec],
+        target_files: int = 4,
+        **kwargs,
+    ) -> dict:
+        """MERGE the batch into a new snapshot. Untouched files carry over
+        by reference; affected files + the batch run the standard
+        ``merge_upsert`` and are rewritten range-clustered. Returns the
+        commit summary {version, files_rewritten, files_skipped, rows}.
+
+        Source preprocessing (url dedupe + cross-partition url-conflict
+        guard) runs against the FULL current snapshot projected to
+        (url, keys) — a narrow column scan over all files, matching
+        merge_upsert_pruned's correctness argument: skipping never
+        changes results because rows of non-intersecting files can only
+        classify as 'kept', and the url guard never rewrites target rows.
+        """
+        m = self._manifest()
+        keys = self.keys
+        if kwargs.pop("dedupe_source_on_url", True) and "url" in source.columns:
+            source = distinct_on(source, ["url"], [F.col(k) for k in keys])
+        if kwargs.pop("guard_url_conflicts", True) and "url" in source.columns:
+            source = url_conflict_filter(source, self.read(), keys)
+        source = source.localCheckpoint(eager=False)
+
+        affected, untouched = self._affected_split(m, source)
+        if affected:
+            target_slice = self.spark.read.parquet(
+                *[f"{self.root}/{e['path']}" for e in affected]
+            )
+        else:
+            target_slice = self.spark.createDataFrame([], spark_schema(columns))
+        merged = merge_upsert(
+            target_slice,
+            source,
+            columns,
+            keys=keys,
+            dedupe_source_on_url=False,
+            guard_url_conflicts=False,
+            **kwargs,
+        )
+
+        new_version = m["version"] + 1
+        data_dir = f"{self.root}/data/v{new_version}"
+        merged.repartitionByRange(
+            target_files, *[F.col(k) for k in keys]
+        ).write.mode("error").parquet(data_dir)
+        new_entries = _file_stats(self.spark, data_dir, keys)
+        self._commit(new_version, untouched + new_entries, op="merge")
+        return {
+            "version": new_version,
+            "files_rewritten": len(affected),
+            "files_skipped": len(untouched),
+            "files_written": len(new_entries),
+            "rows": sum(e["rows"] for e in untouched + new_entries),
+        }
+
+    # -- maintenance --------------------------------------------------------
+
+    def vacuum(self, keep_versions: int = 1) -> list[str]:
+        """Drop manifests older than the newest ``keep_versions`` and
+        delete data files no surviving manifest references. Returns the
+        deleted file paths."""
+        current = self.version
+        keep = {current - i for i in range(keep_versions)}
+        live: set[str] = set()
+        drop_manifests = []
+        for name in os.listdir(f"{self.root}/manifests"):
+            v = int(name.removeprefix("v").removesuffix(".json"))
+            if v in keep:
+                with open(f"{self.root}/manifests/{name}") as f:
+                    live.update(e["path"] for e in json.load(f)["files"])
+            else:
+                drop_manifests.append(name)
+        deleted = []
+        for dirpath, _, files in os.walk(f"{self.root}/data"):
+            for fn in files:
+                full = os.path.join(dirpath, fn)
+                rel = os.path.relpath(full, self.root)
+                if fn.endswith(".parquet") and rel not in live:
+                    os.remove(full)
+                    deleted.append(rel)
+        for name in drop_manifests:
+            os.remove(f"{self.root}/manifests/{name}")
+        return sorted(deleted)

@@ -913,3 +913,118 @@ def agg_unique_violations(spark, sf_dir):
 
     c = _t(spark, sf_dir, "customer")["customer"]
     return uniqueness_report(_dirty_media_df(c))
+
+
+# --- copy-on-write lake-table merge ----------------------------------------
+# At 100 TB the reference's Postgres canonical table is a lake-format
+# table; operators/cowtable.py provides the minimal ACID-shaped version
+# (manifest snapshots, range-clustered files, file-skipping MERGE, time
+# travel, vacuum). This query drives the whole lifecycle — create v1,
+# merge a batch that updates/inserts/url-conflicts — and returns the v2
+# snapshot, which the oracle reproduces as plain SQL merge semantics.
+
+_COW_TARGET_SQL = """
+  SELECT 'p' || CAST(c_custkey % 3 AS VARCHAR) AS provider,
+         'f' || CAST(c_custkey AS VARCHAR) AS foreign_identifier,
+         'http://m/' || CAST(c_custkey AS VARCHAR) AS url,
+         'T' || CAST(c_custkey AS VARCHAR) AS title
+  FROM customer
+"""
+
+_COW_BATCH_SQL = """
+  SELECT 'p' || CAST(c_custkey % 3 AS VARCHAR) AS provider,
+         'f' || CAST(c_custkey AS VARCHAR) AS foreign_identifier,
+         'http://m/' || CAST(c_custkey AS VARCHAR) AS url,
+         'NEW' || CAST(c_custkey AS VARCHAR) AS title
+  FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT 'p9', 'n' || CAST(c_custkey AS VARCHAR),
+         'http://new/' || CAST(c_custkey AS VARCHAR),
+         'INS' || CAST(c_custkey AS VARCHAR)
+  FROM customer WHERE c_custkey % 10 = 5
+  UNION ALL
+  -- url thief: url exists under a different natural key -> guard drops it
+  SELECT 'p9', 'x' || CAST(c_custkey AS VARCHAR),
+         'http://m/' || CAST(c_custkey + 1 AS VARCHAR),
+         'THIEF' || CAST(c_custkey AS VARCHAR)
+  FROM customer WHERE c_custkey % 10 = 7
+"""
+
+
+@register(
+    "merge_cow_table",
+    f"""
+    WITH target AS ({_COW_TARGET_SQL}),
+    batch AS ({_COW_BATCH_SQL}),
+    guarded AS (
+      SELECT b.* FROM batch b
+      WHERE NOT EXISTS (
+        SELECT 1 FROM target t
+        WHERE t.url = b.url
+          AND (t.provider <> b.provider
+               OR t.foreign_identifier <> b.foreign_identifier))
+    )
+    SELECT COALESCE(b.provider, t.provider) AS provider,
+           COALESCE(b.foreign_identifier, t.foreign_identifier)
+             AS foreign_identifier,
+           COALESCE(b.url, t.url) AS url,
+           COALESCE(b.title, t.title) AS title
+    FROM target t
+    FULL OUTER JOIN guarded b
+      ON t.provider = b.provider
+     AND t.foreign_identifier = b.foreign_identifier
+    """,
+)
+def merge_cow_table(spark, sf_dir):
+    """Lake-table MERGE through the copy-on-write manifest path: create
+    v1 from the clean target (files range-clustered on the merge key),
+    merge a batch of updates + inserts + one cross-partition url thief,
+    return the v2 snapshot. Semantically identical to merge_upsert (the
+    oracle replays it as SQL); physically the commit rewrites only files
+    whose key range the batch intersects — the tests pin skipped file
+    counts, snapshot isolation (old version stays readable) and vacuum.
+    """
+    import tempfile
+
+    from openverse_catalog_spark.operators.cowtable import CowTable
+
+    c = _t(spark, sf_dir, "customer")["customer"]
+    k = F.col("c_custkey")
+    target = c.select(
+        F.concat(F.lit("p"), (k % 3).cast("string")).alias("provider"),
+        F.concat(F.lit("f"), k.cast("string")).alias("foreign_identifier"),
+        F.concat(F.lit("http://m/"), k.cast("string")).alias("url"),
+        F.concat(F.lit("T"), k.cast("string")).alias("title"),
+    )
+    updates = c.filter(k % 10 == 0).select(
+        F.concat(F.lit("p"), (k % 3).cast("string")).alias("provider"),
+        F.concat(F.lit("f"), k.cast("string")).alias("foreign_identifier"),
+        F.concat(F.lit("http://m/"), k.cast("string")).alias("url"),
+        F.concat(F.lit("NEW"), k.cast("string")).alias("title"),
+    )
+    inserts = c.filter(k % 10 == 5).select(
+        F.lit("p9").alias("provider"),
+        F.concat(F.lit("n"), k.cast("string")).alias("foreign_identifier"),
+        F.concat(F.lit("http://new/"), k.cast("string")).alias("url"),
+        F.concat(F.lit("INS"), k.cast("string")).alias("title"),
+    )
+    thieves = c.filter(k % 10 == 7).select(
+        F.lit("p9").alias("provider"),
+        F.concat(F.lit("x"), k.cast("string")).alias("foreign_identifier"),
+        F.concat(F.lit("http://m/"), (k + 1).cast("string")).alias("url"),
+        F.concat(F.lit("THIEF"), k.cast("string")).alias("title"),
+    )
+    batch = updates.unionByName(inserts).unionByName(thieves)
+
+    cols = [
+        ColumnSpec("provider", Datatype.char, required=True,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("foreign_identifier", Datatype.char, required=True,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("url", Datatype.char),
+        ColumnSpec("title", Datatype.char),
+    ]
+    root = tempfile.mkdtemp(prefix="cowtbl_")
+    t = CowTable.create(spark, root, target, target_files=6)
+    t.merge(batch, cols, deterministic=True)
+    return t.read().select("provider", "foreign_identifier", "url", "title")
