@@ -98,6 +98,8 @@ HEADLINE = [
     "merge_unique_guard",
     "clean_stored_tsv",
     "agg_pending_reports",
+    "merge_cow_table",
+    "multimodal_header_dims",
 ]
 
 

@@ -85,3 +85,30 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    key: str,
+    n_buckets: int = 8,
+) -> None:
+    """Persist a table hash-bucketed (and sorted) on the join key —
+    Spark's storage-level co-location primitive. Two tables bucketed the
+    same way join WITHOUT any shuffle exchange: each scan task reads one
+    bucket pair and sort-merge joins it directly, which at 100 TB removes
+    the dominant cost of every recurring fact-to-fact join (e.g. the
+    reference's photos ⋈ observations, re-run on every ingest).
+
+    Bucketing requires the table catalog (``saveAsTable``); the files
+    land at ``path`` as an external table, so no warehouse directory is
+    polluted and the catalog entry is session-scoped."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .option("path", path)
+        .format("parquet")
+        .saveAsTable(table)
+    )

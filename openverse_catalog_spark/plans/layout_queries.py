@@ -54,3 +54,53 @@ def layout_zorder_hist(spark, sf_dir):
             F.max("zv").alias("z_max"),
         )
     )
+
+
+@register(
+    "layout_bucketed_join",
+    """
+    SELECT o.o_orderpriority,
+           count(*) AS n_lines,
+           round(sum(l.l_extendedprice), 2) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def layout_bucketed_join(spark, sf_dir):
+    """Storage co-located fact-to-fact join: lineitem and orders are
+    written hash-bucketed + sorted on the order key (write_bucketed),
+    then joined — the sort-merge join consumes the bucket layout
+    directly, with ZERO shuffle exchange on either side (pinned by
+    tests/test_plan_shapes.py). This is the recurring-join answer at
+    100 TB: pay one clustering write, then every re-ingest joins
+    shuffle-free. The aggregation afterwards is the only exchange in
+    the plan."""
+    import tempfile
+    import uuid
+
+    from openverse_catalog_spark.operators.layout import write_bucketed
+
+    t = _t(spark, sf_dir, "lineitem", "orders")
+    tag = uuid.uuid4().hex[:8]
+    root = tempfile.mkdtemp(prefix="bucketed_")
+    write_bucketed(
+        t["lineitem"].select("l_orderkey", "l_extendedprice"),
+        f"li_b_{tag}", f"{root}/li", "l_orderkey",
+    )
+    write_bucketed(
+        t["orders"].select("o_orderkey", "o_orderpriority"),
+        f"o_b_{tag}", f"{root}/o", "o_orderkey",
+    )
+    li = spark.table(f"li_b_{tag}")
+    # the merge hint keeps this a sort-merge join at every SF (at test
+    # scale the optimizer would otherwise broadcast the small side and
+    # the bucket layout would never be consumed)
+    o = spark.table(f"o_b_{tag}").hint("merge")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )

@@ -199,3 +199,21 @@ def test_inaturalist_bulk_single_fact_exchange(spark, sf_dir):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     # predicate pushdown reached the taxa scan
     assert "MACHINERY" in plan
+
+
+def test_bucketed_join_has_no_join_exchange(spark, sf_dir):
+    """layout_bucketed_join: both sides are storage-bucketed on the join
+    key, so the sort-merge join consumes the bucket layout directly —
+    the ONLY shuffle in the plan is the final small aggregation; neither
+    join input is re-partitioned."""
+    from openverse_catalog_spark.plans import layout_queries  # noqa: F401
+    from openverse_catalog_spark.plans.analytics import QUERIES
+
+    plan = _plan(QUERIES["layout_bucketed_join"](spark, sf_dir))
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan
+    shuffles = [
+        line for line in plan.splitlines() if "Arguments: hashpartitioning" in line
+    ]
+    # exactly one exchange: the groupBy on o_orderpriority
+    assert len(shuffles) == 1 and "o_orderpriority" in shuffles[0]
