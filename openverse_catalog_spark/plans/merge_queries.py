@@ -1028,3 +1028,97 @@ def merge_cow_table(spark, sf_dir):
     t = CowTable.create(spark, root, target, target_files=6)
     t.merge(batch, cols, deterministic=True)
     return t.read().select("provider", "foreign_identifier", "url", "title")
+
+
+@register(
+    "merge_cow_snapshot_diff",
+    f"""
+    WITH target AS ({_COW_TARGET_SQL}),
+    batch AS ({_COW_BATCH_SQL}),
+    guarded AS (
+      SELECT b.* FROM batch b
+      WHERE NOT EXISTS (
+        SELECT 1 FROM target t
+        WHERE t.url = b.url
+          AND (t.provider <> b.provider
+               OR t.foreign_identifier <> b.foreign_identifier))
+    ),
+    v2 AS (
+      SELECT COALESCE(b.provider, t.provider) AS provider,
+             COALESCE(b.foreign_identifier, t.foreign_identifier)
+               AS foreign_identifier,
+             COALESCE(b.url, t.url) AS url,
+             COALESCE(b.title, t.title) AS title
+      FROM target t
+      FULL OUTER JOIN guarded b
+        ON t.provider = b.provider
+       AND t.foreign_identifier = b.foreign_identifier
+    )
+    SELECT CASE WHEN t.provider IS NULL THEN 'added'
+                WHEN v2.title <> t.title OR v2.url <> t.url THEN 'changed'
+           END AS change_type,
+           count(*) AS n
+    FROM v2
+    LEFT JOIN target t
+      ON v2.provider = t.provider
+     AND v2.foreign_identifier = t.foreign_identifier
+    WHERE t.provider IS NULL OR v2.title <> t.title OR v2.url <> t.url
+    GROUP BY 1
+    """,
+)
+def merge_cow_snapshot_diff(spark, sf_dir):
+    """Change-data capture BETWEEN lake-table versions: time-travel reads
+    of v1 and v2 feed snapshot_diff (keys + row-hash full-outer join —
+    diffing two 100 TB snapshots shuffles keys and one md5 each, never
+    the payload), aggregated per change type. This is the incremental-
+    downstream story for the CoW table: consumers read version deltas
+    instead of rescanning the snapshot."""
+    import tempfile
+
+    from openverse_catalog_spark.operators.cowtable import CowTable
+    from openverse_catalog_spark.operators.merge import snapshot_diff
+
+    c = _t(spark, sf_dir, "customer")["customer"]
+    k = F.col("c_custkey")
+    target = c.select(
+        F.concat(F.lit("p"), (k % 3).cast("string")).alias("provider"),
+        F.concat(F.lit("f"), k.cast("string")).alias("foreign_identifier"),
+        F.concat(F.lit("http://m/"), k.cast("string")).alias("url"),
+        F.concat(F.lit("T"), k.cast("string")).alias("title"),
+    )
+    updates = c.filter(k % 10 == 0).select(
+        F.concat(F.lit("p"), (k % 3).cast("string")).alias("provider"),
+        F.concat(F.lit("f"), k.cast("string")).alias("foreign_identifier"),
+        F.concat(F.lit("http://m/"), k.cast("string")).alias("url"),
+        F.concat(F.lit("NEW"), k.cast("string")).alias("title"),
+    )
+    inserts = c.filter(k % 10 == 5).select(
+        F.lit("p9").alias("provider"),
+        F.concat(F.lit("n"), k.cast("string")).alias("foreign_identifier"),
+        F.concat(F.lit("http://new/"), k.cast("string")).alias("url"),
+        F.concat(F.lit("INS"), k.cast("string")).alias("title"),
+    )
+    thieves = c.filter(k % 10 == 7).select(
+        F.lit("p9").alias("provider"),
+        F.concat(F.lit("x"), k.cast("string")).alias("foreign_identifier"),
+        F.concat(F.lit("http://m/"), (k + 1).cast("string")).alias("url"),
+        F.concat(F.lit("THIEF"), k.cast("string")).alias("title"),
+    )
+    batch = updates.unionByName(inserts).unionByName(thieves)
+    cols = [
+        ColumnSpec("provider", Datatype.char, required=True,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("foreign_identifier", Datatype.char, required=True,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("url", Datatype.char),
+        ColumnSpec("title", Datatype.char),
+    ]
+    root = tempfile.mkdtemp(prefix="cowdiff_")
+    t = CowTable.create(spark, root, target, target_files=6)
+    t.merge(batch, cols, deterministic=True)
+    diff = snapshot_diff(
+        t.read(version=1), t.read(version=2),
+        keys=("provider", "foreign_identifier"),
+        compare_cols=("url", "title"),
+    )
+    return diff.groupBy("change_type").agg(F.count(F.lit(1)).alias("n"))

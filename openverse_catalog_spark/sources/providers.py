@@ -180,68 +180,314 @@ class FlickrStyleAdapter:
         )
 
 
+def _html_text_and_first_link(html_str: str) -> tuple[str, str | None]:
+    """All text content + the first href of an HTML fragment (stdlib
+    HTMLParser — the reference uses lxml, wikimedia_commons.py:519-526,
+    which is not in this container; semantics match: concatenated text
+    nodes, first link of the fragment)."""
+    from html.parser import HTMLParser
+
+    class _P(HTMLParser):
+        def __init__(self) -> None:
+            super().__init__()
+            self.texts: list[str] = []
+            self.first_link: str | None = None
+
+        def handle_data(self, data: str) -> None:
+            self.texts.append(data)
+
+        def handle_starttag(self, tag: str, attrs) -> None:
+            if self.first_link is None:
+                for k, v in attrs:
+                    if k == "href":
+                        self.first_link = v
+                        break
+
+    p = _P()
+    p.feed(html_str)
+    return "".join(p.texts).strip(), p.first_link
+
+
 class WikimediaStyleAdapter:
-    """Continue-token pagination; nested page maps (wikimedia_commons.py)."""
+    """Wikimedia Commons, full reference semantics
+    (wikimedia_commons.py):
+
+    * two-level continue pagination (``gaicontinue`` primary iterator,
+      ``gucontinue``/``iicontinue`` secondary) with the batch assembled
+      by REPEATED requests merged until ``batchcomplete`` — globalusage
+      lists concatenate across sub-responses (:614-653);
+    * give-up heuristics (:286-263, :404-427): after
+      ``max_page_iteration_before_give_up`` sub-requests stuck on the
+      same ``gaicontinue``, drop the overflowing property (globalusage
+      -> no popularity; iicontinue -> no metadata) and reset the
+      secondary iterator;
+    * per-day timestamp-pair windows (:645-655);
+    * media-type routing (BITMAP/DRAWING -> image, AUDIO -> audio,
+      everything else skipped, :625-640);
+    * popularity = global usage count, max-cached per foreign id across
+      re-served pages (:575-592);
+    * record building: LicenseUrl ext-value -> validated CC pair,
+      Artist HTML -> creator text + first link, ObjectName/File: title
+      cleanup with known-extension strip, categories split, geo data,
+      audio duration s->ms / pronunciation category / sample+bit rate
+      from the streams metadata walk with the int4 guard (:300-470).
+    """
 
     provider = "wikimedia"
+    audio_provider = "wikimedia_audio"
+    batch_limit = 250
+    image_mediatypes = {"BITMAP", "DRAWING"}
+    audio_mediatypes = {"AUDIO"}
+    mean_global_usage_limit = 10_000
+    max_page_iteration_before_give_up = 100
+    _PROPS_ALL = "imageinfo|globalusage"
+    _PROPS_NO_POPULARITY = "imageinfo"
+    _MEDIA_ALL = "url|user|dimensions|extmetadata|mediatype|size|metadata"
+    _MEDIA_NO_METADATA = "url|user|dimensions|extmetadata|mediatype|size"
+    _TITLE_EXTS = {".png", ".jpg", ".jpeg", ".ogg", ".wav"}
 
-    def __init__(self) -> None:
-        self._token: str | None = None
+    def __init__(self, date: str = "2024-01-01") -> None:
+        from datetime import datetime, timedelta, timezone
+
+        d = datetime.strptime(date, "%Y-%m-%d").replace(tzinfo=timezone.utc)
+        self.start_timestamp = str(int(d.timestamp()))
+        self.end_timestamp = str(int((d + timedelta(days=1)).timestamp()))
+        self.continue_token: dict = {}
+        self.current_props = {
+            "prop": self._PROPS_ALL,
+            "iiprop": self._MEDIA_ALL,
+        }
+        self.popularity_cache: dict[int, int] = {}
         self._exhausted = False
 
+    # -- pagination ---------------------------------------------------------
+
     def get_next_query_params(self, prev: dict | None) -> dict:
-        base = {"action": "query", "generator": "categorymembers"}
-        if prev is None:
-            return base
-        return {**base, "gcmcontinue": self._token or ""}
+        return {
+            "action": "query",
+            "generator": "allimages",
+            "gaisort": "timestamp",
+            "gaidir": "newer",
+            "gailimit": self.batch_limit,
+            "gulimit": self.batch_limit,
+            "gunamespace": 0,
+            "format": "json",
+            "gaistart": self.start_timestamp,
+            "gaiend": self.end_timestamp,
+            **self.current_props,
+            **self.continue_token,
+        }
 
-    def observe_response(self, response: dict) -> None:
-        # the reference stops when the response carries no continue token
-        # (wikimedia_commons.py continue handling) — adapter state, since
-        # the cursor lives in the RESPONSE, not the request params
-        self._token = (response.get("continue") or {}).get("gcmcontinue")
-        if self._token is None:
-            self._exhausted = True
+    def fetch_response(self, fetch_fn, params: dict) -> dict | None:
+        """The reference's get_response_json override (:223-278): pull
+        sub-responses until ``batchcomplete``, merging pages as we go;
+        bail to degraded props when stuck on one gaicontinue."""
+        batch_json = None
+        gaicontinue = None
+        iteration_count = 0
+        for _ in range(self.mean_global_usage_limit):
+            response = fetch_fn(params) or {}
+            self.continue_token = response.pop("continue", {})
+            params = {**params, **self.continue_token}
+            current = self.continue_token.get("gaicontinue")
+            if current == gaicontinue:
+                iteration_count += 1
+            else:
+                iteration_count = 0
+                gaicontinue = current
+            if iteration_count >= self.max_page_iteration_before_give_up:
+                self._adjust_parameters_for_next_iteration(gaicontinue)
+                break
+            batch_json = self._merge_response_jsons(batch_json, response)
+            if "batchcomplete" in response:
+                self.current_props = {
+                    "prop": self._PROPS_ALL,
+                    "iiprop": self._MEDIA_ALL,
+                }
+                break
+        if not self.continue_token:
+            self._exhausted = True  # get_should_continue (:279-281)
+        return batch_json
 
-    def get_batch_data(self, response: dict) -> list[dict] | None:
-        pages = (response.get("query") or {}).get("pages") or {}
-        return list(pages.values()) or None
+    def _adjust_parameters_for_next_iteration(self, gaicontinue) -> None:
+        if "gucontinue" in self.continue_token:
+            self.current_props["prop"] = self._PROPS_NO_POPULARITY
+        if "iicontinue" in self.continue_token:
+            self.current_props["iiprop"] = self._MEDIA_NO_METADATA
+        reset = self.continue_token.get("continue", "||").split("||")[0]
+        self.continue_token = {
+            "gaicontinue": gaicontinue,
+            "continue": f"{reset}||",
+        }
 
     @staticmethod
-    def _license_pair(short_name: str) -> tuple[str, str] | None:
-        # "CC BY-SA 4.0" -> ("by-sa", "4.0"); "CC0" -> ("cc0", "1.0")
-        s = (short_name or "").strip()
-        if s.lower() == "cc0":
-            return ("cc0", "1.0")
-        parts = s.split()
-        if len(parts) >= 3 and parts[0].upper() == "CC":
-            return ("-".join(parts[1:-1]).lower(), parts[-1])
+    def _pages(response: dict | None) -> dict | None:
+        if response is not None:
+            return (response.get("query") or {}).get("pages")
         return None
+
+    def _merge_response_jsons(self, left: dict | None, right: dict) -> dict | None:
+        from copy import deepcopy
+
+        if left is None:
+            return right
+        lp, rp = self._pages(left), self._pages(right)
+        if lp is None or rp is None or lp.keys() != rp.keys():
+            return None  # reference logs "Cannot merge" and yields None
+        merged = deepcopy(left)
+        merged.update(right)
+        self._pages(merged).update(
+            {k: self._merge_media_pages(lp[k], rp[k]) for k in lp}
+        )
+        return merged
+
+    @staticmethod
+    def _merge_media_pages(left: dict, right: dict) -> dict:
+        from copy import deepcopy
+
+        merged = deepcopy(left)
+        merged_gu = left.get("globalusage", []) + right.get("globalusage", [])
+        merged.update(right)
+        merged["globalusage"] = merged_gu
+        return merged
+
+    def get_batch_data(self, response: dict | None) -> list[dict] | None:
+        pages = self._pages(response)
+        return list(pages.values()) if pages else None
+
+    # -- record building ----------------------------------------------------
+
+    @staticmethod
+    def _ext_value(info: dict, key: str):
+        return ((info.get("extmetadata") or {}).get(key) or {}).get("value")
+
+    @staticmethod
+    def _value_by_name(kv_list, name):
+        for kv in kv_list or []:
+            if kv.get("name") == name:
+                return kv.get("value")
+        return None
+
+    @classmethod
+    def _value_by_names(cls, kv_list, names):
+        for n in names:
+            if v := cls._value_by_name(kv_list, n):
+                return v
+        return None
+
+    def _extract_title(self, info: dict, raw: dict) -> str:
+        title = self._ext_value(info, "ObjectName")
+        if title is None:
+            title = raw.get("title") or ""
+        if title.startswith("File:"):
+            title = title.replace("File:", "", 1)
+        dot = title.rfind(".")
+        if dot > 0 and title[dot:].lower() in self._TITLE_EXTS:
+            title = title[:dot]
+        return title
+
+    def _global_usage(self, raw: dict) -> int:
+        count = len(raw.get("globalusage") or [])
+        fid = raw["pageid"]
+        best = max(count, self.popularity_cache.get(fid, 0))
+        if best > 0:
+            self.popularity_cache[fid] = best
+        return best
+
+    def _audio_file_meta(self, info: dict) -> list:
+        metadata = info.get("metadata") or []
+        streams = self._value_by_name(metadata, "streams")
+        if not streams:
+            audio = self._value_by_name(metadata, "audio")
+            streams = self._value_by_name(audio, "streams")
+        if streams:
+            streams_data = streams[0].get("value", [])
+            return self._value_by_name(streams_data, "header") or streams_data
+        return []
 
     def parse_record(self, raw: dict) -> dict | None:
         infos = raw.get("imageinfo") or []
         info = infos[0] if infos else {}
-        meta = info.get("extmetadata") or {}
-        lic = self._license_pair(
-            (meta.get("LicenseShortName") or {}).get("value", "")
-        )
-        fid = raw.get("pageid")
-        url = info.get("url")
-        if not (fid and url and lic):
+        mediatype = info.get("mediatype")
+        if mediatype in self.image_mediatypes:
+            media_type = "image"
+        elif mediatype in self.audio_mediatypes:
+            media_type = "audio"
+        else:
+            return None  # VIDEO/OFFICE etc. are skipped (:625-640)
+        license_url = (self._ext_value(info, "LicenseUrl") or "").strip()
+        pair = _cc_pair_from_url(license_url)
+        if pair is None:
             return None
-        title = (raw.get("title") or "").removeprefix("File:").strip() or None
-        return _staging(
+        url = info.get("url")
+        fid = raw.get("pageid")
+        if url is None or fid is None:
+            return None
+
+        creator, creator_url = None, None
+        if artist := self._ext_value(info, "Artist"):
+            creator, creator_url = _html_text_and_first_link(artist)
+            creator = creator or None
+        meta: dict = {"global_usage_count": str(self._global_usage(raw))}
+        if d0 := self._ext_value(info, "DateTimeOriginal"):
+            meta["date_originally_created"] = d0
+        if d1 := self._ext_value(info, "DateTime"):
+            meta["last_modified_at_source"] = d1
+        categories = (self._ext_value(info, "Categories") or "").split("|")
+        meta["categories"] = ",".join(categories)
+        for mk, ek in (
+            ("latitude", "GPSLatitude"),
+            ("longitude", "GPSLongitude"),
+            ("map_datum", "GPSMapDatum"),
+        ):
+            if gv := self._ext_value(info, ek):
+                meta[mk] = gv
+        if desc := self._ext_value(info, "ImageDescription"):
+            text, _ = _html_text_and_first_link(desc)
+            # reference joins lxml text nodes with spaces (:608-611)
+            meta["description"] = " ".join(text.split())
+        filetype = (url or "").split(".")[-1] or None
+        common = dict(
             foreign_identifier=str(fid),
-            foreign_landing_url=info.get("descriptionurl"),
+            foreign_landing_url=info.get("descriptionshorturl"),
             url=url,
-            license=lic[0],
-            license_version=lic[1],
-            creator=(meta.get("Artist") or {}).get("value"),
-            title=title,
-            provider=self.provider,
-            width=info.get("width"),
-            height=info.get("height"),
+            license=pair[0],
+            license_version=pair[1],
+            creator=creator,
+            creator_url=creator_url,
+            title=self._extract_title(info, raw),
+            filetype=filetype,
+            filesize=info.get("size", 0),
+            meta_data=meta,
         )
+        if media_type == "image":
+            rec = _staging(
+                **common,
+                provider=self.provider,
+                width=info.get("width"),
+                height=info.get("height"),
+            )
+            if filetype == "svg":
+                rec["category"] = "illustration"
+        else:
+            file_meta = self._audio_file_meta(info)
+            rec = _audio_staging(
+                **common,
+                provider=self.audio_provider,
+                duration=int(float(info.get("duration", 0)) * 1000),
+            )
+            if any("pronunciation" in c.lower() for c in categories):
+                rec["category"] = "pronunciation"
+            if sr := self._value_by_names(
+                file_meta, ["audio_sample_rate", "sample_rate"]
+            ):
+                rec["sample_rate"] = sr
+            if br := self._value_by_names(file_meta, ["bitrate_nominal", "bitrate"]):
+                rec["bit_rate"] = br if br <= 2147483647 else None
+            if ch := self._value_by_names(file_meta, ["audio_channels", "channels"]):
+                rec["meta_data"]["channels"] = str(ch)
+        rec["media_type"] = media_type
+        return rec
 
 
 class JamendoStyleAdapter:
@@ -417,6 +663,10 @@ def provider_fetcher(
             # current batch is still consumed, the NEXT fetch ends it
             if getattr(adapter, "_exhausted", False):
                 return None
+            if hasattr(adapter, "fetch_response"):
+                # multi-request batch assembly (wikimedia batchcomplete
+                # merging): the adapter drives the transport itself
+                return adapter.fetch_response(fetch_fn, params)
             response = fetch_fn(params)
             if response is not None and hasattr(adapter, "observe_response"):
                 adapter.observe_response(response)

@@ -84,46 +84,61 @@ def test_flickr_style_end_to_end(spark):
 
 
 def _wiki_fetch(batches: list[dict], tokens: list[str]):
+    """Fake of the allimages generator API: one sub-response per batch,
+    batchcomplete set, gaicontinue tokens between batches."""
+
     def fetch(params: dict) -> dict | None:
-        tok = params.get("gcmcontinue", "")
-        idx = 0 if tok in ("", None) else tokens.index(tok) + 1
+        tok = params.get("gaicontinue")
+        idx = 0 if not tok else tokens.index(tok) + 1
         if idx >= len(batches):
-            return {"query": {"pages": {}}}
-        resp = {"query": {"pages": batches[idx]}}
+            return {"query": {"pages": {}}, "batchcomplete": ""}
+        resp = {"query": {"pages": batches[idx]}, "batchcomplete": ""}
         if idx < len(tokens):
-            resp["continue"] = {"gcmcontinue": tokens[idx]}
+            resp["continue"] = {
+                "gaicontinue": tokens[idx],
+                "continue": "gaicontinue||",
+            }
         return resp
 
     return fetch
 
 
-def _wiki_page(i: int, license="CC BY-SA 4.0") -> dict:
-    return {
+def _wiki_page(i: int, license_url="https://creativecommons.org/licenses/by-sa/4.0/",
+               mediatype="BITMAP", n_usage=0, **info_over) -> dict:
+    info = {
+        "url": f"https://upload.test/{i}.jpg",
+        "descriptionshorturl": f"https://commons.test/wiki/File:Img_{i}.jpg",
+        "mediatype": mediatype,
+        "width": 640,
+        "height": 480,
+        "size": 1024 + i,
+        "extmetadata": {
+            "LicenseUrl": {"value": license_url},
+            "Artist": {"value": f'<a href="https://a.test/{i}">Artist {i}</a>'},
+            "ObjectName": {"value": f"Img {i}.jpg"},
+            "Categories": {"value": "Art|Nature"},
+        },
+    }
+    info.update(info_over)
+    page = {
         "pageid": 5000 + i,
         "title": f"File:Img {i}.jpg",
-        "imageinfo": [
-            {
-                "url": f"https://upload.test/{i}.jpg",
-                "descriptionurl": f"https://commons.test/wiki/File:Img_{i}.jpg",
-                "width": 640,
-                "height": 480,
-                "extmetadata": {
-                    "LicenseShortName": {"value": license},
-                    "Artist": {"value": f"Artist {i}"},
-                },
-            }
-        ],
+        "imageinfo": [info],
     }
+    if n_usage:
+        page["globalusage"] = [{"wiki": f"w{j}"} for j in range(n_usage)]
+    return page
 
 
 def test_wikimedia_style_continue_tokens(spark):
     batches = [
         {str(i): _wiki_page(i) for i in range(3)},
-        {str(i): _wiki_page(i, license="CC0" if i == 4 else "All rights reserved")
+        {str(i): _wiki_page(i, license_url="https://creativecommons.org/publicdomain/zero/1.0/"
+                            if i == 4 else "https://example.com/all-rights-reserved")
          for i in (3, 4)},
     ]
     adapter = WikimediaStyleAdapter()
-    # continue-token paging must visit both batches then stop
+    # gaicontinue paging must visit both batches then stop
     fetcher = provider_fetcher(adapter, _wiki_fetch(batches, ["tok1"]))
     with tempfile.TemporaryDirectory() as tmp:
         n = write_landing(fetcher, tmp, "2024-01-02", "wikimedia")
@@ -134,7 +149,89 @@ def test_wikimedia_style_continue_tokens(spark):
         got = {r.foreign_identifier: r for r in staging.collect()}
     assert got["5004"].license == "cc0"
     assert got["5000"].license == "by-sa" and got["5000"].license_version == "4.0"
-    assert got["5000"].title == "Img 0.jpg"  # File: prefix stripped
+    # File: prefix AND known extension stripped (wikimedia_commons.py:487-500)
+    assert got["5000"].title == "Img 0"
+    assert got["5000"].creator == "Artist 0"
+    assert got["5000"].creator_url == "https://a.test/0"
+
+
+def test_wikimedia_batchcomplete_merge_and_popularity():
+    """A batch served in TWO sub-responses (no batchcomplete on the
+    first) must merge: globalusage lists concatenate, and the popularity
+    cache keeps the max across re-served pages
+    (wikimedia_commons.py:223-278, 575-592, 614-653)."""
+    sub1 = {
+        "query": {"pages": {"1": _wiki_page(1, n_usage=2)}},
+        "continue": {"gucontinue": "g1", "continue": "||globalusage"},
+    }
+    sub2 = {
+        "query": {"pages": {"1": _wiki_page(1, n_usage=3)}},
+        "batchcomplete": "",
+    }
+    responses = [sub1, sub2]
+
+    def fetch(params):
+        return responses.pop(0)
+
+    adapter = WikimediaStyleAdapter()
+    merged = adapter.fetch_response(fetch, adapter.get_next_query_params(None))
+    batch = adapter.get_batch_data(merged)
+    rec = adapter.parse_record(batch[0])
+    assert rec["meta_data"]["global_usage_count"] == "5"  # 2 + 3 merged
+    assert adapter.popularity_cache[5001] == 5
+    assert adapter._exhausted  # no continue token on the final response
+
+
+def test_wikimedia_audio_record():
+    """AUDIO mediatype routes to the audio staging shape: duration
+    s->ms, pronunciation category, sample/bit rate from the streams
+    metadata walk (wikimedia_commons.py:358-400)."""
+    page = _wiki_page(
+        7,
+        mediatype="AUDIO",
+        duration=2.5,
+        metadata=[
+            {"name": "streams",
+             "value": [{"value": [
+                 {"name": "header", "value": [
+                     {"name": "sample_rate", "value": 44100},
+                     {"name": "bitrate_nominal", "value": 96000},
+                     {"name": "audio_channels", "value": 2},
+                 ]}]}]},
+        ],
+    )
+    page["imageinfo"][0]["extmetadata"]["Categories"] = {
+        "value": "English pronunciation|Audio"
+    }
+    adapter = WikimediaStyleAdapter()
+    rec = adapter.parse_record(page)
+    assert rec["media_type"] == "audio"
+    assert rec["provider"] == "wikimedia_audio"
+    assert rec["duration"] == 2500
+    assert rec["category"] == "pronunciation"
+    assert rec["sample_rate"] == 44100 and rec["bit_rate"] == 96000
+    assert rec["meta_data"]["channels"] == "2"
+
+
+def test_wikimedia_give_up_degrades_props():
+    """Stuck on one gaicontinue for max_page_iteration_before_give_up
+    sub-requests -> drop the overflowing property and reset the
+    secondary iterator (wikimedia_commons.py:404-427)."""
+    adapter = WikimediaStyleAdapter()
+    adapter.max_page_iteration_before_give_up = 3
+
+    def fetch(params):
+        return {
+            "query": {"pages": {"1": _wiki_page(1, n_usage=1)}},
+            "continue": {"gaicontinue": "STUCK", "gucontinue": f"g",
+                         "continue": "gaicontinue||globalusage"},
+        }
+
+    adapter.fetch_response(fetch, adapter.get_next_query_params(None))
+    assert adapter.current_props["prop"] == "imageinfo"  # popularity dropped
+    assert adapter.continue_token == {
+        "gaicontinue": "STUCK", "continue": "gaicontinue||",
+    }
 
 
 def test_adapters_share_downstream_pipeline(spark):
