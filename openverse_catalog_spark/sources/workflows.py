@@ -1,0 +1,152 @@
+"""Provider workflow registry: the reference's user-facing configuration
+surface (``catalog/dags/providers/provider_workflows.py:99-296``) —
+which providers run, on what schedule, dated or not, with what
+timeouts — re-expressed without Airflow. A user of the reference
+enumerates ``PROVIDER_WORKFLOWS`` to see/launch ingestions; this module
+gives the same contract for the Spark engine: each entry names the
+adapter family, its cadence metadata, and ``build_fetcher`` wires it
+into the shared paged-fetch -> landing -> clean -> merge pipeline.
+
+Scheduling itself is deliberately out of scope (cron/orchestrator
+concern, SURVEY §2 no-op list) — the registry preserves the reference's
+*configuration facts* so parity is checkable, and they remain the right
+inputs for whatever scheduler drives the engine.
+"""
+
+from __future__ import annotations
+
+import inspect
+from dataclasses import dataclass, field
+
+from openverse_catalog_spark.sources.providers import (
+    FlickrStyleAdapter,
+    JamendoStyleAdapter,
+    StockSnapStyleAdapter,
+    WikimediaStyleAdapter,
+    provider_fetcher,
+)
+from openverse_catalog_spark.sources.providers_museums import (
+    BrooklynStyleAdapter,
+    ClevelandStyleAdapter,
+    MetStyleAdapter,
+    NyplStyleAdapter,
+    PhylopicStyleAdapter,
+    ScienceMuseumStyleAdapter,
+    SmithsonianStyleAdapter,
+    SmkStyleAdapter,
+    VictoriaStyleAdapter,
+)
+from openverse_catalog_spark.sources.providers_web import (
+    EuropeanaStyleAdapter,
+    FinnishStyleAdapter,
+    FreesoundStyleAdapter,
+    NappyStyleAdapter,
+    RawpixelStyleAdapter,
+    WordPressStyleAdapter,
+)
+
+
+@dataclass
+class ProviderWorkflow:
+    """One provider's ingestion configuration (provider_workflows.py:99).
+
+    ``adapter_cls`` is None only for bulk-load providers whose ingestion
+    is a registered pipeline query instead of a paged fetch (iNaturalist:
+    ``pipeline_inaturalist_bulk``)."""
+
+    adapter_cls: type | None
+    dag_id: str
+    schedule: str = "@monthly"
+    dated: bool = False
+    start_date: str = "1970-01-01"
+    pull_timeout_hours: int = 24
+    upsert_timeout_hours: int = 1
+    media_types: tuple[str, ...] = ("image",)
+    bulk_pipeline: str | None = None
+    tags: list[str] = field(default_factory=list)
+
+
+PROVIDER_WORKFLOWS = [
+    ProviderWorkflow(BrooklynStyleAdapter, "brooklyn_museum_workflow",
+                     start_date="2020-01-01"),
+    ProviderWorkflow(ClevelandStyleAdapter, "cleveland_museum_workflow",
+                     start_date="2020-01-15", pull_timeout_hours=12),
+    ProviderWorkflow(EuropeanaStyleAdapter, "europeana_workflow",
+                     schedule="@daily", dated=True, start_date="2022-10-27"),
+    ProviderWorkflow(FinnishStyleAdapter, "finnish_museums_workflow",
+                     schedule="@daily", dated=True, start_date="2015-11-01",
+                     upsert_timeout_hours=5),
+    ProviderWorkflow(FlickrStyleAdapter, "flickr_workflow",
+                     schedule="@daily", dated=True, start_date="2020-11-01"),
+    ProviderWorkflow(FreesoundStyleAdapter, "freesound_workflow",
+                     schedule="@quarterly", pull_timeout_hours=24 * 50,
+                     media_types=("audio",)),
+    ProviderWorkflow(None, "inaturalist_workflow",
+                     schedule="0 0 2 * *", pull_timeout_hours=24 * 5,
+                     upsert_timeout_hours=24 * 5,
+                     bulk_pipeline="pipeline_inaturalist_bulk"),
+    ProviderWorkflow(JamendoStyleAdapter, "jamendo_workflow",
+                     media_types=("audio",)),
+    ProviderWorkflow(MetStyleAdapter, "metropolitan_museum_workflow",
+                     schedule="@daily", dated=True, start_date="2016-09-01",
+                     pull_timeout_hours=12),
+    ProviderWorkflow(VictoriaStyleAdapter, "museum_victoria_workflow",
+                     start_date="2020-01-01"),
+    ProviderWorkflow(NappyStyleAdapter, "nappy_workflow",
+                     start_date="2022-12-01"),
+    ProviderWorkflow(NyplStyleAdapter, "nypl_workflow",
+                     start_date="2020-01-01"),
+    ProviderWorkflow(PhylopicStyleAdapter, "phylopic_workflow",
+                     schedule="@weekly", start_date="2011-02-07",
+                     pull_timeout_hours=12),
+    ProviderWorkflow(RawpixelStyleAdapter, "rawpixel_workflow",
+                     pull_timeout_hours=12),
+    ProviderWorkflow(ScienceMuseumStyleAdapter, "science_museum_workflow",
+                     start_date="2020-01-01"),
+    ProviderWorkflow(SmithsonianStyleAdapter, "smithsonian_workflow",
+                     schedule="@weekly", start_date="2020-01-01",
+                     upsert_timeout_hours=6),
+    ProviderWorkflow(SmkStyleAdapter, "smk_workflow",
+                     start_date="2020-01-01"),
+    ProviderWorkflow(StockSnapStyleAdapter, "stocksnap_workflow"),
+    ProviderWorkflow(WikimediaStyleAdapter, "wikimedia_commons_workflow",
+                     schedule="@daily", dated=True, start_date="2020-11-01",
+                     pull_timeout_hours=12,
+                     media_types=("image", "audio")),
+    ProviderWorkflow(WordPressStyleAdapter, "wordpress_workflow",
+                     pull_timeout_hours=12),
+]
+
+
+def get_workflow(dag_id: str) -> ProviderWorkflow:
+    for wf in PROVIDER_WORKFLOWS:
+        if wf.dag_id == dag_id:
+            return wf
+    raise KeyError(dag_id)
+
+
+def build_fetcher(
+    workflow: ProviderWorkflow,
+    fetch_fn,
+    date: str | None = None,
+    ingestion_limit: int | None = None,
+    min_delay: float = 0.0,
+):
+    """Instantiate the workflow's adapter (passing the ingestion date to
+    dated adapters whose constructor accepts one) and wire it into the
+    shared fetch loop — the engine-side analog of the reference's
+    provider_dag_factory building a DAG from a ProviderWorkflow."""
+    if workflow.adapter_cls is None:
+        raise ValueError(
+            f"{workflow.dag_id} is a bulk-load workflow; run its "
+            f"pipeline query {workflow.bulk_pipeline!r} instead"
+        )
+    kwargs = {}
+    if workflow.dated and date is not None:
+        params = inspect.signature(workflow.adapter_cls.__init__).parameters
+        if "date" in params:
+            kwargs["date"] = date
+    adapter = workflow.adapter_cls(**kwargs)
+    return provider_fetcher(
+        adapter, fetch_fn, ingestion_limit=ingestion_limit, min_delay=min_delay
+    )

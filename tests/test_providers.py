@@ -394,3 +394,42 @@ def test_flickr_sub_provider_attribution():
     assert spacex["source"] == "spacex"
     plain = a.parse_record(_flickr_photo(3))
     assert plain["source"] == "flickr"
+
+
+def test_provider_workflow_registry_matches_reference():
+    """The workflow registry mirrors provider_workflows.py:193-296: 20
+    entries, unique dag_ids, the same dated set and schedule overrides,
+    every adapter family referenced exactly once."""
+    from openverse_catalog_spark.sources.workflows import (
+        PROVIDER_WORKFLOWS,
+        build_fetcher,
+        get_workflow,
+    )
+
+    assert len(PROVIDER_WORKFLOWS) == 20
+    ids = [w.dag_id for w in PROVIDER_WORKFLOWS]
+    assert len(set(ids)) == 20
+    dated = {w.dag_id for w in PROVIDER_WORKFLOWS if w.dated}
+    assert dated == {
+        "europeana_workflow", "finnish_museums_workflow", "flickr_workflow",
+        "metropolitan_museum_workflow", "wikimedia_commons_workflow",
+    }
+    assert get_workflow("freesound_workflow").schedule == "@quarterly"
+    assert get_workflow("inaturalist_workflow").bulk_pipeline == (
+        "pipeline_inaturalist_bulk"
+    )
+    assert get_workflow("wikimedia_commons_workflow").media_types == (
+        "image", "audio",
+    )
+    adapters = [w.adapter_cls for w in PROVIDER_WORKFLOWS if w.adapter_cls]
+    assert len(set(adapters)) == 19  # every family exactly once
+
+    # dated adapter gets the ingestion date when its ctor accepts one
+    wf = get_workflow("wikimedia_commons_workflow")
+    fetcher = build_fetcher(wf, lambda p: None, date="2023-05-05")
+    assert fetcher.adapter.start_timestamp == "1683244800"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        build_fetcher(get_workflow("inaturalist_workflow"), lambda p: None)
