@@ -195,6 +195,18 @@ class CowTable:
         """
         m = self._manifest()
         keys = self.keys
+        if not source.head(1):
+            # empty batch: nothing to rewrite, no new version (the
+            # reference's loader likewise skips the upsert on an empty
+            # load) — keeps parquet-write-of-zero-partitions out of the
+            # stats scan
+            return {
+                "version": m["version"],
+                "files_rewritten": 0,
+                "files_skipped": len(m["files"]),
+                "files_written": 0,
+                "rows": m["rows"],
+            }
         if kwargs.pop("dedupe_source_on_url", True) and "url" in source.columns:
             source = distinct_on(source, ["url"], [F.col(k) for k in keys])
         if kwargs.pop("guard_url_conflicts", True) and "url" in source.columns:

@@ -116,3 +116,13 @@ def test_cow_vacuum_drops_old_versions(spark, tmp_path):
     import os
 
     assert not os.path.exists(str(tmp_path / "tbl" / "manifests" / "v1.json"))
+
+
+def test_cow_empty_batch_is_noop(spark, tmp_path):
+    t = CowTable.create(
+        spark, str(tmp_path / "tbl"), mk(spark, _base_rows()), target_files=4
+    )
+    res = t.merge(mk(spark, []), COLS, deterministic=True)
+    assert res["version"] == 1 and res["files_rewritten"] == 0
+    assert t.version == 1
+    assert len(_canon(t.read())) == 40
