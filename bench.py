@@ -106,18 +106,9 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    from openverse_catalog_spark.plans.analytics import QUERIES  # registry
-    from openverse_catalog_spark.plans import merge_queries  # noqa: F401
-    from openverse_catalog_spark.plans import corpus_queries  # noqa: F401
-    from openverse_catalog_spark.plans import clean_queries  # noqa: F401
-    from openverse_catalog_spark.plans import sampling_queries  # noqa: F401
-    from openverse_catalog_spark.plans import packing_queries  # noqa: F401
-    from openverse_catalog_spark.plans import sketch_queries  # noqa: F401
-    from openverse_catalog_spark.plans import quality_queries  # noqa: F401
-    from openverse_catalog_spark.plans import layout_queries  # noqa: F401
-    from openverse_catalog_spark.plans import window_queries  # noqa: F401
-    from openverse_catalog_spark.plans import subquery_queries  # noqa: F401
-    from openverse_catalog_spark.plans import clustering_queries  # noqa: F401
+    import __spark_entry__ as entrymod  # the full query registry
+
+    QUERIES = entrymod.queries()
 
     spark = get_spark("bench")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm JVM
