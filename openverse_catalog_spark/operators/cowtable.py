@@ -151,26 +151,44 @@ class CowTable:
 
     # -- merge --------------------------------------------------------------
 
+    @staticmethod
+    def _lex(*vals) -> tuple:
+        """NULL-safe lexicographic tuple: None sorts first (Spark's
+        min/max skip NULLs, but a file or batch of all-NULL key values
+        yields None stats — treat those conservatively)."""
+        return tuple((v is not None, v) for v in vals)
+
     def _affected_split(self, m: dict, source: DataFrame) -> tuple[list[dict], list[dict]]:
         """File skipping: a data file must be rewritten only if its
         composite-key range intersects one of the batch's per-partition
         key boxes. The batch summary is a tiny driver-side collect (one
         row per distinct value of keys[0] — providers, in the reference's
-        schema)."""
-        k0, k1 = self.keys[0], self.keys[1]
-        boxes = {
-            r[k0]: (r["lo"], r["hi"])
-            for r in source.groupBy(k0)
-            .agg(F.min(k1).alias("lo"), F.max(k1).alias("hi"))
-            .collect()
-        }
+        schema). Works for any key count >= 1: with one key the box is
+        the key value itself."""
+        k0, rest = self.keys[0], list(self.keys[1:])
+        if rest:
+            aggs = [F.min(rest[0]).alias("lo"), F.max(rest[0]).alias("hi")]
+        else:
+            aggs = [F.min(k0).alias("lo"), F.max(k0).alias("hi")]
+        boxes = [
+            (r[k0], r["lo"], r["hi"])
+            for r in source.groupBy(k0).agg(*aggs).collect()
+        ]
         affected, untouched = [], []
         for e in m["files"]:
-            lo = (e["min"][k0], e["min"][k1])
-            hi = (e["max"][k0], e["max"][k1])
-            hit = any(
-                lo <= (p, fhi) and (p, flo) <= hi for p, (flo, fhi) in boxes.items()
-            )
+            if rest:
+                lo = self._lex(e["min"][k0], e["min"][rest[0]])
+                hi = self._lex(e["max"][k0], e["max"][rest[0]])
+                hit = any(
+                    lo <= self._lex(p, fhi) and self._lex(p, flo) <= hi
+                    for p, flo, fhi in boxes
+                )
+            else:
+                lo, hi = self._lex(e["min"][k0]), self._lex(e["max"][k0])
+                hit = any(
+                    lo <= self._lex(fhi) and self._lex(flo) <= hi
+                    for _, flo, fhi in boxes
+                )
             (affected if hit else untouched).append(e)
         return affected, untouched
 

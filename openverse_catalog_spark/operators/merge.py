@@ -165,7 +165,7 @@ def merge_upsert(
             .alias(status_col)
         )
     result = joined.select(out_cols)
-    if validate_unique and "url" in result.columns:
+    if validate_unique:
         result = enforce_unique(result, keys=keys)
     return result
 
@@ -215,17 +215,27 @@ def enforce_unique(
     so the operation is idempotent and order-independent).
 
     Pass 1: one row per natural key (ordered by url, with every
-    remaining column as a tiebreaker so the keeper is total even on a
-    dirty input where the key does NOT determine the row). Pass 2: one
-    row per non-NULL url (ordered by the natural key + tiebreakers);
-    NULL-url rows pass through untouched. Each pass is a single keyed
-    window — two shuffles total on narrow keys."""
-    rest = [c for c in df.columns if c not in keys and c != url_col]
-    df = distinct_on(
-        df,
-        list(keys),
-        [F.col(url_col).asc_nulls_last()] + [F.col(c) for c in rest],
-    )
+    remaining ORDERABLE column as a tiebreaker so the keeper is total
+    even on a dirty input where the key does NOT determine the row —
+    map-typed columns like meta_data are not orderable in Spark and are
+    excluded; on the canonical schema the orderable columns already
+    determine the row). Pass 2: one row per non-NULL url (ordered by the
+    natural key + tiebreakers); NULL-url rows pass through untouched.
+    Each pass is a single keyed window — two shuffles total on narrow
+    keys."""
+    rest = [
+        c
+        for c, t in df.dtypes
+        if c not in keys and c != url_col and not t.startswith("map<")
+    ]
+    has_url = url_col in df.columns
+    first_order = (
+        [F.col(url_col).asc_nulls_last()] if has_url else []
+    ) + [F.col(c) for c in rest]
+    df = distinct_on(df, list(keys), first_order or [F.lit(1)])
+    if not has_url:
+        # no url column -> only the natural-key invariant applies
+        return df
     with_url = df.filter(F.col(url_col).isNotNull())
     without_url = df.filter(F.col(url_col).isNull())
     kept = distinct_on(

@@ -951,6 +951,66 @@ _COW_BATCH_SQL = """
 """
 
 
+
+def _cow_fixture(c):
+    """Shared target/batch/columns for the CoW-table queries (kept in one
+    place so the two oracles' SQL CTEs stay in sync with ONE Spark-side
+    derivation)."""
+    k = F.col("c_custkey")
+    target = c.select(
+        F.concat(F.lit("p"), (k % 3).cast("string")).alias("provider"),
+        F.concat(F.lit("f"), k.cast("string")).alias("foreign_identifier"),
+        F.concat(F.lit("http://m/"), k.cast("string")).alias("url"),
+        F.concat(F.lit("T"), k.cast("string")).alias("title"),
+    )
+    updates = c.filter(k % 10 == 0).select(
+        F.concat(F.lit("p"), (k % 3).cast("string")).alias("provider"),
+        F.concat(F.lit("f"), k.cast("string")).alias("foreign_identifier"),
+        F.concat(F.lit("http://m/"), k.cast("string")).alias("url"),
+        F.concat(F.lit("NEW"), k.cast("string")).alias("title"),
+    )
+    inserts = c.filter(k % 10 == 5).select(
+        F.lit("p9").alias("provider"),
+        F.concat(F.lit("n"), k.cast("string")).alias("foreign_identifier"),
+        F.concat(F.lit("http://new/"), k.cast("string")).alias("url"),
+        F.concat(F.lit("INS"), k.cast("string")).alias("title"),
+    )
+    thieves = c.filter(k % 10 == 7).select(
+        F.lit("p9").alias("provider"),
+        F.concat(F.lit("x"), k.cast("string")).alias("foreign_identifier"),
+        F.concat(F.lit("http://m/"), (k + 1).cast("string")).alias("url"),
+        F.concat(F.lit("THIEF"), k.cast("string")).alias("title"),
+    )
+    batch = updates.unionByName(inserts).unionByName(thieves)
+    cols = [
+        ColumnSpec("provider", Datatype.char, required=True,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("foreign_identifier", Datatype.char, required=True,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("url", Datatype.char),
+        ColumnSpec("title", Datatype.char),
+    ]
+    return target, batch, cols
+
+
+def _cow_build(spark, sf_dir, name, _t_fn):
+    """Create v1 + merge the batch at a FIXED per-query root (wiped
+    first), so repeated invocations replace rather than accumulate."""
+    import os
+    import shutil
+    import tempfile
+
+    from openverse_catalog_spark.operators.cowtable import CowTable
+
+    c = _t_fn(spark, sf_dir, "customer")["customer"]
+    target, batch, cols = _cow_fixture(c)
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_{name}")
+    shutil.rmtree(root, ignore_errors=True)
+    t = CowTable.create(spark, root, target, target_files=6)
+    t.merge(batch, cols, deterministic=True)
+    return t
+
+
 @register(
     "merge_cow_table",
     f"""
@@ -984,49 +1044,7 @@ def merge_cow_table(spark, sf_dir):
     whose key range the batch intersects — the tests pin skipped file
     counts, snapshot isolation (old version stays readable) and vacuum.
     """
-    import tempfile
-
-    from openverse_catalog_spark.operators.cowtable import CowTable
-
-    c = _t(spark, sf_dir, "customer")["customer"]
-    k = F.col("c_custkey")
-    target = c.select(
-        F.concat(F.lit("p"), (k % 3).cast("string")).alias("provider"),
-        F.concat(F.lit("f"), k.cast("string")).alias("foreign_identifier"),
-        F.concat(F.lit("http://m/"), k.cast("string")).alias("url"),
-        F.concat(F.lit("T"), k.cast("string")).alias("title"),
-    )
-    updates = c.filter(k % 10 == 0).select(
-        F.concat(F.lit("p"), (k % 3).cast("string")).alias("provider"),
-        F.concat(F.lit("f"), k.cast("string")).alias("foreign_identifier"),
-        F.concat(F.lit("http://m/"), k.cast("string")).alias("url"),
-        F.concat(F.lit("NEW"), k.cast("string")).alias("title"),
-    )
-    inserts = c.filter(k % 10 == 5).select(
-        F.lit("p9").alias("provider"),
-        F.concat(F.lit("n"), k.cast("string")).alias("foreign_identifier"),
-        F.concat(F.lit("http://new/"), k.cast("string")).alias("url"),
-        F.concat(F.lit("INS"), k.cast("string")).alias("title"),
-    )
-    thieves = c.filter(k % 10 == 7).select(
-        F.lit("p9").alias("provider"),
-        F.concat(F.lit("x"), k.cast("string")).alias("foreign_identifier"),
-        F.concat(F.lit("http://m/"), (k + 1).cast("string")).alias("url"),
-        F.concat(F.lit("THIEF"), k.cast("string")).alias("title"),
-    )
-    batch = updates.unionByName(inserts).unionByName(thieves)
-
-    cols = [
-        ColumnSpec("provider", Datatype.char, required=True,
-                   upsert_strategy=UpsertStrategy.no_change),
-        ColumnSpec("foreign_identifier", Datatype.char, required=True,
-                   upsert_strategy=UpsertStrategy.no_change),
-        ColumnSpec("url", Datatype.char),
-        ColumnSpec("title", Datatype.char),
-    ]
-    root = tempfile.mkdtemp(prefix="cowtbl_")
-    t = CowTable.create(spark, root, target, target_files=6)
-    t.merge(batch, cols, deterministic=True)
+    t = _cow_build(spark, sf_dir, "cow_tbl", _t)
     return t.read().select("provider", "foreign_identifier", "url", "title")
 
 
@@ -1073,49 +1091,9 @@ def merge_cow_snapshot_diff(spark, sf_dir):
     the payload), aggregated per change type. This is the incremental-
     downstream story for the CoW table: consumers read version deltas
     instead of rescanning the snapshot."""
-    import tempfile
-
-    from openverse_catalog_spark.operators.cowtable import CowTable
     from openverse_catalog_spark.operators.merge import snapshot_diff
 
-    c = _t(spark, sf_dir, "customer")["customer"]
-    k = F.col("c_custkey")
-    target = c.select(
-        F.concat(F.lit("p"), (k % 3).cast("string")).alias("provider"),
-        F.concat(F.lit("f"), k.cast("string")).alias("foreign_identifier"),
-        F.concat(F.lit("http://m/"), k.cast("string")).alias("url"),
-        F.concat(F.lit("T"), k.cast("string")).alias("title"),
-    )
-    updates = c.filter(k % 10 == 0).select(
-        F.concat(F.lit("p"), (k % 3).cast("string")).alias("provider"),
-        F.concat(F.lit("f"), k.cast("string")).alias("foreign_identifier"),
-        F.concat(F.lit("http://m/"), k.cast("string")).alias("url"),
-        F.concat(F.lit("NEW"), k.cast("string")).alias("title"),
-    )
-    inserts = c.filter(k % 10 == 5).select(
-        F.lit("p9").alias("provider"),
-        F.concat(F.lit("n"), k.cast("string")).alias("foreign_identifier"),
-        F.concat(F.lit("http://new/"), k.cast("string")).alias("url"),
-        F.concat(F.lit("INS"), k.cast("string")).alias("title"),
-    )
-    thieves = c.filter(k % 10 == 7).select(
-        F.lit("p9").alias("provider"),
-        F.concat(F.lit("x"), k.cast("string")).alias("foreign_identifier"),
-        F.concat(F.lit("http://m/"), (k + 1).cast("string")).alias("url"),
-        F.concat(F.lit("THIEF"), k.cast("string")).alias("title"),
-    )
-    batch = updates.unionByName(inserts).unionByName(thieves)
-    cols = [
-        ColumnSpec("provider", Datatype.char, required=True,
-                   upsert_strategy=UpsertStrategy.no_change),
-        ColumnSpec("foreign_identifier", Datatype.char, required=True,
-                   upsert_strategy=UpsertStrategy.no_change),
-        ColumnSpec("url", Datatype.char),
-        ColumnSpec("title", Datatype.char),
-    ]
-    root = tempfile.mkdtemp(prefix="cowdiff_")
-    t = CowTable.create(spark, root, target, target_files=6)
-    t.merge(batch, cols, deterministic=True)
+    t = _cow_build(spark, sf_dir, "cow_diff", _t)
     diff = snapshot_diff(
         t.read(version=1), t.read(version=2),
         keys=("provider", "foreign_identifier"),

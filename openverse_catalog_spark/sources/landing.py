@@ -51,6 +51,7 @@ class PagedFetcher:
         max_batches: int = 10_000,
         expected_count_fn: Callable[[dict], int] | None = None,
         raise_on_overfetch: bool = True,
+        shared_state: dict | None = None,
     ) -> None:
         self.fetch_fn = fetch_fn
         self.get_batch_data = get_batch_data
@@ -66,17 +67,21 @@ class PagedFetcher:
         self.raise_on_overfetch = raise_on_overfetch
         self.fetched_count = 0
         self.overfetched = False
+        # shared across the sweep-loop's per-sweep fetchers so the
+        # politeness window spans sweep boundaries (the reference's
+        # DelayedRequester is one instance for the whole ingestion)
+        self._state = shared_state if shared_state is not None else {}
+        self._state.setdefault("last_request", 0.0)
 
     def batches(self) -> Iterator[list[dict]]:
         params: dict | None = None
         fetched = 0
-        last_request = 0.0
         for _ in range(self.max_batches):
             params = self.get_next_query_params(params)
-            wait = self.min_delay - (time.monotonic() - last_request)
+            wait = self.min_delay - (time.monotonic() - self._state["last_request"])
             if wait > 0:
                 time.sleep(wait)
-            last_request = time.monotonic()
+            self._state["last_request"] = time.monotonic()
             response = self.fetch_fn(params)
             if response is None:
                 return

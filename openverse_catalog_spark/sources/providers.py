@@ -654,7 +654,14 @@ def provider_fetcher(
     museum_victoria.py:45-48, per-building for finnish_museums.py:61-64,
     per-year-range for science_museum.py:74-79, per-hash-prefix for
     smithsonian.py:411-415); ``get_next_query_params`` then receives the
-    sweep value as its second argument."""
+    sweep value as its second argument.
+
+    ``ingestion_limit`` and ``min_delay`` are GLOBAL across sweeps, like
+    the reference's shared ingester state (``record_count`` accumulates
+    over every ``ingest_records`` call and the DelayedRequester is one
+    instance): the limit is enforced by the sweep loop over raw records,
+    and the politeness clock is shared between the per-sweep fetchers."""
+    shared_clock: dict = {}
 
     def make_inner(sweep):
         def fetch(params: dict) -> dict | None:
@@ -682,11 +689,14 @@ def provider_fetcher(
             fetch_fn=fetch,
             get_batch_data=adapter.get_batch_data,
             get_next_query_params=next_params,
-            ingestion_limit=ingestion_limit,
+            # the global cap lives in _ParsedFetcher; per-sweep fetchers
+            # stay uncapped so sweep N doesn't restart the budget
+            ingestion_limit=None,
             min_delay=min_delay,
+            shared_state=shared_clock,
         )
 
-    return _ParsedFetcher(make_inner, adapter)
+    return _ParsedFetcher(make_inner, adapter, ingestion_limit=ingestion_limit)
 
 
 _NO_SWEEP = object()
@@ -699,9 +709,10 @@ class _ParsedFetcher:
     emptiness (the reference's contract), so a page whose records are
     ALL invalid is skipped without ending ingestion."""
 
-    def __init__(self, make_inner, adapter) -> None:
+    def __init__(self, make_inner, adapter, ingestion_limit: int | None = None) -> None:
         self._make_inner = make_inner
         self.adapter = adapter
+        self.ingestion_limit = ingestion_limit
 
     def batches(self):
         sweeps = (
@@ -709,11 +720,17 @@ class _ParsedFetcher:
             if hasattr(self.adapter, "sweeps")
             else [_NO_SWEEP]
         )
+        fetched = 0  # RAW records, across ALL sweeps (reference
+        # provider_data_ingester.py record_count semantics)
         for sweep in sweeps:
             self.adapter._exhausted = False
             if hasattr(self.adapter, "start_sweep"):
                 self.adapter.start_sweep(sweep)
             for raw in self._make_inner(sweep).batches():
+                raw = list(raw)  # adapters may yield dict_values
+                if self.ingestion_limit is not None:
+                    raw = raw[: self.ingestion_limit - fetched]
+                fetched += len(raw)
                 parsed: list[dict] = []
                 for rec in raw:
                     out = self.adapter.parse_record(rec)
@@ -725,6 +742,8 @@ class _ParsedFetcher:
                         parsed.append(out)
                 if parsed:
                     yield parsed
+                if self.ingestion_limit is not None and fetched >= self.ingestion_limit:
+                    return
 
 
 def staging_schema():

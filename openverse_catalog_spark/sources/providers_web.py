@@ -451,6 +451,9 @@ class EuropeanaStyleAdapter:
         meta = {
             "country": ",".join(raw.get("country") or []) or None,
             "dataProvider": ",".join(raw.get("dataProvider") or []) or None,
+            # an empty-string description is KEPT (the reference's
+            # meta_data filter drops only None — europeana.py:134-141,
+            # _get_description returns "" for absent descriptions)
             "description": self._description(raw),
         }
         return _staging(

@@ -131,21 +131,49 @@ def build_fetcher(
     date: str | None = None,
     ingestion_limit: int | None = None,
     min_delay: float = 0.0,
+    **transports,
 ):
     """Instantiate the workflow's adapter (passing the ingestion date to
     dated adapters whose constructor accepts one) and wire it into the
     shared fetch loop — the engine-side analog of the reference's
-    provider_dag_factory building a DAG from a ProviderWorkflow."""
+    provider_dag_factory building a DAG from a ProviderWorkflow.
+
+    Adapters that issue SECONDARY requests (Brooklyn/Met/NYPL per-record
+    detail fetches, Phylopic build probe, WordPress/Freesound HEAD
+    probes, Freesound pack resolution) declare those transports as
+    constructor parameters; pass them as keyword args (e.g.
+    ``build_fetcher(wf, fetch, detail_fetch=...)``). Any constructor
+    parameter NOT supplied defaults to the primary ``fetch_fn`` — the
+    reference uses one DelayedRequester for main and secondary requests
+    alike, so that is the faithful default."""
     if workflow.adapter_cls is None:
         raise ValueError(
             f"{workflow.dag_id} is a bulk-load workflow; run its "
             f"pipeline query {workflow.bulk_pipeline!r} instead"
         )
-    kwargs = {}
-    if workflow.dated and date is not None:
-        params = inspect.signature(workflow.adapter_cls.__init__).parameters
-        if "date" in params:
-            kwargs["date"] = date
+    params = inspect.signature(workflow.adapter_cls.__init__).parameters
+    kwargs = {k: v for k, v in transports.items() if k in params}
+    unknown = set(transports) - set(kwargs)
+    if unknown:
+        raise TypeError(
+            f"{workflow.adapter_cls.__name__} takes no {sorted(unknown)}"
+        )
+    if workflow.dated and date is not None and "date" in params:
+        kwargs["date"] = date
+    # default every remaining REQUIRED transport-shaped parameter to the
+    # primary fetch callable (arity-tolerant: probe transports like
+    # Phylopic's build probe are called with no arguments)
+    def _default_transport(*args, **kw):
+        return fetch_fn(args[0] if args else {})
+
+    for name, p in params.items():
+        if name in ("self", "date") or name in kwargs:
+            continue
+        if p.default is inspect.Parameter.empty and p.kind in (
+            inspect.Parameter.POSITIONAL_OR_KEYWORD,
+            inspect.Parameter.KEYWORD_ONLY,
+        ):
+            kwargs[name] = _default_transport
     adapter = workflow.adapter_cls(**kwargs)
     return provider_fetcher(
         adapter, fetch_fn, ingestion_limit=ingestion_limit, min_delay=min_delay

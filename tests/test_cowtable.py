@@ -126,3 +126,32 @@ def test_cow_empty_batch_is_noop(spark, tmp_path):
     assert res["version"] == 1 and res["files_rewritten"] == 0
     assert t.version == 1
     assert len(_canon(t.read())) == 40
+
+
+def test_cow_single_key_table(spark, tmp_path):
+    """File skipping works with a single-column merge key."""
+    df = spark.createDataFrame(
+        [(f"u{i:03d}", f"T{i}") for i in range(20)], "url string, title string"
+    )
+    from openverse_catalog_spark.schemas.columns import (
+        ColumnSpec,
+        Datatype,
+        UpsertStrategy,
+    )
+
+    cols = [
+        ColumnSpec("url", Datatype.char, required=True,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("title", Datatype.char),
+    ]
+    t = CowTable.create(
+        spark, str(tmp_path / "tbl1"), df, keys=("url",), target_files=4
+    )
+    batch = spark.createDataFrame(
+        [("u003", "updated"), ("u999", "new")], "url string, title string"
+    )
+    res = t.merge(batch, cols, deterministic=True, dedupe_source_on_url=False,
+                  guard_url_conflicts=False)
+    assert res["files_skipped"] > 0
+    got = {r["url"]: r["title"] for r in t.read().collect()}
+    assert got["u003"] == "updated" and got["u999"] == "new" and len(got) == 21

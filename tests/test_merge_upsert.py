@@ -367,3 +367,29 @@ def test_merge_validate_unique_repairs_dirty_target(spark):
     # NULL urls are exempt from the url constraint
     assert ("p1", "n1") in rows and ("p2", "n2") in rows
     assert ("p3", "c") in rows  # the inserted batch row
+
+
+def test_validate_unique_with_map_column_and_no_url(spark):
+    """enforce_unique must work on the REAL canonical schema: map-typed
+    columns (meta_data) are excluded from the keeper ordering (maps are
+    unorderable in Spark), and a frame without a url column still gets
+    the (provider, foreign_identifier) invariant enforced."""
+    from openverse_catalog_spark.operators.merge import enforce_unique
+
+    df = spark.createDataFrame(
+        [
+            ("p", "f1", "http://u/1", {"k": "a"}),
+            ("p", "f1", "http://u/2", {"k": "b"}),
+        ],
+        "provider string, foreign_identifier string, url string, meta_data map<string,string>",
+    )
+    out = enforce_unique(df).collect()
+    assert len(out) == 1 and out[0]["url"] == "http://u/1"
+
+    no_url = spark.createDataFrame(
+        [("p", "f1", "t1"), ("p", "f1", "t2"), ("p", "f2", "t3")],
+        "provider string, foreign_identifier string, title string",
+    )
+    out2 = enforce_unique(no_url, url_col="url")
+    rows = {(r["provider"], r["foreign_identifier"]) for r in out2.collect()}
+    assert rows == {("p", "f1"), ("p", "f2")} and out2.count() == 2

@@ -433,3 +433,57 @@ def test_provider_workflow_registry_matches_reference():
 
     with _pytest.raises(ValueError):
         build_fetcher(get_workflow("inaturalist_workflow"), lambda p: None)
+
+
+def test_build_fetcher_constructs_every_adapter_workflow():
+    """Every registry entry with an adapter must be constructible with
+    only the primary transport: secondary transports (detail/probe/HEAD
+    fetches) default to the primary callable, matching the reference's
+    single shared DelayedRequester."""
+    from openverse_catalog_spark.sources.workflows import (
+        PROVIDER_WORKFLOWS,
+        build_fetcher,
+    )
+
+    for wf in PROVIDER_WORKFLOWS:
+        if wf.adapter_cls is None:
+            continue
+        fetcher = build_fetcher(wf, lambda p: None, date="2024-01-01")
+        assert fetcher.adapter.__class__ is wf.adapter_cls
+
+
+def test_ingestion_limit_is_global_across_sweeps():
+    """The ingestion limit budgets RAW records over ALL sweeps, like the
+    reference's shared record_count — not per sweep (a 6-sweep provider
+    must not fetch 6x the cap)."""
+    from openverse_catalog_spark.sources.providers_museums import (
+        VictoriaStyleAdapter,
+    )
+
+    served = {"n": 0}
+
+    def fetch(params):
+        served["n"] += 1
+        return [
+            {
+                "id": f"media-{served['n']}-{j}",
+                "licence": {"shortName": "CC BY", "version": "4.0"},
+                "media": [
+                    {
+                        "type": "image",
+                        "large": {
+                            "uri": f"http://mv.test/{served['n']}/{j}.jpg",
+                            "width": 10,
+                            "height": 10,
+                        },
+                    }
+                ],
+                "title": "t",
+            }
+            for j in range(2)
+        ]
+
+    adapter = VictoriaStyleAdapter()
+    fetcher = provider_fetcher(adapter, fetch, ingestion_limit=3)
+    total = sum(len(b) for b in fetcher.batches())
+    assert total <= 3

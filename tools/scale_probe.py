@@ -111,6 +111,7 @@ def main() -> None:
     ]
     for name, t1, t10, r in rows:
         lines.append(f"| {name} | {t1:.2f} | {t10:.2f} | {r:.1f}x |")
+    table_lines = list(lines[-len(rows):])
 
     # Throughput anchor vs the reference's only published number: the
     # iNaturalist bulk load runs 2M-photo batches serially at a median
@@ -133,7 +134,7 @@ def main() -> None:
 
     with open("/root/repo/SCALING.md", "w") as f:
         f.write("\n".join(lines) + "\n")
-    print("\n".join(lines[-len(rows):]))
+    print("\n".join(table_lines))
 
 
 if __name__ == "__main__":
