@@ -95,12 +95,17 @@ class CowTable:
         write the first manifest."""
         t = cls(spark, root, keys)
         os.makedirs(f"{t.root}/manifests", exist_ok=True)
-        data_dir = f"{t.root}/data/v1"
-        df.repartitionByRange(target_files, *[F.col(k) for k in keys]).write.mode(
-            "error"
-        ).parquet(data_dir)
-        entries = _file_stats(spark, data_dir, t.keys)
-        t._commit(1, entries, op="create")
+        entries: list[dict] = []
+        if df.head(1):
+            data_dir = f"{t.root}/data/v1"
+            df.repartitionByRange(target_files, *[F.col(k) for k in keys]).write.mode(
+                "error"
+            ).parquet(data_dir)
+            entries = _file_stats(spark, data_dir, t.keys)
+        # an EMPTY create initializes a zero-file snapshot (the schema in
+        # the manifest keeps it readable) — the streaming-ingest path
+        # starts from this and lets micro-batch merges populate it
+        t._commit(1, entries, op="create", schema_json=df.schema.json())
         return t
 
     # -- manifest plumbing --------------------------------------------------
@@ -115,11 +120,16 @@ class CowTable:
         with open(f"{self.root}/manifests/v{v}.json") as f:
             return json.load(f)
 
-    def _commit(self, version: int, entries: list[dict], op: str) -> None:
+    def _commit(
+        self, version: int, entries: list[dict], op: str, schema_json: str | None = None
+    ) -> None:
+        if schema_json is None:
+            schema_json = self._manifest().get("schema")
         manifest = {
             "version": version,
             "operation": op,
             "keys": list(self.keys),
+            "schema": schema_json,
             "files": entries,
             "rows": sum(e["rows"] for e in entries),
         }
@@ -144,9 +154,16 @@ class CowTable:
 
     def read(self, version: int | None = None) -> DataFrame:
         """Snapshot read (time travel with ``version``): exactly the files
-        the manifest lists, nothing else."""
+        the manifest lists, nothing else. A zero-file snapshot reads as
+        an empty frame with the manifest's recorded schema."""
         m = self._manifest(version)
         paths = [f"{self.root}/{e['path']}" for e in m["files"]]
+        if not paths:
+            from pyspark.sql import types as T
+
+            return self.spark.createDataFrame(
+                [], T.StructType.fromJson(json.loads(m["schema"]))
+            )
         return self.spark.read.parquet(*paths)
 
     # -- merge --------------------------------------------------------------

@@ -403,3 +403,59 @@ def publish_swap(
     # the swap: re-pointing a view is a metadata-only operation
     spark.read.parquet(path).createOrReplaceTempView(name)
     return path
+
+
+def stream_landing_to_cow(
+    spark: SparkSession,
+    landing_dir: str,
+    table_root: str,
+    columns,
+    media_type: str = "image",
+    deterministic: bool = True,
+):
+    """Streaming ingestion end to end: the provider landing zone
+    (JSONL files as they arrive) is a file-source STREAM; each
+    micro-batch runs the standard clean (clean_media_batch) + exact
+    dedupe and MERGEs into the copy-on-write lake table via
+    foreachBatch — the continuous version of the reference's
+    pull -> load -> clean -> upsert DAG chain, with the CoW manifest
+    giving every micro-batch commit snapshot isolation and file
+    skipping.
+
+    availableNow trigger: drains whatever landing files exist and stops
+    — the same call is both the backfill and the incremental tick, and
+    the stream's checkpoint (offsets = processed files) makes re-runs
+    exactly-once per landing file. Returns the CowTable handle."""
+    import tempfile as _tf
+
+    from openverse_catalog_spark.operators.cowtable import CowTable
+    from openverse_catalog_spark.operators.dedupe import exact_dedupe
+    from openverse_catalog_spark.plans.media_pipeline import clean_media_batch
+    from openverse_catalog_spark.sources.providers import staging_schema
+
+    table = CowTable(spark, table_root)
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cleaned = clean_media_batch(batch_df, spark, media_type)
+        deduped = exact_dedupe(
+            cleaned, ["provider", "foreign_identifier"], [F.col("url")]
+        )
+        table.merge(
+            deduped.select([c.name for c in columns if c.name in deduped.columns]),
+            columns,
+            deterministic=deterministic,
+        )
+
+    stream = (
+        spark.readStream.schema(staging_schema())
+        .option("recursiveFileLookup", "true")
+        .json(landing_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", _tf.mkdtemp(prefix="ckpt_cow_"))
+        .start()
+    )
+    q.awaitTermination()
+    return table

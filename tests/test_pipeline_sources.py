@@ -410,3 +410,46 @@ def test_parse_image_header_real_formats():
     assert parse_image_header(raw) == ("jpg", 20, 10)
     assert parse_image_header(b"not an image") == (None, None, None)
     assert parse_image_header(b"\x89PNG\r\n\x1a\n\x00") == (None, None, None)
+
+
+def test_stream_landing_to_cow_table(spark, tmp_path):
+    """Streaming ingestion end to end: landing JSONL -> file-source
+    stream -> clean+dedupe per micro-batch -> foreachBatch MERGE into
+    the CoW lake table. Draining twice with new files in between gives
+    two commits; the stream checkpoint makes each landing file
+    exactly-once; the final state equals the batch pipeline's."""
+    from openverse_catalog_spark.operators.cowtable import CowTable
+    from openverse_catalog_spark.schemas.columns import image_db_schema, spark_schema
+    from openverse_catalog_spark.sources.landing import write_landing
+    from openverse_catalog_spark.sources.providers import (
+        FlickrStyleAdapter,
+        provider_fetcher,
+    )
+    from openverse_catalog_spark.streaming.incremental import stream_landing_to_cow
+    from tests.test_providers import _flickr_fetch, _flickr_photo
+
+    landing = str(tmp_path / "landing")
+    root = str(tmp_path / "cow")
+    cols = image_db_schema()
+    CowTable.create(
+        spark, root, spark.createDataFrame([], spark_schema(cols)), target_files=2
+    )
+
+    f1 = provider_fetcher(
+        FlickrStyleAdapter(), _flickr_fetch([[_flickr_photo(i) for i in range(4)]])
+    )
+    write_landing(f1, landing, "2024-01-01", "flickr")
+    t = stream_landing_to_cow(spark, landing, root, cols)
+    assert t.version == 2
+    first = {r["foreign_identifier"] for r in t.read().collect()}
+    assert first == {"1000", "1001", "1002", "1003"}
+
+    # second tick: two new photos land; only they are merged
+    f2 = provider_fetcher(
+        FlickrStyleAdapter(), _flickr_fetch([[_flickr_photo(i) for i in (9, 12)]])
+    )
+    write_landing(f2, landing, "2024-01-02", "flickr")
+    t = stream_landing_to_cow(spark, landing, root, cols)
+    got = {r["foreign_identifier"]: r for r in t.read().collect()}
+    assert set(got) == first | {"1009", "1012"}
+    assert got["1000"].license in {"by-nc-sa", "by-nc", "by"}
