@@ -1346,6 +1346,37 @@ _INAT_ORACLE_BODY = f"""
 """
 
 
+def _inat_photos(li, with_dims: bool = True):
+    """Shared photos-from-lineitem derivation for the two iNaturalist
+    queries (kept in one place so both stay in sync with the oracle CTE
+    _INAT_ORACLE_BODY)."""
+    ln = F.col("l_linenumber")
+    ext = F.when(F.col("l_quantity") >= 48, F.lit(None).cast("string")).otherwise(
+        F.when(ln % 4 == 0, "JPG")
+        .when(ln % 4 == 1, "jpeg")
+        .when(ln % 4 == 2, "Png")
+        .otherwise("gif")
+    )
+    cols = [
+        F.col("l_orderkey").alias("photo_id"),
+        F.col("l_suppkey").alias("observer_id"),
+        ext.alias("ext"),
+        F.concat("l_returnflag", "l_linestatus").alias("license_code"),
+    ]
+    if with_dims:
+        cols += [
+            F.col("l_quantity").cast("int").alias("width"),
+            (ln * 100).alias("height"),
+        ]
+    photos = li.select(*cols)
+    # PHOTO_DUPES NOT-EXISTS (transformed_table:69-71): photos carrying
+    # multiple observation records are skipped. A window count partitions
+    # by photo_id — the exact key of the observations join downstream.
+    return photos.withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy("photo_id"))
+    ).filter(F.col("__n") == 1).drop("__n")
+
+
 @register(
     "pipeline_inaturalist_bulk",
     f"""
@@ -1389,28 +1420,7 @@ def pipeline_inaturalist_bulk(spark, sf_dir):
     source is written partitioned on photo_id ranges."""
     t = _t(spark, sf_dir, "lineitem", "orders", "supplier", "customer")
     li, o, s, c = t["lineitem"], t["orders"], t["supplier"], t["customer"]
-
-    ln = F.col("l_linenumber")
-    ext = F.when(F.col("l_quantity") >= 48, F.lit(None).cast("string")).otherwise(
-        F.when(ln % 4 == 0, "JPG")
-        .when(ln % 4 == 1, "jpeg")
-        .when(ln % 4 == 2, "Png")
-        .otherwise("gif")
-    )
-    photos = li.select(
-        F.col("l_orderkey").alias("photo_id"),
-        F.col("l_suppkey").alias("observer_id"),
-        ext.alias("ext"),
-        F.concat("l_returnflag", "l_linestatus").alias("license_code"),
-        F.col("l_quantity").cast("int").alias("width"),
-        (ln * 100).alias("height"),
-    )
-    # PHOTO_DUPES NOT-EXISTS (transformed_table:69-71): photos carrying
-    # multiple observation records are skipped. A window count partitions
-    # by photo_id — the exact key of the observations join below.
-    solo = photos.withColumn(
-        "__n", F.count(F.lit(1)).over(Window.partitionBy("photo_id"))
-    ).filter(F.col("__n") == 1).drop("__n")
+    solo = _inat_photos(li)
 
     license_codes = spark.createDataFrame(
         [
@@ -1498,22 +1508,7 @@ def agg_inaturalist_load_stats(spark, sf_dir):
     # omitted — the oracle keeps it, proving that equivalence).
     t = _t(spark, sf_dir, "lineitem", "orders", "supplier", "customer")
     li, o, c = t["lineitem"], t["orders"], t["customer"]
-    ln = F.col("l_linenumber")
-    ext = F.when(F.col("l_quantity") >= 48, F.lit(None).cast("string")).otherwise(
-        F.when(ln % 4 == 0, "JPG")
-        .when(ln % 4 == 1, "jpeg")
-        .when(ln % 4 == 2, "Png")
-        .otherwise("gif")
-    )
-    photos = li.select(
-        F.col("l_orderkey").alias("photo_id"),
-        F.col("l_suppkey").alias("observer_id"),
-        ext.alias("ext"),
-        F.concat("l_returnflag", "l_linestatus").alias("license_code"),
-    )
-    solo = photos.withColumn(
-        "__n", F.count(F.lit(1)).over(Window.partitionBy("photo_id"))
-    ).filter(F.col("__n") == 1).drop("__n")
+    solo = _inat_photos(li, with_dims=False)
     lic_codes = ["AF", "NF", "NO"]
     taxa_keys = c.filter(F.col("c_mktsegment") != "MACHINERY").select(
         F.col("c_custkey").alias("taxon_id")
