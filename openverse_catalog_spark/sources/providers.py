@@ -2,17 +2,21 @@
 scripts re-expressed as small parse layers over the generic
 PagedFetcher -> JSONL landing -> Spark staging path.
 
-Two representative API shapes are implemented (they cover the two
-pagination families the reference's ~40 providers use):
+This module holds the shared wiring (staging builders, the driver-side
+CC license parse, ``provider_fetcher``/``_ParsedFetcher`` with sweep
+support and a global ingestion budget) plus four adapter families:
 
-  * ``FlickrStyleAdapter`` — page-number pagination and flat photo
-    records (reference: catalog/dags/providers/provider_api_scripts/
-    flickr.py:250-330 — license-id map, owner URL assembly, size-coalesce
-    url pick, space-separated tags).
-  * ``WikimediaStyleAdapter`` — continue-token pagination and nested
-    page maps (reference: wikimedia_commons.py:150-260 — gcmcontinue
-    token, imageinfo extraction, "File:" title strip, extmetadata
-    license parse).
+  * ``FlickrStyleAdapter`` — page-number pagination, flat photo records,
+    sub-provider attribution (flickr.py:250-330, 45/249-253).
+  * ``WikimediaStyleAdapter`` — the full Commons semantics: two-level
+    continue tokens, batchcomplete sub-response merging, global-usage
+    popularity cache, image/audio routing (wikimedia_commons.py).
+  * ``JamendoStyleAdapter`` — offset-paged audio with audio_set/genres.
+  * ``StockSnapStyleAdapter`` — static single-page source.
+
+The other 15 reference providers live in ``providers_museums.py`` and
+``providers_web.py``; ``workflows.py`` registers all 20 (incl. the
+iNaturalist bulk pipeline) with their reference schedules.
 
 Adapters parse records driver-side inside the fetch loop (exactly where
 the reference's ingester classes run), so the landing zone already holds
