@@ -78,7 +78,9 @@ FILETYPE_EQUIVALENTS = {"jpeg": "jpg", "tif": "tiff"}
 def extract_filetype_expr(url: Column, valid: tuple[str, ...]) -> Column:
     """Filetype from URL extension (reference extensions.py:7-12): last
     dot-suffix of the path, lowercased, kept only if in the valid set."""
-    ext = F.lower(F.regexp_extract(url, r"\.(\w{1,5})(?:\?.*)?$", 1))
+    # tolerate a query string OR a fragment after the extension — the
+    # reference parses urlparse(url).path, which strips both
+    ext = F.lower(F.regexp_extract(url, r"\.(\w{1,5})(?:[?#].*)?$", 1))
     unified = ext
     for frm, to in FILETYPE_EQUIVALENTS.items():
         unified = F.when(unified == frm, F.lit(to)).otherwise(unified)

@@ -78,13 +78,18 @@ def kmeans(
     the driver, which is the right topology — it is k x dim doubles.
     """
     if dim is None:
-        dim = len(df.select(F.col(vec_col)).first()[0])
+        head = df.select(F.col(vec_col)).first()
+        if head is None:
+            raise ValueError("kmeans: input has no rows (cannot infer dim)")
+        dim = len(head[0])
     base = df.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
     ).localCheckpoint(eager=False)
 
     seed_rows = base.orderBy(id_col).limit(k).collect()
     centroids = [list(r["__v"]) for r in seed_rows]
+    # fewer rows than k: every row is its own (valid) cluster seed
+    k = min(k, len(centroids))
 
     for _ in range(n_iter):
         assigned = base.withColumn("__cid", assign_clusters(F.col("__v"), centroids))

@@ -43,9 +43,15 @@ from openverse_catalog_spark.operators.merge import (
 from openverse_catalog_spark.schemas.columns import ColumnSpec, spark_schema
 
 
-def _file_stats(spark: SparkSession, dir_path: str, keys: tuple[str, ...]) -> list[dict]:
+def _file_stats(
+    spark: SparkSession, dir_path: str, keys: tuple[str, ...], rel_dir: str
+) -> list[dict]:
     """One column-pruned scan over a data directory -> per-file manifest
-    entries (row count + min/max of each merge key)."""
+    entries (row count + min/max of each merge key). ``rel_dir`` is the
+    directory's path relative to the table root (e.g. ``data/v3``) —
+    manifest paths are built from it plus the file's basename, so a
+    table root that itself contains a ``/data/`` segment cannot corrupt
+    them."""
     df = spark.read.parquet(dir_path)
     aggs = [F.count(F.lit(1)).alias("rows")]
     for k in keys:
@@ -57,12 +63,10 @@ def _file_stats(spark: SparkSession, dir_path: str, keys: tuple[str, ...]) -> li
     )
     entries = []
     for r in rows:
-        path = r["__file"]
-        # store paths relative to the table root for relocatability
-        rel = path.split("/data/", 1)[1] if "/data/" in path else path
+        basename = r["__file"].rstrip("/").rsplit("/", 1)[-1]
         entries.append(
             {
-                "path": "data/" + rel,
+                "path": f"{rel_dir}/{basename}",
                 "rows": r["rows"],
                 "min": {k: r[f"min_{k}"] for k in keys},
                 "max": {k: r[f"max_{k}"] for k in keys},
@@ -101,7 +105,7 @@ class CowTable:
             df.repartitionByRange(target_files, *[F.col(k) for k in keys]).write.mode(
                 "error"
             ).parquet(data_dir)
-            entries = _file_stats(spark, data_dir, t.keys)
+            entries = _file_stats(spark, data_dir, t.keys, "data/v1")
         # an EMPTY create initializes a zero-file snapshot (the schema in
         # the manifest keeps it readable) — the streaming-ingest path
         # starts from this and lets micro-batch merges populate it
@@ -249,6 +253,11 @@ class CowTable:
         source = source.localCheckpoint(eager=False)
 
         affected, untouched = self._affected_split(m, source)
+        if kwargs.get("validate_unique"):
+            # uniqueness repair must see the whole table (a url dup can
+            # span a file the batch never touches) — disable skipping
+            # for this commit and rewrite every file enforced
+            affected, untouched = affected + untouched, []
         if affected:
             target_slice = self.spark.read.parquet(
                 *[f"{self.root}/{e['path']}" for e in affected]
@@ -270,7 +279,9 @@ class CowTable:
         merged.repartitionByRange(
             target_files, *[F.col(k) for k in keys]
         ).write.mode("error").parquet(data_dir)
-        new_entries = _file_stats(self.spark, data_dir, keys)
+        new_entries = _file_stats(
+            self.spark, data_dir, keys, f"data/v{new_version}"
+        )
         self._commit(new_version, untouched + new_entries, op="merge")
         return {
             "version": new_version,

@@ -64,7 +64,16 @@ def exact_dedupe(
     """Keep one row per key (reference J6: arbitrary winner; we pin the
     first by ``order_cols`` for determinism). row_number window — a single
     hash-partition shuffle on the key."""
-    order_cols = order_cols or [F.col(key_cols[0])]
+    if not order_cols:
+        # the partition key is constant inside its own window — ordering
+        # by it would leave the keeper arbitrary. Default to every other
+        # ORDERABLE column so the winner is stable across runs and
+        # partitionings (maps are unorderable and skipped).
+        order_cols = [
+            F.col(c)
+            for c, t in df.dtypes
+            if c not in key_cols and not t.startswith("map<")
+        ] or [F.lit(1)]
     w = Window.partitionBy(*key_cols).orderBy(*order_cols)
     return (
         df.withColumn("__rn", F.row_number().over(w))
@@ -154,7 +163,10 @@ def minhash_signatures(
         for pdf in batches:
             ids, rows = [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                t = ws.sub(" ", (text or "").lower()).strip()
+                # .strip(" ") not .strip(): F.trim removes only 0x20, while
+                # bare strip() eats all Unicode whitespace — edge NBSPs would
+                # silently desync the Python signatures from the SQL oracle
+                t = ws.sub(" ", (text or "").lower()).strip(" ")
                 n_sh = max(len(t) - (k - 1), 1)
                 uniq = {t[i : i + k] for i in range(n_sh)}
                 hs = np.fromiter(
@@ -191,6 +203,7 @@ def minhash_lsh_pairs(
     any scale; on executor loss the query re-runs (signatures are
     deterministic and derived).
     """
+    assert n_seeds % n_bands == 0, "n_seeds must divide evenly into bands"
     signatures = signatures.localCheckpoint(eager=False)
     rows = n_seeds // n_bands
     bands = F.array(
@@ -715,6 +728,8 @@ def minhash_lsh_match_index(
     band-key join is a plain hash join (broadcastable when the batch is
     small, AQE-splittable when a band key is hot).
     """
+
+    assert n_seeds % n_bands == 0, "n_seeds must divide evenly into bands"
 
     def banded(sigs: DataFrame, out: str) -> DataFrame:
         rows = n_seeds // n_bands

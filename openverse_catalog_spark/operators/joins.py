@@ -88,8 +88,14 @@ def salted_join(
     from openverse_catalog_spark.functions.hashing import hash60
 
     on = list(on)
+    # NULL-safe salt: a NULL salt_src must land in SOME bucket (0), not
+    # produce a NULL salt that matches no dim replica and silently drops
+    # the fact row — the result must stay identical to the unsalted join
     f = fact.withColumn(
-        "_salt", hash60(F.col(salt_src).cast("string")) % F.lit(n_salts)
+        "_salt",
+        F.coalesce(
+            hash60(F.col(salt_src).cast("string")) % F.lit(n_salts), F.lit(0)
+        ),
     )
     d = dim.withColumn(
         "_salt",

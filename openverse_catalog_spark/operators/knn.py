@@ -210,7 +210,10 @@ def lsh_bucket_topk(
     final per-query top-k."""
     base = _as_double(corpus, vec_col)
     if dim is None:
-        dim = len(base.select(vec_col).first()[0])
+        head = base.select(vec_col).first()
+        if head is None:
+            raise ValueError("empty corpus: cannot infer embedding dim")
+        dim = len(head[0])
     exploded = _sign_bucket_stage(base, id_col, vec_col, n_planes, n_tables, dim)
 
     def per_bucket(pdf):
@@ -568,7 +571,10 @@ def embedding_near_dup_pairs(
     """
     base = _as_double(corpus, vec_col)
     if dim is None:
-        dim = len(base.select(vec_col).first()[0])
+        head = base.select(vec_col).first()
+        if head is None:
+            raise ValueError("empty corpus: cannot infer embedding dim")
+        dim = len(head[0])
     exploded = _sign_bucket_stage(base, id_col, vec_col, n_planes, n_tables, dim)
 
     def per_bucket(pdf):

@@ -118,8 +118,19 @@ def merge_upsert(
             return F.md5(F.concat_ws("|", *[F.coalesce(F.col(f"__s_{k}").cast("string"), F.lit("")) for k in key_list]))
         return F.expr("uuid()")
 
-    t = target.select([F.col(c.name).alias(f"__t_{c.name}") for c in columns])
-    s = source.select([F.col(c.name).alias(f"__s_{c.name}") for c in columns])
+    # literal presence markers, NOT key-column null checks: the join is
+    # eqNullSafe, so a NULL-key row is a legitimate participant — testing
+    # the first key's nullness would fabricate an all-NULL output row for
+    # a NULL-key source insert and skip the merge strategy on a NULL-key
+    # match
+    t = target.select(
+        [F.col(c.name).alias(f"__t_{c.name}") for c in columns]
+        + [F.lit(True).alias("__t_present")]
+    )
+    s = source.select(
+        [F.col(c.name).alias(f"__s_{c.name}") for c in columns]
+        + [F.lit(True).alias("__s_present")]
+    )
 
     cond = None
     for k in key_list:
@@ -128,8 +139,8 @@ def merge_upsert(
 
     joined = t.join(s, cond, "full_outer")
 
-    in_src = F.col(f"__s_{key_list[0]}").isNotNull()
-    in_tgt = F.col(f"__t_{key_list[0]}").isNotNull()
+    in_src = F.col("__s_present").isNotNull()
+    in_tgt = F.col("__t_present").isNotNull()
 
     out_cols = []
     for c in columns:
@@ -188,7 +199,12 @@ def uniqueness_report(
         "|", F.col(keys[0]), F.md5(F.col(keys[1]).cast("string"))
     )
     by_key = (
-        df.groupBy(key_expr.alias("key"))
+        # NULL key components are exempt: a Postgres unique index entry
+        # containing a NULL never conflicts, and concat_ws would
+        # otherwise collapse ('flickr', NULL) rows onto the bare
+        # provider string and report phantom violations
+        df.filter(F.col(keys[0]).isNotNull() & F.col(keys[1]).isNotNull())
+        .groupBy(key_expr.alias("key"))
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > 1)
         .select(F.lit("provider_md5_fid").alias("constraint"), "key", "n")
@@ -335,6 +351,10 @@ def merge_upsert_pruned(
         source = url_conflict_filter(source, target, keys)
     kwargs["dedupe_source_on_url"] = False
     kwargs["guard_url_conflicts"] = False
+    # uniqueness repair must see the WHOLE table (a url dup can span an
+    # untouched partition) — run it after the union, not inside the
+    # pruned merge, to keep row-identity with merge_upsert
+    validate = kwargs.pop("validate_unique", False)
     batch_parts = F.broadcast(source.select(partition_col).distinct())
     affected = target.join(batch_parts, partition_col, "left_semi")
     untouched = target.join(batch_parts, partition_col, "left_anti")
@@ -342,6 +362,9 @@ def merge_upsert_pruned(
     status_col = kwargs.get("status_col")
     if status_col:
         untouched = untouched.withColumn(status_col, F.lit("kept"))
-    return merged.unionByName(
+    out = merged.unionByName(
         untouched.select(merged.columns), allowMissingColumns=False
     )
+    if validate:
+        out = enforce_unique(out, keys=keys)
+    return out

@@ -772,9 +772,9 @@ def _stored_tsv_oracle() -> str:
               JOIN dim ON lic = lic_d AND ver = ver_d),
     ft AS (
       SELECT *,
-        CASE WHEN lower(regexp_extract(url, '\\.(\\w{{1,5}})(\\?.*)?$', 1)) = 'jpeg' THEN 'jpg'
-             WHEN lower(regexp_extract(url, '\\.(\\w{{1,5}})(\\?.*)?$', 1)) = 'tif' THEN 'tiff'
-             ELSE lower(regexp_extract(url, '\\.(\\w{{1,5}})(\\?.*)?$', 1)) END AS ext
+        CASE WHEN lower(regexp_extract(url, '\\.(\\w{{1,5}})([?#].*)?$', 1)) = 'jpeg' THEN 'jpg'
+             WHEN lower(regexp_extract(url, '\\.(\\w{{1,5}})([?#].*)?$', 1)) = 'tif' THEN 'tiff'
+             ELSE lower(regexp_extract(url, '\\.(\\w{{1,5}})([?#].*)?$', 1)) END AS ext
       FROM valid)
     SELECT fid AS foreign_identifier, provider, lic AS license,
            ver AS license_version,

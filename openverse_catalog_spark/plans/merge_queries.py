@@ -316,11 +316,11 @@ def clean_sanitize_strings(spark, sf_dir):
       FROM part
     )
     SELECT p_partkey, url,
-           CASE lower(regexp_extract(url, '\\.(\\w{{1,5}})(\\?.*)?$', 1))
+           CASE lower(regexp_extract(url, '\\.(\\w{{1,5}})([?#].*)?$', 1))
                 WHEN 'jpeg' THEN 'jpg' WHEN 'tif' THEN 'tiff'
-                ELSE CASE WHEN lower(regexp_extract(url, '\\.(\\w{{1,5}})(\\?.*)?$', 1))
+                ELSE CASE WHEN lower(regexp_extract(url, '\\.(\\w{{1,5}})([?#].*)?$', 1))
                                IN ('jpg','png','gif','svg','tiff','webp')
-                          THEN lower(regexp_extract(url, '\\.(\\w{{1,5}})(\\?.*)?$', 1)) END END AS filetype,
+                          THEN lower(regexp_extract(url, '\\.(\\w{{1,5}})([?#].*)?$', 1)) END END AS filetype,
            regexp_replace(url, '\\?.*$', '') AS url_stripped
     FROM urls
     """.replace("{{", "{").replace("}}", "}"),
