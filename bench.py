@@ -72,6 +72,8 @@ HEADLINE = [
     "corpus_pack_sequences",
     "corpus_chunk_docs",
     "sketch_cms_heavy_hitters",
+    "dedup_cross_corpus_bloom",
+    "dedup_semantic_clustered",
     "quality_report_orders",
     "agg_salted_distinct_users",
     "merge_snapshot_diff",

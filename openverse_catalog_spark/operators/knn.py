@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 
 def dot_expr(a: Column, b: Column) -> Column:
@@ -358,10 +359,17 @@ def cosine_near_dup_pairs_blocked(
     vec_col: str = "embedding",
     threshold: float = 0.9,
     n_blocks: int = 8,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Exact embedding-cosine near-dup pairs (cosine >= threshold,
     id_a < id_b) WITHOUT a driver collect or full-corpus broadcast — the
     distributed form of ``cosine_near_dup_pairs_exact``, same results.
+
+    With ``group_cols``, pairs form only WITHIN each group (the group
+    keys join the triangle-block grouping keys and prefix the output):
+    the semantic-blocking form — e.g. k-means cluster ids — where each
+    group's pair space is quadratic in the GROUP, not the corpus, and
+    the triangle blocks bound per-task memory inside large groups.
 
     Triangle blocking: hash every vector into one of ``n_blocks`` blocks,
     replicate it into each of the ``n_blocks`` unordered block pairs that
@@ -378,6 +386,7 @@ def cosine_near_dup_pairs_blocked(
     (rows shuffled = n * n_blocks), the standard all-pairs tradeoff.
     """
     base = _as_double(corpus, vec_col)
+    groups = list(group_cols or [])
     pair_arr = F.array(
         *[
             F.struct(
@@ -389,12 +398,14 @@ def cosine_near_dup_pairs_blocked(
     )
     exploded = (
         base.select(
+            *groups,
             F.col(id_col),
             F.col(vec_col),
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("__b"),
         )
-        .select(id_col, vec_col, "__b", F.explode(pair_arr).alias("__p"))
+        .select(*groups, id_col, vec_col, "__b", F.explode(pair_arr).alias("__p"))
         .select(
+            *groups,
             id_col,
             vec_col,
             "__b",
@@ -407,12 +418,16 @@ def cosine_near_dup_pairs_blocked(
         import numpy as np
         import pandas as pd
 
-        empty = pd.DataFrame(
-            {
-                "id_a": np.array([], dtype="int64"),
-                "id_b": np.array([], dtype="int64"),
-                "cosine": np.array([], dtype="float64"),
-            }
+        def out(id_a, id_b, cosine):
+            res = pd.DataFrame({"id_a": id_a, "id_b": id_b, "cosine": cosine})
+            for g in reversed(groups):
+                res.insert(0, g, pdf[g].iloc[0] if len(pdf) else None)
+            return res
+
+        empty = out(
+            np.array([], dtype="int64"),
+            np.array([], dtype="int64"),
+            np.array([], dtype="float64"),
         )
         if len(pdf) < 2:
             return empty
@@ -423,9 +438,7 @@ def cosine_near_dup_pairs_blocked(
             i, j = np.nonzero(
                 (np.round(scores, 6) >= threshold) & (ids[:, None] < ids[None, :])
             )
-            return pd.DataFrame(
-                {"id_a": ids[i], "id_b": ids[j], "cosine": scores[i, j]}
-            )
+            return out(ids[i], ids[j], scores[i, j])
         left = pdf[pdf["__b"] == pi]
         right = pdf[pdf["__b"] == pj]
         if len(left) == 0 or len(right) == 0:
@@ -435,16 +448,18 @@ def cosine_near_dup_pairs_blocked(
         scores = l_mat @ r_mat.T
         i, j = np.nonzero(np.round(scores, 6) >= threshold)
         a, b = l_ids[i], r_ids[j]
-        return pd.DataFrame(
-            {
-                "id_a": np.minimum(a, b),
-                "id_b": np.maximum(a, b),
-                "cosine": scores[i, j],
-            }
-        )
+        return out(np.minimum(a, b), np.maximum(a, b), scores[i, j])
 
-    return exploded.groupBy("__pi", "__pj").applyInPandas(
-        per_pair, "id_a long, id_b long, cosine double"
+    out_schema = StructType(
+        [exploded.schema[g] for g in groups]
+        + [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+    return exploded.groupBy(*groups, "__pi", "__pj").applyInPandas(
+        per_pair, out_schema
     )
 
 

@@ -22,6 +22,13 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    IntegerType,
+    StructField,
+    StructType,
+)
 
 from openverse_catalog_spark.functions.hashing import hash60, hash60_sql
 
@@ -93,3 +100,171 @@ def cms_estimate(
         .groupBy(col)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
     )
+
+
+# ===========================================================================
+# Bloom filter: mergeable membership sketch
+# ===========================================================================
+#
+# The scale answer to "have we seen this key before?" when the seen-side
+# is too big to broadcast as raw keys but its BITMAP fits on every
+# executor: a 1-billion-key corpus at 10 bits/key is a ~1.2 GB broadcast,
+# vs ~60+ GB of raw url/text-hash keys. The reference answers the same
+# question with a unique index probe (0003_openledger_image_schema.sql);
+# the training-data use is cross-corpus dedup and URL/blocklist pruning,
+# where the bloom prunes the fact side BEFORE the shuffle join and the
+# exact join then removes the (bounded-rate) false positives — the final
+# result stays exact, which is what lets the oracle gate it with a plain
+# NOT EXISTS.
+#
+# Build is fully distributed and mergeable: each partition ORs its keys
+# into a local bitmap (one numpy pass per Arrow batch), emits the bitmap
+# as fixed-size CHUNK rows, and chunks OR-combine in a partial-aggregating
+# groupBy — the shuffle moves n_partitions * (n_bits/8) bytes of bitmap,
+# never the keys. Hashing is the classic Kirsch-Mitzenmacher double hash
+# h1 + i*h2 (uint64 wraparound, identical numpy arithmetic on build and
+# probe), with h1/h2 taken from two md5 halves computed JVM-side.
+
+_BLOOM_CHUNK_BYTES = 64 * 1024
+
+
+def _bloom_hashes(value: Column) -> list[Column]:
+    hex_ = F.md5(value.cast("string"))
+    h1 = F.conv(F.substring(hex_, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(hex_, 17, 15), 16, 10).cast("long")
+    return [h1.alias("__h1"), h2.alias("__h2")]
+
+
+def _probe_idx(h1, h2, n_bits: int, n_hashes: int):
+    """(n_rows, n_hashes) bit indices; pure uint64 numpy on both the
+    build and probe side, so wraparound is consistent by construction."""
+    import numpy as np
+
+    a = h1.to_numpy(dtype="int64").astype("uint64")[:, None]
+    b = h2.to_numpy(dtype="int64").astype("uint64")[:, None]
+    i = np.arange(n_hashes, dtype="uint64")[None, :]
+    # make the stride odd so probes cycle the whole bit space
+    return (a + i * (b * np.uint64(2) + np.uint64(1))) % np.uint64(n_bits)
+
+
+def bloom_build(df: DataFrame, key: Column, n_bits: int, n_hashes: int = 5) -> bytes:
+    """Distributed bloom build over ``key``; returns the assembled bitmap
+    (n_bits/8 bytes) on the driver, ready to broadcast.
+
+    Partitions reduce to bitmap chunks map-side (mapInPandas accumulates
+    across the partition's Arrow batches and emits once), chunks OR-merge
+    in applyInPandas, and only the final n_bits/8 bytes reach the driver.
+    """
+    if n_bits % 8:
+        raise ValueError("n_bits must be a multiple of 8")
+    n_bytes = n_bits // 8
+    chunk = min(_BLOOM_CHUNK_BYTES, n_bytes)
+
+    def to_chunks(batches):
+        import numpy as np
+        import pandas as pd
+
+        bitmap = np.zeros(n_bytes, dtype="uint8")
+        seen = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            seen = True
+            idx = _probe_idx(pdf["__h1"], pdf["__h2"], n_bits, n_hashes).ravel()
+            np.bitwise_or.at(bitmap, (idx >> np.uint64(3)).astype("int64"),
+                             np.left_shift(np.uint8(1), (idx & np.uint64(7)).astype("uint8")))
+        if not seen:
+            return
+        for cid in range(0, n_bytes, chunk):
+            yield pd.DataFrame(
+                {"chunk_id": [cid], "bits": [bitmap[cid:cid + chunk].tobytes()]}
+            )
+
+    schema = StructType([
+        StructField("chunk_id", IntegerType()),
+        StructField("bits", BinaryType()),
+    ])
+
+    def or_merge(pdf):
+        import numpy as np
+        import pandas as pd
+
+        acc = np.frombuffer(pdf["bits"].iloc[0], dtype="uint8").copy()
+        for raw in pdf["bits"].iloc[1:]:
+            acc |= np.frombuffer(raw, dtype="uint8")
+        return pd.DataFrame({"chunk_id": [pdf["chunk_id"].iloc[0]], "bits": [acc.tobytes()]})
+
+    merged = (
+        df.select(*_bloom_hashes(key))
+        .mapInPandas(to_chunks, schema)
+        .groupBy("chunk_id")
+        .applyInPandas(or_merge, schema)
+        .collect()
+    )
+    out = bytearray(n_bytes)
+    for r in merged:
+        out[r["chunk_id"]:r["chunk_id"] + len(r["bits"])] = r["bits"]
+    return bytes(out)
+
+
+def bloom_maybe_contains(
+    df: DataFrame,
+    key: Column,
+    bloom: bytes,
+    n_hashes: int = 5,
+    flag_col: str = "maybe_seen",
+) -> DataFrame:
+    """Append a boolean ``flag_col``: False = DEFINITELY not in the built
+    set (no false negatives), True = maybe (false-positive rate set by
+    the build's bits-per-key). The bitmap is an executor broadcast; the
+    probe is one vectorized numpy pass per Arrow batch, no shuffle."""
+    n_bits = len(bloom) * 8
+    bc = df.sparkSession.sparkContext.broadcast(bloom)
+    cols = list(df.columns)
+    # copy the field list — StructType.add would mutate df's cached schema
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(flag_col, BooleanType())]
+    )
+
+    def probe(batches):
+        import numpy as np
+
+        bitmap = np.frombuffer(bc.value, dtype="uint8")
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            idx = _probe_idx(pdf["__h1"], pdf["__h2"], n_bits, n_hashes)
+            bits = bitmap[(idx >> np.uint64(3)).astype("int64")]
+            hit = (bits >> (idx & np.uint64(7)).astype("uint8")) & np.uint8(1)
+            res = pdf[cols].copy()
+            res[flag_col] = hit.all(axis=1)
+            yield res
+
+    return df.select("*", *_bloom_hashes(key)).mapInPandas(probe, out_schema)
+
+
+def bloom_anti_join(
+    df: DataFrame,
+    seen: DataFrame,
+    key_expr,
+    bloom: bytes,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """Exact ``df ANTI JOIN seen ON key`` with the bloom as pre-filter:
+    rows whose key misses the bloom skip the join entirely (definitely
+    new); only bloom HITS — true dups plus the small false-positive
+    fraction — reach the shuffle anti-join that restores exactness. At
+    scale this turns an all-rows shuffle into a dup-fraction shuffle."""
+    key = key_expr(df) if callable(key_expr) else F.expr(key_expr)
+    flagged = bloom_maybe_contains(df, key, bloom, n_hashes)
+    fresh = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    maybe = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+    seen_keys = seen.select(
+        (key_expr(seen) if callable(key_expr) else F.expr(key_expr)).alias("__k")
+    )
+    survivors = maybe.join(
+        seen_keys,
+        (key_expr(maybe) if callable(key_expr) else F.expr(key_expr)) == F.col("__k"),
+        "left_anti",
+    )
+    return fresh.unionByName(survivors)

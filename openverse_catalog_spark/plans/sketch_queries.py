@@ -70,3 +70,36 @@ def sketch_cms_heavy_hitters(spark, sf_dir):
         .limit(_TOPK)
         .select("user_id", "est", "true_cnt")
     )
+
+
+@register(
+    "dedup_cross_corpus_bloom",
+    """
+    SELECT b.doc_id
+    FROM documents b
+    WHERE b.doc_id % 2 = 0
+      AND NOT EXISTS (
+        SELECT 1 FROM documents a
+        WHERE a.doc_id % 3 = 0 AND a.text = b.text
+      )
+    """,
+)
+def dedup_cross_corpus_bloom(spark, sf_dir):
+    """Cross-corpus exact dedup with a bloom pre-filter: which docs of
+    an incoming batch (doc_id % 2 = 0) are NOT already in the reference
+    corpus (doc_id % 3 = 0, same text)? The seen-side text hashes fold
+    into a distributed bloom bitmap (bloom_build: partitions OR local
+    bitmaps, chunks merge map-side — the shuffle carries bitmaps, never
+    keys); the batch probes it executor-side, and only bloom HITS — true
+    dups plus the bounded false-positive fraction — reach the exact
+    anti-join that keeps the result identical to plain NOT EXISTS. At
+    100 TB the seen corpus is a ~GB broadcast bitmap instead of an
+    all-rows shuffle, and the anti-join input shrinks to the dup rate."""
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    seen = docs.filter(F.col("doc_id") % 3 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 0)
+    bloom = sk.bloom_build(seen, F.md5("text"), n_bits=1 << 17, n_hashes=5)
+    out = sk.bloom_anti_join(
+        batch, seen, lambda d: F.md5(d["text"]), bloom, n_hashes=5
+    )
+    return out.select("doc_id")

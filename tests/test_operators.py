@@ -418,3 +418,37 @@ def test_mmr_rerank_prefers_diversity(spark):
     assert got[1] == 1      # pure relevance
     assert got[2] == 3      # diversity beats the near-duplicate
     assert got[3] == 2
+
+
+def test_grouped_blocked_pairs_stay_within_groups(spark):
+    """With group_cols, pairs only form within a group, the group key
+    prefixes the output, and within-group results equal the ungrouped
+    kernel run on that group alone."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, 0, [1.0, 2.0, 3.0, 4.0]),
+        (2, 0, [2.0, 4.0, 6.0, 8.0]),    # same group, cosine 1.0
+        (3, 1, [1.0, 2.0, 3.0, 4.0]),    # identical vector, OTHER group
+        (4, 1, [1.0, 2.0, 3.0, 4.05]),   # near dup within group 1
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, cid int, embedding array<double>"
+    )
+    got = {
+        (r["cid"], r["id_a"], r["id_b"])
+        for r in knn.cosine_near_dup_pairs_blocked(
+            df, threshold=0.99, n_blocks=3, group_cols=["cid"]
+        ).collect()
+    }
+    # cross-group identical pair (1,3) and (2,3) MUST be absent
+    assert got == {(0, 1, 2), (1, 3, 4)}
+
+    per_group = {
+        (r["id_a"], r["id_b"])
+        for r in knn.cosine_near_dup_pairs_blocked(
+            df.filter(F.col("cid") == 1).drop("cid"),
+            threshold=0.99, n_blocks=3,
+        ).collect()
+    }
+    assert per_group == {(a, b) for (g, a, b) in got if g == 1}

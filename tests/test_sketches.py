@@ -72,3 +72,65 @@ def test_approx_count_distinct_error_bounded(spark):
     df = spark.createDataFrame([(i % 1000,) for i in range(20000)], "v long")
     approx = df.agg(F.approx_count_distinct("v", rsd=0.02).alias("n")).head().n
     assert abs(approx - 1000) / 1000 < 0.06
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def corpora(spark):
+    seen = spark.range(0, 500).select(
+        F.concat(F.lit("doc-"), F.col("id")).alias("k")
+    )
+    batch = spark.range(250, 1000).select(
+        F.col("id"), F.concat(F.lit("doc-"), F.col("id")).alias("k")
+    )
+    return seen, batch
+
+
+def test_bloom_no_false_negatives(corpora, spark):
+    seen, _ = corpora
+    bloom = sk.bloom_build(seen.repartition(7), F.col("k"), n_bits=1 << 14)
+    flagged = sk.bloom_maybe_contains(seen, F.col("k"), bloom)
+    assert flagged.filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_bloom_false_positive_rate_bounded(corpora, spark):
+    seen, _ = corpora
+    bloom = sk.bloom_build(seen, F.col("k"), n_bits=1 << 14)
+    # 10k keys never inserted: with 500 keys in 16384 bits / 5 hashes the
+    # theoretical fp rate is ~0.1%; assert an order-of-magnitude cushion
+    fresh = spark.range(10_000, 20_000).select(
+        F.concat(F.lit("doc-"), F.col("id")).alias("k")
+    )
+    fp = sk.bloom_maybe_contains(fresh, F.col("k"), bloom)
+    assert fp.filter(F.col("maybe_seen")).count() < 100
+
+
+def test_bloom_build_partition_independent(corpora, spark):
+    seen, _ = corpora
+    one = sk.bloom_build(seen.coalesce(1), F.col("k"), n_bits=1 << 13)
+    many = sk.bloom_build(seen.repartition(11), F.col("k"), n_bits=1 << 13)
+    assert one == many  # chunk OR-merge == single-partition build
+
+
+def test_bloom_anti_join_is_exact(corpora, spark):
+    seen, batch = corpora
+    bloom = sk.bloom_build(seen, F.col("k"), n_bits=1 << 14)
+    out = sk.bloom_anti_join(batch, seen, lambda d: d["k"], bloom)
+    plain = batch.join(seen, batch["k"] == seen["k"], "left_anti")
+    assert sorted(r.id for r in out.collect()) == sorted(
+        r.id for r in plain.collect()
+    )
+
+
+def test_bloom_prunes_join_input(corpora, spark):
+    seen, batch = corpora
+    bloom = sk.bloom_build(seen, F.col("k"), n_bits=1 << 14)
+    flagged = sk.bloom_maybe_contains(batch, F.col("k"), bloom)
+    maybes = flagged.filter(F.col("maybe_seen")).count()
+    # 250 true dups + fp fraction of the 500 fresh rows: the anti-join
+    # input must be near the dup count, not the batch size
+    assert 250 <= maybes < 300

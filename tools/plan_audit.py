@@ -95,6 +95,13 @@ AUDIT = [
         "band join and the hamming filter run over distinct values, so "
         "no doc-pair row is ever materialized.",
     ),
+    (
+        "dedup_cross_corpus_bloom",
+        "The seen-side never shuffles as keys: it folds into a bloom "
+        "bitmap (chunked map-side OR-merge), the batch probes the "
+        "broadcast bitmap in one Arrow pass, and only bloom hits reach "
+        "the exact anti-join — the join input shrinks to the dup rate.",
+    ),
 ]
 
 

@@ -46,6 +46,7 @@ PROBES = [
     ("clean_stored_tsv", {"orders": ["o_orderkey"]}),
     ("merge_unique_guard", {"customer": ["c_custkey"]}),
     ("clean_sub_provider_update", {"orders": ["o_orderkey"]}),
+    ("dedup_cross_corpus_bloom", {"documents": ["doc_id"]}),
 ]
 
 
