@@ -74,6 +74,9 @@ HEADLINE = [
     "sketch_cms_heavy_hitters",
     "dedup_cross_corpus_bloom",
     "dedup_semantic_clustered",
+    "corpus_split_leakfree",
+    "corpus_token_budget_cap",
+    "merge_cow_compact",
     "quality_report_orders",
     "agg_salted_distinct_users",
     "merge_snapshot_diff",

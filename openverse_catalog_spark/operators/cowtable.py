@@ -293,6 +293,49 @@ class CowTable:
 
     # -- maintenance --------------------------------------------------------
 
+    def compact(self, target_rows: int = 1_000_000) -> dict:
+        """OPTIMIZE: bin-pack small files (rows < target_rows) into
+        range-clustered files near target size; files already at size
+        carry into the new snapshot by reference. A metadata-plus-
+        rewrite-of-small-files commit — the data is bit-identical, so
+        readers pinned to the old version and readers of the new one see
+        the same rows. Counters the small-file accumulation every
+        streaming/merge ingest path produces (each micro-batch MERGE
+        writes its own files; scan cost grows with file count, not
+        bytes). Returns {version, files_compacted, files_kept,
+        files_written, rows}; no new version if <2 small files exist.
+        """
+        m = self._manifest()
+        small = [e for e in m["files"] if e["rows"] < target_rows]
+        keep = [e for e in m["files"] if e["rows"] >= target_rows]
+        if len(small) < 2:
+            return {
+                "version": m["version"],
+                "files_compacted": 0,
+                "files_kept": len(m["files"]),
+                "files_written": 0,
+                "rows": m["rows"],
+            }
+        small_rows = sum(e["rows"] for e in small)
+        n_files = max(1, -(-small_rows // target_rows))
+        df = self.spark.read.parquet(*[f"{self.root}/{e['path']}" for e in small])
+        new_version = m["version"] + 1
+        data_dir = f"{self.root}/data/v{new_version}"
+        df.repartitionByRange(
+            n_files, *[F.col(k) for k in self.keys]
+        ).write.mode("error").parquet(data_dir)
+        new_entries = _file_stats(
+            self.spark, data_dir, self.keys, f"data/v{new_version}"
+        )
+        self._commit(new_version, keep + new_entries, op="compact")
+        return {
+            "version": new_version,
+            "files_compacted": len(small),
+            "files_kept": len(keep),
+            "files_written": len(new_entries),
+            "rows": sum(e["rows"] for e in keep + new_entries),
+        }
+
     def vacuum(self, keep_versions: int = 1) -> list[str]:
         """Drop manifests older than the newest ``keep_versions`` and
         delete data files no surviving manifest references. Returns the

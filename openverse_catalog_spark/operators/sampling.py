@@ -142,3 +142,97 @@ def domain_mix(
         .filter(_keyhash(F.col(key_col), salt) < threshold(F.col("rate")))
         .drop("rate")
     )
+
+
+def leakage_free_split(
+    df: DataFrame,
+    id_col: str,
+    group_key: Column,
+    cuts: tuple[int, int] = (90, 95),
+    salt: str = "leakfree",
+) -> DataFrame:
+    """Train/val/test assignment where every row of a duplicate GROUP
+    lands in the same split — the guard against test-set leakage through
+    duplicates (a near-copy of a training doc in the eval split measures
+    memorization, not generalization).
+
+    The split is a pure function of the group REPRESENTATIVE (min id per
+    ``group_key``), so group integrity holds by construction. The group
+    key is hashed to 32 bytes before the groupBy, so the shuffle carries
+    md5 keys, never document text; the rep table joins back on the same
+    hash. Appends group_rep / bucket / split.
+    """
+    k = F.md5(group_key.cast("string")).alias("__gk")
+    reps = (
+        df.select(k, F.col(id_col))
+        .groupBy("__gk")
+        .agg(F.min(id_col).alias("group_rep"))
+    )
+    bucket = (_keyhash(F.col("group_rep"), salt) % 100).alias("bucket")
+    return (
+        df.withColumn("__gk", k)
+        .join(reps, "__gk")
+        .drop("__gk")
+        .withColumn("bucket", bucket)
+        .withColumn(
+            "split",
+            F.when(F.col("bucket") < cuts[0], "train")
+            .when(F.col("bucket") < cuts[1], "val")
+            .otherwise("test"),
+        )
+    )
+
+
+def token_budget_cap(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    domain_col: str,
+    budget: int,
+    salt: str = "tokcap",
+    bucket_bits: int = 10,
+) -> DataFrame:
+    """Per-domain token-budget enforcement: walk each domain's docs in
+    deterministic hash order and keep docs while the tokens BEFORE them
+    total under ``budget`` — token-level (not doc-level) downsampling,
+    the knob a training-mix budget actually specifies.
+
+    A naive single window per domain is a scale bottleneck (one task
+    sorts the whole domain). Instead the hash order is split by its own
+    high bits into 2^bucket_bits ranges: per-(domain, bucket) token sums
+    cumulate in a TINY window (<= domains x 2^bucket_bits rows), and the
+    exact running sum runs only WITHIN each bucket partition — identical
+    keep set to the global walk (bucket order IS hash-prefix order), but
+    the largest sort any task performs is a 2^-bucket_bits slice of the
+    domain. Two bounded shuffles + one bucket-partitioned window.
+    """
+    h = _keyhash(F.col(id_col), salt)
+    base = df.withColumn("__h", h).withColumn(
+        "__b", F.shiftright("__h", 60 - bucket_bits).cast("int")
+    )
+    per_bucket = base.groupBy(domain_col, "__b").agg(
+        F.sum(tokens_col).alias("__bt")
+    )
+    wb = (
+        Window.partitionBy(domain_col)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bucket_before = per_bucket.withColumn(
+        "__before_bucket", F.coalesce(F.sum("__bt").over(wb), F.lit(0))
+    ).drop("__bt")
+    wd = (
+        Window.partitionBy(domain_col, "__b")
+        .orderBy("__h", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        base.join(F.broadcast(bucket_before), [domain_col, "__b"])
+        .withColumn(
+            "cum_before",
+            F.col("__before_bucket")
+            + F.coalesce(F.sum(tokens_col).over(wd), F.lit(0)),
+        )
+        .filter(F.col("cum_before") < budget)
+        .drop("__h", "__b", "__before_bucket")
+    )

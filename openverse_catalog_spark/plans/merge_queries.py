@@ -1100,3 +1100,44 @@ def merge_cow_snapshot_diff(spark, sf_dir):
         compare_cols=("url", "title"),
     )
     return diff.groupBy("change_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "merge_cow_compact",
+    f"""
+    WITH target AS ({_COW_TARGET_SQL}),
+    batch AS ({_COW_BATCH_SQL}),
+    guarded AS (
+      SELECT b.* FROM batch b
+      WHERE NOT EXISTS (
+        SELECT 1 FROM target t
+        WHERE t.url = b.url
+          AND (t.provider <> b.provider
+               OR t.foreign_identifier <> b.foreign_identifier))
+    )
+    SELECT COALESCE(b.provider, t.provider) AS provider,
+           COALESCE(b.foreign_identifier, t.foreign_identifier)
+             AS foreign_identifier,
+           COALESCE(b.url, t.url) AS url,
+           COALESCE(b.title, t.title) AS title
+    FROM target t
+    FULL OUTER JOIN guarded b
+      ON t.provider = b.provider
+     AND t.foreign_identifier = b.foreign_identifier
+    """,
+)
+def merge_cow_compact(spark, sf_dir):
+    """OPTIMIZE on the lake table: the MERGE leaves a mix of carried-over
+    and small rewritten files; ``compact`` bin-packs the small ones into
+    range-clustered files near target size and commits a new snapshot.
+    Data is bit-identical across the commit — the oracle is exactly the
+    post-merge state — while the file count collapses and old versions
+    stay readable. The maintenance half of the streaming-ingest story:
+    micro-batch MERGEs accumulate small files, and scan cost follows
+    file count, not bytes, until compaction folds them."""
+    t = _cow_build(spark, sf_dir, "cow_compact", _t)
+    before = t._manifest()["files"]
+    summary = t.compact(target_rows=1_000_000)
+    assert summary["files_compacted"] == len(before) >= 2
+    assert summary["files_written"] < summary["files_compacted"]
+    return t.read().select("provider", "foreign_identifier", "url", "title")

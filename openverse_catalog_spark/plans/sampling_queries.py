@@ -132,3 +132,97 @@ def sample_topk_hash(spark, sf_dir):
         .limit(_TOPK_N)
         .drop("_h")
     )
+
+
+_LF_SALT = "leakfree"
+_LF_D_SQL = """d AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0
+    )"""
+
+
+@register(
+    "corpus_split_leakfree",
+    f"""
+    WITH {_LF_D_SQL},
+    reps AS (SELECT text, min(doc_id) AS group_rep FROM d GROUP BY text)
+    SELECT d.doc_id, r.group_rep,
+           {smp.keyhash_sql("r.group_rep", _LF_SALT)} % 100 AS bucket,
+           CASE WHEN {smp.keyhash_sql("r.group_rep", _LF_SALT)} % 100 < 90
+                  THEN 'train'
+                WHEN {smp.keyhash_sql("r.group_rep", _LF_SALT)} % 100 < 95
+                  THEN 'val'
+                ELSE 'test' END AS split
+    FROM d JOIN reps r ON r.text = d.text
+    """,
+)
+def corpus_split_leakfree(spark, sf_dir):
+    """Leakage-free train/val/test split over a corpus salted with exact
+    duplicates (every 5th doc repeated under a new id): the split is a
+    function of each dup GROUP's representative, so a duplicate can
+    never straddle train and test — the guard against eval contamination
+    that a per-row hash split (corpus_split_assign) does not give. The
+    groupBy shuffles md5(text) keys (32 bytes), never document text; the
+    oracle pins that every group lands whole in one split."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    corpus = d.select("doc_id", "text").unionAll(
+        d.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+    )
+    out = smp.leakage_free_split(corpus, "doc_id", F.col("text"), salt=_LF_SALT)
+    return out.select("doc_id", "group_rep", "bucket", "split")
+
+
+_TB_SALT, _TB_BUDGET = "tokcap", 700
+
+
+@register(
+    "corpus_token_budget_cap",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '')) AS n_tokens,
+             {smp.keyhash_sql("doc_id", _TB_SALT)} AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS cum_before
+      FROM t
+    )
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_before AS BIGINT) AS cum_before
+    FROM c WHERE cum_before < {_TB_BUDGET}
+    """,
+)
+def corpus_token_budget_cap(spark, sf_dir):
+    """Per-source token budget: walk each source's docs in deterministic
+    hash order and keep docs until the tokens before them reach 700 —
+    token-level downsampling, the unit a training-mix budget actually
+    specifies (domain_mix is doc-level). The operator never sorts a
+    whole domain in one task: the hash order splits by its own high bits
+    into 1024 ranges, bucket totals cumulate in a tiny window, and the
+    exact running sum runs only within each (source, bucket) partition —
+    the same keep set as a global walk, shuffle-bounded at any scale.
+    The oracle IS the global walk, pinning that equivalence."""
+    from openverse_catalog_spark.functions import text as tx
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    t = d.select(
+        "doc_id", "source", tx.token_count(F.col("text")).alias("n_tokens")
+    )
+    out = smp.token_budget_cap(
+        t, "doc_id", "n_tokens", "source", _TB_BUDGET, _TB_SALT
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("cum_before").cast("bigint").alias("cum_before"),
+    )

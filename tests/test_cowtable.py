@@ -155,3 +155,47 @@ def test_cow_single_key_table(spark, tmp_path):
     assert res["files_skipped"] > 0
     got = {r["url"]: r["title"] for r in t.read().collect()}
     assert got["u003"] == "updated" and got["u999"] == "new" and len(got) == 21
+
+
+def test_cow_compact_binpacks_small_files(spark, tmp_path):
+    t = CowTable.create(
+        spark, str(tmp_path / "tbl"), mk(spark, _base_rows()), target_files=8
+    )
+    t.merge(mk(spark, _batch_rows()), COLS, deterministic=True)
+    before = _canon(t.read())
+    v_before = t.version
+    n_before = len(t._manifest()["files"])
+    res = t.compact(target_rows=1000)  # every file is "small"
+    assert res["version"] == v_before + 1
+    assert res["files_written"] == 1  # 41 rows << 1000 -> one bin
+    assert res["files_compacted"] == n_before
+    # the data is bit-identical across the compaction commit
+    assert _canon(t.read()) == before
+    assert _canon(t.read(version=v_before)) == before  # time travel intact
+    assert t._manifest()["rows"] == res["rows"] == len(before)
+
+
+def test_cow_compact_keeps_right_sized_files(spark, tmp_path):
+    t = CowTable.create(
+        spark, str(tmp_path / "tbl"), mk(spark, _base_rows()), target_files=2
+    )
+    # 2 files of ~20 rows each: with target 10 both are already at size
+    res = t.compact(target_rows=10)
+    assert res["files_written"] == 0 and res["files_compacted"] == 0
+    assert t.version == 1  # no new version for a no-op
+
+    # with target 1000 both are small -> packed into one
+    res2 = t.compact(target_rows=1000)
+    assert res2["files_compacted"] == 2 and res2["files_written"] == 1
+    assert t._manifest()["operation"] == "compact"
+
+
+def test_cow_merge_after_compact(spark, tmp_path):
+    t = CowTable.create(
+        spark, str(tmp_path / "tbl"), mk(spark, _base_rows()), target_files=4
+    )
+    t.compact(target_rows=1000)
+    t.merge(mk(spark, _batch_rows()), COLS, deterministic=True)
+    tgt = mk(spark, _base_rows())
+    expected = merge_upsert(tgt, mk(spark, _batch_rows()), COLS, deterministic=True)
+    assert _canon(t.read()) == _canon(expected)

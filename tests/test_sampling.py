@@ -106,3 +106,73 @@ def test_topk_hash_uses_partial_topk_not_full_sort(docs):
         df.explain("formatted")
     plan = buf.getvalue()
     assert "TakeOrderedAndProject" in plan  # per-partition heap, no global sort
+
+
+# ---------------------------------------------------------------------------
+# leakage-free split + token budget cap
+# ---------------------------------------------------------------------------
+
+
+def test_leakfree_split_keeps_groups_whole(spark):
+    from pyspark.sql import functions as F
+
+    rows = [(i, f"text-{i % 20}") for i in range(100)]  # 20 groups of 5
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = smp.leakage_free_split(df, "doc_id", F.col("text")).collect()
+    by_text = {}
+    for r in out:
+        by_text.setdefault(r["text"], set()).add((r["split"], r["group_rep"]))
+    assert len(out) == 100
+    for text, assignments in by_text.items():
+        assert len(assignments) == 1  # one (split, rep) per dup group
+    reps = {r["group_rep"] for r in out}
+    assert reps == set(range(20))  # min doc_id per group
+
+
+def test_leakfree_split_partition_independent(spark):
+    from pyspark.sql import functions as F
+
+    rows = [(i, f"text-{i % 7}") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(
+        map(tuple, smp.leakage_free_split(df.coalesce(1), "doc_id", F.col("text"))
+            .select("doc_id", "split").collect())
+    )
+    b = sorted(
+        map(tuple, smp.leakage_free_split(df.repartition(13), "doc_id", F.col("text"))
+            .select("doc_id", "split").collect())
+    )
+    assert a == b
+
+
+def test_token_budget_cap_matches_global_walk(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
+
+    rows = [(i, f"d{i % 3}", (i * 7) % 40 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, dom string, toks long")
+    out = smp.token_budget_cap(df, "id", "toks", "dom", budget=300,
+                               bucket_bits=3)
+    # reference: one global window per domain
+    h = smp._keyhash(F.col("id"), "tokcap")
+    w = (
+        W.partitionBy("dom").orderBy(h, "id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    ref = (
+        df.withColumn("cum_before", F.coalesce(F.sum("toks").over(w), F.lit(0)))
+        .filter(F.col("cum_before") < 300)
+    )
+    got = sorted((r["id"], r["cum_before"]) for r in out.collect())
+    want = sorted((r["id"], r["cum_before"]) for r in ref.collect())
+    assert got == want
+    assert len(got) > 0
+
+
+def test_token_budget_first_doc_always_kept(spark):
+    # a single huge doc exceeds the budget but has nothing before it
+    df = spark.createDataFrame(
+        [(1, "d", 10_000), (2, "d", 10_000)], "id long, dom string, toks long"
+    )
+    out = smp.token_budget_cap(df, "id", "toks", "dom", budget=5)
+    assert out.count() == 1  # exactly the hash-first doc survives
