@@ -77,6 +77,7 @@ HEADLINE = [
     "corpus_split_leakfree",
     "corpus_token_budget_cap",
     "merge_cow_compact",
+    "dedup_exact_substring",
     "quality_report_orders",
     "agg_salted_distinct_users",
     "merge_snapshot_diff",

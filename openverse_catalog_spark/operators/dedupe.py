@@ -502,6 +502,66 @@ def doc_gram_keys(
     )
 
 
+def exact_substring_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    width: int = 64,
+    stride: int = 32,
+    max_df: int | None = None,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Verbatim-span near-dup pairs: docs sharing >= ``min_shared``
+    exact ``width``-char windows sampled every ``stride`` chars (the
+    rolling-window form of exact-substring dedup — catches long copied
+    passages, quote farms and template boilerplate that token-level
+    Jaccard dilutes away). A copied span of length L that survives at
+    aligned offsets contributes ~L/stride shared windows, so
+    ``min_shared`` is a span-length threshold in disguise.
+
+    Entirely expression-side: windows come from one
+    sequence/transform/substring expression (no Python), collapse to
+    distinct 8-byte 60-bit hashes per doc, and pairs form on a window
+    equi-join — the shuffle is linear in windows (~len/stride per doc),
+    never the pair space. ``max_df`` drops boilerplate windows shared by
+    more than that many docs BEFORE the self-join, bounding the pair
+    aggregate at |windows| x max_df (the same stop-key lesson as
+    ``ngram_jaccard_pairs``); always set it at corpus scale. Docs
+    shorter than ``width`` have no window and never pair.
+    """
+    wins = F.expr(
+        f"transform(sequence(0, CAST(floor((length({text_col}) - {width})"
+        f" / {stride}) AS INT)),"
+        f" j -> substring({text_col}, j * {stride} + 1, {width}))"
+    )
+    w = (
+        df.filter(F.length(text_col) >= width)
+        .select(
+            F.col(id_col),
+            F.explode(F.array_distinct(wins)).alias("__w"),
+        )
+        .select(F.col(id_col), hash60(F.col("__w")).alias("__wh"))
+    )
+    if max_df is not None:
+        keep = (
+            w.groupBy("__wh")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .drop("__df")
+        )
+        w = w.join(keep, "__wh", "left_semi")
+    w = w.localCheckpoint(eager=False)  # both self-join sides
+    a = w.select(F.col(id_col).alias("id_a"), "__wh")
+    b = w.select(F.col(id_col).alias("id_b"), "__wh")
+    return (
+        a.join(b, "__wh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+
+
 def contamination_check(
     docs: DataFrame,
     bench: DataFrame,

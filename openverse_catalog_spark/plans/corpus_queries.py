@@ -1571,3 +1571,60 @@ def embed_source_centroids(spark, sf_dir):
             ).alias("cos_to_global"),
         )
     )
+
+
+# --- exact-substring (verbatim span) dedup ---------------------------------
+
+_ES_TAIL = " entirely novel appended tail material"
+_ES_MAXDF = 10
+
+
+@register(
+    "dedup_exact_substring",
+    f"""
+    WITH d AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000,
+             substr(text, 1, 200) || '{_ES_TAIL}'
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    w AS (
+      SELECT DISTINCT d.doc_id,
+             substr(d.text, CAST(j * 32 + 1 AS BIGINT), 64) AS win
+      FROM d,
+           unnest(range(0, CAST(floor((length(d.text) - 64) / 32) AS BIGINT)
+                           + 1)) AS t(j)
+      WHERE length(d.text) >= 64
+    ),
+    keep AS (SELECT win FROM w GROUP BY win HAVING count(*) <= {_ES_MAXDF}),
+    wk AS (SELECT w.doc_id, w.win FROM w JOIN keep USING (win))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+    FROM wk a JOIN wk b ON a.win = b.win AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+)
+def dedup_exact_substring(spark, sf_dir):
+    """Verbatim-span dedup (the exact-substring method): every 10th doc
+    reappears under a new id with its first 200 chars copied and a novel
+    tail, and the operator finds each (original, derivative) pair by
+    their shared 64-char windows at 32-char strides — the copied span
+    yields ~5 aligned shared windows, far over the 2-window floor.
+    Window generation is one sequence/transform expression (no Python);
+    pairs form on an 8-byte window-hash equi-join with a df<=10
+    boilerplate cap applied BEFORE the self-join, so the shuffle is
+    linear in windows and the pair aggregate is df-bounded — the
+    token-level Jaccard operators dilute long copied passages, this one
+    is built for them."""
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    corpus = docs.select("doc_id", "text").unionAll(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.substring("text", 1, 200), F.lit(_ES_TAIL)).alias("text"),
+        )
+    )
+    return dd.exact_substring_pairs(
+        corpus, "doc_id", "text", width=64, stride=32,
+        max_df=_ES_MAXDF, min_shared=2,
+    )

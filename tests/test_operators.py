@@ -452,3 +452,31 @@ def test_grouped_blocked_pairs_stay_within_groups(spark):
         ).collect()
     }
     assert per_group == {(a, b) for (g, a, b) in got if g == 1}
+
+
+def test_exact_substring_pairs_finds_copied_span(spark):
+    base = "".join(chr(97 + (i * 7) % 26) for i in range(300))  # 300 chars
+    rows = [
+        (1, base),
+        (2, base[:200] + " totally different ending material here!!"),
+        (3, "short doc"),                       # < width: never pairs
+        (4, "z" * 64 + base[32:96]),            # misaligned copy: no shared window
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {(r["id_a"], r["id_b"]): r["shared"]
+           for r in dd.exact_substring_pairs(df, "id", "text").collect()}
+    assert set(out) == {(1, 2)}
+    assert out[(1, 2)] == 5  # aligned windows at offsets 0,32,64,96,128
+
+
+def test_exact_substring_max_df_drops_boilerplate(spark):
+    boiler = "x" * 64
+    rows = [(i, boiler + f" unique trailing content number {i} " + "y" * 40)
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    uncapped = dd.exact_substring_pairs(df, "id", "text", min_shared=1).count()
+    capped = dd.exact_substring_pairs(
+        df, "id", "text", min_shared=1, max_df=5
+    ).count()
+    assert uncapped == 30 * 29 // 2  # the shared boilerplate pairs everyone
+    assert capped == 0               # dropped before the self-join
