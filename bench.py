@@ -78,6 +78,7 @@ HEADLINE = [
     "corpus_token_budget_cap",
     "merge_cow_compact",
     "dedup_exact_substring",
+    "text_quality_classifier",
     "quality_report_orders",
     "agg_salted_distinct_users",
     "merge_snapshot_diff",

@@ -57,12 +57,9 @@ def lang_id(c: Column) -> Column:
     return F.when(best["neg_hits"] < 0, best["lang"]).otherwise(F.lit("und"))
 
 
-def quality_score(c: Column) -> Column:
-    """Composite [0,1] quality heuristic: mean of
-      - length score: min(n_chars / 200, 1)
-      - alpha ratio: alphabetic chars / all chars
-      - stopword score: min(stopword_ratio * 4, 1)  (prose has ~25%+)
-    """
+def _quality_features(c: Column) -> tuple[Column, Column, Column]:
+    """(length_score, alpha_ratio, stop_score) — the shared feature
+    triple behind the heuristic mean and the linear classifier."""
     n = F.length(c)
     alpha = F.length(F.regexp_replace(F.lower(c), r"[^a-z]", ""))
     ntok = token_count(c)
@@ -73,7 +70,46 @@ def quality_score(c: Column) -> Column:
         F.when(ntok > 0, stop / ntok.cast("double")).otherwise(F.lit(0.0)) * 4.0,
         F.lit(1.0),
     )
+    return length_score, alpha_ratio, stop_score
+
+
+def quality_score(c: Column) -> Column:
+    """Composite [0,1] quality heuristic: mean of
+      - length score: min(n_chars / 200, 1)
+      - alpha ratio: alphabetic chars / all chars
+      - stopword score: min(stopword_ratio * 4, 1)  (prose has ~25%+)
+    """
+    length_score, alpha_ratio, stop_score = _quality_features(c)
     return (length_score + alpha_ratio + stop_score) / 3.0
+
+
+# default weights for classifier_score: hand-set stand-ins for
+# coefficients a logistic regression would learn offline from a labeled
+# sample (the CCNet/fastText quality-filter shape); punctuation soup is
+# penalized, prose signals rewarded
+QUALITY_CLF_WEIGHTS = (1.2, 2.0, 1.5, -3.0)
+QUALITY_CLF_BIAS = -1.8
+
+
+def classifier_score(
+    c: Column,
+    weights: tuple[float, float, float, float] = QUALITY_CLF_WEIGHTS,
+    bias: float = QUALITY_CLF_BIAS,
+) -> Column:
+    """Model-based quality score: sigmoid of a linear model over
+    (length_score, alpha_ratio, stop_score, punct_ratio).
+
+    The classifier-based filtering stage of a training-data pipeline
+    (CCNet / fastText-style), with the model reduced to its inference
+    form: weights are driver-held constants folded into ONE codegen'd
+    expression — scoring 100 TB is a narrow projection, no UDF, no
+    shuffle, and swapping in re-trained weights is a literal change."""
+    length_score, alpha_ratio, stop_score = _quality_features(c)
+    feats = (length_score, alpha_ratio, stop_score, punct_ratio(c))
+    z = F.lit(float(bias))
+    for w, x in zip(weights, feats):
+        z = z + F.lit(float(w)) * x
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
 
 
 def punct_ratio(c: Column) -> Column:

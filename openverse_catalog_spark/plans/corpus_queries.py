@@ -1628,3 +1628,55 @@ def dedup_exact_substring(spark, sf_dir):
         corpus, "doc_id", "text", width=64, stride=32,
         max_df=_ES_MAXDF, min_shared=2,
     )
+
+
+# --- model-based quality filtering (classifier inference as expression) ----
+
+_CLF_W = tx.QUALITY_CLF_WEIGHTS
+_CLF_B = tx.QUALITY_CLF_BIAS
+
+
+@register(
+    "text_quality_classifier",
+    f"""
+    WITH base AS (
+      SELECT doc_id, length(text) AS n,
+             length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha,
+             length(regexp_replace(text, '[^.,;:!?''\\-]', '', 'g')) AS punct,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id,
+             least(n / 200.0, 1.0) AS ls,
+             CASE WHEN n > 0 THEN CAST(alpha AS DOUBLE) / n ELSE 0.0 END AS ar,
+             least(CASE WHEN len(tk) > 0
+                        THEN CAST(len(list_filter(tk, t -> list_contains([{", ".join(repr(w) for w in tx.EN_STOPWORDS)}], t))) AS DOUBLE) / len(tk)
+                        ELSE 0.0 END * 4.0, 1.0) AS ss,
+             CASE WHEN n > 0 THEN CAST(punct AS DOUBLE) / n ELSE 0.0 END AS pr
+      FROM base
+    ),
+    scored AS (
+      SELECT doc_id,
+             round(1.0 / (1.0 + exp(-({_CLF_B} + {_CLF_W[0]} * ls
+                                      + {_CLF_W[1]} * ar + {_CLF_W[2]} * ss
+                                      + {_CLF_W[3]} * pr))), 6) AS clf_score
+      FROM feats
+    )
+    SELECT doc_id, clf_score FROM scored WHERE clf_score >= 0.75
+    """,
+)
+def text_quality_classifier(spark, sf_dir):
+    """Classifier-based quality filtering (the CCNet/fastText stage of a
+    corpus build) reduced to inference: a logistic model over the
+    quality feature vector, with the weights as driver-held literals
+    folded into one codegen'd projection — scoring is a narrow
+    expression pass at any corpus size, no UDF, no shuffle, and a model
+    refresh is a literal swap. Keeps docs the model scores >= 0.75; the
+    oracle recomputes features, logits and the sigmoid exactly."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    scored = d.select(
+        "doc_id",
+        F.round(tx.classifier_score(F.col("text")), 6).alias("clf_score"),
+    )
+    return scored.filter(F.col("clf_score") >= 0.75)

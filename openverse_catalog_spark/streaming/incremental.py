@@ -412,6 +412,8 @@ def stream_landing_to_cow(
     columns,
     media_type: str = "image",
     deterministic: bool = True,
+    checkpoint_dir: str | None = None,
+    compact_target_rows: int | None = None,
 ):
     """Streaming ingestion end to end: the provider landing zone
     (JSONL files as they arrive) is a file-source STREAM; each
@@ -423,10 +425,16 @@ def stream_landing_to_cow(
     skipping.
 
     availableNow trigger: drains whatever landing files exist and stops
-    — the same call is both the backfill and the incremental tick, and
-    the stream's checkpoint (offsets = processed files) makes re-runs
-    exactly-once per landing file. Returns the CowTable handle."""
-    import tempfile as _tf
+    — the same call is both the backfill and the incremental tick. The
+    checkpoint lives INSIDE the table root by default, so successive
+    ticks share it and each landing file is processed exactly once
+    across calls (pass ``checkpoint_dir`` to place it elsewhere).
+
+    ``compact_target_rows`` runs the table's bin-packing OPTIMIZE after
+    the drain: per-micro-batch MERGEs are exactly the workload that
+    accumulates small files, so ingest-then-compact in one call is the
+    steady-state maintenance loop. Returns the CowTable handle."""
+    import os as _os
 
     from openverse_catalog_spark.operators.cowtable import CowTable
     from openverse_catalog_spark.operators.dedupe import exact_dedupe
@@ -434,6 +442,8 @@ def stream_landing_to_cow(
     from openverse_catalog_spark.sources.providers import staging_schema
 
     table = CowTable(spark, table_root)
+    if checkpoint_dir is None:
+        checkpoint_dir = _os.path.join(table_root, "_checkpoint")
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         cleaned = clean_media_batch(batch_df, spark, media_type)
@@ -454,8 +464,10 @@ def stream_landing_to_cow(
     q = (
         stream.writeStream.foreachBatch(merge_batch)
         .trigger(availableNow=True)
-        .option("checkpointLocation", _tf.mkdtemp(prefix="ckpt_cow_"))
+        .option("checkpointLocation", checkpoint_dir)
         .start()
     )
     q.awaitTermination()
+    if compact_target_rows is not None:
+        table.compact(target_rows=compact_target_rows)
     return table

@@ -480,3 +480,34 @@ def test_exact_substring_max_df_drops_boilerplate(spark):
     ).count()
     assert uncapped == 30 * 29 // 2  # the shared boilerplate pairs everyone
     assert capped == 0               # dropped before the self-join
+
+
+def test_classifier_score_orders_prose_over_soup(spark):
+    from openverse_catalog_spark.functions import text as tx
+
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog and then the "
+            "other animals in the field were watching it with interest. " * 3),
+        (2, "!!!???;;;...,,,:::" * 20),
+        (3, "a b"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    scores = {
+        r["id"]: r["s"]
+        for r in df.select(
+            "id", tx.classifier_score(F.col("text")).alias("s")
+        ).collect()
+    }
+    assert 0.0 < scores[2] < scores[3] < scores[1] < 1.0
+    # punctuation soup must land under the registered keep threshold
+    assert scores[2] < 0.75 <= scores[1]
+
+    # weights are the model: swapping them swaps the decision boundary
+    inv = df.select(
+        "id",
+        tx.classifier_score(
+            F.col("text"), weights=(-1.2, -2.0, -1.5, 3.0), bias=1.8
+        ).alias("s"),
+    ).collect()
+    inv_scores = {r["id"]: r["s"] for r in inv}
+    assert inv_scores[1] < inv_scores[2]

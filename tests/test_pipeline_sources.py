@@ -444,12 +444,24 @@ def test_stream_landing_to_cow_table(spark, tmp_path):
     first = {r["foreign_identifier"] for r in t.read().collect()}
     assert first == {"1000", "1001", "1002", "1003"}
 
-    # second tick: two new photos land; only they are merged
+    # second tick: two new photos land; the shared in-root checkpoint
+    # means ONLY the new landing files feed this drain
     f2 = provider_fetcher(
         FlickrStyleAdapter(), _flickr_fetch([[_flickr_photo(i) for i in (9, 12)]])
     )
     write_landing(f2, landing, "2024-01-02", "flickr")
     t = stream_landing_to_cow(spark, landing, root, cols)
+    assert t.version == 3
     got = {r["foreign_identifier"]: r for r in t.read().collect()}
     assert set(got) == first | {"1009", "1012"}
     assert got["1000"].license in {"by-nc-sa", "by-nc", "by"}
+
+    # no new files -> no micro-batch, no new version (exactly-once)
+    t = stream_landing_to_cow(spark, landing, root, cols)
+    assert t.version == 3
+
+    # steady-state maintenance: drain + bin-pack OPTIMIZE in one call
+    t = stream_landing_to_cow(spark, landing, root, cols,
+                              compact_target_rows=10_000)
+    assert t._manifest()["operation"] == "compact"
+    assert {r["foreign_identifier"] for r in t.read().collect()} == set(got)
