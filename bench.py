@@ -79,6 +79,7 @@ HEADLINE = [
     "merge_cow_compact",
     "dedup_exact_substring",
     "text_quality_classifier",
+    "embed_project_rp",
     "quality_report_orders",
     "agg_salted_distinct_users",
     "merge_snapshot_diff",

@@ -681,3 +681,47 @@ def mmr_rerank(
 
     schema = f"{query_col} long, {id_col} long, mmr_rank int, score double"
     return cand.groupBy(query_col).applyInPandas(pick, schema)
+
+
+def random_project(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_dim: int = 8,
+    seed: str = "rp",
+) -> DataFrame:
+    """Johnson-Lindenstrauss-style random projection to ``out_dim``
+    dims: one (batch x dim) @ (dim x out_dim) GEMM per Arrow batch
+    against an md5-derived matrix (deterministic across engines/runs —
+    no RNG state, same derivation as the sign-LSH planes). The cheap
+    front half of ANN/clustering at scale: an 8x-64x narrower vector
+    preserves pairwise geometry within the JL bound, and every
+    downstream operator (kmeans, LSH, GEMM top-k) runs on the narrow
+    column at a fraction of the FLOPs/shuffle bytes. Output columns
+    y0..y{out_dim-1}; no shuffle at any corpus size."""
+    import numpy as np
+
+    head = corpus.select(vec_col).first()
+    if head is None:
+        dim = 1
+    else:
+        dim = len(head[0])
+    mat = np.array(random_planes(dim, out_dim, seed=seed)).T  # (dim, out_dim)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+            y = x @ mat
+            data = {id_col: pdf[id_col].to_numpy(dtype="int64")}
+            for p in range(out_dim):
+                data[f"y{p}"] = y[:, p]
+            yield pd.DataFrame(data)
+
+    fields = ", ".join(f"y{p} double" for p in range(out_dim))
+    return corpus.select(id_col, vec_col).mapInPandas(
+        gen, f"{id_col} long, {fields}"
+    )

@@ -1680,3 +1680,53 @@ def text_quality_classifier(spark, sf_dir):
         F.round(tx.classifier_score(F.col("text")), 6).alias("clf_score"),
     )
     return scored.filter(F.col("clf_score") >= 0.75)
+
+
+# --- random-projection dimensionality reduction ----------------------------
+
+_RP_DIM = 8
+
+
+def _rp_oracle() -> str:
+    ys = ",\n           ".join(
+        f"round(max(CASE WHEN p = {p} THEN y END), 6) AS y{p}"
+        for p in range(_RP_DIM)
+    )
+    return f"""
+    WITH ex AS (
+      SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, generate_series(1, 64) AS t(i)
+    ),
+    pl AS (
+      SELECT ps.p, ds.d,
+             CAST(('0x' || substr(md5('rp|' || CAST(ps.p AS VARCHAR) || '|'
+                   || CAST(ds.d AS VARCHAR)), 1, 8)) AS BIGINT)
+               / 2147483648.0 - 1.0 AS w
+      FROM generate_series(0, {_RP_DIM - 1}) AS ps(p),
+           generate_series(0, 63) AS ds(d)
+    ),
+    proj AS (
+      SELECT e.vec_id, pl.p, sum(e.x * pl.w) AS y
+      FROM ex e JOIN pl ON pl.d = e.i - 1
+      GROUP BY 1, 2
+    )
+    SELECT vec_id,
+           {ys}
+    FROM proj GROUP BY vec_id
+    """
+
+
+@register("embed_project_rp", _rp_oracle())
+def embed_project_rp(spark, sf_dir):
+    """Random-projection dimensionality reduction (64 -> 8 dims): one
+    GEMM per Arrow batch against an md5-derived JL matrix — the cheap
+    front half of ANN/clustering at 100 TB, where every downstream
+    operator then runs on an 8x narrower vector. Deterministic planes
+    (same derivation as the sign-LSH oracle) let DuckDB rebuild the
+    exact projection, so even the dimensionality reducer is value-gated.
+    No shuffle: a streaming Arrow pass at any corpus size."""
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    out = knn.random_project(e, "vec_id", "embedding", out_dim=_RP_DIM)
+    return out.select(
+        "vec_id", *[F.round(f"y{p}", 6).alias(f"y{p}") for p in range(_RP_DIM)]
+    )

@@ -511,3 +511,21 @@ def test_classifier_score_orders_prose_over_soup(spark):
     ).collect()
     inv_scores = {r["id"]: r["s"] for r in inv}
     assert inv_scores[1] < inv_scores[2]
+
+
+def test_random_project_is_linear_and_deterministic(spark):
+    rows = [(1, [1.0, 2.0, 3.0, 4.0]), (2, [2.0, 4.0, 6.0, 8.0]),
+            (3, [0.0, 0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: [r[f"y{p}"] for p in range(4)]
+           for r in knn.random_project(df, out_dim=4).collect()}
+    again = {r["vec_id"]: [r[f"y{p}"] for p in range(4)]
+             for r in knn.random_project(df, out_dim=4).collect()}
+    assert out == again                                   # deterministic
+    for p in range(4):
+        assert abs(out[2][p] - 2 * out[1][p]) < 1e-12     # linear
+        assert out[3][p] == 0.0                           # zero maps to zero
+    # projection is partition-layout independent
+    parts = {r["vec_id"]: [r[f"y{p}"] for p in range(4)]
+             for r in knn.random_project(df.repartition(3), out_dim=4).collect()}
+    assert parts == out

@@ -217,3 +217,42 @@ def test_bucketed_join_has_no_join_exchange(spark, sf_dir):
     ]
     # exactly one exchange: the groupBy on o_orderpriority
     assert len(shuffles) == 1 and "o_orderpriority" in shuffles[0]
+
+
+def test_token_budget_cap_never_sorts_whole_domain(spark, sf_dir):
+    """The running-sum windows must partition on (domain, bucket), never
+    on the domain alone — a domain-wide sort in one task is exactly the
+    skew bottleneck the bucketed design removes."""
+    from openverse_catalog_spark.plans import sampling_queries  # noqa: F401
+
+    plan = _plan(QUERIES["corpus_token_budget_cap"](spark, sf_dir))
+    # every window partitioning over the doc rows must include the
+    # bucket column; the only domain-only window runs over the tiny
+    # per-bucket aggregate (its input is a HashAggregate, bounded rows)
+    import re
+
+    doc_windows = [
+        m for m in re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+        if "source" in m and "__b" not in m
+    ]
+    # domain-only partitionings exist solely for the <=domains*1024-row
+    # bucket cumsum (fed by the aggregate), so at most one such exchange
+    assert len(doc_windows) <= 1
+
+
+def test_random_project_no_shuffle(spark, sf_dir):
+    plan = _plan(QUERIES["embed_project_rp"](spark, sf_dir))
+    assert "Exchange" not in plan  # pure Arrow pass at any scale
+
+
+def test_bloom_anti_join_prunes_before_exchange(spark, sf_dir):
+    """Both union branches must filter on the bloom flag BEFORE any
+    exchange: the definitely-new branch never joins, and only the
+    maybe-branch (dup-rate sized) feeds the anti-join."""
+    from openverse_catalog_spark.plans import sketch_queries  # noqa: F401
+
+    plan = _plan(QUERIES["dedup_cross_corpus_bloom"](spark, sf_dir))
+    assert "Union" in plan
+    assert plan.count("MapInPandas") >= 2  # a probe stage per branch
+    # the anti-join itself runs on the filtered maybe-branch
+    assert "LeftAnti" in plan
