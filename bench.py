@@ -80,6 +80,7 @@ HEADLINE = [
     "dedup_exact_substring",
     "text_quality_classifier",
     "embed_project_rp",
+    "agg_anomaly_mad",
     "quality_report_orders",
     "agg_salted_distinct_users",
     "merge_snapshot_diff",

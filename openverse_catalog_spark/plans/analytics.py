@@ -1542,3 +1542,57 @@ def agg_inaturalist_load_stats(spark, sf_dir):
         ).alias("url_dup"),
         F.countDistinct(F.when(ok, url)).alias("upserted"),
     )
+
+
+@register(
+    "agg_anomaly_mad",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_disc(value, 0.5) AS med
+      FROM events GROUP BY 1
+    ),
+    dev AS (
+      SELECT e.event_id, e.event_type, e.value, m.med,
+             abs(e.value - m.med) AS ad
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (SELECT event_type, quantile_disc(ad, 0.5) AS mad FROM dev GROUP BY 1)
+    SELECT d.event_id, d.event_type,
+           round(d.value, 2) AS value,
+           round(d.med, 2) AS med,
+           round(m2.mad, 2) AS mad
+    FROM dev d JOIN mad m2 USING (event_type)
+    WHERE m2.mad > 0 AND d.ad > 3 * m2.mad
+    """,
+)
+def agg_anomaly_mad(spark, sf_dir):
+    """Robust anomaly detection: flag events whose value deviates from
+    their type's median by more than 3x the median absolute deviation —
+    the outlier rule that mean/stddev z-scores get wrong on skewed
+    metrics (the outliers inflate the stddev that is supposed to catch
+    them; median and MAD have 50% breakdown). Both statistics are exact
+    sort-based percentiles (percentile_disc_multi, huge-group safe) and
+    both join back as broadcast dimensions — two bounded shuffles on the
+    group key, the fact table itself never sorts globally. The deviation
+    compare is raw double arithmetic on both engines, so even the
+    boundary rows gate exactly."""
+    from openverse_catalog_spark.operators.popularity import percentile_disc_multi
+
+    e = _t(spark, sf_dir, "events")["events"]
+    med = percentile_disc_multi(e, ["event_type"], "value", {"med": 0.5})
+    dev = (
+        e.join(F.broadcast(med), "event_type")
+        .withColumn("__ad", F.abs(F.col("value") - F.col("med")))
+    )
+    mad = percentile_disc_multi(dev, ["event_type"], "__ad", {"mad": 0.5})
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter((F.col("mad") > 0) & (F.col("__ad") > 3 * F.col("mad")))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            F.round("med", 2).alias("med"),
+            F.round("mad", 2).alias("mad"),
+        )
+    )
