@@ -81,6 +81,7 @@ HEADLINE = [
     "text_quality_classifier",
     "embed_project_rp",
     "agg_anomaly_mad",
+    "join_scd2_point_in_time",
     "quality_report_orders",
     "agg_salted_distinct_users",
     "merge_snapshot_diff",

@@ -1596,3 +1596,90 @@ def agg_anomaly_mad(spark, sf_dir):
             F.round("mad", 2).alias("mad"),
         )
     )
+
+
+@register(
+    "join_scd2_point_in_time",
+    """
+    WITH marked AS (
+      SELECT user_id, event_type AS state, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events WHERE event_type IN ('click', 'view', 'error')
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    islands AS (
+      SELECT user_id, state, ts,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      FROM marked
+    ),
+    spans AS (
+      SELECT user_id, state, min(ts) AS valid_from
+      FROM islands GROUP BY user_id, state, grp
+    ),
+    dim AS (
+      SELECT user_id, state, valid_from,
+             lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to
+      FROM spans
+    )
+    SELECT p.event_id, p.user_id, d.state,
+           epoch_us(d.valid_from) AS valid_from_us
+    FROM events p
+    JOIN dim d
+      ON d.user_id = p.user_id
+     AND p.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def join_scd2_point_in_time(spark, sf_dir):
+    """Point-in-time join against a versioned dimension: each purchase
+    picks the activity-state span (click/view/error SCD2 history) valid
+    AT its timestamp — interval containment against type-2 validity
+    ranges, the lookup every time-correct feature/training pipeline
+    needs (joining today's dimension onto yesterday's facts leaks the
+    future). The span dimension is per-user bounded, so the plan is ONE
+    user_id equi-join shuffle with the interval predicate as a post-join
+    filter; the history build itself reuses the single-shuffle
+    gaps-and-islands pass of merge_scd2_history."""
+    e = _t(spark, sf_dir, "events")["events"]
+    status = e.filter(F.col("event_type").isin("click", "view", "error"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked = status.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "ts",
+        "event_id",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        ).otherwise(0).alias("chg"),
+    )
+    islands = marked.withColumn("grp", F.sum("chg").over(run))
+    spans = islands.groupBy("user_id", "state", "grp").agg(
+        F.min("ts").alias("valid_from")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    dim = spans.select(
+        "user_id",
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return (
+        purchases.join(dim, "user_id")
+        .filter(
+            (F.col("ts") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to")))
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "state",
+            F.unix_micros("valid_from").alias("valid_from_us"),
+        )
+    )
