@@ -82,6 +82,7 @@ HEADLINE = [
     "embed_project_rp",
     "agg_anomaly_mad",
     "join_scd2_point_in_time",
+    "stream_quality_monitor",
     "quality_report_orders",
     "agg_salted_distinct_users",
     "merge_snapshot_diff",

@@ -284,3 +284,40 @@ def q_stream_stateful_quota(spark, sf_dir):
     from openverse_catalog_spark.streaming.incremental import stream_stateful_quota
 
     return stream_stateful_quota(spark, sf_dir)
+
+
+@register(
+    "stream_quality_monitor",
+    """
+    WITH s AS (
+      SELECT
+        count(*) FILTER (WHERE NOT coalesce(user_id IS NOT NULL, false)) AS nn,
+        count(*) FILTER (WHERE NOT coalesce(value BETWEEN 0 AND 300, false)) AS rng,
+        count(*) FILTER (WHERE NOT coalesce(
+          event_type IN ('click', 'view', 'purchase', 'signup'), false)) AS st,
+        count(*) FILTER (WHERE NOT coalesce(
+          regexp_matches(props, '^\\{"k": [0-9]\\}$'), false)) AS rx
+      FROM events
+    )
+    SELECT "check", violations, violations = 0 AS passed FROM (
+      SELECT 'not_null(user_id)' AS "check", nn AS violations FROM s
+      UNION ALL SELECT 'in_range(value)', rng FROM s
+      UNION ALL SELECT 'in_set(event_type)', st FROM s
+      UNION ALL SELECT 'matches(props)', rx FROM s
+    )
+    """,
+)
+def q_stream_quality_monitor(spark, sf_dir):
+    """Continuous data-quality monitoring: the declarative rule suite
+    runs per micro-batch inside foreachBatch and the per-rule violation
+    counters ACCUMULATE — additive row sums are batch-boundary
+    independent, so the streamed totals hash-match the one-shot batch
+    report. Row-local rules only (unique/FK need the batch gate: per-
+    batch uniqueness does not compose). The quality gate the reference
+    runs per load (loader/reporting.py), kept running on an unbounded
+    stream."""
+    from openverse_catalog_spark.streaming.incremental import (
+        stream_quality_monitor,
+    )
+
+    return stream_quality_monitor(spark, sf_dir)

@@ -471,3 +471,49 @@ def stream_landing_to_cow(
     if compact_target_rows is not None:
         table.compact(target_rows=compact_target_rows)
     return table
+
+
+def stream_quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous data-quality monitoring: each micro-batch of the event
+    stream runs the declarative rule suite (operators/quality.py, one
+    scan per batch) inside foreachBatch, and per-rule violation counts
+    ACCUMULATE — the counters are additive row sums, so the totals are
+    independent of batch boundaries and equal the one-shot batch report
+    the oracle computes. Only row-local rules belong here (not_null /
+    in_range / in_set / regex); cross-row rules (unique, FK) need the
+    batch gate or a stateful dedup stage, because per-batch uniqueness
+    does not compose into global uniqueness. AvailableNow to completion;
+    returns (check, violations, passed)."""
+    from openverse_catalog_spark.operators.quality import (
+        in_range,
+        in_set,
+        matches,
+        not_null,
+        quality_report,
+    )
+
+    rules = [
+        not_null("user_id"),
+        in_range("value", 0, 300),
+        in_set("event_type", ["click", "view", "purchase", "signup"]),
+        matches("props", r'^\{"k": [0-9]\}$'),
+    ]
+    totals: dict[str, int] = {}
+
+    def score_batch(batch_df: DataFrame, batch_id: int) -> None:
+        for r in quality_report(batch_df, rules).collect():
+            totals[r["check"]] = totals.get(r["check"], 0) + r["violations"]
+
+    q = (
+        _events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(score_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_qm_"))
+        .start()
+    )
+    q.awaitTermination()
+    rows = [(r.name, int(totals.get(r.name, 0))) for r in rules]
+    out = spark.createDataFrame(rows, "check string, violations long")
+    return out.select(
+        "check", "violations", (F.col("violations") == 0).alias("passed")
+    )
