@@ -83,6 +83,7 @@ HEADLINE = [
     "agg_anomaly_mad",
     "join_scd2_point_in_time",
     "stream_quality_monitor",
+    "dedup_ngram_containment",
     "quality_report_orders",
     "agg_salted_distinct_users",
     "merge_snapshot_diff",

@@ -861,3 +861,57 @@ def fuzzy_pairs(
         .filter(F.col("dist") >= 0)
         .select("id_a", "id_b", "dist")
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    max_df: int | None = None,
+    min_containment: float = 0.9,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT: |A∩B| / min(|A|, |B|) — the
+    subset/quote detector Jaccard misses. A short doc fully embedded in
+    a long one has near-1 containment but tiny Jaccard (the union is
+    dominated by the long doc), so resemblance thresholds never fire;
+    containment normalizes by the smaller gram set and catches it.
+
+    Same scale shape as ``ngram_jaccard_pairs``: distinct compact gram
+    keys per doc (one Arrow pass), optional ``max_df`` stop-gram cap
+    BEFORE the self-join, pair aggregate bounded by |grams| x max_df.
+    Emits (id_a, id_b, containment) for pairs at or above the floor."""
+    g = doc_gram_keys(df, id_col, text_col, n=n).localCheckpoint(eager=False)
+    if max_df is not None:
+        keep = (
+            g.groupBy("__g")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .drop("__df")
+        )
+        g = g.join(keep, "__g", "left_semi").localCheckpoint(eager=False)
+    sizes = g.groupBy(id_col).agg(F.count("*").alias("__sz"))
+    a = g.select(F.col(id_col).alias("id_a"), "__g")
+    b = g.select(F.col(id_col).alias("id_b"), "__g")
+    inter = (
+        a.join(b, "__g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("__i"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("__sza")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("__szb")),
+            "id_b",
+        )
+        .withColumn(
+            "containment",
+            F.col("__i") / F.least(F.col("__sza"), F.col("__szb")),
+        )
+        .filter(F.col("containment") >= min_containment)
+        .select("id_a", "id_b", "containment")
+    )

@@ -1730,3 +1730,58 @@ def embed_project_rp(spark, sf_dir):
     return out.select(
         "vec_id", *[F.round(f"y{p}", 6).alias(f"y{p}") for p in range(_RP_DIM)]
     )
+
+
+# --- n-gram containment (subset / quote detection) -------------------------
+
+
+@register(
+    "dedup_ngram_containment",
+    """
+    WITH d AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 3000000, substr(text, 1, 150)
+      FROM documents WHERE doc_id % 8 = 0
+    ),
+    toks AS (SELECT doc_id,
+                    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
+             FROM d),
+    allgrams AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS g
+                 FROM (SELECT doc_id, tk,
+                              unnest(range(1, greatest(len(tk) - 2, 1) + 1)) AS i
+                       FROM toks)),
+    dfc AS (SELECT g, count(*) AS df FROM allgrams GROUP BY 1),
+    grams AS (SELECT allgrams.* FROM allgrams JOIN dfc USING (g) WHERE df <= 64),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(CAST(i AS DOUBLE) / least(sa.sz, sb.sz), 4) AS containment
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a
+               JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(i AS DOUBLE) / least(sa.sz, sb.sz) >= 0.9
+    """,
+)
+def dedup_ngram_containment(spark, sf_dir):
+    """Asymmetric containment |A∩B| / min(|A|,|B|) over word-3-grams:
+    every 8th doc reappears truncated to its first 150 chars — a pure
+    SUBSET whose Jaccard against its parent is small (the union is the
+    parent) but whose containment is ~1, so resemblance dedup never
+    fires and this does. The quote/excerpt detector of the dedup
+    family; same scale shape as the Jaccard operator (compact gram
+    keys, df-capped stop-grams dropped before the self-join)."""
+    docs = _t(spark, sf_dir, "documents")["documents"]
+    corpus = docs.select("doc_id", "text").unionAll(
+        docs.filter(F.col("doc_id") % 8 == 0).select(
+            (F.col("doc_id") + 3_000_000).alias("doc_id"),
+            F.substring("text", 1, 150).alias("text"),
+        )
+    )
+    out = dd.ngram_containment_pairs(
+        corpus, "doc_id", "text", n=3, max_df=64, min_containment=0.9
+    )
+    return out.select(
+        "id_a", "id_b", F.round("containment", 4).alias("containment")
+    )

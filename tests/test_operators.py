@@ -529,3 +529,20 @@ def test_random_project_is_linear_and_deterministic(spark):
     parts = {r["vec_id"]: [r[f"y{p}"] for p in range(4)]
              for r in knn.random_project(df.repartition(3), out_dim=4).collect()}
     assert parts == out
+
+
+def test_ngram_containment_catches_subset_jaccard_misses(spark):
+    long = " ".join(f"w{i}" for i in range(120))
+    rows = [
+        (1, long),
+        (2, " ".join(f"w{i}" for i in range(20))),   # pure prefix subset
+        (3, " ".join(f"x{i}" for i in range(20))),   # disjoint
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    cont = {(r["id_a"], r["id_b"]): r["containment"]
+            for r in dd.ngram_containment_pairs(
+                df, "id", "text", min_containment=0.9).collect()}
+    assert set(cont) == {(1, 2)} and cont[(1, 2)] == 1.0
+    # the same pair is invisible to a 0.3-Jaccard floor: union-dominated
+    jac = dd.ngram_jaccard_pairs(df, "id", "text", n=3, min_jaccard=0.3)
+    assert jac.count() == 0
