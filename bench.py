@@ -84,6 +84,8 @@ HEADLINE = [
     "join_scd2_point_in_time",
     "stream_quality_monitor",
     "dedup_ngram_containment",
+    "sample_weighted",
+    "corpus_epoch_shuffle",
     "quality_report_orders",
     "agg_salted_distinct_users",
     "merge_snapshot_diff",

@@ -236,3 +236,47 @@ def token_budget_cap(
         .filter(F.col("cum_before") < budget)
         .drop("__h", "__b", "__before_bucket")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight: Column,
+    scale: float = 1.0,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted Bernoulli: row kept with probability
+    min(scale * weight, 1) — importance sampling with the same
+    engine/partition/run independence as ``hash_sample`` (the decision
+    is a pure function of (salt, key, weight)). A narrow filter, no
+    shuffle; the training-data use is quality- or length-proportional
+    retention where a uniform rate would over-keep boilerplate."""
+    rate = F.least(weight * F.lit(float(scale)), F.lit(1.0))
+    return df.filter(_keyhash(F.col(key_col), salt) < threshold(rate))
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    key_col: str,
+    epoch: int,
+    n_shards: int,
+    salt: str = "epoch",
+) -> DataFrame:
+    """Deterministic training-order assignment: every row gets a
+    (shard, pos) for the given epoch — hash(salt|epoch|key) drives both
+    shard routing and within-shard order, so each epoch is a fresh
+    pseudo-random global permutation that any engine reproduces, and
+    NOTHING global ever sorts: the only shuffle partitions on shard and
+    each task orders its own shard (repartition + sortWithinPartitions
+    at write time; here a per-shard window for an explicit pos). The
+    distributed answer to 'shuffle the corpus every epoch' that a naive
+    ORDER BY rand() gets wrong twice (nondeterministic AND a global
+    sort)."""
+    h = _keyhash(F.col(key_col), f"{salt}|{epoch}")
+    w = Window.partitionBy("shard").orderBy("__h", key_col)
+    return (
+        df.withColumn("__h", h)
+        .withColumn("shard", (F.col("__h") % n_shards).cast("int"))
+        .withColumn("pos", F.row_number().over(w))
+        .drop("__h")
+    )

@@ -226,3 +226,57 @@ def corpus_token_budget_cap(spark, sf_dir):
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
         F.col("cum_before").cast("bigint").alias("cum_before"),
     )
+
+
+_W_SALT, _W_SCALE_DIV = "wsample", 400.0
+
+
+@register(
+    "sample_weighted",
+    f"""
+    SELECT doc_id, n_chars
+    FROM documents
+    WHERE {smp.keyhash_sql("doc_id", _W_SALT)}
+          < {smp.threshold_sql(f"least(n_chars / {_W_SCALE_DIV}, 1.0)")}
+    """,
+)
+def sample_weighted(spark, sf_dir):
+    """Deterministic weighted Bernoulli: each doc kept with probability
+    proportional to its length (min(n_chars/400, 1)) — importance
+    sampling where a uniform rate would over-keep short boilerplate.
+    Same engine/partition/run independence as the uniform sampler (keep
+    decision = pure function of salt, key, weight); a narrow filter,
+    no shuffle, exact-membership oracle."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return smp.weighted_sample(
+        d, "doc_id", F.col("n_chars") / _W_SCALE_DIV, salt=_W_SALT
+    ).select("doc_id", "n_chars")
+
+
+_EP, _EP_SHARDS = 1, 8
+
+
+@register(
+    "corpus_epoch_shuffle",
+    f"""
+    SELECT doc_id,
+           CAST(h % {_EP_SHARDS} AS INT) AS shard,
+           CAST(row_number() OVER (PARTITION BY h % {_EP_SHARDS}
+                                   ORDER BY h, doc_id) AS INT) AS pos
+    FROM (SELECT doc_id, {smp.keyhash_sql("doc_id", f"epoch|{_EP}")} AS h
+          FROM documents)
+    """,
+)
+def corpus_epoch_shuffle(spark, sf_dir):
+    """Deterministic per-epoch training order: hash(salt|epoch|doc_id)
+    drives both shard routing and within-shard position, so every epoch
+    is a fresh pseudo-random global permutation that any engine
+    reproduces — and nothing global ever sorts (the one shuffle
+    partitions on shard; each task orders only its own shard). The
+    distributed answer to 'reshuffle the corpus every epoch' that ORDER
+    BY rand() gets wrong twice: nondeterministic AND a global sort."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    out = smp.epoch_shuffle(d, "doc_id", epoch=_EP, n_shards=_EP_SHARDS)
+    return out.select(
+        "doc_id", "shard", F.col("pos").cast("int").alias("pos")
+    )

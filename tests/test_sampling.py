@@ -176,3 +176,42 @@ def test_token_budget_first_doc_always_kept(spark):
     )
     out = smp.token_budget_cap(df, "id", "toks", "dom", budget=5)
     assert out.count() == 1  # exactly the hash-first doc survives
+
+
+def test_weighted_sample_rate_tracks_weight(spark):
+    from pyspark.sql import functions as F
+
+    # weight 1.0 keeps everything; weight 0 keeps nothing
+    df = spark.range(0, 2000).select(F.col("id"))
+    all_kept = smp.weighted_sample(df, "id", F.lit(1.0)).count()
+    none = smp.weighted_sample(df, "id", F.lit(0.0)).count()
+    half = smp.weighted_sample(df, "id", F.lit(0.5)).count()
+    assert all_kept == 2000 and none == 0
+    assert 850 <= half <= 1150  # ~Bernoulli(0.5)
+    # deterministic: same call, same membership
+    a = {r["id"] for r in smp.weighted_sample(df, "id", F.lit(0.3)).collect()}
+    b = {r["id"] for r in smp.weighted_sample(df, "id", F.lit(0.3)).collect()}
+    assert a == b
+
+
+def test_epoch_shuffle_permutes_and_differs_by_epoch(spark):
+    df = spark.range(0, 500).selectExpr("id AS doc_id")
+    e1 = smp.epoch_shuffle(df, "doc_id", epoch=1, n_shards=4).collect()
+    e2 = smp.epoch_shuffle(df, "doc_id", epoch=2, n_shards=4).collect()
+    # complete coverage: every doc exactly once, positions contiguous
+    assert len(e1) == 500
+    for rows in (e1, e2):
+        by_shard: dict[int, list[int]] = {}
+        for r in rows:
+            by_shard.setdefault(r["shard"], []).append(r["pos"])
+        for poss in by_shard.values():
+            assert sorted(poss) == list(range(1, len(poss) + 1))
+    # different epochs give different orders (new permutation each epoch)
+    o1 = {(r["doc_id"]): (r["shard"], r["pos"]) for r in e1}
+    o2 = {(r["doc_id"]): (r["shard"], r["pos"]) for r in e2}
+    assert o1 != o2
+    # partition-layout independent
+    e1b = smp.epoch_shuffle(df.repartition(7), "doc_id", epoch=1, n_shards=4)
+    assert {(r["doc_id"], r["shard"], r["pos"]) for r in e1b.collect()} == {
+        (r["doc_id"], r["shard"], r["pos"]) for r in e1
+    }
