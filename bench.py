@@ -86,6 +86,7 @@ HEADLINE = [
     "dedup_ngram_containment",
     "sample_weighted",
     "corpus_epoch_shuffle",
+    "profile_drift_orders",
     "quality_report_orders",
     "agg_salted_distinct_users",
     "merge_snapshot_diff",

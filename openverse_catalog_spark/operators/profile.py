@@ -94,3 +94,36 @@ def compaction_plan(
     return packed.select(
         "dir", "path", "bytes", F.col("_bin").alias("bin")
     )
+
+
+def profile_drift(
+    a: DataFrame, b: DataFrame, cols: Sequence[str], exact: bool = False
+) -> DataFrame:
+    """Column-level drift between two slices (yesterday vs today, train
+    vs serving): both sides run the one-agg profiler and join on the
+    column name — two scans + a tiny stats join, regardless of width.
+    Emits per-column row counts, null-rate delta and NDV on each side;
+    the report a pipeline gates on to catch schema rot and distribution
+    shift before the model does."""
+    pa = profile_table(a, cols, exact).select(
+        "column",
+        F.col("n_rows").alias("rows_a"),
+        (F.col("n_nulls") / F.col("n_rows")).alias("null_rate_a"),
+        F.col("ndv").alias("ndv_a"),
+    )
+    pb = profile_table(b, cols, exact).select(
+        "column",
+        F.col("n_rows").alias("rows_b"),
+        (F.col("n_nulls") / F.col("n_rows")).alias("null_rate_b"),
+        F.col("ndv").alias("ndv_b"),
+    )
+    return pa.join(pb, "column").select(
+        "column",
+        "rows_a",
+        "rows_b",
+        F.round(F.col("null_rate_b") - F.col("null_rate_a"), 6).alias(
+            "null_rate_delta"
+        ),
+        "ndv_a",
+        "ndv_b",
+    )

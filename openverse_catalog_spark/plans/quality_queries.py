@@ -7,6 +7,8 @@ passed) report the pipeline can gate on.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from openverse_catalog_spark.operators import quality as q
 from openverse_catalog_spark.plans.analytics import _t, register
 
@@ -106,3 +108,68 @@ def profile_documents(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")["documents"]
     return profile_table(d, ["doc_id", "lang", "source", "n_chars"], exact=True)
+
+
+@register(
+    "profile_drift_orders",
+    """
+    WITH a AS (SELECT * FROM orders WHERE o_orderdate < DATE '1995-01-01'),
+    b AS (SELECT * FROM orders WHERE o_orderdate >= DATE '1995-01-01'),
+    sa AS (
+      SELECT count(*) AS n_rows,
+             count(*) FILTER (WHERE o_orderstatus IS NULL) AS n0,
+             count(DISTINCT o_orderstatus) AS d0,
+             count(*) FILTER (WHERE o_orderpriority IS NULL) AS n1,
+             count(DISTINCT o_orderpriority) AS d1,
+             count(*) FILTER (WHERE o_custkey IS NULL) AS n2,
+             count(DISTINCT o_custkey) AS d2
+      FROM a
+    ),
+    sb AS (
+      SELECT count(*) AS n_rows,
+             count(*) FILTER (WHERE o_orderstatus IS NULL) AS n0,
+             count(DISTINCT o_orderstatus) AS d0,
+             count(*) FILTER (WHERE o_orderpriority IS NULL) AS n1,
+             count(DISTINCT o_orderpriority) AS d1,
+             count(*) FILTER (WHERE o_custkey IS NULL) AS n2,
+             count(DISTINCT o_custkey) AS d2
+      FROM b
+    ),
+    pa AS (
+      SELECT 'o_orderstatus' AS "column", n_rows AS rows_a,
+             CAST(n0 AS DOUBLE) / n_rows AS nra, d0 AS ndv_a FROM sa
+      UNION ALL SELECT 'o_orderpriority', n_rows,
+             CAST(n1 AS DOUBLE) / n_rows, d1 FROM sa
+      UNION ALL SELECT 'o_custkey', n_rows,
+             CAST(n2 AS DOUBLE) / n_rows, d2 FROM sa
+    ),
+    pb AS (
+      SELECT 'o_orderstatus' AS "column", n_rows AS rows_b,
+             CAST(n0 AS DOUBLE) / n_rows AS nrb, d0 AS ndv_b FROM sb
+      UNION ALL SELECT 'o_orderpriority', n_rows,
+             CAST(n1 AS DOUBLE) / n_rows, d1 FROM sb
+      UNION ALL SELECT 'o_custkey', n_rows,
+             CAST(n2 AS DOUBLE) / n_rows, d2 FROM sb
+    )
+    SELECT pa."column", rows_a, rows_b,
+           round(nrb - nra, 6) AS null_rate_delta, ndv_a, ndv_b
+    FROM pa JOIN pb ON pa."column" = pb."column"
+    """,
+)
+def profile_drift_orders(spark, sf_dir):
+    """Drift report between two date slices of orders (pre/post 1995):
+    per-column null-rate delta and NDV on each side from the one-agg
+    profiler run per slice — two scans + a tiny stats join at any table
+    width, the monitoring gate that catches schema rot and distribution
+    shift (o_orderstatus collapses from 3 values to mostly 'O' in the
+    newer slice) before a downstream model does."""
+    from openverse_catalog_spark.operators.profile import profile_drift
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    cut = F.lit("1995-01-01").cast("date")
+    return profile_drift(
+        o.filter(F.col("o_orderdate") < cut),
+        o.filter(F.col("o_orderdate") >= cut),
+        ["o_orderstatus", "o_orderpriority", "o_custkey"],
+        exact=True,
+    )

@@ -61,3 +61,20 @@ def test_compaction_skips_right_sized_files(spark):
     )
     plan = compaction_plan(files, target_bytes=500)
     assert sorted(r.path for r in plan.collect()) == ["d/a", "d/c"]
+
+
+def test_profile_drift_reports_deltas(spark):
+    a = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, None)], "id long, v string"
+    )
+    b = spark.createDataFrame(
+        [(4, None), (5, None), (6, "y"), (7, "y")], "id long, v string"
+    )
+    from openverse_catalog_spark.operators.profile import profile_drift
+
+    rep = {r["column"]: r for r in profile_drift(a, b, ["v"], exact=True).collect()}
+    r = rep["v"]
+    assert (r["rows_a"], r["rows_b"]) == (3, 4)
+    # null rate 1/3 -> 2/4: delta = +1/6
+    assert abs(r["null_rate_delta"] - (0.5 - 1 / 3)) < 1e-6
+    assert (r["ndv_a"], r["ndv_b"]) == (2, 1)
