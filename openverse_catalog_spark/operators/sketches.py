@@ -129,7 +129,12 @@ _BLOOM_CHUNK_BYTES = 64 * 1024
 
 
 def _bloom_hashes(value: Column) -> list[Column]:
-    hex_ = F.md5(value.cast("string"))
+    # NULL keys hash as a reserved sentinel instead of propagating NULL
+    # into the Arrow stage (a null h1/h2 would fail the int64 conversion);
+    # SQL NULL semantics would drop them from any equality join anyway,
+    # so flagging them "maybe seen" conservatively is safe — the exact
+    # anti-join settles their fate either way.
+    hex_ = F.md5(F.coalesce(value.cast("string"), F.lit("\x00__null__")))
     h1 = F.conv(F.substring(hex_, 1, 15), 16, 10).cast("long")
     h2 = F.conv(F.substring(hex_, 17, 15), 16, 10).cast("long")
     return [h1.alias("__h1"), h2.alias("__h2")]

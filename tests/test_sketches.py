@@ -134,3 +134,19 @@ def test_bloom_prunes_join_input(corpora, spark):
     # 250 true dups + fp fraction of the 500 fresh rows: the anti-join
     # input must be near the dup count, not the batch size
     assert 250 <= maybes < 300
+
+
+def test_bloom_tolerates_null_keys(spark):
+    seen = spark.createDataFrame([("a",), (None,), ("b",)], "k string")
+    bloom = sk.bloom_build(seen, F.col("k"), n_bits=1 << 12)
+    probe = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "zz")], "id long, k string"
+    )
+    flagged = {r["id"]: r["maybe_seen"]
+               for r in sk.bloom_maybe_contains(probe, F.col("k"), bloom).collect()}
+    assert flagged[1] is True          # present key hits
+    assert flagged[2] is True          # null folds to the sentinel: hits
+    assert flagged[3] is False         # fresh key misses
+    # the exact anti-join keeps SQL null semantics: null never equals null
+    out = sk.bloom_anti_join(probe, seen, lambda d: d["k"], bloom)
+    assert sorted(r["id"] for r in out.collect()) == [2, 3]
