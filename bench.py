@@ -87,6 +87,7 @@ HEADLINE = [
     "sample_weighted",
     "corpus_epoch_shuffle",
     "profile_drift_orders",
+    "text_token_entropy",
     "quality_report_orders",
     "agg_salted_distinct_users",
     "merge_snapshot_diff",

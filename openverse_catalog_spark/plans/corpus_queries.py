@@ -1785,3 +1785,30 @@ def dedup_ngram_containment(spark, sf_dir):
     return out.select(
         "id_a", "id_b", F.round("containment", 4).alias("containment")
     )
+
+
+@register(
+    "text_token_entropy",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                t -> t <> '')) AS tok
+      FROM documents
+    ),
+    tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+    n AS (SELECT doc_id, CAST(sum(c) AS DOUBLE) AS n FROM tc GROUP BY 1)
+    SELECT tc.doc_id,
+           round(-sum((c / n.n) * ln(c / n.n)), 4) AS entropy
+    FROM tc JOIN n ON n.doc_id = tc.doc_id
+    GROUP BY tc.doc_id
+    """,
+)
+def text_token_entropy(spark, sf_dir):
+    """Shannon entropy of each document's token distribution — the
+    whole-distribution diversity signal that catches keyword stuffing
+    and template text repetition ratios miss. One row-local Arrow pass,
+    no shuffle at any corpus size."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    out = tx.token_entropy(d, "doc_id", "text")
+    return out.select("doc_id", F.round("entropy", 4).alias("entropy"))
