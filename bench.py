@@ -88,6 +88,7 @@ HEADLINE = [
     "corpus_epoch_shuffle",
     "profile_drift_orders",
     "text_token_entropy",
+    "merge_cow_restore",
     "quality_report_orders",
     "agg_salted_distinct_users",
     "merge_snapshot_diff",

@@ -336,6 +336,26 @@ class CowTable:
             "rows": sum(e["rows"] for e in keep + new_entries),
         }
 
+    def restore(self, version: int) -> dict:
+        """ROLLBACK: commit a NEW version whose file list is the target
+        version's — a metadata-only operation (no data file is read or
+        written, the commit is one manifest JSON), so restoring a
+        100 TB table after a bad merge is instant. History stays linear
+        and append-only: the bad version remains inspectable until
+        vacuum, and the restore itself is a recorded operation."""
+        m = self._manifest(version)
+        new_version = self.version + 1
+        self._commit(
+            new_version, m["files"], op=f"restore(v{version})",
+            schema_json=m.get("schema"),
+        )
+        return {
+            "version": new_version,
+            "restored_from": version,
+            "files": len(m["files"]),
+            "rows": m["rows"],
+        }
+
     def vacuum(self, keep_versions: int = 1) -> list[str]:
         """Drop manifests older than the newest ``keep_versions`` and
         delete data files no surviving manifest references. Returns the

@@ -1141,3 +1141,23 @@ def merge_cow_compact(spark, sf_dir):
     assert summary["files_compacted"] == len(before) >= 2
     assert summary["files_written"] < summary["files_compacted"]
     return t.read().select("provider", "foreign_identifier", "url", "title")
+
+
+@register(
+    "merge_cow_restore",
+    f"""
+    {_COW_TARGET_SQL}
+    """,
+)
+def merge_cow_restore(spark, sf_dir):
+    """ROLLBACK on the lake table: after the MERGE commits v2, restore
+    to v1 — a metadata-only commit (one manifest JSON re-pointing at
+    v1's untouched files; zero data I/O, instant at 100 TB), with the
+    bad version still inspectable via time travel until vacuum. The
+    returned snapshot is exactly the pre-merge target, which is the
+    oracle."""
+    t = _cow_build(spark, sf_dir, "cow_restore", _t)
+    assert t.version == 2
+    summary = t.restore(1)
+    assert summary["version"] == 3 and summary["restored_from"] == 1
+    return t.read().select("provider", "foreign_identifier", "url", "title")

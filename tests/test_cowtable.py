@@ -199,3 +199,27 @@ def test_cow_merge_after_compact(spark, tmp_path):
     tgt = mk(spark, _base_rows())
     expected = merge_upsert(tgt, mk(spark, _batch_rows()), COLS, deterministic=True)
     assert _canon(t.read()) == _canon(expected)
+
+
+def test_cow_restore_rolls_back_metadata_only(spark, tmp_path):
+    import os
+
+    t = CowTable.create(
+        spark, str(tmp_path / "tbl"), mk(spark, _base_rows()), target_files=4
+    )
+    v1 = _canon(t.read())
+    t.merge(mk(spark, _batch_rows()), COLS, deterministic=True)
+    v2 = _canon(t.read())
+    assert v2 != v1
+
+    res = t.restore(1)
+    assert res["version"] == 3 and res["restored_from"] == 1
+    assert _canon(t.read()) == v1            # current state is v1 again
+    assert _canon(t.read(version=2)) == v2   # bad version still inspectable
+    # metadata-only: no new data directory was written
+    assert not os.path.exists(str(tmp_path / "tbl" / "data" / "v3"))
+    assert t.history()[-1]["operation"] == "restore(v1)"
+
+    # a merge after restore builds on the restored state
+    t.merge(mk(spark, _batch_rows()), COLS, deterministic=True)
+    assert _canon(t.read()) == v2
