@@ -89,6 +89,7 @@ HEADLINE = [
     "profile_drift_orders",
     "text_token_entropy",
     "merge_cow_restore",
+    "knn_cosine_radius",
     "quality_report_orders",
     "agg_salted_distinct_users",
     "merge_snapshot_diff",

@@ -725,3 +725,62 @@ def random_project(
     return corpus.select(id_col, vec_col).mapInPandas(
         gen, f"{id_col} long, {fields}"
     )
+
+
+def cosine_radius(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    max_queries: int = MAX_BROADCAST_QUERIES,
+) -> DataFrame:
+    """Radius search: ALL corpus neighbors with cosine >= threshold for
+    each query — the fixed-similarity companion to ``cosine_topk``'s
+    fixed-count contract (dedup-style 'everything this similar', not
+    'the k best'). Same plan shape as top-k minus its one shuffle: the
+    bounded query matrix broadcasts, each corpus Arrow batch scores with
+    one GEMM and emits its over-threshold pairs directly — no per-query
+    rank window, so the whole search is a shuffle-free streaming pass
+    at any corpus size."""
+    spark = corpus.sparkSession
+    base = _as_double(corpus, vec_col)
+    q_pdf = (
+        _as_double(queries, vec_col)
+        .select(id_col, vec_col)
+        .limit(max_queries + 1)
+        .toPandas()
+    )
+    if len(q_pdf) > max_queries:
+        raise ValueError(
+            f"cosine_radius query side exceeds max_queries={max_queries}; "
+            "use ivf_topk / lsh buckets or a partitioned exact pass"
+        )
+    q_ids, q_mat = _stack_normalized(q_pdf, id_col, vec_col)
+    bc = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        bq_ids, bq_mat = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c_ids, c_mat = _stack_normalized(pdf, id_col, vec_col)
+            scores = bq_mat @ c_mat.T
+            qi, cj = np.nonzero(
+                (np.round(scores, 6) >= threshold)
+                & (bq_ids[:, None] != c_ids[None, :])
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": bq_ids[qi],
+                    "neighbor_id": c_ids[cj],
+                    "cosine": scores[qi, cj],
+                }
+            )
+
+    return base.select(id_col, vec_col).mapInPandas(
+        gen, "query_id long, neighbor_id long, cosine double"
+    )

@@ -1812,3 +1812,34 @@ def text_token_entropy(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")["documents"]
     out = tx.token_entropy(d, "doc_id", "text")
     return out.select("doc_id", F.round("entropy", 4).alias("entropy"))
+
+
+@register(
+    "knn_cosine_radius",
+    """
+    WITH ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+                FROM embeddings, generate_series(1, 64) AS t(i)),
+    norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
+    dots AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                    sum(a.x * b.x) AS dot
+             FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id <> b.vec_id
+             WHERE a.vec_id % 20 = 0
+             GROUP BY 1, 2)
+    SELECT query_id, neighbor_id,
+           round(dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dots JOIN norms na ON na.vec_id = query_id
+              JOIN norms nb ON nb.vec_id = neighbor_id
+    WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.35
+    """,
+)
+def knn_cosine_radius(spark, sf_dir):
+    """Radius search (all neighbors at cosine >= 0.35 for every 20th
+    vector as the query set): the fixed-similarity companion to the
+    top-k query, and the cheaper plan — no per-query rank window means
+    ZERO shuffles, one broadcast-GEMM Arrow pass over the corpus."""
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    q = e.filter(F.col("vec_id") % 20 == 0)
+    out = knn.cosine_radius(e, q, threshold=0.35)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine")
+    )

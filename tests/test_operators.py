@@ -546,3 +546,22 @@ def test_ngram_containment_catches_subset_jaccard_misses(spark):
     # the same pair is invisible to a 0.3-Jaccard floor: union-dominated
     jac = dd.ngram_jaccard_pairs(df, "id", "text", n=3, min_jaccard=0.3)
     assert jac.count() == 0
+
+
+def test_cosine_radius_matches_bruteforce(spark):
+    import math
+
+    rows = [
+        (1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]), (4, [-1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id = 1")
+    got = {(r["query_id"], r["neighbor_id"]): r["cosine"]
+           for r in knn.cosine_radius(df, q, threshold=0.5).collect()}
+    assert set(got) == {(1, 2)}  # only the near-parallel vector qualifies
+    assert abs(got[(1, 2)] - 0.9 / math.hypot(0.9, 0.1)) < 1e-9
+    # self-pairs excluded even at threshold 1.0... and the bound guards
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_queries"):
+        knn.cosine_radius(df, df, threshold=0.5, max_queries=2)

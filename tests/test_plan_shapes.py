@@ -256,3 +256,10 @@ def test_bloom_anti_join_prunes_before_exchange(spark, sf_dir):
     assert plan.count("MapInPandas") >= 2  # a probe stage per branch
     # the anti-join itself runs on the filtered maybe-branch
     assert "LeftAnti" in plan
+
+
+def test_cosine_radius_no_shuffle(spark, sf_dir):
+    from openverse_catalog_spark.plans import corpus_queries  # noqa: F401
+
+    plan = _plan(QUERIES["knn_cosine_radius"](spark, sf_dir))
+    assert "Exchange" not in plan  # broadcast GEMM pass, zero shuffles
