@@ -90,6 +90,8 @@ HEADLINE = [
     "text_token_entropy",
     "merge_cow_restore",
     "knn_cosine_radius",
+    "window_rolling_median",
+    "agg_source_concentration",
     "quality_report_orders",
     "agg_salted_distinct_users",
     "merge_snapshot_diff",

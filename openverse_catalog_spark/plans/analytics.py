@@ -1683,3 +1683,70 @@ def join_scd2_point_in_time(spark, sf_dir):
             F.unix_micros("valid_from").alias("valid_from_us"),
         )
     )
+
+
+@register(
+    "window_rolling_median",
+    """
+    SELECT event_id, user_id,
+           round(value, 2) AS value,
+           round(quantile_disc(value, 0.5) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 2) AS med5
+    FROM events
+    """,
+)
+def window_rolling_median(spark, sf_dir):
+    """Trailing 5-event rolling MEDIAN per user (lower median, exactly
+    quantile_disc(0.5) over the frame) — the robust smoother for spiky
+    metrics where a rolling mean chases outliers. Spark has no windowed
+    median builtin; the frame is materialized as a <=5-element array
+    (collect_list over a ROWS frame), sorted, and indexed at ceil(n/2) —
+    O(k log k) per row with k bounded by the frame, one user_id shuffle
+    shared with any other same-spec window."""
+    e = _t(spark, sf_dir, "events")["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    frame = F.array_sort(F.collect_list("value").over(w))
+    med = F.element_at(frame, F.ceil(F.size(frame) / 2).cast("int"))
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round("value", 2).alias("value"),
+        F.round(med, 2).alias("med5"),
+    )
+
+
+@register(
+    "agg_source_concentration",
+    """
+    WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    t AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM c)
+    SELECT count(*) AS n_sources,
+           round(sum((n / total) * (n / total)), 6) AS hhi,
+           round(max(n / total), 6) AS top_share
+    FROM c, t
+    """,
+)
+def agg_source_concentration(spark, sf_dir):
+    """Corpus concentration diagnostics: Herfindahl-Hirschman index and
+    top-source share over the per-source document counts — the one-row
+    report that says whether the corpus is dominated by a single
+    provider before mixing (domain_mix's input question). Two bounded
+    aggregations: a map-side-combined groupBy on source, then a
+    broadcast scalar total folded into one final k-row agg."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    c = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").cast("double").alias("total"))
+    share = F.col("n") / F.col("total")
+    return (
+        c.crossJoin(F.broadcast(t))
+        .agg(
+            F.count(F.lit(1)).alias("n_sources"),
+            F.round(F.sum(share * share), 6).alias("hhi"),
+            F.round(F.max(share), 6).alias("top_share"),
+        )
+    )
