@@ -92,6 +92,7 @@ HEADLINE = [
     "knn_cosine_radius",
     "window_rolling_median",
     "agg_source_concentration",
+    "text_readability",
     "quality_report_orders",
     "agg_salted_distinct_users",
     "merge_snapshot_diff",

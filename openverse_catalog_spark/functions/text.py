@@ -198,3 +198,26 @@ def token_entropy(df, id_col: str = "doc_id", text_col: str = "text"):
     return df.select(id_col, text_col).mapInPandas(
         gen, f"{id_col} long, entropy double"
     )
+
+
+def readability_flesch(c: Column) -> Column:
+    """Flesch reading-ease: 206.835 - 1.015*(words/sentences) -
+    84.6*(syllable_groups/words), with the classic heuristics —
+    sentences = non-empty [.!?]+ segments (min 1), syllables = vowel-
+    group runs ([aeiouy]+) over the lowered text. Pure codegen'd
+    expression: scoring is a narrow projection at any corpus size.
+    NULL for zero-word docs (no reading ease exists for them)."""
+    words = token_count(c)
+    sentences = F.greatest(
+        F.size(F.filter(F.split(c, r"[.!?]+"), lambda s: F.trim(s) != "")),
+        F.lit(1),
+    )
+    syllables = F.size(
+        F.filter(F.split(F.lower(c), r"[^aeiouy]+"), lambda s: s != "")
+    )
+    return F.when(
+        words > 0,
+        F.lit(206.835)
+        - F.lit(1.015) * (words / sentences.cast("double"))
+        - F.lit(84.6) * (syllables / words.cast("double")),
+    )

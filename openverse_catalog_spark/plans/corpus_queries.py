@@ -1843,3 +1843,35 @@ def knn_cosine_radius(spark, sf_dir):
     return out.select(
         "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine")
     )
+
+
+@register(
+    "text_readability",
+    """
+    WITH f AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '')) AS words,
+             greatest(len(list_filter(string_split_regex(text, '[.!?]+'),
+                                      s -> trim(s) <> '')), 1) AS sentences,
+             len(list_filter(string_split_regex(lower(text), '[^aeiouy]+'),
+                             s -> s <> '')) AS syll
+      FROM documents
+    )
+    SELECT doc_id,
+           round(206.835 - 1.015 * (CAST(words AS DOUBLE) / sentences)
+                         - 84.6 * (CAST(syll AS DOUBLE) / words), 2)
+             AS flesch
+    FROM f WHERE words > 0
+    """,
+)
+def text_readability(spark, sf_dir):
+    """Flesch reading-ease per document (vowel-group syllable heuristic,
+    [.!?]-segment sentences) — the classic prose-complexity signal next
+    to the quality heuristics; used to floor/band corpora by reading
+    level. One narrow codegen'd projection, no UDF, no shuffle."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    out = d.select(
+        "doc_id", F.round(tx.readability_flesch(F.col("text")), 2).alias("flesch")
+    )
+    return out.filter(F.col("flesch").isNotNull())
