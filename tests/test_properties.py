@@ -94,3 +94,47 @@ def test_domain_mix_never_upsamples(spark, weights):
     }
     for d, n in after.items():
         assert d in weights and n <= before[d]
+
+
+@given(
+    seen_keys=st.sets(st.integers(0, 10_000), min_size=1, max_size=60),
+    probe_keys=st.sets(st.integers(0, 10_000), min_size=1, max_size=60),
+    n_bits=st.sampled_from([1 << 11, 1 << 13]),
+)
+@_settings
+def test_bloom_anti_join_always_exact(spark, seen_keys, probe_keys, n_bits):
+    """For ANY key sets and bitmap size — even undersized, fp-heavy
+    bitmaps — the bloom-pruned anti-join equals the plain anti-join
+    (false positives only shrink the pruning, never the result)."""
+    from openverse_catalog_spark.operators import sketches as sk
+
+    seen = spark.createDataFrame([(k,) for k in seen_keys], "k long")
+    probe = spark.createDataFrame([(k,) for k in probe_keys], "k long")
+    bloom = sk.bloom_build(seen, F.col("k"), n_bits=n_bits)
+    got = {r.k for r in
+           sk.bloom_anti_join(probe, seen, lambda d: d["k"], bloom).collect()}
+    assert got == probe_keys - seen_keys
+    # and membership never has a false negative
+    flagged = sk.bloom_maybe_contains(seen, F.col("k"), bloom)
+    assert flagged.filter(~F.col("maybe_seen")).count() == 0
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=3, max_size=30),
+        min_size=2, max_size=12,
+    ),
+)
+@_settings
+def test_containment_bounded_and_symmetric_domain(spark, texts):
+    """Containment is always in (0, 1] and only emitted for id_a < id_b."""
+    from openverse_catalog_spark.operators import dedupe as dd
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = dd.ngram_containment_pairs(
+        df, "id", "text", n=2, min_containment=0.0
+    ).collect()
+    for r in out:
+        assert r["id_a"] < r["id_b"]
+        assert 0.0 < r["containment"] <= 1.0
