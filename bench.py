@@ -93,6 +93,7 @@ HEADLINE = [
     "window_rolling_median",
     "agg_source_concentration",
     "text_readability",
+    "layout_partition_overwrite",
     "quality_report_orders",
     "agg_salted_distinct_users",
     "merge_snapshot_diff",

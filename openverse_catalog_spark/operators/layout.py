@@ -112,3 +112,27 @@ def write_bucketed(
         .format("parquet")
         .saveAsTable(table)
     )
+
+
+def overwrite_partitions(
+    df: DataFrame, path: str, partition_cols: Sequence[str]
+) -> None:
+    """Dynamic partition overwrite: replace ONLY the hive-style
+    partitions present in ``df``, leaving every other partition's files
+    untouched — the native-Spark form of `replaceWhere` and the
+    standard correction/backfill pattern for date-partitioned lakes
+    (re-run one day without rewriting the year). Requires the INSERT
+    to run under dynamic overwrite mode; the conf is set per-call and
+    restored, so a session-level static default is not disturbed."""
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        (
+            df.write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set(key, prev)

@@ -106,3 +106,46 @@ def layout_bucketed_join(spark, sf_dir):
             F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
         )
     )
+
+
+@register(
+    "layout_partition_overwrite",
+    """
+    SELECT event_id,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           round(CASE WHEN strftime(date_trunc('day', ts), '%Y-%m-%d')
+                           = (SELECT strftime(min(date_trunc('day', ts)), '%Y-%m-%d')
+                              FROM events)
+                      THEN value * 2 ELSE value END, 2) AS value
+    FROM events
+    """,
+)
+def layout_partition_overwrite(spark, sf_dir):
+    """Dynamic partition overwrite — the date-partitioned correction/
+    backfill pattern: the events table is written day-partitioned, then
+    the EARLIEST day is re-written with corrected values (value * 2) by
+    an overwrite that carries only that day's rows. Dynamic mode
+    replaces exactly the partitions present in the frame; every other
+    day's files are untouched (the oracle is the final table: one day
+    corrected, the rest verbatim). At 100 TB this is how one bad
+    ingestion day is fixed without touching the year."""
+    import os
+    import shutil
+    import tempfile
+
+    e = _t(spark, sf_dir, "events")["events"]
+    days = e.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.round("value", 2).alias("value"),
+    )
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_part_ow")
+    shutil.rmtree(root, ignore_errors=True)
+    days.write.partitionBy("day").parquet(root)
+
+    first_day = days.agg(F.min("day")).head()[0]
+    corrected = days.filter(F.col("day") == first_day).withColumn(
+        "value", F.round(F.col("value") * 2, 2)
+    )
+    lo.overwrite_partitions(corrected, root, ["day"])
+    return spark.read.parquet(root).select("event_id", "day", "value")

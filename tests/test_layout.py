@@ -79,3 +79,31 @@ def test_zorder_roundtrip_preserves_rows(spark):
         back = spark.read.parquet(tmp + "/z")
         assert back.count() == events.count()
         assert sorted(back.columns) == sorted(events.columns)
+
+
+def test_overwrite_partitions_touches_only_present_days(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from openverse_catalog_spark.operators.layout import overwrite_partitions
+
+    df = spark.createDataFrame(
+        [(1, "d1", 10.0), (2, "d1", 11.0), (3, "d2", 20.0), (4, "d3", 30.0)],
+        "id long, day string, v double",
+    )
+    root = str(tmp_path / "tbl")
+    df.write.partitionBy("day").parquet(root)
+    d2_files = set(os.listdir(os.path.join(root, "day=d2")))
+
+    fix = spark.createDataFrame([(1, "d1", 99.0)], "id long, day string, v double")
+    overwrite_partitions(fix, root, ["day"])
+
+    got = {(r["id"], r["v"]) for r in spark.read.parquet(root).collect()}
+    # d1 replaced wholesale by the corrected frame; d2/d3 untouched
+    assert got == {(1, 99.0), (3, 20.0), (4, 30.0)}
+    assert set(os.listdir(os.path.join(root, "day=d2"))) == d2_files
+    # the conf restores to its prior (static) value after the call
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") in (
+        "static", "STATIC",
+    )
