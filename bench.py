@@ -94,6 +94,7 @@ HEADLINE = [
     "agg_source_concentration",
     "text_readability",
     "layout_partition_overwrite",
+    "corpus_upsample_langs",
     "quality_report_orders",
     "agg_salted_distinct_users",
     "merge_snapshot_diff",

@@ -280,3 +280,34 @@ def epoch_shuffle(
         .withColumn("pos", F.row_number().over(w))
         .drop("__h")
     )
+
+
+def domain_upsample(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+    factors: Mapping[str, float],
+    salt: str = "upsample",
+) -> DataFrame:
+    """Deterministic UPsampling: each row of domain d is repeated
+    floor(f_d) times plus one more with probability frac(f_d) — the
+    hash-thresholded fractional copy makes expected replication exactly
+    f_d while staying engine/partition/run independent (sampled epochs
+    are reproducible). Domains absent from ``factors`` keep factor 1.
+    Completes ``domain_mix``: mix handles over-represented domains by
+    downsampling, this handles under-represented ones when dropping
+    data is not acceptable. Appends ``copy_id`` (1-based) so replicas
+    stay distinguishable downstream (e.g. for packing). A narrow
+    explode — output rows ~ sum(f_d * n_d), no shuffle."""
+    fmap = F.create_map(*[F.lit(x) for kv in factors.items() for x in kv])
+    f = F.coalesce(fmap[F.col(domain_col)], F.lit(1.0))
+    whole = F.floor(f).cast("int")
+    frac = f - F.floor(f)
+    extra = (_keyhash(F.col(key_col), salt) < threshold(frac)).cast("int")
+    n = (whole + extra).alias("__n")
+    return (
+        df.withColumn("__n", n)
+        .filter(F.col("__n") > 0)
+        .withColumn("copy_id", F.explode(F.sequence(F.lit(1), F.col("__n"))))
+        .drop("__n")
+    )

@@ -280,3 +280,45 @@ def corpus_epoch_shuffle(spark, sf_dir):
     return out.select(
         "doc_id", "shard", F.col("pos").cast("int").alias("pos")
     )
+
+
+_UP_SALT = "upsample"
+_UP_FACTORS = {"fr": 2.5, "zh": 3.0}
+_UP_VALUES = ", ".join(
+    f"('{k}', CAST({v} AS DOUBLE))" for k, v in _UP_FACTORS.items()
+)
+
+
+@register(
+    "corpus_upsample_langs",
+    f"""
+    WITH fac AS (
+      SELECT d.doc_id, d.lang,
+             coalesce(f.fv, CAST(1.0 AS DOUBLE)) AS f
+      FROM documents d
+      LEFT JOIN (VALUES {_UP_VALUES}) f(lang, fv) ON f.lang = d.lang
+    ),
+    n AS (
+      SELECT doc_id, lang,
+             CAST(floor(f) AS INT)
+             + CASE WHEN {smp.keyhash_sql("doc_id", _UP_SALT)}
+                         < {smp.threshold_sql("f - floor(f)")}
+                    THEN 1 ELSE 0 END AS n
+      FROM fac
+    )
+    SELECT doc_id, lang, CAST(t.copy_id AS INT) AS copy_id
+    FROM n, unnest(range(1, n + 1)) AS t(copy_id)
+    WHERE n > 0
+    """,
+)
+def corpus_upsample_langs(spark, sf_dir):
+    """Deterministic domain UPsampling (fr x2.5, zh x3, rest x1): each
+    doc repeats floor(f) times plus a hash-thresholded fractional copy,
+    so expected replication is exactly f while the sampled epoch stays
+    reproducible on any engine or partitioning — the under-represented-
+    domain half of data mixing (domain_mix only downsamples). A narrow
+    explode, no shuffle; the oracle verifies exact replica membership
+    including every copy_id."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    out = smp.domain_upsample(d, "doc_id", "lang", _UP_FACTORS, _UP_SALT)
+    return out.select("doc_id", "lang", F.col("copy_id").cast("int").alias("copy_id"))

@@ -215,3 +215,25 @@ def test_epoch_shuffle_permutes_and_differs_by_epoch(spark):
     assert {(r["doc_id"], r["shard"], r["pos"]) for r in e1b.collect()} == {
         (r["doc_id"], r["shard"], r["pos"]) for r in e1
     }
+
+
+def test_domain_upsample_expected_replication(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 3000).select(
+        F.col("id"), F.lit("fr").alias("dom")
+    )
+    out = smp.domain_upsample(df, "id", "dom", {"fr": 2.5})
+    n = out.count()
+    # floor(2.5)=2 copies always + fractional 0.5: expect ~2.5x
+    assert 2 * 3000 <= n <= 3 * 3000
+    assert abs(n - 7500) < 450
+    # every kept doc has contiguous copy_ids starting at 1
+    by_id = {}
+    for r in out.collect():
+        by_id.setdefault(r["id"], []).append(r["copy_id"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_id.values())
+    # factor-1 domains pass through exactly once; factor-0 drops
+    other = spark.range(0, 100).select(F.col("id"), F.lit("en").alias("dom"))
+    assert smp.domain_upsample(other, "id", "dom", {"fr": 2.5}).count() == 100
+    assert smp.domain_upsample(other, "id", "dom", {"en": 0.0}).count() < 100
