@@ -47,6 +47,9 @@ PROBES = [
     ("merge_unique_guard", {"customer": ["c_custkey"]}),
     ("clean_sub_provider_update", {"orders": ["o_orderkey"]}),
     ("dedup_cross_corpus_bloom", {"documents": ["doc_id"]}),
+    ("corpus_token_budget_cap", {"documents": ["doc_id"]}),
+    ("dedup_exact_substring", {"documents": ["doc_id"]}),
+    ("corpus_upsample_langs", {"documents": ["doc_id"]}),
 ]
 
 
