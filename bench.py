@@ -165,17 +165,27 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # The driver captures a bounded tail of stdout, which truncates the
+    # per-query dict past ~64 entries; persist the FULL result alongside
+    # so round-over-round comparison sees every timing.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_LOCAL.json"),
+            "w",
+        ) as f:
+            json.dump(result, f, indent=1)
+            f.write("\n")
+    except OSError:
+        pass  # read-only checkout: stdout line still carries the summary
+    print(json.dumps(result))
     spark.stop()
 
 

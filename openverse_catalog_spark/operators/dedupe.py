@@ -68,11 +68,12 @@ def exact_dedupe(
         # the partition key is constant inside its own window — ordering
         # by it would leave the keeper arbitrary. Default to every other
         # ORDERABLE column so the winner is stable across runs and
-        # partitionings (maps are unorderable and skipped).
+        # partitionings (maps — at any nesting depth — are unorderable
+        # in Spark and skipped).
+        from openverse_catalog_spark.operators.merge import orderable_columns
+
         order_cols = [
-            F.col(c)
-            for c, t in df.dtypes
-            if c not in key_cols and not t.startswith("map<")
+            F.col(c) for c in orderable_columns(df, exclude=key_cols)
         ] or [F.lit(1)]
     w = Window.partitionBy(*key_cols).orderBy(*order_cols)
     return (
@@ -325,13 +326,27 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_near_pairs(
-    sims: DataFrame, id_col: str, max_hamming: int = 3, block_col: str | None = None
+    sims: DataFrame,
+    id_col: str,
+    max_hamming: int = 3,
+    block_col: str | None = None,
+    allow_cross_join: bool = False,
 ) -> DataFrame:
     """Pairs with Hamming(simhash) <= radius. With ``block_col`` the join
     is an equi-join within blocks (the scale path); without it, a full
-    cross join — only for small candidate sets. The sketch table is
-    lazy-checkpointed so the upstream sketch pipeline runs once, not
-    once per join side."""
+    cross join — quadratic, so it is REFUSED unless the caller opts in
+    with ``allow_cross_join=True`` for a known-small candidate set
+    (e.g. LSH-candidate output). This guard keeps the exported API from
+    silently materializing an O(n^2) pair space on a full corpus. The
+    sketch table is lazy-checkpointed so the upstream sketch pipeline
+    runs once, not once per join side."""
+    if block_col is None and not allow_cross_join:
+        raise ValueError(
+            "simhash_near_pairs without block_col is a full cross join; "
+            "pass block_col (the scale path — e.g. simhash band keys, see "
+            "simhash60_banded) or allow_cross_join=True for a bounded "
+            "candidate set"
+        )
     sims = sims.localCheckpoint(eager=False)
     a = sims.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"),

@@ -308,6 +308,7 @@ def cosine_near_dup_pairs_exact(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
+    max_rows: int = MAX_BROADCAST_QUERIES,
 ) -> DataFrame:
     """Exact embedding-cosine near-duplicate pairs (cosine >= threshold,
     id_a < id_b). O(n^2) by construction — the small-input correctness
@@ -328,7 +329,17 @@ def cosine_near_dup_pairs_exact(
     """
     spark = corpus.sparkSession
     base = _as_double(corpus, vec_col)
-    ids, mat = _stack_normalized(base.select(id_col, vec_col).toPandas(), id_col, vec_col)
+    # BOUNDED driver collect, same contract as cosine_topk: the whole
+    # corpus is broadcast here, so refuse anything past max_rows instead
+    # of silently materializing an unbounded matrix on the driver.
+    pdf = base.select(id_col, vec_col).limit(max_rows + 1).toPandas()
+    if len(pdf) > max_rows:
+        raise ValueError(
+            f"cosine_near_dup_pairs_exact corpus exceeds max_rows={max_rows}; "
+            "use cosine_near_dup_pairs_blocked (same results, no broadcast) "
+            "or the LSH/IVF approximate paths"
+        )
+    ids, mat = _stack_normalized(pdf, id_col, vec_col)
     bc = spark.sparkContext.broadcast((ids, mat))
 
     def gen(batches):

@@ -38,6 +38,33 @@ from openverse_catalog_spark.schemas.columns import ColumnSpec, UpsertStrategy
 DEFAULT_MERGE_KEYS = ("provider", "foreign_identifier")
 
 
+def is_orderable_type(dt) -> bool:
+    """True iff a column of this datatype can appear in ORDER BY. Spark
+    rejects MapType at ANY nesting depth (array<map<...>>, struct with a
+    map field), not just top-level maps — so walk the type tree instead
+    of a string-prefix test."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return is_orderable_type(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(is_orderable_type(f.dataType) for f in dt.fields)
+    return True
+
+
+def orderable_columns(df: DataFrame, exclude: Sequence[str] = ()) -> list[str]:
+    """Names of df's columns usable as deterministic ORDER BY
+    tiebreakers: everything not excluded whose type is orderable at
+    every nesting level."""
+    return [
+        f.name
+        for f in df.schema.fields
+        if f.name not in exclude and is_orderable_type(f.dataType)
+    ]
+
+
 def distinct_on(
     df: DataFrame, partition_cols: list[str], order_cols: list, keep: str = "first"
 ) -> DataFrame:
@@ -239,11 +266,7 @@ def enforce_unique(
     natural key + tiebreakers); NULL-url rows pass through untouched.
     Each pass is a single keyed window — two shuffles total on narrow
     keys."""
-    rest = [
-        c
-        for c, t in df.dtypes
-        if c not in keys and c != url_col and not t.startswith("map<")
-    ]
+    rest = orderable_columns(df, exclude=(*keys, url_col))
     has_url = url_col in df.columns
     first_order = (
         [F.col(url_col).asc_nulls_last()] if has_url else []

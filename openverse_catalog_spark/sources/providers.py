@@ -53,6 +53,16 @@ def _audio_staging(**fields) -> dict:
     return rec
 
 
+def _int_or_none(v) -> int | None:
+    """API numerics arrive as int, float or string (or garbage); the
+    reference guards with an explicit int conversion (wikimedia
+    record-building) — None on anything unconvertible."""
+    try:
+        return int(float(v))
+    except (TypeError, ValueError):
+        return None
+
+
 def _license_path_map() -> dict[str, tuple[str, str]]:
     """path fragment -> (license, version), built once from the same
     table the Spark-side expression compiles (functions/licenses.py
@@ -482,11 +492,16 @@ class WikimediaStyleAdapter:
             )
             if any("pronunciation" in c.lower() for c in categories):
                 rec["category"] = "pronunciation"
-            if sr := self._value_by_names(
+            # streams metadata is API-supplied and may carry string
+            # numerics — coerce like the reference's explicit int() guard
+            # before the int4 bound check instead of TypeError-ing
+            if (sr := _int_or_none(self._value_by_names(
                 file_meta, ["audio_sample_rate", "sample_rate"]
-            ):
+            ))):
                 rec["sample_rate"] = sr
-            if br := self._value_by_names(file_meta, ["bitrate_nominal", "bitrate"]):
+            if (br := _int_or_none(
+                self._value_by_names(file_meta, ["bitrate_nominal", "bitrate"])
+            )):
                 rec["bit_rate"] = br if br <= 2147483647 else None
             if ch := self._value_by_names(file_meta, ["audio_channels", "channels"]):
                 rec["meta_data"]["channels"] = str(ch)
@@ -665,7 +680,22 @@ def provider_fetcher(
     over every ``ingest_records`` call and the DelayedRequester is one
     instance): the limit is enforced by the sweep loop over raw records,
     and the politeness clock is shared between the per-sweep fetchers."""
+    import time
+
     shared_clock: dict = {}
+
+    def delayed_fetch(params: dict) -> dict | None:
+        """fetch_fn behind the SAME politeness clock PagedFetcher uses.
+        Adapters that drive the transport themselves (``fetch_response``
+        multi-request batch assembly — wikimedia batchcomplete merging)
+        get this wrapper, so their inner sub-requests honor min_delay
+        like the reference's single DelayedRequester, which delays EVERY
+        request — not just the one-per-batch outer call."""
+        wait = min_delay - (time.monotonic() - shared_clock.get("last_request", 0.0))
+        if wait > 0:
+            time.sleep(wait)
+        shared_clock["last_request"] = time.monotonic()
+        return fetch_fn(params)
 
     def make_inner(sweep):
         def fetch(params: dict) -> dict | None:
@@ -676,8 +706,10 @@ def provider_fetcher(
                 return None
             if hasattr(adapter, "fetch_response"):
                 # multi-request batch assembly (wikimedia batchcomplete
-                # merging): the adapter drives the transport itself
-                return adapter.fetch_response(fetch_fn, params)
+                # merging): the adapter drives the transport itself —
+                # through the delay wrapper, so sub-requests share the
+                # politeness clock with the outer loop
+                return adapter.fetch_response(delayed_fetch, params)
             response = fetch_fn(params)
             if response is not None and hasattr(adapter, "observe_response"):
                 adapter.observe_response(response)

@@ -565,3 +565,54 @@ def test_cosine_radius_matches_bruteforce(spark):
 
     with _pytest.raises(ValueError, match="max_queries"):
         knn.cosine_radius(df, df, threshold=0.5, max_queries=2)
+
+
+def test_exact_pairs_bounds_corpus_collect(spark):
+    """cosine_near_dup_pairs_exact broadcasts the WHOLE corpus — the
+    driver collect must be bounded like its cosine_topk/radius siblings
+    (an exported function must never OOM the driver silently)."""
+    import pytest as _pytest
+
+    rows = [(i, [float(i), 1.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="max_rows"):
+        knn.cosine_near_dup_pairs_exact(df, threshold=0.9, max_rows=5)
+    # under the bound it still works
+    assert knn.cosine_near_dup_pairs_exact(df, threshold=0.999).count() >= 1
+
+
+def test_simhash_near_pairs_refuses_unblocked_cross_join(spark):
+    """Without a block key the pair space is O(n^2); the exported API
+    must refuse unless the caller opts in for a bounded candidate set."""
+    import pytest as _pytest
+
+    sims = spark.createDataFrame(
+        [(1, 0b1010), (2, 0b1011), (3, 0b0101)], "doc_id long, simhash long"
+    )
+    with _pytest.raises(ValueError, match="cross join"):
+        dd.simhash_near_pairs(sims, "doc_id", max_hamming=1)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dd.simhash_near_pairs(
+            sims, "doc_id", max_hamming=1, allow_cross_join=True
+        ).collect()
+    }
+    assert got == {(1, 2)}
+
+
+def test_exact_dedupe_skips_nested_map_tiebreakers(spark):
+    """Orderable-column filter must exclude maps at ANY nesting depth
+    (array<map>, struct-with-map), not just top-level map columns —
+    else the default tiebreaker ORDER BY raises AnalysisException."""
+    df = spark.createDataFrame(
+        [
+            (1, "a", [{"k": "v"}], {"s": {"k2": "v2"}}, "keep"),
+            (1, "b", [{"k": "w"}], {"s": {"k2": "v3"}}, "drop"),
+        ],
+        "k long, tag string, amaps array<map<string,string>>, "
+        "smap struct<s:map<string,string>>, note string",
+    )
+    out = dd.exact_dedupe(df, ["k"])
+    assert out.count() == 1
+    # deterministic winner via the orderable columns (tag 'a' first)
+    assert out.collect()[0]["tag"] == "a"

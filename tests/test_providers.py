@@ -487,3 +487,86 @@ def test_ingestion_limit_is_global_across_sweeps():
     fetcher = provider_fetcher(adapter, fetch, ingestion_limit=3)
     total = sum(len(b) for b in fetcher.batches())
     assert total <= 3
+
+
+def test_wikimedia_audio_string_numerics_coerced():
+    """API-supplied streams metadata can carry STRING bitrate /
+    sample_rate values; the int4 guard must coerce (like the
+    reference's explicit int conversion) instead of TypeError-ing on
+    the comparison, and unparseable garbage is dropped."""
+    page = _wiki_page(
+        8,
+        mediatype="AUDIO",
+        duration=1.0,
+        metadata=[
+            {"name": "streams",
+             "value": [{"value": [
+                 {"name": "header", "value": [
+                     {"name": "sample_rate", "value": "48000"},
+                     {"name": "bitrate_nominal", "value": "128000.0"},
+                 ]}]}]},
+        ],
+    )
+    adapter = WikimediaStyleAdapter()
+    rec = adapter.parse_record(page)
+    assert rec["sample_rate"] == 48000
+    assert rec["bit_rate"] == 128000
+
+    page2 = _wiki_page(
+        9,
+        mediatype="AUDIO",
+        duration=1.0,
+        metadata=[
+            {"name": "streams",
+             "value": [{"value": [
+                 {"name": "header", "value": [
+                     {"name": "sample_rate", "value": "n/a"},
+                     {"name": "bitrate_nominal", "value": "9999999999"},
+                 ]}]}]},
+        ],
+    )
+    rec2 = WikimediaStyleAdapter().parse_record(page2)
+    assert rec2.get("sample_rate") is None
+    assert rec2.get("bit_rate") is None  # over int4 bound -> None
+
+
+def test_fetch_response_subrequests_share_politeness_clock():
+    """An adapter that drives the transport itself (fetch_response)
+    must receive a delay-wrapped fetch sharing the outer politeness
+    clock — rapid-fire sub-requests would otherwise bypass min_delay,
+    unlike the reference's single DelayedRequester."""
+    import time as _time
+
+    from openverse_catalog_spark.sources.providers import provider_fetcher
+
+    stamps: list[float] = []
+
+    def transport(params):
+        stamps.append(_time.monotonic())
+        if len(stamps) >= 4:
+            return {"rows": []}
+        return {"rows": [{"id": len(stamps)}]}
+
+    class Adapter:
+        def get_next_query_params(self, prev):
+            return {"page": 0 if prev is None else prev["page"] + 1}
+
+        def get_batch_data(self, response):
+            return response["rows"]
+
+        def parse_record(self, raw):
+            return raw
+
+        def fetch_response(self, fetch_fn, params):
+            # two sub-requests per batch (batchcomplete-merge shape)
+            first = fetch_fn(params)
+            if first["rows"]:
+                fetch_fn({**params, "cont": 1})
+            return first
+
+    fetcher = provider_fetcher(Adapter(), transport, min_delay=0.05)
+    list(fetcher.batches())
+    assert len(stamps) >= 3
+    gaps = [b - a for a, b in zip(stamps, stamps[1:])]
+    # EVERY inter-request gap honors the clock, including sub-requests
+    assert all(g >= 0.045 for g in gaps), gaps
