@@ -9,9 +9,25 @@ with ``INSERT ... ON CONFLICT`` under unique indexes
 this environment, so this module implements the minimal version of the
 same contract from parquet + JSON manifests only:
 
-  <root>/data/v<N>/part-*.parquet   immutable data files (copy-on-write)
-  <root>/manifests/v<N>.json        file list + per-file key-range stats
-  <root>/VERSION                    current-version pointer, atomic swap
+  <root>/data/<commit>/part-*.parquet   immutable data files (copy-on-write)
+  <root>/manifests/v<N>.json            file list + per-file key-range stats
+  <root>/VERSION                        current-version pointer (cache)
+
+Writer-writer safety is OPTIMISTIC CONCURRENCY, the same protocol as
+Delta's log: every commit attempt writes its data files into a UNIQUE
+directory (``data/c<uuid>``), then claims version N by exclusive-create
+of ``manifests/v<N>.json`` (an ``os.link`` from a fully-written temp
+file, so a manifest is complete the instant it appears). The manifest
+link IS the commit point; whoever links v<N> first wins that version.
+A loser gets ``CommitConflict``, deletes its orphan data directory, and
+REBASES: re-reads the winner's snapshot and recomputes its merge
+against it (so both logical updates survive — no lost update). The
+VERSION pointer is only a reader convenience; if a writer dies between
+manifest link and pointer swap, the next operation rolls the pointer
+forward (``_recover``). The reference gets the equivalent guarantee
+from Postgres transactions (``loader/sql.py:314-332``) plus a 1-slot
+refresh pool (``data_refresh_task_factory.py:156-163``); here
+concurrent provider merges + a compactor genuinely interleave.
 
 MERGE semantics are exactly ``merge_upsert`` / ``merge_upsert_pruned``
 (url dedupe, cross-partition url-conflict guard against the FULL table,
@@ -29,6 +45,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -43,19 +60,35 @@ from openverse_catalog_spark.operators.merge import (
 from openverse_catalog_spark.schemas.columns import ColumnSpec, spark_schema
 
 
+class CommitConflict(RuntimeError):
+    """Another writer claimed the version this commit attempt computed.
+    Retryable: re-read the snapshot and recompute the change against it
+    (``CowTable.merge``/``compact`` do this automatically up to
+    ``max_retries``)."""
+
+
 def _file_stats(
     spark: SparkSession, dir_path: str, keys: tuple[str, ...], rel_dir: str
 ) -> list[dict]:
     """One column-pruned scan over a data directory -> per-file manifest
-    entries (row count + min/max of each merge key). ``rel_dir`` is the
-    directory's path relative to the table root (e.g. ``data/v3``) —
-    manifest paths are built from it plus the file's basename, so a
-    table root that itself contains a ``/data/`` segment cannot corrupt
-    them."""
+    entries (row count + min/max + NULL count of each merge key).
+    ``rel_dir`` is the directory's path relative to the table root
+    (e.g. ``data/c3f9...``) — manifest paths are built from it plus the
+    file's basename, so a table root that itself contains a ``/data/``
+    segment cannot corrupt them.
+
+    NULL counts matter for correctness, not just stats: min/max skip
+    NULLs, so a file holding NULL-key rows reports a range that excludes
+    the NULL point — ``_affected_split`` uses ``null_keys`` to route
+    NULL-key batch rows to every file that can hide a NULL-key match."""
     df = spark.read.parquet(dir_path)
     aggs = [F.count(F.lit(1)).alias("rows")]
     for k in keys:
-        aggs += [F.min(k).alias(f"min_{k}"), F.max(k).alias(f"max_{k}")]
+        aggs += [
+            F.min(k).alias(f"min_{k}"),
+            F.max(k).alias(f"max_{k}"),
+            F.sum(F.col(k).isNull().cast("long")).alias(f"nulls_{k}"),
+        ]
     rows = (
         df.groupBy(F.input_file_name().alias("__file"))
         .agg(*aggs)
@@ -70,6 +103,7 @@ def _file_stats(
                 "rows": r["rows"],
                 "min": {k: r[f"min_{k}"] for k in keys},
                 "max": {k: r[f"max_{k}"] for k in keys},
+                "null_keys": {k: r[f"nulls_{k}"] for k in keys},
             }
         )
     return sorted(entries, key=lambda e: e["path"])
@@ -114,10 +148,24 @@ class CowTable:
 
     # -- manifest plumbing --------------------------------------------------
 
+    def _pointer(self) -> int:
+        try:
+            with open(f"{self.root}/VERSION") as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return 0
+
     @property
     def version(self) -> int:
-        with open(f"{self.root}/VERSION") as f:
-            return int(f.read().strip())
+        """Latest COMMITTED version. The pointer file is a hint that
+        bounds the scan; a manifest linked by a writer that died before
+        its pointer swap is still committed (the manifest link is the
+        commit point), so roll forward past the pointer — this is the
+        crash recovery every reader/writer performs implicitly."""
+        v = self._pointer()
+        while os.path.exists(f"{self.root}/manifests/v{v + 1}.json"):
+            v += 1
+        return v
 
     def _manifest(self, version: int | None = None) -> dict:
         v = self.version if version is None else version
@@ -127,8 +175,14 @@ class CowTable:
     def _commit(
         self, version: int, entries: list[dict], op: str, schema_json: str | None = None
     ) -> None:
+        """Claim version slot ``version`` by exclusive-create of its
+        manifest. The manifest is fully written to a temp file first and
+        ``os.link``ed into place, so (a) a manifest path either doesn't
+        exist or is complete — never half-written — and (b) exactly ONE
+        writer can claim a slot; every other concurrent committer of the
+        same slot gets ``CommitConflict`` and must rebase + retry."""
         if schema_json is None:
-            schema_json = self._manifest().get("schema")
+            schema_json = self._manifest(version - 1).get("schema")
         manifest = {
             "version": version,
             "operation": op,
@@ -138,9 +192,27 @@ class CowTable:
             "rows": sum(e["rows"] for e in entries),
         }
         mpath = f"{self.root}/manifests/v{version}.json"
-        with open(mpath, "w") as f:
+        tmp = f"{self.root}/manifests/.tmp.{uuid.uuid4().hex}.json"
+        with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1, default=str)
-        # atomic pointer swap: readers see v_old or v_new, never a mix
+        try:
+            os.link(tmp, mpath)  # atomic exclusive claim of the slot
+        except FileExistsError:
+            raise CommitConflict(
+                f"version {version} of {self.root} was committed by a "
+                "concurrent writer; rebase against the new snapshot and retry"
+            ) from None
+        finally:
+            os.remove(tmp)
+        self._advance_pointer(version)
+
+    def _advance_pointer(self, version: int) -> None:
+        """Refresh the reader-convenience pointer, never moving it
+        backward (a racing pointer write for an OLDER committed version
+        must not shadow a newer one; even if interleaving leaves the
+        pointer stale, ``version`` rolls forward past it)."""
+        if self._pointer() >= version:
+            return
         tmp = f"{self.root}/.VERSION.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             f.write(str(version))
@@ -188,13 +260,33 @@ class CowTable:
         the key value itself."""
         k0, rest = self.keys[0], list(self.keys[1:])
         if rest:
-            aggs = [F.min(rest[0]).alias("lo"), F.max(rest[0]).alias("hi")]
+            aggs = [
+                F.min(rest[0]).alias("lo"),
+                F.max(rest[0]).alias("hi"),
+                F.max(F.col(rest[0]).isNull().cast("int")).alias("has_null"),
+            ]
         else:
-            aggs = [F.min(k0).alias("lo"), F.max(k0).alias("hi")]
-        boxes = [
-            (r[k0], r["lo"], r["hi"])
-            for r in source.groupBy(k0).agg(*aggs).collect()
-        ]
+            aggs = [
+                F.min(k0).alias("lo"),
+                F.max(k0).alias("hi"),
+                F.lit(0).alias("has_null"),
+            ]
+        grouped = source.groupBy(k0).agg(*aggs).collect()
+        boxes = [(r[k0], r["lo"], r["hi"]) for r in grouped]
+        # min/max SKIP NULLs, so the boxes are blind to NULL key
+        # components — and merge_upsert matches NULL keys via eqNullSafe.
+        # Any batch row with a NULL anywhere in (k0, rest[0]) can only
+        # match target rows that ALSO have that NULL, which live in
+        # files whose null_keys count is positive: route those files to
+        # 'affected' whenever the batch carries a NULL key component.
+        batch_has_null = any(r[k0] is None or r["has_null"] for r in grouped)
+
+        def file_may_hold_null_keys(e: dict) -> bool:
+            nk = e.get("null_keys")
+            if nk is None:
+                return True  # pre-null-stats manifest entry: conservative
+            return any(v for v in nk.values())
+
         affected, untouched = [], []
         for e in m["files"]:
             if rest:
@@ -210,6 +302,8 @@ class CowTable:
                     lo <= self._lex(fhi) and self._lex(flo) <= hi
                     for _, flo, fhi in boxes
                 )
+            if not hit and batch_has_null and file_may_hold_null_keys(e):
+                hit = True
             (affected if hit else untouched).append(e)
         return affected, untouched
 
@@ -218,6 +312,8 @@ class CowTable:
         source: DataFrame,
         columns: list[ColumnSpec],
         target_files: int = 4,
+        max_retries: int = 3,
+        pre_commit_hook=None,
         **kwargs,
     ) -> dict:
         """MERGE the batch into a new snapshot. Untouched files carry over
@@ -231,7 +327,32 @@ class CowTable:
         merge_upsert_pruned's correctness argument: skipping never
         changes results because rows of non-intersecting files can only
         classify as 'kept', and the url guard never rewrites target rows.
-        """
+
+        Concurrency: on ``CommitConflict`` (another writer claimed the
+        version) the attempt's data directory is deleted and the WHOLE
+        merge — preprocessing, file split, upsert — reruns against the
+        winner's snapshot, up to ``max_retries`` times, so concurrent
+        provider merges / a concurrent compactor all land without a
+        lost update. ``pre_commit_hook`` (tests) runs between data write
+        and manifest link — the window where conflicts surface."""
+        last: CommitConflict | None = None
+        for _ in range(max_retries + 1):
+            try:
+                return self._merge_attempt(
+                    source, columns, target_files, pre_commit_hook, dict(kwargs)
+                )
+            except CommitConflict as e:
+                last = e
+        raise last
+
+    def _merge_attempt(
+        self,
+        source: DataFrame,
+        columns: list[ColumnSpec],
+        target_files: int,
+        pre_commit_hook,
+        kwargs: dict,
+    ) -> dict:
         m = self._manifest()
         keys = self.keys
         if not source.head(1):
@@ -249,8 +370,20 @@ class CowTable:
         if kwargs.pop("dedupe_source_on_url", True) and "url" in source.columns:
             source = distinct_on(source, ["url"], [F.col(k) for k in keys])
         if kwargs.pop("guard_url_conflicts", True) and "url" in source.columns:
-            source = url_conflict_filter(source, self.read(), keys)
+            source = url_conflict_filter(source, self.read(m["version"]), keys)
         source = source.localCheckpoint(eager=False)
+        if not source.head(1):
+            # the batch can be FULLY eliminated by the dedupe/url guard
+            # (every row a url thief): same no-op as an empty load —
+            # writing an empty frame would leave a part-less data dir
+            # whose stats scan cannot infer a schema
+            return {
+                "version": m["version"],
+                "files_rewritten": 0,
+                "files_skipped": len(m["files"]),
+                "files_written": 0,
+                "rows": m["rows"],
+            }
 
         affected, untouched = self._affected_split(m, source)
         if kwargs.get("validate_unique"):
@@ -274,15 +407,23 @@ class CowTable:
             **kwargs,
         )
 
+        # data files go to a commit-unique directory: concurrent
+        # attempts never collide on the filesystem, and a losing or
+        # crashed attempt leaves only an unreferenced dir for vacuum
         new_version = m["version"] + 1
-        data_dir = f"{self.root}/data/v{new_version}"
+        rel_dir = f"data/c{uuid.uuid4().hex[:12]}"
+        data_dir = f"{self.root}/{rel_dir}"
         merged.repartitionByRange(
             target_files, *[F.col(k) for k in keys]
         ).write.mode("error").parquet(data_dir)
-        new_entries = _file_stats(
-            self.spark, data_dir, keys, f"data/v{new_version}"
-        )
-        self._commit(new_version, untouched + new_entries, op="merge")
+        new_entries = _file_stats(self.spark, data_dir, keys, rel_dir)
+        if pre_commit_hook is not None:
+            pre_commit_hook()
+        try:
+            self._commit(new_version, untouched + new_entries, op="merge")
+        except CommitConflict:
+            shutil.rmtree(data_dir, ignore_errors=True)
+            raise
         return {
             "version": new_version,
             "files_rewritten": len(affected),
@@ -293,7 +434,12 @@ class CowTable:
 
     # -- maintenance --------------------------------------------------------
 
-    def compact(self, target_rows: int = 1_000_000) -> dict:
+    def compact(
+        self,
+        target_rows: int = 1_000_000,
+        max_retries: int = 3,
+        pre_commit_hook=None,
+    ) -> dict:
         """OPTIMIZE: bin-pack small files (rows < target_rows) into
         range-clustered files near target size; files already at size
         carry into the new snapshot by reference. A metadata-plus-
@@ -304,7 +450,20 @@ class CowTable:
         writes its own files; scan cost grows with file count, not
         bytes). Returns {version, files_compacted, files_kept,
         files_written, rows}; no new version if <2 small files exist.
-        """
+
+        Concurrency: same optimistic protocol as ``merge`` — a conflict
+        (e.g. a provider merge landed mid-compaction) discards the
+        attempt's files and re-plans compaction against the new
+        snapshot, so a compactor can run alongside live ingestion."""
+        last: CommitConflict | None = None
+        for _ in range(max_retries + 1):
+            try:
+                return self._compact_attempt(target_rows, pre_commit_hook)
+            except CommitConflict as e:
+                last = e
+        raise last
+
+    def _compact_attempt(self, target_rows: int, pre_commit_hook) -> dict:
         m = self._manifest()
         small = [e for e in m["files"] if e["rows"] < target_rows]
         keep = [e for e in m["files"] if e["rows"] >= target_rows]
@@ -320,14 +479,19 @@ class CowTable:
         n_files = max(1, -(-small_rows // target_rows))
         df = self.spark.read.parquet(*[f"{self.root}/{e['path']}" for e in small])
         new_version = m["version"] + 1
-        data_dir = f"{self.root}/data/v{new_version}"
+        rel_dir = f"data/c{uuid.uuid4().hex[:12]}"
+        data_dir = f"{self.root}/{rel_dir}"
         df.repartitionByRange(
             n_files, *[F.col(k) for k in self.keys]
         ).write.mode("error").parquet(data_dir)
-        new_entries = _file_stats(
-            self.spark, data_dir, self.keys, f"data/v{new_version}"
-        )
-        self._commit(new_version, keep + new_entries, op="compact")
+        new_entries = _file_stats(self.spark, data_dir, self.keys, rel_dir)
+        if pre_commit_hook is not None:
+            pre_commit_hook()
+        try:
+            self._commit(new_version, keep + new_entries, op="compact")
+        except CommitConflict:
+            shutil.rmtree(data_dir, ignore_errors=True)
+            raise
         return {
             "version": new_version,
             "files_compacted": len(small),
@@ -342,13 +506,21 @@ class CowTable:
         written, the commit is one manifest JSON), so restoring a
         100 TB table after a bad merge is instant. History stays linear
         and append-only: the bad version remains inspectable until
-        vacuum, and the restore itself is a recorded operation."""
+        vacuum, and the restore itself is a recorded operation.
+
+        Metadata-only, so a commit conflict just recomputes the next
+        free version number and relinks — no data work to redo."""
         m = self._manifest(version)
-        new_version = self.version + 1
-        self._commit(
-            new_version, m["files"], op=f"restore(v{version})",
-            schema_json=m.get("schema"),
-        )
+        while True:
+            new_version = self.version + 1
+            try:
+                self._commit(
+                    new_version, m["files"], op=f"restore(v{version})",
+                    schema_json=m.get("schema"),
+                )
+                break
+            except CommitConflict:
+                continue
         return {
             "version": new_version,
             "restored_from": version,
@@ -358,8 +530,14 @@ class CowTable:
 
     def vacuum(self, keep_versions: int = 1) -> list[str]:
         """Drop manifests older than the newest ``keep_versions`` and
-        delete data files no surviving manifest references. Returns the
-        deleted file paths."""
+        delete data files no surviving manifest references — including
+        orphans left by crashed or conflict-losing commit attempts
+        (their directories are never referenced by any manifest).
+        Returns the deleted file paths.
+
+        Like Delta's VACUUM, this must not run while a writer is mid-
+        attempt (its not-yet-committed files look orphaned); serialize
+        vacuum against writers or add an age threshold at deployment."""
         current = self.version
         keep = {current - i for i in range(keep_versions)}
         live: set[str] = set()
@@ -381,4 +559,13 @@ class CowTable:
                     deleted.append(rel)
         for name in drop_manifests:
             os.remove(f"{self.root}/manifests/{name}")
+        # sweep commit directories with no surviving referenced file at
+        # all (crashed/conflict-losing attempts leave _SUCCESS/.crc
+        # markers behind even after their parquet files are removed)
+        data_root = f"{self.root}/data"
+        if os.path.isdir(data_root):
+            for child in sorted(os.listdir(data_root)):
+                child_rel = f"data/{child}"
+                if not any(p.startswith(child_rel + "/") for p in live):
+                    shutil.rmtree(os.path.join(data_root, child), ignore_errors=True)
         return sorted(deleted)

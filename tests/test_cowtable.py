@@ -223,3 +223,169 @@ def test_cow_restore_rolls_back_metadata_only(spark, tmp_path):
     # a merge after restore builds on the restored state
     t.merge(mk(spark, _batch_rows()), COLS, deterministic=True)
     assert _canon(t.read()) == v2
+
+
+# --- optimistic concurrency ------------------------------------------------
+
+
+def test_cow_concurrent_merges_both_survive(spark, tmp_path):
+    """Two writers interleave: writer A computes its merge, and between
+    A's data write and manifest link, writer B commits its own merge.
+    A must get CommitConflict internally, REBASE against B's snapshot
+    and retry — both logical updates land, no lost update."""
+    t = CowTable.create(
+        spark, str(tmp_path / "tbl"), mk(spark, _base_rows()), target_files=4
+    )
+    b_batch = [row(provider="flickr", fid="f000", url="http://u/0", title="from-B")]
+    fired = {"n": 0}
+
+    def competing_writer():
+        if fired["n"] == 0:  # only on A's first attempt
+            fired["n"] += 1
+            t2 = CowTable(spark, t.root)
+            t2.merge(mk(spark, b_batch), COLS, deterministic=True)
+
+    res = t.merge(
+        mk(spark, _batch_rows()), COLS, deterministic=True,
+        pre_commit_hook=competing_writer,
+    )
+    assert fired["n"] == 1
+    assert res["version"] == 3  # B took v2, A rebased onto it and took v3
+    got = _canon(t.read())
+    assert got[("flickr", "f000")] == "from-B"      # B's update survived
+    assert got[("met", "f020")] == "updated"        # A's update survived
+    assert got[("met", "f999")] == "brand-new"
+    # no duplicate natural keys across the snapshot
+    n = t.read().count()
+    assert n == t.read().select("provider", "foreign_identifier").distinct().count()
+
+
+def test_cow_merge_vs_compact_conflict(spark, tmp_path):
+    """A compactor racing a provider merge: the compactor loses the
+    version slot, replans against the merged snapshot, and both commits
+    survive with identical data."""
+    t = CowTable.create(
+        spark, str(tmp_path / "tbl"), mk(spark, _base_rows()), target_files=4
+    )
+    before_compact = _canon(t.read())
+    fired = {"n": 0}
+
+    def competing_merge():
+        if fired["n"] == 0:
+            fired["n"] += 1
+            CowTable(spark, t.root).merge(
+                mk(spark, _batch_rows()), COLS, deterministic=True
+            )
+
+    res = t.compact(target_rows=1_000_000, pre_commit_hook=competing_merge)
+    assert fired["n"] == 1
+    got = _canon(t.read())
+    assert got[("met", "f020")] == "updated"        # merge survived
+    assert got[("met", "f999")] == "brand-new"
+    assert res["version"] == t.version
+    # compaction is data-identical modulo the merge's rows
+    expected = dict(before_compact)
+    expected[("met", "f020")] = "updated"
+    expected[("met", "f999")] = "brand-new"
+    assert got == expected
+
+
+def test_cow_conflict_exhausts_retries_and_cleans_orphans(spark, tmp_path):
+    """With max_retries=0 a persistent competitor surfaces
+    CommitConflict to the caller; the losing attempt's data directory
+    is deleted so nothing unreferenced accretes (and vacuum sweeps any
+    remains of the competitor's history)."""
+    import os
+
+    import pytest
+
+    from openverse_catalog_spark.operators.cowtable import CommitConflict
+
+    t = CowTable.create(
+        spark, str(tmp_path / "tbl"), mk(spark, _base_rows()), target_files=4
+    )
+
+    def always_competing():
+        CowTable(spark, t.root).merge(
+            mk(spark, [row(provider="met", fid=f"fz{t.version}",
+                           url=f"http://u/z{t.version}", title="c")]),
+            COLS, deterministic=True,
+        )
+
+    with pytest.raises(CommitConflict):
+        t.merge(
+            mk(spark, _batch_rows()), COLS, deterministic=True,
+            max_retries=0, pre_commit_hook=always_competing,
+        )
+    # every data dir on disk is referenced by some manifest (loser swept)
+    referenced = set()
+    mdir = str(tmp_path / "tbl" / "manifests")
+    for name in os.listdir(mdir):
+        with open(os.path.join(mdir, name)) as f:
+            referenced.update(
+                e["path"].split("/")[1] for e in json.load(f)["files"]
+            )
+    on_disk = set(os.listdir(str(tmp_path / "tbl" / "data")))
+    assert on_disk <= referenced
+
+
+def test_cow_pointer_crash_rolls_forward(spark, tmp_path):
+    """A writer dying between manifest link (the commit point) and the
+    VERSION pointer swap must not lose its commit: the next
+    reader/writer rolls the pointer forward implicitly."""
+    t = CowTable.create(
+        spark, str(tmp_path / "tbl"), mk(spark, _base_rows()), target_files=4
+    )
+    crashing = CowTable(spark, t.root)
+    crashing._advance_pointer = lambda v: None  # die before pointer swap
+    crashing.merge(mk(spark, _batch_rows()), COLS, deterministic=True)
+    assert t._pointer() == 1          # pointer still points at v1
+    assert t.version == 2             # but the commit is visible
+    assert _canon(t.read())[("met", "f020")] == "updated"
+    # a later commit lands at v3 and repairs the pointer
+    t.merge(
+        mk(spark, [row(provider="met", fid="f021", url="http://u/21b",
+                       title="later")]),
+        COLS, deterministic=True,
+    )
+    assert t._pointer() == 3 and t.version == 3
+
+
+def test_cow_null_key_rows_route_to_affected_files(spark, tmp_path):
+    """File skipping must not be blind to NULL key components: min/max
+    stats skip NULLs, and merge_upsert matches NULL keys via eqNullSafe
+    — so a NULL-fid batch row must force the files that hold NULL-fid
+    target rows into the rewrite set, not insert a duplicate."""
+    base = _base_rows() + [
+        row(provider="met", fid=None, url="http://u/null", title="null-old")
+    ]
+    tgt = mk(spark, base)
+    t = CowTable.create(spark, str(tmp_path / "tbl"), tgt, target_files=4)
+    batch = [row(provider="met", fid=None, url="http://u/null", title="null-new")]
+    t.merge(mk(spark, batch), COLS, deterministic=True)
+    expected = merge_upsert(tgt, mk(spark, batch), COLS, deterministic=True)
+    assert _canon(t.read()) == _canon(expected)
+    # exactly one NULL-fid met row: updated, not duplicated
+    nulls = t.read().filter(
+        (F.col("provider") == "met") & F.col("foreign_identifier").isNull()
+    ).collect()
+    assert len(nulls) == 1 and nulls[0]["title"] == "null-new"
+
+
+def test_cow_fully_guarded_batch_is_noop(spark, tmp_path):
+    """A batch FULLY eliminated by the url-conflict guard (every row a
+    url thief) must be a clean no-op commit-wise — not a crash on an
+    empty data directory."""
+    t = CowTable.create(
+        spark, str(tmp_path / "tbl"), mk(spark, _base_rows()), target_files=4
+    )
+    v_before = t.version
+    thieves = [
+        row(provider="met", fid="fX", url="http://u/3", title="thief1"),
+        row(provider="met", fid="fY", url="http://u/5", title="thief2"),
+    ]
+    res = t.merge(mk(spark, thieves), COLS, deterministic=True)
+    assert res["version"] == v_before and t.version == v_before
+    assert res["files_written"] == 0
+    got = _canon(t.read())
+    assert ("met", "fX") not in got and ("met", "fY") not in got

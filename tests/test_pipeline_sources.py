@@ -465,3 +465,72 @@ def test_stream_landing_to_cow_table(spark, tmp_path):
                               compact_target_rows=10_000)
     assert t._manifest()["operation"] == "compact"
     assert {r["foreign_identifier"] for r in t.read().collect()} == set(got)
+
+
+def test_stream_landing_to_cow_crash_recovery(spark, tmp_path):
+    """Kill the writer between the micro-batch's parquet data write and
+    its manifest commit: the stream checkpoint has NOT recorded the
+    batch, so the re-run reprocesses it — the batch is neither lost nor
+    duplicated (exactly-once across the crash), and the crashed
+    attempt's orphan data files are swept by vacuum."""
+    import os
+
+    import pytest
+
+    from openverse_catalog_spark.operators import cowtable as cowmod
+    from openverse_catalog_spark.operators.cowtable import CowTable
+    from openverse_catalog_spark.schemas.columns import image_db_schema, spark_schema
+    from openverse_catalog_spark.sources.landing import write_landing
+    from openverse_catalog_spark.sources.providers import (
+        FlickrStyleAdapter,
+        provider_fetcher,
+    )
+    from openverse_catalog_spark.streaming.incremental import stream_landing_to_cow
+    from tests.test_providers import _flickr_fetch, _flickr_photo
+
+    landing = str(tmp_path / "landing")
+    root = str(tmp_path / "cow")
+    cols = image_db_schema()
+    CowTable.create(
+        spark, root, spark.createDataFrame([], spark_schema(cols)), target_files=2
+    )
+    f1 = provider_fetcher(
+        FlickrStyleAdapter(), _flickr_fetch([[_flickr_photo(i) for i in range(4)]])
+    )
+    write_landing(f1, landing, "2024-01-01", "flickr")
+
+    real_commit = cowmod.CowTable._commit
+    state = {"crashed": False}
+
+    def crashing_commit(self, *a, **kw):
+        if not state["crashed"]:
+            state["crashed"] = True  # data files are on disk; die now
+            raise RuntimeError("injected crash before manifest commit")
+        return real_commit(self, *a, **kw)
+
+    cowmod.CowTable._commit = crashing_commit
+    try:
+        with pytest.raises(Exception, match="injected crash"):
+            stream_landing_to_cow(spark, landing, root, cols)
+        # the crash left orphan data files but NO commit and NO
+        # checkpoint progress — table still at the empty v1
+        t = CowTable(spark, root)
+        assert t.version == 1 and t.read().count() == 0
+
+        # re-run: the same micro-batch replays and lands exactly once
+        t = stream_landing_to_cow(spark, landing, root, cols)
+    finally:
+        cowmod.CowTable._commit = real_commit
+    assert t.version == 2
+    got = [r["foreign_identifier"] for r in t.read().collect()]
+    assert sorted(got) == ["1000", "1001", "1002", "1003"]  # no dup, no loss
+
+    # the crashed attempt's unreferenced files exist until vacuum...
+    data_dirs = set(os.listdir(os.path.join(root, "data")))
+    referenced = {
+        e["path"].split("/")[1] for e in t._manifest()["files"]
+    }
+    assert data_dirs - referenced  # orphan present
+    t.vacuum(keep_versions=2)
+    data_dirs_after = set(os.listdir(os.path.join(root, "data")))
+    assert data_dirs_after <= referenced  # ...then swept
