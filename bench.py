@@ -123,6 +123,7 @@ HEADLINE = [
     "agg_pending_reports",
     "merge_cow_table",
     "multimodal_header_dims",
+    "multimodal_audio_header",
 ]
 
 

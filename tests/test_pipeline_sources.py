@@ -534,3 +534,38 @@ def test_stream_landing_to_cow_crash_recovery(spark, tmp_path):
     t.vacuum(keep_versions=2)
     data_dirs_after = set(os.listdir(os.path.join(root, "data")))
     assert data_dirs_after <= referenced  # ...then swept
+
+
+def test_parse_audio_header_real_formats():
+    """parse_audio_header is a real container parser: WAV RIFF chunk
+    walk (junk chunk before fmt, declared data size -> duration), MP3
+    ID3v2 skip + frame-header indices + Xing frame count, CBR estimate
+    fallback when no Xing, and clean Nones on garbage/truncation."""
+    from openverse_catalog_spark.operators.multimodal import (
+        parse_audio_header,
+        synthesize_mp3_bytes,
+        synthesize_wav_bytes,
+    )
+
+    wav = synthesize_wav_bytes(44100, 2, 2, junk_pad=6)
+    assert parse_audio_header(wav) == ("wav", 2000, 44100, 44100 * 2 * 16)
+    mono = synthesize_wav_bytes(8000, 1, 5)
+    assert parse_audio_header(mono) == ("wav", 5000, 8000, 128000)
+
+    mp3 = synthesize_mp3_bytes(14, 0, 441, id3_pad=33)  # 320kbps 44.1k
+    assert parse_audio_header(mp3) == (
+        "mp3", 441 * 1152 * 1000 // 44100, 44100, 320000
+    )
+    # no Xing tag -> CBR size estimate over the post-ID3 payload
+    bare = b"\xff\xfb" + bytes([(9 << 4) | (1 << 2)]) + b"\x00" + b"\x00" * 4000
+    fmt, dur, sr, br = parse_audio_header(bare)
+    assert (fmt, sr, br) == ("mp3", 48000, 128000)
+    assert dur == len(bare) * 8 * 1000 // 128000
+
+    assert parse_audio_header(b"garbage") == (None, None, None, None)
+    assert parse_audio_header(b"RIFF\x00\x00\x00\x00WAVE") == (
+        None, None, None, None
+    )
+    # reserved bitrate index (15) and reserved sample-rate index rejected
+    bad = b"\xff\xfb" + bytes([(15 << 4)]) + b"\x00"
+    assert parse_audio_header(bad) == (None, None, None, None)
