@@ -26,6 +26,8 @@ HEADLINE = [
     "join_5way_enrich",
     "pipeline_taxa_enrich",
     "pipeline_popularity_refresh",
+    "pipeline_popularity_recreate",
+    "pipeline_popularity_refresh_pruned",
     "merge_upsert_strategies",
     "merge_partition_pruned",
     "merge_url_guards",

@@ -119,3 +119,80 @@ def standardized_popularity(
             F.col(metric_col) / (F.col(metric_col) + F.col("constant")),
         ),
     )
+
+
+def popularity_refresh_pruned(
+    spark,
+    scored_path: str,
+    new_rows: DataFrame,
+    group_col: str,
+    id_col: str,
+    metric_col: str,
+    percentile: float = 0.85,
+    score_col: str = "standardized_popularity",
+) -> dict:
+    """Incremental popularity refresh that touches ONLY the providers
+    present in ``new_rows``.
+
+    The reference refreshes popularity per media type on a schedule,
+    recomputing every provider's constant and the whole matview
+    (``popularity/sql.py:139-421``); at 100 TB the scored table is
+    provider-partitioned and a refresh for one provider's new data must
+    not read or rewrite the other providers' partitions. This operator:
+
+      1. derives the changed-provider set from the batch (a bounded
+         collect — one row per provider),
+      2. reads ONLY those providers' partitions from the scored table
+         (partition pruning; ``files_read`` in the returned report
+         proves untouched partitions never enter the scan),
+      3. recomputes percentile -> constant -> score over prior + new
+         rows for those providers, and
+      4. dynamic-partition-OVERWRITES exactly those partitions
+         (``overwrite_partitions``); every other partition's files are
+         untouched.
+
+    Returns {changed, files_read, rows_rescored}."""
+    from openverse_catalog_spark.operators.layout import overwrite_partitions
+
+    import os
+
+    changed = sorted(
+        r[0] for r in new_rows.select(group_col).distinct().collect()
+    )
+    # list-time pruning (stronger than plan-time): enumerate ONLY the
+    # changed providers' partition directories — untouched partitions
+    # never even enter the scan's file index. A changed provider with
+    # no existing partition (first batch ever) simply contributes no
+    # prior rows.
+    part_dirs = [
+        d
+        for v in changed
+        if os.path.isdir(d := os.path.join(scored_path, f"{group_col}={v}"))
+    ]
+    if part_dirs:
+        existing = spark.read.option("basePath", scored_path).parquet(*part_dirs)
+    else:
+        existing = new_rows.limit(0)
+    files_read = list(existing.inputFiles())
+    base_cols = [group_col, id_col, metric_col]
+    combined = (
+        existing.select(*base_cols)
+        .unionByName(new_rows.select(*base_cols))
+    )
+    p = percentile_disc_by_group(combined, [group_col], metric_col, percentile)
+    c = popularity_constants(p, percentile)
+    scored = (
+        standardized_popularity(
+            combined, c, [group_col], metric_col, out_col=score_col
+        )
+        .join(F.broadcast(c.select(group_col, "raw_value")), [group_col], "left")
+        .select(id_col, metric_col, "raw_value", "constant", score_col, group_col)
+    )
+    scored = scored.localCheckpoint(eager=True)  # sever lineage from the
+    # partitions being overwritten (Spark cannot overwrite its own input)
+    overwrite_partitions(scored, scored_path, [group_col])
+    return {
+        "changed": changed,
+        "files_read": files_read,
+        "rows_rescored": scored.count(),
+    }

@@ -1279,6 +1279,151 @@ def pipeline_popularity_refresh(spark, sf_dir):
     )
 
 
+# --- the popularity RECREATE (drop-and-rebuild), distinct from refresh ----
+
+_POP_SUMMARY_ORACLE = """
+    WITH media AS (
+      SELECT event_type AS provider,
+             CAST(event_id AS VARCHAR) AS foreign_identifier,
+             value AS metric
+      FROM events
+    ),
+    p AS (
+      SELECT provider, quantile_disc(metric, 0.85) AS raw_value
+      FROM media WHERE metric IS NOT NULL GROUP BY provider
+    ),
+    c AS (
+      SELECT provider, raw_value,
+             ((1 - 0.85) / 0.85) * (CASE WHEN raw_value = 0 THEN 1
+                                         ELSE raw_value END) AS constant
+      FROM p
+    )
+    SELECT m.provider,
+           round(c.raw_value, 4) AS raw_value,
+           round(c.constant, 6) AS constant,
+           count(*) AS n_scored,
+           round(avg(m.metric / (m.metric + c.constant)), 6) AS avg_score,
+           round(max(m.metric / (m.metric + c.constant)), 6) AS max_score
+    FROM media m JOIN c USING (provider)
+    GROUP BY m.provider, c.raw_value, c.constant
+"""
+
+
+@register("pipeline_popularity_recreate", _POP_SUMMARY_ORACLE)
+def pipeline_popularity_recreate(spark, sf_dir):
+    """The reference's RECREATE pipeline
+    (database/recreate_popularity_calculation_dag_factory.py), distinct
+    from the scheduled refresh: DROP every derived popularity artifact
+    and rebuild from the canonical media rows alone — no incremental
+    state survives. Here: (1) wipe the fixed table root (the DROP),
+    (2) materialize the canonical media table as a CoW lake table v1,
+    (3) from THAT SNAPSHOT recompute metrics (exact percentile_disc per
+    provider) -> constants matview -> scored view, (4) publish the
+    scored view as a fresh snapshot via the atomic publish/alias swap
+    (the reference's matview rebuild + promote), and (5) summarize per
+    provider from the PUBLISHED artifact — so the oracle, which
+    recomputes from raw rows only, gates the whole rebuild chain.
+    Compute shape matches refresh (one keyed shuffle + broadcast
+    constants); the difference is the from-scratch materialization."""
+    import os
+    import shutil
+    import tempfile
+
+    from openverse_catalog_spark.operators.cowtable import CowTable
+    from openverse_catalog_spark.streaming.incremental import publish_swap
+
+    e = _t(spark, sf_dir, "events")["events"]
+    media = e.select(
+        F.col("event_type").alias("provider"),
+        F.col("event_id").cast("string").alias("foreign_identifier"),
+        F.col("value").alias("metric"),
+    )
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_pop_recreate")
+    shutil.rmtree(root, ignore_errors=True)  # the DROP
+    t = CowTable.create(
+        spark, os.path.join(root, "media"), media,
+        keys=("provider", "foreign_identifier"), target_files=8,
+    )
+    snap = t.read()
+    p = percentile_disc_by_group(snap, ["provider"], "metric", 0.85)
+    c = popularity_constants(p, 0.85)
+    scored = standardized_popularity(snap, c, ["provider"], "metric")
+    publish_swap(scored, root, "pop_recreate_scored", spark)
+    view = spark.table("pop_recreate_scored")
+    summary = view.groupBy("provider").agg(
+        F.round(F.max("constant"), 6).alias("constant"),
+        F.count(F.lit(1)).alias("n_scored"),
+        F.round(F.avg("standardized_popularity"), 6).alias("avg_score"),
+        F.round(F.max("standardized_popularity"), 6).alias("max_score"),
+    )
+    raw = c.select("provider", F.round("raw_value", 4).alias("raw_value"))
+    return summary.join(F.broadcast(raw), "provider").select(
+        "provider", "raw_value", "constant", "n_scored", "avg_score", "max_score"
+    )
+
+
+@register("pipeline_popularity_refresh_pruned", _POP_SUMMARY_ORACLE)
+def pipeline_popularity_refresh_pruned(spark, sf_dir):
+    """Incremental popularity refresh with PROVIDER PRUNING: the scored
+    table lives provider-partitioned on disk; a batch of late events
+    for ONE provider triggers a refresh that reads and rewrites ONLY
+    that provider's partition (popularity_refresh_pruned — partition-
+    pruned scan, dynamic partition overwrite). The other providers'
+    files are never read; the plan pin in tests/test_plan_shapes.py
+    asserts it from the operator's files_read report. The ORACLE IS
+    UNCHANGED from a full recompute: non-held-out providers' v1 scores
+    already equal the full-data answer, and the refreshed provider
+    converges to it — pruning is physical, not semantic."""
+    import os
+    import shutil
+    import tempfile
+
+    from openverse_catalog_spark.operators.popularity import (
+        popularity_refresh_pruned,
+    )
+
+    e = _t(spark, sf_dir, "events")["events"]
+    allr = e.select(
+        F.col("event_type").alias("provider"),
+        F.col("event_id").alias("event_id"),
+        F.col("value").alias("metric"),
+    )
+    target = allr.select(F.min("provider")).head()[0]  # deterministic pick
+    late = allr.filter(
+        (F.col("provider") == target) & (F.col("event_id") % 5 == 0)
+    )
+    initial = allr.filter(
+        ~((F.col("provider") == target) & (F.col("event_id") % 5 == 0))
+    )
+    p = percentile_disc_by_group(initial, ["provider"], "metric", 0.85)
+    c = popularity_constants(p, 0.85)
+    v1 = (
+        standardized_popularity(initial, c, ["provider"], "metric")
+        .join(F.broadcast(c.select("provider", "raw_value")), ["provider"], "left")
+        .select(
+            "event_id", "metric", "raw_value", "constant",
+            "standardized_popularity", "provider",
+        )
+    )
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_pop_pruned")
+    shutil.rmtree(root, ignore_errors=True)
+    v1.write.partitionBy("provider").parquet(root)
+    popularity_refresh_pruned(
+        spark, root, late, "provider", "event_id", "metric"
+    )
+    final = spark.read.parquet(root)
+    summary = final.groupBy("provider").agg(
+        F.round(F.max("raw_value"), 4).alias("raw_value"),
+        F.round(F.max("constant"), 6).alias("constant"),
+        F.count(F.lit(1)).alias("n_scored"),
+        F.round(F.avg("standardized_popularity"), 6).alias("avg_score"),
+        F.round(F.max("standardized_popularity"), 6).alias("max_score"),
+    )
+    return summary.select(
+        "provider", "raw_value", "constant", "n_scored", "avg_score", "max_score"
+    )
+
+
 # --- the iNaturalist bulk load, end to end ---------------------------------
 #
 # The reference's largest batch pipeline (inaturalist.py:101-158 +

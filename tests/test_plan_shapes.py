@@ -263,3 +263,51 @@ def test_cosine_radius_no_shuffle(spark, sf_dir):
 
     plan = _plan(QUERIES["knn_cosine_radius"](spark, sf_dir))
     assert "Exchange" not in plan  # broadcast GEMM pass, zero shuffles
+
+
+def test_pruned_popularity_refresh_reads_only_changed_partitions(spark, tmp_path):
+    """popularity_refresh_pruned must never scan an untouched provider's
+    partition: files_read (the actual pruned scan file list) stays
+    inside the changed partition, and the other partitions' files are
+    bit-identical afterwards (never rewritten)."""
+    import os
+
+    from openverse_catalog_spark.operators.popularity import (
+        popularity_refresh_pruned,
+    )
+
+    rows = [(i, float(i % 7 + 1), ["alpha", "beta", "gamma"][i % 3])
+            for i in range(90)]
+    df = spark.createDataFrame(
+        rows, "event_id long, metric double, provider string"
+    ).select(
+        "event_id", "metric",
+        F.lit(1.0).alias("raw_value"), F.lit(0.2).alias("constant"),
+        F.lit(0.5).alias("standardized_popularity"), "provider",
+    )
+    root = str(tmp_path / "scored")
+    df.write.partitionBy("provider").parquet(root)
+
+    def snapshot(part):
+        d = os.path.join(root, f"provider={part}")
+        return {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d) if f.endswith(".parquet")
+        }
+
+    beta_before, gamma_before = snapshot("beta"), snapshot("gamma")
+    late = spark.createDataFrame(
+        [(1000, 9.0, "alpha")], "event_id long, metric double, provider string"
+    )
+    report = popularity_refresh_pruned(
+        spark, root, late, "provider", "event_id", "metric"
+    )
+    assert report["changed"] == ["alpha"]
+    assert report["files_read"], "pruned scan must still read the changed part"
+    assert all("provider=alpha" in f for f in report["files_read"])
+    # untouched partitions: same files, same mtimes — never rewritten
+    assert snapshot("beta") == beta_before
+    assert snapshot("gamma") == gamma_before
+    # changed partition rescored over prior + late rows
+    alpha = spark.read.parquet(root).filter(F.col("provider") == "alpha")
+    assert alpha.count() == 31  # 30 prior + 1 late
