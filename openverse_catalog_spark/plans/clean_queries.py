@@ -1089,3 +1089,69 @@ def agg_sub_provider_audit(spark, sf_dir):
             "cc_count",
         )
     )
+
+
+# --- orchestration surface: workflow DAG specs -----------------------------
+
+
+def _dag_spec_rows():
+    """(dag_id, schedule, dated, media_types, n_tasks, task_chain) per
+    registered workflow — flat projection of workflow_dag_specs()."""
+    from openverse_catalog_spark.sources.workflows import workflow_dag_specs
+
+    rows = []
+    for s in workflow_dag_specs():
+        rows.append(
+            (
+                s["dag_id"],
+                s["schedule"],
+                s["dated"],
+                ",".join(s["media_types"]),
+                len(s["tasks"]),
+                ">".join(t["task_id"] for t in s["tasks"]),
+            )
+        )
+    return rows
+
+
+def _dag_spec_oracle() -> str:
+    """The oracle is the registry itself rendered as literal VALUES: the
+    gate then pins that the EMITTER (workflow_dag_spec's task-graph
+    construction) reproduces the registry's configuration facts
+    faithfully through a Spark roundtrip."""
+    from openverse_catalog_spark.sources.workflows import (
+        PROVIDER_WORKFLOWS,
+    )
+
+    vals = []
+    for wf in sorted(PROVIDER_WORKFLOWS, key=lambda w: w.dag_id):
+        mts = ",".join(wf.media_types)
+        if wf.adapter_cls is None:
+            chain, n = "ingest_bulk>report", 2
+        else:
+            mids = [(f"clean_{m}", f"merge_{m}") for m in wf.media_types]
+            chain = ">".join(
+                ["pull_data"] + [t for pair in mids for t in pair] + ["report"]
+            )
+            n = 2 + 2 * len(wf.media_types)
+        vals.append(
+            f"('{wf.dag_id}', '{wf.schedule}', {str(wf.dated).upper()}, "
+            f"'{mts}', {n}, '{chain}')"
+        )
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(vals) + ") AS t(dag_id, "
+        "schedule, dated, media_types, n_tasks, task_chain)"
+    )
+
+
+@register("workflow_dag_specs", _dag_spec_oracle())
+def workflow_dag_specs_query(spark, sf_dir):
+    """The orchestration surface as data: one row per provider workflow
+    with its schedule facts and emitted task chain (provider_dag_factory
+    analog; structural pins in tests/test_providers_ext.py). Driver-side
+    literal frame — config metadata, not table compute."""
+    return spark.createDataFrame(
+        _dag_spec_rows(),
+        "dag_id string, schedule string, dated boolean, media_types string, "
+        "n_tasks int, task_chain string",
+    )

@@ -178,3 +178,92 @@ def build_fetcher(
     return provider_fetcher(
         adapter, fetch_fn, ingestion_limit=ingestion_limit, min_delay=min_delay
     )
+
+
+def workflow_dag_spec(workflow: ProviderWorkflow) -> dict:
+    """Emit the workflow's task graph as a dependency-free spec dict —
+    the engine-side analog of the reference's provider_dag_factory
+    output (``providers/provider_dag_factory.py``: pull_data ->
+    per-media load -> upsert -> report chain), consumable by an Airflow
+    shim (each task dict maps 1:1 onto an operator) without importing
+    Airflow here.
+
+    Task chain per provider: ``pull_data`` (paged fetch -> landing)
+    then, per media type, ``clean_<mt>`` -> ``merge_<mt>`` (the CoW
+    upsert with the registry's upsert timeout), joined by a final
+    ``report`` (load stats — the reference's report_load_completion).
+    Bulk workflows (iNaturalist) emit ``ingest_bulk`` running their
+    registered pipeline query instead of a paged fetch."""
+    base = {
+        "dag_id": workflow.dag_id,
+        "schedule": workflow.schedule,
+        "dated": workflow.dated,
+        "start_date": workflow.start_date,
+        "media_types": list(workflow.media_types),
+        "tags": list(workflow.tags),
+    }
+    if workflow.adapter_cls is None:
+        tasks = [
+            {
+                "task_id": "ingest_bulk",
+                "op": "pipeline_query",
+                "pipeline": workflow.bulk_pipeline,
+                "timeout_hours": workflow.pull_timeout_hours,
+                "depends_on": [],
+            },
+            {
+                "task_id": "report",
+                "op": "load_report",
+                "timeout_hours": 1,
+                "depends_on": ["ingest_bulk"],
+            },
+        ]
+        return {**base, "tasks": tasks}
+    tasks = [
+        {
+            "task_id": "pull_data",
+            "op": "paged_fetch",
+            "adapter": workflow.adapter_cls.__name__,
+            "timeout_hours": workflow.pull_timeout_hours,
+            "depends_on": [],
+        }
+    ]
+    merge_ids = []
+    for mt in workflow.media_types:
+        tasks.append(
+            {
+                "task_id": f"clean_{mt}",
+                "op": "clean_media_batch",
+                "media_type": mt,
+                "timeout_hours": workflow.upsert_timeout_hours,
+                "depends_on": ["pull_data"],
+            }
+        )
+        tasks.append(
+            {
+                "task_id": f"merge_{mt}",
+                "op": "cow_merge",
+                "media_type": mt,
+                "timeout_hours": workflow.upsert_timeout_hours,
+                "depends_on": [f"clean_{mt}"],
+            }
+        )
+        merge_ids.append(f"merge_{mt}")
+    tasks.append(
+        {
+            "task_id": "report",
+            "op": "load_report",
+            "timeout_hours": 1,
+            "depends_on": merge_ids,
+        }
+    )
+    return {**base, "tasks": tasks}
+
+
+def workflow_dag_specs() -> list[dict]:
+    """Specs for every registered workflow, dag_id-ordered — the full
+    orchestration surface a scheduler shim consumes (the reference's
+    ``test_dag_parsing``-style contract: every workflow produces a
+    well-formed task graph)."""
+    return [workflow_dag_spec(wf) for wf in
+            sorted(PROVIDER_WORKFLOWS, key=lambda w: w.dag_id)]

@@ -761,3 +761,50 @@ def test_freesound_audio_staging_reads_into_audio_schema(spark):
     assert row.bit_rate == 128000
     assert row.alt_files[0]["sample_rate"] == 48000
     assert row.license == "cc0"
+
+
+def test_workflow_dag_specs_structural():
+    """The reference's test_dag_parsing contract re-expressed for the
+    spec emitter: every registered workflow (20) yields a well-formed
+    task graph — unique task ids, dependencies resolve, the chain runs
+    pull -> clean_<mt> -> merge_<mt> -> report (one clean/merge branch
+    per media type), timeouts carry the registry's configuration, and
+    the bulk workflow (iNaturalist) runs its pipeline query instead."""
+    from openverse_catalog_spark.sources.workflows import (
+        PROVIDER_WORKFLOWS,
+        get_workflow,
+        workflow_dag_specs,
+    )
+
+    specs = workflow_dag_specs()
+    assert len(specs) == len(PROVIDER_WORKFLOWS) == 20
+    assert [s["dag_id"] for s in specs] == sorted(s["dag_id"] for s in specs)
+
+    for s in specs:
+        ids = [t["task_id"] for t in s["tasks"]]
+        assert len(ids) == len(set(ids))
+        known = set(ids)
+        for t in s["tasks"]:
+            assert set(t["depends_on"]) <= known
+            assert t["timeout_hours"] >= 1
+        wf = get_workflow(s["dag_id"])
+        if wf.adapter_cls is None:
+            assert ids == ["ingest_bulk", "report"]
+            assert s["tasks"][0]["pipeline"] == "pipeline_inaturalist_bulk"
+            continue
+        assert ids[0] == "pull_data" and ids[-1] == "report"
+        assert s["tasks"][0]["timeout_hours"] == wf.pull_timeout_hours
+        for mt in wf.media_types:
+            assert f"clean_{mt}" in ids and f"merge_{mt}" in ids
+        # report joins every media branch
+        assert set(s["tasks"][-1]["depends_on"]) == {
+            f"merge_{mt}" for mt in wf.media_types
+        }
+
+    wiki = next(s for s in specs if s["dag_id"] == "wikimedia_commons_workflow")
+    assert [t["task_id"] for t in wiki["tasks"]] == [
+        "pull_data", "clean_image", "merge_image",
+        "clean_audio", "merge_audio", "report",
+    ]
+    flickr = next(s for s in specs if s["dag_id"] == "flickr_workflow")
+    assert flickr["dated"] and flickr["schedule"] == "@daily"
