@@ -392,7 +392,8 @@ def publish_swap(
     data_refresh_task_factory.py:183-240, done with paths + a view).
 
     Returns the snapshot path. Old snapshots are left for time-travel /
-    rollback; a retention job prunes them (deployment concern).
+    rollback; ``rotate_snapshots`` is the retention job that prunes
+    them.
     """
     import time as _time
 
@@ -403,6 +404,33 @@ def publish_swap(
     # the swap: re-pointing a view is a metadata-only operation
     spark.read.parquet(path).createOrReplaceTempView(name)
     return path
+
+
+def rotate_snapshots(base_dir: str, name: str, keep: int = 2) -> list[str]:
+    """Retention for the publish_swap snapshot chain: keep the newest
+    ``keep`` versioned snapshots of ``name``, delete the rest — the
+    reference's rotate_db_snapshots maintenance DAG
+    (``catalog/dags/maintenance/rotate_db_snapshots.py``: list
+    snapshots newest-first, delete beyond the horizon), applied to
+    published parquet snapshots instead of RDS. Never deletes the
+    newest snapshot (the live view's backing files). Returns the
+    deleted snapshot paths, oldest first."""
+    import os
+    import shutil
+
+    root = os.path.join(base_dir, name)
+    if not os.path.isdir(root):
+        return []
+    versions = sorted(
+        (d for d in os.listdir(root) if d.startswith("v=")),
+        key=lambda d: int(d.removeprefix("v=")),
+    )
+    doomed = versions[: -keep] if keep > 0 else versions[:-1]
+    deleted = []
+    for d in doomed:
+        shutil.rmtree(os.path.join(root, d))
+        deleted.append(os.path.join(root, d))
+    return deleted
 
 
 def stream_landing_to_cow(

@@ -569,3 +569,26 @@ def test_parse_audio_header_real_formats():
     # reserved bitrate index (15) and reserved sample-rate index rejected
     bad = b"\xff\xfb" + bytes([(15 << 4)]) + b"\x00"
     assert parse_audio_header(bad) == (None, None, None, None)
+
+
+def test_rotate_snapshots_keeps_newest(tmp_path):
+    """rotate_db_snapshots analog over the publish_swap chain: keep the
+    newest N versioned snapshots, delete older, never touch the live
+    (newest) one."""
+    import os
+
+    from openverse_catalog_spark.streaming.incremental import rotate_snapshots
+
+    root = tmp_path / "pub" / "scored"
+    for v in (100, 200, 300, 400):
+        (root / f"v={v}").mkdir(parents=True)
+        (root / f"v={v}" / "part-0.parquet").write_bytes(b"x")
+
+    deleted = rotate_snapshots(str(tmp_path / "pub"), "scored", keep=2)
+    assert [os.path.basename(p) for p in deleted] == ["v=100", "v=200"]
+    assert sorted(os.listdir(root)) == ["v=300", "v=400"]
+    # keep=0 still refuses to delete the live snapshot
+    deleted = rotate_snapshots(str(tmp_path / "pub"), "scored", keep=0)
+    assert os.listdir(root) == ["v=400"]
+    # missing table: clean no-op
+    assert rotate_snapshots(str(tmp_path / "pub"), "nope") == []
