@@ -233,6 +233,58 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_star_edges(
+    signatures: DataFrame,
+    id_col: str,
+    n_seeds: int = DEFAULT_SEEDS,
+    n_bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Candidate edges for CONNECTED-COMPONENTS consumption: within each
+    LSH band bucket, connect every member to the bucket's MIN id (a
+    star) instead of materializing all pairs.
+
+    Connectivity-equivalent to ``minhash_lsh_pairs`` (every same-bucket
+    pair is linked through the hub) but LINEAR in bucket size where
+    all-pairs is quadratic — the difference between surviving and
+    OOMing on a dup-heavy corpus: a bucket of c near-identical docs
+    (c ~ 100s for boilerplate/mirror-heavy crawls) emits c-1 edges, not
+    c(c-1)/2. This is the standard large-scale CC candidate shape
+    (hash-to-min). Star edges raise cluster diameter by at most 1 hop
+    per bucket, so give ``dup_components_bounded`` one extra round when
+    switching from pair edges. Returns (id_a=hub, id_b=member) with
+    id_a < id_b."""
+    assert n_seeds % n_bands == 0, "n_seeds must divide evenly into bands"
+    signatures = signatures.localCheckpoint(eager=False)
+    rows = n_seeds // n_bands
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                hash60(
+                    F.concat_ws(
+                        ",", *[F.col(f"mh_{b * rows + r}") for r in range(rows)]
+                    )
+                ).alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = signatures.select(
+        F.col(id_col), F.explode(bands).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    hubs = (
+        exploded.groupBy("band", "key")
+        .agg(F.min(id_col).alias("__hub"), F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") > 1)
+    )
+    return (
+        exploded.join(hubs, ["band", "key"])
+        .filter(F.col(id_col) != F.col("__hub"))
+        .select(F.col("__hub").alias("id_a"), F.col(id_col).alias("id_b"))
+        .distinct()
+    )
+
+
 def tokens_expr(text_col):
     """Lower-cased word tokens (non-alphanumeric separators)."""
     return F.filter(

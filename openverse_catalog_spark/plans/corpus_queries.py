@@ -75,12 +75,12 @@ def dedup_exact_text(spark, sf_dir):
 _N_SEEDS, _N_BANDS, _K = 16, 4, 5
 
 
-def _minhash_pair_ctes(src: str = "corpus") -> str:
-    """The shared CTE chain ending in ``cand_pairs(id_a, id_b)`` —
-    reused by the pair, components and funnel queries. ``src`` is the
-    (doc_id, text) CTE the chain reads; when it is not the default
-    corpus, the caller supplies the source CTEs and the leading corpus
-    CTE is still emitted first (sources derive from it)."""
+def _minhash_band_ctes(src: str = "corpus") -> str:
+    """The shared CTE chain ending in ``bands(doc_id, band, key)`` —
+    the MinHash signature + band-key derivation every LSH oracle reads.
+    ``src`` is the (doc_id, text) CTE the chain reads; when it is not
+    the default corpus, the caller supplies the source CTEs and the
+    leading corpus CTE is still emitted first (sources derive from it)."""
     from openverse_catalog_spark.functions.hashing import (
         MERSENNE_P,
         perm_params,
@@ -111,11 +111,32 @@ def _minhash_pair_ctes(src: str = "corpus") -> str:
              FROM t)),
     hs AS (SELECT doc_id, {base} AS h FROM sh),
     mh AS (SELECT doc_id, {mins} FROM hs GROUP BY doc_id),
-    bands AS ({bands}),
+    bands AS ({bands})"""
+
+
+def _minhash_pair_ctes(src: str = "corpus") -> str:
+    """Band CTEs + all-pairs ``cand_pairs(id_a, id_b)`` — for queries
+    whose PRODUCT is the pair set (dedup_minhash_lsh, incremental)."""
+    return f"""{_minhash_band_ctes(src)},
     cand_pairs AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+    """
+
+
+def _minhash_star_ctes(src: str = "corpus") -> str:
+    """Band CTEs + STAR edges ``cand_pairs(id_a=hub, id_b=member)`` —
+    for connectivity consumers (components, funnel): linear in bucket
+    size where all-pairs is quadratic, same connected components (see
+    minhash_lsh_star_edges)."""
+    return f"""{_minhash_band_ctes(src)},
+    hubs AS (SELECT band, key, min(doc_id) AS hub, count(*) AS c
+             FROM bands GROUP BY band, key),
+    cand_pairs AS (
+      SELECT DISTINCT h.hub AS id_a, b.doc_id AS id_b
+      FROM bands b JOIN hubs h ON b.band = h.band AND b.key = h.key
+      WHERE h.c > 1 AND b.doc_id <> h.hub)
     """
 
 
@@ -357,10 +378,10 @@ def _label_prop_sql(rounds: int = 3) -> tuple[str, str]:
     return frag, prev
 
 
-def _components_oracle(rounds: int = 3) -> str:
+def _components_oracle(rounds: int = 4) -> str:
     frag, last = _label_prop_sql(rounds)
     return f"""
-    WITH {_minhash_pair_ctes()},
+    WITH {_minhash_star_ctes()},
     {frag}
     SELECT node AS doc_id, label AS canonical_id FROM {last}
     """
@@ -368,14 +389,17 @@ def _components_oracle(rounds: int = 3) -> str:
 
 @register("dedup_components", _components_oracle())
 def dedup_components(spark, sf_dir):
-    """Keeper selection: MinHash-LSH candidate pairs -> bounded min-label
-    propagation (3 rounds of join + min-aggregate) -> (doc_id,
-    canonical_id). The last step of a real dedup pipeline — which
-    physical doc survives each near-dup cluster."""
+    """Keeper selection: MinHash-LSH STAR edges (bucket member -> bucket
+    min; linear in bucket size, so a dup-heavy corpus where every doc
+    has hundreds of copies cannot OOM the pair materialization — the
+    100x probe's finding) -> bounded min-label propagation (4 rounds of
+    join + min-aggregate; one extra round covers the hub hop) ->
+    (doc_id, canonical_id). The last step of a real dedup pipeline —
+    which physical doc survives each near-dup cluster."""
     corpus = _corpus(spark, sf_dir)
     sigs = dd.minhash_signatures(corpus, "doc_id", "text", _N_SEEDS, _K)
-    pairs = dd.minhash_lsh_pairs(sigs, "doc_id", _N_SEEDS, _N_BANDS)
-    return dd.dup_components_bounded(pairs, rounds=3)
+    edges = dd.minhash_lsh_star_edges(sigs, "doc_id", _N_SEEDS, _N_BANDS)
+    return dd.dup_components_bounded(edges, rounds=4)
 
 
 # --- embedding-cosine near-dup + IVF ANN -----------------------------------
@@ -1006,13 +1030,13 @@ def text_pii_flags(spark, sf_dir):
 
 
 def _funnel_oracle() -> str:
-    frag, last = _label_prop_sql(3)
+    frag, last = _label_prop_sql(4)
     return f"""
     WITH corpus AS ({_CORPUS_SQL}),
     hashed AS (SELECT doc_id, {hash60_sql(_NORM_SQL)} AS h FROM corpus),
     s1k AS (SELECT min(doc_id) AS doc_id FROM hashed GROUP BY h),
     surv1 AS (SELECT c.doc_id, c.text FROM corpus c JOIN s1k USING (doc_id)),
-    {_minhash_pair_ctes(src="surv1")},
+    {_minhash_star_ctes(src="surv1")},
     {frag},
     drops AS (SELECT node FROM {last} WHERE label <> node),
     n0 AS (SELECT count(*) AS c FROM corpus),
@@ -1046,10 +1070,11 @@ def dedup_funnel(spark, sf_dir):
     # MinHash signature pass, and the anti-join's left side) — without
     # this the scan + hash + groupBy + join lineage runs 3x
     surv1 = corpus.join(keepers, "doc_id").localCheckpoint()
-    # stage 2: near-dup components on the exact survivors
+    # stage 2: near-dup components on the exact survivors — star edges
+    # (linear per bucket) since only connectivity is consumed
     sigs = dd.minhash_signatures(surv1, "doc_id", "text", _N_SEEDS, _K)
-    pairs = dd.minhash_lsh_pairs(sigs, "doc_id", _N_SEEDS, _N_BANDS)
-    comps = dd.dup_components_bounded(pairs, rounds=3)
+    edges = dd.minhash_lsh_star_edges(sigs, "doc_id", _N_SEEDS, _N_BANDS)
+    comps = dd.dup_components_bounded(edges, rounds=4)
     drops = comps.filter(F.col("canonical_id") != F.col("doc_id")).select("doc_id")
     surv2 = surv1.join(drops, "doc_id", "left_anti")
 

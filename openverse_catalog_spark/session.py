@@ -41,6 +41,19 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # start every shuffle fine-grained and let AQE coalesce DOWN:
+        # with a flat shuffle.partitions=cores, a 100x data burst makes
+        # per-task hash aggregates outgrow the heap (the 100x probe's
+        # dedup_components OOM); 8x-cores initial partitions keep task
+        # working sets bounded at scale while AQE merges them back to
+        # ~cores when the data is small, so small-SF plans are unchanged
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            os.environ.get(
+                "SPARK_GRAFT_INITIAL_PARTITIONS",
+                str(max(256, int(shuffle_partitions) * 8)),
+            ),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -616,3 +616,35 @@ def test_exact_dedupe_skips_nested_map_tiebreakers(spark):
     assert out.count() == 1
     # deterministic winner via the orderable columns (tag 'a' first)
     assert out.collect()[0]["tag"] == "a"
+
+
+def test_lsh_star_edges_connectivity_equals_pairs(spark):
+    """Star edges (bucket member -> bucket min) must yield the SAME
+    connected components as the all-pairs form while emitting edges
+    linear in bucket size — the dup-heavy-corpus scale fix."""
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog in the park",
+        2: "the quick brown fox jumps over the lazy dog in the park",
+        3: "the quick brown fox jumps over the lazy dog in the yard",
+        4: "completely different content about database systems design",
+        5: "completely different content about database systems design",
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "id long, text string"
+    )
+    sigs = dd.minhash_signatures(df, "id", "text")
+    pairs = dd.minhash_lsh_pairs(sigs, "id")
+    stars = dd.minhash_lsh_star_edges(sigs, "id")
+
+    def comps(edges, rounds):
+        out = dd.dup_components_bounded(edges, rounds=rounds)
+        return {r["doc_id"]: r["canonical_id"] for r in out.collect()}
+
+    cp, cs = comps(pairs, 3), comps(stars, 4)
+    assert set(cp) == set(cs)       # same nodes participate
+    assert cp == cs                  # same canonical labels
+    # star edge count <= pair edge count; strictly fewer for buckets > 2
+    n_pairs, n_stars = pairs.count(), stars.count()
+    assert n_stars <= n_pairs
+    # hub is always the min -> id_a < id_b invariant holds
+    assert stars.filter(F.col("id_a") >= F.col("id_b")).count() == 0

@@ -61,7 +61,7 @@ PROBES = [
 #: SCALING.md; ~tens of minutes).
 DEEP_COPIES = 100
 DEEP_PROBES = [
-    ("dedup_semantic_clustered", {"documents": ["doc_id"]}),
+    ("dedup_semantic_clustered", {"embeddings": ["vec_id"]}),
     ("merge_cow_compact", {"customer": ["c_custkey"]}),
     ("dedup_components", {"documents": ["doc_id"]}),
     ("dedup_ngram_jaccard", {"documents": ["doc_id"]}),
