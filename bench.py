@@ -126,6 +126,7 @@ HEADLINE = [
     "merge_cow_table",
     "multimodal_header_dims",
     "multimodal_audio_header",
+    "multimodal_video_header",
 ]
 
 

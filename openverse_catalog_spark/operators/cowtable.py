@@ -242,6 +242,41 @@ class CowTable:
             )
         return self.spark.read.parquet(*paths)
 
+    def read_pruned(self, values, version: int | None = None) -> DataFrame:
+        """Manifest-pruned snapshot read for ``keys[0] IN values`` (the
+        reference's per-provider access pattern): only files whose
+        recorded keys[0] range can contain one of the values — or that
+        may hold NULL keys when NULL is asked for — enter the scan's
+        file index; every other file is never listed, opened, or read.
+        This is the reader-side dividend of the same per-file stats the
+        MERGE uses for skipping. A residual ``isin`` filter keeps the
+        result exact regardless of pruning."""
+        m = self._manifest(version)
+        k0 = self.keys[0]
+        want_null = any(v is None for v in values)
+        vals = [v for v in values if v is not None]
+        paths = []
+        for e in m["files"]:
+            lo, hi = e["min"][k0], e["max"][k0]
+            hit = lo is not None and hi is not None and any(
+                lo <= v <= hi for v in vals
+            )
+            if not hit and want_null:
+                nk = e.get("null_keys")
+                hit = nk is None or bool(nk.get(k0))
+            if hit:
+                paths.append(f"{self.root}/{e['path']}")
+        if not paths:
+            from pyspark.sql import types as T
+
+            return self.spark.createDataFrame(
+                [], T.StructType.fromJson(json.loads(m["schema"]))
+            )
+        cond = F.col(k0).isin(vals) if vals else F.lit(False)
+        if want_null:
+            cond = cond | F.col(k0).isNull()
+        return self.spark.read.parquet(*paths).filter(cond)
+
     # -- merge --------------------------------------------------------------
 
     @staticmethod

@@ -1049,6 +1049,46 @@ def merge_cow_table(spark, sf_dir):
 
 
 @register(
+    "merge_cow_read_pruned",
+    f"""
+    WITH target AS ({_COW_TARGET_SQL}),
+    batch AS ({_COW_BATCH_SQL}),
+    guarded AS (
+      SELECT b.* FROM batch b
+      WHERE NOT EXISTS (
+        SELECT 1 FROM target t
+        WHERE t.url = b.url
+          AND (t.provider <> b.provider
+               OR t.foreign_identifier <> b.foreign_identifier))
+    )
+    SELECT COALESCE(b.provider, t.provider) AS provider,
+           COALESCE(b.foreign_identifier, t.foreign_identifier)
+             AS foreign_identifier,
+           COALESCE(b.url, t.url) AS url,
+           COALESCE(b.title, t.title) AS title
+    FROM target t
+    FULL OUTER JOIN guarded b
+      ON t.provider = b.provider
+     AND t.foreign_identifier = b.foreign_identifier
+    WHERE COALESCE(b.provider, t.provider) IN ('p1', 'p9')
+    """,
+)
+def merge_cow_read_pruned(spark, sf_dir):
+    """Reader-side file skipping on the CoW table: a per-provider read
+    (the reference's dominant access pattern — every DAG operates on
+    its own provider's rows) consults the manifest's per-file key
+    ranges and scans ONLY the files that can contain the asked-for
+    providers; the rest never enter the file index.
+    tests/test_cowtable.py pins inputFiles to a strict subset. Result
+    is exact (residual isin filter) — the oracle is the plain filtered
+    merge result."""
+    t = _cow_build(spark, sf_dir, "cow_readp", _t)
+    return t.read_pruned(["p1", "p9"]).select(
+        "provider", "foreign_identifier", "url", "title"
+    )
+
+
+@register(
     "merge_cow_snapshot_diff",
     f"""
     WITH target AS ({_COW_TARGET_SQL}),

@@ -229,6 +229,43 @@ def q_multimodal_audio_header(spark, sf_dir):
 
 
 @register(
+    "multimodal_video_header",
+    """
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 248 + doc_id % 32
+                     ELSE 260 + doc_id % 32 END AS BIGINT) AS n_bytes,
+           'mp4' AS format,
+           CAST(((doc_id % 600 + 1) * 1000000)
+                // (CASE doc_id % 4 WHEN 0 THEN 1000 WHEN 1 THEN 90000
+                                    WHEN 2 THEN 600 ELSE 48000 END)
+                AS BIGINT) AS duration_ms,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 1000 WHEN 1 THEN 90000
+                                WHEN 2 THEN 600 ELSE 48000 END
+                AS BIGINT) AS timescale,
+           (doc_id * 7) % 1920 + 16 AS width,
+           (doc_id * 13) % 1080 + 16 AS height
+    FROM documents
+    """,
+)
+def q_multimodal_video_header(spark, sf_dir):
+    """REAL video decode at the container-header level — completes the
+    image/audio/video header-parse triad: payloads are genuine ISO BMFF
+    (MP4) leads (ftyp + free-box sibling + moov{mvhd v0/v1, trak/tkhd})
+    and parse_video_header walks the box tree for duration/timescale
+    (mvhd, both version layouts) and presentation dimensions (tkhd
+    16.16 fixed-point). The oracle recomputes the synthesis formulas,
+    pinning the pack -> parse roundtrip exactly. Arrow-batched
+    mapInPandas, no shuffle."""
+    from openverse_catalog_spark.operators.multimodal import (
+        attach_real_video_payload,
+        extract_video_header_metadata,
+    )
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return extract_video_header_metadata(attach_real_video_payload(d))
+
+
+@register(
     "stream_dedup_first_seen",
     "SELECT DISTINCT user_id, event_type FROM events",
 )

@@ -389,3 +389,32 @@ def test_cow_fully_guarded_batch_is_noop(spark, tmp_path):
     assert res["files_written"] == 0
     got = _canon(t.read())
     assert ("met", "fX") not in got and ("met", "fY") not in got
+
+
+def test_cow_read_pruned_scans_subset_and_is_exact(spark, tmp_path):
+    """read_pruned must (a) return exactly the filtered snapshot and
+    (b) physically scan only files whose key range can hold the asked
+    providers — the manifest's reader-side dividend."""
+    t = CowTable.create(
+        spark, str(tmp_path / "tbl"), mk(spark, _base_rows()), target_files=8
+    )
+    all_files = {f"{t.root}/{e['path']}" for e in t._manifest()["files"]}
+    pruned = t.read_pruned(["met"])
+    expected = {
+        r["foreign_identifier"]
+        for r in t.read().filter(F.col("provider") == "met").collect()
+    }
+    assert {r["foreign_identifier"] for r in pruned.collect()} == expected
+    scanned = {f.removeprefix("file://") for f in pruned.inputFiles()}
+    assert scanned < all_files  # strict subset: flickr-only files skipped
+    # asking for a provider that exists nowhere scans nothing
+    assert t.read_pruned(["zzz"]).count() == 0
+    # NULL-key request routes through null-aware entries only
+    base = _base_rows() + [
+        row(provider=None, fid="fn", url="http://u/n", title="nullprov")
+    ]
+    t2 = CowTable.create(
+        spark, str(tmp_path / "tbl2"), mk(spark, base), target_files=8
+    )
+    got = t2.read_pruned([None]).collect()
+    assert len(got) == 1 and got[0]["title"] == "nullprov"

@@ -592,3 +592,37 @@ def test_rotate_snapshots_keeps_newest(tmp_path):
     assert os.listdir(root) == ["v=400"]
     # missing table: clean no-op
     assert rotate_snapshots(str(tmp_path / "pub"), "nope") == []
+
+
+def test_parse_video_header_real_formats():
+    """parse_video_header is a real ISO BMFF parser: box-tree walk
+    (ftyp brand gate, free-box sibling skip, moov descent), mvhd v0/v1
+    duration+timescale, tkhd 16.16 fixed-point dimensions, 64-bit
+    largesize boxes, and clean Nones on garbage/missing moov."""
+    import struct
+
+    from openverse_catalog_spark.operators.multimodal import (
+        parse_video_header,
+        synthesize_mp4_bytes,
+    )
+
+    v0 = synthesize_mp4_bytes(3000, 1000, 1280, 720, version=0, pad=9)
+    assert parse_video_header(v0) == ("mp4", 3000, 1000, 1280, 720)
+    v1 = synthesize_mp4_bytes(180000, 90000, 640, 360, version=1)
+    assert parse_video_header(v1) == ("mp4", 2000, 90000, 640, 360)
+
+    # 64-bit largesize moov wrapper still parses
+    raw = synthesize_mp4_bytes(5000, 1000, 320, 240)
+    moov_at = raw.find(b"moov") - 4
+    moov = raw[moov_at:]
+    large = (
+        raw[:moov_at]
+        + struct.pack(">I", 1) + b"moov" + struct.pack(">Q", len(moov) + 8)
+        + moov[8:]
+    )
+    assert parse_video_header(large) == ("mp4", 5000, 1000, 320, 240)
+
+    assert parse_video_header(b"garbage") == (None,) * 5
+    # ftyp without moov -> unrecognized
+    only_ftyp = struct.pack(">I", 16) + b"ftypisom" + b"\x00\x00\x00\x00"
+    assert parse_video_header(only_ftyp) == (None,) * 5

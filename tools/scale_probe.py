@@ -149,6 +149,16 @@ def deep_main() -> None:
     worst = max(rows, key=lambda x: x[4])
     lines += [
         "",
+        "**Ceiling found and fixed by this probe:** the first run OOM'd "
+        "`dedup_components` — all-pairs within LSH band buckets is "
+        "quadratic in bucket size, and 100x replication makes every doc "
+        "a ~100-way duplicate (what mirror/boilerplate-heavy crawls look "
+        "like). Fix: connectivity consumers build STAR edges (bucket "
+        "member -> bucket min; linear per bucket, component-equivalent, "
+        "pinned by an equivalence test), and shuffles start at 8x-cores "
+        "initial partitions so AQE sizes task working sets instead of a "
+        "flat cores-count partitioning bursting the heap.",
+        "",
         f"Worst per-row ratio: `{worst[0]}` at {worst[4]:.2f}x. Ceilings "
         "exercised at 100x: CoW manifest stays a per-file JSON list "
         "(driver-held, ~KB per file); the bloom filter shuffles fixed-width "
