@@ -102,6 +102,22 @@ AUDIT = [
         "broadcast bitmap in one Arrow pass, and only bloom hits reach "
         "the exact anti-join — the join input shrinks to the dup rate.",
     ),
+    (
+        "pipeline_popularity_refresh_pruned",
+        "Provider-pruned refresh: the scan lists ONLY the changed "
+        "provider's partition directory (list-time pruning), the "
+        "rescore is one keyed exchange + broadcast constants, and the "
+        "write is a dynamic partition overwrite that leaves every other "
+        "partition's files untouched.",
+    ),
+    (
+        "dedup_components",
+        "Connected components over STAR edges: the LSH buckets aggregate "
+        "to (bucket, hub=min) and members join the hub — edges linear "
+        "in bucket size (the all-pairs form is quadratic and OOMs on a "
+        "dup-heavy corpus), then each propagation round is one "
+        "equi-join + one min-aggregate.",
+    ),
 ]
 
 
