@@ -59,6 +59,7 @@ HEADLINE = [
     "text_contamination",
     "text_token_histogram",
     "text_unigram_nll",
+    "text_bigram_nll",
     "text_pii_flags",
     "corpus_split_assign",
     "embed_quantize_int8",
@@ -71,6 +72,7 @@ HEADLINE = [
     "join_range_clicks_after_signup",
     "corpus_mix_langs",
     "sample_stratified_source",
+    "sample_group_caps",
     "corpus_pack_sequences",
     "corpus_chunk_docs",
     "sketch_cms_heavy_hitters",

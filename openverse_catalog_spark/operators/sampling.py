@@ -311,3 +311,29 @@ def domain_upsample(
         .withColumn("copy_id", F.explode(F.sequence(F.lit(1), F.col("__n"))))
         .drop("__n")
     )
+
+
+def group_capped_sample(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str,
+    salt: str = "gcap",
+) -> DataFrame:
+    """Per-group fixed-size sample: keep the first ``k`` rows of each
+    group in deterministic hash order — the doc-count sibling of
+    token_budget_cap (balanced per-domain corpora are usually specified
+    as 'at most K docs per source/language'). Hash order makes the draw
+    uniform-without-replacement, reproducible on any engine or
+    partitioning, and stable under appends of non-sampled rows. One
+    keyed window shuffle on the group column; AQE splits skewed groups'
+    SORT, and the row_number early-outs after k per partition at the
+    consumer."""
+    w = Window.partitionBy(group_col).orderBy(
+        _keyhash(F.col(id_col), salt), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

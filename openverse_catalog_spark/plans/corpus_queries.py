@@ -1900,3 +1900,115 @@ def text_readability(spark, sf_dir):
         "doc_id", F.round(tx.readability_flesch(F.col("text")), 2).alias("flesch")
     )
     return out.filter(F.col("flesch").isNotNull())
+
+
+# --- bigram-LM corpus scoring (interpolated perplexity proxy) --------------
+
+
+@register(
+    "text_bigram_nll",
+    """
+    WITH tl AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, i, t[i] AS token
+      FROM tl, unnest(range(1, len(t) + 1)) AS u(i)
+    ),
+    uni AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+    tot AS (SELECT sum(n) AS nn FROM uni),
+    bigrams AS (
+      SELECT a.doc_id, a.token AS prev, b.token AS cur
+      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+    ),
+    big AS (SELECT prev, cur, count(*) AS npc FROM bigrams GROUP BY prev, cur),
+    ctx AS (SELECT prev, sum(npc) AS np FROM big GROUP BY prev)
+    SELECT g.doc_id, count(*) AS n_bigrams,
+           round(avg(-log2(0.75 * (big.npc / ctx.np)
+                           + 0.25 * (u.n / tot.nn))), 4) AS avg_nll
+    FROM bigrams g
+    JOIN big ON big.prev = g.prev AND big.cur = g.cur
+    JOIN ctx ON ctx.prev = g.prev
+    JOIN uni u ON u.token = g.cur
+    CROSS JOIN tot
+    GROUP BY g.doc_id
+    """,
+)
+def text_bigram_nll(spark, sf_dir):
+    """Interpolated bigram-LM scoring — the KenLM-shaped quality filter
+    one rung above text_unigram_nll: each doc's mean -log2 of
+    P(w_i | w_{i-1}) = 0.75 * c(prev,cur)/c(prev,.) + 0.25 * c(cur)/N
+    under the corpus's own counts. Docs whose word ORDER is unusual
+    (shuffled text, keyword soup) score high even when their unigrams
+    are ordinary — exactly what the unigram proxy cannot see. Plan:
+    tokens posexplode once; bigram positions come from ONE lag window
+    (one doc_id shuffle — the oracle's equivalent self-join would
+    shuffle the token relation twice); count tables aggregate with
+    map-side partials; the scoring joins are plain equi-joins AQE
+    broadcasts when the vocab fits and shuffles when a 100 TB corpus's
+    doesn't. Docs with < 2 tokens have no bigrams and are absent, as
+    in any n-gram LM."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    tok = d.select(
+        "doc_id", F.posexplode(tx.tokens(F.col("text"))).alias("pos", "token")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big_rel = (
+        tok.select(
+            "doc_id",
+            F.lag("token").over(w).alias("prev"),
+            F.col("token").alias("cur"),
+        )
+        .filter(F.col("prev").isNotNull())
+        .localCheckpoint(eager=False)  # feeds counts AND scoring
+    )
+    uni = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    tot = uni.agg(F.sum("n").alias("nn"))
+    big = big_rel.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("npc"))
+    ctx = big.groupBy("prev").agg(F.sum("npc").alias("np"))
+    p = 0.75 * (F.col("npc") / F.col("np")) + 0.25 * (F.col("n") / F.col("nn"))
+    return (
+        big_rel.join(big, ["prev", "cur"])
+        .join(ctx, ["prev"])
+        .join(uni.withColumnRenamed("token", "cur"), ["cur"])
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(-F.log2(p)), 4).alias("avg_nll"),
+        )
+    )
+
+
+# --- per-group fixed-size doc cap -------------------------------------------
+
+
+def _group_caps_oracle() -> str:
+    from openverse_catalog_spark.operators.sampling import keyhash_sql
+
+    return f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {keyhash_sql("doc_id", "gcap")}, doc_id
+             ) AS rn
+      FROM documents) WHERE rn <= 120
+    """
+
+
+@register("sample_group_caps", _group_caps_oracle())
+def sample_group_caps(spark, sf_dir):
+    """Per-language fixed-size doc cap (at most K docs per group, drawn
+    uniformly in deterministic hash order) — the doc-count sibling of
+    corpus_token_budget_cap and the usual spec for balanced corpora.
+    One keyed window shuffle; reproducible on any partitioning."""
+    from openverse_catalog_spark.operators.sampling import group_capped_sample
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return group_capped_sample(d, "lang", 120, "doc_id").select("doc_id", "lang")

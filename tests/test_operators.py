@@ -648,3 +648,39 @@ def test_lsh_star_edges_connectivity_equals_pairs(spark):
     assert n_stars <= n_pairs
     # hub is always the min -> id_a < id_b invariant holds
     assert stars.filter(F.col("id_a") >= F.col("id_b")).count() == 0
+
+
+def test_bigram_nll_flags_shuffled_word_order(spark):
+    """The bigram LM must separate docs by word ORDER: a doc whose
+    tokens are a permutation of common text (same unigrams, broken
+    transitions) scores a higher mean NLL than the repeated natural
+    phrasing it was shuffled from."""
+    base = "the cat sat on the mat and the dog sat on the rug"
+    shuffled = "mat the on dog sat the and rug cat the on sat the"
+    rows = [(i, base) for i in range(10)] + [(99, shuffled)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # the registered query (text_bigram_nll, oracle-gated) reads the
+    # documents parquet; drive the same construction on the small frame
+    from pyspark.sql import Window
+
+    tok = df.select(
+        "doc_id", F.posexplode(tx.tokens(F.col("text"))).alias("pos", "token")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big_rel = tok.select(
+        "doc_id", F.lag("token").over(w).alias("prev"), F.col("token").alias("cur")
+    ).filter(F.col("prev").isNotNull())
+    uni = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    tot = uni.agg(F.sum("n").alias("nn"))
+    big = big_rel.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("npc"))
+    ctx = big.groupBy("prev").agg(F.sum("npc").alias("np"))
+    p = 0.75 * (F.col("npc") / F.col("np")) + 0.25 * (F.col("n") / F.col("nn"))
+    scored = (
+        big_rel.join(big, ["prev", "cur"]).join(ctx, ["prev"])
+        .join(uni.withColumnRenamed("token", "cur"), ["cur"])
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(F.avg(-F.log2(p)).alias("avg_nll"))
+    )
+    got = {r["doc_id"]: r["avg_nll"] for r in scored.collect()}
+    assert got[99] > got[0]  # broken transitions cost bits

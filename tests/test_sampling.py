@@ -237,3 +237,23 @@ def test_domain_upsample_expected_replication(spark):
     other = spark.range(0, 100).select(F.col("id"), F.lit("en").alias("dom"))
     assert smp.domain_upsample(other, "id", "dom", {"fr": 2.5}).count() == 100
     assert smp.domain_upsample(other, "id", "dom", {"en": 0.0}).count() < 100
+
+
+def test_group_capped_sample_deterministic_and_bounded(spark):
+    from openverse_catalog_spark.operators.sampling import group_capped_sample
+
+    rows = [(i, ["en", "fr", "de"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out1 = group_capped_sample(df, "lang", 20, "doc_id")
+    got1 = {(r["doc_id"], r["lang"]) for r in out1.collect()}
+    # exactly k per group (every group has >= k members here)
+    from collections import Counter
+
+    per = Counter(lang for _, lang in got1)
+    assert per == {"en": 20, "fr": 20, "de": 20}
+    # identical draw under a different physical layout
+    out2 = group_capped_sample(df.repartition(7, "doc_id"), "lang", 20, "doc_id")
+    assert {(r["doc_id"], r["lang"]) for r in out2.collect()} == got1
+    # groups smaller than k pass through whole
+    small = spark.createDataFrame([(1, "xx"), (2, "xx")], "doc_id long, lang string")
+    assert group_capped_sample(small, "lang", 20, "doc_id").count() == 2
