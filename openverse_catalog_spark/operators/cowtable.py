@@ -181,11 +181,14 @@ class CowTable:
         exist or is complete — never half-written — and (b) exactly ONE
         writer can claim a slot; every other concurrent committer of the
         same slot gets ``CommitConflict`` and must rebase + retry."""
+        import time
+
         if schema_json is None:
             schema_json = self._manifest(version - 1).get("schema")
         manifest = {
             "version": version,
             "operation": op,
+            "committed_at": time.time(),
             "keys": list(self.keys),
             "schema": schema_json,
             "files": entries,
@@ -228,19 +231,54 @@ class CowTable:
 
     # -- reads --------------------------------------------------------------
 
-    def read(self, version: int | None = None) -> DataFrame:
-        """Snapshot read (time travel with ``version``): exactly the files
-        the manifest lists, nothing else. A zero-file snapshot reads as
-        an empty frame with the manifest's recorded schema."""
+    def _schema(self, m: dict):
+        from pyspark.sql import types as T
+
+        return (
+            T.StructType.fromJson(json.loads(m["schema"]))
+            if m.get("schema")
+            else None
+        )
+
+    def read(
+        self, version: int | None = None, as_of: float | None = None
+    ) -> DataFrame:
+        """Snapshot read (time travel with ``version``, or ``as_of`` an
+        epoch-seconds timestamp picking the newest commit at or before
+        it): exactly the files the manifest lists, nothing else. The
+        read is pinned to the MANIFEST's schema, so snapshots whose
+        files predate a schema evolution still read uniformly — parquet
+        resolves columns by name and fills absent ones with NULL. A
+        zero-file snapshot reads as an empty frame with that schema."""
+        if as_of is not None:
+            if version is not None:
+                raise ValueError("pass version OR as_of, not both")
+            version = self.version_as_of(as_of)
         m = self._manifest(version)
         paths = [f"{self.root}/{e['path']}" for e in m["files"]]
+        schema = self._schema(m)
         if not paths:
-            from pyspark.sql import types as T
+            return self.spark.createDataFrame([], schema)
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(*paths)
 
-            return self.spark.createDataFrame(
-                [], T.StructType.fromJson(json.loads(m["schema"]))
-            )
-        return self.spark.read.parquet(*paths)
+    def version_as_of(self, ts: float) -> int:
+        """Newest committed version whose commit time is <= ``ts``."""
+        best = None
+        for name in os.listdir(f"{self.root}/manifests"):
+            if not name.startswith("v"):
+                continue
+            with open(f"{self.root}/manifests/{name}") as f:
+                m = json.load(f)
+            at = m.get("committed_at")
+            if at is not None and float(at) <= ts:
+                if best is None or m["version"] > best:
+                    best = m["version"]
+        if best is None:
+            raise ValueError(f"no commit at or before {ts}")
+        return best
 
     def read_pruned(self, values, version: int | None = None) -> DataFrame:
         """Manifest-pruned snapshot read for ``keys[0] IN values`` (the
@@ -266,16 +304,16 @@ class CowTable:
                 hit = nk is None or bool(nk.get(k0))
             if hit:
                 paths.append(f"{self.root}/{e['path']}")
+        schema = self._schema(m)
         if not paths:
-            from pyspark.sql import types as T
-
-            return self.spark.createDataFrame(
-                [], T.StructType.fromJson(json.loads(m["schema"]))
-            )
+            return self.spark.createDataFrame([], schema)
         cond = F.col(k0).isin(vals) if vals else F.lit(False)
         if want_null:
             cond = cond | F.col(k0).isNull()
-        return self.spark.read.parquet(*paths).filter(cond)
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(*paths).filter(cond)
 
     # -- merge --------------------------------------------------------------
 
@@ -390,6 +428,29 @@ class CowTable:
     ) -> dict:
         m = self._manifest()
         keys = self.keys
+        # schema evolution (Delta's mergeSchema): NEW columns in the
+        # ColumnSpec list are accepted only behind an explicit opt-in;
+        # old files stay untouched (reads resolve by name and fill the
+        # new columns with NULL via the manifest schema), the commit
+        # records the widened schema
+        allow_new = kwargs.pop("allow_new_columns", False)
+        spec_schema = spark_schema(columns)
+        table_schema = self._schema(m)
+        new_fields = (
+            [
+                f
+                for f in spec_schema.fields
+                if f.name not in set(table_schema.fieldNames())
+            ]
+            if table_schema is not None
+            else []
+        )
+        if new_fields and not allow_new:
+            raise ValueError(
+                f"merge adds new columns {[f.name for f in new_fields]} to "
+                f"{self.root}; pass allow_new_columns=True to evolve the "
+                "schema (old files are not rewritten — reads fill NULLs)"
+            )
         if not source.head(1):
             # empty batch: nothing to rewrite, no new version (the
             # reference's loader likewise skips the upsert on an empty
@@ -427,11 +488,20 @@ class CowTable:
             # for this commit and rewrite every file enforced
             affected, untouched = affected + untouched, []
         if affected:
-            target_slice = self.spark.read.parquet(
+            reader = self.spark.read
+            if table_schema is not None:
+                # pin to the CURRENT table schema: affected files may
+                # predate an earlier evolution and lack newer columns
+                reader = reader.schema(table_schema)
+            target_slice = reader.parquet(
                 *[f"{self.root}/{e['path']}" for e in affected]
             )
+            for f in new_fields:
+                target_slice = target_slice.withColumn(
+                    f.name, F.lit(None).cast(f.dataType)
+                )
         else:
-            target_slice = self.spark.createDataFrame([], spark_schema(columns))
+            target_slice = self.spark.createDataFrame([], spec_schema)
         merged = merge_upsert(
             target_slice,
             source,
@@ -455,7 +525,12 @@ class CowTable:
         if pre_commit_hook is not None:
             pre_commit_hook()
         try:
-            self._commit(new_version, untouched + new_entries, op="merge")
+            self._commit(
+                new_version,
+                untouched + new_entries,
+                op="merge",
+                schema_json=merged.schema.json() if new_fields else None,
+            )
         except CommitConflict:
             shutil.rmtree(data_dir, ignore_errors=True)
             raise
@@ -512,7 +587,11 @@ class CowTable:
             }
         small_rows = sum(e["rows"] for e in small)
         n_files = max(1, -(-small_rows // target_rows))
-        df = self.spark.read.parquet(*[f"{self.root}/{e['path']}" for e in small])
+        reader = self.spark.read
+        schema = self._schema(m)
+        if schema is not None:
+            reader = reader.schema(schema)  # mixed pre-evolution files
+        df = reader.parquet(*[f"{self.root}/{e['path']}" for e in small])
         new_version = m["version"] + 1
         rel_dir = f"data/c{uuid.uuid4().hex[:12]}"
         data_dir = f"{self.root}/{rel_dir}"
