@@ -48,6 +48,7 @@ HEADLINE = [
     "dedup_embedding_lsh",
     "knn_cosine_topk",
     "knn_ivf",
+    "knn_ivf_persisted",
     "knn_mmr_rerank",
     "knn_quality_filtered",
     "json_metric_extract",

@@ -795,3 +795,139 @@ def cosine_radius(
     return base.select(id_col, vec_col).mapInPandas(
         gen, "query_id long, neighbor_id long, cosine double"
     )
+
+
+def ivf_build_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_mod: int = 40,
+    index_files: int = 8,
+) -> dict:
+    """Build and PERSIST an IVF index: inverted lists (neighbor_id,
+    centroid_id, vector) written range-clustered + sorted on
+    centroid_id, plus the centroid table. The production ANN shape:
+    the n*C assignment GEMM runs ONCE ever; every later batch of
+    queries probes the stored lists (``ivf_probe_index``) at
+    |q|*C + n*nprobe/C cost — no daily re-assignment of a 100 TB
+    corpus. Clustering on centroid_id means a probe's centroid filter
+    prunes row groups at the parquet scan. Deterministic centroids
+    (id % centroid_mod), same math as ivf_topk."""
+    spark = corpus.sparkSession
+    base = _as_double(corpus, vec_col)
+    cent_pdf = (
+        base.filter(F.col(id_col) % centroid_mod == 0)
+        .select(id_col, vec_col)
+        .limit(MAX_BROADCAST_QUERIES + 1)
+        .toPandas()
+        .sort_values(id_col)
+    )
+    if len(cent_pdf) > MAX_BROADCAST_QUERIES:
+        raise ValueError(
+            f"ivf_build_index centroid count exceeds {MAX_BROADCAST_QUERIES}; "
+            "raise centroid_mod (C should grow ~sqrt(n), not n)"
+        )
+    c_ids, c_mat = _stack_normalized(cent_pdf, id_col, vec_col)
+    bc = spark.sparkContext.broadcast((c_ids, c_mat))
+
+    def assign_gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        b_ids, b_mat = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, mat = _stack_normalized(pdf, id_col, vec_col)
+            best = (mat @ b_mat.T).argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": ids,
+                    "centroid_id": b_ids[best],
+                    "vector": pdf[vec_col].to_numpy(),
+                }
+            )
+
+    assign = base.select(id_col, vec_col).mapInPandas(
+        assign_gen, "neighbor_id long, centroid_id long, vector array<double>"
+    )
+    (
+        assign.repartitionByRange(index_files, F.col("centroid_id"))
+        .sortWithinPartitions("centroid_id")
+        .write.mode("overwrite")
+        .parquet(f"{path}/lists")
+    )
+    base.filter(F.col(id_col) % centroid_mod == 0).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("vector")
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    return {"path": path, "centroids": int(len(c_ids))}
+
+
+def ivf_probe_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Probe a persisted IVF index (``ivf_build_index``): nprobe nearest
+    centroids per query (one GEMM per Arrow batch against the broadcast
+    centroid matrix), then exact cosine ranking WITHIN the probed
+    inverted lists only. The probed-centroid set (bounded by the
+    centroid count) is applied as an ``isin`` filter on the lists scan,
+    so the pushed-down predicate + the index's centroid clustering
+    prune row groups before anything is read — the batch-probe cost
+    never rescans the whole index."""
+    cent_pdf = (
+        spark.read.parquet(f"{path}/centroids").toPandas()
+        .sort_values("centroid_id")
+    )
+    c_ids, c_mat = _stack_normalized(cent_pdf, "centroid_id", "vector")
+    bc = spark.sparkContext.broadcast((c_ids, c_mat))
+    base = _as_double(queries, vec_col)
+
+    def probe_gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        b_ids, b_mat = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, mat = _stack_normalized(pdf, id_col, vec_col)
+            order = np.argsort(-(mat @ b_mat.T), axis=1, kind="stable")[:, :nprobe]
+            reps = order.shape[1]
+            yield pd.DataFrame(
+                {
+                    "query_id": ids.repeat(reps),
+                    "centroid_id": b_ids[order.reshape(-1)],
+                    "__qv": pdf[vec_col].to_numpy().repeat(reps),
+                }
+            )
+
+    probe = base.select(id_col, vec_col).mapInPandas(
+        probe_gen, "query_id long, centroid_id long, __qv array<double>"
+    ).localCheckpoint(eager=False)
+    probed = sorted(
+        r[0] for r in probe.select("centroid_id").distinct().collect()
+    )
+    lists = spark.read.parquet(f"{path}/lists").filter(
+        F.col("centroid_id").isin(probed)
+    )
+    cand = probe.join(lists, "centroid_id").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        cosine_expr(F.col("__qv"), F.col("vector")).alias("cosine"),
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(wk)).filter(
+        F.col("rank") <= k
+    )

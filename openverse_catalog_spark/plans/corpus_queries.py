@@ -576,6 +576,33 @@ def knn_ivf(spark, sf_dir):
     )
 
 
+@register("knn_ivf_persisted", _ivf_oracle())
+def knn_ivf_persisted(spark, sf_dir):
+    """The PERSISTED-index form of knn_ivf — the production ANN shape:
+    ivf_build_index assigns every vector to its centroid ONCE and writes
+    the inverted lists range-clustered + sorted on centroid_id; each
+    query batch then probes the stored index (broadcast centroid GEMM ->
+    pushed-down isin(centroid_id) filter on the clustered lists -> exact
+    cosine within probed lists). Same deterministic math and oracle as
+    knn_ivf, but the n*C assignment never re-runs per batch — at 100 TB
+    the index build amortizes across every future probe. The pushdown
+    is plan-pinned in tests/test_plan_shapes.py."""
+    import os
+    import shutil
+    import tempfile
+
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_ivf_idx")
+    shutil.rmtree(path, ignore_errors=True)
+    knn.ivf_build_index(e, path, "vec_id", "embedding", centroid_mod=40)
+    queries = e.filter(F.col("vec_id") % 20 == 0)
+    out = knn.ivf_probe_index(spark, path, queries, "vec_id", "embedding",
+                              k=3, nprobe=2)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
+    )
+
+
 # --- text analysis ---------------------------------------------------------
 
 

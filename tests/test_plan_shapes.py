@@ -311,3 +311,25 @@ def test_pruned_popularity_refresh_reads_only_changed_partitions(spark, tmp_path
     # changed partition rescored over prior + late rows
     alpha = spark.read.parquet(root).filter(F.col("provider") == "alpha")
     assert alpha.count() == 31  # 30 prior + 1 late
+
+
+def test_ivf_probe_pushes_centroid_filter_to_index_scan(spark, tmp_path):
+    """Probing a persisted IVF index must push the probed-centroid isin
+    filter into the parquet scan of the lists (PushedFilters: In(...)),
+    so the index's centroid clustering prunes row groups before read."""
+    from openverse_catalog_spark.operators import knn
+
+    rows = [(i, [float((i * 13) % 7 - 3), float((i * 5) % 11 - 5), 1.0])
+            for i in range(200)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "idx")
+    knn.ivf_build_index(e, path, centroid_mod=40)
+    out = knn.ivf_probe_index(
+        spark, path, e.filter(F.col("vec_id") % 50 == 0), k=2, nprobe=1
+    )
+    plan = _plan(out)
+    scan = plan[plan.index("lists"):]
+    assert "PushedFilters: [In(centroid_id" in scan
+    # and the probe actually returns ranked neighbors
+    got = out.collect()
+    assert got and all(r["rank"] <= 2 for r in got)
