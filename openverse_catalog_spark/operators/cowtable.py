@@ -221,9 +221,21 @@ class CowTable:
             f.write(str(version))
         os.replace(tmp, f"{self.root}/VERSION")
 
+    def _manifest_names(self) -> list[str]:
+        """Committed manifest filenames only: a writer that died between
+        tmp write and link can leave a ``.tmp.*.json`` behind — never a
+        commit, never read."""
+        import re
+
+        return sorted(
+            n
+            for n in os.listdir(f"{self.root}/manifests")
+            if re.fullmatch(r"v\d+\.json", n)
+        )
+
     def history(self) -> list[dict]:
         out = []
-        for name in sorted(os.listdir(f"{self.root}/manifests")):
+        for name in self._manifest_names():
             with open(f"{self.root}/manifests/{name}") as f:
                 m = json.load(f)
             out.append({k: m[k] for k in ("version", "operation", "rows")})
@@ -267,9 +279,7 @@ class CowTable:
     def version_as_of(self, ts: float) -> int:
         """Newest committed version whose commit time is <= ``ts``."""
         best = None
-        for name in os.listdir(f"{self.root}/manifests"):
-            if not name.startswith("v"):
-                continue
+        for name in self._manifest_names():
             with open(f"{self.root}/manifests/{name}") as f:
                 m = json.load(f)
             at = m.get("committed_at")
@@ -656,7 +666,7 @@ class CowTable:
         keep = {current - i for i in range(keep_versions)}
         live: set[str] = set()
         drop_manifests = []
-        for name in os.listdir(f"{self.root}/manifests"):
+        for name in self._manifest_names():
             v = int(name.removeprefix("v").removesuffix(".json"))
             if v in keep:
                 with open(f"{self.root}/manifests/{name}") as f:
@@ -673,6 +683,11 @@ class CowTable:
                     deleted.append(rel)
         for name in drop_manifests:
             os.remove(f"{self.root}/manifests/{name}")
+        # stale tmp manifests from writers that died before their link
+        # are never commits — sweep them here
+        for name in os.listdir(f"{self.root}/manifests"):
+            if name.startswith(".tmp."):
+                os.remove(f"{self.root}/manifests/{name}")
         # sweep commit directories with no surviving referenced file at
         # all (crashed/conflict-losing attempts leave _SUCCESS/.crc
         # markers behind even after their parquet files are removed)

@@ -510,3 +510,23 @@ def test_cow_schema_evolution_and_as_of(spark, tmp_path):
     assert "rating" not in old.columns and old.count() == 40
     with pytest.raises(ValueError, match="no commit"):
         t.read(as_of=0.0)
+
+
+def test_cow_stale_tmp_manifest_is_harmless_and_swept(spark, tmp_path):
+    """A writer that dies between manifest tmp-write and link leaves a
+    .tmp.*.json behind: it must never be read as a commit (history /
+    version / as_of / vacuum ignore it) and vacuum sweeps it."""
+    import os
+
+    t = CowTable.create(
+        spark, str(tmp_path / "tbl"), mk(spark, _base_rows()), target_files=4
+    )
+    stale = str(tmp_path / "tbl" / "manifests" / ".tmp.deadbeef.json")
+    with open(stale, "w") as f:
+        f.write("{not json")
+    assert t.version == 1
+    assert [h["operation"] for h in t.history()] == ["create"]
+    t.merge(mk(spark, _batch_rows()), COLS, deterministic=True)
+    assert t.version == 2
+    t.vacuum(keep_versions=2)
+    assert not os.path.exists(stale)
