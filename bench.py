@@ -127,6 +127,8 @@ HEADLINE = [
     "clean_stored_tsv",
     "agg_pending_reports",
     "merge_cow_table",
+    "merge_cow_update",
+    "merge_cow_delete",
     "multimodal_header_dims",
     "multimodal_audio_header",
     "multimodal_video_header",

@@ -552,6 +552,142 @@ class CowTable:
             "rows": sum(e["rows"] for e in untouched + new_entries),
         }
 
+    # -- predicated UPDATE / DELETE (batched_update / delete_records) -------
+
+    def _files_matching(self, m: dict, condition) -> tuple[list[dict], list[dict]]:
+        """Split the snapshot's files into (touched, carried) for an
+        arbitrary predicate: ONE scan tagged with input_file_name finds
+        the files containing at least one matching row — Delta's
+        UPDATE/DELETE strategy. The collect is bounded by the FILE
+        count, never rows."""
+        paths = [f"{self.root}/{e['path']}" for e in m["files"]]
+        if not paths:
+            return [], []
+        reader = self.spark.read
+        schema = self._schema(m)
+        if schema is not None:
+            reader = reader.schema(schema)
+        hits = (
+            reader.parquet(*paths)
+            .filter(condition)
+            .select(F.input_file_name().alias("__f"))
+            .distinct()
+            .collect()
+        )
+        hit_paths = [r["__f"].removeprefix("file:") for r in hits]
+        touched, carried = [], []
+        for e in m["files"]:
+            if any(h.endswith("/" + e["path"]) for h in hit_paths):
+                touched.append(e)
+            else:
+                carried.append(e)
+        return touched, carried
+
+    def update(
+        self,
+        condition,
+        set_exprs: dict,
+        target_files: int = 4,
+        max_retries: int = 3,
+        pre_commit_hook=None,
+    ) -> dict:
+        """Predicated UPDATE: rows matching ``condition`` get each
+        column in ``set_exprs`` replaced by its expression; everything
+        else — including non-matching rows inside touched files — is
+        carried byte-for-byte in value. Only files containing a match
+        are rewritten (one find-scan + rewrite, the reference's
+        batched_update run as a snapshot commit instead of row-batch
+        UPDATEs holding locks). Same optimistic-concurrency retry as
+        merge."""
+        return self._rewrite_op(
+            "update", condition, set_exprs, target_files, max_retries,
+            pre_commit_hook,
+        )
+
+    def delete(
+        self,
+        condition,
+        target_files: int = 4,
+        max_retries: int = 3,
+        pre_commit_hook=None,
+    ) -> dict:
+        """Predicated DELETE: drop rows matching ``condition`` (NULL
+        condition = keep, SQL semantics); files with no match carry by
+        reference — the reference's delete-records maintenance path as
+        a copy-on-write commit, with the deleted rows still readable in
+        older snapshots until vacuum."""
+        return self._rewrite_op(
+            "delete", condition, None, target_files, max_retries,
+            pre_commit_hook,
+        )
+
+    def _rewrite_op(
+        self, op, condition, set_exprs, target_files, max_retries,
+        pre_commit_hook,
+    ) -> dict:
+        last: CommitConflict | None = None
+        for _ in range(max_retries + 1):
+            try:
+                return self._rewrite_attempt(
+                    op, condition, set_exprs, target_files, pre_commit_hook
+                )
+            except CommitConflict as e:
+                last = e
+        raise last
+
+    def _rewrite_attempt(
+        self, op, condition, set_exprs, target_files, pre_commit_hook
+    ) -> dict:
+        m = self._manifest()
+        touched, carried = self._files_matching(m, condition)
+        if not touched:
+            return {
+                "version": m["version"],
+                "files_rewritten": 0,
+                "files_skipped": len(m["files"]),
+                "files_written": 0,
+                "rows": m["rows"],
+            }
+        reader = self.spark.read
+        schema = self._schema(m)
+        if schema is not None:
+            reader = reader.schema(schema)
+        slice_df = reader.parquet(*[f"{self.root}/{e['path']}" for e in touched])
+        if op == "update":
+            out = slice_df
+            for col_name, expr in set_exprs.items():
+                out = out.withColumn(
+                    col_name,
+                    F.when(condition, expr).otherwise(F.col(col_name)),
+                )
+        else:
+            out = slice_df.filter(~F.coalesce(condition, F.lit(False)))
+        new_version = m["version"] + 1
+        rel_dir = f"data/c{uuid.uuid4().hex[:12]}"
+        data_dir = f"{self.root}/{rel_dir}"
+        new_entries: list[dict] = []
+        if out.head(1):
+            out.repartitionByRange(
+                target_files, *[F.col(k) for k in self.keys]
+            ).write.mode("error").parquet(data_dir)
+            new_entries = _file_stats(self.spark, data_dir, self.keys, rel_dir)
+        # else: a delete emptied every touched file — the commit simply
+        # drops them (no part-less directory to stat)
+        if pre_commit_hook is not None:
+            pre_commit_hook()
+        try:
+            self._commit(new_version, carried + new_entries, op=op)
+        except CommitConflict:
+            shutil.rmtree(data_dir, ignore_errors=True)
+            raise
+        return {
+            "version": new_version,
+            "files_rewritten": len(touched),
+            "files_skipped": len(carried),
+            "files_written": len(new_entries),
+            "rows": sum(e["rows"] for e in carried + new_entries),
+        }
+
     # -- maintenance --------------------------------------------------------
 
     def compact(

@@ -1201,3 +1201,75 @@ def merge_cow_restore(spark, sf_dir):
     summary = t.restore(1)
     assert summary["version"] == 3 and summary["restored_from"] == 1
     return t.read().select("provider", "foreign_identifier", "url", "title")
+
+
+_COW_V2_CTES = f"""
+    target AS ({_COW_TARGET_SQL}),
+    batch AS ({_COW_BATCH_SQL}),
+    guarded AS (
+      SELECT b.* FROM batch b
+      WHERE NOT EXISTS (
+        SELECT 1 FROM target t
+        WHERE t.url = b.url
+          AND (t.provider <> b.provider
+               OR t.foreign_identifier <> b.foreign_identifier))
+    ),
+    v2 AS (
+      SELECT COALESCE(b.provider, t.provider) AS provider,
+             COALESCE(b.foreign_identifier, t.foreign_identifier)
+               AS foreign_identifier,
+             COALESCE(b.url, t.url) AS url,
+             COALESCE(b.title, t.title) AS title
+      FROM target t
+      FULL OUTER JOIN guarded b
+        ON t.provider = b.provider
+       AND t.foreign_identifier = b.foreign_identifier
+    )
+"""
+
+
+@register(
+    "merge_cow_update",
+    f"""
+    WITH {_COW_V2_CTES}
+    SELECT provider, foreign_identifier, url,
+           CASE WHEN provider = 'p1'
+                THEN 'U-' || foreign_identifier ELSE title END AS title
+    FROM v2
+    """,
+)
+def merge_cow_update(spark, sf_dir):
+    """Predicated UPDATE on the lake table — the reference's
+    batched_update DAG (catalog/dags/database/batched_update: arbitrary
+    UPDATE run in row batches to bound lock time) re-expressed as ONE
+    copy-on-write commit: a find-scan tags which files contain matches,
+    only those are rewritten (matching rows get the new expression,
+    their file-mates carry in value), every other file carries by
+    reference, and the pre-update snapshot stays readable (the
+    batch-locking problem disappears — readers never block)."""
+    t = _cow_build(spark, sf_dir, "cow_upd", _t)
+    t.update(
+        F.col("provider") == "p1",
+        {"title": F.concat(F.lit("U-"), F.col("foreign_identifier"))},
+    )
+    return t.read().select("provider", "foreign_identifier", "url", "title")
+
+
+@register(
+    "merge_cow_delete",
+    f"""
+    WITH {_COW_V2_CTES}
+    SELECT provider, foreign_identifier, url, title
+    FROM v2 WHERE provider <> 'p0'
+    """,
+)
+def merge_cow_delete(spark, sf_dir):
+    """Predicated DELETE on the lake table (the reference's record-
+    deletion maintenance path): rows matching the predicate vanish from
+    the new snapshot — files fully emptied are simply dropped from the
+    manifest, partially-matched files are rewritten without the victims,
+    untouched files carry by reference, and the deleted rows remain in
+    older snapshots until vacuum (auditable deletion)."""
+    t = _cow_build(spark, sf_dir, "cow_del", _t)
+    t.delete(F.col("provider") == "p0")
+    return t.read().select("provider", "foreign_identifier", "url", "title")

@@ -530,3 +530,55 @@ def test_cow_stale_tmp_manifest_is_harmless_and_swept(spark, tmp_path):
     assert t.version == 2
     t.vacuum(keep_versions=2)
     assert not os.path.exists(stale)
+
+
+def test_cow_update_rewrites_only_touched_files(spark, tmp_path):
+    """Predicated UPDATE (batched_update analog): matching rows get the
+    new value, non-matching rows — in touched files too — carry
+    unchanged, and files with no match carry by reference."""
+    t = CowTable.create(
+        spark, str(tmp_path / "tbl"), mk(spark, _base_rows()), target_files=4
+    )
+    res = t.update(
+        F.col("foreign_identifier") == "f025",
+        {"title": F.concat(F.lit("FIXED-"), F.col("foreign_identifier"))},
+    )
+    assert res["files_rewritten"] >= 1 and res["files_skipped"] >= 1
+    got = _canon(t.read())
+    assert got[("met", "f025")] == "FIXED-f025"
+    assert got[("met", "f021")] == "old21"        # same file, untouched row
+    assert got[("flickr", "f000")] == "old0"      # carried file
+    assert len(got) == 40 and res["rows"] == 40
+    # old snapshot still shows the pre-update value (time travel)
+    assert _canon(t.read(version=1))[("met", "f025")] == "old25"
+    # no-match predicate: clean no-op, no new version
+    v = t.version
+    res2 = t.update(F.col("title") == "nope", {"title": F.lit("x")})
+    assert res2["version"] == v and t.version == v
+
+
+def test_cow_delete_drops_rows_and_empty_files(spark, tmp_path):
+    """Predicated DELETE: matching rows vanish from the new snapshot
+    (still readable in the old one); deleting EVERY row of the touched
+    files commits a snapshot that simply drops them."""
+    t = CowTable.create(
+        spark, str(tmp_path / "tbl"), mk(spark, _base_rows()), target_files=4
+    )
+    res = t.delete(F.col("foreign_identifier") == "f003")
+    got = _canon(t.read())
+    assert ("flickr", "f003") not in got and len(got) == 39
+    assert res["rows"] == 39
+    assert _canon(t.read(version=1))[("flickr", "f003")] == "old3"
+    # delete a whole provider: every met file empties out
+    res2 = t.delete(F.col("provider") == "met")
+    got2 = _canon(t.read())
+    assert all(p == "flickr" for p, _ in got2) and len(got2) == 19
+    assert res2["files_written"] == 0  # nothing left to write from met files
+    # NULL-condition rows are kept (SQL semantics)
+    base = _base_rows() + [row(provider="met", fid="fn", url="http://u/nn",
+                               title=None)]
+    t2 = CowTable.create(spark, str(tmp_path / "t2"), mk(spark, base),
+                         target_files=2)
+    t2.delete(F.col("title") == "old5")
+    got3 = _canon(t2.read())
+    assert ("met", "fn") in got3 and ("flickr", "f005") not in got3
