@@ -72,6 +72,7 @@ HEADLINE = [
     "join_asof_last_click",
     "join_range_clicks_after_signup",
     "corpus_mix_langs",
+    "corpus_mix_temperature",
     "sample_stratified_source",
     "sample_group_caps",
     "corpus_pack_sequences",

@@ -233,6 +233,34 @@ class CowTable:
             if re.fullmatch(r"v\d+\.json", n)
         )
 
+    def describe(self, version: int | None = None) -> dict:
+        """DESCRIBE DETAIL: the operational facts an unattended
+        maintenance loop keys off — current version/operation/time,
+        file count + row count + on-disk bytes, row skew across files
+        (min/max/avg rows per file — the compaction trigger), and how
+        many historical versions vacuum could reclaim. Metadata-only:
+        reads manifests and file sizes, never data."""
+        m = self._manifest(version)
+        sizes = [
+            os.path.getsize(f"{self.root}/{e['path']}")
+            for e in m["files"]
+            if os.path.exists(f"{self.root}/{e['path']}")
+        ]
+        rows = [e["rows"] for e in m["files"]]
+        return {
+            "version": m["version"],
+            "operation": m["operation"],
+            "committed_at": m.get("committed_at"),
+            "keys": list(self.keys),
+            "num_files": len(m["files"]),
+            "rows": m["rows"],
+            "size_bytes": sum(sizes),
+            "min_file_rows": min(rows) if rows else 0,
+            "max_file_rows": max(rows) if rows else 0,
+            "avg_file_rows": (sum(rows) / len(rows)) if rows else 0.0,
+            "num_versions": len(self._manifest_names()),
+        }
+
     def history(self) -> list[dict]:
         out = []
         for name in self._manifest_names():

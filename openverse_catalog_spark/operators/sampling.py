@@ -337,3 +337,47 @@ def group_capped_sample(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def temperature_mix_rates(
+    df: DataFrame, domain_col: str, alpha: float = 0.5
+) -> DataFrame:
+    """Temperature-flattened sampling rates (the mC4/PaLM recipe):
+    target weights proportional to n^alpha (alpha < 1 flattens the
+    domain distribution toward uniform without naming explicit weights
+    — the multilingual-corpus standard). With downsample-only
+    normalization that reduces to rate_d = (n_d / n_min)^(alpha-1): the
+    smallest domain keeps everything, big domains shed their excess.
+    Rates are rounded to 9 decimals so both engines' pow() agree
+    bit-for-bit at the keep-threshold. Returns (domain, n_rows, rate)."""
+    counts = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    mn = counts.agg(F.min("n_rows").alias("n_min"))
+    return counts.crossJoin(F.broadcast(mn)).select(
+        "domain",
+        "n_rows",
+        F.round(
+            F.pow(F.col("n_rows") / F.col("n_min"), F.lit(alpha - 1.0)), 9
+        ).alias("rate"),
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+    alpha: float = 0.5,
+    salt: str = "tmix",
+) -> DataFrame:
+    """Resample toward the temperature-flattened distribution: tiny
+    broadcast rate table + one narrow hash filter — no shuffle of the
+    fact side at any scale (same plan shape as domain_mix)."""
+    rates = temperature_mix_rates(df, domain_col, alpha).select(
+        F.col("domain").alias(domain_col), "rate"
+    )
+    return (
+        df.join(F.broadcast(rates), domain_col)
+        .filter(_keyhash(F.col(key_col), salt) < threshold(F.col("rate")))
+        .drop("rate")
+    )

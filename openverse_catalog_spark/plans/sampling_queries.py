@@ -322,3 +322,35 @@ def corpus_upsample_langs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")["documents"]
     out = smp.domain_upsample(d, "doc_id", "lang", _UP_FACTORS, _UP_SALT)
     return out.select("doc_id", "lang", F.col("copy_id").cast("int").alias("copy_id"))
+
+
+@register(
+    "corpus_mix_temperature",
+    f"""
+    WITH counts AS (
+      SELECT lang, count(*) AS n_rows FROM documents GROUP BY lang
+    ),
+    rates AS (
+      SELECT lang,
+             round(pow(CAST(n_rows AS DOUBLE)
+                       / (SELECT min(n_rows) FROM counts), -0.5), 9) AS rate
+      FROM counts
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d
+    JOIN rates r ON r.lang = d.lang
+    WHERE {smp.keyhash_sql("d.doc_id", "tmix")}
+          < {smp.threshold_sql("r.rate")}
+    """,
+)
+def corpus_mix_temperature(spark, sf_dir):
+    """Temperature sampling (alpha=0.5, the mC4/PaLM multilingual
+    recipe): per-language keep-rates (n/n_min)^(alpha-1) flatten the
+    language distribution toward uniform — no explicit weight table,
+    the corpus's own counts drive the mix. Broadcast rate table + one
+    narrow hash filter; rates rounded to 9 decimals so the oracle's
+    pow() agrees exactly. Exact-membership oracle."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return smp.temperature_mix(d, "doc_id", "lang", alpha=0.5).select(
+        "doc_id", "lang"
+    )

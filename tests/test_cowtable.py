@@ -582,3 +582,19 @@ def test_cow_delete_drops_rows_and_empty_files(spark, tmp_path):
     t2.delete(F.col("title") == "old5")
     got3 = _canon(t2.read())
     assert ("met", "fn") in got3 and ("flickr", "f005") not in got3
+
+
+def test_cow_describe_detail(spark, tmp_path):
+    t = CowTable.create(
+        spark, str(tmp_path / "tbl"), mk(spark, _base_rows()), target_files=4
+    )
+    t.merge(mk(spark, _batch_rows()), COLS, deterministic=True)
+    d = t.describe()
+    assert d["version"] == 2 and d["operation"] == "merge"
+    assert d["rows"] == 41 and d["num_files"] >= 2
+    assert d["size_bytes"] > 0 and d["committed_at"] is not None
+    assert d["min_file_rows"] <= d["avg_file_rows"] <= d["max_file_rows"]
+    assert d["num_versions"] == 2
+    # historical describe matches the old snapshot
+    d1 = t.describe(version=1)
+    assert d1["rows"] == 40 and d1["operation"] == "create"

@@ -257,3 +257,31 @@ def test_group_capped_sample_deterministic_and_bounded(spark):
     # groups smaller than k pass through whole
     small = spark.createDataFrame([(1, "xx"), (2, "xx")], "doc_id long, lang string")
     assert group_capped_sample(small, "lang", 20, "doc_id").count() == 2
+
+
+def test_temperature_mix_flattens_distribution(spark):
+    """alpha=0.5 must pull the domain distribution toward uniform: the
+    dominant domain's share shrinks, the smallest domain keeps all its
+    rows, and the draw is layout-independent."""
+    from openverse_catalog_spark.operators.sampling import temperature_mix
+
+    rows = (
+        [(i, "en") for i in range(800)]
+        + [(i + 1000, "de") for i in range(150)]
+        + [(i + 2000, "zh") for i in range(50)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_mix(df, "doc_id", "lang", alpha=0.5)
+    from collections import Counter
+
+    kept = Counter(r["lang"] for r in out.collect())
+    assert kept["zh"] == 50                      # smallest domain: rate 1.0
+    # en rate = (800/50)^-0.5 = 0.25 -> ~200 kept; binomial tolerance
+    assert 140 <= kept["en"] <= 260
+    before_share = 800 / 1000
+    after_share = kept["en"] / sum(kept.values())
+    assert after_share < before_share            # flattened toward uniform
+    out2 = temperature_mix(df.repartition(13), "doc_id", "lang", alpha=0.5)
+    assert {r["doc_id"] for r in out2.collect()} == {
+        r["doc_id"] for r in out.collect()
+    }
