@@ -61,6 +61,7 @@ HEADLINE = [
     "text_token_histogram",
     "text_unigram_nll",
     "text_bigram_nll",
+    "text_self_repeat_trim",
     "text_pii_flags",
     "corpus_split_assign",
     "embed_quantize_int8",

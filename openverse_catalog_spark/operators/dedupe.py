@@ -982,3 +982,58 @@ def ngram_containment_pairs(
         .filter(F.col("containment") >= min_containment)
         .select("id_a", "id_b", "containment")
     )
+
+
+def self_repeat_trim(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5
+) -> DataFrame:
+    """INTRA-document repetition removal (the 'deduplicating training
+    data makes LMs better' self-repeat case): truncate each doc at the
+    first position where a word n-gram repeats an n-gram seen earlier
+    in the SAME doc — generated/boilerplate text loops, and training on
+    the loop tail is wasted compute. Returns (id, n_tokens,
+    kept_tokens, kept_text).
+
+    Plan: one narrow explode of (doc, gram_start, gram_hash) — the
+    token arrays themselves never ride through the explode — a
+    (doc, gram) window finds each gram's first occurrence, a per-doc
+    aggregate takes the earliest second occurrence as the cut, and one
+    doc_id join back slices the original tokens. Two keyed shuffles,
+    both on bounded keys."""
+    toks = tokens_expr(F.col(text_col))
+    base = df.select(
+        F.col(id_col), toks.alias("__toks"), F.size(toks).alias("n_tokens")
+    ).localCheckpoint(eager=False)
+    starts = F.when(
+        F.col("n_tokens") >= n,
+        F.sequence(F.lit(1), F.col("n_tokens") - (n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = base.select(
+        F.col(id_col), F.explode(starts).alias("pos"), "__toks"
+    ).select(
+        id_col,
+        "pos",
+        hash60(F.concat_ws(" ", F.slice(F.col("__toks"), F.col("pos"), n))).alias(
+            "__g"
+        ),
+    )
+    w = Window.partitionBy(id_col, "__g")
+    cuts = (
+        grams.withColumn("__first", F.min("pos").over(w))
+        .groupBy(id_col)
+        .agg(
+            F.min(
+                F.when(F.col("pos") > F.col("__first"), F.col("pos"))
+            ).alias("__cut")
+        )
+    )
+    out = base.join(cuts, [id_col], "left")
+    kept = F.coalesce(F.col("__cut") - 1, F.col("n_tokens"))
+    return out.select(
+        id_col,
+        "n_tokens",
+        kept.alias("kept_tokens"),
+        F.concat_ws(" ", F.slice(F.col("__toks"), F.lit(1), kept)).alias(
+            "kept_text"
+        ),
+    )

@@ -2039,3 +2039,44 @@ def sample_group_caps(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")["documents"]
     return group_capped_sample(d, "lang", 120, "doc_id").select("doc_id", "lang")
+
+
+@register(
+    "text_self_repeat_trim",
+    f"""
+    WITH tl AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, i,
+             {hash60_sql("array_to_string(list_slice(t, i, i + 4), ' ')")} AS g
+      FROM tl, unnest(range(1, greatest(len(t) - 4, 0) + 1)) AS u(i)
+    ),
+    c AS (
+      SELECT doc_id, min(CASE WHEN i > mi THEN i END) AS cut
+      FROM (SELECT doc_id, i, g,
+                   min(i) OVER (PARTITION BY doc_id, g) AS mi FROM g)
+      GROUP BY doc_id
+    )
+    SELECT tl.doc_id,
+           len(t) AS n_tokens,
+           coalesce(c.cut - 1, len(t)) AS kept_tokens,
+           array_to_string(list_slice(t, 1, coalesce(c.cut - 1, len(t))), ' ')
+             AS kept_text
+    FROM tl LEFT JOIN c USING (doc_id)
+    """,
+)
+def text_self_repeat_trim(spark, sf_dir):
+    """Intra-document repetition trimming: each doc is truncated at the
+    first word 5-gram that repeats an earlier 5-gram of the SAME doc —
+    the self-repeat member of the dedup family (generated/boilerplate
+    loops), complementing the cross-doc operators. Narrow gram explode
+    (token arrays never ride the shuffle), (doc, gram) first-occurrence
+    window, per-doc earliest-repeat aggregate, one join back to slice.
+    The oracle replays the identical construction and value-checks the
+    kept text itself."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return dd.self_repeat_trim(d, "doc_id", "text", n=5)

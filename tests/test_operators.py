@@ -684,3 +684,21 @@ def test_bigram_nll_flags_shuffled_word_order(spark):
     )
     got = {r["doc_id"]: r["avg_nll"] for r in scored.collect()}
     assert got[99] > got[0]  # broken transitions cost bits
+
+
+def test_self_repeat_trim_cuts_looped_tail(spark):
+    """A doc that loops its opening phrase is truncated at the first
+    repeated 5-gram; unique docs and short docs pass through whole."""
+    loop = "alpha beta gamma delta epsilon zeta " * 3
+    uniq = "one two three four five six seven eight nine ten"
+    short = "just four tokens here"
+    df = spark.createDataFrame(
+        [(1, loop), (2, uniq), (3, short)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in dd.self_repeat_trim(df, "doc_id", "text").collect()}
+    assert got[1]["n_tokens"] == 18
+    # second pass of the loop starts at token 7 -> keep tokens 1..6
+    assert got[1]["kept_tokens"] == 6
+    assert got[1]["kept_text"] == "alpha beta gamma delta epsilon zeta"
+    assert got[2]["kept_tokens"] == 10 and got[2]["kept_text"].endswith("ten")
+    assert got[3]["kept_tokens"] == 4  # < n tokens: no grams, kept whole
