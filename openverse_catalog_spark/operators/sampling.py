@@ -319,23 +319,32 @@ def group_capped_sample(
     k: int,
     id_col: str,
     salt: str = "gcap",
+    bucket_bits: int = 10,
 ) -> DataFrame:
     """Per-group fixed-size sample: keep the first ``k`` rows of each
     group in deterministic hash order — the doc-count sibling of
     token_budget_cap (balanced per-domain corpora are usually specified
     as 'at most K docs per source/language'). Hash order makes the draw
     uniform-without-replacement, reproducible on any engine or
-    partitioning, and stable under appends of non-sampled rows. One
-    keyed window shuffle on the group column; AQE splits skewed groups'
-    SORT, and the row_number early-outs after k per partition at the
-    consumer."""
-    w = Window.partitionBy(group_col).orderBy(
-        _keyhash(F.col(id_col), salt), F.col(id_col)
-    )
+    partitioning, and stable under appends of non-sampled rows.
+
+    Physically this IS ``token_budget_cap`` with unit token weights and
+    budget k (count-before < k keeps exactly the first k of the hash
+    walk), so it inherits the bucketed-range plan: no task ever sorts a
+    whole group — the scale property the plan suite pins for the budget
+    cap."""
+    one = "__gcap_one"
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn")
+        token_budget_cap(
+            df.withColumn(one, F.lit(1)),
+            id_col,
+            one,
+            group_col,
+            k,
+            salt=salt,
+            bucket_bits=bucket_bits,
+        )
+        .drop(one, "cum_before")
     )
 
 
