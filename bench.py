@@ -77,6 +77,7 @@ HEADLINE = [
     "sample_stratified_source",
     "sample_group_caps",
     "corpus_pack_sequences",
+    "corpus_pack_segments",
     "corpus_chunk_docs",
     "sketch_cms_heavy_hitters",
     "dedup_cross_corpus_bloom",

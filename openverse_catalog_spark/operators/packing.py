@@ -102,3 +102,28 @@ def chunk_spans(
             "chunk_len"
         ),
     )
+
+
+def pack_segments(
+    df: DataFrame,
+    shard_col: str,
+    order_col: str,
+    tokens_col: str,
+    budget: int,
+) -> DataFrame:
+    """Trainer-facing packing output: one row per packed SEGMENT —
+    (shard, bin, seg_idx, order key, within-bin offset, length). This
+    is the attention-mask spec a packed-sequence loader actually
+    consumes (segment boundaries tell it where cross-document attention
+    must be masked). Same single shard-keyed window as ``pack_offsets``
+    plus a per-bin row_number; nothing re-sorts."""
+    packed = pack_offsets(df, shard_col, order_col, tokens_col, budget)
+    ws = Window.partitionBy(shard_col, "_bin").orderBy(order_col)
+    return packed.select(
+        shard_col,
+        F.col("_bin").alias("bin"),
+        (F.row_number().over(ws) - 1).alias("seg_idx"),
+        order_col,
+        (F.col("_start") - F.col("_bin") * budget).alias("seg_start"),
+        F.col(tokens_col).alias("seg_len"),
+    )

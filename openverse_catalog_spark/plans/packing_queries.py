@@ -122,3 +122,38 @@ def corpus_chunk_docs(spark, sf_dir):
         F.col("start").cast("bigint").alias("start"),
         F.col("chunk_len").cast("bigint").alias("chunk_len"),
     )
+
+
+@register(
+    "corpus_pack_segments",
+    f"""
+    WITH t AS (SELECT source, doc_id, {_TOK_SQL} AS n_tok FROM documents),
+    off AS (
+      SELECT source, doc_id, n_tok,
+             sum(n_tok) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - n_tok AS start
+      FROM t
+    )
+    SELECT source,
+           CAST(floor(start / {_BUDGET}) AS BIGINT) AS bin,
+           CAST(row_number() OVER (
+             PARTITION BY source, floor(start / {_BUDGET})
+             ORDER BY doc_id) - 1 AS INTEGER) AS seg_idx,
+           doc_id,
+           CAST(start - floor(start / {_BUDGET}) * {_BUDGET} AS BIGINT)
+             AS seg_start,
+           n_tok AS seg_len
+    FROM off
+    """,
+)
+def corpus_pack_segments(spark, sf_dir):
+    """The packed corpus as a trainer consumes it: one row per SEGMENT
+    with its bin, in-bin index, within-bin token offset and length —
+    the attention-mask boundaries of packed-sequence training. Same
+    one-shuffle pack as corpus_pack_sequences; the oracle replays the
+    identical offsets per segment."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    t = d.select("source", "doc_id", tx.token_count(F.col("text")).alias("n_tok"))
+    return pk.pack_segments(t, "source", "doc_id", "n_tok", _BUDGET)

@@ -82,3 +82,27 @@ def test_chunking_is_shuffle_free(toks, spark):
     with contextlib.redirect_stdout(buf):
         pk.chunk_spans(df, ["doc_id"], "text", 16, 12).explain("formatted")
     assert "Exchange" not in buf.getvalue()
+
+
+def test_pack_segments_cover_bins_contiguously(spark):
+    """Segments within a bin are contiguous (each starts where the
+    previous ended), seg_idx counts from 0 in order, and a doc longer
+    than the remaining bin space starts the straddle (docs never split)."""
+    from openverse_catalog_spark.operators.packing import pack_segments
+
+    rows = [("s", i, n) for i, n in enumerate([300, 300, 200, 512, 100])]
+    df = spark.createDataFrame(rows, "shard string, k long, n_tok long")
+    segs = sorted(
+        pack_segments(df, "shard", "k", "n_tok", 512).collect(),
+        key=lambda r: (r["bin"], r["seg_idx"]),
+    )
+    # doc0 starts bin0@0; doc1 starts at 300 (straddles into bin1 space)
+    assert (segs[0]["bin"], segs[0]["seg_start"], segs[0]["seg_len"]) == (0, 0, 300)
+    assert (segs[1]["bin"], segs[1]["seg_start"]) == (0, 300)
+    by_bin = {}
+    for s in segs:
+        by_bin.setdefault(s["bin"], []).append(s)
+    for bin_segs in by_bin.values():
+        assert [s["seg_idx"] for s in bin_segs] == list(range(len(bin_segs)))
+    # total packed tokens conserved
+    assert sum(s["seg_len"] for s in segs) == 300 + 300 + 200 + 512 + 100
