@@ -2080,3 +2080,95 @@ def text_self_repeat_trim(spark, sf_dir):
     kept text itself."""
     d = _t(spark, sf_dir, "documents")["documents"]
     return dd.self_repeat_trim(d, "doc_id", "text", n=5)
+
+
+def _minhash_estimate_oracle() -> str:
+    agree = " + ".join(
+        f"(CASE WHEN a.mh_{s} = b.mh_{s} THEN 1 ELSE 0 END)"
+        for s in range(_N_SEEDS)
+    )
+    return f"""
+    WITH {_minhash_pair_ctes()},
+    sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT p.id_a, p.id_b, count(*) AS i
+      FROM cand_pairs p
+      JOIN sh s1 ON s1.doc_id = p.id_a
+      JOIN sh s2 ON s2.doc_id = p.id_b AND s2.sh = s1.sh
+      GROUP BY p.id_a, p.id_b
+    )
+    SELECT p.id_a, p.id_b,
+           round(({agree}) / {float(_N_SEEDS)!r}, 4) AS est_jaccard,
+           round(coalesce(i.i, 0)
+                 / (za.nsh + zb.nsh - coalesce(i.i, 0)), 6) AS exact_jaccard
+    FROM cand_pairs p
+    JOIN mh a ON a.doc_id = p.id_a
+    JOIN mh b ON b.doc_id = p.id_b
+    LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+    JOIN sizes za ON za.doc_id = p.id_a
+    JOIN sizes zb ON zb.doc_id = p.id_b
+    """
+
+
+@register("dedup_minhash_estimate", _minhash_estimate_oracle())
+def dedup_minhash_estimate(spark, sf_dir):
+    """MinHash estimator calibration: for every LSH candidate pair, the
+    signature-agreement Jaccard ESTIMATE (agreeing minhashes / 16 — the
+    number the sketch promises) next to the EXACT shingle-set Jaccard —
+    the audit that tells you whether the sketch's bands/rows are tuned
+    for the corpus before trusting it at 100 TB. Signatures compute
+    once (lazy checkpoint feeds both the pair join and the agreement
+    join); the exact side is a shingle equi-join restricted to
+    candidate pairs, never the full pair space."""
+    from openverse_catalog_spark.operators.dedupe import shingles_expr
+
+    corpus = _corpus(spark, sf_dir)
+    sigs = dd.minhash_signatures(
+        corpus, "doc_id", "text", _N_SEEDS, _K
+    ).localCheckpoint(eager=False)
+    pairs = dd.minhash_lsh_pairs(sigs, "doc_id", _N_SEEDS, _N_BANDS)
+    a = sigs.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"mh_{s}").alias(f"a{s}") for s in range(_N_SEEDS)],
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"mh_{s}").alias(f"b{s}") for s in range(_N_SEEDS)],
+    )
+    agree = sum(
+        (F.col(f"a{s}") == F.col(f"b{s}")).cast("int") for s in range(_N_SEEDS)
+    )
+    est = pairs.join(a, "id_a").join(b, "id_b").select(
+        "id_a", "id_b", F.round(agree / _N_SEEDS, 4).alias("est_jaccard")
+    )
+    sh = corpus.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles_expr(F.col("text"), _K))).alias("sh"),
+    ).localCheckpoint(eager=False)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nsh"))
+    inter = (
+        pairs.join(sh.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .join(
+            sh.select(F.col("doc_id").alias("id_b"), F.col("sh")),
+            ["id_b", "sh"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return (
+        est.join(inter, ["id_a", "id_b"], "left")
+        .join(sizes.withColumnRenamed("doc_id", "id_a")
+              .withColumnRenamed("nsh", "na"), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"),
+                           F.col("nsh").alias("nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "est_jaccard",
+            F.round(
+                F.coalesce(F.col("i"), F.lit(0))
+                / (F.col("na") + F.col("nb") - F.coalesce(F.col("i"), F.lit(0))),
+                6,
+            ).alias("exact_jaccard"),
+        )
+    )

@@ -239,8 +239,18 @@ def main() -> None:
             "through one connection — `inaturalist.py:400-402`).",
         ]
 
+    # preserve the independently-generated 100x section across 10x reruns
+    suffix = ""
+    try:
+        with open("/root/repo/SCALING.md") as f:
+            existing = f.read()
+        cut = existing.find("\n## 100x probe")
+        if cut >= 0:
+            suffix = "\n" + existing[cut + 1 :]
+    except FileNotFoundError:
+        pass
     with open("/root/repo/SCALING.md", "w") as f:
-        f.write("\n".join(lines) + "\n")
+        f.write("\n".join(lines) + "\n" + suffix)
     print("\n".join(table_lines))
 
 
