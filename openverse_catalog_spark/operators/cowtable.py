@@ -638,12 +638,36 @@ class CowTable:
         target_files: int = 4,
         max_retries: int = 3,
         pre_commit_hook=None,
+        audit_path: str | None = None,
+        reason: str | None = None,
     ) -> dict:
         """Predicated DELETE: drop rows matching ``condition`` (NULL
         condition = keep, SQL semantics); files with no match carry by
-        reference — the reference's delete-records maintenance path as
-        a copy-on-write commit, with the deleted rows still readable in
-        older snapshots until vacuum."""
+        reference — the reference's delete_records maintenance DAG as a
+        copy-on-write commit, with the deleted rows still readable in
+        older snapshots until vacuum.
+
+        ``audit_path`` archives the victims first — appended as parquet
+        with ``deleted_reason``/``deleted_on`` columns, the reference's
+        deleted-media side table (rows move, they don't vanish). The
+        archive write happens before the commit, so a conflict retry
+        may append the same victims twice; dedupe the audit on read
+        (keys + reason) or treat it as an append-only log."""
+        if audit_path is not None:
+            m = self._manifest()
+            reader = self.spark.read
+            schema = self._schema(m)
+            if schema is not None:
+                reader = reader.schema(schema)
+            paths = [f"{self.root}/{e['path']}" for e in m["files"]]
+            if paths:
+                victims = (
+                    reader.parquet(*paths)
+                    .filter(condition)
+                    .withColumn("deleted_reason", F.lit(reason))
+                    .withColumn("deleted_on", F.current_timestamp())
+                )
+                victims.write.mode("append").parquet(audit_path)
         return self._rewrite_op(
             "delete", condition, None, target_files, max_retries,
             pre_commit_hook,

@@ -598,3 +598,25 @@ def test_cow_describe_detail(spark, tmp_path):
     # historical describe matches the old snapshot
     d1 = t.describe(version=1)
     assert d1["rows"] == 40 and d1["operation"] == "create"
+
+
+def test_cow_delete_with_audit_archive(spark, tmp_path):
+    """delete(audit_path=...) archives victims with reason + timestamp
+    before dropping them — the reference's deleted-media side table
+    (rows move, they don't vanish)."""
+    t = CowTable.create(
+        spark, str(tmp_path / "tbl"), mk(spark, _base_rows()), target_files=4
+    )
+    audit = str(tmp_path / "deleted")
+    t.delete(
+        F.col("provider") == "met", audit_path=audit, reason="dmca_takedown"
+    )
+    assert all(p == "flickr" for p, _ in _canon(t.read()))
+    arch = spark.read.parquet(audit)
+    rows = arch.collect()
+    assert len(rows) == 20
+    assert all(r["deleted_reason"] == "dmca_takedown" for r in rows)
+    assert all(r["deleted_on"] is not None for r in rows)
+    assert {r["foreign_identifier"] for r in rows} == {
+        f"f{i:03d}" for i in range(20, 40)
+    }
