@@ -23,8 +23,8 @@ A loser gets ``CommitConflict``, deletes its orphan data directory, and
 REBASES: re-reads the winner's snapshot and recomputes its merge
 against it (so both logical updates survive — no lost update). The
 VERSION pointer is only a reader convenience; if a writer dies between
-manifest link and pointer swap, the next operation rolls the pointer
-forward (``_recover``). The reference gets the equivalent guarantee
+manifest link and pointer swap, every ``version`` lookup rolls forward
+past the stale pointer implicitly. The reference gets the equivalent guarantee
 from Postgres transactions (``loader/sql.py:314-332``) plus a 1-slot
 refresh pool (``data_refresh_task_factory.py:156-163``); here
 concurrent provider merges + a compactor genuinely interleave.

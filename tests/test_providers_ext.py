@@ -808,3 +808,62 @@ def test_workflow_dag_specs_structural():
     ]
     flickr = next(s for s in specs if s["dag_id"] == "flickr_workflow")
     assert flickr["dated"] and flickr["schedule"] == "@daily"
+
+
+def test_run_workflow_spec_executes_flickr_end_to_end(spark, tmp_path):
+    """The emitted DAG spec is RUNNABLE: the in-process shim executes
+    pull -> clean -> merge -> report in dependency order against a
+    fixture transport, landing rows in the CoW media table and
+    reporting per-media counts — re-running the same spec is idempotent
+    (exact dedupe + MERGE upsert)."""
+    from openverse_catalog_spark.operators.cowtable import CowTable
+    from openverse_catalog_spark.sources.workflows import (
+        get_workflow,
+        run_workflow_spec,
+        workflow_dag_spec,
+    )
+    from tests.test_providers import _flickr_fetch, _flickr_photo
+
+    spec = workflow_dag_spec(get_workflow("flickr_workflow"))
+    root = str(tmp_path / "wf")
+    fetch = _flickr_fetch([[_flickr_photo(i) for i in range(4)]])
+    res = run_workflow_spec(spark, spec, fetch, root, date="2024-02-01")
+    assert res["pull_data"]["records"] == 4
+    assert res["merge_image"]["version"] == 2
+    assert res["report"]["rows"] == {"image": 4}
+    t = CowTable(spark, f"{root}/table_image")
+    fids = {r["foreign_identifier"] for r in t.read().collect()}
+    assert fids == {"1000", "1001", "1002", "1003"}
+
+    # re-run: same landing date directory is rewritten with the same
+    # batch; the MERGE upserts idempotently — no duplicate rows
+    res2 = run_workflow_spec(spark, spec, fetch, root, date="2024-02-01")
+    assert res2["report"]["rows"] == {"image": 4}
+    assert t.read().count() == 4
+
+
+def test_run_workflow_spec_routes_dual_media(spark, tmp_path):
+    """Wikimedia's dual-media spec routes image and audio records to
+    their OWN CoW tables through the per-media clean/merge branches —
+    audio rows never leak into the image table."""
+    from openverse_catalog_spark.operators.cowtable import CowTable
+    from openverse_catalog_spark.sources.workflows import (
+        get_workflow,
+        run_workflow_spec,
+        workflow_dag_spec,
+    )
+    from tests.test_providers import _wiki_fetch, _wiki_page
+
+    audio = _wiki_page(7, mediatype="AUDIO", duration=2.0)
+    batch = {"1": _wiki_page(1), "2": _wiki_page(2), "7": audio}
+    spec = workflow_dag_spec(get_workflow("wikimedia_commons_workflow"))
+    root = str(tmp_path / "wf")
+    res = run_workflow_spec(
+        spark, spec, _wiki_fetch([batch], []), root, date="2024-02-01"
+    )
+    assert res["pull_data"]["records"] == 3
+    assert res["report"]["rows"] == {"image": 2, "audio": 1}
+    img = CowTable(spark, f"{root}/table_image").read()
+    aud = CowTable(spark, f"{root}/table_audio").read()
+    assert img.count() == 2 and aud.count() == 1
+    assert aud.first()["duration"] == 2000  # s -> ms through the clean
