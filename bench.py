@@ -47,6 +47,7 @@ HEADLINE = [
     "dedup_components",
     "dedup_embedding_cosine",
     "dedup_embedding_lsh",
+    "dedup_embedding_funnel",
     "knn_cosine_topk",
     "knn_ivf",
     "knn_ivf_persisted",

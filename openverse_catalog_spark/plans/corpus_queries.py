@@ -2172,3 +2172,41 @@ def dedup_minhash_estimate(spark, sf_dir):
             ).alias("exact_jaccard"),
         )
     )
+
+
+def _embed_funnel_oracle() -> str:
+    frag, last = _label_prop_sql(3)
+    return f"""
+    WITH {_EMBED_SX_SQL},
+    norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM sx GROUP BY vec_id),
+    dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS dot
+             FROM sx a JOIN sx b ON a.i = b.i AND a.vec_id < b.vec_id
+             GROUP BY 1, 2),
+    cand_pairs AS (
+      SELECT id_a, id_b
+      FROM dots JOIN norms na ON na.vec_id = id_a
+                JOIN norms nb ON nb.vec_id = id_b
+      WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.9
+    ),
+    {frag}
+    SELECT node AS vec_id, label AS canonical_id FROM {last}
+    """
+
+
+@register("dedup_embedding_funnel", _embed_funnel_oracle())
+def dedup_embedding_funnel(spark, sf_dir):
+    """Embedding dedup END TO END — the multimodal sibling of the text
+    keeper pipeline: exact cosine>=0.9 pairs via distributed triangle
+    block-pairs (no broadcast, no driver collect), then bounded
+    min-label propagation assigns every near-dup embedding its
+    canonical survivor. Pair graphs from exact thresholds are cliques
+    per cluster, so 3 rounds converge. The keeper set is what an image/
+    embedding dedup job actually ships."""
+    pairs = knn.cosine_near_dup_pairs_blocked(
+        _embed_corpus(spark, sf_dir), "vec_id", "embedding", threshold=0.9,
+        n_blocks=8,
+    )
+    comps = dd.dup_components_bounded(pairs.select("id_a", "id_b"), rounds=3)
+    return comps.select(
+        F.col("doc_id").alias("vec_id"), "canonical_id"
+    )
