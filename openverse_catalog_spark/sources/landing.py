@@ -52,6 +52,8 @@ class PagedFetcher:
         expected_count_fn: Callable[[dict], int] | None = None,
         raise_on_overfetch: bool = True,
         shared_state: dict | None = None,
+        retries: int = 2,
+        backoff: float = 0.0,
     ) -> None:
         self.fetch_fn = fetch_fn
         self.get_batch_data = get_batch_data
@@ -65,6 +67,12 @@ class PagedFetcher:
         # (raise, or log-and-continue when raise_on_overfetch=False)
         self.expected_count_fn = expected_count_fn
         self.raise_on_overfetch = raise_on_overfetch
+        # transient-failure retries with exponential backoff: the
+        # reference's DelayedRequester re-issues a failed/garbled
+        # request before giving up (requester.py retry-on-error loop);
+        # ``retries`` extra attempts, backoff * 2^attempt sleep between
+        self.retries = retries
+        self.backoff = backoff
         self.fetched_count = 0
         self.overfetched = False
         # shared across the sweep-loop's per-sweep fetchers so the
@@ -72,6 +80,21 @@ class PagedFetcher:
         # DelayedRequester is one instance for the whole ingestion)
         self._state = shared_state if shared_state is not None else {}
         self._state.setdefault("last_request", 0.0)
+
+    def _fetch_with_retry(self, params: dict) -> dict | None:
+        """One logical request = up to 1 + retries transport attempts.
+        A ``None`` return is the end-of-stream contract, never retried;
+        only raised exceptions (connection/parse failures) are."""
+        for attempt in range(self.retries + 1):
+            try:
+                return self.fetch_fn(params)
+            except Exception:
+                if attempt == self.retries:
+                    raise
+                if self.backoff > 0:
+                    time.sleep(self.backoff * (2 ** attempt))
+                self._state["last_request"] = time.monotonic()
+        return None  # pragma: no cover - loop always returns or raises
 
     def batches(self) -> Iterator[list[dict]]:
         params: dict | None = None
@@ -82,7 +105,7 @@ class PagedFetcher:
             if wait > 0:
                 time.sleep(wait)
             self._state["last_request"] = time.monotonic()
-            response = self.fetch_fn(params)
+            response = self._fetch_with_retry(params)
             if response is None:
                 return
             batch = self.get_batch_data(response)

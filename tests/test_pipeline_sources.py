@@ -626,3 +626,45 @@ def test_parse_video_header_real_formats():
     # ftyp without moov -> unrecognized
     only_ftyp = struct.pack(">I", 16) + b"ftypisom" + b"\x00\x00\x00\x00"
     assert parse_video_header(only_ftyp) == (None,) * 5
+
+
+def test_paged_fetcher_retries_transient_failures():
+    """A flaky transport (raises twice, then serves) still yields the
+    batch — the reference's DelayedRequester retry loop; a persistently
+    failing transport surfaces the error after 1+retries attempts."""
+    import pytest
+
+    from openverse_catalog_spark.sources.landing import PagedFetcher
+
+    calls = {"n": 0}
+
+    def flaky(params):
+        calls["n"] += 1
+        if calls["n"] <= 2:
+            raise ConnectionError("transient")
+        if params["page"] > 0:
+            return {"items": []}
+        return {"items": [{"id": 1}]}
+
+    f = PagedFetcher(
+        fetch_fn=flaky,
+        get_batch_data=lambda r: r["items"],
+        get_next_query_params=lambda p: {"page": 0 if p is None else p["page"] + 1},
+        retries=2,
+    )
+    assert list(f.batches()) == [[{"id": 1}]]
+
+    def dead(params):
+        calls["n"] += 1
+        raise ConnectionError("down")
+
+    calls["n"] = 0
+    f2 = PagedFetcher(
+        fetch_fn=dead,
+        get_batch_data=lambda r: r["items"],
+        get_next_query_params=lambda p: {"page": 0},
+        retries=2,
+    )
+    with pytest.raises(ConnectionError):
+        list(f2.batches())
+    assert calls["n"] == 3  # 1 attempt + 2 retries, then give up
