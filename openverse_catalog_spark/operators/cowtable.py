@@ -812,6 +812,32 @@ class CowTable:
             "rows": sum(e["rows"] for e in keep + new_entries),
         }
 
+    def maintain(
+        self,
+        target_rows: int = 1_000_000,
+        small_file_ratio: float = 0.5,
+        keep_versions: int = 3,
+    ) -> dict:
+        """The unattended steady-state maintenance tick: compact when
+        more than ``small_file_ratio`` of files are under ``target_rows``
+        (the small-file accumulation every micro-batch MERGE produces),
+        then vacuum history beyond ``keep_versions``. Reads only
+        manifests to decide (``describe``) — the loop a scheduler runs
+        after each ingest wave, analogous to the reference's refresh +
+        rotate_db_snapshots maintenance DAGs. Returns what it did."""
+        d = self.describe()
+        small = sum(
+            1 for e in self._manifest()["files"] if e["rows"] < target_rows
+        )
+        out: dict = {"compacted": False, "files_small": small,
+                     "files_total": d["num_files"], "vacuumed": []}
+        if d["num_files"] and small / d["num_files"] > small_file_ratio:
+            out["compact_result"] = self.compact(target_rows=target_rows)
+            out["compacted"] = out["compact_result"]["files_written"] > 0
+        if d["num_versions"] > keep_versions:
+            out["vacuumed"] = self.vacuum(keep_versions=keep_versions)
+        return out
+
     def restore(self, version: int) -> dict:
         """ROLLBACK: commit a NEW version whose file list is the target
         version's — a metadata-only operation (no data file is read or

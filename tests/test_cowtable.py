@@ -620,3 +620,30 @@ def test_cow_delete_with_audit_archive(spark, tmp_path):
     assert {r["foreign_identifier"] for r in rows} == {
         f"f{i:03d}" for i in range(20, 40)
     }
+
+
+def test_cow_maintain_policy_tick(spark, tmp_path):
+    """maintain() compacts only past the small-file threshold and
+    vacuums only past the version budget — the scheduler's post-ingest
+    tick, decided from manifests alone."""
+    t = CowTable.create(
+        spark, str(tmp_path / "tbl"), mk(spark, _base_rows()), target_files=8
+    )
+    # v1 only: under version budget, every file "small" -> compacts
+    res = t.maintain(target_rows=1000, keep_versions=3)
+    assert res["compacted"] and res["vacuumed"] == []
+    assert t.version == 2 and t._manifest()["operation"] == "compact"
+    # single right-sized file now: nothing to do
+    res2 = t.maintain(target_rows=10, keep_versions=3)
+    assert not res2["compacted"] and res2["vacuumed"] == []
+    # pile up versions past the budget -> vacuum kicks in
+    for i in range(3):
+        t.merge(
+            mk(spark, [row(provider="met", fid=f"m{i}", url=f"http://u/m{i}",
+                           title="x")]),
+            COLS, deterministic=True,
+        )
+    res3 = t.maintain(target_rows=10, keep_versions=2)
+    assert res3["vacuumed"]  # old files reclaimed
+    assert len(t._manifest_names()) == 2
+    assert t.read().count() == 43
