@@ -40,7 +40,6 @@ HEADLINE = [
     "agg_string_cutoff",
     "dedup_exact_text",
     "dedup_minhash_lsh",
-    "dedup_minhash_estimate",
     "dedup_simhash_pairs",
     "dedup_simhash60_banded",
     "dedup_ngram_jaccard",
