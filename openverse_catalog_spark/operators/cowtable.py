@@ -382,7 +382,15 @@ class CowTable:
                 F.max(k0).alias("hi"),
                 F.lit(0).alias("has_null"),
             ]
-        grouped = source.groupBy(k0).agg(*aggs).collect()
+        MAX_BOXES = 65536  # one box per keys[0] value (providers) — a
+        # batch keyed at row grain would otherwise collect unbounded
+        grouped = source.groupBy(k0).agg(*aggs).limit(MAX_BOXES + 1).collect()
+        if len(grouped) > MAX_BOXES:
+            raise ValueError(
+                f"merge batch has > {MAX_BOXES} distinct {k0!r} values; "
+                "the file-skip summary is per-provider — check the merge "
+                "key order (keys[0] should be the coarse partition key)"
+            )
         boxes = [(r[k0], r["lo"], r["hi"]) for r in grouped]
         # min/max SKIP NULLs, so the boxes are blind to NULL key
         # components — and merge_upsert matches NULL keys via eqNullSafe.

@@ -156,9 +156,18 @@ def popularity_refresh_pruned(
 
     import os
 
-    changed = sorted(
-        r[0] for r in new_rows.select(group_col).distinct().collect()
+    MAX_CHANGED = 65536  # providers, not rows — a misuse guard
+    rows = (
+        new_rows.select(group_col).distinct().limit(MAX_CHANGED + 1).collect()
     )
+    if len(rows) > MAX_CHANGED:
+        raise ValueError(
+            f"popularity_refresh_pruned: > {MAX_CHANGED} distinct "
+            f"{group_col!r} values in the batch — the changed set must be "
+            "provider-grained, not row-grained; for a full recompute use "
+            "the recreate pipeline"
+        )
+    changed = sorted(r[0] for r in rows)
     # list-time pruning (stronger than plan-time): enumerate ONLY the
     # changed providers' partition directories — untouched partitions
     # never even enter the scan's file index. A changed provider with
