@@ -365,7 +365,12 @@ def run_workflow_spec(
                 table_root = _os.path.join(root, f"table_{mt}")
                 if _os.path.exists(_os.path.join(table_root, "VERSION")):
                     report[mt] = CowTable(spark, table_root).read().count()
-            results[task["task_id"]] = {"rows": report}
+            results[task["task_id"]] = {
+                "rows": report,
+                "message": format_load_report(
+                    spec["dag_id"], report, date=date
+                ),
+            }
         elif op == "pipeline_query":
             raise NotImplementedError(
                 f"bulk workflow {spec['dag_id']} runs registered pipeline "
@@ -375,3 +380,27 @@ def run_workflow_spec(
             raise ValueError(f"unknown op {op!r}")
         done.add(task["task_id"])
     return results
+
+
+def format_load_report(
+    provider: str,
+    media_counts: dict,
+    duration_s: float | None = None,
+    date: str | None = None,
+) -> str:
+    """Human-facing load-completion summary — the content of the
+    reference's completion report (``common/loader/reporting.py``:
+    per-media upserted counts + run duration posted at the end of every
+    provider DAG), minus the Slack transport (deployment concern).
+    Counts render grouped-thousands; zero-count media are still listed
+    so a silently-empty ingest is visible."""
+    parts = ", ".join(
+        f"{int(n):,} {mt}" for mt, n in sorted(media_counts.items())
+    )
+    msg = f"{provider}: {parts or 'no records'} upserted"
+    if date:
+        msg += f" for {date}"
+    if duration_s is not None:
+        mins, secs = divmod(int(duration_s), 60)
+        msg += f" in {mins}m{secs:02d}s" if mins else f" in {secs}s"
+    return msg

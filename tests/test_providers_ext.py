@@ -867,3 +867,16 @@ def test_run_workflow_spec_routes_dual_media(spark, tmp_path):
     aud = CowTable(spark, f"{root}/table_audio").read()
     assert img.count() == 2 and aud.count() == 1
     assert aud.first()["duration"] == 2000  # s -> ms through the clean
+
+
+def test_format_load_report_message():
+    from openverse_catalog_spark.sources.workflows import format_load_report
+
+    msg = format_load_report(
+        "wikimedia_commons_workflow", {"image": 12345, "audio": 0},
+        duration_s=754, date="2024-02-01",
+    )
+    assert msg == ("wikimedia_commons_workflow: 0 audio, 12,345 image "
+                   "upserted for 2024-02-01 in 12m34s")
+    assert format_load_report("x", {}) == "x: no records upserted"
+    assert format_load_report("x", {"image": 1}, duration_s=5).endswith("in 5s")
