@@ -509,6 +509,27 @@ class CowTable:
                 "files_written": 0,
                 "rows": m["rows"],
             }
+        rows_rejected = 0
+        validate_rules = kwargs.pop("validate_rules", None)
+        if validate_rules:
+            # declarative ingestion gate: rows violating ANY row-level
+            # rule are rejected BEFORE the merge (NULL predicate =
+            # violation — an unknown value cannot be proven valid),
+            # mirroring the reference's MediaStore validation-then-load.
+            # Aggregate-grain rules (unique) belong to validate_unique.
+            nonrow = [r.name for r in validate_rules if r.cond is None]
+            if nonrow:
+                raise ValueError(
+                    f"rules {nonrow} have no row-level predicate; use "
+                    "validate_unique / quality_report for aggregate rules"
+                )
+            ok = F.lit(True)
+            for r in validate_rules:
+                ok = ok & F.coalesce(r.cond(), F.lit(False))
+            source = source.localCheckpoint(eager=False)
+            n_before = source.count()
+            source = source.filter(ok)
+            rows_rejected = n_before - source.count()
         if kwargs.pop("dedupe_source_on_url", True) and "url" in source.columns:
             source = distinct_on(source, ["url"], [F.col(k) for k in keys])
         if kwargs.pop("guard_url_conflicts", True) and "url" in source.columns:
@@ -525,6 +546,7 @@ class CowTable:
                 "files_skipped": len(m["files"]),
                 "files_written": 0,
                 "rows": m["rows"],
+                "rows_rejected": rows_rejected,
             }
 
         affected, untouched = self._affected_split(m, source)
@@ -586,6 +608,7 @@ class CowTable:
             "files_skipped": len(untouched),
             "files_written": len(new_entries),
             "rows": sum(e["rows"] for e in untouched + new_entries),
+            "rows_rejected": rows_rejected,
         }
 
     # -- predicated UPDATE / DELETE (batched_update / delete_records) -------

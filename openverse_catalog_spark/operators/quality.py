@@ -43,6 +43,11 @@ class Rule:
     name: str
     # builds the per-rule violation-count aggregate expression
     agg: Callable[[], Column]
+    # builds the ROW-LEVEL validity predicate (None for rules that only
+    # exist at aggregate grain, e.g. unique) — lets ingestion gates
+    # (CowTable.merge validate_rules) reject violating rows instead of
+    # only counting them
+    cond: "Callable[[], Column] | None" = None
 
 
 def _viol(cond: Column) -> Column:
@@ -56,24 +61,35 @@ def _viol(cond: Column) -> Column:
 
 
 def not_null(col: str) -> Rule:
-    return Rule(f"not_null({col})", lambda: _viol(F.col(col).isNotNull()))
+    return Rule(
+        f"not_null({col})",
+        lambda: _viol(F.col(col).isNotNull()),
+        cond=lambda: F.col(col).isNotNull(),
+    )
 
 
 def in_range(col: str, lo, hi) -> Rule:
     return Rule(
         f"in_range({col})",
         lambda: _viol(F.col(col).between(F.lit(lo), F.lit(hi))),
+        cond=lambda: F.col(col).between(F.lit(lo), F.lit(hi)),
     )
 
 
 def in_set(col: str, values) -> Rule:
     vals = list(values)
-    return Rule(f"in_set({col})", lambda: _viol(F.col(col).isin(vals)))
+    return Rule(
+        f"in_set({col})",
+        lambda: _viol(F.col(col).isin(vals)),
+        cond=lambda: F.col(col).isin(vals),
+    )
 
 
 def matches(col: str, pattern: str) -> Rule:
     return Rule(
-        f"matches({col})", lambda: _viol(F.col(col).rlike(pattern))
+        f"matches({col})",
+        lambda: _viol(F.col(col).rlike(pattern)),
+        cond=lambda: F.col(col).rlike(pattern),
     )
 
 

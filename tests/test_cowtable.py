@@ -647,3 +647,35 @@ def test_cow_maintain_policy_tick(spark, tmp_path):
     assert res3["vacuumed"]  # old files reclaimed
     assert len(t._manifest_names()) == 2
     assert t.read().count() == 43
+
+
+def test_cow_merge_validate_rules_gate(spark, tmp_path):
+    """validate_rules rejects violating rows before the merge (NULL
+    predicate = violation) and reports the count; aggregate-grain rules
+    are refused with guidance."""
+    import pytest
+
+    from openverse_catalog_spark.operators import quality as q
+
+    t = CowTable.create(
+        spark, str(tmp_path / "tbl"), mk(spark, _base_rows()), target_files=4
+    )
+    batch = [
+        row(provider="met", fid="g1", url="http://u/g1", title="ok"),
+        row(provider="met", fid="g2", url="http://u/g2", title=None),   # null
+        row(provider="met", fid="g3", url="http://u/g3", title="xxxxxxxxxxx"),
+    ]
+    res = t.merge(
+        mk(spark, batch), COLS, deterministic=True,
+        validate_rules=[q.not_null("title"), q.matches("title", r"^.{1,5}$")],
+    )
+    assert res["rows_rejected"] == 2
+    got = _canon(t.read())
+    assert ("met", "g1") in got
+    assert ("met", "g2") not in got and ("met", "g3") not in got
+
+    with pytest.raises(ValueError, match="row-level"):
+        t.merge(
+            mk(spark, batch), COLS, deterministic=True,
+            validate_rules=[q.unique("url")],
+        )
