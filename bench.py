@@ -136,6 +136,7 @@ HEADLINE = [
     "multimodal_header_dims",
     "multimodal_audio_header",
     "multimodal_video_header",
+    "multimodal_image_filter",
 ]
 
 

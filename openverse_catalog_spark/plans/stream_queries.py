@@ -173,6 +173,51 @@ def q_multimodal_header_dims(spark, sf_dir):
 
 
 @register(
+    "multimodal_image_filter",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             (doc_id * 7) % 1920 + 1 AS width,
+             (doc_id * 13) % 1080 + 1 AS height
+      FROM documents
+    )
+    SELECT doc_id, width, height,
+           round(CAST(width AS DOUBLE) / height, 4) AS aspect
+    FROM dims
+    WHERE width >= 64 AND height >= 64
+      AND width <= 3.0 * height AND height <= 3.0 * width
+    """,
+)
+def q_multimodal_image_filter(spark, sf_dir):
+    """LAION-style image admission filter driven by the REAL header
+    decode: minimum edge (>= 64 px) and aspect-ratio bounds (within
+    3:1) applied to the dimensions parse_image_header extracts from the
+    container bytes — the standard multimodal-corpus gate that runs
+    before any expensive pixel work. Ratio test is expressed
+    multiplicatively (w <= 3h AND h <= 3w) so it is integer-exact on
+    both engines; the reported aspect column is display-only. Narrow
+    Arrow decode pass + a pushed filter, no shuffle."""
+    from openverse_catalog_spark.operators.multimodal import (
+        attach_real_image_payload,
+        extract_image_header_metadata,
+    )
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    meta = extract_image_header_metadata(attach_real_image_payload(d))
+    return meta.filter(
+        (F.col("width") >= 64)
+        & (F.col("height") >= 64)
+        & (F.col("width") <= 3.0 * F.col("height"))
+        & (F.col("height") <= 3.0 * F.col("width"))
+    ).select(
+        "doc_id",
+        "width",
+        "height",
+        F.round(F.col("width") / F.col("height"), 4).alias("aspect"),
+    )
+
+
+@register(
     "multimodal_audio_header",
     """
     SELECT doc_id,
