@@ -88,6 +88,7 @@ HEADLINE = [
     "merge_cow_compact",
     "dedup_exact_substring",
     "text_quality_classifier",
+    "text_gopher_rules",
     "embed_project_rp",
     "agg_anomaly_mad",
     "join_scd2_point_in_time",

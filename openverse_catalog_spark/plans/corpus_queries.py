@@ -2210,3 +2210,88 @@ def dedup_embedding_funnel(spark, sf_dir):
     return comps.select(
         F.col("doc_id").alias("vec_id"), "canonical_id"
     )
+
+
+_GOPHER_STOPS = ("the", "and", "of", "to", "a", "in", "is", "that")
+_GOPHER_STOPS_SQL = ", ".join(f"'{w}'" for w in _GOPHER_STOPS)
+
+
+@register(
+    "text_gopher_rules",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             CASE WHEN len(toks) > 0
+                  THEN round(CAST(len(array_to_string(toks, '')) AS DOUBLE)
+                             / len(toks), 4) ELSE 0.0 END AS mean_word_len,
+             CASE WHEN len(toks) > 0
+                  THEN round((CAST(length(text)
+                               - length(replace(text, '#', '')) AS DOUBLE)
+                              + (length(text)
+                                 - length(replace(text, '...', ''))) / 3)
+                             / len(toks), 6) ELSE 0.0 END AS symbol_ratio,
+             len(list_distinct(list_filter(
+                 toks, x -> x IN ({_GOPHER_STOPS_SQL})))) AS n_stop_distinct
+      FROM t
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, n_stop_distinct,
+           (n_words BETWEEN 50 AND 100000)
+           AND (mean_word_len BETWEEN 3 AND 10)
+           AND symbol_ratio <= 0.1
+           AND n_stop_distinct >= 2 AS admitted
+    FROM m
+    """,
+)
+def text_gopher_rules(spark, sf_dir):
+    """The Gopher document-admission ruleset (Rae et al.) as one
+    expression-only report: word-count bounds [50, 100k], mean word
+    length [3, 10], symbol-to-word ratio (# and ellipsis) <= 0.1, and
+    at least 2 distinct stopwords — per-rule inputs surfaced so a
+    curation run can see WHY a doc was rejected, not just that it was.
+    (The line-shape rules — bullet starts, ellipsis line ends — need
+    newline structure this corpus lacks; they are the same expression
+    pattern over split(text, '\\n').) No UDFs, no shuffle: a narrow
+    projection Catalyst pushes straight onto the scan."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    toks = tx.tokens(F.col("text"))
+    n = F.size(toks)
+    mean_wl = F.when(
+        n > 0,
+        F.round(
+            F.aggregate(
+                toks, F.lit(0.0), lambda acc, x: acc + F.length(x)
+            ) / n,
+            4,
+        ),
+    ).otherwise(F.lit(0.0))
+    hashes = F.length("text") - F.length(F.regexp_replace("text", r"#", ""))
+    dots = (
+        F.length("text") - F.length(F.regexp_replace("text", r"\.\.\.", ""))
+    ) / 3
+    symbol_ratio = F.when(
+        n > 0, F.round((hashes + dots) / n.cast("double"), 6)
+    ).otherwise(F.lit(0.0))
+    stops = F.size(
+        F.array_distinct(F.filter(toks, lambda x: x.isin(*_GOPHER_STOPS)))
+    )
+    out = d.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        stops.cast("long").alias("n_stop_distinct"),
+    )
+    return out.withColumn(
+        "admitted",
+        F.col("n_words").between(50, 100000)
+        & F.col("mean_word_len").between(3, 10)
+        & (F.col("symbol_ratio") <= 0.1)
+        & (F.col("n_stop_distinct") >= 2),
+    )
