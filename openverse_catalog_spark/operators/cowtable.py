@@ -167,6 +167,15 @@ class CowTable:
             v += 1
         return v
 
+    def _abs(self, path: str) -> str:
+        """Absolute data-file path for a manifest entry. Entries are
+        root-relative for files this table owns; shallow CLONEs record
+        ABSOLUTE paths into the source table's files (zero-copy branch
+        — Delta shallow-clone semantics, including the caveat: vacuum
+        on the SOURCE can orphan a clone, while the clone's own vacuum
+        never touches external files)."""
+        return path if path.startswith("/") else f"{self.root}/{path}"
+
     def _manifest(self, version: int | None = None) -> dict:
         v = self.version if version is None else version
         with open(f"{self.root}/manifests/v{v}.json") as f:
@@ -242,9 +251,9 @@ class CowTable:
         reads manifests and file sizes, never data."""
         m = self._manifest(version)
         sizes = [
-            os.path.getsize(f"{self.root}/{e['path']}")
+            os.path.getsize(self._abs(e['path']))
             for e in m["files"]
-            if os.path.exists(f"{self.root}/{e['path']}")
+            if os.path.exists(self._abs(e['path']))
         ]
         rows = [e["rows"] for e in m["files"]]
         return {
@@ -295,7 +304,7 @@ class CowTable:
                 raise ValueError("pass version OR as_of, not both")
             version = self.version_as_of(as_of)
         m = self._manifest(version)
-        paths = [f"{self.root}/{e['path']}" for e in m["files"]]
+        paths = [self._abs(e['path']) for e in m["files"]]
         schema = self._schema(m)
         if not paths:
             return self.spark.createDataFrame([], schema)
@@ -341,7 +350,7 @@ class CowTable:
                 nk = e.get("null_keys")
                 hit = nk is None or bool(nk.get(k0))
             if hit:
-                paths.append(f"{self.root}/{e['path']}")
+                paths.append(self._abs(e['path']))
         schema = self._schema(m)
         if not paths:
             return self.spark.createDataFrame([], schema)
@@ -562,7 +571,7 @@ class CowTable:
                 # predate an earlier evolution and lack newer columns
                 reader = reader.schema(table_schema)
             target_slice = reader.parquet(
-                *[f"{self.root}/{e['path']}" for e in affected]
+                *[self._abs(e['path']) for e in affected]
             )
             for f in new_fields:
                 target_slice = target_slice.withColumn(
@@ -619,7 +628,7 @@ class CowTable:
         the files containing at least one matching row — Delta's
         UPDATE/DELETE strategy. The collect is bounded by the FILE
         count, never rows."""
-        paths = [f"{self.root}/{e['path']}" for e in m["files"]]
+        paths = [self._abs(e['path']) for e in m["files"]]
         if not paths:
             return [], []
         reader = self.spark.read
@@ -633,10 +642,12 @@ class CowTable:
             .distinct()
             .collect()
         )
-        hit_paths = [r["__f"].removeprefix("file:") for r in hits]
+        hit_paths = {
+            "/" + r["__f"].removeprefix("file:").lstrip("/") for r in hits
+        }
         touched, carried = [], []
         for e in m["files"]:
-            if any(h.endswith("/" + e["path"]) for h in hit_paths):
+            if self._abs(e["path"]) in hit_paths:
                 touched.append(e)
             else:
                 carried.append(e)
@@ -690,7 +701,7 @@ class CowTable:
             schema = self._schema(m)
             if schema is not None:
                 reader = reader.schema(schema)
-            paths = [f"{self.root}/{e['path']}" for e in m["files"]]
+            paths = [self._abs(e['path']) for e in m["files"]]
             if paths:
                 victims = (
                     reader.parquet(*paths)
@@ -735,7 +746,7 @@ class CowTable:
         schema = self._schema(m)
         if schema is not None:
             reader = reader.schema(schema)
-        slice_df = reader.parquet(*[f"{self.root}/{e['path']}" for e in touched])
+        slice_df = reader.parquet(*[self._abs(e['path']) for e in touched])
         if op == "update":
             out = slice_df
             for col_name, expr in set_exprs.items():
@@ -820,7 +831,7 @@ class CowTable:
         schema = self._schema(m)
         if schema is not None:
             reader = reader.schema(schema)  # mixed pre-evolution files
-        df = reader.parquet(*[f"{self.root}/{e['path']}" for e in small])
+        df = reader.parquet(*[self._abs(e['path']) for e in small])
         new_version = m["version"] + 1
         rel_dir = f"data/c{uuid.uuid4().hex[:12]}"
         data_dir = f"{self.root}/{rel_dir}"
@@ -868,6 +879,28 @@ class CowTable:
         if d["num_versions"] > keep_versions:
             out["vacuumed"] = self.vacuum(keep_versions=keep_versions)
         return out
+
+    def clone(self, new_root: str, version: int | None = None) -> "CowTable":
+        """Shallow CLONE (Delta semantics): a NEW table whose v1
+        manifest references the source snapshot's data files by
+        absolute path — zero data copied, so branching a 100 TB table
+        for an experiment is one manifest write. The clone then evolves
+        independently: its merges/updates write its OWN files (only
+        rewritten parts materialize — storage cost = the delta), and
+        its vacuum never deletes the source's files. Caveat, exactly as
+        in Delta: vacuuming the SOURCE can remove files a shallow clone
+        still references — retain source history for as long as clones
+        live, or compact the clone (which rewrites everything local)
+        to detach it."""
+        m = self._manifest(version)
+        t = CowTable(self.spark, new_root, tuple(m["keys"]))
+        os.makedirs(f"{t.root}/manifests", exist_ok=True)
+        entries = [{**e, "path": self._abs(e["path"])} for e in m["files"]]
+        t._commit(
+            1, entries, op=f"clone({self.root}@v{m['version']})",
+            schema_json=m.get("schema"),
+        )
+        return t
 
     def restore(self, version: int) -> dict:
         """ROLLBACK: commit a NEW version whose file list is the target

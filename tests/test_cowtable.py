@@ -679,3 +679,39 @@ def test_cow_merge_validate_rules_gate(spark, tmp_path):
             mk(spark, batch), COLS, deterministic=True,
             validate_rules=[q.unique("url")],
         )
+
+
+def test_cow_shallow_clone_branches_without_copying(spark, tmp_path):
+    """clone() is a metadata-only branch: no data files copied, reads
+    identical, and the branch evolves independently — its merge
+    materializes only the rewritten delta, the source stays untouched,
+    and the clone's vacuum never deletes source files."""
+    import os
+
+    src = CowTable.create(
+        spark, str(tmp_path / "src"), mk(spark, _base_rows()), target_files=4
+    )
+    br = src.clone(str(tmp_path / "branch"))
+    # zero data files under the branch root
+    assert not os.path.isdir(str(tmp_path / "branch" / "data"))
+    assert _canon(br.read()) == _canon(src.read())
+    assert br.describe()["operation"].startswith("clone(")
+
+    # branch merge: only the touched delta materializes locally
+    res = br.merge(mk(spark, _batch_rows()), COLS, deterministic=True)
+    assert res["files_skipped"] > 0
+    got = _canon(br.read())
+    assert got[("met", "f020")] == "updated" and ("met", "f999") in got
+    # source unchanged
+    assert _canon(src.read())[("met", "f020")] == "old20"
+    assert src.version == 1
+
+    # the clone's vacuum drops its old manifest but never source files
+    br.vacuum(keep_versions=1)
+    assert _canon(src.read())[("flickr", "f000")] == "old0"
+    assert _canon(br.read())[("met", "f020")] == "updated"
+    # predicated update works across external + local files
+    br.update(F.col("foreign_identifier") == "f000",
+              {"title": F.lit("branched")})
+    assert _canon(br.read())[("flickr", "f000")] == "branched"
+    assert _canon(src.read())[("flickr", "f000")] == "old0"
