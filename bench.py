@@ -138,6 +138,9 @@ HEADLINE = [
     "multimodal_audio_header",
     "multimodal_video_header",
     "multimodal_image_filter",
+    "merge_cow_changes",
+    "merge_cow_publish_incremental",
+    "pipeline_popularity_refresh_cdf",
 ]
 
 

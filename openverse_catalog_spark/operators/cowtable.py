@@ -109,13 +109,30 @@ def _file_stats(
     return sorted(entries, key=lambda e: e["path"])
 
 
+#: every Nth commit materializes the FULL file list; the commits between
+#: are incremental segments (base + add/remove). Bounds both the
+#: per-commit write cost (O(files changed), not O(files total)) and the
+#: resolution walk (≤ N segment reads to reconstruct any version).
+CHECKPOINT_INTERVAL = 10
+
+
 class CowTable:
     """Handle on a copy-on-write table rooted at ``root``."""
 
-    def __init__(self, spark: SparkSession, root: str, keys: tuple[str, ...] = DEFAULT_MERGE_KEYS):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        keys: tuple[str, ...] = DEFAULT_MERGE_KEYS,
+        checkpoint_interval: int = CHECKPOINT_INTERVAL,
+    ):
         self.spark = spark
         self.root = root.rstrip("/")
         self.keys = tuple(keys)
+        self.checkpoint_interval = max(1, int(checkpoint_interval))
+        # resolved manifests are immutable once committed — cache per
+        # handle so repeated reads/segment-chain walks don't re-parse
+        self._resolved: dict[int, dict] = {}
 
     # -- bootstrap ----------------------------------------------------------
 
@@ -176,10 +193,59 @@ class CowTable:
         never touches external files)."""
         return path if path.startswith("/") else f"{self.root}/{path}"
 
-    def _manifest(self, version: int | None = None) -> dict:
-        v = self.version if version is None else version
-        with open(f"{self.root}/manifests/v{v}.json") as f:
+    def _raw_manifest(self, version: int) -> dict:
+        with open(f"{self.root}/manifests/v{version}.json") as f:
             return json.load(f)
+
+    def _manifest(self, version: int | None = None) -> dict:
+        """RESOLVED manifest for ``version``: always carries the full
+        ``files`` list. On disk a commit is either a CHECKPOINT (full
+        file list — every ``checkpoint_interval``-th version, v1, and
+        any ``v<N>.checkpoint.json`` side file vacuum materialized) or
+        an incremental SEGMENT (``base``/``add``/``remove`` — O(files
+        changed) bytes, the Delta `_last_checkpoint` pattern). Segments
+        resolve by walking to the nearest checkpoint and replaying;
+        resolution is cached per handle (manifests are immutable)."""
+        v = self.version if version is None else version
+        got = self._resolved.get(v)
+        if got is not None:
+            return got
+        cp_path = f"{self.root}/manifests/v{v}.checkpoint.json"
+        if os.path.exists(cp_path):
+            with open(cp_path) as f:
+                m = json.load(f)
+        else:
+            raw = self._raw_manifest(v)
+            if "files" in raw:
+                m = raw
+            else:
+                base = self._manifest(raw["base"])
+                removed = set(raw["remove"])
+                files = [
+                    e for e in base["files"] if e["path"] not in removed
+                ] + raw["add"]
+                m = {
+                    k: raw[k]
+                    for k in raw
+                    if k not in ("base", "add", "remove")
+                }
+                m["files"] = sorted(files, key=lambda e: e["path"])
+        self._resolved[v] = m
+        return m
+
+    def _write_checkpoint(self, version: int) -> None:
+        """Materialize ``version``'s full file list as a side file so
+        the segment chain BEHIND it can be dropped (vacuum) without
+        breaking resolution. Idempotent and crash-safe: content is a
+        pure function of the immutable commit, written tmp + rename."""
+        cp_path = f"{self.root}/manifests/v{version}.checkpoint.json"
+        if os.path.exists(cp_path):
+            return
+        m = self._manifest(version)
+        tmp = f"{self.root}/manifests/.tmp.{uuid.uuid4().hex}.json"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1, default=str)
+        os.replace(tmp, cp_path)
 
     def _commit(
         self, version: int, entries: list[dict], op: str, schema_json: str | None = None
@@ -189,20 +255,38 @@ class CowTable:
         ``os.link``ed into place, so (a) a manifest path either doesn't
         exist or is complete — never half-written — and (b) exactly ONE
         writer can claim a slot; every other concurrent committer of the
-        same slot gets ``CommitConflict`` and must rebase + retry."""
+        same slot gets ``CommitConflict`` and must rebase + retry.
+
+        METADATA SCALE: only v1 and every ``checkpoint_interval``-th
+        version write the full file list; every other commit writes an
+        incremental segment (add/remove vs the parent), so commit bytes
+        are O(files changed by this commit) — a merge that rewrites 3
+        of 100k files writes 3 entries + the dropped paths, not 100k
+        entries. Resolution replays ≤ interval segments (cached)."""
         import time
 
-        if schema_json is None:
+        if schema_json is None and version > 1:
             schema_json = self._manifest(version - 1).get("schema")
-        manifest = {
+        manifest: dict = {
             "version": version,
             "operation": op,
             "committed_at": time.time(),
             "keys": list(self.keys),
             "schema": schema_json,
-            "files": entries,
             "rows": sum(e["rows"] for e in entries),
         }
+        if version == 1 or version % self.checkpoint_interval == 0:
+            manifest["files"] = entries
+        else:
+            parent = {
+                e["path"]: e for e in self._manifest(version - 1)["files"]
+            }
+            curr = {e["path"]: e for e in entries}
+            manifest["base"] = version - 1
+            manifest["add"] = [
+                e for p, e in sorted(curr.items()) if p not in parent
+            ]
+            manifest["remove"] = sorted(p for p in parent if p not in curr)
         mpath = f"{self.root}/manifests/v{version}.json"
         tmp = f"{self.root}/manifests/.tmp.{uuid.uuid4().hex}.json"
         with open(tmp, "w") as f:
@@ -216,6 +300,7 @@ class CowTable:
             ) from None
         finally:
             os.remove(tmp)
+        self._resolved.pop(version, None)  # (paranoia: never pre-cached)
         self._advance_pointer(version)
 
     def _advance_pointer(self, version: int) -> None:
@@ -361,6 +446,157 @@ class CowTable:
         if schema is not None:
             reader = reader.schema(schema)
         return reader.parquet(*paths).filter(cond)
+
+    # -- change data feed ---------------------------------------------------
+
+    def read_changes(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """CHANGE DATA FEED: row-level deltas between two committed
+        versions, the Delta CDF contract — each row tagged
+        ``_change_type`` in {insert, delete, update_preimage,
+        update_postimage} plus ``_commit_version``. Semantics: the feed
+        from ``from_version`` (exclusive) to ``to_version`` (inclusive)
+        replays each commit's logical change set in order; an id
+        updated twice appears once per commit.
+
+        SCALE: per commit, only the files that commit actually added or
+        dropped are read (the manifest diff — never the carried files),
+        and the pre/post images join on the merge key. A file-level CoW
+        rewrite carries unchanged rows inside rewritten files; those are
+        diffed out (all-column null-safe compare), so the feed is the
+        LOGICAL delta. Cost per commit is O(rewritten data), which is
+        what makes incremental consumers (popularity refresh, index
+        handoff) O(delta) instead of O(table): the reference rescans
+        and re-ships whole tables on refresh
+        (``popularity/sql.py:286-298``,
+        ``data_refresh_task_factory.py:183-240``); at 100 TB only a
+        feed like this keeps those downstreams cheap. A ``compact`` /
+        ``clone`` commit is data-identical and contributes no rows; a
+        ``restore`` contributes the rows it logically reverts."""
+        from pyspark.sql import types as T
+
+        to_version = self.version if to_version is None else to_version
+        if not (0 < from_version <= to_version):
+            raise ValueError(
+                f"need 0 < from_version <= to_version, got "
+                f"{from_version}..{to_version}"
+            )
+        parts = []
+        for v in range(from_version + 1, to_version + 1):
+            d = self._commit_changes(v)
+            if d is not None:
+                parts.append(d)
+        if not parts:
+            m = self._manifest(to_version)
+            schema = self._schema(m) or T.StructType([])
+            schema = T.StructType(
+                list(schema.fields)
+                + [
+                    T.StructField("_change_type", T.StringType()),
+                    T.StructField("_commit_version", T.LongType()),
+                ]
+            )
+            return self.spark.createDataFrame([], schema)
+        out = parts[0]
+        for d in parts[1:]:
+            # schema may evolve between commits: later deltas carry new
+            # columns, earlier ones fill NULL
+            out = out.unionByName(d, allowMissingColumns=True)
+        return out
+
+    @staticmethod
+    def _comparable(col, dtype):
+        """Null-safe-comparable projection of a column: maps have no
+        ordering/equality in Spark, so compare their sorted entry
+        arrays; everything else compares directly via ``<=>``."""
+        from pyspark.sql import types as T
+
+        if isinstance(dtype, T.MapType):
+            return F.array_sort(F.map_entries(col))
+        return col
+
+    def _commit_changes(self, v: int) -> DataFrame | None:
+        """The logical row delta of commit ``v`` vs ``v-1``: full-outer
+        join of dropped-file rows (pre image) against added-file rows
+        (post image) on the merge key, carried-identical rows removed."""
+        m_prev, m_cur = self._manifest(v - 1), self._manifest(v)
+        prev_paths = {e["path"] for e in m_prev["files"]}
+        cur_paths = {e["path"] for e in m_cur["files"]}
+        dropped = sorted(prev_paths - cur_paths)
+        added = sorted(cur_paths - prev_paths)
+        if not dropped and not added:
+            return None
+
+        def _read(paths, m):
+            schema = self._schema(m)
+            if not paths:
+                return (
+                    self.spark.createDataFrame([], schema)
+                    if schema is not None
+                    else None
+                )
+            reader = self.spark.read
+            if schema is not None:
+                reader = reader.schema(schema)
+            return reader.parquet(*[self._abs(p) for p in paths])
+
+        pre = _read(dropped, m_prev)
+        post = _read(added, m_cur)
+        if pre is None:
+            pre = post.limit(0)
+        if post is None:
+            post = pre.limit(0)
+        keys = list(self.keys)
+        all_cols: list = []
+        dtypes: dict = {}
+        for df in (pre, post):
+            for f in df.schema.fields:
+                if f.name not in dtypes:
+                    dtypes[f.name] = f.dataType
+                    all_cols.append(f.name)
+        value_cols = [c for c in all_cols if c not in keys]
+
+        def _side(df, tag):
+            cols = [
+                (
+                    F.col(c) if c in df.columns
+                    else F.lit(None).cast(dtypes[c])
+                ).alias(f"{tag}_{c}")
+                for c in all_cols
+            ]
+            return df.select(*cols, F.lit(True).alias(f"{tag}_present"))
+
+        p, q = _side(pre, "__p"), _side(post, "__q")
+        cond = None
+        for k in keys:
+            c = F.col(f"__p_{k}").eqNullSafe(F.col(f"__q_{k}"))
+            cond = c if cond is None else cond & c
+        j = p.join(q, cond, "full_outer")
+        same = F.lit(True)
+        for c in value_cols:
+            same = same & self._comparable(
+                F.col(f"__p_{c}"), dtypes[c]
+            ).eqNullSafe(self._comparable(F.col(f"__q_{c}"), dtypes[c]))
+        p_here = F.coalesce(F.col("__p_present"), F.lit(False))
+        q_here = F.coalesce(F.col("__q_present"), F.lit(False))
+
+        def _img(tag, ctype):
+            return [
+                F.col(f"{tag}_{c}").alias(c) for c in all_cols
+            ] + [
+                F.lit(ctype).alias("_change_type"),
+                F.lit(v).cast("long").alias("_commit_version"),
+            ]
+
+        inserts = j.filter(q_here & ~p_here).select(*_img("__q", "insert"))
+        deletes = j.filter(p_here & ~q_here).select(*_img("__p", "delete"))
+        upd = j.filter(p_here & q_here & ~same)
+        upd_pre = upd.select(*_img("__p", "update_preimage"))
+        upd_post = upd.select(*_img("__q", "update_postimage"))
+        return inserts.unionByName(deletes).unionByName(upd_pre).unionByName(
+            upd_post
+        )
 
     # -- merge --------------------------------------------------------------
 
@@ -664,8 +900,11 @@ class CowTable:
         """Predicated UPDATE: rows matching ``condition`` get each
         column in ``set_exprs`` replaced by its expression; everything
         else — including non-matching rows inside touched files — is
-        carried byte-for-byte in value. Only files containing a match
-        are rewritten (one find-scan + rewrite, the reference's
+        carried byte-for-byte in value. SQL/Delta UPDATE semantics:
+        every SET right-hand side is evaluated against the OLD row (one
+        select, not sequential withColumn), so
+        ``{a: col('b'), b: col('a')}`` swaps. Only files containing a
+        match are rewritten (one find-scan + rewrite, the reference's
         batched_update run as a snapshot commit instead of row-batch
         UPDATEs holding locks). Same optimistic-concurrency retry as
         merge."""
@@ -689,48 +928,40 @@ class CowTable:
         copy-on-write commit, with the deleted rows still readable in
         older snapshots until vacuum.
 
-        ``audit_path`` archives the victims first — appended as parquet
-        with ``deleted_reason``/``deleted_on`` columns, the reference's
+        ``audit_path`` archives the victims — appended as parquet with
+        ``deleted_reason``/``deleted_on`` columns, the reference's
         deleted-media side table (rows move, they don't vanish). The
-        archive write happens before the commit, so a conflict retry
-        may append the same victims twice; dedupe the audit on read
-        (keys + reason) or treat it as an append-only log."""
-        if audit_path is not None:
-            m = self._manifest()
-            reader = self.spark.read
-            schema = self._schema(m)
-            if schema is not None:
-                reader = reader.schema(schema)
-            paths = [self._abs(e['path']) for e in m["files"]]
-            if paths:
-                victims = (
-                    reader.parquet(*paths)
-                    .filter(condition)
-                    .withColumn("deleted_reason", F.lit(reason))
-                    .withColumn("deleted_on", F.current_timestamp())
-                )
-                victims.write.mode("append").parquet(audit_path)
+        archive is written by the attempt that COMMITS (inside the
+        retry loop, after the manifest link), so after a conflict
+        rebase the audited set is exactly the committed delete's victim
+        set — each committed delete audits its own rows exactly once. A
+        crash between manifest link and audit write can lose that
+        commit's audit rows (commit-then-audit is not atomic across two
+        stores); treat the audit as best-effort or reconcile from
+        snapshot diffs."""
         return self._rewrite_op(
             "delete", condition, None, target_files, max_retries,
-            pre_commit_hook,
+            pre_commit_hook, audit_path=audit_path, reason=reason,
         )
 
     def _rewrite_op(
         self, op, condition, set_exprs, target_files, max_retries,
-        pre_commit_hook,
+        pre_commit_hook, audit_path=None, reason=None,
     ) -> dict:
         last: CommitConflict | None = None
         for _ in range(max_retries + 1):
             try:
                 return self._rewrite_attempt(
-                    op, condition, set_exprs, target_files, pre_commit_hook
+                    op, condition, set_exprs, target_files, pre_commit_hook,
+                    audit_path, reason,
                 )
             except CommitConflict as e:
                 last = e
         raise last
 
     def _rewrite_attempt(
-        self, op, condition, set_exprs, target_files, pre_commit_hook
+        self, op, condition, set_exprs, target_files, pre_commit_hook,
+        audit_path=None, reason=None,
     ) -> dict:
         m = self._manifest()
         touched, carried = self._files_matching(m, condition)
@@ -748,12 +979,25 @@ class CowTable:
             reader = reader.schema(schema)
         slice_df = reader.parquet(*[self._abs(e['path']) for e in touched])
         if op == "update":
-            out = slice_df
-            for col_name, expr in set_exprs.items():
-                out = out.withColumn(
-                    col_name,
-                    F.when(condition, expr).otherwise(F.col(col_name)),
+            unknown = set(set_exprs) - set(slice_df.columns)
+            if unknown:
+                raise ValueError(
+                    f"UPDATE sets unknown columns {sorted(unknown)}; "
+                    "evolve the schema via merge(allow_new_columns=True)"
                 )
+            # every SET RHS sees the OLD row: one select over the
+            # original columns (sequential withColumn would leak a
+            # newly-set value into a later expression)
+            out = slice_df.select(
+                *[
+                    F.when(condition, set_exprs[c])
+                    .otherwise(F.col(c))
+                    .alias(c)
+                    if c in set_exprs
+                    else F.col(c)
+                    for c in slice_df.columns
+                ]
+            )
         else:
             out = slice_df.filter(~F.coalesce(condition, F.lit(False)))
         new_version = m["version"] + 1
@@ -774,6 +1018,20 @@ class CowTable:
         except CommitConflict:
             shutil.rmtree(data_dir, ignore_errors=True)
             raise
+        if op == "delete" and audit_path is not None:
+            # audit AFTER the commit so only the attempt that actually
+            # committed writes its victim set (a conflict-losing attempt
+            # recomputes victims against the winner's snapshot on retry
+            # and must not have audited the stale set). The touched old
+            # files remain on disk until vacuum, so the slice is still
+            # readable here.
+            (
+                slice_df.filter(F.coalesce(condition, F.lit(False)))
+                .withColumn("deleted_reason", F.lit(reason))
+                .withColumn("deleted_on", F.current_timestamp())
+                .write.mode("append")
+                .parquet(audit_path)
+            )
         return {
             "version": new_version,
             "files_rewritten": len(touched),
@@ -859,6 +1117,7 @@ class CowTable:
         target_rows: int = 1_000_000,
         small_file_ratio: float = 0.5,
         keep_versions: int = 3,
+        vacuum_retention_seconds: float = 3600.0,
     ) -> dict:
         """The unattended steady-state maintenance tick: compact when
         more than ``small_file_ratio`` of files are under ``target_rows``
@@ -866,7 +1125,11 @@ class CowTable:
         then vacuum history beyond ``keep_versions``. Reads only
         manifests to decide (``describe``) — the loop a scheduler runs
         after each ingest wave, analogous to the reference's refresh +
-        rotate_db_snapshots maintenance DAGs. Returns what it did."""
+        rotate_db_snapshots maintenance DAGs. Safe to run alongside live
+        writers: the vacuum step never touches never-referenced files
+        younger than ``vacuum_retention_seconds`` (a concurrent writer's
+        in-flight attempt directory looks orphaned until its manifest
+        links — see ``vacuum``). Returns what it did."""
         d = self.describe()
         small = sum(
             1 for e in self._manifest()["files"] if e["rows"] < target_rows
@@ -877,7 +1140,10 @@ class CowTable:
             out["compact_result"] = self.compact(target_rows=target_rows)
             out["compacted"] = out["compact_result"]["files_written"] > 0
         if d["num_versions"] > keep_versions:
-            out["vacuumed"] = self.vacuum(keep_versions=keep_versions)
+            out["vacuumed"] = self.vacuum(
+                keep_versions=keep_versions,
+                retention_seconds=vacuum_retention_seconds,
+            )
         return out
 
     def clone(self, new_root: str, version: int | None = None) -> "CowTable":
@@ -930,49 +1196,105 @@ class CowTable:
             "rows": m["rows"],
         }
 
-    def vacuum(self, keep_versions: int = 1) -> list[str]:
+    def vacuum(
+        self, keep_versions: int = 1, retention_seconds: float = 3600.0
+    ) -> list[str]:
         """Drop manifests older than the newest ``keep_versions`` and
-        delete data files no surviving manifest references — including
-        orphans left by crashed or conflict-losing commit attempts
-        (their directories are never referenced by any manifest).
-        Returns the deleted file paths.
+        delete data files no surviving manifest references. Returns the
+        deleted file paths.
 
-        Like Delta's VACUUM, this must not run while a writer is mid-
-        attempt (its not-yet-committed files look orphaned); serialize
-        vacuum against writers or add an age threshold at deployment."""
+        CONCURRENT-WRITER SAFETY (Delta's VACUUM retention): files that
+        were referenced by a now-vacuumed manifest are committed history
+        and delete immediately, but files referenced by NO manifest at
+        all are ambiguous — either debris of a crashed/conflict-losing
+        attempt, or a LIVE writer's written-but-not-yet-linked attempt
+        directory. Deleting the latter would let that writer commit a
+        manifest pointing at missing files (permanent corruption), so
+        never-referenced files (and stale ``.tmp`` manifests) are only
+        swept once older than ``retention_seconds`` (mtime-based; any
+        sane commit attempt finishes well inside the default hour).
+        ``retention_seconds=0`` is the explicit "no writers are active"
+        mode for offline cleanup and tests."""
+        import time
+
+        now = time.time()
         current = self.version
         keep = {current - i for i in range(keep_versions)}
+        # dropping a kept version's segment chain would break its
+        # resolution — materialize the oldest kept version as a
+        # checkpoint side file FIRST (idempotent), then every older
+        # commit manifest is safe to drop
+        oldest_kept = min(keep)
+        if oldest_kept >= 1:
+            self._write_checkpoint(oldest_kept)
         live: set[str] = set()
+        referenced_ever: set[str] = set()
         drop_manifests = []
         for name in self._manifest_names():
             v = int(name.removeprefix("v").removesuffix(".json"))
+            paths = {e["path"] for e in self._manifest(v)["files"]}
+            referenced_ever.update(paths)
             if v in keep:
-                with open(f"{self.root}/manifests/{name}") as f:
-                    live.update(e["path"] for e in json.load(f)["files"])
+                live.update(paths)
             else:
                 drop_manifests.append(name)
+                stale_cp = f"{self.root}/manifests/v{v}.checkpoint.json"
+                if os.path.exists(stale_cp):
+                    os.remove(stale_cp)
         deleted = []
+        # superseded committed history: referenced by a dropped manifest
+        # only — unambiguous, deleted regardless of age
         for dirpath, _, files in os.walk(f"{self.root}/data"):
             for fn in files:
                 full = os.path.join(dirpath, fn)
                 rel = os.path.relpath(full, self.root)
-                if fn.endswith(".parquet") and rel not in live:
+                if (
+                    fn.endswith(".parquet")
+                    and rel not in live
+                    and rel in referenced_ever
+                ):
                     os.remove(full)
                     deleted.append(rel)
         for name in drop_manifests:
             os.remove(f"{self.root}/manifests/{name}")
-        # stale tmp manifests from writers that died before their link
-        # are never commits — sweep them here
+        # tmp manifests from writers that died before their link are
+        # never commits — but a LIVE writer's tmp looks identical, so
+        # age-gate the sweep
         for name in os.listdir(f"{self.root}/manifests"):
-            if name.startswith(".tmp."):
-                os.remove(f"{self.root}/manifests/{name}")
-        # sweep commit directories with no surviving referenced file at
-        # all (crashed/conflict-losing attempts leave _SUCCESS/.crc
-        # markers behind even after their parquet files are removed)
+            full = f"{self.root}/manifests/{name}"
+            if name.startswith(".tmp.") and (
+                now - os.path.getmtime(full) >= retention_seconds
+            ):
+                os.remove(full)
+        # sweep commit directories with no surviving referenced file:
+        # vacuumed-history dirs immediately (only markers remain), but a
+        # never-referenced dir (possible in-flight attempt) only once
+        # its newest content is past retention
         data_root = f"{self.root}/data"
         if os.path.isdir(data_root):
             for child in sorted(os.listdir(data_root)):
                 child_rel = f"data/{child}"
-                if not any(p.startswith(child_rel + "/") for p in live):
-                    shutil.rmtree(os.path.join(data_root, child), ignore_errors=True)
+                child_full = os.path.join(data_root, child)
+                if any(p.startswith(child_rel + "/") for p in live):
+                    continue
+                if not any(
+                    p.startswith(child_rel + "/") for p in referenced_ever
+                ):
+                    newest = os.path.getmtime(child_full)
+                    for dp, _, fns in os.walk(child_full):
+                        for fn in fns:
+                            newest = max(
+                                newest, os.path.getmtime(os.path.join(dp, fn))
+                            )
+                    if now - newest < retention_seconds:
+                        continue  # could be a live writer's attempt
+                    for dp, _, fns in os.walk(child_full):
+                        for fn in fns:
+                            if fn.endswith(".parquet"):
+                                deleted.append(
+                                    os.path.relpath(
+                                        os.path.join(dp, fn), self.root
+                                    )
+                                )
+                shutil.rmtree(child_full, ignore_errors=True)
         return sorted(deleted)

@@ -537,31 +537,38 @@ def parse_video_header(
             yield btype, i + header, min(i + size, end)
             i += size
 
-    top = {t: (s, e) for t, s, e in boxes(b, 0, len(b))}
-    if b"ftyp" not in top or b"moov" not in top:
+    # one corrupt payload must not kill the whole mapInPandas stage:
+    # any structurally malformed box that slips past the length guards
+    # degrades to the all-None tuple, same as an unrecognized format
+    try:
+        top = {t: (s, e) for t, s, e in boxes(b, 0, len(b))}
+        if b"ftyp" not in top or b"moov" not in top:
+            return None, None, None, None, None
+        dur_ms = timescale = width = height = None
+        ms, me = top[b"moov"]
+        for btype, s, e in boxes(b, ms, me):
+            if btype == b"mvhd" and e - s >= 4:
+                version = b[s]
+                # v1 mvhd: 20-byte preamble + 4B timescale + 8B duration
+                if version == 1 and e - s >= 32:
+                    timescale, dur = struct.unpack(">IQ", b[s + 20 : s + 32])
+                elif version == 0 and e - s >= 20:
+                    timescale, dur = struct.unpack(">II", b[s + 12 : s + 20])
+                else:
+                    continue
+                if timescale:
+                    dur_ms = dur * 1000 // timescale
+            elif btype == b"trak" and width is None:
+                for t2, s2, e2 in boxes(b, s, e):
+                    if t2 == b"tkhd" and e2 - s2 >= 84:
+                        version = b[s2]
+                        off = s2 + (96 if version == 1 else 84) - 8
+                        if off + 8 <= e2:
+                            w_fx, h_fx = struct.unpack(">II", b[off : off + 8])
+                            width, height = w_fx >> 16, h_fx >> 16
+        return "mp4", dur_ms, timescale, width, height
+    except (struct.error, IndexError):
         return None, None, None, None, None
-    dur_ms = timescale = width = height = None
-    ms, me = top[b"moov"]
-    for btype, s, e in boxes(b, ms, me):
-        if btype == b"mvhd" and e - s >= 4:
-            version = b[s]
-            if version == 1 and e - s >= 28:
-                timescale, dur = struct.unpack(">IQ", b[s + 20 : s + 32])
-            elif e - s >= 20:
-                timescale, dur = struct.unpack(">II", b[s + 12 : s + 20])
-            else:
-                continue
-            if timescale:
-                dur_ms = dur * 1000 // timescale
-        elif btype == b"trak" and width is None:
-            for t2, s2, e2 in boxes(b, s, e):
-                if t2 == b"tkhd" and e2 - s2 >= 84:
-                    version = b[s2]
-                    off = s2 + (96 if version == 1 else 84) - 8
-                    if off + 8 <= e2:
-                        w_fx, h_fx = struct.unpack(">II", b[off : off + 8])
-                        width, height = w_fx >> 16, h_fx >> 16
-    return "mp4", dur_ms, timescale, width, height
 
 
 def synthesize_mp4_bytes(

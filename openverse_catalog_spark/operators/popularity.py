@@ -130,6 +130,7 @@ def popularity_refresh_pruned(
     metric_col: str,
     percentile: float = 0.85,
     score_col: str = "standardized_popularity",
+    deleted_keys: DataFrame | None = None,
 ) -> dict:
     """Incremental popularity refresh that touches ONLY the providers
     present in ``new_rows``.
@@ -151,14 +152,21 @@ def popularity_refresh_pruned(
          (``overwrite_partitions``); every other partition's files are
          untouched.
 
+    ``deleted_keys`` (optional, columns ``group_col``/``id_col``) drops
+    those ids from their partitions during the rescore — the delete
+    half of a change-data-feed consumer (``popularity_refresh_cdf``).
+
     Returns {changed, files_read, rows_rescored}."""
     from openverse_catalog_spark.operators.layout import overwrite_partitions
 
     import os
 
     MAX_CHANGED = 65536  # providers, not rows — a misuse guard
+    key_sources = new_rows.select(group_col)
+    if deleted_keys is not None:
+        key_sources = key_sources.unionByName(deleted_keys.select(group_col))
     rows = (
-        new_rows.select(group_col).distinct().limit(MAX_CHANGED + 1).collect()
+        key_sources.distinct().limit(MAX_CHANGED + 1).collect()
     )
     if len(rows) > MAX_CHANGED:
         raise ValueError(
@@ -184,10 +192,25 @@ def popularity_refresh_pruned(
         existing = new_rows.limit(0)
     files_read = list(existing.inputFiles())
     base_cols = [group_col, id_col, metric_col]
-    combined = (
-        existing.select(*base_cols)
-        .unionByName(new_rows.select(*base_cols))
+    # UPSERT, not blind union: a batch normally RE-DELIVERS updated
+    # metrics for existing ids (popularity counts are mutable), so
+    # prior rows whose (group, id) reappears in the batch are dropped
+    # — new rows win — or the stale metric would both duplicate the id
+    # in the overwritten partition and skew the percentile/constant.
+    # Anti-join keys are bounded by the batch; one shuffle, AQE
+    # broadcasts when the batch is small.
+    prior = existing.select(*base_cols).join(
+        new_rows.select(group_col, id_col).distinct(),
+        [group_col, id_col],
+        "left_anti",
     )
+    if deleted_keys is not None:
+        prior = prior.join(
+            deleted_keys.select(group_col, id_col).distinct(),
+            [group_col, id_col],
+            "left_anti",
+        )
+    combined = prior.unionByName(new_rows.select(*base_cols))
     p = percentile_disc_by_group(combined, [group_col], metric_col, percentile)
     c = popularity_constants(p, percentile)
     scored = (
@@ -200,8 +223,102 @@ def popularity_refresh_pruned(
     scored = scored.localCheckpoint(eager=True)  # sever lineage from the
     # partitions being overwritten (Spark cannot overwrite its own input)
     overwrite_partitions(scored, scored_path, [group_col])
+    # a provider whose every id was deleted writes NO rows, and dynamic
+    # overwrite only replaces partitions present in the output — drop
+    # the now-empty partition directories explicitly (bounded by the
+    # changed set, one tiny distinct)
+    still_present = {
+        r[0] for r in scored.select(group_col).distinct().collect()
+    }
+    for v in changed:
+        if v not in still_present:
+            import shutil
+
+            d = os.path.join(scored_path, f"{group_col}={v}")
+            if os.path.isdir(d):
+                shutil.rmtree(d)
     return {
         "changed": changed,
         "files_read": files_read,
         "rows_rescored": scored.count(),
     }
+
+
+def popularity_refresh_cdf(
+    spark,
+    scored_path: str,
+    table,
+    from_version: int,
+    to_version: int | None = None,
+    group_col: str = "provider",
+    id_col: str = "foreign_identifier",
+    metric_col: str = "metric",
+    percentile: float = 0.85,
+    score_col: str = "standardized_popularity",
+) -> dict:
+    """Incremental popularity refresh driven by the CowTable CHANGE DATA
+    FEED instead of a caller-supplied batch: consume
+    ``table.read_changes(from_version, to_version)`` and apply exactly
+    the logical delta —
+
+      * ``insert`` / ``update_postimage`` rows upsert their metric,
+      * ``delete`` rows leave the scored table,
+      * ``update_preimage`` rows are ignored (superseded by the post
+        image of the same commit).
+
+    This is the reference's scheduled popularity refresh
+    (``popularity/sql.py:286-298`` recomputes the whole matview) turned
+    into an O(changed-rows) maintenance step: the feed reads only the
+    files the commits rewrote, the refresh reads only the changed
+    providers' scored partitions. An id updated across several commits
+    appears once per commit in the feed; keeping the LAST post-image is
+    the correct net effect, picked with one max(_commit_version) window
+    over the (small) delta.
+
+    Returns the underlying refresh report plus the consumed version
+    span."""
+    from pyspark.sql import Window
+
+    to_version = table.version if to_version is None else to_version
+    ch = table.read_changes(from_version, to_version)
+    upserts = ch.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    )
+    # last post-image per id wins across multi-commit spans
+    w = Window.partitionBy(group_col, id_col).orderBy(
+        F.col("_commit_version").desc()
+    )
+    upserts = (
+        upserts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(group_col, id_col, metric_col)
+    )
+    # a delete only counts if no later commit re-inserted the id
+    last_type = ch.withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy(group_col, id_col).orderBy(
+                F.col("_commit_version").desc(),
+                # within one commit, post/insert outranks the delete of
+                # a different change pair (cannot co-occur for one id)
+                F.col("_change_type"),
+            )
+        ),
+    ).filter(F.col("__rn") == 1)
+    deletes = last_type.filter(F.col("_change_type") == "delete").select(
+        group_col, id_col
+    )
+    report = popularity_refresh_pruned(
+        spark,
+        scored_path,
+        upserts,
+        group_col,
+        id_col,
+        metric_col,
+        percentile=percentile,
+        score_col=score_col,
+        deleted_keys=deletes,
+    )
+    report["from_version"] = from_version
+    report["to_version"] = to_version
+    return report

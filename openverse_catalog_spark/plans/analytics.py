@@ -1895,3 +1895,96 @@ def agg_source_concentration(spark, sf_dir):
             F.round(F.max(share), 6).alias("top_share"),
         )
     )
+
+
+@register("pipeline_popularity_refresh_cdf", _POP_SUMMARY_ORACLE)
+def pipeline_popularity_refresh_cdf(spark, sf_dir):
+    """Popularity refresh driven by the CHANGE DATA FEED: the canonical
+    media table is a CowTable whose v1 carries STALE metrics for a
+    held-out slice of one provider; a MERGE commit (v2) re-delivers the
+    true metrics, and ``popularity_refresh_cdf`` consumes
+    ``read_changes(1, 2)`` — reading only the files the merge rewrote —
+    to rescore exactly the changed provider's partition. THE ORACLE IS
+    UNCHANGED from the full recompute (_POP_SUMMARY_ORACLE): after the
+    CDF-driven repair the scored table must equal scoring the true
+    media rows outright. This is the reference's scheduled popularity
+    refresh (popularity/sql.py:286-298, full matview recompute) as an
+    O(delta) incremental consumer."""
+    import os
+    import shutil
+    import tempfile
+
+    from openverse_catalog_spark.operators.cowtable import CowTable
+    from openverse_catalog_spark.operators.popularity import (
+        popularity_refresh_cdf,
+    )
+    from openverse_catalog_spark.schemas.columns import (
+        ColumnSpec, Datatype, UpsertStrategy,
+    )
+
+    e = _t(spark, sf_dir, "events")["events"]
+    media = e.select(
+        F.col("event_type").alias("provider"),
+        F.col("event_id").cast("string").alias("foreign_identifier"),
+        F.col("value").alias("metric"),
+    )
+    target = media.select(F.min("provider")).head()[0]
+    stale_cond = (F.col("provider") == target) & (
+        F.col("foreign_identifier").cast("long") % 5 == 0
+    )
+    # v1: the held-out slice carries a WRONG metric (value + 7)
+    initial = media.withColumn(
+        "metric",
+        F.when(stale_cond, F.col("metric") + 7).otherwise(F.col("metric")),
+    )
+    late = media.filter(stale_cond)  # the true re-delivery
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_pop_cdf")
+    shutil.rmtree(root, ignore_errors=True)
+    t = CowTable.create(
+        spark, os.path.join(root, "media"), initial,
+        keys=("provider", "foreign_identifier"), target_files=8,
+    )
+    scored_path = os.path.join(root, "scored")
+    p = percentile_disc_by_group(t.read(), ["provider"], "metric", 0.85)
+    c = popularity_constants(p, 0.85)
+    v1_scored = standardized_popularity(
+        t.read(), c, ["provider"], "metric"
+    ).select("provider", "foreign_identifier", "metric",
+             "standardized_popularity")
+    v1_scored.write.partitionBy("provider").parquet(scored_path)
+    cols = [
+        ColumnSpec("provider", Datatype.char, required=True,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("foreign_identifier", Datatype.char, required=True,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("metric", Datatype.double),
+    ]
+    t.merge(late, cols, deterministic=True)  # v2: the true metrics land
+    rep = popularity_refresh_cdf(
+        spark, scored_path, t, from_version=1,
+        group_col="provider", id_col="foreign_identifier",
+        metric_col="metric",
+    )
+    assert rep["changed"] == [target] and rep["to_version"] == 2
+    final = spark.read.parquet(scored_path)
+    # recompute constants over the repaired rows for the report shape
+    pf = percentile_disc_by_group(final, ["provider"], "metric", 0.85)
+    cf = popularity_constants(pf, 0.85)
+    summary = final.groupBy("provider").agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.round(F.avg("standardized_popularity"), 6).alias("avg_score"),
+        F.round(F.max("standardized_popularity"), 6).alias("max_score"),
+    )
+    return summary.join(
+        F.broadcast(
+            cf.select(
+                "provider",
+                F.round("raw_value", 4).alias("raw_value"),
+                F.round("constant", 6).alias("constant"),
+            )
+        ),
+        "provider",
+    ).select(
+        "provider", "raw_value", "constant", "n_scored",
+        "avg_score", "max_score",
+    )

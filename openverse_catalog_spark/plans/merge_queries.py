@@ -491,9 +491,9 @@ def merge_load_report(spark, sf_dir):
     survived = url_conflict_filter(urlone, canon, keys=("provider", "fid"))
     counts = (
         stage.agg(F.count("*").alias("loaded"))
-        .crossJoin(cleaned.agg(F.count("*").alias("n_clean")))
-        .crossJoin(deduped.agg(F.count("*").alias("n_dedup")))
-        .crossJoin(survived.agg(F.count("*").alias("upserted")))
+        .crossJoin(F.broadcast(cleaned.agg(F.count("*").alias("n_clean"))))
+        .crossJoin(F.broadcast(deduped.agg(F.count("*").alias("n_dedup"))))
+        .crossJoin(F.broadcast(survived.agg(F.count("*").alias("upserted"))))
     )
     return counts.select(
         "loaded",
@@ -1273,3 +1273,103 @@ def merge_cow_delete(spark, sf_dir):
     t = _cow_build(spark, sf_dir, "cow_del", _t)
     t.delete(F.col("provider") == "p0")
     return t.read().select("provider", "foreign_identifier", "url", "title")
+
+
+@register(
+    "merge_cow_changes",
+    f"""
+    WITH {_COW_V2_CTES},
+    upd AS (
+      SELECT t.provider AS provider,
+             t.foreign_identifier AS foreign_identifier,
+             t.url AS pre_url, t.title AS pre_title,
+             v2.url AS post_url, v2.title AS post_title
+      FROM v2
+      JOIN target t
+        ON v2.provider = t.provider
+       AND v2.foreign_identifier = t.foreign_identifier
+      WHERE v2.title <> t.title OR v2.url <> t.url
+    )
+    SELECT v2.provider AS provider,
+           v2.foreign_identifier AS foreign_identifier,
+           v2.url AS url, v2.title AS title,
+           'insert' AS _change_type,
+           CAST(2 AS BIGINT) AS _commit_version
+    FROM v2
+    LEFT JOIN target t
+      ON v2.provider = t.provider
+     AND v2.foreign_identifier = t.foreign_identifier
+    WHERE t.provider IS NULL
+    UNION ALL
+    SELECT provider, foreign_identifier, pre_url, pre_title,
+           'update_preimage', CAST(2 AS BIGINT)
+    FROM upd
+    UNION ALL
+    SELECT provider, foreign_identifier, post_url, post_title,
+           'update_postimage', CAST(2 AS BIGINT)
+    FROM upd
+    UNION ALL
+    SELECT provider, foreign_identifier, url, title,
+           'delete', CAST(3 AS BIGINT)
+    FROM v2 WHERE provider = 'p0'
+    """,
+)
+def merge_cow_changes(spark, sf_dir):
+    """CHANGE DATA FEED on the lake table (Delta CDF contract): after a
+    MERGE commit (v2) and a predicated DELETE commit (v3),
+    ``read_changes(1, 3)`` returns the exact row-level deltas — inserts
+    and update pre/post images tagged _commit_version 2, deletes tagged
+    3 — reading ONLY the files those commits added or dropped, with
+    carried-identical rows diffed out. The oracle replays both commits
+    in SQL and derives the same change set from the three snapshots.
+    This is what turns downstream refreshes (popularity, search-index
+    handoff) from O(table) rescans into O(delta) consumers — the
+    incremental posture the reference's data refresh lacks
+    (``data_refresh_task_factory.py:183-240`` re-ships the whole
+    table)."""
+    t = _cow_build(spark, sf_dir, "cow_cdf", _t)
+    t.delete(F.col("provider") == "p0")
+    assert t.version == 3
+    return t.read_changes(1, 3).select(
+        "provider", "foreign_identifier", "url", "title",
+        "_change_type", "_commit_version",
+    )
+
+
+@register(
+    "merge_cow_publish_incremental",
+    f"""
+    WITH {_COW_V2_CTES}
+    SELECT provider, foreign_identifier, url, title
+    FROM v2 WHERE provider <> 'p0'
+    """,
+)
+def merge_cow_publish_incremental(spark, sf_dir):
+    """Incremental index publish: the previously published snapshot is
+    brought current by APPLYING the change feed (anti-join touched
+    keys, union last post-images) instead of re-exporting the table —
+    the search-index handoff kept O(delta). Publishes v1 in full, then
+    commits a MERGE (v2) and a DELETE (v3) and republishes
+    incrementally from the feed; the result must equal a fresh read of
+    v3 (the oracle: merge result minus the deleted provider)."""
+    import os
+    import shutil
+    import tempfile
+
+    from openverse_catalog_spark.streaming.incremental import (
+        publish_swap,
+        publish_swap_incremental,
+    )
+
+    t = _cow_build(spark, sf_dir, "cow_pubinc", _t)
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_cow_pubinc_idx")
+    shutil.rmtree(base, ignore_errors=True)
+    publish_swap(t.read(version=1), base, "cow_pubinc_idx", spark)
+    t.delete(F.col("provider") == "p0")
+    rep = publish_swap_incremental(
+        t, from_version=1, base_dir=base, name="cow_pubinc_idx"
+    )
+    assert rep["mode"] == "incremental" and rep["deletes"] > 0
+    return spark.table("cow_pubinc_idx").select(
+        "provider", "foreign_identifier", "url", "title"
+    )

@@ -35,9 +35,26 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", cpus))
 
+    # PER-PROCESS warehouse / Derby metastore / scratch dirs: two Spark
+    # sessions on one machine (pytest + an oracle-verify run) sharing
+    # ./spark-warehouse and the default Derby dir can collide — saveAsTable
+    # paths, Derby's single-process lock, temp-view state. Unique-per-pid
+    # roots make concurrent sessions fully independent (override with
+    # SPARK_GRAFT_RUN_DIR for a stable location).
+    run_dir = os.environ.get(
+        "SPARK_GRAFT_RUN_DIR", f"/tmp/spark-graft-run-{os.getpid()}"
+    )
+    os.makedirs(run_dir, exist_ok=True)
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.sql.warehouse.dir", f"{run_dir}/warehouse")
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Dderby.system.home={run_dir}/derby",
+        )
+        .config("spark.local.dir", f"{run_dir}/scratch")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -406,6 +406,126 @@ def publish_swap(
     return path
 
 
+def publish_swap_incremental(
+    table,
+    from_version: int,
+    base_dir: str,
+    name: str,
+    keys: tuple[str, ...] | None = None,
+    spark: SparkSession | None = None,
+    to_version: int | None = None,
+) -> dict:
+    """Incremental publish: maintain the published snapshot of ``name``
+    by APPLYING the CowTable change feed to the previously published
+    snapshot instead of re-exporting the whole table — the incremental
+    half of the reference's Elasticsearch handoff (its data refresh
+    re-ships the entire table through an ingestion server and
+    alias-swaps, ``data_refresh_task_factory.py:183-240``; at 100 TB
+    only the delta can move).
+
+      new snapshot = (previous snapshot ANTI-JOIN touched keys)
+                     UNION (last post-image of upserted keys)
+
+    where touched keys = every key in the feed (insert / update /
+    delete — deletes simply contribute nothing to the union). The write
+    cost is O(previous snapshot) locally because parquet files are
+    immutable, but the LOGIC shipped to an external index is exactly
+    the delta — ``export_changes`` below writes that delta for an
+    indexer to consume. The swap itself stays atomic via
+    ``publish_swap``. Falls back to a FULL publish when no previous
+    snapshot exists (first run). Returns {path, upserts, deletes,
+    from_version, to_version, mode}."""
+    import os
+
+    spark = spark or table.spark
+    keys = tuple(keys or table.keys)
+    to_version = table.version if to_version is None else to_version
+    root = os.path.join(base_dir, name)
+    versions = (
+        sorted(
+            (d for d in os.listdir(root) if d.startswith("v=")),
+            key=lambda d: int(d.removeprefix("v=")),
+        )
+        if os.path.isdir(root)
+        else []
+    )
+    if not versions:
+        df = table.read(version=to_version)
+        path = publish_swap(df, base_dir, name, spark)
+        return {
+            "path": path, "upserts": df.count(), "deletes": 0,
+            "from_version": from_version, "to_version": to_version,
+            "mode": "full",
+        }
+    prev = spark.read.parquet(os.path.join(root, versions[-1]))
+    ch = table.read_changes(from_version, to_version)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(F.col("_commit_version").desc())
+    last = (
+        ch.filter(F.col("_change_type") != "update_preimage")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+    upserts = last.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).drop("_change_type", "_commit_version", "__rn")
+    touched = last.select(*keys)
+    n_up = upserts.count()
+    n_del = last.filter(F.col("_change_type") == "delete").count()
+    merged = prev.join(touched, list(keys), "left_anti").unionByName(
+        upserts, allowMissingColumns=True
+    )
+    path = publish_swap(merged, base_dir, name, spark)
+    return {
+        "path": path, "upserts": n_up, "deletes": n_del,
+        "from_version": from_version, "to_version": to_version,
+        "mode": "incremental",
+    }
+
+
+def export_changes(
+    table,
+    from_version: int,
+    out_dir: str,
+    to_version: int | None = None,
+) -> dict:
+    """Write the raw change feed for an EXTERNAL consumer (the search
+    indexer): one parquet dataset partitioned by ``_change_type``, plus
+    a tiny JSON descriptor recording the version span — the handoff
+    artifact an ingestion server would tail instead of re-receiving the
+    full table. Idempotent per (from, to) span: the output directory is
+    keyed by the span, so a retried export overwrites its own span and
+    never duplicates another's."""
+    import json
+    import os
+
+    to_version = table.version if to_version is None else to_version
+    ch = table.read_changes(from_version, to_version).filter(
+        F.col("_change_type") != "update_preimage"
+    )
+    span_dir = os.path.join(
+        out_dir, f"delta_v{from_version}_v{to_version}"
+    )
+    ch.write.mode("overwrite").partitionBy("_change_type").parquet(span_dir)
+    counts = {
+        r["_change_type"]: r["n"]
+        for r in spark_count_by_type(ch).collect()
+    }
+    desc = {
+        "from_version": from_version,
+        "to_version": to_version,
+        "counts": counts,
+    }
+    with open(os.path.join(span_dir, "_delta_span.json"), "w") as f:
+        json.dump(desc, f)
+    return {**desc, "path": span_dir}
+
+
+def spark_count_by_type(ch: DataFrame) -> DataFrame:
+    return ch.groupBy("_change_type").agg(F.count(F.lit(1)).alias("n"))
+
+
 def rotate_snapshots(base_dir: str, name: str, keep: int = 2) -> list[str]:
     """Retention for the publish_swap snapshot chain: keep the newest
     ``keep`` versioned snapshots of ``name``, delete the rest — the

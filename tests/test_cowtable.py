@@ -317,14 +317,13 @@ def test_cow_conflict_exhausts_retries_and_cleans_orphans(spark, tmp_path):
             mk(spark, _batch_rows()), COLS, deterministic=True,
             max_retries=0, pre_commit_hook=always_competing,
         )
-    # every data dir on disk is referenced by some manifest (loser swept)
+    # every data dir on disk is referenced by some manifest (loser swept);
+    # resolve each version (manifests may be incremental segments)
     referenced = set()
-    mdir = str(tmp_path / "tbl" / "manifests")
-    for name in os.listdir(mdir):
-        with open(os.path.join(mdir, name)) as f:
-            referenced.update(
-                e["path"].split("/")[1] for e in json.load(f)["files"]
-            )
+    for v in range(1, t.version + 1):
+        referenced.update(
+            e["path"].split("/")[1] for e in t._manifest(v)["files"]
+        )
     on_disk = set(os.listdir(str(tmp_path / "tbl" / "data")))
     assert on_disk <= referenced
 
@@ -528,7 +527,11 @@ def test_cow_stale_tmp_manifest_is_harmless_and_swept(spark, tmp_path):
     assert [h["operation"] for h in t.history()] == ["create"]
     t.merge(mk(spark, _batch_rows()), COLS, deterministic=True)
     assert t.version == 2
+    # default retention keeps a YOUNG tmp (it could be a live writer's
+    # in-flight manifest); retention 0 is the offline-cleanup mode
     t.vacuum(keep_versions=2)
+    assert os.path.exists(stale)
+    t.vacuum(keep_versions=2, retention_seconds=0.0)
     assert not os.path.exists(stale)
 
 
@@ -715,3 +718,308 @@ def test_cow_shallow_clone_branches_without_copying(spark, tmp_path):
               {"title": F.lit("branched")})
     assert _canon(br.read())[("flickr", "f000")] == "branched"
     assert _canon(src.read())[("flickr", "f000")] == "old0"
+
+
+def test_cow_update_set_rhs_sees_old_row(spark, tmp_path):
+    """SQL/Delta UPDATE semantics: every SET right-hand side evaluates
+    against the OLD row, so {title: url, url: title} SWAPS the two
+    values instead of chaining (sequential withColumn would make the
+    second expression read the first's output)."""
+    t = CowTable.create(
+        spark, str(tmp_path / "tbl"), mk(spark, _base_rows()), target_files=4
+    )
+    t.update(
+        F.col("foreign_identifier") == "f005",
+        {"title": F.col("url"), "url": F.col("title")},
+    )
+    got = {
+        r["foreign_identifier"]: (r["title"], r["url"])
+        for r in t.read().collect()
+    }
+    assert got["f005"] == ("http://u/5", "old5")  # swapped
+    assert got["f006"] == ("old6", "http://u/6")  # untouched
+
+
+def test_cow_update_unknown_set_column_is_refused(spark, tmp_path):
+    import pytest
+
+    t = CowTable.create(
+        spark, str(tmp_path / "tbl"), mk(spark, _base_rows()), target_files=4
+    )
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.update(F.col("foreign_identifier") == "f005", {"nope": F.lit(1)})
+
+
+def test_cow_delete_audit_matches_committed_victims_after_rebase(
+    spark, tmp_path
+):
+    """The audit is written by the attempt that COMMITS: a conflict
+    rebase recomputes the victim set against the winner's snapshot, so
+    a row the competitor inserted mid-delete must appear in the audit
+    exactly once, and nothing is audited twice."""
+    fired = {"n": 0}
+    t = CowTable.create(
+        spark, str(tmp_path / "tbl"), mk(spark, _base_rows()), target_files=4
+    )
+
+    def competing_insert():
+        if fired["n"] == 0:
+            fired["n"] += 1
+            CowTable(spark, t.root).merge(
+                mk(spark, [row(provider="met", fid="fnew",
+                               url="http://u/new", title="late-met")]),
+                COLS, deterministic=True,
+            )
+
+    audit = str(tmp_path / "deleted")
+    t.delete(
+        F.col("provider") == "met",
+        audit_path=audit, reason="takedown",
+        pre_commit_hook=competing_insert,
+    )
+    assert fired["n"] == 1
+    assert all(p == "flickr" for p, _ in _canon(t.read()))
+    arch = spark.read.parquet(audit).collect()
+    fids = sorted(r["foreign_identifier"] for r in arch)
+    # 20 original met rows + the competitor's insert, each ONCE
+    assert fids == sorted([f"f{i:03d}" for i in range(20, 40)] + ["fnew"])
+
+
+def test_cow_vacuum_retention_protects_young_orphans(spark, tmp_path):
+    """A never-referenced data directory younger than the retention
+    threshold could be a LIVE writer's in-flight attempt — vacuum must
+    leave it alone (deleting it would corrupt that writer's commit);
+    retention 0 is the explicit offline-cleanup mode. Committed-then-
+    superseded files still delete immediately regardless of age."""
+    import os
+
+    t = CowTable.create(
+        spark, str(tmp_path / "tbl"), mk(spark, _base_rows()), target_files=4
+    )
+    t.merge(mk(spark, _batch_rows()), COLS, deterministic=True)
+    # simulate a concurrent writer mid-attempt: data written, manifest
+    # not yet linked
+    attempt = str(tmp_path / "tbl" / "data" / "cinflight00001")
+    os.makedirs(attempt)
+    with open(os.path.join(attempt, "part-00000.parquet"), "wb") as f:
+        f.write(b"PAR1....PAR1")
+    deleted = t.vacuum(keep_versions=1)  # default retention: 1h
+    assert deleted  # superseded v1 files went regardless of age
+    assert os.path.isdir(attempt)  # in-flight attempt survived
+    deleted2 = t.vacuum(keep_versions=1, retention_seconds=0.0)
+    assert not os.path.isdir(attempt)
+    assert any("cinflight00001" in p for p in deleted2)
+
+
+def test_cow_segment_commits_are_o_delta_at_10k_files(spark, tmp_path):
+    """METADATA SCALE: against a manifest of 10,000 file entries, a
+    commit that changes 3 files must write O(3) bytes (an incremental
+    segment), not O(10k) — only every checkpoint_interval-th version
+    re-materializes the full list. Resolution reconstructs the exact
+    file list from the chain, including from a fresh handle."""
+    import os
+
+    root = str(tmp_path / "big")
+    os.makedirs(f"{root}/manifests")
+    t = CowTable(spark, root, keys=("provider", "foreign_identifier"))
+
+    def entry(i):
+        return {
+            "path": f"data/v1/part-{i:05d}.parquet", "rows": 1000,
+            "min": {"provider": "p", "foreign_identifier": f"f{i:07d}"},
+            "max": {"provider": "p", "foreign_identifier": f"f{i:07d}z"},
+            "null_keys": {"provider": 0, "foreign_identifier": 0},
+        }
+
+    v1_entries = [entry(i) for i in range(10_000)]
+    t._commit(1, v1_entries, op="create", schema_json=None)
+    v1_bytes = os.path.getsize(f"{root}/manifests/v1.json")
+    # commit 2: drop 2 entries, add 3
+    v2_entries = v1_entries[2:] + [
+        {**entry(i), "path": f"data/c2/part-{i}.parquet"}
+        for i in (90000, 90001, 90002)
+    ]
+    t._commit(2, v2_entries, op="merge")
+    v2_bytes = os.path.getsize(f"{root}/manifests/v2.json")
+    assert v1_bytes > 1_000_000  # full 10k-entry manifest
+    assert v2_bytes < 3_000      # segment: 3 adds + 2 removes
+    raw2 = t._raw_manifest(2)
+    assert "files" not in raw2 and raw2["base"] == 1
+    assert len(raw2["add"]) == 3 and len(raw2["remove"]) == 2
+    # chain more small commits: bytes stay flat regardless of table size
+    prev = v2_entries
+    for v in range(3, 10):
+        prev = prev[1:] + [
+            {**entry(0), "path": f"data/c{v}/part-0.parquet"}
+        ]
+        t._commit(v, prev, op="merge")
+        assert os.path.getsize(f"{root}/manifests/v{v}.json") < 2_000
+    # the checkpoint-interval commit re-materializes in full
+    prev = prev[1:] + [{**entry(1), "path": "data/c10/part-0.parquet"}]
+    t._commit(10, prev, op="merge")
+    assert os.path.getsize(f"{root}/manifests/v10.json") > 1_000_000
+    assert "files" in t._raw_manifest(10)
+    # a FRESH handle resolves any version exactly
+    t2 = CowTable(spark, root, keys=("provider", "foreign_identifier"))
+    assert {e["path"] for e in t2._manifest(9)["files"]} == {
+        e["path"] for e in t._manifest(9)["files"]
+    }
+    assert len(t2._manifest(10)["files"]) == 10_001  # +3 -2 then ±1 each
+    assert t2.version == 10
+
+
+def test_cow_vacuum_checkpoints_oldest_kept_version(spark, tmp_path):
+    """Vacuum must not break segment resolution: before dropping old
+    manifests it materializes the oldest KEPT version as a checkpoint
+    side file, so the kept versions resolve without their (dropped)
+    chain."""
+    import os
+
+    t = CowTable.create(
+        spark, str(tmp_path / "tbl"), mk(spark, _base_rows()), target_files=4
+    )
+    for i in range(4):  # versions 2..5, all segments (interval 10)
+        t.merge(
+            mk(spark, [row(provider="met", fid=f"s{i}",
+                           url=f"http://u/s{i}", title=f"t{i}")]),
+            COLS, deterministic=True,
+        )
+    assert t.version == 5
+    t.vacuum(keep_versions=2, retention_seconds=0.0)
+    assert os.path.exists(
+        str(tmp_path / "tbl" / "manifests" / "v4.checkpoint.json")
+    )
+    assert not os.path.exists(
+        str(tmp_path / "tbl" / "manifests" / "v1.json")
+    )
+    # fresh handle: both kept versions read fine
+    t2 = CowTable(spark, t.root)
+    assert t2.version == 5
+    assert t2.read(version=4).count() == 43
+    got = _canon(t2.read(version=5))
+    assert got[("met", "s3")] == "t3" and len(got) == 44
+
+
+def test_cow_read_changes_merge_commit(spark, tmp_path):
+    """CDF over a MERGE commit: the update's pre+post images and the
+    insert appear; rows merely carried inside rewritten files do NOT
+    (they're diffed out by key), and untouched-file rows never even
+    enter the diff."""
+    t = CowTable.create(
+        spark, str(tmp_path / "tbl"), mk(spark, _base_rows()), target_files=4
+    )
+    t.merge(mk(spark, _batch_rows()), COLS, deterministic=True)
+    ch = t.read_changes(1, 2)
+    got = {
+        (r["foreign_identifier"], r["_change_type"]):
+            (r["title"], r["_commit_version"])
+        for r in ch.collect()
+    }
+    assert got == {
+        ("f020", "update_preimage"): ("old20", 2),
+        ("f020", "update_postimage"): ("updated", 2),
+        ("f999", "insert"): ("brand-new", 2),
+    }
+
+
+def test_cow_read_changes_compact_is_silent_delete_and_restore_revert(
+    spark, tmp_path
+):
+    """compact is data-identical -> zero CDF rows. delete -> delete
+    rows. restore -> the reversal deltas of what it undoes. Spans
+    accumulate per-commit with _commit_version stamped."""
+    t = CowTable.create(
+        spark, str(tmp_path / "tbl"), mk(spark, _base_rows()), target_files=4
+    )
+    t.merge(mk(spark, _batch_rows()), COLS, deterministic=True)   # v2
+    t.compact(target_rows=1000)                                    # v3
+    assert t.read_changes(2, 3).count() == 0
+    t.delete(F.col("foreign_identifier") == "f000")                # v4
+    d = t.read_changes(3, 4).collect()
+    assert [(r["foreign_identifier"], r["_change_type"]) for r in d] == [
+        ("f000", "delete")
+    ]
+    t.restore(2)                                                   # v5
+    r = {
+        (r["foreign_identifier"], r["_change_type"])
+        for r in t.read_changes(4, 5).collect()
+    }
+    assert r == {("f000", "insert")}  # the restore re-inserts the victim
+    # full span: every commit's logical delta, stamped per commit
+    span = t.read_changes(1, 5)
+    by_commit = {
+        r["_commit_version"]: r["n"]
+        for r in span.groupBy("_commit_version")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_commit == {2: 3, 4: 1, 5: 1}
+
+
+def test_cow_popularity_refresh_cdf_equals_full_recompute(spark, tmp_path):
+    """The CDF-driven popularity refresh (upserts + deletes consumed
+    from read_changes) must land the scored table exactly where a full
+    recompute over the final snapshot would."""
+    from openverse_catalog_spark.operators.popularity import (
+        popularity_constants,
+        popularity_refresh_cdf,
+        percentile_disc_by_group,
+        standardized_popularity,
+    )
+    from openverse_catalog_spark.schemas.columns import (
+        ColumnSpec, Datatype, UpsertStrategy,
+    )
+
+    cols = [
+        ColumnSpec("provider", Datatype.char, required=True,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("foreign_identifier", Datatype.char, required=True,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("metric", Datatype.int),
+    ]
+    rows = [
+        (["alpha", "beta"][i % 2], f"f{i:03d}", float(i % 11 + 1))
+        for i in range(60)
+    ]
+    media = spark.createDataFrame(
+        rows, "provider string, foreign_identifier string, metric double"
+    )
+    t = CowTable.create(
+        spark, str(tmp_path / "media"), media,
+        keys=("provider", "foreign_identifier"), target_files=4,
+    )
+
+    def full_score(df):
+        p = percentile_disc_by_group(df, ["provider"], "metric", 0.85)
+        c = popularity_constants(p, 0.85)
+        return standardized_popularity(
+            df, c, ["provider"], "metric"
+        ).select("provider", "foreign_identifier", "metric",
+                 "standardized_popularity")
+
+    scored_path = str(tmp_path / "scored")
+    full_score(t.read()).write.partitionBy("provider").parquet(scored_path)
+    # v2: re-deliver f000 with a new metric + insert a new id
+    batch = spark.createDataFrame(
+        [("alpha", "f000", 99.0), ("alpha", "fNEW", 5.0)],
+        "provider string, foreign_identifier string, metric double",
+    )
+    t.merge(batch, cols, deterministic=True, dedupe_source_on_url=True)
+    # v3: delete one beta id
+    t.delete(F.col("foreign_identifier") == "f001")
+    rep = popularity_refresh_cdf(
+        spark, scored_path, t, from_version=1,
+        group_col="provider", id_col="foreign_identifier",
+        metric_col="metric",
+    )
+    assert sorted(rep["changed"]) == ["alpha", "beta"]
+    got = {
+        (r["provider"], r["foreign_identifier"]):
+            (r["metric"], round(r["standardized_popularity"], 9))
+        for r in spark.read.parquet(scored_path).collect()
+    }
+    want = {
+        (r["provider"], r["foreign_identifier"]):
+            (r["metric"], round(r["standardized_popularity"], 9))
+        for r in full_score(t.read()).collect()
+    }
+    assert got == want

@@ -531,7 +531,11 @@ def test_stream_landing_to_cow_crash_recovery(spark, tmp_path):
         e["path"].split("/")[1] for e in t._manifest()["files"]
     }
     assert data_dirs - referenced  # orphan present
+    # default retention protects a YOUNG orphan (it could be a live
+    # writer's in-flight attempt); retention 0 = offline cleanup mode
     t.vacuum(keep_versions=2)
+    assert set(os.listdir(os.path.join(root, "data"))) == data_dirs
+    t.vacuum(keep_versions=2, retention_seconds=0.0)
     data_dirs_after = set(os.listdir(os.path.join(root, "data")))
     assert data_dirs_after <= referenced  # ...then swept
 
@@ -668,3 +672,40 @@ def test_paged_fetcher_retries_transient_failures():
     with pytest.raises(ConnectionError):
         list(f2.batches())
     assert calls["n"] == 3  # 1 attempt + 2 retries, then give up
+
+
+def test_parse_video_header_corrupt_payloads_degrade_to_none():
+    """One corrupt payload must not kill a mapInPandas stage: a
+    truncated v1 mvhd at end-of-buffer (the guard used to admit 28
+    bytes but unpack needed 32) and assorted malformed boxes all return
+    the all-None tuple instead of raising struct.error."""
+    import struct
+
+    from openverse_catalog_spark.operators.multimodal import (
+        parse_video_header,
+        synthesize_mp4_bytes,
+    )
+
+    def box(btype, payload):
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isommp41")
+    # v1 mvhd with exactly 28 payload bytes: passes the old >=28 guard,
+    # but unpacking 12 bytes from offset 20 needs 32
+    truncated_v1 = ftyp + box(
+        b"moov", box(b"mvhd", bytes([1, 0, 0, 0]) + b"\x00" * 24)
+    )
+    assert parse_video_header(truncated_v1) == (
+        "mp4", None, None, None, None
+    )
+    # unknown mvhd version: skipped, not parsed with the v0 layout
+    weird_ver = ftyp + box(
+        b"moov", box(b"mvhd", bytes([7, 0, 0, 0]) + b"\x00" * 80)
+    )
+    assert parse_video_header(weird_ver) == ("mp4", None, None, None, None)
+    # garbage and empty stay None-tuples
+    assert parse_video_header(b"") == (None, None, None, None, None)
+    assert parse_video_header(b"\x00" * 64) == (None, None, None, None, None)
+    # and a healthy payload still parses
+    ok = synthesize_mp4_bytes(3000, 1000, 640, 480)
+    assert parse_video_header(ok) == ("mp4", 3000, 1000, 640, 480)

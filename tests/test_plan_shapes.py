@@ -333,3 +333,39 @@ def test_ivf_probe_pushes_centroid_filter_to_index_scan(spark, tmp_path):
     # and the probe actually returns ranked neighbors
     got = out.collect()
     assert got and all(r["rank"] <= 2 for r in got)
+
+
+def test_pruned_popularity_refresh_upserts_redelivered_ids(spark, tmp_path):
+    """A batch that RE-DELIVERS an updated metric for an existing id
+    (the normal case — popularity metrics are mutable counts) must not
+    duplicate the id in the overwritten partition: prior rows lose to
+    the batch via anti-join, and the percentile/constant computation
+    sees only the fresh metric."""
+    from openverse_catalog_spark.operators.popularity import (
+        popularity_refresh_pruned,
+    )
+
+    rows = [(i, float(i % 7 + 1), ["alpha", "beta"][i % 2])
+            for i in range(60)]
+    df = spark.createDataFrame(
+        rows, "event_id long, metric double, provider string"
+    ).select(
+        "event_id", "metric",
+        F.lit(1.0).alias("raw_value"), F.lit(0.2).alias("constant"),
+        F.lit(0.5).alias("standardized_popularity"), "provider",
+    )
+    root = str(tmp_path / "scored")
+    df.write.partitionBy("provider").parquet(root)
+    # event_id 0 already exists in alpha with metric 1.0 — re-deliver
+    # it with metric 99.0 plus one genuinely new id
+    late = spark.createDataFrame(
+        [(0, 99.0, "alpha"), (1000, 2.0, "alpha")],
+        "event_id long, metric double, provider string",
+    )
+    popularity_refresh_pruned(
+        spark, root, late, "provider", "event_id", "metric"
+    )
+    alpha = spark.read.parquet(root).filter(F.col("provider") == "alpha")
+    got = {r["event_id"]: r["metric"] for r in alpha.collect()}
+    assert alpha.count() == 31  # 30 prior + 1 new, NOT 32
+    assert got[0] == 99.0  # the batch's value won
