@@ -521,8 +521,8 @@ def dedup_embedding_lsh(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
-def _ivf_oracle() -> str:
-    return """
+def _ivf_oracle(nprobe: int = 2) -> str:
+    return f"""
     WITH ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
                 FROM embeddings, generate_series(1, 64) AS t(i)),
     norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
@@ -541,7 +541,7 @@ def _ivf_oracle() -> str:
                 SELECT vec_id, centroid_id,
                        row_number() OVER (PARTITION BY vec_id
                                           ORDER BY c DESC, centroid_id) AS r
-                FROM acos WHERE vec_id % 20 = 0) WHERE r <= 2),
+                FROM acos WHERE vec_id % 20 = 0) WHERE r <= {nprobe}),
     cand AS (SELECT p.query_id, a.neighbor_id
              FROM probe p JOIN assign a USING (centroid_id)
              WHERE p.query_id <> a.neighbor_id),
@@ -2294,4 +2294,177 @@ def text_gopher_rules(spark, sf_dir):
         & F.col("mean_word_len").between(3, 10)
         & (F.col("symbol_ratio") <= 0.1)
         & (F.col("n_stop_distinct") >= 2),
+    )
+
+
+# --- BPE vocabulary induction + encode -------------------------------------
+
+_BPE_MERGES = 10
+
+_BPE_WORDS_SQL = """
+    words AS (
+      SELECT word, count(*) AS cnt FROM (
+        SELECT unnest(string_split_regex(
+                 trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')),
+                 '\\s+')) AS word
+        FROM documents
+      ) WHERE word <> '' GROUP BY word
+    ),
+    r0 AS (
+      SELECT word, cnt,
+             array_to_string(
+               list_transform(range(1, len(word) + 1), i -> word[i]),
+               ' ') || ' _' AS toks
+      FROM words
+    )
+"""
+
+
+def _bpe_round_sql(r: int) -> str:
+    """One BPE round as CTEs: pair counts over round r-1, the single
+    best pair (count desc, pair asc — the tie-break the Spark side
+    uses), and the greedy left-to-right re-tokenization via
+    list_reduce (same fold the Spark aggregate() runs)."""
+    return f"""
+    p{r} AS (
+      SELECT pair, sum(cnt) AS n FROM (
+        SELECT unnest(list_transform(range(1, len(t)),
+                      i -> t[i] || ' ' || t[i + 1])) AS pair, cnt
+        FROM (SELECT string_split(toks, ' ') AS t, cnt FROM r{r - 1})
+      ) GROUP BY pair
+    ),
+    b{r} AS (
+      SELECT pair, n,
+             string_split(pair, ' ')[1] AS a,
+             string_split(pair, ' ')[2] AS b
+      FROM p{r} ORDER BY n DESC, pair LIMIT 1
+    ),
+    r{r} AS (
+      SELECT w.word, w.cnt,
+             list_reduce(string_split(w.toks, ' '), (acc, x) ->
+               CASE WHEN (acc = bb.a OR ends_with(acc, ' ' || bb.a))
+                         AND x = bb.b
+                    THEN left(acc, len(acc) - len(bb.a)) || bb.a || bb.b
+                    ELSE acc || ' ' || x END) AS toks
+      FROM r{r - 1} w CROSS JOIN b{r} bb
+    )
+"""
+
+
+def _bpe_vocab_oracle(num_merges: int = _BPE_MERGES) -> str:
+    rounds = "".join(
+        "," + _bpe_round_sql(r) for r in range(1, num_merges + 1)
+    )
+    emits = "\n    UNION ALL\n".join(
+        f"""    SELECT CAST({r} AS BIGINT) AS step, a, b,
+               a || b AS merged, CAST(n AS BIGINT) AS n FROM b{r}"""
+        for r in range(1, num_merges + 1)
+    )
+    return f"WITH {_BPE_WORDS_SQL} {rounds}\n{emits}"
+
+
+def _bpe_encode_oracle(num_merges: int = _BPE_MERGES) -> str:
+    rounds = "".join(
+        "," + _bpe_round_sql(r) for r in range(1, num_merges + 1)
+    )
+    return f"""
+    WITH {_BPE_WORDS_SQL} {rounds},
+    dw AS (
+      SELECT doc_id, i, ws[i] AS word FROM (
+        SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM (
+          SELECT doc_id,
+                 string_split_regex(
+                   trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')),
+                   '\\s+') AS ws
+          FROM documents)
+      ) WHERE ws[i] <> ''
+    ),
+    enc AS (
+      SELECT dw.doc_id, dw.i, r.toks
+      FROM dw JOIN r{num_merges} r ON dw.word = r.word
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(len(string_split(toks, ' '))) AS BIGINT) AS n_tokens,
+           md5(string_agg(toks, ' ' ORDER BY i)) AS toks_md5
+    FROM enc GROUP BY doc_id
+"""
+
+
+@register("corpus_bpe_vocab", _bpe_vocab_oracle())
+def corpus_bpe_vocab(spark, sf_dir):
+    """BPE vocabulary induction over the documents corpus: 10 merge
+    rounds, each = ONE vocab-scale pair-count aggregation (map-side
+    combine, one keyed shuffle over the DISTINCT-WORD table, never the
+    corpus) + a 1-row collect of the best pair + one codegen'd
+    aggregate() fold re-tokenizing the words. Deterministic tie-break
+    (count desc, pair asc). The oracle replays every round in SQL
+    (list_reduce folds) and must land on the identical merge table —
+    operator operators/bpe.py."""
+    from openverse_catalog_spark.operators.bpe import (
+        bpe_learn,
+        word_frequencies,
+    )
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    merges, _ = bpe_learn(word_frequencies(d), num_merges=_BPE_MERGES)
+    return spark.createDataFrame(
+        [
+            (m["step"], m["a"], m["b"], m["merged"], int(m["n"]))
+            for m in merges
+        ],
+        "step long, a string, b string, merged string, n long",
+    )
+
+
+@register("corpus_bpe_encode", _bpe_encode_oracle())
+def corpus_bpe_encode(spark, sf_dir):
+    """Encode the corpus with the learned BPE vocabulary: the trained
+    word->tokens dictionary (vocab-sized) broadcast-joins onto the
+    exploded corpus — no per-document folding, no shuffle of the text
+    — and per-document token counts + the md5 of the full token string
+    come from one grouped aggregation. The oracle re-learns the same
+    merges and encodes via the same join."""
+    from openverse_catalog_spark.operators.bpe import (
+        bpe_encode,
+        bpe_learn,
+        word_frequencies,
+    )
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    merges, tokenized = bpe_learn(
+        word_frequencies(d), num_merges=_BPE_MERGES
+    )
+    enc = bpe_encode(d, "text", tokenized, merges=merges)
+    return enc.select(
+        "doc_id",
+        "n_words",
+        "n_tokens",
+        F.md5(F.col("toks")).alias("toks_md5"),
+    )
+
+
+@register("knn_ivf_multiprobe", _ivf_oracle(nprobe=4))
+def knn_ivf_multiprobe(spark, sf_dir):
+    """MULTI-PROBE on the persisted IVF index: nprobe=4 nearest lists
+    per query instead of the default 2 — the recall/cost knob of IVF
+    search. Cost grows linearly in nprobe (candidates ~ n*nprobe/C per
+    query; the pushed-down isin(centroid_id) filter just carries more
+    ids), recall grows toward exact: tests/test_operators.py pins
+    recall@k(nprobe=4) >= recall@k(nprobe=1) against the brute-force
+    ground truth. Same deterministic math, oracle replays with
+    r <= 4."""
+    import os
+    import shutil
+    import tempfile
+
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_ivf_mp_idx")
+    shutil.rmtree(path, ignore_errors=True)
+    knn.ivf_build_index(e, path, "vec_id", "embedding", centroid_mod=40)
+    queries = e.filter(F.col("vec_id") % 20 == 0)
+    out = knn.ivf_probe_index(spark, path, queries, "vec_id", "embedding",
+                              k=3, nprobe=4)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
     )

@@ -325,6 +325,14 @@ def run_workflow_spec(
         base = staging_schema() if media_type == "image" else audio_staging_schema()
         fields = list(base.fields) + [T.StructField("media_type", T.StringType())]
         df = read_json_landing(spark, landing, T.StructType(fields))
+        # a run loads ITS logical date's landing partition only (the
+        # reference's per-run TSV): ingest_date is the partition column,
+        # so this prunes at the file index — a catchup/backfill day
+        # never rescans the other days' landings
+        if "ingest_date" in df.columns:
+            df = df.filter(
+                F.col("ingest_date") == F.lit(date)
+            ).drop("ingest_date")
         mt = F.coalesce(F.col("media_type"), F.lit(primary))
         return df.filter(mt == F.lit(media_type)).drop("media_type")
 
@@ -404,3 +412,114 @@ def format_load_report(
         mins, secs = divmod(int(duration_s), 60)
         msg += f" in {mins}m{secs:02d}s" if mins else f" in {secs}s"
     return msg
+
+
+def catchup_dates(start_date: str, end_date: str) -> list[str]:
+    """Inclusive daily date range, oldest first — the run sequence
+    Airflow's ``catchup=True`` generates for a dated workflow between
+    its start_date and now (``provider_dag_factory.py:340-370``:
+    dated workflows set catchup and ingest day by day)."""
+    from datetime import date as _date, timedelta as _td
+
+    d0 = _date.fromisoformat(start_date)
+    d1 = _date.fromisoformat(end_date)
+    if d1 < d0:
+        raise ValueError(f"end_date {end_date} before start_date {start_date}")
+    return [
+        (d0 + _td(days=i)).isoformat() for i in range((d1 - d0).days + 1)
+    ]
+
+
+def run_workflow_backfill(
+    spark,
+    spec: dict,
+    fetch_for_date,
+    root: str,
+    start_date: str,
+    end_date: str,
+    **kwargs,
+) -> dict:
+    """CATCHUP BACKFILL execution: run the workflow spec once per day of
+    [start_date, end_date], oldest first — the reference's
+    ``catchup=conf.dated`` behavior (provider_dag_factory.py:340-370)
+    as a real loop, not a spec field. ``fetch_for_date(date)`` returns
+    the day's transport (a dated API serves different rows per day).
+
+    Each day's run lands its own ``ingest_date=<d>`` partition and
+    MERGEs only that partition into the CoW media table (the shim
+    prunes staging to the run's date), so a 5-day backfill costs 5
+    day-sized merges, not 5 rescans of the accumulated landing zone —
+    and re-running any day is idempotent (exact dedupe + upsert).
+
+    Returns {date: per-task results} plus a ``summary`` with final
+    per-media row counts."""
+    wf = get_workflow(spec["dag_id"])
+    if not wf.dated:
+        raise ValueError(
+            f"{spec['dag_id']} is not a dated workflow; backfill applies "
+            "to dated (catchup) workflows only"
+        )
+    out: dict = {}
+    for d in catchup_dates(start_date, end_date):
+        out[d] = run_workflow_spec(
+            spark, spec, fetch_for_date(d), root, date=d, **kwargs
+        )
+    last = out[max(out)]
+    out["summary"] = {
+        "days": len(out),
+        "rows": last["report"]["rows"],
+    }
+    return out
+
+
+def run_workflow_reingestion(
+    spark,
+    spec: dict,
+    fetch_for_date,
+    root: str,
+    base_date: str,
+    tiers: list[tuple[int, int]],
+    **kwargs,
+) -> dict:
+    """TIERED REINGESTION execution: compute the day-shift lists from
+    ``tiers`` ([(day_step, repeats), ...] — the reference's
+    daily/weekly/fortnightly/monthly tier lengths,
+    ``provider_reingestion_workflows.py:58-115`` +
+    ``common/helpers.py get_partitioned_reingestion_days``) and RE-RUN
+    the workflow for the base date plus every shifted date, oldest
+    shift last. Re-ingesting a date the table already holds is the
+    point: the fetch re-lands the partition (overwriting the same
+    ``ingest_date=<d>`` files) and the MERGE re-upserts idempotently,
+    refreshing metadata that changed upstream without duplicating rows
+    — the reference's answer to drifting provider data.
+
+    Returns {date: per-task results} plus ``summary`` with the shift
+    schedule and final counts."""
+    from datetime import date as _date, timedelta as _td
+
+    from openverse_catalog_spark.sources.landing import (
+        reingestion_day_shifts,
+    )
+
+    wf = get_workflow(spec["dag_id"])
+    if not wf.dated:
+        raise ValueError(
+            f"{spec['dag_id']} is not a dated workflow; reingestion "
+            "day-shifts apply to dated workflows only"
+        )
+    shifts = [0] + [
+        s for tier in reingestion_day_shifts(tiers) for s in tier
+    ]
+    base = _date.fromisoformat(base_date)
+    dates = [(base - _td(days=s)).isoformat() for s in shifts]
+    out: dict = {}
+    for d in dates:
+        out[d] = run_workflow_spec(
+            spark, spec, fetch_for_date(d), root, date=d, **kwargs
+        )
+    out["summary"] = {
+        "shifts": shifts,
+        "dates": dates,
+        "rows": out[dates[-1]]["report"]["rows"],
+    }
+    return out

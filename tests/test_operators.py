@@ -702,3 +702,34 @@ def test_self_repeat_trim_cuts_looped_tail(spark):
     assert got[1]["kept_text"] == "alpha beta gamma delta epsilon zeta"
     assert got[2]["kept_tokens"] == 10 and got[2]["kept_text"].endswith("ten")
     assert got[3]["kept_tokens"] == 4  # < n tokens: no grams, kept whole
+
+
+def test_ivf_multiprobe_recall_monotone(spark, sf_dir, tmp_path):
+    """The nprobe recall/cost knob on the persisted IVF index: probing
+    more lists can only ADD candidates per query, so recall@k against
+    the brute-force ground truth must be monotone nprobe=1 -> 4, and
+    multi-probe must beat single-probe on this fixture (single-probe
+    misses every neighbor whose list isn't the query's own)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    path = str(tmp_path / "ivf_idx")
+    knn.ivf_build_index(emb, path, "vec_id", "embedding", centroid_mod=40)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn.cosine_topk(emb, queries, k=3).collect()
+    }
+
+    def recall(nprobe):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in knn.ivf_probe_index(
+                spark, path, queries, "vec_id", "embedding",
+                k=3, nprobe=nprobe,
+            ).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    r1, r2, r4 = recall(1), recall(2), recall(4)
+    assert r1 <= r2 <= r4
+    assert r4 > r1  # the knob buys real recall on this corpus
+    assert r4 > 0.6
