@@ -141,6 +141,8 @@ HEADLINE = [
     "merge_cow_changes",
     "merge_cow_publish_incremental",
     "pipeline_popularity_refresh_cdf",
+    "merge_cow_read_skipped",
+    "knn_ivf_index_upsert",
 ]
 
 

@@ -68,10 +68,16 @@ class CommitConflict(RuntimeError):
 
 
 def _file_stats(
-    spark: SparkSession, dir_path: str, keys: tuple[str, ...], rel_dir: str
+    spark: SparkSession,
+    dir_path: str,
+    keys: tuple[str, ...],
+    rel_dir: str,
+    stats_cols: tuple[str, ...] = (),
 ) -> list[dict]:
     """One column-pruned scan over a data directory -> per-file manifest
-    entries (row count + min/max + NULL count of each merge key).
+    entries (row count + min/max + NULL count of each merge key, plus
+    the same triple for every ``stats_cols`` column — the table's
+    DATA-SKIPPING stats, Delta's per-file column stats).
     ``rel_dir`` is the directory's path relative to the table root
     (e.g. ``data/c3f9...``) — manifest paths are built from it plus the
     file's basename, so a table root that itself contains a ``/data/``
@@ -82,8 +88,9 @@ def _file_stats(
     the NULL point — ``_affected_split`` uses ``null_keys`` to route
     NULL-key batch rows to every file that can hide a NULL-key match."""
     df = spark.read.parquet(dir_path)
+    stats_cols = tuple(c for c in stats_cols if c in df.columns)
     aggs = [F.count(F.lit(1)).alias("rows")]
-    for k in keys:
+    for k in (*keys, *stats_cols):
         aggs += [
             F.min(k).alias(f"min_{k}"),
             F.max(k).alias(f"max_{k}"),
@@ -97,15 +104,23 @@ def _file_stats(
     entries = []
     for r in rows:
         basename = r["__file"].rstrip("/").rsplit("/", 1)[-1]
-        entries.append(
-            {
-                "path": f"{rel_dir}/{basename}",
-                "rows": r["rows"],
-                "min": {k: r[f"min_{k}"] for k in keys},
-                "max": {k: r[f"max_{k}"] for k in keys},
-                "null_keys": {k: r[f"nulls_{k}"] for k in keys},
+        entry = {
+            "path": f"{rel_dir}/{basename}",
+            "rows": r["rows"],
+            "min": {k: r[f"min_{k}"] for k in keys},
+            "max": {k: r[f"max_{k}"] for k in keys},
+            "null_keys": {k: r[f"nulls_{k}"] for k in keys},
+        }
+        if stats_cols:
+            entry["stats"] = {
+                c: {
+                    "min": r[f"min_{c}"],
+                    "max": r[f"max_{c}"],
+                    "nulls": r[f"nulls_{c}"],
+                }
+                for c in stats_cols
             }
-        )
+        entries.append(entry)
     return sorted(entries, key=lambda e: e["path"])
 
 
@@ -125,14 +140,30 @@ class CowTable:
         root: str,
         keys: tuple[str, ...] = DEFAULT_MERGE_KEYS,
         checkpoint_interval: int = CHECKPOINT_INTERVAL,
+        stats_cols: tuple[str, ...] | None = None,
     ):
         self.spark = spark
         self.root = root.rstrip("/")
         self.keys = tuple(keys)
         self.checkpoint_interval = max(1, int(checkpoint_interval))
+        self._stats_cols = tuple(stats_cols) if stats_cols is not None else None
         # resolved manifests are immutable once committed — cache per
         # handle so repeated reads/segment-chain walks don't re-parse
         self._resolved: dict[int, dict] = {}
+
+    @property
+    def stats_cols(self) -> tuple[str, ...]:
+        """Data-skipping stat columns: explicitly passed, else whatever
+        the table's manifest records (a table property — every commit
+        re-collects stats for the same columns so skipping keeps
+        working across merges/compactions)."""
+        if self._stats_cols is not None:
+            return self._stats_cols
+        try:
+            self._stats_cols = tuple(self._manifest().get("stats_cols") or ())
+        except FileNotFoundError:
+            return ()
+        return self._stats_cols
 
     # -- bootstrap ----------------------------------------------------------
 
@@ -144,11 +175,15 @@ class CowTable:
         df: DataFrame,
         keys: tuple[str, ...] = DEFAULT_MERGE_KEYS,
         target_files: int = 8,
+        stats_cols: tuple[str, ...] = (),
     ) -> "CowTable":
         """Initialize version 1: range-cluster the data on the merge key
         (so per-file key ranges are tight and file skipping bites) and
-        write the first manifest."""
-        t = cls(spark, root, keys)
+        write the first manifest. ``stats_cols`` become a TABLE PROPERTY:
+        every commit collects per-file min/max/null stats for them, and
+        ``read_where`` uses those stats to skip files — Delta-style
+        data skipping for numeric/string predicate columns."""
+        t = cls(spark, root, keys, stats_cols=tuple(stats_cols))
         os.makedirs(f"{t.root}/manifests", exist_ok=True)
         entries: list[dict] = []
         if df.head(1):
@@ -156,7 +191,9 @@ class CowTable:
             df.repartitionByRange(target_files, *[F.col(k) for k in keys]).write.mode(
                 "error"
             ).parquet(data_dir)
-            entries = _file_stats(spark, data_dir, t.keys, "data/v1")
+            entries = _file_stats(
+                spark, data_dir, t.keys, "data/v1", t.stats_cols
+            )
         # an EMPTY create initializes a zero-file snapshot (the schema in
         # the manifest keeps it readable) — the streaming-ingest path
         # starts from this and lets micro-batch merges populate it
@@ -272,6 +309,7 @@ class CowTable:
             "operation": op,
             "committed_at": time.time(),
             "keys": list(self.keys),
+            "stats_cols": list(self.stats_cols),
             "schema": schema_json,
             "rows": sum(e["rows"] for e in entries),
         }
@@ -446,6 +484,75 @@ class CowTable:
         if schema is not None:
             reader = reader.schema(schema)
         return reader.parquet(*paths).filter(cond)
+
+    def read_where(
+        self,
+        ranges: dict[str, tuple],
+        version: int | None = None,
+    ) -> DataFrame:
+        """DATA-SKIPPING read: ``ranges`` maps stat columns to
+        ``(lo, hi)`` bounds (either side None = unbounded); files whose
+        recorded min/max for ANY constrained column cannot intersect
+        the asked-for range never enter the scan's file index — the
+        Delta data-skipping contract generalized beyond the merge key.
+        Result stays EXACT regardless of pruning: the real predicate is
+        re-applied as a residual filter.
+
+        Files with no stats for a constrained column (pre-stats
+        history, or a column added later) are kept conservatively; NULL
+        rows never match a range predicate (SQL semantics), so a file
+        of all-NULL values (min/max None) is safely skippable."""
+        m = self._manifest(version)
+        missing = [
+            c for c in ranges
+            if c not in (m.get("stats_cols") or []) and c not in self.keys
+        ]
+        if missing:
+            raise ValueError(
+                f"no data-skipping stats for columns {missing}; create "
+                f"the table with stats_cols=... (have: "
+                f"{m.get('stats_cols')}, keys: {list(self.keys)})"
+            )
+
+        def entry_bounds(e, c):
+            if c in self.keys:
+                return e["min"].get(c), e["max"].get(c)
+            st = (e.get("stats") or {}).get(c)
+            if st is None:
+                return (), ()  # sentinel: no stats -> keep
+            return st.get("min"), st.get("max")
+
+        paths = []
+        for e in m["files"]:
+            keep = True
+            for c, (lo, hi) in ranges.items():
+                fmin, fmax = entry_bounds(e, c)
+                if fmin == () and fmax == ():
+                    continue  # conservative
+                if fmin is None and fmax is None:
+                    keep = False  # all-NULL file: range can't match
+                    break
+                if lo is not None and fmax is not None and fmax < lo:
+                    keep = False
+                    break
+                if hi is not None and fmin is not None and fmin > hi:
+                    keep = False
+                    break
+            if keep:
+                paths.append(self._abs(e["path"]))
+        schema = self._schema(m)
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        df = reader.parquet(*paths)
+        for c, (lo, hi) in ranges.items():
+            if lo is not None:
+                df = df.filter(F.col(c) >= lo)
+            if hi is not None:
+                df = df.filter(F.col(c) <= hi)
+        return df
 
     # -- change data feed ---------------------------------------------------
 
@@ -834,7 +941,9 @@ class CowTable:
         merged.repartitionByRange(
             target_files, *[F.col(k) for k in keys]
         ).write.mode("error").parquet(data_dir)
-        new_entries = _file_stats(self.spark, data_dir, keys, rel_dir)
+        new_entries = _file_stats(
+            self.spark, data_dir, keys, rel_dir, self.stats_cols
+        )
         if pre_commit_hook is not None:
             pre_commit_hook()
         try:
@@ -1008,7 +1117,9 @@ class CowTable:
             out.repartitionByRange(
                 target_files, *[F.col(k) for k in self.keys]
             ).write.mode("error").parquet(data_dir)
-            new_entries = _file_stats(self.spark, data_dir, self.keys, rel_dir)
+            new_entries = _file_stats(
+            self.spark, data_dir, self.keys, rel_dir, self.stats_cols
+        )
         # else: a delete emptied every touched file — the commit simply
         # drops them (no part-less directory to stat)
         if pre_commit_hook is not None:
@@ -1096,7 +1207,9 @@ class CowTable:
         df.repartitionByRange(
             n_files, *[F.col(k) for k in self.keys]
         ).write.mode("error").parquet(data_dir)
-        new_entries = _file_stats(self.spark, data_dir, self.keys, rel_dir)
+        new_entries = _file_stats(
+            self.spark, data_dir, self.keys, rel_dir, self.stats_cols
+        )
         if pre_commit_hook is not None:
             pre_commit_hook()
         try:

@@ -872,6 +872,7 @@ def ivf_probe_index(
     vec_col: str = "embedding",
     k: int = 3,
     nprobe: int = 2,
+    rank_quantize: int | None = None,
 ) -> DataFrame:
     """Probe a persisted IVF index (``ivf_build_index``): nprobe nearest
     centroids per query (one GEMM per Arrow batch against the broadcast
@@ -925,9 +926,80 @@ def ivf_probe_index(
         "neighbor_id",
         cosine_expr(F.col("__qv"), F.col("vector")).alias("cosine"),
     )
+    # rank_quantize: round the cosine before ranking so exact-duplicate
+    # neighbors (identical vectors under different ids) tie EXACTLY and
+    # the id tie-break decides — float summation order otherwise
+    # produces ULP-level differences that rank twins nondeterministically
+    rank_key = (
+        F.round(F.col("cosine"), rank_quantize)
+        if rank_quantize is not None
+        else F.col("cosine")
+    )
     wk = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
+        rank_key.desc(), F.col("neighbor_id")
     )
     return scored.withColumn("rank", F.row_number().over(wk)).filter(
         F.col("rank") <= k
     )
+
+
+def ivf_index_upsert(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index_files: int = 4,
+) -> dict:
+    """Incrementally ADD a batch to a persisted IVF index
+    (``ivf_build_index``): assign the new vectors to the EXISTING
+    centroids (one GEMM per Arrow batch against the broadcast centroid
+    matrix — cost ∝ batch, the corpus is never touched) and append the
+    assignments as new range-clustered files in the lists dataset.
+    Probes (``ivf_probe_index``) see the union immediately; the pushed
+    isin(centroid_id) filter prunes old and new files alike because
+    appended files are clustered on centroid_id too.
+
+    The index-maintenance half of production ANN: a daily embedding
+    batch lands with batch-sized work, and the (amortized-once)
+    assignment GEMM of the full build never re-runs. Centroids drift as
+    the corpus grows — rebuild when recall degrades (the multiprobe
+    knob buys time); this mirrors IVF practice (FAISS add-with-ids).
+    Returns {added, centroids}."""
+    import pandas as pd  # noqa: F401 (worker-side)
+
+    cent_pdf = (
+        spark.read.parquet(f"{path}/centroids").toPandas()
+        .sort_values("centroid_id")
+    )
+    c_ids, c_mat = _stack_normalized(cent_pdf, "centroid_id", "vector")
+    bc = spark.sparkContext.broadcast((c_ids, c_mat))
+    base = _as_double(new_vectors, vec_col)
+
+    def assign_gen(batches):
+        import pandas as pd
+
+        b_ids, b_mat = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, mat = _stack_normalized(pdf, id_col, vec_col)
+            best = (mat @ b_mat.T).argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": ids,
+                    "centroid_id": b_ids[best],
+                    "vector": pdf[vec_col].to_numpy(),
+                }
+            )
+
+    assign = base.select(id_col, vec_col).mapInPandas(
+        assign_gen, "neighbor_id long, centroid_id long, vector array<double>"
+    )
+    (
+        assign.repartitionByRange(index_files, F.col("centroid_id"))
+        .sortWithinPartitions("centroid_id")
+        .write.mode("append")
+        .parquet(f"{path}/lists")
+    )
+    return {"added": base.count(), "centroids": int(len(c_ids))}

@@ -289,7 +289,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
                          JOIN norms nb ON nb.vec_id = neighbor_id),
     ranked AS (SELECT query_id, neighbor_id, cosine,
                       row_number() OVER (PARTITION BY query_id
-                                         ORDER BY cosine DESC, neighbor_id) AS rank
+                                         ORDER BY {rank_key} DESC, neighbor_id) AS rank
                FROM scored)
     SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
     FROM ranked WHERE rank <= 3
@@ -521,12 +521,24 @@ def dedup_embedding_lsh(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
-def _ivf_oracle(nprobe: int = 2) -> str:
+def _ivf_oracle(
+    nprobe: int = 2,
+    corpus_sql: str = "SELECT vec_id, embedding FROM embeddings",
+    centroid_filter: str = "vec_id % 40 = 0",
+    query_filter: str = "vec_id % 20 = 0",
+    rank_quantize: int | None = None,
+) -> str:
+    rank_key = (
+        f"round(cosine, {rank_quantize})"
+        if rank_quantize is not None
+        else "cosine"
+    )
     return f"""
-    WITH ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
-                FROM embeddings, generate_series(1, 64) AS t(i)),
+    WITH corpus AS ({corpus_sql}),
+    ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+                FROM corpus, generate_series(1, 64) AS t(i)),
     norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
-    cex AS (SELECT vec_id AS centroid_id, i, x FROM ex WHERE vec_id % 40 = 0),
+    cex AS (SELECT vec_id AS centroid_id, i, x FROM ex WHERE {centroid_filter}),
     adot AS (SELECT e.vec_id, c.centroid_id, sum(e.x * c.x) AS dot
              FROM ex e JOIN cex c ON e.i = c.i GROUP BY 1, 2),
     acos AS (SELECT adot.vec_id, adot.centroid_id, dot / (n1.nrm * n2.nrm) AS c
@@ -541,7 +553,7 @@ def _ivf_oracle(nprobe: int = 2) -> str:
                 SELECT vec_id, centroid_id,
                        row_number() OVER (PARTITION BY vec_id
                                           ORDER BY c DESC, centroid_id) AS r
-                FROM acos WHERE vec_id % 20 = 0) WHERE r <= {nprobe}),
+                FROM acos WHERE {query_filter}) WHERE r <= {nprobe}),
     cand AS (SELECT p.query_id, a.neighbor_id
              FROM probe p JOIN assign a USING (centroid_id)
              WHERE p.query_id <> a.neighbor_id),
@@ -2465,6 +2477,55 @@ def knn_ivf_multiprobe(spark, sf_dir):
     queries = e.filter(F.col("vec_id") % 20 == 0)
     out = knn.ivf_probe_index(spark, path, queries, "vec_id", "embedding",
                               k=3, nprobe=4)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
+    )
+
+
+@register(
+    "knn_ivf_index_upsert",
+    _ivf_oracle(
+        nprobe=2,
+        corpus_sql=(
+            "SELECT vec_id, embedding FROM embeddings "
+            "UNION ALL "
+            "SELECT vec_id + 1000001 AS vec_id, "
+            "list_reverse(embedding) AS embedding FROM embeddings "
+            "WHERE vec_id % 5 = 2"
+        ),
+        centroid_filter="vec_id % 40 = 0 AND vec_id < 1000000",
+        query_filter="vec_id % 20 = 0 AND vec_id < 1000000",
+        rank_quantize=9,
+    ),
+)
+def knn_ivf_index_upsert(spark, sf_dir):
+    """INCREMENTAL index maintenance: build the persisted IVF index
+    once, then ivf_index_upsert a new batch (salted id-offset copies)
+    — assignment GEMM runs over the BATCH only against the existing
+    centroids, appended range-clustered so probe pushdown prunes old
+    and new files alike. The probe then sees base + batch as one
+    index; the oracle assigns the union corpus to the base centroids
+    and must match exactly (per-row assignment is independent, so
+    incremental == rebuilt-from-scratch for fixed centroids)."""
+    import os
+    import shutil
+    import tempfile
+
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_ivf_up_idx")
+    shutil.rmtree(path, ignore_errors=True)
+    knn.ivf_build_index(e, path, "vec_id", "embedding", centroid_mod=40)
+    # reversed vectors: genuinely NEW points (no exact twins), so no
+    # cosine ties anywhere — assignment and ranking are ULP-robust
+    batch = e.filter(F.col("vec_id") % 5 == 2).select(
+        (F.col("vec_id") + 1000001).alias("vec_id"),
+        F.reverse(F.col("embedding")).alias("embedding"),
+    )
+    rep = knn.ivf_index_upsert(spark, path, batch, "vec_id", "embedding")
+    assert rep["added"] > 0
+    queries = e.filter(F.col("vec_id") % 20 == 0)
+    out = knn.ivf_probe_index(spark, path, queries, "vec_id", "embedding",
+                              k=3, nprobe=2, rank_quantize=9)
     return out.select(
         "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
     )

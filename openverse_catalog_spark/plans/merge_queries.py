@@ -1373,3 +1373,87 @@ def merge_cow_publish_incremental(spark, sf_dir):
     return spark.table("cow_pubinc_idx").select(
         "provider", "foreign_identifier", "url", "title"
     )
+
+
+@register(
+    "merge_cow_read_skipped",
+    """
+    WITH target AS (
+      SELECT 'p' AS provider,
+             'f' || lpad(CAST(c_custkey AS VARCHAR), 7, '0')
+               AS foreign_identifier,
+             'http://m/' || CAST(c_custkey AS VARCHAR) AS url,
+             CAST(c_custkey AS DOUBLE) AS metric
+      FROM customer
+    ),
+    batch AS (
+      SELECT provider, foreign_identifier, url, metric + 0.5 AS metric
+      FROM target WHERE CAST(metric AS BIGINT) % 10 = 0
+    ),
+    v2 AS (
+      SELECT COALESCE(b.provider, t.provider) AS provider,
+             COALESCE(b.foreign_identifier, t.foreign_identifier)
+               AS foreign_identifier,
+             COALESCE(b.metric, t.metric) AS metric
+      FROM target t
+      FULL OUTER JOIN batch b
+        ON t.provider = b.provider
+       AND t.foreign_identifier = b.foreign_identifier
+    )
+    SELECT provider, foreign_identifier, metric
+    FROM v2 WHERE metric >= 100 AND metric <= 600
+    """,
+)
+def merge_cow_read_skipped(spark, sf_dir):
+    """DATA SKIPPING beyond the merge key: the table records per-file
+    min/max stats for ``metric`` (stats_cols — a table property every
+    commit re-collects, Delta's column stats), and ``read_where``
+    prunes files whose recorded range cannot intersect the predicate
+    before the scan's file index is even built. Because the key order
+    correlates with the metric here (zero-padded ids), range clustering
+    gives tight per-file metric ranges and the skip actually bites —
+    the general recipe is stats_cols + a layout that clusters them
+    (z-order for multi-column). Result stays exact via the residual
+    filter; stats survive a MERGE commit (the update lands, then the
+    range read reflects it)."""
+    import os
+    import shutil
+    import tempfile
+
+    from openverse_catalog_spark.operators.cowtable import CowTable
+    from openverse_catalog_spark.schemas.columns import (
+        ColumnSpec, Datatype, UpsertStrategy,
+    )
+
+    c = _t(spark, sf_dir, "customer")["customer"]
+    k = F.col("c_custkey")
+    target = c.select(
+        F.lit("p").alias("provider"),
+        F.concat(
+            F.lit("f"), F.lpad(k.cast("string"), 7, "0")
+        ).alias("foreign_identifier"),
+        F.concat(F.lit("http://m/"), k.cast("string")).alias("url"),
+        k.cast("double").alias("metric"),
+    )
+    batch = target.filter(F.col("metric").cast("long") % 10 == 0).withColumn(
+        "metric", F.col("metric") + 0.5
+    )
+    cols = [
+        ColumnSpec("provider", Datatype.char, required=True,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("foreign_identifier", Datatype.char, required=True,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("url", Datatype.char),
+        ColumnSpec("metric", Datatype.double),
+    ]
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_cow_skip")
+    shutil.rmtree(root, ignore_errors=True)
+    t = CowTable.create(
+        spark, root, target, target_files=8, stats_cols=("metric",)
+    )
+    t.merge(batch, cols, deterministic=True)
+    out = t.read_where({"metric": (100.0, 600.0)})
+    n_all = len(t._manifest()["files"])
+    n_read = len({f for f in out.inputFiles()})
+    assert n_read < n_all, "data skipping must prune files"
+    return out.select("provider", "foreign_identifier", "metric")

@@ -1023,3 +1023,67 @@ def test_cow_popularity_refresh_cdf_equals_full_recompute(spark, tmp_path):
         for r in full_score(t.read()).collect()
     }
     assert got == want
+
+
+def test_cow_read_where_data_skipping(spark, tmp_path):
+    """Generalized data skipping: stats_cols record per-file min/max
+    beyond the merge key; read_where prunes files whose range cannot
+    match, keeps no-stats files conservatively, skips all-NULL files,
+    and stays exact via the residual filter. Stats survive merges
+    (table property re-collected per commit)."""
+    import pytest
+
+    from openverse_catalog_spark.schemas.columns import (
+        ColumnSpec, Datatype, UpsertStrategy,
+    )
+
+    rows = [
+        ("p", f"f{i:03d}", f"http://u/{i}",
+         None if i >= 36 else float(i * 100))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "provider string, foreign_identifier string, url string, "
+        "filesize double",
+    )
+    t = CowTable.create(
+        spark, str(tmp_path / "tbl"), df, target_files=8,
+        stats_cols=("filesize",),
+    )
+    assert t.stats_cols == ("filesize",)
+    all_files = {e["path"] for e in t._manifest()["files"]}
+    out = t.read_where({"filesize": (0.0, 500.0)})
+    got = sorted(r["foreign_identifier"] for r in out.collect())
+    assert got == [f"f{i:03d}" for i in range(6)]  # 0..500 by 100
+    read = {
+        "/" + f.removeprefix("file:").lstrip("/") for f in out.inputFiles()
+    }
+    assert len(read) < len(all_files)  # skipping actually bit
+    # a fresh handle discovers stats_cols from the manifest, and a
+    # MERGE keeps collecting them
+    cols = [
+        ColumnSpec("provider", Datatype.char, required=True,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("foreign_identifier", Datatype.char, required=True,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("url", Datatype.char),
+        ColumnSpec("filesize", Datatype.double),
+    ]
+    t2 = CowTable(spark, t.root)
+    assert t2.stats_cols == ("filesize",)
+    batch = spark.createDataFrame(
+        [("p", "f002", "http://u/2", 9999.0)],
+        "provider string, foreign_identifier string, url string, "
+        "filesize double",
+    )
+    t2.merge(batch, cols, deterministic=True)
+    got2 = sorted(
+        r["foreign_identifier"]
+        for r in t2.read_where({"filesize": (0.0, 500.0)}).collect()
+    )
+    assert got2 == [f"f{i:03d}" for i in range(6) if i != 2]
+    assert t2.read_where({"filesize": (9000.0, None)}).count() == 1
+    # unconstrained side + unknown column guard
+    with pytest.raises(ValueError, match="no data-skipping stats"):
+        t2.read_where({"title": (0, 1)})

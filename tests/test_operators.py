@@ -733,3 +733,45 @@ def test_ivf_multiprobe_recall_monotone(spark, sf_dir, tmp_path):
     assert r1 <= r2 <= r4
     assert r4 > r1  # the knob buys real recall on this corpus
     assert r4 > 0.6
+
+
+def test_ivf_index_upsert_equals_rebuild(spark, sf_dir, tmp_path):
+    """Incrementally upserting a batch into a persisted IVF index must
+    probe identically to rebuilding the index from scratch over the
+    union corpus (fixed centroids => per-row assignment is independent
+    of the rest of the corpus)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    batch = emb.filter(F.col("vec_id") % 5 == 2).select(
+        (F.col("vec_id") + 1000001).alias("vec_id"),
+        F.reverse(F.col("embedding")).alias("embedding"),
+    )
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+
+    inc_path = str(tmp_path / "inc")
+    knn.ivf_build_index(emb, inc_path, "vec_id", "embedding", centroid_mod=40)
+    rep = knn.ivf_index_upsert(spark, inc_path, batch, "vec_id", "embedding")
+    assert rep["added"] == batch.count()
+
+    # rebuild-from-scratch control: same centroid set (base ids only —
+    # salted ids are > 1e6 so never multiples-of-40 picks from base)
+    full_path = str(tmp_path / "full")
+    union = emb.select("vec_id", "embedding").unionByName(batch)
+    knn.ivf_build_index(
+        union, full_path, "vec_id", "embedding", centroid_mod=40
+    )
+    # centroid sets must agree for the comparison to be meaningful
+    c_inc = {r["centroid_id"] for r in
+             spark.read.parquet(f"{inc_path}/centroids").collect()}
+    c_full = {r["centroid_id"] for r in
+              spark.read.parquet(f"{full_path}/centroids").collect()}
+    assert c_inc == c_full
+
+    def probe(path):
+        return {
+            (r["query_id"], r["neighbor_id"], r["rank"])
+            for r in knn.ivf_probe_index(
+                spark, path, queries, "vec_id", "embedding", k=3, nprobe=2
+            ).collect()
+        }
+
+    assert probe(inc_path) == probe(full_path)
