@@ -1457,3 +1457,73 @@ def merge_cow_read_skipped(spark, sf_dir):
     n_read = len({f for f in out.inputFiles()})
     assert n_read < n_all, "data skipping must prune files"
     return out.select("provider", "foreign_identifier", "metric")
+
+
+@register(
+    "stream_cow_changes",
+    f"""
+    WITH {_COW_V2_CTES},
+    upd AS (
+      SELECT t.provider
+      FROM v2
+      JOIN target t
+        ON v2.provider = t.provider
+       AND v2.foreign_identifier = t.foreign_identifier
+      WHERE v2.title <> t.title OR v2.url <> t.url
+    )
+    SELECT CAST(2 AS BIGINT) AS _commit_version,
+           'insert' AS _change_type, count(*) AS n
+    FROM v2
+    LEFT JOIN target t
+      ON v2.provider = t.provider
+     AND v2.foreign_identifier = t.foreign_identifier
+    WHERE t.provider IS NULL
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'update_preimage', count(*) FROM upd
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'update_postimage', count(*) FROM upd
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'delete', count(*)
+    FROM v2 WHERE provider = 'p0'
+    """,
+)
+def stream_cow_changes(spark, sf_dir):
+    """The CHANGE FEED AS A STREAM: the CowTable's manifests directory
+    is an append-only commit log, so a file stream over it +
+    Trigger.AvailableNow turns each new commit into a micro-batch whose
+    row-level deltas (read_changes over the newly-seen span) feed the
+    consumer — run here as three ticks: tick 1 drains the MERGE commit
+    (v1->v2 deltas), a DELETE lands, tick 2 drains exactly the v2->v3
+    deltas, tick 3 finds nothing and applies zero batches (the
+    exactly-once claim, enforced by the file-source checkpoint + the
+    atomically-advanced high-water mark). The sink accumulates every
+    delta once; the oracle recomputes the per-commit change counts from
+    the replayed SQL."""
+    import os
+    import shutil
+    import tempfile
+
+    from openverse_catalog_spark.streaming.incremental import (
+        stream_cow_changes as follow,
+    )
+
+    t = _cow_build(spark, sf_dir, "cow_stream_cdf", _t)
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_cow_stream_cdf_io")
+    shutil.rmtree(base, ignore_errors=True)
+    sink = os.path.join(base, "sink")
+    ckpt = os.path.join(base, "ckpt")
+
+    def apply_fn(ch, lo, hi):
+        ch.write.mode("append").parquet(sink)
+
+    r1 = follow(t, ckpt, apply_fn)   # drains the merge commit (v2)
+    t.delete(F.col("provider") == "p0")
+    r2 = follow(t, ckpt, apply_fn)   # drains exactly v2->v3
+    r3 = follow(t, ckpt, apply_fn)   # nothing new
+    assert r1["high_water"] == 2 and r2["high_water"] == 3
+    assert r3["batches_applied"] == 0 and r3["high_water"] == 3
+    return (
+        spark.read.parquet(sink)
+        .groupBy("_commit_version", "_change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

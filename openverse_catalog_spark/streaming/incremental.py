@@ -665,3 +665,84 @@ def stream_quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "check", "violations", (F.col("violations") == 0).alias("passed")
     )
+
+
+def stream_cow_changes(
+    table,
+    checkpoint_dir: str,
+    apply_fn,
+    start_version: int = 1,
+    spark: SparkSession | None = None,
+) -> dict:
+    """Follow a CowTable's commit log AS A STREAM: the manifests
+    directory is already an append-only log of immutable ``v<N>.json``
+    files (one per commit — the exclusive-create link IS the commit
+    point), so a Structured Streaming file source over it turns every
+    new commit into a micro-batch. Each batch advances a persisted
+    HIGH-WATER version and hands ``apply_fn(changes_df, lo, hi)`` the
+    row-level change feed ``read_changes(lo, hi)`` for the newly seen
+    span — the Delta "CDF as a streaming source" pattern on this
+    table's own log.
+
+    Exactly-once across restarts: the file-source checkpoint makes
+    manifest-file delivery at-least-once; the high-water mark (written
+    atomically AFTER apply_fn returns) makes the apply idempotent —
+    a replayed batch whose versions are all <= the mark is a no-op,
+    and ``v<N>.checkpoint.json`` side files vacuum writes parse to
+    already-seen versions and are ignored the same way. Use
+    Trigger.AvailableNow for the tick-style run (drain everything new,
+    then stop) a scheduler invokes after ingest waves.
+
+    Returns {high_water, batches_applied}."""
+    import json as _json
+    import os as _os
+    import uuid as _uuid
+
+    spark = spark or table.spark
+    _os.makedirs(checkpoint_dir, exist_ok=True)
+    hwm_path = _os.path.join(checkpoint_dir, "_cdf_high_water.json")
+
+    def read_hwm() -> int:
+        try:
+            with open(hwm_path) as f:
+                return int(_json.load(f)["version"])
+        except FileNotFoundError:
+            return start_version
+
+    applied = {"n": 0}
+
+    def on_batch(bdf: DataFrame, batch_id: int) -> None:
+        vs = [
+            r["version"]
+            for r in bdf.select("version").distinct().collect()
+            if r["version"] is not None
+        ]
+        if not vs:
+            return
+        hwm = read_hwm()
+        hi = max(vs)
+        if hi <= hwm:
+            return  # replay of already-applied commits: idempotent no-op
+        apply_fn(table.read_changes(hwm, hi), hwm, hi)
+        tmp = f"{hwm_path}.{_uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            _json.dump({"version": hi}, f)
+        _os.replace(tmp, hwm_path)
+        applied["n"] += 1
+
+    stream = (
+        spark.readStream.schema("version long, operation string")
+        .option("pathGlobFilter", "v*.json")
+        # manifests are pretty-printed (multi-line) JSON documents, not
+        # JSON-lines — without this every line fails to parse to NULL
+        .option("multiLine", "true")
+        .json(f"{table.root}/manifests")
+    )
+    q = (
+        stream.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", _os.path.join(checkpoint_dir, "files"))
+        .foreachBatch(on_batch)
+        .start()
+    )
+    q.awaitTermination()
+    return {"high_water": read_hwm(), "batches_applied": applied["n"]}

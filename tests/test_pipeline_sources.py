@@ -709,3 +709,47 @@ def test_parse_video_header_corrupt_payloads_degrade_to_none():
     # and a healthy payload still parses
     ok = synthesize_mp4_bytes(3000, 1000, 640, 480)
     assert parse_video_header(ok) == ("mp4", 3000, 1000, 640, 480)
+
+
+def test_stream_cow_changes_replay_is_idempotent(spark, tmp_path):
+    """At-least-once file delivery + the high-water mark = exactly-once
+    apply: wiping the file-source checkpoint (forcing full re-delivery
+    of every manifest) must not re-apply already-consumed spans, and a
+    new commit after the wipe is still picked up exactly once."""
+    import os
+    import shutil
+
+    from openverse_catalog_spark.operators.cowtable import CowTable
+    from openverse_catalog_spark.streaming.incremental import (
+        stream_cow_changes,
+    )
+    from tests.test_cowtable import _base_rows, _batch_rows
+    from tests.test_merge_upsert import COLS, mk
+
+    t = CowTable.create(
+        spark, str(tmp_path / "tbl"), mk(spark, _base_rows()), target_files=4
+    )
+    t.merge(mk(spark, _batch_rows()), COLS, deterministic=True)  # v2
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def apply_fn(ch, lo, hi):
+        ch.write.mode("append").parquet(sink)
+
+    r1 = stream_cow_changes(t, ckpt, apply_fn)
+    assert r1["high_water"] == 2 and r1["batches_applied"] == 1
+    n1 = spark.read.parquet(sink).count()
+    assert n1 == 3  # update pre+post + insert
+
+    # simulate a lost file-source checkpoint: every manifest re-delivers
+    shutil.rmtree(os.path.join(ckpt, "files"))
+    r2 = stream_cow_changes(t, ckpt, apply_fn)
+    assert r2["batches_applied"] == 0  # hwm made the replay a no-op
+    assert spark.read.parquet(sink).count() == n1
+
+    t.delete(F.col("foreign_identifier") == "f000")  # v3
+    r3 = stream_cow_changes(t, ckpt, apply_fn)
+    assert r3["high_water"] == 3 and r3["batches_applied"] == 1
+    got = spark.read.parquet(sink)
+    assert got.count() == n1 + 1
+    assert got.filter(F.col("_change_type") == "delete").count() == 1
