@@ -146,6 +146,8 @@ HEADLINE = [
     "corpus_tfidf_topk",
     "corpus_pmi_bigrams",
     "stream_cow_changes",
+    "multimodal_pixel_decode",
+    "multimodal_audio_samples",
 ]
 
 

@@ -5,12 +5,17 @@
 Header-level decode is REAL: ``parse_image_header`` parses PNG IHDR,
 GIF screen descriptors, BMP info headers and walks JPEG markers to the
 SOF frame — no imaging library needed, oracle-checked end to end by
-``multimodal_header_dims``. Only PIXEL decode is stubbed
-(``decode_stub=True`` derives deterministic fake metadata from an md5 of
-the payload — PIL/ffmpeg are not in this container; swap ``_decode_one``
-for a real call when available). The Spark-side plumbing — schema,
-partition preservation, UDF signature, Arrow batch shape — is identical
-for both.
+``multimodal_header_dims``. PIXEL/SAMPLE decode is REAL too for every
+format the stdlib can reach: ``decode_png_pixels`` (zlib inflate + all
+five scanline filters), ``decode_bmp_pixels`` (24-bit raw, padding +
+BGR + bottom-up), ``decode_wav_samples`` (PCM16 frames) — see the
+"REAL pixel / sample decode" section below, oracle-checked value-exact
+by ``multimodal_pixel_decode`` / ``multimodal_audio_samples``. Only
+entropy-coded payloads (JPEG DCT, MP3 frames, video codecs) remain
+env-blocked behind ``_decode_one``'s NotImplementedError (PIL/ffmpeg
+are not in this container; the md5-derived stub stands in for plumbing
+tests). The Spark-side plumbing — schema, partition preservation, UDF
+signature, Arrow batch shape — is identical throughout.
 
 Scale notes: mapInPandas streams Arrow batches — payloads never
 materialize row-at-a-time in Python; partition sizing should target
@@ -659,3 +664,394 @@ def extract_video_header_metadata(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(decode, VIDEO_META_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL pixel / sample decode — pure stdlib (zlib) + numpy, no PIL/ffmpeg
+# ---------------------------------------------------------------------------
+#
+# The earlier decode surface stopped at container HEADERS because no
+# image/audio library ships in this environment. That excuse only
+# actually covers entropy-coded formats (JPEG DCT, MP3 frames, video
+# codecs): PNG is zlib (stdlib) + per-scanline filters, BMP is raw
+# pixels, WAV is raw PCM — all fully decodable with the standard
+# library. So these are REAL decoders: chunk/walk the container,
+# inflate, unfilter, return pixels/samples. JPEG/MP3/video remain the
+# honest NotImplementedError.
+
+
+def synthesize_png_image(
+    doc_id: int, width: int, height: int, channels: int = 3
+) -> bytes:
+    """A COMPLETE valid PNG (8-bit grey/RGB/RGBA, non-interlaced):
+    deterministic pixel pattern v = (7x + 13y + 29c + doc_id) % 256,
+    scanlines filtered with the row-cycling filter type y % 5 — so a
+    decoder must implement ALL FIVE PNG filters (None/Sub/Up/Average/
+    Paeth) to round-trip. The encode side of decode_png_pixels."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def chunk(typ: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + typ
+            + payload
+            + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+        )
+
+    colortype = {1: 0, 3: 2, 4: 6}[channels]
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, colortype, 0, 0, 0)
+    xs = np.arange(width)[:, None] * 7
+    cs = np.arange(channels)[None, :] * 29
+    raw = bytearray()
+    prev = np.zeros(width * channels, dtype=np.int32)
+    for y in range(height):
+        row = ((xs + cs + 13 * y + doc_id) % 256).reshape(-1)
+        f = y % 5
+        raw.append(f)
+        if f == 0:
+            out = row
+        elif f == 1:  # Sub: cur - left (per channel)
+            left = np.concatenate([np.zeros(channels, np.int32), row[:-channels]])
+            out = (row - left) % 256
+        elif f == 2:  # Up
+            out = (row - prev) % 256
+        elif f == 3:  # Average
+            left = np.concatenate([np.zeros(channels, np.int32), row[:-channels]])
+            out = (row - (left + prev) // 2) % 256
+        else:  # Paeth
+            left = np.concatenate([np.zeros(channels, np.int32), row[:-channels]])
+            ul = np.concatenate([np.zeros(channels, np.int32), prev[:-channels]])
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, ul))
+            out = (row - pred) % 256
+        raw += bytes(out.astype(np.uint8))
+        prev = row
+    idat = zlib.compress(bytes(raw), 6)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png_pixels(b: bytes):
+    """REAL PNG pixel decode, stdlib-only: walk chunks, inflate the
+    IDAT stream (zlib), reverse the per-scanline filter (all five:
+    None/Sub/Up/Average/Paeth — left-dependent filters run as a
+    per-pixel loop, fine at thumbnail sizes; vectorize rows otherwise).
+    Supports 8-bit greyscale/RGB/RGBA non-interlaced (the shapes the
+    pipeline synthesizes and virtually all ML-corpus thumbnails).
+    Returns an ndarray (h, w, channels) of uint8, or None if the
+    payload is not a decodable PNG."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if len(b) < 8 or b[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, ihdr, idat = 8, None, bytearray()
+    try:
+        while pos + 8 <= len(b):
+            ln, typ = struct.unpack(">I4s", b[pos : pos + 8])
+            payload = b[pos + 8 : pos + 8 + ln]
+            if typ == b"IHDR":
+                ihdr = struct.unpack(">IIBBBBB", payload)
+            elif typ == b"IDAT":
+                idat += payload
+            elif typ == b"IEND":
+                break
+            pos += 12 + ln
+        if ihdr is None or not idat:
+            return None
+        w, h, depth, colortype, comp, filt, interlace = ihdr
+        channels = {0: 1, 2: 3, 6: 4}.get(colortype)
+        if channels is None or depth != 8 or interlace != 0:
+            return None
+        raw = zlib.decompress(bytes(idat))
+    except (struct.error, zlib.error):
+        return None
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        return None
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        cur = np.frombuffer(
+            raw, np.uint8, stride, y * (stride + 1) + 1
+        ).astype(np.int32)
+        if f == 0:
+            rec = cur
+        elif f == 2:  # Up
+            rec = (cur + prev) % 256
+        elif f == 1:  # Sub — left dependency: per-pixel
+            rec = cur.copy()
+            for x in range(channels, stride):
+                rec[x] = (rec[x] + rec[x - channels]) % 256
+        elif f == 3:  # Average
+            rec = cur.copy()
+            for x in range(stride):
+                left = rec[x - channels] if x >= channels else 0
+                rec[x] = (rec[x] + (left + prev[x]) // 2) % 256
+        elif f == 4:  # Paeth
+            rec = cur.copy()
+            for x in range(stride):
+                a = rec[x - channels] if x >= channels else 0
+                c = prev[x - channels] if x >= channels else 0
+                bb = prev[x]
+                p = a + bb - c
+                pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else c)
+                rec[x] = (rec[x] + pred) % 256
+        else:
+            return None
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out.reshape(h, w, channels)
+
+
+def synthesize_bmp_image(doc_id: int, width: int, height: int) -> bytes:
+    """A COMPLETE valid 24-bit uncompressed BMP (BITMAPINFOHEADER,
+    bottom-up, 4-byte-padded rows) with the same deterministic pattern
+    as the PNG twin (channels=3)."""
+    import struct
+
+    import numpy as np
+
+    xs = np.arange(width)[:, None] * 7
+    cs = np.arange(3)[None, :] * 29
+    row_bytes = width * 3
+    pad = (-row_bytes) % 4
+    body = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = ((xs + cs + 13 * y + doc_id) % 256).reshape(-1)
+        # BMP stores BGR: swap channel order per pixel
+        rgb = row.reshape(width, 3)[:, ::-1].reshape(-1)
+        body += bytes(rgb.astype(np.uint8)) + b"\x00" * pad
+    header_size = 14 + 40
+    return (
+        b"BM"
+        + struct.pack("<IHHI", header_size + len(body), 0, 0, header_size)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body),
+            2835, 2835, 0, 0,
+        )
+        + bytes(body)
+    )
+
+
+def decode_bmp_pixels(b: bytes):
+    """REAL BMP pixel decode: 24-bit uncompressed, bottom-up or top-down,
+    row padding honored, BGR -> RGB. Returns (h, w, 3) uint8 or None."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 54 or b[:2] != b"BM":
+        return None
+    try:
+        data_off = struct.unpack("<I", b[10:14])[0]
+        hdr_size, w, h_signed = struct.unpack("<Iii", b[14:26])
+        planes, bpp, comp = struct.unpack("<HHI", b[26:34])
+    except struct.error:
+        return None
+    if bpp != 24 or comp != 0 or w <= 0 or h_signed == 0:
+        return None
+    h = abs(h_signed)
+    row_bytes = w * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    if len(b) < data_off + stride * h:
+        return None
+    out = np.zeros((h, w, 3), dtype=np.uint8)
+    for i in range(h):
+        y = (h - 1 - i) if h_signed > 0 else i  # bottom-up vs top-down
+        row = np.frombuffer(b, np.uint8, row_bytes, data_off + i * stride)
+        out[y] = row.reshape(w, 3)[:, ::-1]  # BGR -> RGB
+    return out
+
+
+def synthesize_wav_samples(
+    doc_id: int, sample_rate: int, n_samples: int
+) -> bytes:
+    """A COMPLETE valid 16-bit mono PCM WAV with real sample data:
+    s(i) = ((31 i + doc_id) % 65536) - 32768."""
+    import struct
+
+    import numpy as np
+
+    s = ((31 * np.arange(n_samples) + doc_id) % 65536 - 32768).astype("<i2")
+    data = s.tobytes()
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    chunks = fmt + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_wav_samples(b: bytes):
+    """REAL PCM sample decode: walk RIFF chunks, require PCM 16-bit,
+    return the samples as an int16 ndarray of shape (n, channels), or
+    None for anything else (compressed WAV, truncated data)."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    try:
+        while pos + 8 <= len(b):
+            cid, ln = struct.unpack("<4sI", b[pos : pos + 8])
+            payload = b[pos + 8 : pos + 8 + ln]
+            if cid == b"fmt " and ln >= 16:
+                fmt = struct.unpack("<HHIIHH", payload[:16])
+            elif cid == b"data":
+                data = payload
+            pos += 8 + ln + (ln % 2)
+    except struct.error:
+        return None
+    if fmt is None or data is None:
+        return None
+    audio_fmt, channels, rate, _, _, bits = fmt
+    if audio_fmt != 1 or bits != 16 or channels < 1:
+        return None
+    n = len(data) // (2 * channels)
+    if n == 0:
+        return None
+    arr = np.frombuffer(data, "<i2", n * channels)
+    return arr.reshape(n, channels)
+
+
+def attach_decodable_image_payload(df: DataFrame) -> DataFrame:
+    """Arrow-batched synthesis of COMPLETE decodable images (PNG with
+    all five filters exercised, or BMP for every 4th doc), deterministic
+    from doc_id — the ingest-side twin of extract_image_pixels."""
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, fmts = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 8 + d % 9, 6 + d % 5
+                if d % 4 == 0:
+                    payloads.append(synthesize_bmp_image(d, w, h))
+                    fmts.append("bmp")
+                else:
+                    ch = (1, 3, 4)[d % 3]
+                    payloads.append(synthesize_png_image(d, w, h, ch))
+                    fmts.append("png")
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "fmt": fmts, "payload": payloads}
+            )
+
+    return df.select("doc_id").mapInPandas(
+        synth, "doc_id long, fmt string, payload binary"
+    )
+
+
+PIXEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("channels", T.LongType()),
+        T.StructField("pixel_sum", T.LongType()),
+        T.StructField("mean_value", T.DoubleType()),
+    ]
+)
+
+
+def extract_image_pixels(df: DataFrame) -> DataFrame:
+    """REAL pixel decode over the binary column (PNG via zlib inflate +
+    scanline unfiltering, BMP raw) -> per-image pixel statistics. The
+    decode runs inside mapInPandas (Arrow batches, one Python pass per
+    image); undecodable payloads yield NULL stats instead of failing
+    the stage."""
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out = {k: [] for k in ("doc_id", "fmt", "width", "height",
+                               "channels", "pixel_sum", "mean_value")}
+        for pdf in batches:
+            for d, fmt, p in zip(pdf["doc_id"], pdf["fmt"], pdf["payload"]):
+                b = bytes(p)
+                px = (
+                    decode_png_pixels(b) if fmt == "png"
+                    else decode_bmp_pixels(b) if fmt == "bmp"
+                    else None
+                )
+                out["doc_id"].append(int(d))
+                out["fmt"].append(fmt)
+                if px is None:
+                    for k in ("width", "height", "channels",
+                              "pixel_sum", "mean_value"):
+                        out[k].append(None)
+                else:
+                    h, w, c = px.shape
+                    s = int(px.astype("int64").sum())
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["channels"].append(c)
+                    out["pixel_sum"].append(s)
+                    out["mean_value"].append(s / (h * w * c))
+            yield pd.DataFrame(out)
+            out = {k: [] for k in out}
+
+    return df.mapInPandas(decode, PIXEL_STATS_SCHEMA)
+
+
+AUDIO_SAMPLES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("channels", T.LongType()),
+        T.StructField("sample_sum", T.LongType()),
+        T.StructField("peak", T.LongType()),
+    ]
+)
+
+
+def extract_audio_samples(df: DataFrame) -> DataFrame:
+    """REAL PCM sample decode over the binary column -> per-clip sample
+    statistics (count, sum, peak). Same Arrow-batch discipline as the
+    pixel path; non-PCM payloads yield NULLs."""
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out = {k: [] for k in ("doc_id", "n_samples", "channels",
+                               "sample_sum", "peak")}
+        for pdf in batches:
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                arr = decode_wav_samples(bytes(p))
+                out["doc_id"].append(int(d))
+                if arr is None:
+                    for k in ("n_samples", "channels", "sample_sum", "peak"):
+                        out[k].append(None)
+                else:
+                    out["n_samples"].append(int(arr.shape[0]))
+                    out["channels"].append(int(arr.shape[1]))
+                    out["sample_sum"].append(int(arr.astype("int64").sum()))
+                    out["peak"].append(int(abs(arr.astype("int64")).max()))
+            yield pd.DataFrame(out)
+            out = {k: [] for k in out}
+
+    return df.mapInPandas(decode, AUDIO_SAMPLES_SCHEMA)
+
+
+def attach_decodable_audio_payload(df: DataFrame) -> DataFrame:
+    """Arrow-batched synthesis of COMPLETE decodable WAV clips (real
+    PCM16 sample data, deterministic from doc_id)."""
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                synthesize_wav_samples(int(d), 8000, 120 + int(d) % 50)
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return df.select("doc_id").mapInPandas(
+        synth, "doc_id long, payload binary"
+    )

@@ -459,3 +459,92 @@ def q_stream_quality_monitor(spark, sf_dir):
     )
 
     return stream_quality_monitor(spark, sf_dir)
+
+
+@register(
+    "multimodal_pixel_decode",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             8 + doc_id % 9 AS w, 6 + doc_id % 5 AS h,
+             CASE WHEN doc_id % 4 = 0 THEN 'bmp' ELSE 'png' END AS fmt,
+             CASE WHEN doc_id % 4 = 0 THEN 3
+                  ELSE CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3
+                       ELSE 4 END END AS ch
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, fmt, w, h, ch,
+             (7 * x + 13 * y + 29 * c + doc_id) % 256 AS v
+      FROM (
+        SELECT *, unnest(range(0, ch)) AS c FROM (
+          SELECT *, unnest(range(0, w)) AS x FROM (
+            SELECT *, unnest(range(0, h)) AS y FROM p)))
+    )
+    SELECT doc_id, fmt,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(ch AS BIGINT) AS channels,
+           CAST(sum(v) AS BIGINT) AS pixel_sum,
+           round(CAST(sum(v) AS DOUBLE) / (w * h * ch), 6) AS mean_value
+    FROM px GROUP BY doc_id, fmt, w, h, ch
+    """,
+)
+def q_multimodal_pixel_decode(spark, sf_dir):
+    """REAL PIXEL decode, no imaging library: payloads are COMPLETE
+    images (PNG with zlib-compressed IDAT whose scanlines cycle through
+    all five PNG filters, 8-bit grey/RGB/RGBA; every 4th doc a 24-bit
+    bottom-up BMP), and extract_image_pixels inflates, unfilters and
+    returns per-image pixel statistics inside one Arrow-batched
+    mapInPandas pass. The oracle recomputes the deterministic pixel
+    pattern ((7x + 13y + 29c + id) % 256) arithmetically — so a single
+    wrong byte anywhere in the inflate/unfilter path breaks the
+    hash-match. JPEG/MP3/video stay honestly env-blocked (entropy
+    coding needs PIL/ffmpeg); PNG/BMP/WAV need only the stdlib."""
+    from openverse_catalog_spark.operators.multimodal import (
+        attach_decodable_image_payload,
+        extract_image_pixels,
+    )
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    out = extract_image_pixels(attach_decodable_image_payload(d))
+    return out.select(
+        "doc_id", "fmt", "width", "height", "channels", "pixel_sum",
+        F.round("mean_value", 6).alias("mean_value"),
+    )
+
+
+@register(
+    "multimodal_audio_samples",
+    """
+    WITH p AS (
+      SELECT doc_id, 120 + doc_id % 50 AS n FROM documents
+    ),
+    s AS (
+      SELECT doc_id, n,
+             ((31 * i + doc_id) % 65536) - 32768 AS v
+      FROM (SELECT *, unnest(range(0, n)) AS i FROM p)
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(1 AS BIGINT) AS channels,
+           CAST(sum(v) AS BIGINT) AS sample_sum,
+           CAST(max(abs(v)) AS BIGINT) AS peak
+    FROM s GROUP BY doc_id, n
+    """,
+)
+def q_multimodal_audio_samples(spark, sf_dir):
+    """REAL PCM SAMPLE decode: payloads are complete 16-bit mono WAV
+    clips with real sample data, and extract_audio_samples walks the
+    RIFF chunks and reads the PCM frames back (count, sum, peak) in one
+    Arrow pass. Oracle recomputes the deterministic sample pattern
+    arithmetically — value-exact down to each int16."""
+    from openverse_catalog_spark.operators.multimodal import (
+        attach_decodable_audio_payload,
+        extract_audio_samples,
+    )
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    out = extract_audio_samples(attach_decodable_audio_payload(d))
+    return out.select(
+        "doc_id", "n_samples", "channels", "sample_sum", "peak"
+    )

@@ -753,3 +753,60 @@ def test_stream_cow_changes_replay_is_idempotent(spark, tmp_path):
     got = spark.read.parquet(sink)
     assert got.count() == n1 + 1
     assert got.filter(F.col("_change_type") == "delete").count() == 1
+
+
+def test_png_bmp_wav_real_decode_roundtrip():
+    """REAL pixel/sample decode with stdlib only: the PNG path inflates
+    zlib IDAT and reverses all five scanline filters bit-exactly; BMP
+    handles bottom-up row order, padding and BGR; WAV reads PCM16
+    frames. Every byte is checked against the closed-form pattern, and
+    corrupt payloads degrade to None instead of raising."""
+    import numpy as np
+
+    from openverse_catalog_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        decode_png_pixels,
+        decode_wav_samples,
+        synthesize_bmp_image,
+        synthesize_png_image,
+        synthesize_wav_samples,
+    )
+
+    def pattern(d, h, w, ch):
+        y, x, c = np.meshgrid(
+            np.arange(h), np.arange(w), np.arange(ch), indexing="ij"
+        )
+        return (7 * x + 13 * y + 29 * c + d) % 256
+
+    for d in (0, 1, 5, 12, 23):
+        w, h = 8 + d % 9, 6 + d % 5
+        for ch in (1, 3, 4):  # grey / RGB / RGBA; filters cycle y % 5
+            px = decode_png_pixels(synthesize_png_image(d, w, h, ch))
+            assert px.shape == (h, w, ch)
+            assert (px.astype(np.int64) == pattern(d, h, w, ch)).all()
+        bp = decode_bmp_pixels(synthesize_bmp_image(d, w, h))
+        assert bp.shape == (h, w, 3)
+        assert (bp.astype(np.int64) == pattern(d, h, w, 3)).all()
+        n = 120 + d % 50
+        arr = decode_wav_samples(synthesize_wav_samples(d, 8000, n))
+        assert arr.shape == (n, 1)
+        assert (
+            arr[:, 0].astype(np.int64)
+            == (31 * np.arange(n) + d) % 65536 - 32768
+        ).all()
+    # stereo PCM decode (interleaved frames -> (n, 2))
+    import struct
+
+    frames = struct.pack("<6h", 1, -1, 2, -2, 3, -3)
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16)
+    wav = (
+        b"RIFF" + struct.pack("<I", 4 + len(fmt) + 8 + len(frames))
+        + b"WAVE" + fmt + b"data" + struct.pack("<I", len(frames)) + frames
+    )
+    st = decode_wav_samples(wav)
+    assert st.shape == (3, 2) and st[1].tolist() == [2, -2]
+    # corrupt payloads: None, never an exception
+    assert decode_png_pixels(b"\x89PNG\r\n\x1a\n" + b"junk") is None
+    assert decode_png_pixels(b"") is None
+    assert decode_bmp_pixels(b"BM\x00\x00") is None
+    assert decode_wav_samples(b"RIFF\x00\x00\x00\x00WAVE") is None
