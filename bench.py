@@ -148,6 +148,8 @@ HEADLINE = [
     "stream_cow_changes",
     "multimodal_pixel_decode",
     "multimodal_audio_samples",
+    "merge_cow_zorder",
+    "embed_pca_power",
 ]
 
 

@@ -108,3 +108,77 @@ def kmeans(
     return base.select(
         id_col, assign_clusters(F.col("__v"), centroids).alias("cid")
     )
+
+
+def pca_power_top_component(
+    df,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    rounds: int = 3,
+):
+    """Top principal component of the (mean-centered) embedding matrix
+    via POWER ITERATION — distributed PCA without ever materializing
+    the covariance matrix: each round is
+
+        s_i = (x_i - mu) . v          (one narrow select: an array
+                                       zip_with/aggregate fold against
+                                       the v literal — no UDF)
+        w   = sum_i (x_i - mu) * s_i  (ONE aggregation with dim+1
+                                       map-side partial sums)
+        v   = w / ||w||               (driver: dim doubles)
+
+    so the corpus is scanned once per round and only dim-sized state
+    ever moves — the same driver-literal iteration discipline as
+    k-means (centroids) and BPE (merge table). Centering never
+    materializes x - mu: s uses dot(x, v) - dot(mu, v), w uses
+    sum(x*s) - mu*sum(s), both driver-side rearrangements.
+
+    Deterministic: v0 = uniform unit vector, every step is a pure
+    function of the data. Returns (component, eigenvalue_estimate)
+    where component is a list of dim loadings."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    base = df.select(
+        F.col(vec_col).cast("array<double>").alias(vec_col)
+    )
+    mu_row = base.agg(
+        *[
+            F.avg(F.element_at(F.col(vec_col), j + 1)).alias(f"m{j}")
+            for j in range(dim)
+        ]
+    ).head()
+    mu = [float(mu_row[f"m{j}"]) for j in range(dim)]
+    v = [1.0 / math.sqrt(dim)] * dim
+    nrm = 0.0
+    n_rows = None
+    for _ in range(rounds):
+        c0 = sum(m * b for m, b in zip(mu, v))
+        v_lit = "array({})".format(
+            ", ".join(f"{b!r}D" for b in v)
+        )
+        s_expr = F.expr(
+            f"aggregate(zip_with({vec_col}, {v_lit}, (a, b) -> a * b), "
+            "0D, (acc, x) -> acc + x)"
+        ) - F.lit(c0)
+        tmp = base.select(F.col(vec_col), s_expr.alias("__s"))
+        aggs = [
+            F.sum("__s").alias("s_sum"),
+            F.count(F.lit(1)).alias("n"),
+        ] + [
+            F.sum(
+                F.element_at(F.col(vec_col), j + 1) * F.col("__s")
+            ).alias(f"w{j}")
+            for j in range(dim)
+        ]
+        row = tmp.agg(*aggs).head()
+        s_sum, n_rows = float(row["s_sum"]), int(row["n"])
+        w = [float(row[f"w{j}"]) - mu[j] * s_sum for j in range(dim)]
+        nrm = math.sqrt(sum(x * x for x in w))
+        v = [x / nrm for x in w]
+    # after convergence, ||w|| = lambda * ||v_prev|| with unit v_prev:
+    # the dominant eigenvalue of the scatter matrix; /n for covariance
+    eigenvalue = nrm / n_rows if n_rows else 0.0
+    return v, eigenvalue

@@ -1158,6 +1158,8 @@ class CowTable:
         target_rows: int = 1_000_000,
         max_retries: int = 3,
         pre_commit_hook=None,
+        zorder_by: dict[str, tuple[float, float]] | None = None,
+        zorder_bits: int = 8,
     ) -> dict:
         """OPTIMIZE: bin-pack small files (rows < target_rows) into
         range-clustered files near target size; files already at size
@@ -1170,6 +1172,18 @@ class CowTable:
         bytes). Returns {version, files_compacted, files_kept,
         files_written, rows}; no new version if <2 small files exist.
 
+        OPTIMIZE ZORDER: pass ``zorder_by={col: (lo, hi), ...}`` to
+        rewrite EVERY file clustered on the Morton interleave of the
+        named columns (bucketized to ``zorder_bits`` bits each) instead
+        of the merge-key range — Delta's OPTIMIZE ZORDER BY with plain
+        Spark primitives (operators/layout.py). Pair it with
+        ``stats_cols`` on the same columns: per-file ranges for ALL the
+        z columns tighten, so ``read_where`` prunes on any of them.
+        Trade-off, exactly as in Delta: z-clustering widens the
+        merge-key ranges per file, weakening MERGE file-skipping —
+        include keys[0] in the z set (or zorder per-partition) when
+        merge skipping matters more.
+
         Concurrency: same optimistic protocol as ``merge`` — a conflict
         (e.g. a provider merge landed mid-compaction) discards the
         attempt's files and re-plans compaction against the new
@@ -1177,16 +1191,28 @@ class CowTable:
         last: CommitConflict | None = None
         for _ in range(max_retries + 1):
             try:
-                return self._compact_attempt(target_rows, pre_commit_hook)
+                return self._compact_attempt(
+                    target_rows, pre_commit_hook, zorder_by, zorder_bits
+                )
             except CommitConflict as e:
                 last = e
         raise last
 
-    def _compact_attempt(self, target_rows: int, pre_commit_hook) -> dict:
+    def _compact_attempt(
+        self, target_rows: int, pre_commit_hook, zorder_by=None,
+        zorder_bits: int = 8,
+    ) -> dict:
         m = self._manifest()
-        small = [e for e in m["files"] if e["rows"] < target_rows]
-        keep = [e for e in m["files"] if e["rows"] >= target_rows]
-        if len(small) < 2:
+        if zorder_by:
+            # a re-clustering rewrite is whole-table by definition
+            small, keep = list(m["files"]), []
+        else:
+            small = [e for e in m["files"] if e["rows"] < target_rows]
+            keep = [e for e in m["files"] if e["rows"] >= target_rows]
+        # bin-packing needs >= 2 small files to be worth a commit; a
+        # z-order rewrite is meaningful even for one file (row order
+        # inside it changes, so row-group pruning improves)
+        if len(small) < (1 if zorder_by else 2):
             return {
                 "version": m["version"],
                 "files_compacted": 0,
@@ -1204,9 +1230,28 @@ class CowTable:
         new_version = m["version"] + 1
         rel_dir = f"data/c{uuid.uuid4().hex[:12]}"
         data_dir = f"{self.root}/{rel_dir}"
-        df.repartitionByRange(
-            n_files, *[F.col(k) for k in self.keys]
-        ).write.mode("error").parquet(data_dir)
+        if zorder_by:
+            from openverse_catalog_spark.operators.layout import (
+                minmax_bucket,
+                zvalue,
+            )
+
+            buckets = [
+                minmax_bucket(F.col(c), lo, hi, zorder_bits)
+                for c, (lo, hi) in zorder_by.items()
+            ]
+            (
+                df.withColumn("__z", zvalue(buckets, zorder_bits))
+                .repartitionByRange(n_files, F.col("__z"))
+                .sortWithinPartitions("__z")
+                .drop("__z")
+                .write.mode("error")
+                .parquet(data_dir)
+            )
+        else:
+            df.repartitionByRange(
+                n_files, *[F.col(k) for k in self.keys]
+            ).write.mode("error").parquet(data_dir)
         new_entries = _file_stats(
             self.spark, data_dir, self.keys, rel_dir, self.stats_cols
         )

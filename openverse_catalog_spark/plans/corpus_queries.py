@@ -2701,3 +2701,49 @@ def corpus_pmi_bigrams(spark, sf_dir):
         "w1", "w2", F.col("c_ab").cast("long").alias("c_ab"),
         F.round("pmi", 6).alias("pmi"),
     )
+
+
+def _pca_oracle(rounds: int = 3) -> str:
+    """Power iteration unrolled round by round in SQL — value-exact for
+    an iterative numeric algorithm (same discipline as the k-means and
+    PageRank oracles)."""
+    parts = ["""
+    WITH ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+                FROM embeddings, generate_series(1, 64) AS t(i)),
+    mu AS (SELECT i, avg(x) AS m FROM ex GROUP BY i),
+    cx AS (SELECT e.vec_id, e.i, e.x - mu.m AS x FROM ex e JOIN mu USING (i)),
+    v0 AS (SELECT i, 1.0 / sqrt(64) AS v
+           FROM generate_series(1, 64) AS t(i))"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+    s{r} AS (SELECT cx.vec_id, sum(cx.x * v{r - 1}.v) AS s
+             FROM cx JOIN v{r - 1} USING (i) GROUP BY cx.vec_id),
+    w{r} AS (SELECT cx.i, sum(cx.x * s{r}.s) AS w
+             FROM cx JOIN s{r} USING (vec_id) GROUP BY cx.i),
+    n{r} AS (SELECT sqrt(sum(w * w)) AS nrm FROM w{r}),
+    v{r} AS (SELECT i, w / nrm AS v FROM w{r}, n{r})""")
+    parts.append(f"""
+    SELECT CAST(i AS BIGINT) AS dim, round(v, 6) AS loading
+    FROM v{rounds}""")
+    return "".join(parts)
+
+
+@register("embed_pca_power", _pca_oracle())
+def embed_pca_power(spark, sf_dir):
+    """Distributed PCA top component by power iteration: one corpus
+    scan per round (array-fold dot against the v literal + ONE
+    aggregation of dim+1 map-side partial sums), only dim-sized state
+    moves, covariance never materialized. Deterministic from the
+    uniform start vector; the oracle replays all three rounds in SQL
+    including the mean-centering and normalizations — loadings match
+    to 6 decimals."""
+    from openverse_catalog_spark.operators.clustering import (
+        pca_power_top_component,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    v, _ = pca_power_top_component(e, "vec_id", "embedding", dim=64, rounds=3)
+    return spark.createDataFrame(
+        [(i + 1, round(x, 6)) for i, x in enumerate(v)],
+        "dim long, loading double",
+    )

@@ -1527,3 +1527,60 @@ def stream_cow_changes(spark, sf_dir):
         .groupBy("_commit_version", "_change_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "merge_cow_zorder",
+    """
+    SELECT 'p' AS provider,
+           'f' || lpad(CAST(c_custkey AS VARCHAR), 7, '0')
+             AS foreign_identifier,
+           CAST((c_custkey * 37) % 100 AS DOUBLE) AS x,
+           CAST((c_custkey * 61) % 100 AS DOUBLE) AS y
+    FROM customer
+    WHERE (c_custkey * 37) % 100 <= 20 AND (c_custkey * 61) % 100 <= 20
+    """,
+)
+def merge_cow_zorder(spark, sf_dir):
+    """OPTIMIZE ZORDER + multi-column data skipping, end to end: the
+    table starts merge-key-clustered (x/y ranges span every file — a
+    range read prunes nothing), a z-order compact on (x, y) Morton-
+    interleaves the bucketized columns and rewrites the table clustered
+    on the z-value, and the same read_where box now skips files on
+    BOTH columns (asserted). The oracle is the plain box filter —
+    clustering is physical, never semantic."""
+    import os
+    import shutil
+    import tempfile
+
+    from openverse_catalog_spark.operators.cowtable import CowTable
+
+    c = _t(spark, sf_dir, "customer")["customer"]
+    k = F.col("c_custkey")
+    target = c.select(
+        F.lit("p").alias("provider"),
+        F.concat(
+            F.lit("f"), F.lpad(k.cast("string"), 7, "0")
+        ).alias("foreign_identifier"),
+        F.concat(F.lit("http://m/"), k.cast("string")).alias("url"),
+        ((k * 37) % 100).cast("double").alias("x"),
+        ((k * 61) % 100).cast("double").alias("y"),
+    )
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_cow_zorder")
+    shutil.rmtree(root, ignore_errors=True)
+    t = CowTable.create(
+        spark, root, target, target_files=8, stats_cols=("x", "y")
+    )
+    n_all = len(t._manifest()["files"])
+    assert len(t.read_where({"x": (0.0, 20.0)}).inputFiles()) == n_all
+    t.compact(
+        # ~8 z-clustered output files at any SF, so the skip is testable
+        target_rows=max(1, t._manifest()["rows"] // 8),
+        zorder_by={"x": (0, 100), "y": (0, 100)},
+        zorder_bits=6,
+    )
+    out = t.read_where({"x": (0.0, 20.0), "y": (0.0, 20.0)})
+    n_files = len(t._manifest()["files"])
+    assert n_files >= 4
+    assert len(out.inputFiles()) < n_files, "z-order skip must bite"
+    return out.select("provider", "foreign_identifier", "x", "y")

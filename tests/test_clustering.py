@@ -111,3 +111,32 @@ def test_fuzzy_pairs_threshold_excludes(spark):
         [(1, "b", "aaaa"), (2, "b", "zzzz")], "id long, blk string, t string"
     )
     assert fuzzy_pairs(df, "id", "t", [F.col("blk")], 3).count() == 0
+
+
+def test_pca_power_matches_numpy(spark):
+    """On data with a DOMINANT direction, a few power-iteration rounds
+    align with numpy's exact top eigenvector (up to sign) and the
+    eigenvalue estimate lands on the true one. (The corpus embeddings
+    are near-isotropic — eigengap ~0.93 — so the oracle query checks
+    round-for-round math there instead of convergence.)"""
+    import numpy as np
+
+    from openverse_catalog_spark.operators.clustering import (
+        pca_power_top_component,
+    )
+
+    rng = np.random.RandomState(3)
+    u = rng.randn(16)
+    u /= np.linalg.norm(u)
+    X = np.outer(rng.randn(400) * 5.0, u) + rng.randn(400, 16)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<double>",
+    )
+    v, lam = pca_power_top_component(df, "vec_id", "embedding", 16, rounds=5)
+    v = np.array(v)
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-9
+    Xc = X - X.mean(axis=0)
+    vals, vecs = np.linalg.eigh(Xc.T @ Xc / len(X))
+    assert abs(abs(float(v @ vecs[:, -1])) - 1.0) < 1e-4
+    assert abs(lam - vals[-1]) / vals[-1] < 1e-3

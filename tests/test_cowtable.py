@@ -1087,3 +1087,61 @@ def test_cow_read_where_data_skipping(spark, tmp_path):
     # unconstrained side + unknown column guard
     with pytest.raises(ValueError, match="no data-skipping stats"):
         t2.read_where({"title": (0, 1)})
+
+
+def test_cow_compact_zorder_enables_multicol_skipping(spark, tmp_path):
+    """OPTIMIZE ZORDER: after key-range clustering, x/y ranges span
+    every file and read_where prunes nothing; a z-order compact on
+    (x, y) tightens BOTH columns' per-file ranges so range reads on
+    either column skip files — and the data is bit-identical across
+    the commit."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        ("p", f"f{i:04d}", f"http://u/{i}",
+         float(rng.randrange(100)), float(rng.randrange(100)))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "provider string, foreign_identifier string, url string, "
+        "x double, y double",
+    )
+    t = CowTable.create(
+        spark, str(tmp_path / "tbl"), df, target_files=8,
+        stats_cols=("x", "y"),
+    )
+
+    def files_read(col, lo, hi):
+        return len(t.read_where({col: (lo, hi)}).inputFiles())
+
+    n_all = len(t._manifest()["files"])
+    # key-clustered layout: x/y uncorrelated with the key -> no pruning
+    assert files_read("x", 0.0, 20.0) == n_all
+    before = {
+        (r["foreign_identifier"], r["x"], r["y"])
+        for r in t.read().collect()
+    }
+    res = t.compact(
+        target_rows=60, zorder_by={"x": (0, 100), "y": (0, 100)},
+        zorder_bits=6,
+    )
+    assert res["files_compacted"] == n_all  # whole-table rewrite
+    after = {
+        (r["foreign_identifier"], r["x"], r["y"])
+        for r in t.read().collect()
+    }
+    assert after == before  # bit-identical data
+    n_files = len(t._manifest()["files"])
+    assert n_files >= 4
+    # now BOTH columns' range reads prune
+    assert files_read("x", 0.0, 20.0) < n_files
+    assert files_read("y", 0.0, 20.0) < n_files
+    # and results stay exact
+    got = {
+        r["foreign_identifier"]
+        for r in t.read_where({"x": (0.0, 20.0), "y": (0.0, 20.0)}).collect()
+    }
+    want = {f for f, x, y in before if 0 <= x <= 20 and 0 <= y <= 20}
+    assert got == want
