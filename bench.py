@@ -143,8 +143,6 @@ HEADLINE = [
     "pipeline_popularity_refresh_cdf",
     "merge_cow_read_skipped",
     "knn_ivf_index_upsert",
-    "corpus_tfidf_topk",
-    "corpus_pmi_bigrams",
     "stream_cow_changes",
     "multimodal_pixel_decode",
     "multimodal_audio_samples",

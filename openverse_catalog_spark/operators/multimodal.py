@@ -8,11 +8,13 @@ SOF frame — no imaging library needed, oracle-checked end to end by
 ``multimodal_header_dims``. PIXEL/SAMPLE decode is REAL too for every
 format the stdlib can reach: ``decode_png_pixels`` (zlib inflate + all
 five scanline filters), ``decode_bmp_pixels`` (24-bit raw, padding +
-BGR + bottom-up), ``decode_wav_samples`` (PCM16 frames) — see the
+BGR + bottom-up), ``decode_gif_pixels`` (a full LZW decoder:
+variable code width, CLEAR resets, KwKwK), ``decode_wav_samples``
+(PCM16 frames) — see the
 "REAL pixel / sample decode" section below, oracle-checked value-exact
 by ``multimodal_pixel_decode`` / ``multimodal_audio_samples``. Only
-entropy-coded payloads (JPEG DCT, MP3 frames, video codecs) remain
-env-blocked behind ``_decode_one``'s NotImplementedError (PIL/ffmpeg
+entropy-coded payloads needing real codec math (JPEG DCT, MP3
+frames, video codecs) remain env-blocked behind ``_decode_one``'s NotImplementedError (PIL/ffmpeg
 are not in this container; the md5-derived stub stands in for plumbing
 tests). The Spark-side plumbing — schema, partition preservation, UDF
 signature, Arrow batch shape — is identical throughout.
@@ -942,6 +944,9 @@ def attach_decodable_image_payload(df: DataFrame) -> DataFrame:
                 if d % 4 == 0:
                     payloads.append(synthesize_bmp_image(d, w, h))
                     fmts.append("bmp")
+                elif d % 4 == 2:
+                    payloads.append(synthesize_gif_image(d, w, h))
+                    fmts.append("gif")
                 else:
                     ch = (1, 3, 4)[d % 3]
                     payloads.append(synthesize_png_image(d, w, h, ch))
@@ -983,6 +988,7 @@ def extract_image_pixels(df: DataFrame) -> DataFrame:
                 px = (
                     decode_png_pixels(b) if fmt == "png"
                     else decode_bmp_pixels(b) if fmt == "bmp"
+                    else decode_gif_pixels(b) if fmt == "gif"
                     else None
                 )
                 out["doc_id"].append(int(d))
@@ -1055,3 +1061,185 @@ def attach_decodable_audio_payload(df: DataFrame) -> DataFrame:
     return df.select("doc_id").mapInPandas(
         synth, "doc_id long, payload binary"
     )
+
+
+def synthesize_gif_image(doc_id: int, width: int, height: int) -> bytes:
+    """A COMPLETE valid GIF89a: global 256-entry greyscale palette,
+    one image descriptor, and LZW-compressed pixel data — encoded with
+    a REAL (if simple) LZW writer: fixed 8-bit-rooted codes, a CLEAR
+    emitted whenever the dictionary would pass 12 bits (so the decoder
+    must handle code-size growth AND dictionary resets). Pixel pattern:
+    v = (7x + 13y + doc_id) % 256 (palette index == grey value)."""
+    import struct
+
+    palette = bytes(
+        v for i in range(256) for v in (i, i, i)
+    )
+    pixels = bytes(
+        (7 * x + 13 * y + doc_id) % 256
+        for y in range(height)
+        for x in range(width)
+    )
+    min_code = 8
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+
+    out_bits: list[int] = []
+
+    def emit(code: int, size: int) -> None:
+        for i in range(size):
+            out_bits.append((code >> i) & 1)
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = eoi + 1
+    code_size = min_code + 1
+    emit(clear, code_size)
+    buf = b""
+    for px in pixels:
+        cand = buf + bytes([px])
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf], code_size)
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            if next_code > (1 << code_size) and code_size < 12:
+                code_size += 1
+        else:
+            emit(clear, code_size)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = eoi + 1
+            code_size = min_code + 1
+        buf = bytes([px])
+    if buf:
+        emit(table[buf], code_size)
+    emit(eoi, code_size)
+    data = bytearray()
+    for i in range(0, len(out_bits), 8):
+        byte = 0
+        for j, bit in enumerate(out_bits[i : i + 8]):
+            byte |= bit << j
+        data.append(byte)
+    blocks = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", width, height, 0xF7, 0, 0)  # global 256-pal
+        + palette
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        + bytes([min_code])
+        + bytes(blocks)
+        + b"\x3b"
+    )
+
+
+def decode_gif_pixels(b: bytes):
+    """REAL GIF pixel decode, stdlib-only: parse the logical screen
+    descriptor + global palette, walk blocks to the first image
+    descriptor, reassemble the LZW sub-blocks and run a full LZW
+    decoder (variable code width 9..12 bits LSB-first, CLEAR resets,
+    the (prev + prev[0]) KwKwK case). Returns (h, w, 3) uint8 RGB via
+    the palette, or None for anything unrecognized (interlaced or
+    local-palette images included — rare in ML-corpus thumbnails)."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 13 or b[:3] != b"GIF":
+        return None
+    try:
+        w, h, flags, _, _ = struct.unpack("<HHBBB", b[6:13])
+        pos = 13
+        palette = None
+        if flags & 0x80:
+            n = 2 << (flags & 7)
+            palette = np.frombuffer(
+                b, np.uint8, n * 3, pos
+            ).reshape(n, 3)
+            pos += n * 3
+        # walk to the image descriptor, skipping extensions
+        while pos < len(b):
+            marker = b[pos]
+            if marker == 0x2C:
+                break
+            if marker == 0x21:  # extension: label + sub-blocks
+                pos += 2
+                while pos < len(b) and b[pos] != 0:
+                    pos += 1 + b[pos]
+                pos += 1
+            elif marker == 0x3B:
+                return None
+            else:
+                return None
+        if pos >= len(b) or b[pos] != 0x2C:
+            return None
+        _, _, iw, ih, iflags = struct.unpack("<HHHHB", b[pos + 1 : pos + 10])
+        pos += 10
+        if iflags & 0x40:  # interlaced: unsupported
+            return None
+        if iflags & 0x80:  # local palette: unsupported
+            return None
+        if palette is None:
+            return None
+        min_code = b[pos]
+        pos += 1
+        data = bytearray()
+        while pos < len(b) and b[pos] != 0:
+            ln = b[pos]
+            data += b[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+    except (struct.error, IndexError):
+        return None
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    code_size = min_code + 1
+    table: list[bytes] = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = 0
+    i = 0
+    while True:
+        while nbits < code_size:
+            if i >= len(data):
+                break
+            acc |= data[i] << nbits
+            nbits += 8
+            i += 1
+        if nbits < code_size:
+            break
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = [bytes([j]) for j in range(1 << min_code)] + [b"", b""]
+            code_size = min_code + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                return None
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):  # KwKwK
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                return None
+            if len(table) >= (1 << code_size) and code_size < 12:
+                code_size += 1
+        out += entry
+        prev = entry
+    if len(out) < w * h:
+        return None
+    idx = np.frombuffer(bytes(out[: w * h]), np.uint8)
+    if int(idx.max()) >= len(palette):
+        return None
+    return palette[idx].reshape(h, w, 3)

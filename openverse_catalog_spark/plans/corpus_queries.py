@@ -2531,176 +2531,6 @@ def knn_ivf_index_upsert(spark, sf_dir):
     )
 
 
-@register(
-    "corpus_tfidf_topk",
-    """
-    WITH dw AS (
-      SELECT doc_id, word, count(*) AS tf FROM (
-        SELECT doc_id,
-               unnest(string_split_regex(
-                 trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')),
-                 '\\s+')) AS word
-        FROM documents
-      ) WHERE word <> '' GROUP BY doc_id, word
-    ),
-    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM dw),
-    idf AS (
-      SELECT word,
-             ln((n.n_docs + 1.0) / (count(DISTINCT doc_id) + 1.0)) + 1.0
-               AS idf
-      FROM dw, n GROUP BY word, n.n_docs
-    ),
-    scored AS (
-      SELECT dw.doc_id, dw.word, dw.tf * idf.idf AS tfidf
-      FROM dw JOIN idf USING (word)
-    ),
-    ranked AS (
-      SELECT doc_id, word, tfidf,
-             row_number() OVER (
-               PARTITION BY doc_id
-               ORDER BY round(tfidf, 9) DESC, word) AS rank
-      FROM scored
-    )
-    SELECT doc_id, word, CAST(rank AS BIGINT) AS rank,
-           round(tfidf, 6) AS tfidf
-    FROM ranked WHERE rank <= 3
-    """,
-)
-def corpus_tfidf_topk(spark, sf_dir):
-    """TF-IDF top-3 terms per document — the classic salience scorer a
-    corpus pipeline uses for keyword extraction / topic labeling.
-    Shape: one explode -> (doc, word) tf groupBy (map-side partials),
-    ONE word-keyed shuffle for document frequency, idf joined back
-    AQE-broadcast (vocab-sized), per-doc window top-3. Smoothed idf
-    (ln((N+1)/(df+1)) + 1, sklearn's 'smooth_idf'); rank key quantized
-    to 9 decimals so cross-engine ln() ULP noise cannot flip ties, word
-    asc breaks them."""
-    from pyspark.sql import Window
-
-    d = _t(spark, sf_dir, "documents")["documents"]
-    words = d.select(
-        "doc_id",
-        F.explode(
-            F.split(
-                F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", " "),
-                "\\s+",
-            )
-        ).alias("word"),
-    ).filter(F.col("word") != "")
-    dw = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    n_docs = dw.select("doc_id").distinct().count()
-    idf = dw.groupBy("word").agg(
-        (
-            F.log((n_docs + 1.0) / (F.countDistinct("doc_id") + 1.0)) + 1.0
-        ).alias("idf")
-    )
-    scored = dw.join(idf, "word").select(
-        "doc_id", "word", (F.col("tf") * F.col("idf")).alias("tfidf")
-    )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.round(F.col("tfidf"), 9).desc(), F.col("word")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
-        .select(
-            "doc_id", "word", F.col("rank").cast("long").alias("rank"),
-            F.round("tfidf", 6).alias("tfidf"),
-        )
-    )
-
-
-@register(
-    "corpus_pmi_bigrams",
-    """
-    WITH toks AS (
-      SELECT doc_id, i, ws[i] AS w1, ws[i + 1] AS w2 FROM (
-        SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM (
-          SELECT doc_id,
-                 list_filter(string_split_regex(
-                   trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')),
-                   '\\s+'), w -> w <> '') AS ws
-          FROM documents))
-    ),
-    uni AS (
-      SELECT word, count(*) AS c FROM (
-        SELECT doc_id, unnest(ws) AS word FROM (
-          SELECT doc_id,
-                 list_filter(string_split_regex(
-                   trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')),
-                   '\\s+'), w -> w <> '') AS ws
-          FROM documents))
-      GROUP BY word
-    ),
-    tot AS (SELECT sum(c) AS n FROM uni),
-    big AS (
-      SELECT w1, w2, count(*) AS c_ab FROM toks GROUP BY w1, w2
-    ),
-    pmi AS (
-      SELECT b.w1, b.w2, b.c_ab,
-             ln((CAST(b.c_ab AS DOUBLE) * t.n) /
-                (CAST(u1.c AS DOUBLE) * u2.c)) AS pmi
-      FROM big b
-      JOIN uni u1 ON u1.word = b.w1
-      JOIN uni u2 ON u2.word = b.w2
-      CROSS JOIN tot t
-      WHERE b.c_ab >= 5
-    )
-    SELECT w1, w2, CAST(c_ab AS BIGINT) AS c_ab, round(pmi, 6) AS pmi
-    FROM (SELECT *, row_number() OVER (
-            ORDER BY round(pmi, 9) DESC, w1, w2) AS r FROM pmi)
-    WHERE r <= 20
-    """,
-)
-def corpus_pmi_bigrams(spark, sf_dir):
-    """Pointwise mutual information over adjacent word pairs — the
-    collocation detector (ln(P(ab) / P(a)P(b))) a corpus pipeline uses
-    to find multi-word expressions worth merging before tokenization.
-    Counts come from TWO grouped aggregations (bigrams via one lag
-    zip — no self-join of the corpus); unigram counts join the bigram
-    table AQE-broadcast (vocab-sized both sides), min-count floor 5
-    kills noise, global top-20 by quantized PMI is a
-    TakeOrderedAndProject (per-partition heaps, no global sort)."""
-    d = _t(spark, sf_dir, "documents")["documents"]
-    ws = d.select(
-        "doc_id",
-        F.expr(
-            "filter(split(regexp_replace(lower(text), '[^a-z ]', ' '), "
-            "'\\\\s+'), w -> w <> '')"
-        ).alias("ws"),
-    )
-    toks = ws.select(
-        F.explode(
-            F.expr(
-                "transform(slice(ws, 1, size(ws) - 1), "
-                "(w, i) -> struct(w as w1, ws[i + 1] as w2))"
-            )
-        ).alias("bg")
-    ).select("bg.w1", "bg.w2")
-    uni = ws.select(F.explode("ws").alias("word")).groupBy("word").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    total = uni.agg(F.sum("c")).head()[0]
-    big = toks.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
-    pmi = (
-        big.filter(F.col("c_ab") >= 5)
-        .join(uni.select(F.col("word").alias("w1"), F.col("c").alias("c1")), "w1")
-        .join(uni.select(F.col("word").alias("w2"), F.col("c").alias("c2")), "w2")
-        .select(
-            "w1", "w2", "c_ab",
-            F.log(
-                (F.col("c_ab").cast("double") * F.lit(float(total)))
-                / (F.col("c1").cast("double") * F.col("c2"))
-            ).alias("pmi"),
-        )
-    )
-    top = pmi.orderBy(
-        F.round(F.col("pmi"), 9).desc(), F.col("w1"), F.col("w2")
-    ).limit(20)
-    return top.select(
-        "w1", "w2", F.col("c_ab").cast("long").alias("c_ab"),
-        F.round("pmi", 6).alias("pmi"),
-    )
 
 
 def _pca_oracle(rounds: int = 3) -> str:

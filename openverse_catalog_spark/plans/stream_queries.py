@@ -467,15 +467,21 @@ def q_stream_quality_monitor(spark, sf_dir):
     WITH p AS (
       SELECT doc_id,
              8 + doc_id % 9 AS w, 6 + doc_id % 5 AS h,
-             CASE WHEN doc_id % 4 = 0 THEN 'bmp' ELSE 'png' END AS fmt,
+             CASE WHEN doc_id % 4 = 0 THEN 'bmp'
+                  WHEN doc_id % 4 = 2 THEN 'gif' ELSE 'png' END AS fmt,
              CASE WHEN doc_id % 4 = 0 THEN 3
+                  WHEN doc_id % 4 = 2 THEN 3
                   ELSE CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3
                        ELSE 4 END END AS ch
       FROM documents
     ),
     px AS (
+      -- gif: greyscale palette replicates the index across channels,
+      -- so the 29c term is absent for every channel
       SELECT doc_id, fmt, w, h, ch,
-             (7 * x + 13 * y + 29 * c + doc_id) % 256 AS v
+             (7 * x + 13 * y
+              + CASE WHEN fmt = 'gif' THEN 0 ELSE 29 * c END
+              + doc_id) % 256 AS v
       FROM (
         SELECT *, unnest(range(0, ch)) AS c FROM (
           SELECT *, unnest(range(0, w)) AS x FROM (

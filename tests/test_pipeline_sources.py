@@ -765,9 +765,11 @@ def test_png_bmp_wav_real_decode_roundtrip():
 
     from openverse_catalog_spark.operators.multimodal import (
         decode_bmp_pixels,
+        decode_gif_pixels,
         decode_png_pixels,
         decode_wav_samples,
         synthesize_bmp_image,
+        synthesize_gif_image,
         synthesize_png_image,
         synthesize_wav_samples,
     )
@@ -787,6 +789,11 @@ def test_png_bmp_wav_real_decode_roundtrip():
         bp = decode_bmp_pixels(synthesize_bmp_image(d, w, h))
         assert bp.shape == (h, w, 3)
         assert (bp.astype(np.int64) == pattern(d, h, w, 3)).all()
+        # GIF: real LZW decode; greyscale palette replicates the index
+        gp = decode_gif_pixels(synthesize_gif_image(d, w, h))
+        assert gp.shape == (h, w, 3)
+        assert (gp[:, :, 0].astype(np.int64) == pattern(d, h, w, 1)[:, :, 0]).all()
+        assert (gp[:, :, 1] == gp[:, :, 0]).all()
         n = 120 + d % 50
         arr = decode_wav_samples(synthesize_wav_samples(d, 8000, n))
         assert arr.shape == (n, 1)
@@ -809,4 +816,10 @@ def test_png_bmp_wav_real_decode_roundtrip():
     assert decode_png_pixels(b"\x89PNG\r\n\x1a\n" + b"junk") is None
     assert decode_png_pixels(b"") is None
     assert decode_bmp_pixels(b"BM\x00\x00") is None
+    assert decode_gif_pixels(b"GIF89a") is None
+    # a BIG gif forces LZW code-size growth AND a dictionary reset
+    big = decode_gif_pixels(synthesize_gif_image(3, 200, 150))
+    assert big.shape == (150, 200, 3)
+    yy, xx = np.meshgrid(np.arange(150), np.arange(200), indexing="ij")
+    assert (big[:, :, 0].astype(np.int64) == (7 * xx + 13 * yy + 3) % 256).all()
     assert decode_wav_samples(b"RIFF\x00\x00\x00\x00WAVE") is None
