@@ -289,7 +289,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
                          JOIN norms nb ON nb.vec_id = neighbor_id),
     ranked AS (SELECT query_id, neighbor_id, cosine,
                       row_number() OVER (PARTITION BY query_id
-                                         ORDER BY {rank_key} DESC, neighbor_id) AS rank
+                                         ORDER BY cosine DESC, neighbor_id) AS rank
                FROM scored)
     SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
     FROM ranked WHERE rank <= 3
@@ -566,7 +566,7 @@ def _ivf_oracle(
                          JOIN norms nb ON nb.vec_id = cdot.neighbor_id),
     ranked AS (SELECT query_id, neighbor_id, cosine,
                       row_number() OVER (PARTITION BY query_id
-                                         ORDER BY cosine DESC, neighbor_id) AS rank
+                                         ORDER BY {rank_key} DESC, neighbor_id) AS rank
                FROM scored)
     SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
     FROM ranked WHERE rank <= 3
