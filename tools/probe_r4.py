@@ -26,8 +26,8 @@ R4_PROBES = [
     ("pipeline_popularity_refresh_cdf", {"events": ["event_id", "user_id"]}),
     ("corpus_bpe_vocab", {"documents": ["doc_id"]}),
     ("corpus_bpe_encode", {"documents": ["doc_id"]}),
-    ("corpus_tfidf_topk", {"documents": ["doc_id"]}),
-    ("corpus_pmi_bigrams", {"documents": ["doc_id"]}),
+    ("search_tfidf_topk", {"documents": ["doc_id"]}),
+    ("search_pmi_bigrams", {"documents": ["doc_id"]}),
     ("knn_ivf_index_upsert", {"embeddings": ["vec_id"]}),
 ]
 
