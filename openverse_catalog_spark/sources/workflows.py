@@ -277,6 +277,7 @@ def run_workflow_spec(
     date: str = "2024-01-01",
     ingestion_limit: int | None = None,
     min_delay: float = 0.0,
+    pipeline_runner=None,
     **transports,
 ) -> dict:
     """Execute an emitted DAG spec — the minimal scheduler shim that
@@ -373,6 +374,9 @@ def run_workflow_spec(
                 table_root = _os.path.join(root, f"table_{mt}")
                 if _os.path.exists(_os.path.join(table_root, "VERSION")):
                     report[mt] = CowTable(spark, table_root).read().count()
+            if not report and "ingest_bulk" in results:
+                # bulk workflows report the pipeline's output row count
+                report[spec["media_types"][0]] = results["ingest_bulk"]["rows"]
             results[task["task_id"]] = {
                 "rows": report,
                 "message": format_load_report(
@@ -380,10 +384,21 @@ def run_workflow_spec(
                 ),
             }
         elif op == "pipeline_query":
-            raise NotImplementedError(
-                f"bulk workflow {spec['dag_id']} runs registered pipeline "
-                f"{task['pipeline']!r} via the query registry, not the shim"
-            )
+            # bulk workflows (iNaturalist) run a registered pipeline query
+            # instead of a paged fetch; the runner is injected (usually
+            # ``lambda name: queries()[name](spark, sf_dir)``) so the shim
+            # stays import-cycle-free of the query registry
+            if pipeline_runner is None:
+                raise ValueError(
+                    f"bulk workflow {spec['dag_id']} needs a "
+                    f"pipeline_runner to execute {task['pipeline']!r} "
+                    "(pass pipeline_runner=lambda name: ...)"
+                )
+            out_df = pipeline_runner(task["pipeline"])
+            results[task["task_id"]] = {
+                "pipeline": task["pipeline"],
+                "rows": out_df.count(),
+            }
         else:  # pragma: no cover - emission and shim move together
             raise ValueError(f"unknown op {op!r}")
         done.add(task["task_id"])

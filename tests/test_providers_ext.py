@@ -977,3 +977,34 @@ def test_run_workflow_reingestion_tiers(spark, tmp_path):
     )
     assert res2["summary"]["rows"] == res["summary"]["rows"]
     assert t.read().count() == 8
+
+
+def test_run_workflow_spec_executes_bulk_pipeline(spark, sf_dir, tmp_path):
+    """The iNaturalist-style BULK workflow spec is runnable too: its
+    ingest_bulk task executes the registered pipeline query through the
+    injected runner (keeping the shim import-cycle-free of the
+    registry), and the report carries the pipeline's row count."""
+    import __spark_entry__ as em
+    from openverse_catalog_spark.sources.workflows import (
+        get_workflow,
+        run_workflow_spec,
+        workflow_dag_spec,
+    )
+
+    spec = workflow_dag_spec(get_workflow("inaturalist_workflow"))
+    assert [t["task_id"] for t in spec["tasks"]] == ["ingest_bulk", "report"]
+    res = run_workflow_spec(
+        spark, spec, fetch_fn=None, root=str(tmp_path / "wf"),
+        pipeline_runner=lambda name: em.queries()[name](spark, sf_dir),
+    )
+    assert res["ingest_bulk"]["pipeline"] == "pipeline_inaturalist_bulk"
+    assert res["ingest_bulk"]["rows"] > 0
+    assert res["report"]["rows"] == {"image": res["ingest_bulk"]["rows"]}
+
+    # without a runner the bulk task refuses with guidance
+    import pytest
+
+    with pytest.raises(ValueError, match="pipeline_runner"):
+        run_workflow_spec(
+            spark, spec, fetch_fn=None, root=str(tmp_path / "wf2")
+        )
