@@ -590,6 +590,24 @@ class CowTable:
                 f"{from_version}..{to_version}"
             )
         parts = []
+        for v in range(from_version, to_version + 1):
+            # check DISK, not the resolution cache: a vacuumed version's
+            # manifest may still be cached on this handle while its data
+            # files are already deleted — serving it would build a plan
+            # over missing parquet
+            if not (
+                os.path.exists(f"{self.root}/manifests/v{v}.json")
+                or os.path.exists(
+                    f"{self.root}/manifests/v{v}.checkpoint.json"
+                )
+            ):
+                raise ValueError(
+                    f"change feed for {self.root} needs versions "
+                    f"{from_version}..{to_version}, but version {v} has "
+                    "been vacuumed — a consumer that fell behind "
+                    "retention must full-resync from a snapshot read, "
+                    "then resume the feed from that version"
+                )
         for v in range(from_version + 1, to_version + 1):
             d = self._commit_changes(v)
             if d is not None:

@@ -1145,3 +1145,26 @@ def test_cow_compact_zorder_enables_multicol_skipping(spark, tmp_path):
     }
     want = {f for f, x, y in before if 0 <= x <= 20 and 0 <= y <= 20}
     assert got == want
+
+
+def test_cow_read_changes_past_retention_gives_clear_error(spark, tmp_path):
+    """A CDF consumer that fell behind vacuum retention gets a clear
+    resync instruction, not a bare FileNotFoundError."""
+    import pytest
+
+    t = CowTable.create(
+        spark, str(tmp_path / "tbl"), mk(spark, _base_rows()), target_files=4
+    )
+    for i in range(3):
+        t.merge(
+            mk(spark, [row(provider="met", fid=f"v{i}",
+                           url=f"http://u/v{i}", title="x")]),
+            COLS, deterministic=True,
+        )
+    # keep TWO versions: v3+v4 manifests survive, so the v3->v4 span
+    # stays servable while anything reaching back past v3 is gone
+    t.vacuum(keep_versions=2, retention_seconds=0.0)
+    with pytest.raises(ValueError, match="vacuumed"):
+        t.read_changes(1, t.version)
+    tail = t.read_changes(t.version - 1, t.version)
+    assert tail.filter(F.col("_change_type") == "insert").count() == 1
