@@ -148,6 +148,7 @@ HEADLINE = [
     "multimodal_audio_samples",
     "merge_cow_zorder",
     "embed_pca_power",
+    "merge_cow_point_lookup",
 ]
 
 

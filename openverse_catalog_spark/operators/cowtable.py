@@ -130,6 +130,92 @@ def _file_stats(
 #: resolution walk (≤ N segment reads to reconstruct any version).
 CHECKPOINT_INTERVAL = 10
 
+#: per-file bloom width (bits) for bloom_cols point-lookup skipping —
+#: 8192 bits = 1 KB/file/column in the manifest (b64 ~1.4 KB); at ~5
+#: hashes and <=1k distinct values per file the false-positive rate is
+#: well under 1%, so an absent key skips essentially every file
+BLOOM_BITS = 8192
+BLOOM_HASHES = 5
+
+
+def _bloom_point_bits(value, n_bits: int, n_hashes: int) -> list[int]:
+    """Driver-side twin of the executor bloom hashing (sketches.py
+    ``_bloom_hashes`` + ``_probe_idx``): md5 of the value's string
+    form, two 15-hex-digit halves, odd-stride double hashing. Values
+    must stringify identically to Spark's CAST(x AS STRING) — true for
+    string and integral columns (the supported bloom_cols types)."""
+    import hashlib
+
+    hex_ = hashlib.md5(str(value).encode()).hexdigest()
+    h1 = int(hex_[0:15], 16)
+    h2 = int(hex_[16:31], 16)
+    return [(h1 + i * (2 * h2 + 1)) % n_bits for i in range(n_hashes)]
+
+
+def _file_blooms(
+    spark: SparkSession,
+    dir_path: str,
+    cols: tuple[str, ...],
+    n_bits: int = BLOOM_BITS,
+    n_hashes: int = BLOOM_HASHES,
+) -> dict[str, dict[str, str]]:
+    """Per-file bloom bitmaps for ``cols`` -> {basename: {col: b64}}.
+    One pass over the directory: rows carry (file, md5 hash halves per
+    col), grouped per file (batch-sized shuffle — this runs only over a
+    commit's REWRITTEN files, never the table), bitmap built in numpy.
+    Equality lookups on high-cardinality columns (url, ids) then skip
+    files min/max cannot help with."""
+    import base64
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from openverse_catalog_spark.operators.sketches import _bloom_hashes
+
+    df = spark.read.parquet(dir_path)
+    cols = tuple(c for c in cols if c in df.columns)
+    if not cols:
+        return {}
+    sel = [F.input_file_name().alias("__file")]
+    for c in cols:
+        h1, h2 = _bloom_hashes(F.col(c))
+        sel += [h1.alias(f"__h1_{c}"), h2.alias(f"__h2_{c}")]
+    hashed = df.select(*sel)
+
+    out_schema = T.StructType(
+        [T.StructField("file", T.StringType())]
+        + [T.StructField(f"b64_{c}", T.StringType()) for c in cols]
+    )
+
+    def per_file(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        from openverse_catalog_spark.operators.sketches import _probe_idx
+
+        row = {"file": [pdf["__file"].iloc[0]]}
+        for c in cols:
+            bitmap = np.zeros(n_bits // 8, dtype="uint8")
+            idx = _probe_idx(
+                pdf[f"__h1_{c}"], pdf[f"__h2_{c}"], n_bits, n_hashes
+            ).ravel()
+            np.bitwise_or.at(
+                bitmap,
+                (idx >> np.uint64(3)).astype("int64"),
+                np.left_shift(
+                    np.uint8(1), (idx & np.uint64(7)).astype("uint8")
+                ),
+            )
+            row[f"b64_{c}"] = [base64.b64encode(bitmap.tobytes()).decode()]
+        return pd.DataFrame(row)
+
+    rows = hashed.groupBy("__file").applyInPandas(per_file, out_schema).collect()
+    return {
+        r["file"].rstrip("/").rsplit("/", 1)[-1]: {
+            c: r[f"b64_{c}"] for c in cols
+        }
+        for r in rows
+    }
+
 
 class CowTable:
     """Handle on a copy-on-write table rooted at ``root``."""
@@ -141,12 +227,16 @@ class CowTable:
         keys: tuple[str, ...] = DEFAULT_MERGE_KEYS,
         checkpoint_interval: int = CHECKPOINT_INTERVAL,
         stats_cols: tuple[str, ...] | None = None,
+        bloom_cols: tuple[str, ...] | None = None,
     ):
         self.spark = spark
         self.root = root.rstrip("/")
         self.keys = tuple(keys)
         self.checkpoint_interval = max(1, int(checkpoint_interval))
         self._stats_cols = tuple(stats_cols) if stats_cols is not None else None
+        self._bloom_cols = (
+            tuple(bloom_cols) if bloom_cols is not None else None
+        )
         # resolved manifests are immutable once committed — cache per
         # handle so repeated reads/segment-chain walks don't re-parse
         self._resolved: dict[int, dict] = {}
@@ -165,6 +255,35 @@ class CowTable:
             return ()
         return self._stats_cols
 
+    @property
+    def bloom_cols(self) -> tuple[str, ...]:
+        """Point-lookup bloom columns (table property, like
+        stats_cols): every commit builds a per-file bloom bitmap for
+        each, and equality reads skip files whose bloom rules the value
+        out. Use for high-cardinality string/integral columns (url,
+        ids) where min/max ranges are too wide to prune."""
+        if self._bloom_cols is not None:
+            return self._bloom_cols
+        try:
+            self._bloom_cols = tuple(self._manifest().get("bloom_cols") or ())
+        except FileNotFoundError:
+            return ()
+        return self._bloom_cols
+
+    def _collect_entries(self, data_dir: str, rel_dir: str) -> list[dict]:
+        """Stats + blooms for a freshly-written data directory — the
+        one manifest-entry builder every commit path uses."""
+        entries = _file_stats(
+            self.spark, data_dir, self.keys, rel_dir, self.stats_cols
+        )
+        if self.bloom_cols:
+            blooms = _file_blooms(self.spark, data_dir, self.bloom_cols)
+            for e in entries:
+                basename = e["path"].rsplit("/", 1)[-1]
+                if basename in blooms:
+                    e["bloom"] = blooms[basename]
+        return entries
+
     # -- bootstrap ----------------------------------------------------------
 
     @classmethod
@@ -176,6 +295,7 @@ class CowTable:
         keys: tuple[str, ...] = DEFAULT_MERGE_KEYS,
         target_files: int = 8,
         stats_cols: tuple[str, ...] = (),
+        bloom_cols: tuple[str, ...] = (),
     ) -> "CowTable":
         """Initialize version 1: range-cluster the data on the merge key
         (so per-file key ranges are tight and file skipping bites) and
@@ -183,7 +303,10 @@ class CowTable:
         every commit collects per-file min/max/null stats for them, and
         ``read_where`` uses those stats to skip files — Delta-style
         data skipping for numeric/string predicate columns."""
-        t = cls(spark, root, keys, stats_cols=tuple(stats_cols))
+        t = cls(
+            spark, root, keys,
+            stats_cols=tuple(stats_cols), bloom_cols=tuple(bloom_cols),
+        )
         os.makedirs(f"{t.root}/manifests", exist_ok=True)
         entries: list[dict] = []
         if df.head(1):
@@ -191,9 +314,7 @@ class CowTable:
             df.repartitionByRange(target_files, *[F.col(k) for k in keys]).write.mode(
                 "error"
             ).parquet(data_dir)
-            entries = _file_stats(
-                spark, data_dir, t.keys, "data/v1", t.stats_cols
-            )
+            entries = t._collect_entries(data_dir, "data/v1")
         # an EMPTY create initializes a zero-file snapshot (the schema in
         # the manifest keeps it readable) — the streaming-ingest path
         # starts from this and lets micro-batch merges populate it
@@ -310,6 +431,7 @@ class CowTable:
             "committed_at": time.time(),
             "keys": list(self.keys),
             "stats_cols": list(self.stats_cols),
+            "bloom_cols": list(self.bloom_cols),
             "schema": schema_json,
             "rows": sum(e["rows"] for e in entries),
         }
@@ -487,31 +609,51 @@ class CowTable:
 
     def read_where(
         self,
-        ranges: dict[str, tuple],
+        ranges: dict,
         version: int | None = None,
     ) -> DataFrame:
-        """DATA-SKIPPING read: ``ranges`` maps stat columns to
-        ``(lo, hi)`` bounds (either side None = unbounded); files whose
-        recorded min/max for ANY constrained column cannot intersect
-        the asked-for range never enter the scan's file index — the
-        Delta data-skipping contract generalized beyond the merge key.
-        Result stays EXACT regardless of pruning: the real predicate is
-        re-applied as a residual filter.
+        """DATA-SKIPPING read: ``ranges`` maps constrained columns to
+        either ``(lo, hi)`` bounds (either side None = unbounded) or a
+        SCALAR for equality. Files whose recorded min/max for ANY
+        constrained column cannot intersect the constraint never enter
+        the scan's file index — the Delta data-skipping contract
+        generalized beyond the merge key. Equality constraints on
+        ``bloom_cols`` columns additionally consult the per-file bloom
+        bitmap: a point lookup on a high-cardinality column (url, id)
+        skips every file whose bloom rules the value out, which min/max
+        ranges cannot do. Result stays EXACT regardless of pruning: the
+        real predicate is re-applied as a residual filter.
 
-        Files with no stats for a constrained column (pre-stats
+        Files with no stats/bloom for a constrained column (pre-stats
         history, or a column added later) are kept conservatively; NULL
-        rows never match a range predicate (SQL semantics), so a file
-        of all-NULL values (min/max None) is safely skippable."""
+        rows never match a range or equality predicate (SQL semantics),
+        so a file of all-NULL values (min/max None) is safely
+        skippable."""
         m = self._manifest(version)
+        bloom_cols = set(m.get("bloom_cols") or [])
+        norm: dict[str, tuple] = {}
+        eq_probe: dict[str, list[int]] = {}
+        for c, bound in ranges.items():
+            if isinstance(bound, tuple):
+                norm[c] = bound
+            else:  # scalar = equality
+                norm[c] = (bound, bound)
+                if c in bloom_cols and bound is not None:
+                    eq_probe[c] = _bloom_point_bits(
+                        bound, BLOOM_BITS, BLOOM_HASHES
+                    )
         missing = [
-            c for c in ranges
-            if c not in (m.get("stats_cols") or []) and c not in self.keys
+            c for c in norm
+            if c not in (m.get("stats_cols") or [])
+            and c not in self.keys
+            and c not in bloom_cols
         ]
         if missing:
             raise ValueError(
                 f"no data-skipping stats for columns {missing}; create "
-                f"the table with stats_cols=... (have: "
-                f"{m.get('stats_cols')}, keys: {list(self.keys)})"
+                f"the table with stats_cols=... / bloom_cols=... (have: "
+                f"{m.get('stats_cols')} / {sorted(bloom_cols)}, keys: "
+                f"{list(self.keys)})"
             )
 
         def entry_bounds(e, c):
@@ -522,20 +664,33 @@ class CowTable:
                 return (), ()  # sentinel: no stats -> keep
             return st.get("min"), st.get("max")
 
+        def bloom_rules_out(e, c) -> bool:
+            import base64
+
+            b64 = (e.get("bloom") or {}).get(c)
+            if b64 is None:
+                return False  # no bloom recorded: conservative keep
+            bits = base64.b64decode(b64)
+            return any(
+                not (bits[i >> 3] >> (i & 7)) & 1 for i in eq_probe[c]
+            )
+
         paths = []
         for e in m["files"]:
             keep = True
-            for c, (lo, hi) in ranges.items():
+            for c, (lo, hi) in norm.items():
                 fmin, fmax = entry_bounds(e, c)
                 if fmin == () and fmax == ():
-                    continue  # conservative
-                if fmin is None and fmax is None:
-                    keep = False  # all-NULL file: range can't match
+                    pass  # no stats: range can't prune, bloom still may
+                elif fmin is None and fmax is None:
+                    keep = False  # all-NULL file: predicate can't match
                     break
-                if lo is not None and fmax is not None and fmax < lo:
+                elif (
+                    lo is not None and fmax is not None and fmax < lo
+                ) or (hi is not None and fmin is not None and fmin > hi):
                     keep = False
                     break
-                if hi is not None and fmin is not None and fmin > hi:
+                if c in eq_probe and bloom_rules_out(e, c):
                     keep = False
                     break
             if keep:
@@ -547,11 +702,14 @@ class CowTable:
         if schema is not None:
             reader = reader.schema(schema)
         df = reader.parquet(*paths)
-        for c, (lo, hi) in ranges.items():
-            if lo is not None:
-                df = df.filter(F.col(c) >= lo)
-            if hi is not None:
-                df = df.filter(F.col(c) <= hi)
+        for c, (lo, hi) in norm.items():
+            if lo is not None and lo == hi:
+                df = df.filter(F.col(c) == lo)
+            else:
+                if lo is not None:
+                    df = df.filter(F.col(c) >= lo)
+                if hi is not None:
+                    df = df.filter(F.col(c) <= hi)
         return df
 
     # -- change data feed ---------------------------------------------------
@@ -959,9 +1117,7 @@ class CowTable:
         merged.repartitionByRange(
             target_files, *[F.col(k) for k in keys]
         ).write.mode("error").parquet(data_dir)
-        new_entries = _file_stats(
-            self.spark, data_dir, keys, rel_dir, self.stats_cols
-        )
+        new_entries = self._collect_entries(data_dir, rel_dir)
         if pre_commit_hook is not None:
             pre_commit_hook()
         try:
@@ -1135,9 +1291,7 @@ class CowTable:
             out.repartitionByRange(
                 target_files, *[F.col(k) for k in self.keys]
             ).write.mode("error").parquet(data_dir)
-            new_entries = _file_stats(
-            self.spark, data_dir, self.keys, rel_dir, self.stats_cols
-        )
+            new_entries = self._collect_entries(data_dir, rel_dir)
         # else: a delete emptied every touched file — the commit simply
         # drops them (no part-less directory to stat)
         if pre_commit_hook is not None:
@@ -1270,9 +1424,7 @@ class CowTable:
             df.repartitionByRange(
                 n_files, *[F.col(k) for k in self.keys]
             ).write.mode("error").parquet(data_dir)
-        new_entries = _file_stats(
-            self.spark, data_dir, self.keys, rel_dir, self.stats_cols
-        )
+        new_entries = self._collect_entries(data_dir, rel_dir)
         if pre_commit_hook is not None:
             pre_commit_hook()
         try:

@@ -1584,3 +1584,50 @@ def merge_cow_zorder(spark, sf_dir):
     assert n_files >= 4
     assert len(out.inputFiles()) < n_files, "z-order skip must bite"
     return out.select("provider", "foreign_identifier", "x", "y")
+
+
+@register(
+    "merge_cow_point_lookup",
+    """
+    SELECT 'p' AS provider,
+           'f' || lpad(CAST(c_custkey AS VARCHAR), 7, '0')
+             AS foreign_identifier,
+           'http://m/' || CAST(c_custkey AS VARCHAR) AS url
+    FROM customer WHERE c_custkey = 42
+    """,
+)
+def merge_cow_point_lookup(spark, sf_dir):
+    """POINT-LOOKUP data skipping via per-file BLOOM bitmaps
+    (bloom_cols — the manifest-level analog of parquet bloom filters):
+    equality on a high-cardinality column min/max cannot prune (urls
+    are uncorrelated with the key clustering) consults each file's
+    bloom; the present url reads a strict subset of files, an absent
+    url reads NONE (no false negatives by construction; at this
+    bits-per-key the fp rate makes full skips typical). The oracle is
+    the plain equality select — skipping is physical."""
+    import os
+    import shutil
+    import tempfile
+
+    from openverse_catalog_spark.operators.cowtable import CowTable
+
+    c = _t(spark, sf_dir, "customer")["customer"]
+    k = F.col("c_custkey")
+    target = c.select(
+        F.lit("p").alias("provider"),
+        F.concat(
+            F.lit("f"), F.lpad(k.cast("string"), 7, "0")
+        ).alias("foreign_identifier"),
+        F.concat(F.lit("http://m/"), k.cast("string")).alias("url"),
+    )
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_cow_point")
+    shutil.rmtree(root, ignore_errors=True)
+    t = CowTable.create(
+        spark, root, target, target_files=8, bloom_cols=("url",)
+    )
+    n_all = len(t._manifest()["files"])
+    hit = t.read_where({"url": "http://m/42"})
+    assert len(hit.inputFiles()) < n_all, "bloom skip must bite"
+    miss = t.read_where({"url": "http://nowhere.example/x"})
+    assert len(miss.inputFiles()) == 0 and miss.count() == 0
+    return hit.select("provider", "foreign_identifier", "url")

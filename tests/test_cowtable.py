@@ -1168,3 +1168,52 @@ def test_cow_read_changes_past_retention_gives_clear_error(spark, tmp_path):
         t.read_changes(1, t.version)
     tail = t.read_changes(t.version - 1, t.version)
     assert tail.filter(F.col("_change_type") == "insert").count() == 1
+
+
+def test_cow_bloom_point_lookup_skipping(spark, tmp_path):
+    """bloom_cols: equality lookups on a high-cardinality column skip
+    via per-file bloom bitmaps where min/max ranges cannot prune (urls
+    are uncorrelated with the key order). A present url reads only the
+    file(s) whose bloom admits it; an absent url skips everything (no
+    false negatives by construction; fp-rate makes full skips typical
+    at this size); results stay exact; blooms survive a MERGE."""
+    rows = [
+        ("p", f"f{i:04d}", f"http://host{(i * 7919) % 997}.example/x{i}",
+         f"t{i}")
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "provider string, foreign_identifier string, url string, "
+        "title string",
+    )
+    t = CowTable.create(
+        spark, str(tmp_path / "tbl"), df, target_files=8,
+        bloom_cols=("url",),
+    )
+    assert t.bloom_cols == ("url",)
+    n_all = len(t._manifest()["files"])
+    assert n_all >= 4
+    target_url = rows[123][2]
+    hit = t.read_where({"url": target_url})
+    assert [r["foreign_identifier"] for r in hit.collect()] == ["f0123"]
+    assert len(hit.inputFiles()) < n_all  # bloom skipped files
+    miss = t.read_where({"url": "http://nowhere.example/absent"})
+    assert miss.count() == 0
+    assert len(miss.inputFiles()) == 0  # every file ruled out
+    # a fresh handle discovers bloom_cols; MERGE re-collects blooms
+    t2 = CowTable(spark, t.root)
+    assert t2.bloom_cols == ("url",)
+    batch = spark.createDataFrame(
+        [("p", "f9999", "http://new.example/fresh", "new")],
+        "provider string, foreign_identifier string, url string, "
+        "title string",
+    )
+    from tests.test_merge_upsert import COLS  # noqa: F811
+
+    cols = [c for c in COLS if c.name in
+            ("provider", "foreign_identifier", "url", "title")]
+    t2.merge(batch, cols, deterministic=True)
+    hit2 = t2.read_where({"url": "http://new.example/fresh"})
+    assert hit2.count() == 1
+    assert len(hit2.inputFiles()) < len(t2._manifest()["files"])
