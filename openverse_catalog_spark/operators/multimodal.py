@@ -682,18 +682,19 @@ def extract_video_header_metadata(df: DataFrame) -> DataFrame:
 # honest NotImplementedError.
 
 
-def synthesize_png_image(
-    doc_id: int, width: int, height: int, channels: int = 3
-) -> bytes:
-    """A COMPLETE valid PNG (8-bit grey/RGB/RGBA, non-interlaced):
-    deterministic pixel pattern v = (7x + 13y + 29c + doc_id) % 256,
-    scanlines filtered with the row-cycling filter type y % 5 — so a
-    decoder must implement ALL FIVE PNG filters (None/Sub/Up/Average/
-    Paeth) to round-trip. The encode side of decode_png_pixels."""
+def encode_png_pixels(arr) -> bytes:
+    """REAL PNG encoder for an arbitrary (h, w, channels) uint8 array
+    (channels in {1, 3, 4}): zlib-compressed IDAT whose scanlines cycle
+    through all five PNG filters (y % 5) — so decode_png_pixels must
+    implement every filter to round-trip ANY content (the property
+    tests feed it random arrays)."""
     import struct
     import zlib
 
     import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    height, width, channels = arr.shape
 
     def chunk(typ: bytes, payload: bytes) -> bytes:
         return (
@@ -705,12 +706,10 @@ def synthesize_png_image(
 
     colortype = {1: 0, 3: 2, 4: 6}[channels]
     ihdr = struct.pack(">IIBBBBB", width, height, 8, colortype, 0, 0, 0)
-    xs = np.arange(width)[:, None] * 7
-    cs = np.arange(channels)[None, :] * 29
     raw = bytearray()
     prev = np.zeros(width * channels, dtype=np.int32)
     for y in range(height):
-        row = ((xs + cs + 13 * y + doc_id) % 256).reshape(-1)
+        row = arr[y].astype(np.int32).reshape(-1)
         f = y % 5
         raw.append(f)
         if f == 0:
@@ -740,6 +739,21 @@ def synthesize_png_image(
         + chunk(b"IDAT", idat)
         + chunk(b"IEND", b"")
     )
+
+
+def synthesize_png_image(
+    doc_id: int, width: int, height: int, channels: int = 3
+) -> bytes:
+    """A COMPLETE valid PNG with the deterministic pixel pattern
+    v = (7x + 13y + 29c + doc_id) % 256 — encode_png_pixels over the
+    pattern (the oracle recomputes it arithmetically)."""
+    import numpy as np
+
+    y, x, ch = np.meshgrid(
+        np.arange(height), np.arange(width), np.arange(channels),
+        indexing="ij",
+    )
+    return encode_png_pixels((7 * x + 13 * y + 29 * ch + doc_id) % 256)
 
 
 def decode_png_pixels(b: bytes):
@@ -1063,23 +1077,22 @@ def attach_decodable_audio_payload(df: DataFrame) -> DataFrame:
     )
 
 
-def synthesize_gif_image(doc_id: int, width: int, height: int) -> bytes:
-    """A COMPLETE valid GIF89a: global 256-entry greyscale palette,
-    one image descriptor, and LZW-compressed pixel data — encoded with
-    a REAL (if simple) LZW writer: fixed 8-bit-rooted codes, a CLEAR
-    emitted whenever the dictionary would pass 12 bits (so the decoder
-    must handle code-size growth AND dictionary resets). Pixel pattern:
-    v = (7x + 13y + doc_id) % 256 (palette index == grey value)."""
+def encode_gif_pixels(idx, palette) -> bytes:
+    """REAL GIF89a encoder for an arbitrary (h, w) uint8 index array +
+    (256, 3) palette: LZW-compressed pixel data (fixed 8-bit-rooted
+    codes, a CLEAR emitted whenever the dictionary would pass 12 bits —
+    so the decoder must handle code-size growth AND dictionary
+    resets)."""
     import struct
 
-    palette = bytes(
-        v for i in range(256) for v in (i, i, i)
-    )
-    pixels = bytes(
-        (7 * x + 13 * y + doc_id) % 256
-        for y in range(height)
-        for x in range(width)
-    )
+    import numpy as np
+
+    idx = np.asarray(idx, dtype=np.uint8)
+    height, width = idx.shape
+    pal = np.asarray(palette, dtype=np.uint8)
+    assert pal.shape == (256, 3)
+    palette = pal.tobytes()
+    pixels = idx.tobytes()
     min_code = 8
     clear, eoi = 1 << min_code, (1 << min_code) + 1
 
@@ -1135,6 +1148,18 @@ def synthesize_gif_image(doc_id: int, width: int, height: int) -> bytes:
         + bytes(blocks)
         + b"\x3b"
     )
+
+
+def synthesize_gif_image(doc_id: int, width: int, height: int) -> bytes:
+    """A COMPLETE valid GIF89a with a greyscale palette and the
+    deterministic pattern v = (7x + 13y + doc_id) % 256 (palette index
+    == grey value) — encode_gif_pixels over the pattern."""
+    import numpy as np
+
+    y, x = np.meshgrid(np.arange(height), np.arange(width), indexing="ij")
+    idx = ((7 * x + 13 * y + doc_id) % 256).astype(np.uint8)
+    pal = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
+    return encode_gif_pixels(idx, pal)
 
 
 def decode_gif_pixels(b: bytes):

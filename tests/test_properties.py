@@ -138,3 +138,100 @@ def test_containment_bounded_and_symmetric_domain(spark, texts):
     for r in out:
         assert r["id_a"] < r["id_b"]
         assert 0.0 < r["containment"] <= 1.0
+
+
+# --- media codec round-trips over ARBITRARY content -------------------------
+# pure Python/numpy (no Spark per example), so examples can be generous
+
+_codec_settings = settings(max_examples=40, deadline=None)
+
+
+@given(
+    data=st.data(),
+    width=st.integers(1, 40),
+    height=st.integers(1, 24),
+    channels=st.sampled_from([1, 3, 4]),
+)
+@_codec_settings
+def test_png_roundtrip_arbitrary_content(data, width, height, channels):
+    """encode_png_pixels -> decode_png_pixels is the identity for ANY
+    8-bit content and shape — all five scanline filters are exercised
+    (they cycle per row) against adversarial rather than patterned
+    pixels."""
+    import numpy as np
+
+    from openverse_catalog_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png_pixels,
+    )
+
+    seed = data.draw(st.integers(0, 2**32 - 1))
+    arr = np.random.RandomState(seed).randint(
+        0, 256, (height, width, channels), dtype=np.uint8
+    )
+    out = decode_png_pixels(encode_png_pixels(arr))
+    assert out is not None and out.shape == arr.shape
+    assert (out == arr).all()
+
+
+@given(
+    data=st.data(),
+    width=st.integers(1, 64),
+    height=st.integers(1, 32),
+)
+@_codec_settings
+def test_gif_lzw_roundtrip_arbitrary_content(data, width, height):
+    """encode_gif_pixels -> decode_gif_pixels is the identity for ANY
+    index content — random indices defeat LZW dictionary reuse and
+    repetitive ones stress code-size growth / CLEAR resets; both paths
+    must reproduce every index through the palette."""
+    import numpy as np
+
+    from openverse_catalog_spark.operators.multimodal import (
+        decode_gif_pixels,
+        encode_gif_pixels,
+    )
+
+    seed = data.draw(st.integers(0, 2**32 - 1))
+    rng = np.random.RandomState(seed)
+    if data.draw(st.booleans()):
+        idx = rng.randint(0, 256, (height, width)).astype(np.uint8)
+    else:  # low-entropy: long runs -> dictionary growth + resets
+        idx = rng.randint(0, 3, (height, width)).astype(np.uint8)
+    pal = rng.randint(0, 256, (256, 3)).astype(np.uint8)
+    out = decode_gif_pixels(encode_gif_pixels(idx, pal))
+    assert out is not None and out.shape == (height, width, 3)
+    assert (out == pal[idx]).all()
+
+
+@given(
+    data=st.data(),
+    n=st.integers(1, 500),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+@_codec_settings
+def test_wav_roundtrip_arbitrary_samples(data, n, rate):
+    import numpy as np
+
+    from openverse_catalog_spark.operators.multimodal import (
+        decode_wav_samples,
+        synthesize_wav_samples,
+    )
+
+    # synthesize_wav_samples is pattern-based; build an arbitrary-data
+    # WAV through the same chunk layout by splicing random PCM in
+    import struct
+
+    seed = data.draw(st.integers(0, 2**32 - 1))
+    samples = np.random.RandomState(seed).randint(
+        -32768, 32768, n
+    ).astype("<i2")
+    body = samples.tobytes()
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+    wav = (
+        b"RIFF" + struct.pack("<I", 4 + len(fmt) + 8 + len(body))
+        + b"WAVE" + fmt + b"data" + struct.pack("<I", len(body)) + body
+    )
+    out = decode_wav_samples(wav)
+    assert out is not None and out.shape == (n, 1)
+    assert (out[:, 0] == samples).all()
