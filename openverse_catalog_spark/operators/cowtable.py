@@ -130,12 +130,47 @@ def _file_stats(
 #: resolution walk (≤ N segment reads to reconstruct any version).
 CHECKPOINT_INTERVAL = 10
 
-#: per-file bloom width (bits) for bloom_cols point-lookup skipping —
-#: 8192 bits = 1 KB/file/column in the manifest (b64 ~1.4 KB); at ~5
-#: hashes and <=1k distinct values per file the false-positive rate is
-#: well under 1%, so an absent key skips essentially every file
-BLOOM_BITS = 8192
+#: per-file bloom sizing for bloom_cols point-lookup skipping: bitmaps
+#: are sized from the FILE'S row count (~10 bits/row at 5 hashes ->
+#: ~1% false-positive per file), bounded below (tiny files) and above
+#: (a compacted 1M-row file gets the 1 Mbit cap = 128 KB raw). A bitmap
+#: that still ends up more than half full (rows far beyond the cap)
+#: prunes essentially nothing and is NOT stored — it would only bloat
+#: every checkpoint. Each manifest bloom entry records its own
+#: bits/hashes so readers probe with the build-time geometry.
+BLOOM_BITS_PER_ROW = 10
+BLOOM_MIN_BITS = 1024
+BLOOM_MAX_BITS = 1 << 20
 BLOOM_HASHES = 5
+#: geometry of manifests written before per-file sizing (legacy
+#: entries store a bare b64 string instead of {b64, bits, hashes})
+BLOOM_BITS = 8192
+
+#: Spark types whose CAST(x AS STRING) matches Python ``str(value)``
+#: — the precondition for driver-side bloom probes to hash like the
+#: executor-side build. Booleans ('True' vs 'true'), floats ('1e-07'
+#: vs '1.0E-7') and binary do NOT, so they are rejected as bloom_cols.
+_BLOOM_TYPES = ("string", "byte", "short", "int", "integer", "long", "bigint")
+
+
+def _check_bloom_types(schema, cols: tuple[str, ...]) -> None:
+    """bloom_cols must stringify identically on driver and executor —
+    validate at create/commit time so a boolean/float/binary column
+    can never silently make every probe hash differently than the
+    build (which would rule out every file holding the value: WRONG
+    results, not just lost pruning)."""
+    by_name = {f.name: f.dataType.simpleString() for f in schema.fields}
+    bad = [
+        c for c in cols
+        if c in by_name and by_name[c] not in _BLOOM_TYPES
+    ]
+    if bad:
+        raise TypeError(
+            f"bloom_cols {bad} have non-string/integral types "
+            f"({[by_name[c] for c in bad]}); bloom probes hash str(value) "
+            "which only matches CAST(x AS STRING) for string/integral "
+            "columns — use stats_cols range skipping for other types"
+        )
 
 
 def _bloom_point_bits(value, n_bits: int, n_hashes: int) -> list[int]:
@@ -156,15 +191,19 @@ def _file_blooms(
     spark: SparkSession,
     dir_path: str,
     cols: tuple[str, ...],
-    n_bits: int = BLOOM_BITS,
     n_hashes: int = BLOOM_HASHES,
-) -> dict[str, dict[str, str]]:
-    """Per-file bloom bitmaps for ``cols`` -> {basename: {col: b64}}.
+) -> dict[str, dict[str, dict]]:
+    """Per-file bloom bitmaps for ``cols`` ->
+    ``{basename: {col: {"b64":..., "bits":..., "hashes":...}}}``.
     One pass over the directory: rows carry (file, md5 hash halves per
     col), grouped per file (batch-sized shuffle — this runs only over a
-    commit's REWRITTEN files, never the table), bitmap built in numpy.
-    Equality lookups on high-cardinality columns (url, ids) then skip
-    files min/max cannot help with."""
+    commit's REWRITTEN files, never the table), bitmap built in numpy
+    and SIZED from that file's row count (~BLOOM_BITS_PER_ROW bits/row,
+    capped at BLOOM_MAX_BITS). A bitmap left more than half full by the
+    cap would prune ~nothing — it is dropped rather than stored, so
+    saturated filters never bloat the manifest/checkpoints. Equality
+    lookups on high-cardinality columns (url, ids) then skip files
+    min/max cannot help with."""
     import base64
 
     import pandas as pd
@@ -173,6 +212,7 @@ def _file_blooms(
     from openverse_catalog_spark.operators.sketches import _bloom_hashes
 
     df = spark.read.parquet(dir_path)
+    _check_bloom_types(df.schema, cols)
     cols = tuple(c for c in cols if c in df.columns)
     if not cols:
         return {}
@@ -188,10 +228,16 @@ def _file_blooms(
     )
 
     def per_file(pdf: pd.DataFrame) -> pd.DataFrame:
+        import json as _json
+
         import numpy as np
 
         from openverse_catalog_spark.operators.sketches import _probe_idx
 
+        n_bits = min(
+            max(BLOOM_MIN_BITS, -(-len(pdf) * BLOOM_BITS_PER_ROW // 64) * 64),
+            BLOOM_MAX_BITS,
+        )
         row = {"file": [pdf["__file"].iloc[0]]}
         for c in cols:
             bitmap = np.zeros(n_bits // 8, dtype="uint8")
@@ -205,16 +251,32 @@ def _file_blooms(
                     np.uint8(1), (idx & np.uint64(7)).astype("uint8")
                 ),
             )
-            row[f"b64_{c}"] = [base64.b64encode(bitmap.tobytes()).decode()]
+            fill = int(np.unpackbits(bitmap).sum()) / n_bits
+            row[f"b64_{c}"] = [
+                None
+                if fill > 0.5  # saturated: prunes nothing, don't store
+                else _json.dumps(
+                    {
+                        "b64": base64.b64encode(bitmap.tobytes()).decode(),
+                        "bits": n_bits,
+                        "hashes": n_hashes,
+                    }
+                )
+            ]
         return pd.DataFrame(row)
 
     rows = hashed.groupBy("__file").applyInPandas(per_file, out_schema).collect()
-    return {
-        r["file"].rstrip("/").rsplit("/", 1)[-1]: {
-            c: r[f"b64_{c}"] for c in cols
+    out: dict[str, dict[str, dict]] = {}
+    for r in rows:
+        base = r["file"].rstrip("/").rsplit("/", 1)[-1]
+        per_col = {
+            c: json.loads(r[f"b64_{c}"])
+            for c in cols
+            if r[f"b64_{c}"] is not None
         }
-        for r in rows
-    }
+        if per_col:
+            out[base] = per_col
+    return out
 
 
 class CowTable:
@@ -307,6 +369,7 @@ class CowTable:
             spark, root, keys,
             stats_cols=tuple(stats_cols), bloom_cols=tuple(bloom_cols),
         )
+        _check_bloom_types(df.schema, t.bloom_cols)
         os.makedirs(f"{t.root}/manifests", exist_ok=True)
         entries: list[dict] = []
         if df.head(1):
@@ -632,16 +695,30 @@ class CowTable:
         m = self._manifest(version)
         bloom_cols = set(m.get("bloom_cols") or [])
         norm: dict[str, tuple] = {}
-        eq_probe: dict[str, list[int]] = {}
+        eq_probe: dict[str, object] = {}
         for c, bound in ranges.items():
             if isinstance(bound, tuple):
                 norm[c] = bound
             else:  # scalar = equality
-                norm[c] = (bound, bound)
-                if c in bloom_cols and bound is not None:
-                    eq_probe[c] = _bloom_point_bits(
-                        bound, BLOOM_BITS, BLOOM_HASHES
+                if bound is None:
+                    # SQL equality with NULL matches NOTHING; silently
+                    # treating an accidental None probe (a missed lookup
+                    # fed back in) as the unbounded range would return
+                    # the whole table instead
+                    raise ValueError(
+                        f"equality constraint on {c!r} is None — SQL "
+                        "NULL equality matches no row; pass the range "
+                        "(None, None) explicitly for an unbounded scan"
                     )
+                norm[c] = (bound, bound)
+                # only str/int probes hash like the executor-side build
+                # (bool is an int subclass but stringifies differently)
+                if (
+                    c in bloom_cols
+                    and isinstance(bound, (str, int))
+                    and not isinstance(bound, bool)
+                ):
+                    eq_probe[c] = bound
         missing = [
             c for c in norm
             if c not in (m.get("stats_cols") or [])
@@ -667,13 +744,16 @@ class CowTable:
         def bloom_rules_out(e, c) -> bool:
             import base64
 
-            b64 = (e.get("bloom") or {}).get(c)
-            if b64 is None:
-                return False  # no bloom recorded: conservative keep
-            bits = base64.b64decode(b64)
-            return any(
-                not (bits[i >> 3] >> (i & 7)) & 1 for i in eq_probe[c]
+            rec = (e.get("bloom") or {}).get(c)
+            if rec is None:
+                return False  # no bloom recorded (or saturated-dropped)
+            if isinstance(rec, str):  # legacy fixed-geometry entry
+                rec = {"b64": rec, "bits": BLOOM_BITS, "hashes": BLOOM_HASHES}
+            bits = base64.b64decode(rec["b64"])
+            probe = _bloom_point_bits(
+                eq_probe[c], int(rec["bits"]), int(rec["hashes"])
             )
+            return any(not (bits[i >> 3] >> (i & 7)) & 1 for i in probe)
 
         paths = []
         for e in m["files"]:
@@ -831,6 +911,19 @@ class CowTable:
         if post is None:
             post = pre.limit(0)
         keys = list(self.keys)
+        # the keyed full-outer join below must never see NULL-key rows:
+        # eqNullSafe would CROSS-match every NULL-key row in the dropped
+        # files with every NULL-key row in the added files (n×m spurious
+        # update pairs for rows that never changed). The manifests'
+        # null_keys stats say — for free — whether any diffed file can
+        # hold one; only then does the positional NULL-key diff run.
+        diffed = [e for e in m_prev["files"] if e["path"] in set(dropped)]
+        diffed += [e for e in m_cur["files"] if e["path"] in set(added)]
+        may_have_null_keys = any(
+            (e.get("null_keys") is None)
+            or any(v for v in e["null_keys"].values())
+            for e in diffed
+        )
         all_cols: list = []
         dtypes: dict = {}
         for df in (pre, post):
@@ -850,7 +943,13 @@ class CowTable:
             ]
             return df.select(*cols, F.lit(True).alias(f"{tag}_present"))
 
-        p, q = _side(pre, "__p"), _side(post, "__q")
+        keys_nn = None
+        for k in keys:
+            c = F.col(k).isNotNull()
+            keys_nn = c if keys_nn is None else keys_nn & c
+        pre_k = pre.filter(keys_nn) if may_have_null_keys else pre
+        post_k = post.filter(keys_nn) if may_have_null_keys else post
+        p, q = _side(pre_k, "__p"), _side(post_k, "__q")
         cond = None
         for k in keys:
             c = F.col(f"__p_{k}").eqNullSafe(F.col(f"__q_{k}"))
@@ -877,9 +976,41 @@ class CowTable:
         upd = j.filter(p_here & q_here & ~same)
         upd_pre = upd.select(*_img("__p", "update_preimage"))
         upd_post = upd.select(*_img("__q", "update_postimage"))
-        return inserts.unionByName(deletes).unionByName(upd_pre).unionByName(
+        out = inserts.unionByName(deletes).unionByName(upd_pre).unionByName(
             upd_post
         )
+        if may_have_null_keys:
+            # NULL-key rows can't be identity-matched by key, so diff
+            # them POSITIONALLY instead: full-row (null-safe comparable)
+            # match with a row_number tiebreaker makes carried-identical
+            # rows cancel exactly (multiset semantics); a genuinely
+            # changed NULL-key row surfaces as delete + insert — the
+            # honest change types when no key identity exists.
+            from pyspark.sql import Window
+
+            def _nside(df, tag):
+                d = _side(df.filter(~F.coalesce(keys_nn, F.lit(False))), tag)
+                w = Window.partitionBy(
+                    *[
+                        self._comparable(F.col(f"{tag}_{c}"), dtypes[c])
+                        for c in all_cols
+                    ]
+                ).orderBy(F.lit(1))
+                return d.withColumn(f"{tag}_rn", F.row_number().over(w))
+
+            a, b = _nside(pre, "__p"), _nside(post, "__q")
+            ncond = F.col("__p_rn") == F.col("__q_rn")
+            for c in all_cols:
+                ncond = ncond & self._comparable(
+                    F.col(f"__p_{c}"), dtypes[c]
+                ).eqNullSafe(self._comparable(F.col(f"__q_{c}"), dtypes[c]))
+            nj = a.join(b, ncond, "full_outer")
+            na = F.coalesce(F.col("__p_present"), F.lit(False))
+            nb = F.coalesce(F.col("__q_present"), F.lit(False))
+            out = out.unionByName(
+                nj.filter(nb & ~na).select(*_img("__q", "insert"))
+            ).unionByName(nj.filter(na & ~nb).select(*_img("__p", "delete")))
+        return out
 
     # -- merge --------------------------------------------------------------
 
@@ -1547,6 +1678,13 @@ class CowTable:
 
         now = time.time()
         current = self.version
+        # repair the pointer FIRST: repeated writer crashes in the
+        # link-to-pointer window can leave it lagging by more than one,
+        # and vacuum is about to drop the manifests between the stale
+        # pointer and the kept window — the contiguous roll-forward in
+        # ``version`` would then stop at the stale pointer, resolving
+        # the table to a vacuumed (unreadable) version
+        self._advance_pointer(current)
         keep = {current - i for i in range(keep_versions)}
         # dropping a kept version's segment chain would break its
         # resolution — materialize the oldest kept version as a

@@ -1602,9 +1602,11 @@ def merge_cow_point_lookup(spark, sf_dir):
     equality on a high-cardinality column min/max cannot prune (urls
     are uncorrelated with the key clustering) consults each file's
     bloom; the present url reads a strict subset of files, an absent
-    url reads NONE (no false negatives by construction; at this
-    bits-per-key the fp rate makes full skips typical). The oracle is
-    the plain equality select — skipping is physical."""
+    url skips every file whose bloom rules it out (no false negatives
+    by construction; bitmaps are sized ~10 bits/row so the per-file
+    false-positive rate is ~1% — a miss typically reads zero files,
+    but the assert pins only a strict subset since fp hits are legal).
+    The oracle is the plain equality select — skipping is physical."""
     import os
     import shutil
     import tempfile
@@ -1629,5 +1631,5 @@ def merge_cow_point_lookup(spark, sf_dir):
     hit = t.read_where({"url": "http://m/42"})
     assert len(hit.inputFiles()) < n_all, "bloom skip must bite"
     miss = t.read_where({"url": "http://nowhere.example/x"})
-    assert len(miss.inputFiles()) == 0 and miss.count() == 0
+    assert len(miss.inputFiles()) < n_all and miss.count() == 0
     return hit.select("provider", "foreign_identifier", "url")

@@ -1217,3 +1217,154 @@ def test_cow_bloom_point_lookup_skipping(spark, tmp_path):
     hit2 = t2.read_where({"url": "http://new.example/fresh"})
     assert hit2.count() == 1
     assert len(hit2.inputFiles()) < len(t2._manifest()["files"])
+
+
+def test_cow_bloom_scales_with_rows_and_drops_saturated(spark, tmp_path):
+    """Bitmaps are sized from each file's row count, so point-lookup
+    skipping still bites on compaction-sized files (the fixed-width
+    design saturated there); a file whose rows blow past the bit cap
+    stores NO bitmap at all (a >half-full filter prunes nothing and
+    would only bloat every checkpoint)."""
+    n = 120_000
+    df = spark.range(n).select(
+        F.lit("p").alias("provider"),
+        F.lpad(F.col("id").cast("string"), 7, "0").alias(
+            "foreign_identifier"
+        ),
+        F.concat(F.lit("http://u/"), F.col("id").cast("string")).alias(
+            "url"
+        ),
+    )
+    t = CowTable.create(
+        spark, str(tmp_path / "big"), df, target_files=4,
+        bloom_cols=("url",),
+    )
+    m = t._manifest()
+    assert all(e["rows"] >= 25_000 for e in m["files"])
+    recs = [e["bloom"]["url"] for e in m["files"]]
+    # sized ~10 bits/row, so ~30k-row files carry ~300kbit bitmaps
+    assert all(r["bits"] >= 10 * 25_000 for r in recs)
+    miss = t.read_where({"url": "http://nowhere.example/x"})
+    assert len(miss.inputFiles()) < len(m["files"])
+    hit = t.read_where({"url": "http://u/54321"})
+    assert len(hit.inputFiles()) < len(m["files"])
+    assert hit.count() == 1
+
+    # one 200k-row file exceeds the 1 Mbit cap -> >1/2 full -> dropped
+    big = spark.range(200_000).select(
+        F.lit("p").alias("provider"),
+        F.lpad(F.col("id").cast("string"), 7, "0").alias(
+            "foreign_identifier"
+        ),
+        F.concat(F.lit("http://u/"), F.col("id").cast("string")).alias(
+            "url"
+        ),
+    )
+    t2 = CowTable.create(
+        spark, str(tmp_path / "sat"), big, target_files=1,
+        bloom_cols=("url",),
+    )
+    e = t2._manifest()["files"][0]
+    assert "bloom" not in e or "url" not in e.get("bloom", {}), (
+        "saturated bitmap must not be stored"
+    )
+    # manifest bytes stay sane without the saturated bitmap
+    import os
+
+    assert os.path.getsize(f"{t2.root}/manifests/v1.json") < 64 * 1024
+    # and the read is still exact (bloom absent = conservative keep)
+    assert t2.read_where({"url": "http://u/7"}).count() == 1
+
+
+def test_cow_bloom_cols_type_validation(spark, tmp_path):
+    """bloom_cols on a type whose CAST(x AS STRING) differs from
+    Python str() (bool/double/binary) is refused at create — a silent
+    mismatch would make every probe miss files that HOLD the value."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [("p", "f1", 0.5)],
+        "provider string, foreign_identifier string, score double",
+    )
+    with pytest.raises(TypeError, match="bloom_cols"):
+        CowTable.create(
+            spark, str(tmp_path / "bad"), df, bloom_cols=("score",)
+        )
+
+
+def test_cow_read_where_none_equality_is_refused(spark, tmp_path):
+    """A scalar None constraint is an accidental NULL probe, not 'scan
+    everything': SQL equality with NULL matches nothing, so silently
+    returning the whole table would be wrong either way."""
+    import pytest
+
+    tgt = mk(spark, _base_rows())
+    t = CowTable.create(spark, str(tmp_path / "tbl"), tgt, target_files=2)
+    with pytest.raises(ValueError, match="None"):
+        t.read_where({"provider": None})
+    # the explicit unbounded range spelling still works
+    assert t.read_where({"provider": (None, None)}).count() == 40
+
+
+def test_cow_vacuum_repairs_stale_pointer_first(spark, tmp_path):
+    """Writer crashes in the link-to-pointer window can leave VERSION
+    lagging by >1; vacuum must repair it BEFORE dropping manifests
+    below the kept window, or the table resolves to a vacuumed
+    (unreadable) version."""
+    tgt = mk(spark, _base_rows())
+    t = CowTable.create(spark, str(tmp_path / "tbl"), tgt, target_files=2)
+    for i in range(3):
+        src = mk(spark, [row(provider="met", fid=f"n{i}", url=f"http://n/{i}",
+                             title=f"t{i}")])
+        t.merge(src, COLS, deterministic=True)
+    head = t.version
+    assert head == 4
+    # simulate two crashed pointer swaps: pointer stuck at 1
+    with open(f"{t.root}/VERSION", "w") as f:
+        f.write("1")
+    t.vacuum(keep_versions=1, retention_seconds=0)
+    t2 = CowTable(spark, t.root)
+    assert t2.version == head
+    assert t2.read().count() == 43
+
+
+def test_cow_read_changes_null_key_rows_no_cross_join(spark, tmp_path):
+    """A rewritten file holding 2+ distinct NULL-key rows must NOT
+    cross-join them into spurious update pairs: carried-identical
+    NULL-key rows cancel positionally, and a real NULL-key change
+    surfaces as delete + insert (no key identity exists to call it an
+    update)."""
+    rows = [
+        row(provider="met", fid=None, url="http://nk/1", title="nk-one"),
+        row(provider="met", fid=None, url="http://nk/2", title="nk-two"),
+        row(provider="met", fid=None, url="http://nk/3", title="nk-three"),
+        row(provider="met", fid="f001", url="http://u/1", title="keyed"),
+    ]
+    tgt = mk(spark, rows)
+    t = CowTable.create(spark, str(tmp_path / "tbl"), tgt, target_files=1)
+    # the batch updates the KEYED row; the single-file table forces a
+    # rewrite that carries all three NULL-key rows unchanged
+    src = mk(
+        spark, [row(provider="met", fid="f001", url="http://u/1",
+                    title="keyed-v2")]
+    )
+    t.merge(src, COLS, deterministic=True)
+    feed = t.read_changes(1).collect()
+    by_type: dict[str, list] = {}
+    for r in feed:
+        by_type.setdefault(r["_change_type"], []).append(r)
+    # exactly one logical update (the keyed row) and nothing else
+    assert len(by_type.get("update_preimage", [])) == 1
+    assert len(by_type.get("update_postimage", [])) == 1
+    assert by_type["update_postimage"][0]["title"] == "keyed-v2"
+    assert "insert" not in by_type and "delete" not in by_type
+
+    # now CHANGE one null-key row: it must appear as delete + insert
+    t.update(
+        F.col("url") == "http://nk/2",
+        {"title": F.lit("nk-two-v2")},
+    )
+    feed2 = [r for r in t.read_changes(2).collect()]
+    types = sorted(r["_change_type"] for r in feed2)
+    assert types == ["delete", "insert"]
+    assert {r["title"] for r in feed2} == {"nk-two", "nk-two-v2"}
