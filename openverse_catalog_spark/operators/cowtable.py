@@ -1021,13 +1021,10 @@ class CowTable:
         yields None stats — treat those conservatively)."""
         return tuple((v is not None, v) for v in vals)
 
-    def _affected_split(self, m: dict, source: DataFrame) -> tuple[list[dict], list[dict]]:
-        """File skipping: a data file must be rewritten only if its
-        composite-key range intersects one of the batch's per-partition
-        key boxes. The batch summary is a tiny driver-side collect (one
-        row per distinct value of keys[0] — providers, in the reference's
-        schema). Works for any key count >= 1: with one key the box is
-        the key value itself."""
+    def _batch_boxes(self, source: DataFrame) -> tuple[list, bool]:
+        """The batch's per-``keys[0]`` key boxes + whether any key
+        component is NULL — the tiny driver-side summary both the
+        affected-file split and the conflict re-link check key off."""
         k0, rest = self.keys[0], list(self.keys[1:])
         if rest:
             aggs = [
@@ -1058,32 +1055,156 @@ class CowTable:
         # files whose null_keys count is positive: route those files to
         # 'affected' whenever the batch carries a NULL key component.
         batch_has_null = any(r[k0] is None or r["has_null"] for r in grouped)
+        return boxes, batch_has_null
 
-        def file_may_hold_null_keys(e: dict) -> bool:
+    def _entry_hit(self, e: dict, boxes: list, batch_has_null: bool) -> bool:
+        """Does this file's composite-key range intersect any batch box
+        (or could it hide a NULL-key match the batch carries)?"""
+        rest = list(self.keys[1:])
+        if rest:
+            lo = self._lex(e["min"][self.keys[0]], e["min"][rest[0]])
+            hi = self._lex(e["max"][self.keys[0]], e["max"][rest[0]])
+            hit = any(
+                lo <= self._lex(p, fhi) and self._lex(p, flo) <= hi
+                for p, flo, fhi in boxes
+            )
+        else:
+            lo = self._lex(e["min"][self.keys[0]])
+            hi = self._lex(e["max"][self.keys[0]])
+            hit = any(
+                lo <= self._lex(fhi) and self._lex(flo) <= hi
+                for _, flo, fhi in boxes
+            )
+        if not hit and batch_has_null:
             nk = e.get("null_keys")
-            if nk is None:
-                return True  # pre-null-stats manifest entry: conservative
-            return any(v for v in nk.values())
+            # pre-null-stats manifest entry: conservative
+            hit = nk is None or any(v for v in nk.values())
+        return hit
 
+    def _affected_split(self, m: dict, source: DataFrame) -> tuple[list[dict], list[dict]]:
+        """File skipping: a data file must be rewritten only if its
+        composite-key range intersects one of the batch's per-partition
+        key boxes. The batch summary is a tiny driver-side collect (one
+        row per distinct value of keys[0] — providers, in the reference's
+        schema). Works for any key count >= 1: with one key the box is
+        the key value itself."""
+        boxes, batch_has_null = self._batch_boxes(source)
         affected, untouched = [], []
         for e in m["files"]:
-            if rest:
-                lo = self._lex(e["min"][k0], e["min"][rest[0]])
-                hi = self._lex(e["max"][k0], e["max"][rest[0]])
-                hit = any(
-                    lo <= self._lex(p, fhi) and self._lex(p, flo) <= hi
-                    for p, flo, fhi in boxes
-                )
-            else:
-                lo, hi = self._lex(e["min"][k0]), self._lex(e["max"][k0])
-                hit = any(
-                    lo <= self._lex(fhi) and self._lex(flo) <= hi
-                    for _, flo, fhi in boxes
-                )
-            if not hit and batch_has_null and file_may_hold_null_keys(e):
-                hit = True
+            hit = self._entry_hit(e, boxes, batch_has_null)
             (affected if hit else untouched).append(e)
         return affected, untouched
+
+    # -- logical conflict resolution -----------------------------------------
+
+    def _relink_after_conflict(
+        self,
+        base_version: int,
+        removed_paths,
+        new_entries: list[dict],
+        op: str,
+        safe_against,
+        schema_json: str | None = None,
+        max_rounds: int = 10,
+    ) -> int | None:
+        """LOGICAL conflict resolution (Delta's commit protocol): a
+        commit that lost its version slot does NOT recompute when the
+        winner's changes are provably disjoint from what it read and
+        wrote — it re-links its already-written data files onto the new
+        head as a metadata-only retry. Without this, 20 concurrent
+        provider workflows + a compactor + a popularity refresh
+        serialize through recompute storms even though they touch
+        disjoint files.
+
+        Safe iff (a) every file this attempt read+rewrote is still in
+        the head UNCHANGED (same path, same entry content — a winner
+        attaching a deletion vector counts as a change), and (b) the
+        op-specific ``safe_against(winner_added_entries,
+        winner_removed_paths)`` check accepts the winner's NET delta
+        (key-box disjointness + url-guard probe for merge; a
+        no-matching-row scan of the winner's added files for
+        update/delete; trivially true for compact, whose output is
+        data-identical). Returns the committed version, or None —
+        caller falls back to the full rebase."""
+        removed = set(removed_paths)
+        base_map = {
+            e["path"]: e for e in self._manifest(base_version)["files"]
+        }
+        for _ in range(max_rounds):
+            cur_v = self.version
+            cur = self._manifest(cur_v)
+            cur_map = {e["path"]: e for e in cur["files"]}
+            if any(
+                p not in cur_map or cur_map[p] != base_map.get(p)
+                for p in removed
+            ):
+                return None
+            winner_added = [
+                e for p, e in cur_map.items() if p not in base_map
+            ]
+            winner_removed = sorted(
+                p for p in base_map if p not in cur_map and p not in removed
+            )
+            # content changes to files NEITHER side removed also count
+            # as winner activity the safety check must see (treat a
+            # modified carried entry as remove+add of the same path)
+            for p, e in cur_map.items():
+                if p in base_map and p not in removed and e != base_map[p]:
+                    winner_added.append(e)
+                    winner_removed.append(p)
+            if not safe_against(winner_added, winner_removed):
+                return None
+            entries = [
+                e for p, e in sorted(cur_map.items()) if p not in removed
+            ] + new_entries
+            try:
+                self._commit(
+                    cur_v + 1, entries, op=op, schema_json=schema_json
+                )
+                return cur_v + 1
+            except CommitConflict:
+                continue  # yet another winner: recheck against new head
+        return None
+
+    def _merge_relink_safe(
+        self, winner_added, winner_removed, boxes, batch_has_null,
+        guarded_source,
+    ) -> bool:
+        """A lost merge may re-link iff (1) no winner-added file's key
+        range intersects the batch's boxes (else the merge should have
+        matched rows in it), and (2) when the url-conflict guard was
+        on, none of the batch's urls appear anywhere in the winner's
+        delta — added OR removed files — since the guard's verdict
+        against the winner's snapshot could then differ. Both checks
+        cost O(winner's delta), never O(table)."""
+        if any(
+            self._entry_hit(e, boxes, batch_has_null) for e in winner_added
+        ):
+            return False
+        if guarded_source is not None:
+            paths = [self._abs(e["path"]) for e in winner_added] + [
+                self._abs(p) for p in winner_removed
+            ]
+            if any(not os.path.exists(p) for p in paths):
+                return False  # delta partially vacuumed: can't prove safety
+            if paths:
+                delta_urls = self.spark.read.parquet(*paths).select("url")
+                probe = guarded_source.select("url")
+                if delta_urls.join(probe, "url", "semi").head(1):
+                    return False
+        return True
+
+    def _predicate_relink_safe(self, winner_added, condition) -> bool:
+        """A lost UPDATE/DELETE may re-link iff no row in the winner's
+        added files matches the predicate (the serialized-after-winner
+        execution would have touched them)."""
+        if not winner_added:
+            return True
+        paths = [self._abs(e["path"]) for e in winner_added]
+        if any(not os.path.exists(p) for p in paths):
+            return False
+        df = self.spark.read.parquet(*paths)
+        return not df.filter(condition).head(1)
 
     def merge(
         self,
@@ -1191,7 +1312,10 @@ class CowTable:
             rows_rejected = n_before - source.count()
         if kwargs.pop("dedupe_source_on_url", True) and "url" in source.columns:
             source = distinct_on(source, ["url"], [F.col(k) for k in keys])
-        if kwargs.pop("guard_url_conflicts", True) and "url" in source.columns:
+        guard_urls = (
+            kwargs.pop("guard_url_conflicts", True) and "url" in source.columns
+        )
+        if guard_urls:
             source = url_conflict_filter(source, self.read(m["version"]), keys)
         source = source.localCheckpoint(eager=False)
         if not source.head(1):
@@ -1208,7 +1332,11 @@ class CowTable:
                 "rows_rejected": rows_rejected,
             }
 
-        affected, untouched = self._affected_split(m, source)
+        boxes, batch_has_null = self._batch_boxes(source)
+        affected, untouched = [], []
+        for e in m["files"]:
+            hit = self._entry_hit(e, boxes, batch_has_null)
+            (affected if hit else untouched).append(e)
         if kwargs.get("validate_unique"):
             # uniqueness repair must see the whole table (a url dup can
             # span a file the batch never touches) — disable skipping
@@ -1251,6 +1379,7 @@ class CowTable:
         new_entries = self._collect_entries(data_dir, rel_dir)
         if pre_commit_hook is not None:
             pre_commit_hook()
+        relinked = False
         try:
             self._commit(
                 new_version,
@@ -1259,15 +1388,36 @@ class CowTable:
                 schema_json=merged.schema.json() if new_fields else None,
             )
         except CommitConflict:
-            shutil.rmtree(data_dir, ignore_errors=True)
-            raise
+            rl = None
+            # uniqueness repair read the WHOLE table and schema
+            # evolution interacts with the winner's schema — both
+            # always take the full rebase
+            if not (kwargs.get("validate_unique") or new_fields):
+                rl = self._relink_after_conflict(
+                    base_version=m["version"],
+                    removed_paths=[e["path"] for e in affected],
+                    new_entries=new_entries,
+                    op="merge",
+                    safe_against=lambda added, removed: (
+                        self._merge_relink_safe(
+                            added, removed, boxes, batch_has_null,
+                            source if guard_urls else None,
+                        )
+                    ),
+                )
+            if rl is None:
+                shutil.rmtree(data_dir, ignore_errors=True)
+                raise
+            new_version, relinked = rl, True
+        mm = self._manifest(new_version)
         return {
             "version": new_version,
             "files_rewritten": len(affected),
-            "files_skipped": len(untouched),
+            "files_skipped": len(mm["files"]) - len(new_entries),
             "files_written": len(new_entries),
-            "rows": sum(e["rows"] for e in untouched + new_entries),
+            "rows": mm["rows"],
             "rows_rejected": rows_rejected,
+            "relinked": relinked,
         }
 
     # -- predicated UPDATE / DELETE (batched_update / delete_records) -------
@@ -1427,11 +1577,23 @@ class CowTable:
         # drops them (no part-less directory to stat)
         if pre_commit_hook is not None:
             pre_commit_hook()
+        relinked = False
         try:
             self._commit(new_version, carried + new_entries, op=op)
         except CommitConflict:
-            shutil.rmtree(data_dir, ignore_errors=True)
-            raise
+            rl = self._relink_after_conflict(
+                base_version=m["version"],
+                removed_paths=[e["path"] for e in touched],
+                new_entries=new_entries,
+                op=op,
+                safe_against=lambda added, removed: (
+                    self._predicate_relink_safe(added, condition)
+                ),
+            )
+            if rl is None:
+                shutil.rmtree(data_dir, ignore_errors=True)
+                raise
+            new_version, relinked = rl, True
         if op == "delete" and audit_path is not None:
             # audit AFTER the commit so only the attempt that actually
             # committed writes its victim set (a conflict-losing attempt
@@ -1446,12 +1608,14 @@ class CowTable:
                 .write.mode("append")
                 .parquet(audit_path)
             )
+        mm = self._manifest(new_version)
         return {
             "version": new_version,
             "files_rewritten": len(touched),
-            "files_skipped": len(carried),
+            "files_skipped": len(mm["files"]) - len(new_entries),
             "files_written": len(new_entries),
-            "rows": sum(e["rows"] for e in carried + new_entries),
+            "rows": mm["rows"],
+            "relinked": relinked,
         }
 
     # -- maintenance --------------------------------------------------------
@@ -1558,17 +1722,33 @@ class CowTable:
         new_entries = self._collect_entries(data_dir, rel_dir)
         if pre_commit_hook is not None:
             pre_commit_hook()
+        relinked = False
         try:
             self._commit(new_version, keep + new_entries, op="compact")
         except CommitConflict:
-            shutil.rmtree(data_dir, ignore_errors=True)
-            raise
+            # compaction output is data-identical to its input files, so
+            # a lost compaction is ALWAYS re-linkable when those inputs
+            # survived the winner unchanged — winner-added small files
+            # simply stay uncompacted until the next tick
+            rl = self._relink_after_conflict(
+                base_version=m["version"],
+                removed_paths=[e["path"] for e in small],
+                new_entries=new_entries,
+                op="compact",
+                safe_against=lambda added, removed: True,
+            )
+            if rl is None:
+                shutil.rmtree(data_dir, ignore_errors=True)
+                raise
+            new_version, relinked = rl, True
+        mm = self._manifest(new_version)
         return {
             "version": new_version,
             "files_compacted": len(small),
-            "files_kept": len(keep),
+            "files_kept": len(mm["files"]) - len(new_entries),
             "files_written": len(new_entries),
-            "rows": sum(e["rows"] for e in keep + new_entries),
+            "rows": mm["rows"],
+            "relinked": relinked,
         }
 
     def maintain(

@@ -306,9 +306,12 @@ def test_cow_conflict_exhausts_retries_and_cleans_orphans(spark, tmp_path):
     )
 
     def always_competing():
+        # the competitor rewrites the SAME met file the victim's batch
+        # targets (fid f020), so the conflict is genuinely overlapping
+        # — the metadata-only re-link path must refuse it
         CowTable(spark, t.root).merge(
-            mk(spark, [row(provider="met", fid=f"fz{t.version}",
-                           url=f"http://u/z{t.version}", title="c")]),
+            mk(spark, [row(provider="met", fid="f020",
+                           url="http://u/20", title=f"c{t.version}")]),
             COLS, deterministic=True,
         )
 
@@ -1368,3 +1371,133 @@ def test_cow_read_changes_null_key_rows_no_cross_join(spark, tmp_path):
     types = sorted(r["_change_type"] for r in feed2)
     assert types == ["delete", "insert"]
     assert {r["title"] for r in feed2} == {"nk-two", "nk-two-v2"}
+
+
+def test_cow_disjoint_merges_relink_without_recompute(spark, tmp_path):
+    """Logical conflict resolution: a merge that loses its version slot
+    to a writer whose delta is provably disjoint (different provider's
+    files, no url overlap) must NOT recompute — it re-links its
+    already-written files onto the new head as a metadata-only commit.
+    One attempt total (the pre_commit_hook fires once per attempt)."""
+    t = CowTable.create(
+        spark, str(tmp_path / "tbl"), mk(spark, _base_rows()), target_files=4
+    )
+    fired = {"n": 0}
+
+    def competing_flickr_writer():
+        fired["n"] += 1
+        if fired["n"] == 1:
+            CowTable(spark, t.root).merge(
+                mk(spark, [row(provider="flickr", fid="f000",
+                               url="http://u/0", title="from-B")]),
+                COLS, deterministic=True,
+            )
+
+    res = t.merge(
+        mk(spark, _batch_rows()), COLS, deterministic=True,
+        pre_commit_hook=competing_flickr_writer,
+    )
+    assert fired["n"] == 1, "loser must not re-execute its merge"
+    assert res["relinked"] is True
+    assert res["version"] == 3
+    got = _canon(t.read())
+    assert got[("flickr", "f000")] == "from-B"
+    assert got[("met", "f020")] == "updated"
+    assert got[("met", "f999")] == "brand-new"
+    n = t.read().count()
+    assert n == t.read().select(
+        "provider", "foreign_identifier"
+    ).distinct().count()
+
+
+def test_cow_relink_refused_on_url_overlap(spark, tmp_path):
+    """The url-conflict guard's verdict depends on the winner's rows:
+    when the winner's delta carries a url the loser's batch also
+    carries, the re-link is refused and the full rebase re-runs the
+    guard — the late url thief is dropped, exactly as if the merges had
+    run serially."""
+    t = CowTable.create(
+        spark, str(tmp_path / "tbl"), mk(spark, _base_rows()), target_files=4
+    )
+    fired = {"n": 0}
+
+    def competing_url_winner():
+        if fired["n"] == 0:
+            fired["n"] += 1
+            CowTable(spark, t.root).merge(
+                mk(spark, [row(provider="flickr", fid="fwin",
+                               url="http://contested/x", title="winner")]),
+                COLS, deterministic=True,
+            )
+
+    res = t.merge(
+        mk(spark, [row(provider="met", fid="fthief",
+                       url="http://contested/x", title="loser")]),
+        COLS, deterministic=True,
+        pre_commit_hook=competing_url_winner,
+    )
+    assert fired["n"] == 1
+    assert not res.get("relinked")
+    owners = (
+        t.read().filter(F.col("url") == "http://contested/x").collect()
+    )
+    assert [(r["provider"], r["foreign_identifier"]) for r in owners] == [
+        ("flickr", "fwin")
+    ]
+
+
+def test_cow_compact_relinks_past_additive_merge(spark, tmp_path):
+    """A compactor racing a merge that only ADDS a new file (no shared
+    file rewritten) re-links instead of re-planning: the winner's new
+    small file simply stays uncompacted until the next tick."""
+    t = CowTable.create(
+        spark, str(tmp_path / "tbl"), mk(spark, _base_rows()), target_files=4
+    )
+    fired = {"n": 0}
+
+    def additive_merge():
+        fired["n"] += 1
+        if fired["n"] == 1:
+            # fid sorts past every existing met range -> new file only
+            CowTable(spark, t.root).merge(
+                mk(spark, [row(provider="met", fid="zz-late",
+                               url="http://u/late", title="late")]),
+                COLS, deterministic=True,
+            )
+
+    res = t.compact(target_rows=1_000_000, pre_commit_hook=additive_merge)
+    assert fired["n"] == 1, "compactor must not re-plan"
+    assert res["relinked"] is True
+    got = _canon(t.read())
+    assert got[("met", "zz-late")] == "late"
+    assert len(got) == 41
+    # winner's file carried uncompacted alongside the compacted output
+    assert res["files_kept"] == 1
+
+
+def test_cow_delete_relinks_past_disjoint_merge(spark, tmp_path):
+    """A DELETE racing a merge whose added rows don't match the
+    predicate (and whose rewrites don't touch the deleted files)
+    re-links: no second find-scan, no re-filter."""
+    t = CowTable.create(
+        spark, str(tmp_path / "tbl"), mk(spark, _base_rows()), target_files=4
+    )
+    fired = {"n": 0}
+
+    def flickr_merge():
+        fired["n"] += 1
+        if fired["n"] == 1:
+            CowTable(spark, t.root).merge(
+                mk(spark, [row(provider="flickr", fid="f000",
+                               url="http://u/0", title="flickr-v2")]),
+                COLS, deterministic=True,
+            )
+
+    res = t.delete(
+        F.col("provider") == "met", pre_commit_hook=flickr_merge
+    )
+    assert fired["n"] == 1
+    assert res["relinked"] is True
+    got = _canon(t.read())
+    assert all(p == "flickr" for p, _ in got)
+    assert got[("flickr", "f000")] == "flickr-v2"
