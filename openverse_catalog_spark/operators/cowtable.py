@@ -441,7 +441,12 @@ class CowTable:
                 m = raw
             else:
                 base = self._manifest(raw["base"])
-                removed = set(raw["remove"])
+                # an "add" may REPLACE a base entry at the same path (a
+                # deletion-vector attach changes entry content without
+                # renaming the data file) — drop the base entry then
+                removed = set(raw["remove"]) | {
+                    e["path"] for e in raw["add"]
+                }
                 files = [
                     e for e in base["files"] if e["path"] not in removed
                 ] + raw["add"]
@@ -506,8 +511,13 @@ class CowTable:
             }
             curr = {e["path"]: e for e in entries}
             manifest["base"] = version - 1
+            # changed-in-place entries (same path, new content — e.g. a
+            # deletion vector attached) ship as adds; resolution treats
+            # an added path as replacing the base entry
             manifest["add"] = [
-                e for p, e in sorted(curr.items()) if p not in parent
+                e
+                for p, e in sorted(curr.items())
+                if p not in parent or parent[p] != e
             ]
             manifest["remove"] = sorted(p for p in parent if p not in curr)
         mpath = f"{self.root}/manifests/v{version}.json"
@@ -597,29 +607,86 @@ class CowTable:
             else None
         )
 
+    @staticmethod
+    def _with_position(df) -> DataFrame:
+        """Tag each row with its (file basename, row index) physical
+        identity — the coordinate system deletion vectors live in.
+        Basenames are globally unique (uuid'd part files in uuid'd
+        commit dirs), so they're a stable join key across path roots."""
+        return df.select(
+            "*",
+            F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1
+            ).alias("__dv_file"),
+            F.col("_metadata.row_index").alias("__dv_pos"),
+        )
+
+    def _dv_positions(self, entries: list[dict]) -> DataFrame | None:
+        """(file, pos) rows of every deletion vector the given entries
+        reference — the union is safe because an older DV for a file is
+        always a subset of a newer one (cumulative) and basenames of
+        rewritten files never repeat."""
+        dirs = sorted(
+            {self._abs(e["dv"]["path"]) for e in entries if e.get("dv")}
+        )
+        if not dirs:
+            return None
+        return self.spark.read.parquet(*dirs).select("file", "pos")
+
+    def _read_entries(self, entries: list[dict], m: dict) -> DataFrame:
+        """LIVE rows of the given manifest entries: plain files scan
+        directly; files carrying a deletion vector scan with their
+        physical row identity and anti-join the DV's (file, pos) set —
+        merge-on-read, Delta's deletion-vector contract. The DV side is
+        tiny by design (small deletes; compaction materializes), so the
+        anti-join broadcasts."""
+        schema = self._schema(m)
+        if not entries:
+            return self.spark.createDataFrame([], schema)
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        plain = [e for e in entries if not e.get("dv")]
+        dved = [e for e in entries if e.get("dv")]
+        parts = []
+        if plain:
+            parts.append(
+                reader.parquet(*[self._abs(e["path"]) for e in plain])
+            )
+        if dved:
+            raw = self._with_position(
+                reader.parquet(*[self._abs(e["path"]) for e in dved])
+            )
+            pos = F.broadcast(self._dv_positions(dved))
+            live = raw.join(
+                pos,
+                (raw["__dv_file"] == pos["file"])
+                & (raw["__dv_pos"] == pos["pos"]),
+                "left_anti",
+            ).drop("__dv_file", "__dv_pos")
+            parts.append(live)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def read(
         self, version: int | None = None, as_of: float | None = None
     ) -> DataFrame:
         """Snapshot read (time travel with ``version``, or ``as_of`` an
         epoch-seconds timestamp picking the newest commit at or before
-        it): exactly the files the manifest lists, nothing else. The
-        read is pinned to the MANIFEST's schema, so snapshots whose
-        files predate a schema evolution still read uniformly — parquet
-        resolves columns by name and fills absent ones with NULL. A
-        zero-file snapshot reads as an empty frame with that schema."""
+        it): exactly the files the manifest lists (minus deletion-vector
+        rows), nothing else. The read is pinned to the MANIFEST's
+        schema, so snapshots whose files predate a schema evolution
+        still read uniformly — parquet resolves columns by name and
+        fills absent ones with NULL. A zero-file snapshot reads as an
+        empty frame with that schema."""
         if as_of is not None:
             if version is not None:
                 raise ValueError("pass version OR as_of, not both")
             version = self.version_as_of(as_of)
         m = self._manifest(version)
-        paths = [self._abs(e['path']) for e in m["files"]]
-        schema = self._schema(m)
-        if not paths:
-            return self.spark.createDataFrame([], schema)
-        reader = self.spark.read
-        if schema is not None:
-            reader = reader.schema(schema)
-        return reader.parquet(*paths)
+        return self._read_entries(m["files"], m)
 
     def version_as_of(self, ts: float) -> int:
         """Newest committed version whose commit time is <= ``ts``."""
@@ -648,7 +715,7 @@ class CowTable:
         k0 = self.keys[0]
         want_null = any(v is None for v in values)
         vals = [v for v in values if v is not None]
-        paths = []
+        picked = []
         for e in m["files"]:
             lo, hi = e["min"][k0], e["max"][k0]
             hit = lo is not None and hi is not None and any(
@@ -658,17 +725,11 @@ class CowTable:
                 nk = e.get("null_keys")
                 hit = nk is None or bool(nk.get(k0))
             if hit:
-                paths.append(self._abs(e['path']))
-        schema = self._schema(m)
-        if not paths:
-            return self.spark.createDataFrame([], schema)
+                picked.append(e)
         cond = F.col(k0).isin(vals) if vals else F.lit(False)
         if want_null:
             cond = cond | F.col(k0).isNull()
-        reader = self.spark.read
-        if schema is not None:
-            reader = reader.schema(schema)
-        return reader.parquet(*paths).filter(cond)
+        return self._read_entries(picked, m).filter(cond)
 
     def read_where(
         self,
@@ -755,7 +816,7 @@ class CowTable:
             )
             return any(not (bits[i >> 3] >> (i & 7)) & 1 for i in probe)
 
-        paths = []
+        picked = []
         for e in m["files"]:
             keep = True
             for c, (lo, hi) in norm.items():
@@ -774,14 +835,8 @@ class CowTable:
                     keep = False
                     break
             if keep:
-                paths.append(self._abs(e["path"]))
-        schema = self._schema(m)
-        if not paths:
-            return self.spark.createDataFrame([], schema)
-        reader = self.spark.read
-        if schema is not None:
-            reader = reader.schema(schema)
-        df = reader.parquet(*paths)
+                picked.append(e)
+        df = self._read_entries(picked, m)
         for c, (lo, hi) in norm.items():
             if lo is not None and lo == hi:
                 df = df.filter(F.col(c) == lo)
@@ -884,32 +939,51 @@ class CowTable:
         join of dropped-file rows (pre image) against added-file rows
         (post image) on the merge key, carried-identical rows removed."""
         m_prev, m_cur = self._manifest(v - 1), self._manifest(v)
-        prev_paths = {e["path"] for e in m_prev["files"]}
-        cur_paths = {e["path"] for e in m_cur["files"]}
-        dropped = sorted(prev_paths - cur_paths)
-        added = sorted(cur_paths - prev_paths)
-        if not dropped and not added:
+        prev_by = {e["path"]: e for e in m_prev["files"]}
+        cur_by = {e["path"]: e for e in m_cur["files"]}
+        dropped = sorted(set(prev_by) - set(cur_by))
+        added = sorted(set(cur_by) - set(prev_by))
+        # a deletion-vector commit changes no file list — the delta is
+        # the GROWTH of a carried entry's DV: rows newly dead in v
+        dv_grown = [
+            (prev_by[p], cur_by[p])
+            for p in sorted(set(prev_by) & set(cur_by))
+            if prev_by[p] != cur_by[p] and cur_by[p].get("dv")
+        ]
+        if not dropped and not added and not dv_grown:
             return None
 
-        def _read(paths, m):
-            schema = self._schema(m)
-            if not paths:
-                return (
-                    self.spark.createDataFrame([], schema)
-                    if schema is not None
-                    else None
-                )
+        # pre/post images are the LIVE rows of the diffed entries (a
+        # dropped file that carried a DV contributes only its survivors)
+        pre = self._read_entries([prev_by[p] for p in dropped], m_prev)
+        post = self._read_entries([cur_by[p] for p in added], m_cur)
+        if dv_grown:
+            # rows at positions in (cur DV minus prev DV) of carried
+            # files died in THIS commit — they join the pre image (a
+            # dv-update commit pairs them with the rewritten rows in
+            # its added files; a dv-delete emits them as deletes)
+            schema = self._schema(m_prev)
             reader = self.spark.read
             if schema is not None:
                 reader = reader.schema(schema)
-            return reader.parquet(*[self._abs(p) for p in paths])
-
-        pre = _read(dropped, m_prev)
-        post = _read(added, m_cur)
-        if pre is None:
-            pre = post.limit(0)
-        if post is None:
-            post = pre.limit(0)
+            raw = self._with_position(
+                reader.parquet(
+                    *[self._abs(e["path"]) for e, _ in dv_grown]
+                )
+            )
+            cur_pos = self._dv_positions([e for _, e in dv_grown])
+            old = self._dv_positions([e for e, _ in dv_grown])
+            if old is not None:
+                cur_pos = cur_pos.join(
+                    old, ["file", "pos"], "left_anti"
+                )
+            newly_dead = raw.join(
+                F.broadcast(cur_pos),
+                (raw["__dv_file"] == cur_pos["file"])
+                & (raw["__dv_pos"] == cur_pos["pos"]),
+                "left_semi",
+            ).drop("__dv_file", "__dv_pos")
+            pre = pre.unionByName(newly_dead, allowMissingColumns=True)
         keys = list(self.keys)
         # the keyed full-outer join below must never see NULL-key rows:
         # eqNullSafe would CROSS-match every NULL-key row in the dropped
@@ -917,8 +991,9 @@ class CowTable:
         # update pairs for rows that never changed). The manifests'
         # null_keys stats say — for free — whether any diffed file can
         # hold one; only then does the positional NULL-key diff run.
-        diffed = [e for e in m_prev["files"] if e["path"] in set(dropped)]
-        diffed += [e for e in m_cur["files"] if e["path"] in set(added)]
+        diffed = [prev_by[p] for p in dropped]
+        diffed += [cur_by[p] for p in added]
+        diffed += [e for e, _ in dv_grown]
         may_have_null_keys = any(
             (e.get("null_keys") is None)
             or any(v for v in e["null_keys"].values())
@@ -1343,14 +1418,10 @@ class CowTable:
             # for this commit and rewrite every file enforced
             affected, untouched = affected + untouched, []
         if affected:
-            reader = self.spark.read
-            if table_schema is not None:
-                # pin to the CURRENT table schema: affected files may
-                # predate an earlier evolution and lack newer columns
-                reader = reader.schema(table_schema)
-            target_slice = reader.parquet(
-                *[self._abs(e['path']) for e in affected]
-            )
+            # pinned to the CURRENT table schema and DV-applied: only
+            # live rows of affected files enter the upsert, and the
+            # rewrite materializes their deletion vectors away
+            target_slice = self._read_entries(affected, m)
             for f in new_fields:
                 target_slice = target_slice.withColumn(
                     f.name, F.lit(None).cast(f.dataType)
@@ -1460,6 +1531,7 @@ class CowTable:
         target_files: int = 4,
         max_retries: int = 3,
         pre_commit_hook=None,
+        mode: str = "copy",
     ) -> dict:
         """Predicated UPDATE: rows matching ``condition`` get each
         column in ``set_exprs`` replaced by its expression; everything
@@ -1471,10 +1543,15 @@ class CowTable:
         match are rewritten (one find-scan + rewrite, the reference's
         batched_update run as a snapshot commit instead of row-batch
         UPDATEs holding locks). Same optimistic-concurrency retry as
-        merge."""
+        merge.
+
+        ``mode="dv"`` (merge-on-read): instead of rewriting touched
+        files, mark the old rows' positions in a deletion vector and
+        append one small file holding the updated rows — bytes written
+        scale with the MATCH count, not the touched files' size."""
         return self._rewrite_op(
             "update", condition, set_exprs, target_files, max_retries,
-            pre_commit_hook,
+            pre_commit_hook, mode=mode,
         )
 
     def delete(
@@ -1485,6 +1562,7 @@ class CowTable:
         pre_commit_hook=None,
         audit_path: str | None = None,
         reason: str | None = None,
+        mode: str = "copy",
     ) -> dict:
         """Predicated DELETE: drop rows matching ``condition`` (NULL
         condition = keep, SQL semantics); files with no match carry by
@@ -1502,20 +1580,34 @@ class CowTable:
         crash between manifest link and audit write can lose that
         commit's audit rows (commit-then-audit is not atomic across two
         stores); treat the audit as best-effort or reconcile from
-        snapshot diffs."""
+        snapshot diffs.
+
+        ``mode="dv"`` (merge-on-read, Delta's deletion vectors): a
+        10-row takedown on a 1M-row file writes a tiny (file, pos)
+        sidecar instead of rewriting the file — write amplification
+        drops from O(touched file bytes) to O(rows deleted). Readers
+        anti-apply the vector; ``compact`` materializes it away; the
+        change feed emits the same logical deltas either mode."""
         return self._rewrite_op(
             "delete", condition, None, target_files, max_retries,
             pre_commit_hook, audit_path=audit_path, reason=reason,
+            mode=mode,
         )
 
     def _rewrite_op(
         self, op, condition, set_exprs, target_files, max_retries,
-        pre_commit_hook, audit_path=None, reason=None,
+        pre_commit_hook, audit_path=None, reason=None, mode="copy",
     ) -> dict:
+        if mode not in ("copy", "dv"):
+            raise ValueError(f"mode must be 'copy' or 'dv', got {mode!r}")
+        attempt = (
+            self._dv_rewrite_attempt if mode == "dv"
+            else self._rewrite_attempt
+        )
         last: CommitConflict | None = None
         for _ in range(max_retries + 1):
             try:
-                return self._rewrite_attempt(
+                return attempt(
                     op, condition, set_exprs, target_files, pre_commit_hook,
                     audit_path, reason,
                 )
@@ -1537,11 +1629,7 @@ class CowTable:
                 "files_written": 0,
                 "rows": m["rows"],
             }
-        reader = self.spark.read
-        schema = self._schema(m)
-        if schema is not None:
-            reader = reader.schema(schema)
-        slice_df = reader.parquet(*[self._abs(e['path']) for e in touched])
+        slice_df = self._read_entries(touched, m)
         if op == "update":
             unknown = set(set_exprs) - set(slice_df.columns)
             if unknown:
@@ -1618,6 +1706,169 @@ class CowTable:
             "relinked": relinked,
         }
 
+    def _dv_rewrite_attempt(
+        self, op, condition, set_exprs, target_files, pre_commit_hook,
+        audit_path=None, reason=None,
+    ) -> dict:
+        """Merge-on-read UPDATE/DELETE: victims die by POSITION in a
+        deletion-vector sidecar instead of a copy-on-write rewrite.
+        One find-scan marks the touched files; the victims' (file, pos)
+        identities — unioned with any vector those files already carry,
+        vectors are CUMULATIVE per file — land in one tiny parquet
+        sidecar under data/; touched entries keep their data file but
+        record {dv, rows(live), phys}. An update additionally appends
+        one small file holding the updated rows. Bytes written scale
+        with the match count, never the touched files' size (the
+        reference deletes in place in Postgres, ``loader/sql.py``; at
+        100 TB this is the analog that avoids rewriting a 1 GB file to
+        drop 10 rows)."""
+        m = self._manifest()
+        touched, carried = self._files_matching(m, condition)
+        if not touched:
+            return {
+                "version": m["version"],
+                "files_rewritten": 0,
+                "files_skipped": len(m["files"]),
+                "files_written": 0,
+                "rows": m["rows"],
+            }
+        schema = self._schema(m)
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        raw = self._with_position(
+            reader.parquet(*[self._abs(e["path"]) for e in touched])
+        )
+        old_pos = self._dv_positions(touched)
+        live = raw
+        if old_pos is not None:
+            live = raw.join(
+                F.broadcast(old_pos),
+                (raw["__dv_file"] == old_pos["file"])
+                & (raw["__dv_pos"] == old_pos["pos"]),
+                "left_anti",
+            )
+        victims = live.filter(
+            F.coalesce(condition, F.lit(False))
+        ).localCheckpoint(eager=False)
+        if not victims.head(1):
+            # every matching row is already DV-dead: nothing to commit
+            return {
+                "version": m["version"],
+                "files_rewritten": 0,
+                "files_skipped": len(m["files"]),
+                "files_written": 0,
+                "rows": m["rows"],
+            }
+        data_cols = [c for c in victims.columns
+                     if c not in ("__dv_file", "__dv_pos")]
+        if op == "update":
+            unknown = set(set_exprs) - set(data_cols)
+            if unknown:
+                raise ValueError(
+                    f"UPDATE sets unknown columns {sorted(unknown)}; "
+                    "evolve the schema via merge(allow_new_columns=True)"
+                )
+        vic_pos = victims.select(
+            F.col("__dv_file").alias("file"), F.col("__dv_pos").alias("pos")
+        )
+        allpos = vic_pos
+        if old_pos is not None:
+            # carry forward the touched files' existing vectors so each
+            # file's newest DV stays its complete cumulative set
+            bases = [
+                e["path"].rsplit("/", 1)[-1] for e in touched if e.get("dv")
+            ]
+            allpos = allpos.unionByName(
+                old_pos.filter(F.col("file").isin(bases))
+            ).distinct()
+        rel_dv = f"data/dv{uuid.uuid4().hex[:12]}"
+        dv_dir = f"{self.root}/{rel_dv}"
+        allpos.coalesce(1).write.mode("error").parquet(dv_dir)
+        dead = {
+            r["file"]: r["n"]
+            for r in self.spark.read.parquet(dv_dir)
+            .groupBy("file").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        new_touched = []
+        n_dv_changed = 0
+        for e in touched:
+            b = e["path"].rsplit("/", 1)[-1]
+            n_dead = dead.get(b, 0)
+            old_dead = (e.get("dv") or {}).get("deleted", 0)
+            if n_dead == old_dead:
+                new_touched.append(e)  # flagged by the raw scan only
+                continue
+            n_dv_changed += 1
+            phys = e.get("phys", e["rows"] + old_dead)
+            if phys - n_dead <= 0:
+                continue  # fully dead file: drop the entry outright
+            new_touched.append(
+                {
+                    **e,
+                    "rows": phys - n_dead,
+                    "phys": phys,
+                    "dv": {"path": rel_dv, "deleted": n_dead},
+                }
+            )
+        new_entries: list[dict] = []
+        rel_dir = f"data/c{uuid.uuid4().hex[:12]}"
+        data_dir = f"{self.root}/{rel_dir}"
+        if op == "update":
+            # every victim matches the predicate, so SET applies
+            # unconditionally — each RHS still sees only OLD columns
+            upd = victims.select(
+                *[
+                    (set_exprs[c] if c in set_exprs else F.col(c)).alias(c)
+                    for c in data_cols
+                ]
+            )
+            upd.repartitionByRange(
+                target_files, *[F.col(k) for k in self.keys]
+            ).write.mode("error").parquet(data_dir)
+            new_entries = self._collect_entries(data_dir, rel_dir)
+        if pre_commit_hook is not None:
+            pre_commit_hook()
+        new_version = m["version"] + 1
+        relinked = False
+        try:
+            self._commit(
+                new_version, carried + new_touched + new_entries, op=op
+            )
+        except CommitConflict:
+            rl = self._relink_after_conflict(
+                base_version=m["version"],
+                removed_paths=[e["path"] for e in touched],
+                new_entries=new_touched + new_entries,
+                op=op,
+                safe_against=lambda added, removed: (
+                    self._predicate_relink_safe(added, condition)
+                ),
+            )
+            if rl is None:
+                shutil.rmtree(dv_dir, ignore_errors=True)
+                shutil.rmtree(data_dir, ignore_errors=True)
+                raise
+            new_version, relinked = rl, True
+        if op == "delete" and audit_path is not None:
+            (
+                victims.drop("__dv_file", "__dv_pos")
+                .withColumn("deleted_reason", F.lit(reason))
+                .withColumn("deleted_on", F.current_timestamp())
+                .write.mode("append")
+                .parquet(audit_path)
+            )
+        mm = self._manifest(new_version)
+        return {
+            "version": new_version,
+            "files_rewritten": 0,
+            "files_dv": n_dv_changed,
+            "files_skipped": len(mm["files"]) - len(new_entries),
+            "files_written": len(new_entries),
+            "rows": mm["rows"],
+            "relinked": relinked,
+        }
+
     # -- maintenance --------------------------------------------------------
 
     def compact(
@@ -1674,8 +1925,16 @@ class CowTable:
             # a re-clustering rewrite is whole-table by definition
             small, keep = list(m["files"]), []
         else:
-            small = [e for e in m["files"] if e["rows"] < target_rows]
-            keep = [e for e in m["files"] if e["rows"] >= target_rows]
+            # deletion-vector carriers are compaction candidates
+            # regardless of size: OPTIMIZE is what materializes DVs
+            small = [
+                e for e in m["files"]
+                if e["rows"] < target_rows or e.get("dv")
+            ]
+            small_paths = {e["path"] for e in small}
+            keep = [
+                e for e in m["files"] if e["path"] not in small_paths
+            ]
         # bin-packing needs >= 2 small files to be worth a commit; a
         # z-order rewrite is meaningful even for one file (row order
         # inside it changes, so row-group pruning improves)
@@ -1689,11 +1948,9 @@ class CowTable:
             }
         small_rows = sum(e["rows"] for e in small)
         n_files = max(1, -(-small_rows // target_rows))
-        reader = self.spark.read
-        schema = self._schema(m)
-        if schema is not None:
-            reader = reader.schema(schema)  # mixed pre-evolution files
-        df = reader.parquet(*[self._abs(e['path']) for e in small])
+        # schema-pinned (mixed pre-evolution files) + DV-applied: the
+        # rewrite materializes deletion vectors away
+        df = self._read_entries(small, m)
         new_version = m["version"] + 1
         rel_dir = f"data/c{uuid.uuid4().hex[:12]}"
         data_dir = f"{self.root}/{rel_dir}"
@@ -1800,7 +2057,12 @@ class CowTable:
         m = self._manifest(version)
         t = CowTable(self.spark, new_root, tuple(m["keys"]))
         os.makedirs(f"{t.root}/manifests", exist_ok=True)
-        entries = [{**e, "path": self._abs(e["path"])} for e in m["files"]]
+        entries = []
+        for e in m["files"]:
+            ne = {**e, "path": self._abs(e["path"])}
+            if e.get("dv"):
+                ne["dv"] = {**e["dv"], "path": self._abs(e["dv"]["path"])}
+            entries.append(ne)
         t._commit(
             1, entries, op=f"clone({self.root}@v{m['version']})",
             schema_json=m.get("schema"),
@@ -1875,30 +2137,42 @@ class CowTable:
             self._write_checkpoint(oldest_kept)
         live: set[str] = set()
         referenced_ever: set[str] = set()
+        live_dv: set[str] = set()
+        ever_dv: set[str] = set()
         drop_manifests = []
         for name in self._manifest_names():
             v = int(name.removeprefix("v").removesuffix(".json"))
-            paths = {e["path"] for e in self._manifest(v)["files"]}
+            files = self._manifest(v)["files"]
+            paths = {e["path"] for e in files}
+            dvs = {e["dv"]["path"] for e in files if e.get("dv")}
             referenced_ever.update(paths)
+            ever_dv.update(dvs)
             if v in keep:
                 live.update(paths)
+                live_dv.update(dvs)
             else:
                 drop_manifests.append(name)
                 stale_cp = f"{self.root}/manifests/v{v}.checkpoint.json"
                 if os.path.exists(stale_cp):
                     os.remove(stale_cp)
         deleted = []
+
+        def _under(rel: str, dirs: set[str]) -> bool:
+            return any(rel.startswith(d + "/") for d in dirs)
+
         # superseded committed history: referenced by a dropped manifest
-        # only — unambiguous, deleted regardless of age
+        # only — unambiguous, deleted regardless of age. Deletion-vector
+        # sidecars are referenced at DIRECTORY granularity (entries point
+        # at the dv dir, not its part files).
         for dirpath, _, files in os.walk(f"{self.root}/data"):
             for fn in files:
                 full = os.path.join(dirpath, fn)
                 rel = os.path.relpath(full, self.root)
-                if (
-                    fn.endswith(".parquet")
-                    and rel not in live
-                    and rel in referenced_ever
-                ):
+                if not fn.endswith(".parquet"):
+                    continue
+                if rel in live or _under(rel, live_dv):
+                    continue
+                if rel in referenced_ever or _under(rel, ever_dv):
                     os.remove(full)
                     deleted.append(rel)
         for name in drop_manifests:
@@ -1921,9 +2195,11 @@ class CowTable:
             for child in sorted(os.listdir(data_root)):
                 child_rel = f"data/{child}"
                 child_full = os.path.join(data_root, child)
-                if any(p.startswith(child_rel + "/") for p in live):
+                if child_rel in live_dv or any(
+                    p.startswith(child_rel + "/") for p in live
+                ):
                     continue
-                if not any(
+                if child_rel not in ever_dv and not any(
                     p.startswith(child_rel + "/") for p in referenced_ever
                 ):
                     newest = os.path.getmtime(child_full)

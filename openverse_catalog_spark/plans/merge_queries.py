@@ -1276,6 +1276,32 @@ def merge_cow_delete(spark, sf_dir):
 
 
 @register(
+    "merge_cow_delete_dv",
+    f"""
+    WITH {_COW_V2_CTES}
+    SELECT provider, foreign_identifier, url, title
+    FROM v2 WHERE provider <> 'p0'
+    """,
+)
+def merge_cow_delete_dv(spark, sf_dir):
+    """DELETE via DELETION VECTORS (merge-on-read, Delta's DV
+    contract): instead of rewriting every touched file to drop the
+    victims — write amplification the reference never had, Postgres
+    deletes in place (``catalog/dags/common/loader/sql.py``) — the
+    victims' (file, position) identities land in a tiny sidecar, the
+    touched data files carry byte-identical, and readers anti-apply
+    the vector. Result set is IDENTICAL to the copy-mode delete (same
+    oracle); the physical difference is pinned here: zero files
+    rewritten, and the pre-delete snapshot still reads in full."""
+    t = _cow_build(spark, sf_dir, "cow_del_dv", _t)
+    n_before = t.read().count()
+    res = t.delete(F.col("provider") == "p0", mode="dv")
+    assert res["files_rewritten"] == 0 and res["files_dv"] >= 1
+    assert t.read(version=2).count() == n_before  # time travel intact
+    return t.read().select("provider", "foreign_identifier", "url", "title")
+
+
+@register(
     "merge_cow_changes",
     f"""
     WITH {_COW_V2_CTES},

@@ -1501,3 +1501,161 @@ def test_cow_delete_relinks_past_disjoint_merge(spark, tmp_path):
     got = _canon(t.read())
     assert all(p == "flickr" for p, _ in got)
     assert got[("flickr", "f000")] == "flickr-v2"
+
+
+def _dv_fixture(spark, tmp_path, n=20_000, files=2):
+    df = spark.range(n).select(
+        F.lit("p").alias("provider"),
+        F.lpad(F.col("id").cast("string"), 7, "0").alias(
+            "foreign_identifier"
+        ),
+        F.concat(F.lit("http://u/"), F.col("id").cast("string")).alias(
+            "url"
+        ),
+        (F.col("id") % 100).alias("grp"),
+    )
+    return CowTable.create(
+        spark, str(tmp_path / "tbl"), df, target_files=files
+    )
+
+
+def test_cow_dv_delete_is_merge_on_read(spark, tmp_path):
+    """mode='dv': a 10-row delete on 10k-row files writes a tiny
+    position sidecar instead of rewriting the files — bytes written
+    scale with rows deleted, readers anti-apply, time travel still
+    sees the victims, and a second DV on the same file stacks
+    cumulatively."""
+    import os
+
+    t = _dv_fixture(spark, tmp_path)
+    data_bytes = sum(
+        os.path.getsize(t._abs(e["path"]))
+        for e in t._manifest()["files"]
+    )
+    res = t.delete(F.col("foreign_identifier") < "0000010", mode="dv")
+    assert res["files_rewritten"] == 0 and res["files_dv"] >= 1
+    assert t.read().count() == 19_990
+    assert t.read(version=1).count() == 20_000
+    assert t.read().filter(
+        F.col("foreign_identifier") < "0000010"
+    ).count() == 0
+    # bytes written for the commit = the DV sidecar only
+    dv_dirs = {
+        e["dv"]["path"] for e in t._manifest()["files"] if e.get("dv")
+    }
+    dv_bytes = sum(
+        os.path.getsize(os.path.join(dp, fn))
+        for d in dv_dirs
+        for dp, _, fns in os.walk(t._abs(d))
+        for fn in fns
+    )
+    assert dv_bytes < data_bytes / 20, (dv_bytes, data_bytes)
+    # stacking: second DV delete on the same files is cumulative
+    t.delete(F.col("grp") == 7, mode="dv")
+    assert t.read().count() == 19_990 - 200 + 1  # id 7 in both sets
+    # pruned/skipping reads apply the DV too
+    assert t.read_pruned(["p"]).count() == 19_791
+
+
+def test_cow_dv_update_appends_and_kills_positions(spark, tmp_path):
+    """mode='dv' UPDATE: old rows die by position, updated rows land in
+    one appended small file; SET right-hand sides see the OLD row."""
+    t = _dv_fixture(spark, tmp_path)
+    res = t.update(
+        F.col("grp") == 3,
+        {"url": F.concat(F.col("url"), F.lit("#v2"))},
+        mode="dv",
+        target_files=1,
+    )
+    assert res["files_rewritten"] == 0
+    assert res["files_written"] == 1 and res["files_dv"] == 2
+    assert t.read().count() == 20_000
+    assert t.read().filter(F.col("url").endswith("#v2")).count() == 200
+
+
+def test_cow_merge_after_dv_sees_only_live_rows(spark, tmp_path):
+    """A MERGE whose affected set includes a DV-carrying file must feed
+    only the LIVE rows into the upsert — the dead rows neither
+    resurrect nor duplicate — and the rewrite materializes the DV."""
+    t = CowTable.create(
+        spark, str(tmp_path / "tbl"), mk(spark, _base_rows()),
+        target_files=4,
+    )
+    t.delete(F.col("foreign_identifier") == "f021", mode="dv")
+    assert t.read().count() == 39
+    t.merge(mk(spark, _batch_rows()), COLS, deterministic=True)
+    got = _canon(t.read())
+    assert ("met", "f021") not in got          # stayed dead
+    assert got[("met", "f020")] == "updated"
+    assert got[("met", "f999")] == "brand-new"
+    assert t.read().count() == 40
+    # the merge rewrote the DV carrier: no vector remains
+    assert not any(e.get("dv") for e in t._manifest()["files"])
+
+
+def test_cow_dv_cdf_matches_copy_mode(spark, tmp_path):
+    """The change feed must emit the SAME logical deltas whichever
+    physical path a delete took (file rewrite vs deletion vector)."""
+    t = _dv_fixture(spark, tmp_path, n=2_000)
+    t2 = CowTable.create(
+        spark, str(tmp_path / "copy"),
+        t.read(version=1), target_files=2,
+    )
+    cond = F.col("grp") == 42
+    t.delete(cond, mode="dv")
+    t2.delete(cond)  # copy mode
+    a = sorted(
+        (r["foreign_identifier"], r["_change_type"])
+        for r in t.read_changes(1, 2).collect()
+    )
+    b = sorted(
+        (r["foreign_identifier"], r["_change_type"])
+        for r in t2.read_changes(1, 2).collect()
+    )
+    assert a == b and len(a) == 20
+    # updating already-dead rows is a no-op commit-wise
+    res = t.update(cond, {"url": F.lit("http://moved")}, mode="dv")
+    assert res["version"] == 2 and t.version == 2
+    t.update(
+        F.col("grp") == 7, {"url": F.lit("http://moved7")}, mode="dv"
+    )
+    feed = t.read_changes(t.version - 1, t.version).collect()
+    from collections import Counter
+
+    c = Counter(r["_change_type"] for r in feed)
+    assert c == {"update_preimage": 20, "update_postimage": 20}
+
+
+def test_cow_dv_compact_materializes_and_vacuum_keeps_live_dv(
+    spark, tmp_path
+):
+    """OPTIMIZE rewrites DV carriers (regardless of size) so vectors
+    don't accrete; vacuum drops superseded sidecars but never a kept
+    version's."""
+    import os
+
+    t = _dv_fixture(spark, tmp_path, n=2_000)
+    t.delete(F.col("grp") == 1, mode="dv")
+    t.delete(F.col("grp") == 2, mode="dv")
+    live = t.read().count()
+    assert live == 1_960
+    # vacuum keeps head only: v2's superseded sidecar goes, v3's stays
+    deleted = t.vacuum(keep_versions=1, retention_seconds=0)
+    assert any("data/dv" in p for p in deleted)
+    t2 = CowTable(spark, t.root)
+    assert t2.read().count() == live
+    # compact materializes the remaining DV away
+    rc = t2.compact(target_rows=10_000)
+    assert rc["files_written"] >= 1
+    assert not any(e.get("dv") for e in t2._manifest()["files"])
+    assert t2.read().count() == live
+
+
+def test_cow_dv_clone_carries_absolute_dv_paths(spark, tmp_path):
+    """A shallow clone of a DV-carrying snapshot must keep applying the
+    source's vectors (absolute paths, zero data copied)."""
+    t = _dv_fixture(spark, tmp_path, n=2_000)
+    t.delete(F.col("grp") == 9, mode="dv")
+    c = t.clone(str(tmp_path / "branch"))
+    assert c.read().count() == 1_980
+    assert c.read().filter(F.col("grp") == 9).count() == 0
