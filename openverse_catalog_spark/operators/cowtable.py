@@ -735,7 +735,8 @@ class CowTable:
         self,
         ranges: dict,
         version: int | None = None,
-    ) -> DataFrame:
+        _split: bool = False,
+    ):
         """DATA-SKIPPING read: ``ranges`` maps constrained columns to
         either ``(lo, hi)`` bounds (either side None = unbounded) or a
         SCALAR for equality. Files whose recorded min/max for ANY
@@ -752,7 +753,11 @@ class CowTable:
         history, or a column added later) are kept conservatively; NULL
         rows never match a range or equality predicate (SQL semantics),
         so a file of all-NULL values (min/max None) is safely
-        skippable."""
+        skippable.
+
+        ``_split=True`` (internal) returns the (matching, rest) manifest
+        entry lists instead of a DataFrame — predicate-scoped OPTIMIZE
+        uses the same pruning to pick which files to rewrite."""
         m = self._manifest(version)
         bloom_cols = set(m.get("bloom_cols") or [])
         norm: dict[str, tuple] = {}
@@ -816,7 +821,7 @@ class CowTable:
             )
             return any(not (bits[i >> 3] >> (i & 7)) & 1 for i in probe)
 
-        picked = []
+        picked, rest = [], []
         for e in m["files"]:
             keep = True
             for c, (lo, hi) in norm.items():
@@ -834,8 +839,9 @@ class CowTable:
                 if c in eq_probe and bloom_rules_out(e, c):
                     keep = False
                     break
-            if keep:
-                picked.append(e)
+            (picked if keep else rest).append(e)
+        if _split:
+            return picked, rest
         df = self._read_entries(picked, m)
         for c, (lo, hi) in norm.items():
             if lo is not None and lo == hi:
@@ -846,6 +852,102 @@ class CowTable:
                 if hi is not None:
                     df = df.filter(F.col(c) <= hi)
         return df
+
+    def read_join_pruned(
+        self,
+        dim: DataFrame,
+        col: str,
+        version: int | None = None,
+        max_keys: int = 10_000,
+    ) -> DataFrame:
+        """DYNAMIC FILE PRUNING from a join: rows of this table whose
+        ``col`` matches some value of ``dim[col]`` — but decided at the
+        FILE level before the scan plans. A selective dimension (one
+        provider's popularity constants, a takedown list) usually has a
+        bounded key set: collect it (capped), drop every fact file whose
+        per-file stats prove no key can live there (min/max range via
+        binary search; per-file bloom probes when ``col`` is a
+        bloom_col), and scan only the survivors with a residual ``isin``
+        filter — Spark's runtime DPP for partition columns, extended to
+        ARBITRARY stats columns through the manifest. A dimension wider
+        than ``max_keys`` falls back to an exact semi-join over the full
+        snapshot (pruning needs a bounded build side; the result
+        contract never changes)."""
+        from bisect import bisect_left
+
+        m = self._manifest(version)
+        rows = (
+            dim.select(col).distinct().limit(max_keys + 1).collect()
+        )
+        if len(rows) > max_keys:
+            return self._read_entries(m["files"], m).join(
+                dim.select(col).distinct(), col, "semi"
+            )
+        vals = sorted(
+            {r[col] for r in rows if r[col] is not None}
+        )  # NULL never equi-joins
+        if not vals:
+            return self._read_entries([], m)
+        bloom_ok = col in (m.get("bloom_cols") or []) and all(
+            isinstance(v, (str, int)) and not isinstance(v, bool)
+            for v in vals
+        )
+
+        def in_range(e) -> bool:
+            if col in self.keys:
+                lo, hi = e["min"].get(col), e["max"].get(col)
+            else:
+                st = (e.get("stats") or {}).get(col)
+                if st is None:
+                    return True  # no stats for this column: keep
+                lo, hi = st.get("min"), st.get("max")
+            if lo is None and hi is None:
+                return False  # all-NULL file: equality can't match
+            i = bisect_left(vals, lo)
+            return i < len(vals) and vals[i] <= hi
+
+        def bloom_admits(e) -> bool:
+            import base64
+
+            rec = (e.get("bloom") or {}).get(col)
+            if rec is None:
+                return True
+            if isinstance(rec, str):
+                rec = {
+                    "b64": rec, "bits": BLOOM_BITS, "hashes": BLOOM_HASHES
+                }
+            bits = base64.b64decode(rec["b64"])
+            for v in vals:
+                probe = _bloom_point_bits(
+                    v, int(rec["bits"]), int(rec["hashes"])
+                )
+                if all((bits[i >> 3] >> (i & 7)) & 1 for i in probe):
+                    return True
+            return False
+
+        if (
+            col not in self.keys
+            and col not in (m.get("stats_cols") or [])
+            and not bloom_ok
+        ):
+            raise ValueError(
+                f"no file-level stats for {col!r}; create the table with "
+                f"stats_cols/bloom_cols including it (have stats: "
+                f"{m.get('stats_cols')}, blooms: {m.get('bloom_cols')}, "
+                f"keys: {list(self.keys)})"
+            )
+        picked = []
+        # bound the driver-side bloom work: ranges are O(log n) per
+        # file, bloom probes O(keys) per file — skip the bloom stage
+        # past ~2M probe ops (pruning stays correct, just coarser)
+        probe_budget_ok = len(vals) * len(m["files"]) <= 2_000_000
+        for e in m["files"]:
+            if not in_range(e):
+                continue
+            if bloom_ok and probe_budget_ok and not bloom_admits(e):
+                continue
+            picked.append(e)
+        return self._read_entries(picked, m).filter(F.col(col).isin(vals))
 
     # -- change data feed ---------------------------------------------------
 
@@ -1876,8 +1978,9 @@ class CowTable:
         target_rows: int = 1_000_000,
         max_retries: int = 3,
         pre_commit_hook=None,
-        zorder_by: dict[str, tuple[float, float]] | None = None,
+        zorder_by=None,
         zorder_bits: int = 8,
+        zorder_where: dict | None = None,
     ) -> dict:
         """OPTIMIZE: bin-pack small files (rows < target_rows) into
         range-clustered files near target size; files already at size
@@ -1890,17 +1993,29 @@ class CowTable:
         bytes). Returns {version, files_compacted, files_kept,
         files_written, rows}; no new version if <2 small files exist.
 
-        OPTIMIZE ZORDER: pass ``zorder_by={col: (lo, hi), ...}`` to
-        rewrite EVERY file clustered on the Morton interleave of the
-        named columns (bucketized to ``zorder_bits`` bits each) instead
-        of the merge-key range — Delta's OPTIMIZE ZORDER BY with plain
-        Spark primitives (operators/layout.py). Pair it with
-        ``stats_cols`` on the same columns: per-file ranges for ALL the
-        z columns tighten, so ``read_where`` prunes on any of them.
+        OPTIMIZE ZORDER: pass ``zorder_by=["x", "y"]`` to rewrite files
+        clustered on the Morton interleave of the named columns
+        (bucketized to ``zorder_bits`` bits each) instead of the
+        merge-key range — Delta's OPTIMIZE ZORDER BY with plain Spark
+        primitives (operators/layout.py). Bucket bounds come from the
+        MANIFEST's per-file stats over the files being rewritten (the
+        same stats ``read_where`` prunes on), so no manual ranges; the
+        legacy ``{col: (lo, hi)}`` dict form still pins them by hand.
+        Pair with ``stats_cols`` on the same columns: per-file ranges
+        for ALL the z columns tighten, so ``read_where`` prunes on any
+        of them.
+
+        ``zorder_where={col: bound, ...}`` (read_where's constraint
+        syntax) scopes the rewrite: only files intersecting the
+        predicate re-cluster, every other file carries by reference —
+        OPTIMIZE stops being the one remaining O(table) maintenance op
+        and becomes O(partition), e.g. z-ordering only the provider
+        that just back-filled.
+
         Trade-off, exactly as in Delta: z-clustering widens the
         merge-key ranges per file, weakening MERGE file-skipping —
-        include keys[0] in the z set (or zorder per-partition) when
-        merge skipping matters more.
+        include keys[0] in the z set (or zorder per-partition via
+        ``zorder_where``) when merge skipping matters more.
 
         Concurrency: same optimistic protocol as ``merge`` — a conflict
         (e.g. a provider merge landed mid-compaction) discards the
@@ -1910,20 +2025,67 @@ class CowTable:
         for _ in range(max_retries + 1):
             try:
                 return self._compact_attempt(
-                    target_rows, pre_commit_hook, zorder_by, zorder_bits
+                    target_rows, pre_commit_hook, zorder_by, zorder_bits,
+                    zorder_where,
                 )
             except CommitConflict as e:
                 last = e
         raise last
 
+    def _zorder_bounds(
+        self, entries: list[dict], cols, m: dict
+    ) -> dict[str, tuple]:
+        """(lo, hi) per z column from the manifest stats of the files
+        being rewritten — the bounds OPTIMIZE ZORDER buckets against,
+        computed from metadata the table already maintains."""
+        out: dict[str, tuple] = {}
+        for c in cols:
+            los, his = [], []
+            for e in entries:
+                if c in self.keys:
+                    lo, hi = e["min"].get(c), e["max"].get(c)
+                else:
+                    st = (e.get("stats") or {}).get(c)
+                    if st is None:
+                        raise ValueError(
+                            f"zorder_by column {c!r} has no per-file "
+                            "stats; create the table with stats_cols "
+                            f"including it (have: {m.get('stats_cols')}) "
+                            "or pass explicit bounds as {col: (lo, hi)}"
+                        )
+                    lo, hi = st.get("min"), st.get("max")
+                if lo is not None:
+                    los.append(lo)
+                if hi is not None:
+                    his.append(hi)
+            if not los:
+                raise ValueError(
+                    f"zorder_by column {c!r} is all-NULL in the files "
+                    "being rewritten"
+                )
+            out[c] = (min(los), max(his))
+        return out
+
     def _compact_attempt(
         self, target_rows: int, pre_commit_hook, zorder_by=None,
-        zorder_bits: int = 8,
+        zorder_bits: int = 8, zorder_where=None,
     ) -> dict:
         m = self._manifest()
+        if zorder_where is not None and not zorder_by:
+            raise ValueError("zorder_where requires zorder_by")
         if zorder_by:
-            # a re-clustering rewrite is whole-table by definition
-            small, keep = list(m["files"]), []
+            if zorder_where is not None:
+                # predicate-scoped OPTIMIZE: only files intersecting the
+                # constraint re-cluster — O(partition), not O(table)
+                small, keep = self.read_where(zorder_where, _split=True)
+            else:
+                small, keep = list(m["files"]), []
+            if not isinstance(zorder_by, dict):
+                zorder_by = (
+                    self._zorder_bounds(small, tuple(zorder_by), m)
+                    if small
+                    else {}
+                )
         else:
             # deletion-vector carriers are compaction candidates
             # regardless of size: OPTIMIZE is what materializes DVs

@@ -1613,6 +1613,58 @@ def merge_cow_zorder(spark, sf_dir):
 
 
 @register(
+    "merge_cow_dim_pruned",
+    """
+    SELECT 'p' AS provider,
+           'f' || lpad(CAST(c_custkey AS VARCHAR), 7, '0')
+             AS foreign_identifier,
+           'http://m/' || CAST(c_custkey AS VARCHAR) AS url
+    FROM customer WHERE c_custkey % 499 = 7
+    """,
+)
+def merge_cow_dim_pruned(spark, sf_dir):
+    """DYNAMIC FILE PRUNING from a join (Spark's runtime DPP extended
+    to arbitrary stats columns through the manifest): a selective
+    dimension's bounded key set prunes fact FILES before the scan
+    plans, not just rows after. Here the dim carries a handful of urls
+    scattered across the key order — min/max ranges can't prune an
+    uncorrelated column, so the per-file BLOOM bitmaps do: every fact
+    file whose bloom rejects all dim urls never enters the scan's file
+    index (pinned: a strict subset of files is read). The reference
+    rescans the whole table for any per-provider recompute
+    (``popularity/sql.py:301-326``); at 100 TB the file-level skip is
+    the difference between touching one provider's files and all of
+    them."""
+    import os
+    import shutil
+    import tempfile
+
+    from openverse_catalog_spark.operators.cowtable import CowTable
+
+    c = _t(spark, sf_dir, "customer")["customer"]
+    k = F.col("c_custkey")
+    fact = c.select(
+        F.lit("p").alias("provider"),
+        F.concat(
+            F.lit("f"), F.lpad(k.cast("string"), 7, "0")
+        ).alias("foreign_identifier"),
+        F.concat(F.lit("http://m/"), k.cast("string")).alias("url"),
+    )
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_cow_dimprune")
+    shutil.rmtree(root, ignore_errors=True)
+    t = CowTable.create(
+        spark, root, fact, target_files=8, bloom_cols=("url",)
+    )
+    dim = c.filter(k % 499 == 7).select(
+        F.concat(F.lit("http://m/"), k.cast("string")).alias("url")
+    )
+    out = t.read_join_pruned(dim, "url")
+    n_all = len(t._manifest()["files"])
+    assert len(out.inputFiles()) < n_all, "dim-driven file skip must bite"
+    return out.select("provider", "foreign_identifier", "url")
+
+
+@register(
     "merge_cow_point_lookup",
     """
     SELECT 'p' AS provider,

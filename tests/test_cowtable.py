@@ -1659,3 +1659,91 @@ def test_cow_dv_clone_carries_absolute_dv_paths(spark, tmp_path):
     c = t.clone(str(tmp_path / "branch"))
     assert c.read().count() == 1_980
     assert c.read().filter(F.col("grp") == 9).count() == 0
+
+
+def test_cow_read_join_pruned_by_key_range_and_fallback(spark, tmp_path):
+    """Dynamic file pruning via a join: a bounded dim key set prunes
+    fact files through the per-file key-range stats; a dim wider than
+    max_keys falls back to an exact semi-join (same rows, no prune)."""
+    t = _dv_fixture(spark, tmp_path, n=8_000, files=4)
+    n_all = len(t._manifest()["files"])
+    dim = spark.createDataFrame(
+        [("0000010",), ("0000011",)], "foreign_identifier string"
+    )
+    out = t.read_join_pruned(dim, "foreign_identifier")
+    assert sorted(
+        r["foreign_identifier"] for r in out.collect()
+    ) == ["0000010", "0000011"]
+    assert 0 < len(out.inputFiles()) < n_all
+    # DV interplay: kill one of the two, the pruned read must not
+    # resurrect it
+    t.delete(F.col("foreign_identifier") == "0000010", mode="dv")
+    out2 = t.read_join_pruned(dim, "foreign_identifier")
+    assert [r["foreign_identifier"] for r in out2.collect()] == ["0000011"]
+    # fallback: cap of 1 forces the exact semi-join over the snapshot
+    out3 = t.read_join_pruned(dim, "foreign_identifier", max_keys=1)
+    assert [r["foreign_identifier"] for r in out3.collect()] == ["0000011"]
+    # a column with no stats anywhere is refused, not silently full-scanned
+    import pytest
+
+    with pytest.raises(ValueError, match="file-level stats"):
+        t.read_join_pruned(dim.withColumnRenamed(
+            "foreign_identifier", "url"), "url")
+
+
+def test_cow_zorder_stats_auto_bounds_and_predicate_scope(spark, tmp_path):
+    """OPTIMIZE ZORDER takes bucket bounds from the manifest's own
+    per-file stats (no hand ranges), and zorder_where scopes the
+    rewrite to the files intersecting the predicate — every other file
+    carries by reference (O(partition) maintenance, not O(table))."""
+    df = spark.range(4_000).select(
+        F.concat(F.lit("p"), (F.col("id") % 2).cast("string")).alias(
+            "provider"
+        ),
+        F.lpad(F.col("id").cast("string"), 7, "0").alias(
+            "foreign_identifier"
+        ),
+        F.concat(F.lit("http://u/"), F.col("id").cast("string")).alias(
+            "url"
+        ),
+        ((F.col("id") * 37) % 100).cast("double").alias("x"),
+        ((F.col("id") * 61) % 100).cast("double").alias("y"),
+    )
+    t = CowTable.create(
+        spark, str(tmp_path / "tbl"), df, target_files=8,
+        stats_cols=("x", "y"),
+    )
+    m1 = t._manifest()
+    # a file intersects the p0 constraint iff its provider range
+    # touches p0 (boundary files straddling p0/p1 count)
+    p0_paths = {
+        e["path"] for e in m1["files"] if e["min"]["provider"] == "p0"
+    }
+    assert 0 < len(p0_paths) < len(m1["files"])
+    # scoped, stats-auto: only provider p0's files re-cluster
+    res = t.compact(
+        target_rows=max(1, m1["rows"] // 8),
+        zorder_by=["x", "y"],
+        zorder_bits=6,
+        zorder_where={"provider": ("p0", "p0")},
+    )
+    assert res["files_compacted"] == len(p0_paths)
+    m2 = t._manifest()
+    untouched = {e["path"] for e in m2["files"]} & {
+        e["path"] for e in m1["files"]
+    }
+    assert untouched == {
+        e["path"] for e in m1["files"] if e["path"] not in p0_paths
+    }
+    # data identical, and x/y skipping now bites within the zordered set
+    assert t.read().count() == 4_000
+    out = t.read_where({"x": (0.0, 20.0), "y": (0.0, 20.0)})
+    assert len(out.inputFiles()) < len(m2["files"])
+    assert out.count() == t.read().filter(
+        (F.col("x") <= 20) & (F.col("y") <= 20)
+    ).count()
+    # auto bounds refuse a column with no stats
+    import pytest
+
+    with pytest.raises(ValueError, match="stats"):
+        t.compact(zorder_by=["url"], zorder_bits=4)
