@@ -1136,16 +1136,24 @@ def pipeline_taxa_enrich(spark, sf_dir):
             ),
             ", ",
         ).alias("title"),
-        F.array_join(
-            F.slice(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(F.col("running_len") >= 256, F.col("c_name"))
-                    )
+        # nullif: a nation with NO overflow yields SQL NULL (DuckDB's
+        # string_agg-over-nothing semantics), not '' — the distinction
+        # only shows at tiny SFs where no title hits the cutoff
+        F.nullif(
+            F.array_join(
+                F.slice(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("running_len") >= 256, F.col("c_name")
+                            )
+                        )
+                    ),
+                    1, 20,
                 ),
-                1, 20,
+                "|",
             ),
-            "|",
+            F.lit(""),
         ).alias("overflow_tags"),
     )
 

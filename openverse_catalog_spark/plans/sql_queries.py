@@ -1,0 +1,187 @@
+"""SQL-facade queries: the engine driven by plain SQL text.
+
+The reference's users live in SQL (``popularity/sql.py``, the
+provider_csv_load_scripts, every maintenance DAG's query file); these
+queries pin that a user can run this engine the same way — DataFrames
+registered as views, CoW lake tables with time travel and the change
+feed addressed through ``VERSION AS OF`` / ``TABLE_CHANGES`` text — and
+get oracle-identical results. The facade hands rewritten text straight
+to Catalyst, so everything the DataFrame plans get (pruning, broadcast
+dims, whole-stage codegen) applies to SQL text too.
+"""
+
+from __future__ import annotations
+
+from openverse_catalog_spark.plans.analytics import _t, register
+from openverse_catalog_spark.plans.merge_queries import (
+    _COW_TARGET_SQL,
+    _COW_V2_CTES,
+    _cow_build,
+)
+
+
+def _facade(spark, sf_dir, *tables):
+    from openverse_catalog_spark.sql_facade import SqlFacade
+
+    f = SqlFacade(spark)
+    loaded = _t(spark, sf_dir, *tables)
+    for name, df in loaded.items():
+        f.register_df(name, df)
+    return f
+
+
+@register(
+    "sql_taxa_enrich",
+    """
+    WITH ranked AS (
+      SELECT n.n_name, n.n_nationkey, n.n_regionkey, c.c_name, c.c_mktsegment,
+             sum(length(c.c_name) + 2) OVER (
+               PARTITION BY n.n_name ORDER BY c.c_name
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_len
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ),
+    agg AS (
+      SELECT n_name, n_nationkey, n_regionkey,
+             count(DISTINCT c_mktsegment) AS n_sources,
+             string_agg(CASE WHEN running_len < 256 THEN c_name END, ', '
+                        ORDER BY c_name) AS title,
+             array_to_string(
+               list_slice(
+                 coalesce(list(c_name ORDER BY c_name)
+                            FILTER (WHERE running_len >= 256), []),
+                 1, 20),
+               '|') AS overflow_tags
+      FROM ranked
+      GROUP BY n_name, n_nationkey, n_regionkey
+    ),
+    anc_dim AS (
+      SELECT 'r' || CAST(r_regionkey AS VARCHAR) AS akey, r_name AS aname FROM region
+      UNION ALL
+      SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS akey, n_name AS aname FROM nation
+    ),
+    lineage AS (
+      SELECT a.n_name, array_to_string(list_sort(list(d.aname)), '>') AS lineage
+      FROM agg a,
+           unnest(string_split('r' || CAST(a.n_regionkey AS VARCHAR) || '/n'
+                               || CAST(a.n_nationkey AS VARCHAR), '/')) AS u(akey)
+      JOIN anc_dim d ON d.akey = u.akey
+      GROUP BY a.n_name
+    )
+    SELECT a.n_name, a.n_sources, a.title, a.overflow_tags,
+           r.r_name AS region_name, l.lineage
+    FROM agg a
+    LEFT JOIN region r ON md5(CAST(a.n_regionkey AS VARCHAR))
+                        = md5(CAST(r.r_regionkey AS VARCHAR))
+    LEFT JOIN lineage l ON a.n_name = l.n_name
+    """,
+)
+def sql_taxa_enrich(spark, sf_dir):
+    """``pipeline_taxa_enrich`` (the reference's taxa.sql mini-pipeline,
+    ``analytics.py:pipeline_taxa_enrich``) re-expressed as ONE SQL text
+    through the facade: windowed running-length cutoff, filtered ordered
+    aggregation with overflow->tags top-20 slice, md5-surrogate left
+    join, and the ancestry explode re-aggregated to a lineage string —
+    proof a SQL-speaking user of the reference can run this engine
+    without touching the Python API. Catalyst plans the text exactly
+    like the DataFrame version (same exchanges, same broadcasts)."""
+    f = _facade(spark, sf_dir, "customer", "nation", "region")
+    return f.sql(
+        """
+        WITH ranked AS (
+          SELECT n.n_name, n.n_nationkey, n.n_regionkey,
+                 c.c_name, c.c_mktsegment,
+                 sum(length(c.c_name) + 2) OVER (
+                   PARTITION BY n.n_name ORDER BY c.c_name
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS running_len
+          FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        ),
+        agg AS (
+          SELECT n_name,
+                 first(n_nationkey) AS n_nationkey,
+                 first(n_regionkey) AS n_regionkey,
+                 count(DISTINCT c_mktsegment) AS n_sources,
+                 array_join(array_sort(collect_list(
+                   CASE WHEN running_len < 256 THEN c_name END)), ', ')
+                   AS title,
+                 nullif(array_join(slice(array_sort(collect_list(
+                   CASE WHEN running_len >= 256 THEN c_name END)), 1, 20),
+                   '|'), '') AS overflow_tags
+          FROM ranked
+          GROUP BY n_name
+        ),
+        anc_dim AS (
+          SELECT concat('r', CAST(r_regionkey AS STRING)) AS akey,
+                 r_name AS aname
+          FROM region
+          UNION ALL
+          SELECT concat('n', CAST(n_nationkey AS STRING)) AS akey,
+                 n_name AS aname
+          FROM nation
+        ),
+        lineage AS (
+          SELECT e.n_name,
+                 array_join(array_sort(collect_list(d.aname)), '>')
+                   AS lineage
+          FROM (
+            SELECT a.n_name, u.akey
+            FROM agg a
+            LATERAL VIEW explode(split(concat(
+              'r', CAST(a.n_regionkey AS STRING), '/n',
+              CAST(a.n_nationkey AS STRING)), '/')) u AS akey
+          ) e
+          JOIN anc_dim d ON d.akey = e.akey
+          GROUP BY e.n_name
+        )
+        SELECT a.n_name, a.n_sources, a.title, a.overflow_tags,
+               r.r_name AS region_name, l.lineage
+        FROM agg a
+        LEFT JOIN region r ON md5(CAST(a.n_regionkey AS STRING))
+                            = md5(CAST(r.r_regionkey AS STRING))
+        LEFT JOIN lineage l ON a.n_name = l.n_name
+        """
+    )
+
+
+@register(
+    "sql_cow_time_travel",
+    f"""
+    WITH {_COW_V2_CTES},
+    v1 AS ({_COW_TARGET_SQL})
+    SELECT 'v1' AS snap, provider, foreign_identifier, url, title FROM v1
+    UNION ALL
+    SELECT 'head', provider, foreign_identifier, url, title FROM v2
+    UNION ALL
+    SELECT 'changed', v2.provider, v2.foreign_identifier, v2.url, v2.title
+    FROM v2 LEFT JOIN v1
+      ON v2.provider = v1.provider
+     AND v2.foreign_identifier = v1.foreign_identifier
+    WHERE v1.provider IS NULL OR v2.title <> v1.title OR v2.url <> v1.url
+    """,
+)
+def sql_cow_time_travel(spark, sf_dir):
+    """Lake-table SQL surface end to end: a CoW table registered on the
+    facade, read at head by bare name, time-traveled with ``VERSION AS
+    OF``, and its change feed queried with ``TABLE_CHANGES(...)`` — all
+    in ONE SQL text (the facade rewrites each construct to a
+    manifest-pinned view; Delta's spelling, plain Spark underneath).
+    The oracle replays v1, the upserted head, and the post-images of
+    the merge's logical delta."""
+    t = _cow_build(spark, sf_dir, "cow_sqlfacade", _t)
+    from openverse_catalog_spark.sql_facade import SqlFacade
+
+    f = SqlFacade(spark)
+    f.register_table("media", t)
+    return f.sql(
+        """
+        SELECT 'v1' AS snap, provider, foreign_identifier, url, title
+        FROM media VERSION AS OF 1
+        UNION ALL
+        SELECT 'head', provider, foreign_identifier, url, title
+        FROM media
+        UNION ALL
+        SELECT 'changed', provider, foreign_identifier, url, title
+        FROM TABLE_CHANGES('media', 1, 2)
+        WHERE _change_type IN ('insert', 'update_postimage')
+        """
+    )

@@ -1,0 +1,101 @@
+"""SQL facade: lake tables and frames addressable from plain SQL text,
+with the Delta-spelling time-travel / CDF constructs rewritten to
+manifest-pinned views.
+
+Reference contract: the catalog's users run SQL files against Postgres
+(catalog/dags/common/popularity/sql.py, provider_csv_load_scripts);
+this is the equivalent front door for the Spark engine.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from openverse_catalog_spark.operators.cowtable import CowTable
+from openverse_catalog_spark.sql_facade import SqlFacade
+from tests.test_cowtable import _base_rows, _batch_rows, _canon
+from tests.test_merge_upsert import COLS, mk
+
+
+def test_facade_head_view_follows_commits(spark, tmp_path):
+    """The bare table name always reads the CURRENT snapshot: a merge
+    between two sql() calls is visible without re-registration."""
+    t = CowTable.create(
+        spark, str(tmp_path / "tbl"), mk(spark, _base_rows()), target_files=2
+    )
+    f = SqlFacade(spark)
+    f.register_table("media", t)
+    assert f.sql("SELECT count(*) AS n FROM media").collect()[0]["n"] == 40
+    t.merge(mk(spark, _batch_rows()), COLS, deterministic=True)
+    got = {
+        r["foreign_identifier"]: r["title"]
+        for r in f.sql(
+            "SELECT foreign_identifier, title FROM media "
+            "WHERE provider = 'met' AND foreign_identifier >= 'f020'"
+        ).collect()
+    }
+    assert got["f020"] == "updated" and got["f999"] == "brand-new"
+
+
+def test_facade_version_and_timestamp_and_changes(spark, tmp_path):
+    """VERSION AS OF / TIMESTAMP AS OF / TABLE_CHANGES rewrite to
+    manifest-pinned views inside one query text."""
+    t = CowTable.create(
+        spark, str(tmp_path / "tbl"), mk(spark, _base_rows()), target_files=2
+    )
+    t.merge(mk(spark, _batch_rows()), COLS, deterministic=True)
+    f = SqlFacade(spark)
+    f.register_table("media", t)
+    n1 = f.sql(
+        "SELECT count(*) AS n FROM media VERSION AS OF 1"
+    ).collect()[0]["n"]
+    assert n1 == 40
+    ts = t._manifest(1)["committed_at"]
+    nts = f.sql(
+        f"SELECT count(*) AS n FROM media TIMESTAMP AS OF {ts}"
+    ).collect()[0]["n"]
+    assert nts == 40
+    ch = f.sql(
+        "SELECT _change_type, count(*) AS n FROM TABLE_CHANGES('media', 1) "
+        "GROUP BY _change_type ORDER BY _change_type"
+    ).collect()
+    assert {r["_change_type"]: r["n"] for r in ch} == {
+        "insert": 1, "update_preimage": 1, "update_postimage": 1,
+    }
+    # joining a snapshot against the head in one text
+    joined = f.sql(
+        """
+        SELECT count(*) AS n
+        FROM media h JOIN media VERSION AS OF 1 o
+          ON h.provider = o.provider
+         AND h.foreign_identifier = o.foreign_identifier
+        WHERE h.title <> o.title
+        """
+    ).collect()[0]["n"]
+    assert joined == 1  # the one updated row
+
+
+def test_facade_unregistered_table_is_refused(spark, tmp_path):
+    f = SqlFacade(spark)
+    f.register_df("plain", spark.range(3).toDF("id"))
+    assert f.sql("SELECT count(*) AS n FROM plain").collect()[0]["n"] == 3
+    with pytest.raises(ValueError, match="registered lake table"):
+        f.sql("SELECT * FROM plain VERSION AS OF 1")
+
+
+def test_facade_dv_delete_visible_in_sql(spark, tmp_path):
+    """A deletion-vector delete is an ordinary commit to SQL readers."""
+    t = CowTable.create(
+        spark, str(tmp_path / "tbl"), mk(spark, _base_rows()), target_files=2
+    )
+    t.delete(F.col("provider") == "met", mode="dv")
+    f = SqlFacade(spark)
+    f.register_table("media", t)
+    rows = f.sql(
+        "SELECT DISTINCT provider FROM media ORDER BY provider"
+    ).collect()
+    assert [r["provider"] for r in rows] == ["flickr"]
+    assert f.sql(
+        "SELECT count(*) AS n FROM media VERSION AS OF 1"
+    ).collect()[0]["n"] == 40
