@@ -1003,3 +1003,266 @@ def ivf_index_upsert(
         .parquet(f"{path}/lists")
     )
     return {"added": base.count(), "centroids": int(len(c_ids))}
+
+
+# -- IVF-PQ: product-quantized inverted lists --------------------------------
+
+
+def _pq_codebooks(base, id_col: str, vec_col: str, m: int, codebook_mod: int):
+    """Deterministic sampled PQ codebooks: the NORMALIZED sub-vectors of
+    every ``id % codebook_mod == 0`` corpus vector, one codebook per
+    subspace, codewords ordered by source id (ordinal code = id rank).
+    This is the k-means++-style init alone — production would Lloyd-
+    refine each codebook with operators/clustering.kmeans_assign, but a
+    sampled codebook keeps every later step exactly replayable by the
+    SQL oracle, which is how this engine pins ANN correctness."""
+    pdf = (
+        base.filter(F.col(id_col) % codebook_mod == 0)
+        .select(id_col, vec_col)
+        .limit(MAX_BROADCAST_QUERIES + 1)
+        .toPandas()
+        .sort_values(id_col)
+    )
+    if len(pdf) > MAX_BROADCAST_QUERIES:
+        raise ValueError(
+            "PQ codebook exceeds the broadcast cap; raise codebook_mod"
+        )
+    ids, mat = _stack_normalized(pdf, id_col, vec_col)
+    n_k, dim = mat.shape
+    if dim % m:
+        raise ValueError(f"vector dim {dim} not divisible by pq_m={m}")
+    return ids, mat.reshape(n_k, m, dim // m)
+
+
+def _pq_encode(mat, cb):
+    """(B, D) normalized vectors -> (B, m) ordinal codes: per subspace,
+    the L2-nearest codeword, distances rounded to 9 decimals before the
+    argmin so near-ties resolve identically to the SQL oracle's
+    ``ORDER BY round(d2, 9), codeword`` (ULP-level float summation
+    differences must not flip a code)."""
+    import numpy as np
+
+    n_b = mat.shape[0]
+    m = cb.shape[1]
+    sub = mat.reshape(n_b, m, -1)
+    # (B, K, m) squared distances per subspace
+    d2 = ((sub[:, None, :, :] - cb[None, :, :, :]) ** 2).sum(axis=3)
+    return np.round(d2, 9).argmin(axis=1).astype("int32")  # (B, m)
+
+
+def ivf_pq_build_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_mod: int = 40,
+    pq_m: int = 8,
+    codebook_mod: int = 25,
+    index_files: int = 8,
+) -> dict:
+    """IVF-PQ index build (FAISS's IVFPQ, the 100 TB ANN shape): the
+    inverted lists store each vector as ``pq_m`` ONE-BYTE-SCALE codes
+    instead of the raw floats — a 64-dim float64 vector (512 B) becomes
+    8 codes (~8 B), so the probe-side scan reads ~64x fewer bytes and a
+    billion-vector list set fits where raw vectors cannot. Assignment
+    = one broadcast-centroid GEMM per Arrow batch (as ivf_build_index)
+    plus the per-subspace code encode; lists are written range-
+    clustered + sorted on centroid_id so a probe's pushed-down
+    isin(centroid_id) prunes row groups. Codebooks and centroids
+    persist beside the lists. Scoring is ADC + exact re-rank
+    (``ivf_pq_probe_index``)."""
+    spark = corpus.sparkSession
+    base = _as_double(corpus, vec_col)
+    cent_pdf = (
+        base.filter(F.col(id_col) % centroid_mod == 0)
+        .select(id_col, vec_col)
+        .limit(MAX_BROADCAST_QUERIES + 1)
+        .toPandas()
+        .sort_values(id_col)
+    )
+    if len(cent_pdf) > MAX_BROADCAST_QUERIES:
+        raise ValueError(
+            "ivf_pq_build_index centroid count exceeds the broadcast cap; "
+            "raise centroid_mod"
+        )
+    c_ids, c_mat = _stack_normalized(cent_pdf, id_col, vec_col)
+    cb_ids, cb = _pq_codebooks(base, id_col, vec_col, pq_m, codebook_mod)
+    bc = spark.sparkContext.broadcast((c_ids, c_mat, cb))
+
+    def assign_gen(batches):
+        import pandas as pd
+
+        b_c_ids, b_c_mat, b_cb = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, mat = _stack_normalized(pdf, id_col, vec_col)
+            best = (mat @ b_c_mat.T).argmax(axis=1)
+            codes = _pq_encode(mat, b_cb)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": ids,
+                    "centroid_id": b_c_ids[best],
+                    "codes": list(codes),
+                }
+            )
+
+    assign = base.select(id_col, vec_col).mapInPandas(
+        assign_gen, "neighbor_id long, centroid_id long, codes array<int>"
+    )
+    (
+        assign.repartitionByRange(index_files, F.col("centroid_id"))
+        .sortWithinPartitions("centroid_id")
+        .write.mode("overwrite")
+        .parquet(f"{path}/lists")
+    )
+    base.filter(F.col(id_col) % centroid_mod == 0).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("vector")
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    # codebooks: (subspace, code ordinal, source id, normalized subvector)
+    rows = [
+        (s, int(k_), int(cb_ids[k_]), [float(x) for x in cb[k_, s]])
+        for s in range(pq_m)
+        for k_ in range(cb.shape[0])
+    ]
+    spark.createDataFrame(
+        rows, "subspace int, code int, source_id long, subvector array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    return {
+        "path": path,
+        "centroids": int(len(c_ids)),
+        "codewords": int(cb.shape[0]),
+        "pq_m": pq_m,
+    }
+
+
+def ivf_pq_probe_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    nprobe: int = 2,
+    shortlist: int = 10,
+) -> DataFrame:
+    """Probe an IVF-PQ index: nprobe nearest centroids per query (one
+    broadcast GEMM per Arrow batch), ADC scoring inside the probed
+    lists — each candidate's approximate dot is the sum over subspaces
+    of ``dot(query_subvector, codeword[codes[s]])``, a table lookup,
+    never a raw-vector read — then an EXACT cosine re-rank of only the
+    top-``shortlist`` candidates per query against the corpus's raw
+    vectors. The asymmetric-distance + re-rank split is what makes PQ
+    usable: the cheap approximate pass touches codes only (~64x fewer
+    bytes than raw), and the expensive exact pass touches
+    |q| * shortlist rows instead of |q| * list size. ADC rank keys are
+    rounded to 9 decimals (both here and in the oracle) so summation-
+    order ULP noise cannot flip a shortlist boundary."""
+    import numpy as np
+
+    cent_pdf = (
+        spark.read.parquet(f"{path}/centroids").toPandas()
+        .sort_values("centroid_id")
+    )
+    c_ids, c_mat = _stack_normalized(cent_pdf, "centroid_id", "vector")
+    cb_pdf = spark.read.parquet(f"{path}/codebooks").toPandas()
+    pq_m = int(cb_pdf["subspace"].max()) + 1
+    n_k = int(cb_pdf["code"].max()) + 1
+    cb = np.zeros((n_k, pq_m, c_mat.shape[1] // pq_m))
+    for r in cb_pdf.itertuples():
+        cb[r.code, r.subspace] = np.asarray(r.subvector)
+    bc = spark.sparkContext.broadcast((c_ids, c_mat, cb))
+    base = _as_double(queries, vec_col)
+
+    def probe_gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        b_c_ids, b_c_mat, _ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, mat = _stack_normalized(pdf, id_col, vec_col)
+            order = np.argsort(
+                -(mat @ b_c_mat.T), axis=1, kind="stable"
+            )[:, :nprobe]
+            reps = order.shape[1]
+            yield pd.DataFrame(
+                {
+                    "query_id": ids.repeat(reps),
+                    "centroid_id": b_c_ids[order.reshape(-1)],
+                    "__qv": pdf[vec_col].to_numpy().repeat(reps),
+                }
+            )
+
+    probe = base.select(id_col, vec_col).mapInPandas(
+        probe_gen, "query_id long, centroid_id long, __qv array<double>"
+    ).localCheckpoint(eager=False)
+    probed = sorted(
+        r[0] for r in probe.select("centroid_id").distinct().collect()
+    )
+    lists = spark.read.parquet(f"{path}/lists").filter(
+        F.col("centroid_id").isin(probed)
+    )
+    cand = probe.join(lists, "centroid_id").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+
+    def adc_gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        _, _, b_cb = bc.value
+        m = b_cb.shape[1]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qmat = np.stack(pdf["__qv"].to_numpy()).astype("float64")
+            qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+            qsub = qmat.reshape(len(pdf), m, -1)
+            codes = np.stack(pdf["codes"].to_numpy()).astype("int64")
+            cw = b_cb[codes, np.arange(m)[None, :]]  # (B, m, dsub)
+            adc = np.einsum("bmd,bmd->b", qsub, cw)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "adc": adc,
+                }
+            )
+
+    scored = cand.select("query_id", "neighbor_id", "codes", "__qv").mapInPandas(
+        adc_gen, "query_id long, neighbor_id long, adc double"
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("adc"), 9).desc(), F.col("neighbor_id")
+    )
+    short = (
+        scored.withColumn("__r", F.row_number().over(ws))
+        .filter(F.col("__r") <= shortlist)
+        .drop("__r")
+    )
+    # exact re-rank: fetch raw vectors for the shortlist only
+    qv = base.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    nv = _as_double(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv")
+    )
+    exact = (
+        F.broadcast(short.select("query_id", "neighbor_id"))
+        .join(qv, "query_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_expr(F.col("__qv"), F.col("__nv")).alias("cosine"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cosine"), 9).desc(), F.col("neighbor_id")
+    )
+    return exact.withColumn("rank", F.row_number().over(wk)).filter(
+        F.col("rank") <= k
+    )

@@ -2456,6 +2456,128 @@ def corpus_bpe_encode(spark, sf_dir):
     )
 
 
+def _ivf_pq_oracle(
+    nprobe: int = 2,
+    centroid_mod: int = 40,
+    codebook_mod: int = 25,
+    pq_m: int = 8,
+    query_filter: str = "vec_id % 20 = 0",
+    shortlist: int = 10,
+    k: int = 3,
+) -> str:
+    """DuckDB replay of the FULL IVF-PQ pipeline: normalized expansion,
+    IVF assignment + probing (as _ivf_oracle), per-subspace codeword
+    assignment (L2, d2 rounded to 9 before the argmin tiebreak —
+    matching _pq_encode), ADC scoring as the sum of per-subspace
+    query-codeword dots, shortlist by round(adc, 9), exact re-rank."""
+    dsub = 64 // pq_m
+    return f"""
+    WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+    ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+                FROM corpus, generate_series(1, 64) AS t(i)),
+    norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
+    nx AS (SELECT e.vec_id, e.i, e.x / n.nrm AS x
+           FROM ex e JOIN norms n USING (vec_id)),
+    cex AS (SELECT vec_id AS centroid_id, i, x FROM ex
+            WHERE vec_id % {centroid_mod} = 0),
+    adot AS (SELECT e.vec_id, c.centroid_id, sum(e.x * c.x) AS dot
+             FROM ex e JOIN cex c ON e.i = c.i GROUP BY 1, 2),
+    acos AS (SELECT adot.vec_id, adot.centroid_id,
+                    dot / (n1.nrm * n2.nrm) AS c
+             FROM adot JOIN norms n1 ON n1.vec_id = adot.vec_id
+                       JOIN norms n2 ON n2.vec_id = adot.centroid_id),
+    assign AS (SELECT vec_id AS neighbor_id, centroid_id FROM (
+                 SELECT vec_id, centroid_id,
+                        row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY c DESC, centroid_id) AS r
+                 FROM acos) WHERE r = 1),
+    probe AS (SELECT vec_id AS query_id, centroid_id FROM (
+                SELECT vec_id, centroid_id,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY c DESC, centroid_id) AS r
+                FROM acos WHERE {query_filter}) WHERE r <= {nprobe}),
+    cand AS (SELECT p.query_id, a.neighbor_id
+             FROM probe p JOIN assign a USING (centroid_id)
+             WHERE p.query_id <> a.neighbor_id),
+    cw AS (SELECT vec_id AS cw_id, i, x FROM nx
+           WHERE vec_id % {codebook_mod} = 0),
+    pqd AS (SELECT v.vec_id, c.cw_id,
+                   ((v.i - 1) // {dsub}) AS s,
+                   sum((v.x - c.x) * (v.x - c.x)) AS d2
+            FROM nx v JOIN cw c ON v.i = c.i
+            GROUP BY 1, 2, 3),
+    codes AS (SELECT vec_id, s, cw_id FROM (
+                SELECT vec_id, s, cw_id,
+                       row_number() OVER (PARTITION BY vec_id, s
+                                          ORDER BY round(d2, 9), cw_id) AS r
+                FROM pqd) WHERE r = 1),
+    adc AS (SELECT cand.query_id, cand.neighbor_id, sum(q.x * c.x) AS adc
+            FROM cand
+            JOIN codes kk ON kk.vec_id = cand.neighbor_id
+            JOIN cw c ON c.cw_id = kk.cw_id
+                     AND ((c.i - 1) // {dsub}) = kk.s
+            JOIN nx q ON q.vec_id = cand.query_id AND q.i = c.i
+            GROUP BY 1, 2),
+    short AS (SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY round(adc, 9) DESC,
+                                                   neighbor_id) AS r
+                FROM adc) WHERE r <= {shortlist}),
+    cdot AS (SELECT s.query_id, s.neighbor_id, sum(qa.x * nb.x) AS dot
+             FROM short s JOIN ex qa ON qa.vec_id = s.query_id
+                          JOIN ex nb ON nb.vec_id = s.neighbor_id
+                                    AND nb.i = qa.i
+             GROUP BY 1, 2),
+    scored AS (SELECT query_id, neighbor_id,
+                      dot / (na.nrm * nb.nrm) AS cosine
+               FROM cdot JOIN norms na ON na.vec_id = cdot.query_id
+                         JOIN norms nb ON nb.vec_id = cdot.neighbor_id),
+    ranked AS (SELECT query_id, neighbor_id, cosine,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY round(cosine, 9) DESC,
+                                                  neighbor_id) AS rank
+               FROM scored)
+    SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@register("knn_ivf_pq", _ivf_pq_oracle())
+def knn_ivf_pq(spark, sf_dir):
+    """IVF-PQ — product-quantized inverted lists, the index layout a
+    100 TB vector corpus actually needs (FAISS IVFPQ): the persisted
+    lists hold pq_m=8 codes per vector instead of 64 raw doubles
+    (~64x fewer probe-scan bytes), queries score candidates by ADC
+    (per-subspace query-codeword dot lookups), and only the
+    top-shortlist candidates per query get the exact cosine re-rank
+    against raw vectors. Codebooks are deterministic id-sampled
+    normalized sub-vectors (the kmeans-init analog) so the oracle
+    replays EVERY stage — codeword assignment, ADC sums, shortlist,
+    re-rank — value-exactly; rank keys quantize to 9 decimals on both
+    sides so summation-order ULP noise can't flip a boundary."""
+    import os
+    import shutil
+    import tempfile
+
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_ivfpq_idx")
+    shutil.rmtree(path, ignore_errors=True)
+    info = knn.ivf_pq_build_index(
+        e, path, "vec_id", "embedding", centroid_mod=40, pq_m=8,
+        codebook_mod=25,
+    )
+    assert info["pq_m"] == 8 and info["codewords"] >= 2
+    queries = e.filter(F.col("vec_id") % 20 == 0)
+    out = knn.ivf_pq_probe_index(
+        spark, path, queries, e, "vec_id", "embedding",
+        k=3, nprobe=2, shortlist=10,
+    )
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
+    )
+
+
 @register("knn_ivf_multiprobe", _ivf_oracle(nprobe=4))
 def knn_ivf_multiprobe(spark, sf_dir):
     """MULTI-PROBE on the persisted IVF index: nprobe=4 nearest lists

@@ -775,3 +775,52 @@ def test_ivf_index_upsert_equals_rebuild(spark, sf_dir, tmp_path):
         }
 
     assert probe(inc_path) == probe(full_path)
+
+
+def test_ivf_pq_recall_floor_and_rerank_exactness(spark, sf_dir, tmp_path):
+    """IVF-PQ: the code-only ADC pass + exact shortlist re-rank must
+    (a) keep a recall floor against brute force, (b) never beat the
+    plain-IVF recall at the same nprobe by construction-breaking means
+    (its candidates are a re-ranked subset of the same probed lists),
+    and (c) report EXACT cosines for what it returns (the re-rank is
+    not approximate)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    path = str(tmp_path / "ivfpq_idx")
+    knn.ivf_pq_build_index(
+        emb, path, "vec_id", "embedding", centroid_mod=40, pq_m=8,
+        codebook_mod=25,
+    )
+    exact = knn.cosine_topk(emb, queries, k=3)
+    etop = {
+        (r["query_id"], r["neighbor_id"]) for r in exact.collect()
+    }
+    ecos = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in exact.collect()
+    }
+    got = knn.ivf_pq_probe_index(
+        spark, path, queries, emb, "vec_id", "embedding",
+        k=3, nprobe=2, shortlist=32,
+    ).collect()
+    gtop = {(r["query_id"], r["neighbor_id"]) for r in got}
+    recall = len(etop & gtop) / len(etop)
+    assert recall > 0.4, recall
+    # returned cosines are exact: wherever PQ and brute force agree on
+    # a pair, the scores match to float tolerance
+    for r in got:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in ecos:
+            assert abs(r["cosine"] - ecos[key]) < 1e-9
+    # the lists store codes, never raw vectors
+    lists = spark.read.parquet(f"{path}/lists")
+    assert set(lists.columns) == {"neighbor_id", "centroid_id", "codes"}
+    import os
+
+    list_bytes = sum(
+        os.path.getsize(os.path.join(dp, fn))
+        for dp, _, fns in os.walk(f"{path}/lists")
+        for fn in fns if fn.endswith(".parquet")
+    )
+    raw_bytes = emb.count() * 64 * 8
+    assert list_bytes < raw_bytes / 4  # codes ≪ raw vectors
