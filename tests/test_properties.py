@@ -235,3 +235,78 @@ def test_wav_roundtrip_arbitrary_samples(data, n, rate):
     out = decode_wav_samples(wav)
     assert out is not None and out.shape == (n, 1)
     assert (out[:, 0] == samples).all()
+
+
+@given(
+    data=st.data(),
+    width=st.integers(1, 40),
+    height=st.integers(1, 24),
+    channels=st.sampled_from([1, 3]),
+)
+@_codec_settings
+def test_jpeg_roundtrip_near_lossless_at_quant1(data, width, height, channels):
+    """decode_jpeg_pixels(encode_jpeg_pixels(x, quant=1)) must stay
+    within DCT-rounding distance of ANY 8-bit content (JPEG is lossy,
+    but at unit quantization the only error is float rounding through
+    the transform pair — a budget of a few levels; greyscale adds the
+    exact path, RGB the YCbCr round-trip). One wrong Huffman bit or a
+    misplaced zigzag index blows the bound immediately."""
+    import numpy as np
+
+    from openverse_catalog_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_pixels,
+    )
+
+    seed = data.draw(st.integers(0, 2**32 - 1))
+    arr = np.random.RandomState(seed).randint(
+        0, 256, (height, width, channels), dtype=np.uint8
+    )
+    out = decode_jpeg_pixels(encode_jpeg_pixels(arr, quant=1))
+    assert out is not None and out.shape == arr.shape
+    tol = 2 if channels == 1 else 4  # YCbCr adds a rounding trip
+    assert int(np.abs(out.astype(int) - arr.astype(int)).max()) <= tol
+
+
+@given(
+    data=st.data(),
+    width=st.integers(8, 33),
+    height=st.integers(8, 29),
+)
+@_codec_settings
+def test_jpeg_blockwise_constant_is_bit_exact(data, width, height):
+    """The oracle's lever: a blockwise-constant greyscale image at
+    quant=1 exercises only the (integer-exact) DC path, so the decode
+    reproduces the source BIT-EXACTLY — including partial edge MCUs
+    (edge-replication padding keeps them constant too)."""
+    import numpy as np
+
+    from openverse_catalog_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        synthesize_jpeg_image,
+    )
+
+    doc_id = data.draw(st.integers(0, 10_000))
+    y, x = np.meshgrid(np.arange(height), np.arange(width), indexing="ij")
+    want = ((7 * (x // 8) + 13 * (y // 8) + doc_id) % 256)[:, :, None]
+    out = decode_jpeg_pixels(synthesize_jpeg_image(doc_id, width, height))
+    assert out is not None and (out == want).all()
+
+
+def test_jpeg_decoder_rejects_non_baseline_and_garbage():
+    """Progressive (SOF2) and truncated/garbage payloads return None —
+    honest refusal, never wrong pixels."""
+    from openverse_catalog_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        synthesize_jpeg_image,
+    )
+
+    good = synthesize_jpeg_image(3, 16, 16)
+    assert decode_jpeg_pixels(good) is not None
+    # flip SOF0 (0xC0) to SOF2 (0xC2): progressive -> refused
+    i = good.find(b"\xff\xc0")
+    prog = good[:i + 1] + b"\xc2" + good[i + 2:]
+    assert decode_jpeg_pixels(prog) is None
+    assert decode_jpeg_pixels(good[: len(good) // 2]) is None
+    assert decode_jpeg_pixels(b"\xff\xd8\xff\xd9") is None
+    assert decode_jpeg_pixels(b"not a jpeg") is None
