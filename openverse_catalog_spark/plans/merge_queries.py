@@ -1619,7 +1619,7 @@ def merge_cow_zorder(spark, sf_dir):
            'f' || lpad(CAST(c_custkey AS VARCHAR), 7, '0')
              AS foreign_identifier,
            'http://m/' || CAST(c_custkey AS VARCHAR) AS url
-    FROM customer WHERE c_custkey % 499 = 7
+    FROM customer WHERE c_custkey % 499 = 7 AND c_custkey <= 600
     """,
 )
 def merge_cow_dim_pruned(spark, sf_dir):
@@ -1655,7 +1655,10 @@ def merge_cow_dim_pruned(spark, sf_dir):
     t = CowTable.create(
         spark, root, fact, target_files=8, bloom_cols=("url",)
     )
-    dim = c.filter(k % 499 == 7).select(
+    # a bounded key set that stays SELECTIVE at every SF (a modulus
+    # alone spreads keys across all files as the table grows, leaving
+    # nothing skippable)
+    dim = c.filter((k % 499 == 7) & (k <= 600)).select(
         F.concat(F.lit("http://m/"), k.cast("string")).alias("url")
     )
     out = t.read_join_pruned(dim, "url")
