@@ -149,6 +149,14 @@ HEADLINE = [
     "merge_cow_zorder",
     "embed_pca_power",
     "merge_cow_point_lookup",
+    # round 5
+    "merge_cow_delete_dv",
+    "merge_cow_dim_pruned",
+    "sql_taxa_enrich",
+    "sql_cow_time_travel",
+    "sql_cow_dml",
+    "knn_ivf_pq",
+    "multimodal_jpeg_decode",
 ]
 
 

@@ -17,6 +17,7 @@ from openverse_catalog_spark.plans.merge_queries import (
     _COW_TARGET_SQL,
     _COW_V2_CTES,
     _cow_build,
+    _cow_fixture,
 )
 
 
@@ -184,4 +185,52 @@ def sql_cow_time_travel(spark, sf_dir):
         FROM TABLE_CHANGES('media', 1, 2)
         WHERE _change_type IN ('insert', 'update_postimage')
         """
+    )
+
+
+@register(
+    "sql_cow_dml",
+    f"""
+    WITH {_COW_V2_CTES}
+    SELECT provider, foreign_identifier, url,
+           CASE WHEN provider = 'p1'
+                THEN 'U-' || foreign_identifier ELSE title END AS title
+    FROM v2 WHERE provider <> 'p0'
+    """,
+)
+def sql_cow_dml(spark, sf_dir):
+    """The WRITE half of the SQL surface: INSERT INTO (the upsert merge
+    — a lake table's only insert, the reference's ``INSERT ... ON
+    CONFLICT`` loader contract, url guard included), UPDATE ... SET ...
+    WHERE and DELETE FROM ... WHERE, all as plain text through the
+    facade, each landing as an optimistically-committed copy-on-write
+    version. The oracle replays the guarded upsert, the predicated
+    update and the delete in SQL; the facade's head view re-resolves
+    between statements so each DML sees the previous one's commit."""
+    import os
+    import shutil
+    import tempfile
+
+    from openverse_catalog_spark.operators.cowtable import CowTable
+    from openverse_catalog_spark.sql_facade import SqlFacade
+
+    c = _t(spark, sf_dir, "customer")["customer"]
+    target, batch, cols = _cow_fixture(c)
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_cow_sqldml")
+    shutil.rmtree(root, ignore_errors=True)
+    t = CowTable.create(spark, root, target, target_files=6)
+    f = SqlFacade(spark)
+    f.register_table("media", t, columns=cols)
+    f.register_df("staging", batch)
+    ins = f.sql("INSERT INTO media SELECT * FROM staging").collect()[0]
+    assert ins["version"] == 2
+    upd = f.sql(
+        "UPDATE media SET title = concat('U-', foreign_identifier) "
+        "WHERE provider = 'p1'"
+    ).collect()[0]
+    assert upd["version"] == 3
+    dele = f.sql("DELETE FROM media WHERE provider = 'p0'").collect()[0]
+    assert dele["version"] == 4
+    return f.sql(
+        "SELECT provider, foreign_identifier, url, title FROM media"
     )

@@ -21,6 +21,20 @@ other — pruning, pushdown and join strategy included. Registered head
 views re-resolve to the table's CURRENT version on every ``sql()``
 call (a version check per table, metadata-only), so a facade session
 always queries the latest committed snapshot without re-registration.
+
+DML text against a registered lake table routes to the table's commit
+protocol instead of Catalyst:
+
+  ``INSERT INTO <t> <query>``   the UPSERT merge — a lake table's only
+                                insert, exactly the reference's
+                                ``INSERT ... ON CONFLICT`` loader step
+  ``UPDATE <t> SET ... WHERE``  predicated copy-on-write update
+  ``DELETE FROM <t> WHERE``     predicated copy-on-write delete
+
+each returning a one-row (version, rows) summary frame. Predicates and
+SET expressions are parsed by Spark (``F.expr``), so any Spark SQL
+expression works; writers get the same optimistic concurrency +
+logical conflict re-link every API commit gets.
 """
 
 from __future__ import annotations
@@ -28,6 +42,7 @@ from __future__ import annotations
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from openverse_catalog_spark.operators.cowtable import CowTable
 
@@ -41,6 +56,41 @@ _TABLE_CHANGES = re.compile(
     r"\bTABLE_CHANGES\s*\(\s*'(\w+)'\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)",
     re.IGNORECASE,
 )
+_INSERT_INTO = re.compile(
+    r"^\s*INSERT\s+INTO\s+(\w+)\s+(.+)$", re.IGNORECASE | re.DOTALL
+)
+_UPDATE = re.compile(
+    r"^\s*UPDATE\s+(\w+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DELETE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.+))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _split_assignments(text: str) -> list[tuple[str, str]]:
+    """Split ``a = f(x, y), b = z`` on TOP-LEVEL commas only (paren
+    depth tracked), then each piece on its first ``=``."""
+    parts, depth, cur = [], 0, []
+    for ch in text:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    out = []
+    for p in parts:
+        col, _, expr = p.partition("=")
+        if not expr:
+            raise ValueError(f"malformed SET assignment: {p.strip()!r}")
+        out.append((col.strip(), expr.strip()))
+    return out
 
 
 class SqlFacade:
@@ -49,6 +99,7 @@ class SqlFacade:
     def __init__(self, spark: SparkSession):
         self.spark = spark
         self._tables: dict[str, CowTable] = {}
+        self._columns: dict[str, list] = {}
         self._head_version: dict[str, int] = {}
 
     # -- registration --------------------------------------------------------
@@ -57,11 +108,18 @@ class SqlFacade:
         """Expose a static frame (a parquet load, a dim) as a view."""
         df.createOrReplaceTempView(name)
 
-    def register_table(self, name: str, table: CowTable) -> None:
+    def register_table(self, name: str, table: CowTable, columns=None) -> None:
         """Expose a CoW lake table: ``name`` always reads the CURRENT
-        snapshot (re-resolved per query), and the time-travel / CDF
-        constructs above work against it."""
+        snapshot (re-resolved per query), the time-travel / CDF
+        constructs above work against it, and DML text routes to the
+        table's commit protocol — ``INSERT INTO`` runs the UPSERT merge
+        (the lake table's only insert, exactly the reference's
+        ``INSERT ... ON CONFLICT`` contract; requires ``columns``, the
+        table's ColumnSpec list, for the per-column strategies),
+        ``UPDATE``/``DELETE`` become predicated copy-on-write commits."""
         self._tables[name] = table
+        if columns is not None:
+            self._columns[name] = columns
         self._refresh_head(name)
 
     def _refresh_head(self, name: str) -> None:
@@ -115,9 +173,40 @@ class SqlFacade:
         text = _TIMESTAMP_AS_OF.sub(timestamp_of, text)
         return text
 
+    def _summary(self, res: dict) -> DataFrame:
+        return self.spark.createDataFrame(
+            [(res["version"], res["rows"])], "version long, rows long"
+        )
+
     def sql(self, text: str) -> DataFrame:
         """Run SQL text: refresh head views, rewrite lake constructs,
-        hand the rest to Catalyst."""
+        hand reads to Catalyst and DML to the lake table's commit
+        protocol. DML returns a one-row (version, rows) summary frame."""
         for name in self._tables:
             self._refresh_head(name)
+        m = _INSERT_INTO.match(text)
+        if m and m.group(1) in self._tables:
+            name, query = m.group(1), m.group(2)
+            cols = self._columns.get(name)
+            if cols is None:
+                raise ValueError(
+                    f"INSERT INTO {name} needs the table's ColumnSpec "
+                    "list: register_table(name, table, columns=[...])"
+                )
+            batch = self.spark.sql(self._rewrite(query))
+            res = self._tables[name].merge(batch, cols)
+            return self._summary(res)
+        m = _UPDATE.match(text)
+        if m and m.group(1) in self._tables:
+            name, sets, where = m.group(1), m.group(2), m.group(3)
+            cond = F.expr(where) if where else F.lit(True)
+            exprs = {
+                col: F.expr(e) for col, e in _split_assignments(sets)
+            }
+            return self._summary(self._tables[name].update(cond, exprs))
+        m = _DELETE.match(text)
+        if m and m.group(1) in self._tables:
+            name, where = m.group(1), m.group(2)
+            cond = F.expr(where) if where else F.lit(True)
+            return self._summary(self._tables[name].delete(cond))
         return self.spark.sql(self._rewrite(text))

@@ -99,3 +99,50 @@ def test_facade_dv_delete_visible_in_sql(spark, tmp_path):
     assert f.sql(
         "SELECT count(*) AS n FROM media VERSION AS OF 1"
     ).collect()[0]["n"] == 40
+
+
+def test_facade_dml_roundtrip(spark, tmp_path):
+    """INSERT INTO routes to the upsert merge (url guard included),
+    UPDATE/DELETE to predicated CoW commits; each statement sees the
+    previous one's version through the auto-refreshed head view."""
+    t = CowTable.create(
+        spark, str(tmp_path / "tbl"), mk(spark, _base_rows()), target_files=2
+    )
+    f = SqlFacade(spark)
+    f.register_table("media", t, columns=COLS)
+    f.register_df("staging", mk(spark, _batch_rows()))
+    ins = f.sql("INSERT INTO media SELECT * FROM staging").collect()[0]
+    assert ins["version"] == 2 and ins["rows"] == 41
+    got = _canon(t.read())
+    assert got[("met", "f020")] == "updated"
+    upd = f.sql(
+        "UPDATE media SET title = upper(title) WHERE provider = 'met'"
+    ).collect()[0]
+    assert upd["version"] == 3
+    assert _canon(t.read())[("met", "f020")] == "UPDATED"
+    dele = f.sql("DELETE FROM media WHERE provider = 'met'").collect()[0]
+    assert dele["version"] == 4
+    assert all(p == "flickr" for p, _ in _canon(t.read()))
+    # INSERT without registered columns is refused with guidance
+    f2 = SqlFacade(spark)
+    f2.register_table("m2", t)
+    with pytest.raises(ValueError, match="ColumnSpec"):
+        f2.sql("INSERT INTO m2 SELECT * FROM staging")
+
+
+def test_facade_dml_set_parses_top_level_commas_only(spark, tmp_path):
+    """SET expressions with function-call commas must not mis-split."""
+    t = CowTable.create(
+        spark, str(tmp_path / "tbl"), mk(spark, _base_rows()), target_files=2
+    )
+    f = SqlFacade(spark)
+    f.register_table("media", t)
+    f.sql(
+        "UPDATE media SET title = concat(provider, ':', "
+        "foreign_identifier), url = concat(url, '#x') "
+        "WHERE foreign_identifier = 'f000'"
+    )
+    row_ = (
+        t.read().filter(F.col("foreign_identifier") == "f000").collect()[0]
+    )
+    assert row_["title"] == "flickr:f000" and row_["url"].endswith("#x")
