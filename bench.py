@@ -155,6 +155,7 @@ HEADLINE = [
     "sql_taxa_enrich",
     "sql_cow_time_travel",
     "sql_cow_dml",
+    "merge_cow_constraints",
     "knn_ivf_pq",
     "multimodal_jpeg_decode",
 ]

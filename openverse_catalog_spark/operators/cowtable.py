@@ -60,6 +60,12 @@ from openverse_catalog_spark.operators.merge import (
 from openverse_catalog_spark.schemas.columns import ColumnSpec, spark_schema
 
 
+class ConstraintViolation(ValueError):
+    """A write commit produced rows violating a table CHECK constraint;
+    the commit is rejected (no version is created). Fix the data or
+    drop the constraint."""
+
+
 class CommitConflict(RuntimeError):
     """Another writer claimed the version this commit attempt computed.
     Retryable: re-read the snapshot and recompute the change against it
@@ -299,6 +305,7 @@ class CowTable:
         self._bloom_cols = (
             tuple(bloom_cols) if bloom_cols is not None else None
         )
+        self._constraints: dict | None = None
         # resolved manifests are immutable once committed — cache per
         # handle so repeated reads/segment-chain walks don't re-parse
         self._resolved: dict[int, dict] = {}
@@ -316,6 +323,24 @@ class CowTable:
         except FileNotFoundError:
             return ()
         return self._stats_cols
+
+    @property
+    def constraints(self) -> dict:
+        """CHECK constraints (table property): {name: sql_expr}. Every
+        write commit (merge, update — copy or DV) re-validates its NEW
+        row content against each expression; a violating write FAILS
+        (Delta's CHECK semantics — constraints reject writers, unlike
+        ``merge(validate_rules=...)`` which filters rows) and SQL CHECK
+        NULL semantics apply: only FALSE violates, NULL passes."""
+        if self._constraints is not None:
+            return self._constraints
+        try:
+            self._constraints = dict(
+                self._manifest().get("constraints") or {}
+            )
+        except FileNotFoundError:
+            return {}
+        return self._constraints
 
     @property
     def bloom_cols(self) -> tuple[str, ...]:
@@ -500,6 +525,7 @@ class CowTable:
             "keys": list(self.keys),
             "stats_cols": list(self.stats_cols),
             "bloom_cols": list(self.bloom_cols),
+            "constraints": dict(self.constraints),
             "schema": schema_json,
             "rows": sum(e["rows"] for e in entries),
         }
@@ -1272,6 +1298,90 @@ class CowTable:
             (affected if hit else untouched).append(e)
         return affected, untouched
 
+    # -- CHECK constraints -----------------------------------------------------
+
+    def _enforce_constraints(self, df: DataFrame, op: str) -> None:
+        """One aggregation pass counting violations of every constraint
+        over the rows this commit is about to write; any FALSE (SQL
+        CHECK semantics: NULL passes) rejects the whole write."""
+        cons = self.constraints
+        if not cons:
+            return
+        aggs = [
+            F.sum(
+                (~F.coalesce(F.expr(sql), F.lit(True))).cast("long")
+            ).alias(name)
+            for name, sql in cons.items()
+        ]
+        row = df.agg(*aggs).head()
+        bad = {n: row[n] for n in cons if row[n]}
+        if bad:
+            raise ConstraintViolation(
+                f"{op} on {self.root} violates CHECK constraint(s) "
+                f"{bad} (violating-row counts); the commit was rejected"
+            )
+
+    def add_constraint(self, name: str, expr_sql: str) -> dict:
+        """ALTER TABLE ADD CONSTRAINT ... CHECK (expr): validates the
+        CURRENT snapshot first (one scan — an unsatisfiable constraint
+        can never be added), then records the constraint as a table
+        property in a metadata-only commit; every later merge/update
+        enforces it against its new rows. Delta's CHECK constraint."""
+        if name in self.constraints:
+            raise ValueError(f"constraint {name!r} already exists")
+        cur = self._manifest()
+        if cur["files"]:
+            n_bad = (
+                self._read_entries(cur["files"], cur)
+                .agg(
+                    F.sum(
+                        (~F.coalesce(F.expr(expr_sql), F.lit(True)))
+                        .cast("long")
+                    ).alias("n")
+                )
+                .head()["n"]
+            )
+            if n_bad:
+                raise ConstraintViolation(
+                    f"cannot add CHECK {name!r} to {self.root}: "
+                    f"{n_bad} existing rows violate {expr_sql!r}"
+                )
+        trial = {**self.constraints, name: expr_sql}
+        self._constraints = trial
+        while True:
+            m = self._manifest()
+            try:
+                self._commit(
+                    m["version"] + 1, m["files"],
+                    op=f"add_constraint({name})",
+                    schema_json=m.get("schema"),
+                )
+                break
+            except CommitConflict:
+                continue
+        return {"version": self.version, "constraints": dict(trial)}
+
+    def drop_constraint(self, name: str) -> dict:
+        """ALTER TABLE DROP CONSTRAINT: metadata-only commit."""
+        if name not in self.constraints:
+            raise ValueError(f"no constraint {name!r}")
+        trial = {
+            k: v for k, v in self.constraints.items() if k != name
+        }
+        self._constraints = trial
+        while True:
+            m = self._manifest()
+            try:
+                self._commit(
+                    m["version"] + 1, m["files"],
+                    op=f"drop_constraint({name})",
+                    schema_json=m.get("schema"),
+                )
+                break
+            except CommitConflict:
+                continue
+        return {"version": self.version, "constraints": dict(trial)}
+
     # -- logical conflict resolution -----------------------------------------
 
     def _relink_after_conflict(
@@ -1540,6 +1650,10 @@ class CowTable:
             **kwargs,
         )
 
+        # CHECK constraints reject the write before any file lands
+        # (cost: one agg pass over the rewrite set — only when
+        # constraints exist)
+        self._enforce_constraints(merged, "merge")
         # data files go to a commit-unique directory: concurrent
         # attempts never collide on the filesystem, and a losing or
         # crashed attempt leaves only an unreferenced dir for vacuum
@@ -1754,6 +1868,8 @@ class CowTable:
             )
         else:
             out = slice_df.filter(~F.coalesce(condition, F.lit(False)))
+        if op == "update":
+            self._enforce_constraints(out, "update")
         new_version = m["version"] + 1
         rel_dir = f"data/c{uuid.uuid4().hex[:12]}"
         data_dir = f"{self.root}/{rel_dir}"
@@ -1925,6 +2041,7 @@ class CowTable:
                     for c in data_cols
                 ]
             )
+            self._enforce_constraints(upd, "update")
             upd.repartitionByRange(
                 target_files, *[F.col(k) for k in self.keys]
             ).write.mode("error").parquet(data_dir)

@@ -1613,6 +1613,65 @@ def merge_cow_zorder(spark, sf_dir):
 
 
 @register(
+    "merge_cow_constraints",
+    f"""
+    WITH {_COW_V2_CTES}
+    SELECT provider, foreign_identifier, url, title FROM v2
+    """,
+)
+def merge_cow_constraints(spark, sf_dir):
+    """CHECK constraints as a table property (Delta's ALTER TABLE ADD
+    CONSTRAINT): adding validates the whole current snapshot; every
+    later write commit re-validates its NEW rows in one aggregation
+    pass and a violating MERGE is REJECTED before any file lands (no
+    version created) — writer-rejecting semantics, unlike
+    merge(validate_rules=...) which row-filters. SQL CHECK NULL
+    semantics (NULL passes). The reference encodes these invariants as
+    Postgres column constraints + MediaStore validation; a lake table
+    needs them in the commit protocol itself."""
+    from openverse_catalog_spark.operators.cowtable import (
+        ConstraintViolation,
+        CowTable,
+    )
+
+    c = _t(spark, sf_dir, "customer")["customer"]
+    target, batch, cols = _cow_fixture(c)
+    import os
+    import shutil
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_cow_check")
+    shutil.rmtree(root, ignore_errors=True)
+    t = CowTable.create(spark, root, target, target_files=6)
+    t.add_constraint("title_nonempty", "length(title) > 0")
+    t.merge(batch, cols, deterministic=True)  # satisfies the CHECK
+    v_after = t.version
+    bad = batch.limit(1).withColumn("title", F.lit(""))
+    try:
+        t.merge(bad, cols, deterministic=True)
+        raise AssertionError("violating merge must be rejected")
+    except ConstraintViolation:
+        pass
+    assert t.version == v_after  # no version was created
+    # a violating UPDATE is rejected too
+    try:
+        t.update(F.col("provider") == "p1", {"title": F.lit("")})
+        raise AssertionError("violating update must be rejected")
+    except ConstraintViolation:
+        pass
+    assert t.version == v_after
+    # an unsatisfiable constraint cannot be added over existing rows
+    try:
+        t.add_constraint("impossible", "length(title) > 1000")
+        raise AssertionError("unsatisfiable constraint must be refused")
+    except ConstraintViolation:
+        pass
+    # a fresh handle rediscovers the property from the manifest
+    assert "title_nonempty" in CowTable(spark, t.root).constraints
+    return t.read().select("provider", "foreign_identifier", "url", "title")
+
+
+@register(
     "merge_cow_dim_pruned",
     """
     SELECT 'p' AS provider,

@@ -1747,3 +1747,48 @@ def test_cow_zorder_stats_auto_bounds_and_predicate_scope(spark, tmp_path):
 
     with pytest.raises(ValueError, match="stats"):
         t.compact(zorder_by=["url"], zorder_bits=4)
+
+
+def test_cow_check_constraints_reject_writers(spark, tmp_path):
+    """CHECK constraints: table-property enforcement at commit time —
+    violating merges/updates are rejected with NO version created,
+    NULL passes (SQL CHECK), dv-mode updates are covered too, and
+    drop_constraint lifts the gate."""
+    import pytest
+
+    from openverse_catalog_spark.operators.cowtable import (
+        ConstraintViolation,
+    )
+
+    t = CowTable.create(
+        spark, str(tmp_path / "tbl"), mk(spark, _base_rows()), target_files=2
+    )
+    t.add_constraint("url_scheme", "url LIKE 'http%'")
+    v0 = t.version
+    # NULL passes: title is NULL in some base rows, constraint on title
+    t.add_constraint("title_len", "length(title) < 100")
+    bad = mk(spark, [row(provider="met", fid="fbad", url="ftp://nope",
+                         title="x")])
+    with pytest.raises(ConstraintViolation, match="url_scheme"):
+        t.merge(bad, COLS, deterministic=True)
+    assert t.version == v0 + 1  # only the add_constraint commit landed
+    with pytest.raises(ConstraintViolation):
+        t.update(
+            F.col("foreign_identifier") == "f020",
+            {"url": F.lit("gopher://old")},
+        )
+    with pytest.raises(ConstraintViolation):
+        t.update(
+            F.col("foreign_identifier") == "f020",
+            {"url": F.lit("gopher://old")},
+            mode="dv",
+        )
+    ok = mk(spark, [row(provider="met", fid="fok", url="https://fine",
+                        title="y")])
+    t.merge(ok, COLS, deterministic=True)
+    assert _canon(t.read())[("met", "fok")] == "y"
+    t.drop_constraint("url_scheme")
+    t.merge(bad, COLS, deterministic=True)  # gate lifted
+    assert ("met", "fbad") in _canon(t.read())
+    with pytest.raises(ValueError, match="no constraint"):
+        t.drop_constraint("url_scheme")
