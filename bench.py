@@ -156,6 +156,7 @@ HEADLINE = [
     "sql_cow_time_travel",
     "sql_cow_dml",
     "merge_cow_constraints",
+    "merge_cow_rename_drop",
     "knn_ivf_pq",
     "multimodal_jpeg_decode",
 ]

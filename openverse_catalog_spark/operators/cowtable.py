@@ -306,6 +306,8 @@ class CowTable:
             tuple(bloom_cols) if bloom_cols is not None else None
         )
         self._constraints: dict | None = None
+        self._column_mapping: dict | None = None
+        self._dropped_cols: tuple[str, ...] | None = None
         # resolved manifests are immutable once committed — cache per
         # handle so repeated reads/segment-chain walks don't re-parse
         self._resolved: dict[int, dict] = {}
@@ -343,6 +345,39 @@ class CowTable:
         return self._constraints
 
     @property
+    def column_mapping(self) -> dict:
+        """COLUMN MAPPING (table property): {logical_name: physical_name}
+        for every column whose on-disk name diverged from its current
+        logical name — RENAME/DROP COLUMN are metadata-only commits (no
+        file rewritten; Delta's column-mapping mode). Reads translate
+        physical->logical at the boundary; writes translate back, so
+        data files always use stable physical names."""
+        if self._column_mapping is not None:
+            return self._column_mapping
+        try:
+            self._column_mapping = dict(
+                self._manifest().get("column_mapping") or {}
+            )
+        except FileNotFoundError:
+            return {}
+        return self._column_mapping
+
+    @property
+    def dropped_cols(self) -> tuple[str, ...]:
+        """Physical names of DROPPED columns (tombstones): old files
+        still carry them, so a later schema evolution may not reuse the
+        name — unique physical identity is what makes drop metadata-only."""
+        if self._dropped_cols is not None:
+            return self._dropped_cols
+        try:
+            self._dropped_cols = tuple(
+                self._manifest().get("dropped_cols") or ()
+            )
+        except FileNotFoundError:
+            return ()
+        return self._dropped_cols
+
+    @property
     def bloom_cols(self) -> tuple[str, ...]:
         """Point-lookup bloom columns (table property, like
         stats_cols): every commit builds a per-file bloom bitmap for
@@ -356,6 +391,17 @@ class CowTable:
         except FileNotFoundError:
             return ()
         return self._bloom_cols
+
+    def _refresh_props(self, m: dict) -> None:
+        """Re-pin this handle's cached table properties to a manifest —
+        write attempts call it on the head so a property change by
+        ANOTHER handle (rename, new constraint) is never overwritten
+        with stale cache on the next commit."""
+        self._stats_cols = tuple(m.get("stats_cols") or ())
+        self._bloom_cols = tuple(m.get("bloom_cols") or ())
+        self._constraints = dict(m.get("constraints") or {})
+        self._column_mapping = dict(m.get("column_mapping") or {})
+        self._dropped_cols = tuple(m.get("dropped_cols") or ())
 
     def _collect_entries(self, data_dir: str, rel_dir: str) -> list[dict]:
         """Stats + blooms for a freshly-written data directory — the
@@ -526,6 +572,8 @@ class CowTable:
             "stats_cols": list(self.stats_cols),
             "bloom_cols": list(self.bloom_cols),
             "constraints": dict(self.constraints),
+            "column_mapping": dict(self.column_mapping),
+            "dropped_cols": list(self.dropped_cols),
             "schema": schema_json,
             "rows": sum(e["rows"] for e in entries),
         }
@@ -659,25 +707,72 @@ class CowTable:
             return None
         return self.spark.read.parquet(*dirs).select("file", "pos")
 
+    def _physical_schema(self, m: dict):
+        """(physical read schema, logical field names): data files use
+        STABLE physical column names; the manifest schema is logical.
+        With an empty mapping both are identical (the common case)."""
+        from pyspark.sql import types as T
+
+        schema = self._schema(m)
+        mapping = m.get("column_mapping") or {}
+        if schema is None or not mapping:
+            return schema, None
+        phys = T.StructType(
+            [
+                T.StructField(
+                    mapping.get(f.name, f.name), f.dataType, f.nullable
+                )
+                for f in schema.fields
+            ]
+        )
+        return phys, [f.name for f in schema.fields]
+
+    @staticmethod
+    def _to_logical(df: DataFrame, phys_schema, logical_names):
+        """Physical->logical rename at the read boundary (positional:
+        the physical schema was built from the logical fields in order).
+        Helper columns (``__dv_*``) pass through untouched."""
+        if logical_names is None:
+            return df
+        sel = [
+            F.col(f.name).alias(ln)
+            for f, ln in zip(phys_schema.fields, logical_names)
+        ] + [F.col(c) for c in df.columns if c.startswith("__dv_")]
+        return df.select(*sel)
+
+    def _to_physical(self, df: DataFrame) -> DataFrame:
+        """Logical->physical rename at the write boundary."""
+        mapping = self.column_mapping
+        if not mapping:
+            return df
+        return df.select(
+            *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
+        )
+
     def _read_entries(self, entries: list[dict], m: dict) -> DataFrame:
         """LIVE rows of the given manifest entries: plain files scan
         directly; files carrying a deletion vector scan with their
         physical row identity and anti-join the DV's (file, pos) set —
         merge-on-read, Delta's deletion-vector contract. The DV side is
         tiny by design (small deletes; compaction materializes), so the
-        anti-join broadcasts."""
+        anti-join broadcasts. Output columns are always LOGICAL names
+        (column mapping resolves physical file names at this boundary)."""
         schema = self._schema(m)
         if not entries:
             return self.spark.createDataFrame([], schema)
+        phys, logical = self._physical_schema(m)
         reader = self.spark.read
-        if schema is not None:
-            reader = reader.schema(schema)
+        if phys is not None:
+            reader = reader.schema(phys)
         plain = [e for e in entries if not e.get("dv")]
         dved = [e for e in entries if e.get("dv")]
         parts = []
         if plain:
             parts.append(
-                reader.parquet(*[self._abs(e["path"]) for e in plain])
+                self._to_logical(
+                    reader.parquet(*[self._abs(e["path"]) for e in plain]),
+                    phys, logical,
+                )
             )
         if dved:
             raw = self._with_position(
@@ -690,7 +785,7 @@ class CowTable:
                 & (raw["__dv_pos"] == pos["pos"]),
                 "left_anti",
             ).drop("__dv_file", "__dv_pos")
-            parts.append(live)
+            parts.append(self._to_logical(live, phys, logical))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -1090,14 +1185,17 @@ class CowTable:
             # files died in THIS commit — they join the pre image (a
             # dv-update commit pairs them with the rewritten rows in
             # its added files; a dv-delete emits them as deletes)
-            schema = self._schema(m_prev)
+            phys, logical = self._physical_schema(m_prev)
             reader = self.spark.read
-            if schema is not None:
-                reader = reader.schema(schema)
-            raw = self._with_position(
-                reader.parquet(
-                    *[self._abs(e["path"]) for e, _ in dv_grown]
-                )
+            if phys is not None:
+                reader = reader.schema(phys)
+            raw = self._to_logical(
+                self._with_position(
+                    reader.parquet(
+                        *[self._abs(e["path"]) for e, _ in dv_grown]
+                    )
+                ),
+                phys, logical,
             )
             cur_pos = self._dv_positions([e for _, e in dv_grown])
             old = self._dv_positions([e for e, _ in dv_grown])
@@ -1382,6 +1480,101 @@ class CowTable:
                 continue
         return {"version": self.version, "constraints": dict(trial)}
 
+    # -- column mapping (RENAME / DROP COLUMN, metadata-only) ------------------
+
+    def _guard_remappable(self, name: str) -> None:
+        """Columns the engine's internals key on stay in physical space:
+        merge keys, the url-guard column, stats/bloom columns, and
+        anything a CHECK constraint references may not be renamed or
+        dropped (drop the constraint / rebuild the table property
+        first). Everything else remaps freely."""
+        if name in self.keys:
+            raise ValueError(f"cannot remap merge key {name!r}")
+        if name == "url":
+            raise ValueError(
+                "cannot remap 'url' (the merge url-conflict guard "
+                "keys on it)"
+            )
+        if name in self.stats_cols or name in self.bloom_cols:
+            raise ValueError(
+                f"cannot remap {name!r}: it carries per-file "
+                "stats/bloom skipping state"
+            )
+        hit = [
+            n for n, sql in self.constraints.items() if name in sql
+        ]
+        if hit:
+            raise ValueError(
+                f"cannot remap {name!r}: referenced by CHECK "
+                f"constraint(s) {hit}"
+            )
+
+    def _alter_schema_commit(self, op: str, new_fields: list) -> dict:
+        from pyspark.sql import types as T
+
+        schema_json = T.StructType(new_fields).json()
+        while True:
+            m = self._manifest()
+            try:
+                self._commit(
+                    m["version"] + 1, m["files"], op=op,
+                    schema_json=schema_json,
+                )
+                break
+            except CommitConflict:
+                continue
+        return {
+            "version": self.version,
+            "column_mapping": dict(self.column_mapping),
+        }
+
+    def rename_column(self, old: str, new: str) -> dict:
+        """ALTER TABLE RENAME COLUMN — metadata-only (Delta's column
+        mapping): no file is rewritten; the manifest schema carries the
+        new LOGICAL name and the mapping pins the column's stable
+        PHYSICAL name, which reads/writes translate at the boundary."""
+        m = self._manifest()
+        schema = self._schema(m)
+        names = set(schema.fieldNames())
+        if old not in names:
+            raise ValueError(f"no column {old!r}")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        self._guard_remappable(old)
+        mapping = dict(self.column_mapping)
+        physical = mapping.pop(old, old)
+        if new in self.dropped_cols or new in mapping.values():
+            raise ValueError(
+                f"{new!r} collides with a physical column name still "
+                "present in old files"
+            )
+        mapping[new] = physical
+        fields = [
+            f if f.name != old else f.__class__(new, f.dataType, f.nullable)
+            for f in schema.fields
+        ]
+        self._column_mapping = mapping
+        return self._alter_schema_commit(
+            f"rename_column({old}->{new})", fields
+        )
+
+    def drop_column(self, name: str) -> dict:
+        """ALTER TABLE DROP COLUMN — metadata-only: old files keep the
+        physical column (readers prune it via the manifest schema); the
+        physical name is tombstoned so a later schema evolution cannot
+        reuse it against files that still carry the dead data."""
+        m = self._manifest()
+        schema = self._schema(m)
+        if name not in set(schema.fieldNames()):
+            raise ValueError(f"no column {name!r}")
+        self._guard_remappable(name)
+        mapping = dict(self.column_mapping)
+        physical = mapping.pop(name, name)
+        self._column_mapping = mapping
+        self._dropped_cols = tuple(self.dropped_cols) + (physical,)
+        fields = [f for f in schema.fields if f.name != name]
+        return self._alter_schema_commit(f"drop_column({name})", fields)
+
     # -- logical conflict resolution -----------------------------------------
 
     def _relink_after_conflict(
@@ -1490,7 +1683,11 @@ class CowTable:
         paths = [self._abs(e["path"]) for e in winner_added]
         if any(not os.path.exists(p) for p in paths):
             return False
-        df = self.spark.read.parquet(*paths)
+        phys, logical = self._physical_schema(self._manifest())
+        reader = self.spark.read
+        if phys is not None:
+            reader = reader.schema(phys)
+        df = self._to_logical(reader.parquet(*paths), phys, logical)
         return not df.filter(condition).head(1)
 
     def merge(
@@ -1540,6 +1737,7 @@ class CowTable:
         kwargs: dict,
     ) -> dict:
         m = self._manifest()
+        self._refresh_props(m)
         keys = self.keys
         # schema evolution (Delta's mergeSchema): NEW columns in the
         # ColumnSpec list are accepted only behind an explicit opt-in;
@@ -1564,6 +1762,20 @@ class CowTable:
                 f"{self.root}; pass allow_new_columns=True to evolve the "
                 "schema (old files are not rewritten — reads fill NULLs)"
             )
+        if new_fields:
+            # a new column's physical name must be globally fresh: old
+            # files may still carry a dropped/renamed physical column
+            # under this name with unrelated data
+            taken = set(self.dropped_cols) | set(
+                self.column_mapping.values()
+            )
+            bad = [f.name for f in new_fields if f.name in taken]
+            if bad:
+                raise ValueError(
+                    f"new columns {bad} collide with physical column "
+                    "names still present in old files (dropped or "
+                    "renamed); pick different names"
+                )
         if not source.head(1):
             # empty batch: nothing to rewrite, no new version (the
             # reference's loader likewise skips the upsert on an empty
@@ -1660,7 +1872,7 @@ class CowTable:
         new_version = m["version"] + 1
         rel_dir = f"data/c{uuid.uuid4().hex[:12]}"
         data_dir = f"{self.root}/{rel_dir}"
-        merged.repartitionByRange(
+        self._to_physical(merged).repartitionByRange(
             target_files, *[F.col(k) for k in keys]
         ).write.mode("error").parquet(data_dir)
         new_entries = self._collect_entries(data_dir, rel_dir)
@@ -1718,12 +1930,12 @@ class CowTable:
         paths = [self._abs(e['path']) for e in m["files"]]
         if not paths:
             return [], []
+        phys, logical = self._physical_schema(m)
         reader = self.spark.read
-        schema = self._schema(m)
-        if schema is not None:
-            reader = reader.schema(schema)
+        if phys is not None:
+            reader = reader.schema(phys)
         hits = (
-            reader.parquet(*paths)
+            self._to_logical(reader.parquet(*paths), phys, logical)
             .filter(condition)
             .select(F.input_file_name().alias("__f"))
             .distinct()
@@ -1836,6 +2048,7 @@ class CowTable:
         audit_path=None, reason=None,
     ) -> dict:
         m = self._manifest()
+        self._refresh_props(m)
         touched, carried = self._files_matching(m, condition)
         if not touched:
             return {
@@ -1875,7 +2088,7 @@ class CowTable:
         data_dir = f"{self.root}/{rel_dir}"
         new_entries: list[dict] = []
         if out.head(1):
-            out.repartitionByRange(
+            self._to_physical(out).repartitionByRange(
                 target_files, *[F.col(k) for k in self.keys]
             ).write.mode("error").parquet(data_dir)
             new_entries = self._collect_entries(data_dir, rel_dir)
@@ -1941,6 +2154,7 @@ class CowTable:
         100 TB this is the analog that avoids rewriting a 1 GB file to
         drop 10 rows)."""
         m = self._manifest()
+        self._refresh_props(m)
         touched, carried = self._files_matching(m, condition)
         if not touched:
             return {
@@ -1950,12 +2164,15 @@ class CowTable:
                 "files_written": 0,
                 "rows": m["rows"],
             }
-        schema = self._schema(m)
+        phys, logical = self._physical_schema(m)
         reader = self.spark.read
-        if schema is not None:
-            reader = reader.schema(schema)
-        raw = self._with_position(
-            reader.parquet(*[self._abs(e["path"]) for e in touched])
+        if phys is not None:
+            reader = reader.schema(phys)
+        raw = self._to_logical(
+            self._with_position(
+                reader.parquet(*[self._abs(e["path"]) for e in touched])
+            ),
+            phys, logical,
         )
         old_pos = self._dv_positions(touched)
         live = raw
@@ -2042,7 +2259,7 @@ class CowTable:
                 ]
             )
             self._enforce_constraints(upd, "update")
-            upd.repartitionByRange(
+            self._to_physical(upd).repartitionByRange(
                 target_files, *[F.col(k) for k in self.keys]
             ).write.mode("error").parquet(data_dir)
             new_entries = self._collect_entries(data_dir, rel_dir)
@@ -2188,6 +2405,7 @@ class CowTable:
         zorder_bits: int = 8, zorder_where=None,
     ) -> dict:
         m = self._manifest()
+        self._refresh_props(m)
         if zorder_where is not None and not zorder_by:
             raise ValueError("zorder_where requires zorder_by")
         if zorder_by:
@@ -2244,7 +2462,9 @@ class CowTable:
                 for c, (lo, hi) in zorder_by.items()
             ]
             (
-                df.withColumn("__z", zvalue(buckets, zorder_bits))
+                self._to_physical(
+                    df.withColumn("__z", zvalue(buckets, zorder_bits))
+                )
                 .repartitionByRange(n_files, F.col("__z"))
                 .sortWithinPartitions("__z")
                 .drop("__z")
@@ -2252,7 +2472,7 @@ class CowTable:
                 .parquet(data_dir)
             )
         else:
-            df.repartitionByRange(
+            self._to_physical(df).repartitionByRange(
                 n_files, *[F.col(k) for k in self.keys]
             ).write.mode("error").parquet(data_dir)
         new_entries = self._collect_entries(data_dir, rel_dir)
@@ -2335,6 +2555,13 @@ class CowTable:
         to detach it."""
         m = self._manifest(version)
         t = CowTable(self.spark, new_root, tuple(m["keys"]))
+        # the clone inherits the source snapshot's table properties
+        # (they are part of the snapshot, not the handle)
+        t._stats_cols = tuple(m.get("stats_cols") or ())
+        t._bloom_cols = tuple(m.get("bloom_cols") or ())
+        t._constraints = dict(m.get("constraints") or {})
+        t._column_mapping = dict(m.get("column_mapping") or {})
+        t._dropped_cols = tuple(m.get("dropped_cols") or ())
         os.makedirs(f"{t.root}/manifests", exist_ok=True)
         entries = []
         for e in m["files"]:
@@ -2359,6 +2586,12 @@ class CowTable:
         Metadata-only, so a commit conflict just recomputes the next
         free version number and relinks — no data work to redo."""
         m = self._manifest(version)
+        # restore restores the SNAPSHOT, schema + table properties
+        # included (a head-state mapping against a pre-rename schema
+        # would mistranslate physical names)
+        self._constraints = dict(m.get("constraints") or {})
+        self._column_mapping = dict(m.get("column_mapping") or {})
+        self._dropped_cols = tuple(m.get("dropped_cols") or ())
         while True:
             new_version = self.version + 1
             try:

@@ -1672,6 +1672,67 @@ def merge_cow_constraints(spark, sf_dir):
 
 
 @register(
+    "merge_cow_rename_drop",
+    f"""
+    WITH {_COW_V2_CTES}
+    SELECT provider, foreign_identifier, url, title AS headline FROM v2
+    """,
+)
+def merge_cow_rename_drop(spark, sf_dir):
+    """COLUMN MAPPING (Delta's rename/drop-without-rewrite): RENAME
+    COLUMN and DROP COLUMN are metadata-only commits — zero data files
+    touched, pinned here by comparing entry paths across the ALTERs —
+    because files keep their STABLE physical column names and the
+    manifest schema + mapping translate at the read/write boundary.
+    Old snapshots time-travel with their OWN schema (v1 still shows
+    title and note); a merge after the rename upserts through the new
+    logical name and writes the old physical one, so old and new files
+    stay mutually readable. The reference alters its media columns in
+    Postgres DDL; a 100 TB lake table cannot afford the rewrite."""
+    import os
+    import shutil
+    import tempfile
+
+    from openverse_catalog_spark.operators.cowtable import CowTable
+    from openverse_catalog_spark.schemas.columns import (
+        ColumnSpec,
+        Datatype,
+    )
+
+    c = _t(spark, sf_dir, "customer")["customer"]
+    target, batch, cols = _cow_fixture(c)
+    target = target.withColumn(
+        "note", F.concat(F.lit("N"), F.col("foreign_identifier"))
+    )
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_cow_rename")
+    shutil.rmtree(root, ignore_errors=True)
+    t = CowTable.create(spark, root, target, target_files=6)
+    paths_v1 = {e["path"] for e in t._manifest()["files"]}
+    t.rename_column("title", "headline")
+    t.drop_column("note")
+    assert {e["path"] for e in t._manifest()["files"]} == paths_v1, (
+        "rename/drop must be metadata-only"
+    )
+    # time travel shows the OLD schema
+    old_cols = set(t.read(version=1).columns)
+    assert "title" in old_cols and "note" in old_cols
+    # merge through the NEW logical name (physical stays 'title')
+    cols2 = [
+        sc if sc.name != "title" else ColumnSpec("headline", Datatype.char)
+        for sc in cols
+    ]
+    t.merge(
+        batch.withColumnRenamed("title", "headline"), cols2,
+        deterministic=True,
+    )
+    out = t.read()
+    assert set(out.columns) == {
+        "provider", "foreign_identifier", "url", "headline"
+    }
+    return out.select("provider", "foreign_identifier", "url", "headline")
+
+
+@register(
     "merge_cow_dim_pruned",
     """
     SELECT 'p' AS provider,

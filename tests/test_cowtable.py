@@ -1792,3 +1792,75 @@ def test_cow_check_constraints_reject_writers(spark, tmp_path):
     assert ("met", "fbad") in _canon(t.read())
     with pytest.raises(ValueError, match="no constraint"):
         t.drop_constraint("url_scheme")
+
+
+def test_cow_column_mapping_rename_drop(spark, tmp_path):
+    """Metadata-only RENAME/DROP COLUMN: no file rewritten, reads
+    translate at the boundary, time travel keeps old names, DV deletes
+    and updates work through the new logical name, guards protect the
+    engine's key/stats/constraint columns, and dropped physical names
+    are tombstoned against schema-evolution reuse."""
+    import pytest
+
+    rows = [
+        row(provider="met", fid=f"f{i:03d}", url=f"http://u/{i}",
+            title=f"t{i}")
+        for i in range(20)
+    ]
+    t = CowTable.create(
+        spark, str(tmp_path / "tbl"), mk(spark, rows), target_files=2
+    )
+    paths = {e["path"] for e in t._manifest()["files"]}
+    t.rename_column("title", "headline")
+    assert {e["path"] for e in t._manifest()["files"]} == paths
+    assert "headline" in t.read().columns
+    assert t.read().filter(F.col("headline") == "t5").count() == 1
+    assert "title" in t.read(version=1).columns  # old snapshot intact
+    # a fresh handle resolves the mapping from the manifest
+    t2 = CowTable(spark, t.root)
+    assert t2.read().filter(F.col("headline") == "t5").count() == 1
+    # UPDATE and DV-DELETE through the new logical name
+    t2.update(F.col("headline") == "t5", {"headline": F.lit("T5")})
+    assert t2.read().filter(F.col("headline") == "T5").count() == 1
+    t2.delete(F.col("headline") == "t7", mode="dv")
+    assert t2.read().filter(F.col("headline") == "t7").count() == 0
+    # CDF flows logical names
+    feed = t2.read_changes(2, 3).collect()
+    assert {r["headline"] for r in feed} == {"t5", "T5"}
+    # drop + tombstone: re-adding the physical name is refused
+    t2.drop_column("headline")
+    assert "headline" not in t2.read().columns
+    batch = mk(spark, [row(provider="met", fid="fz", url="http://u/z",
+                           title="zz")])
+    with pytest.raises(ValueError, match="physical"):
+        t2.merge(
+            batch, COLS, deterministic=True, allow_new_columns=True
+        )
+    # guards: keys, url, constraint columns stay in physical space
+    with pytest.raises(ValueError, match="merge key"):
+        t2.rename_column("provider", "src")
+    with pytest.raises(ValueError, match="url"):
+        t2.drop_column("url")
+    t2.add_constraint("fs_pos", "filesize IS NULL OR filesize >= 0")
+    with pytest.raises(ValueError, match="CHECK"):
+        t2.rename_column("filesize", "bytes")
+
+
+def test_cow_clone_and_restore_carry_table_properties(spark, tmp_path):
+    """Properties are part of the snapshot: a clone inherits mapping,
+    constraints and stats cols; RESTORE to a pre-rename version
+    restores the old schema and mapping."""
+    t = CowTable.create(
+        spark, str(tmp_path / "tbl"), mk(spark, _base_rows()),
+        target_files=2,
+    )
+    t.add_constraint("u_scheme", "url LIKE 'http%'")
+    t.rename_column("title", "headline_x")
+    c = t.clone(str(tmp_path / "branch"))
+    assert "headline_x" in c.read().columns
+    assert "u_scheme" in CowTable(spark, c.root).constraints
+    res = t.restore(2)  # the add_constraint commit, pre-rename
+    assert res["restored_from"] == 2
+    t3 = CowTable(spark, t.root)
+    assert "title" in t3.read().columns
+    assert "headline_x" not in t3.read().columns
