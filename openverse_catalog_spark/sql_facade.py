@@ -67,6 +67,23 @@ _DELETE = re.compile(
     r"^\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.+))?$",
     re.IGNORECASE | re.DOTALL,
 )
+_ALTER_RENAME = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*$",
+    re.IGNORECASE,
+)
+_ALTER_DROP_COL = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)\s*$",
+    re.IGNORECASE,
+)
+_ALTER_ADD_CHECK = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+"
+    r"CHECK\s*\((.+)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ALTER_DROP_CHECK = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*$",
+    re.IGNORECASE,
+)
 
 
 def _split_assignments(text: str) -> list[tuple[str, str]]:
@@ -209,4 +226,20 @@ class SqlFacade:
             name, where = m.group(1), m.group(2)
             cond = F.expr(where) if where else F.lit(True)
             return self._summary(self._tables[name].delete(cond))
+        for pat, call in (
+            (_ALTER_RENAME,
+             lambda t, a, b: t.rename_column(a, b)),
+            (_ALTER_DROP_COL, lambda t, a: t.drop_column(a)),
+            (_ALTER_ADD_CHECK,
+             lambda t, n, e: t.add_constraint(n, e)),
+            (_ALTER_DROP_CHECK, lambda t, n: t.drop_constraint(n)),
+        ):
+            m = pat.match(text)
+            if m and m.group(1) in self._tables:
+                t = self._tables[m.group(1)]
+                res = call(t, *m.groups()[1:])
+                # ALTERs return {version, ...}; surface the version
+                return self.spark.createDataFrame(
+                    [(res["version"],)], "version long"
+                )
         return self.spark.sql(self._rewrite(text))

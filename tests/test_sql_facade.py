@@ -146,3 +146,33 @@ def test_facade_dml_set_parses_top_level_commas_only(spark, tmp_path):
         t.read().filter(F.col("foreign_identifier") == "f000").collect()[0]
     )
     assert row_["title"] == "flickr:f000" and row_["url"].endswith("#x")
+
+
+def test_facade_alter_table_text(spark, tmp_path):
+    """ALTER TABLE text routes to the metadata-only schema/constraint
+    commits: RENAME/DROP COLUMN and ADD/DROP CONSTRAINT CHECK."""
+    from openverse_catalog_spark.operators.cowtable import (
+        ConstraintViolation,
+    )
+
+    t = CowTable.create(
+        spark, str(tmp_path / "tbl"), mk(spark, _base_rows()), target_files=2
+    )
+    f = SqlFacade(spark)
+    f.register_table("media", t, columns=COLS)
+    v = f.sql(
+        "ALTER TABLE media RENAME COLUMN title TO headline"
+    ).collect()[0]["version"]
+    assert v == 2
+    assert "headline" in f.sql("SELECT * FROM media").columns
+    f.sql(
+        "ALTER TABLE media ADD CONSTRAINT scheme CHECK (url LIKE 'http%')"
+    )
+    with pytest.raises(ConstraintViolation):
+        f.sql("UPDATE media SET url = 'ftp://x' "
+              "WHERE foreign_identifier = 'f000'")
+    f.sql("ALTER TABLE media DROP CONSTRAINT scheme")
+    f.sql("UPDATE media SET url = 'ftp://x' "
+          "WHERE foreign_identifier = 'f000'")
+    f.sql("ALTER TABLE media DROP COLUMN headline")
+    assert "headline" not in f.sql("SELECT * FROM media").columns
