@@ -2397,7 +2397,15 @@ class CowTable:
                     f"zorder_by column {c!r} is all-NULL in the files "
                     "being rewritten"
                 )
-            out[c] = (min(los), max(his))
+            lo, hi = min(los), max(his)
+            if not isinstance(lo, (int, float)) or isinstance(lo, bool):
+                raise ValueError(
+                    f"zorder_by column {c!r} is non-numeric "
+                    f"({type(lo).__name__}); Morton bucketing needs a "
+                    "numeric range — hash or dictionary-encode the "
+                    "column first"
+                )
+            out[c] = (lo, hi)
         return out
 
     def _compact_attempt(

@@ -1864,3 +1864,104 @@ def test_cow_clone_and_restore_carry_table_properties(spark, tmp_path):
     t3 = CowTable(spark, t.root)
     assert "title" in t3.read().columns
     assert "headline_x" not in t3.read().columns
+
+
+def test_cow_stream_changes_sees_dv_commits(spark, tmp_path):
+    """A deletion-vector commit changes no file list, only entry
+    content — the commit-log stream must still deliver its logical
+    deltas to the consumer (the CDF spine every incremental consumer
+    hangs off)."""
+    from openverse_catalog_spark.streaming.incremental import (
+        stream_cow_changes,
+    )
+
+    t = _dv_fixture(spark, tmp_path, n=1_000)
+    t.delete(F.col("grp") == 3, mode="dv")
+    seen = []
+
+    def apply(changes, lo, hi):
+        seen.append(
+            (lo, hi, sorted(
+                (r["_change_type"], r["_commit_version"])
+                for r in changes.select(
+                    "_change_type", "_commit_version"
+                ).distinct().collect()
+            ))
+        )
+
+    res = stream_cow_changes(
+        t, str(tmp_path / "ckpt"), apply, start_version=1
+    )
+    assert res["high_water"] == 2
+    assert seen and seen[0][2] == [("delete", 2)]
+    # a second dv delete streams incrementally from the mark
+    t.delete(F.col("grp") == 5, mode="dv")
+    seen.clear()
+    res2 = stream_cow_changes(
+        t, str(tmp_path / "ckpt"), apply, start_version=1
+    )
+    assert res2["high_water"] == 3
+    assert seen and seen[0][2] == [("delete", 3)]
+
+
+def test_cow_concurrent_mixed_dv_merge_compact_threads(spark, tmp_path):
+    """REAL-concurrency stress over the round-5 surface: four threads
+    interleave provider merges, DV deletes and a compactor; every
+    logical update must land exactly once (relink or rebase, never a
+    lost update) and the final table must equal the serial result."""
+    import threading
+
+    rows = [
+        row(provider=p, fid=f"f{i:03d}", url=f"http://{p}/{i}",
+            title="base")
+        for p in ("alpha", "beta", "gamma", "delta")
+        for i in range(10)
+    ]
+    t = CowTable.create(
+        spark, str(tmp_path / "tbl"), mk(spark, rows), target_files=4
+    )
+    errs = []
+
+    def worker(provider, i):
+        try:
+            h = CowTable(spark, t.root)
+            h.merge(
+                mk(spark, [row(provider=provider, fid=f"n{i}",
+                               url=f"http://{provider}/n{i}",
+                               title=f"new-{provider}")]),
+                COLS, deterministic=True, max_retries=8,
+            )
+            h.delete(
+                (F.col("provider") == provider)
+                & (F.col("foreign_identifier") == "f003"),
+                mode="dv", max_retries=8,
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    def compactor():
+        try:
+            CowTable(spark, t.root).compact(
+                target_rows=1_000_000, max_retries=8
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=worker, args=(p, i))
+        for i, p in enumerate(("alpha", "beta", "gamma", "delta"))
+    ] + [threading.Thread(target=compactor)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs, errs
+    got = _canon(t.read())
+    assert len(got) == 40 + 4 - 4  # 4 inserts, 4 dv deletes
+    for i, p in enumerate(("alpha", "beta", "gamma", "delta")):
+        assert got[(p, f"n{i}")] == f"new-{p}"
+        assert (p, "f003") not in got
+    n = t.read().count()
+    assert n == t.read().select(
+        "provider", "foreign_identifier"
+    ).distinct().count()
