@@ -73,6 +73,23 @@ AUDIT = [
         "broadcasts for the scoring join.",
     ),
     (
+        "sql_taxa_enrich",
+        "The SQL-facade text compiles to the SAME plan family as the "
+        "DataFrame pipeline: one exchange shared by the window and the "
+        "grouped agg, tiny dims broadcast.",
+    ),
+    (
+        "merge_cow_dim_pruned",
+        "Dynamic file pruning: the selective dim's keys prune fact "
+        "FILES through manifest stats/blooms before the scan plans — "
+        "the parquet node lists only the surviving files.",
+    ),
+    (
+        "merge_cow_delete_dv",
+        "Deletion-vector read: the tiny (file, pos) sidecar anti-joins "
+        "as a BROADCAST build side; the fact scan never shuffles.",
+    ),
+    (
         "text_unigram_nll",
         "Unigram-LM scoring: vocab aggregates map-side; the corpus total "
         "folds in as a 1-row broadcast; the token->vocab join stays an "
