@@ -2534,8 +2534,12 @@ class CowTable:
         in-flight attempt directory looks orphaned until its manifest
         links — see ``vacuum``). Returns what it did."""
         d = self.describe()
+        # deletion-vector carriers count as compaction-needing whatever
+        # their size: OPTIMIZE is what materializes vectors away
         small = sum(
-            1 for e in self._manifest()["files"] if e["rows"] < target_rows
+            1
+            for e in self._manifest()["files"]
+            if e["rows"] < target_rows or e.get("dv")
         )
         out: dict = {"compacted": False, "files_small": small,
                      "files_total": d["num_files"], "vacuumed": []}

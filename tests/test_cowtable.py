@@ -1965,3 +1965,55 @@ def test_cow_concurrent_mixed_dv_merge_compact_threads(spark, tmp_path):
     assert n == t.read().select(
         "provider", "foreign_identifier"
     ).distinct().count()
+
+
+def test_cow_cdf_replay_reconstructs_head_across_mixed_ops(
+    spark, tmp_path
+):
+    """THE change-feed invariant: applying read_changes(1, head) on top
+    of the v1 snapshot reconstructs the head snapshot exactly — across
+    a mixed history of merges, copy- and DV-mode updates/deletes,
+    compaction (silent) and constraint/schema metadata commits (also
+    silent). Any missed, duplicated or mis-typed delta breaks the
+    reconstruction."""
+    t = _dv_fixture(spark, tmp_path, n=2_000)
+    cols = [c for c in COLS if c.name in
+            ("provider", "foreign_identifier", "url")]
+    from openverse_catalog_spark.schemas.columns import (
+        ColumnSpec,
+        Datatype,
+    )
+
+    cols = cols + [ColumnSpec("grp", Datatype.int)]
+    batch = spark.createDataFrame(
+        [("p", "0000100", "http://u/100", 7),
+         ("p", "9999999", "http://u/new", 3)],
+        "provider string, foreign_identifier string, url string, grp int",
+    )
+    t.merge(batch, cols, deterministic=True)              # update + insert
+    t.delete(F.col("grp") == 11, mode="dv")               # DV delete
+    t.update(F.col("grp") == 12,
+             {"url": F.concat(F.col("url"), F.lit("#u"))})  # copy update
+    t.update(F.col("grp") == 13,
+             {"url": F.concat(F.col("url"), F.lit("#d"))},
+             mode="dv")                                   # DV update
+    t.add_constraint("grp_range", "grp BETWEEN 0 AND 99")  # metadata
+    t.compact(target_rows=10_000)                         # silent
+    t.delete(F.col("grp") == 14)                          # copy delete
+
+    feed = t.read_changes(1).collect()
+    key = lambda r: (r["provider"], r["foreign_identifier"])  # noqa: E731
+    state = {
+        key(r): (r["url"], r["grp"])
+        for r in t.read(version=1).collect()
+    }
+    for r in sorted(feed, key=lambda r: r["_commit_version"]):
+        if r["_change_type"] in ("insert", "update_postimage"):
+            state[key(r)] = (r["url"], r["grp"])
+        elif r["_change_type"] == "delete":
+            state.pop(key(r), None)
+    head = {
+        key(r): (r["url"], r["grp"]) for r in t.read().collect()
+    }
+    assert state == head
+    assert len(head) == 2_000 + 1 - 20 - 20  # insert, dv-del grp11, del grp14
