@@ -29,6 +29,7 @@ from openverse_catalog_spark.plans import search_queries as _search  # noqa: F40
 from openverse_catalog_spark.plans import subquery_queries as _subquery  # noqa: F401
 from openverse_catalog_spark.plans import clustering_queries as _clustering  # noqa: F401
 from openverse_catalog_spark.plans import sql_queries as _sql  # noqa: F401
+from openverse_catalog_spark.plans import matview_queries as _matview  # noqa: F401
 from openverse_catalog_spark.plans.analytics import ORACLES, QUERIES
 
 

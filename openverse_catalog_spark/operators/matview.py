@@ -1,0 +1,465 @@
+"""Incremental materialized views maintained from the CoW change feed.
+
+The reference keeps derived aggregate tables fresh by REBUILDING them:
+``image_popularity_constants`` / ``standardized_popularity`` are
+``REFRESH MATERIALIZED VIEW CONCURRENTLY`` over the full media table
+(reference ``common/popularity/sql.py:286-298``), and the API handoff
+re-ships whole tables (``data_refresh_task_factory.py:183-240``). That
+is O(table) per refresh — a non-starter when the base table is 100 TB
+and a day's churn is a few GB.
+
+This operator is the general O(delta) replacement: a materialized
+GROUP BY over a :class:`~..operators.cowtable.CowTable`, maintained
+from the table's change data feed (``read_changes``) the way
+incremental view maintenance literature prescribes:
+
+* **Algebraic aggregates** (``count``, ``sum``, ``avg``) apply the
+  delta directly — each feed row carries weight +1 (insert /
+  update_postimage) or -1 (delete / update_preimage), and the group's
+  stored count / sum / non-null count just shift by the weighted sum.
+* **Holistic-under-deletion aggregates** (``min``, ``max``) apply
+  inserts directly (``least``/``greatest`` with the stored value) and
+  fall back to an exact **dirty-group recompute** only when a removed
+  value ties the new candidate bound — the only case where the stored
+  bound can shrink. Dirty groups are re-aggregated from the base with
+  a broadcast semi-join on the group keys, so the recompute reads
+  O(dirty groups' rows), never the table.
+
+SCALE: a refresh costs one pass over the feed span (O(rows rewritten
+by the base commits)), one broadcast-pruned read of the MV's touched
+groups, and one keyed MERGE into the MV's own CoW table — every stage
+is proportional to the churn, not the base. The MV table itself gets
+all CoW machinery for free (snapshot isolation, time travel, its own
+change feed for downstream consumers, compaction).
+
+CRASH SAFETY: the applied base version travels through a tiny WAL
+(``mv_state.json``, atomic tmp+rename): a refresh records the target
+span *before* merging and finalizes *after*; recovery distinguishes
+"merge landed" (MV version advanced past the recorded parent) from
+"merge lost" and either finalizes or replays. Replays recompute the
+same delta from the same span, so a single refresher never
+double-applies. If the base has vacuumed part of the span (the feed
+raises), ``refresh`` falls back to a full resync — recompute + merge +
+tombstone of vanished groups — and resumes the feed from there, the
+documented consumer-fell-behind-retention protocol.
+
+Deleted groups are kept as tombstones (stored count 0) so the merge
+stays a single atomic commit; ``read`` filters them and
+``refresh(purge_tombstones=True)`` deletes them opportunistically.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from openverse_catalog_spark.operators.cowtable import CowTable
+from openverse_catalog_spark.schemas.columns import (
+    ColumnSpec,
+    Datatype,
+    UpsertStrategy,
+)
+
+_KINDS = ("count", "sum", "avg", "min", "max")
+_CNT = "__mv_count"
+
+
+@dataclass(frozen=True)
+class AggSpec:
+    """One maintained aggregate: output ``name``, ``kind`` in
+    count|sum|avg|min|max, and the base column it reads (None for
+    count, which is COUNT(*))."""
+
+    name: str
+    kind: str
+    col: str | None = None
+
+    def __post_init__(self):
+        if self.kind not in _KINDS:
+            raise ValueError(f"unsupported aggregate kind {self.kind!r}")
+        if self.kind != "count" and not self.col:
+            raise ValueError(f"{self.kind}({self.name}) needs a base column")
+
+
+def _store(a: AggSpec) -> str:
+    return f"__agg_{a.name}"
+
+
+def _nn(a: AggSpec) -> str:
+    return f"__nn_{a.name}"
+
+
+def _dt_for(field: T.StructField) -> Datatype:
+    t = field.dataType
+    if isinstance(t, T.StringType):
+        return Datatype.char
+    if isinstance(t, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        return Datatype.int
+    if isinstance(t, (T.DoubleType, T.FloatType, T.DecimalType)):
+        return Datatype.double
+    if isinstance(t, T.BooleanType):
+        return Datatype.bool
+    raise ValueError(
+        f"materialized-view column {field.name} has unsupported type {t}"
+    )
+
+
+class MaterializedView:
+    """A GROUP BY materialization over ``base``, stored as its own CoW
+    table under ``root`` and refreshed incrementally from the base's
+    change feed. Group keys must be non-NULL (validated at build);
+    sum/avg columns must be numeric, min/max numeric or string."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base: CowTable,
+        root: str,
+        group_cols: list[str],
+        aggs: list[AggSpec],
+        target_files: int = 4,
+    ):
+        if not group_cols:
+            raise ValueError("need at least one group column")
+        names = [a.name for a in aggs]
+        if len(set(names)) != len(names) or set(names) & set(group_cols):
+            raise ValueError("aggregate output names must be unique and "
+                             "distinct from group columns")
+        self.spark = spark
+        self.base = base
+        self.root = root.rstrip("/")
+        self.group_cols = list(group_cols)
+        self.aggs = list(aggs)
+        self.target_files = target_files
+        self._table: CowTable | None = None
+
+    # -- state WAL ----------------------------------------------------------
+
+    @property
+    def _state_path(self) -> str:
+        return f"{self.root}/mv_state.json"
+
+    def _load_state(self) -> dict:
+        with open(self._state_path) as f:
+            return json.load(f)
+
+    def _save_state(self, st: dict) -> None:
+        tmp = f"{self.root}/.state.{uuid.uuid4().hex}.json"
+        with open(tmp, "w") as f:
+            json.dump(st, f)
+        os.replace(tmp, self._state_path)  # atomic on POSIX
+
+    @property
+    def table(self) -> CowTable:
+        if self._table is None:
+            self._table = CowTable(
+                self.spark, f"{self.root}/table",
+                keys=tuple(self.group_cols),
+            )
+        return self._table
+
+    # -- aggregate layout ---------------------------------------------------
+
+    def _full_agg_exprs(self) -> list:
+        """Aggregate expressions producing the STORED layout from base
+        rows; also used verbatim for dirty-group recompute and resync,
+        so every path shares one definition of each aggregate."""
+        exprs = [F.count(F.lit(1)).alias(_CNT)]
+        for a in self.aggs:
+            if a.kind == "count":
+                continue
+            c = F.col(a.col)
+            exprs.append(F.count(c).alias(_nn(a)))  # non-null count
+            if a.kind in ("sum", "avg"):
+                exprs.append(F.sum(c).alias(_store(a)))
+            elif a.kind == "min":
+                exprs.append(F.min(c).alias(_store(a)))
+            else:
+                exprs.append(F.max(c).alias(_store(a)))
+        return exprs
+
+    def _column_specs(self, schema: T.StructType) -> list[ColumnSpec]:
+        specs = []
+        for f in schema.fields:
+            strat = (
+                UpsertStrategy.no_change
+                if f.name in self.group_cols
+                else UpsertStrategy.newest_non_null
+            )
+            specs.append(ColumnSpec(f.name, _dt_for(f), upsert_strategy=strat))
+        return specs
+
+    def _validate(self, df: DataFrame) -> None:
+        fields = {f.name: f for f in df.schema.fields}
+        for g in self.group_cols:
+            if g not in fields:
+                raise ValueError(f"group column {g} not in base schema")
+        for a in self.aggs:
+            if a.kind == "count":
+                continue
+            if a.col not in fields:
+                raise ValueError(f"{a.name}: base has no column {a.col}")
+            t = fields[a.col].dataType
+            numeric = isinstance(t, T.NumericType)
+            if a.kind in ("sum", "avg") and not numeric:
+                raise ValueError(f"{a.name}: {a.kind} needs a numeric column")
+            if a.kind in ("min", "max") and not (
+                numeric or isinstance(t, T.StringType)
+            ):
+                raise ValueError(
+                    f"{a.name}: {a.kind} needs a numeric or string column"
+                )
+        null_any = None
+        for g in self.group_cols:
+            cond = F.col(g).isNull()
+            null_any = cond if null_any is None else (null_any | cond)
+        if df.filter(null_any).head(1):
+            raise ValueError(
+                "materialized-view group keys must be non-NULL (the MV "
+                "merges on them); filter or coalesce NULL groups in the base"
+            )
+
+    # -- build / refresh ----------------------------------------------------
+
+    def build(self) -> dict:
+        """Full initial materialization at the base's current version."""
+        base_v = self.base.version
+        df = self.base.read(base_v)
+        self._validate(df)
+        stored = df.groupBy(*self.group_cols).agg(*self._full_agg_exprs())
+        os.makedirs(self.root, exist_ok=True)
+        self._table = CowTable.create(
+            self.spark, f"{self.root}/table", stored,
+            keys=tuple(self.group_cols), target_files=self.target_files,
+        )
+        self._save_state({"applied_base": base_v, "pending": None})
+        return {"base_version": base_v, "mv_version": self._table.version}
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """The user-facing view: group keys + aggregate columns.
+        Tombstoned groups (count 0) are filtered; sum/avg/min/max show
+        NULL when every surviving value in the group is NULL."""
+        rows = self.table.read(version).filter(F.col(_CNT) > 0)
+        out = [F.col(g) for g in self.group_cols]
+        for a in self.aggs:
+            if a.kind == "count":
+                out.append(F.col(_CNT).alias(a.name))
+                continue
+            live = F.col(_nn(a)) > 0
+            if a.kind == "avg":
+                val = F.col(_store(a)) / F.col(_nn(a))
+            else:
+                val = F.col(_store(a))
+            out.append(F.when(live, val).alias(a.name))
+        return rows.select(out)
+
+    def refresh(self, purge_tombstones: bool = False) -> dict:
+        """Advance the MV to the base's current version by applying the
+        change feed; falls back to a full resync when the span has been
+        vacuumed. Single-refresher protocol (concurrent BASE writers
+        are fine; run one MV maintainer at a time)."""
+        st = self._load_state()
+        if st.get("pending"):
+            p = st["pending"]
+            if self.table.version > p["parent"]:
+                # the merge landed but the finalize was lost — finish it
+                st = {"applied_base": p["base_to"], "pending": None}
+            else:
+                st = {"applied_base": st["applied_base"], "pending": None}
+            self._save_state(st)
+        b_from, b_to = st["applied_base"], self.base.version
+        if b_to == b_from:
+            return {"refreshed": False, "base_version": b_to}
+        try:
+            feed = self.base.read_changes(b_from, b_to)
+        except ValueError:
+            # span vacuumed: consumer fell behind retention — resync
+            return self._full_resync(b_to)
+        return self._apply(feed, b_from, b_to, purge_tombstones)
+
+    def _apply(
+        self, feed: DataFrame, b_from: int, b_to: int, purge: bool
+    ) -> dict:
+        g = self.group_cols
+        w = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"),
+            F.lit(1),
+        ).otherwise(F.lit(-1))
+
+        delta_exprs = [F.sum(w).alias("__d_cnt")]
+        for a in self.aggs:
+            if a.kind == "count":
+                continue
+            c = F.col(a.col)
+            delta_exprs.append(
+                F.sum(F.when(c.isNotNull(), w)).alias(f"__d_nn_{a.name}")
+            )
+            if a.kind in ("sum", "avg"):
+                delta_exprs.append(
+                    F.sum(F.when(c.isNotNull(), w * c)).alias(
+                        f"__d_sum_{a.name}"
+                    )
+                )
+            else:
+                delta_exprs.append(
+                    F.min(F.when(w > 0, c)).alias(f"__ins_min_{a.name}")
+                )
+                delta_exprs.append(
+                    F.max(F.when(w > 0, c)).alias(f"__ins_max_{a.name}")
+                )
+                delta_exprs.append(
+                    F.min(F.when(w < 0, c)).alias(f"__rm_min_{a.name}")
+                )
+                delta_exprs.append(
+                    F.max(F.when(w < 0, c)).alias(f"__rm_max_{a.name}")
+                )
+        delta = feed.groupBy(*g).agg(*delta_exprs)
+        delta = delta.localCheckpoint(eager=False)
+
+        # touched MV groups only: semi-join prunes the MV read to the
+        # delta's keys (broadcast — the delta is churn-sized), then the
+        # delta joins that pruned slice, which is itself broadcastable.
+        cur = self.table.read()
+        cur_small = cur.join(
+            F.broadcast(delta.select(*g).distinct()), on=g, how="left_semi"
+        )
+        j = delta.join(F.broadcast(cur_small), on=g, how="left")
+
+        in_cur = F.col(_CNT).isNotNull()
+        new_cnt = F.coalesce(F.col(_CNT), F.lit(0)) + F.col("__d_cnt")
+
+        dirty = F.lit(False)
+        out_cols = [F.col(c) for c in g] + [new_cnt.alias("__new_cnt")]
+        for a in self.aggs:
+            if a.kind == "count":
+                continue
+            nn_new = (
+                F.coalesce(F.col(_nn(a)), F.lit(0))
+                + F.coalesce(F.col(f"__d_nn_{a.name}"), F.lit(0))
+            )
+            out_cols.append(nn_new.alias(f"__new_nn_{a.name}"))
+            if a.kind in ("sum", "avg"):
+                out_cols.append(
+                    (
+                        F.coalesce(F.col(_store(a)), F.lit(0))
+                        + F.coalesce(F.col(f"__d_sum_{a.name}"), F.lit(0))
+                    ).alias(f"__new_val_{a.name}")
+                )
+                continue
+            # min/max: stored bound counts only while the group had
+            # non-null values; inserts extend it with least/greatest
+            # (both skip NULLs); a removed value TYING the candidate
+            # bound is the only way the bound can shrink -> dirty.
+            cur_eff = F.when(F.col(_nn(a)) > 0, F.col(_store(a)))
+            if a.kind == "min":
+                cand = F.least(cur_eff, F.col(f"__ins_min_{a.name}"))
+                rm = F.col(f"__rm_min_{a.name}")
+                d = rm.isNotNull() & (cand.isNull() | (rm <= cand))
+            else:
+                cand = F.greatest(cur_eff, F.col(f"__ins_max_{a.name}"))
+                rm = F.col(f"__rm_max_{a.name}")
+                d = rm.isNotNull() & (cand.isNull() | (rm >= cand))
+            out_cols.append(cand.alias(f"__new_val_{a.name}"))
+            dirty = dirty | (d & (new_cnt > 0))
+
+        j = j.select(*out_cols, dirty.alias("__dirty"), in_cur.alias("__in_cur"))
+        # groups that end empty AND never existed need no row at all
+        j = j.filter(F.col("__in_cur") | (F.col("__new_cnt") > 0))
+        j = j.localCheckpoint(eager=False)
+
+        clean_cols = [F.col(c) for c in g] + [F.col("__new_cnt").alias(_CNT)]
+        for a in self.aggs:
+            if a.kind == "count":
+                continue
+            clean_cols.append(F.col(f"__new_nn_{a.name}").alias(_nn(a)))
+            clean_cols.append(F.col(f"__new_val_{a.name}").alias(_store(a)))
+        clean = j.filter(~F.col("__dirty")).select(clean_cols)
+
+        dirty_keys = j.filter(F.col("__dirty")).select(*g)
+        n_dirty = dirty_keys.count()
+        if n_dirty:
+            recomputed = (
+                self.base.read(b_to)
+                .join(F.broadcast(dirty_keys), on=g, how="left_semi")
+                .groupBy(*g)
+                .agg(*self._full_agg_exprs())
+            )
+            updates = clean.unionByName(recomputed)
+        else:
+            updates = clean
+        # align types to the stored schema (sum of +1/-1 weights can
+        # widen an int count; cast back to the table's declared types)
+        stored_schema = {
+            f.name: f.dataType for f in self.table.read().schema.fields
+        }
+        updates = updates.select(
+            [F.col(c).cast(stored_schema[c]).alias(c) for c in
+             [f.name for f in self.table.read().schema.fields]]
+        )
+
+        parent = self.table.version
+        self._save_state({
+            "applied_base": b_from,
+            "pending": {"base_to": b_to, "parent": parent},
+        })
+        res = self.table.merge(
+            updates,
+            self._column_specs(self.table.read().schema),
+            target_files=self.target_files,
+            deterministic=True,
+        )
+        self._save_state({"applied_base": b_to, "pending": None})
+        if purge:
+            self.table.delete(F.col(_CNT) == 0)
+        return {
+            "refreshed": True,
+            "from_version": b_from,
+            "base_version": b_to,
+            "mv_version": res["version"],
+            "groups_recomputed": n_dirty,
+        }
+
+    def _full_resync(self, b_to: int) -> dict:
+        """Retention fallback: recompute every group, tombstone groups
+        that vanished, resume the feed from ``b_to``."""
+        fresh = (
+            self.base.read(b_to)
+            .groupBy(*self.group_cols)
+            .agg(*self._full_agg_exprs())
+        )
+        cur_keys = self.table.read().select(*self.group_cols)
+        dead = cur_keys.join(
+            fresh.select(*self.group_cols), on=self.group_cols, how="left_anti"
+        )
+        zero_cols = [F.col(c) for c in self.group_cols] + [
+            F.lit(0).alias(_CNT)
+        ]
+        for a in self.aggs:
+            if a.kind == "count":
+                continue
+            zero_cols.append(F.lit(0).alias(_nn(a)))
+            zero_cols.append(F.lit(None).alias(_store(a)))
+        stored_fields = self.table.read().schema.fields
+        updates = fresh.unionByName(dead.select(zero_cols)).select(
+            [F.col(f.name).cast(f.dataType).alias(f.name)
+             for f in stored_fields]
+        )
+        parent = self.table.version
+        self._save_state({
+            "applied_base": self._load_state()["applied_base"],
+            "pending": {"base_to": b_to, "parent": parent},
+        })
+        self.table.merge(
+            updates,
+            self._column_specs(self.table.read().schema),
+            target_files=self.target_files,
+            deterministic=True,
+        )
+        self._save_state({"applied_base": b_to, "pending": None})
+        return {"refreshed": True, "resync": True, "base_version": b_to}

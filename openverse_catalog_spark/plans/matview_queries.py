@@ -1,0 +1,159 @@
+"""Materialized-view queries: incremental GROUP BY maintenance over the
+CoW change feed.
+
+The reference's derived aggregate tables are rebuilt wholesale on every
+refresh (``REFRESH MATERIALIZED VIEW`` over the full media table,
+``common/popularity/sql.py:286-298``). These queries pin the O(delta)
+replacement (operators/matview.py): build once, then advance through
+base-table churn — a MERGE of updates + inserts followed by a
+deletion-vector DELETE — via two incremental refreshes. The oracle
+replays the churn as plain SQL and aggregates the FINAL state, so a
+pass proves the incremental path lands on exactly the full-recompute
+answer, dirty-group min/max recomputes included.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from openverse_catalog_spark.plans.analytics import _t, register
+from openverse_catalog_spark.schemas.columns import (
+    ColumnSpec,
+    Datatype,
+    UpsertStrategy,
+)
+
+_MV_BASE_SQL = """
+  SELECT o_orderkey AS k, o_custkey AS ck,
+         o_totalprice AS price, o_orderstatus AS status
+  FROM orders WHERE o_orderkey % 4 <> 3
+"""
+
+_MV_FINAL_CTES = f"""
+    base AS ({_MV_BASE_SQL}),
+    upd AS (
+      SELECT k, ck, price + 5.0 AS price, status
+      FROM base WHERE k % 10 = 0
+    ),
+    ins AS (
+      SELECT o_orderkey AS k, o_custkey AS ck,
+             o_totalprice AS price, o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 4 = 3 AND o_orderkey % 10 = 7
+    ),
+    merged AS (
+      SELECT b.k, b.ck, COALESCE(u.price, b.price) AS price, b.status
+      FROM base b LEFT JOIN upd u ON b.k = u.k
+      UNION ALL
+      SELECT * FROM ins
+    ),
+    final AS (SELECT * FROM merged WHERE ck % 7 <> 0)
+"""
+
+
+def _mv_base_df(o):
+    return o.filter(F.col("o_orderkey") % 4 != 3).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("ck"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+
+
+_MV_COLS = [
+    ColumnSpec("k", Datatype.int, required=True,
+               upsert_strategy=UpsertStrategy.no_change),
+    ColumnSpec("ck", Datatype.int),
+    ColumnSpec("price", Datatype.double),
+    ColumnSpec("status", Datatype.char),
+]
+
+
+def _mv_build_and_churn(spark, sf_dir, name):
+    """Shared fixture: base CoW table + MV, churned by one merge and one
+    DV delete with an incremental refresh after each commit."""
+    from openverse_catalog_spark.operators.cowtable import CowTable
+    from openverse_catalog_spark.operators.matview import (
+        AggSpec,
+        MaterializedView,
+    )
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_{name}")
+    shutil.rmtree(root, ignore_errors=True)
+    base_df = _mv_base_df(o)
+    base = CowTable.create(
+        spark, f"{root}/base", base_df, keys=("k",), target_files=6
+    )
+    mv = MaterializedView(
+        spark, base, f"{root}/mv", ["ck"],
+        [
+            AggSpec("n_orders", "count"),
+            AggSpec("sum_price", "sum", "price"),
+            AggSpec("avg_price", "avg", "price"),
+            AggSpec("min_price", "min", "price"),
+            AggSpec("max_price", "max", "price"),
+        ],
+    )
+    mv.build()
+    updates = base_df.filter(F.col("k") % 10 == 0).withColumn(
+        "price", F.col("price") + F.lit(5.0)
+    )
+    inserts = o.filter(
+        (F.col("o_orderkey") % 4 == 3) & (F.col("o_orderkey") % 10 == 7)
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("ck"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    base.merge(updates.unionByName(inserts), _MV_COLS, deterministic=True)
+    mv.refresh()
+    # a deletion-vector delete: the feed must surface DV-marked rows as
+    # logical deletes for the MV to subtract
+    base.delete(F.col("ck") % 7 == 0, mode="dv")
+    mv.refresh()
+    return mv
+
+
+@register(
+    "mv_incremental_orders",
+    f"""
+    WITH {_MV_FINAL_CTES}
+    SELECT ck AS custkey,
+           count(*) AS n_orders,
+           round(sum(price), 2) AS sum_price,
+           round(sum(price), 2) / count(*) AS avg_price,
+           min(price) AS min_price,
+           max(price) AS max_price
+    FROM final GROUP BY ck
+    """,
+)
+def mv_incremental_orders(spark, sf_dir):
+    """Incrementally-maintained per-customer order aggregates: the MV
+    advances through a MERGE (price updates trigger min/max dirty-group
+    recomputes — each update's pre-image removes a value that may tie
+    the stored bound) and a deletion-vector DELETE (whole groups
+    tombstone out). The oracle aggregates the replayed final state, so
+    equality proves delta-apply + dirty recompute + tombstoning land on
+    the exact full-recompute answer. SCALE: each refresh reads only the
+    feed span and the touched MV groups (broadcast semi-join) — O(churn)
+    while the reference re-aggregates O(table)."""
+    mv = _mv_build_and_churn(spark, sf_dir, "mv_orders")
+    # avg is derived from the round-stable sum with NO second rounding:
+    # incremental float sums drift ~1e-9 relative (a bare round(avg, 4)
+    # flips at .xxxx5 edges, and engines break round ties differently),
+    # but division of bit-identical doubles is IEEE-deterministic
+    return mv.read().select(
+        F.col("ck").alias("custkey"),
+        F.col("n_orders"),
+        F.round(F.col("sum_price"), 2).alias("sum_price"),
+        (F.round(F.col("sum_price"), 2) / F.col("n_orders")).alias(
+            "avg_price"
+        ),
+        F.col("min_price"),
+        F.col("max_price"),
+    )

@@ -1,0 +1,304 @@
+"""Incremental materialized-view maintenance (operators/matview.py).
+
+The reference refreshes derived aggregates by full rebuild
+(``common/popularity/sql.py:286-298``); the MV operator must land on
+the same answers while reading only the change feed. These tests pin:
+delta-apply == full recompute across mixed churn, the min/max
+dirty-group recompute firing exactly when a removed value ties the
+stored bound, tombstone lifecycle, WAL crash recovery in both halves
+of the window, and the vacuum-fallback full resync.
+"""
+
+import shutil
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from openverse_catalog_spark.operators.cowtable import CowTable
+from openverse_catalog_spark.operators.matview import (
+    AggSpec,
+    MaterializedView,
+)
+from openverse_catalog_spark.schemas.columns import (
+    ColumnSpec,
+    Datatype,
+    UpsertStrategy,
+)
+
+COLS = [
+    ColumnSpec("id", Datatype.int, required=True,
+               upsert_strategy=UpsertStrategy.no_change),
+    ColumnSpec("grp", Datatype.char),
+    ColumnSpec("val", Datatype.double),
+]
+
+AGGS = [
+    AggSpec("n", "count"),
+    AggSpec("total", "sum", "val"),
+    AggSpec("mean", "avg", "val"),
+    AggSpec("lo", "min", "val"),
+    AggSpec("hi", "max", "val"),
+]
+
+
+def rows(spark, *triples):
+    return spark.createDataFrame(
+        [Row(id=i, grp=g, val=v) for (i, g, v) in triples],
+        "id bigint, grp string, val double",
+    )
+
+
+@pytest.fixture
+def mv_pair(spark, tmp_path):
+    def make(data, aggs=AGGS, group=("grp",)):
+        base = CowTable.create(
+            spark, str(tmp_path / "base"), data, keys=("id",), target_files=2
+        )
+        mv = MaterializedView(
+            spark, base, str(tmp_path / "mv"), list(group), aggs
+        )
+        mv.build()
+        return base, mv
+
+    return make
+
+
+def as_map(df):
+    return {
+        r["grp"]: (r["n"], r["total"], r["mean"], r["lo"], r["hi"])
+        for r in df.collect()
+    }
+
+
+def expect(base, mv):
+    """Ground truth: full aggregate over the base's current snapshot."""
+    truth = (
+        base.read()
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("val").alias("total"),
+            F.avg("val").alias("mean"),
+            F.min("val").alias("lo"),
+            F.max("val").alias("hi"),
+        )
+    )
+    assert as_map(mv.read()) == as_map(truth)
+
+
+def test_incremental_equals_rebuild_across_churn(spark, mv_pair):
+    base, mv = mv_pair(rows(
+        spark,
+        (1, "a", 1.0), (2, "a", 5.0), (3, "a", 9.0),
+        (4, "b", 2.0), (5, "b", 4.0),
+        (6, "c", 7.0),
+    ))
+    expect(base, mv)
+    # churn 1: update a value upward, insert a new group, insert into b
+    base.merge(
+        rows(spark, (2, "a", 6.0), (7, "d", 3.0), (8, "b", 0.5)),
+        COLS, deterministic=True,
+    )
+    r1 = mv.refresh()
+    assert r1["refreshed"]
+    expect(base, mv)
+    # churn 2: delete one row of b, delete group c entirely (DV mode)
+    base.delete(F.col("id").isin(5, 6), mode="dv")
+    mv.refresh()
+    expect(base, mv)
+    assert "c" not in as_map(mv.read())
+    # churn 3: reinsert into the tombstoned group
+    base.merge(rows(spark, (9, "c", 11.0)), COLS, deterministic=True)
+    mv.refresh()
+    expect(base, mv)
+    assert as_map(mv.read())["c"][0] == 1
+
+
+def test_noop_refresh(spark, mv_pair):
+    base, mv = mv_pair(rows(spark, (1, "a", 1.0)))
+    assert mv.refresh() == {"refreshed": False, "base_version": base.version}
+
+
+def test_dirty_recompute_only_when_bound_ties(spark, mv_pair):
+    base, mv = mv_pair(rows(
+        spark, (1, "a", 1.0), (2, "a", 5.0), (3, "a", 9.0)
+    ))
+    # removing the middle value touches neither bound -> pure delta
+    base.delete(F.col("id") == 2)
+    r = mv.refresh()
+    assert r["groups_recomputed"] == 0
+    expect(base, mv)
+    # removing the minimum ties the stored bound -> exact recompute
+    base.delete(F.col("id") == 1)
+    r = mv.refresh()
+    assert r["groups_recomputed"] == 1
+    expect(base, mv)
+    assert as_map(mv.read())["a"][3] == 9.0
+
+
+def test_update_preimage_triggers_bound_maintenance(spark, mv_pair):
+    base, mv = mv_pair(rows(
+        spark, (1, "a", 1.0), (2, "a", 5.0)
+    ))
+    # raising the min row's value: pre-image removes the stored min
+    base.merge(rows(spark, (1, "a", 8.0)), COLS, deterministic=True)
+    r = mv.refresh()
+    assert r["groups_recomputed"] == 1
+    expect(base, mv)
+    m = as_map(mv.read())["a"]
+    assert (m[3], m[4]) == (5.0, 8.0)
+
+
+def test_all_null_values_group(spark, mv_pair):
+    base, mv = mv_pair(rows(
+        spark, (1, "a", None), (2, "a", None), (3, "b", 4.0)
+    ))
+    m = as_map(mv.read())
+    assert m["a"] == (2, None, None, None, None)
+    # group b loses its only non-null value via update-to-null?  A null
+    # batch value under newest_non_null keeps the old — churn instead by
+    # deleting the non-null row and inserting a null one
+    base.delete(F.col("id") == 3)
+    base.merge(rows(spark, (4, "b", None)), COLS, deterministic=True)
+    mv.refresh()
+    m = as_map(mv.read())
+    assert m["b"] == (1, None, None, None, None)
+    expect(base, mv)
+
+
+def test_tombstone_purge(spark, mv_pair):
+    base, mv = mv_pair(rows(spark, (1, "a", 1.0), (2, "b", 2.0)))
+    base.delete(F.col("grp") == "a")
+    mv.refresh(purge_tombstones=True)
+    assert as_map(mv.read()) == {"b": (1, 2.0, 2.0, 2.0, 2.0)}
+    # purge removed the tombstone row physically
+    assert mv.table.read().count() == 1
+
+
+def test_wal_recovery_merge_landed(spark, mv_pair):
+    """Crash after the MV merge committed but before finalize: recovery
+    must NOT re-apply the span (double-count)."""
+    base, mv = mv_pair(rows(spark, (1, "a", 1.0), (2, "a", 2.0)))
+    base.merge(rows(spark, (3, "a", 3.0)), COLS, deterministic=True)
+    applied_before = mv._load_state()["applied_base"]
+    mv.refresh()
+    good = as_map(mv.read())
+    # simulate the lost finalize: pending points at the pre-merge parent
+    mv._save_state({
+        "applied_base": applied_before,
+        "pending": {"base_to": base.version, "parent": mv.table.version - 1},
+    })
+    r = mv.refresh()
+    assert r == {"refreshed": False, "base_version": base.version}
+    assert as_map(mv.read()) == good
+    assert mv._load_state() == {
+        "applied_base": base.version, "pending": None
+    }
+
+
+def test_wal_recovery_merge_lost(spark, mv_pair):
+    """Crash before the MV merge committed: recovery replays the span."""
+    base, mv = mv_pair(rows(spark, (1, "a", 1.0)))
+    base.merge(rows(spark, (2, "a", 9.0)), COLS, deterministic=True)
+    # a refresh that wrote its WAL entry and died before merging
+    mv._save_state({
+        "applied_base": mv._load_state()["applied_base"],
+        "pending": {"base_to": base.version, "parent": mv.table.version},
+    })
+    r = mv.refresh()
+    assert r["refreshed"]
+    expect(base, mv)
+
+
+def test_vacuum_fallback_resync(spark, mv_pair):
+    base, mv = mv_pair(rows(
+        spark, (1, "a", 1.0), (2, "b", 2.0)
+    ))
+    base.merge(rows(spark, (3, "a", 3.0)), COLS, deterministic=True)
+    base.delete(F.col("grp") == "b")
+    base.merge(rows(spark, (4, "c", 4.0)), COLS, deterministic=True)
+    # drop the feed span the MV would need
+    base.vacuum(keep_versions=1, retention_seconds=0)
+    r = mv.refresh()
+    assert r.get("resync") is True
+    expect(base, mv)
+    assert "b" not in as_map(mv.read())
+    # after the resync the feed resumes incrementally
+    base.merge(rows(spark, (5, "c", 6.0)), COLS, deterministic=True)
+    r = mv.refresh()
+    assert "resync" not in r
+    expect(base, mv)
+
+
+def test_refresh_reads_only_touched_groups(spark, tmp_path):
+    """The MV-side read prunes to the delta's groups: the pruned current
+    slice must stay small (broadcast-sized) — pin via the join input,
+    not wall time: count rows the refresh's cur_small semi-join keeps."""
+    data = rows(spark, *[(i, f"g{i % 50}", float(i)) for i in range(500)])
+    base = CowTable.create(
+        spark, str(tmp_path / "base"), data, keys=("id",), target_files=2
+    )
+    mv = MaterializedView(
+        spark, base, str(tmp_path / "mv"), ["grp"], AGGS
+    )
+    mv.build()
+    # touch exactly one group
+    base.merge(
+        rows(spark, (1000, "g7", 1.5)), COLS, deterministic=True
+    )
+    feed = base.read_changes(mv._load_state()["applied_base"])
+    touched = feed.select("grp").distinct()
+    cur_small = mv.table.read().join(touched, "grp", "left_semi")
+    assert cur_small.count() == 1  # of 50 stored groups
+    mv.refresh()
+    truth = {
+        r["grp"]: r["n"]
+        for r in base.read().groupBy("grp").agg(
+            F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert {r["grp"]: r["n"] for r in mv.read().collect()} == truth
+
+
+def test_null_group_key_rejected(spark, tmp_path):
+    data = rows(spark, (1, None, 1.0), (2, "a", 2.0))
+    base = CowTable.create(
+        spark, str(tmp_path / "base"), data, keys=("id",), target_files=1
+    )
+    mv = MaterializedView(spark, base, str(tmp_path / "mv"), ["grp"], AGGS)
+    with pytest.raises(ValueError, match="non-NULL"):
+        mv.build()
+
+
+def test_bad_specs_rejected(spark, tmp_path):
+    data = rows(spark, (1, "a", 1.0))
+    base = CowTable.create(
+        spark, str(tmp_path / "base"), data, keys=("id",), target_files=1
+    )
+    with pytest.raises(ValueError, match="unsupported aggregate"):
+        AggSpec("x", "median", "val")
+    with pytest.raises(ValueError, match="needs a base column"):
+        AggSpec("x", "sum")
+    mv = MaterializedView(
+        spark, base, str(tmp_path / "mv"), ["grp"],
+        [AggSpec("s", "sum", "grp")],
+    )
+    with pytest.raises(ValueError, match="numeric"):
+        mv.build()
+    with pytest.raises(ValueError, match="distinct from group"):
+        MaterializedView(
+            spark, base, str(tmp_path / "mv2"), ["grp"],
+            [AggSpec("grp", "count")],
+        )
+
+
+def test_string_min_max(spark, mv_pair):
+    base, mv = mv_pair(
+        rows(spark, (1, "a", 1.0), (2, "a", 2.0)),
+        aggs=[AggSpec("n", "count"),
+              AggSpec("first_id", "min", "grp"),
+              AggSpec("last_id", "max", "grp")],
+        group=("grp",),
+    )
+    out = {r["grp"]: (r["first_id"], r["last_id"]) for r in mv.read().collect()}
+    assert out == {"a": ("a", "a")}
