@@ -1037,3 +1037,66 @@ def self_repeat_trim(
             "kept_text"
         ),
     )
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seg_words: int = 10,
+) -> DataFrame:
+    """CROSS-corpus segment-level dedup — the C4 cleaning rule ("we
+    discard all but one of any three-sentence span occurring more than
+    once in the data set", Raffel et al. 2020 §2.2) restated over
+    fixed ``seg_words``-word segments: every segment that appears
+    anywhere else in the corpus keeps only its FIRST occurrence
+    (ordered by (doc, position)), and each document is reassembled
+    from its surviving segments. Returns (id, n_segments, n_kept,
+    cleaned_text).
+
+    The reference has no corpus-text analog (its dedup is row-keyed,
+    ``loader/sql.py`` upsert); this is the training-data operator LLM
+    pipelines run right after exact doc dedup.
+
+    Plan: one narrow expression builds the segment array (no Python),
+    posexplode ships (id, pos, md5(segment), segment); the global
+    first-occurrence pick is ONE window over the 128-bit segment hash
+    ordered by (id, pos) — the corpus shuffles once on the hash, the
+    hash (not the text) is the shuffle key payload-dominant column —
+    and the reassembly is ONE groupBy(id) with an order-pinned
+    collect. Two keyed shuffles total, both linear in segments; no
+    self-join, no pair blowup on duplicate-heavy corpora (a segment
+    duplicated k times costs k window rows, not k² pair rows)."""
+    words = F.split(F.col(text_col), " ")
+    n_seg = F.floor((F.size(words) + (seg_words - 1)) / seg_words)
+    segs = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(words, i * seg_words + 1, seg_words)
+        ),
+    )
+    exploded = (
+        df.filter(F.col(text_col).isNotNull() & (F.length(text_col) > 0))
+        .select(F.col(id_col), F.posexplode(segs).alias("pos", "seg"))
+        .select(id_col, "pos", F.md5(F.col("seg")).alias("__h"), "seg")
+    )
+    w = Window.partitionBy("__h").orderBy(id_col, "pos")
+    kept = exploded.withColumn("__rn", F.row_number().over(w))
+    return kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.when(F.col("__rn") == 1, 1).otherwise(0)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__rn") == 1,
+                            F.struct(F.col("pos"), F.col("seg")),
+                        )
+                    )
+                ),
+                lambda s: s.seg,
+            ),
+        ).alias("cleaned_text"),
+    )

@@ -2699,3 +2699,47 @@ def embed_pca_power(spark, sf_dir):
         [(i + 1, round(x, 6)) for i, x in enumerate(v)],
         "dim long, loading double",
     )
+
+
+# --- C4-style cross-corpus segment dedup -----------------------------------
+
+
+@register(
+    "dedup_segments_c4",
+    f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM corpus
+      WHERE text IS NOT NULL AND len(text) > 0
+    ),
+    segs AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(w[(i*10+1):(i*10+10)], ' ') AS seg
+      FROM words, unnest(range((len(w) + 9) // 10)) AS t(i)
+    ),
+    ranked AS (
+      SELECT doc_id, pos, seg,
+             row_number() OVER (
+               PARTITION BY md5(seg) ORDER BY doc_id, pos) AS rn
+      FROM segs
+    )
+    SELECT doc_id,
+           count(*) AS n_segments,
+           count(*) FILTER (WHERE rn = 1) AS n_kept,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' '
+                               ORDER BY pos), '') AS cleaned_text
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def dedup_segments_c4(spark, sf_dir):
+    """C4's cleaning rule over the cloned corpus: any 10-word segment
+    occurring more than once corpus-wide survives only at its first
+    (doc, position); each doc reassembles from its surviving segments.
+    The exact clones (+1M ids) lose every segment to their originals;
+    the near clones (+2M, offset by 15 chars) keep only segments whose
+    word alignment shifted. One window shuffle on the 128-bit segment
+    hash + one reassembly groupBy — no self-join, so a segment
+    duplicated k times costs k rows, not k² pairs."""
+    return dd.segment_dedup(
+        _corpus(spark, sf_dir), "doc_id", "text", seg_words=10
+    )

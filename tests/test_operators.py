@@ -824,3 +824,23 @@ def test_ivf_pq_recall_floor_and_rerank_exactness(spark, sf_dir, tmp_path):
     )
     raw_bytes = emb.count() * 64 * 8
     assert list_bytes < raw_bytes / 4  # codes ≪ raw vectors
+
+
+def test_segment_dedup_c4(spark):
+    """C4 rule: a segment appearing twice survives only at its first
+    (doc, pos); a full clone dissolves entirely; unique text is kept
+    verbatim."""
+    w10 = lambda tag: " ".join(f"{tag}{i}" for i in range(10))
+    a = f"{w10('a')} {w10('b')}"          # two segments
+    clone = a                              # doc 2: full clone of doc 1
+    partial = f"{w10('b')} {w10('z')}"     # doc 3: shares segment b only
+    df = spark.createDataFrame(
+        [(1, a), (2, clone), (3, partial)], "id bigint, text string"
+    )
+    out = {
+        r["id"]: (r["n_segments"], r["n_kept"], r["cleaned_text"])
+        for r in dd.segment_dedup(df, "id", "text").collect()
+    }
+    assert out[1] == (2, 2, a)                      # first occurrence keeps all
+    assert out[2] == (2, 0, "")                     # clone fully dissolved
+    assert out[3] == (2, 1, w10("z"))               # shared b dropped, z kept
