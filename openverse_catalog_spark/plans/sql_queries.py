@@ -234,3 +234,48 @@ def sql_cow_dml(spark, sf_dir):
     return f.sql(
         "SELECT provider, foreign_identifier, url, title FROM media"
     )
+
+
+@register(
+    "sql_cow_merge",
+    f"""
+    WITH {_COW_V2_CTES}
+    SELECT provider, foreign_identifier, url, title FROM v2
+    """,
+)
+def sql_cow_merge(spark, sf_dir):
+    """ANSI MERGE INTO through the facade: the same guarded upsert the
+    API's ``merge()`` runs (url thief dropped, updates + inserts), but
+    spelled as ``MERGE INTO media AS t USING (SELECT ...) AS s ON
+    t.<keys> = s.<keys> WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED
+    THEN INSERT *`` — the standard spelling of the reference's
+    ``INSERT ... ON CONFLICT`` loader step. The facade validates the ON
+    clause against the table's merge keys (a mis-keyed MERGE raises
+    rather than silently changing upsert semantics) and routes the
+    batch into the copy-on-write commit protocol."""
+    import os
+    import shutil
+    import tempfile
+
+    from openverse_catalog_spark.operators.cowtable import CowTable
+    from openverse_catalog_spark.sql_facade import SqlFacade
+
+    c = _t(spark, sf_dir, "customer")["customer"]
+    target, batch, cols = _cow_fixture(c)
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_cow_sqlmerge")
+    shutil.rmtree(root, ignore_errors=True)
+    t = CowTable.create(spark, root, target, target_files=6)
+    f = SqlFacade(spark)
+    f.register_table("media", t, columns=cols)
+    f.register_df("staging", batch)
+    res = f.sql(
+        "MERGE INTO media AS t USING (SELECT * FROM staging) AS s "
+        "ON t.provider = s.provider "
+        "AND t.foreign_identifier = s.foreign_identifier "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    ).collect()[0]
+    assert res["version"] == 2
+    return f.sql(
+        "SELECT provider, foreign_identifier, url, title FROM media"
+    )

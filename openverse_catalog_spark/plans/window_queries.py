@@ -310,3 +310,111 @@ def window_locf_fill(spark, sf_dir):
             F.coalesce(F.last("v", ignorenulls=True).over(w), F.lit(-1.0)), 2
         ).alias("filled"),
     )
+
+
+# --- gap fill: bucket generation + linear interpolation --------------------
+
+
+@register(
+    "window_gapfill_interpolate",
+    """
+    WITH obs AS (
+      SELECT user_id, date_trunc('hour', ts) AS b,
+             sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY user_id, date_trunc('hour', ts)
+    ),
+    nxt AS (
+      SELECT user_id, b, cents,
+             lead(b) OVER (PARTITION BY user_id ORDER BY b) AS nb,
+             lead(cents) OVER (PARTITION BY user_id ORDER BY b) AS nc
+      FROM obs
+    ),
+    gaps AS (
+      SELECT user_id, b, cents, nb, nc,
+             CASE WHEN nb IS NULL THEN 0
+                  ELSE datediff('hour', b, nb) END AS gap
+      FROM nxt
+    ),
+    filled AS (
+      SELECT user_id, b AS bucket, CAST(cents AS DOUBLE) AS filled,
+             'observed' AS src
+      FROM gaps
+      UNION ALL
+      SELECT user_id, b + g * INTERVAL 1 HOUR AS bucket,
+             cents + (nc - cents) * g / gap AS filled,
+             'interpolated' AS src
+      FROM gaps, unnest(range(1, gap)) AS t(g)
+      WHERE gap > 1
+    )
+    SELECT user_id, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+           filled, src
+    FROM filled
+    """,
+)
+def window_gapfill_interpolate(spark, sf_dir):
+    """Time-bucket gap fill with linear interpolation (Timescale's
+    ``time_bucket_gapfill`` + ``interpolate``, no reference analog —
+    the telemetry staple for regularizing event series before training
+    or anomaly scoring): hourly per-user totals, with every missing
+    interior hour synthesized on the line between its observed
+    neighbors.
+
+    SCALE: ONE window shuffle on (user_id) total. The hourly rollup is
+    a keyed groupBy; the fill is row-local generation — each observed
+    row looks at its lead() neighbor and emits the missing buckets
+    between them from a sequence/transform expression, so there is no
+    calendar dimension to cross-join, no second join back, and the
+    output is linear in observed+filled rows. The series rides as
+    integer cents (exact sums, order-free) and interpolates with one
+    int-by-int division per filled bucket, so results are
+    bit-deterministic across partitionings."""
+    e = _t(spark, sf_dir, "events")["events"]
+    obs = e.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("b")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents")
+    )
+    w = Window.partitionBy("user_id").orderBy("b")
+    nxt = obs.select(
+        "user_id", "b", "cents",
+        F.lead("b").over(w).alias("nb"),
+        F.lead("cents").over(w).alias("nc"),
+    )
+    gap = F.coalesce(F.expr("timestampdiff(HOUR, b, nb)"), F.lit(0))
+    observed = F.array(
+        F.struct(
+            F.col("b").alias("bucket"),
+            F.col("cents").cast("double").alias("filled"),
+            F.lit("observed").alias("src"),
+        )
+    )
+    interpolated = F.transform(
+        F.sequence(F.lit(1), gap - 1),
+        lambda g: F.struct(
+            F.timestamp_seconds(
+                F.unix_timestamp("b") + g.cast("long") * 3600
+            ).alias("bucket"),
+            (
+                F.col("cents")
+                + (F.col("nc") - F.col("cents")) * g.cast("long") / gap
+            ).alias("filled"),
+            F.lit("interpolated").alias("src"),
+        ),
+    )
+    entries = F.concat(
+        observed,
+        F.when(gap > 1, interpolated).otherwise(
+            F.array().cast(
+                "array<struct<bucket:timestamp,filled:double,src:string>>"
+            )
+        ),
+    )
+    return (
+        nxt.select("user_id", F.explode(entries).alias("e"))
+        .select(
+            "user_id",
+            F.date_format("e.bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            F.col("e.filled").alias("filled"),
+            F.col("e.src").alias("src"),
+        )
+    )

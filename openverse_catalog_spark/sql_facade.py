@@ -67,6 +67,17 @@ _DELETE = re.compile(
     r"^\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.+))?$",
     re.IGNORECASE | re.DOTALL,
 )
+_MERGE_INTO = re.compile(
+    r"^\s*MERGE\s+INTO\s+(\w+)(?:\s+AS\s+(\w+))?\s+USING\s+"
+    r"(?:\((.+)\)|(\w+))\s+(?:AS\s+)?(\w+)?\s*"
+    r"ON\s+(.+?)\s+"
+    r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+"
+    r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ON_EQ = re.compile(
+    r"^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$"
+)
 _ALTER_RENAME = re.compile(
     r"^\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*$",
     re.IGNORECASE,
@@ -195,6 +206,58 @@ class SqlFacade:
             [(res["version"], res["rows"])], "version long, rows long"
         )
 
+    def _merge_into(self, m: re.Match) -> DataFrame:
+        """``MERGE INTO t [AS a] USING (<query>)|<view> [AS b]
+        ON a.k = b.k [AND ...] WHEN MATCHED THEN UPDATE SET * WHEN NOT
+        MATCHED THEN INSERT *`` — the ANSI spelling of the lake table's
+        upsert (Delta's ``SET *`` / ``INSERT *`` shorthand; the
+        per-column merge behavior is the registered ColumnSpec
+        strategies, exactly as INSERT INTO). The ON clause must equate
+        the table's merge keys — anything else would silently change
+        upsert semantics, so it raises instead."""
+        name = m.group(1)
+        t_alias = (m.group(2) or name).lower()
+        subquery, view, s_alias = m.group(3), m.group(4), m.group(5)
+        on_text = m.group(6)
+        cols = self._columns.get(name)
+        if cols is None:
+            raise ValueError(
+                f"MERGE INTO {name} needs the table's ColumnSpec list: "
+                "register_table(name, table, columns=[...])"
+            )
+        s_alias = (s_alias or view or "").lower()
+        if not s_alias:
+            raise ValueError("MERGE INTO ... USING (subquery) needs an alias")
+        table = self._tables[name]
+        want = set(table.keys)
+        got = set()
+        for clause in re.split(r"\s+AND\s+", on_text, flags=re.IGNORECASE):
+            eq = _ON_EQ.match(clause)
+            if not eq:
+                raise ValueError(
+                    f"MERGE ON clause must be key equalities, got "
+                    f"{clause.strip()!r}"
+                )
+            a1, c1, a2, c2 = eq.groups()
+            sides = {a1.lower(): c1, a2.lower(): c2}
+            if set(sides) != {t_alias, s_alias} or (
+                sides[t_alias] != sides[s_alias]
+            ):
+                raise ValueError(
+                    f"MERGE ON clause must equate target and source on "
+                    f"the same column, got {clause.strip()!r}"
+                )
+            got.add(sides[t_alias])
+        if got != want:
+            raise ValueError(
+                f"MERGE INTO {name} must join on exactly its merge keys "
+                f"{sorted(want)}, got {sorted(got)}"
+            )
+        batch = self.spark.sql(
+            self._rewrite(subquery if subquery else f"SELECT * FROM {view}")
+        )
+        return self._summary(table.merge(batch, cols))
+
     def sql(self, text: str) -> DataFrame:
         """Run SQL text: refresh head views, rewrite lake constructs,
         hand reads to Catalyst and DML to the lake table's commit
@@ -213,6 +276,9 @@ class SqlFacade:
             batch = self.spark.sql(self._rewrite(query))
             res = self._tables[name].merge(batch, cols)
             return self._summary(res)
+        m = _MERGE_INTO.match(text)
+        if m and m.group(1) in self._tables:
+            return self._merge_into(m)
         m = _UPDATE.match(text)
         if m and m.group(1) in self._tables:
             name, sets, where = m.group(1), m.group(2), m.group(3)

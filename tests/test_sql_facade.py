@@ -176,3 +176,61 @@ def test_facade_alter_table_text(spark, tmp_path):
           "WHERE foreign_identifier = 'f000'")
     f.sql("ALTER TABLE media DROP COLUMN headline")
     assert "headline" not in f.sql("SELECT * FROM media").columns
+
+
+def test_facade_merge_into_text(spark, tmp_path):
+    """MERGE INTO ... WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED
+    THEN INSERT * routes to the upsert merge and matches the API path;
+    a mis-keyed or malformed ON clause raises instead of silently
+    changing upsert semantics."""
+    t = CowTable.create(
+        spark, str(tmp_path / "tbl"), mk(spark, _base_rows()), target_files=2
+    )
+    api = CowTable.create(
+        spark, str(tmp_path / "api"), mk(spark, _base_rows()), target_files=2
+    )
+    api.merge(mk(spark, _batch_rows()), COLS, deterministic=True)
+    f = SqlFacade(spark)
+    f.register_table("media", t, columns=COLS)
+    f.register_df("staging", mk(spark, _batch_rows()))
+    res = f.sql(
+        "MERGE INTO media AS t USING staging AS s "
+        "ON t.provider = s.provider "
+        "AND t.foreign_identifier = s.foreign_identifier "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    ).collect()[0]
+    assert res["version"] == 2
+    assert _canon(t.read()) == _canon(api.read())
+    # view without alias: the view name is the source alias
+    f.sql(
+        "MERGE INTO media USING staging "
+        "ON media.provider = staging.provider "
+        "AND media.foreign_identifier = staging.foreign_identifier "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    with pytest.raises(ValueError, match="merge keys"):
+        f.sql(
+            "MERGE INTO media AS t USING staging AS s "
+            "ON t.provider = s.provider "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+    with pytest.raises(ValueError, match="key equalities"):
+        f.sql(
+            "MERGE INTO media AS t USING staging AS s "
+            "ON t.provider = s.provider AND t.url < s.url "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+    with pytest.raises(ValueError, match="ColumnSpec"):
+        f2 = SqlFacade(spark)
+        f2.register_table("m2", t)
+        f2.sql(
+            "MERGE INTO m2 AS t USING staging AS s "
+            "ON t.provider = s.provider "
+            "AND t.foreign_identifier = s.foreign_identifier "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
