@@ -35,6 +35,19 @@ each returning a one-row (version, rows) summary frame. Predicates and
 SET expressions are parsed by Spark (``F.expr``), so any Spark SQL
 expression works; writers get the same optimistic concurrency +
 logical conflict re-link every API commit gets.
+
+The ANSI upsert spelling is also accepted —
+
+  ``MERGE INTO t [AS a] USING (<query>)|<view> [AS b] ON <key equalities>
+  WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *``
+
+(Delta's SET */INSERT * shorthand; the ON clause is validated against
+the table's merge keys) — plus the maintenance statements the
+reference runs as dedicated DAGs:
+
+  ``DESCRIBE HISTORY <t>``                 commit log as a frame
+  ``OPTIMIZE <t> [ZORDER BY (c, ...)]``    bin-pack / z-order compaction
+  ``VACUUM <t> [RETAIN n VERSIONS]``       manifest + orphan-file GC
 """
 
 from __future__ import annotations
@@ -77,6 +90,18 @@ _MERGE_INTO = re.compile(
 )
 _ON_EQ = re.compile(
     r"^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$"
+)
+_DESCRIBE_HISTORY = re.compile(
+    r"^\s*DESCRIBE\s+HISTORY\s+(\w+)\s*$", re.IGNORECASE
+)
+_OPTIMIZE = re.compile(
+    r"^\s*OPTIMIZE\s+(\w+)"
+    r"(?:\s+ZORDER\s+BY\s*\(\s*([\w\s,]+?)\s*\))?\s*$",
+    re.IGNORECASE,
+)
+_VACUUM = re.compile(
+    r"^\s*VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*$",
+    re.IGNORECASE,
 )
 _ALTER_RENAME = re.compile(
     r"^\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*$",
@@ -292,6 +317,29 @@ class SqlFacade:
             name, where = m.group(1), m.group(2)
             cond = F.expr(where) if where else F.lit(True)
             return self._summary(self._tables[name].delete(cond))
+        m = _DESCRIBE_HISTORY.match(text)
+        if m and m.group(1) in self._tables:
+            hist = self._tables[m.group(1)].history()
+            return self.spark.createDataFrame(
+                [(h["version"], h["operation"], h["rows"]) for h in hist],
+                "version long, operation string, rows long",
+            )
+        m = _OPTIMIZE.match(text)
+        if m and m.group(1) in self._tables:
+            zorder = (
+                [c.strip() for c in m.group(2).split(",")]
+                if m.group(2)
+                else None
+            )
+            res = self._tables[m.group(1)].compact(zorder_by=zorder)
+            return self._summary(res)
+        m = _VACUUM.match(text)
+        if m and m.group(1) in self._tables:
+            keep = int(m.group(2)) if m.group(2) else 1
+            deleted = self._tables[m.group(1)].vacuum(keep_versions=keep)
+            return self.spark.createDataFrame(
+                [(len(deleted),)], "files_deleted long"
+            )
         for pat, call in (
             (_ALTER_RENAME,
              lambda t, a, b: t.rename_column(a, b)),

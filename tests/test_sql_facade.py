@@ -234,3 +234,27 @@ def test_facade_merge_into_text(spark, tmp_path):
             "WHEN MATCHED THEN UPDATE SET * "
             "WHEN NOT MATCHED THEN INSERT *"
         )
+
+
+def test_facade_maintenance_text(spark, tmp_path):
+    """DESCRIBE HISTORY / OPTIMIZE [ZORDER BY (...)] / VACUUM [RETAIN N
+    VERSIONS] as plain text — the maintenance surface the reference runs
+    as dedicated DAGs, routed to the table's compaction/vacuum commits."""
+    t = CowTable.create(
+        spark, str(tmp_path / "tbl"), mk(spark, _base_rows()), target_files=4
+    )
+    t.merge(mk(spark, _batch_rows()), COLS, deterministic=True)
+    f = SqlFacade(spark)
+    f.register_table("media", t, columns=COLS)
+    hist = f.sql("DESCRIBE HISTORY media").collect()
+    assert [r["operation"] for r in hist] == ["create", "merge"]
+    before = t.read().count()
+    res = f.sql("OPTIMIZE media").collect()[0]
+    assert t.read().count() == before
+    assert res["version"] >= 2
+    n_manifests = len(t._manifest_names())
+    out = f.sql("VACUUM media RETAIN 1 VERSIONS").collect()[0]
+    assert out["files_deleted"] >= 0
+    assert len(t._manifest_names()) <= n_manifests
+    # table still reads fine after vacuum
+    assert t.read().count() == before
