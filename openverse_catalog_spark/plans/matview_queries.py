@@ -157,3 +157,72 @@ def mv_incremental_orders(spark, sf_dir):
         F.col("min_price"),
         F.col("max_price"),
     )
+
+
+@register(
+    "sql_mv_refresh",
+    f"""
+    WITH {_MV_FINAL_CTES}
+    SELECT ck AS custkey,
+           count(*) AS n_orders,
+           round(sum(price), 2) AS sum_price,
+           round(sum(price), 2) / count(*) AS avg_price,
+           min(price) AS min_price,
+           max(price) AS max_price
+    FROM final GROUP BY ck
+    """,
+)
+def sql_mv_refresh(spark, sf_dir):
+    """The reference's literal refresh surface as text — ``CREATE
+    MATERIALIZED VIEW`` + ``REFRESH MATERIALIZED VIEW``
+    (``popularity/sql.py:286-298``) — with the ENTIRE lifecycle driven
+    through the facade: the churn lands via ANSI ``MERGE INTO`` and
+    ``DELETE FROM`` text, and each REFRESH advances the view from the
+    base table's change feed in O(churn) instead of the reference's
+    full re-aggregation. Oracle = full recompute of the replayed final
+    state."""
+    from openverse_catalog_spark.operators.cowtable import CowTable
+    from openverse_catalog_spark.sql_facade import SqlFacade
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_sql_mv")
+    shutil.rmtree(root, ignore_errors=True)
+    base_df = _mv_base_df(o)
+    base = CowTable.create(
+        spark, f"{root}/base", base_df, keys=("k",), target_files=6
+    )
+    f = SqlFacade(spark)
+    f.register_table("orders_lake", base, columns=_MV_COLS)
+    f.sql(
+        "CREATE MATERIALIZED VIEW cust_stats AS "
+        "SELECT ck, count(*) AS n_orders, sum(price) AS sum_price, "
+        "avg(price) AS avg_price, min(price) AS min_price, "
+        "max(price) AS max_price "
+        "FROM orders_lake GROUP BY ck"
+    )
+    updates = base_df.filter(F.col("k") % 10 == 0).withColumn(
+        "price", F.col("price") + F.lit(5.0)
+    )
+    inserts = o.filter(
+        (F.col("o_orderkey") % 4 == 3) & (F.col("o_orderkey") % 10 == 7)
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("ck"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    f.register_df("staging", updates.unionByName(inserts))
+    f.sql(
+        "MERGE INTO orders_lake AS t USING staging AS s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    f.sql("REFRESH MATERIALIZED VIEW cust_stats")
+    f.sql("DELETE FROM orders_lake WHERE ck % 7 = 0")
+    f.sql("REFRESH MATERIALIZED VIEW cust_stats")
+    return f.sql(
+        "SELECT ck AS custkey, n_orders, "
+        "round(sum_price, 2) AS sum_price, "
+        "round(sum_price, 2) / n_orders AS avg_price, "
+        "min_price, max_price "
+        "FROM cust_stats"
+    )

@@ -91,6 +91,21 @@ _MERGE_INTO = re.compile(
 _ON_EQ = re.compile(
     r"^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$"
 )
+_CREATE_MV = re.compile(
+    r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+AS\s+(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_REFRESH_MV = re.compile(
+    r"^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)\s*$", re.IGNORECASE
+)
+_MV_SELECT = re.compile(
+    r"^\s*SELECT\s+(.+?)\s+FROM\s+(\w+)\s+GROUP\s+BY\s+([\w\s,]+?)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_MV_AGG_ITEM = re.compile(
+    r"^(count|sum|avg|min|max)\s*\(\s*(\*|\w+)\s*\)\s+AS\s+(\w+)$",
+    re.IGNORECASE,
+)
 _DESCRIBE_HISTORY = re.compile(
     r"^\s*DESCRIBE\s+HISTORY\s+(\w+)\s*$", re.IGNORECASE
 )
@@ -122,9 +137,8 @@ _ALTER_DROP_CHECK = re.compile(
 )
 
 
-def _split_assignments(text: str) -> list[tuple[str, str]]:
-    """Split ``a = f(x, y), b = z`` on TOP-LEVEL commas only (paren
-    depth tracked), then each piece on its first ``=``."""
+def _split_top_level(text: str) -> list[str]:
+    """Split on TOP-LEVEL commas only (paren depth tracked)."""
     parts, depth, cur = [], 0, []
     for ch in text:
         if ch in "([":
@@ -137,6 +151,13 @@ def _split_assignments(text: str) -> list[tuple[str, str]]:
         else:
             cur.append(ch)
     parts.append("".join(cur))
+    return parts
+
+
+def _split_assignments(text: str) -> list[tuple[str, str]]:
+    """Split ``a = f(x, y), b = z`` on top-level commas, then each
+    piece on its first ``=``."""
+    parts = _split_top_level(text)
     out = []
     for p in parts:
         col, _, expr = p.partition("=")
@@ -154,6 +175,7 @@ class SqlFacade:
         self._tables: dict[str, CowTable] = {}
         self._columns: dict[str, list] = {}
         self._head_version: dict[str, int] = {}
+        self._mvs: dict = {}
 
     # -- registration --------------------------------------------------------
 
@@ -283,12 +305,82 @@ class SqlFacade:
         )
         return self._summary(table.merge(batch, cols))
 
+    def _create_mv(self, name: str, select_text: str) -> DataFrame:
+        """``CREATE MATERIALIZED VIEW v AS SELECT <group cols + aggs>
+        FROM <lake table> GROUP BY <group cols>`` — the reference's
+        materialized-view DDL (``popularity/sql.py``), backed by the
+        INCREMENTAL maintenance operator: the view builds once and
+        every ``REFRESH MATERIALIZED VIEW v`` thereafter advances it
+        from the base table's change feed in O(churn), where the
+        reference re-aggregates the full table. Supported aggregates:
+        count(*) and sum/avg/min/max(col), each requiring ``AS name``."""
+        from openverse_catalog_spark.operators.matview import (
+            AggSpec,
+            MaterializedView,
+        )
+
+        m = _MV_SELECT.match(select_text)
+        if not m:
+            raise ValueError(
+                "CREATE MATERIALIZED VIEW body must be SELECT <items> "
+                f"FROM <lake table> GROUP BY <cols>, got {select_text!r}"
+            )
+        items_text, base_name, group_text = m.groups()
+        if base_name not in self._tables:
+            raise ValueError(
+                f"materialized views need a registered lake table base; "
+                f"{base_name!r} is not one (have: {sorted(self._tables)})"
+            )
+        group_cols = [c.strip() for c in group_text.split(",")]
+        aggs = []
+        for item in (i.strip() for i in _split_top_level(items_text)):
+            if item in group_cols:
+                continue
+            am = _MV_AGG_ITEM.match(item)
+            if not am:
+                raise ValueError(
+                    f"unsupported MV select item {item!r}: use a GROUP BY "
+                    "column or count(*)/sum/avg/min/max(col) AS name"
+                )
+            kind, col, out = am.groups()
+            kind = kind.lower()
+            aggs.append(
+                AggSpec(out, kind, None if col == "*" else col)
+            )
+        if not aggs:
+            raise ValueError("materialized view needs at least one aggregate")
+        base = self._tables[base_name]
+        mv = MaterializedView(
+            self.spark, base, f"{base.root}_mv_{name}", group_cols, aggs
+        )
+        import shutil
+
+        shutil.rmtree(mv.root, ignore_errors=True)
+        mv.build()
+        self._mvs[name] = mv
+        mv.read().createOrReplaceTempView(name)
+        return self.spark.createDataFrame(
+            [(name, base_name)], "view string, base string"
+        )
+
     def sql(self, text: str) -> DataFrame:
         """Run SQL text: refresh head views, rewrite lake constructs,
         hand reads to Catalyst and DML to the lake table's commit
         protocol. DML returns a one-row (version, rows) summary frame."""
         for name in self._tables:
             self._refresh_head(name)
+        m = _CREATE_MV.match(text)
+        if m:
+            return self._create_mv(m.group(1), m.group(2))
+        m = _REFRESH_MV.match(text)
+        if m and m.group(1) in self._mvs:
+            mv = self._mvs[m.group(1)]
+            res = mv.refresh()
+            mv.read().createOrReplaceTempView(m.group(1))
+            return self.spark.createDataFrame(
+                [(res["base_version"], bool(res["refreshed"]))],
+                "base_version long, refreshed boolean",
+            )
         m = _INSERT_INTO.match(text)
         if m and m.group(1) in self._tables:
             name, query = m.group(1), m.group(2)

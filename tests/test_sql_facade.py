@@ -258,3 +258,45 @@ def test_facade_maintenance_text(spark, tmp_path):
     assert len(t._manifest_names()) <= n_manifests
     # table still reads fine after vacuum
     assert t.read().count() == before
+
+
+def test_facade_materialized_view_text(spark, tmp_path):
+    """CREATE MATERIALIZED VIEW builds the incremental MV; REFRESH
+    advances it from the base's change feed; SELECTs read the view
+    (stale until refreshed, exact after)."""
+    t = CowTable.create(
+        spark, str(tmp_path / "tbl"), mk(spark, _base_rows()), target_files=2
+    )
+    f = SqlFacade(spark)
+    f.register_table("media", t, columns=COLS)
+    f.sql(
+        "CREATE MATERIALIZED VIEW by_provider AS "
+        "SELECT provider, count(*) AS n, max(title) AS top_title "
+        "FROM media GROUP BY provider"
+    )
+    n0 = {
+        r["provider"]: r["n"]
+        for r in f.sql("SELECT provider, n FROM by_provider").collect()
+    }
+    assert sum(n0.values()) == 40
+    t.merge(mk(spark, _batch_rows()), COLS, deterministic=True)
+    # stale until refreshed
+    stale = {
+        r["provider"]: r["n"]
+        for r in f.sql("SELECT provider, n FROM by_provider").collect()
+    }
+    assert stale == n0
+    r = f.sql("REFRESH MATERIALIZED VIEW by_provider").collect()[0]
+    assert r["refreshed"]
+    fresh = f.sql("SELECT sum(n) AS total FROM by_provider").collect()[0]
+    assert fresh["total"] == t.read().count()
+    with pytest.raises(ValueError, match="unsupported MV select item"):
+        f.sql(
+            "CREATE MATERIALIZED VIEW bad AS "
+            "SELECT provider, median(title) AS m FROM media GROUP BY provider"
+        )
+    with pytest.raises(ValueError, match="registered lake table"):
+        f.sql(
+            "CREATE MATERIALIZED VIEW bad2 AS "
+            "SELECT x, count(*) AS n FROM nowhere GROUP BY x"
+        )
