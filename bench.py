@@ -159,6 +159,11 @@ HEADLINE = [
     "merge_cow_rename_drop",
     "knn_ivf_pq",
     "multimodal_jpeg_decode",
+    "mv_incremental_orders",
+    "sql_mv_refresh",
+    "dedup_segments_c4",
+    "window_gapfill_interpolate",
+    "sql_cow_merge",
 ]
 
 

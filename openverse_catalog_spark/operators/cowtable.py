@@ -1343,11 +1343,38 @@ class CowTable:
         # batch keyed at row grain would otherwise collect unbounded
         grouped = source.groupBy(k0).agg(*aggs).limit(MAX_BOXES + 1).collect()
         if len(grouped) > MAX_BOXES:
-            raise ValueError(
-                f"merge batch has > {MAX_BOXES} distinct {k0!r} values; "
-                "the file-skip summary is per-provider — check the merge "
-                "key order (keys[0] should be the coarse partition key)"
-            )
+            # GRACEFUL DEGRADATION, not an error: a batch keyed at row
+            # grain (a fine-key table, a giant backfill) collapses to
+            # ONE GLOBAL RANGE BOX — min/max of keys[0] (x rest[0] when
+            # composite). Skipping gets coarser (files outside the
+            # batch's overall key range still skip; such a batch
+            # usually touches most files anyway), correctness is
+            # unchanged, and the driver summary stays O(1) instead of
+            # O(distinct keys). The conflict re-link check uses the
+            # same conservative box.
+            g_aggs = [
+                F.min(k0).alias("k0_lo"),
+                F.max(k0).alias("k0_hi"),
+                F.max(F.col(k0).isNull().cast("int")).alias("k0_null"),
+            ]
+            if rest:
+                g_aggs += [
+                    F.min(rest[0]).alias("r_lo"),
+                    F.max(rest[0]).alias("r_hi"),
+                    F.max(
+                        F.col(rest[0]).isNull().cast("int")
+                    ).alias("r_null"),
+                ]
+            g = source.agg(*g_aggs).head()
+            has_null = bool(g["k0_null"]) or bool(rest and g["r_null"])
+            if g["k0_lo"] is None:
+                return [], has_null  # every row NULL-keyed
+            if rest:
+                return (
+                    [("range", g["k0_lo"], g["k0_hi"], g["r_lo"], g["r_hi"])],
+                    has_null,
+                )
+            return [(None, g["k0_lo"], g["k0_hi"])], has_null
         boxes = [(r[k0], r["lo"], r["hi"]) for r in grouped]
         # min/max SKIP NULLs, so the boxes are blind to NULL key
         # components — and merge_upsert matches NULL keys via eqNullSafe.
@@ -1365,10 +1392,20 @@ class CowTable:
         if rest:
             lo = self._lex(e["min"][self.keys[0]], e["min"][rest[0]])
             hi = self._lex(e["max"][self.keys[0]], e["max"][rest[0]])
-            hit = any(
-                lo <= self._lex(p, fhi) and self._lex(p, flo) <= hi
-                for p, flo, fhi in boxes
-            )
+
+            def _box_hit(box) -> bool:
+                if len(box) == 5:  # coarsened global box (overflow):
+                    # conservative interval test — may keep a file the
+                    # rectangle misses (less skipping), never the
+                    # reverse (correctness)
+                    _, p_lo, p_hi, flo, fhi = box
+                    return lo <= self._lex(p_hi, fhi) and (
+                        self._lex(p_lo, flo) <= hi
+                    )
+                p, flo, fhi = box
+                return lo <= self._lex(p, fhi) and self._lex(p, flo) <= hi
+
+            hit = any(_box_hit(b) for b in boxes)
         else:
             lo = self._lex(e["min"][self.keys[0]])
             hi = self._lex(e["max"][self.keys[0]])

@@ -2017,3 +2017,41 @@ def test_cow_cdf_replay_reconstructs_head_across_mixed_ops(
     }
     assert state == head
     assert len(head) == 2_000 + 1 - 20 - 20  # insert, dv-del grp11, del grp14
+
+
+def test_merge_batch_with_row_grain_keys_coarsens_boxes(spark, tmp_path):
+    """A merge batch with > 65536 distinct keys[0] values (a fine-key
+    table / giant backfill) must NOT error: the file-skip summary
+    collapses to one global range box — coarser skipping, same result.
+    Files fully outside the batch's key range still skip."""
+    from openverse_catalog_spark.schemas.columns import (
+        ColumnSpec,
+        Datatype,
+        UpsertStrategy,
+    )
+
+    n = 70_000
+    base = spark.range(n).select(
+        F.col("id"), (F.col("id") % 97).alias("v")
+    )
+    t = CowTable.create(
+        spark, str(tmp_path / "fine"), base, keys=("id",), target_files=8
+    )
+    cols = [
+        ColumnSpec("id", Datatype.int, required=True,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("v", Datatype.int),
+    ]
+    # every distinct id in the LOWER HALF of the keyspace: overflow the
+    # per-value summary, but leave the upper half's files skippable
+    batch = spark.range(n // 2).select(
+        F.col("id"), F.lit(-1).alias("v")
+    )
+    res = t.merge(batch, cols, deterministic=True)
+    assert res["version"] == 2
+    assert res["files_skipped"] > 0  # upper-range files never rewrote
+    got = t.read().groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("v") == -1, 1).otherwise(0)).alias("updated"),
+    ).head()
+    assert got["n"] == n and got["updated"] == n // 2

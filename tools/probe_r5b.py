@@ -1,0 +1,83 @@
+"""10x probe of the second round-5 batch (incremental materialized
+views, C4 segment dedup, gap-fill interpolation, SQL MV lifecycle):
+key-offset replication + per-row linearity check, appended to
+SCALING.md.
+
+Usage: python tools/probe_r5b.py
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+from openverse_catalog_spark.session import get_spark, load_tables  # noqa: E402
+from tools.scale_probe import COPIES, SF_DIR, replicate, timed  # noqa: E402
+
+R5B_PROBES = [
+    ("mv_incremental_orders", {"orders": ["o_orderkey"]}),
+    ("sql_mv_refresh", {"orders": ["o_orderkey"]}),
+    ("dedup_segments_c4", {"documents": ["doc_id"]}),
+    ("window_gapfill_interpolate", {"events": ["event_id"]}),
+]
+
+
+def main() -> None:
+    spark = get_spark("probe_r5b")
+    queries = entrymod.queries()
+    tmp = tempfile.mkdtemp(prefix="sf10x_r5b_")
+    tables_needed: dict[str, list[str]] = {}
+    for _, offs in R5B_PROBES:
+        tables_needed.update(offs)
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        if t not in tables_needed:
+            load_tables(spark, SF_DIR, (t,))[t].write.mode(
+                "overwrite"
+            ).parquet(f"{tmp}/{t}.parquet")
+    replicate(spark, SF_DIR, tmp, tables_needed, copies=COPIES)
+
+    rows = []
+    for name, _ in R5B_PROBES:
+        fn = queries[name]
+        timed(fn, spark, SF_DIR)  # warm
+        t1 = timed(fn, spark, SF_DIR)
+        t10 = timed(fn, spark, tmp)
+        rows.append((name, t1, t10, t10 / t1, t10 / t1 / COPIES))
+        print(
+            f"{name}: {t1:.2f}s -> {t10:.2f}s "
+            f"({t10 / t1:.1f}x wall, {t10 / t1 / COPIES:.2f}x/row)"
+        )
+    lines = [
+        "",
+        "## Round-5 10x probe, batch 2 (incremental MV / C4 segment "
+        "dedup / gap fill / SQL MV)",
+        "",
+        "Same harness (key-offset replication, cores fixed): per-row "
+        "<= ~1.2x = the shuffle/partition shape holds. The MV queries "
+        "rebuild base table + MV and run two refreshes per invocation, "
+        "so their numbers include the full create/commit chain at both "
+        "scales; orders replicate with the same customer keys, so the "
+        "10x run maintains 10x-heavier groups over the same group "
+        "count.",
+        "",
+        "| query | sf0.1 (s) | 10x (s) | wall | per-row |",
+        "|---|---|---|---|---|",
+    ]
+    for name, t1, t10, w, pr in rows:
+        lines.append(
+            f"| {name} | {t1:.2f} | {t10:.2f} | {w:.1f}x | {pr:.2f}x |"
+        )
+    with open("/root/repo/SCALING.md", "a") as f:
+        f.write("\n".join(lines) + "\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
