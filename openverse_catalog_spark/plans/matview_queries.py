@@ -72,14 +72,21 @@ _MV_COLS = [
 ]
 
 
-def _mv_build_and_churn(spark, sf_dir, name):
+def _mv_build_and_churn(spark, sf_dir, name, refresh=None):
     """Shared fixture: base CoW table + MV, churned by one merge and one
-    DV delete with an incremental refresh after each commit."""
+    DV delete with an incremental refresh after each commit. ``refresh``
+    overrides how each refresh is driven (default: direct
+    ``mv.refresh()``; the streaming query passes a commit-log-stream
+    tick)."""
     from openverse_catalog_spark.operators.cowtable import CowTable
     from openverse_catalog_spark.operators.matview import (
         AggSpec,
         MaterializedView,
     )
+
+    if refresh is None:
+        def refresh(mv):
+            mv.refresh()
 
     o = _t(spark, sf_dir, "orders")["orders"]
     root = os.path.join(tempfile.gettempdir(), f"spark_graft_{name}")
@@ -111,11 +118,11 @@ def _mv_build_and_churn(spark, sf_dir, name):
         F.col("o_orderstatus").alias("status"),
     )
     base.merge(updates.unionByName(inserts), _MV_COLS, deterministic=True)
-    mv.refresh()
+    refresh(mv)
     # a deletion-vector delete: the feed must surface DV-marked rows as
     # logical deletes for the MV to subtract
     base.delete(F.col("ck") % 7 == 0, mode="dv")
-    mv.refresh()
+    refresh(mv)
     return mv
 
 
@@ -225,4 +232,56 @@ def sql_mv_refresh(spark, sf_dir):
         "round(sum_price, 2) / n_orders AS avg_price, "
         "min_price, max_price "
         "FROM cust_stats"
+    )
+
+
+@register(
+    "stream_mv_maintenance",
+    f"""
+    WITH {_MV_FINAL_CTES}
+    SELECT ck AS custkey,
+           count(*) AS n_orders,
+           round(sum(price), 2) AS sum_price,
+           round(sum(price), 2) / count(*) AS avg_price,
+           min(price) AS min_price,
+           max(price) AS max_price
+    FROM final GROUP BY ck
+    """,
+)
+def stream_mv_maintenance_orders(spark, sf_dir):
+    """The same MV lifecycle as ``mv_incremental_orders`` but with every
+    refresh driven by the COMMIT-LOG STREAM
+    (streaming/incremental.py:stream_mv_maintenance): the base table's
+    manifests directory is a file-source stream, and each
+    AvailableNow tick triggers an incremental refresh — the
+    scheduler-less replacement for the reference's cron'd ``REFRESH
+    MATERIALIZED VIEW`` DAGs (``popularity/sql.py:286-298``). The
+    oracle aggregates the replayed final base state, so a pass proves
+    stream-triggered maintenance lands on the exact full-recompute
+    answer through merge-update AND deletion-vector churn. SCALE: each
+    tick costs one file-source listing of new manifests + an O(churn)
+    refresh; idle ticks are a metadata version check."""
+    import os as _os
+
+    from openverse_catalog_spark.streaming.incremental import (
+        stream_mv_maintenance,
+    )
+
+    ckpt = {}
+
+    def refresh(mv):
+        if "dir" not in ckpt:
+            ckpt["dir"] = _os.path.join(mv.root, "_maint_ckpt")
+        stream_mv_maintenance(mv, ckpt["dir"])
+
+    mv = _mv_build_and_churn(spark, sf_dir, "mv_stream_maint", refresh)
+    return mv.read().select(
+        F.col("ck").alias("custkey"),
+        F.col("n_orders"),
+        F.round(F.col("sum_price"), 2).alias("sum_price"),
+        (F.round(F.col("sum_price"), 2) / F.col("n_orders")).alias(
+            "avg_price"
+        ),
+        F.col("min_price"),
+        F.col("max_price"),
     )

@@ -746,3 +746,68 @@ def stream_cow_changes(
     )
     q.awaitTermination()
     return {"high_water": read_hwm(), "batches_applied": applied["n"]}
+
+
+def stream_mv_maintenance(
+    mv,
+    checkpoint_dir: str,
+    spark: SparkSession | None = None,
+) -> dict:
+    """CONTINUOUS materialized-view maintenance: follow the MV's base
+    table's commit log as a stream (the manifests directory is an
+    append-only log of immutable ``v<N>.json`` files) and run an
+    incremental :meth:`~..operators.matview.MaterializedView.refresh`
+    whenever new commits land — the scheduler-less version of the
+    reference's cron'd ``REFRESH MATERIALIZED VIEW`` DAG
+    (``popularity/sql.py:286-298``, ``recreate_popularity_calculation``
+    workflows): instead of a timer re-aggregating O(table), the view
+    chases the table's own commit points at O(churn) per tick.
+
+    Exactly-once composes from two INDEPENDENT idempotence layers:
+
+    * the file-source checkpoint makes manifest delivery at-least-once
+      across restarts (a wiped checkpoint just redelivers);
+    * the MV's own WAL makes ``refresh()`` idempotent — it advances
+      from ``applied_base`` (its durable state, not the stream's) to
+      the base's CURRENT version, no-ops when already caught up, and
+      finalizes-or-replays a half-applied span after a crash.
+
+    So the stream is purely a TRIGGER: it never hands data to the
+    refresh, which re-reads the feed span from its own high-water
+    mark. Redundant ticks (replays, vacuum's ``v<N>.checkpoint.json``
+    side files matching the glob) cost one metadata version check.
+
+    AvailableNow trigger: drains all new commits and stops — call it
+    after ingest waves, or in a loop for continuous maintenance.
+    Returns {ticks, refreshes, applied_base}."""
+    import os as _os
+
+    spark = spark or mv.spark
+    counts = {"ticks": 0, "refreshes": 0}
+
+    def on_batch(bdf: DataFrame, batch_id: int) -> None:
+        if not bdf.select("version").head(1):
+            return
+        counts["ticks"] += 1
+        res = mv.refresh()
+        if res.get("refreshed"):
+            counts["refreshes"] += 1
+
+    stream = (
+        spark.readStream.schema("version long, operation string")
+        .option("pathGlobFilter", "v*.json")
+        .option("multiLine", "true")
+        .json(f"{mv.base.root}/manifests")
+    )
+    q = (
+        stream.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", _os.path.join(checkpoint_dir, "files"))
+        .foreachBatch(on_batch)
+        .start()
+    )
+    q.awaitTermination()
+    return {
+        "ticks": counts["ticks"],
+        "refreshes": counts["refreshes"],
+        "applied_base": mv._load_state()["applied_base"],
+    }

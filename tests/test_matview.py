@@ -302,3 +302,46 @@ def test_string_min_max(spark, mv_pair):
     )
     out = {r["grp"]: (r["first_id"], r["last_id"]) for r in mv.read().collect()}
     assert out == {"a": ("a", "a")}
+
+
+def test_stream_mv_maintenance_ticks_and_exactly_once(
+    spark, tmp_path, mv_pair
+):
+    """The commit-log stream triggers incremental refreshes; a wiped
+    stream checkpoint redelivers every manifest but the MV's WAL makes
+    the replay a no-op (exactly-once composes); a tick with no new
+    commits refreshes nothing."""
+    from openverse_catalog_spark.streaming.incremental import (
+        stream_mv_maintenance,
+    )
+
+    base, mv = mv_pair(rows(
+        spark, (1, "a", 1.0), (2, "a", 5.0), (3, "b", 2.0)
+    ))
+    ckpt = str(tmp_path / "maint_ckpt")
+
+    base.merge(rows(spark, (4, "b", 9.0), (2, "a", 7.0)), COLS,
+               deterministic=True)
+    res = stream_mv_maintenance(mv, ckpt)
+    assert res["refreshes"] >= 1
+    assert res["applied_base"] == base.version
+    expect(base, mv)
+    v_after = mv.table.version
+
+    # caught up: another tick sees no new manifests -> no refresh
+    res2 = stream_mv_maintenance(mv, ckpt)
+    assert res2["ticks"] == 0 and res2["refreshes"] == 0
+    assert mv.table.version == v_after
+
+    # wiped checkpoint: every manifest redelivers, the MV WAL no-ops
+    shutil.rmtree(ckpt)
+    res3 = stream_mv_maintenance(mv, str(tmp_path / "maint_ckpt"))
+    assert res3["ticks"] >= 1 and res3["refreshes"] == 0
+    assert mv.table.version == v_after
+    expect(base, mv)
+
+    # a delete commit arrives through the SAME stream
+    base.delete(F.col("grp") == "a")
+    res4 = stream_mv_maintenance(mv, ckpt)
+    assert res4["refreshes"] == 1
+    expect(base, mv)
