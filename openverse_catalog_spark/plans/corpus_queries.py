@@ -2743,3 +2743,143 @@ def dedup_segments_c4(spark, sf_dir):
     return dd.segment_dedup(
         _corpus(spark, sf_dir), "doc_id", "text", seg_words=10
     )
+
+
+# --- learned quality/language classifier (logistic regression) -------------
+
+_LOGREG_FEATURES = [
+    ("len_norm", "length(text) / 500.0"),
+    ("words_norm", "len(string_split(text, ' ')) / 100.0"),
+    ("e_norm", "(length(text) - length(replace(text, 'e', ''))) / 50.0"),
+    (
+        "spark_norm",
+        "(length(text) - length(replace(text, 'spark', ''))) / 50.0",
+    ),
+    ("bias", "1.0"),
+]
+_LOGREG_LR = 0.5
+_LOGREG_ROUNDS = 3
+
+
+def _logreg_oracle(score: bool = False) -> str:
+    """Full-batch GD unrolled round by round in SQL (the PCA/k-means
+    oracle discipline): the margin folds features in index order and
+    the update is w - (lr * g) / n, both matching the Spark trainer's
+    float-op order exactly."""
+    d = len(_LOGREG_FEATURES)
+    feat_cols = ",\n           ".join(
+        f"{sql} AS x{j}" for j, (_, sql) in enumerate(_LOGREG_FEATURES)
+    )
+    parts = [f"""
+    WITH feat AS (
+      SELECT doc_id,
+           {feat_cols},
+           CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+      FROM documents WHERE text IS NOT NULL AND length(text) > 0
+    ),
+    w0 AS (SELECT {', '.join(f'0.0 AS w{j}' for j in range(d))})"""]
+    for r in range(1, _LOGREG_ROUNDS + 1):
+        m = " + ".join(f"x{j} * w{j}" for j in range(d))
+        gs = ",\n             ".join(
+            f"sum(x{j} * (1.0 / (1.0 + exp(-(0.0 + {m}))) - y)) AS g{j}"
+            for j in range(d)
+        )
+        ws = ", ".join(
+            f"w{r - 1}.w{j} - {_LOGREG_LR} * g{r}.g{j} / g{r}.n AS w{j}"
+            for j in range(d)
+        )
+        parts.append(f""",
+    g{r} AS (SELECT count(*) AS n,
+             {gs}
+             FROM feat, w{r - 1}),
+    w{r} AS (SELECT {ws} FROM w{r - 1}, g{r})""")
+    R = _LOGREG_ROUNDS
+    if score:
+        m = " + ".join(f"x{j} * w{j}" for j in range(d))
+        parts.append(f""",
+    scored AS (SELECT doc_id, 1.0 / (1.0 + exp(-(0.0 + {m}))) AS p
+               FROM feat, w{R} WHERE doc_id % 17 = 0)
+    SELECT doc_id, round(p, 6) AS prob,
+           CAST(CASE WHEN p >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS pred
+    FROM scored""")
+    else:
+        sel = "\n    UNION ALL ".join(
+            f"SELECT {j} AS feat_idx, '{name}' AS feature, "
+            f"round(w{j}, 6) AS weight FROM w{R}"
+            for j, (name, _) in enumerate(_LOGREG_FEATURES)
+        )
+        parts.append(f"""
+    {sel}""")
+    return "".join(parts)
+
+
+def _logreg_features_df(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")["documents"].filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    t = F.col("text")
+    n = F.length(t)
+    return docs.select(
+        "doc_id",
+        (n / F.lit(500.0)).alias("x0"),
+        (F.size(F.split(t, " ")) / F.lit(100.0)).alias("x1"),
+        ((n - F.length(F.regexp_replace(t, "e", ""))) / F.lit(50.0)).alias(
+            "x2"
+        ),
+        (
+            (n - F.length(F.regexp_replace(t, "spark", ""))) / F.lit(50.0)
+        ).alias("x3"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    )
+
+
+@register("classifier_logreg_train", _logreg_oracle())
+def classifier_logreg_train(spark, sf_dir):
+    """Train the CCNet/GPT-3-style corpus classifier tier as a
+    DISTRIBUTED logistic regression (operators/classifier.py): full-
+    batch GD where each round is ONE expression-only corpus scan + ONE
+    aggregation carrying dim+1 map-side partial sums; weights are
+    driver literals (the k-means/PCA/BPE iteration discipline). Here it
+    learns language-ID from integer-derived text ratios; the DuckDB
+    oracle replays every GD round in SQL with matching float-op order,
+    so the learned weights must agree to 6 decimals — a one-wrong-sign
+    gate on the whole gradient path. SCALE: rounds x one scan, driver
+    state = dim+1 doubles, no shuffle beyond the dim+1-column partial
+    aggregate."""
+    from openverse_catalog_spark.operators.classifier import logreg_train
+
+    feats = _logreg_features_df(spark, sf_dir)
+    w = logreg_train(
+        feats, ["x0", "x1", "x2", "x3"], "y",
+        rounds=_LOGREG_ROUNDS, lr=_LOGREG_LR,
+    )
+    names = [name for name, _ in _LOGREG_FEATURES]
+    return spark.createDataFrame(
+        [(j, names[j], round(w[j], 6)) for j in range(len(w))],
+        "feat_idx int, feature string, weight double",
+    )
+
+
+@register("classifier_logreg_score", _logreg_oracle(score=True))
+def classifier_logreg_score(spark, sf_dir):
+    """Train-then-score: the fitted model scores every document as a
+    PURE SELECT against the weight literals (zero shuffles — the
+    filter-by-probability a curation pipeline runs at 100 TB pushes
+    down with the scan). Oracle replays training AND scoring; per-doc
+    probabilities match to 6 decimals."""
+    from openverse_catalog_spark.operators.classifier import (
+        logreg_score,
+        logreg_train,
+    )
+
+    feats = _logreg_features_df(spark, sf_dir)
+    xs = ["x0", "x1", "x2", "x3"]
+    w = logreg_train(feats, xs, "y", rounds=_LOGREG_ROUNDS, lr=_LOGREG_LR)
+    scored = logreg_score(feats.filter(F.col("doc_id") % 17 == 0), xs, w)
+    return scored.select(
+        "doc_id",
+        F.round("prob", 6).alias("prob"),
+        F.when(F.col("prob") >= 0.5, 1).otherwise(0).cast("long").alias(
+            "pred"
+        ),
+    )

@@ -140,3 +140,49 @@ def test_pca_power_matches_numpy(spark):
     vals, vecs = np.linalg.eigh(Xc.T @ Xc / len(X))
     assert abs(abs(float(v @ vecs[:, -1])) - 1.0) < 1e-4
     assert abs(lam - vals[-1]) / vals[-1] < 1e-3
+
+
+# --- logistic regression trainer -------------------------------------------
+
+
+def test_logreg_learns_separable_labels(spark):
+    """On a linearly separable 1-D problem, GD must cut log-loss each
+    round and the fitted model must classify every point correctly."""
+    import math
+
+    from openverse_catalog_spark.operators.classifier import (
+        logreg_score,
+        logreg_train,
+    )
+
+    rows = [(float(i), 1.0 if i >= 0 else 0.0)
+            for i in range(-20, 21) if i != 0]
+    df = spark.createDataFrame(rows, "x double, y double")
+
+    def loss(w):
+        tot = 0.0
+        for x, y in rows:
+            p = 1.0 / (1.0 + math.exp(-(x * w[0] + w[1])))
+            p = min(max(p, 1e-12), 1.0 - 1e-12)
+            tot -= y * math.log(p) + (1 - y) * math.log(1 - p)
+        return tot / len(rows)
+
+    w1 = logreg_train(df, ["x"], "y", rounds=1, lr=0.5)
+    w5 = logreg_train(df, ["x"], "y", rounds=5, lr=0.5)
+    assert loss(w5) < loss(w1) < loss([0.0, 0.0])
+
+    scored = logreg_score(df, ["x"], w5).collect()
+    assert all((r["prob"] >= 0.5) == (r["x"] >= 0) for r in scored)
+
+
+def test_logreg_validation_errors(spark):
+    from openverse_catalog_spark.operators.classifier import (
+        logreg_score,
+        logreg_train,
+    )
+
+    df = spark.createDataFrame([(1.0, 1.0)], "x double, y double")
+    with pytest.raises(ValueError, match="no rows"):
+        logreg_train(df.filter("x > 9"), ["x"], "y")
+    with pytest.raises(ValueError, match="weights"):
+        logreg_score(df, ["x"], [0.1, 0.2, 0.3]).collect()
