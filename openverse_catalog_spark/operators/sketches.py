@@ -273,3 +273,84 @@ def bloom_anti_join(
         "left_anti",
     )
     return fresh.unionByName(survivors)
+
+
+# --- KMV / theta sketches (distinct-cardinality set algebra) ---------------
+#
+# The k-minimum-values sketch keeps the k smallest DISTINCT hash values
+# of a column; theta = h_k / |hash space| estimates the sampled fraction
+# and (k-1)/theta the distinct count (Beyer et al. 2007; the Theta
+# sketch framework generalizes the set algebra). Unlike HLL (also in
+# this module) the kept hashes form a UNIFORM SAMPLE of the distinct
+# keys, so sketches compose under union AND intersection/difference —
+# the "how many users clicked AND purchased" question the reference
+# answers with exact COUNT(DISTINCT) joins. hash60 (md5) keeps every
+# estimate bit-reproducible in the DuckDB oracle.
+#
+# SCALE: the build's only shuffle is a map-side-combined distinct on
+# the 60-bit hashes; the k-smallest step is Spark's TakeOrdered (per-
+# partition top-k, driver merge of k-row partials). Sketch state is k
+# longs — join/broadcast-friendly, mergeable across days/streams.
+
+KMV_SPACE = float(2**60)  # hash60 range; theta = h_k / KMV_SPACE
+
+
+def kmv_build(df: DataFrame, col: str, k: int, salt: str = "") -> DataFrame:
+    """The sketch: k smallest distinct hash60 values of ``col`` (NULLs
+    excluded), as a (h bigint) frame of <= k rows."""
+    h = hash60(F.concat(F.lit(f"kmv{salt}|"), F.col(col).cast("string")))
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(h.alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, k: int) -> DataFrame:
+    """Union composition: the k smallest of the merged hash sets — the
+    sketch of the UNION of the underlying key sets (exactly, because
+    any of the union's k smallest hashes is among its side's k
+    smallest)."""
+    return a.union(b).distinct().orderBy("h").limit(k)
+
+
+def _hk_and_count(sketch: DataFrame, k: int) -> tuple[int | None, int]:
+    """(h_k, kept) driver-side: h_k is None while the sketch holds
+    fewer than k hashes (estimates are then EXACT counts). The bound
+    stays an exact integer so cross-engine comparisons never round."""
+    rows = [r["h"] for r in sketch.collect()]
+    if len(rows) < k:
+        return None, len(rows)
+    return max(rows), len(rows)
+
+
+def kmv_estimate(sketch: DataFrame, k: int) -> float:
+    """Distinct-count estimate: exact below k, else (k-1)/theta with
+    theta = h_k / KMV_SPACE."""
+    hk, kept = _hk_and_count(sketch, k)
+    if hk is None:
+        return float(kept)
+    return (k - 1.0) / (hk / KMV_SPACE)
+
+
+def kmv_intersect_estimate(a: DataFrame, b: DataFrame, k: int) -> float:
+    """|A ∩ B| estimate: both sketches restricted below the SMALLER
+    theta are uniform samples of the same rate, so the common hashes
+    strictly below it scale up by 1/theta. Exact when both sides kept
+    < k (theta = 1, no restriction)."""
+    ha, _ = _hk_and_count(a, k)
+    hb, _ = _hk_and_count(b, k)
+    bounds = [h for h in (ha, hb) if h is not None]
+    common = a.join(b, on="h", how="inner")
+    if not bounds:
+        return float(common.count())
+    hk = min(bounds)
+    n = common.filter(F.col("h") < F.lit(hk)).count()
+    return n / (hk / KMV_SPACE)
+
+
+def kmv_sql(col_expr: str, salt: str = "") -> str:
+    """DuckDB text for the same per-value hash (oracle building block)."""
+    return hash60_sql(f"'kmv{salt}|' || CAST({col_expr} AS VARCHAR)")

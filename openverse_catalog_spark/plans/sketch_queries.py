@@ -103,3 +103,110 @@ def dedup_cross_corpus_bloom(spark, sf_dir):
         batch, seen, lambda d: F.md5(d["text"]), bloom, n_hashes=5
     )
     return out.select("doc_id")
+
+
+# --- KMV / theta set algebra ------------------------------------------------
+
+_K = 64
+_SPACE = "1152921504606846976.0"  # 2^60 as a double literal
+
+
+def _kmv_set_sql(label: str, pred: str) -> str:
+    return f"""
+    h_{label} AS (SELECT DISTINCT {sk.kmv_sql("user_id")} AS h
+                  FROM events WHERE {pred} AND user_id IS NOT NULL),
+    s_{label} AS (SELECT h FROM h_{label} ORDER BY h LIMIT {_K}),
+    n_{label} AS (SELECT count(*) AS c, max(h) AS hk FROM s_{label})"""
+
+
+def _kmv_est_sql(label: str) -> str:
+    """Matches kmv_estimate's float-op order: (k-1)/(hk/2^60)."""
+    return (
+        f"CASE WHEN n_{label}.c < {_K} THEN n_{label}.c * 1.0 "
+        f"ELSE {_K - 1}.0 / (n_{label}.hk / {_SPACE}) END"
+    )
+
+
+@register(
+    "sketch_kmv_setops",
+    f"""
+    WITH {_kmv_set_sql("a", "event_type = 'click'")},
+    {_kmv_set_sql("b", "event_type = 'purchase'")},
+    s_u AS (SELECT h FROM (SELECT h FROM s_a UNION SELECT h FROM s_b) z
+            ORDER BY h LIMIT {_K}),
+    n_u AS (SELECT count(*) AS c, max(h) AS hk FROM s_u),
+    ib AS (SELECT CASE WHEN n_a.c = {_K} AND n_b.c = {_K}
+                         THEN least(n_a.hk, n_b.hk)
+                       WHEN n_a.c = {_K} THEN n_a.hk
+                       WHEN n_b.c = {_K} THEN n_b.hk END AS hk
+           FROM n_a, n_b),
+    ic AS (SELECT count(*) AS c FROM s_a JOIN s_b USING (h), ib
+           WHERE ib.hk IS NULL OR h < ib.hk),
+    ex_a AS (SELECT count(DISTINCT user_id) AS c FROM events
+             WHERE event_type = 'click' AND user_id IS NOT NULL),
+    ex_b AS (SELECT count(DISTINCT user_id) AS c FROM events
+             WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+    ex_u AS (SELECT count(DISTINCT user_id) AS c FROM events
+             WHERE event_type IN ('click', 'purchase')
+               AND user_id IS NOT NULL),
+    ex_i AS (SELECT count(*) AS c FROM
+             (SELECT DISTINCT user_id FROM events
+              WHERE event_type = 'click' AND user_id IS NOT NULL) xa
+             JOIN (SELECT DISTINCT user_id FROM events
+                   WHERE event_type = 'purchase'
+                     AND user_id IS NOT NULL) xb USING (user_id))
+    SELECT 'click_est' AS metric, round({_kmv_est_sql("a")}, 3) AS value
+    FROM n_a
+    UNION ALL SELECT 'purchase_est', round({_kmv_est_sql("b")}, 3) FROM n_b
+    UNION ALL SELECT 'union_est', round({_kmv_est_sql("u")}, 3) FROM n_u
+    UNION ALL SELECT 'intersect_est',
+        round(CASE WHEN ib.hk IS NULL THEN ic.c * 1.0
+                   ELSE ic.c / (ib.hk / {_SPACE}) END, 3)
+    FROM ib, ic
+    UNION ALL SELECT 'click_exact', c * 1.0 FROM ex_a
+    UNION ALL SELECT 'purchase_exact', c * 1.0 FROM ex_b
+    UNION ALL SELECT 'union_exact', c * 1.0 FROM ex_u
+    UNION ALL SELECT 'intersect_exact', c * 1.0 FROM ex_i
+    """,
+)
+def sketch_kmv_setops(spark, sf_dir):
+    """Distinct-cardinality SET ALGEBRA via KMV/theta sketches: "users
+    who clicked", "who purchased", their union AND intersection — the
+    COUNT(DISTINCT)-join questions the reference answers exactly —
+    from two k-long hash sketches (operators/sketches.py:kmv_build).
+    Exact counts ride along so the result exhibits the error envelope.
+    The md5 hash makes every kept hash — and therefore every estimate
+    — bit-reproducible in the oracle, which replays sketch build, k-th
+    value thresholds, and the theta intersection rule in SQL. SCALE:
+    one map-side-combined distinct per side; sketch state is k longs
+    (mergeable across days/streams); the exact twins are the part that
+    dies at 100 TB."""
+    ev = _t(spark, sf_dir, "events")["events"]
+    users = ev.filter(F.col("user_id").isNotNull())
+    a_rows = users.filter(F.col("event_type") == "click")
+    b_rows = users.filter(F.col("event_type") == "purchase")
+    a = sk.kmv_build(a_rows, "user_id", _K).localCheckpoint(eager=False)
+    b = sk.kmv_build(b_rows, "user_id", _K).localCheckpoint(eager=False)
+    u = sk.kmv_merge(a, b, _K)
+    ex_a = a_rows.select("user_id").distinct().count()
+    ex_b = b_rows.select("user_id").distinct().count()
+    ex_u = (
+        users.filter(F.col("event_type").isin("click", "purchase"))
+        .select("user_id").distinct().count()
+    )
+    ex_i = (
+        a_rows.select("user_id").distinct()
+        .join(b_rows.select("user_id").distinct(), on="user_id")
+        .count()
+    )
+    rows = [
+        ("click_est", round(sk.kmv_estimate(a, _K), 3)),
+        ("purchase_est", round(sk.kmv_estimate(b, _K), 3)),
+        ("union_est", round(sk.kmv_estimate(u, _K), 3)),
+        ("intersect_est", round(sk.kmv_intersect_estimate(a, b, _K), 3)),
+        ("click_exact", float(ex_a)),
+        ("purchase_exact", float(ex_b)),
+        ("union_exact", float(ex_u)),
+        ("intersect_exact", float(ex_i)),
+    ]
+    return spark.createDataFrame(rows, "metric string, value double")

@@ -150,3 +150,53 @@ def test_bloom_tolerates_null_keys(spark):
     # the exact anti-join keeps SQL null semantics: null never equals null
     out = sk.bloom_anti_join(probe, seen, lambda d: d["k"], bloom)
     assert sorted(r["id"] for r in out.collect()) == [2, 3]
+
+
+# --- KMV / theta ------------------------------------------------------------
+
+
+def test_kmv_exact_below_k(spark):
+    df = spark.createDataFrame(
+        [(f"u{i}",) for i in range(30) for _ in range(3)], "uid string"
+    )
+    s = sk.kmv_build(df, "uid", 64)
+    assert sk.kmv_estimate(s, 64) == 30.0
+
+
+def test_kmv_estimate_within_error_bound(spark):
+    """k=256 gives ~1/sqrt(k-1) ≈ 6.3% relative standard error; allow
+    3 sigma on one fixed draw of 20k distinct keys."""
+    n = 20_000
+    df = spark.range(n).select(F.concat(F.lit("key"), "id").alias("uid"))
+    est = sk.kmv_estimate(sk.kmv_build(df, "uid", 256), 256)
+    assert abs(est - n) / n < 3 / (255 ** 0.5)
+
+
+def test_kmv_merge_equals_sketch_of_union(spark):
+    """Mergeability is EXACT for KMV: the merged sketch's hash set is
+    identical to the sketch built over the concatenated input."""
+    a = spark.range(0, 5000).select(F.concat(F.lit("k"), "id").alias("u"))
+    b = spark.range(3000, 9000).select(F.concat(F.lit("k"), "id").alias("u"))
+    merged = sk.kmv_merge(
+        sk.kmv_build(a, "u", 128), sk.kmv_build(b, "u", 128), 128
+    )
+    direct = sk.kmv_build(a.union(b), "u", 128)
+    assert sorted(r["h"] for r in merged.collect()) == sorted(
+        r["h"] for r in direct.collect()
+    )
+
+
+def test_kmv_intersection_estimate(spark):
+    """Overlap 4000 of 8000/10000; theta intersection lands within 3x
+    the union-bound standard error; exact when both sides fit in k."""
+    a = spark.range(0, 8000).select(F.concat(F.lit("k"), "id").alias("u"))
+    b = spark.range(4000, 14000).select(F.concat(F.lit("k"), "id").alias("u"))
+    sa, sb = sk.kmv_build(a, "u", 256), sk.kmv_build(b, "u", 256)
+    est = sk.kmv_intersect_estimate(sa, sb, 256)
+    assert abs(est - 4000) / 4000 < 0.5  # intersection error compounds
+    # both below k -> exact
+    a2 = spark.range(0, 100).select(F.concat(F.lit("k"), "id").alias("u"))
+    b2 = spark.range(60, 200).select(F.concat(F.lit("k"), "id").alias("u"))
+    assert sk.kmv_intersect_estimate(
+        sk.kmv_build(a2, "u", 256), sk.kmv_build(b2, "u", 256), 256
+    ) == 40.0
