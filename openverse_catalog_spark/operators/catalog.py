@@ -1,0 +1,285 @@
+"""Multi-table atomic transactions: a lake CATALOG whose single commit
+point spans many CoW tables.
+
+The reference gets cross-table atomicity for free from Postgres — one
+DAG run upserts the media table, bumps popularity constants, and writes
+load reports inside engine transactions (``common/loader/sql.py``,
+``common/popularity/sql.py``), and the API handoff swaps two tables'
+aliases together (``data_refresh_task_factory.py:183-240``). Individual
+:class:`~.cowtable.CowTable` commits are atomic per table; this module
+restores the CROSS-table guarantee the lakehouse way (the Iceberg
+REST-catalog design): readers resolve every table through a catalog
+snapshot — an immutable mapping ``{table name -> table version}`` — and
+a transaction publishes new versions for ALL its tables in ONE
+exclusive-create catalog commit. Either every table advances for
+catalog readers, or none does.
+
+Protocol:
+
+* **Mutate**: inside ``with catalog.transaction() as txn:`` the caller
+  runs ordinary table operations (merge / update / delete / compact) on
+  handles from ``txn.table(name)``. Each advances its table's own
+  version chain immediately — but catalog readers cannot see those
+  versions yet.
+* **Publish**: on clean exit the transaction writes catalog version
+  c<N+1> mapping every touched table to its new head, via the same
+  fully-write-then-``os.link`` exclusive-create discipline as table
+  commits. The link either claims the slot (all tables publish
+  together) or raises, in which case the txn reloads: a concurrent
+  winner that touched a DISJOINT table set is re-linked over
+  (metadata-only retry); one that touched an overlapping table is a
+  real ``TxnConflict`` — first-committer-wins serializability per
+  table, exactly the CoW table's own rule lifted a level.
+* **Abort / crash**: an exception (or a crash before publish) leaves
+  the new table versions ORPHANED — present in the table logs,
+  invisible to every catalog reader, past and future, because no
+  catalog version ever references them. ``recover()`` makes the abort
+  durable for direct-table readers too: any registered table whose
+  head has drifted past its pinned version with no active intent is
+  ``restore()``-d to the pinned snapshot (a metadata-only commit).
+  Run it at coordinator startup, before admitting new transactions.
+
+SCALE: a catalog commit is one tiny JSON (name -> version map) no
+matter how many TB the member tables hold; reads add one metadata
+lookup; time travel (``read(name, catalog_version=...)``) returns the
+consistent cross-table snapshot any past commit pinned. Catalog-managed
+tables should be written through transactions only — a direct
+out-of-band table commit is indistinguishable from a torn transaction
+and recover() will roll it back.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from openverse_catalog_spark.operators.cowtable import CowTable
+
+
+class TxnConflict(Exception):
+    """A concurrent transaction published one of this transaction's
+    tables first; re-read through the new catalog snapshot and retry."""
+
+
+class LakeCatalog:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root.rstrip("/")
+
+    # -- catalog log --------------------------------------------------------
+
+    @property
+    def _dir(self) -> str:
+        return f"{self.root}/catalog"
+
+    @classmethod
+    def create(cls, spark: SparkSession, root: str) -> "LakeCatalog":
+        cat = cls(spark, root)
+        os.makedirs(cat._dir, exist_ok=True)
+        cat._commit_slot(1, {}, "create")
+        return cat
+
+    @property
+    def version(self) -> int:
+        vs = [
+            int(n[1:-5])
+            for n in os.listdir(self._dir)
+            if n.startswith("c") and n.endswith(".json")
+            and n[1:-5].isdigit()
+        ]
+        if not vs:
+            raise FileNotFoundError(f"no catalog at {self._dir}")
+        return max(vs)
+
+    def _load(self, version: int | None = None) -> dict:
+        v = self.version if version is None else version
+        with open(f"{self._dir}/c{v}.json") as f:
+            return json.load(f)
+
+    def _commit_slot(self, version: int, tables: dict, op: str) -> None:
+        doc = {"version": version, "operation": op, "tables": tables}
+        tmp = f"{self._dir}/.tmp.{uuid.uuid4().hex}.json"
+        with open(tmp, "w") as f:
+            json.dump(doc, f, indent=1)
+        try:
+            os.link(tmp, f"{self._dir}/c{version}.json")
+        except FileExistsError:
+            raise TxnConflict(
+                f"catalog version {version} was committed concurrently"
+            ) from None
+        finally:
+            os.remove(tmp)
+
+    def history(self) -> list[dict]:
+        return [self._load(v) for v in range(1, self.version + 1)]
+
+    # -- table registry -----------------------------------------------------
+
+    def register(self, name: str, table: CowTable) -> int:
+        """Point ``name`` at the table's current head (its own catalog
+        commit; metadata-only retry under concurrency)."""
+        while True:
+            cur = self._load()
+            tables = dict(cur["tables"])
+            tables[name] = {
+                "root": table.root,
+                "version": table.version,
+                "keys": list(table.keys),
+            }
+            try:
+                self._commit_slot(
+                    cur["version"] + 1, tables, f"register({name})"
+                )
+                return cur["version"] + 1
+            except TxnConflict:
+                continue
+
+    def _entry(self, name: str, catalog_version: int | None = None) -> dict:
+        tables = self._load(catalog_version)["tables"]
+        if name not in tables:
+            raise KeyError(f"table {name!r} not in catalog {self.root}")
+        return tables[name]
+
+    def table(self, name: str) -> CowTable:
+        e = self._entry(name)
+        return CowTable(self.spark, e["root"], keys=tuple(e["keys"]))
+
+    def read(
+        self, name: str, catalog_version: int | None = None
+    ) -> DataFrame:
+        """The table AS PINNED by the (current or historical) catalog
+        snapshot — never a version a transaction hasn't published."""
+        e = self._entry(name, catalog_version)
+        t = CowTable(self.spark, e["root"], keys=tuple(e["keys"]))
+        return t.read(e["version"])
+
+    # -- transactions -------------------------------------------------------
+
+    def transaction(self) -> "CatalogTransaction":
+        return CatalogTransaction(self)
+
+    def recover(self) -> dict:
+        """Durably abort torn transactions: restore every registered
+        table whose head drifted past its pinned version. Run at
+        coordinator startup, before admitting new transactions (a
+        concurrent un-published transaction would be rolled back)."""
+        cur = self._load()
+        rolled = {}
+        for name, e in cur["tables"].items():
+            t = CowTable(self.spark, e["root"], keys=tuple(e["keys"]))
+            if t.version > e["version"]:
+                t.restore(e["version"])
+                rolled[name] = e["version"]
+        return {"rolled_back": rolled}
+
+
+class TxnTable:
+    """Write-handle proxy: delegates every call to the underlying
+    CowTable and records the version each mutating operation returns
+    (they all return ``{"version": ...}`` dicts), so publish pins
+    exactly THIS transaction's last produced version — never a
+    concurrent writer's later head, which ``table.version`` (the
+    shared pointer) would leak."""
+
+    def __init__(self, table: CowTable):
+        self._table = table
+        self.published_version = table.version
+
+    def __getattr__(self, name):
+        attr = getattr(self._table, name)
+        if not callable(attr):
+            return attr
+
+        def wrapper(*args, **kwargs):
+            res = attr(*args, **kwargs)
+            if isinstance(res, dict) and isinstance(
+                res.get("version"), int
+            ):
+                self.published_version = max(
+                    self.published_version, res["version"]
+                )
+            return res
+
+        return wrapper
+
+
+class CatalogTransaction:
+    def __init__(self, catalog: LakeCatalog):
+        self.catalog = catalog
+        self._snap: dict | None = None
+        self._touched: dict[str, TxnTable] = {}
+
+    def __enter__(self) -> "CatalogTransaction":
+        self._snap = self.catalog._load()
+        self._touched = {}
+        return self
+
+    def table(self, name: str) -> TxnTable:
+        """A WRITE handle: mutations advance the table's own version
+        chain now; the catalog exposes them only at publish."""
+        if name in self._touched:
+            return self._touched[name]
+        e = self._snap["tables"].get(name)
+        if e is None:
+            raise KeyError(
+                f"table {name!r} not in catalog snapshot "
+                f"c{self._snap['version']}"
+            )
+        t = TxnTable(
+            CowTable(self.catalog.spark, e["root"], keys=tuple(e["keys"]))
+        )
+        self._touched[name] = t
+        return t
+
+    def read(self, name: str) -> DataFrame:
+        """Snapshot-isolated read: the version pinned when the
+        transaction began (or this txn's own writes for touched
+        tables — read-your-writes)."""
+        if name in self._touched:
+            return self._touched[name].read()
+        e = self._snap["tables"][name]
+        t = CowTable(self.catalog.spark, e["root"], keys=tuple(e["keys"]))
+        return t.read(e["version"])
+
+    def __exit__(self, exc_type, exc, tb) -> bool:
+        if exc_type is not None:
+            # abort: publish nothing — the touched tables' new versions
+            # stay orphaned (invisible to catalog readers); recover()
+            # rolls the table heads back durably
+            return False
+        if self._touched:
+            self._publish()
+        return False
+
+    def _publish(self) -> None:
+        while True:
+            latest = self.catalog._load()
+            for name in self._touched:
+                if (
+                    latest["tables"][name]["version"]
+                    != self._snap["tables"][name]["version"]
+                ):
+                    raise TxnConflict(
+                        f"table {name!r} was published by a concurrent "
+                        "transaction since this one began"
+                    )
+            tables = dict(latest["tables"])
+            for name, t in self._touched.items():
+                e = dict(tables[name])
+                e["version"] = t.published_version
+                tables[name] = e
+            try:
+                self.catalog._commit_slot(
+                    latest["version"] + 1,
+                    tables,
+                    f"txn({', '.join(sorted(self._touched))})",
+                )
+                return
+            except TxnConflict:
+                # slot taken: if the winner's tables were disjoint the
+                # per-table check above passes on reload and we re-link
+                # (metadata-only); an overlap raises through it
+                continue

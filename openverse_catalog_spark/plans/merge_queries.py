@@ -1834,3 +1834,97 @@ def merge_cow_point_lookup(spark, sf_dir):
     miss = t.read_where({"url": "http://nowhere.example/x"})
     assert len(miss.inputFiles()) < n_all and miss.count() == 0
     return hit.select("provider", "foreign_identifier", "url")
+
+
+@register(
+    "merge_cow_catalog_txn",
+    """
+    SELECT 'img' AS tbl, c_custkey AS id,
+           CASE WHEN c_custkey % 6 = 0 THEN c_nationkey + 100
+                ELSE c_nationkey END AS val
+    FROM customer WHERE c_custkey % 3 = 0
+    UNION ALL
+    SELECT 'aud' AS tbl, o_orderkey AS id, o_custkey AS val
+    FROM orders WHERE o_orderkey % 50 IN (0, 25)
+    """,
+)
+def merge_cow_catalog_txn(spark, sf_dir):
+    """MULTI-TABLE ATOMIC TRANSACTIONS (operators/catalog.py): the
+    cross-table guarantee the reference gets from Postgres — one DAG
+    run upserting media + popularity + report tables transactionally
+    (``common/loader/sql.py``) — rebuilt lakehouse-style: readers
+    resolve tables through catalog snapshots and a txn publishes every
+    touched table's new version in ONE exclusive-create catalog
+    commit. The fixture runs a committed two-table txn, then an
+    ABORTED two-table txn (merge + delete, then an injected failure)
+    followed by recover(): the oracle is the replay WITHOUT the
+    aborted work, so a pass proves the abort left no trace in either
+    table through catalog OR direct reads. SCALE: a catalog commit is
+    one name->version JSON regardless of table size; isolation and
+    time travel cost one metadata lookup per read."""
+    import os
+    import shutil
+    import tempfile
+
+    from openverse_catalog_spark.operators.catalog import LakeCatalog
+    from openverse_catalog_spark.operators.cowtable import CowTable
+
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_cattxn")
+    shutil.rmtree(root, ignore_errors=True)
+    tabs = _t(spark, sf_dir, "customer", "orders")
+    img0 = tabs["customer"].filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_nationkey").cast("long").alias("val"),
+    )
+    aud0 = tabs["orders"].filter(F.col("o_orderkey") % 50 == 0).select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_custkey").cast("long").alias("val"),
+    )
+    cols = [
+        ColumnSpec("id", Datatype.int, required=True,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("val", Datatype.int),
+    ]
+    cat = LakeCatalog.create(spark, root)
+    cat.register("img", CowTable.create(
+        spark, f"{root}/img", img0, keys=("id",), target_files=4))
+    cat.register("aud", CowTable.create(
+        spark, f"{root}/aud", aud0, keys=("id",), target_files=4))
+
+    # txn 1 (commits): bump img vals for id%6==0, land a new aud batch
+    with cat.transaction() as txn:
+        txn.table("img").merge(
+            img0.filter(F.col("id") % 6 == 0).withColumn(
+                "val", F.col("val") + 100),
+            cols, deterministic=True,
+        )
+        txn.table("aud").merge(
+            tabs["orders"].filter(F.col("o_orderkey") % 50 == 25).select(
+                F.col("o_orderkey").alias("id"),
+                F.col("o_custkey").cast("long").alias("val"),
+            ),
+            cols, deterministic=True,
+        )
+    v_good = cat.version
+
+    # txn 2 (ABORTS): would poison img and delete half of aud
+    try:
+        with cat.transaction() as txn:
+            txn.table("img").merge(
+                img0.withColumn("val", F.lit(-1).cast("long")),
+                cols, deterministic=True,
+            )
+            txn.table("aud").delete(F.col("id") % 100 == 0)
+            raise RuntimeError("injected failure before publish")
+    except RuntimeError:
+        pass
+    assert cat.version == v_good
+    rep = cat.recover()
+    assert set(rep["rolled_back"]) == {"img", "aud"}
+
+    return (
+        cat.read("img").select(F.lit("img").alias("tbl"), "id", "val")
+        .unionByName(
+            cat.read("aud").select(F.lit("aud").alias("tbl"), "id", "val")
+        )
+    )

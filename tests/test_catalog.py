@@ -1,0 +1,133 @@
+"""Multi-table atomic transactions (operators/catalog.py).
+
+The reference's cross-table atomicity comes from Postgres transactions
+(loader + popularity updates in one DAG run, ``common/loader/sql.py``);
+the LakeCatalog restores it lakehouse-style: readers resolve tables
+through catalog snapshots, a transaction publishes all its tables in
+one exclusive-create commit. Pins: atomic visibility, snapshot reads,
+cross-table time travel, abort invisibility + durable recover(),
+first-committer-wins conflicts, and disjoint-txn re-link.
+"""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from openverse_catalog_spark.operators.catalog import (
+    LakeCatalog,
+    TxnConflict,
+)
+from openverse_catalog_spark.operators.cowtable import CowTable
+from openverse_catalog_spark.schemas.columns import (
+    ColumnSpec,
+    Datatype,
+    UpsertStrategy,
+)
+
+COLS = [
+    ColumnSpec("id", Datatype.int, required=True,
+               upsert_strategy=UpsertStrategy.no_change),
+    ColumnSpec("val", Datatype.int),
+]
+
+
+def rows(spark, *pairs):
+    return spark.createDataFrame(
+        [Row(id=i, val=v) for i, v in pairs], "id bigint, val bigint"
+    )
+
+
+def vals(df):
+    return {r["id"]: r["val"] for r in df.collect()}
+
+
+@pytest.fixture
+def cat(spark, tmp_path):
+    c = LakeCatalog.create(spark, str(tmp_path / "lake"))
+    a = CowTable.create(spark, str(tmp_path / "ta"),
+                        rows(spark, (1, 10), (2, 20)), keys=("id",))
+    b = CowTable.create(spark, str(tmp_path / "tb"),
+                        rows(spark, (1, 100)), keys=("id",))
+    c.register("img", a)
+    c.register("aud", b)
+    return c
+
+
+def test_txn_publishes_all_tables_atomically(spark, cat):
+    v0 = cat.version
+    with cat.transaction() as txn:
+        txn.table("img").merge(rows(spark, (3, 30)), COLS,
+                               deterministic=True)
+        txn.table("aud").merge(rows(spark, (2, 200)), COLS,
+                               deterministic=True)
+        # not yet published: catalog readers still see the old pair
+        assert vals(cat.read("img")) == {1: 10, 2: 20}
+        assert vals(cat.read("aud")) == {1: 100}
+        # read-your-writes inside the txn
+        assert vals(txn.read("img")) == {1: 10, 2: 20, 3: 30}
+    assert cat.version == v0 + 1
+    assert vals(cat.read("img")) == {1: 10, 2: 20, 3: 30}
+    assert vals(cat.read("aud")) == {1: 100, 2: 200}
+    # cross-table time travel: the pre-txn catalog version pins BOTH
+    assert vals(cat.read("img", catalog_version=v0)) == {1: 10, 2: 20}
+    assert vals(cat.read("aud", catalog_version=v0)) == {1: 100}
+
+
+def test_abort_is_invisible_and_recover_makes_it_durable(spark, cat):
+    v0 = cat.version
+    with pytest.raises(RuntimeError, match="boom"):
+        with cat.transaction() as txn:
+            txn.table("img").merge(rows(spark, (9, 90)), COLS,
+                                   deterministic=True)
+            txn.table("aud").delete(F.col("id") == 1)
+            raise RuntimeError("boom")
+    # nothing published; catalog readers see the old pair of snapshots
+    assert cat.version == v0
+    assert vals(cat.read("img")) == {1: 10, 2: 20}
+    assert vals(cat.read("aud")) == {1: 100}
+    # the table heads DID drift (orphaned versions) — recover restores
+    rep = cat.recover()
+    assert set(rep["rolled_back"]) == {"img", "aud"}
+    assert vals(cat.table("img").read()) == {1: 10, 2: 20}
+    assert vals(cat.table("aud").read()) == {1: 100}
+    # post-recover transactions work and never expose the orphans
+    with cat.transaction() as txn:
+        txn.table("img").merge(rows(spark, (4, 40)), COLS,
+                               deterministic=True)
+    assert vals(cat.read("img")) == {1: 10, 2: 20, 4: 40}
+
+
+def test_overlapping_txns_first_committer_wins(spark, cat):
+    t1 = cat.transaction().__enter__()
+    t2 = cat.transaction().__enter__()
+    t1.table("img").merge(rows(spark, (5, 50)), COLS, deterministic=True)
+    t2.table("img").merge(rows(spark, (6, 60)), COLS, deterministic=True)
+    assert t1.__exit__(None, None, None) is False  # publishes
+    with pytest.raises(TxnConflict, match="img"):
+        t2.__exit__(None, None, None)
+    assert vals(cat.read("img")) == {1: 10, 2: 20, 5: 50, 6: 60} or vals(
+        cat.read("img")
+    ) == {1: 10, 2: 20, 5: 50}
+
+
+def test_disjoint_txns_both_publish_via_relink(spark, cat):
+    t1 = cat.transaction().__enter__()
+    t2 = cat.transaction().__enter__()
+    t1.table("img").merge(rows(spark, (7, 70)), COLS, deterministic=True)
+    t2.table("aud").merge(rows(spark, (7, 700)), COLS, deterministic=True)
+    v0 = cat.version
+    t1.__exit__(None, None, None)
+    t2.__exit__(None, None, None)  # slot taken -> reload -> re-link
+    assert cat.version == v0 + 2
+    assert vals(cat.read("img"))[7] == 70
+    assert vals(cat.read("aud"))[7] == 700
+
+
+def test_unregistered_table_and_empty_txn(spark, cat):
+    with pytest.raises(KeyError, match="nope"):
+        with cat.transaction() as txn:
+            txn.table("nope")
+    v0 = cat.version
+    with cat.transaction():
+        pass  # no touched tables -> no catalog commit
+    assert cat.version == v0
