@@ -1928,3 +1928,79 @@ def merge_cow_catalog_txn(spark, sf_dir):
             cat.read("aud").select(F.lit("aud").alias("tbl"), "id", "val")
         )
     )
+
+
+@register(
+    "sql_catalog_txn",
+    """
+    SELECT 'img' AS tbl, c_custkey AS id,
+           CASE WHEN c_custkey % 6 = 0 THEN c_nationkey + 100
+                ELSE c_nationkey END AS val
+    FROM customer WHERE c_custkey % 3 = 0
+    UNION ALL
+    SELECT 'aud' AS tbl, o_orderkey AS id, o_custkey AS val
+    FROM orders WHERE o_orderkey % 50 IN (0, 25)
+    """,
+)
+def sql_catalog_txn(spark, sf_dir):
+    """The multi-table transaction lifecycle as PURE SQL TEXT: ``BEGIN
+    TRANSACTION`` / two-table DML / ``COMMIT``, then a poison
+    transaction un-done by ``ROLLBACK`` — the engine speaking the exact
+    dialect the reference's Postgres loader scripts assume
+    (``common/loader/sql.py`` runs its media+report writes inside BEGIN
+    /COMMIT). Facade reads are catalog-pinned, so the SELECTs between
+    statements see snapshot-isolated state; the oracle replays only
+    the committed statements."""
+    import os
+    import shutil
+    import tempfile
+
+    from openverse_catalog_spark.operators.catalog import LakeCatalog
+    from openverse_catalog_spark.operators.cowtable import CowTable
+    from openverse_catalog_spark.sql_facade import SqlFacade
+
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_sqlcattxn")
+    shutil.rmtree(root, ignore_errors=True)
+    tabs = _t(spark, sf_dir, "customer", "orders")
+    img0 = tabs["customer"].filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_nationkey").cast("long").alias("val"),
+    )
+    aud0 = tabs["orders"].filter(F.col("o_orderkey") % 50 == 0).select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_custkey").cast("long").alias("val"),
+    )
+    cols = [
+        ColumnSpec("id", Datatype.int, required=True,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("val", Datatype.int),
+    ]
+    cat = LakeCatalog.create(spark, root)
+    cat.register("img", CowTable.create(
+        spark, f"{root}/img", img0, keys=("id",), target_files=4))
+    cat.register("aud", CowTable.create(
+        spark, f"{root}/aud", aud0, keys=("id",), target_files=4))
+
+    f = SqlFacade(spark)
+    f.attach_catalog(cat, columns={"img": cols, "aud": cols})
+    f.register_df(
+        "aud_batch",
+        tabs["orders"].filter(F.col("o_orderkey") % 50 == 25).select(
+            F.col("o_orderkey").alias("id"),
+            F.col("o_custkey").cast("long").alias("val"),
+        ),
+    )
+    f.sql("BEGIN TRANSACTION")
+    f.sql("UPDATE img SET val = val + 100 WHERE id % 6 = 0")
+    f.sql("INSERT INTO aud SELECT * FROM aud_batch")
+    f.sql("COMMIT")
+
+    f.sql("BEGIN TRANSACTION")
+    f.sql("UPDATE img SET val = -1")
+    f.sql("DELETE FROM aud WHERE id % 100 = 0")
+    f.sql("ROLLBACK")
+
+    return f.sql(
+        "SELECT 'img' AS tbl, id, val FROM img "
+        "UNION ALL SELECT 'aud' AS tbl, id, val FROM aud"
+    )

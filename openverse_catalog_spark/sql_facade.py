@@ -135,6 +135,11 @@ _ALTER_DROP_CHECK = re.compile(
     r"^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*$",
     re.IGNORECASE,
 )
+_BEGIN_TXN = re.compile(
+    r"^\s*BEGIN(?:\s+TRANSACTION)?\s*;?\s*$", re.IGNORECASE
+)
+_COMMIT_TXN = re.compile(r"^\s*COMMIT\s*;?\s*$", re.IGNORECASE)
+_ROLLBACK_TXN = re.compile(r"^\s*ROLLBACK\s*;?\s*$", re.IGNORECASE)
 
 
 def _split_top_level(text: str) -> list[str]:
@@ -176,6 +181,9 @@ class SqlFacade:
         self._columns: dict[str, list] = {}
         self._head_version: dict[str, int] = {}
         self._mvs: dict = {}
+        self._catalog = None
+        self._catalog_names: set[str] = set()
+        self._txn = None
 
     # -- registration --------------------------------------------------------
 
@@ -197,12 +205,61 @@ class SqlFacade:
             self._columns[name] = columns
         self._refresh_head(name)
 
+    def attach_catalog(self, catalog, columns: dict | None = None) -> None:
+        """Expose every table of a
+        :class:`~.operators.catalog.LakeCatalog` and enable transaction
+        text: ``BEGIN [TRANSACTION]`` / ``COMMIT`` / ``ROLLBACK``.
+        Catalog-managed names read the version the CATALOG pins (not
+        the table head), so facade readers get the catalog's cross-
+        table consistency; inside a transaction, reads see the txn's
+        begin snapshot plus its own writes (snapshot isolation +
+        read-your-writes). DML on a catalog table outside an explicit
+        transaction runs in an implicit per-statement one (mutate +
+        publish), so the catalog pin always advances with the text.
+        ``columns`` maps table name -> ColumnSpec list for INSERT/MERGE
+        text."""
+        self._catalog = catalog
+        for name, e in catalog._load()["tables"].items():
+            self._tables[name] = CowTable(
+                self.spark, e["root"], keys=tuple(e["keys"])
+            )
+            self._catalog_names.add(name)
+            if columns and name in columns:
+                self._columns[name] = columns[name]
+            self._refresh_head(name)
+
     def _refresh_head(self, name: str) -> None:
         t = self._tables[name]
-        v = t.version
+        if name in self._catalog_names:
+            if self._txn is not None and name in self._txn._touched:
+                v = self._txn._touched[name].published_version
+            elif self._txn is not None:
+                v = self._txn._snap["tables"][name]["version"]
+            else:
+                v = self._catalog._entry(name)["version"]
+        else:
+            v = t.version
         if self._head_version.get(name) != v:
             t.read(version=v).createOrReplaceTempView(name)
             self._head_version[name] = v
+
+    def _dml_table(self, name: str):
+        """The commit target for one DML statement: the transaction's
+        proxied handle when one is active (or an implicit single-
+        statement transaction for catalog tables), else the raw
+        table. Returns (handle, finalize) — call finalize() after the
+        operation lands."""
+        if name not in self._catalog_names:
+            return self._tables[name], (lambda: None)
+        if self._txn is not None:
+            return self._txn.table(name), (lambda: None)
+        txn = self._catalog.transaction().__enter__()
+
+        def finalize():
+            txn.__exit__(None, None, None)
+            self._refresh_head(name)
+
+        return txn.table(name), finalize
 
     # -- execution -----------------------------------------------------------
 
@@ -303,7 +360,10 @@ class SqlFacade:
         batch = self.spark.sql(
             self._rewrite(subquery if subquery else f"SELECT * FROM {view}")
         )
-        return self._summary(table.merge(batch, cols))
+        target, finalize = self._dml_table(name)
+        res = target.merge(batch, cols)
+        finalize()
+        return self._summary(res)
 
     def _create_mv(self, name: str, select_text: str) -> DataFrame:
         """``CREATE MATERIALIZED VIEW v AS SELECT <group cols + aggs>
@@ -367,6 +427,36 @@ class SqlFacade:
         """Run SQL text: refresh head views, rewrite lake constructs,
         hand reads to Catalyst and DML to the lake table's commit
         protocol. DML returns a one-row (version, rows) summary frame."""
+        if _BEGIN_TXN.match(text):
+            if self._catalog is None:
+                raise ValueError("BEGIN TRANSACTION needs attach_catalog()")
+            if self._txn is not None:
+                raise ValueError("a transaction is already open")
+            self._txn = self._catalog.transaction().__enter__()
+            self._head_version.clear()
+            return self.spark.createDataFrame(
+                [(self._txn._snap["version"],)], "catalog_version long"
+            )
+        if _COMMIT_TXN.match(text):
+            if self._txn is None:
+                raise ValueError("COMMIT without an open transaction")
+            txn, self._txn = self._txn, None
+            try:
+                txn.__exit__(None, None, None)
+            finally:
+                self._head_version.clear()
+            return self.spark.createDataFrame(
+                [(self._catalog.version,)], "catalog_version long"
+            )
+        if _ROLLBACK_TXN.match(text):
+            if self._txn is None:
+                raise ValueError("ROLLBACK without an open transaction")
+            self._txn = None
+            rep = self._catalog.recover()
+            self._head_version.clear()
+            return self.spark.createDataFrame(
+                [(len(rep["rolled_back"]),)], "tables_rolled_back long"
+            )
         for name in self._tables:
             self._refresh_head(name)
         m = _CREATE_MV.match(text)
@@ -391,7 +481,9 @@ class SqlFacade:
                     "list: register_table(name, table, columns=[...])"
                 )
             batch = self.spark.sql(self._rewrite(query))
-            res = self._tables[name].merge(batch, cols)
+            target, finalize = self._dml_table(name)
+            res = target.merge(batch, cols)
+            finalize()
             return self._summary(res)
         m = _MERGE_INTO.match(text)
         if m and m.group(1) in self._tables:
@@ -403,12 +495,18 @@ class SqlFacade:
             exprs = {
                 col: F.expr(e) for col, e in _split_assignments(sets)
             }
-            return self._summary(self._tables[name].update(cond, exprs))
+            target, finalize = self._dml_table(name)
+            res = target.update(cond, exprs)
+            finalize()
+            return self._summary(res)
         m = _DELETE.match(text)
         if m and m.group(1) in self._tables:
             name, where = m.group(1), m.group(2)
             cond = F.expr(where) if where else F.lit(True)
-            return self._summary(self._tables[name].delete(cond))
+            target, finalize = self._dml_table(name)
+            res = target.delete(cond)
+            finalize()
+            return self._summary(res)
         m = _DESCRIBE_HISTORY.match(text)
         if m and m.group(1) in self._tables:
             hist = self._tables[m.group(1)].history()

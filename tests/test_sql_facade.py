@@ -300,3 +300,80 @@ def test_facade_materialized_view_text(spark, tmp_path):
             "CREATE MATERIALIZED VIEW bad2 AS "
             "SELECT x, count(*) AS n FROM nowhere GROUP BY x"
         )
+
+
+def test_facade_catalog_transactions(spark, tmp_path):
+    """BEGIN/COMMIT publishes multi-table DML atomically through the
+    lake catalog; reads inside the txn are snapshot-isolated with
+    read-your-writes; ROLLBACK leaves no trace; implicit per-statement
+    transactions keep the catalog pin advancing for bare DML."""
+    from pyspark.sql import Row
+
+    from openverse_catalog_spark.operators.catalog import LakeCatalog
+    from openverse_catalog_spark.schemas.columns import (
+        ColumnSpec,
+        Datatype,
+        UpsertStrategy,
+    )
+
+    cols = [
+        ColumnSpec("id", Datatype.int, required=True,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("val", Datatype.int),
+    ]
+
+    def rows(*pairs):
+        return spark.createDataFrame(
+            [Row(id=i, val=v) for i, v in pairs], "id bigint, val bigint"
+        )
+
+    cat = LakeCatalog.create(spark, str(tmp_path / "lake"))
+    cat.register("img", CowTable.create(
+        spark, str(tmp_path / "ta"), rows((1, 10), (2, 20)), keys=("id",)))
+    cat.register("aud", CowTable.create(
+        spark, str(tmp_path / "tb"), rows((1, 100)), keys=("id",)))
+
+    f = SqlFacade(spark)
+    f.attach_catalog(cat, columns={"img": cols, "aud": cols})
+    f.register_df("batch_img", rows((3, 30)))
+    f.register_df("batch_aud", rows((2, 200)))
+
+    f.sql("BEGIN TRANSACTION")
+    f.sql("INSERT INTO img SELECT * FROM batch_img")
+    f.sql("INSERT INTO aud SELECT * FROM batch_aud")
+    # read-your-writes inside the txn...
+    assert f.sql("SELECT count(*) AS n FROM img").head()["n"] == 3
+    # ...but catalog readers outside still see the begin snapshot
+    assert cat.read("img").count() == 2
+    f.sql("COMMIT")
+    assert cat.read("img").count() == 3
+    assert cat.read("aud").count() == 2
+    assert f.sql("SELECT count(*) AS n FROM aud").head()["n"] == 2
+
+    # ROLLBACK: both mutations vanish for every reader
+    f.sql("BEGIN")
+    f.sql("UPDATE img SET val = -1")
+    f.sql("DELETE FROM aud WHERE id = 1")
+    assert f.sql("SELECT min(val) AS m FROM img").head()["m"] == -1
+    out = f.sql("ROLLBACK").head()
+    assert out["tables_rolled_back"] == 2
+    assert f.sql("SELECT min(val) AS m FROM img").head()["m"] == 10
+    assert f.sql("SELECT count(*) AS n FROM aud").head()["n"] == 2
+    assert {r["val"] for r in cat.read("img").collect()} == {10, 20, 30}
+
+    # bare DML on a catalog table = implicit single-statement txn
+    v0 = cat.version
+    f.sql("DELETE FROM img WHERE id = 2")
+    assert cat.version == v0 + 1
+    assert cat.read("img").count() == 2
+
+    # statement-state errors
+    with pytest.raises(ValueError, match="COMMIT without"):
+        f.sql("COMMIT")
+    f.sql("BEGIN")
+    with pytest.raises(ValueError, match="already open"):
+        f.sql("BEGIN")
+    f.sql("ROLLBACK")
+    f2 = SqlFacade(spark)
+    with pytest.raises(ValueError, match="attach_catalog"):
+        f2.sql("BEGIN")
