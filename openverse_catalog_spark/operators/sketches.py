@@ -354,3 +354,56 @@ def kmv_intersect_estimate(a: DataFrame, b: DataFrame, k: int) -> float:
 def kmv_sql(col_expr: str, salt: str = "") -> str:
     """DuckDB text for the same per-value hash (oracle building block)."""
     return hash60_sql(f"'kmv{salt}|' || CAST({col_expr} AS VARCHAR)")
+
+
+# --- hash-rank sample quantiles (mergeable approximate percentiles) --------
+#
+# The exact percentile operators (operators/popularity.py) rank every
+# row — one full sort per group, the step that dies first at 100 TB.
+# The mergeable alternative: a deterministic uniform row sample — the k
+# rows whose hashed ROW IDENTITY is smallest (KMV over row ids rather
+# than distinct values). Any of the union's k smallest ids is among its
+# side's k smallest, so samples compose under union EXACTLY like KMV
+# sketches: per-day/per-partition samples merge into the corpus sample
+# without resampling. Quantiles are then order statistics of k rows
+# (driver-side), with rank error O(sqrt(q(1-q)/k)) — and, because the
+# sample is hash-pinned rather than random-seeded, every estimate is
+# bit-reproducible in the DuckDB oracle.
+
+def quantile_sample_build(
+    df: DataFrame, id_col: str, value_col: str, k: int, salt: str = ""
+) -> DataFrame:
+    """The sample: (h, value) for the k rows with the smallest hashed
+    ids. ``id_col`` must be row-unique (hash ties would make the
+    boundary row ambiguous); NULL values are excluded, matching
+    percentile semantics."""
+    h = hash60(F.concat(F.lit(f"qs{salt}|"), F.col(id_col).cast("string")))
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(h.alias("h"), F.col(value_col).alias("value"))
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def quantile_sample_merge(a: DataFrame, b: DataFrame, k: int) -> DataFrame:
+    """Union composition over DISJOINT row sets (e.g. daily shards):
+    the merged sample is exactly the sample of the concatenated
+    input."""
+    return a.union(b).orderBy("h").limit(k)
+
+
+def quantile_sample_estimate(
+    sample: DataFrame, percentiles: list[float]
+) -> list[float]:
+    """percentile_disc over the sample: value at row ceil(p * n) of the
+    ascending value order — the same rule the exact operator and the
+    oracle apply, so sample-vs-exact differences are pure sampling
+    error, never definition skew."""
+    import math
+
+    vals = sorted(r["value"] for r in sample.collect())
+    if not vals:
+        raise ValueError("quantile_sample_estimate: empty sample")
+    n = len(vals)
+    return [vals[max(0, math.ceil(p * n) - 1)] for p in percentiles]

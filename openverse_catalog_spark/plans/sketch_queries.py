@@ -210,3 +210,77 @@ def sketch_kmv_setops(spark, sf_dir):
         ("intersect_exact", float(ex_i)),
     ]
     return spark.createDataFrame(rows, "metric string, value double")
+
+
+# --- hash-rank sample quantiles --------------------------------------------
+
+_QK = 512
+_QPS = [("p50", 0.5), ("p90", 0.9), ("p99", 0.99)]
+
+
+def _qs_shard_sql(label: str, pred: str) -> str:
+    h = sk.hash60_sql("'qs|' || CAST(event_id AS VARCHAR)")
+    return f"""
+    s_{label} AS (SELECT {h} AS h, value FROM src
+                  WHERE {pred} ORDER BY h LIMIT {_QK})"""
+
+
+@register(
+    "sketch_quantile_sample",
+    f"""
+    WITH src AS (SELECT event_id, value FROM events
+                 WHERE value IS NOT NULL),
+    {_qs_shard_sql("0", "event_id % 2 = 0")},
+    {_qs_shard_sql("1", "event_id % 2 = 1")},
+    samp AS (SELECT h, value
+             FROM (SELECT * FROM s_0 UNION ALL SELECT * FROM s_1) z
+             ORDER BY h LIMIT {_QK}),
+    rs AS (SELECT value, row_number() OVER (ORDER BY value) AS rn,
+                  count(*) OVER () AS n FROM samp),
+    rx AS (SELECT value, row_number() OVER (ORDER BY value) AS rn,
+                  count(*) OVER () AS n FROM src)
+    {" UNION ALL ".join(
+        f'''SELECT '{name}' AS q,
+           (SELECT min(value) FROM rs
+            WHERE rn = CAST(ceil({p} * n) AS BIGINT)) AS est,
+           (SELECT min(value) FROM rx
+            WHERE rn = CAST(ceil({p} * n) AS BIGINT)) AS exact'''
+        for name, p in _QPS)}
+    """,
+)
+def sketch_quantile_sample(spark, sf_dir):
+    """MERGEABLE approximate percentiles by hash-rank sampling
+    (operators/sketches.py:quantile_sample_*): two disjoint shards each
+    keep the k rows with the smallest hashed row ids, the shard samples
+    MERGE exactly into the corpus sample (the KMV property on row
+    identity), and quantiles are order statistics of k rows. The exact
+    percentile rides along (operators/popularity.py's ranked rule), so
+    the result exhibits the O(1/sqrt(k)) rank-error envelope, and both
+    paths share one percentile_disc definition — the oracle replays
+    sample AND exact bit-identically. SCALE: per-shard TakeOrdered on
+    k rows, no global sort anywhere on the sketch path; the exact twin
+    is the full-rank step that dies at 100 TB."""
+    from openverse_catalog_spark.operators.popularity import (
+        percentile_disc_multi,
+    )
+
+    ev = _t(spark, sf_dir, "events")["events"].filter(
+        F.col("value").isNotNull()
+    )
+    shard0 = sk.quantile_sample_build(
+        ev.filter(F.col("event_id") % 2 == 0), "event_id", "value", _QK
+    )
+    shard1 = sk.quantile_sample_build(
+        ev.filter(F.col("event_id") % 2 == 1), "event_id", "value", _QK
+    )
+    samp = sk.quantile_sample_merge(shard0, shard1, _QK)
+    ests = sk.quantile_sample_estimate(samp, [p for _, p in _QPS])
+    exact = percentile_disc_multi(
+        ev.withColumn("__g", F.lit(1)), ["__g"], "value",
+        {name: p for name, p in _QPS},
+    ).head()
+    rows = [
+        (name, float(ests[i]), float(exact[name]))
+        for i, (name, _) in enumerate(_QPS)
+    ]
+    return spark.createDataFrame(rows, "q string, est double, exact double")

@@ -200,3 +200,48 @@ def test_kmv_intersection_estimate(spark):
     assert sk.kmv_intersect_estimate(
         sk.kmv_build(a2, "u", 256), sk.kmv_build(b2, "u", 256), 256
     ) == 40.0
+
+
+# --- hash-rank sample quantiles --------------------------------------------
+
+
+def test_quantile_sample_merge_is_exact_composition(spark):
+    a = spark.range(0, 6000).select("id", (F.col("id") * 7 % 1000)
+                                    .cast("double").alias("value"))
+    b = spark.range(6000, 15000).select("id", (F.col("id") * 7 % 1000)
+                                        .cast("double").alias("value"))
+    merged = sk.quantile_sample_merge(
+        sk.quantile_sample_build(a, "id", "value", 200),
+        sk.quantile_sample_build(b, "id", "value", 200), 200,
+    )
+    direct = sk.quantile_sample_build(a.union(b), "id", "value", 200)
+    assert sorted((r["h"], r["value"]) for r in merged.collect()) == sorted(
+        (r["h"], r["value"]) for r in direct.collect()
+    )
+
+
+def test_quantile_sample_rank_error_bound(spark):
+    """Median of a 0..9999 uniform column from a k=400 sample: rank
+    error within 3/sqrt(k) of the true quantile (one fixed hash
+    draw)."""
+    df = spark.range(10_000).select(
+        "id", F.col("id").cast("double").alias("value")
+    )
+    s = sk.quantile_sample_build(df, "id", "value", 400)
+    (est_med, est_p90) = sk.quantile_sample_estimate(s, [0.5, 0.9])
+    for est, p in ((est_med, 0.5), (est_p90, 0.9)):
+        assert abs(est / 10_000 - p) < 3 / (400 ** 0.5)
+
+
+def test_quantile_sample_small_input_is_exact(spark):
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([5, 1, 9, 3, 7])],
+        "id bigint, value double",
+    )
+    s = sk.quantile_sample_build(df, "id", "value", 100)
+    assert sk.quantile_sample_estimate(s, [0.5, 1.0]) == [5.0, 9.0]
+    with pytest.raises(ValueError, match="empty"):
+        sk.quantile_sample_estimate(
+            sk.quantile_sample_build(df.filter("id > 99"), "id", "value", 10),
+            [0.5],
+        )
