@@ -164,6 +164,11 @@ HEADLINE = [
     "dedup_segments_c4",
     "window_gapfill_interpolate",
     "sql_cow_merge",
+    "classifier_logreg_train",
+    "classifier_logreg_score",
+    "sketch_kmv_setops",
+    "sketch_quantile_sample",
+    "sql_catalog_txn",
 ]
 
 

@@ -1,0 +1,86 @@
+"""10x probe of the third round-5 batch (streaming MV maintenance,
+logistic-regression classifier, KMV set algebra, sample quantiles,
+catalog transactions): key-offset replication + per-row linearity
+check, appended to SCALING.md.
+
+Usage: python tools/probe_r5c.py
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+from openverse_catalog_spark.session import get_spark, load_tables  # noqa: E402
+from tools.scale_probe import COPIES, SF_DIR, replicate, timed  # noqa: E402
+
+R5C_PROBES = [
+    ("stream_mv_maintenance", {"orders": ["o_orderkey"]}),
+    ("classifier_logreg_train", {"documents": ["doc_id"]}),
+    ("classifier_logreg_score", {"documents": ["doc_id"]}),
+    ("sketch_kmv_setops", {"events": ["event_id", "user_id"]}),
+    ("sketch_quantile_sample", {"events": ["event_id"]}),
+    ("merge_cow_catalog_txn", {"customer": ["c_custkey"]}),
+    ("sql_catalog_txn", {"customer": ["c_custkey"]}),
+]
+
+
+def main() -> None:
+    spark = get_spark("probe_r5c")
+    queries = entrymod.queries()
+    tmp = tempfile.mkdtemp(prefix="sf10x_r5c_")
+    tables_needed: dict[str, list[str]] = {}
+    for _, offs in R5C_PROBES:
+        tables_needed.update(offs)
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        if t not in tables_needed:
+            load_tables(spark, SF_DIR, (t,))[t].write.mode(
+                "overwrite"
+            ).parquet(f"{tmp}/{t}.parquet")
+    replicate(spark, SF_DIR, tmp, tables_needed, copies=COPIES)
+
+    rows = []
+    for name, _ in R5C_PROBES:
+        fn = queries[name]
+        timed(fn, spark, SF_DIR)  # warm
+        t1 = timed(fn, spark, SF_DIR)
+        t10 = timed(fn, spark, tmp)
+        rows.append((name, t1, t10, t10 / t1, t10 / t1 / COPIES))
+        print(
+            f"{name}: {t1:.2f}s -> {t10:.2f}s "
+            f"({t10 / t1:.1f}x wall, {t10 / t1 / COPIES:.2f}x/row)"
+        )
+    lines = [
+        "",
+        "## Round-5 10x probe, batch 3 (streaming MV / classifier / "
+        "KMV + quantile sketches / catalog txns)",
+        "",
+        "Same harness (key-offset replication, cores fixed): per-row "
+        "<= ~1.2x = the shuffle/partition shape holds. The catalog-txn "
+        "queries rebuild two lake tables and run a committed + an "
+        "aborted transaction per invocation, so their numbers include "
+        "the full create/commit/recover chain at both scales; the "
+        "classifier numbers are 3 GD rounds = 3 corpus scans with "
+        "dim+1-column partial aggregates.",
+        "",
+        "| query | sf0.1 (s) | 10x (s) | wall | per-row |",
+        "|---|---|---|---|---|",
+    ]
+    for name, t1, t10, w, pr in rows:
+        lines.append(
+            f"| {name} | {t1:.2f} | {t10:.2f} | {w:.1f}x | {pr:.2f}x |"
+        )
+    with open("/root/repo/SCALING.md", "a") as f:
+        f.write("\n".join(lines) + "\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
