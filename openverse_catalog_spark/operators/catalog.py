@@ -137,6 +137,25 @@ class LakeCatalog:
             except TxnConflict:
                 continue
 
+    def unregister(self, name: str) -> int:
+        """Remove ``name`` from the mapping (its own catalog commit).
+        The table's files and log stay on disk — historical catalog
+        versions still resolve it for time travel."""
+        while True:
+            cur = self._load()
+            if name not in cur["tables"]:
+                raise KeyError(f"table {name!r} not in catalog {self.root}")
+            tables = {
+                k: v for k, v in cur["tables"].items() if k != name
+            }
+            try:
+                self._commit_slot(
+                    cur["version"] + 1, tables, f"unregister({name})"
+                )
+                return cur["version"] + 1
+            except TxnConflict:
+                continue
+
     def _entry(self, name: str, catalog_version: int | None = None) -> dict:
         tables = self._load(catalog_version)["tables"]
         if name not in tables:

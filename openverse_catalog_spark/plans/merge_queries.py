@@ -2004,3 +2004,53 @@ def sql_catalog_txn(spark, sf_dir):
         "SELECT 'img' AS tbl, id, val FROM img "
         "UNION ALL SELECT 'aud' AS tbl, id, val FROM aud"
     )
+
+
+@register(
+    "sql_ctas_restore",
+    """
+    SELECT c_custkey AS id, c_name AS name,
+           CAST(c_acctbal AS DOUBLE) AS bal
+    FROM customer WHERE c_custkey % 4 = 1
+    UNION ALL
+    SELECT c_custkey AS id, c_name AS name,
+           CAST(c_acctbal + 10.0 AS DOUBLE) AS bal
+    FROM customer WHERE c_custkey % 4 = 2
+    """,
+)
+def sql_ctas_restore(spark, sf_dir):
+    """Table LIFECYCLE as pure text: ``CREATE TABLE ... PRIMARY KEY ...
+    AS`` materializes a lake table straight from a query (per-column
+    upsert specs derived from the schema, so the INSERT right after it
+    is the standard ON CONFLICT merge), a poison UPDATE lands, and
+    ``RESTORE TABLE ... TO VERSION AS OF`` rolls it back as a
+    metadata-only commit — the reference's create-load-fix loop
+    (provider_csv_load_script + rollback via snapshot restore) with no
+    Python API in sight. Oracle = base + inserted batch, poison
+    absent."""
+    import os
+    import shutil
+    import tempfile
+
+    from openverse_catalog_spark.sql_facade import SqlFacade
+
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_ctas")
+    shutil.rmtree(root, ignore_errors=True)
+    tabs = _t(spark, sf_dir, "customer")
+    f = SqlFacade(spark, workdir=root)
+    f.register_df("customer_src", tabs["customer"])
+    f.sql(
+        "CREATE TABLE custbal PRIMARY KEY (id) AS "
+        "SELECT c_custkey AS id, c_name AS name, "
+        "CAST(c_acctbal AS DOUBLE) AS bal "
+        "FROM customer_src WHERE c_custkey % 4 = 1"
+    )
+    f.sql(
+        "INSERT INTO custbal "
+        "SELECT c_custkey AS id, c_name AS name, "
+        "CAST(c_acctbal + 10.0 AS DOUBLE) AS bal "
+        "FROM customer_src WHERE c_custkey % 4 = 2"
+    )
+    f.sql("UPDATE custbal SET bal = -999.0")  # the bad deploy
+    f.sql("RESTORE TABLE custbal TO VERSION AS OF 2")
+    return f.sql("SELECT id, name, bal FROM custbal")

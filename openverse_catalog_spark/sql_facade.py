@@ -58,6 +58,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from openverse_catalog_spark.operators.cowtable import CowTable
+from openverse_catalog_spark.schemas.columns import (
+    ColumnSpec,
+    Datatype,
+    UpsertStrategy,
+)
 
 _VERSION_AS_OF = re.compile(
     r"\b(\w+)\s+VERSION\s+AS\s+OF\s+(\d+)", re.IGNORECASE
@@ -140,6 +145,18 @@ _BEGIN_TXN = re.compile(
 )
 _COMMIT_TXN = re.compile(r"^\s*COMMIT\s*;?\s*$", re.IGNORECASE)
 _ROLLBACK_TXN = re.compile(r"^\s*ROLLBACK\s*;?\s*$", re.IGNORECASE)
+_CREATE_TABLE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(\w+)\s+PRIMARY\s+KEY\s*\(([\w\s,]+?)\)\s+"
+    r"(?:LOCATION\s+'([^']+)'\s+)?AS\s+(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_TABLE = re.compile(
+    r"^\s*DROP\s+TABLE\s+(\w+)\s*$", re.IGNORECASE
+)
+_RESTORE_TABLE = re.compile(
+    r"^\s*RESTORE\s+TABLE\s+(\w+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*$",
+    re.IGNORECASE,
+)
 
 
 def _split_top_level(text: str) -> list[str]:
@@ -175,8 +192,9 @@ def _split_assignments(text: str) -> list[tuple[str, str]]:
 class SqlFacade:
     """Name registry + SQL runner for frames and CoW lake tables."""
 
-    def __init__(self, spark: SparkSession):
+    def __init__(self, spark: SparkSession, workdir: str | None = None):
         self.spark = spark
+        self.workdir = workdir
         self._tables: dict[str, CowTable] = {}
         self._columns: dict[str, list] = {}
         self._head_version: dict[str, int] = {}
@@ -427,6 +445,23 @@ class SqlFacade:
         """Run SQL text: refresh head views, rewrite lake constructs,
         hand reads to Catalyst and DML to the lake table's commit
         protocol. DML returns a one-row (version, rows) summary frame."""
+        m = _CREATE_TABLE.match(text)
+        if m:
+            return self._create_table(m)
+        m = _DROP_TABLE.match(text)
+        if m and m.group(1) in self._tables:
+            return self._drop_table(m.group(1))
+        m = _RESTORE_TABLE.match(text)
+        if m and m.group(1) in self._tables:
+            name, v = m.group(1), int(m.group(2))
+            target, finalize = self._dml_table(name)
+            res = target.restore(v)
+            finalize()
+            self._refresh_head(name)
+            return self.spark.createDataFrame(
+                [(res["version"], res["restored_from"])],
+                "version long, restored_from long",
+            )
         if _BEGIN_TXN.match(text):
             if self._catalog is None:
                 raise ValueError("BEGIN TRANSACTION needs attach_catalog()")
@@ -547,3 +582,107 @@ class SqlFacade:
                     [(res["version"],)], "version long"
                 )
         return self.spark.sql(self._rewrite(text))
+
+    # -- DDL -----------------------------------------------------------------
+
+    _SPEC_TYPES = {
+        "string": Datatype.char,
+        "bigint": Datatype.int,
+        "int": Datatype.int,
+        "smallint": Datatype.int,
+        "tinyint": Datatype.int,
+        "double": Datatype.double,
+        "float": Datatype.double,
+        "boolean": Datatype.bool,
+    }
+
+    def _specs_from_schema(self, schema, keys: tuple[str, ...]) -> list:
+        """Default ColumnSpecs for a CTAS table: keys are required and
+        immutable, every other column takes newest_non_null — the
+        reference's standard upsert posture. Exotic types must register
+        explicit columns instead."""
+        specs = []
+        for f in schema.fields:
+            dt = self._SPEC_TYPES.get(f.dataType.simpleString())
+            if dt is None:
+                raise ValueError(
+                    f"CREATE TABLE column {f.name} has type "
+                    f"{f.dataType.simpleString()}, which has no default "
+                    "upsert spec; create the table via the API with "
+                    "explicit ColumnSpecs"
+                )
+            if f.name in keys:
+                specs.append(ColumnSpec(
+                    f.name, dt, required=True,
+                    upsert_strategy=UpsertStrategy.no_change,
+                ))
+            else:
+                specs.append(ColumnSpec(f.name, dt))
+        return specs
+
+    def _create_table(self, m: re.Match) -> DataFrame:
+        """``CREATE TABLE t PRIMARY KEY (k, ...) [LOCATION '<dir>']
+        AS <select>`` — materializes the query as a NEW CoW lake table
+        (PRIMARY KEY = the merge keys, the reference's ON CONFLICT
+        target), registers it (and the attached catalog, when any), and
+        derives default per-column upsert specs from the result schema
+        so INSERT/MERGE/UPDATE text works immediately."""
+        import os
+
+        name, keys_text, location, query = m.groups()
+        if name in self._tables:
+            raise ValueError(f"table {name!r} already exists")
+        keys = tuple(k.strip() for k in keys_text.split(","))
+        root = location or (
+            os.path.join(self.workdir, name) if self.workdir else None
+        )
+        if root is None:
+            raise ValueError(
+                "CREATE TABLE needs LOCATION '<dir>' or a facade workdir"
+            )
+        if os.path.exists(root):
+            raise ValueError(
+                f"CREATE TABLE location {root!r} already exists (DROP "
+                "TABLE leaves files on disk for time travel); pick a new "
+                "LOCATION or remove the directory first"
+            )
+        df = self.spark.sql(self._rewrite(query))
+        for k in keys:
+            if k not in df.columns:
+                raise ValueError(
+                    f"PRIMARY KEY column {k!r} not in CTAS result "
+                    f"columns {df.columns}"
+                )
+        t = CowTable.create(self.spark, root, df, keys=keys)
+        self._columns[name] = self._specs_from_schema(
+            t.read().schema, keys
+        )
+        if self._catalog is not None:
+            self._catalog.register(name, t)
+            self._tables[name] = t
+            self._catalog_names.add(name)
+            self._refresh_head(name)
+        else:
+            self.register_table(name, t, columns=self._columns[name])
+        return self.spark.createDataFrame(
+            [(name, t.version, t.read().count())],
+            "table string, version long, rows long",
+        )
+
+    def _drop_table(self, name: str) -> DataFrame:
+        """``DROP TABLE t``: unregister from the facade (and the
+        catalog's mapping, when attached — its own catalog commit).
+        Data files stay on disk for time travel against the root; a
+        true purge is the table's vacuum."""
+        if self._txn is not None and name in self._catalog_names:
+            raise ValueError(
+                "DROP TABLE inside a transaction is not supported"
+            )
+        if name in self._catalog_names:
+            self._catalog.unregister(name)
+            self._catalog_names.discard(name)
+        self._tables.pop(name)
+        self._columns.pop(name, None)
+        self._head_version.pop(name, None)
+        self.spark.catalog.dropTempView(name)
+        return self.spark.createDataFrame([(name,)], "dropped string")

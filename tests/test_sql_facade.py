@@ -377,3 +377,65 @@ def test_facade_catalog_transactions(spark, tmp_path):
     f2 = SqlFacade(spark)
     with pytest.raises(ValueError, match="attach_catalog"):
         f2.sql("BEGIN")
+
+
+def test_facade_create_drop_restore_table_text(spark, tmp_path):
+    """CTAS materializes a lake table with derived upsert specs (DML
+    text works immediately), RESTORE TABLE rolls back as text, DROP
+    TABLE unregisters facade + catalog while history stays readable."""
+    from openverse_catalog_spark.operators.catalog import LakeCatalog
+
+    f = SqlFacade(spark, workdir=str(tmp_path / "work"))
+    f.register_df(
+        "src",
+        spark.createDataFrame(
+            [(1, "a", 1.5), (2, "b", 2.5)], "id bigint, s string, x double"
+        ),
+    )
+    out = f.sql(
+        "CREATE TABLE facts PRIMARY KEY (id) AS SELECT * FROM src"
+    ).head()
+    assert out["table"] == "facts" and out["rows"] == 2
+    f.sql("INSERT INTO facts SELECT id + 10 AS id, s, x + 1 AS x FROM src")
+    assert f.sql("SELECT count(*) AS n FROM facts").head()["n"] == 4
+    res = f.sql("RESTORE TABLE facts TO VERSION AS OF 1").head()
+    assert res["restored_from"] == 1
+    assert f.sql("SELECT count(*) AS n FROM facts").head()["n"] == 2
+    f.sql("DROP TABLE facts")
+    with pytest.raises(Exception):
+        f.sql("SELECT * FROM facts").collect()
+    # recreating at the dropped table's location is refused (files
+    # stay for time travel); a fresh LOCATION works
+    with pytest.raises(ValueError, match="already exists"):
+        f.sql("CREATE TABLE facts PRIMARY KEY (id) AS SELECT * FROM src")
+    f.sql(
+        f"CREATE TABLE facts PRIMARY KEY (id) "
+        f"LOCATION '{tmp_path / 'facts2'}' AS SELECT * FROM src"
+    )
+    with pytest.raises(ValueError, match="already exists"):
+        f.sql(
+            f"CREATE TABLE facts PRIMARY KEY (id) "
+            f"LOCATION '{tmp_path / 'facts3'}' AS SELECT * FROM src"
+        )
+    with pytest.raises(ValueError, match="PRIMARY KEY column"):
+        f.sql("CREATE TABLE o PRIMARY KEY (nope) AS SELECT * FROM src")
+    with pytest.raises(ValueError, match="workdir"):
+        SqlFacade(spark).sql(
+            "CREATE TABLE o PRIMARY KEY (id) AS SELECT * FROM src"
+        )
+
+    # catalog-attached CTAS registers through the catalog; DROP commits
+    # the unregistration, and the old catalog version still time-travels
+    cat = LakeCatalog.create(spark, str(tmp_path / "lake"))
+    fc = SqlFacade(spark, workdir=str(tmp_path / "work2"))
+    fc.attach_catalog(cat)
+    fc.register_df("src2", spark.range(3).select("id"))
+    fc.sql("CREATE TABLE dim PRIMARY KEY (id) AS SELECT id FROM src2")
+    v_with = cat.version
+    assert cat.read("dim").count() == 3
+    fc.sql("DELETE FROM dim WHERE id = 0")  # implicit txn advances pin
+    assert cat.read("dim").count() == 2
+    fc.sql("DROP TABLE dim")
+    with pytest.raises(KeyError):
+        cat.read("dim")
+    assert cat.read("dim", catalog_version=v_with).count() == 3
