@@ -180,6 +180,48 @@ class LakeCatalog:
     def transaction(self) -> "CatalogTransaction":
         return CatalogTransaction(self)
 
+    def vacuum_tables(
+        self,
+        keep_versions: int = 1,
+        retention_seconds: float = 3600.0,
+        catalog_history: int | None = None,
+    ) -> dict:
+        """Catalog-aware GC: vacuum every registered table while
+        PROTECTING each version any surviving catalog commit pins — a
+        bare ``table.vacuum()`` knows nothing about the catalog and
+        would happily delete the manifest the published snapshot (or a
+        time-travel target) resolves through, breaking ``read()`` for
+        the exact state transactions promised was durable.
+        ``catalog_history`` additionally drops catalog commits older
+        than the newest N (pins in dropped commits stop being
+        protected). Returns {table: deleted_file_count}."""
+        cur_v = self.version
+        versions = range(1, cur_v + 1)
+        if catalog_history is not None:
+            lo = max(1, cur_v - catalog_history + 1)
+            for v in range(1, lo):
+                path = f"{self._dir}/c{v}.json"
+                if os.path.exists(path):
+                    os.remove(path)
+            versions = range(lo, cur_v + 1)
+        pins: dict[str, set[int]] = {}
+        for v in versions:
+            try:
+                doc = self._load(v)
+            except FileNotFoundError:
+                continue
+            for name, e in doc["tables"].items():
+                pins.setdefault(name, set()).add(e["version"])
+        deleted = {}
+        for name, e in self._load(cur_v)["tables"].items():
+            t = CowTable(self.spark, e["root"], keys=tuple(e["keys"]))
+            deleted[name] = len(t.vacuum(
+                keep_versions=keep_versions,
+                retention_seconds=retention_seconds,
+                protect=tuple(sorted(pins.get(name, ()))),
+            ))
+        return deleted
+
     def recover(self) -> dict:
         """Durably abort torn transactions: restore every registered
         table whose head drifted past its pinned version. Run at

@@ -2659,11 +2659,18 @@ class CowTable:
         }
 
     def vacuum(
-        self, keep_versions: int = 1, retention_seconds: float = 3600.0
+        self,
+        keep_versions: int = 1,
+        retention_seconds: float = 3600.0,
+        protect: tuple[int, ...] = (),
     ) -> list[str]:
         """Drop manifests older than the newest ``keep_versions`` and
         delete data files no surviving manifest references. Returns the
-        deleted file paths.
+        deleted file paths. ``protect`` pins extra versions OUTSIDE the
+        keep window (a lake catalog's published snapshots — see
+        LakeCatalog.vacuum_tables); each survives with its own
+        checkpoint side file so resolution never needs a dropped
+        segment chain.
 
         CONCURRENT-WRITER SAFETY (Delta's VACUUM retention): files that
         were referenced by a now-vacuumed manifest are committed history
@@ -2689,6 +2696,16 @@ class CowTable:
         # the table to a vacuumed (unreadable) version
         self._advance_pointer(current)
         keep = {current - i for i in range(keep_versions)}
+        existing = {
+            int(n.removeprefix("v").removesuffix(".json"))
+            for n in self._manifest_names()
+        }
+        protected = {v for v in protect if v in existing} - keep
+        for v in sorted(protected):
+            # a protected version below the window must resolve without
+            # its (about to be dropped) segment-chain parents
+            self._write_checkpoint(v)
+        keep |= protected
         # dropping a kept version's segment chain would break its
         # resolution — materialize the oldest kept version as a
         # checkpoint side file FIRST (idempotent), then every older

@@ -131,3 +131,43 @@ def test_unregistered_table_and_empty_txn(spark, cat):
     with cat.transaction():
         pass  # no touched tables -> no catalog commit
     assert cat.version == v0
+
+
+def test_catalog_vacuum_protects_pinned_versions(spark, cat):
+    """The table head advances far past the published pin; catalog-
+    aware vacuum drops unpinned history but every surviving catalog
+    commit's snapshot stays readable — including below-window pins,
+    which get their own checkpoints."""
+    img = cat.table("img")
+    v_pin0 = cat.version  # pins img@1
+    with cat.transaction() as txn:
+        # TWO commits in one txn: only the final one (v3) is published,
+        # so the intermediate v2 is committed-but-unpinned history
+        txn.table("img").merge(rows(spark, (3, 30)), COLS,
+                               deterministic=True)
+        txn.table("img").merge(rows(spark, (4, 40)), COLS,
+                               deterministic=True)
+    v_pin1 = cat.version  # pins img@3
+    with cat.transaction() as txn:
+        txn.table("img").merge(rows(spark, (5, 50)), COLS,
+                               deterministic=True)
+    assert img.version == 4
+    deleted = cat.vacuum_tables(keep_versions=1, retention_seconds=0,
+                                catalog_history=None)
+    assert set(deleted) == {"img", "aud"}
+    # every catalog commit still resolves, including the below-window pins
+    assert vals(cat.read("img", catalog_version=v_pin0)) == {1: 10, 2: 20}
+    assert vals(cat.read("img", catalog_version=v_pin1)) == {
+        1: 10, 2: 20, 3: 30, 4: 40}
+    assert vals(cat.read("img"))[5] == 50
+    # the UNPINNED intermediate version was actually vacuumed
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        img._manifest(2)
+
+    # trimming catalog history unprotects old pins on the next vacuum
+    cat.vacuum_tables(keep_versions=1, retention_seconds=0,
+                      catalog_history=1)
+    with _pytest.raises(FileNotFoundError):
+        cat.read("img", catalog_version=v_pin0)
+    assert vals(cat.read("img"))[5] == 50
