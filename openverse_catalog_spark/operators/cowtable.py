@@ -73,6 +73,16 @@ class CommitConflict(RuntimeError):
     ``max_retries``)."""
 
 
+#: Reader feature gate (Delta's minReaderVersion, spelled as feature
+#: flags): every commit records which OPTIONAL read-path capabilities
+#: its snapshot needs ("dv" = deletion-vector anti-apply,
+#: "column_mapping" = physical->logical name translation). A reader
+#: built before a feature existed REFUSES the table with a clear error
+#: instead of silently returning wrong rows (deleted rows resurrected,
+#: physical column names leaked) — forward compatibility as a hard gate.
+READER_FEATURES = frozenset({"dv", "column_mapping"})
+
+
 def _file_stats(
     spark: SparkSession,
     dir_path: str,
@@ -527,6 +537,14 @@ class CowTable:
                     if k not in ("base", "add", "remove")
                 }
                 m["files"] = sorted(files, key=lambda e: e["path"])
+        unknown = set(m.get("reader_features") or ()) - READER_FEATURES
+        if unknown:
+            raise ValueError(
+                f"table {self.root} version {v} requires reader features "
+                f"{sorted(unknown)} this engine does not implement; "
+                "upgrade before reading (refusing beats silently wrong "
+                "results)"
+            )
         self._resolved[v] = m
         return m
 
@@ -576,6 +594,14 @@ class CowTable:
             "dropped_cols": list(self.dropped_cols),
             "schema": schema_json,
             "rows": sum(e["rows"] for e in entries),
+            "reader_features": sorted(
+                ({"dv"} if any(e.get("dv") for e in entries) else set())
+                | (
+                    {"column_mapping"}
+                    if self.column_mapping or self.dropped_cols
+                    else set()
+                )
+            ),
         }
         if version == 1 or version % self.checkpoint_interval == 0:
             manifest["files"] = entries

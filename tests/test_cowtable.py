@@ -2055,3 +2055,38 @@ def test_merge_batch_with_row_grain_keys_coarsens_boxes(spark, tmp_path):
         F.sum(F.when(F.col("v") == -1, 1).otherwise(0)).alias("updated"),
     ).head()
     assert got["n"] == n and got["updated"] == n // 2
+
+
+def test_reader_feature_gate(spark, tmp_path):
+    """Commits record the optional read-path features their snapshot
+    needs (dv / column_mapping); a manifest demanding a feature this
+    engine lacks is REFUSED with a clear error instead of silently
+    mis-read — and feature flags drop back off when the capability is
+    no longer needed."""
+    import pytest
+
+    base = spark.createDataFrame(
+        [(i, i * 10) for i in range(40)], "id bigint, val bigint"
+    )
+    t = CowTable.create(spark, str(tmp_path / "t"), base, keys=("id",),
+                        target_files=2)
+    assert t._manifest(1).get("reader_features") == []
+    t.delete(F.col("id") < 5, mode="dv")
+    assert t._manifest(2)["reader_features"] == ["dv"]
+    t.rename_column("val", "score")
+    assert "column_mapping" in t._manifest(3)["reader_features"]
+    # compaction materializes DVs away -> "dv" drops off the new commit
+    t.compact(target_rows=1_000_000)
+    assert "dv" not in t._manifest(t.version)["reader_features"]
+
+    # a future writer's manifest: refuse, with the feature named
+    m = dict(t._raw_manifest(t.version))
+    m["version"] = t.version + 1
+    m["reader_features"] = ["dv", "vector_index_v9"]
+    with open(f"{t.root}/manifests/v{m['version']}.json", "w") as f:
+        json.dump(m, f, default=str)
+    fresh = CowTable(spark, t.root, keys=("id",))
+    with pytest.raises(ValueError, match="vector_index_v9"):
+        fresh.read()
+    # older versions (not requiring the unknown feature) still read
+    assert fresh.read(1).count() == 40
