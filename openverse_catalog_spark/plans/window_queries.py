@@ -418,3 +418,194 @@ def window_gapfill_interpolate(spark, sf_dir):
             F.col("e.src").alias("src"),
         )
     )
+
+
+# --- event funnel / cohort retention / counter rate ------------------------
+
+
+@register(
+    "agg_event_funnel",
+    f"""
+    WITH ev AS (SELECT user_id, epoch_us(ts) AS t, event_type
+                FROM events WHERE user_id IS NOT NULL),
+    u AS (SELECT DISTINCT user_id FROM ev),
+    s1 AS (SELECT user_id, min(t) AS t1 FROM ev
+           WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(e.t) AS t2
+           FROM ev e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.t > s1.t1
+             AND e.t <= s1.t1 + {_7D_US}
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(e.t) AS t3
+           FROM ev e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.t > s2.t2
+             AND e.t <= s1.t1 + {_7D_US}
+           GROUP BY e.user_id),
+    lv AS (SELECT u.user_id,
+                  CASE WHEN s3.user_id IS NOT NULL THEN 3
+                       WHEN s2.user_id IS NOT NULL THEN 2
+                       WHEN s1.user_id IS NOT NULL THEN 1
+                       ELSE 0 END AS level
+           FROM u LEFT JOIN s1 USING (user_id)
+                  LEFT JOIN s2 USING (user_id)
+                  LEFT JOIN s3 USING (user_id))
+    SELECT level, count(*) AS users FROM lv GROUP BY level
+    """,
+)
+def agg_event_funnel(spark, sf_dir):
+    """Ordered-step FUNNEL (ClickHouse's windowFunnel, Amplitude's core
+    query): per user, the deepest signup -> click -> purchase prefix
+    completed IN ORDER within 7 days of the signup. Spark-first shape:
+    ONE groupBy(user) collects the user's (ts, step) events sorted
+    in-row, and a single aggregate() fold walks them — no self-joins,
+    no per-step shuffle; a user's funnel state is 3 longs regardless of
+    event count. The oracle computes the same levels via chained
+    min()-CTEs (provably equivalent: each fold step takes the first
+    qualifying event in time order, which IS that step's min), so a
+    pass pins the fold against an independent formulation. SCALE: one
+    keyed shuffle; per-task state bounded by the largest single user's
+    events."""
+    ev = (
+        _t(spark, sf_dir, "events")["events"]
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("t"),
+            F.when(F.col("event_type") == "signup", 1)
+            .when(F.col("event_type") == "click", 2)
+            .when(F.col("event_type") == "purchase", 3)
+            .otherwise(0)
+            .alias("step"),
+        )
+    )
+    evs = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("t"), F.col("step")))
+        ).alias("evs")
+    )
+    state0 = F.struct(
+        F.lit(None).cast("long").alias("t1"),
+        F.lit(None).cast("long").alias("t2"),
+        F.lit(None).cast("long").alias("t3"),
+    )
+
+    def fold(acc, e):
+        deadline = acc["t1"] + F.lit(_7D_US)
+        take1 = acc["t1"].isNull() & (e["step"] == 1)
+        take2 = (
+            acc["t1"].isNotNull() & acc["t2"].isNull()
+            & (e["step"] == 2) & (e["t"] > acc["t1"]) & (e["t"] <= deadline)
+        )
+        take3 = (
+            acc["t2"].isNotNull() & acc["t3"].isNull()
+            & (e["step"] == 3) & (e["t"] > acc["t2"]) & (e["t"] <= deadline)
+        )
+        return F.struct(
+            F.when(take1, e["t"]).otherwise(acc["t1"]).alias("t1"),
+            F.when(take2, e["t"]).otherwise(acc["t2"]).alias("t2"),
+            F.when(take3, e["t"]).otherwise(acc["t3"]).alias("t3"),
+        )
+
+    done = evs.select(
+        "user_id", F.aggregate(F.col("evs"), state0, fold).alias("f")
+    ).select(
+        F.when(F.col("f.t3").isNotNull(), 3)
+        .when(F.col("f.t2").isNotNull(), 2)
+        .when(F.col("f.t1").isNotNull(), 1)
+        .otherwise(0)
+        .alias("level")
+    )
+    return done.groupBy("level").agg(F.count(F.lit(1)).alias("users"))
+
+
+@register(
+    "agg_cohort_retention",
+    """
+    WITH ev AS (SELECT user_id,
+                       CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS wk
+                FROM events WHERE user_id IS NOT NULL),
+    cohort AS (SELECT user_id, min(wk) AS wk0 FROM ev GROUP BY user_id)
+    SELECT c.wk0 AS cohort_week,
+           e.wk - c.wk0 AS weeks_since,
+           count(DISTINCT e.user_id) AS active_users
+    FROM ev e JOIN cohort c USING (user_id)
+    GROUP BY c.wk0, e.wk - c.wk0
+    """,
+)
+def agg_cohort_retention(spark, sf_dir):
+    """COHORT RETENTION matrix: users grouped by first-activity week,
+    counted distinct in each subsequent week — the engagement triangle
+    every analytics stack draws. Week indices are pure integer
+    arithmetic on epoch micros (no calendar/timezone function to
+    disagree on). Shape: one groupBy(user) for cohorts (broadcast back
+    — it is one row per user), one grouped countDistinct; both shuffles
+    partial-aggregate map-side."""
+    ev = (
+        _t(spark, sf_dir, "events")["events"]
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            (F.unix_micros("ts") / F.lit(604800000000))
+            .cast("long").alias("wk"),
+        )
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("wk").alias("wk0"))
+    return (
+        ev.join(F.broadcast(cohort), on="user_id")
+        .groupBy(
+            F.col("wk0").alias("cohort_week"),
+            (F.col("wk") - F.col("wk0")).alias("weeks_since"),
+        )
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+
+
+@register(
+    "window_counter_rate",
+    """
+    WITH ord AS (SELECT user_id, value,
+                        lag(value) OVER (PARTITION BY user_id
+                                         ORDER BY epoch_us(ts), event_id)
+                          AS prev
+                 FROM events
+                 WHERE user_id IS NOT NULL AND value IS NOT NULL)
+    SELECT user_id,
+           round(sum(CASE WHEN prev IS NULL THEN 0
+                          WHEN value >= prev THEN value - prev
+                          ELSE value END), 6) AS total_increase,
+           count(CASE WHEN prev IS NOT NULL AND value < prev THEN 1 END)
+             AS resets
+    FROM ord GROUP BY user_id
+    """,
+)
+def window_counter_rate(spark, sf_dir):
+    """MONOTONIC-COUNTER delta with reset detection (Timescale's
+    counter_agg, Prometheus's increase()): per user, total counter
+    increase where a value drop means the counter restarted from zero
+    (the drop contributes the new value, not a negative delta). One
+    window shuffle keyed by user, ties broken by event_id so the lag
+    order — and therefore every delta — is deterministic across
+    partitionings and engines."""
+    from pyspark.sql import Window as W
+
+    ev = (
+        _t(spark, sf_dir, "events")["events"]
+        .filter(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+        .select("user_id", "event_id", "value",
+                F.unix_micros("ts").alias("t"))
+    )
+    w = W.partitionBy("user_id").orderBy("t", "event_id")
+    d = ev.withColumn("prev", F.lag("value").over(w))
+    inc = (
+        F.when(F.col("prev").isNull(), F.lit(0.0))
+        .when(F.col("value") >= F.col("prev"),
+              F.col("value") - F.col("prev"))
+        .otherwise(F.col("value"))
+    )
+    reset = (
+        F.col("prev").isNotNull() & (F.col("value") < F.col("prev"))
+    ).cast("long")
+    return d.groupBy("user_id").agg(
+        F.round(F.sum(inc), 6).alias("total_increase"),
+        F.sum(reset).alias("resets"),
+    )
