@@ -369,3 +369,23 @@ def test_pruned_popularity_refresh_upserts_redelivered_ids(spark, tmp_path):
     got = {r["event_id"]: r["metric"] for r in alpha.collect()}
     assert alpha.count() == 31  # 30 prior + 1 new, NOT 32
     assert got[0] == 99.0  # the batch's value won
+
+
+def test_event_funnel_single_shuffle_no_self_join(spark, sf_dir):
+    """The funnel must stay one keyed shuffle + a row-local fold — a
+    refactor that reintroduces per-step self-joins shows up as extra
+    exchanges or join nodes."""
+    from openverse_catalog_spark.plans import window_queries  # noqa: F401
+
+    plan = _plan(QUERIES["agg_event_funnel"](spark, sf_dir))
+    # groupBy(user) + final groupBy(level): two hash exchanges max
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Join" not in plan
+
+
+def test_cohort_retention_broadcasts_cohort_map(spark, sf_dir):
+    from openverse_catalog_spark.plans import window_queries  # noqa: F401
+
+    plan = _plan(QUERIES["agg_cohort_retention"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
