@@ -169,6 +169,10 @@ HEADLINE = [
     "sketch_kmv_setops",
     "sketch_quantile_sample",
     "sql_catalog_txn",
+    "agg_event_funnel",
+    "agg_cohort_retention",
+    "window_counter_rate",
+    "sql_ctas_restore",
 ]
 
 
