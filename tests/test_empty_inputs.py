@@ -156,3 +156,21 @@ def test_adaptive_slices_and_reingestion_empty_tiers():
     assert reingestion_day_shifts([]) == []
     assert reingestion_dates("2024-01-01", []) == [["2024-01-01"]]
     assert reingestion_day_shifts([(1, 0), (7, 0)]) == []
+
+
+def test_kmv_and_quantile_sample_empty_inputs(spark):
+    from openverse_catalog_spark.operators import sketches as sk
+
+    empty = spark.createDataFrame([], "uid string")
+    s = sk.kmv_build(empty, "uid", 32)
+    assert s.count() == 0
+    assert sk.kmv_estimate(s, 32) == 0.0
+    assert sk.kmv_intersect_estimate(s, s, 32) == 0.0
+    # merge with a non-empty side degrades to that side's sketch
+    other = sk.kmv_build(
+        spark.createDataFrame([("a",), ("b",)], "uid string"), "uid", 32
+    )
+    assert sk.kmv_estimate(sk.kmv_merge(s, other, 32), 32) == 2.0
+    # all-NULL column: every row excluded, same as empty
+    nulls = spark.createDataFrame([(None,), (None,)], "uid string")
+    assert sk.kmv_build(nulls, "uid", 32).count() == 0
