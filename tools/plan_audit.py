@@ -113,6 +113,18 @@ AUDIT = [
         "no doc-pair row is ever materialized.",
     ),
     (
+        "agg_event_funnel",
+        "Ordered-step funnel with NO self-joins: one groupBy(user) "
+        "collects the sorted event list, a row-local aggregate() fold "
+        "walks it, and only the 4-row level histogram shuffles again.",
+    ),
+    (
+        "classifier_logreg_score",
+        "Model scoring is a pure SELECT against the weight literals: "
+        "no exchange, no UDF — the probability filter a curation "
+        "pipeline adds would push down with the scan.",
+    ),
+    (
         "dedup_cross_corpus_bloom",
         "The seen-side never shuffles as keys: it folds into a bloom "
         "bitmap (chunked map-side OR-merge), the batch probes the "
