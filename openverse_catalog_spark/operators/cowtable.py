@@ -2578,6 +2578,83 @@ class CowTable:
             "relinked": relinked,
         }
 
+    def analyze(
+        self,
+        cols: list[str] | None = None,
+        approx: bool = False,
+    ) -> dict:
+        """ANALYZE TABLE: per-column NDV / null count / min / max plus
+        the row count, computed in ONE aggregation pass over the
+        current snapshot and stored VERSION-PINNED beside the log
+        (``stats/v<N>.json``, tmp+rename) — the cost-based inputs the
+        reference gets from Postgres's autoanalyze (pg_stats drives its
+        query plans) and Spark's CBO reads from the catalog. A planner
+        (or a human) uses them for the broadcast-vs-shuffle call: an
+        NDV-bounded dim under the broadcast threshold is the
+        ``read_join_pruned`` / ``F.broadcast`` candidate.
+
+        ``approx=False`` (default) uses exact count(DISTINCT) — still
+        one pass, but NDV state is per-column distinct sets; at true
+        100 TB switch ``approx=True`` (HyperLogLog++
+        approx_count_distinct, bounded state, same plan shape). Stats
+        describe the snapshot they were computed at; ``stats()``
+        returns the newest at-or-below the asked version so time-travel
+        readers never see future statistics."""
+        df = self.read()
+        if cols is None:
+            cols = [f.name for f in df.schema.fields]
+        ndv = (
+            F.approx_count_distinct if approx else F.countDistinct
+        )
+        aggs: list = [F.count(F.lit(1)).alias("__rows")]
+        for c in cols:
+            aggs += [
+                ndv(F.col(c)).alias(f"__ndv_{c}"),
+                F.sum(F.col(c).isNull().cast("long")).alias(f"__nul_{c}"),
+                F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+                F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+            ]
+        row = df.agg(*aggs).head()
+        v = self.version
+        doc = {
+            "version": v,
+            "rows": int(row["__rows"]),
+            "approx": bool(approx),
+            "columns": {
+                c: {
+                    "ndv": int(row[f"__ndv_{c}"]),
+                    "nulls": int(row[f"__nul_{c}"]),
+                    "min": row[f"__min_{c}"],
+                    "max": row[f"__max_{c}"],
+                }
+                for c in cols
+            },
+        }
+        os.makedirs(f"{self.root}/stats", exist_ok=True)
+        tmp = f"{self.root}/stats/.tmp.{uuid.uuid4().hex}.json"
+        with open(tmp, "w") as f:
+            json.dump(doc, f, indent=1)
+        os.replace(tmp, f"{self.root}/stats/v{v}.json")
+        return doc
+
+    def stats(self, version: int | None = None) -> dict | None:
+        """The newest ANALYZE result at-or-below ``version`` (default:
+        the current head), or None if the table was never analyzed."""
+        v = self.version if version is None else version
+        sdir = f"{self.root}/stats"
+        if not os.path.isdir(sdir):
+            return None
+        best = None
+        for n in os.listdir(sdir):
+            if n.startswith("v") and n.endswith(".json") and n[1:-5].isdigit():
+                sv = int(n[1:-5])
+                if sv <= v and (best is None or sv > best):
+                    best = sv
+        if best is None:
+            return None
+        with open(f"{sdir}/v{best}.json") as f:
+            return json.load(f)
+
     def maintain(
         self,
         target_rows: int = 1_000_000,

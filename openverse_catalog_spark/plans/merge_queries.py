@@ -2054,3 +2054,58 @@ def sql_ctas_restore(spark, sf_dir):
     f.sql("UPDATE custbal SET bal = -999.0")  # the bad deploy
     f.sql("RESTORE TABLE custbal TO VERSION AS OF 2")
     return f.sql("SELECT id, name, bal FROM custbal")
+
+
+@register(
+    "sql_analyze_stats",
+    """
+    WITH src AS (SELECT c_custkey AS id, c_name AS name,
+                        c_nationkey AS nat
+                 FROM customer WHERE c_custkey % 2 = 0)
+    SELECT 'id' AS column, count(DISTINCT id) AS ndv,
+           count(*) FILTER (WHERE id IS NULL) AS nulls,
+           CAST(min(id) AS VARCHAR) AS min_val,
+           CAST(max(id) AS VARCHAR) AS max_val,
+           count(*) AS rows FROM src
+    UNION ALL
+    SELECT 'name', count(DISTINCT name),
+           count(*) FILTER (WHERE name IS NULL),
+           CAST(min(name) AS VARCHAR), CAST(max(name) AS VARCHAR),
+           count(*) FROM src
+    UNION ALL
+    SELECT 'nat', count(DISTINCT nat),
+           count(*) FILTER (WHERE nat IS NULL),
+           CAST(min(nat) AS VARCHAR), CAST(max(nat) AS VARCHAR),
+           count(*) FROM src
+    """,
+)
+def sql_analyze_stats(spark, sf_dir):
+    """``ANALYZE TABLE`` as text: per-column NDV / nulls / min / max +
+    row count in ONE aggregation pass, stored version-pinned beside the
+    log (cowtable.py:analyze) — the cost-based-optimizer inputs the
+    reference gets from Postgres autoanalyze (pg_stats). The default is
+    exact count(DISTINCT) so the oracle matches bit-for-bit; the
+    approx=True HLL path (same plan shape, bounded state — the 100 TB
+    mode) is error-bound-pinned in tests instead. SCALE NOTE: the
+    broadcast-vs-shuffle decision read_join_pruned and F.broadcast
+    callers make is exactly what these NDVs feed."""
+    import os
+    import shutil
+    import tempfile
+
+    from openverse_catalog_spark.operators.cowtable import CowTable
+    from openverse_catalog_spark.sql_facade import SqlFacade
+
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_analyze")
+    shutil.rmtree(root, ignore_errors=True)
+    src = _t(spark, sf_dir, "customer")["customer"].filter(
+        F.col("c_custkey") % 2 == 0
+    ).select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nat"),
+    )
+    t = CowTable.create(spark, root, src, keys=("id",), target_files=4)
+    f = SqlFacade(spark)
+    f.register_table("custstats", t)
+    return f.sql("ANALYZE TABLE custstats COMPUTE STATISTICS")

@@ -145,6 +145,10 @@ _BEGIN_TXN = re.compile(
 )
 _COMMIT_TXN = re.compile(r"^\s*COMMIT\s*;?\s*$", re.IGNORECASE)
 _ROLLBACK_TXN = re.compile(r"^\s*ROLLBACK\s*;?\s*$", re.IGNORECASE)
+_ANALYZE = re.compile(
+    r"^\s*ANALYZE\s+TABLE\s+(\w+)(?:\s+COMPUTE\s+STATISTICS)?\s*$",
+    re.IGNORECASE,
+)
 _CREATE_TABLE = re.compile(
     r"^\s*CREATE\s+TABLE\s+(\w+)\s+PRIMARY\s+KEY\s*\(([\w\s,]+?)\)\s+"
     r"(?:LOCATION\s+'([^']+)'\s+)?AS\s+(.+)$",
@@ -542,6 +546,19 @@ class SqlFacade:
             res = target.delete(cond)
             finalize()
             return self._summary(res)
+        m = _ANALYZE.match(text)
+        if m and m.group(1) in self._tables:
+            doc = self._tables[m.group(1)].analyze()
+            rows = [
+                (c, st["ndv"], st["nulls"], st["min"], st["max"],
+                 doc["rows"])
+                for c, st in doc["columns"].items()
+            ]
+            return self.spark.createDataFrame(
+                rows,
+                "column string, ndv long, nulls long, min_val string, "
+                "max_val string, rows long",
+            )
         m = _DESCRIBE_HISTORY.match(text)
         if m and m.group(1) in self._tables:
             hist = self._tables[m.group(1)].history()

@@ -2090,3 +2090,33 @@ def test_reader_feature_gate(spark, tmp_path):
         fresh.read()
     # older versions (not requiring the unknown feature) still read
     assert fresh.read(1).count() == 40
+
+
+def test_analyze_stats_version_pinned_and_approx(spark, tmp_path):
+    """ANALYZE stores stats pinned to the analyzed version (time-travel
+    readers never see future stats); the HLL path lands within its
+    documented error envelope."""
+    base = spark.createDataFrame(
+        [(i, f"u{i % 7}", None if i % 5 == 0 else i * 2)
+         for i in range(500)],
+        "id bigint, grp string, val bigint",
+    )
+    t = CowTable.create(spark, str(tmp_path / "t"), base, keys=("id",),
+                        target_files=2)
+    assert t.stats() is None
+    doc = t.analyze()
+    assert doc["rows"] == 500
+    assert doc["columns"]["grp"]["ndv"] == 7
+    assert doc["columns"]["val"]["nulls"] == 100
+    assert doc["columns"]["id"]["min"] == "0"
+    # churn past the analyzed version: old stats still served (stale,
+    # version-pinned), and a re-analyze at head supersedes them
+    t.delete(F.col("id") >= 250)
+    assert t.stats()["rows"] == 500  # v1 stats, newest <= head
+    doc2 = t.analyze()
+    assert doc2["rows"] == 250 and t.stats()["rows"] == 250
+    assert t.stats(version=1)["rows"] == 500  # time travel
+    # approx NDV within ~5% (HLL++ default rsd 0.05, one fixed dataset)
+    apx = t.analyze(approx=True)
+    exact = doc2["columns"]["id"]["ndv"]
+    assert abs(apx["columns"]["id"]["ndv"] - exact) <= max(3, exact * 0.1)
