@@ -145,6 +145,7 @@ _BEGIN_TXN = re.compile(
 )
 _COMMIT_TXN = re.compile(r"^\s*COMMIT\s*;?\s*$", re.IGNORECASE)
 _ROLLBACK_TXN = re.compile(r"^\s*ROLLBACK\s*;?\s*$", re.IGNORECASE)
+_SHOW_TABLES = re.compile(r"^\s*SHOW\s+TABLES\s*$", re.IGNORECASE)
 _ANALYZE = re.compile(
     r"^\s*ANALYZE\s+TABLE\s+(\w+)(?:\s+COMPUTE\s+STATISTICS)?\s*$",
     re.IGNORECASE,
@@ -546,6 +547,20 @@ class SqlFacade:
             res = target.delete(cond)
             finalize()
             return self._summary(res)
+        if _SHOW_TABLES.match(text):
+            rows = []
+            for name in sorted(self._tables):
+                kind = (
+                    "catalog" if name in self._catalog_names else "lake"
+                )
+                pinned = self._head_version.get(name)
+                rows.append((name, kind,
+                             -1 if pinned is None else pinned,
+                             self._tables[name].root))
+            return self.spark.createDataFrame(
+                rows, "table string, kind string, version long, "
+                      "location string",
+            )
         m = _ANALYZE.match(text)
         if m and m.group(1) in self._tables:
             doc = self._tables[m.group(1)].analyze()

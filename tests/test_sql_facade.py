@@ -439,3 +439,15 @@ def test_facade_create_drop_restore_table_text(spark, tmp_path):
     with pytest.raises(KeyError):
         cat.read("dim")
     assert cat.read("dim", catalog_version=v_with).count() == 3
+
+
+def test_facade_show_tables(spark, tmp_path):
+    t = CowTable.create(
+        spark, str(tmp_path / "tbl"), mk(spark, _base_rows()), target_files=2
+    )
+    f = SqlFacade(spark)
+    f.register_table("media", t, columns=COLS)
+    rows = {r["table"]: r for r in f.sql("SHOW TABLES").collect()}
+    assert rows["media"]["kind"] == "lake"
+    assert rows["media"]["version"] == 1
+    assert rows["media"]["location"].endswith("tbl")
