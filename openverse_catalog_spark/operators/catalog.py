@@ -245,9 +245,13 @@ class TxnTable:
     concurrent writer's later head, which ``table.version`` (the
     shared pointer) would leak."""
 
-    def __init__(self, table: CowTable):
+    def __init__(self, table: CowTable, snapshot_version: int):
         self._table = table
-        self.published_version = table.version
+        # start from the SNAPSHOT pin, not the shared head: a touched-
+        # but-unmutated table must re-publish its pinned version, never
+        # whatever a concurrent writer (or a torn txn's orphan) pushed
+        # the head to in the meantime
+        self.published_version = snapshot_version
 
     def __getattr__(self, name):
         attr = getattr(self._table, name)
@@ -290,7 +294,8 @@ class CatalogTransaction:
                 f"c{self._snap['version']}"
             )
         t = TxnTable(
-            CowTable(self.catalog.spark, e["root"], keys=tuple(e["keys"]))
+            CowTable(self.catalog.spark, e["root"], keys=tuple(e["keys"])),
+            snapshot_version=e["version"],
         )
         self._touched[name] = t
         return t
