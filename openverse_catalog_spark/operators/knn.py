@@ -1008,14 +1008,25 @@ def ivf_index_upsert(
 # -- IVF-PQ: product-quantized inverted lists --------------------------------
 
 
-def _pq_codebooks(base, id_col: str, vec_col: str, m: int, codebook_mod: int):
+def _pq_codebooks(
+    base, id_col: str, vec_col: str, m: int, codebook_mod: int,
+    c_mat=None,
+):
     """Deterministic sampled PQ codebooks: the NORMALIZED sub-vectors of
     every ``id % codebook_mod == 0`` corpus vector, one codebook per
     subspace, codewords ordered by source id (ordinal code = id rank).
     This is the k-means++-style init alone — production would Lloyd-
     refine each codebook with operators/clustering.kmeans_assign, but a
     sampled codebook keeps every later step exactly replayable by the
-    SQL oracle, which is how this engine pins ANN correctness."""
+    SQL oracle, which is how this engine pins ANN correctness.
+
+    With ``c_mat`` (the normalized IVF centroid matrix) the codebooks
+    train on RESIDUALS ``x - c(x)`` instead of raw vectors — FAISS's
+    IVFPQ encoding: within one inverted list all vectors share a
+    centroid, so the residual distribution is tighter than the raw one
+    and the same code budget quantizes it with less error."""
+    import numpy as np
+
     pdf = (
         base.filter(F.col(id_col) % codebook_mod == 0)
         .select(id_col, vec_col)
@@ -1028,6 +1039,9 @@ def _pq_codebooks(base, id_col: str, vec_col: str, m: int, codebook_mod: int):
             "PQ codebook exceeds the broadcast cap; raise codebook_mod"
         )
     ids, mat = _stack_normalized(pdf, id_col, vec_col)
+    if c_mat is not None:
+        best = (mat @ c_mat.T).argmax(axis=1)
+        mat = mat - c_mat[best]
     n_k, dim = mat.shape
     if dim % m:
         raise ValueError(f"vector dim {dim} not divisible by pq_m={m}")
@@ -1059,6 +1073,7 @@ def ivf_pq_build_index(
     pq_m: int = 8,
     codebook_mod: int = 25,
     index_files: int = 8,
+    residual: bool = False,
 ) -> dict:
     """IVF-PQ index build (FAISS's IVFPQ, the 100 TB ANN shape): the
     inverted lists store each vector as ``pq_m`` ONE-BYTE-SCALE codes
@@ -1086,7 +1101,10 @@ def ivf_pq_build_index(
             "raise centroid_mod"
         )
     c_ids, c_mat = _stack_normalized(cent_pdf, id_col, vec_col)
-    cb_ids, cb = _pq_codebooks(base, id_col, vec_col, pq_m, codebook_mod)
+    cb_ids, cb = _pq_codebooks(
+        base, id_col, vec_col, pq_m, codebook_mod,
+        c_mat=c_mat if residual else None,
+    )
     bc = spark.sparkContext.broadcast((c_ids, c_mat, cb))
 
     def assign_gen(batches):
@@ -1098,7 +1116,8 @@ def ivf_pq_build_index(
                 continue
             ids, mat = _stack_normalized(pdf, id_col, vec_col)
             best = (mat @ b_c_mat.T).argmax(axis=1)
-            codes = _pq_encode(mat, b_cb)
+            enc = mat - b_c_mat[best] if residual else mat
+            codes = _pq_encode(enc, b_cb)
             yield pd.DataFrame(
                 {
                     "neighbor_id": ids,
@@ -1128,11 +1147,15 @@ def ivf_pq_build_index(
     spark.createDataFrame(
         rows, "subspace int, code int, source_id long, subvector array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    spark.createDataFrame(
+        [(bool(residual), pq_m)], "residual boolean, pq_m int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
     return {
         "path": path,
         "centroids": int(len(c_ids)),
         "codewords": int(cb.shape[0]),
         "pq_m": pq_m,
+        "residual": bool(residual),
     }
 
 
@@ -1166,6 +1189,13 @@ def ivf_pq_probe_index(
         .sort_values("centroid_id")
     )
     c_ids, c_mat = _stack_normalized(cent_pdf, "centroid_id", "vector")
+    import os as _os
+
+    residual = False
+    if _os.path.isdir(f"{path}/meta"):
+        residual = bool(
+            spark.read.parquet(f"{path}/meta").head()["residual"]
+        )
     cb_pdf = spark.read.parquet(f"{path}/codebooks").toPandas()
     pq_m = int(cb_pdf["subspace"].max()) + 1
     n_k = int(cb_pdf["code"].max()) + 1
@@ -1213,7 +1243,7 @@ def ivf_pq_probe_index(
         import numpy as np
         import pandas as pd
 
-        _, _, b_cb = bc.value
+        b_c_ids, b_c_mat, b_cb = bc.value
         m = b_cb.shape[1]
         for pdf in batches:
             if len(pdf) == 0:
@@ -1224,6 +1254,16 @@ def ivf_pq_probe_index(
             codes = np.stack(pdf["codes"].to_numpy()).astype("int64")
             cw = b_cb[codes, np.arange(m)[None, :]]  # (B, m, dsub)
             adc = np.einsum("bmd,bmd->b", qsub, cw)
+            if residual:
+                # codes quantize x - c(x): add back the query-centroid
+                # dot so adc approximates dot(q, x) = dot(q, c) +
+                # dot(q, residual)
+                pos = np.searchsorted(
+                    b_c_ids, pdf["centroid_id"].to_numpy()
+                )
+                adc = adc + np.einsum(
+                    "bd,bd->b", qmat, b_c_mat[pos]
+                )
             yield pd.DataFrame(
                 {
                     "query_id": pdf["query_id"],
@@ -1232,7 +1272,9 @@ def ivf_pq_probe_index(
                 }
             )
 
-    scored = cand.select("query_id", "neighbor_id", "codes", "__qv").mapInPandas(
+    scored = cand.select(
+        "query_id", "neighbor_id", "centroid_id", "codes", "__qv"
+    ).mapInPandas(
         adc_gen, "query_id long, neighbor_id long, adc double"
     )
     ws = Window.partitionBy("query_id").orderBy(

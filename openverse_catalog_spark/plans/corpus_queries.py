@@ -2464,13 +2464,54 @@ def _ivf_pq_oracle(
     query_filter: str = "vec_id % 20 = 0",
     shortlist: int = 10,
     k: int = 3,
+    residual: bool = False,
 ) -> str:
     """DuckDB replay of the FULL IVF-PQ pipeline: normalized expansion,
     IVF assignment + probing (as _ivf_oracle), per-subspace codeword
     assignment (L2, d2 rounded to 9 before the argmin tiebreak —
     matching _pq_encode), ADC scoring as the sum of per-subspace
-    query-codeword dots, shortlist by round(adc, 9), exact re-rank."""
+    query-codeword dots, shortlist by round(adc, 9), exact re-rank.
+    ``residual=True`` replays the FAISS-style residual encoding: the
+    codebook sample and every corpus vector quantize ``x - c(x)`` (the
+    assigned normalized centroid subtracted), and ADC adds the
+    query-centroid dot back per probed list."""
     dsub = 64 // pq_m
+    if residual:
+        enc_src = """
+    ncx AS (SELECT vec_id AS centroid_id, i, x FROM nx
+            WHERE vec_id % {centroid_mod} = 0),
+    rx AS (SELECT v.vec_id, v.i, v.x - cn.x AS x
+           FROM nx v JOIN assign a ON a.neighbor_id = v.vec_id
+                     JOIN ncx cn ON cn.centroid_id = a.centroid_id
+                                AND cn.i = v.i),""".format(
+            centroid_mod=centroid_mod
+        )
+        enc_tbl = "rx"
+        cand_cols = "p.query_id, p.centroid_id, a.neighbor_id"
+        adc_final = f"""
+    adc0 AS (SELECT cand.query_id, cand.neighbor_id, cand.centroid_id,
+                    sum(q.x * c.x) AS cdot
+            FROM cand
+            JOIN codes kk ON kk.vec_id = cand.neighbor_id
+            JOIN cw c ON c.cw_id = kk.cw_id
+                     AND ((c.i - 1) // {dsub}) = kk.s
+            JOIN nx q ON q.vec_id = cand.query_id AND q.i = c.i
+            GROUP BY 1, 2, 3),
+    adc AS (SELECT a0.query_id, a0.neighbor_id, a0.cdot + x.c AS adc
+            FROM adc0 a0 JOIN acos x ON x.vec_id = a0.query_id
+                                    AND x.centroid_id = a0.centroid_id),"""
+    else:
+        enc_src = ""
+        enc_tbl = "nx"
+        cand_cols = "p.query_id, a.neighbor_id"
+        adc_final = f"""
+    adc AS (SELECT cand.query_id, cand.neighbor_id, sum(q.x * c.x) AS adc
+            FROM cand
+            JOIN codes kk ON kk.vec_id = cand.neighbor_id
+            JOIN cw c ON c.cw_id = kk.cw_id
+                     AND ((c.i - 1) // {dsub}) = kk.s
+            JOIN nx q ON q.vec_id = cand.query_id AND q.i = c.i
+            GROUP BY 1, 2),"""
     return f"""
     WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
     ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
@@ -2496,28 +2537,21 @@ def _ivf_pq_oracle(
                        row_number() OVER (PARTITION BY vec_id
                                           ORDER BY c DESC, centroid_id) AS r
                 FROM acos WHERE {query_filter}) WHERE r <= {nprobe}),
-    cand AS (SELECT p.query_id, a.neighbor_id
+    cand AS (SELECT {cand_cols}
              FROM probe p JOIN assign a USING (centroid_id)
-             WHERE p.query_id <> a.neighbor_id),
-    cw AS (SELECT vec_id AS cw_id, i, x FROM nx
+             WHERE p.query_id <> a.neighbor_id),{enc_src}
+    cw AS (SELECT vec_id AS cw_id, i, x FROM {enc_tbl}
            WHERE vec_id % {codebook_mod} = 0),
     pqd AS (SELECT v.vec_id, c.cw_id,
                    ((v.i - 1) // {dsub}) AS s,
                    sum((v.x - c.x) * (v.x - c.x)) AS d2
-            FROM nx v JOIN cw c ON v.i = c.i
+            FROM {enc_tbl} v JOIN cw c ON v.i = c.i
             GROUP BY 1, 2, 3),
     codes AS (SELECT vec_id, s, cw_id FROM (
                 SELECT vec_id, s, cw_id,
                        row_number() OVER (PARTITION BY vec_id, s
                                           ORDER BY round(d2, 9), cw_id) AS r
-                FROM pqd) WHERE r = 1),
-    adc AS (SELECT cand.query_id, cand.neighbor_id, sum(q.x * c.x) AS adc
-            FROM cand
-            JOIN codes kk ON kk.vec_id = cand.neighbor_id
-            JOIN cw c ON c.cw_id = kk.cw_id
-                     AND ((c.i - 1) // {dsub}) = kk.s
-            JOIN nx q ON q.vec_id = cand.query_id AND q.i = c.i
-            GROUP BY 1, 2),
+                FROM pqd) WHERE r = 1),{adc_final}
     short AS (SELECT query_id, neighbor_id FROM (
                 SELECT query_id, neighbor_id,
                        row_number() OVER (PARTITION BY query_id
@@ -2882,4 +2916,36 @@ def classifier_logreg_score(spark, sf_dir):
         F.when(F.col("prob") >= 0.5, 1).otherwise(0).cast("long").alias(
             "pred"
         ),
+    )
+
+
+@register("knn_ivf_pq_residual", _ivf_pq_oracle(residual=True))
+def knn_ivf_pq_residual(spark, sf_dir):
+    """RESIDUAL-encoded IVF-PQ (the full FAISS IVFPQ): codes quantize
+    ``x - c(x)`` — within one inverted list every vector shares its
+    centroid, so the residual distribution is tighter than the raw one
+    and the same 8-code budget quantizes it with less error — and ADC
+    adds the query-centroid dot back per probed list. The oracle
+    replays centroid subtraction, residual codebook assignment, the
+    two-term ADC, shortlist, and exact re-rank; recall-vs-raw is
+    pinned in tests/test_operators.py."""
+    import os
+    import shutil
+    import tempfile
+
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_ivfpqr_idx")
+    shutil.rmtree(path, ignore_errors=True)
+    info = knn.ivf_pq_build_index(
+        e, path, "vec_id", "embedding", centroid_mod=40, pq_m=8,
+        codebook_mod=25, residual=True,
+    )
+    assert info["residual"] is True
+    queries = e.filter(F.col("vec_id") % 20 == 0)
+    out = knn.ivf_pq_probe_index(
+        spark, path, queries, e, "vec_id", "embedding",
+        k=3, nprobe=2, shortlist=10,
+    )
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
     )

@@ -844,3 +844,41 @@ def test_segment_dedup_c4(spark):
     assert out[1] == (2, 2, a)                      # first occurrence keeps all
     assert out[2] == (2, 0, "")                     # clone fully dissolved
     assert out[3] == (2, 1, w10("z"))               # shared b dropped, z kept
+
+
+def test_ivf_pq_residual_recall_not_worse_than_raw(spark, sf_dir, tmp_path):
+    """Residual encoding quantizes the tighter x - c(x) distribution,
+    so with the same code budget its ADC ordering should recover at
+    least as much of the brute-force top-k as raw encoding on this
+    corpus — and its re-ranked cosines stay exact."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+
+    def recall(residual):
+        path = str(tmp_path / f"idx_{residual}")
+        knn.ivf_pq_build_index(
+            emb, path, "vec_id", "embedding", centroid_mod=40, pq_m=8,
+            codebook_mod=25, residual=residual,
+        )
+        got = knn.ivf_pq_probe_index(
+            spark, path, queries, emb, "vec_id", "embedding",
+            k=3, nprobe=2, shortlist=32,
+        ).collect()
+        return {(r["query_id"], r["neighbor_id"]) for r in got}
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn.cosine_topk(emb, queries, k=3).collect()
+    }
+    raw, res = recall(False), recall(True)
+    r_raw = len(exact & raw) / len(exact)
+    r_res = len(exact & res) / len(exact)
+    assert r_res >= r_raw - 0.05, (r_res, r_raw)
+    assert r_res > 0.4, r_res
+    # the two encodings genuinely differ (same lists, different codes)
+    raw_codes = spark.read.parquet(str(tmp_path / "idx_False") + "/lists")
+    res_codes = spark.read.parquet(str(tmp_path / "idx_True") + "/lists")
+    joined = raw_codes.alias("a").join(
+        res_codes.alias("b"), "neighbor_id"
+    ).filter(F.col("a.codes") != F.col("b.codes"))
+    assert joined.count() > 0
