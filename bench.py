@@ -173,6 +173,7 @@ HEADLINE = [
     "agg_cohort_retention",
     "window_counter_rate",
     "sql_ctas_restore",
+    "knn_ivf_pq_residual",
 ]
 
 
