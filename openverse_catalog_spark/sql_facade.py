@@ -146,6 +146,11 @@ _BEGIN_TXN = re.compile(
 _COMMIT_TXN = re.compile(r"^\s*COMMIT\s*;?\s*$", re.IGNORECASE)
 _ROLLBACK_TXN = re.compile(r"^\s*ROLLBACK\s*;?\s*$", re.IGNORECASE)
 _SHOW_TABLES = re.compile(r"^\s*SHOW\s+TABLES\s*$", re.IGNORECASE)
+_COPY_TO = re.compile(
+    r"^\s*COPY\s*\((.+)\)\s*TO\s+'([^']+)'\s*"
+    r"\(\s*FORMAT\s+(PARQUET|TSV)\s*\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _ANALYZE = re.compile(
     r"^\s*ANALYZE\s+TABLE\s+(\w+)(?:\s+COMPUTE\s+STATISTICS)?\s*$",
     re.IGNORECASE,
@@ -547,6 +552,28 @@ class SqlFacade:
             res = target.delete(cond)
             finalize()
             return self._summary(res)
+        m = _COPY_TO.match(text)
+        if m:
+            query, dest, fmt = m.group(1), m.group(2), m.group(3).upper()
+            df = self.spark.sql(self._rewrite(query))
+            if fmt == "PARQUET":
+                df.write.mode("overwrite").parquet(dest)
+            else:
+                # the reference's TSV load format (tab sep, \N nulls,
+                # no header) so sources/tsv.py's tolerant reader — and
+                # Postgres COPY — reload it directly
+                out = [F.col(c).cast("string").alias(c) for c in df.columns]
+                (
+                    df.select(out).write.mode("overwrite")
+                    .option("sep", "\t").option("nullValue", "\\N")
+                    .option("emptyValue", "").option("escape", "")
+                    .option("quote", "").csv(dest)
+                )
+            n = self.spark.read.parquet(dest).count() if fmt == "PARQUET" \
+                else self.spark.read.option("sep", "\t").csv(dest).count()
+            return self.spark.createDataFrame(
+                [(dest, fmt, n)], "path string, format string, rows long"
+            )
         if _SHOW_TABLES.match(text):
             rows = []
             for name in sorted(self._tables):

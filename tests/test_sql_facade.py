@@ -451,3 +451,27 @@ def test_facade_show_tables(spark, tmp_path):
     assert rows["media"]["kind"] == "lake"
     assert rows["media"]["version"] == 1
     assert rows["media"]["location"].endswith("tbl")
+
+
+def test_facade_copy_to_exports(spark, tmp_path):
+    """COPY (query) TO exports parquet and the reference's TSV load
+    format (tab sep, \\N nulls, no header) — reloadable by the tolerant
+    TSV reader and Postgres COPY alike."""
+    f = SqlFacade(spark)
+    f.register_df(
+        "src",
+        spark.createDataFrame(
+            [(1, "a"), (2, None), (3, "c")], "id bigint, s string"
+        ),
+    )
+    pq = str(tmp_path / "out_pq")
+    res = f.sql(f"COPY (SELECT * FROM src WHERE id < 3) TO '{pq}' "
+                "(FORMAT PARQUET)").head()
+    assert res["rows"] == 2 and res["format"] == "PARQUET"
+    assert spark.read.parquet(pq).count() == 2
+
+    tsv = str(tmp_path / "out_tsv")
+    f.sql(f"COPY (SELECT * FROM src) TO '{tsv}' (FORMAT TSV)")
+    back = spark.read.option("sep", "\t").option("nullValue", "\\N").csv(tsv)
+    rows = {(r["_c0"], r["_c1"]) for r in back.collect()}
+    assert rows == {("1", "a"), ("2", None), ("3", "c")}
