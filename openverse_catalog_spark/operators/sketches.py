@@ -407,3 +407,35 @@ def quantile_sample_estimate(
         raise ValueError("quantile_sample_estimate: empty sample")
     n = len(vals)
     return [vals[max(0, math.ceil(p * n) - 1)] for p in percentiles]
+
+
+def quantile_sample_by_group(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    value_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Per-GROUP hash-rank sample: the k rows with the smallest hashed
+    ids within each group — one window shuffle keyed on the group, but
+    unlike the exact per-group percentile rank (which sorts EVERY row
+    of the largest group in one task) the downstream state is k rows
+    per group regardless of skew: feed the result to
+    ``popularity.percentile_disc_multi`` for bounded-error group
+    quantiles whose per-task cost no hot group can blow up. Returns
+    (group_cols..., value) sample rows."""
+    from pyspark.sql import Window as W
+
+    h = hash60(
+        F.concat(F.lit(f"qg{salt}|"), F.col(id_col).cast("string"))
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, F.col(value_col).alias("value"),
+                h.alias("__h"))
+        .withColumn("__rn", F.row_number().over(
+            W.partitionBy(*group_cols).orderBy("__h")))
+        .filter(F.col("__rn") <= k)
+        .select(*group_cols, "value")
+    )

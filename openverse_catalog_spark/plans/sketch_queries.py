@@ -284,3 +284,58 @@ def sketch_quantile_sample(spark, sf_dir):
         for i, (name, _) in enumerate(_QPS)
     ]
     return spark.createDataFrame(rows, "q string, est double, exact double")
+
+
+_QGK = 128
+
+
+@register(
+    "sketch_quantile_by_group",
+    f"""
+    WITH src AS (SELECT event_type, event_id, value FROM events
+                 WHERE value IS NOT NULL AND event_type IS NOT NULL),
+    h AS (SELECT event_type, value,
+                 {sk.hash60_sql("'qg|' || CAST(event_id AS VARCHAR)")} AS hh
+          FROM src),
+    r AS (SELECT event_type, value,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY hh) AS rn
+          FROM h),
+    samp AS (SELECT event_type, value FROM r WHERE rn <= {_QGK}),
+    rs AS (SELECT event_type, value,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY value) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM samp)
+    SELECT event_type,
+           min(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                    THEN value END) AS p50,
+           min(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+                    THEN value END) AS p90,
+           CAST(max(n) AS BIGINT) AS sample_n
+    FROM rs GROUP BY event_type
+    """,
+)
+def sketch_quantile_by_group(spark, sf_dir):
+    """Per-GROUP bounded-error quantiles: each event type keeps the
+    k=128 rows with the smallest hashed ids (one window shuffle), then
+    the EXACT percentile operator runs over the k-bounded sample — so
+    the reference's per-provider percentile_disc
+    (``popularity/sql.py:214-229``) survives group skew: the hottest
+    provider costs k rows of task state, not its full row count. The
+    oracle replays hash ranks, the sample boundary, and the
+    percentile_disc rule bit-exactly."""
+    from openverse_catalog_spark.operators.popularity import (
+        percentile_disc_multi,
+    )
+
+    ev = _t(spark, sf_dir, "events")["events"].filter(
+        F.col("event_type").isNotNull()
+    )
+    samp = sk.quantile_sample_by_group(
+        ev, ["event_type"], "event_id", "value", _QGK
+    )
+    return percentile_disc_multi(
+        samp, ["event_type"], "value", {"p50": 0.5, "p90": 0.9},
+        count_col="sample_n",
+    )

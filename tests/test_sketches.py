@@ -245,3 +245,29 @@ def test_quantile_sample_small_input_is_exact(spark):
             sk.quantile_sample_build(df.filter("id > 99"), "id", "value", 10),
             [0.5],
         )
+
+
+def test_quantile_sample_by_group_bounded_and_stratified(spark):
+    """Each group keeps exactly min(k, group size) rows, sampling is
+    independent per group (a huge group cannot starve a small one),
+    and per-group medians from the sample land near the true ones."""
+    big = spark.range(10_000).select(
+        F.lit("big").alias("g"), F.col("id"),
+        (F.col("id") % 1000).cast("double").alias("v"),
+    )
+    small = spark.range(10_000, 10_040).select(
+        F.lit("small").alias("g"), F.col("id"),
+        (F.col("id") % 7).cast("double").alias("v"),
+    )
+    samp = sk.quantile_sample_by_group(
+        big.union(small), ["g"], "id", "v", 200
+    )
+    sizes = {r["g"]: r["n"] for r in
+             samp.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert sizes == {"big": 200, "small": 40}
+    med = {
+        r["g"]: sorted(x["value"] for x in samp.filter(F.col("g") == r["g"])
+                       .collect())[sizes[r["g"]] // 2]
+        for r in samp.select("g").distinct().collect()
+    }
+    assert abs(med["big"] - 500) < 150  # 3/sqrt(200) ~ 21% rank error
