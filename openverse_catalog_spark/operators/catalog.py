@@ -222,6 +222,48 @@ class LakeCatalog:
             ))
         return deleted
 
+    def maintain_tables(
+        self,
+        target_rows: int = 1_000_000,
+        small_file_ratio: float = 0.5,
+        keep_versions: int = 1,
+        retention_seconds: float = 3600.0,
+        catalog_history: int | None = None,
+    ) -> dict:
+        """The catalog-integrated maintenance tick. Per-table
+        compaction runs INSIDE a transaction so the compacted version
+        PUBLISHES atomically — a bare ``table.maintain()`` on a
+        catalog-managed table would advance the head without a catalog
+        commit, making the compaction indistinguishable from a torn
+        transaction (``recover()`` would roll it back). Afterwards,
+        pin-protected ``vacuum_tables`` GCs history. The decision reads
+        only manifests; tables needing nothing get no catalog commit."""
+        cur = self._load()
+        report: dict = {}
+        for name, e in cur["tables"].items():
+            t = CowTable(self.spark, e["root"], keys=tuple(e["keys"]))
+            files = t._manifest(e["version"])["files"]
+            small = sum(
+                1 for f in files
+                if f["rows"] < target_rows or f.get("dv")
+            )
+            if not files or small / len(files) <= small_file_ratio:
+                report[name] = {"compacted": False, "files_small": small}
+                continue
+            with self.transaction() as txn:
+                res = txn.table(name).compact(target_rows=target_rows)
+            report[name] = {
+                "compacted": res["files_written"] > 0,
+                "files_small": small,
+                "version": res["version"],
+            }
+        report["vacuumed"] = self.vacuum_tables(
+            keep_versions=keep_versions,
+            retention_seconds=retention_seconds,
+            catalog_history=catalog_history,
+        )
+        return report
+
     def recover(self) -> dict:
         """Durably abort torn transactions: restore every registered
         table whose head drifted past its pinned version. Run at
@@ -316,7 +358,13 @@ class CatalogTransaction:
             # stay orphaned (invisible to catalog readers); recover()
             # rolls the table heads back durably
             return False
-        if self._touched:
+        if any(
+            t.published_version
+            != self._snap["tables"][n]["version"]
+            for n, t in self._touched.items()
+        ):
+            # touched-but-unchanged tables alone publish nothing: a
+            # no-op maintenance tick must not mint catalog versions
             self._publish()
         return False
 

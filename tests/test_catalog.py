@@ -171,3 +171,30 @@ def test_catalog_vacuum_protects_pinned_versions(spark, cat):
     with _pytest.raises(FileNotFoundError):
         cat.read("img", catalog_version=v_pin0)
     assert vals(cat.read("img"))[5] == 50
+
+
+def test_catalog_maintain_compacts_inside_txn(spark, cat):
+    """Small-file accumulation from per-txn merges compacts through a
+    PUBLISHED transaction (recover() must not roll it back), and the
+    follow-up vacuum keeps every surviving pin readable."""
+    for i in range(3, 7):
+        with cat.transaction() as txn:
+            txn.table("img").merge(rows(spark, (i, i * 10)), COLS,
+                                   deterministic=True)
+    v_before = cat.version
+    rep = cat.maintain_tables(
+        target_rows=1_000, keep_versions=1, retention_seconds=0
+    )
+    assert rep["img"]["compacted"]
+    assert cat.version > v_before  # the compaction published
+    # recover() sees no drift: the compacted head IS the pinned head
+    assert cat.recover()["rolled_back"] == {}
+    assert vals(cat.read("img")) == {1: 10, 2: 20, 3: 30, 4: 40,
+                                     5: 50, 6: 60}
+    # idle tick: nothing further to do, no new catalog commit
+    v2 = cat.version
+    rep2 = cat.maintain_tables(
+        target_rows=1_000, keep_versions=1, retention_seconds=0
+    )
+    assert not rep2["img"]["compacted"]
+    assert cat.version == v2
