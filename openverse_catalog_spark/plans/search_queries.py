@@ -259,3 +259,165 @@ def search_pmi_bigrams(spark, sf_dir):
         )
     )
     return pmi.orderBy(F.col("pmi").desc(), "w1", "w2").limit(20)
+
+
+_RRF_K = 60  # standard reciprocal-rank-fusion damping (Cormack et al.)
+_HYBRID_DEPTH = 50  # candidates taken from each arm before fusion
+
+
+@register(
+    "search_hybrid_rrf",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks
+      WHERE term IN ('join', 'hash', 'vector', 'spark') GROUP BY 1, 2
+    ),
+    idf AS (
+      SELECT tf.term,
+             ln(1.0 + (stats.n - count(DISTINCT tf.doc_id) + 0.5)
+                      / (count(DISTINCT tf.doc_id) + 0.5)) AS idf
+      FROM tf, stats GROUP BY tf.term, stats.n
+    ),
+    bm AS (
+      SELECT tf.doc_id,
+             round(sum(idf.idf * tf.tf * ({_K1} + 1.0)
+                 / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.dl / stats.avgdl))), 6)
+               AS score
+      FROM tf
+      JOIN idf USING (term)
+      JOIN dl USING (doc_id), stats
+      GROUP BY tf.doc_id
+    ),
+    lex AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r_lex
+      FROM bm QUALIFY r_lex <= {_HYBRID_DEPTH}
+    ),
+    ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+           FROM embeddings, generate_series(1, 64) AS t(i)),
+    norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
+    dots AS (SELECT b.vec_id AS doc_id, sum(a.x * b.x) AS dot
+             FROM ex a JOIN ex b ON a.i = b.i AND b.vec_id <> 0
+             WHERE a.vec_id = 0
+             GROUP BY 1),
+    cos AS (SELECT dots.doc_id,
+                   round(dot / (na.nrm * nb.nrm), 6) AS cosine
+            FROM dots JOIN norms na ON na.vec_id = 0
+                      JOIN norms nb ON nb.vec_id = dots.doc_id),
+    vec AS (
+      SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id) AS r_vec
+      FROM cos QUALIFY r_vec <= {_HYBRID_DEPTH}
+    ),
+    fused AS (
+      SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+             lex.r_lex, vec.r_vec,
+             round(coalesce(1.0 / ({_RRF_K} + lex.r_lex), 0)
+                   + coalesce(1.0 / ({_RRF_K} + vec.r_vec), 0), 6) AS rrf
+      FROM lex FULL OUTER JOIN vec USING (doc_id)
+    )
+    SELECT doc_id, r_lex, r_vec, rrf
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT 20
+    """,
+)
+def search_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: BM25 lexical arm + embedding-cosine vector arm,
+    fused by reciprocal-rank fusion (score = sum 1/(60 + rank), the
+    standard parameter-free fusion from Cormack et al.) — the query shape
+    every modern RAG/retrieval stack runs, and the natural consumer of
+    this repo's BM25 (above) and ANN (operators/knn.py) halves. The
+    reference's search handoff is a single lexical index
+    (data_refresh_task_factory.py — Elasticsearch); hybrid is the
+    superset a training-data engine needs for retrieval-based curation.
+
+    Plan/scale shape: each arm independently reduces the corpus to a
+    top-50 candidate list — the lexical arm's tf shuffle carries only
+    query-term rows and ends in TakeOrdered; the vector arm is one
+    corpus scan with a broadcast 1-row query matrix GEMM (knn.cosine_topk
+    — the corpus never shuffles) re-ranked on the rounded score. Fusion
+    then operates on 2x50 rows: a full-outer join of two ~50-row frames
+    is driver-trivial and executes as a broadcast join. At 100 TB the
+    arms are the work and both are single-scan; fusion cost stays
+    constant in corpus size. Ranks inside each arm break ties on the
+    ROUNDED score then doc_id so both engines rank identically."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+
+    # -- lexical arm: BM25 (same statistic as search_bm25), rank top-50
+    toks = d.select("doc_id", F.explode(_tokens_col()).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.select(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
+    tf = (
+        toks.filter(F.col("term").isin(_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    idf = (
+        tf.crossJoin(F.broadcast(stats.select("n")))
+        .groupBy("term", "n")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .select(
+            "term",
+            F.log(
+                1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ).alias("idf"),
+        )
+    )
+    bm = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .select(
+            "doc_id",
+            (
+                F.col("idf")
+                * F.col("tf")
+                * (_K1 + 1.0)
+                / (F.col("tf") + _K1 * (1.0 - _B + _B * F.col("dl") / F.col("avgdl")))
+            ).alias("term_score"),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("term_score"), 6).alias("score"))
+    )
+    # top-50 FIRST via orderBy+limit (TakeOrderedAndProject — per-partition
+    # heaps, no global sort), then the rank window runs over 50 rows only
+    w_lex = Window.orderBy(F.col("score").desc(), "doc_id")
+    lex = (
+        bm.orderBy(F.col("score").desc(), "doc_id")
+        .limit(_HYBRID_DEPTH)
+        .withColumn("r_lex", F.row_number().over(w_lex))
+        .select("doc_id", "r_lex")
+    )
+
+    # -- vector arm: cosine vs the vec_id=0 query embedding, rank top-50
+    from openverse_catalog_spark.operators import knn
+
+    cand = knn.cosine_topk(
+        e, e.filter(F.col("vec_id") == 0), k=_HYBRID_DEPTH, max_queries=4
+    ).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.round("cosine", 6).alias("cosine"),
+    )
+    w_vec = Window.orderBy(F.col("cosine").desc(), "doc_id")
+    vec = (
+        cand.orderBy(F.col("cosine").desc(), "doc_id")
+        .limit(_HYBRID_DEPTH)
+        .withColumn("r_vec", F.row_number().over(w_vec))
+        .select("doc_id", "r_vec")
+    )
+
+    # -- reciprocal-rank fusion over the two ~50-row candidate lists
+    fused = lex.join(vec, "doc_id", "full_outer").select(
+        "doc_id",
+        "r_lex",
+        "r_vec",
+        F.round(
+            F.coalesce(1.0 / (_RRF_K + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("r_vec")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(20)
