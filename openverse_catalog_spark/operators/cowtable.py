@@ -45,10 +45,11 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from openverse_catalog_spark.operators.merge import (
@@ -82,6 +83,145 @@ class CommitConflict(RuntimeError):
 #: physical column names leaked) — forward compatibility as a hard gate.
 READER_FEATURES = frozenset({"dv", "column_mapping"})
 
+#: HIDDEN PARTITIONING (Iceberg partition transforms, manifest-level).
+#: A partition spec is a tuple of transform strings — ``"day(created_on)"``,
+#: ``"bucket(16, provider)"``, ``"truncate(4, category)"``, ``"identity(col)"``
+#: (or a bare column name) — parsed into field specs. Unlike Hive/Iceberg
+#: directory layouts, partition values live ONLY in the manifest: every
+#: write clusters rows by the transform values (then merge key), and each
+#: file's entry records the min/max of every partition field, so most
+#: files hold a single partition tuple and ``read_where`` predicates on
+#: the SOURCE column prune files through the transform — users never
+#: query the derived field (that is what makes the partitioning hidden).
+#: Spec evolution is metadata-only: files keep the fields they were
+#: written under, and pruning consults whatever fields each entry has.
+_PARTITION_TIME_SLICES = {"year": 4, "month": 7, "day": 10, "hour": 13}
+_PARTITION_TIME_FORMATS = {
+    "year": "yyyy", "month": "yyyy-MM", "day": "yyyy-MM-dd",
+    "hour": "yyyy-MM-dd HH",
+}
+_PARTITION_SPEC_RE = re.compile(
+    r"^\s*(?:(identity|year|month|day|hour)\(\s*(\w+)\s*\)"
+    r"|(bucket|truncate)\(\s*(\d+)\s*,\s*(\w+)\s*\)"
+    r"|(\w+))\s*$"
+)
+
+
+def parse_partition_specs(partition_by) -> list[dict]:
+    """Parse transform strings into field specs
+    ``{transform, col, arg, name}``. Field names are deterministic
+    (``created_on_day``, ``provider_bucket16``) so two handles of the
+    same table always agree on manifest keys."""
+    out, seen = [], set()
+    for raw in partition_by:
+        m = _PARTITION_SPEC_RE.match(str(raw))
+        if not m:
+            raise ValueError(
+                f"bad partition transform {raw!r}; expected identity(col), "
+                "year/month/day/hour(col), bucket(n, col), "
+                "truncate(w, col), or a bare column name"
+            )
+        if m.group(1):
+            t, col, arg = m.group(1), m.group(2), None
+        elif m.group(3):
+            t, col, arg = m.group(3), m.group(5), int(m.group(4))
+            if arg <= 0:
+                raise ValueError(f"{t} arg must be positive in {raw!r}")
+        else:
+            t, col, arg = "identity", m.group(6), None
+        name = (
+            col if t == "identity"
+            else f"{col}_{t}{arg}" if arg is not None
+            else f"{col}_{t}"
+        )
+        if name in seen:
+            raise ValueError(f"duplicate partition field {name!r}")
+        seen.add(name)
+        out.append({"transform": t, "col": col, "arg": arg, "name": name})
+    return out
+
+
+def _partition_field_expr(spec: dict, phys_col: str, dtype) -> Column:
+    """The Spark-side transform expression over the PHYSICAL column.
+    Type-gated exactly like bloom columns: bucket/truncate hash or slice
+    a canonical representation, so only types whose driver-side probe
+    (``_transform_probe``) is guaranteed to match are allowed."""
+    c = F.col(phys_col)
+    t = spec["transform"]
+    type_name = dtype.typeName() if dtype is not None else None
+    if t == "identity":
+        return c
+    if t in _PARTITION_TIME_FORMATS:
+        if type_name not in (None, "timestamp", "timestamp_ntz", "date"):
+            raise ValueError(
+                f"partition transform {t}({spec['col']}) needs a "
+                f"timestamp/date column, got {type_name}"
+            )
+        return F.date_format(c, _PARTITION_TIME_FORMATS[t])
+    if t == "bucket":
+        if type_name not in (None, "string", "integer", "long", "short", "byte"):
+            raise ValueError(
+                f"partition transform bucket({spec['col']}) needs a "
+                f"string/integral column, got {type_name} (float/bool/"
+                "binary stringify differently driver-side)"
+            )
+        # crc32 of the utf8 string — zlib.crc32 on the driver probe side
+        # produces the identical unsigned value
+        return F.pmod(F.crc32(c.cast("string").cast("binary")), spec["arg"])
+    if t == "truncate":
+        if type_name == "string":
+            return F.substring(c, 1, spec["arg"])
+        if type_name in (None, "integer", "long", "short", "byte"):
+            # Iceberg truncate: v - (v mod w), mod non-negative (pmod)
+            return c - F.pmod(c, spec["arg"])
+        raise ValueError(
+            f"partition transform truncate({spec['col']}) needs a "
+            f"string/integral column, got {type_name}"
+        )
+    raise ValueError(f"unknown transform {t!r}")
+
+
+def _transform_probe(spec: dict, v):
+    """Driver-side twin of ``_partition_field_expr``: apply the
+    transform to a predicate bound so it can be compared against the
+    per-file partition min/max. Returns NotImplemented when the probe
+    value's type cannot be transformed faithfully — callers must then
+    keep the file (conservative)."""
+    t = spec["transform"]
+    if t == "identity":
+        return v
+    if t in _PARTITION_TIME_SLICES:
+        if hasattr(v, "strftime"):
+            s = v.strftime("%Y-%m-%d %H:%M:%S")
+        elif isinstance(v, str):
+            s = v
+        else:
+            return NotImplemented
+        n = _PARTITION_TIME_SLICES[t]
+        # the probe must carry at least the transform's resolution (an
+        # hour probe lacking the hour part would under-approximate an
+        # upper bound and could wrongly prune the boundary row), and the
+        # slice must be the canonical prefix date_format emits — a
+        # non-ISO probe ("2023-5-1") must NOT prune
+        if len(s) < n or not re.fullmatch(
+            r"\d{4}(-\d{2}(-\d{2}( \d{2})?)?)?", s[:n]
+        ):
+            return NotImplemented
+        return s[:n]
+    if t == "bucket":
+        import zlib
+
+        if not isinstance(v, (str, int)) or isinstance(v, bool):
+            return NotImplemented
+        return zlib.crc32(str(v).encode()) % spec["arg"]
+    if t == "truncate":
+        if isinstance(v, str):
+            return v[: spec["arg"]]
+        if isinstance(v, int) and not isinstance(v, bool):
+            return v - (v % spec["arg"])
+        return NotImplemented
+    return NotImplemented
+
 
 def _file_stats(
     spark: SparkSession,
@@ -89,6 +229,8 @@ def _file_stats(
     keys: tuple[str, ...],
     rel_dir: str,
     stats_cols: tuple[str, ...] = (),
+    part_specs: tuple[dict, ...] = (),
+    colmap: dict | None = None,
 ) -> list[dict]:
     """One column-pruned scan over a data directory -> per-file manifest
     entries (row count + min/max + NULL count of each merge key, plus
@@ -112,6 +254,17 @@ def _file_stats(
             F.max(k).alias(f"max_{k}"),
             F.sum(F.col(k).isNull().cast("long")).alias(f"nulls_{k}"),
         ]
+    derived: list[str] = []
+    for s in part_specs:
+        phys = (colmap or {}).get(s["col"], s["col"])
+        if phys not in df.columns:
+            continue  # pre-evolution files lack the source column
+        ex = _partition_field_expr(s, phys, df.schema[phys].dataType)
+        aggs += [
+            F.min(ex).alias(f"pmin_{s['name']}"),
+            F.max(ex).alias(f"pmax_{s['name']}"),
+        ]
+        derived.append(s["name"])
     rows = (
         df.groupBy(F.input_file_name().alias("__file"))
         .agg(*aggs)
@@ -135,6 +288,10 @@ def _file_stats(
                     "nulls": r[f"nulls_{c}"],
                 }
                 for c in stats_cols
+            }
+        if derived:
+            entry["part"] = {
+                n: [r[f"pmin_{n}"], r[f"pmax_{n}"]] for n in derived
             }
         entries.append(entry)
     return sorted(entries, key=lambda e: e["path"])
@@ -306,6 +463,7 @@ class CowTable:
         checkpoint_interval: int = CHECKPOINT_INTERVAL,
         stats_cols: tuple[str, ...] | None = None,
         bloom_cols: tuple[str, ...] | None = None,
+        partition_by: tuple[str, ...] | None = None,
     ):
         self.spark = spark
         self.root = root.rstrip("/")
@@ -315,6 +473,16 @@ class CowTable:
         self._bloom_cols = (
             tuple(bloom_cols) if bloom_cols is not None else None
         )
+        if partition_by is not None:
+            self._partition_spec: tuple[dict, ...] | None = tuple(
+                parse_partition_specs(partition_by)
+            )
+            self._partition_fields: dict | None = {
+                s["name"]: s for s in self._partition_spec
+            }
+        else:
+            self._partition_spec = None
+            self._partition_fields = None
         self._constraints: dict | None = None
         self._column_mapping: dict | None = None
         self._dropped_cols: tuple[str, ...] | None = None
@@ -402,6 +570,38 @@ class CowTable:
             return ()
         return self._bloom_cols
 
+    @property
+    def partition_spec(self) -> tuple[dict, ...]:
+        """HIDDEN-PARTITIONING spec currently in force (table property):
+        the parsed transform fields every write clusters by and records
+        per-file partition min/max for. Iceberg's partition spec, held
+        in the manifest rather than the directory tree."""
+        if self._partition_spec is not None:
+            return self._partition_spec
+        try:
+            self._partition_spec = tuple(
+                self._manifest().get("partition_spec") or ()
+            )
+        except FileNotFoundError:
+            return ()
+        return self._partition_spec
+
+    @property
+    def partition_fields(self) -> dict:
+        """ALL partition fields ever written, name -> spec. Spec
+        evolution never rewrites files, so pruning must be able to
+        interpret the fields an entry was recorded under even after the
+        default spec moved on (Iceberg's multi-spec manifest)."""
+        if self._partition_fields is not None:
+            return self._partition_fields
+        try:
+            self._partition_fields = dict(
+                self._manifest().get("partition_fields") or {}
+            )
+        except FileNotFoundError:
+            return {}
+        return self._partition_fields
+
     def _refresh_props(self, m: dict) -> None:
         """Re-pin this handle's cached table properties to a manifest —
         write attempts call it on the head so a property change by
@@ -412,12 +612,15 @@ class CowTable:
         self._constraints = dict(m.get("constraints") or {})
         self._column_mapping = dict(m.get("column_mapping") or {})
         self._dropped_cols = tuple(m.get("dropped_cols") or ())
+        self._partition_spec = tuple(m.get("partition_spec") or ())
+        self._partition_fields = dict(m.get("partition_fields") or {})
 
     def _collect_entries(self, data_dir: str, rel_dir: str) -> list[dict]:
         """Stats + blooms for a freshly-written data directory — the
         one manifest-entry builder every commit path uses."""
         entries = _file_stats(
-            self.spark, data_dir, self.keys, rel_dir, self.stats_cols
+            self.spark, data_dir, self.keys, rel_dir, self.stats_cols,
+            part_specs=self.partition_spec, colmap=self.column_mapping,
         )
         if self.bloom_cols:
             blooms = _file_blooms(self.spark, data_dir, self.bloom_cols)
@@ -426,6 +629,26 @@ class CowTable:
                 if basename in blooms:
                     e["bloom"] = blooms[basename]
         return entries
+
+    def _clustered(self, phys_df: DataFrame, target_files: int) -> DataFrame:
+        """Write-distribution clustering: partition transform values
+        FIRST, merge key second — with a partition spec in force, files
+        land partition-pure (most hold a single partition tuple, the
+        Iceberg write distribution) with tight key ranges within each,
+        so both partition pruning and key skipping bite. Without a spec
+        this is exactly the old key-range clustering."""
+        exprs: list[Column] = []
+        colmap = self.column_mapping
+        for s in self.partition_spec:
+            phys = colmap.get(s["col"], s["col"])
+            if phys in phys_df.columns:
+                exprs.append(
+                    _partition_field_expr(
+                        s, phys, phys_df.schema[phys].dataType
+                    )
+                )
+        exprs += [F.col(k) for k in self.keys]
+        return phys_df.repartitionByRange(target_files, *exprs)
 
     # -- bootstrap ----------------------------------------------------------
 
@@ -439,6 +662,7 @@ class CowTable:
         target_files: int = 8,
         stats_cols: tuple[str, ...] = (),
         bloom_cols: tuple[str, ...] = (),
+        partition_by: tuple[str, ...] = (),
     ) -> "CowTable":
         """Initialize version 1: range-cluster the data on the merge key
         (so per-file key ranges are tight and file skipping bites) and
@@ -449,15 +673,22 @@ class CowTable:
         t = cls(
             spark, root, keys,
             stats_cols=tuple(stats_cols), bloom_cols=tuple(bloom_cols),
+            partition_by=tuple(partition_by),
         )
         _check_bloom_types(df.schema, t.bloom_cols)
+        for s in t.partition_spec:
+            if s["col"] not in df.columns:
+                raise ValueError(
+                    f"partition transform references unknown column "
+                    f"{s['col']!r} (have: {df.columns})"
+                )
+            # type gate now, not at first write
+            _partition_field_expr(s, s["col"], df.schema[s["col"]].dataType)
         os.makedirs(f"{t.root}/manifests", exist_ok=True)
         entries: list[dict] = []
         if df.head(1):
             data_dir = f"{t.root}/data/v1"
-            df.repartitionByRange(target_files, *[F.col(k) for k in keys]).write.mode(
-                "error"
-            ).parquet(data_dir)
+            t._clustered(df, target_files).write.mode("error").parquet(data_dir)
             entries = t._collect_entries(data_dir, "data/v1")
         # an EMPTY create initializes a zero-file snapshot (the schema in
         # the manifest keeps it readable) — the streaming-ingest path
@@ -592,6 +823,10 @@ class CowTable:
             "constraints": dict(self.constraints),
             "column_mapping": dict(self.column_mapping),
             "dropped_cols": list(self.dropped_cols),
+            "partition_spec": [dict(s) for s in self.partition_spec],
+            "partition_fields": {
+                n: dict(s) for n, s in self.partition_fields.items()
+            },
             "schema": schema_json,
             "rows": sum(e["rows"] for e in entries),
             "reader_features": sorted(
@@ -680,6 +915,9 @@ class CowTable:
             "committed_at": m.get("committed_at"),
             "keys": list(self.keys),
             "num_files": len(m["files"]),
+            "partition_spec": [
+                s["name"] for s in (m.get("partition_spec") or ())
+            ],
             "rows": m["rows"],
             "size_bytes": sum(sizes),
             "min_file_rows": min(rows) if rows else 0,
@@ -932,11 +1170,17 @@ class CowTable:
                     and not isinstance(bound, bool)
                 ):
                     eq_probe[c] = bound
+        # partition fields keyed by their SOURCE column: a predicate on
+        # the raw column prunes through the transform (hidden partitioning)
+        part_by_src: dict[str, list] = {}
+        for n, s in (m.get("partition_fields") or {}).items():
+            part_by_src.setdefault(s["col"], []).append((n, s))
         missing = [
             c for c in norm
             if c not in (m.get("stats_cols") or [])
             and c not in self.keys
             and c not in bloom_cols
+            and c not in part_by_src
         ]
         if missing:
             raise ValueError(
@@ -968,6 +1212,45 @@ class CowTable:
             )
             return any(not (bits[i >> 3] >> (i & 7)) & 1 for i in probe)
 
+        def part_rules_out(e, c, lo, hi) -> bool:
+            """Hidden-partition pruning: transform the probe bounds and
+            compare against the file's recorded partition min/max. Time
+            and truncate transforms are order-preserving so ranges map
+            to ranges; bucket is equality-only. Conservative on every
+            uncertainty: missing field (pre-evolution file), untransformable
+            probe type, or mixed-type comparison keeps the file."""
+            for n, s in part_by_src.get(c, ()):
+                pv = (e.get("part") or {}).get(n)
+                if not pv:
+                    continue
+                pmin, pmax = pv
+                if pmin is None or pmax is None:
+                    continue
+                if s["transform"] == "bucket":
+                    if lo is None or lo != hi:
+                        continue  # buckets don't preserve order
+                    tp = _transform_probe(s, lo)
+                    if tp is NotImplemented:
+                        continue
+                    try:
+                        if not (pmin <= tp <= pmax):
+                            return True
+                    except TypeError:
+                        continue
+                    continue
+                tlo = _transform_probe(s, lo) if lo is not None else None
+                thi = _transform_probe(s, hi) if hi is not None else None
+                if tlo is NotImplemented or thi is NotImplemented:
+                    continue
+                try:
+                    if (tlo is not None and pmax < tlo) or (
+                        thi is not None and pmin > thi
+                    ):
+                        return True
+                except TypeError:
+                    continue
+            return False
+
         picked, rest = [], []
         for e in m["files"]:
             keep = True
@@ -981,6 +1264,9 @@ class CowTable:
                 elif (
                     lo is not None and fmax is not None and fmax < lo
                 ) or (hi is not None and fmin is not None and fmin > hi):
+                    keep = False
+                    break
+                if part_rules_out(e, c, lo, hi):
                     keep = False
                     break
                 if c in eq_probe and bloom_rules_out(e, c):
@@ -1543,6 +1829,52 @@ class CowTable:
                 continue
         return {"version": self.version, "constraints": dict(trial)}
 
+    def set_partition_spec(self, partition_by: tuple[str, ...]) -> dict:
+        """ALTER TABLE ... SET PARTITION SPEC — partition EVOLUTION as a
+        metadata-only commit (Iceberg's signature capability; Hive-style
+        layouts need a full rewrite). No file moves: already-written
+        files keep the partition fields they were recorded under and
+        continue to prune through them, while every FUTURE write
+        clusters by and records the new spec. ``partition_fields``
+        accumulates all field definitions ever used so ``read_where``
+        can interpret any entry's fields regardless of which spec it
+        was written under."""
+        specs = parse_partition_specs(partition_by)
+        m = self._manifest()
+        if m.get("schema"):
+            from pyspark.sql.types import StructType
+
+            names = {
+                f.name: f.dataType
+                for f in StructType.fromJson(json.loads(m["schema"])).fields
+            }
+            for s in specs:
+                if s["col"] not in names:
+                    raise ValueError(
+                        f"partition transform references unknown column "
+                        f"{s['col']!r} (have: {sorted(names)})"
+                    )
+                _partition_field_expr(s, s["col"], names[s["col"]])
+        while True:
+            m = self._manifest()
+            fields = dict(m.get("partition_fields") or {})
+            fields.update({s["name"]: dict(s) for s in specs})
+            self._partition_spec = tuple(dict(s) for s in specs)
+            self._partition_fields = fields
+            try:
+                self._commit(
+                    m["version"] + 1, m["files"],
+                    op="set_partition_spec",
+                    schema_json=m.get("schema"),
+                )
+                break
+            except CommitConflict:
+                continue
+        return {
+            "version": self.version,
+            "partition_spec": [s["name"] for s in specs],
+        }
+
     # -- column mapping (RENAME / DROP COLUMN, metadata-only) ------------------
 
     def _guard_remappable(self, name: str) -> None:
@@ -1562,6 +1894,12 @@ class CowTable:
             raise ValueError(
                 f"cannot remap {name!r}: it carries per-file "
                 "stats/bloom skipping state"
+            )
+        if name in {s["col"] for s in self.partition_spec}:
+            raise ValueError(
+                f"cannot remap partition source column {name!r}; "
+                "evolve the partition spec off it first "
+                "(set_partition_spec)"
             )
         hit = [
             n for n, sql in self.constraints.items() if name in sql
@@ -1935,9 +2273,9 @@ class CowTable:
         new_version = m["version"] + 1
         rel_dir = f"data/c{uuid.uuid4().hex[:12]}"
         data_dir = f"{self.root}/{rel_dir}"
-        self._to_physical(merged).repartitionByRange(
-            target_files, *[F.col(k) for k in keys]
-        ).write.mode("error").parquet(data_dir)
+        self._clustered(self._to_physical(merged), target_files).write.mode(
+            "error"
+        ).parquet(data_dir)
         new_entries = self._collect_entries(data_dir, rel_dir)
         if pre_commit_hook is not None:
             pre_commit_hook()
@@ -2151,9 +2489,9 @@ class CowTable:
         data_dir = f"{self.root}/{rel_dir}"
         new_entries: list[dict] = []
         if out.head(1):
-            self._to_physical(out).repartitionByRange(
-                target_files, *[F.col(k) for k in self.keys]
-            ).write.mode("error").parquet(data_dir)
+            self._clustered(self._to_physical(out), target_files).write.mode(
+                "error"
+            ).parquet(data_dir)
             new_entries = self._collect_entries(data_dir, rel_dir)
         # else: a delete emptied every touched file — the commit simply
         # drops them (no part-less directory to stat)
@@ -2322,9 +2660,9 @@ class CowTable:
                 ]
             )
             self._enforce_constraints(upd, "update")
-            self._to_physical(upd).repartitionByRange(
-                target_files, *[F.col(k) for k in self.keys]
-            ).write.mode("error").parquet(data_dir)
+            self._clustered(self._to_physical(upd), target_files).write.mode(
+                "error"
+            ).parquet(data_dir)
             new_entries = self._collect_entries(data_dir, rel_dir)
         if pre_commit_hook is not None:
             pre_commit_hook()
@@ -2543,9 +2881,9 @@ class CowTable:
                 .parquet(data_dir)
             )
         else:
-            self._to_physical(df).repartitionByRange(
-                n_files, *[F.col(k) for k in self.keys]
-            ).write.mode("error").parquet(data_dir)
+            self._clustered(self._to_physical(df), n_files).write.mode(
+                "error"
+            ).parquet(data_dir)
         new_entries = self._collect_entries(data_dir, rel_dir)
         if pre_commit_hook is not None:
             pre_commit_hook()

@@ -2109,3 +2109,111 @@ def sql_analyze_stats(spark, sf_dir):
     f = SqlFacade(spark)
     f.register_table("custstats", t)
     return f.sql("ANALYZE TABLE custstats COMPUTE STATISTICS")
+
+
+@register(
+    "merge_cow_partitioned",
+    """
+    WITH base AS (
+      SELECT 'p' || CAST(o_orderkey % 5 AS VARCHAR) AS provider,
+             'o' || lpad(CAST(o_orderkey AS VARCHAR), 9, '0')
+               AS foreign_identifier,
+             CASE WHEN o_orderkey % 100 = 0
+                  THEN 'NEW' || CAST(o_orderkey AS VARCHAR)
+                  ELSE 'T' || CAST(o_orderkey AS VARCHAR) END AS title,
+             CAST(o_orderdate AS TIMESTAMP) AS created_on
+      FROM orders
+      UNION ALL
+      SELECT 'p9',
+             'n' || lpad(CAST(o_orderkey AS VARCHAR), 9, '0'),
+             'INS' || CAST(o_orderkey AS VARCHAR),
+             TIMESTAMP '1995-08-15 00:00:00'
+      FROM orders WHERE o_orderkey % 100 = 50
+    )
+    SELECT provider, foreign_identifier, title,
+           strftime(created_on, '%Y-%m-%d') AS d
+    FROM base
+    WHERE created_on >= TIMESTAMP '1995-07-01 00:00:00'
+      AND created_on <= TIMESTAMP '1995-09-30 23:59:59'
+    """,
+)
+def merge_cow_partitioned(spark, sf_dir):
+    """HIDDEN PARTITIONING end to end (Iceberg partition transforms,
+    manifest-level — no Hive directory tree): the table is created with
+    ``partition_by=("month(created_on)",)``, so every write clusters
+    rows month-first and records each file's partition min/max in its
+    manifest entry; a MERGE lands updates + inserts through the same
+    clustering; and a ``read_where`` on the RAW timestamp column prunes
+    files through the transform (asserted: files skipped > 0) while the
+    residual filter keeps the result exact. Users never touch the
+    derived field — that is what makes the partitioning hidden. The
+    oracle is the plain month-range filter over the same derivation:
+    partitioning is physical, never semantic.
+
+    At 100 TB this is the difference between a 3-month scan reading 3
+    months and reading 7 years: partition values live in the manifest
+    (O(files) driver-side metadata, Iceberg's model), pruning happens
+    before the scan's file index is built, and spec EVOLUTION
+    (set_partition_spec) is a metadata-only commit — no rewrite when
+    the ingest cadence changes. Reference: the canonical image table's
+    ingestion timestamps (schemas 0001/0004 updated_on/created_on)
+    which Postgres indexes but never partitions."""
+    import os
+    import shutil
+    import tempfile
+
+    from openverse_catalog_spark.operators.cowtable import CowTable
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    k = F.col("o_orderkey")
+    target = o.select(
+        F.concat(F.lit("p"), (k % 5).cast("string")).alias("provider"),
+        F.concat(
+            F.lit("o"), F.lpad(k.cast("string"), 9, "0")
+        ).alias("foreign_identifier"),
+        F.concat(F.lit("http://o/"), k.cast("string")).alias("url"),
+        F.concat(F.lit("T"), k.cast("string")).alias("title"),
+        F.col("o_orderdate").cast("timestamp").alias("created_on"),
+    )
+    updates = o.filter(k % 100 == 0).select(
+        F.concat(F.lit("p"), (k % 5).cast("string")).alias("provider"),
+        F.concat(
+            F.lit("o"), F.lpad(k.cast("string"), 9, "0")
+        ).alias("foreign_identifier"),
+        F.concat(F.lit("http://o/"), k.cast("string")).alias("url"),
+        F.concat(F.lit("NEW"), k.cast("string")).alias("title"),
+        F.col("o_orderdate").cast("timestamp").alias("created_on"),
+    )
+    inserts = o.filter(k % 100 == 50).select(
+        F.lit("p9").alias("provider"),
+        F.concat(
+            F.lit("n"), F.lpad(k.cast("string"), 9, "0")
+        ).alias("foreign_identifier"),
+        F.concat(F.lit("http://n/"), k.cast("string")).alias("url"),
+        F.concat(F.lit("INS"), k.cast("string")).alias("title"),
+        F.lit("1995-08-15 00:00:00").cast("timestamp").alias("created_on"),
+    )
+    cols = [
+        ColumnSpec("provider", Datatype.char, required=True,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("foreign_identifier", Datatype.char, required=True,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("url", Datatype.char),
+        ColumnSpec("title", Datatype.char),
+        ColumnSpec("created_on", Datatype.timestamp),
+    ]
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_cow_partitioned")
+    shutil.rmtree(root, ignore_errors=True)
+    t = CowTable.create(
+        spark, root, target, target_files=12,
+        partition_by=("month(created_on)",),
+    )
+    t.merge(updates.unionByName(inserts), cols, deterministic=True)
+    bounds = ("1995-07-01 00:00:00", "1995-09-30 23:59:59")
+    picked, rest = t.read_where({"created_on": bounds}, _split=True)
+    assert rest, "month partition pruning must skip files"
+    out = t.read_where({"created_on": bounds})
+    return out.select(
+        "provider", "foreign_identifier", "title",
+        F.date_format("created_on", "yyyy-MM-dd").alias("d"),
+    )

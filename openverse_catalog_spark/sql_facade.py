@@ -157,8 +157,14 @@ _ANALYZE = re.compile(
 )
 _CREATE_TABLE = re.compile(
     r"^\s*CREATE\s+TABLE\s+(\w+)\s+PRIMARY\s+KEY\s*\(([\w\s,]+?)\)\s+"
+    r"(?:PARTITIONED\s+BY\s*\(((?:[^()]|\([^()]*\))*)\)\s+)?"
     r"(?:LOCATION\s+'([^']+)'\s+)?AS\s+(.+)$",
     re.IGNORECASE | re.DOTALL,
+)
+_ALTER_SET_PART = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+SET\s+PARTITION\s+SPEC\s*"
+    r"\(((?:[^()]|\([^()]*\))*)\)\s*$",
+    re.IGNORECASE,
 )
 _DROP_TABLE = re.compile(
     r"^\s*DROP\s+TABLE\s+(\w+)\s*$", re.IGNORECASE
@@ -631,6 +637,10 @@ class SqlFacade:
             (_ALTER_ADD_CHECK,
              lambda t, n, e: t.add_constraint(n, e)),
             (_ALTER_DROP_CHECK, lambda t, n: t.drop_constraint(n)),
+            (_ALTER_SET_PART,
+             lambda t, s: t.set_partition_spec(
+                 tuple(p.strip() for p in _split_top_level(s))
+             )),
         ):
             m = pat.match(text)
             if m and m.group(1) in self._tables:
@@ -653,6 +663,7 @@ class SqlFacade:
         "double": Datatype.double,
         "float": Datatype.double,
         "boolean": Datatype.bool,
+        "timestamp": Datatype.timestamp,
     }
 
     def _specs_from_schema(self, schema, keys: tuple[str, ...]) -> list:
@@ -680,18 +691,25 @@ class SqlFacade:
         return specs
 
     def _create_table(self, m: re.Match) -> DataFrame:
-        """``CREATE TABLE t PRIMARY KEY (k, ...) [LOCATION '<dir>']
-        AS <select>`` — materializes the query as a NEW CoW lake table
-        (PRIMARY KEY = the merge keys, the reference's ON CONFLICT
-        target), registers it (and the attached catalog, when any), and
-        derives default per-column upsert specs from the result schema
-        so INSERT/MERGE/UPDATE text works immediately."""
+        """``CREATE TABLE t PRIMARY KEY (k, ...)
+        [PARTITIONED BY (day(ts), bucket(16, col), ...)]
+        [LOCATION '<dir>'] AS <select>`` — materializes the query as a
+        NEW CoW lake table (PRIMARY KEY = the merge keys, the
+        reference's ON CONFLICT target), registers it (and the attached
+        catalog, when any), and derives default per-column upsert specs
+        from the result schema so INSERT/MERGE/UPDATE text works
+        immediately. PARTITIONED BY takes Iceberg-style hidden partition
+        transforms; ``ALTER TABLE t SET PARTITION SPEC (...)`` evolves
+        them metadata-only."""
         import os
 
-        name, keys_text, location, query = m.groups()
+        name, keys_text, part_text, location, query = m.groups()
         if name in self._tables:
             raise ValueError(f"table {name!r} already exists")
         keys = tuple(k.strip() for k in keys_text.split(","))
+        partition_by = tuple(
+            p.strip() for p in _split_top_level(part_text)
+        ) if part_text else ()
         root = location or (
             os.path.join(self.workdir, name) if self.workdir else None
         )
@@ -712,7 +730,9 @@ class SqlFacade:
                     f"PRIMARY KEY column {k!r} not in CTAS result "
                     f"columns {df.columns}"
                 )
-        t = CowTable.create(self.spark, root, df, keys=keys)
+        t = CowTable.create(
+            self.spark, root, df, keys=keys, partition_by=partition_by
+        )
         self._columns[name] = self._specs_from_schema(
             t.read().schema, keys
         )

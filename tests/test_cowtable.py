@@ -2120,3 +2120,139 @@ def test_analyze_stats_version_pinned_and_approx(spark, tmp_path):
     apx = t.analyze(approx=True)
     exact = doc2["columns"]["id"]["ndv"]
     assert abs(apx["columns"]["id"]["ndv"] - exact) <= max(3, exact * 0.1)
+
+
+# -- hidden partitioning (Iceberg partition transforms, manifest-level) -----
+
+
+def _ts_rows(spark):
+    """8 days x varied providers with a timestamp column."""
+    import datetime
+
+    rows = []
+    for d in range(1, 9):
+        for i in range(30):
+            rows.append(
+                (
+                    f"p{i % 4}",
+                    f"id{d}_{i:03d}",
+                    datetime.datetime(2023, 5, d, i % 24),
+                    i,
+                )
+            )
+    return spark.createDataFrame(
+        rows, "provider string, foreign_id string, created_on timestamp, v int"
+    )
+
+
+def test_cow_partition_day_pruning_exact(spark, tmp_path):
+    df = _ts_rows(spark)
+    t = CowTable.create(
+        spark, str(tmp_path / "pt"), df, keys=("provider", "foreign_id"),
+        target_files=8, partition_by=("day(created_on)",),
+    )
+    bounds = ("2023-05-03 00:00:00", "2023-05-03 23:59:59")
+    picked, rest = t.read_where({"created_on": bounds}, _split=True)
+    # files clustered day-first: a one-day probe must prune most files
+    assert len(picked) < len(picked) + len(rest)
+    assert len(picked) <= 2
+    got = t.read_where({"created_on": bounds})
+    exp = df.filter(
+        (F.col("created_on") >= bounds[0]) & (F.col("created_on") <= bounds[1])
+    )
+    assert got.count() == exp.count() > 0
+
+
+def test_cow_partition_bucket_prunes_after_merge(spark, tmp_path):
+    from tests.test_merge_upsert import COLS, mk, row
+
+    base = [
+        row(
+            provider="flickr" if i < 20 else "met",
+            fid=f"f{i:03d}",
+            url=f"http://u/{i}",
+            title=f"old{i}",
+        )
+        for i in range(40)
+    ]
+    tgt = mk(spark, base)
+    t = CowTable.create(
+        spark, str(tmp_path / "pb"), tgt, target_files=4,
+        partition_by=("bucket(4, provider)",),
+    )
+    src = mk(
+        spark,
+        [
+            row(provider="met", fid="f020", url="http://u/20", title="upd"),
+            row(provider="met", fid="f999", url="http://u/999", title="new"),
+        ],
+    )
+    t.merge(src, COLS, deterministic=True)
+    m = t._manifest()
+    # every rewritten file records its partition fields
+    assert all("part" in e for e in m["files"])
+    picked, rest = t.read_where({"provider": "met"}, _split=True)
+    assert rest, "bucket equality probe should prune at least one file"
+    assert t.read_where({"provider": "met"}).count() == 21
+
+
+def test_cow_partition_spec_evolution_metadata_only(spark, tmp_path):
+    df = _ts_rows(spark)
+    t = CowTable.create(
+        spark, str(tmp_path / "pe"), df, keys=("provider", "foreign_id"),
+        target_files=8, partition_by=("day(created_on)",),
+    )
+    v_before = t.version
+    paths_before = sorted(e["path"] for e in t._manifest()["files"])
+    t.set_partition_spec(("month(created_on)",))
+    m = t._manifest()
+    # metadata-only: no file rewritten, one new version
+    assert t.version == v_before + 1
+    assert sorted(e["path"] for e in m["files"]) == paths_before
+    # both field definitions survive for pruning
+    assert set(m["partition_fields"]) == {"created_on_day", "created_on_month"}
+    assert [s["name"] for s in t.partition_spec] == ["created_on_month"]
+    # files written under the OLD spec still prune through their day field
+    bounds = ("2023-05-03 00:00:00", "2023-05-03 23:59:59")
+    picked, rest = t.read_where({"created_on": bounds}, _split=True)
+    assert rest, "pre-evolution files must keep pruning via day field"
+
+
+def test_cow_partition_probe_safety_conservative(spark, tmp_path):
+    df = _ts_rows(spark)
+    t = CowTable.create(
+        spark, str(tmp_path / "ps"), df, keys=("provider", "foreign_id"),
+        target_files=8, partition_by=("day(created_on)",),
+    )
+    n_all = len(t._manifest()["files"])
+    # a non-ISO probe string must KEEP every file (no wrong pruning)
+    picked, _ = t.read_where({"created_on": ("2023-5-3", "2023-5-3")}, _split=True)
+    assert len(picked) == n_all
+
+
+def test_cow_partition_validation_and_guards(spark, tmp_path):
+    import pytest
+
+    df = _ts_rows(spark)
+    with pytest.raises(ValueError, match="unknown column"):
+        CowTable.create(
+            spark, str(tmp_path / "bad1"), df,
+            keys=("provider", "foreign_id"), partition_by=("day(nope)",),
+        )
+    with pytest.raises(ValueError, match="timestamp/date"):
+        CowTable.create(
+            spark, str(tmp_path / "bad2"), df,
+            keys=("provider", "foreign_id"), partition_by=("day(v)",),
+        )
+    with pytest.raises(ValueError, match="bad partition transform"):
+        CowTable.create(
+            spark, str(tmp_path / "bad3"), df,
+            keys=("provider", "foreign_id"), partition_by=("median(v)",),
+        )
+    t = CowTable.create(
+        spark, str(tmp_path / "ok"), df, keys=("provider", "foreign_id"),
+        partition_by=("day(created_on)",),
+    )
+    with pytest.raises(ValueError, match="partition source column"):
+        t.rename_column("created_on", "ts2")
+    assert t.describe()["partition_spec"] == ["created_on_day"]

@@ -475,3 +475,44 @@ def test_facade_copy_to_exports(spark, tmp_path):
     back = spark.read.option("sep", "\t").option("nullValue", "\\N").csv(tsv)
     rows = {(r["_c0"], r["_c1"]) for r in back.collect()}
     assert rows == {("1", "a"), ("2", None), ("3", "c")}
+
+
+def test_facade_partitioned_ctas_and_spec_evolution(spark, tmp_path):
+    """PARTITIONED BY in CTAS text creates a hidden-partitioned lake
+    table (files record partition fields; reads on the raw column
+    prune), and ALTER TABLE ... SET PARTITION SPEC evolves the spec
+    metadata-only."""
+    import datetime
+
+    f = SqlFacade(spark, workdir=str(tmp_path / "work"))
+    rows = [
+        (i, f"s{i % 3}", datetime.datetime(2024, 1 + (i % 6), 5, i % 24))
+        for i in range(240)
+    ]
+    f.register_df(
+        "src",
+        spark.createDataFrame(rows, "id bigint, s string, ts timestamp"),
+    )
+    out = f.sql(
+        "CREATE TABLE ev PRIMARY KEY (id) "
+        "PARTITIONED BY (month(ts), bucket(4, s)) "
+        "AS SELECT * FROM src"
+    ).head()
+    assert out["rows"] == 240
+    t = f._tables["ev"]
+    assert [s["name"] for s in t.partition_spec] == ["ts_month", "s_bucket4"]
+    assert all("part" in e for e in t._manifest()["files"])
+    picked, rest = t.read_where(
+        {"ts": ("2024-03-01 00:00:00", "2024-03-31 23:59:59")}, _split=True
+    )
+    assert rest, "month partition pruning must skip files"
+    n = f.sql(
+        "SELECT count(*) AS n FROM ev "
+        "WHERE ts >= '2024-03-01' AND ts < '2024-04-01'"
+    ).head()["n"]
+    assert n == 40
+    v = f.sql("ALTER TABLE ev SET PARTITION SPEC (day(ts))").head()["version"]
+    assert v == t.version
+    assert [s["name"] for s in t.partition_spec] == ["ts_day"]
+    # all historical field definitions survive for old-file pruning
+    assert set(t.partition_fields) == {"ts_month", "s_bucket4", "ts_day"}
