@@ -168,6 +168,9 @@ HEADLINE = [
     "classifier_logreg_score",
     "sketch_kmv_setops",
     "sketch_quantile_sample",
+    "merge_cow_partitioned",
+    "search_hybrid_rrf",
+    "sql_partition_metadata",
     "sql_catalog_txn",
     "agg_event_funnel",
     "agg_cohort_retention",

@@ -223,6 +223,31 @@ def _transform_probe(spec: dict, v):
     return NotImplemented
 
 
+def _data_rel(entry_path: str) -> str:
+    """A manifest entry path (``data/cXXX/.../part.parquet``, or an
+    absolute clone-source path) reduced to its data-relative identity —
+    the same coordinate ``_with_position`` tags rows with."""
+    i = entry_path.rfind("/data/")
+    if i >= 0:
+        return entry_path[i + len("/data/"):]
+    if entry_path.startswith("data/"):
+        return entry_path[len("data/"):]
+    return entry_path.rsplit("/", 1)[-1]
+
+
+def _rel_path(dir_path: str, full: str) -> str:
+    """Path of ``full`` relative to ``dir_path``. ``input_file_name``
+    URIs carry a scheme prefix, and partition-pure writes nest files
+    under ``__p_*=value`` dirs where BASENAMES repeat across dirs (one
+    task writes the same part-NNNNN name into each partition dir it
+    touches) — the relative path is the only safe file identity."""
+    marker = dir_path.rstrip("/")
+    i = full.find(marker)
+    if i >= 0:
+        return full[i + len(marker):].lstrip("/")
+    return full.rstrip("/").rsplit("/", 1)[-1]
+
+
 def _file_stats(
     spark: SparkSession,
     dir_path: str,
@@ -246,6 +271,9 @@ def _file_stats(
     the NULL point — ``_affected_split`` uses ``null_keys`` to route
     NULL-key batch rows to every file that can hide a NULL-key match."""
     df = spark.read.parquet(dir_path)
+    # __p_* columns are directory-layout-only (partition-pure writes);
+    # they are never part of the table schema
+    df = df.drop(*[c for c in df.columns if c.startswith("__p_")])
     stats_cols = tuple(c for c in stats_cols if c in df.columns)
     aggs = [F.count(F.lit(1)).alias("rows")]
     for k in (*keys, *stats_cols):
@@ -272,9 +300,9 @@ def _file_stats(
     )
     entries = []
     for r in rows:
-        basename = r["__file"].rstrip("/").rsplit("/", 1)[-1]
+        rel = _rel_path(dir_path, r["__file"])
         entry = {
-            "path": f"{rel_dir}/{basename}",
+            "path": f"{rel_dir}/{rel}",
             "rows": r["rows"],
             "min": {k: r[f"min_{k}"] for k in keys},
             "max": {k: r[f"max_{k}"] for k in keys},
@@ -441,7 +469,7 @@ def _file_blooms(
     rows = hashed.groupBy("__file").applyInPandas(per_file, out_schema).collect()
     out: dict[str, dict[str, dict]] = {}
     for r in rows:
-        base = r["file"].rstrip("/").rsplit("/", 1)[-1]
+        base = _rel_path(dir_path, r["file"])
         per_col = {
             c: json.loads(r[f"b64_{c}"])
             for c in cols
@@ -625,19 +653,27 @@ class CowTable:
         if self.bloom_cols:
             blooms = _file_blooms(self.spark, data_dir, self.bloom_cols)
             for e in entries:
-                basename = e["path"].rsplit("/", 1)[-1]
-                if basename in blooms:
-                    e["bloom"] = blooms[basename]
+                rel = e["path"][len(rel_dir):].lstrip("/")
+                if rel in blooms:
+                    e["bloom"] = blooms[rel]
         return entries
 
-    def _clustered(self, phys_df: DataFrame, target_files: int) -> DataFrame:
-        """Write-distribution clustering: partition transform values
-        FIRST, merge key second — with a partition spec in force, files
-        land partition-pure (most hold a single partition tuple, the
-        Iceberg write distribution) with tight key ranges within each,
-        so both partition pruning and key skipping bite. Without a spec
-        this is exactly the old key-range clustering."""
+    def _write_clustered(
+        self, phys_df: DataFrame, target_files: int, data_dir: str
+    ) -> None:
+        """The one data-file writer every commit path uses. Without a
+        partition spec: the classic merge-key range clustering. With
+        one: rows range-cluster on (partition transforms, merge key)
+        and the write goes through ``partitionBy`` on derived ``__p_*``
+        columns, so files are PARTITION-PURE — a file never spans a
+        partition tuple (Iceberg's write distribution; each task opens
+        one file per tuple in its range, so a table gets >= one file
+        per live partition and partition pruning is exact at every
+        boundary, not just away from file edges). The ``__p_*`` columns
+        exist only in the directory layout — parquet files keep the
+        full real schema, so entry-path reads are unchanged."""
         exprs: list[Column] = []
+        names: list[str] = []
         colmap = self.column_mapping
         for s in self.partition_spec:
             phys = colmap.get(s["col"], s["col"])
@@ -647,8 +683,27 @@ class CowTable:
                         s, phys, phys_df.schema[phys].dataType
                     )
                 )
-        exprs += [F.col(k) for k in self.keys]
-        return phys_df.repartitionByRange(target_files, *exprs)
+                names.append(s["name"])
+        key_exprs = [F.col(k) for k in self.keys]
+        if not exprs:
+            phys_df.repartitionByRange(
+                target_files, *key_exprs
+            ).write.mode("error").parquet(data_dir)
+            return
+        tagged = phys_df
+        pcols = []
+        for n, ex in zip(names, exprs):
+            pc = f"__p_{n}"
+            tagged = tagged.withColumn(pc, ex)
+            pcols.append(pc)
+        (
+            tagged.repartitionByRange(
+                target_files, *[F.col(c) for c in pcols], *key_exprs
+            )
+            .write.mode("error")
+            .partitionBy(*pcols)
+            .parquet(data_dir)
+        )
 
     # -- bootstrap ----------------------------------------------------------
 
@@ -688,7 +743,7 @@ class CowTable:
         entries: list[dict] = []
         if df.head(1):
             data_dir = f"{t.root}/data/v1"
-            t._clustered(df, target_files).write.mode("error").parquet(data_dir)
+            t._write_clustered(df, target_files, data_dir)
             entries = t._collect_entries(data_dir, "data/v1")
         # an EMPTY create initializes a zero-file snapshot (the schema in
         # the manifest keeps it readable) — the streaming-ingest path
@@ -926,6 +981,72 @@ class CowTable:
             "num_versions": len(self._manifest_names()),
         }
 
+    def files_df(self, version: int | None = None) -> DataFrame:
+        """METADATA TABLE (Delta/Iceberg ``table.files``): one row per
+        live data file of the snapshot — path, rows, on-disk bytes,
+        merge-key bounds, hidden-partition field values, and whether a
+        deletion vector is attached. Driver-side O(files) straight off
+        the resolved manifest (the same metadata every read already
+        materializes), so inspection queries never scan data."""
+        m = self._manifest(version)
+        rows = []
+        for e in m["files"]:
+            part = e.get("part") or {}
+            p = self._abs(e["path"])
+            rows.append((
+                e["path"],
+                int(e["rows"]),
+                int(os.path.getsize(p)) if os.path.exists(p) else None,
+                {k: None if v is None else str(v)
+                 for k, v in (e.get("min") or {}).items()},
+                {k: None if v is None else str(v)
+                 for k, v in (e.get("max") or {}).items()},
+                {n: None if lo is None else str(lo)
+                 for n, (lo, hi) in part.items() if lo == hi},
+                bool(e.get("dv")),
+            ))
+        return self.spark.createDataFrame(
+            rows,
+            "path string, rows bigint, size_bytes bigint, "
+            "min_key map<string,string>, max_key map<string,string>, "
+            "partition map<string,string>, has_dv boolean",
+        )
+
+    def partitions_df(self, version: int | None = None) -> DataFrame:
+        """METADATA TABLE (Iceberg ``table.partitions``): per-partition
+        file and row counts, straight off the manifest's per-file
+        partition fields — no data scan. A file whose recorded min/max
+        for a field differ (it spans partition boundaries) reports NULL
+        for that field, so sums over this table always equal the table's
+        totals. Fields are every partition field live in the snapshot
+        (multi-spec after evolution)."""
+        m = self._manifest(version)
+        fields = sorted({
+            n for e in m["files"] for n in (e.get("part") or {})
+        })
+        agg: dict[tuple, list[int]] = {}
+        for e in m["files"]:
+            part = e.get("part") or {}
+            key = tuple(
+                str(part[n][0])
+                if n in part
+                and part[n][0] is not None
+                and part[n][0] == part[n][1]
+                else None
+                for n in fields
+            )
+            a = agg.setdefault(key, [0, 0])
+            a[0] += 1
+            a[1] += int(e["rows"])
+        rows = [
+            (dict(zip(fields, k)), int(nf), int(nr))
+            for k, (nf, nr) in sorted(agg.items(), key=lambda kv: str(kv[0]))
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "partition map<string,string>, num_files bigint, rows bigint",
+        )
+
     def history(self) -> list[dict]:
         out = []
         for name in self._manifest_names():
@@ -947,14 +1068,21 @@ class CowTable:
 
     @staticmethod
     def _with_position(df) -> DataFrame:
-        """Tag each row with its (file basename, row index) physical
-        identity — the coordinate system deletion vectors live in.
-        Basenames are globally unique (uuid'd part files in uuid'd
-        commit dirs), so they're a stable join key across path roots."""
+        """Tag each row with its (file identity, row index) physical
+        coordinates — the system deletion vectors live in. Identity is
+        the path AFTER ``/data/`` (commit dir + any ``__p_*`` partition
+        subdirs + part file): bare basenames stopped being unique when
+        partition-pure writes arrived (one task writes the same
+        part-NNNNN name into every partition dir it touches), while the
+        data-relative path is unique across commit dirs AND stable
+        across table roots (clones reference files absolutely)."""
         return df.select(
             "*",
-            F.element_at(
-                F.split(F.col("_metadata.file_path"), "/"), -1
+            # greedy ^.* pins the LAST /data/ segment (the table's data
+            # root — partition dirs URL-escape slashes, commit dirs are
+            # uuid-hex, so neither can contain one), matching _data_rel
+            F.regexp_extract(
+                F.col("_metadata.file_path"), "^.*/data/(.+)$", 1
             ).alias("__dv_file"),
             F.col("_metadata.row_index").alias("__dv_pos"),
         )
@@ -2273,9 +2401,7 @@ class CowTable:
         new_version = m["version"] + 1
         rel_dir = f"data/c{uuid.uuid4().hex[:12]}"
         data_dir = f"{self.root}/{rel_dir}"
-        self._clustered(self._to_physical(merged), target_files).write.mode(
-            "error"
-        ).parquet(data_dir)
+        self._write_clustered(self._to_physical(merged), target_files, data_dir)
         new_entries = self._collect_entries(data_dir, rel_dir)
         if pre_commit_hook is not None:
             pre_commit_hook()
@@ -2489,9 +2615,9 @@ class CowTable:
         data_dir = f"{self.root}/{rel_dir}"
         new_entries: list[dict] = []
         if out.head(1):
-            self._clustered(self._to_physical(out), target_files).write.mode(
-                "error"
-            ).parquet(data_dir)
+            self._write_clustered(
+                self._to_physical(out), target_files, data_dir
+            )
             new_entries = self._collect_entries(data_dir, rel_dir)
         # else: a delete emptied every touched file — the commit simply
         # drops them (no part-less directory to stat)
@@ -2613,7 +2739,7 @@ class CowTable:
             # carry forward the touched files' existing vectors so each
             # file's newest DV stays its complete cumulative set
             bases = [
-                e["path"].rsplit("/", 1)[-1] for e in touched if e.get("dv")
+                _data_rel(e["path"]) for e in touched if e.get("dv")
             ]
             allpos = allpos.unionByName(
                 old_pos.filter(F.col("file").isin(bases))
@@ -2629,7 +2755,7 @@ class CowTable:
         new_touched = []
         n_dv_changed = 0
         for e in touched:
-            b = e["path"].rsplit("/", 1)[-1]
+            b = _data_rel(e["path"])
             n_dead = dead.get(b, 0)
             old_dead = (e.get("dv") or {}).get("deleted", 0)
             if n_dead == old_dead:
@@ -2660,9 +2786,9 @@ class CowTable:
                 ]
             )
             self._enforce_constraints(upd, "update")
-            self._clustered(self._to_physical(upd), target_files).write.mode(
-                "error"
-            ).parquet(data_dir)
+            self._write_clustered(
+                self._to_physical(upd), target_files, data_dir
+            )
             new_entries = self._collect_entries(data_dir, rel_dir)
         if pre_commit_hook is not None:
             pre_commit_hook()
@@ -2881,9 +3007,7 @@ class CowTable:
                 .parquet(data_dir)
             )
         else:
-            self._clustered(self._to_physical(df), n_files).write.mode(
-                "error"
-            ).parquet(data_dir)
+            self._write_clustered(self._to_physical(df), n_files, data_dir)
         new_entries = self._collect_entries(data_dir, rel_dir)
         if pre_commit_hook is not None:
             pre_commit_hook()

@@ -279,3 +279,57 @@ def sql_cow_merge(spark, sf_dir):
     return f.sql(
         "SELECT provider, foreign_identifier, url, title FROM media"
     )
+
+
+@register(
+    "sql_partition_metadata",
+    """
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           count(*) AS rows
+    FROM orders
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def sql_partition_metadata(spark, sf_dir):
+    """METADATA TABLES as SQL relations (Delta/Iceberg's ``table.files``
+    / ``table.partitions``): a hidden-partitioned CTAS (``PARTITIONED
+    BY (month(ts))``) writes partition-pure files, and
+    ``TABLE_PARTITIONS('t')`` then exposes per-partition file/row
+    counts STRAIGHT OFF THE MANIFEST — zero data scanned, O(files)
+    driver-side work, the operational introspection every maintenance
+    loop and cost-based planner needs. The oracle is the true per-month
+    GROUP BY over the raw source — manifest metadata must agree exactly
+    with the data, or the pruning built on it is lying. TABLE_FILES
+    totals are cross-checked in-query against the table's row count."""
+    import os
+    import shutil
+    import tempfile
+
+    from openverse_catalog_spark.sql_facade import SqlFacade
+
+    f = _facade(spark, sf_dir, "orders")
+    root = os.path.join(
+        tempfile.gettempdir(), "spark_graft_sql_partmeta"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    f.workdir = root
+    os.makedirs(root, exist_ok=True)
+    f.sql(
+        "CREATE TABLE pmeta PRIMARY KEY (id) PARTITIONED BY (month(ts)) "
+        "AS SELECT o_orderkey AS id, "
+        "CAST(o_orderdate AS TIMESTAMP) AS ts FROM orders"
+    )
+    # files metadata must sum to the table's total — checked here so the
+    # oracle only needs the partition grain
+    total = f.sql(
+        "SELECT sum(rows) AS r FROM TABLE_FILES('pmeta')"
+    ).head()["r"]
+    n = f.sql("SELECT count(*) AS n FROM pmeta").head()["n"]
+    assert total == n, (total, n)
+    return f.sql(
+        "SELECT element_at(partition, 'ts_month') AS month, "
+        "sum(rows) AS rows "
+        "FROM TABLE_PARTITIONS('pmeta') "
+        "GROUP BY 1 ORDER BY 1"
+    )

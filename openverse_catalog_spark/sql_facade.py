@@ -74,6 +74,13 @@ _TABLE_CHANGES = re.compile(
     r"\bTABLE_CHANGES\s*\(\s*'(\w+)'\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)",
     re.IGNORECASE,
 )
+_TABLE_FILES = re.compile(
+    r"\bTABLE_FILES\s*\(\s*'(\w+)'\s*(?:,\s*(\d+)\s*)?\)", re.IGNORECASE
+)
+_TABLE_PARTITIONS = re.compile(
+    r"\bTABLE_PARTITIONS\s*\(\s*'(\w+)'\s*(?:,\s*(\d+)\s*)?\)",
+    re.IGNORECASE,
+)
 _INSERT_INTO = re.compile(
     r"^\s*INSERT\s+INTO\s+(\w+)\s+(.+)$", re.IGNORECASE | re.DOTALL
 )
@@ -334,7 +341,25 @@ class SqlFacade:
             t.read_changes(lo, hi).createOrReplaceTempView(view)
             return view
 
+        def files_of(match: re.Match) -> str:
+            name = match.group(1)
+            v = int(match.group(2)) if match.group(2) else None
+            t = need(name)
+            view = f"{name}__files_{v if v is not None else t.version}"
+            t.files_df(version=v).createOrReplaceTempView(view)
+            return view
+
+        def partitions_of(match: re.Match) -> str:
+            name = match.group(1)
+            v = int(match.group(2)) if match.group(2) else None
+            t = need(name)
+            view = f"{name}__parts_{v if v is not None else t.version}"
+            t.partitions_df(version=v).createOrReplaceTempView(view)
+            return view
+
         text = _TABLE_CHANGES.sub(changes_of, text)
+        text = _TABLE_FILES.sub(files_of, text)
+        text = _TABLE_PARTITIONS.sub(partitions_of, text)
         text = _VERSION_AS_OF.sub(version_of, text)
         text = _TIMESTAMP_AS_OF.sub(timestamp_of, text)
         return text

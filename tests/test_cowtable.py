@@ -2256,3 +2256,43 @@ def test_cow_partition_validation_and_guards(spark, tmp_path):
     with pytest.raises(ValueError, match="partition source column"):
         t.rename_column("created_on", "ts2")
     assert t.describe()["partition_spec"] == ["created_on_day"]
+
+
+def test_cow_partitioned_writes_are_partition_pure_and_dv_safe(
+    spark, tmp_path
+):
+    """Partition-pure writes: every file's partition fields record
+    min == max (a file never spans a tuple), the __p_* layout columns
+    never leak into read schemas, and DV deletes key on the
+    data-relative path so identical part basenames across partition
+    dirs cannot cross-kill rows."""
+    df = _ts_rows(spark)
+    t = CowTable.create(
+        spark, str(tmp_path / "pp"), df, keys=("provider", "foreign_id"),
+        target_files=4, partition_by=("day(created_on)",),
+    )
+    m = t._manifest()
+    for e in m["files"]:
+        lo, hi = e["part"]["created_on_day"]
+        assert lo == hi and lo is not None
+    assert not [c for c in t.read().columns if c.startswith("__p_")]
+    assert t.read().count() == 240
+    # DV delete on the partitioned table: one day dies, bytes stay
+    # file-local, every other day survives exactly
+    res = t.delete(
+        F.expr("created_on >= '2023-05-03' AND created_on < '2023-05-04'"),
+        mode="dv",
+    )
+    assert res["files_dv"] >= 1 and res["files_rewritten"] == 0
+    assert t.read().count() == 210
+    assert t.read().filter(
+        (F.col("created_on") >= "2023-05-03")
+        & (F.col("created_on") < "2023-05-04")
+    ).count() == 0
+    # partitions metadata table is exact after the DV (live rows)
+    parts = {
+        r["partition"]["created_on_day"]: r["rows"]
+        for r in t.partitions_df().collect()
+    }
+    assert parts.get("2023-05-03", 0) == 0
+    assert sum(parts.values()) == 210

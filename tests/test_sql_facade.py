@@ -516,3 +516,50 @@ def test_facade_partitioned_ctas_and_spec_evolution(spark, tmp_path):
     assert [s["name"] for s in t.partition_spec] == ["ts_day"]
     # all historical field definitions survive for old-file pruning
     assert set(t.partition_fields) == {"ts_month", "s_bucket4", "ts_day"}
+
+
+def test_facade_metadata_table_functions(spark, tmp_path):
+    """TABLE_FILES / TABLE_PARTITIONS expose the manifest as queryable
+    relations (Delta/Iceberg metadata tables) — sums must equal table
+    totals, partition rows must be exact for partition-pure files, and
+    a version argument pins a historical snapshot's metadata."""
+    import datetime
+
+    f = SqlFacade(spark, workdir=str(tmp_path / "work"))
+    rows = [
+        (i, datetime.datetime(2024, 1 + (i % 3), 4, i % 24), f"v{i}")
+        for i in range(90)
+    ]
+    f.register_df(
+        "src", spark.createDataFrame(rows, "id bigint, ts timestamp, s string")
+    )
+    f.sql(
+        "CREATE TABLE mt PRIMARY KEY (id) PARTITIONED BY (month(ts)) "
+        "AS SELECT * FROM src"
+    )
+    total = f.sql(
+        "SELECT sum(rows) AS r, count(*) AS files FROM TABLE_FILES('mt')"
+    ).head()
+    assert total["r"] == 90 and total["files"] >= 3
+    parts = {
+        r["m"]: r["r"]
+        for r in f.sql(
+            "SELECT element_at(partition, 'ts_month') AS m, sum(rows) AS r "
+            "FROM TABLE_PARTITIONS('mt') GROUP BY 1"
+        ).collect()
+    }
+    assert parts == {"2024-01": 30, "2024-02": 30, "2024-03": 30}
+    # version-pinned metadata: delete a month, v1 metadata is unchanged
+    f.sql("DELETE FROM mt WHERE ts >= '2024-03-01'")
+    now_parts = {
+        r["m"]: r["r"]
+        for r in f.sql(
+            "SELECT element_at(partition, 'ts_month') AS m, sum(rows) AS r "
+            "FROM TABLE_PARTITIONS('mt') GROUP BY 1"
+        ).collect()
+    }
+    assert "2024-03" not in now_parts
+    v1 = f.sql(
+        "SELECT sum(rows) AS r FROM TABLE_FILES('mt', 1)"
+    ).head()["r"]
+    assert v1 == 90
