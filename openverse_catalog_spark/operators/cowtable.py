@@ -2996,16 +2996,38 @@ class CowTable:
                 minmax_bucket(F.col(c), lo, hi, zorder_bits)
                 for c, (lo, hi) in zorder_by.items()
             ]
-            (
-                self._to_physical(
-                    df.withColumn("__z", zvalue(buckets, zorder_bits))
+            zdf = self._to_physical(
+                df.withColumn("__z", zvalue(buckets, zorder_bits))
+            )
+            # a hidden-partitioned table z-orders WITHIN partitions:
+            # partition tuple leads the clustering and the write splits
+            # per tuple, so OPTIMIZE ZORDER never un-purifies files
+            # (partition pruning survives the rewrite; the z-curve
+            # clusters inside each partition's files)
+            pcols: list[str] = []
+            colmap = self.column_mapping
+            for s in self.partition_spec:
+                phys_c = colmap.get(s["col"], s["col"])
+                if phys_c in zdf.columns:
+                    pc = f"__p_{s['name']}"
+                    zdf = zdf.withColumn(
+                        pc,
+                        _partition_field_expr(
+                            s, phys_c, zdf.schema[phys_c].dataType
+                        ),
+                    )
+                    pcols.append(pc)
+            writer = (
+                zdf.repartitionByRange(
+                    n_files, *[F.col(c) for c in pcols], F.col("__z")
                 )
-                .repartitionByRange(n_files, F.col("__z"))
-                .sortWithinPartitions("__z")
+                .sortWithinPartitions(*pcols, "__z")
                 .drop("__z")
                 .write.mode("error")
-                .parquet(data_dir)
             )
+            if pcols:
+                writer = writer.partitionBy(*pcols)
+            writer.parquet(data_dir)
         else:
             self._write_clustered(self._to_physical(df), n_files, data_dir)
         new_entries = self._collect_entries(data_dir, rel_dir)

@@ -2296,3 +2296,47 @@ def test_cow_partitioned_writes_are_partition_pure_and_dv_safe(
     }
     assert parts.get("2023-05-03", 0) == 0
     assert sum(parts.values()) == 210
+
+
+def test_cow_zorder_preserves_partition_purity(spark, tmp_path):
+    """OPTIMIZE ZORDER on a hidden-partitioned table z-orders WITHIN
+    partitions: after the rewrite every file is still partition-pure
+    (partition pruning survives) AND range reads prune on the z
+    columns inside partitions."""
+    import datetime
+
+    rows = []
+    for d in (1, 2):
+        for i in range(200):
+            rows.append((
+                f"id{d}_{i:03d}",
+                datetime.datetime(2023, 5, d),
+                float((i * 37) % 100),
+                float((i * 61) % 100),
+            ))
+    df = spark.createDataFrame(
+        rows, "fid string, created_on timestamp, x double, y double"
+    )
+    t = CowTable.create(
+        spark, str(tmp_path / "zp"), df, keys=("fid",),
+        target_files=4, partition_by=("day(created_on)",),
+        stats_cols=("x", "y"),
+    )
+    t.compact(
+        target_rows=50,
+        zorder_by={"x": (0, 100), "y": (0, 100)},
+        zorder_bits=5,
+    )
+    m = t._manifest()
+    for e in m["files"]:
+        lo, hi = e["part"]["created_on_day"]
+        assert lo == hi and lo is not None, "zorder must not un-purify"
+    # both prunings still work after the rewrite
+    picked, rest = t.read_where(
+        {"created_on": ("2023-05-01 00:00:00", "2023-05-01 23:59:59")},
+        _split=True,
+    )
+    assert rest, "partition pruning must survive zorder"
+    box = t.read_where({"x": (0.0, 20.0), "y": (0.0, 20.0)})
+    assert len(box.inputFiles()) < len(m["files"]), "z-skip must bite"
+    assert t.read().count() == 400
