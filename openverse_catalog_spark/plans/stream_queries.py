@@ -604,3 +604,176 @@ def q_multimodal_audio_samples(spark, sf_dir):
     return out.select(
         "doc_id", "n_samples", "channels", "sample_sum", "peak"
     )
+
+
+@register(
+    "multimodal_resize_nearest",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             8 + doc_id % 9 AS w, 6 + doc_id % 5 AS h,
+             CASE WHEN doc_id % 4 = 0 THEN 'bmp'
+                  WHEN doc_id % 4 = 2 THEN 'gif' ELSE 'png' END AS fmt,
+             CASE WHEN doc_id % 4 = 0 THEN 3
+                  WHEN doc_id % 4 = 2 THEN 3
+                  ELSE CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3
+                       ELSE 4 END END AS ch
+      FROM documents
+    ),
+    px AS (
+      -- nearest-neighbor index map: src = (dst * in) // out, replayed
+      -- on the deterministic pattern; wgt makes the checksum sensitive
+      -- to pixel PLACEMENT, not just the value multiset
+      SELECT doc_id, fmt, ch,
+             (7 * ((x2 * w) // 5) + 13 * ((y2 * h) // 4)
+              + CASE WHEN fmt = 'gif' THEN 0 ELSE 29 * c END
+              + doc_id) % 256 AS v,
+             y2 * 5 + x2 + 1 AS wgt
+      FROM (
+        SELECT *, unnest(range(0, ch)) AS c FROM (
+          SELECT *, unnest(range(0, 5)) AS x2 FROM (
+            SELECT *, unnest(range(0, 4)) AS y2 FROM p)))
+    )
+    SELECT doc_id, fmt,
+           CAST(5 AS BIGINT) AS out_width, CAST(4 AS BIGINT) AS out_height,
+           CAST(ch AS BIGINT) AS channels,
+           CAST(sum(v) AS BIGINT) AS resized_sum,
+           CAST(sum(v * wgt) AS BIGINT) AS checksum
+    FROM px GROUP BY doc_id, fmt, ch
+    """,
+)
+def q_multimodal_resize_nearest(spark, sf_dir):
+    """REAL nearest-neighbor resize after REAL decode: every payload is
+    decoded (PNG inflate+unfilter / BMP / GIF LZW) and index-mapped to a
+    fixed 5x4 grid inside one Arrow-batched pass — the fixed-shape
+    thumbnail step of an image training pipeline. The oracle replays
+    the src=(dst*in)//out index arithmetic on the closed-form pixel
+    pattern and checks a position-weighted checksum, so a transposed
+    axis, an off-by-one in the index map, or a channel mixup all break
+    the hash."""
+    from openverse_catalog_spark.operators.multimodal import (
+        attach_decodable_image_payload,
+        resize_image_pixels_nearest,
+    )
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    out = resize_image_pixels_nearest(
+        attach_decodable_image_payload(d), out_w=5, out_h=4
+    )
+    return out.select(
+        "doc_id", "fmt", "out_width", "out_height", "channels",
+        "resized_sum", "checksum",
+    )
+
+
+@register(
+    "multimodal_downsample_box",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             8 + doc_id % 9 AS w, 6 + doc_id % 5 AS h,
+             CASE WHEN doc_id % 4 = 0 THEN 'bmp'
+                  WHEN doc_id % 4 = 2 THEN 'gif' ELSE 'png' END AS fmt,
+             CASE WHEN doc_id % 4 = 0 THEN 3
+                  WHEN doc_id % 4 = 2 THEN 3
+                  ELSE CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3
+                       ELSE 4 END END AS ch
+      FROM documents
+    ),
+    px AS (
+      -- 2x2 box filter: each source pixel lands in block
+      -- (y//2, x//2); only the crop to even dimensions participates
+      SELECT doc_id, fmt, ch, w // 2 AS w2, h // 2 AS h2,
+             (7 * x + 13 * y
+              + CASE WHEN fmt = 'gif' THEN 0 ELSE 29 * c END
+              + doc_id) % 256 AS v,
+             (y // 2) * (w // 2) + (x // 2) + 1 AS wgt
+      FROM (
+        SELECT *, unnest(range(0, ch)) AS c FROM (
+          SELECT *, unnest(range(0, (w // 2) * 2)) AS x FROM (
+            SELECT *, unnest(range(0, (h // 2) * 2)) AS y FROM p)))
+    )
+    SELECT doc_id, fmt,
+           CAST(w2 AS BIGINT) AS out_width, CAST(h2 AS BIGINT) AS out_height,
+           CAST(ch AS BIGINT) AS channels,
+           CAST(sum(v) AS BIGINT) AS resized_sum,
+           CAST(sum(v * wgt) AS BIGINT) AS checksum
+    FROM px GROUP BY doc_id, fmt, ch, w2, h2
+    """,
+)
+def q_multimodal_downsample_box(spark, sf_dir):
+    """REAL box-filter (area-average) downsample after REAL decode:
+    2x2 blocks averaged (kept as exact integer block sums), odd edges
+    cropped — the anti-aliased reduction step a vision pipeline runs
+    before feature extraction. The oracle re-buckets every source pixel
+    into its block with position weights: wrong cropping, block
+    assignment or axis order breaks the hash."""
+    from openverse_catalog_spark.operators.multimodal import (
+        attach_decodable_image_payload,
+        downsample_image_pixels_box,
+    )
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    out = downsample_image_pixels_box(
+        attach_decodable_image_payload(d), factor=2
+    )
+    return out.select(
+        "doc_id", "fmt", "out_width", "out_height", "channels",
+        "resized_sum", "checksum",
+    )
+
+
+@register(
+    "multimodal_audio_frames",
+    """
+    WITH p AS (
+      SELECT doc_id, 120 + doc_id % 50 AS n FROM documents
+    ),
+    fr AS (
+      SELECT doc_id, n, unnest(range(0, (n - 32) // 16 + 1)) AS f
+      FROM p
+    ),
+    s AS (
+      -- overlapping frames: 32 samples every 16; v and its in-frame
+      -- successor both come straight from the closed-form pattern
+      SELECT doc_id, f, j,
+             ((31 * (f * 16 + j) + doc_id) % 65536) - 32768 AS v,
+             ((31 * (f * 16 + j + 1) + doc_id) % 65536) - 32768 AS vn
+      FROM (SELECT *, unnest(range(0, 32)) AS j FROM fr)
+    ),
+    fstats AS (
+      SELECT doc_id, f,
+             sum(CAST(v AS BIGINT) * v) AS energy,
+             sum(CASE WHEN j < 31 AND v * vn < 0 THEN 1 ELSE 0 END) AS zc
+      FROM s GROUP BY doc_id, f
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(sum(energy) AS BIGINT) AS energy_total,
+           CAST(sum(zc) AS BIGINT) AS zcr_total,
+           round(avg(sqrt(energy / 32.0)), 6) AS mean_rms
+    FROM fstats GROUP BY doc_id
+    """,
+)
+def q_multimodal_audio_frames(spark, sf_dir):
+    """Frame-level audio features over REAL decoded PCM: 32-sample
+    frames at hop 16 (50% overlap, the STFT framing grid), per-clip
+    totals of frame energy (exact integer), zero-crossing count and
+    mean frame RMS — the feature front-end of a speech training
+    pipeline with the env-blocked FFT swapped for SQL-replayable
+    moments. The oracle regenerates every overlapping frame from the
+    sample pattern: wrong hop, frame edge, or an off-by-one in the
+    window indexing breaks the match."""
+    from openverse_catalog_spark.operators.multimodal import (
+        attach_decodable_audio_payload,
+        extract_audio_frame_features,
+    )
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    out = extract_audio_frame_features(
+        attach_decodable_audio_payload(d), frame=32, hop=16
+    )
+    return out.select(
+        "doc_id", "n_frames", "energy_total", "zcr_total",
+        F.round("mean_rms", 6).alias("mean_rms"),
+    )

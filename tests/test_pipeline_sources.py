@@ -823,3 +823,100 @@ def test_png_bmp_wav_real_decode_roundtrip():
     yy, xx = np.meshgrid(np.arange(150), np.arange(200), indexing="ij")
     assert (big[:, :, 0].astype(np.int64) == (7 * xx + 13 * yy + 3) % 256).all()
     assert decode_wav_samples(b"RIFF\x00\x00\x00\x00WAVE") is None
+
+
+def test_multimodal_resize_and_frame_features(spark):
+    """Nearest resize, box downsample and audio framing pinned against
+    independent scalar-loop references (not the vectorized numpy the
+    operators use), end-to-end through the Arrow-batched Spark path."""
+    import numpy as np
+
+    from openverse_catalog_spark.operators.multimodal import (
+        attach_decodable_audio_payload,
+        attach_decodable_image_payload,
+        downsample_image_pixels_box,
+        extract_audio_frame_features,
+        resize_image_pixels_nearest,
+    )
+
+    docs = spark.createDataFrame(
+        [(d,) for d in range(8)], "doc_id long"
+    )
+    imgs = attach_decodable_image_payload(docs)
+
+    def pattern(d, h, w, ch, gif):
+        y, x, c = np.meshgrid(
+            np.arange(h), np.arange(w), np.arange(ch), indexing="ij"
+        )
+        return (7 * x + 13 * y + (0 if gif else 29) * c + d) % 256
+
+    def fixture(d):
+        w, h = 8 + d % 9, 6 + d % 5
+        gif = d % 4 == 2
+        ch = 3 if d % 4 in (0, 2) else (1, 3, 4)[d % 3]
+        return pattern(d, h, w, ch, gif), w, h, ch
+
+    near = {
+        r["doc_id"]: r
+        for r in resize_image_pixels_nearest(imgs, 5, 4).collect()
+    }
+    box = {
+        r["doc_id"]: r
+        for r in downsample_image_pixels_box(imgs, 2).collect()
+    }
+    for d in range(8):
+        px, w, h, ch = fixture(d)
+        # scalar nearest reference
+        s = ck = 0
+        for y2 in range(4):
+            for x2 in range(5):
+                for c in range(ch):
+                    v = int(px[(y2 * h) // 4, (x2 * w) // 5, c])
+                    s += v
+                    ck += v * (y2 * 5 + x2 + 1)
+        assert near[d]["resized_sum"] == s and near[d]["checksum"] == ck
+        assert near[d]["out_width"] == 5 and near[d]["out_height"] == 4
+        # scalar 2x2 block-sum reference
+        w2, h2 = w // 2, h // 2
+        s = ck = 0
+        for y in range(h2 * 2):
+            for x in range(w2 * 2):
+                for c in range(ch):
+                    v = int(px[y, x, c])
+                    s += v
+                    ck += v * ((y // 2) * w2 + (x // 2) + 1)
+        assert box[d]["resized_sum"] == s and box[d]["checksum"] == ck
+        assert box[d]["out_width"] == w2 and box[d]["out_height"] == h2
+
+    frames = {
+        r["doc_id"]: r
+        for r in extract_audio_frame_features(
+            attach_decodable_audio_payload(docs), frame=32, hop=16
+        ).collect()
+    }
+    for d in range(8):
+        n = 120 + d % 50
+        v = [((31 * i + d) % 65536) - 32768 for i in range(n)]
+        nf = (n - 32) // 16 + 1
+        energy = zcr = 0.0
+        rms = []
+        for f in range(nf):
+            fr = v[f * 16: f * 16 + 32]
+            e = sum(x * x for x in fr)
+            energy += e
+            zcr += sum(
+                1 for a, b in zip(fr[:-1], fr[1:]) if a * b < 0
+            )
+            rms.append((e / 32.0) ** 0.5)
+        r = frames[d]
+        assert r["n_frames"] == nf
+        assert r["energy_total"] == int(energy)
+        assert r["zcr_total"] == int(zcr)
+        assert abs(r["mean_rms"] - sum(rms) / nf) < 1e-9
+    # degenerate: clip shorter than one frame -> 0 frames, NULL stats
+    short = extract_audio_frame_features(
+        attach_decodable_audio_payload(docs), frame=4096, hop=16
+    ).collect()
+    assert all(
+        r["n_frames"] == 0 and r["energy_total"] is None for r in short
+    )
