@@ -2446,6 +2446,209 @@ class CowTable:
             "relinked": relinked,
         }
 
+    # -- conditional MERGE (ANSI WHEN clauses) --------------------------------
+
+    def merge_when(
+        self,
+        source: DataFrame,
+        *,
+        update_set: dict | str | None = None,
+        update_cond=None,
+        delete_cond=None,
+        insert: bool = True,
+        insert_cond=None,
+        target_alias: str = "t",
+        source_alias: str = "s",
+        target_files: int = 4,
+        max_retries: int = 3,
+        pre_commit_hook=None,
+    ) -> dict:
+        """Conditional MERGE with ANSI/Delta WHEN-clause semantics —
+        the general form the reference cannot express in one
+        ``INSERT ... ON CONFLICT`` (it splits such logic across
+        separate UPDATE/DELETE passes, ``loader/sql.py:214-332``):
+
+          WHEN MATCHED AND <delete_cond> THEN DELETE
+          WHEN MATCHED [AND <update_cond>] THEN UPDATE SET <update_set>
+          WHEN NOT MATCHED [AND <insert_cond>] THEN INSERT *
+
+        Clause order is Delta's: a matched row is tested against DELETE
+        first, then UPDATE, else carried unchanged. Conditions and SET
+        right-hand sides are SQL strings (or Columns) over the aliased
+        target/source rows (defaults ``t``/``s``); a NULL condition is
+        false (SQL). ``update_set`` may be ``"*"`` (every shared
+        non-key column takes the source value) or ``{col: expr}``;
+        merge keys cannot be SET (that would change row identity under
+        the manifest's key clustering). Source keys must be unique —
+        two source rows matching one target row is ambiguous and
+        raises, exactly Delta's multiple-matches error. ``INSERT *``
+        maps source columns by name and NULL-fills the rest.
+
+        Physical work is the same file-skipping as ``merge``: only
+        files whose key range intersects the batch rewrite; inserts
+        can only land there too (a matching target key proves its file
+        intersects the batch box), so unmatched detection against the
+        affected slice alone is exact. Same optimistic concurrency,
+        including the disjoint-files metadata-only re-link."""
+        if update_set is None and delete_cond is None and not insert:
+            raise ValueError("merge_when with no WHEN clause is a no-op")
+        last: CommitConflict | None = None
+        for _ in range(max_retries + 1):
+            try:
+                return self._merge_when_attempt(
+                    source, update_set, update_cond, delete_cond, insert,
+                    insert_cond, target_alias, source_alias, target_files,
+                    pre_commit_hook,
+                )
+            except CommitConflict as e:
+                last = e
+        raise last
+
+    def _merge_when_attempt(
+        self, source, update_set, update_cond, delete_cond, insert,
+        insert_cond, t_alias, s_alias, target_files, pre_commit_hook,
+    ) -> dict:
+        def as_cond(c, default):
+            if c is None:
+                return F.lit(default)
+            col = F.expr(c) if isinstance(c, str) else c
+            return F.coalesce(col, F.lit(False))
+
+        m = self._manifest()
+        self._refresh_props(m)
+        keys = self.keys
+        schema = self._schema(m)
+        table_cols = [f.name for f in schema.fields]
+        missing = [k for k in keys if k not in source.columns]
+        if missing:
+            raise ValueError(f"source lacks merge key columns {missing}")
+        noop = {
+            "version": m["version"], "files_rewritten": 0,
+            "files_skipped": len(m["files"]), "files_written": 0,
+            "rows": m["rows"],
+        }
+        if not source.head(1):
+            return noop
+        source = source.localCheckpoint(eager=False)
+        if source.groupBy(*keys).count().filter("count > 1").head(1):
+            raise ValueError(
+                "merge_when source has duplicate merge keys — multiple "
+                "source rows matching one target row is ambiguous "
+                "(dedupe the source first)"
+            )
+        if update_set == "*":
+            update_set = {
+                c: F.col(f"{s_alias}.{c}")
+                for c in table_cols
+                if c in source.columns and c not in keys
+            }
+        if update_set:
+            bad = set(update_set) & set(keys)
+            if bad:
+                raise ValueError(f"UPDATE SET cannot assign merge keys {sorted(bad)}")
+            unknown = set(update_set) - set(table_cols)
+            if unknown:
+                raise ValueError(f"UPDATE SET of unknown columns {sorted(unknown)}")
+            update_set = {
+                c: (F.expr(e) if isinstance(e, str) else e)
+                for c, e in update_set.items()
+            }
+
+        boxes, batch_has_null = self._batch_boxes(source)
+        affected, untouched = [], []
+        for e in m["files"]:
+            (affected if self._entry_hit(e, boxes, batch_has_null)
+             else untouched).append(e)
+        tgt = (
+            self._read_entries(affected, m) if affected
+            else self.spark.createDataFrame([], schema)
+        )
+        marked = source.withColumn("__src_match", F.lit(1)).alias(s_alias)
+        t = tgt.alias(t_alias)
+        on = [
+            F.col(f"{t_alias}.{k}") == F.col(f"{s_alias}.{k}")
+            for k in keys
+        ]
+        joined = t.join(marked, on, "left")
+        matched = F.col("__src_match").isNotNull()
+        do_delete = matched & as_cond(delete_cond, False)
+        do_update = (
+            matched & ~as_cond(delete_cond, False)
+            & as_cond(update_cond, True)
+            if update_set else F.lit(False)
+        )
+        out = joined.filter(~do_delete).select(
+            *[
+                (
+                    F.when(do_update, update_set[c])
+                    .otherwise(F.col(f"{t_alias}.{c}"))
+                    if update_set and c in update_set
+                    else F.col(f"{t_alias}.{c}")
+                ).alias(c)
+                for c in table_cols
+            ]
+        )
+        if insert:
+            anti = (
+                source.alias(s_alias)
+                .join(tgt.select(*keys), on=list(keys), how="left_anti")
+            )
+            if insert_cond is not None:
+                anti = anti.filter(as_cond(insert_cond, False))
+            by_name = {f.name: f.dataType for f in schema.fields}
+            ins = anti.select(
+                *[
+                    (F.col(c) if c in anti.columns else F.lit(None))
+                    .cast(by_name[c]).alias(c)
+                    for c in table_cols
+                ]
+            )
+            out = out.unionByName(ins)
+        self._enforce_constraints(out, "merge_when")
+        new_version = m["version"] + 1
+        rel_dir = f"data/c{uuid.uuid4().hex[:12]}"
+        data_dir = f"{self.root}/{rel_dir}"
+        new_entries: list[dict] = []
+        if out.head(1):
+            self._write_clustered(
+                self._to_physical(out), target_files, data_dir
+            )
+            new_entries = self._collect_entries(data_dir, rel_dir)
+        elif not affected:
+            return noop
+        if pre_commit_hook is not None:
+            pre_commit_hook()
+        relinked = False
+        try:
+            self._commit(
+                new_version, untouched + new_entries, op="merge_when"
+            )
+        except CommitConflict:
+            rl = self._relink_after_conflict(
+                base_version=m["version"],
+                removed_paths=[e["path"] for e in affected],
+                new_entries=new_entries,
+                op="merge_when",
+                safe_against=lambda added, removed: (
+                    self._merge_relink_safe(
+                        added, removed, boxes, batch_has_null, None
+                    )
+                ),
+            )
+            if rl is None:
+                shutil.rmtree(data_dir, ignore_errors=True)
+                raise
+            new_version, relinked = rl, True
+        mm = self._manifest(new_version)
+        return {
+            "version": new_version,
+            "files_rewritten": len(affected),
+            "files_skipped": len(mm["files"]) - len(new_entries),
+            "files_written": len(new_entries),
+            "rows": mm["rows"],
+            "relinked": relinked,
+        }
+
     # -- predicated UPDATE / DELETE (batched_update / delete_records) -------
 
     def _files_matching(self, m: dict, condition) -> tuple[list[dict], list[dict]]:

@@ -2217,3 +2217,114 @@ def merge_cow_partitioned(spark, sf_dir):
         "provider", "foreign_identifier", "title",
         F.date_format("created_on", "yyyy-MM-dd").alias("d"),
     )
+
+
+@register(
+    "merge_cow_when_clauses",
+    """
+    WITH tgt AS (
+      SELECT 'f' || lpad(CAST(c_custkey AS VARCHAR), 7, '0') AS fid,
+             CAST(c_acctbal AS DOUBLE) AS balance,
+             c_mktsegment AS segment
+      FROM customer
+    ),
+    src AS (
+      SELECT 'f' || lpad(CAST(c_custkey AS VARCHAR), 7, '0') AS fid,
+             CAST(c_acctbal + 1000 AS DOUBLE) AS balance,
+             'NEW' AS segment,
+             CASE WHEN c_custkey % 5 = 0 THEN 'del'
+                  WHEN c_custkey % 5 = 1 THEN 'upd'
+                  ELSE 'noop' END AS tag,
+             CAST(c_nationkey AS DOUBLE) AS delta,
+             c_nationkey AS nk
+      FROM customer WHERE c_custkey % 5 < 3
+      UNION ALL
+      SELECT 'x' || lpad(CAST(c_custkey AS VARCHAR), 7, '0'),
+             CAST(c_acctbal + 1000 AS DOUBLE), 'NEW', 'ins', 0.0,
+             c_nationkey
+      FROM customer WHERE c_custkey % 5 = 3
+    ),
+    j AS (
+      SELECT t.fid, t.balance, t.segment, s.tag, s.delta
+      FROM tgt t LEFT JOIN src s ON t.fid = s.fid
+    ),
+    kept AS (
+      -- Delta clause order: DELETE tested first, then UPDATE, else
+      -- the row carries; a NULL condition is false
+      SELECT fid,
+             CASE WHEN tag = 'upd' THEN balance + delta
+                  ELSE balance END AS balance,
+             CASE WHEN tag = 'upd' THEN upper(tag)
+                  ELSE segment END AS segment
+      FROM j
+      WHERE NOT coalesce(tag = 'del' AND balance < 5000.0, FALSE)
+    ),
+    ins AS (
+      SELECT fid, balance, segment FROM src s
+      WHERE s.fid NOT IN (SELECT fid FROM tgt) AND s.nk < 13
+    )
+    SELECT fid, round(balance, 2) AS balance, segment FROM kept
+    UNION ALL
+    SELECT fid, round(balance, 2) AS balance, segment FROM ins
+    """,
+)
+def merge_cow_when_clauses(spark, sf_dir):
+    """CONDITIONAL MERGE (ANSI/Delta WHEN clauses) on the lake table:
+    one commit applies WHEN MATCHED AND cond THEN DELETE, WHEN MATCHED
+    AND cond THEN UPDATE SET <partial, source-referencing exprs>, and
+    WHEN NOT MATCHED AND cond THEN INSERT * — logic the reference
+    splits across separate UPDATE / DELETE / INSERT-ON-CONFLICT passes
+    (``loader/sql.py:214-332``), here a single snapshot-isolated
+    copy-on-write commit with the same file skipping and optimistic
+    concurrency as the plain upsert. The oracle simulates the full
+    clause semantics (delete precedence, NULL-condition-is-false,
+    unmatched-insert filter) relationally."""
+    import os
+    import shutil
+    import tempfile
+
+    from openverse_catalog_spark.operators.cowtable import CowTable
+
+    c = _t(spark, sf_dir, "customer")["customer"]
+    k = F.col("c_custkey")
+    fid = F.concat(F.lit("f"), F.lpad(k.cast("string"), 7, "0"))
+    fact = c.select(
+        fid.alias("fid"),
+        F.col("c_acctbal").cast("double").alias("balance"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_cow_when")
+    shutil.rmtree(root, ignore_errors=True)
+    t = CowTable.create(spark, root, fact, keys=("fid",), target_files=8)
+    src = c.filter(k % 5 < 3).select(
+        fid.alias("fid"),
+        (F.col("c_acctbal") + 1000).cast("double").alias("balance"),
+        F.lit("NEW").alias("segment"),
+        F.when(k % 5 == 0, "del")
+        .when(k % 5 == 1, "upd")
+        .otherwise("noop")
+        .alias("tag"),
+        F.col("c_nationkey").cast("double").alias("delta"),
+        F.col("c_nationkey").alias("nk"),
+    ).unionByName(
+        c.filter(k % 5 == 3).select(
+            F.concat(F.lit("x"), F.lpad(k.cast("string"), 7, "0"))
+            .alias("fid"),
+            (F.col("c_acctbal") + 1000).cast("double").alias("balance"),
+            F.lit("NEW").alias("segment"),
+            F.lit("ins").alias("tag"),
+            F.lit(0.0).alias("delta"),
+            F.col("c_nationkey").alias("nk"),
+        )
+    )
+    t.merge_when(
+        src,
+        delete_cond="s.tag = 'del' AND t.balance < 5000.0",
+        update_set={"balance": "t.balance + s.delta",
+                    "segment": "upper(s.tag)"},
+        update_cond="s.tag = 'upd'",
+        insert_cond="s.nk < 13",
+    )
+    return t.read().select(
+        "fid", F.round("balance", 2).alias("balance"), "segment"
+    )

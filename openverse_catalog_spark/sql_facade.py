@@ -95,9 +95,21 @@ _DELETE = re.compile(
 _MERGE_INTO = re.compile(
     r"^\s*MERGE\s+INTO\s+(\w+)(?:\s+AS\s+(\w+))?\s+USING\s+"
     r"(?:\((.+)\)|(\w+))\s+(?:AS\s+)?(\w+)?\s*"
-    r"ON\s+(.+?)\s+"
-    r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+"
-    r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*$",
+    r"ON\s+(.+?)\s+(WHEN\s+.+?)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+#: clause boundaries: a bare CASE WHEN inside a SET expression never
+#: spells "WHEN [NOT] MATCHED", so splitting on that phrase is safe
+_WHEN_SPLIT = re.compile(
+    r"(?=\bWHEN\s+(?:NOT\s+)?MATCHED\b)", re.IGNORECASE
+)
+_WHEN_MATCHED = re.compile(
+    r"^WHEN\s+MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+"
+    r"(?:(DELETE)|UPDATE\s+SET\s+(.+?))\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_WHEN_NOT_MATCHED = re.compile(
+    r"^WHEN\s+NOT\s+MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+INSERT\s+\*\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _ON_EQ = re.compile(
@@ -371,23 +383,27 @@ class SqlFacade:
 
     def _merge_into(self, m: re.Match) -> DataFrame:
         """``MERGE INTO t [AS a] USING (<query>)|<view> [AS b]
-        ON a.k = b.k [AND ...] WHEN MATCHED THEN UPDATE SET * WHEN NOT
-        MATCHED THEN INSERT *`` — the ANSI spelling of the lake table's
-        upsert (Delta's ``SET *`` / ``INSERT *`` shorthand; the
-        per-column merge behavior is the registered ColumnSpec
-        strategies, exactly as INSERT INTO). The ON clause must equate
-        the table's merge keys — anything else would silently change
-        upsert semantics, so it raises instead."""
+        ON a.k = b.k [AND ...]`` followed by WHEN clauses. Two forms:
+
+        The exact Delta shorthand ``WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *`` (no conditions) runs the
+        table's registered ColumnSpec upsert — per-column merge
+        strategies, exactly as INSERT INTO.
+
+        Any other clause combination is the general conditional MERGE
+        (``CowTable.merge_when``): ``WHEN MATCHED [AND c] THEN DELETE``,
+        ``WHEN MATCHED [AND c] THEN UPDATE SET col = expr, ...`` (or
+        ``SET *``), ``WHEN NOT MATCHED [AND c] THEN INSERT *`` —
+        conditions and SET expressions may reference both aliases.
+        Delete must precede update (that is the evaluation order
+        merge_when implements); update-before-delete raises rather
+        than silently reordering. The ON clause must equate the
+        table's merge keys in every form — anything else would
+        silently change upsert semantics, so it raises instead."""
         name = m.group(1)
         t_alias = (m.group(2) or name).lower()
         subquery, view, s_alias = m.group(3), m.group(4), m.group(5)
-        on_text = m.group(6)
-        cols = self._columns.get(name)
-        if cols is None:
-            raise ValueError(
-                f"MERGE INTO {name} needs the table's ColumnSpec list: "
-                "register_table(name, table, columns=[...])"
-            )
+        on_text, when_tail = m.group(6), m.group(7)
         s_alias = (s_alias or view or "").lower()
         if not s_alias:
             raise ValueError("MERGE INTO ... USING (subquery) needs an alias")
@@ -419,8 +435,78 @@ class SqlFacade:
         batch = self.spark.sql(
             self._rewrite(subquery if subquery else f"SELECT * FROM {view}")
         )
+
+        # -- WHEN clause parsing -------------------------------------------
+        parts = [
+            p.strip() for p in _WHEN_SPLIT.split(when_tail) if p.strip()
+        ]
+        matched_clauses: list[tuple[str | None, str | None]] = []
+        insert_clause: tuple[bool, str | None] | None = None
+        for p in parts:
+            mm = _WHEN_MATCHED.match(p)
+            if mm:
+                cond, is_del, set_text = mm.groups()
+                matched_clauses.append(
+                    ("DELETE", cond) if is_del else (set_text, cond)
+                )
+                continue
+            mn = _WHEN_NOT_MATCHED.match(p)
+            if mn:
+                if insert_clause is not None:
+                    raise ValueError("duplicate WHEN NOT MATCHED clause")
+                insert_clause = (True, mn.group(1))
+                continue
+            raise ValueError(f"unparseable MERGE clause: {p[:80]!r}")
+
+        legacy = (
+            len(matched_clauses) == 1
+            and matched_clauses[0] == ("*", None)
+            and insert_clause == (True, None)
+        )
+        if legacy:
+            cols = self._columns.get(name)
+            if cols is None:
+                raise ValueError(
+                    f"MERGE INTO {name} needs the table's ColumnSpec "
+                    "list: register_table(name, table, columns=[...])"
+                )
+            target, finalize = self._dml_table(name)
+            res = target.merge(batch, cols)
+            finalize()
+            return self._summary(res)
+
+        # general conditional merge -> merge_when
+        delete_cond = update_set = update_cond = None
+        for action, cond in matched_clauses:
+            if action == "DELETE":
+                if delete_cond is not None:
+                    raise ValueError("duplicate WHEN MATCHED ... DELETE")
+                if update_set is not None:
+                    raise ValueError(
+                        "WHEN MATCHED ... UPDATE before DELETE: merge "
+                        "evaluates DELETE first — put the DELETE clause "
+                        "first (or fold its condition into the update)"
+                    )
+                delete_cond = cond if cond is not None else "true"
+            else:
+                if update_set is not None:
+                    raise ValueError("duplicate WHEN MATCHED ... UPDATE")
+                update_set = (
+                    "*" if action.strip() == "*"
+                    else dict(_split_assignments(action))
+                )
+                update_cond = cond
         target, finalize = self._dml_table(name)
-        res = target.merge(batch, cols)
+        res = target.merge_when(
+            batch,
+            update_set=update_set,
+            update_cond=update_cond,
+            delete_cond=delete_cond,
+            insert=insert_clause is not None,
+            insert_cond=insert_clause[1] if insert_clause else None,
+            target_alias=t_alias,
+            source_alias=s_alias,
+        )
         finalize()
         return self._summary(res)
 

@@ -2340,3 +2340,92 @@ def test_cow_zorder_preserves_partition_purity(spark, tmp_path):
     box = t.read_where({"x": (0.0, 20.0), "y": (0.0, 20.0)})
     assert len(box.inputFiles()) < len(m["files"]), "z-skip must bite"
     assert t.read().count() == 400
+
+
+def test_cow_merge_when_clauses(spark, tmp_path):
+    """Conditional MERGE: WHEN MATCHED AND cond THEN DELETE /
+    WHEN MATCHED AND cond THEN UPDATE SET (partial, source-referencing)
+    / WHEN NOT MATCHED AND cond THEN INSERT *, Delta clause order, with
+    file skipping intact."""
+    rows = [(f"k{i:03d}", 10 * i, "keep") for i in range(40)]
+    base = spark.createDataFrame(rows, "fid string, val long, tag string")
+    t = CowTable.create(
+        spark, str(tmp_path / "mw"), base, keys=("fid",), target_files=4
+    )
+    src = spark.createDataFrame(
+        [
+            ("k001", 999, "del"),     # matched + delete_cond
+            ("k002", 999, "upd"),     # matched + update_cond
+            ("k003", 999, "skip"),    # matched, neither cond -> carried
+            ("zz1", 7, "ins"),        # unmatched + insert_cond
+            ("zz2", 7, "no"),         # unmatched, cond false -> dropped
+        ],
+        "fid string, val long, tag string",
+    )
+    res = t.merge_when(
+        src,
+        delete_cond="s.tag = 'del'",
+        update_set={"val": "t.val + s.val", "tag": "s.tag"},
+        update_cond="s.tag = 'upd'",
+        insert_cond="s.tag = 'ins'",
+    )
+    assert res["files_skipped"] > 0, "file skipping must survive"
+    got = {r["fid"]: (r["val"], r["tag"]) for r in t.read().collect()}
+    assert "k001" not in got
+    assert got["k002"] == (20 + 999, "upd")
+    assert got["k003"] == (30, "keep")
+    assert got["zz1"] == (7, "ins")
+    assert "zz2" not in got
+    assert len(got) == 40 - 1 + 1
+
+    # UPDATE SET * takes every shared non-key source column
+    t.merge_when(
+        spark.createDataFrame(
+            [("k005", 1, "star")], "fid string, val long, tag string"
+        ),
+        update_set="*",
+        insert=False,
+    )
+    got = {r["fid"]: (r["val"], r["tag"]) for r in t.read().collect()}
+    assert got["k005"] == (1, "star")
+
+    # delete takes precedence over update on the same matched row
+    t.merge_when(
+        spark.createDataFrame([("k006", 5, "x")],
+                              "fid string, val long, tag string"),
+        delete_cond="s.val = 5",
+        update_set={"val": "s.val"},
+    )
+    assert "k006" not in {r["fid"] for r in t.read().collect()}
+
+    # guards: duplicate source keys, SET on a key, unknown column
+    import pytest
+
+    dup = spark.createDataFrame(
+        [("a", 1, "x"), ("a", 2, "y")], "fid string, val long, tag string"
+    )
+    with pytest.raises(ValueError, match="duplicate merge keys"):
+        t.merge_when(dup, update_set="*")
+    one = spark.createDataFrame([("a", 1, "x")],
+                                "fid string, val long, tag string")
+    with pytest.raises(ValueError, match="cannot assign merge keys"):
+        t.merge_when(one, update_set={"fid": "s.fid"})
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.merge_when(one, update_set={"nope": "1"})
+    with pytest.raises(ValueError, match="no-op"):
+        t.merge_when(one, insert=False)
+
+    # NULL conditions are false (SQL): no row vanishes on a NULL cond
+    before = t.read().count()
+    t.merge_when(
+        spark.createDataFrame([("k007", None, "z")],
+                              "fid string, val long, tag string"),
+        delete_cond="s.val > 0",  # NULL -> not deleted
+        insert=False,
+    )
+    assert t.read().count() == before
+
+    # empty batch and all-unmatched-cond-false batch are version no-ops
+    v = t.version
+    t.merge_when(one.limit(0), update_set="*")
+    assert t.version == v

@@ -563,3 +563,96 @@ def test_facade_metadata_table_functions(spark, tmp_path):
         "SELECT sum(rows) AS r FROM TABLE_FILES('mt', 1)"
     ).head()["r"]
     assert v1 == 90
+
+
+def test_facade_merge_when_clauses_text(spark, tmp_path):
+    """General conditional MERGE text: WHEN MATCHED AND c THEN DELETE /
+    WHEN MATCHED AND c THEN UPDATE SET col = expr / WHEN NOT MATCHED
+    AND c THEN INSERT * routes to merge_when with the statement's own
+    aliases; update-before-delete and duplicate clauses raise."""
+    base = spark.createDataFrame(
+        [(f"k{i:02d}", 10 * i, "keep") for i in range(20)],
+        "fid string, val long, tag string",
+    )
+    t = CowTable.create(
+        spark, str(tmp_path / "mw"), base, keys=("fid",), target_files=2
+    )
+    f = SqlFacade(spark)
+    f.register_table("items", t)
+    f.register_df(
+        "changes",
+        spark.createDataFrame(
+            [
+                ("k01", 999, "del"),
+                ("k02", 999, "upd"),
+                ("k03", 999, "other"),
+                ("new1", 7, "ins"),
+                ("new2", 7, "no"),
+            ],
+            "fid string, val long, tag string",
+        ),
+    )
+    res = f.sql(
+        "MERGE INTO items AS t USING changes AS c ON t.fid = c.fid "
+        "WHEN MATCHED AND c.tag = 'del' THEN DELETE "
+        "WHEN MATCHED AND c.tag = 'upd' THEN "
+        "UPDATE SET val = t.val + c.val, tag = c.tag "
+        "WHEN NOT MATCHED AND c.tag = 'ins' THEN INSERT *"
+    ).collect()[0]
+    assert res["version"] == t.version
+    got = {
+        r["fid"]: (r["val"], r["tag"])
+        for r in f.sql("SELECT * FROM items").collect()
+    }
+    assert "k01" not in got
+    assert got["k02"] == (20 + 999, "upd")
+    assert got["k03"] == (30, "keep")
+    assert got["new1"] == (7, "ins")
+    assert "new2" not in got
+
+    # update-only with SET * (no insert clause -> unmatched dropped)
+    f.register_df(
+        "stars",
+        spark.createDataFrame(
+            [("k05", 1, "star"), ("ghost", 1, "star")],
+            "fid string, val long, tag string",
+        ),
+    )
+    f.sql(
+        "MERGE INTO items AS t USING stars AS s ON t.fid = s.fid "
+        "WHEN MATCHED THEN UPDATE SET *"
+    )
+    got = {
+        r["fid"]: (r["val"], r["tag"])
+        for r in f.sql("SELECT * FROM items").collect()
+    }
+    assert got["k05"] == (1, "star") and "ghost" not in got
+
+    # CASE WHEN inside a SET expression does not confuse clause split
+    f.sql(
+        "MERGE INTO items AS t USING stars AS s ON t.fid = s.fid "
+        "WHEN MATCHED THEN UPDATE SET "
+        "tag = CASE WHEN s.val > 0 THEN 'pos' ELSE 'neg' END"
+    )
+    assert {
+        r["tag"] for r in
+        f.sql("SELECT tag FROM items WHERE fid = 'k05'").collect()
+    } == {"pos"}
+
+    with pytest.raises(ValueError, match="DELETE first"):
+        f.sql(
+            "MERGE INTO items AS t USING stars AS s ON t.fid = s.fid "
+            "WHEN MATCHED AND s.val = 1 THEN UPDATE SET val = s.val "
+            "WHEN MATCHED THEN DELETE"
+        )
+    with pytest.raises(ValueError, match="duplicate WHEN NOT MATCHED"):
+        f.sql(
+            "MERGE INTO items AS t USING stars AS s ON t.fid = s.fid "
+            "WHEN NOT MATCHED THEN INSERT * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+    with pytest.raises(ValueError, match="unparseable MERGE clause"):
+        f.sql(
+            "MERGE INTO items AS t USING stars AS s ON t.fid = s.fid "
+            "WHEN MATCHED THEN FROB"
+        )
