@@ -777,3 +777,106 @@ def q_multimodal_audio_frames(spark, sf_dir):
         "doc_id", "n_frames", "energy_total", "zcr_total",
         F.round("mean_rms", 6).alias("mean_rms"),
     )
+
+
+@register(
+    "stream_cdc_apply",
+    """
+    WITH o AS (
+      SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS tp,
+             o_orderstatus AS st
+      FROM orders
+    )
+    SELECT 'o' || lpad(CAST(k AS VARCHAR), 9, '0') AS fid,
+           round(CASE WHEN k % 2 = 0 THEN tp + 100 ELSE tp END, 2)
+             AS total,
+           CASE WHEN k % 2 = 0 THEN 'UPD' ELSE st END AS status,
+           CAST(CASE WHEN k % 2 = 0 THEN 2 ELSE 0 END AS BIGINT) AS seq
+    FROM o WHERE k % 4 <> 3 AND k % 8 <> 1
+    UNION ALL
+    SELECT 'o' || lpad(CAST(k AS VARCHAR), 9, '0'),
+           round(tp + 50, 2), 'INS', CAST(1 AS BIGINT)
+    FROM o WHERE k % 4 = 3
+    """,
+)
+def q_stream_cdc_apply(spark, sf_dir):
+    """APPLY CHANGES INTO as a stream: a CDC landing directory of
+    change events (upserts + deletes, each carrying a sequence) drains
+    through foreachBatch under AvailableNow, every micro-batch one
+    merge_when commit. The fixture scatters each key's events plus a
+    STALE low-sequence update across two files processed as separate
+    micro-batches (maxFilesPerTrigger=1) — latest-wins inside a batch
+    plus the stored-sequence fence across batches make the final state
+    independent of how the log was chopped, which is exactly what the
+    oracle's closed-form replay pins."""
+    import os
+    import shutil
+    import tempfile
+
+    from openverse_catalog_spark.operators.cowtable import CowTable
+    from openverse_catalog_spark.streaming.incremental import (
+        stream_cdc_apply,
+    )
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    k = F.col("o_orderkey")
+    fid = F.concat(F.lit("o"), F.lpad(k.cast("string"), 9, "0"))
+    base = o.filter(k % 4 != 3).select(
+        fid.alias("fid"),
+        F.col("o_totalprice").cast("double").alias("total"),
+        F.col("o_orderstatus").alias("status"),
+        F.lit(0).cast("long").alias("seq"),
+    )
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_cdc_apply")
+    shutil.rmtree(root, ignore_errors=True)
+    t = CowTable.create(spark, root, base, keys=("fid",), target_files=6)
+    cdc_dir = os.path.join(root, "_cdc_in")
+    # file 1: the real updates (seq 2, even keys) + inserts (seq 1)
+    (
+        o.filter(k % 2 == 0).select(
+            fid.alias("fid"),
+            (F.col("o_totalprice") + 100).cast("double").alias("total"),
+            F.lit("UPD").alias("status"),
+            F.lit(2).cast("long").alias("seq"),
+            F.lit("U").alias("op"),
+        )
+        .unionByName(
+            o.filter(k % 4 == 3).select(
+                fid.alias("fid"),
+                (F.col("o_totalprice") + 50).cast("double").alias("total"),
+                F.lit("INS").alias("status"),
+                F.lit(1).cast("long").alias("seq"),
+                F.lit("U").alias("op"),
+            )
+        )
+        .coalesce(1).write.mode("overwrite")
+        .parquet(os.path.join(cdc_dir, "batch=0"))
+    )
+    # file 2: deletes (seq 3) + a STALE update (seq -1) that the
+    # stored-sequence fence must ignore
+    (
+        o.filter(k % 8 == 1).select(
+            fid.alias("fid"),
+            F.lit(None).cast("double").alias("total"),
+            F.lit(None).cast("string").alias("status"),
+            F.lit(3).cast("long").alias("seq"),
+            F.lit("D").alias("op"),
+        )
+        .unionByName(
+            o.filter(k % 16 == 2).select(
+                fid.alias("fid"),
+                F.lit(-1.0).alias("total"),
+                F.lit("STALE").alias("status"),
+                F.lit(-1).cast("long").alias("seq"),
+                F.lit("U").alias("op"),
+            )
+        )
+        .coalesce(1).write.mode("overwrite")
+        .parquet(os.path.join(cdc_dir, "batch=1"))
+    )
+    stream_cdc_apply(
+        spark, cdc_dir, t, sequence_by="seq", max_files_per_trigger=1
+    )
+    return t.read().select(
+        "fid", F.round("total", 2).alias("total"), "status", "seq"
+    )

@@ -2429,3 +2429,58 @@ def test_cow_merge_when_clauses(spark, tmp_path):
     v = t.version
     t.merge_when(one.limit(0), update_set="*")
     assert t.version == v
+
+
+def test_cow_apply_changes_cdc_semantics(spark, tmp_path):
+    """apply_changes: latest-wins within a batch (ties: delete beats
+    upsert), stored-sequence fence across batches (stale updates and
+    stale deletes ignored), delete-absent no-op, re-insert after
+    delete."""
+    from openverse_catalog_spark.streaming.incremental import apply_changes
+
+    base = spark.createDataFrame(
+        [("a", 1.0, 10), ("b", 2.0, 10), ("c", 3.0, 10)],
+        "fid string, val double, seq long",
+    )
+    t = CowTable.create(
+        spark, str(tmp_path / "cdc"), base, keys=("fid",), target_files=2
+    )
+    sch = "fid string, val double, seq long, op string"
+
+    # batch 1: a gets two upserts (latest wins), b a same-seq
+    # upsert+delete tie (delete wins), d inserted, ghost-delete no-op
+    apply_changes(t, spark.createDataFrame(
+        [
+            ("a", 5.0, 11, "U"), ("a", 6.0, 12, "U"),
+            ("b", 9.0, 11, "U"), ("b", None, 11, "D"),
+            ("d", 4.0, 11, "U"),
+            ("zz", None, 99, "D"),
+        ], sch), sequence_by="seq")
+    got = {r["fid"]: (r["val"], r["seq"]) for r in t.read().collect()}
+    assert got["a"] == (6.0, 12)
+    assert "b" not in got
+    assert got["d"] == (4.0, 11)
+    assert got["c"] == (3.0, 10)
+
+    # batch 2: stale update + stale delete (seq below stored) ignored;
+    # b re-inserts after its delete (no tombstone retention)
+    apply_changes(t, spark.createDataFrame(
+        [
+            ("a", -1.0, 5, "U"),
+            ("c", None, 5, "D"),
+            ("b", 7.0, 20, "U"),
+        ], sch), sequence_by="seq")
+    got = {r["fid"]: (r["val"], r["seq"]) for r in t.read().collect()}
+    assert got["a"] == (6.0, 12), "stale update must be fenced"
+    assert got["c"] == (3.0, 10), "stale delete must be fenced"
+    assert got["b"] == (7.0, 20), "re-insert after delete"
+
+    import pytest
+
+    with pytest.raises(ValueError, match="lacks op column"):
+        apply_changes(
+            t,
+            spark.createDataFrame([("a", 1.0, 1)],
+                                  "fid string, val double, seq long"),
+            sequence_by="seq",
+        )
