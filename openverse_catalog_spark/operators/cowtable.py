@@ -2462,6 +2462,7 @@ class CowTable:
         target_files: int = 4,
         max_retries: int = 3,
         pre_commit_hook=None,
+        check_duplicate_keys: bool = True,
     ) -> dict:
         """Conditional MERGE with ANSI/Delta WHEN-clause semantics —
         the general form the reference cannot express in one
@@ -2481,8 +2482,12 @@ class CowTable:
         merge keys cannot be SET (that would change row identity under
         the manifest's key clustering). Source keys must be unique —
         two source rows matching one target row is ambiguous and
-        raises, exactly Delta's multiple-matches error. ``INSERT *``
-        maps source columns by name and NULL-fills the rest.
+        raises, exactly Delta's multiple-matches error
+        (``check_duplicate_keys=False`` skips that one-aggregation
+        guard for callers whose source is key-unique by construction —
+        e.g. a view-maintenance delta keyed on the target's keys).
+        ``INSERT *`` maps source columns by name and NULL-fills the
+        rest.
 
         Physical work is the same file-skipping as ``merge``: only
         files whose key range intersects the batch rewrite; inserts
@@ -2498,7 +2503,7 @@ class CowTable:
                 return self._merge_when_attempt(
                     source, update_set, update_cond, delete_cond, insert,
                     insert_cond, target_alias, source_alias, target_files,
-                    pre_commit_hook,
+                    pre_commit_hook, check_duplicate_keys,
                 )
             except CommitConflict as e:
                 last = e
@@ -2507,6 +2512,7 @@ class CowTable:
     def _merge_when_attempt(
         self, source, update_set, update_cond, delete_cond, insert,
         insert_cond, t_alias, s_alias, target_files, pre_commit_hook,
+        check_duplicate_keys=True,
     ) -> dict:
         def as_cond(c, default):
             if c is None:
@@ -2530,7 +2536,9 @@ class CowTable:
         if not source.head(1):
             return noop
         source = source.localCheckpoint(eager=False)
-        if source.groupBy(*keys).count().filter("count > 1").head(1):
+        if check_duplicate_keys and (
+            source.groupBy(*keys).count().filter("count > 1").head(1)
+        ):
             raise ValueError(
                 "merge_when source has duplicate merge keys — multiple "
                 "source rows matching one target row is ambiguous "

@@ -463,3 +463,234 @@ class MaterializedView:
         )
         self._save_state({"applied_base": b_to, "pending": None})
         return {"refreshed": True, "resync": True, "base_version": b_to}
+
+
+class JoinMaterializedView:
+    """A materialized EQUI-JOIN (``left ⋈ right`` on shared join
+    columns, inner or left) stored as its own CoW table and maintained
+    incrementally from BOTH base tables' change feeds.
+
+    The reference materializes joins by rebuilding them — every
+    ``standardized_popularity`` refresh re-joins media against the
+    constants view over the whole table (``popularity/sql.py:286-326``).
+    Here a refresh costs O(churn x fanout): the dirty row set is
+    (changed left rows) ∪ (left rows whose join value appears in the
+    right feed's pre- or post-images), recomputed against both bases'
+    CURRENT snapshots and merged by key — insert/update/delete in one
+    ``merge_when`` commit. Dirty-join-value lookup into the left base
+    goes through ``read_join_pruned`` when it can (manifest stats +
+    blooms prune left FILES, not just rows).
+
+    Shape contract: the MV is keyed by the LEFT table's merge keys, so
+    the right side must stay UNIQUE per join value (dimension
+    semantics, n:1 enrichment) — validated at build over the whole
+    right table and at every refresh over the dirty join values.
+
+    Crash safety needs no WAL here, unlike the aggregate MV: partial
+    recompute is IDEMPOTENT (it derives state from base snapshots, not
+    from deltas), so a refresh replayed after a crash between merge
+    and state save just recomputes the same rows; state records the
+    applied (left, right) versions only to bound the next feed read.
+    A vacuumed feed span falls back to full resync."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        left: CowTable,
+        right: CowTable,
+        root: str,
+        on: list[str],
+        how: str = "inner",
+        target_files: int = 4,
+    ):
+        if how not in ("inner", "left"):
+            raise ValueError("how must be 'inner' or 'left'")
+        if not on:
+            raise ValueError("need at least one join column")
+        self.spark = spark
+        self.left = left
+        self.right = right
+        self.root = root.rstrip("/")
+        self.on = list(on)
+        self.how = how
+        self.target_files = target_files
+        self._table: CowTable | None = None
+
+    @property
+    def _state_path(self) -> str:
+        return f"{self.root}/mv_state.json"
+
+    def _load_state(self) -> dict:
+        with open(self._state_path) as f:
+            return json.load(f)
+
+    def _save_state(self, st: dict) -> None:
+        tmp = f"{self.root}/.state.{uuid.uuid4().hex}.json"
+        with open(tmp, "w") as f:
+            json.dump(st, f)
+        os.replace(tmp, self._state_path)
+
+    @property
+    def table(self) -> CowTable:
+        if self._table is None:
+            self._table = CowTable(
+                self.spark, f"{self.root}/table", keys=self.left.keys
+            )
+        return self._table
+
+    def _out_cols(self, ldf: DataFrame, rdf: DataFrame) -> list[str]:
+        """Output layout: every left column, then right non-join
+        columns; name collisions are a caller error (rename in the
+        base), not something to hide behind prefixes."""
+        rcols = [c for c in rdf.columns if c not in self.on]
+        clash = set(ldf.columns) & set(rcols)
+        if clash:
+            raise ValueError(
+                f"join MV column collision {sorted(clash)}; rename in a "
+                "base table or project before materializing"
+            )
+        return list(ldf.columns) + rcols
+
+    def _check_right_unique(self, rdf: DataFrame) -> None:
+        if (
+            rdf.groupBy(*self.on).count().filter(F.col("count") > 1)
+            .head(1)
+        ):
+            raise ValueError(
+                "right side is not unique per join value — the MV is "
+                "keyed by left keys (n:1 enrichment); dedupe the right "
+                "table first"
+            )
+
+    def _joined(self, ldf: DataFrame, rdf: DataFrame) -> DataFrame:
+        cols = self._out_cols(ldf, rdf)
+        j = ldf.join(rdf, on=self.on, how=self.how)
+        return j.select(*cols)
+
+    def build(self) -> dict:
+        lv, rv = self.left.version, self.right.version
+        ldf, rdf = self.left.read(lv), self.right.read(rv)
+        self._check_right_unique(rdf)
+        os.makedirs(self.root, exist_ok=True)
+        self._table = CowTable.create(
+            self.spark, f"{self.root}/table", self._joined(ldf, rdf),
+            keys=self.left.keys, target_files=self.target_files,
+        )
+        self._save_state({"applied_left": lv, "applied_right": rv})
+        return {
+            "left_version": lv, "right_version": rv,
+            "mv_version": self._table.version,
+        }
+
+    def read(self, version: int | None = None) -> DataFrame:
+        return self.table.read(version)
+
+    def refresh(self) -> dict:
+        st = self._load_state()
+        l_from, r_from = st["applied_left"], st["applied_right"]
+        l_to, r_to = self.left.version, self.right.version
+        if (l_from, r_from) == (l_to, r_to):
+            return {"refreshed": False, "left_version": l_to,
+                    "right_version": r_to}
+        try:
+            lfeed = (
+                self.left.read_changes(l_from, l_to)
+                if l_to > l_from else None
+            )
+            rfeed = (
+                self.right.read_changes(r_from, r_to)
+                if r_to > r_from else None
+            )
+        except ValueError:
+            return self._full_resync(l_to, r_to)
+        keys = list(self.left.keys)
+        ldf, rdf = self.left.read(l_to), self.right.read(r_to)
+        dirty = None
+        if lfeed is not None:
+            dirty = lfeed.select(*keys).distinct()
+        if rfeed is not None:
+            dirty_jv = rfeed.select(*self.on).distinct()
+            self._check_right_unique(
+                rdf.join(F.broadcast(dirty_jv), self.on, "leftsemi")
+            )
+            # left rows referencing a changed join value: prune left
+            # FILES through the manifest when the single-column fast
+            # path applies, else a broadcast semi-join
+            hit = None
+            if len(self.on) == 1:
+                try:
+                    hit = self.left.read_join_pruned(
+                        dirty_jv, self.on[0], version=l_to
+                    )
+                except ValueError:
+                    pass  # no stats/bloom on the join column
+            if hit is None:
+                hit = ldf.join(F.broadcast(dirty_jv), self.on, "leftsemi")
+            d2 = hit.select(*keys).distinct()
+            dirty = d2 if dirty is None else dirty.union(d2).distinct()
+        if dirty is None or not dirty.head(1):
+            self._save_state({"applied_left": l_to, "applied_right": r_to})
+            return {"refreshed": False, "left_version": l_to,
+                    "right_version": r_to}
+        dirty = dirty.localCheckpoint(eager=False)
+        live = ldf.join(F.broadcast(dirty), keys, "leftsemi")
+        result = self._joined(live, rdf)
+        gone = dirty.join(result.select(*keys), keys, "left_anti")
+        src = result.withColumn("__op", F.lit("U")).unionByName(
+            gone.select(
+                *[
+                    F.col(c).alias(c) if c in keys
+                    else F.lit(None).cast(result.schema[c].dataType).alias(c)
+                    for c in result.columns
+                ]
+            ).withColumn("__op", F.lit("D")),
+        )
+        res = self.table.merge_when(
+            src,
+            delete_cond="s.__op = 'D'",
+            update_set="*",
+            update_cond="s.__op <> 'D'",
+            insert_cond="s.__op <> 'D'",
+            target_files=self.target_files,
+            check_duplicate_keys=False,  # key-unique by construction
+        )
+        self._save_state({"applied_left": l_to, "applied_right": r_to})
+        return {
+            "refreshed": True, "left_version": l_to, "right_version": r_to,
+            "mv_version": res["version"],
+        }
+
+    def _full_resync(self, l_to: int, r_to: int) -> dict:
+        """Feed span vacuumed: recompute the whole join and reconcile —
+        upsert every current row, delete MV keys that vanished."""
+        keys = list(self.left.keys)
+        ldf, rdf = self.left.read(l_to), self.right.read(r_to)
+        self._check_right_unique(rdf)
+        result = self._joined(ldf, rdf)
+        gone = self.table.read().select(*keys).join(
+            result.select(*keys), keys, "left_anti"
+        )
+        src = result.withColumn("__op", F.lit("U")).unionByName(
+            gone.select(
+                *[
+                    F.col(c).alias(c) if c in keys
+                    else F.lit(None).cast(result.schema[c].dataType).alias(c)
+                    for c in result.columns
+                ]
+            ).withColumn("__op", F.lit("D")),
+        )
+        res = self.table.merge_when(
+            src,
+            delete_cond="s.__op = 'D'",
+            update_set="*",
+            update_cond="s.__op <> 'D'",
+            insert_cond="s.__op <> 'D'",
+            target_files=self.target_files,
+            check_duplicate_keys=False,  # key-unique by construction
+        )
+        self._save_state({"applied_left": l_to, "applied_right": r_to})
+        return {
+            "refreshed": True, "resync": True,
+            "left_version": l_to, "right_version": r_to,
+            "mv_version": res["version"],
+        }

@@ -285,3 +285,109 @@ def stream_mv_maintenance_orders(spark, sf_dir):
         F.col("min_price"),
         F.col("max_price"),
     )
+
+
+@register(
+    "mv_join_incremental",
+    """
+    WITH lbase AS (
+      SELECT o_orderkey AS k, o_custkey AS ck,
+             CAST(o_totalprice AS DOUBLE) AS price
+      FROM orders WHERE o_orderkey % 3 <> 2
+    ),
+    lupd AS (
+      SELECT k, ck, price + 7.0 AS price FROM lbase WHERE k % 10 = 1
+    ),
+    lins AS (
+      SELECT o_orderkey AS k, o_custkey AS ck,
+             CAST(o_totalprice AS DOUBLE) AS price
+      FROM orders WHERE o_orderkey % 3 = 2 AND o_orderkey % 10 = 5
+    ),
+    lmerged AS (
+      SELECT b.k, b.ck, COALESCE(u.price, b.price) AS price
+      FROM lbase b LEFT JOIN lupd u ON b.k = u.k
+      UNION ALL SELECT * FROM lins
+    ),
+    lfinal AS (SELECT * FROM lmerged WHERE k % 20 <> 6),
+    rfinal AS (
+      SELECT c_custkey AS ck,
+             CASE WHEN c_custkey % 11 = 0
+                  THEN 'X_' || CAST(c_nationkey AS VARCHAR)
+                  ELSE c_mktsegment END AS seg
+      FROM customer WHERE c_custkey % 13 <> 0
+    )
+    SELECT l.k, l.ck, round(l.price, 2) AS price, r.seg
+    FROM lfinal l JOIN rfinal r ON l.ck = r.ck
+    """,
+)
+def mv_join_incremental(spark, sf_dir):
+    """Materialized JOIN maintained incrementally from BOTH bases'
+    change feeds (operators/matview.py:JoinMaterializedView): build the
+    orders-x-customer enrichment once, churn the fact side (price
+    update + insert + delete) AND the dimension side (segment rewrite
+    with fanout to every referencing fact row, plus a dimension DELETE
+    that kills its fact rows out of the inner join), then ONE refresh
+    reconciles the MV by dirty-key partial recompute — the dimension
+    feed's join values prune fact FILES through read_join_pruned. The
+    reference re-joins the full table per refresh
+    (``popularity/sql.py:286-326``); this is the O(churn x fanout)
+    replacement. Oracle replays all churn and re-joins from scratch."""
+    from openverse_catalog_spark.operators.cowtable import CowTable
+    from openverse_catalog_spark.operators.matview import (
+        JoinMaterializedView,
+    )
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    c = _t(spark, sf_dir, "customer")["customer"]
+    ok, ck = F.col("o_orderkey"), F.col("o_custkey")
+    lsel = [
+        ok.alias("k"), ck.alias("ck"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    ]
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_mv_join")
+    shutil.rmtree(root, ignore_errors=True)
+    left = CowTable.create(
+        spark, os.path.join(root, "l"),
+        o.filter(ok % 3 != 2).select(*lsel),
+        keys=("k",), target_files=6, stats_cols=("ck",),
+    )
+    right = CowTable.create(
+        spark, os.path.join(root, "r"),
+        c.select(
+            F.col("c_custkey").alias("ck"),
+            F.col("c_mktsegment").alias("seg"),
+            F.col("c_nationkey").alias("nat"),
+        ),
+        keys=("ck",), target_files=4,
+    )
+    mv = JoinMaterializedView(
+        spark, left, right, os.path.join(root, "mv"), on=["ck"],
+        how="inner",
+    )
+    mv.build()
+    cols = [
+        ColumnSpec("k", Datatype.int,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("ck", Datatype.int),
+        ColumnSpec("price", Datatype.double),
+    ]
+    left.merge(
+        o.filter((ok % 3 != 2) & (ok % 10 == 1)).select(
+            ok.alias("k"), ck.alias("ck"),
+            (F.col("o_totalprice") + 7).cast("double").alias("price"),
+        ).unionByName(
+            o.filter((ok % 3 == 2) & (ok % 10 == 5)).select(*lsel)
+        ),
+        cols, deterministic=True,
+    )
+    left.delete(F.col("k") % 20 == 6)
+    right.update(
+        F.col("ck") % 11 == 0,
+        {"seg": F.concat(F.lit("X_"), F.col("nat").cast("string"))},
+    )
+    right.delete(F.col("ck") % 13 == 0)
+    res = mv.refresh()
+    assert res["refreshed"]
+    return mv.read().select(
+        "k", "ck", F.round("price", 2).alias("price"), "seg"
+    )

@@ -345,3 +345,134 @@ def test_stream_mv_maintenance_ticks_and_exactly_once(
     res4 = stream_mv_maintenance(mv, ckpt)
     assert res4["refreshes"] == 1
     expect(base, mv)
+
+
+def test_join_mv_incremental_both_feeds(spark, tmp_path):
+    """JoinMaterializedView: refresh after churn on BOTH bases equals
+    the full recompute — left updates/inserts/deletes, right attribute
+    change (fanout to every referencing left row), right join-value
+    insert that revives inner-join-dropped left rows, and a right
+    delete that kills them again."""
+    from openverse_catalog_spark.operators.matview import (
+        JoinMaterializedView,
+    )
+    from openverse_catalog_spark.operators.cowtable import CowTable
+    from openverse_catalog_spark.schemas.columns import (
+        ColumnSpec,
+        Datatype,
+        UpsertStrategy,
+    )
+
+    left = CowTable.create(
+        spark, str(tmp_path / "l"),
+        spark.createDataFrame(
+            [(f"i{n:02d}", n % 4, 10.0 * n) for n in range(20)],
+            "iid string, cat int, price double",
+        ),
+        keys=("iid",), target_files=3,
+    )
+    right = CowTable.create(
+        spark, str(tmp_path / "r"),
+        spark.createDataFrame(
+            [(0, "zero"), (1, "one"), (2, "two")],  # cat 3 missing
+            "cat int, label string",
+        ),
+        keys=("cat",), target_files=1,
+    )
+    mv = JoinMaterializedView(
+        spark, left, right, str(tmp_path / "mv"), on=["cat"], how="inner"
+    )
+    mv.build()
+    assert mv.read().count() == 15  # cat 3 rows drop
+
+    lcols = [
+        ColumnSpec("iid", Datatype.char,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("cat", Datatype.int),
+        ColumnSpec("price", Datatype.double),
+    ]
+    rcols = [
+        ColumnSpec("cat", Datatype.int,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("label", Datatype.char),
+    ]
+    # left churn: price update, category move, insert, delete
+    left.merge(
+        spark.createDataFrame(
+            [("i00", 0, 999.0), ("i01", 2, 10.0), ("i99", 1, 5.0)],
+            "iid string, cat int, price double",
+        ),
+        lcols, deterministic=True,
+    )
+    left.delete(F.col("iid") == "i04")
+    # right churn: label change (fanout), NEW join value 3 (revives
+    # the cat-3 left rows an inner join dropped)
+    right.merge(
+        spark.createDataFrame(
+            [(1, "ONE"), (3, "three")], "cat int, label string"
+        ),
+        rcols, deterministic=True,
+    )
+    res = mv.refresh()
+    assert res["refreshed"]
+
+    def full():
+        return {
+            (r["iid"], r["cat"], r["price"], r["label"])
+            for r in left.read().join(right.read(), "cat").select(
+                "iid", "cat", "price", "label"
+            ).collect()
+        }
+
+    got = {
+        (r["iid"], r["cat"], r["price"], r["label"])
+        for r in mv.read().collect()
+    }
+    assert got == full()
+    assert ("i00", 0, 999.0, "zero") in got
+    assert ("i03", 3, 30.0, "three") in got  # revived by right insert
+    assert not any(t[0] == "i04" for t in got)
+
+    # right delete kills the revived rows again
+    right.delete(F.col("cat") == 3)
+    mv.refresh()
+    assert {t for t in mv.read().collect() if t["cat"] == 3} == set()
+    got = {
+        (r["iid"], r["cat"], r["price"], r["label"])
+        for r in mv.read().collect()
+    }
+    assert got == full()
+
+    # no-churn refresh is a no-op
+    assert mv.refresh()["refreshed"] is False
+
+    # idempotent replay: clobber the state back and refresh again —
+    # same final rows (crash between merge and state save is safe)
+    mv._save_state({"applied_left": 1, "applied_right": 1})
+    mv.refresh()
+    assert {
+        (r["iid"], r["cat"], r["price"], r["label"])
+        for r in mv.read().collect()
+    } == full()
+
+    # right uniqueness is enforced on the dirty values at refresh
+    import pytest
+
+    right.merge(
+        spark.createDataFrame([(2, "dup")], "cat int, label string"),
+        rcols, deterministic=True, dedupe_source_on_url=False,
+    )
+    # force a duplicate by inserting a second row with the same cat via
+    # a fresh key on the right table -> needs distinct keys; instead
+    # simulate with a non-unique right base for a new MV
+    bad_right = CowTable.create(
+        spark, str(tmp_path / "r2"),
+        spark.createDataFrame(
+            [(100, 0, "a"), (101, 0, "b")], "rk int, cat int, label string"
+        ),
+        keys=("rk",), target_files=1,
+    )
+    with pytest.raises(ValueError, match="not unique per join value"):
+        JoinMaterializedView(
+            spark, left, bad_right, str(tmp_path / "mv2"), on=["cat"]
+        ).build()
