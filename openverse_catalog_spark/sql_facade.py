@@ -130,6 +130,11 @@ _MV_AGG_ITEM = re.compile(
     r"^(count|sum|avg|min|max)\s*\(\s*(\*|\w+)\s*\)\s+AS\s+(\w+)$",
     re.IGNORECASE,
 )
+_MV_JOIN = re.compile(
+    r"^\s*SELECT\s+\*\s+FROM\s+(\w+)\s+(LEFT\s+)?JOIN\s+(\w+)\s+"
+    r"ON\s+(.+?)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _DESCRIBE_HISTORY = re.compile(
     r"^\s*DESCRIBE\s+HISTORY\s+(\w+)\s*$", re.IGNORECASE
 )
@@ -524,11 +529,15 @@ class SqlFacade:
             MaterializedView,
         )
 
+        jm = _MV_JOIN.match(select_text)
+        if jm:
+            return self._create_join_mv(name, jm)
         m = _MV_SELECT.match(select_text)
         if not m:
             raise ValueError(
                 "CREATE MATERIALIZED VIEW body must be SELECT <items> "
-                f"FROM <lake table> GROUP BY <cols>, got {select_text!r}"
+                "FROM <lake table> GROUP BY <cols>, or SELECT * FROM "
+                f"<lake> [LEFT] JOIN <lake> ON ..., got {select_text!r}"
             )
         items_text, base_name, group_text = m.groups()
         if base_name not in self._tables:
@@ -566,6 +575,58 @@ class SqlFacade:
         mv.read().createOrReplaceTempView(name)
         return self.spark.createDataFrame(
             [(name, base_name)], "view string, base string"
+        )
+
+    def _create_join_mv(self, name: str, jm: re.Match) -> DataFrame:
+        """``CREATE MATERIALIZED VIEW v AS SELECT * FROM l [LEFT] JOIN
+        r ON l.c = r.c [AND ...]`` — the materialized equi-join
+        (JoinMaterializedView): built once, REFRESH advances it from
+        BOTH base tables' change feeds by dirty-key partial recompute.
+        Both sides must be registered lake tables; the ON clause must
+        equate same-named columns (the join-column list)."""
+        from openverse_catalog_spark.operators.matview import (
+            JoinMaterializedView,
+        )
+
+        lname, left_kw, rname, on_text = jm.groups()
+        for t in (lname, rname):
+            if t not in self._tables:
+                raise ValueError(
+                    f"join materialized views need registered lake "
+                    f"tables; {t!r} is not one (have: "
+                    f"{sorted(self._tables)})"
+                )
+        on_cols = []
+        for clause in re.split(r"\s+AND\s+", on_text, flags=re.IGNORECASE):
+            eq = _ON_EQ.match(clause)
+            if not eq:
+                raise ValueError(
+                    f"join MV ON clause must be column equalities, got "
+                    f"{clause.strip()!r}"
+                )
+            a1, c1, a2, c2 = eq.groups()
+            sides = {a1.lower(): c1, a2.lower(): c2}
+            if set(sides) != {lname.lower(), rname.lower()} or (
+                sides[lname.lower()] != sides[rname.lower()]
+            ):
+                raise ValueError(
+                    "join MV ON clause must equate the two tables on "
+                    f"the SAME column name, got {clause.strip()!r}"
+                )
+            on_cols.append(sides[lname.lower()])
+        left, right = self._tables[lname], self._tables[rname]
+        mv = JoinMaterializedView(
+            self.spark, left, right, f"{left.root}_jmv_{name}",
+            on=on_cols, how="left" if left_kw else "inner",
+        )
+        import shutil
+
+        shutil.rmtree(mv.root, ignore_errors=True)
+        mv.build()
+        self._mvs[name] = mv
+        mv.read().createOrReplaceTempView(name)
+        return self.spark.createDataFrame(
+            [(name, lname, rname)], "view string, left string, right string"
         )
 
     def sql(self, text: str) -> DataFrame:
@@ -629,9 +690,15 @@ class SqlFacade:
             mv = self._mvs[m.group(1)]
             res = mv.refresh()
             mv.read().createOrReplaceTempView(m.group(1))
+            if "base_version" in res:
+                return self.spark.createDataFrame(
+                    [(res["base_version"], bool(res["refreshed"]))],
+                    "base_version long, refreshed boolean",
+                )
             return self.spark.createDataFrame(
-                [(res["base_version"], bool(res["refreshed"]))],
-                "base_version long, refreshed boolean",
+                [(res["left_version"], res["right_version"],
+                  bool(res["refreshed"]))],
+                "left_version long, right_version long, refreshed boolean",
             )
         m = _INSERT_INTO.match(text)
         if m and m.group(1) in self._tables:

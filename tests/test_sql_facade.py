@@ -656,3 +656,58 @@ def test_facade_merge_when_clauses_text(spark, tmp_path):
             "MERGE INTO items AS t USING stars AS s ON t.fid = s.fid "
             "WHEN MATCHED THEN FROB"
         )
+
+
+def test_facade_join_mv_text(spark, tmp_path):
+    """CREATE MATERIALIZED VIEW ... AS SELECT * FROM l JOIN r ON ...
+    builds a JoinMaterializedView; REFRESH advances it from both
+    feeds; the view name queries the refreshed contents."""
+    left = CowTable.create(
+        spark, str(tmp_path / "l"),
+        spark.createDataFrame(
+            [(f"i{n}", n % 3, float(n)) for n in range(12)],
+            "iid string, cat int, v double",
+        ),
+        keys=("iid",), target_files=2,
+    )
+    right = CowTable.create(
+        spark, str(tmp_path / "r"),
+        spark.createDataFrame(
+            [(0, "zero"), (1, "one"), (2, "two")], "cat int, label string"
+        ),
+        keys=("cat",), target_files=1,
+    )
+    f = SqlFacade(spark)
+    f.register_table("items", left)
+    f.register_table("cats", right)
+    f.sql(
+        "CREATE MATERIALIZED VIEW enriched AS "
+        "SELECT * FROM items JOIN cats ON items.cat = cats.cat"
+    )
+    assert f.sql("SELECT count(*) AS n FROM enriched").collect()[0]["n"] == 12
+    right.update(F.col("cat") == 1, {"label": F.lit("ONE")})
+    left.delete(F.col("iid") == "i0")
+    res = f.sql("REFRESH MATERIALIZED VIEW enriched").collect()[0]
+    assert res["refreshed"]
+    got = {
+        (r["iid"], r["label"])
+        for r in f.sql(
+            "SELECT iid, label FROM enriched WHERE cat = 1"
+        ).collect()
+    }
+    assert got == {("i1", "ONE"), ("i4", "ONE"), ("i7", "ONE"),
+                   ("i10", "ONE")}
+    assert f.sql(
+        "SELECT count(*) AS n FROM enriched"
+    ).collect()[0]["n"] == 11
+
+    with pytest.raises(ValueError, match="SAME column name"):
+        f.sql(
+            "CREATE MATERIALIZED VIEW bad AS "
+            "SELECT * FROM items JOIN cats ON items.cat = cats.label"
+        )
+    with pytest.raises(ValueError, match="registered lake"):
+        f.sql(
+            "CREATE MATERIALIZED VIEW bad AS "
+            "SELECT * FROM items JOIN nope ON items.cat = nope.cat"
+        )
