@@ -849,7 +849,9 @@ class CowTable:
         os.replace(tmp, cp_path)
 
     def _commit(
-        self, version: int, entries: list[dict], op: str, schema_json: str | None = None
+        self, version: int, entries: list[dict], op: str,
+        schema_json: str | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> None:
         """Claim version slot ``version`` by exclusive-create of its
         manifest. The manifest is fully written to a temp file first and
@@ -866,8 +868,16 @@ class CowTable:
         entries. Resolution replays ≤ interval segments (cached)."""
         import time
 
-        if schema_json is None and version > 1:
-            schema_json = self._manifest(version - 1).get("schema")
+        parent_txns: dict = {}
+        if version > 1:
+            parent = self._manifest(version - 1)
+            if schema_json is None:
+                schema_json = parent.get("schema")
+            parent_txns = dict(parent.get("txns") or {})
+        if txn is not None:
+            parent_txns[txn[0]] = max(
+                int(txn[1]), int(parent_txns.get(txn[0], txn[1]))
+            )
         manifest: dict = {
             "version": version,
             "operation": op,
@@ -883,6 +893,7 @@ class CowTable:
                 n: dict(s) for n, s in self.partition_fields.items()
             },
             "schema": schema_json,
+            "txns": parent_txns,
             "rows": sum(e["rows"] for e in entries),
             "reader_features": sorted(
                 ({"dv"} if any(e.get("dv") for e in entries) else set())
@@ -2115,6 +2126,7 @@ class CowTable:
         safe_against,
         schema_json: str | None = None,
         max_rounds: int = 10,
+        txn: tuple[str, int] | None = None,
     ) -> int | None:
         """LOGICAL conflict resolution (Delta's commit protocol): a
         commit that lost its version slot does NOT recompute when the
@@ -2168,7 +2180,8 @@ class CowTable:
             ] + new_entries
             try:
                 self._commit(
-                    cur_v + 1, entries, op=op, schema_json=schema_json
+                    cur_v + 1, entries, op=op, schema_json=schema_json,
+                    txn=txn,
                 )
                 return cur_v + 1
             except CommitConflict:
@@ -2268,6 +2281,26 @@ class CowTable:
         m = self._manifest()
         self._refresh_props(m)
         keys = self.keys
+        # writer idempotency (Delta's txnAppId/txnVersion): a retried
+        # job — a foreachBatch micro-batch replayed after a crash
+        # BETWEEN manifest link and checkpoint advance — supplies its
+        # (app, version); if the table already recorded that version
+        # or newer for the app, the whole merge is a no-op instead of
+        # a double-apply
+        txn_app = kwargs.pop("txn_app", None)
+        txn_version = kwargs.pop("txn_version", None)
+        txn = (str(txn_app), int(txn_version)) if txn_app is not None else None
+        if txn is not None and (
+            int((m.get("txns") or {}).get(txn[0], -(2**63))) >= txn[1]
+        ):
+            return {
+                "version": m["version"],
+                "files_rewritten": 0,
+                "files_skipped": len(m["files"]),
+                "files_written": 0,
+                "rows": m["rows"],
+                "txn_skipped": True,
+            }
         # schema evolution (Delta's mergeSchema): NEW columns in the
         # ColumnSpec list are accepted only behind an explicit opt-in;
         # old files stay untouched (reads resolve by name and fill the
@@ -2412,6 +2445,7 @@ class CowTable:
                 untouched + new_entries,
                 op="merge",
                 schema_json=merged.schema.json() if new_fields else None,
+                txn=txn,
             )
         except CommitConflict:
             rl = None
@@ -2430,6 +2464,7 @@ class CowTable:
                             source if guard_urls else None,
                         )
                     ),
+                    txn=txn,
                 )
             if rl is None:
                 shutil.rmtree(data_dir, ignore_errors=True)
@@ -2463,6 +2498,8 @@ class CowTable:
         max_retries: int = 3,
         pre_commit_hook=None,
         check_duplicate_keys: bool = True,
+        txn_app: str | None = None,
+        txn_version: int | None = None,
     ) -> dict:
         """Conditional MERGE with ANSI/Delta WHEN-clause semantics —
         the general form the reference cannot express in one
@@ -2504,6 +2541,8 @@ class CowTable:
                     source, update_set, update_cond, delete_cond, insert,
                     insert_cond, target_alias, source_alias, target_files,
                     pre_commit_hook, check_duplicate_keys,
+                    (str(txn_app), int(txn_version))
+                    if txn_app is not None else None,
                 )
             except CommitConflict as e:
                 last = e
@@ -2512,7 +2551,7 @@ class CowTable:
     def _merge_when_attempt(
         self, source, update_set, update_cond, delete_cond, insert,
         insert_cond, t_alias, s_alias, target_files, pre_commit_hook,
-        check_duplicate_keys=True,
+        check_duplicate_keys=True, txn=None,
     ) -> dict:
         def as_cond(c, default):
             if c is None:
@@ -2533,6 +2572,10 @@ class CowTable:
             "files_skipped": len(m["files"]), "files_written": 0,
             "rows": m["rows"],
         }
+        if txn is not None and (
+            int((m.get("txns") or {}).get(txn[0], -(2**63))) >= txn[1]
+        ):
+            return {**noop, "txn_skipped": True}
         if not source.head(1):
             return noop
         source = source.localCheckpoint(eager=False)
@@ -2629,7 +2672,8 @@ class CowTable:
         relinked = False
         try:
             self._commit(
-                new_version, untouched + new_entries, op="merge_when"
+                new_version, untouched + new_entries, op="merge_when",
+                txn=txn,
             )
         except CommitConflict:
             rl = self._relink_after_conflict(
@@ -2642,6 +2686,7 @@ class CowTable:
                         added, removed, boxes, batch_has_null, None
                     )
                 ),
+                txn=txn,
             )
             if rl is None:
                 shutil.rmtree(data_dir, ignore_errors=True)

@@ -598,10 +598,16 @@ def stream_landing_to_cow(
         deduped = exact_dedupe(
             cleaned, ["provider", "foreign_identifier"], [F.col("url")]
         )
+        # txn token (Delta's txnAppId/txnVersion): the checkpoint makes
+        # replay at-least-once; the recorded (app, batch_id) makes the
+        # MERGE itself exactly-once even when the crash landed BETWEEN
+        # manifest link and checkpoint advance
         table.merge(
             deduped.select([c.name for c in columns if c.name in deduped.columns]),
             columns,
             deterministic=deterministic,
+            txn_app=f"landing:{checkpoint_dir}",
+            txn_version=batch_id,
         )
 
     stream = (
@@ -627,6 +633,8 @@ def apply_changes(
     sequence_by: str,
     op_col: str = "op",
     delete_op: str = "D",
+    txn_app: str | None = None,
+    txn_version: int | None = None,
 ) -> dict:
     """APPLY CHANGES INTO (DLT-style SCD1 CDC apply): a batch of
     row-change events — each row an upsert or a delete (``op_col``)
@@ -675,6 +683,8 @@ def apply_changes(
         update_set="*",
         update_cond=f"NOT {is_del} AND {fresh}",
         insert_cond=f"NOT {is_del}",
+        txn_app=txn_app,
+        txn_version=txn_version,
     )
 
 
@@ -702,7 +712,10 @@ def stream_cdc_apply(
     schema = spark.read.parquet(cdc_dir).schema
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        apply_changes(table, batch_df, sequence_by, op_col=op_col)
+        apply_changes(
+            table, batch_df, sequence_by, op_col=op_col,
+            txn_app=f"cdc:{checkpoint_dir}", txn_version=batch_id,
+        )
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:

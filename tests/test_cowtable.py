@@ -2484,3 +2484,67 @@ def test_cow_apply_changes_cdc_semantics(spark, tmp_path):
                                   "fid string, val double, seq long"),
             sequence_by="seq",
         )
+
+
+def test_cow_txn_idempotent_writes(spark, tmp_path):
+    """Writer idempotency tokens (Delta's txnAppId/txnVersion): a
+    replayed (app, version) merge is a no-op; a newer version applies;
+    apps are independent; the recorded map survives unrelated
+    commits."""
+    base = spark.createDataFrame(
+        [(f"k{i}", float(i)) for i in range(10)], "fid string, val double"
+    )
+    t = CowTable.create(
+        spark, str(tmp_path / "txn"), base, keys=("fid",), target_files=2
+    )
+    from openverse_catalog_spark.schemas.columns import (
+        ColumnSpec,
+        Datatype,
+        UpsertStrategy,
+    )
+
+    cols = [
+        ColumnSpec("fid", Datatype.char,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("val", Datatype.double),
+    ]
+    b1 = spark.createDataFrame([("k1", 100.0)], "fid string, val double")
+    r1 = t.merge(b1, cols, deterministic=True, txn_app="job", txn_version=7)
+    assert "txn_skipped" not in r1
+    v_after = t.version
+    # replay of the same batch: version unchanged, flagged as skipped
+    r2 = t.merge(b1, cols, deterministic=True, txn_app="job", txn_version=7)
+    assert r2["txn_skipped"] and t.version == v_after
+    # an OLDER version from the same app is also fenced
+    r3 = t.merge(b1, cols, deterministic=True, txn_app="job", txn_version=3)
+    assert r3["txn_skipped"] and t.version == v_after
+    # a newer version applies
+    b2 = spark.createDataFrame([("k2", 200.0)], "fid string, val double")
+    r4 = t.merge(b2, cols, deterministic=True, txn_app="job", txn_version=8)
+    assert "txn_skipped" not in r4 and t.version == v_after + 1
+    # independent app: same numeric version is NOT fenced
+    r5 = t.merge(
+        spark.createDataFrame([("k3", 300.0)], "fid string, val double"),
+        cols, deterministic=True, txn_app="other", txn_version=7,
+    )
+    assert "txn_skipped" not in r5
+    # an unrelated non-txn commit carries the map forward
+    t.delete(F.col("fid") == "k9")
+    r6 = t.merge(b1, cols, deterministic=True, txn_app="job", txn_version=8)
+    assert r6["txn_skipped"]
+    assert t._manifest().get("txns") == {"job": 8, "other": 7}
+
+    # merge_when honors the same fence
+    mw = spark.createDataFrame(
+        [("k1", 1.0, "x")], "fid string, val double, tag string"
+    )
+    r7 = t.merge_when(
+        mw.select("fid", "val"), update_set="*",
+        txn_app="cdcjob", txn_version=1,
+    )
+    assert "txn_skipped" not in r7
+    r8 = t.merge_when(
+        mw.select("fid", "val"), update_set="*",
+        txn_app="cdcjob", txn_version=1,
+    )
+    assert r8["txn_skipped"]
