@@ -3098,6 +3098,7 @@ class CowTable:
         zorder_by=None,
         zorder_bits: int = 8,
         zorder_where: dict | None = None,
+        zorder_incremental: bool = False,
     ) -> dict:
         """OPTIMIZE: bin-pack small files (rows < target_rows) into
         range-clustered files near target size; files already at size
@@ -3129,6 +3130,18 @@ class CowTable:
         and becomes O(partition), e.g. z-ordering only the provider
         that just back-filled.
 
+        ``zorder_incremental=True`` (Delta's liquid-clustering
+        economics): files ALREADY written under the identical cluster
+        spec — same columns, bits and bucket bounds, recorded per
+        manifest entry at z-write time — carry by reference and only
+        unclustered files (the merges since the last OPTIMIZE) rewrite,
+        so steady-state OPTIMIZE cost is O(new data), not O(table).
+        Bucket bounds are pinned by the FIRST clustering run and reused
+        thereafter (out-of-bounds values clamp to the edge buckets), so
+        the z-curve stays comparable across runs; old and new clustered
+        files overlap in z-range, which costs some skipping precision —
+        run a non-incremental OPTIMIZE occasionally to re-tighten.
+
         Trade-off, exactly as in Delta: z-clustering widens the
         merge-key ranges per file, weakening MERGE file-skipping —
         include keys[0] in the z set (or zorder per-partition via
@@ -3143,7 +3156,7 @@ class CowTable:
             try:
                 return self._compact_attempt(
                     target_rows, pre_commit_hook, zorder_by, zorder_bits,
-                    zorder_where,
+                    zorder_where, zorder_incremental,
                 )
             except CommitConflict as e:
                 last = e
@@ -3194,11 +3207,13 @@ class CowTable:
     def _compact_attempt(
         self, target_rows: int, pre_commit_hook, zorder_by=None,
         zorder_bits: int = 8, zorder_where=None,
+        zorder_incremental: bool = False,
     ) -> dict:
         m = self._manifest()
         self._refresh_props(m)
         if zorder_where is not None and not zorder_by:
             raise ValueError("zorder_where requires zorder_by")
+        cluster_tag = None
         if zorder_by:
             if zorder_where is not None:
                 # predicate-scoped OPTIMIZE: only files intersecting the
@@ -3206,12 +3221,44 @@ class CowTable:
                 small, keep = self.read_where(zorder_where, _split=True)
             else:
                 small, keep = list(m["files"]), []
+            z_cols = (
+                list(zorder_by) if not isinstance(zorder_by, dict)
+                else list(zorder_by.keys())
+            )
+            if zorder_incremental and not isinstance(zorder_by, dict):
+                # reuse the bounds pinned by the first clustering run
+                # (bucket boundaries must not drift between runs, or
+                # old and new z-values stop being comparable)
+                for e in m["files"]:
+                    t = e.get("cluster")
+                    if (
+                        t
+                        and t.get("cols") == z_cols
+                        and t.get("bits") == zorder_bits
+                    ):
+                        zorder_by = {
+                            c: tuple(b) for c, b in t["bounds"].items()
+                        }
+                        break
             if not isinstance(zorder_by, dict):
                 zorder_by = (
                     self._zorder_bounds(small, tuple(zorder_by), m)
                     if small
                     else {}
                 )
+            cluster_tag = {
+                "cols": z_cols,
+                "bits": zorder_bits,
+                "bounds": {c: list(b) for c, b in zorder_by.items()},
+            }
+            if zorder_incremental:
+                already = [
+                    e for e in small if e.get("cluster") == cluster_tag
+                ]
+                small = [
+                    e for e in small if e.get("cluster") != cluster_tag
+                ]
+                keep = keep + already
         else:
             # deletion-vector carriers are compaction candidates
             # regardless of size: OPTIMIZE is what materializes DVs
@@ -3287,6 +3334,12 @@ class CowTable:
         else:
             self._write_clustered(self._to_physical(df), n_files, data_dir)
         new_entries = self._collect_entries(data_dir, rel_dir)
+        if cluster_tag is not None:
+            # stamp the spec each file was clustered under — what a
+            # later zorder_incremental run skips on (and reuses the
+            # bounds of)
+            for e in new_entries:
+                e["cluster"] = cluster_tag
         if pre_commit_hook is not None:
             pre_commit_hook()
         relinked = False

@@ -2548,3 +2548,76 @@ def test_cow_txn_idempotent_writes(spark, tmp_path):
         txn_app="cdcjob", txn_version=1,
     )
     assert r8["txn_skipped"]
+
+
+def test_cow_zorder_incremental_rewrites_only_new_files(spark, tmp_path):
+    """zorder_incremental: files already clustered under the identical
+    spec carry BY REFERENCE (same path), only merge-written files since
+    the last OPTIMIZE rewrite, bucket bounds are pinned by the first
+    run, and z-skipping still works on the combined layout."""
+    rows = [
+        (f"k{i:03d}", float((i * 37) % 100), float((i * 61) % 100))
+        for i in range(300)
+    ]
+    t = CowTable.create(
+        spark, str(tmp_path / "zi"),
+        spark.createDataFrame(rows, "fid string, x double, y double"),
+        keys=("fid",), target_files=4, stats_cols=("x", "y"),
+    )
+    r1 = t.compact(target_rows=60, zorder_by=["x", "y"], zorder_bits=5)
+    m1 = t._manifest()
+    clustered = {e["path"] for e in m1["files"]}
+    tag = m1["files"][0]["cluster"]
+    assert tag["cols"] == ["x", "y"] and tag["bits"] == 5
+    assert all(e.get("cluster") == tag for e in m1["files"])
+
+    from openverse_catalog_spark.schemas.columns import (
+        ColumnSpec,
+        Datatype,
+        UpsertStrategy,
+    )
+
+    cols = [
+        ColumnSpec("fid", Datatype.char,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("x", Datatype.double),
+        ColumnSpec("y", Datatype.double),
+    ]
+    # new batch INCLUDING values beyond the pinned bounds (must clamp)
+    t.merge(
+        spark.createDataFrame(
+            [(f"n{i:03d}", float(200 + i), float(-50 - i))
+             for i in range(60)],
+            "fid string, x double, y double",
+        ),
+        cols, deterministic=True,
+    )
+    m2 = t._manifest()
+    unclustered = [e for e in m2["files"] if e.get("cluster") != tag]
+    assert unclustered, "merge must have produced unclustered files"
+
+    r2 = t.compact(
+        target_rows=60, zorder_by=["x", "y"], zorder_bits=5,
+        zorder_incremental=True,
+    )
+    m3 = t._manifest()
+    # every previously-clustered file that the merge did not touch
+    # carried by reference; only the unclustered set rewrote
+    survived = clustered & {e["path"] for e in m3["files"]}
+    assert survived, "already-clustered files must carry by reference"
+    assert r2["files_compacted"] == len(unclustered)
+    # bounds were REUSED from the first run's tag, not recomputed from
+    # the (wider) current data
+    assert all(
+        e["cluster"]["bounds"] == tag["bounds"]
+        for e in m3["files"] if e.get("cluster")
+    )
+    assert t.read().count() == 360
+    # a second incremental run with nothing new is a version no-op
+    v = t.version
+    t.compact(target_rows=60, zorder_by=["x", "y"], zorder_bits=5,
+              zorder_incremental=True)
+    assert t.version == v
+    # z-skipping still bites on the combined layout
+    box = t.read_where({"x": (0.0, 20.0), "y": (0.0, 20.0)})
+    assert len(box.inputFiles()) < len(m3["files"])
