@@ -2949,3 +2949,157 @@ def knn_ivf_pq_residual(spark, sf_dir):
     return out.select(
         "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
     )
+
+
+# -- unigram LM tokenizer (SentencePiece-style Viterbi-EM) -------------------
+
+_UNI_WORDS_SQL = r"""
+words AS (
+  SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(string_split_regex(
+             trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')),
+             '\s+')) AS w
+    FROM documents
+  ) WHERE w <> '' AND len(w) <= 12 GROUP BY w
+),
+seeds AS (
+  SELECT piece, sum(cnt) AS usage FROM (
+    SELECT substr(word, CAST(i AS INT), CAST(l AS INT)) AS piece, cnt
+    FROM words, unnest(range(1, len(word) + 1)) AS t1(i),
+                unnest(range(1, 5)) AS t2(l)
+    WHERE CAST(i AS INT) + CAST(l AS INT) - 1 <= len(word)
+  ) GROUP BY piece
+),
+usage0 AS (
+  SELECT piece, usage FROM seeds WHERE len(piece) = 1 OR usage >= 2
+),
+score0 AS (
+  SELECT piece, CAST(floor((ln(usage)
+           - ln((SELECT sum(usage) FROM usage0))) * 1000000 + 0.5)
+         AS BIGINT) AS lp
+  FROM usage0
+)"""
+
+
+def _uni_round_sql(r: int) -> str:
+    """One Viterbi-EM round as CTEs: enumerate every segmentation of
+    every word under score{r-1} (recursive CTE — words are capped at
+    12 chars so the path set stays small), pick the best per word by
+    the exact integer-score ordering (score desc, piece-length digit
+    string desc — the same total order the Spark DP maximizes), then
+    hard-count piece usage and re-estimate micro-log scores."""
+    return f""",
+paths{r} AS (
+  SELECT word, cnt, 0 AS pos, CAST('' AS VARCHAR) AS lens,
+         CAST(0 AS BIGINT) AS score, CAST('' AS VARCHAR) AS toks
+  FROM words
+  UNION ALL
+  SELECT p.word, p.cnt, p.pos + len(v.piece),
+         p.lens || CAST(len(v.piece) AS VARCHAR), p.score + v.lp,
+         CASE WHEN p.toks = '' THEN v.piece
+              ELSE p.toks || ' ' || v.piece END
+  FROM paths{r} p JOIN score{r - 1} v
+    ON substr(p.word, p.pos + 1, len(v.piece)) = v.piece
+  WHERE p.pos < len(p.word)
+),
+best{r} AS (
+  SELECT word, cnt, toks, score FROM (
+    SELECT *, row_number() OVER (PARTITION BY word
+                                 ORDER BY score DESC, lens DESC) AS rn
+    FROM paths{r} WHERE pos = len(word)) WHERE rn = 1
+),
+usage{r} AS (
+  SELECT piece, sum(cnt) AS usage FROM (
+    SELECT unnest(string_split(toks, ' ')) AS piece, cnt FROM best{r}
+  ) GROUP BY piece
+),
+score{r} AS (
+  SELECT piece, CAST(floor((ln(usage)
+           - ln((SELECT sum(usage) FROM usage{r}))) * 1000000 + 0.5)
+         AS BIGINT) AS lp
+  FROM usage{r}
+)"""
+
+
+_UNI_ROUNDS = 2
+
+
+def _uni_vocab_oracle(rounds: int = _UNI_ROUNDS) -> str:
+    body = "".join(_uni_round_sql(r) for r in range(1, rounds + 1))
+    return f"""
+    WITH RECURSIVE {_UNI_WORDS_SQL} {body}
+    SELECT u.piece, CAST(u.usage AS BIGINT) AS usage, s.lp
+    FROM usage{rounds} u JOIN score{rounds} s ON u.piece = s.piece
+    """
+
+
+def _uni_encode_oracle(rounds: int = _UNI_ROUNDS) -> str:
+    body = "".join(_uni_round_sql(r) for r in range(1, rounds + 2))
+    return rf"""
+    WITH RECURSIVE {_UNI_WORDS_SQL} {body},
+    dw AS (
+      SELECT doc_id, i, ws[i] AS word FROM (
+        SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM (
+          SELECT doc_id,
+                 string_split_regex(
+                   trim(regexp_replace(lower(text), '[^a-z ]', ' ', 'g')),
+                   '\s+') AS ws
+          FROM documents)
+      ) WHERE ws[i] <> '' AND len(ws[i]) <= 12
+    ),
+    enc AS (
+      SELECT dw.doc_id, dw.i, b.toks
+      FROM dw JOIN best{rounds + 1} b ON dw.word = b.word
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(len(string_split(toks, ' '))) AS BIGINT) AS n_tokens,
+           md5(string_agg(toks, ' ' ORDER BY i)) AS toks_md5
+    FROM enc GROUP BY doc_id
+    """
+
+
+@register("corpus_unigram_vocab", _uni_vocab_oracle())
+def corpus_unigram_vocab(spark, sf_dir):
+    """Unigram-LM tokenizer TRAINING (SentencePiece's other half next
+    to BPE): seed pieces = substrings <= 4 chars at usage >= 2 plus all
+    single chars, then 2 Viterbi-EM rounds — each round re-segments the
+    DISTINCT-WORD table by maximum likelihood (Arrow-batched DP,
+    integer micro-log scores so path sums are exact and
+    order-independent) and re-estimates scores from hard usage counts.
+    The oracle replays every round: it ENUMERATES all segmentations per
+    word with a recursive CTE and picks the best under the identical
+    (score desc, length-digits desc) order, so one wrong DP transition
+    or tie-break anywhere breaks the hash. operators/unigram.py."""
+    from openverse_catalog_spark.operators.unigram import (
+        unigram_learn,
+        unigram_word_frequencies,
+    )
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    words = unigram_word_frequencies(d)
+    _, usage_df, _ = unigram_learn(words, rounds=_UNI_ROUNDS)
+    return usage_df.select("piece", "usage", "lp")
+
+
+@register("corpus_unigram_encode", _uni_encode_oracle())
+def corpus_unigram_encode(spark, sf_dir):
+    """Unigram-LM ENCODE under the trained scores: the corpus explodes
+    to length-capped words, broadcast-joins the word->pieces dictionary
+    (training re-segmented under the final scores), and aggregates per
+    document — token count and an order-sensitive md5 of the full piece
+    stream, both value-pinned by the oracle's replayed Viterbi."""
+    from openverse_catalog_spark.operators.unigram import (
+        unigram_encode,
+        unigram_learn,
+        unigram_word_frequencies,
+    )
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    words = unigram_word_frequencies(d)
+    scores, _, tok = unigram_learn(words, rounds=_UNI_ROUNDS)
+    out = unigram_encode(d, "text", tok, scores)
+    return out.select(
+        "doc_id", "n_words", "n_tokens",
+        F.md5(F.col("toks")).alias("toks_md5"),
+    )

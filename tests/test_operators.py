@@ -882,3 +882,112 @@ def test_ivf_pq_residual_recall_not_worse_than_raw(spark, sf_dir, tmp_path):
         res_codes.alias("b"), "neighbor_id"
     ).filter(F.col("a.codes") != F.col("b.codes"))
     assert joined.count() > 0
+
+
+def test_unigram_viterbi_em(spark):
+    """Unigram-LM tokenizer: the DP segmentation matches a brute-force
+    enumeration under the same (score desc, length-digits desc) order;
+    EM usage counts come from the best segmentations; encode joins the
+    dictionary and Viterbi-falls-back for unseen words."""
+    import itertools
+    import math
+
+    from openverse_catalog_spark.operators.unigram import (
+        _segment,
+        piece_scores,
+        seed_pieces,
+        unigram_encode,
+        unigram_learn,
+        unigram_word_frequencies,
+        viterbi_tokenize,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cats sat"),
+            (3, "a cat and a mat"),
+            (4, "the the the concatenate"),
+        ],
+        "doc_id long, text string",
+    )
+    words = unigram_word_frequencies(docs)
+    wf = {r["word"]: r["cnt"] for r in words.collect()}
+    assert wf["the"] == 6 and wf["cat"] == 2
+
+    # seed usage: count-weighted substring occurrences, chars always in
+    seeds = {
+        r["piece"]: r["usage"]
+        for r in seed_pieces(words, min_count=2).collect()
+    }
+    # 'at' occurs in cat(2), sat(2), mat(2), cats(1), concatenate(1x...)
+    assert seeds["at"] >= 8
+    assert "q" not in seeds and "t" in seeds
+
+    scores = piece_scores(seed_pieces(words, min_count=2))
+
+    def brute(word):
+        n = len(word)
+        best = None
+        for cuts in itertools.product([0, 1], repeat=n - 1):
+            pieces, start = [], 0
+            for i, c in enumerate(cuts, start=1):
+                if c:
+                    pieces.append(word[start:i])
+                    start = i
+            pieces.append(word[start:])
+            if any(len(p) > 4 or p not in scores for p in pieces):
+                continue
+            sc = sum(scores[p] for p in pieces)
+            lens = "".join(str(len(p)) for p in pieces)
+            key = (sc, lens)
+            if best is None or key > best[0]:
+                best = (key, pieces)
+        return best[1]
+
+    for w in wf:
+        assert _segment(w, scores, 4) == brute(w), w
+
+    # EM: learned scores are micro-logs of the usage distribution
+    sc2, usage_df, tok = unigram_learn(words, rounds=2)
+    rows = usage_df.collect()
+    total = sum(r["usage"] for r in rows)
+    for r in rows:
+        want = math.floor(
+            (math.log(r["usage"]) - math.log(total)) * 1_000_000 + 0.5
+        )
+        assert r["lp"] == int(want)
+        assert sc2[r["piece"]] == r["lp"]
+    # every training word tokenizes, score = sum of its piece scores
+    for r in viterbi_tokenize(words, sc2).collect():
+        assert r["score"] == sum(sc2[p] for p in r["toks"].split(" "))
+
+    # encode: consistent totals; unseen word falls back through Viterbi
+    enc = {
+        r["doc_id"]: r
+        for r in unigram_encode(docs, "text", tok, sc2).collect()
+    }
+    assert enc[1]["n_words"] == 6
+    assert enc[1]["n_tokens"] == len(enc[1]["toks"].split(" "))
+    # 'catmat' is unseen but coverable (cat + mat survive EM)
+    new = spark.createDataFrame(
+        [(9, "the catmat")], "doc_id long, text string"
+    )
+    e9 = unigram_encode(new, "text", tok, sc2).collect()[0]
+    assert e9["n_words"] == 2 and e9["n_tokens"] >= 2
+    # a word with a character the corpus never had is honestly refused
+    import pytest
+
+    with pytest.raises(ValueError, match="not coverable"):
+        unigram_encode(
+            spark.createDataFrame(
+                [(11, "zzz")], "doc_id long, text string"
+            ),
+            "text", tok, sc2,
+        ).collect()
+    # word longer than the cap is dropped from encoding entirely
+    long = spark.createDataFrame(
+        [(10, "the extraordinarily cat")], "doc_id long, text string"
+    )
+    e10 = unigram_encode(long, "text", tok, sc2).collect()[0]
+    assert e10["n_words"] == 2  # 'extraordinarily' dropped
