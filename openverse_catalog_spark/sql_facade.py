@@ -140,8 +140,13 @@ _DESCRIBE_HISTORY = re.compile(
 )
 _OPTIMIZE = re.compile(
     r"^\s*OPTIMIZE\s+(\w+)"
-    r"(?:\s+ZORDER\s+BY\s*\(\s*([\w\s,]+?)\s*\))?\s*$",
+    r"(?:\s+ZORDER\s+BY\s*\(\s*([\w\s,]+?)\s*\)(\s+INCREMENTAL)?)?\s*$",
     re.IGNORECASE,
+)
+_APPLY_CHANGES = re.compile(
+    r"^\s*APPLY\s+CHANGES\s+INTO\s+(\w+)\s+FROM\s+(?:\((.+)\)|(\w+))\s+"
+    r"SEQUENCE\s+BY\s+(\w+)(?:\s+OP\s+COLUMN\s+(\w+))?\s*$",
+    re.IGNORECASE | re.DOTALL,
 )
 _VACUUM = re.compile(
     r"^\s*VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*$",
@@ -799,7 +804,33 @@ class SqlFacade:
                 if m.group(2)
                 else None
             )
-            res = self._tables[m.group(1)].compact(zorder_by=zorder)
+            res = self._tables[m.group(1)].compact(
+                zorder_by=zorder,
+                zorder_incremental=bool(m.group(3)),
+            )
+            return self._summary(res)
+        m = _APPLY_CHANGES.match(text)
+        if m and m.group(1) in self._tables:
+            # DLT's APPLY CHANGES INTO: sequenced upsert/delete events
+            # applied as ONE commit (streaming/incremental.apply_changes
+            # — latest-wins per key in the batch, stored-sequence fence
+            # across statements)
+            from openverse_catalog_spark.streaming.incremental import (
+                apply_changes,
+            )
+
+            name, subquery, view, seq_col, op_col = m.groups()
+            batch = self.spark.sql(
+                self._rewrite(
+                    subquery if subquery else f"SELECT * FROM {view}"
+                )
+            )
+            target, finalize = self._dml_table(name)
+            res = apply_changes(
+                target, batch, sequence_by=seq_col,
+                op_col=op_col or "op",
+            )
+            finalize()
             return self._summary(res)
         m = _VACUUM.match(text)
         if m and m.group(1) in self._tables:

@@ -711,3 +711,63 @@ def test_facade_join_mv_text(spark, tmp_path):
             "CREATE MATERIALIZED VIEW bad AS "
             "SELECT * FROM items JOIN nope ON items.cat = nope.cat"
         )
+
+
+def test_facade_apply_changes_and_incremental_optimize_text(
+    spark, tmp_path
+):
+    """APPLY CHANGES INTO ... FROM ... SEQUENCE BY applies a sequenced
+    CDC batch in one commit; OPTIMIZE ... ZORDER BY (...) INCREMENTAL
+    reuses the pinned cluster spec and rewrites only new files."""
+    t = CowTable.create(
+        spark, str(tmp_path / "tbl"),
+        spark.createDataFrame(
+            [(f"k{i}", float(i), 0, float(i % 7), float(i % 5))
+             for i in range(40)],
+            "fid string, val double, seq long, x double, y double",
+        ),
+        keys=("fid",), target_files=2, stats_cols=("x", "y"),
+    )
+    f = SqlFacade(spark)
+    f.register_table("items", t)
+    f.register_df(
+        "events",
+        spark.createDataFrame(
+            [
+                ("k1", 100.0, 5, 0.0, 0.0, "U"),
+                ("k2", None, 5, None, None, "D"),
+                ("knew", 7.0, 5, 1.0, 1.0, "U"),
+                ("k3", -1.0, -9, 9.0, 9.0, "U"),  # stale: fenced
+            ],
+            "fid string, val double, seq long, x double, y double, "
+            "op string",
+        ),
+    )
+    f.sql(
+        "APPLY CHANGES INTO items FROM events SEQUENCE BY seq"
+    )
+    got = {r["fid"]: r["val"] for r in f.sql(
+        "SELECT fid, val FROM items").collect()}
+    assert got["k1"] == 100.0 and "k2" not in got
+    assert got["knew"] == 7.0 and got["k3"] == 3.0  # stale fenced
+
+    f.sql("OPTIMIZE items ZORDER BY (x, y)")
+    m1 = t._manifest()
+    tag = m1["files"][0]["cluster"]
+    t.merge_when(
+        spark.createDataFrame(
+            [("kz", 1.0, 9, 3.0, 3.0)],
+            "fid string, val double, seq long, x double, y double",
+        ),
+        update_set="*",
+    )
+    res = f.sql("OPTIMIZE items ZORDER BY (x, y) INCREMENTAL").collect()
+    m2 = t._manifest()
+    clustered_before = {e["path"] for e in m1["files"]}
+    assert clustered_before & {e["path"] for e in m2["files"]}, (
+        "incremental OPTIMIZE must carry already-clustered files"
+    )
+    assert all(
+        e["cluster"]["bounds"] == tag["bounds"]
+        for e in m2["files"] if e.get("cluster")
+    )
