@@ -177,6 +177,14 @@ HEADLINE = [
     "window_counter_rate",
     "sql_ctas_restore",
     "knn_ivf_pq_residual",
+    "merge_cow_when_clauses",
+    "stream_cdc_apply",
+    "mv_join_incremental",
+    "corpus_unigram_vocab",
+    "corpus_unigram_encode",
+    "multimodal_resize_nearest",
+    "multimodal_downsample_box",
+    "multimodal_audio_frames",
 ]
 
 
