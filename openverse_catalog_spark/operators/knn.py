@@ -1050,18 +1050,31 @@ def _pq_codebooks(
 
 def _pq_encode(mat, cb):
     """(B, D) normalized vectors -> (B, m) ordinal codes: per subspace,
-    the L2-nearest codeword, distances rounded to 9 decimals before the
-    argmin so near-ties resolve identically to the SQL oracle's
-    ``ORDER BY round(d2, 9), codeword`` (ULP-level float summation
-    differences must not flip a code)."""
+    the L2-nearest codeword. d2 uses the ||x||^2 - 2 x.c + ||c||^2
+    expansion (one BLAS matmul per subspace) instead of materializing
+    the (B, K, m, dsub) elementwise difference — at 2.4k codewords and
+    10k-row Arrow batches the naive broadcast temporary is ~12 GB per
+    batch; the expansion is O(B*K) memory. Distances round to 9
+    decimals before the argmin, the same guard the SQL oracle's
+    ``ORDER BY round(d2, 9), codeword`` applies — it absorbs both
+    summation-order ULP noise (the oracle already sums in arbitrary
+    order) and the expansion-vs-elementwise difference."""
     import numpy as np
 
     n_b = mat.shape[0]
-    m = cb.shape[1]
-    sub = mat.reshape(n_b, m, -1)
-    # (B, K, m) squared distances per subspace
-    d2 = ((sub[:, None, :, :] - cb[None, :, :, :]) ** 2).sum(axis=3)
-    return np.round(d2, 9).argmin(axis=1).astype("int32")  # (B, m)
+    n_k, m, dsub = cb.shape
+    sub = mat.reshape(n_b, m, dsub)
+    codes = np.empty((n_b, m), dtype="int32")
+    for s in range(m):
+        x = sub[:, s, :]
+        c = cb[:, s, :]
+        d2 = (
+            (x * x).sum(axis=1)[:, None]
+            - 2.0 * (x @ c.T)
+            + (c * c).sum(axis=1)[None, :]
+        )
+        codes[:, s] = np.round(d2, 9).argmin(axis=1)
+    return codes
 
 
 def ivf_pq_build_index(
@@ -1129,6 +1142,10 @@ def ivf_pq_build_index(
     assign = base.select(id_col, vec_col).mapInPandas(
         assign_gen, "neighbor_id long, centroid_id long, codes array<int>"
     )
+    # repartitionByRange SAMPLES its child to pick range bounds, which
+    # would run the whole GEMM+encode pass twice — cut lineage so the
+    # encode runs once and the range write resorts cached rows
+    assign = assign.localCheckpoint(eager=False)
     (
         assign.repartitionByRange(index_files, F.col("centroid_id"))
         .sortWithinPartitions("centroid_id")
@@ -1138,18 +1155,30 @@ def ivf_pq_build_index(
     base.filter(F.col(id_col) % centroid_mod == 0).select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("vector")
     ).write.mode("overwrite").parquet(f"{path}/centroids")
-    # codebooks: (subspace, code ordinal, source id, normalized subvector)
+    # codebooks: (subspace, code ordinal, source id, normalized subvector).
+    # Local rows go through a PANDAS frame (Arrow -> LocalTableScan, one
+    # write task): a plain createDataFrame parallelizes across all cores
+    # and coalesce(1) then replays every tiny Python partition SERIALLY
+    # through the worker round-trip — seconds of overhead for 1-row data.
+    import pandas as _pd
+
     rows = [
         (s, int(k_), int(cb_ids[k_]), [float(x) for x in cb[k_, s]])
         for s in range(pq_m)
         for k_ in range(cb.shape[0])
     ]
     spark.createDataFrame(
-        rows, "subspace int, code int, source_id long, subvector array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+        _pd.DataFrame(
+            rows, columns=["subspace", "code", "source_id", "subvector"]
+        ),
+        "subspace int, code int, source_id long, subvector array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/codebooks")
     spark.createDataFrame(
-        [(bool(residual), pq_m)], "residual boolean, pq_m int"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+        _pd.DataFrame(
+            [(bool(residual), pq_m)], columns=["residual", "pq_m"]
+        ),
+        "residual boolean, pq_m int",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
     return {
         "path": path,
         "centroids": int(len(c_ids)),
