@@ -38,11 +38,46 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["join_5way_enrich"](spark, "/root/testdata/sf0.001")
 
 
+def _driver_checked() -> set[str]:
+    """Names that already have a driver CORRECTNESS row in any past round."""
+    import glob
+    import json
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    seen: set[str] = set()
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as fh:
+                seen |= set(json.load(fh).keys())
+        except (OSError, ValueError):
+            continue
+    return seen
+
+
+def _rotated_names() -> list[str]:
+    """Registry names ordered so never-driver-checked queries come first.
+
+    The driver verifies only the first N registry entries per round, so
+    rotating unchecked queries to the front walks the whole registry
+    through the hard correctness gate across rounds.  Oracle-backed
+    queries lead (rows+schema+hash check) ahead of rows-only ones;
+    registration order is preserved within each bucket so the window is
+    deterministic.
+    """
+    seen = _driver_checked()
+    names = list(QUERIES)
+    fresh_oracle = [n for n in names if n not in seen and n in ORACLES]
+    fresh_plain = [n for n in names if n not in seen and n not in ORACLES]
+    done = [n for n in names if n in seen]
+    return fresh_oracle + fresh_plain + done
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    return {n: QUERIES[n] for n in _rotated_names()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each SQL-expressible query."""
-    return dict(ORACLES)
+    return {n: ORACLES[n] for n in _rotated_names() if n in ORACLES}

@@ -69,6 +69,32 @@ from openverse_catalog_spark.schemas.columns import (
 _KINDS = ("count", "sum", "avg", "min", "max")
 _CNT = "__mv_count"
 
+# Ceiling on rows a dirty-set relation may have and still receive an
+# explicit broadcast HINT.  Churn is unbounded (first refresh after a
+# bulk backfill, a full-table re-merge, a big CDC batch), and a forced
+# broadcast of tens of millions of keys blows the driver/broadcast
+# limit exactly when the table is busiest.  Below the bound the hint
+# skips AQE's size estimation (keys-only relations are always tiny);
+# above it the join falls back to a plain shuffle semi-join — still
+# O(churn), just not driver-resident.  Override per session with
+# ``spark.openverse.mv.broadcastMaxRows``.
+_MV_BROADCAST_MAX_ROWS = 2_000_000
+
+
+def _broadcast_max_rows(spark: SparkSession) -> int:
+    return int(
+        spark.conf.get(
+            "spark.openverse.mv.broadcastMaxRows", str(_MV_BROADCAST_MAX_ROWS)
+        )
+    )
+
+
+def _hint_if_small(df: DataFrame, n_rows: int, max_rows: int) -> DataFrame:
+    """Broadcast-hint ``df`` only when its measured row count is under
+    the guard bound; past it, return the relation unhinted so the join
+    planner shuffles (or AQE broadcasts on real size, not our say-so)."""
+    return F.broadcast(df) if n_rows <= max_rows else df
+
 
 @dataclass(frozen=True)
 class AggSpec:
@@ -321,15 +347,23 @@ class MaterializedView:
                 )
         delta = feed.groupBy(*g).agg(*delta_exprs)
         delta = delta.localCheckpoint(eager=False)
+        # one count job materializes the checkpoint (reused by every
+        # join below) AND measures the dirty set for the broadcast guard
+        n_delta = delta.count()
+        bmax = _broadcast_max_rows(self.spark)
 
         # touched MV groups only: semi-join prunes the MV read to the
-        # delta's keys (broadcast — the delta is churn-sized), then the
-        # delta joins that pruned slice, which is itself broadcastable.
+        # delta's keys, then the delta joins that pruned slice.  Both
+        # relations have at most n_delta rows (delta is grouped by g),
+        # so one guard bounds both; past the bound the hint is dropped
+        # and the joins shuffle instead of blowing the broadcast limit.
         cur = self.table.read()
         cur_small = cur.join(
-            F.broadcast(delta.select(*g).distinct()), on=g, how="left_semi"
+            _hint_if_small(delta.select(*g).distinct(), n_delta, bmax),
+            on=g, how="left_semi",
         )
-        j = delta.join(F.broadcast(cur_small), on=g, how="left")
+        j = delta.join(_hint_if_small(cur_small, n_delta, bmax), on=g,
+                       how="left")
 
         in_cur = F.col(_CNT).isNotNull()
         new_cnt = F.coalesce(F.col(_CNT), F.lit(0)) + F.col("__d_cnt")
@@ -386,7 +420,8 @@ class MaterializedView:
         if n_dirty:
             recomputed = (
                 self.base.read(b_to)
-                .join(F.broadcast(dirty_keys), on=g, how="left_semi")
+                .join(_hint_if_small(dirty_keys, n_dirty, bmax),
+                      on=g, how="left_semi")
                 .groupBy(*g)
                 .agg(*self._full_agg_exprs())
             )
@@ -605,17 +640,25 @@ class JoinMaterializedView:
             return self._full_resync(l_to, r_to)
         keys = list(self.left.keys)
         ldf, rdf = self.left.read(l_to), self.right.read(r_to)
+        bmax = _broadcast_max_rows(self.spark)
         dirty = None
         if lfeed is not None:
             dirty = lfeed.select(*keys).distinct()
         if rfeed is not None:
-            dirty_jv = rfeed.select(*self.on).distinct()
+            # checkpoint + count once: materializes the dirty join-value
+            # set for its three consumers and sizes the broadcast guard
+            dirty_jv = (
+                rfeed.select(*self.on).distinct().localCheckpoint(eager=False)
+            )
+            n_jv = dirty_jv.count()
             self._check_right_unique(
-                rdf.join(F.broadcast(dirty_jv), self.on, "leftsemi")
+                rdf.join(_hint_if_small(dirty_jv, n_jv, bmax),
+                         self.on, "leftsemi")
             )
             # left rows referencing a changed join value: prune left
             # FILES through the manifest when the single-column fast
-            # path applies, else a broadcast semi-join
+            # path applies (self-capped at 10k keys with a semi-join
+            # fallback), else a size-guarded semi-join
             hit = None
             if len(self.on) == 1:
                 try:
@@ -625,7 +668,8 @@ class JoinMaterializedView:
                 except ValueError:
                     pass  # no stats/bloom on the join column
             if hit is None:
-                hit = ldf.join(F.broadcast(dirty_jv), self.on, "leftsemi")
+                hit = ldf.join(_hint_if_small(dirty_jv, n_jv, bmax),
+                               self.on, "leftsemi")
             d2 = hit.select(*keys).distinct()
             dirty = d2 if dirty is None else dirty.union(d2).distinct()
         if dirty is None or not dirty.head(1):
@@ -633,7 +677,8 @@ class JoinMaterializedView:
             return {"refreshed": False, "left_version": l_to,
                     "right_version": r_to}
         dirty = dirty.localCheckpoint(eager=False)
-        live = ldf.join(F.broadcast(dirty), keys, "leftsemi")
+        n_dirty = dirty.count()
+        live = ldf.join(_hint_if_small(dirty, n_dirty, bmax), keys, "leftsemi")
         result = self._joined(live, rdf)
         gone = dirty.join(result.select(*keys), keys, "left_anti")
         src = result.withColumn("__op", F.lit("U")).unionByName(

@@ -476,3 +476,103 @@ def test_join_mv_incremental_both_feeds(spark, tmp_path):
         JoinMaterializedView(
             spark, left, bad_right, str(tmp_path / "mv2"), on=["cat"]
         ).build()
+
+
+def test_refresh_survives_oversized_dirty_set(spark, mv_pair, tmp_path):
+    """Broadcast guard: a dirty set past ``broadcastMaxRows`` must NOT
+    be broadcast-hinted — with AQE broadcasting also disabled the
+    refresh has to complete through shuffle joins and still equal the
+    full recompute. Pins the What's-wrong-#1 fix: churn-sized relations
+    only carry the hint when measured small."""
+    from openverse_catalog_spark.operators.matview import (
+        JoinMaterializedView,
+        _hint_if_small,
+    )
+
+    # unit: above the bound the hint is dropped (plan has no hint node)
+    df = rows(spark, (1, "a", 1.0), (2, "b", 2.0))
+    hinted = _hint_if_small(df, 2, 10)
+    unhinted = _hint_if_small(df, 11, 10)
+    assert "Hint broadcast" in (
+        hinted._jdf.queryExecution().logical().toString()
+    )
+    assert unhinted is df
+
+    old_bmax = spark.conf.get("spark.openverse.mv.broadcastMaxRows", None)
+    old_auto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.openverse.mv.broadcastMaxRows", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        base, mv = mv_pair(rows(
+            spark,
+            (1, "a", 1.0), (2, "a", 5.0), (3, "b", 2.0), (4, "c", 7.0),
+        ))
+        # churn touching every group (worst case: dirty set == table)
+        base.merge(
+            rows(spark, (1, "a", 9.0), (5, "b", 0.5), (6, "d", 3.0)),
+            COLS, deterministic=True,
+        )
+        base.delete(F.col("id") == 4)  # min/max dirty-recompute path too
+        r = mv.refresh()
+        assert r["refreshed"]
+        expect(base, mv)
+
+        left = CowTable.create(
+            spark, str(tmp_path / "gl"),
+            spark.createDataFrame(
+                [(f"k{n}", n % 3, float(n)) for n in range(12)],
+                "iid string, cat int, price double",
+            ),
+            keys=("iid",), target_files=2,
+        )
+        right = CowTable.create(
+            spark, str(tmp_path / "gr"),
+            spark.createDataFrame(
+                [(0, "x"), (1, "y"), (2, "z")], "cat int, label string"
+            ),
+            keys=("cat",), target_files=1,
+        )
+        jmv = JoinMaterializedView(
+            spark, left, right, str(tmp_path / "gmv"), on=["cat"]
+        )
+        jmv.build()
+        # churn BOTH sides so every guarded join site executes
+        left.merge(
+            spark.createDataFrame(
+                [("k0", 2, 99.0), ("k99", 1, 1.0)],
+                "iid string, cat int, price double",
+            ),
+            [
+                ColumnSpec("iid", Datatype.char,
+                           upsert_strategy=UpsertStrategy.no_change),
+                ColumnSpec("cat", Datatype.int),
+                ColumnSpec("price", Datatype.double),
+            ],
+            deterministic=True,
+        )
+        right.merge(
+            spark.createDataFrame([(1, "Y")], "cat int, label string"),
+            [
+                ColumnSpec("cat", Datatype.int,
+                           upsert_strategy=UpsertStrategy.no_change),
+                ColumnSpec("label", Datatype.char),
+            ],
+            deterministic=True,
+        )
+        assert jmv.refresh()["refreshed"]
+        got = {
+            (r["iid"], r["cat"], r["price"], r["label"])
+            for r in jmv.read().collect()
+        }
+        want = {
+            (r["iid"], r["cat"], r["price"], r["label"])
+            for r in left.read().join(right.read(), "cat")
+            .select("iid", "cat", "price", "label").collect()
+        }
+        assert got == want
+    finally:
+        if old_bmax is None:
+            spark.conf.unset("spark.openverse.mv.broadcastMaxRows")
+        else:
+            spark.conf.set("spark.openverse.mv.broadcastMaxRows", old_bmax)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_auto)
