@@ -388,25 +388,30 @@ def _bloom_point_bits(value, n_bits: int, n_hashes: int) -> list[int]:
     return [(h1 + i * (2 * h2 + 1)) % n_bits for i in range(n_hashes)]
 
 
-def _file_blooms(
+def _write_bloom_sidecar(
     spark: SparkSession,
     dir_path: str,
+    rel_dir: str,
     cols: tuple[str, ...],
+    sidecar_dir: str,
     n_hashes: int = BLOOM_HASHES,
-) -> dict[str, dict[str, dict]]:
-    """Per-file bloom bitmaps for ``cols`` ->
-    ``{basename: {col: {"b64":..., "bits":..., "hashes":...}}}``.
-    One pass over the directory: rows carry (file, md5 hash halves per
-    col), grouped per file (batch-sized shuffle — this runs only over a
-    commit's REWRITTEN files, never the table), bitmap built in numpy
-    and SIZED from that file's row count (~BLOOM_BITS_PER_ROW bits/row,
-    capped at BLOOM_MAX_BITS). A bitmap left more than half full by the
-    cap would prune ~nothing — it is dropped rather than stored, so
-    saturated filters never bloat the manifest/checkpoints. Equality
-    lookups on high-cardinality columns (url, ids) then skip files
-    min/max cannot help with."""
-    import base64
+) -> tuple[str, ...]:
+    """Per-file bloom bitmaps for ``cols``, written EXECUTOR-SIDE as a
+    parquet SIDECAR (rows ``(path, col, b64, bits, hashes)``; ``path``
+    is the manifest entry path, root-relative). One pass over the
+    directory: rows carry (file, md5 hash halves per col), grouped per
+    file (batch-sized shuffle — this runs only over a commit's
+    REWRITTEN files, never the table), bitmap built in numpy and SIZED
+    from that file's row count (~BLOOM_BITS_PER_ROW bits/row, capped at
+    BLOOM_MAX_BITS). A bitmap left more than half full by the cap would
+    prune ~nothing — it is dropped rather than stored.
 
+    SCALE: bitmaps never transit the driver and never enter the JSON
+    manifest/checkpoints (a 100k-file OPTIMIZE with 2 bloom_cols is up
+    to ~25 GB of bitmaps — the old collect-into-manifest path was the
+    metadata design's sharpest edge). Entries record only the sidecar
+    path; readers load the (sidecar, col) slice lazily at probe time.
+    Returns the cols a sidecar was written for (() = none)."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -416,30 +421,36 @@ def _file_blooms(
     _check_bloom_types(df.schema, cols)
     cols = tuple(c for c in cols if c in df.columns)
     if not cols:
-        return {}
+        return ()
     sel = [F.input_file_name().alias("__file")]
     for c in cols:
         h1, h2 = _bloom_hashes(F.col(c))
         sel += [h1.alias(f"__h1_{c}"), h2.alias(f"__h2_{c}")]
     hashed = df.select(*sel)
 
-    out_schema = T.StructType(
-        [T.StructField("file", T.StringType())]
-        + [T.StructField(f"b64_{c}", T.StringType()) for c in cols]
-    )
+    out_schema = T.StructType([
+        T.StructField("path", T.StringType()),
+        T.StructField("col", T.StringType()),
+        T.StructField("b64", T.StringType()),
+        T.StructField("bits", T.LongType()),
+        T.StructField("hashes", T.LongType()),
+    ])
 
     def per_file(pdf: pd.DataFrame) -> pd.DataFrame:
-        import json as _json
+        import base64
 
         import numpy as np
 
+        from openverse_catalog_spark.operators.cowtable import _rel_path
         from openverse_catalog_spark.operators.sketches import _probe_idx
 
+        rel = _rel_path(dir_path, pdf["__file"].iloc[0])
+        path = f"{rel_dir}/{rel}" if rel_dir else rel
         n_bits = min(
             max(BLOOM_MIN_BITS, -(-len(pdf) * BLOOM_BITS_PER_ROW // 64) * 64),
             BLOOM_MAX_BITS,
         )
-        row = {"file": [pdf["__file"].iloc[0]]}
+        rows = []
         for c in cols:
             bitmap = np.zeros(n_bits // 8, dtype="uint8")
             idx = _probe_idx(
@@ -453,31 +464,25 @@ def _file_blooms(
                 ),
             )
             fill = int(np.unpackbits(bitmap).sum()) / n_bits
-            row[f"b64_{c}"] = [
-                None
-                if fill > 0.5  # saturated: prunes nothing, don't store
-                else _json.dumps(
-                    {
-                        "b64": base64.b64encode(bitmap.tobytes()).decode(),
-                        "bits": n_bits,
-                        "hashes": n_hashes,
-                    }
-                )
-            ]
-        return pd.DataFrame(row)
+            if fill > 0.5:  # saturated: prunes nothing, don't store
+                continue
+            rows.append((
+                path, c,
+                base64.b64encode(bitmap.tobytes()).decode(),
+                n_bits, n_hashes,
+            ))
+        return pd.DataFrame(
+            rows, columns=["path", "col", "b64", "bits", "hashes"]
+        )
 
-    rows = hashed.groupBy("__file").applyInPandas(per_file, out_schema).collect()
-    out: dict[str, dict[str, dict]] = {}
-    for r in rows:
-        base = _rel_path(dir_path, r["file"])
-        per_col = {
-            c: json.loads(r[f"b64_{c}"])
-            for c in cols
-            if r[f"b64_{c}"] is not None
-        }
-        if per_col:
-            out[base] = per_col
-    return out
+    (
+        hashed.groupBy("__file")
+        .applyInPandas(per_file, out_schema)
+        .coalesce(8)  # few rows per commit; avoid 32 near-empty parts
+        .write.mode("error")
+        .parquet(sidecar_dir)
+    )
+    return cols
 
 
 class CowTable:
@@ -517,6 +522,9 @@ class CowTable:
         # resolved manifests are immutable once committed — cache per
         # handle so repeated reads/segment-chain walks don't re-parse
         self._resolved: dict[int, dict] = {}
+        # lazily-loaded bloom sidecar slices, (sidecar_rel, col) ->
+        # {entry_path: {"b64","bits","hashes"}}; sidecars are immutable
+        self._bloom_cache: dict[tuple[str, str], dict] = {}
 
     @property
     def stats_cols(self) -> tuple[str, ...]:
@@ -651,11 +659,17 @@ class CowTable:
             part_specs=self.partition_spec, colmap=self.column_mapping,
         )
         if self.bloom_cols:
-            blooms = _file_blooms(self.spark, data_dir, self.bloom_cols)
-            for e in entries:
-                rel = e["path"][len(rel_dir):].lstrip("/")
-                if rel in blooms:
-                    e["bloom"] = blooms[rel]
+            sc_rel = f"blooms/{uuid.uuid4().hex}"
+            written = _write_bloom_sidecar(
+                self.spark, data_dir, rel_dir, self.bloom_cols,
+                f"{self.root}/{sc_rel}",
+            )
+            if written:
+                # entries carry only the sidecar POINTER; bitmaps stay
+                # in the executor-written parquet, loaded lazily at
+                # probe time — manifests/checkpoints stay O(files)
+                for e in entries:
+                    e["bloom_sc"] = sc_rel
         return entries
 
     def _write_clustered(
@@ -780,6 +794,64 @@ class CowTable:
         on the SOURCE can orphan a clone, while the clone's own vacuum
         never touches external files)."""
         return path if path.startswith("/") else f"{self.root}/{path}"
+
+    def _sidecar_blooms(self, sc: str, col: str) -> dict:
+        """Lazy-load one (sidecar, column) bloom slice:
+        {entry_path: {"b64","bits","hashes"}}. The driver reads only
+        the probed column's rows of one commit's sidecar parquet —
+        O(files in that commit) transient bytes, never resident in the
+        manifest — and caches the slice (sidecars are immutable).
+        A vacuumed/missing sidecar degrades to {} (no pruning, still
+        exact: absent bloom = conservative keep)."""
+        key = (sc, col)
+        got = self._bloom_cache.get(key)
+        if got is not None:
+            return got
+        import pyarrow.parquet as pq
+
+        out: dict = {}
+        try:
+            t = pq.read_table(
+                self._abs(sc), filters=[("col", "==", col)]
+            )
+            for path, b64, bits, hashes in zip(
+                t.column("path").to_pylist(),
+                t.column("b64").to_pylist(),
+                t.column("bits").to_pylist(),
+                t.column("hashes").to_pylist(),
+            ):
+                out[path] = {"b64": b64, "bits": bits, "hashes": hashes}
+        except (OSError, FileNotFoundError, ValueError):
+            out = {}
+        if len(self._bloom_cache) >= 64:  # bound driver-resident slices
+            self._bloom_cache.clear()
+        self._bloom_cache[key] = out
+        return out
+
+    def _bloom_rec(self, e: dict, col: str) -> dict | None:
+        """Bloom record for (entry, col): inline legacy entries first
+        (pre-sidecar manifests carried the bitmap in the entry), then
+        the entry's sidecar slice. None = no bitmap (never built,
+        saturated-dropped, or sidecar vacuumed) — callers keep the
+        file."""
+        rec = (e.get("bloom") or {}).get(col)
+        if rec is not None:
+            if isinstance(rec, str):  # legacy fixed-geometry entry
+                return {
+                    "b64": rec, "bits": BLOOM_BITS, "hashes": BLOOM_HASHES
+                }
+            return rec
+        sc = e.get("bloom_sc")
+        if not sc:
+            return None
+        slice_ = self._sidecar_blooms(sc, col)
+        rec = slice_.get(e["path"])
+        if rec is None and e["path"].startswith("/"):
+            # shallow CLONE: entry paths were absolutized against the
+            # SOURCE root but the sidecar keys stayed source-relative
+            src_root = self._abs(sc).rsplit("/blooms/", 1)[0]
+            rec = slice_.get(e["path"].removeprefix(src_root + "/"))
+        return rec
 
     def _raw_manifest(self, version: int) -> dict:
         with open(f"{self.root}/manifests/v{version}.json") as f:
@@ -1340,11 +1412,9 @@ class CowTable:
         def bloom_rules_out(e, c) -> bool:
             import base64
 
-            rec = (e.get("bloom") or {}).get(c)
+            rec = self._bloom_rec(e, c)
             if rec is None:
                 return False  # no bloom recorded (or saturated-dropped)
-            if isinstance(rec, str):  # legacy fixed-geometry entry
-                rec = {"b64": rec, "bits": BLOOM_BITS, "hashes": BLOOM_HASHES}
             bits = base64.b64decode(rec["b64"])
             probe = _bloom_point_bits(
                 eq_probe[c], int(rec["bits"]), int(rec["hashes"])
@@ -1481,13 +1551,9 @@ class CowTable:
         def bloom_admits(e) -> bool:
             import base64
 
-            rec = (e.get("bloom") or {}).get(col)
+            rec = self._bloom_rec(e, col)
             if rec is None:
                 return True
-            if isinstance(rec, str):
-                rec = {
-                    "b64": rec, "bits": BLOOM_BITS, "hashes": BLOOM_HASHES
-                }
             bits = base64.b64decode(rec["b64"])
             for v in vals:
                 probe = _bloom_point_bits(
@@ -3513,6 +3579,8 @@ class CowTable:
             ne = {**e, "path": self._abs(e["path"])}
             if e.get("dv"):
                 ne["dv"] = {**e["dv"], "path": self._abs(e["dv"]["path"])}
+            if e.get("bloom_sc"):
+                ne["bloom_sc"] = self._abs(e["bloom_sc"])
             entries.append(ne)
         t._commit(
             1, entries, op=f"clone({self.root}@v{m['version']})",
@@ -3613,17 +3681,22 @@ class CowTable:
         referenced_ever: set[str] = set()
         live_dv: set[str] = set()
         ever_dv: set[str] = set()
+        live_sc: set[str] = set()
+        ever_sc: set[str] = set()
         drop_manifests = []
         for name in self._manifest_names():
             v = int(name.removeprefix("v").removesuffix(".json"))
             files = self._manifest(v)["files"]
             paths = {e["path"] for e in files}
             dvs = {e["dv"]["path"] for e in files if e.get("dv")}
+            scs = {e["bloom_sc"] for e in files if e.get("bloom_sc")}
             referenced_ever.update(paths)
             ever_dv.update(dvs)
+            ever_sc.update(scs)
             if v in keep:
                 live.update(paths)
                 live_dv.update(dvs)
+                live_sc.update(scs)
             else:
                 drop_manifests.append(name)
                 stale_cp = f"{self.root}/manifests/v{v}.checkpoint.json"
@@ -3692,5 +3765,30 @@ class CowTable:
                                         os.path.join(dp, fn), self.root
                                     )
                                 )
+                shutil.rmtree(child_full, ignore_errors=True)
+        # bloom sidecars: referenced at DIRECTORY granularity like DVs.
+        # Superseded-history sidecars (referenced only by dropped
+        # manifests) go immediately; never-referenced dirs could be a
+        # live writer's in-flight attempt — age-gate, like data dirs.
+        blooms_root = f"{self.root}/blooms"
+        if os.path.isdir(blooms_root):
+            for child in sorted(os.listdir(blooms_root)):
+                child_rel = f"blooms/{child}"
+                child_full = os.path.join(blooms_root, child)
+                if child_rel in live_sc:
+                    continue
+                if child_rel not in ever_sc:
+                    newest = os.path.getmtime(child_full)
+                    for dp, _, fns in os.walk(child_full):
+                        for fn in fns:
+                            newest = max(
+                                newest, os.path.getmtime(os.path.join(dp, fn))
+                            )
+                    if now - newest < retention_seconds:
+                        continue
+                self._bloom_cache = {
+                    k: v for k, v in self._bloom_cache.items()
+                    if k[0] != child_rel
+                }
                 shutil.rmtree(child_full, ignore_errors=True)
         return sorted(deleted)

@@ -880,3 +880,110 @@ def q_stream_cdc_apply(spark, sf_dir):
     return t.read().select(
         "fid", F.round("total", 2).alias("total"), "status", "seq"
     )
+
+
+@register(
+    "stream_cdc_tombstones",
+    """
+    WITH o AS (
+      SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS tp,
+             o_orderstatus AS st
+      FROM orders
+    )
+    SELECT 'o' || lpad(CAST(k AS VARCHAR), 9, '0') AS fid,
+           round(CASE WHEN k % 10 = 5 THEN tp + 200
+                      WHEN k % 5 = 1 THEN tp + 100
+                      ELSE tp END, 2) AS total,
+           CASE WHEN k % 10 = 5 THEN 'REVIVED'
+                WHEN k % 5 = 1 THEN 'UPD'
+                ELSE st END AS status,
+           CAST(CASE WHEN k % 10 = 5 THEN 20
+                     WHEN k % 5 = 1 THEN 2
+                     ELSE 0 END AS BIGINT) AS seq
+    FROM o WHERE k % 10 <> 0
+    """,
+)
+def q_stream_cdc_tombstones(spark, sf_dir):
+    """APPLY CHANGES with TOMBSTONE RETENTION: batch 1 deletes keys
+    (seq 10) and updates others (seq 2); batch 2 — a separate
+    micro-batch — carries a STALE post-delete upsert (seq 5) that the
+    tombstone fence must drop (without tombstones the delete's fence
+    died with the row and the key re-inserted: latest-wins violated
+    across the delete boundary — DLT keeps tombstones for exactly
+    this) and a genuinely newer upsert (seq 20) that clears its
+    tombstone and re-inserts. The oracle's closed form pins all four
+    fates: deleted-and-fenced (absent), deleted-and-revived, updated,
+    untouched."""
+    import os
+    import shutil
+    import tempfile
+
+    from openverse_catalog_spark.operators.cowtable import CowTable
+    from openverse_catalog_spark.streaming.incremental import (
+        stream_cdc_apply,
+    )
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    k = F.col("o_orderkey")
+    fid = F.concat(F.lit("o"), F.lpad(k.cast("string"), 9, "0"))
+    base = o.select(
+        fid.alias("fid"),
+        F.col("o_totalprice").cast("double").alias("total"),
+        F.col("o_orderstatus").alias("status"),
+        F.lit(0).cast("long").alias("seq"),
+    )
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_cdc_tomb")
+    shutil.rmtree(root, ignore_errors=True)
+    t = CowTable.create(spark, root, base, keys=("fid",), target_files=6)
+    cdc_dir = os.path.join(root, "_cdc_in")
+    # batch 0: delete every k%5==0 key at seq 10; update k%5==1 at seq 2
+    (
+        o.filter(k % 5 == 0).select(
+            fid.alias("fid"),
+            F.lit(None).cast("double").alias("total"),
+            F.lit(None).cast("string").alias("status"),
+            F.lit(10).cast("long").alias("seq"),
+            F.lit("D").alias("op"),
+        )
+        .unionByName(
+            o.filter(k % 5 == 1).select(
+                fid.alias("fid"),
+                (F.col("o_totalprice") + 100).cast("double").alias("total"),
+                F.lit("UPD").alias("status"),
+                F.lit(2).cast("long").alias("seq"),
+                F.lit("U").alias("op"),
+            )
+        )
+        .coalesce(1).write.mode("overwrite")
+        .parquet(os.path.join(cdc_dir, "batch=0"))
+    )
+    # batch 1: STALE post-delete upsert (seq 5 < tombstone 10) for
+    # k%10==0 — must stay deleted; FRESH upsert (seq 20) for k%10==5 —
+    # clears the tombstone and re-inserts
+    (
+        o.filter(k % 10 == 0).select(
+            fid.alias("fid"),
+            F.lit(-1.0).alias("total"),
+            F.lit("STALE").alias("status"),
+            F.lit(5).cast("long").alias("seq"),
+            F.lit("U").alias("op"),
+        )
+        .unionByName(
+            o.filter(k % 10 == 5).select(
+                fid.alias("fid"),
+                (F.col("o_totalprice") + 200).cast("double").alias("total"),
+                F.lit("REVIVED").alias("status"),
+                F.lit(20).cast("long").alias("seq"),
+                F.lit("U").alias("op"),
+            )
+        )
+        .coalesce(1).write.mode("overwrite")
+        .parquet(os.path.join(cdc_dir, "batch=1"))
+    )
+    stream_cdc_apply(
+        spark, cdc_dir, t, sequence_by="seq", max_files_per_trigger=1,
+        tombstone_retention=3600.0,
+    )
+    return t.read().select(
+        "fid", F.round("total", 2).alias("total"), "status", "seq"
+    )

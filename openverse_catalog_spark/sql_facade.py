@@ -145,7 +145,8 @@ _OPTIMIZE = re.compile(
 )
 _APPLY_CHANGES = re.compile(
     r"^\s*APPLY\s+CHANGES\s+INTO\s+(\w+)\s+FROM\s+(?:\((.+)\)|(\w+))\s+"
-    r"SEQUENCE\s+BY\s+(\w+)(?:\s+OP\s+COLUMN\s+(\w+))?\s*$",
+    r"SEQUENCE\s+BY\s+(\w+)(?:\s+OP\s+COLUMN\s+(\w+))?"
+    r"(?:\s+TOMBSTONE\s+RETENTION\s+(\d+(?:\.\d+)?))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _VACUUM = re.compile(
@@ -242,7 +243,9 @@ class SqlFacade:
         self.workdir = workdir
         self._tables: dict[str, CowTable] = {}
         self._columns: dict[str, list] = {}
-        self._head_version: dict[str, int] = {}
+        # name -> (version, broadcast_hinted): the registered view's
+        # identity; re-registers when either half changes
+        self._head_version: dict[str, tuple[int, bool]] = {}
         self._mvs: dict = {}
         self._catalog = None
         self._catalog_names: set[str] = set()
@@ -291,6 +294,29 @@ class SqlFacade:
                 self._columns[name] = columns[name]
             self._refresh_head(name)
 
+    def _stats_say_broadcastable(self, t: CowTable, v: int) -> bool:
+        """Cost-based broadcast decision from the table's own ANALYZE
+        statistics (the reference leans on pg_stats for exactly this):
+        a table whose newest stats at-or-below ``v`` put it under
+        ``spark.openverse.sql.autoBroadcastRows`` rows (default 500k,
+        0 disables) is hint-broadcast in every facade join it joins —
+        Catalyst then picks BroadcastHashJoin even where the scan's
+        byte-size estimate (inflated by small-file overhead or a wide
+        schema it will prune) missed the threshold. Stats describe the
+        analyzed snapshot; a table that has grown past the bound since
+        its last ANALYZE keeps the stale decision until re-analyzed —
+        the documented ANALYZE contract (same in Postgres/Spark CBO)."""
+        try:
+            limit = int(self.spark.conf.get(
+                "spark.openverse.sql.autoBroadcastRows", "500000"
+            ))
+        except ValueError:
+            return False
+        if limit <= 0:
+            return False
+        st = t.stats(version=v)
+        return st is not None and st.get("rows", limit + 1) <= limit
+
     def _refresh_head(self, name: str) -> None:
         t = self._tables[name]
         if name in self._catalog_names:
@@ -302,9 +328,13 @@ class SqlFacade:
                 v = self._catalog._entry(name)["version"]
         else:
             v = t.version
-        if self._head_version.get(name) != v:
-            t.read(version=v).createOrReplaceTempView(name)
-            self._head_version[name] = v
+        bcast = self._stats_say_broadcastable(t, v)
+        if self._head_version.get(name) != (v, bcast):
+            df = t.read(version=v)
+            if bcast:
+                df = F.broadcast(df)
+            df.createOrReplaceTempView(name)
+            self._head_version[name] = (v, bcast)
 
     def _dml_table(self, name: str):
         """The commit target for one DML statement: the transaction's
@@ -339,10 +369,16 @@ class SqlFacade:
                 )
             return self._tables[name]
 
+        def _register_snapshot(t: CowTable, v: int, view: str) -> None:
+            df = t.read(version=v)
+            if self._stats_say_broadcastable(t, v):
+                df = F.broadcast(df)
+            df.createOrReplaceTempView(view)
+
         def version_of(match: re.Match) -> str:
             name, v = match.group(1), int(match.group(2))
             view = f"{name}__v{v}"
-            need(name).read(version=v).createOrReplaceTempView(view)
+            _register_snapshot(need(name), v, view)
             return view
 
         def timestamp_of(match: re.Match) -> str:
@@ -350,7 +386,7 @@ class SqlFacade:
             t = need(name)
             v = t.version_as_of(ts)
             view = f"{name}__v{v}"
-            t.read(version=v).createOrReplaceTempView(view)
+            _register_snapshot(t, v, view)
             return view
 
         def changes_of(match: re.Match) -> str:
@@ -771,7 +807,7 @@ class SqlFacade:
                 )
                 pinned = self._head_version.get(name)
                 rows.append((name, kind,
-                             -1 if pinned is None else pinned,
+                             -1 if pinned is None else pinned[0],
                              self._tables[name].root))
             return self.spark.createDataFrame(
                 rows, "table string, kind string, version long, "
@@ -819,7 +855,7 @@ class SqlFacade:
                 apply_changes,
             )
 
-            name, subquery, view, seq_col, op_col = m.groups()
+            name, subquery, view, seq_col, op_col, retention = m.groups()
             batch = self.spark.sql(
                 self._rewrite(
                     subquery if subquery else f"SELECT * FROM {view}"
@@ -829,6 +865,9 @@ class SqlFacade:
             res = apply_changes(
                 target, batch, sequence_by=seq_col,
                 op_col=op_col or "op",
+                tombstone_retention=(
+                    float(retention) if retention is not None else None
+                ),
             )
             finalize()
             return self._summary(res)

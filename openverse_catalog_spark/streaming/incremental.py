@@ -627,6 +627,10 @@ def stream_landing_to_cow(
     return table
 
 
+def _tombstone_root(table) -> str:
+    return f"{table.root}/_tombstones"
+
+
 def apply_changes(
     table,
     changes: DataFrame,
@@ -635,6 +639,7 @@ def apply_changes(
     delete_op: str = "D",
     txn_app: str | None = None,
     txn_version: int | None = None,
+    tombstone_retention: float | None = None,
 ) -> dict:
     """APPLY CHANGES INTO (DLT-style SCD1 CDC apply): a batch of
     row-change events — each row an upsert or a delete (``op_col``)
@@ -649,9 +654,26 @@ def apply_changes(
       * out-of-order protection ACROSS batches: the table stores the
         sequence column, and a change older than the stored value is
         ignored (stale update/delete arriving after a newer image);
-      * a delete for an absent key is a no-op; an upsert for a
-        previously-deleted key re-inserts (no tombstone retention —
-        callers that need late-delete fencing keep the CDC log longer).
+      * a delete for an absent key is a no-op;
+      * ``tombstone_retention=None`` (legacy): a delete's fence dies
+        with the row, so a STALE upsert arriving in a LATER batch
+        re-inserts a deleted key. ``tombstone_retention=<seconds>``
+        keeps each winning delete's (key, sequence) in a side CoW
+        table (``<root>/_tombstones``, DLT's tombstone store): an
+        upsert at-or-below the tombstone sequence is fenced (dropped —
+        same tie rule as in-batch, delete wins), a genuinely newer
+        upsert clears the tombstone and re-inserts, and tombstones
+        older than the retention window purge opportunistically on the
+        next apply. Retention bounds the store exactly like DLT: a
+        source that can deliver an event more than ``retention`` late
+        needs a longer window.
+
+    CRASH SAFETY with tombstones: the tombstone commit lands BEFORE
+    the main merge, both fenced by the same txn token, so a replayed
+    batch (foreachBatch at-least-once) skips whichever halves already
+    landed. Fencing against tombstones that already include this
+    batch's own deletes is benign: a key's fenced upsert lost to that
+    same delete in latest-wins anyway.
 
     The apply itself is ``merge_when``: delete/update/insert in one
     commit, file skipping and optimistic concurrency included. The
@@ -659,7 +681,12 @@ def apply_changes(
     source data); this is the piece that lets an external OLTP feed
     drive the lake table. The table schema must contain ``sequence_by``
     (it is the fence); ``op_col`` rides only on the batch."""
+    import os as _os
+    import time as _time
+
     from pyspark.sql import Window
+
+    from openverse_catalog_spark.operators.cowtable import CowTable
 
     keys = table.keys
     if op_col not in changes.columns:
@@ -675,6 +702,61 @@ def apply_changes(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+    if tombstone_retention is not None:
+        ts_root = _tombstone_root(table)
+        ts = CowTable(table.spark, ts_root, keys=keys) if _os.path.isdir(
+            ts_root
+        ) else None
+        if ts is not None:
+            # fence: a non-delete change at-or-below a live tombstone's
+            # sequence is a late echo of a deleted image — drop it
+            tomb = ts.read().select(*keys, "__ts_seq")
+            latest = (
+                latest.join(tomb, on=list(keys), how="left")
+                .filter(
+                    (F.col(op_col) == delete_op)
+                    | F.col("__ts_seq").isNull()
+                    | (F.col(sequence_by) > F.col("__ts_seq"))
+                )
+                .drop("__ts_seq")
+            )
+        latest = latest.localCheckpoint(eager=False)
+        now = _time.time()
+        ts_src = latest.select(
+            *keys,
+            F.col(sequence_by).alias("__ts_seq"),  # native type: the
+            # fence compares it against the live sequence column
+            F.lit(now).alias("__ts_at"),
+            F.when(F.col(op_col) == delete_op, F.lit("D"))
+            .otherwise(F.lit("U")).alias("__op"),
+        )
+        ts_txn = (f"{txn_app}:tombstones", txn_version) if (
+            txn_app is not None
+        ) else (None, None)
+        if ts is None:
+            first = ts_src.filter(F.col("__op") == "D").drop("__op")
+            if first.head(1):
+                ts = CowTable.create(
+                    table.spark, ts_root, first, keys=keys, target_files=2
+                )
+        else:
+            # winning deletes upsert their tombstone (never lowering a
+            # newer one); surviving upserts clear theirs (key re-lives)
+            ts.merge_when(
+                ts_src,
+                delete_cond="s.__op <> 'D'",
+                update_set="*",
+                update_cond="s.__op = 'D' AND s.__ts_seq >= t.__ts_seq",
+                insert_cond="s.__op = 'D'",
+                check_duplicate_keys=False,  # latest-wins made keys unique
+                txn_app=ts_txn[0],
+                txn_version=ts_txn[1],
+            )
+            expired = F.col("__ts_at") < (now - tombstone_retention)
+            if ts.read().filter(expired).head(1):
+                ts.delete(expired)
+
     is_del = f"s.{op_col} = '{delete_op}'"
     fresh = f"s.{sequence_by} >= t.{sequence_by}"
     return table.merge_when(
@@ -696,6 +778,7 @@ def stream_cdc_apply(
     op_col: str = "op",
     checkpoint_dir: str | None = None,
     max_files_per_trigger: int | None = None,
+    tombstone_retention: float | None = None,
 ):
     """The streaming form of ``apply_changes``: a file-source stream
     over a CDC landing directory (parquet change events), each
@@ -715,6 +798,7 @@ def stream_cdc_apply(
         apply_changes(
             table, batch_df, sequence_by, op_col=op_col,
             txn_app=f"cdc:{checkpoint_dir}", txn_version=batch_id,
+            tombstone_retention=tombstone_retention,
         )
 
     reader = spark.readStream.schema(schema)

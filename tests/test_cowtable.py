@@ -1244,9 +1244,17 @@ def test_cow_bloom_scales_with_rows_and_drops_saturated(spark, tmp_path):
     )
     m = t._manifest()
     assert all(e["rows"] >= 25_000 for e in m["files"])
-    recs = [e["bloom"]["url"] for e in m["files"]]
+    recs = [t._bloom_rec(e, "url") for e in m["files"]]
+    assert all(r is not None for r in recs)
     # sized ~10 bits/row, so ~30k-row files carry ~300kbit bitmaps
     assert all(r["bits"] >= 10 * 25_000 for r in recs)
+    # bitmaps live in executor-written sidecars, NOT the JSON manifest:
+    # entries carry only the sidecar pointer, so manifest/checkpoint
+    # bytes stay O(files) no matter how many blooms a commit builds
+    import os
+
+    assert all("bloom" not in e and e.get("bloom_sc") for e in m["files"])
+    assert os.path.getsize(f"{t.root}/manifests/v1.json") < 32 * 1024
     miss = t.read_where({"url": "http://nowhere.example/x"})
     assert len(miss.inputFiles()) < len(m["files"])
     hit = t.read_where({"url": "http://u/54321"})
@@ -1268,12 +1276,10 @@ def test_cow_bloom_scales_with_rows_and_drops_saturated(spark, tmp_path):
         bloom_cols=("url",),
     )
     e = t2._manifest()["files"][0]
-    assert "bloom" not in e or "url" not in e.get("bloom", {}), (
+    assert t2._bloom_rec(e, "url") is None, (
         "saturated bitmap must not be stored"
     )
     # manifest bytes stay sane without the saturated bitmap
-    import os
-
     assert os.path.getsize(f"{t2.root}/manifests/v1.json") < 64 * 1024
     # and the read is still exact (bloom absent = conservative keep)
     assert t2.read_where({"url": "http://u/7"}).count() == 1
@@ -2621,3 +2627,146 @@ def test_cow_zorder_incremental_rewrites_only_new_files(spark, tmp_path):
     # z-skipping still bites on the combined layout
     box = t.read_where({"x": (0.0, 20.0), "y": (0.0, 20.0)})
     assert len(box.inputFiles()) < len(m3["files"])
+
+
+def test_cow_bloom_sidecar_lifecycle(spark, tmp_path):
+    """Bloom sidecars: bitmaps live in executor-written parquet under
+    blooms/, referenced per-entry by pointer. Pins: a fresh handle
+    probes through sidecars; a shallow CLONE resolves the source's
+    sidecars; vacuum drops sidecar dirs of vacuumed history, keeps
+    live ones, and a vacuumed sidecar degrades to conservative-keep
+    (exact results, just no pruning)."""
+    import os
+
+    rows = [
+        ("p", f"f{i:04d}", f"http://h{(i * 7919) % 997}.example/x{i}", f"t{i}")
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "provider string, foreign_identifier string, url string, "
+        "title string",
+    )
+    t = CowTable.create(
+        spark, str(tmp_path / "tbl"), df, target_files=6,
+        bloom_cols=("url",),
+    )
+    from tests.test_merge_upsert import COLS  # noqa: F811
+
+    cols = [c for c in COLS if c.name in
+            ("provider", "foreign_identifier", "url", "title")]
+    t.merge(
+        spark.createDataFrame(
+            [("p", "f9999", "http://new.example/fresh", "new")],
+            "provider string, foreign_identifier string, url string, "
+            "title string",
+        ),
+        cols, deterministic=True,
+    )
+    sidecars = sorted(os.listdir(f"{t.root}/blooms"))
+    assert len(sidecars) == 2  # one per commit that wrote data
+
+    # clone resolves source sidecars (absolute pointer + path rebase)
+    c = t.clone(str(tmp_path / "cl"))
+    ce = c._manifest()["files"][0]
+    assert ce["bloom_sc"].startswith("/")
+    hit = c.read_where({"url": rows[123][2]})
+    assert [r["foreign_identifier"] for r in hit.collect()] == ["f0123"]
+    assert len(hit.inputFiles()) < len(c._manifest()["files"])
+
+    # a full rewrite (compact) re-blooms every file; vacuum then drops
+    # every superseded sidecar and keeps only the live one
+    t.compact()
+    t.vacuum(keep_versions=1, retention_seconds=0)
+    left = sorted(os.listdir(f"{t.root}/blooms"))
+    assert len(left) == 1
+    fresh = CowTable(spark, t.root)
+    hit2 = fresh.read_where({"url": "http://new.example/fresh"})
+    assert hit2.count() == 1
+
+    # a sidecar deleted out from under a manifest degrades safely:
+    # no pruning, still exact
+    import shutil
+
+    shutil.rmtree(f"{t.root}/blooms/{left[0]}")
+    fresh2 = CowTable(spark, t.root)
+    assert fresh2.read_where(
+        {"url": "http://new.example/fresh"}
+    ).count() == 1
+
+
+def test_cow_apply_changes_tombstone_retention(spark, tmp_path):
+    """Tombstone retention: a delete's fence survives the row. Stale
+    post-delete upserts in LATER batches are dropped; a newer upsert
+    clears the tombstone and re-inserts; batch-chop independence holds
+    ACROSS a delete boundary (one batch vs chopped-at-the-delete gives
+    the same final state); expired tombstones purge, after which a
+    stale upsert re-inserts (the documented retention contract)."""
+    import os
+    import time
+
+    from openverse_catalog_spark.streaming.incremental import apply_changes
+
+    sch = "fid string, val double, seq long, op string"
+
+    def mk(name):
+        base = spark.createDataFrame(
+            [("a", 1.0, 0), ("b", 2.0, 0), ("c", 3.0, 0)],
+            "fid string, val double, seq long",
+        )
+        return CowTable.create(
+            spark, str(tmp_path / name), base, keys=("fid",),
+            target_files=2,
+        )
+
+    events = [
+        ("a", None, 10, "D"),   # delete a @10
+        ("b", 5.0, 3, "U"),     # normal update
+        ("a", -1.0, 5, "U"),    # STALE post-delete upsert -> fenced
+        ("a", 9.0, 20, "U"),    # fresh upsert -> revives a
+        ("c", None, 7, "D"),    # delete c @7
+        ("c", -2.0, 6, "U"),    # stale post-delete -> fenced
+    ]
+
+    # chopped at every event (worst case) vs one batch: same final state
+    t1 = mk("one")
+    apply_changes(t1, spark.createDataFrame(events, sch),
+                  sequence_by="seq", tombstone_retention=3600)
+    t2 = mk("chop")
+    for ev in events:
+        apply_changes(t2, spark.createDataFrame([ev], sch),
+                      sequence_by="seq", tombstone_retention=3600)
+    want = {"a": (9.0, 20), "b": (5.0, 3)}
+    for t in (t1, t2):
+        got = {r["fid"]: (r["val"], r["seq"]) for r in t.read().collect()}
+        assert got == want, "c stays deleted, a revives, b updates"
+
+    # tombstone store exists and holds only c (a's tombstone cleared
+    # by the reviving upsert)
+    ts = CowTable(spark, str(tmp_path / "chop" / "_tombstones"))
+    assert {r["fid"] for r in ts.read().collect()} == {"c"}
+
+    # retention: age the tombstone out, then a stale upsert re-inserts
+    # (late events past the window are the caller's accepted risk)
+    time.sleep(0.01)
+    apply_changes(
+        t2,
+        spark.createDataFrame([("x", 0.0, 1, "U")], sch),
+        sequence_by="seq", tombstone_retention=1e-9,
+    )
+    assert not CowTable(
+        spark, str(tmp_path / "chop" / "_tombstones")
+    ).read().head(1), "expired tombstones purge on the next apply"
+    apply_changes(
+        t2,
+        spark.createDataFrame([("c", -2.0, 6, "U")], sch),
+        sequence_by="seq", tombstone_retention=3600,
+    )
+    got = {r["fid"]: (r["val"], r["seq"]) for r in t2.read().collect()}
+    assert got["c"] == (-2.0, 6)
+
+    # legacy mode (None) untouched: no tombstone table is created
+    t3 = mk("legacy")
+    apply_changes(t3, spark.createDataFrame(events, sch),
+                  sequence_by="seq")
+    assert not os.path.isdir(str(tmp_path / "legacy" / "_tombstones"))

@@ -771,3 +771,65 @@ def test_facade_apply_changes_and_incremental_optimize_text(
         e["cluster"]["bounds"] == tag["bounds"]
         for e in m2["files"] if e.get("cluster")
     )
+
+
+def test_facade_stats_driven_broadcast(spark, tmp_path):
+    """ANALYZE feeds planning: with Spark's size-based auto-broadcast
+    disabled, a facade join picks SortMergeJoin until the small side
+    is ANALYZEd; once stored stats say it fits under
+    spark.openverse.sql.autoBroadcastRows, the head view carries a
+    broadcast hint and the SAME query text flips to
+    BroadcastHashJoin. Results identical both ways."""
+    big = CowTable.create(
+        spark, str(tmp_path / "big"),
+        spark.range(2000).select(
+            F.concat(F.lit("k"), (F.col("id") % 50).cast("string"))
+            .alias("k"),
+            F.col("id").alias("v"),
+        ),
+        keys=("k", "v"), target_files=4,
+    )
+    dim = CowTable.create(
+        spark, str(tmp_path / "dim"),
+        spark.range(50).select(
+            F.concat(F.lit("k"), F.col("id").cast("string")).alias("k"),
+            F.concat(F.lit("label"), F.col("id").cast("string"))
+            .alias("label"),
+        ),
+        keys=("k",), target_files=1,
+    )
+    f = SqlFacade(spark)
+    f.register_table("facts", big)
+    f.register_table("dim", dim)
+    q = (
+        "SELECT d.label, count(*) AS n FROM facts x JOIN dim d "
+        "ON x.k = d.k GROUP BY d.label"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        before = f.sql(q)
+        plan0 = before._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan0
+        rows0 = {(r["label"], r["n"]) for r in before.collect()}
+
+        dim.analyze()
+        after = f.sql(q)
+        plan1 = after._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan1, (
+            "stored stats under the row bound must flip the join"
+        )
+        assert {(r["label"], r["n"]) for r in after.collect()} == rows0
+
+        # the decision is conf-gated: 0 disables stats broadcasting
+        spark.conf.set("spark.openverse.sql.autoBroadcastRows", "0")
+        f2 = SqlFacade(spark)
+        f2.register_table("facts", big)
+        f2.register_table("dim", dim)
+        plan2 = (
+            f2.sql(q)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" not in plan2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset("spark.openverse.sql.autoBroadcastRows")
