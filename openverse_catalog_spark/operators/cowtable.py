@@ -347,6 +347,14 @@ BLOOM_HASHES = 5
 #: entries store a bare b64 string instead of {b64, bits, hashes})
 BLOOM_BITS = 8192
 
+#: incremental OPTIMIZE ZORDER drift gate: when the last incremental
+#: run saw more than this fraction of its rewritten rows clamp outside
+#: the pinned bucket bounds, the next incremental run escalates to a
+#: full re-cluster with fresh bounds (pinned bounds describe the data
+#: distribution of the FIRST clustering run; drifting data piles into
+#: the edge buckets and skip precision rots silently otherwise)
+ZORDER_CLAMP_RETIGHTEN = 0.2
+
 #: Spark types whose CAST(x AS STRING) matches Python ``str(value)``
 #: — the precondition for driver-side bloom probes to hash like the
 #: executor-side build. Booleans ('True' vs 'true'), floats ('1e-07'
@@ -924,6 +932,7 @@ class CowTable:
         self, version: int, entries: list[dict], op: str,
         schema_json: str | None = None,
         txn: tuple[str, int] | None = None,
+        zorder_clamp: dict | None = None,
     ) -> None:
         """Claim version slot ``version`` by exclusive-create of its
         manifest. The manifest is fully written to a temp file first and
@@ -946,6 +955,10 @@ class CowTable:
             if schema_json is None:
                 schema_json = parent.get("schema")
             parent_txns = dict(parent.get("txns") or {})
+            if zorder_clamp is None:
+                # clustering-drift state outlives unrelated commits:
+                # maintain() reads it to decide re-tightening
+                zorder_clamp = parent.get("zorder_clamp")
         if txn is not None:
             parent_txns[txn[0]] = max(
                 int(txn[1]), int(parent_txns.get(txn[0], txn[1]))
@@ -976,6 +989,8 @@ class CowTable:
                 )
             ),
         }
+        if zorder_clamp is not None:
+            manifest["zorder_clamp"] = zorder_clamp
         if version == 1 or version % self.checkpoint_interval == 0:
             manifest["files"] = entries
         else:
@@ -3280,6 +3295,8 @@ class CowTable:
         if zorder_where is not None and not zorder_by:
             raise ValueError("zorder_where requires zorder_by")
         cluster_tag = None
+        bounds_reused = False
+        retightened = False
         if zorder_by:
             if zorder_where is not None:
                 # predicate-scoped OPTIMIZE: only files intersecting the
@@ -3292,20 +3309,40 @@ class CowTable:
                 else list(zorder_by.keys())
             )
             if zorder_incremental and not isinstance(zorder_by, dict):
-                # reuse the bounds pinned by the first clustering run
-                # (bucket boundaries must not drift between runs, or
-                # old and new z-values stop being comparable)
-                for e in m["files"]:
-                    t = e.get("cluster")
-                    if (
-                        t
-                        and t.get("cols") == z_cols
-                        and t.get("bits") == zorder_bits
-                    ):
-                        zorder_by = {
-                            c: tuple(b) for c, b in t["bounds"].items()
-                        }
-                        break
+                # DRIFT GATE: the last incremental run recorded what
+                # fraction of its rewritten rows clamped outside the
+                # pinned bucket bounds. Past the threshold the pinned
+                # bounds describe yesterday's data and skip precision
+                # is silently rotting — this run recomputes bounds from
+                # current stats and re-clusters EVERYTHING in scope
+                # (old-bounds files can't carry: their tag no longer
+                # matches), the occasional-full-OPTIMIZE the docs used
+                # to leave to the operator.
+                prev = m.get("zorder_clamp")
+                drifted = bool(
+                    prev
+                    and prev.get("cols") == z_cols
+                    and prev.get("bits") == zorder_bits
+                    and prev.get("fraction", 0.0) > ZORDER_CLAMP_RETIGHTEN
+                )
+                if drifted:
+                    retightened = True
+                else:
+                    # reuse the bounds pinned by the first clustering
+                    # run (bucket boundaries must not drift between
+                    # runs, or old and new z-values stop comparing)
+                    for e in m["files"]:
+                        t = e.get("cluster")
+                        if (
+                            t
+                            and t.get("cols") == z_cols
+                            and t.get("bits") == zorder_bits
+                        ):
+                            zorder_by = {
+                                c: tuple(b) for c, b in t["bounds"].items()
+                            }
+                            bounds_reused = True
+                            break
             if not isinstance(zorder_by, dict):
                 zorder_by = (
                     self._zorder_bounds(small, tuple(zorder_by), m)
@@ -3352,6 +3389,35 @@ class CowTable:
         # schema-pinned (mixed pre-evolution files) + DV-applied: the
         # rewrite materializes deletion vectors away
         df = self._read_entries(small, m)
+        clamp_doc = None
+        if zorder_by:
+            if bounds_reused:
+                # measure drift: fraction of rewritten rows falling
+                # outside the pinned bounds on ANY z column. One agg
+                # over the (churn-sized) rewrite slice — the same rows
+                # the rewrite is about to scan anyway.
+                flags = [
+                    F.coalesce(
+                        ((F.col(c) < F.lit(lo)) | (F.col(c) > F.lit(hi)))
+                        .cast("int"),
+                        F.lit(0),
+                    )
+                    for c, (lo, hi) in zorder_by.items()
+                ]
+                out_row = (
+                    flags[0] if len(flags) == 1 else F.greatest(*flags)
+                )
+                frac = df.agg(F.avg(out_row).alias("f")).head()["f"]
+                clamp_doc = {
+                    "cols": z_cols, "bits": zorder_bits,
+                    "fraction": float(frac or 0.0),
+                }
+            else:
+                # bounds freshly computed from the rewritten files'
+                # stats cover every row by construction: drift resets
+                clamp_doc = {
+                    "cols": z_cols, "bits": zorder_bits, "fraction": 0.0,
+                }
         new_version = m["version"] + 1
         rel_dir = f"data/c{uuid.uuid4().hex[:12]}"
         data_dir = f"{self.root}/{rel_dir}"
@@ -3410,7 +3476,10 @@ class CowTable:
             pre_commit_hook()
         relinked = False
         try:
-            self._commit(new_version, keep + new_entries, op="compact")
+            self._commit(
+                new_version, keep + new_entries, op="compact",
+                zorder_clamp=clamp_doc,
+            )
         except CommitConflict:
             # compaction output is data-identical to its input files, so
             # a lost compaction is ALWAYS re-linkable when those inputs
@@ -3435,6 +3504,7 @@ class CowTable:
             "files_written": len(new_entries),
             "rows": mm["rows"],
             "relinked": relinked,
+            "retightened": retightened,
         }
 
     def analyze(
@@ -3533,18 +3603,31 @@ class CowTable:
         in-flight attempt directory looks orphaned until its manifest
         links — see ``vacuum``). Returns what it did."""
         d = self.describe()
+        m = self._manifest()
         # deletion-vector carriers count as compaction-needing whatever
         # their size: OPTIMIZE is what materializes vectors away
         small = sum(
-            1
-            for e in self._manifest()["files"]
-            if e["rows"] < target_rows or e.get("dv")
+            1 for e in m["files"] if e["rows"] < target_rows or e.get("dv")
         )
         out: dict = {"compacted": False, "files_small": small,
-                     "files_total": d["num_files"], "vacuumed": []}
+                     "files_total": d["num_files"], "vacuumed": [],
+                     "retightened": False}
         if d["num_files"] and small / d["num_files"] > small_file_ratio:
             out["compact_result"] = self.compact(target_rows=target_rows)
             out["compacted"] = out["compact_result"]["files_written"] > 0
+        # clustering drift: the recorded clamp fraction is the engine
+        # consuming its own statistics — past the gate, re-cluster with
+        # fresh bounds (the incremental path escalates itself); under
+        # it, clustering is still tight and maintain() does nothing
+        clamp = m.get("zorder_clamp")
+        if clamp and clamp.get("fraction", 0.0) > ZORDER_CLAMP_RETIGHTEN:
+            out["retighten_result"] = self.compact(
+                target_rows=target_rows,
+                zorder_by=list(clamp["cols"]),
+                zorder_bits=int(clamp["bits"]),
+                zorder_incremental=True,
+            )
+            out["retightened"] = out["retighten_result"]["retightened"]
         if d["num_versions"] > keep_versions:
             out["vacuumed"] = self.vacuum(
                 keep_versions=keep_versions,

@@ -739,3 +739,75 @@ class JoinMaterializedView:
             "left_version": l_to, "right_version": r_to,
             "mv_version": res["version"],
         }
+
+
+class JoinAggMaterializedView:
+    """A materialized GROUP-BY-over-a-JOIN — the shape of the
+    reference's ACTUAL materialized views (``image_view`` /
+    ``standardized_popularity`` are join + computed-column views
+    refreshed whole, ``popularity/sql.py:232-283``) — maintained
+    incrementally end to end: the standard DBSP/Materialize
+    composition of a join operator feeding an aggregate operator.
+
+    Composition, not new machinery: a :class:`JoinMaterializedView`
+    materializes ``left ⋈ right`` as its own CoW table (dirty-key
+    partial recompute from both bases' change feeds), and because that
+    table is a full CoW citizen it emits a CHANGE FEED of exactly the
+    join-row churn — which is precisely what
+    :class:`MaterializedView`'s algebraic delta apply consumes. One
+    ``refresh()`` advances both stages; every stage is O(churn), so
+    the end-to-end refresh cost is O(base churn x join fanout), never
+    O(table) — against the reference's full ``REFRESH MATERIALIZED
+    VIEW``.
+
+    Shape contract: the join stage's (right side unique per join
+    value, MV keyed by left keys) plus the aggregate stage's
+    (non-NULL group keys — with ``how='left'`` a right-sourced group
+    column must be coalesced upstream). Crash safety is inherited
+    per stage (idempotent join recompute; WAL'd aggregate apply)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        left: CowTable,
+        right: CowTable,
+        root: str,
+        on: list[str],
+        group_cols: list[str],
+        aggs: list[AggSpec],
+        how: str = "inner",
+        target_files: int = 4,
+    ):
+        self.root = root.rstrip("/")
+        self.join_mv = JoinMaterializedView(
+            spark, left, right, f"{self.root}/join", on=on, how=how,
+            target_files=target_files,
+        )
+        self._spark = spark
+        self._group_cols = list(group_cols)
+        self._aggs = list(aggs)
+        self._target_files = target_files
+        self._agg_mv: MaterializedView | None = None
+
+    @property
+    def agg_mv(self) -> MaterializedView:
+        if self._agg_mv is None:
+            self._agg_mv = MaterializedView(
+                self._spark, self.join_mv.table, f"{self.root}/agg",
+                self._group_cols, self._aggs,
+                target_files=self._target_files,
+            )
+        return self._agg_mv
+
+    def build(self) -> dict:
+        j = self.join_mv.build()
+        a = self.agg_mv.build()
+        return {"join": j, "agg": a}
+
+    def read(self, version: int | None = None) -> DataFrame:
+        return self.agg_mv.read(version)
+
+    def refresh(self, purge_tombstones: bool = False) -> dict:
+        j = self.join_mv.refresh()
+        a = self.agg_mv.refresh(purge_tombstones=purge_tombstones)
+        return {"join": j, "agg": a}

@@ -391,3 +391,136 @@ def mv_join_incremental(spark, sf_dir):
     return mv.read().select(
         "k", "ck", F.round("price", 2).alias("price"), "seg"
     )
+
+
+@register(
+    "mv_join_agg_incremental",
+    """
+    WITH lbase AS (
+      SELECT o_orderkey AS k, o_custkey AS ck,
+             CAST(o_totalprice AS DOUBLE) AS price
+      FROM orders WHERE o_orderkey % 3 <> 2
+    ),
+    lupd AS (
+      SELECT k, ck, price + 7.0 AS price FROM lbase WHERE k % 10 = 1
+    ),
+    lins AS (
+      SELECT o_orderkey AS k, o_custkey AS ck,
+             CAST(o_totalprice AS DOUBLE) AS price
+      FROM orders WHERE o_orderkey % 3 = 2 AND o_orderkey % 10 = 5
+    ),
+    lmerged AS (
+      SELECT b.k, b.ck, COALESCE(u.price, b.price) AS price
+      FROM lbase b LEFT JOIN lupd u ON b.k = u.k
+      UNION ALL SELECT * FROM lins
+    ),
+    lfinal AS (SELECT * FROM lmerged WHERE k % 20 <> 6),
+    rfinal AS (
+      SELECT c_custkey AS ck,
+             CASE WHEN c_custkey % 11 = 0
+                  THEN 'X_' || CAST(c_nationkey AS VARCHAR)
+                  ELSE c_mktsegment END AS seg
+      FROM customer WHERE c_custkey % 13 <> 0
+    )
+    SELECT r.seg,
+           count(*) AS n_orders,
+           round(sum(l.price), 2) AS sum_price,
+           round(sum(l.price), 2) / count(*) AS avg_price,
+           min(l.price) AS min_price,
+           max(l.price) AS max_price
+    FROM lfinal l JOIN rfinal r ON l.ck = r.ck
+    GROUP BY r.seg
+    """,
+)
+def mv_join_agg_incremental(spark, sf_dir):
+    """Materialized GROUP-BY-over-a-JOIN maintained incrementally end
+    to end (operators/matview.py:JoinAggMaterializedView) — the shape
+    of the reference's real materialized views (``image_view`` is a
+    join + computed columns refreshed WHOLE,
+    ``popularity/sql.py:232-283``). The DBSP/Materialize composition:
+    the join stage reconciles by dirty-key partial recompute from both
+    bases' feeds, its CoW table's OWN change feed then drives the
+    aggregate stage's algebraic delta apply — every stage O(churn).
+    Churn hits both sides: fact price update + insert + delete,
+    dimension segment rewrite (fanout moves rows BETWEEN groups: the
+    pre-image subtracts from the old segment, the post-image adds to
+    the new) and a dimension delete that removes whole groups. Oracle
+    replays all churn and aggregates the re-joined final state from
+    scratch."""
+    from openverse_catalog_spark.operators.cowtable import CowTable
+    from openverse_catalog_spark.operators.matview import (
+        AggSpec,
+        JoinAggMaterializedView,
+    )
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    c = _t(spark, sf_dir, "customer")["customer"]
+    ok, ck = F.col("o_orderkey"), F.col("o_custkey")
+    lsel = [
+        ok.alias("k"), ck.alias("ck"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    ]
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_mv_jagg")
+    shutil.rmtree(root, ignore_errors=True)
+    left = CowTable.create(
+        spark, os.path.join(root, "l"),
+        o.filter(ok % 3 != 2).select(*lsel),
+        keys=("k",), target_files=6, stats_cols=("ck",),
+    )
+    right = CowTable.create(
+        spark, os.path.join(root, "r"),
+        c.select(
+            F.col("c_custkey").alias("ck"),
+            F.col("c_mktsegment").alias("seg"),
+            F.col("c_nationkey").alias("nat"),
+        ),
+        keys=("ck",), target_files=4,
+    )
+    mv = JoinAggMaterializedView(
+        spark, left, right, os.path.join(root, "mv"), on=["ck"],
+        group_cols=["seg"],
+        aggs=[
+            AggSpec("n_orders", "count"),
+            AggSpec("sum_price", "sum", "price"),
+            AggSpec("min_price", "min", "price"),
+            AggSpec("max_price", "max", "price"),
+        ],
+        how="inner",
+    )
+    mv.build()
+    cols = [
+        ColumnSpec("k", Datatype.int,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("ck", Datatype.int),
+        ColumnSpec("price", Datatype.double),
+    ]
+    left.merge(
+        o.filter((ok % 3 != 2) & (ok % 10 == 1)).select(
+            ok.alias("k"), ck.alias("ck"),
+            (F.col("o_totalprice") + 7).cast("double").alias("price"),
+        ).unionByName(
+            o.filter((ok % 3 == 2) & (ok % 10 == 5)).select(*lsel)
+        ),
+        cols, deterministic=True,
+    )
+    left.delete(F.col("k") % 20 == 6)
+    res1 = mv.refresh()
+    assert res1["join"]["refreshed"] and res1["agg"]["refreshed"]
+    right.update(
+        F.col("ck") % 11 == 0,
+        {"seg": F.concat(F.lit("X_"), F.col("nat").cast("string"))},
+    )
+    right.delete(F.col("ck") % 13 == 0)
+    res2 = mv.refresh()
+    assert res2["join"]["refreshed"] and res2["agg"]["refreshed"]
+    # avg derived from the round-stable sum (see mv_incremental_orders)
+    return mv.read().select(
+        "seg",
+        "n_orders",
+        F.round("sum_price", 2).alias("sum_price"),
+        (F.round(F.col("sum_price"), 2) / F.col("n_orders")).alias(
+            "avg_price"
+        ),
+        "min_price",
+        "max_price",
+    )

@@ -2619,14 +2619,28 @@ def test_cow_zorder_incremental_rewrites_only_new_files(spark, tmp_path):
         for e in m3["files"] if e.get("cluster")
     )
     assert t.read().count() == 360
-    # a second incremental run with nothing new is a version no-op
+    # the wholly-out-of-bounds batch tripped the drift gate (every
+    # rewritten row clamped), so the NEXT incremental run escalates to
+    # a full re-tighten with fresh bounds instead of no-opping
+    assert m3["zorder_clamp"]["fraction"] > 0.2
+    r3 = t.compact(target_rows=60, zorder_by=["x", "y"], zorder_bits=5,
+                   zorder_incremental=True)
+    assert r3["retightened"] and r3["files_written"] > 0
+    m4 = t._manifest()
+    assert m4["zorder_clamp"]["fraction"] == 0.0
+    assert all(
+        e["cluster"]["bounds"] != tag["bounds"]
+        for e in m4["files"] if e.get("cluster")
+    ), "re-tighten must recompute bounds over the drifted data"
+    # with drift cleared, an incremental run with nothing new is a
+    # version no-op again
     v = t.version
     t.compact(target_rows=60, zorder_by=["x", "y"], zorder_bits=5,
               zorder_incremental=True)
     assert t.version == v
     # z-skipping still bites on the combined layout
     box = t.read_where({"x": (0.0, 20.0), "y": (0.0, 20.0)})
-    assert len(box.inputFiles()) < len(m3["files"])
+    assert len(box.inputFiles()) < len(m4["files"])
 
 
 def test_cow_bloom_sidecar_lifecycle(spark, tmp_path):
@@ -2770,3 +2784,87 @@ def test_cow_apply_changes_tombstone_retention(spark, tmp_path):
     apply_changes(t3, spark.createDataFrame(events, sch),
                   sequence_by="seq")
     assert not os.path.isdir(str(tmp_path / "legacy" / "_tombstones"))
+
+
+def test_cow_zorder_clamp_drift_retighten(spark, tmp_path):
+    """Incremental OPTIMIZE ZORDER drift gate: each incremental run
+    records the fraction of rewritten rows clamping outside the pinned
+    bucket bounds; under the gate maintain() leaves clustering alone,
+    past it maintain() escalates to a full re-cluster with fresh
+    bounds — and read_where file-skipping precision recovers."""
+    import pyspark.sql.functions as SF
+
+    from openverse_catalog_spark.schemas.columns import (
+        ColumnSpec,
+        Datatype,
+        UpsertStrategy,
+    )
+
+    def batch(n, lo, hi, seed):
+        return spark.range(n).select(
+            SF.concat(SF.lit(f"s{seed}_"), SF.col("id").cast("string"))
+            .alias("provider"),
+            SF.concat(SF.lit(f"f{seed}_"), SF.col("id").cast("string"))
+            .alias("foreign_identifier"),
+            (lo + (SF.col("id") * 7919 + seed) % (hi - lo)).cast("double")
+            .alias("x"),
+            (lo + (SF.col("id") * 104729 + seed) % (hi - lo)).cast("double")
+            .alias("y"),
+        )
+
+    t = CowTable.create(
+        spark, str(tmp_path / "z"), batch(8000, 0, 100, 1),
+        target_files=8, stats_cols=("x", "y"),
+    )
+    r = t.compact(
+        target_rows=1000, zorder_by=["x", "y"], zorder_incremental=True
+    )
+    assert r["files_written"] > 0 and not r["retightened"]
+    assert t._manifest()["zorder_clamp"]["fraction"] == 0.0
+
+    cols = [
+        ColumnSpec("provider", Datatype.char,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("foreign_identifier", Datatype.char,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("x", Datatype.double),
+        ColumnSpec("y", Datatype.double),
+    ]
+
+    # in-bounds churn: incremental run measures ~0 drift -> maintain()
+    # does NOT re-cluster (the already-tight no-op pin)
+    t.merge(batch(1000, 0, 100, 2), cols, deterministic=True)
+    t.compact(
+        target_rows=1000, zorder_by=["x", "y"], zorder_incremental=True
+    )
+    assert t._manifest()["zorder_clamp"]["fraction"] <= 0.2
+    mt = t.maintain(target_rows=1000, keep_versions=50)
+    assert mt["retightened"] is False and "retighten_result" not in mt
+
+    # drifted churn: every new row is outside the pinned [0,100) bounds
+    t.merge(batch(8000, 500, 1000, 3), cols, deterministic=True)
+    r2 = t.compact(
+        target_rows=1000, zorder_by=["x", "y"], zorder_incremental=True
+    )
+    assert not r2["retightened"]  # this run measures, the next acts
+    frac = t._manifest()["zorder_clamp"]["fraction"]
+    assert frac > 0.2, f"drift must be recorded (got {frac})"
+
+    def rows_scanned(lo, hi):
+        # skip precision = rows the pruned scan must still read (the
+        # clamped layout degenerates into edge-bucket files that carry
+        # the WHOLE drifted batch, so file counts alone mislead)
+        picked, _ = t.read_where({"x": (lo, hi)}, _split=True)
+        return sum(e["rows"] for e in picked)
+
+    before = rows_scanned(950.0, 1000.0)
+    mt2 = t.maintain(target_rows=1000, keep_versions=50)
+    assert mt2["retightened"] is True
+    assert t._manifest()["zorder_clamp"]["fraction"] == 0.0
+    after = rows_scanned(950.0, 1000.0)
+    assert after < before, (
+        f"re-tighten must recover skip precision ({before} -> {after})"
+    )
+    # the drift state survives unrelated commits until the next OPTIMIZE
+    t.merge(batch(10, 0, 100, 4), cols, deterministic=True)
+    assert t._manifest()["zorder_clamp"]["fraction"] == 0.0

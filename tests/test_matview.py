@@ -576,3 +576,110 @@ def test_refresh_survives_oversized_dirty_set(spark, mv_pair, tmp_path):
         else:
             spark.conf.set("spark.openverse.mv.broadcastMaxRows", old_bmax)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_auto)
+
+
+def test_join_agg_mv_refresh_equals_rebuild(spark, tmp_path):
+    """JoinAggMaterializedView: GROUP BY over a join, maintained
+    incrementally through churn on BOTH bases (fact update/insert/
+    delete; dimension attribute rewrite moving rows between groups and
+    a dimension delete removing whole groups) — every refresh must
+    equal a from-scratch rebuild of the same aggregate."""
+    from openverse_catalog_spark.operators.matview import (
+        AggSpec,
+        JoinAggMaterializedView,
+    )
+
+    left = CowTable.create(
+        spark, str(tmp_path / "l"),
+        spark.createDataFrame(
+            [(f"i{n:02d}", n % 4, 10.0 * (n + 1)) for n in range(20)],
+            "iid string, cat int, price double",
+        ),
+        keys=("iid",), target_files=3,
+    )
+    right = CowTable.create(
+        spark, str(tmp_path / "r"),
+        spark.createDataFrame(
+            [(0, "zero"), (1, "one"), (2, "two")],  # cat 3 missing
+            "cat int, label string",
+        ),
+        keys=("cat",), target_files=1,
+    )
+    mv = JoinAggMaterializedView(
+        spark, left, right, str(tmp_path / "mv"), on=["cat"],
+        group_cols=["label"],
+        aggs=[
+            AggSpec("n", "count"),
+            AggSpec("total", "sum", "price"),
+            AggSpec("lo", "min", "price"),
+            AggSpec("hi", "max", "price"),
+        ],
+    )
+    mv.build()
+
+    def truth():
+        return {
+            r["label"]: (r["n"], r["total"], r["lo"], r["hi"])
+            for r in left.read().join(right.read(), "cat")
+            .groupBy("label")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("price").alias("total"),
+                F.min("price").alias("lo"),
+                F.max("price").alias("hi"),
+            ).collect()
+        }
+
+    def got():
+        return {
+            r["label"]: (r["n"], r["total"], r["lo"], r["hi"])
+            for r in mv.read().collect()
+        }
+
+    assert got() == truth()
+
+    lcols = [
+        ColumnSpec("iid", Datatype.char,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("cat", Datatype.int),
+        ColumnSpec("price", Datatype.double),
+    ]
+    rcols = [
+        ColumnSpec("cat", Datatype.int,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("label", Datatype.char),
+    ]
+    # fact churn: min-holder delete (dirty recompute), category move,
+    # insert, price update
+    left.merge(
+        spark.createDataFrame(
+            [("i00", 0, 999.0), ("i01", 2, 5.0), ("i99", 1, 1.0)],
+            "iid string, cat int, price double",
+        ),
+        lcols, deterministic=True,
+    )
+    left.delete(F.col("iid") == "i04")
+    r1 = mv.refresh()
+    assert r1["join"]["refreshed"] and r1["agg"]["refreshed"]
+    assert got() == truth()
+
+    # dimension churn: label rewrite moves EVERY cat-1 row between
+    # groups; new join value revives dropped facts; then kill it again
+    right.merge(
+        spark.createDataFrame(
+            [(1, "ONE"), (3, "three")], "cat int, label string"
+        ),
+        rcols, deterministic=True,
+    )
+    r2 = mv.refresh()
+    assert r2["join"]["refreshed"] and r2["agg"]["refreshed"]
+    t2 = truth()
+    assert got() == t2 and "ONE" in t2 and "one" not in t2
+
+    right.delete(F.col("cat") == 3)
+    mv.refresh()
+    assert got() == truth()
+
+    # no-churn refresh is a no-op on both stages
+    r4 = mv.refresh()
+    assert not r4["join"]["refreshed"] and not r4["agg"]["refreshed"]
