@@ -70,7 +70,15 @@ def _rotated_names() -> list[str]:
     fresh_oracle = [n for n in names if n not in seen and n in ORACLES]
     fresh_plain = [n for n in names if n not in seen and n not in ORACLES]
     done = [n for n in names if n in seen]
-    return fresh_oracle + fresh_plain + done
+    # surface the headline never-checked families (lakehouse, MV/CDC,
+    # SQL facade, tokenizers, ANN, multimodal) ahead of the long tail
+    prio = (
+        "merge_cow_", "mv_", "sql_", "stream_cdc_", "stream_cow_",
+        "corpus_unigram_", "knn_ivf_pq", "multimodal_",
+    )
+    lead = [n for n in fresh_oracle if n.startswith(prio)]
+    tail = [n for n in fresh_oracle if not n.startswith(prio)]
+    return lead + tail + fresh_plain + done
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

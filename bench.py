@@ -185,6 +185,8 @@ HEADLINE = [
     "multimodal_resize_nearest",
     "multimodal_downsample_box",
     "multimodal_audio_frames",
+    "stream_cdc_tombstones",
+    "mv_join_agg_incremental",
 ]
 
 

@@ -347,6 +347,14 @@ BLOOM_HASHES = 5
 #: entries store a bare b64 string instead of {b64, bits, hashes})
 BLOOM_BITS = 8192
 
+#: ceiling on deletion-vector (file, pos) rows that may still be
+#: broadcast into the anti-join that applies DVs at read/diff time.
+#: The manifest records each entry's deleted-row count, so the guard
+#: is metadata-only; past it the anti-join shuffles — a merge-on-read
+#: table where deletes have accumulated tens of millions of dead rows
+#: must not force a multi-GB broadcast on every read
+DV_BROADCAST_MAX_ROWS = 4_000_000
+
 #: incremental OPTIMIZE ZORDER drift gate: when the last incremental
 #: run saw more than this fraction of its rewritten rows clamp outside
 #: the pinned bucket bounds, the next incremental run escalates to a
@@ -1197,6 +1205,17 @@ class CowTable:
             return None
         return self.spark.read.parquet(*dirs).select("file", "pos")
 
+    def _dv_hint(self, pos: DataFrame, entries: list[dict]) -> DataFrame:
+        """Broadcast the (file, pos) DV relation only when the
+        manifest's recorded deleted-row counts prove it small
+        (metadata-only decision); past DV_BROADCAST_MAX_ROWS the
+        anti-join shuffles instead of forcing an oversized broadcast
+        on every read of a delete-heavy merge-on-read table."""
+        dead = sum(
+            (e.get("dv") or {}).get("deleted", 0) for e in entries
+        )
+        return F.broadcast(pos) if dead <= DV_BROADCAST_MAX_ROWS else pos
+
     def _physical_schema(self, m: dict):
         """(physical read schema, logical field names): data files use
         STABLE physical column names; the manifest schema is logical.
@@ -1268,7 +1287,7 @@ class CowTable:
             raw = self._with_position(
                 reader.parquet(*[self._abs(e["path"]) for e in dved])
             )
-            pos = F.broadcast(self._dv_positions(dved))
+            pos = self._dv_hint(self._dv_positions(dved), dved)
             live = raw.join(
                 pos,
                 (raw["__dv_file"] == pos["file"])
@@ -1736,7 +1755,7 @@ class CowTable:
                     old, ["file", "pos"], "left_anti"
                 )
             newly_dead = raw.join(
-                F.broadcast(cur_pos),
+                self._dv_hint(cur_pos, [e for _, e in dv_grown]),
                 (raw["__dv_file"] == cur_pos["file"])
                 & (raw["__dv_pos"] == cur_pos["pos"]),
                 "left_semi",
@@ -3042,7 +3061,7 @@ class CowTable:
         live = raw
         if old_pos is not None:
             live = raw.join(
-                F.broadcast(old_pos),
+                self._dv_hint(old_pos, touched),
                 (raw["__dv_file"] == old_pos["file"])
                 & (raw["__dv_pos"] == old_pos["pos"]),
                 "left_anti",

@@ -2868,3 +2868,54 @@ def test_cow_zorder_clamp_drift_retighten(spark, tmp_path):
     # the drift state survives unrelated commits until the next OPTIMIZE
     t.merge(batch(10, 0, 100, 4), cols, deterministic=True)
     assert t._manifest()["zorder_clamp"]["fraction"] == 0.0
+
+
+def test_cow_dv_broadcast_guard(spark, tmp_path, monkeypatch):
+    """DV apply anti-join: the (file,pos) relation is broadcast only
+    while the manifest's recorded deleted-row counts stay under the
+    bound (metadata-only decision); past it every read/diff still
+    returns exact rows through a shuffle anti-join."""
+    import openverse_catalog_spark.operators.cowtable as ct
+
+    base = spark.createDataFrame(
+        [(f"f{i:03d}", float(i)) for i in range(100)],
+        "fid string, val double",
+    )
+    t = CowTable.create(
+        spark, str(tmp_path / "dvg"), base, keys=("fid",), target_files=2
+    )
+    t.delete(F.col("val") < 30, mode="dv")
+    want = {r["fid"] for r in t.read().collect()}
+    assert len(want) == 70
+
+    monkeypatch.setattr(ct, "DV_BROADCAST_MAX_ROWS", 0)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        fresh = CowTable(spark, t.root, keys=("fid",))
+        df = fresh.read()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan, (
+            "past the bound the DV anti-join must not be hint-broadcast"
+        )
+        assert {r["fid"] for r in df.collect()} == want
+        # a further DV delete (grown-DV diff path) and the change feed
+        # stay exact under the shuffle path too
+        fresh.delete(F.col("val") >= 90, mode="dv")
+        assert fresh.read().count() == 60
+        ch = fresh.read_changes(fresh.version - 1)
+        assert ch.filter(F.col("_change_type") == "delete").count() == 10
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # under the bound the hint applies even where size estimates would
+    # not broadcast on their own
+    monkeypatch.setattr(ct, "DV_BROADCAST_MAX_ROWS", 4_000_000)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan2 = (
+            CowTable(spark, t.root, keys=("fid",)).read()
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
