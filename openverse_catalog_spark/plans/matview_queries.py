@@ -524,3 +524,93 @@ def mv_join_agg_incremental(spark, sf_dir):
         "min_price",
         "max_price",
     )
+
+
+@register(
+    "sql_mv_join_agg",
+    """
+    WITH lbase AS (
+      SELECT o_orderkey AS k, o_custkey AS ck,
+             CAST(o_totalprice AS DOUBLE) AS price
+      FROM orders WHERE o_orderkey % 3 <> 2
+    ),
+    lupd AS (
+      SELECT k, ck, price + 7.0 AS price FROM lbase WHERE k % 10 = 1
+    ),
+    lmerged AS (
+      SELECT b.k, b.ck, COALESCE(u.price, b.price) AS price
+      FROM lbase b LEFT JOIN lupd u ON b.k = u.k
+    ),
+    lfinal AS (SELECT * FROM lmerged WHERE k % 20 <> 6),
+    rfinal AS (
+      SELECT c_custkey AS ck,
+             CASE WHEN c_custkey % 11 = 0
+                  THEN 'X_' || CAST(c_nationkey AS VARCHAR)
+                  ELSE c_mktsegment END AS seg
+      FROM customer WHERE c_custkey % 13 <> 0
+    )
+    SELECT r.seg,
+           count(*) AS n_orders,
+           round(sum(l.price), 2) AS sum_price,
+           min(l.price) AS min_price,
+           max(l.price) AS max_price
+    FROM lfinal l JOIN rfinal r ON l.ck = r.ck
+    GROUP BY r.seg
+    """,
+)
+def sql_mv_join_agg(spark, sf_dir):
+    """The reference's literal MV surface — ``CREATE MATERIALIZED VIEW
+    ... AS SELECT aggs FROM fact JOIN dim ... GROUP BY`` (image_view,
+    ``popularity/sql.py:232-283``) — driven ENTIRELY through SQL text:
+    churn on both bases lands via UPDATE/DELETE text and each REFRESH
+    advances the composed join->aggregate pipeline in O(churn) where
+    the reference re-joins and re-aggregates the whole table. Oracle =
+    full recompute of the replayed final state."""
+    from openverse_catalog_spark.operators.cowtable import CowTable
+    from openverse_catalog_spark.sql_facade import SqlFacade
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    c = _t(spark, sf_dir, "customer")["customer"]
+    ok, ck = F.col("o_orderkey"), F.col("o_custkey")
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_sql_jagg")
+    shutil.rmtree(root, ignore_errors=True)
+    left = CowTable.create(
+        spark, os.path.join(root, "l"),
+        o.filter(ok % 3 != 2).select(
+            ok.alias("k"), ck.alias("ck"),
+            F.col("o_totalprice").cast("double").alias("price"),
+        ),
+        keys=("k",), target_files=6, stats_cols=("ck",),
+    )
+    right = CowTable.create(
+        spark, os.path.join(root, "r"),
+        c.select(
+            F.col("c_custkey").alias("ck"),
+            F.col("c_mktsegment").alias("seg"),
+            F.col("c_nationkey").alias("nat"),
+        ),
+        keys=("ck",), target_files=4,
+    )
+    f = SqlFacade(spark)
+    f.register_table("fact_orders", left)
+    f.register_table("dim_cust", right)
+    f.sql(
+        "CREATE MATERIALIZED VIEW seg_rollup AS "
+        "SELECT seg, count(*) AS n_orders, sum(price) AS sum_price, "
+        "min(price) AS min_price, max(price) AS max_price "
+        "FROM fact_orders JOIN dim_cust ON fact_orders.ck = dim_cust.ck "
+        "GROUP BY seg"
+    )
+    f.sql("UPDATE fact_orders SET price = price + 7 WHERE k % 10 = 1")
+    f.sql("DELETE FROM fact_orders WHERE k % 20 = 6")
+    f.sql("REFRESH MATERIALIZED VIEW seg_rollup")
+    f.sql(
+        "UPDATE dim_cust SET seg = 'X_' || CAST(nat AS STRING) "
+        "WHERE ck % 11 = 0"
+    )
+    f.sql("DELETE FROM dim_cust WHERE ck % 13 = 0")
+    f.sql("REFRESH MATERIALIZED VIEW seg_rollup")
+    return f.sql(
+        "SELECT seg, n_orders, round(sum_price, 2) AS sum_price, "
+        "min_price, max_price FROM seg_rollup"
+    )

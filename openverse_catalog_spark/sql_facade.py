@@ -135,6 +135,11 @@ _MV_JOIN = re.compile(
     r"ON\s+(.+?)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_MV_JOIN_AGG = re.compile(
+    r"^\s*SELECT\s+(.+?)\s+FROM\s+(\w+)\s+(LEFT\s+)?JOIN\s+(\w+)\s+"
+    r"ON\s+(.+?)\s+GROUP\s+BY\s+([\w\s,]+?)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _DESCRIBE_HISTORY = re.compile(
     r"^\s*DESCRIBE\s+HISTORY\s+(\w+)\s*$", re.IGNORECASE
 )
@@ -570,6 +575,9 @@ class SqlFacade:
             MaterializedView,
         )
 
+        jam = _MV_JOIN_AGG.match(select_text)
+        if jam:
+            return self._create_join_agg_mv(name, jam)
         jm = _MV_JOIN.match(select_text)
         if jm:
             return self._create_join_mv(name, jm)
@@ -577,8 +585,10 @@ class SqlFacade:
         if not m:
             raise ValueError(
                 "CREATE MATERIALIZED VIEW body must be SELECT <items> "
-                "FROM <lake table> GROUP BY <cols>, or SELECT * FROM "
-                f"<lake> [LEFT] JOIN <lake> ON ..., got {select_text!r}"
+                "FROM <lake table> GROUP BY <cols>, SELECT * FROM "
+                "<lake> [LEFT] JOIN <lake> ON ..., or SELECT <items> "
+                "FROM <lake> [LEFT] JOIN <lake> ON ... GROUP BY <cols>, "
+                f"got {select_text!r}"
             )
         items_text, base_name, group_text = m.groups()
         if base_name not in self._tables:
@@ -587,6 +597,27 @@ class SqlFacade:
                 f"{base_name!r} is not one (have: {sorted(self._tables)})"
             )
         group_cols = [c.strip() for c in group_text.split(",")]
+        aggs = self._parse_mv_items(items_text, group_cols)
+        base = self._tables[base_name]
+        mv = MaterializedView(
+            self.spark, base, f"{base.root}_mv_{name}", group_cols, aggs
+        )
+        import shutil
+
+        shutil.rmtree(mv.root, ignore_errors=True)
+        mv.build()
+        self._mvs[name] = mv
+        mv.read().createOrReplaceTempView(name)
+        return self.spark.createDataFrame(
+            [(name, base_name)], "view string, base string"
+        )
+
+    def _parse_mv_items(self, items_text: str, group_cols: list) -> list:
+        """The MV SELECT-list grammar shared by the plain and join+agg
+        forms: group columns pass through, everything else must be
+        count(*)/sum/avg/min/max(col) AS name."""
+        from openverse_catalog_spark.operators.matview import AggSpec
+
         aggs = []
         for item in (i.strip() for i in _split_top_level(items_text)):
             if item in group_cols:
@@ -604,9 +635,62 @@ class SqlFacade:
             )
         if not aggs:
             raise ValueError("materialized view needs at least one aggregate")
-        base = self._tables[base_name]
-        mv = MaterializedView(
-            self.spark, base, f"{base.root}_mv_{name}", group_cols, aggs
+        return aggs
+
+    def _parse_join_on(
+        self, on_text: str, lname: str, rname: str
+    ) -> list[str]:
+        """ON-clause grammar shared by the join MV forms: conjunctions
+        of same-named column equalities between the two tables."""
+        on_cols = []
+        for clause in re.split(r"\s+AND\s+", on_text, flags=re.IGNORECASE):
+            eq = _ON_EQ.match(clause)
+            if not eq:
+                raise ValueError(
+                    f"join MV ON clause must be column equalities, got "
+                    f"{clause.strip()!r}"
+                )
+            a1, c1, a2, c2 = eq.groups()
+            sides = {a1.lower(): c1, a2.lower(): c2}
+            if set(sides) != {lname.lower(), rname.lower()} or (
+                sides[lname.lower()] != sides[rname.lower()]
+            ):
+                raise ValueError(
+                    "join MV ON clause must equate the two tables on "
+                    f"the SAME column name, got {clause.strip()!r}"
+                )
+            on_cols.append(sides[lname.lower()])
+        return on_cols
+
+    def _create_join_agg_mv(self, name: str, jam: re.Match) -> DataFrame:
+        """``CREATE MATERIALIZED VIEW v AS SELECT <group cols + aggs>
+        FROM l [LEFT] JOIN r ON l.c = r.c [AND ...] GROUP BY <cols>``
+        — the reference's ACTUAL materialized-view shape (image_view:
+        join + aggregation refreshed whole, ``popularity/sql.py:
+        232-283``), backed by JoinAggMaterializedView: REFRESH advances
+        the join stage by dirty-key recompute from BOTH feeds and the
+        aggregate stage by delta apply over the join table's own
+        change feed — O(churn) end to end."""
+        from openverse_catalog_spark.operators.matview import (
+            JoinAggMaterializedView,
+        )
+
+        items_text, lname, left_kw, rname, on_text, group_text = jam.groups()
+        for t in (lname, rname):
+            if t not in self._tables:
+                raise ValueError(
+                    f"join materialized views need registered lake "
+                    f"tables; {t!r} is not one (have: "
+                    f"{sorted(self._tables)})"
+                )
+        on_cols = self._parse_join_on(on_text, lname, rname)
+        group_cols = [c.strip() for c in group_text.split(",")]
+        aggs = self._parse_mv_items(items_text, group_cols)
+        left, right = self._tables[lname], self._tables[rname]
+        mv = JoinAggMaterializedView(
+            self.spark, left, right, f"{left.root}_jamv_{name}",
+            on=on_cols, group_cols=group_cols, aggs=aggs,
+            how="left" if left_kw else "inner",
         )
         import shutil
 
@@ -615,7 +699,7 @@ class SqlFacade:
         self._mvs[name] = mv
         mv.read().createOrReplaceTempView(name)
         return self.spark.createDataFrame(
-            [(name, base_name)], "view string, base string"
+            [(name, lname, rname)], "view string, left string, right string"
         )
 
     def _create_join_mv(self, name: str, jm: re.Match) -> DataFrame:
@@ -637,24 +721,7 @@ class SqlFacade:
                     f"tables; {t!r} is not one (have: "
                     f"{sorted(self._tables)})"
                 )
-        on_cols = []
-        for clause in re.split(r"\s+AND\s+", on_text, flags=re.IGNORECASE):
-            eq = _ON_EQ.match(clause)
-            if not eq:
-                raise ValueError(
-                    f"join MV ON clause must be column equalities, got "
-                    f"{clause.strip()!r}"
-                )
-            a1, c1, a2, c2 = eq.groups()
-            sides = {a1.lower(): c1, a2.lower(): c2}
-            if set(sides) != {lname.lower(), rname.lower()} or (
-                sides[lname.lower()] != sides[rname.lower()]
-            ):
-                raise ValueError(
-                    "join MV ON clause must equate the two tables on "
-                    f"the SAME column name, got {clause.strip()!r}"
-                )
-            on_cols.append(sides[lname.lower()])
+        on_cols = self._parse_join_on(on_text, lname, rname)
         left, right = self._tables[lname], self._tables[rname]
         mv = JoinMaterializedView(
             self.spark, left, right, f"{left.root}_jmv_{name}",
@@ -731,6 +798,15 @@ class SqlFacade:
             mv = self._mvs[m.group(1)]
             res = mv.refresh()
             mv.read().createOrReplaceTempView(m.group(1))
+            if "join" in res and "agg" in res:  # composed join+agg MV
+                return self.spark.createDataFrame(
+                    [(res["join"]["left_version"],
+                      res["join"]["right_version"],
+                      bool(res["join"]["refreshed"]
+                           or res["agg"]["refreshed"]))],
+                    "left_version long, right_version long, "
+                    "refreshed boolean",
+                )
             if "base_version" in res:
                 return self.spark.createDataFrame(
                     [(res["base_version"], bool(res["refreshed"]))],

@@ -833,3 +833,83 @@ def test_facade_stats_driven_broadcast(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.conf.unset("spark.openverse.sql.autoBroadcastRows")
+
+
+def test_facade_join_agg_mv_text(spark, tmp_path):
+    """CREATE MATERIALIZED VIEW with a JOIN + GROUP BY body — the
+    reference's actual MV shape (image_view) — builds the composed
+    JoinAggMaterializedView; REFRESH advances it through churn on both
+    bases and equals the full recompute."""
+    from openverse_catalog_spark.schemas.columns import (
+        ColumnSpec,
+        Datatype,
+        UpsertStrategy,
+    )
+
+    left = CowTable.create(
+        spark, str(tmp_path / "l"),
+        spark.createDataFrame(
+            [(f"i{n:02d}", n % 3, 10.0 * (n + 1)) for n in range(15)],
+            "iid string, cat int, price double",
+        ),
+        keys=("iid",), target_files=2,
+    )
+    right = CowTable.create(
+        spark, str(tmp_path / "r"),
+        spark.createDataFrame(
+            [(0, "zero"), (1, "one"), (2, "two")],
+            "cat int, label string",
+        ),
+        keys=("cat",), target_files=1,
+    )
+    f = SqlFacade(spark)
+    lcols = [
+        ColumnSpec("iid", Datatype.char,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("cat", Datatype.int),
+        ColumnSpec("price", Datatype.double),
+    ]
+    rcols = [
+        ColumnSpec("cat", Datatype.int,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("label", Datatype.char),
+    ]
+    f.register_table("facts", left, columns=lcols)
+    f.register_table("dims", right, columns=rcols)
+    f.sql(
+        "CREATE MATERIALIZED VIEW seg_stats AS "
+        "SELECT label, count(*) AS n, sum(price) AS total, "
+        "min(price) AS lo, max(price) AS hi "
+        "FROM facts JOIN dims ON facts.cat = dims.cat "
+        "GROUP BY label"
+    )
+
+    def truth():
+        return {
+            r["label"]: (r["n"], r["total"], r["lo"], r["hi"])
+            for r in left.read().join(right.read(), "cat")
+            .groupBy("label").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("price").alias("total"),
+                F.min("price").alias("lo"),
+                F.max("price").alias("hi"),
+            ).collect()
+        }
+
+    def got():
+        return {
+            r["label"]: (r["n"], r["total"], r["lo"], r["hi"])
+            for r in f.sql(
+                "SELECT label, n, total, lo, hi FROM seg_stats"
+            ).collect()
+        }
+
+    assert got() == truth()
+    # churn both sides through DML text, refresh through text
+    f.sql("UPDATE facts SET price = price + 100 WHERE cat = 1")
+    f.sql("DELETE FROM facts WHERE iid = 'i00'")
+    f.sql("UPDATE dims SET label = 'TWO' WHERE cat = 2")
+    out = f.sql("REFRESH MATERIALIZED VIEW seg_stats").collect()[0]
+    assert out["refreshed"] is True
+    t = truth()
+    assert got() == t and "TWO" in t and "two" not in t
