@@ -352,16 +352,28 @@ class MaterializedView:
         n_delta = delta.count()
         bmax = _broadcast_max_rows(self.spark)
 
-        # touched MV groups only: semi-join prunes the MV read to the
-        # delta's keys, then the delta joins that pruned slice.  Both
-        # relations have at most n_delta rows (delta is grouped by g),
-        # so one guard bounds both; past the bound the hint is dropped
-        # and the joins shuffle instead of blowing the broadcast limit.
-        cur = self.table.read()
-        cur_small = cur.join(
-            _hint_if_small(delta.select(*g).distinct(), n_delta, bmax),
-            on=g, how="left_semi",
-        )
+        # touched MV groups only. Single group key: prune MV FILES
+        # through the manifest (the MV table is keyed on the group
+        # cols, so per-file key ranges are tight — read_join_pruned
+        # self-caps at 10k keys with a semi-join fallback) — the
+        # refresh then never scans untouched MV files. Composite key /
+        # oversized delta: a size-guarded semi-join (both relations
+        # have at most n_delta rows since delta is grouped by g; past
+        # the bound the hint drops and the joins shuffle instead of
+        # blowing the broadcast limit).
+        cur_small = None
+        if len(g) == 1:
+            try:
+                cur_small = self.table.read_join_pruned(
+                    delta.select(*g), g[0]
+                )
+            except ValueError:
+                pass
+        if cur_small is None:
+            cur_small = self.table.read().join(
+                _hint_if_small(delta.select(*g).distinct(), n_delta, bmax),
+                on=g, how="left_semi",
+            )
         j = delta.join(_hint_if_small(cur_small, n_delta, bmax), on=g,
                        how="left")
 
@@ -418,13 +430,23 @@ class MaterializedView:
         dirty_keys = j.filter(F.col("__dirty")).select(*g)
         n_dirty = dirty_keys.count()
         if n_dirty:
-            recomputed = (
-                self.base.read(b_to)
-                .join(_hint_if_small(dirty_keys, n_dirty, bmax),
-                      on=g, how="left_semi")
-                .groupBy(*g)
-                .agg(*self._full_agg_exprs())
-            )
+            # dirty-group recompute reads O(dirty groups' rows): prune
+            # base FILES through manifest stats/blooms when the group
+            # column has them, else a size-guarded semi-join
+            dirty_rows = None
+            if len(g) == 1:
+                try:
+                    dirty_rows = self.base.read_join_pruned(
+                        dirty_keys, g[0], version=b_to
+                    )
+                except ValueError:
+                    pass  # no stats/bloom on the group column
+            if dirty_rows is None:
+                dirty_rows = self.base.read(b_to).join(
+                    _hint_if_small(dirty_keys, n_dirty, bmax),
+                    on=g, how="left_semi",
+                )
+            recomputed = dirty_rows.groupBy(*g).agg(*self._full_agg_exprs())
             updates = clean.unionByName(recomputed)
         else:
             updates = clean

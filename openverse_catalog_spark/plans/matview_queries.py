@@ -504,15 +504,15 @@ def mv_join_agg_incremental(spark, sf_dir):
         cols, deterministic=True,
     )
     left.delete(F.col("k") % 20 == 6)
-    res1 = mv.refresh()
-    assert res1["join"]["refreshed"] and res1["agg"]["refreshed"]
     right.update(
         F.col("ck") % 11 == 0,
         {"seg": F.concat(F.lit("X_"), F.col("nat").cast("string"))},
     )
     right.delete(F.col("ck") % 13 == 0)
-    res2 = mv.refresh()
-    assert res2["join"]["refreshed"] and res2["agg"]["refreshed"]
+    # ONE refresh reconciles churn from BOTH feeds (the per-stage
+    # multi-refresh staging is pinned in tests/test_matview.py)
+    res = mv.refresh()
+    assert res["join"]["refreshed"] and res["agg"]["refreshed"]
     # avg derived from the round-stable sum (see mv_incremental_orders)
     return mv.read().select(
         "seg",

@@ -693,6 +693,14 @@ def apply_changes(
         raise ValueError(f"changes lacks op column {op_col!r}")
     if sequence_by not in changes.columns:
         raise ValueError(f"changes lacks sequence column {sequence_by!r}")
+    if changes.filter(F.col(sequence_by).isNull()).head(1):
+        # a NULL sequence sorts last in latest-wins AND compares false
+        # against every fence — the row would silently lose all
+        # ordering decisions; that is source corruption, not a change
+        raise ValueError(
+            f"changes carry NULL {sequence_by!r} values; the sequence "
+            "column is the ordering fence and must be non-NULL"
+        )
     w = Window.partitionBy(*keys).orderBy(
         F.col(sequence_by).desc(),
         F.col(op_col).eqNullSafe(delete_op).desc(),

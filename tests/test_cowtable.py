@@ -2919,3 +2919,27 @@ def test_cow_dv_broadcast_guard(spark, tmp_path, monkeypatch):
         assert "BroadcastHashJoin" in plan2
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_cow_apply_changes_null_sequence_refused(spark, tmp_path):
+    """A NULL sequence value loses every latest-wins and fence
+    comparison silently — apply_changes refuses the batch instead."""
+    import pytest
+
+    from openverse_catalog_spark.streaming.incremental import apply_changes
+
+    t = CowTable.create(
+        spark, str(tmp_path / "ns"),
+        spark.createDataFrame([("a", 1.0, 0)],
+                              "fid string, val double, seq long"),
+        keys=("fid",), target_files=1,
+    )
+    with pytest.raises(ValueError, match="NULL 'seq'"):
+        apply_changes(
+            t,
+            spark.createDataFrame(
+                [("a", 2.0, None, "U")],
+                "fid string, val double, seq long, op string",
+            ),
+            sequence_by="seq",
+        )

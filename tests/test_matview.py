@@ -251,6 +251,12 @@ def test_refresh_reads_only_touched_groups(spark, tmp_path):
     touched = feed.select("grp").distinct()
     cur_small = mv.table.read().join(touched, "grp", "left_semi")
     assert cur_small.count() == 1  # of 50 stored groups
+    # single-group refresh prunes MV FILES through the manifest's key
+    # ranges, not just rows: the refresh never scans untouched files
+    pruned = mv.table.read_join_pruned(touched, "grp")
+    assert 0 < len(pruned.inputFiles()) < len(
+        mv.table._manifest()["files"]
+    )
     mv.refresh()
     truth = {
         r["grp"]: r["n"]

@@ -147,6 +147,35 @@ AUDIT = [
         "dup-heavy corpus), then each propagation round is one "
         "equi-join + one min-aggregate.",
     ),
+    (
+        "merge_cow_point_lookup",
+        "Bloom point lookup: per-file bitmaps (loaded lazily from the "
+        "executor-written sidecar, never manifest-resident) rule files "
+        "out BEFORE the scan plans — the parquet node lists only the "
+        "admitting file(s) and the residual equality filter pushes "
+        "into it.",
+    ),
+    (
+        "stream_cdc_tombstones",
+        "CDC apply with tombstone retention: the final state is a plain "
+        "pruned snapshot scan — the fence work happened at WRITE time "
+        "(tombstone semi-state joins keyed on the table's merge keys), "
+        "so readers pay nothing for late-delete protection.",
+    ),
+    (
+        "mv_join_agg_incremental",
+        "GROUP-BY-over-JOIN MV read: the composed join->aggregate "
+        "pipeline materialized, so the user-facing read is ONE pruned "
+        "scan of the aggregate table — no join, no aggregation at "
+        "query time; all churn work happened incrementally at refresh.",
+    ),
+    (
+        "search_hybrid_rrf",
+        "Hybrid RRF fusion: each retrieval arm (BM25, embedding cosine) "
+        "reduces the corpus to a top-50 TakeOrdered BEFORE the fusion "
+        "join, so the rank-fusion full-outer join is constant-size "
+        "regardless of corpus scale.",
+    ),
 ]
 
 
