@@ -2943,3 +2943,35 @@ def test_cow_apply_changes_null_sequence_refused(spark, tmp_path):
             ),
             sequence_by="seq",
         )
+
+
+def test_cow_bloom_sidecar_partitioned_paths(spark, tmp_path):
+    """Partition-pure writes nest files under __p_*=value dirs where
+    BASENAMES repeat — the sidecar must key bitmaps by the same
+    partition-qualified relative path the manifest entry records, or
+    every probe would silently miss (conservative keep, lost pruning).
+    Pins that bloom skipping still bites on a hidden-partitioned
+    table."""
+    rows = [
+        (f"p{i % 3}", f"f{i:04d}", f"http://h{(i * 7919) % 997}.ex/{i}")
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(
+        rows, "provider string, foreign_identifier string, url string"
+    )
+    t = CowTable.create(
+        spark, str(tmp_path / "pb"), df, target_files=4,
+        bloom_cols=("url",), partition_by=("provider",),
+    )
+    m = t._manifest()
+    n_all = len(m["files"])
+    assert n_all >= 3  # at least one file per partition
+    assert any("__p_provider=" in e["path"] for e in m["files"])
+    # every entry's bitmap resolves through the sidecar by its
+    # partition-qualified path
+    assert all(t._bloom_rec(e, "url") is not None for e in m["files"])
+    hit = t.read_where({"url": rows[123][2]})
+    assert [r["foreign_identifier"] for r in hit.collect()] == ["f0123"]
+    assert len(hit.inputFiles()) < n_all
+    miss = t.read_where({"url": "http://nowhere.ex/absent"})
+    assert miss.count() == 0 and len(miss.inputFiles()) == 0
