@@ -1621,6 +1621,112 @@ class CowTable:
             picked.append(e)
         return self._read_entries(picked, m).filter(F.col(col).isin(vals))
 
+    def read_join_pruned_multi(
+        self,
+        dim: DataFrame,
+        cols: list[str],
+        version: int | None = None,
+        max_keys: int = 10_000,
+    ) -> DataFrame:
+        """COMPOSITE-KEY dynamic file pruning: rows of this table whose
+        ``cols`` TUPLE matches some row of ``dim`` — pruned at the file
+        level per column independently (a file survives only if EVERY
+        constrained column's recorded range/bloom admits at least one
+        of that column's dim values; per-column independence is
+        conservative, never wrong), then the exact tuple semantics come
+        from a residual semi-join against the dim over the surviving
+        files. The composite analog of ``read_join_pruned`` — what a
+        multi-column materialized-view refresh or a compound-key CDC
+        feed needs. Falls back to a full-snapshot semi-join when the
+        dim is wider than ``max_keys`` tuples or a column has no
+        stats/bloom/key coverage at all (contract never changes)."""
+        from bisect import bisect_left
+
+        if not cols:
+            raise ValueError("need at least one join column")
+        if len(cols) == 1:
+            return self.read_join_pruned(
+                dim, cols[0], version=version, max_keys=max_keys
+            )
+        m = self._manifest(version)
+        dim_keys = dim.select(*cols).distinct()
+        rows = dim_keys.limit(max_keys + 1).collect()
+        full = self._read_entries(m["files"], m)
+        if len(rows) > max_keys:
+            return full.join(dim_keys, list(cols), "semi")
+        stats_cols = set(m.get("stats_cols") or [])
+        bloom_cols = set(m.get("bloom_cols") or [])
+        prunable = [
+            c for c in cols
+            if c in self.keys or c in stats_cols or c in bloom_cols
+        ]
+        if not prunable:
+            return full.join(dim_keys, list(cols), "semi")
+        vals_by_col = {
+            c: sorted({r[c] for r in rows if r[c] is not None})
+            for c in prunable
+        }
+        if any(not v for v in vals_by_col.values()):
+            # a column whose dim values are all NULL equi-joins nothing
+            return self._read_entries([], m).join(
+                dim_keys, list(cols), "semi"
+            )
+
+        # bound the driver-side bloom work exactly like the single-col
+        # path: ranges are O(log n) per file always; bloom probes are
+        # O(values) per file and skip past ~2M probe ops (pruning stays
+        # correct, just coarser)
+        probe_bloom = (
+            sum(len(v) for v in vals_by_col.values()) * len(m["files"])
+            <= 2_000_000
+        )
+
+        def col_admits(e, c, vals) -> bool:
+            if c in self.keys:
+                lo, hi = e["min"].get(c), e["max"].get(c)
+            else:
+                st = (e.get("stats") or {}).get(c)
+                if st is None:
+                    lo = hi = ()  # no stats: range can't prune
+                else:
+                    lo, hi = st.get("min"), st.get("max")
+            if lo is None and hi is None:
+                return False  # all-NULL file: equality can't match
+            if lo != () and hi != ():
+                try:
+                    i = bisect_left(vals, lo)
+                    if i >= len(vals) or vals[i] > hi:
+                        return False
+                except TypeError:
+                    pass  # mixed types: keep conservatively
+            if probe_bloom and c in bloom_cols and all(
+                isinstance(v, (str, int)) and not isinstance(v, bool)
+                for v in vals
+            ):
+                import base64
+
+                rec = self._bloom_rec(e, c)
+                if rec is not None:
+                    bits = base64.b64decode(rec["b64"])
+                    for v in vals:
+                        probe = _bloom_point_bits(
+                            v, int(rec["bits"]), int(rec["hashes"])
+                        )
+                        if all(
+                            (bits[i >> 3] >> (i & 7)) & 1 for i in probe
+                        ):
+                            return True
+                    return False
+            return True
+
+        picked = [
+            e for e in m["files"]
+            if all(col_admits(e, c, vals_by_col[c]) for c in prunable)
+        ]
+        return self._read_entries(picked, m).join(
+            dim_keys, list(cols), "semi"
+        )
+
     # -- change data feed ---------------------------------------------------
 
     def read_changes(
@@ -3530,6 +3636,7 @@ class CowTable:
         self,
         cols: list[str] | None = None,
         approx: bool = False,
+        kmv_k: int | None = None,
     ) -> dict:
         """ANALYZE TABLE: per-column NDV / null count / min / max plus
         the row count, computed in ONE aggregation pass over the
@@ -3578,11 +3685,214 @@ class CowTable:
                 for c in cols
             },
         }
+        if kmv_k:
+            # seed per-column KMV NDV sketches so analyze_incremental
+            # can advance NDV without rescanning: ONE pass tags every
+            # (col, hash60(value)) pair and keeps each column's k
+            # smallest distinct hashes (mergeable — see sketches.kmv_*)
+            doc["kmv_k"] = int(kmv_k)
+            doc["kmv"] = self._kmv_sketches(df, cols, kmv_k)
+            doc["deletes_since_full"] = 0
         os.makedirs(f"{self.root}/stats", exist_ok=True)
         tmp = f"{self.root}/stats/.tmp.{uuid.uuid4().hex}.json"
         with open(tmp, "w") as f:
             json.dump(doc, f, indent=1)
         os.replace(tmp, f"{self.root}/stats/v{v}.json")
+        return doc
+
+    def _kmv_sketches(
+        self, df: DataFrame, cols: list[str], k: int
+    ) -> dict[str, list[int]]:
+        """Per-column KMV sketches in ONE pass: explode each row into
+        (col, hash) pairs, distinct them (map-side combined), keep each
+        column's k smallest via a bounded window. State is k longs per
+        column."""
+        from pyspark.sql import Window
+
+        from openverse_catalog_spark.functions.hashing import hash60
+
+        pairs = df.select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(c).alias("col"),
+                        F.when(
+                            F.col(c).isNotNull(),
+                            hash60(
+                                F.concat(
+                                    F.lit("kmv|"),
+                                    F.col(c).cast("string"),
+                                )
+                            ),
+                        ).alias("h"),
+                    )
+                    for c in cols
+                ])
+            ).alias("p")
+        ).select("p.col", "p.h").filter(F.col("h").isNotNull()).distinct()
+        w = Window.partitionBy("col").orderBy("h")
+        top = (
+            pairs.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .select("col", "h")
+            .collect()
+        )
+        out: dict[str, list[int]] = {c: [] for c in cols}
+        for r in top:
+            out[r["col"]].append(int(r["h"]))
+        return {c: sorted(v) for c, v in out.items()}
+
+    def analyze_incremental(
+        self,
+        cols: list[str] | None = None,
+        kmv_k: int = 1024,
+    ) -> dict:
+        """ANALYZE advanced from the CHANGE FEED in O(churn) — the
+        statistics analog of the incremental materialized view, so a
+        100 TB table keeps planner stats fresh at ingest cadence
+        instead of rescanning per ANALYZE (Postgres autoanalyze runs on
+        a sample for the same reason):
+
+        * rows / per-column null counts: EXACT — additive ±1-weighted
+          sums over the feed span;
+        * min / max: EXACT — inserts extend the bound; a removed value
+          tying it triggers a recompute of just the tied columns (one
+          column-pruned pass, the MV min/max trick);
+        * NDV: a mergeable per-column KMV sketch (seeded by the last
+          full ``analyze(kmv_k=...)``) absorbs inserted values; deletes
+          cannot leave a sketch, so after deletes NDV reads as an UPPER
+          bound of the live count (``deletes_since_full`` records the
+          drift; a periodic full analyze re-tightens — the pg_stats
+          contract, stated rather than hidden).
+
+        A vacuumed feed span falls back to a full ``analyze``. The
+        advanced doc is stored version-pinned like any ANALYZE, so
+        the facade's stats-driven broadcast planning consumes it
+        transparently."""
+        from openverse_catalog_spark.operators.sketches import (
+            KMV_SPACE,
+            kmv_sql,
+        )
+
+        prev = self.stats()
+        v_to = self.version
+        if prev is None or "kmv" not in prev:
+            return self.analyze(cols, approx=False, kmv_k=kmv_k)
+        if cols is None:
+            cols = list(prev["columns"])
+        if prev["version"] >= v_to:
+            return prev
+        try:
+            feed = self.read_changes(prev["version"], v_to)
+        except ValueError:
+            return self.analyze(cols, approx=False, kmv_k=kmv_k)
+        w = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"),
+            F.lit(1),
+        ).otherwise(F.lit(-1))
+        aggs = [
+            F.coalesce(F.sum(w), F.lit(0)).alias("__d_rows"),
+            F.coalesce(
+                F.sum(F.when(w < 0, 1).otherwise(0)), F.lit(0)
+            ).alias("__d_dels"),
+        ]
+        # merge the feed's native-typed insert/remove bounds with the
+        # stored (stringified) bounds IN SPARK: prev strings cast back
+        # to the column's type, least/greatest compare with the
+        # column's own ordering — no driver-side lexical comparison of
+        # stringified numerics (where "99" > "100")
+        schema = {f.name: f for f in self.read(v_to).schema.fields}
+        for c in cols:
+            col = F.col(c)
+            dt = schema[c].dataType
+            prev_mn = F.lit(prev["columns"][c]["min"]).cast(dt)
+            prev_mx = F.lit(prev["columns"][c]["max"]).cast(dt)
+            ins_mn = F.min(F.when(w > 0, col))
+            ins_mx = F.max(F.when(w > 0, col))
+            rm_mn = F.min(F.when(w < 0, col))
+            rm_mx = F.max(F.when(w < 0, col))
+            new_mn = F.least(prev_mn, ins_mn)
+            new_mx = F.greatest(prev_mx, ins_mx)
+            aggs += [
+                F.coalesce(
+                    F.sum(F.when(col.isNull(), w)), F.lit(0)
+                ).alias(f"__d_nul_{c}"),
+                new_mn.cast("string").alias(f"__new_min_{c}"),
+                new_mx.cast("string").alias(f"__new_max_{c}"),
+                # a removed value AT the merged bound is the only way
+                # the true bound can have shrunk -> exact recompute
+                (rm_mn.isNotNull() & (
+                    new_mn.isNull() | (rm_mn <= new_mn)
+                )).alias(f"__tie_min_{c}"),
+                (rm_mx.isNotNull() & (
+                    new_mx.isNull() | (rm_mx >= new_mx)
+                )).alias(f"__tie_max_{c}"),
+            ]
+        row = feed.agg(*aggs).head()
+
+        # merge inserted values into the per-column KMV sketches (the
+        # feed's inserts are churn-sized; the sketch union is exact)
+        k = int(prev.get("kmv_k") or kmv_k)
+        inserted = feed.filter(w > 0)
+        fresh = self._kmv_sketches(inserted, cols, k)
+        kmv = {}
+        for c in cols:
+            merged = sorted(set(prev["kmv"].get(c, [])) | set(fresh[c]))
+            kmv[c] = merged[:k]
+
+        def ndv_est(hashes: list[int]) -> int:
+            if len(hashes) < k:
+                return len(hashes)
+            # floor, not round: DuckDB round() is half-away-from-zero
+            # while Python's is banker's — floor keeps the estimate
+            # replayable bit-for-bit in the oracle
+            return int((k - 1.0) / (hashes[-1] / KMV_SPACE))
+
+        recompute_min, recompute_max = [], []
+        columns = {}
+        for c in cols:
+            p = prev["columns"][c]
+            if row[f"__tie_min_{c}"]:
+                recompute_min.append(c)
+            if row[f"__tie_max_{c}"]:
+                recompute_max.append(c)
+            columns[c] = {
+                "ndv": ndv_est(kmv[c]),
+                "nulls": int(p["nulls"]) + int(row[f"__d_nul_{c}"]),
+                "min": row[f"__new_min_{c}"],
+                "max": row[f"__new_max_{c}"],
+            }
+        if recompute_min or recompute_max:
+            # one column-pruned pass re-derives only the tied bounds
+            exprs = [
+                F.min(F.col(c)).cast("string").alias(f"__mn_{c}")
+                for c in recompute_min
+            ] + [
+                F.max(F.col(c)).cast("string").alias(f"__mx_{c}")
+                for c in recompute_max
+            ]
+            fix = self.read(v_to).agg(*exprs).head()
+            for c in recompute_min:
+                columns[c]["min"] = fix[f"__mn_{c}"]
+            for c in recompute_max:
+                columns[c]["max"] = fix[f"__mx_{c}"]
+        doc = {
+            "version": v_to,
+            "rows": int(prev["rows"]) + int(row["__d_rows"]),
+            "approx": True,  # NDV is now the sketch estimate
+            "mode": "incremental",
+            "columns": columns,
+            "kmv_k": k,
+            "kmv": kmv,
+            "deletes_since_full": int(
+                prev.get("deletes_since_full", 0)
+            ) + int(row["__d_dels"]),
+        }
+        os.makedirs(f"{self.root}/stats", exist_ok=True)
+        tmp = f"{self.root}/stats/.tmp.{uuid.uuid4().hex}.json"
+        with open(tmp, "w") as f:
+            json.dump(doc, f, indent=1)
+        os.replace(tmp, f"{self.root}/stats/v{v_to}.json")
         return doc
 
     def stats(self, version: int | None = None) -> dict | None:

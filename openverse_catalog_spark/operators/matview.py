@@ -362,13 +362,12 @@ class MaterializedView:
         # the bound the hint drops and the joins shuffle instead of
         # blowing the broadcast limit).
         cur_small = None
-        if len(g) == 1:
-            try:
-                cur_small = self.table.read_join_pruned(
-                    delta.select(*g), g[0]
-                )
-            except ValueError:
-                pass
+        try:
+            cur_small = self.table.read_join_pruned_multi(
+                delta.select(*g), g
+            )
+        except ValueError:
+            pass
         if cur_small is None:
             cur_small = self.table.read().join(
                 _hint_if_small(delta.select(*g).distinct(), n_delta, bmax),
@@ -434,13 +433,12 @@ class MaterializedView:
             # base FILES through manifest stats/blooms when the group
             # column has them, else a size-guarded semi-join
             dirty_rows = None
-            if len(g) == 1:
-                try:
-                    dirty_rows = self.base.read_join_pruned(
-                        dirty_keys, g[0], version=b_to
-                    )
-                except ValueError:
-                    pass  # no stats/bloom on the group column
+            try:
+                dirty_rows = self.base.read_join_pruned_multi(
+                    dirty_keys, g, version=b_to
+                )
+            except ValueError:
+                pass  # no stats/bloom on the group column(s)
             if dirty_rows is None:
                 dirty_rows = self.base.read(b_to).join(
                     _hint_if_small(dirty_keys, n_dirty, bmax),
@@ -678,17 +676,16 @@ class JoinMaterializedView:
                          self.on, "leftsemi")
             )
             # left rows referencing a changed join value: prune left
-            # FILES through the manifest when the single-column fast
-            # path applies (self-capped at 10k keys with a semi-join
-            # fallback), else a size-guarded semi-join
+            # FILES through the manifest (single- or composite-key;
+            # self-capped at 10k keys with a semi-join fallback), else
+            # a size-guarded semi-join
             hit = None
-            if len(self.on) == 1:
-                try:
-                    hit = self.left.read_join_pruned(
-                        dirty_jv, self.on[0], version=l_to
-                    )
-                except ValueError:
-                    pass  # no stats/bloom on the join column
+            try:
+                hit = self.left.read_join_pruned_multi(
+                    dirty_jv, self.on, version=l_to
+                )
+            except ValueError:
+                pass  # no stats/bloom on the join column(s)
             if hit is None:
                 hit = ldf.join(_hint_if_small(dirty_jv, n_jv, bmax),
                                self.on, "leftsemi")

@@ -2328,3 +2328,167 @@ def merge_cow_when_clauses(spark, sf_dir):
     return t.read().select(
         "fid", F.round("balance", 2).alias("balance"), "segment"
     )
+
+
+@register(
+    "stats_incremental_analyze",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k, o_custkey AS ck,
+             CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                  ELSE CAST(round(o_totalprice * 100) AS BIGINT)
+             END AS price_cents
+      FROM orders WHERE o_orderkey % 3 <> 2
+    ),
+    upd AS (
+      SELECT k, ck, price_cents + 3300 AS price_cents
+      FROM base WHERE k % 5 = 1
+    ),
+    ins AS (
+      SELECT o_orderkey AS k, o_custkey AS ck,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE CAST(round(o_totalprice * 100) AS BIGINT)
+             END AS price_cents
+      FROM orders WHERE o_orderkey % 3 = 2
+    ),
+    after_upd AS (
+      SELECT k, ck,
+             CASE WHEN k % 5 = 1 THEN price_cents + 3300
+                  ELSE price_cents END AS price_cents
+      FROM base
+    ),
+    state AS (
+      SELECT * FROM after_upd UNION ALL SELECT * FROM ins
+    ),
+    final AS (
+      SELECT * FROM state
+      WHERE price_cents IS NULL
+         OR price_cents <> (SELECT min(price_cents) FROM state)
+    ),
+    -- the NDV sketch absorbs every EVER-INSERTED value (base rows,
+    -- update post-images, inserts); deletes cannot leave a sketch
+    ing AS (
+      SELECT ck, price_cents FROM base
+      UNION ALL SELECT ck, price_cents FROM upd
+      UNION ALL SELECT ck, price_cents FROM ins
+    ),
+    tck AS (
+      SELECT DISTINCT CAST(('0x' || substr(
+               md5('kmv|' || CAST(ck AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM ing WHERE ck IS NOT NULL ORDER BY h LIMIT 256
+    ),
+    tpr AS (
+      SELECT DISTINCT CAST(('0x' || substr(
+               md5('kmv|' || CAST(price_cents AS VARCHAR)), 1, 15))
+             AS BIGINT) AS h
+      FROM ing WHERE price_cents IS NOT NULL ORDER BY h LIMIT 256
+    ),
+    ndvs AS (
+      SELECT 'ck' AS col,
+             CASE WHEN (SELECT count(*) FROM tck) < 256
+                  THEN (SELECT count(*) FROM tck)
+                  ELSE CAST(floor(255.0 / ((SELECT max(h) FROM tck)
+                       / 1152921504606846976.0)) AS BIGINT)
+             END AS ndv
+      UNION ALL
+      SELECT 'price_cents',
+             CASE WHEN (SELECT count(*) FROM tpr) < 256
+                  THEN (SELECT count(*) FROM tpr)
+                  ELSE CAST(floor(255.0 / ((SELECT max(h) FROM tpr)
+                       / 1152921504606846976.0)) AS BIGINT)
+             END
+    )
+    SELECT s.col, s.n_rows, s.nulls, s.min_v, s.max_v, n.ndv
+    FROM (
+      SELECT 'ck' AS col, count(*) AS n_rows,
+             count(*) FILTER (WHERE ck IS NULL) AS nulls,
+             min(ck) AS min_v, max(ck) AS max_v
+      FROM final
+      UNION ALL
+      SELECT 'price_cents', count(*),
+             count(*) FILTER (WHERE price_cents IS NULL),
+             min(price_cents), max(price_cents)
+      FROM final
+    ) s JOIN ndvs n ON s.col = n.col
+    """,
+)
+def stats_incremental_analyze(spark, sf_dir):
+    """INCREMENTAL ANALYZE (cowtable.analyze_incremental): planner
+    statistics advanced from the CHANGE FEED in O(churn) instead of a
+    full rescan — the statistics analog of the incremental MV, and
+    what keeps the facade's stats-driven broadcast planning fresh at
+    ingest cadence on a 100 TB table. One incremental call absorbs an
+    UPDATE commit (post-images enter the NDV sketch; pre-images adjust
+    nulls), an INSERT commit (bounds extend), and a DELETE of every
+    min-holding row (the removed value ties the stored bound, forcing
+    the exact per-column recompute path). The oracle replays rows /
+    nulls / min / max against the FINAL state exactly, and replays the
+    KMV NDV estimate bit-for-bit (same md5 hash60, same k smallest,
+    same floor formula) over the ever-inserted value set — the
+    documented deletes-make-NDV-an-upper-bound semantics, pinned in
+    SQL rather than hidden."""
+    import os
+    import shutil
+    import tempfile
+
+    from openverse_catalog_spark.operators.cowtable import CowTable
+    from openverse_catalog_spark.schemas.columns import (
+        ColumnSpec,
+        Datatype,
+        UpsertStrategy,
+    )
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    k = F.col("o_orderkey")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_inc_stats")
+    shutil.rmtree(root, ignore_errors=True)
+    base = o.filter(k % 3 != 2).select(
+        k.alias("k"),
+        F.col("o_custkey").alias("ck"),
+        F.when(k % 11 == 0, F.lit(None).cast("bigint"))
+        .otherwise(cents).alias("price_cents"),
+    )
+    t = CowTable.create(
+        spark, root, base, keys=("k",), target_files=6
+    )
+    t.analyze(cols=["ck", "price_cents"], kmv_k=256)
+    cols = [
+        ColumnSpec("k", Datatype.int,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("ck", Datatype.int),
+        ColumnSpec("price_cents", Datatype.int),
+    ]
+    t.update(
+        F.col("k") % 5 == 1,
+        {"price_cents": F.col("price_cents") + 3300},
+    )
+    t.merge(
+        o.filter(k % 3 == 2).select(
+            k.alias("k"),
+            F.col("o_custkey").alias("ck"),
+            F.when(k % 7 == 0, F.lit(None).cast("bigint"))
+            .otherwise(cents).alias("price_cents"),
+        ),
+        cols, deterministic=True,
+    )
+    mn = t.read().agg(F.min("price_cents")).head()[0]
+    t.delete(F.col("price_cents") == mn)
+    doc = t.analyze_incremental()
+    assert doc["mode"] == "incremental" and doc["deletes_since_full"] > 0
+    rows = [
+        (
+            c,
+            doc["rows"],
+            doc["columns"][c]["nulls"],
+            int(doc["columns"][c]["min"]),
+            int(doc["columns"][c]["max"]),
+            doc["columns"][c]["ndv"],
+        )
+        for c in ("ck", "price_cents")
+    ]
+    return spark.createDataFrame(
+        rows,
+        "col string, n_rows long, nulls long, min_v long, max_v long, "
+        "ndv long",
+    )

@@ -48,6 +48,16 @@ reference runs as dedicated DAGs:
   ``DESCRIBE HISTORY <t>``                 commit log as a frame
   ``OPTIMIZE <t> [ZORDER BY (c, ...)]``    bin-pack / z-order compaction
   ``VACUUM <t> [RETAIN n VERSIONS]``       manifest + orphan-file GC
+
+plus the derived-table lifecycle: ``CREATE MATERIALIZED VIEW`` in all
+three shapes (GROUP BY over a lake table; ``SELECT * FROM a JOIN b``;
+GROUP BY over a JOIN — the reference's image_view shape), ``REFRESH`` /
+``SHOW`` / ``DROP MATERIALIZED VIEW``, and ``APPLY CHANGES INTO ...
+SEQUENCE BY s [OP COLUMN o] [TOMBSTONE RETENTION secs]`` (DLT CDC apply
+with late-delete fencing). Registered tables whose stored ANALYZE stats
+put them under ``spark.openverse.sql.autoBroadcastRows`` carry a
+broadcast hint into every facade join (stats-driven planning, the
+pg_stats analog).
 """
 
 from __future__ import annotations
@@ -181,13 +191,20 @@ _BEGIN_TXN = re.compile(
 _COMMIT_TXN = re.compile(r"^\s*COMMIT\s*;?\s*$", re.IGNORECASE)
 _ROLLBACK_TXN = re.compile(r"^\s*ROLLBACK\s*;?\s*$", re.IGNORECASE)
 _SHOW_TABLES = re.compile(r"^\s*SHOW\s+TABLES\s*$", re.IGNORECASE)
+_SHOW_MVS = re.compile(
+    r"^\s*SHOW\s+MATERIALIZED\s+VIEWS\s*$", re.IGNORECASE
+)
+_DROP_MV = re.compile(
+    r"^\s*DROP\s+MATERIALIZED\s+VIEW\s+(\w+)\s*$", re.IGNORECASE
+)
 _COPY_TO = re.compile(
     r"^\s*COPY\s*\((.+)\)\s*TO\s+'([^']+)'\s*"
     r"\(\s*FORMAT\s+(PARQUET|TSV)\s*\)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _ANALYZE = re.compile(
-    r"^\s*ANALYZE\s+TABLE\s+(\w+)(?:\s+COMPUTE\s+STATISTICS)?\s*$",
+    r"^\s*ANALYZE\s+TABLE\s+(\w+)(?:\s+COMPUTE\s+STATISTICS)?"
+    r"(\s+INCREMENTAL)?\s*$",
     re.IGNORECASE,
 )
 _CREATE_TABLE = re.compile(
@@ -817,6 +834,33 @@ class SqlFacade:
                   bool(res["refreshed"]))],
                 "left_version long, right_version long, refreshed boolean",
             )
+        if _SHOW_MVS.match(text):
+            rows = []
+            for n in sorted(self._mvs):
+                mv = self._mvs[n]
+                kind = {
+                    "MaterializedView": "aggregate",
+                    "JoinMaterializedView": "join",
+                    "JoinAggMaterializedView": "join_agg",
+                }.get(type(mv).__name__, type(mv).__name__)
+                rows.append((n, kind, mv.root))
+            return self.spark.createDataFrame(
+                rows, "view string, kind string, location string"
+            ) if rows else self.spark.createDataFrame(
+                [], "view string, kind string, location string"
+            )
+        m = _DROP_MV.match(text)
+        if m and m.group(1) in self._mvs:
+            import shutil
+
+            name = m.group(1)
+            mv = self._mvs.pop(name)
+            self.spark.catalog.dropTempView(name)
+            shutil.rmtree(mv.root, ignore_errors=True)  # storage too,
+            # exactly Postgres DROP MATERIALIZED VIEW semantics
+            return self.spark.createDataFrame(
+                [(name,)], "dropped string"
+            )
         m = _INSERT_INTO.match(text)
         if m and m.group(1) in self._tables:
             name, query = m.group(1), m.group(2)
@@ -891,7 +935,11 @@ class SqlFacade:
             )
         m = _ANALYZE.match(text)
         if m and m.group(1) in self._tables:
-            doc = self._tables[m.group(1)].analyze()
+            t = self._tables[m.group(1)]
+            # INCREMENTAL advances stats from the change feed in
+            # O(churn) (seeding a full scan only the first time or
+            # after vacuum); bare ANALYZE rescans
+            doc = t.analyze_incremental() if m.group(2) else t.analyze()
             rows = [
                 (c, st["ndv"], st["nulls"], st["min"], st["max"],
                  doc["rows"])

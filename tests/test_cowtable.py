@@ -2975,3 +2975,145 @@ def test_cow_bloom_sidecar_partitioned_paths(spark, tmp_path):
     assert len(hit.inputFiles()) < n_all
     miss = t.read_where({"url": "http://nowhere.ex/absent"})
     assert miss.count() == 0 and len(miss.inputFiles()) == 0
+
+
+def test_cow_read_join_pruned_multi(spark, tmp_path):
+    """Composite-key dynamic file pruning: per-column range/bloom
+    checks drop files conservatively, the residual semi-join restores
+    exact TUPLE semantics (per-column independence alone would
+    over-match mixed tuples), and the wide-dim / no-stats fallbacks
+    keep the contract."""
+    rows = [
+        (f"f{i:04d}", i % 40, f"s{i % 7}", float(i)) for i in range(800)
+    ]
+    df = spark.createDataFrame(
+        rows, "fid string, bucket int, shard string, v double"
+    )
+    t = CowTable.create(
+        spark, str(tmp_path / "m"), df, keys=("fid",), target_files=8,
+        stats_cols=("bucket", "shard"),
+    )
+    n_all = len(t._manifest()["files"])
+    dim = spark.createDataFrame(
+        [(3, "s1"), (3, "s2"), (38, "s0")], "bucket int, shard string"
+    )
+    got = t.read_join_pruned_multi(dim, ["bucket", "shard"])
+    want = {
+        (r[0], r[1], r[2])
+        for r in rows
+        if (r[1], r[2]) in {(3, "s1"), (3, "s2"), (38, "s0")}
+    }
+    assert {
+        (r["fid"], r["bucket"], r["shard"]) for r in got.collect()
+    } == want
+    # tuple semantics: (3, "s0") rows exist but are NOT in the dim and
+    # must not leak through per-column independence
+    assert not any(
+        r["bucket"] == 3 and r["shard"] == "s0" for r in got.collect()
+    )
+
+    # files are range-clustered on fid, so bucket/shard stats are wide;
+    # prune on the key column instead to see file skipping bite
+    key_dim = spark.createDataFrame([("f0001",), ("f0002",)], "fid string")
+    pruned = t.read_join_pruned_multi(key_dim, ["fid"])
+    assert len(pruned.inputFiles()) < n_all
+    # composite including the key column prunes through the key range
+    kb_dim = spark.createDataFrame(
+        [("f0001", 1), ("f0002", 2)], "fid string, bucket int"
+    )
+    got2 = t.read_join_pruned_multi(kb_dim, ["fid", "bucket"])
+    assert len(got2.inputFiles()) < n_all
+    assert {r["fid"] for r in got2.collect()} == {"f0001", "f0002"}
+
+    # all-NULL dim column: equality matches nothing
+    null_dim = spark.createDataFrame(
+        [(None, "s1")], "bucket int, shard string"
+    )
+    assert t.read_join_pruned_multi(
+        null_dim, ["bucket", "shard"]
+    ).count() == 0
+
+    # no stats at all on a column set -> full semi-join fallback, same rows
+    t2 = CowTable.create(
+        spark, str(tmp_path / "nostats"), df, keys=("fid",),
+        target_files=2,
+    )
+    got3 = t2.read_join_pruned_multi(dim, ["bucket", "shard"])
+    assert {
+        (r["fid"], r["bucket"], r["shard"]) for r in got3.collect()
+    } == want
+
+
+def test_cow_analyze_incremental(spark, tmp_path):
+    """ANALYZE advanced from the change feed: rows/nulls/min/max stay
+    EXACT through inserts, bound-raising updates (pre-image removes the
+    stored min -> per-column recompute) and deletes; NDV tracks the
+    KMV sketch (exact below k for insert-only churn, an upper bound
+    once deletes happen, with the drift recorded); a vacuumed span
+    falls back to a full analyze."""
+    from openverse_catalog_spark.schemas.columns import (
+        ColumnSpec,
+        Datatype,
+        UpsertStrategy,
+    )
+
+    sch = "fid string, grp string, v double"
+    base = spark.createDataFrame(
+        [(f"f{i:03d}", f"g{i % 7}", float(i)) for i in range(100)]
+        + [("fnull", "g0", None)],
+        sch,
+    )
+    t = CowTable.create(
+        spark, str(tmp_path / "ai"), base, keys=("fid",), target_files=2
+    )
+    full0 = t.analyze(cols=["grp", "v"], kmv_k=64)
+    assert full0["kmv_k"] == 64 and set(full0["kmv"]) == {"grp", "v"}
+
+    cols = [
+        ColumnSpec("fid", Datatype.char,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("grp", Datatype.char),
+        ColumnSpec("v", Datatype.double),
+    ]
+    # churn: new groups + a value beyond the old max; raise the min
+    # holder (f000, v=0.0) so the pre-image ties the stored min
+    t.merge(
+        spark.createDataFrame(
+            [("f900", "g7", 1000.0), ("f901", "g8", None),
+             ("f000", "g0", 500.0)],
+            sch,
+        ),
+        cols, deterministic=True,
+    )
+    t.delete(F.col("fid") == "f050")
+    inc = t.analyze_incremental()
+    assert inc["mode"] == "incremental" and inc["version"] == t.version
+    truth = t.analyze(cols=["grp", "v"])  # fresh full scan
+    assert inc["rows"] == truth["rows"]
+    for c in ("grp", "v"):
+        assert inc["columns"][c]["nulls"] == truth["columns"][c]["nulls"]
+        assert inc["columns"][c]["min"] == truth["columns"][c]["min"]
+        assert inc["columns"][c]["max"] == truth["columns"][c]["max"]
+    # deletes happened -> NDV is an upper bound of the live count
+    assert inc["deletes_since_full"] >= 1
+    assert inc["columns"]["grp"]["ndv"] >= truth["columns"]["grp"]["ndv"]
+    # insert-only distincts below k: grp sketch is EXACT over
+    # ever-inserted groups (g0..g8 = 9)
+    assert inc["columns"]["grp"]["ndv"] == 9
+
+    # the facade's stats-driven planning consumes the advanced doc
+    assert t.stats()["rows"] == truth["rows"]
+
+    # vacuumed feed span -> full-analyze fallback (new sketch seeded)
+    t.merge(
+        spark.createDataFrame([("f902", "g9", 7.0)], sch),
+        cols, deterministic=True,
+    )
+    t.merge(
+        spark.createDataFrame([("f903", "g9", 8.0)], sch),
+        cols, deterministic=True,
+    )
+    t.vacuum(keep_versions=1, retention_seconds=0)
+    inc2 = t.analyze_incremental()
+    assert inc2.get("mode") != "incremental" and "kmv" in inc2
+    assert inc2["version"] == t.version

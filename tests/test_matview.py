@@ -689,3 +689,52 @@ def test_join_agg_mv_refresh_equals_rebuild(spark, tmp_path):
     # no-churn refresh is a no-op on both stages
     r4 = mv.refresh()
     assert not r4["join"]["refreshed"] and not r4["agg"]["refreshed"]
+
+
+def test_composite_group_key_mv(spark, tmp_path):
+    """A COMPOSITE group key flows through the whole incremental MV
+    path (delta apply, composite-key file pruning, dirty recompute) and
+    still equals the full recompute."""
+    base = CowTable.create(
+        spark, str(tmp_path / "cb"),
+        spark.createDataFrame(
+            [(i, f"g{i % 5}", f"s{i % 3}", float(i)) for i in range(60)],
+            "id bigint, grp string, sub string, val double",
+        ),
+        keys=("id",), target_files=2,
+    )
+    mv = MaterializedView(
+        spark, base, str(tmp_path / "cmv"), ["grp", "sub"],
+        [AggSpec("n", "count"), AggSpec("total", "sum", "val"),
+         AggSpec("lo", "min", "val")],
+    )
+    mv.build()
+    cols = [
+        ColumnSpec("id", Datatype.int, required=True,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("grp", Datatype.char),
+        ColumnSpec("sub", Datatype.char),
+        ColumnSpec("val", Datatype.double),
+    ]
+    base.merge(
+        spark.createDataFrame(
+            [(100, "g1", "s2", 7.5), (3, "g3", "s0", 0.25)],
+            "id bigint, grp string, sub string, val double",
+        ),
+        cols, deterministic=True,
+    )
+    base.delete(F.col("id") == 10)  # min-holder of (g0, s1)
+    mv.refresh()
+
+    def snap(df):
+        return {
+            (r["grp"], r["sub"]): (r["n"], r["total"], r["lo"])
+            for r in df.collect()
+        }
+
+    truth = base.read().groupBy("grp", "sub").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("val").alias("total"),
+        F.min("val").alias("lo"),
+    )
+    assert snap(mv.read()) == snap(truth)

@@ -913,3 +913,40 @@ def test_facade_join_agg_mv_text(spark, tmp_path):
     assert out["refreshed"] is True
     t = truth()
     assert got() == t and "TWO" in t and "two" not in t
+
+
+def test_facade_show_and_drop_materialized_views(spark, tmp_path):
+    """SHOW MATERIALIZED VIEWS lists every registered view with its
+    kind; DROP MATERIALIZED VIEW unregisters the name, drops the temp
+    view, and removes the backing storage (Postgres semantics)."""
+    import os
+
+    base = CowTable.create(
+        spark, str(tmp_path / "b"),
+        spark.createDataFrame(
+            [(f"k{n}", n % 3, float(n)) for n in range(9)],
+            "k string, grp int, v double",
+        ),
+        keys=("k",), target_files=1,
+    )
+    f = SqlFacade(spark)
+    f.register_table("t", base)
+    f.sql(
+        "CREATE MATERIALIZED VIEW agg1 AS "
+        "SELECT grp, count(*) AS n FROM t GROUP BY grp"
+    )
+    got = {
+        (r["view"], r["kind"])
+        for r in f.sql("SHOW MATERIALIZED VIEWS").collect()
+    }
+    assert got == {("agg1", "aggregate")}
+    root = f._mvs["agg1"].root
+    assert os.path.isdir(root)
+    out = f.sql("DROP MATERIALIZED VIEW agg1").collect()
+    assert out[0]["dropped"] == "agg1"
+    assert not os.path.isdir(root)
+    assert f.sql("SHOW MATERIALIZED VIEWS").count() == 0
+    import pytest
+
+    with pytest.raises(Exception):
+        f.sql("SELECT * FROM agg1").collect()
