@@ -3863,19 +3863,80 @@ class CowTable:
                 "max": row[f"__new_max_{c}"],
             }
         if recompute_min or recompute_max:
-            # one column-pruned pass re-derives only the tied bounds
-            exprs = [
-                F.min(F.col(c)).cast("string").alias(f"__mn_{c}")
-                for c in recompute_min
-            ] + [
-                F.max(F.col(c)).cast("string").alias(f"__mx_{c}")
-                for c in recompute_max
-            ]
-            fix = self.read(v_to).agg(*exprs).head()
+            # re-derive the tied bounds: METADATA-ONLY when the column
+            # already has per-file manifest stats (the table-wide bound
+            # is the fold of the per-file bounds — zero data read;
+            # conservative skip if any DV-carrying or stats-less file
+            # leaves the fold uncertain), else one column-pruned pass
+            m_now = self._manifest(v_to)
+            stat_cols = set(m_now.get("stats_cols") or [])
+
+            def fold(c, which):
+                vals = []
+                for e in m_now["files"]:
+                    if e.get("dv"):
+                        return None  # DV hides rows from file stats
+                    if c in self.keys:
+                        b = e[which].get(c)
+                    else:
+                        st = (e.get("stats") or {}).get(c)
+                        if st is None:
+                            return None
+                        b = st.get(which)
+                    if b is not None:
+                        vals.append(b)
+                if not vals:
+                    return ("NULL",)  # all-NULL column
+                try:
+                    agg = min(vals) if which == "min" else max(vals)
+                except TypeError:
+                    return None
+                # int/str stringify identically in Python and Spark's
+                # CAST AS STRING; float formatting does not — let
+                # floats take the exact scan so the stored doc never
+                # mixes formatting conventions
+                if isinstance(agg, bool) or not isinstance(
+                    agg, (int, str)
+                ):
+                    return None
+                return (agg,)
+
+            scan_min, scan_max = [], []
             for c in recompute_min:
-                columns[c]["min"] = fix[f"__mn_{c}"]
+                got = (
+                    fold(c, "min")
+                    if (c in self.keys or c in stat_cols) else None
+                )
+                if got is None:
+                    scan_min.append(c)
+                else:
+                    columns[c]["min"] = (
+                        None if got[0] == "NULL" else str(got[0])
+                    )
             for c in recompute_max:
-                columns[c]["max"] = fix[f"__mx_{c}"]
+                got = (
+                    fold(c, "max")
+                    if (c in self.keys or c in stat_cols) else None
+                )
+                if got is None:
+                    scan_max.append(c)
+                else:
+                    columns[c]["max"] = (
+                        None if got[0] == "NULL" else str(got[0])
+                    )
+            if scan_min or scan_max:
+                exprs = [
+                    F.min(F.col(c)).cast("string").alias(f"__mn_{c}")
+                    for c in scan_min
+                ] + [
+                    F.max(F.col(c)).cast("string").alias(f"__mx_{c}")
+                    for c in scan_max
+                ]
+                fix = self.read(v_to).agg(*exprs).head()
+                for c in scan_min:
+                    columns[c]["min"] = fix[f"__mn_{c}"]
+                for c in scan_max:
+                    columns[c]["max"] = fix[f"__mx_{c}"]
         doc = {
             "version": v_to,
             "rows": int(prev["rows"]) + int(row["__d_rows"]),

@@ -764,6 +764,11 @@ def apply_changes(
             expired = F.col("__ts_at") < (now - tombstone_retention)
             if ts.read().filter(expired).head(1):
                 ts.delete(expired)
+            # the side table has no user-driven maintenance loop; a
+            # long CDC stream would otherwise grow its manifest chain
+            # per batch forever. Default retention keeps any in-flight
+            # writer's attempt safe.
+            ts.vacuum(keep_versions=3)
 
     is_del = f"s.{op_col} = '{delete_op}'"
     fresh = f"s.{sequence_by} >= t.{sequence_by}"

@@ -3117,3 +3117,33 @@ def test_cow_analyze_incremental(spark, tmp_path):
     inc2 = t.analyze_incremental()
     assert inc2.get("mode") != "incremental" and "kmv" in inc2
     assert inc2["version"] == t.version
+
+
+def test_cow_analyze_incremental_metadata_bound_repair(spark, tmp_path):
+    """When a bound-tying delete hits a column that has per-file
+    manifest stats, the incremental analyze repairs the bound from
+    METADATA (fold of per-file bounds) and still lands on the exact
+    full-analyze answer."""
+    from openverse_catalog_spark.schemas.columns import (
+        ColumnSpec,
+        Datatype,
+        UpsertStrategy,
+    )
+
+    t = CowTable.create(
+        spark, str(tmp_path / "mb"),
+        spark.createDataFrame(
+            [(f"f{i:03d}", i * 10) for i in range(50)],
+            "fid string, v bigint",
+        ),
+        keys=("fid",), target_files=4, stats_cols=("v",),
+    )
+    t.analyze(cols=["v"], kmv_k=32)
+    t.delete(F.col("v") == 0)    # the min holder
+    t.delete(F.col("v") == 490)  # the max holder
+    inc = t.analyze_incremental()
+    assert inc["mode"] == "incremental"
+    full = t.analyze(cols=["v"])
+    assert inc["columns"]["v"]["min"] == full["columns"]["v"]["min"]
+    assert inc["columns"]["v"]["max"] == full["columns"]["v"]["max"]
+    assert inc["rows"] == full["rows"] == 48
