@@ -1205,13 +1205,21 @@ class CowTable:
             return None
         return self.spark.read.parquet(*dirs).select("file", "pos")
 
-    def _dv_hint(self, pos: DataFrame, entries: list[dict]) -> DataFrame:
+    def _dv_hint(
+        self,
+        pos: DataFrame,
+        entries: list[dict],
+        dead_rows: int | None = None,
+    ) -> DataFrame:
         """Broadcast the (file, pos) DV relation only when the
         manifest's recorded deleted-row counts prove it small
         (metadata-only decision); past DV_BROADCAST_MAX_ROWS the
         anti-join shuffles instead of forcing an oversized broadcast
-        on every read of a delete-heavy merge-on-read table."""
-        dead = sum(
+        on every read of a delete-heavy merge-on-read table.
+        ``dead_rows`` overrides the entry fold when the caller joins a
+        SUBSET of the recorded positions (e.g. the change feed's
+        newly-dead delta)."""
+        dead = dead_rows if dead_rows is not None else sum(
             (e.get("dv") or {}).get("deleted", 0) for e in entries
         )
         return F.broadcast(pos) if dead <= DV_BROADCAST_MAX_ROWS else pos
@@ -1651,9 +1659,12 @@ class CowTable:
         m = self._manifest(version)
         dim_keys = dim.select(*cols).distinct()
         rows = dim_keys.limit(max_keys + 1).collect()
-        full = self._read_entries(m["files"], m)
+
+        def full():  # built lazily: the pruned path never plans it
+            return self._read_entries(m["files"], m)
+
         if len(rows) > max_keys:
-            return full.join(dim_keys, list(cols), "semi")
+            return full().join(dim_keys, list(cols), "semi")
         stats_cols = set(m.get("stats_cols") or [])
         bloom_cols = set(m.get("bloom_cols") or [])
         prunable = [
@@ -1661,7 +1672,7 @@ class CowTable:
             if c in self.keys or c in stats_cols or c in bloom_cols
         ]
         if not prunable:
-            return full.join(dim_keys, list(cols), "semi")
+            return full().join(dim_keys, list(cols), "semi")
         vals_by_col = {
             c: sorted({r[c] for r in rows if r[c] is not None})
             for c in prunable
@@ -1860,8 +1871,21 @@ class CowTable:
                 cur_pos = cur_pos.join(
                     old, ["file", "pos"], "left_anti"
                 )
+            # cur_pos was anti-joined down to THIS span's newly-dead
+            # rows, so the broadcast guard sizes on the delta — the
+            # deleted-count growth across the span — not the total
+            # accumulated DV volume (a tiny commit on a delete-heavy
+            # table must still broadcast its tiny delta)
+            newly_dead_n = sum(
+                (cur.get("dv") or {}).get("deleted", 0)
+                - (old_e.get("dv") or {}).get("deleted", 0)
+                for old_e, cur in dv_grown
+            )
             newly_dead = raw.join(
-                self._dv_hint(cur_pos, [e for _, e in dv_grown]),
+                self._dv_hint(
+                    cur_pos, [e for _, e in dv_grown],
+                    dead_rows=newly_dead_n,
+                ),
                 (raw["__dv_file"] == cur_pos["file"])
                 & (raw["__dv_pos"] == cur_pos["pos"]),
                 "left_semi",
@@ -3508,6 +3532,7 @@ class CowTable:
                 "files_kept": len(m["files"]),
                 "files_written": 0,
                 "rows": m["rows"],
+                "retightened": False,
             }
         small_rows = sum(e["rows"] for e in small)
         n_files = max(1, -(-small_rows // target_rows))
@@ -3780,6 +3805,14 @@ class CowTable:
             return self.analyze(cols, approx=False, kmv_k=kmv_k)
         if cols is None:
             cols = list(prev["columns"])
+        live_schema = {f.name for f in self.read(v_to).schema.fields}
+        if any(c not in prev["columns"] or c not in live_schema
+               for c in cols):
+            # schema evolved since the seed (column dropped/renamed/
+            # added) or the caller asks for unseeded columns: re-seed
+            # with a full analyze instead of crashing the stats loop
+            keep = [c for c in cols if c in live_schema]
+            return self.analyze(keep or None, approx=False, kmv_k=kmv_k)
         if prev["version"] >= v_to:
             return prev
         try:
@@ -3886,7 +3919,10 @@ class CowTable:
                     if b is not None:
                         vals.append(b)
                 if not vals:
-                    return ("NULL",)  # all-NULL column
+                    # all-NULL column: a (kind, value) pair, NOT a
+                    # string sentinel — a real value 'NULL' must stay
+                    # distinguishable from the-column-is-all-NULL
+                    return ("allnull", None)
                 try:
                     agg = min(vals) if which == "min" else max(vals)
                 except TypeError:
@@ -3899,7 +3935,7 @@ class CowTable:
                     agg, (int, str)
                 ):
                     return None
-                return (agg,)
+                return ("ok", agg)
 
             scan_min, scan_max = [], []
             for c in recompute_min:
@@ -3911,7 +3947,7 @@ class CowTable:
                     scan_min.append(c)
                 else:
                     columns[c]["min"] = (
-                        None if got[0] == "NULL" else str(got[0])
+                        None if got[0] == "allnull" else str(got[1])
                     )
             for c in recompute_max:
                 got = (
@@ -3922,7 +3958,7 @@ class CowTable:
                     scan_max.append(c)
                 else:
                     columns[c]["max"] = (
-                        None if got[0] == "NULL" else str(got[0])
+                        None if got[0] == "allnull" else str(got[1])
                     )
             if scan_min or scan_max:
                 exprs = [
@@ -4011,13 +4047,21 @@ class CowTable:
         # it, clustering is still tight and maintain() does nothing
         clamp = m.get("zorder_clamp")
         if clamp and clamp.get("fraction", 0.0) > ZORDER_CLAMP_RETIGHTEN:
-            out["retighten_result"] = self.compact(
-                target_rows=target_rows,
-                zorder_by=list(clamp["cols"]),
-                zorder_bits=int(clamp["bits"]),
-                zorder_incremental=True,
-            )
-            out["retightened"] = out["retighten_result"]["retightened"]
+            try:
+                out["retighten_result"] = self.compact(
+                    target_rows=target_rows,
+                    zorder_by=list(clamp["cols"]),
+                    zorder_bits=int(clamp["bits"]),
+                    zorder_incremental=True,
+                )
+                out["retightened"] = bool(
+                    out["retighten_result"].get("retightened")
+                )
+            except ValueError as e:
+                # a z column dropped/renamed or stripped of stats since
+                # the clamp was recorded: maintain() is the unattended
+                # loop, so report instead of raising forever
+                out["retighten_error"] = str(e)
         if d["num_versions"] > keep_versions:
             out["vacuumed"] = self.vacuum(
                 keep_versions=keep_versions,

@@ -713,9 +713,19 @@ def apply_changes(
 
     if tombstone_retention is not None:
         ts_root = _tombstone_root(table)
-        ts = CowTable(table.spark, ts_root, keys=keys) if _os.path.isdir(
-            ts_root
-        ) else None
+        # a committed manifest, not a bare directory, is what makes the
+        # store exist: a crash inside the first CowTable.create can
+        # leave data files with no manifest, and treating that husk as
+        # a live table would wedge every later batch
+        ts = (
+            CowTable(table.spark, ts_root, keys=keys)
+            if _os.path.exists(f"{ts_root}/manifests/v1.json")
+            else None
+        )
+        if ts is None and _os.path.isdir(ts_root):
+            import shutil as _shutil
+
+            _shutil.rmtree(ts_root, ignore_errors=True)  # crashed create
         if ts is not None:
             # fence: a non-delete change at-or-below a live tombstone's
             # sequence is a late echo of a deleted image — drop it

@@ -3147,3 +3147,133 @@ def test_cow_analyze_incremental_metadata_bound_repair(spark, tmp_path):
     assert inc["columns"]["v"]["min"] == full["columns"]["v"]["min"]
     assert inc["columns"]["v"]["max"] == full["columns"]["v"]["max"]
     assert inc["rows"] == full["rows"] == 48
+
+
+def test_cow_maintain_retighten_edge_cases(spark, tmp_path):
+    """maintain() must stay an unattended loop: a recorded drift gate
+    over an emptied table no-ops (early-return compact has no work),
+    and a z column dropped since the clamp was recorded reports
+    retighten_error instead of raising forever."""
+    df = spark.createDataFrame(
+        [(f"f{i:02d}", float(i), float(i * 2)) for i in range(40)],
+        "fid string, x double, y double",
+    )
+    t = CowTable.create(
+        spark, str(tmp_path / "e"), df, keys=("fid",), target_files=4,
+        stats_cols=("x", "y"),
+    )
+    t.compact(target_rows=10, zorder_by=["x"], zorder_incremental=True)
+    # force a recorded drift: merge wholly-out-of-bounds rows, then an
+    # incremental run measures fraction 1.0
+    from openverse_catalog_spark.schemas.columns import (
+        ColumnSpec,
+        Datatype,
+        UpsertStrategy,
+    )
+
+    cols = [
+        ColumnSpec("fid", Datatype.char,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("x", Datatype.double),
+        ColumnSpec("y", Datatype.double),
+    ]
+    t.merge(
+        spark.createDataFrame(
+            [(f"n{i}", 1000.0 + i, 1.0) for i in range(10)],
+            "fid string, x double, y double",
+        ),
+        cols, deterministic=True,
+    )
+    t.compact(target_rows=10, zorder_by=["x"], zorder_incremental=True)
+    assert t._manifest()["zorder_clamp"]["fraction"] > 0.2
+
+    # emptied table: maintain() completes and reports no retighten work
+    t.delete(F.lit(True))
+    out = t.maintain(target_rows=10, keep_versions=50)
+    assert out["retightened"] is False and "retighten_error" not in out
+
+    # the z column going all-NULL after the clamp was recorded: the
+    # re-tighten's bound recompute raises — maintain() reports it and
+    # keeps running (it is the unattended loop), never raises
+    t2 = CowTable.create(
+        spark, str(tmp_path / "e2"), df, keys=("fid",), target_files=4,
+        stats_cols=("x", "y"),
+    )
+    t2.compact(target_rows=10, zorder_by=["x"], zorder_incremental=True)
+    t2.merge(
+        spark.createDataFrame(
+            [(f"n{i}", 1000.0 + i, 1.0) for i in range(10)],
+            "fid string, x double, y double",
+        ),
+        cols, deterministic=True,
+    )
+    t2.compact(target_rows=10, zorder_by=["x"], zorder_incremental=True)
+    assert t2._manifest()["zorder_clamp"]["fraction"] > 0.2
+    t2.delete(F.col("x").isNotNull())
+    t2.merge(
+        spark.createDataFrame(
+            [(f"z{i}", None, 5.0) for i in range(6)],
+            "fid string, x double, y double",
+        ),
+        cols, deterministic=True,
+    )
+    out2 = t2.maintain(target_rows=10, keep_versions=50)
+    assert "retighten_error" in out2 and out2["retightened"] is False
+    assert "all-NULL" in out2["retighten_error"]
+
+
+def test_cow_analyze_incremental_schema_evolution(spark, tmp_path):
+    """Columns dropped/renamed after the stats seed re-seed with a full
+    analyze instead of crashing the stats loop."""
+    t = CowTable.create(
+        spark, str(tmp_path / "se"),
+        spark.createDataFrame(
+            [(f"f{i}", i, i * 2) for i in range(20)],
+            "fid string, a bigint, b bigint",
+        ),
+        keys=("fid",), target_files=1,
+    )
+    t.analyze(cols=["a", "b"], kmv_k=16)
+    t.drop_column("b")
+    doc = t.analyze_incremental()
+    assert doc.get("mode") != "incremental"  # full re-seed
+    assert set(doc["columns"]) == {"a"}
+    assert doc["version"] == t.version
+
+
+def test_cow_tombstone_store_crashed_create(spark, tmp_path):
+    """A _tombstones directory with NO committed manifest (crash inside
+    the first create) is debris, not a table: the next apply clears it
+    and proceeds."""
+    import os
+
+    from openverse_catalog_spark.streaming.incremental import apply_changes
+
+    t = CowTable.create(
+        spark, str(tmp_path / "tc"),
+        spark.createDataFrame([("a", 1.0, 0)],
+                              "fid string, val double, seq long"),
+        keys=("fid",), target_files=1,
+    )
+    husk = str(tmp_path / "tc" / "_tombstones" / "data")
+    os.makedirs(husk)  # simulate data written, manifest never linked
+    apply_changes(
+        t,
+        spark.createDataFrame(
+            [("a", None, 10, "D"), ("b", 2.0, 3, "U")],
+            "fid string, val double, seq long, op string",
+        ),
+        sequence_by="seq", tombstone_retention=3600,
+    )
+    got = {r["fid"] for r in t.read().collect()}
+    assert got == {"b"}
+    # the store was recreated properly and fences a stale upsert
+    apply_changes(
+        t,
+        spark.createDataFrame(
+            [("a", -1.0, 5, "U")],
+            "fid string, val double, seq long, op string",
+        ),
+        sequence_by="seq", tombstone_retention=3600,
+    )
+    assert {r["fid"] for r in t.read().collect()} == {"b"}
