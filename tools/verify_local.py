@@ -25,6 +25,11 @@ TABLES = (
 
 def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # a full-registry run shares the process with the Spark JVM; cap
+    # DuckDB and let heavy oracles SPILL instead of OOMing late in the
+    # run (seen as 'Failed to allocate block' flakes past ~200 queries)
+    con.execute("SET memory_limit='16GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
