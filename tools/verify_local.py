@@ -102,6 +102,21 @@ def main():
             continue
         try:
             odf = con.execute(oracles[name]).fetchdf()
+        except duckdb.OutOfMemoryException:
+            # a prior heavy oracle can leave the shared connection's
+            # buffers pinned; a fresh connection releases them — retry
+            # once before declaring failure
+            con.close()
+            con = duck_con(sf_dir)
+            try:
+                odf = con.execute(oracles[name]).fetchdf()
+            except Exception as e:
+                print(
+                    f"FAIL {name}: oracle error: "
+                    f"{type(e).__name__}: {str(e)[:300]}"
+                )
+                n_fail += 1
+                continue
         except Exception as e:
             print(f"FAIL {name}: oracle error: {type(e).__name__}: {str(e)[:300]}")
             n_fail += 1
