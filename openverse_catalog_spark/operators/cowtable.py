@@ -3805,16 +3805,24 @@ class CowTable:
             return self.analyze(cols, approx=False, kmv_k=kmv_k)
         if cols is None:
             cols = list(prev["columns"])
-        live_schema = {f.name for f in self.read(v_to).schema.fields}
-        if any(c not in prev["columns"] or c not in live_schema
+        if prev["version"] >= v_to:
+            return prev
+        # schema comes from the MANIFEST (one JSON already resolved),
+        # never from planning a snapshot read — the stats tick must
+        # cost metadata, not O(files) footer resolution
+        m_sch = self._schema(self._manifest(v_to))
+        live_fields = (
+            {f.name: f for f in m_sch.fields}
+            if m_sch is not None
+            else {f.name: f for f in self.read(v_to).schema.fields}
+        )
+        if any(c not in prev["columns"] or c not in live_fields
                for c in cols):
             # schema evolved since the seed (column dropped/renamed/
             # added) or the caller asks for unseeded columns: re-seed
             # with a full analyze instead of crashing the stats loop
-            keep = [c for c in cols if c in live_schema]
+            keep = [c for c in cols if c in live_fields]
             return self.analyze(keep or None, approx=False, kmv_k=kmv_k)
-        if prev["version"] >= v_to:
-            return prev
         try:
             feed = self.read_changes(prev["version"], v_to)
         except ValueError:
@@ -3834,7 +3842,7 @@ class CowTable:
         # to the column's type, least/greatest compare with the
         # column's own ordering — no driver-side lexical comparison of
         # stringified numerics (where "99" > "100")
-        schema = {f.name: f for f in self.read(v_to).schema.fields}
+        schema = live_fields
         for c in cols:
             col = F.col(c)
             dt = schema[c].dataType

@@ -631,6 +631,47 @@ def _tombstone_root(table) -> str:
     return f"{table.root}/_tombstones"
 
 
+#: a _tombstones directory with no committed manifest is a crashed
+#: first create — but only once it is OLDER than this (a younger one
+#: may be a live writer's in-flight attempt; deleting it would corrupt
+#: the store it is about to link — the same written-but-not-yet-linked
+#: ambiguity CowTable.vacuum age-gates)
+_TOMBSTONE_HUSK_RETENTION = 3600.0
+
+
+def _tombstone_store(table, keys):
+    """The tombstone side table if it EXISTS (any committed manifest —
+    vacuum legitimately drops v1.json once the store passes the keep
+    window, so probing v1 specifically would misread a live store as
+    debris), else None. A manifest-less husk older than the retention
+    is cleared; a young husk is left alone — the caller's create will
+    fail loudly on it and the at-least-once stream retries until the
+    husk ages out or its writer finishes."""
+    import os as _os
+    import re as _re
+    import shutil as _shutil
+    import time as _time
+
+    from openverse_catalog_spark.operators.cowtable import CowTable
+
+    root = _tombstone_root(table)
+    mdir = f"{root}/manifests"
+    if _os.path.isdir(mdir) and any(
+        _re.fullmatch(r"v\d+\.json", n) for n in _os.listdir(mdir)
+    ):
+        return CowTable(table.spark, root, keys=keys)
+    if _os.path.isdir(root):
+        newest = _os.path.getmtime(root)
+        for dp, _, fns in _os.walk(root):
+            for fn in fns:
+                newest = max(
+                    newest, _os.path.getmtime(_os.path.join(dp, fn))
+                )
+        if _time.time() - newest >= _TOMBSTONE_HUSK_RETENTION:
+            _shutil.rmtree(root, ignore_errors=True)
+    return None
+
+
 def apply_changes(
     table,
     changes: DataFrame,
@@ -713,19 +754,7 @@ def apply_changes(
 
     if tombstone_retention is not None:
         ts_root = _tombstone_root(table)
-        # a committed manifest, not a bare directory, is what makes the
-        # store exist: a crash inside the first CowTable.create can
-        # leave data files with no manifest, and treating that husk as
-        # a live table would wedge every later batch
-        ts = (
-            CowTable(table.spark, ts_root, keys=keys)
-            if _os.path.exists(f"{ts_root}/manifests/v1.json")
-            else None
-        )
-        if ts is None and _os.path.isdir(ts_root):
-            import shutil as _shutil
-
-            _shutil.rmtree(ts_root, ignore_errors=True)  # crashed create
+        ts = _tombstone_store(table, keys)
         if ts is not None:
             # fence: a non-delete change at-or-below a live tombstone's
             # sequence is a late echo of a deleted image — drop it

@@ -3277,3 +3277,45 @@ def test_cow_tombstone_store_crashed_create(spark, tmp_path):
         sequence_by="seq", tombstone_retention=3600,
     )
     assert {r["fid"] for r in t.read().collect()} == {"b"}
+
+
+def test_cow_tombstone_store_survives_own_vacuum(spark, tmp_path):
+    """The per-batch tombstone vacuum eventually drops v1.json; the
+    store must still be recognized by its NEWER manifests (probing v1
+    specifically would misread a live store as debris and destroy every
+    delete fence)."""
+    import os
+    import re
+
+    from openverse_catalog_spark.streaming.incremental import apply_changes
+
+    t = CowTable.create(
+        spark, str(tmp_path / "sv"),
+        spark.createDataFrame(
+            [(f"k{i}", float(i), 0) for i in range(8)],
+            "fid string, val double, seq long",
+        ),
+        keys=("fid",), target_files=1,
+    )
+    sch = "fid string, val double, seq long, op string"
+    # enough delete-carrying batches to push the store past the vacuum
+    # keep window (v1.json gets dropped along the way)
+    for i in range(6):
+        apply_changes(
+            t,
+            spark.createDataFrame([(f"k{i}", None, 100 + i, "D")], sch),
+            sequence_by="seq", tombstone_retention=3600,
+        )
+    ts_m = str(tmp_path / "sv" / "_tombstones" / "manifests")
+    names = [n for n in os.listdir(ts_m) if re.fullmatch(r"v\d+\.json", n)]
+    assert names and "v1.json" not in names, (
+        "fixture must cross the vacuum horizon to mean anything"
+    )
+    # the store is still live: a stale post-delete upsert stays fenced
+    apply_changes(
+        t,
+        spark.createDataFrame([("k0", -1.0, 5, "U")], sch),
+        sequence_by="seq", tombstone_retention=3600,
+    )
+    got = {r["fid"] for r in t.read().collect()}
+    assert "k0" not in got and len(got) == 2  # k6, k7 remain
