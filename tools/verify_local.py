@@ -25,10 +25,13 @@ TABLES = (
 
 def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
-    # a full-registry run shares the process with the Spark JVM; cap
-    # DuckDB and let heavy oracles SPILL instead of OOMing late in the
-    # run (seen as 'Failed to allocate block' flakes past ~200 queries)
-    con.execute("SET memory_limit='16GB'")
+    # a full-registry run shares the process with the Spark JVM; give
+    # DuckDB an explicit generous cap with a spill dir so heavy
+    # oracles degrade to disk instead of OOMing late in the run (and
+    # the caller retries an OOM once on a fresh connection). Too tight
+    # a cap backfires: the embedding-funnel oracle spills tens of GB
+    # at 16GB and can fill /tmp.
+    con.execute("SET memory_limit='48GB'")
     con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         con.execute(
