@@ -38,20 +38,26 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["join_5way_enrich"](spark, "/root/testdata/sf0.001")
 
 
-def _driver_checked() -> set[str]:
-    """Names that already have a driver CORRECTNESS row in any past round."""
+def _driver_checked() -> dict[str, int]:
+    """Name -> earliest round with a driver CORRECTNESS row for it."""
     import glob
     import json
     import os
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    seen: set[str] = set()
+    seen: dict[str, int] = {}
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
-                seen |= set(json.load(fh).keys())
+                names = set(json.load(fh).keys())
         except (OSError, ValueError):
             continue
+        for n in names:
+            if n not in seen or rnd < seen[n]:
+                seen[n] = rnd
     return seen
 
 
@@ -64,12 +70,24 @@ def _rotated_names() -> list[str]:
     queries lead (rows+schema+hash check) ahead of rows-only ones;
     registration order is preserved within each bucket so the window is
     deterministic.
+
+    POST-EXHAUSTION POLICY: once every registry name has a driver row
+    (the fresh buckets are empty), the rotation flips from coverage to
+    FRESHNESS — already-checked names are ordered by the round that
+    first checked them, oldest first, so each subsequent round re-checks
+    the stalest driver evidence against the current code. New queries
+    added later still jump the queue (they land in the fresh buckets).
     """
     seen = _driver_checked()
     names = list(QUERIES)
     fresh_oracle = [n for n in names if n not in seen and n in ORACLES]
     fresh_plain = [n for n in names if n not in seen and n not in ORACLES]
-    done = [n for n in names if n in seen]
+    # freshness order: oldest driver evidence first (stable on
+    # registration order within a round via enumerate tiebreak)
+    done = sorted(
+        (n for n in names if n in seen),
+        key=lambda n: (seen[n], names.index(n)),
+    )
     # surface the headline never-checked families (lakehouse, MV/CDC,
     # SQL facade, tokenizers, ANN, multimodal) ahead of the long tail
     prio = (

@@ -187,6 +187,10 @@ HEADLINE = [
     "multimodal_audio_frames",
     "stream_cdc_tombstones",
     "mv_join_agg_incremental",
+    # round 7
+    "sql_describe_detail",
+    "sql_table_tombstones",
+    "sql_mv_staleness",
 ]
 
 

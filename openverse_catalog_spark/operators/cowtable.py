@@ -355,13 +355,48 @@ BLOOM_BITS = 8192
 #: must not force a multi-GB broadcast on every read
 DV_BROADCAST_MAX_ROWS = 4_000_000
 
-#: incremental OPTIMIZE ZORDER drift gate: when the last incremental
-#: run saw more than this fraction of its rewritten rows clamp outside
-#: the pinned bucket bounds, the next incremental run escalates to a
-#: full re-cluster with fresh bounds (pinned bounds describe the data
-#: distribution of the FIRST clustering run; drifting data piles into
-#: the edge buckets and skip precision rots silently otherwise)
+#: incremental OPTIMIZE ZORDER drift gate: when the rows written under
+#: the pinned bucket bounds but clamping OUTSIDE them accumulate past
+#: this fraction of the TABLE's live rows, the next incremental run
+#: escalates to a full re-cluster with fresh (headroom-padded) bounds.
+#: Table-relative, not churn-relative: a monotonic-append z column
+#: (timestamps, increasing ids) clamps ~100% of every new batch, and a
+#: churn-relative gate would escalate to an O(table) rewrite on every
+#: maintenance tick — the accumulated-over-table measure only fires
+#: once the out-of-bounds mass is actually worth re-clustering.
 ZORDER_CLAMP_RETIGHTEN = 0.2
+
+#: headroom added to each side of the recomputed z-column ranges when a
+#: drift-triggered retighten re-derives bounds: steady append lands
+#: inside the padded range for a while instead of re-drifting on the
+#: very next batch (cost: ~log2(1.5) bits of bucket precision)
+ZORDER_RETIGHTEN_HEADROOM = 0.25
+
+#: incremental ANALYZE NDV drift gate: deletes cannot leave a KMV
+#: sketch, so after deletes the sketch NDV is only an UPPER bound of
+#: the live distinct count. Once rows deleted since the last full
+#: analyze exceed this fraction of the live row count, the incremental
+#: path escalates to a full ANALYZE of the tracked columns (re-seeding
+#: the sketches and resetting the drift counter) — the same
+#: self-correcting shape as the z-order clamp gate.
+STATS_NDV_RETIGHTEN = 0.2
+
+def _pad_zorder_bounds(
+    lo, hi, frac: float = ZORDER_RETIGHTEN_HEADROOM
+) -> tuple:
+    """Expand a numeric (lo, hi) z-column range by ``frac`` of its span
+    on EACH side (drift direction is unknown). Integer bounds stay
+    integers (the bucketing arithmetic divides the span); a degenerate
+    span still gets a minimal pad so the range is never empty."""
+    span = hi - lo
+    if isinstance(lo, int) and isinstance(hi, int):
+        pad = max(1, int(span * frac))
+    else:
+        pad = span * frac
+        if pad <= 0.0:
+            pad = max(abs(float(hi)), 1.0) * frac
+    return (lo - pad, hi + pad)
+
 
 #: Spark types whose CAST(x AS STRING) matches Python ``str(value)``
 #: — the precondition for driver-side bloom probes to hash like the
@@ -3458,15 +3493,19 @@ class CowTable:
                 else list(zorder_by.keys())
             )
             if zorder_incremental and not isinstance(zorder_by, dict):
-                # DRIFT GATE: the last incremental run recorded what
-                # fraction of its rewritten rows clamped outside the
-                # pinned bucket bounds. Past the threshold the pinned
-                # bounds describe yesterday's data and skip precision
-                # is silently rotting — this run recomputes bounds from
-                # current stats and re-clusters EVERYTHING in scope
-                # (old-bounds files can't carry: their tag no longer
-                # matches), the occasional-full-OPTIMIZE the docs used
-                # to leave to the operator.
+                # DRIFT GATE: incremental runs accumulate how many rows
+                # they wrote clamped OUTSIDE the pinned bucket bounds;
+                # the recorded fraction is that mass relative to the
+                # TABLE's live rows (churn-relative gating would fire
+                # on every tick for a monotonic-append z column). Past
+                # the threshold the pinned bounds describe yesterday's
+                # data and skip precision is silently rotting — this
+                # run recomputes bounds from current stats (plus
+                # headroom, so steady append doesn't re-drift at once)
+                # and re-clusters EVERYTHING in scope (old-bounds files
+                # can't carry: their tag no longer matches), the
+                # occasional-full-OPTIMIZE the docs used to leave to
+                # the operator.
                 prev = m.get("zorder_clamp")
                 drifted = bool(
                     prev
@@ -3498,6 +3537,15 @@ class CowTable:
                     if small
                     else {}
                 )
+                if retightened:
+                    # headroom: pad the freshly derived ranges so the
+                    # next batches of a drifting (e.g. monotonic) z
+                    # column land inside the pinned bounds for a while
+                    # instead of re-drifting on the next tick
+                    zorder_by = {
+                        c: _pad_zorder_bounds(lo, hi)
+                        for c, (lo, hi) in zorder_by.items()
+                    }
             cluster_tag = {
                 "cols": z_cols,
                 "bits": zorder_bits,
@@ -3542,10 +3590,15 @@ class CowTable:
         clamp_doc = None
         if zorder_by:
             if bounds_reused:
-                # measure drift: fraction of rewritten rows falling
-                # outside the pinned bounds on ANY z column. One agg
+                # measure drift: COUNT of rewritten rows falling
+                # outside the pinned bounds on ANY z column, one agg
                 # over the (churn-sized) rewrite slice — the same rows
-                # the rewrite is about to scan anyway.
+                # the rewrite is about to scan anyway. The count
+                # ACCUMULATES across incremental runs under the same
+                # spec (each run only sees its own churn; the drifted
+                # mass already written under old bounds persists), and
+                # the gate fraction is that total over the TABLE's
+                # live rows.
                 flags = [
                     F.coalesce(
                         ((F.col(c) < F.lit(lo)) | (F.col(c) > F.lit(hi)))
@@ -3557,16 +3610,27 @@ class CowTable:
                 out_row = (
                     flags[0] if len(flags) == 1 else F.greatest(*flags)
                 )
-                frac = df.agg(F.avg(out_row).alias("f")).head()["f"]
+                n_out = df.agg(F.sum(out_row).alias("n")).head()["n"]
+                prev_c = m.get("zorder_clamp")
+                carry = (
+                    int(prev_c.get("drifted_rows", 0))
+                    if prev_c
+                    and prev_c.get("cols") == z_cols
+                    and prev_c.get("bits") == zorder_bits
+                    else 0
+                )
+                drifted_rows = carry + int(n_out or 0)
                 clamp_doc = {
                     "cols": z_cols, "bits": zorder_bits,
-                    "fraction": float(frac or 0.0),
+                    "drifted_rows": drifted_rows,
+                    "fraction": drifted_rows / max(1, int(m["rows"])),
                 }
             else:
                 # bounds freshly computed from the rewritten files'
                 # stats cover every row by construction: drift resets
                 clamp_doc = {
-                    "cols": z_cols, "bits": zorder_bits, "fraction": 0.0,
+                    "cols": z_cols, "bits": zorder_bits,
+                    "drifted_rows": 0, "fraction": 0.0,
                 }
         new_version = m["version"] + 1
         rel_dir = f"data/c{uuid.uuid4().hex[:12]}"
@@ -3786,9 +3850,12 @@ class CowTable:
         * NDV: a mergeable per-column KMV sketch (seeded by the last
           full ``analyze(kmv_k=...)``) absorbs inserted values; deletes
           cannot leave a sketch, so after deletes NDV reads as an UPPER
-          bound of the live count (``deletes_since_full`` records the
-          drift; a periodic full analyze re-tightens — the pg_stats
-          contract, stated rather than hidden).
+          bound of the live count. ``deletes_since_full`` records the
+          drift, and past ``STATS_NDV_RETIGHTEN`` (fraction of live
+          rows deleted since the last full seed) THIS call escalates
+          itself to a full ANALYZE — exact NDV, fresh sketches, drift
+          counter reset — so the bound self-corrects at a bounded
+          cadence instead of waiting on an operator.
 
         A vacuumed feed span falls back to a full ``analyze``. The
         advanced doc is stored version-pinned like any ANALYZE, so
@@ -3981,17 +4048,27 @@ class CowTable:
                     columns[c]["min"] = fix[f"__mn_{c}"]
                 for c in scan_max:
                     columns[c]["max"] = fix[f"__mx_{c}"]
+        new_rows = int(prev["rows"]) + int(row["__d_rows"])
+        dels = int(prev.get("deletes_since_full", 0)) + int(
+            row["__d_dels"]
+        )
+        if dels > STATS_NDV_RETIGHTEN * max(1, new_rows):
+            # NDV drift gate: enough of the corpus was deleted since
+            # the last full seed that the sketch NDV (an upper bound —
+            # deletes can't leave a KMV) has drifted. Escalate this
+            # tick to a full ANALYZE: exact NDV, fresh sketches,
+            # drift counter reset. One O(table) pass at a bounded
+            # cadence (every ~20% deleted), not per tick.
+            return self.analyze(cols, approx=False, kmv_k=k)
         doc = {
             "version": v_to,
-            "rows": int(prev["rows"]) + int(row["__d_rows"]),
+            "rows": new_rows,
             "approx": True,  # NDV is now the sketch estimate
             "mode": "incremental",
             "columns": columns,
             "kmv_k": k,
             "kmv": kmv,
-            "deletes_since_full": int(
-                prev.get("deletes_since_full", 0)
-            ) + int(row["__d_dels"]),
+            "deletes_since_full": dels,
         }
         os.makedirs(f"{self.root}/stats", exist_ok=True)
         tmp = f"{self.root}/stats/.tmp.{uuid.uuid4().hex}.json"
@@ -4017,6 +4094,14 @@ class CowTable:
             return None
         with open(f"{sdir}/v{best}.json") as f:
             return json.load(f)
+
+    def live_rows(self, version: int | None = None) -> int:
+        """EXACT live row count of the snapshot at ``version`` (default
+        head) — free metadata (the manifest carries it; resolution is
+        cached per handle), so planners can read the current size
+        without a scan and without trusting possibly-stale ANALYZE
+        stats."""
+        return int(self._manifest(version)["rows"])
 
     def maintain(
         self,
@@ -4046,15 +4131,23 @@ class CowTable:
         out: dict = {"compacted": False, "files_small": small,
                      "files_total": d["num_files"], "vacuumed": [],
                      "retightened": False}
-        if d["num_files"] and small / d["num_files"] > small_file_ratio:
-            out["compact_result"] = self.compact(target_rows=target_rows)
-            out["compacted"] = out["compact_result"]["files_written"] > 0
+        needs_compact = bool(
+            d["num_files"] and small / d["num_files"] > small_file_ratio
+        )
         # clustering drift: the recorded clamp fraction is the engine
         # consuming its own statistics — past the gate, re-cluster with
         # fresh bounds (the incremental path escalates itself); under
-        # it, clustering is still tight and maintain() does nothing
+        # it, clustering is still tight. When the gate WILL fire, the
+        # retighten rewrite also bin-packs and materializes DVs, so the
+        # plain compact is skipped — one rewrite, not two.
         clamp = m.get("zorder_clamp")
-        if clamp and clamp.get("fraction", 0.0) > ZORDER_CLAMP_RETIGHTEN:
+        will_retighten = bool(
+            clamp and clamp.get("fraction", 0.0) > ZORDER_CLAMP_RETIGHTEN
+        )
+        if needs_compact and not will_retighten:
+            out["compact_result"] = self.compact(target_rows=target_rows)
+            out["compacted"] = out["compact_result"]["files_written"] > 0
+        if will_retighten:
             try:
                 out["retighten_result"] = self.compact(
                     target_rows=target_rows,
@@ -4065,11 +4158,38 @@ class CowTable:
                 out["retightened"] = bool(
                     out["retighten_result"].get("retightened")
                 )
+                out["compacted"] = (
+                    out["retighten_result"].get("files_written", 0) > 0
+                )
             except ValueError as e:
                 # a z column dropped/renamed or stripped of stats since
                 # the clamp was recorded: maintain() is the unattended
-                # loop, so report instead of raising forever
+                # loop, so report instead of raising forever — and the
+                # skipped small-file compact must still happen, or the
+                # error would also pin small files in place
                 out["retighten_error"] = str(e)
+                if needs_compact:
+                    out["compact_result"] = self.compact(
+                        target_rows=target_rows
+                    )
+                    out["compacted"] = (
+                        out["compact_result"]["files_written"] > 0
+                    )
+        # stats freshness: a table that opted into ANALYZE keeps its
+        # statistics advancing at tick cadence (the autoanalyze the
+        # reference gets from Postgres). Runs BEFORE vacuum so the
+        # change-feed span the incremental path needs is still on disk;
+        # O(churn) via the feed, escalating itself (full re-seed) on
+        # vacuumed spans, schema evolution, or NDV drift.
+        st = self.stats()
+        if st is not None and int(st.get("version", 0)) < self.version:
+            try:
+                adv = self.analyze_incremental(kmv_k=int(
+                    st.get("kmv_k") or 1024
+                ))
+                out["stats_version"] = adv["version"]
+            except Exception as e:  # noqa: BLE001 - unattended loop
+                out["stats_error"] = str(e)
         if d["num_versions"] > keep_versions:
             out["vacuumed"] = self.vacuum(
                 keep_versions=keep_versions,

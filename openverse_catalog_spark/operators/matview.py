@@ -350,6 +350,28 @@ class MaterializedView:
         # one count job materializes the checkpoint (reused by every
         # join below) AND measures the dirty set for the broadcast guard
         n_delta = delta.count()
+        # runtime re-validation (build-time _validate cannot see future
+        # churn): a NULL group key in the feed — e.g. a right-side
+        # delete under a LEFT join base NULLing a right-sourced group
+        # column — would merge as its own group and silently corrupt
+        # the aggregate. Churn-sized filter on the checkpointed delta.
+        # A NULL group with NET count <= 0 is benign (it was never in
+        # the MV — _validate pinned that — and zero/negative-count
+        # groups are dropped before the merge), so a value that
+        # transits NULL and back inside one feed span does not wedge
+        # the refresh; only a NULL group that would PERSIST raises.
+        null_any = None
+        for c in g:
+            cond = F.col(c).isNull()
+            null_any = cond if null_any is None else (null_any | cond)
+        if delta.filter(null_any & (F.col("__d_cnt") > 0)).head(1):
+            raise ValueError(
+                "materialized-view refresh saw NULL group keys in the "
+                "change feed (a LEFT-join base NULLs right-sourced "
+                "columns when the right side deletes); coalesce or "
+                "filter NULL groups upstream, or group by left-side "
+                "columns only"
+            )
         bmax = _broadcast_max_rows(self.spark)
 
         # touched MV groups only. Single group key: prune MV FILES

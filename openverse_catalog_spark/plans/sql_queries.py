@@ -333,3 +333,164 @@ def sql_partition_metadata(spark, sf_dir):
         "FROM TABLE_PARTITIONS('pmeta') "
         "GROUP BY 1 ORDER BY 1"
     )
+
+
+@register(
+    "sql_describe_detail",
+    """
+    SELECT 'media' AS name,
+           CAST(3 AS BIGINT) AS version,
+           (SELECT count(*) FROM customer)
+             - (SELECT count(*) FROM customer WHERE c_custkey % 97 = 0)
+             - 1 AS rows,
+           TRUE AS has_tombstones,
+           (SELECT count(*) FROM customer WHERE c_custkey % 97 = 0)
+             AS tombstones,
+           (SELECT CAST(max(c_custkey) AS VARCHAR) FROM customer
+             WHERE c_custkey % 97 = 0) AS tombstone_horizon,
+           CAST(1 AS BIGINT) AS stats_lag
+    """,
+)
+def sql_describe_detail(spark, sf_dir):
+    """``DESCRIBE DETAIL``: the operational-state row the reference
+    reads from Postgres catalogs (pg_class/pg_stats + its own side
+    tables) — snapshot version/rows, tombstone-store liveness, count
+    and SEQUENCE HORIZON (the newest delete fence), and ANALYZE
+    freshness as a commit lag. Everything is manifest/state metadata
+    except the horizon (one agg over the small fence table). The
+    oracle recomputes every field from the raw source: create(v1) +
+    CDC apply(v2) + one post-ANALYZE delete(v3) make version and
+    stats_lag data-independent, while rows/tombstones/horizon derive
+    from the c_custkey % 97 delete rule."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from openverse_catalog_spark.operators.cowtable import CowTable
+    from openverse_catalog_spark.sql_facade import SqlFacade
+    from openverse_catalog_spark.streaming.incremental import apply_changes
+
+    c = _t(spark, sf_dir, "customer")["customer"]
+    base = c.select(
+        F.col("c_custkey").cast("string").alias("fid"),
+        F.col("c_acctbal").cast("double").alias("val"),
+        F.lit(0).cast("long").alias("seq"),
+    )
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_sql_detail")
+    shutil.rmtree(root, ignore_errors=True)
+    t = CowTable.create(spark, root, base, keys=("fid",), target_files=4)
+    dels = c.filter(F.col("c_custkey") % 97 == 0).select(
+        F.col("c_custkey").cast("string").alias("fid"),
+        F.lit(None).cast("double").alias("val"),
+        F.col("c_custkey").cast("long").alias("seq"),
+        F.lit("D").alias("op"),
+    )
+    apply_changes(t, dels, sequence_by="seq", tombstone_retention=3600.0)
+    f = SqlFacade(spark)
+    f.register_table("media", t)
+    f.sql("ANALYZE TABLE media")
+    f.sql("DELETE FROM media WHERE fid = '1'")  # stats now 1 commit old
+    return f.sql("DESCRIBE DETAIL media").select(
+        "name", "version", "rows", "has_tombstones", "tombstones",
+        "tombstone_horizon", "stats_lag",
+    )
+
+
+@register(
+    "sql_table_tombstones",
+    """
+    SELECT CAST(c_custkey AS VARCHAR) AS fid,
+           c_custkey AS ts_seq
+    FROM customer WHERE c_custkey % 97 = 0
+    """,
+)
+def sql_table_tombstones(spark, sf_dir):
+    """``TABLE_TOMBSTONES('t')``: the CDC delete fences as a queryable
+    relation — key columns + the fenced sequence — so an operator can
+    audit exactly which late upserts a table will drop and up to which
+    sequence (``max(__ts_seq)`` is the horizon ``DESCRIBE DETAIL``
+    reports). The oracle reproduces the fence set from the raw source
+    (every c_custkey % 97 row was CDC-deleted with its key as the
+    sequence)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from openverse_catalog_spark.operators.cowtable import CowTable
+    from openverse_catalog_spark.sql_facade import SqlFacade
+    from openverse_catalog_spark.streaming.incremental import apply_changes
+
+    c = _t(spark, sf_dir, "customer")["customer"]
+    base = c.select(
+        F.col("c_custkey").cast("string").alias("fid"),
+        F.lit(0).cast("long").alias("seq"),
+    )
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_sql_tomb")
+    shutil.rmtree(root, ignore_errors=True)
+    t = CowTable.create(spark, root, base, keys=("fid",), target_files=4)
+    dels = c.filter(F.col("c_custkey") % 97 == 0).select(
+        F.col("c_custkey").cast("string").alias("fid"),
+        F.col("c_custkey").cast("long").alias("seq"),
+        F.lit("D").alias("op"),
+    )
+    apply_changes(t, dels, sequence_by="seq", tombstone_retention=3600.0)
+    f = SqlFacade(spark)
+    f.register_table("media", t)
+    return f.sql(
+        "SELECT fid, __ts_seq AS ts_seq FROM TABLE_TOMBSTONES('media')"
+    )
+
+
+@register(
+    "sql_mv_staleness",
+    """
+    SELECT 'segcounts' AS view,
+           'aggregate' AS kind,
+           count(DISTINCT c_mktsegment) AS staleness
+    FROM customer
+    """,
+)
+def sql_mv_staleness(spark, sf_dir):
+    """``SHOW MATERIALIZED VIEWS`` staleness: each MV row reports the
+    base version it last applied and how many base commits it is
+    behind — the freshness observability the reference gets free from
+    Postgres catalogs, here from mv_state.json + manifest heads
+    (metadata only). Fixture: build an aggregate MV, then land one
+    DELETE commit per market segment; the MV's staleness must equal
+    the number of segments (one un-applied commit each), which the
+    oracle counts from the raw source."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from openverse_catalog_spark.operators.cowtable import CowTable
+    from openverse_catalog_spark.sql_facade import SqlFacade
+
+    c = _t(spark, sf_dir, "customer")["customer"]
+    base = c.select(
+        F.col("c_custkey").cast("string").alias("fid"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").cast("double").alias("val"),
+    )
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_sql_mvstale")
+    shutil.rmtree(root, ignore_errors=True)
+    t = CowTable.create(spark, root, base, keys=("fid",), target_files=4)
+    f = SqlFacade(spark)
+    f.register_table("media", t)
+    f.sql(
+        "CREATE MATERIALIZED VIEW segcounts AS "
+        "SELECT seg, count(*) AS n, sum(val) AS total "
+        "FROM media GROUP BY seg"
+    )
+    segs = sorted(r["seg"] for r in base.select("seg").distinct().collect())
+    for s in segs:
+        f.sql(f"DELETE FROM media WHERE seg = '{s}'")
+    return f.sql("SHOW MATERIALIZED VIEWS").select(
+        "view", "kind", "staleness"
+    )

@@ -799,7 +799,7 @@ def q_multimodal_audio_frames(spark, sf_dir):
     FROM o WHERE k % 4 = 3
     """,
 )
-def q_stream_cdc_apply(spark, sf_dir):
+def q_stream_cdc_apply(spark, sf_dir, _max_files_per_trigger=1):
     """APPLY CHANGES INTO as a stream: a CDC landing directory of
     change events (upserts + deletes, each carrying a sequence) drains
     through foreachBatch under AvailableNow, every micro-batch one
@@ -875,7 +875,8 @@ def q_stream_cdc_apply(spark, sf_dir):
         .parquet(os.path.join(cdc_dir, "batch=1"))
     )
     stream_cdc_apply(
-        spark, cdc_dir, t, sequence_by="seq", max_files_per_trigger=1
+        spark, cdc_dir, t, sequence_by="seq",
+        max_files_per_trigger=_max_files_per_trigger,
     )
     return t.read().select(
         "fid", F.round("total", 2).alias("total"), "status", "seq"
@@ -903,7 +904,7 @@ def q_stream_cdc_apply(spark, sf_dir):
     FROM o WHERE k % 10 <> 0
     """,
 )
-def q_stream_cdc_tombstones(spark, sf_dir):
+def q_stream_cdc_tombstones(spark, sf_dir, _max_files_per_trigger=1):
     """APPLY CHANGES with TOMBSTONE RETENTION: batch 1 deletes keys
     (seq 10) and updates others (seq 2); batch 2 — a separate
     micro-batch — carries a STALE post-delete upsert (seq 5) that the
@@ -981,7 +982,8 @@ def q_stream_cdc_tombstones(spark, sf_dir):
         .parquet(os.path.join(cdc_dir, "batch=1"))
     )
     stream_cdc_apply(
-        spark, cdc_dir, t, sequence_by="seq", max_files_per_trigger=1,
+        spark, cdc_dir, t, sequence_by="seq",
+        max_files_per_trigger=_max_files_per_trigger,
         tombstone_retention=3600.0,
     )
     return t.read().select(

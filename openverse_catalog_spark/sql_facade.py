@@ -46,6 +46,11 @@ the table's merge keys) — plus the maintenance statements the
 reference runs as dedicated DAGs:
 
   ``DESCRIBE HISTORY <t>``                 commit log as a frame
+  ``DESCRIBE DETAIL <t>``                  one operational-state row:
+                                           size, tombstone liveness +
+                                           horizon, ANALYZE freshness
+  ``TABLE_TOMBSTONES('<t>')``              the CDC delete fences as a
+                                           queryable relation
   ``OPTIMIZE <t> [ZORDER BY (c, ...)]``    bin-pack / z-order compaction
   ``VACUUM <t> [RETAIN n VERSIONS]``       manifest + orphan-file GC
 
@@ -54,10 +59,11 @@ three shapes (GROUP BY over a lake table; ``SELECT * FROM a JOIN b``;
 GROUP BY over a JOIN — the reference's image_view shape), ``REFRESH`` /
 ``SHOW`` / ``DROP MATERIALIZED VIEW``, and ``APPLY CHANGES INTO ...
 SEQUENCE BY s [OP COLUMN o] [TOMBSTONE RETENTION secs]`` (DLT CDC apply
-with late-delete fencing). Registered tables whose stored ANALYZE stats
-put them under ``spark.openverse.sql.autoBroadcastRows`` carry a
-broadcast hint into every facade join (stats-driven planning, the
-pg_stats analog).
+with late-delete fencing). Registered ANALYZEd tables whose CURRENT
+manifest row count sits under ``spark.openverse.sql.autoBroadcastRows``
+carry a broadcast hint into every facade join (cost-based planning, the
+pg_stats analog — bounded by the live manifest count, so a stale
+ANALYZE can never pin an oversized broadcast).
 """
 
 from __future__ import annotations
@@ -152,6 +158,12 @@ _MV_JOIN_AGG = re.compile(
 )
 _DESCRIBE_HISTORY = re.compile(
     r"^\s*DESCRIBE\s+HISTORY\s+(\w+)\s*$", re.IGNORECASE
+)
+_DESCRIBE_DETAIL = re.compile(
+    r"^\s*DESCRIBE\s+DETAIL\s+(\w+)\s*$", re.IGNORECASE
+)
+_TABLE_TOMBSTONES = re.compile(
+    r"\bTABLE_TOMBSTONES\s*\(\s*'(\w+)'\s*\)", re.IGNORECASE
 )
 _OPTIMIZE = re.compile(
     r"^\s*OPTIMIZE\s+(\w+)"
@@ -257,6 +269,40 @@ def _split_assignments(text: str) -> list[tuple[str, str]]:
     return out
 
 
+def _mv_staleness(mv) -> tuple[str | None, int | None]:
+    """(applied, staleness) for SHOW MATERIALIZED VIEWS: the versions
+    the MV last applied (from its own state file) and how many base
+    commits it is behind — the freshness signal the reference reads
+    from Postgres catalogs, surfaced here from mv_state.json +
+    manifest heads (metadata only, no scan). (None, None) when the MV
+    was never built."""
+    kind = type(mv).__name__
+    try:
+        if kind == "MaterializedView":
+            a = int(mv._load_state()["applied_base"])
+            return f"v{a}", mv.base.version - a
+        if kind == "JoinMaterializedView":
+            st = mv._load_state()
+            al, ar = int(st["applied_left"]), int(st["applied_right"])
+            lag = (mv.left.version - al) + (mv.right.version - ar)
+            return f"L{al}/R{ar}", lag
+        if kind == "JoinAggMaterializedView":
+            jst = mv.join_mv._load_state()
+            ast = mv.agg_mv._load_state()
+            al = int(jst["applied_left"])
+            ar = int(jst["applied_right"])
+            ab = int(ast["applied_base"])
+            lag = (
+                (mv.join_mv.left.version - al)
+                + (mv.join_mv.right.version - ar)
+                + (mv.join_mv.table.version - ab)
+            )
+            return f"L{al}/R{ar}/J{ab}", lag
+    except (FileNotFoundError, KeyError, ValueError):
+        return None, None
+    return None, None
+
+
 class SqlFacade:
     """Name registry + SQL runner for frames and CoW lake tables."""
 
@@ -317,17 +363,22 @@ class SqlFacade:
             self._refresh_head(name)
 
     def _stats_say_broadcastable(self, t: CowTable, v: int) -> bool:
-        """Cost-based broadcast decision from the table's own ANALYZE
-        statistics (the reference leans on pg_stats for exactly this):
-        a table whose newest stats at-or-below ``v`` put it under
-        ``spark.openverse.sql.autoBroadcastRows`` rows (default 500k,
-        0 disables) is hint-broadcast in every facade join it joins —
+        """Cost-based broadcast decision: a table that has been
+        ANALYZEd (the opt-in — same gesture as the reference leaning on
+        pg_stats) and whose CURRENT snapshot at ``v`` holds at most
+        ``spark.openverse.sql.autoBroadcastRows`` live rows (default
+        500k, 0 disables) is hint-broadcast in every facade join —
         Catalyst then picks BroadcastHashJoin even where the scan's
         byte-size estimate (inflated by small-file overhead or a wide
-        schema it will prune) missed the threshold. Stats describe the
-        analyzed snapshot; a table that has grown past the bound since
-        its last ANALYZE keeps the stale decision until re-analyzed —
-        the documented ANALYZE contract (same in Postgres/Spark CBO)."""
+        schema it will prune) missed the threshold. The row bound is
+        checked against the MANIFEST's exact live count at ``v``
+        (``live_rows`` — free, version-pinned metadata), never the
+        analyzed snapshot's count, so the forced hint can NOT go stale:
+        a dimension analyzed at 400k rows that then takes a 100×
+        backfill drops out of broadcast planning on the very next
+        facade query, no re-ANALYZE required. Stats still carry what
+        the manifest cannot answer (NDV, null fractions, per-column
+        bounds)."""
         try:
             limit = int(self.spark.conf.get(
                 "spark.openverse.sql.autoBroadcastRows", "500000"
@@ -336,8 +387,12 @@ class SqlFacade:
             return False
         if limit <= 0:
             return False
-        st = t.stats(version=v)
-        return st is not None and st.get("rows", limit + 1) <= limit
+        if t.stats(version=v) is None:
+            return False
+        try:
+            return t.live_rows(v) <= limit
+        except (FileNotFoundError, KeyError, ValueError):
+            return False
 
     def _refresh_head(self, name: str) -> None:
         t = self._tables[name]
@@ -437,9 +492,33 @@ class SqlFacade:
             t.partitions_df(version=v).createOrReplaceTempView(view)
             return view
 
+        def tombstones_of(match: re.Match) -> str:
+            # the CDC delete fences as a queryable relation (key cols +
+            # __ts_seq + __ts_at) — `SELECT max(__ts_seq) ...` is the
+            # store's sequence horizon. Absence is an error here (the
+            # store's schema depends on the table's keys + sequence
+            # type); DESCRIBE DETAIL reports liveness without erroring.
+            from openverse_catalog_spark.streaming.incremental import (
+                _tombstone_store,
+            )
+
+            name = match.group(1)
+            t = need(name)
+            ts = _tombstone_store(t, t.keys)
+            if ts is None:
+                raise ValueError(
+                    f"{name!r} has no live tombstone store (APPLY "
+                    "CHANGES ... TOMBSTONE RETENTION creates one); use "
+                    "DESCRIBE DETAIL to check liveness"
+                )
+            view = f"{name}__tombstones_{ts.version}"
+            ts.read().createOrReplaceTempView(view)
+            return view
+
         text = _TABLE_CHANGES.sub(changes_of, text)
         text = _TABLE_FILES.sub(files_of, text)
         text = _TABLE_PARTITIONS.sub(partitions_of, text)
+        text = _TABLE_TOMBSTONES.sub(tombstones_of, text)
         text = _VERSION_AS_OF.sub(version_of, text)
         text = _TIMESTAMP_AS_OF.sub(timestamp_of, text)
         return text
@@ -447,6 +526,42 @@ class SqlFacade:
     def _summary(self, res: dict) -> DataFrame:
         return self.spark.createDataFrame(
             [(res["version"], res["rows"])], "version long, rows long"
+        )
+
+    def _describe_detail(self, name: str) -> DataFrame:
+        """DESCRIBE DETAIL: one metadata-only row of the operational
+        state the reference reads from Postgres catalogs — snapshot
+        size, tombstone-store liveness + sequence horizon, ANALYZE
+        freshness (stats_lag = commits since the stats were computed).
+        Everything comes from manifests/state files except the
+        tombstone horizon (one aggregate over the small side table)."""
+        from openverse_catalog_spark.streaming.incremental import (
+            _tombstone_store,
+        )
+
+        t = self._tables[name]
+        m = t._manifest()
+        ts = _tombstone_store(t, t.keys)
+        n_tomb, horizon = 0, None
+        if ts is not None:
+            r = ts.read().agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max("__ts_seq").cast("string").alias("h"),
+            ).head()
+            n_tomb, horizon = int(r["n"]), r["h"]
+        st = t.stats()
+        return self.spark.createDataFrame(
+            [(
+                name, int(m["version"]), int(m["rows"]),
+                len(m["files"]),
+                ts is not None, n_tomb, horizon,
+                int(st["version"]) if st else None,
+                int(m["version"]) - int(st["version"]) if st else None,
+            )],
+            "name string, version long, rows long, files long, "
+            "has_tombstones boolean, tombstones long, "
+            "tombstone_horizon string, stats_version long, "
+            "stats_lag long",
         )
 
     def _merge_into(self, m: re.Match) -> DataFrame:
@@ -704,6 +819,26 @@ class SqlFacade:
         group_cols = [c.strip() for c in group_text.split(",")]
         aggs = self._parse_mv_items(items_text, group_cols)
         left, right = self._tables[lname], self._tables[rname]
+        if left_kw:
+            # LEFT JOIN: a right-side delete NULLs right-sourced columns
+            # in the join table's change feed, and the aggregate stage's
+            # non-NULL group-key contract can then break at refresh time
+            # (guarded there too, but a CREATE-time rejection beats a
+            # refresh-time failure). Join columns are shared; any other
+            # group column must come from the LEFT schema.
+            lcols = {f.name for f in left.read().schema.fields}
+            bad = [
+                c for c in group_cols
+                if c not in on_cols and c not in lcols
+            ]
+            if bad:
+                raise ValueError(
+                    f"LEFT JOIN materialized view {name!r} groups by "
+                    f"right-sourced column(s) {bad}: a right-side "
+                    "delete would NULL them in the change feed. Group "
+                    "by left-side columns, use an inner join, or "
+                    "coalesce upstream."
+                )
         mv = JoinAggMaterializedView(
             self.spark, left, right, f"{left.root}_jamv_{name}",
             on=on_cols, group_cols=group_cols, aggs=aggs,
@@ -843,11 +978,14 @@ class SqlFacade:
                     "JoinMaterializedView": "join",
                     "JoinAggMaterializedView": "join_agg",
                 }.get(type(mv).__name__, type(mv).__name__)
-                rows.append((n, kind, mv.root))
+                applied, lag = _mv_staleness(mv)
+                rows.append((n, kind, mv.root, applied, lag))
+            schema = (
+                "view string, kind string, location string, "
+                "applied string, staleness long"
+            )
             return self.spark.createDataFrame(
-                rows, "view string, kind string, location string"
-            ) if rows else self.spark.createDataFrame(
-                [], "view string, kind string, location string"
+                rows if rows else [], schema
             )
         m = _DROP_MV.match(text)
         if m and m.group(1) in self._mvs:
@@ -957,6 +1095,9 @@ class SqlFacade:
                 [(h["version"], h["operation"], h["rows"]) for h in hist],
                 "version long, operation string, rows long",
             )
+        m = _DESCRIBE_DETAIL.match(text)
+        if m and m.group(1) in self._tables:
+            return self._describe_detail(m.group(1))
         m = _OPTIMIZE.match(text)
         if m and m.group(1) in self._tables:
             zorder = (

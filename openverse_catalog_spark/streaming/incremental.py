@@ -638,6 +638,12 @@ def _tombstone_root(table) -> str:
 #: ambiguity CowTable.vacuum age-gates)
 _TOMBSTONE_HUSK_RETENTION = 3600.0
 
+#: tombstone-store hygiene cadence: expiry purge + vacuum run only
+#: once the store's on-disk manifest chain exceeds this many commits
+#: (one listdir per batch decides), so a CDC micro-batch pays O(1)
+#: metadata instead of an O(manifests) walk every trigger
+_TOMBSTONE_VACUUM_EVERY = 12
+
 
 def _tombstone_store(table, keys):
     """The tombstone side table if it EXISTS (any committed manifest —
@@ -703,9 +709,11 @@ def apply_changes(
         table (``<root>/_tombstones``, DLT's tombstone store): an
         upsert at-or-below the tombstone sequence is fenced (dropped —
         same tie rule as in-batch, delete wins), a genuinely newer
-        upsert clears the tombstone and re-inserts, and tombstones
-        older than the retention window purge opportunistically on the
-        next apply. Retention bounds the store exactly like DLT: a
+        upsert clears the tombstone and re-inserts. Expiry is enforced
+        in the FENCE itself (a tombstone older than the window never
+        fences), so the physical purge + store vacuum run periodically
+        (every ``_TOMBSTONE_VACUUM_EVERY`` store commits), not per
+        micro-batch. Retention bounds the store exactly like DLT: a
         source that can deliver an event more than ``retention`` late
         needs a longer window.
 
@@ -753,12 +761,18 @@ def apply_changes(
     )
 
     if tombstone_retention is not None:
+        now = _time.time()
         ts_root = _tombstone_root(table)
         ts = _tombstone_store(table, keys)
         if ts is not None:
             # fence: a non-delete change at-or-below a live tombstone's
-            # sequence is a late echo of a deleted image — drop it
-            tomb = ts.read().select(*keys, "__ts_seq")
+            # sequence is a late echo of a deleted image — drop it.
+            # Expired tombstones never fence (the retention contract is
+            # enforced HERE, in the read), so the physical purge below
+            # is pure hygiene and can run lazily.
+            tomb = ts.read().filter(
+                F.col("__ts_at") >= now - tombstone_retention
+            ).select(*keys, "__ts_seq")
             latest = (
                 latest.join(tomb, on=list(keys), how="left")
                 .filter(
@@ -769,7 +783,6 @@ def apply_changes(
                 .drop("__ts_seq")
             )
         latest = latest.localCheckpoint(eager=False)
-        now = _time.time()
         ts_src = latest.select(
             *keys,
             F.col(sequence_by).alias("__ts_seq"),  # native type: the
@@ -781,13 +794,18 @@ def apply_changes(
         ts_txn = (f"{txn_app}:tombstones", txn_version) if (
             txn_app is not None
         ) else (None, None)
-        if ts is None:
-            first = ts_src.filter(F.col("__op") == "D").drop("__op")
-            if first.head(1):
-                ts = CowTable.create(
-                    table.spark, ts_root, first, keys=keys, target_files=2
-                )
-        else:
+        if ts is None and ts_src.filter(
+            F.col("__op") == "D"
+        ).head(1):
+            # first tombstones: create the store EMPTY, then land them
+            # through the same fenced merge as every later batch — the
+            # creating write gets the txn fence too (before, replay
+            # safety of the first batch rested on idempotence alone)
+            ts = CowTable.create(
+                table.spark, ts_root,
+                ts_src.drop("__op").limit(0), keys=keys, target_files=2,
+            )
+        if ts is not None:
             # winning deletes upsert their tombstone (never lowering a
             # newer one); surviving upserts clear theirs (key re-lives)
             ts.merge_when(
@@ -800,14 +818,19 @@ def apply_changes(
                 txn_app=ts_txn[0],
                 txn_version=ts_txn[1],
             )
-            expired = F.col("__ts_at") < (now - tombstone_retention)
-            if ts.read().filter(expired).head(1):
-                ts.delete(expired)
-            # the side table has no user-driven maintenance loop; a
-            # long CDC stream would otherwise grow its manifest chain
-            # per batch forever. Default retention keeps any in-flight
-            # writer's attempt safe.
-            ts.vacuum(keep_versions=3)
+            # hygiene is PERIODIC, not per batch: the side table has no
+            # user maintenance loop (a long CDC stream would grow its
+            # manifest chain forever), but expiry purge + vacuum walk
+            # the store's manifests/filesystem — O(manifests) work that
+            # must not tax every micro-batch. One listdir gates it;
+            # tombstones already purge "opportunistically" by contract,
+            # so fencing a hair past retention until the next sweep is
+            # within semantics.
+            if len(ts._manifest_names()) > _TOMBSTONE_VACUUM_EVERY:
+                expired = F.col("__ts_at") < (now - tombstone_retention)
+                if ts.read().filter(expired).head(1):
+                    ts.delete(expired)
+                ts.vacuum(keep_versions=3)
 
     is_del = f"s.{op_col} = '{delete_op}'"
     fresh = f"s.{sequence_by} >= t.{sequence_by}"

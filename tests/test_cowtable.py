@@ -2590,10 +2590,12 @@ def test_cow_zorder_incremental_rewrites_only_new_files(spark, tmp_path):
         ColumnSpec("y", Datatype.double),
     ]
     # new batch INCLUDING values beyond the pinned bounds (must clamp)
+    # — large enough that the drifted mass exceeds the TABLE-relative
+    # gate (100 drifted / 400 live rows = 0.25 > 0.2)
     t.merge(
         spark.createDataFrame(
             [(f"n{i:03d}", float(200 + i), float(-50 - i))
-             for i in range(60)],
+             for i in range(100)],
             "fid string, x double, y double",
         ),
         cols, deterministic=True,
@@ -2618,7 +2620,7 @@ def test_cow_zorder_incremental_rewrites_only_new_files(spark, tmp_path):
         e["cluster"]["bounds"] == tag["bounds"]
         for e in m3["files"] if e.get("cluster")
     )
-    assert t.read().count() == 360
+    assert t.read().count() == 400
     # the wholly-out-of-bounds batch tripped the drift gate (every
     # rewritten row clamped), so the NEXT incremental run escalates to
     # a full re-tighten with fresh bounds instead of no-opping
@@ -2709,17 +2711,22 @@ def test_cow_bloom_sidecar_lifecycle(spark, tmp_path):
     ).count() == 1
 
 
-def test_cow_apply_changes_tombstone_retention(spark, tmp_path):
+def test_cow_apply_changes_tombstone_retention(spark, tmp_path, monkeypatch):
     """Tombstone retention: a delete's fence survives the row. Stale
     post-delete upserts in LATER batches are dropped; a newer upsert
     clears the tombstone and re-inserts; batch-chop independence holds
     ACROSS a delete boundary (one batch vs chopped-at-the-delete gives
     the same final state); expired tombstones purge, after which a
-    stale upsert re-inserts (the documented retention contract)."""
+    stale upsert re-inserts (the documented retention contract).
+    Hygiene cadence pinned to every-batch here so the purge assertions
+    exercise the physical path."""
     import os
     import time
 
+    import openverse_catalog_spark.streaming.incremental as inc
     from openverse_catalog_spark.streaming.incremental import apply_changes
+
+    monkeypatch.setattr(inc, "_TOMBSTONE_VACUUM_EVERY", 0)
 
     sch = "fid string, val double, seq long, op string"
 
@@ -3179,7 +3186,7 @@ def test_cow_maintain_retighten_edge_cases(spark, tmp_path):
     ]
     t.merge(
         spark.createDataFrame(
-            [(f"n{i}", 1000.0 + i, 1.0) for i in range(10)],
+            [(f"n{i}", 1000.0 + i, 1.0) for i in range(15)],
             "fid string, x double, y double",
         ),
         cols, deterministic=True,
@@ -3202,7 +3209,7 @@ def test_cow_maintain_retighten_edge_cases(spark, tmp_path):
     t2.compact(target_rows=10, zorder_by=["x"], zorder_incremental=True)
     t2.merge(
         spark.createDataFrame(
-            [(f"n{i}", 1000.0 + i, 1.0) for i in range(10)],
+            [(f"n{i}", 1000.0 + i, 1.0) for i in range(15)],
             "fid string, x double, y double",
         ),
         cols, deterministic=True,
@@ -3279,15 +3286,19 @@ def test_cow_tombstone_store_crashed_create(spark, tmp_path):
     assert {r["fid"] for r in t.read().collect()} == {"b"}
 
 
-def test_cow_tombstone_store_survives_own_vacuum(spark, tmp_path):
-    """The per-batch tombstone vacuum eventually drops v1.json; the
-    store must still be recognized by its NEWER manifests (probing v1
-    specifically would misread a live store as debris and destroy every
-    delete fence)."""
+def test_cow_tombstone_store_survives_own_vacuum(spark, tmp_path, monkeypatch):
+    """The tombstone vacuum eventually drops v1.json; the store must
+    still be recognized by its NEWER manifests (probing v1 specifically
+    would misread a live store as debris and destroy every delete
+    fence). Cadence pinned to every-batch so the horizon is crossed
+    within a short fixture."""
     import os
     import re
 
+    import openverse_catalog_spark.streaming.incremental as inc
     from openverse_catalog_spark.streaming.incremental import apply_changes
+
+    monkeypatch.setattr(inc, "_TOMBSTONE_VACUUM_EVERY", 0)
 
     t = CowTable.create(
         spark, str(tmp_path / "sv"),
@@ -3319,3 +3330,317 @@ def test_cow_tombstone_store_survives_own_vacuum(spark, tmp_path):
     )
     got = {r["fid"] for r in t.read().collect()}
     assert "k0" not in got and len(got) == 2  # k6, k7 remain
+
+
+def test_cow_zorder_drift_accumulates_table_relative(spark, tmp_path):
+    """The drift gate is TABLE-relative and cumulative: a
+    monotonic-append z column whose every batch is wholly out-of-bounds must
+    NOT escalate while the drifted mass is small vs the table; the
+    per-run out-of-bounds counts accumulate across incremental runs and
+    the gate fires only once their total crosses the fraction of live
+    rows; the retighten pads fresh bounds with headroom so the next
+    in-trend append measures zero new drift."""
+    from openverse_catalog_spark.operators.cowtable import (
+        ZORDER_RETIGHTEN_HEADROOM,
+    )
+    from openverse_catalog_spark.schemas.columns import (
+        ColumnSpec,
+        Datatype,
+        UpsertStrategy,
+    )
+
+    def batch(n, lo, tag):
+        return spark.createDataFrame(
+            [(f"{tag}{i:04d}", float(lo + (i % 100))) for i in range(n)],
+            "fid string, x double",
+        )
+
+    t = CowTable.create(
+        spark, str(tmp_path / "acc"), batch(1000, 0, "b"),
+        keys=("fid",), target_files=4, stats_cols=("x",),
+    )
+    t.compact(target_rows=400, zorder_by=["x"], zorder_incremental=True)
+    assert t._manifest()["zorder_clamp"]["fraction"] == 0.0
+    cols = [
+        ColumnSpec("fid", Datatype.char,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("x", Datatype.double),
+    ]
+
+    # append batch A, wholly beyond the pinned [0,100) bounds, but only
+    # ~13% of the table: churn-relative gating would fire (100% of the
+    # batch clamps); table-relative must NOT
+    t.merge(batch(150, 100, "a"), cols, deterministic=True)
+    t.compact(target_rows=400, zorder_by=["x"], zorder_incremental=True)
+    c1 = t._manifest()["zorder_clamp"]
+    assert c1["drifted_rows"] == 150
+    assert 0.0 < c1["fraction"] <= 0.2, (
+        "a small monotonic append must not trip the table-relative gate"
+    )
+    # small target so the tick is a pure gate check (a plain compact
+    # would rewrite the tagged files and reset the pinned bounds)
+    mt = t.maintain(target_rows=100, keep_versions=50)
+    assert mt["retightened"] is False and "retighten_result" not in mt
+
+    # batch B pushes the CUMULATIVE drifted mass past 20% of the table
+    t.merge(batch(150, 200, "c"), cols, deterministic=True)
+    t.compact(target_rows=400, zorder_by=["x"], zorder_incremental=True)
+    c2 = t._manifest()["zorder_clamp"]
+    assert c2["drifted_rows"] == 300 and c2["fraction"] > 0.2
+
+    # the next incremental run escalates, with headroom-padded bounds
+    r = t.compact(
+        target_rows=400, zorder_by=["x"], zorder_incremental=True
+    )
+    assert r["retightened"]
+    m = t._manifest()
+    assert m["zorder_clamp"] == {
+        "cols": ["x"], "bits": 8, "drifted_rows": 0, "fraction": 0.0,
+    }
+    (lo, hi) = m["files"][0]["cluster"]["bounds"]["x"]
+    # data spans [0, 300); pad = span * headroom on each side
+    span = 299.0 - 0.0
+    assert lo < 0.0 and hi > 299.0
+    assert abs((hi - 299.0) - span * ZORDER_RETIGHTEN_HEADROOM) < 1.0
+
+    # an in-trend append that lands INSIDE the headroom measures zero
+    # new drift: steady append no longer re-drifts immediately
+    t.merge(batch(60, 300, "d"), cols, deterministic=True)
+    t.compact(target_rows=400, zorder_by=["x"], zorder_incremental=True)
+    c3 = t._manifest()["zorder_clamp"]
+    assert c3["drifted_rows"] == 0 and c3["fraction"] == 0.0
+
+
+def test_cow_maintain_retighten_single_rewrite(spark, tmp_path):
+    """When the drift gate will fire, maintain() skips the plain
+    small-file compact and lets the retighten do the ONE rewrite (it
+    also bin-packs), instead of rewriting the same files twice."""
+    from openverse_catalog_spark.schemas.columns import (
+        ColumnSpec,
+        Datatype,
+        UpsertStrategy,
+    )
+
+    t = CowTable.create(
+        spark, str(tmp_path / "sr"),
+        spark.createDataFrame(
+            [(f"f{i:03d}", float(i % 100)) for i in range(200)],
+            "fid string, x double",
+        ),
+        keys=("fid",), target_files=4, stats_cols=("x",),
+    )
+    t.compact(target_rows=100, zorder_by=["x"], zorder_incremental=True)
+    cols = [
+        ColumnSpec("fid", Datatype.char,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("x", Datatype.double),
+    ]
+    # out-of-bounds churn > 20% of the table, in small files
+    t.merge(
+        spark.createDataFrame(
+            [(f"n{i:03d}", float(1000 + i)) for i in range(120)],
+            "fid string, x double",
+        ),
+        cols, deterministic=True,
+    )
+    t.compact(target_rows=100, zorder_by=["x"], zorder_incremental=True)
+    assert t._manifest()["zorder_clamp"]["fraction"] > 0.2
+    v0 = t.version
+    out = t.maintain(target_rows=10_000, keep_versions=50)
+    assert out["retightened"] is True
+    assert "retighten_result" in out and "compact_result" not in out, (
+        "the retighten pass must be the single rewrite"
+    )
+    # exactly ONE compact commit landed (no double rewrite)
+    assert t.version == v0 + 1
+    assert t.read().count() == 320
+
+
+def test_cow_maintain_advances_stats(spark, tmp_path):
+    """maintain() keeps ANALYZE stats fresh at tick cadence (the
+    autoanalyze the reference gets from Postgres): a table that opted
+    in via analyze() gets its stats advanced to head through the
+    O(churn) incremental path; a never-analyzed table stays stats-free
+    (no opt-in, no cost)."""
+    from openverse_catalog_spark.schemas.columns import (
+        ColumnSpec,
+        Datatype,
+        UpsertStrategy,
+    )
+
+    sch = "fid string, v double"
+    t = CowTable.create(
+        spark, str(tmp_path / "as"),
+        spark.createDataFrame(
+            [(f"f{i:03d}", float(i)) for i in range(100)], sch
+        ),
+        keys=("fid",), target_files=2,
+    )
+    cols = [
+        ColumnSpec("fid", Datatype.char,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("v", Datatype.double),
+    ]
+    # never analyzed: maintain() must not fabricate stats
+    t.merge(
+        spark.createDataFrame([("g001", 1.5)], sch), cols,
+        deterministic=True,
+    )
+    out0 = t.maintain(keep_versions=50)
+    assert "stats_version" not in out0 and t.stats() is None
+
+    t.analyze(kmv_k=64)
+    t.merge(
+        spark.createDataFrame(
+            [(f"g{i:03d}", float(200 + i)) for i in range(10)], sch
+        ),
+        cols, deterministic=True,
+    )
+    out = t.maintain(keep_versions=50)
+    st = t.stats()
+    assert out["stats_version"] == t.version
+    assert st["version"] == t.version and st["mode"] == "incremental"
+    assert st["rows"] == t.read().count()
+    # idle tick: stats already at head, nothing recorded
+    out2 = t.maintain(keep_versions=50)
+    assert "stats_version" not in out2 and "stats_error" not in out2
+
+
+def test_cow_analyze_incremental_ndv_retighten(spark, tmp_path):
+    """NDV drift gate: once deletes since the last full seed exceed
+    STATS_NDV_RETIGHTEN of the live rows, analyze_incremental escalates
+    itself to a full ANALYZE — NDV tightens to exact, sketches re-seed,
+    the drift counter resets."""
+    t = CowTable.create(
+        spark, str(tmp_path / "nr"),
+        spark.createDataFrame(
+            [(f"f{i:03d}", f"g{i}") for i in range(100)],
+            "fid string, grp string",
+        ),
+        keys=("fid",), target_files=2,
+    )
+    full = t.analyze(cols=["grp"], kmv_k=256)
+    assert full["columns"]["grp"]["ndv"] == 100
+
+    # small delete: stays incremental, drift recorded, NDV an upper bound
+    t.delete(F.col("fid") < "f010")
+    inc = t.analyze_incremental()
+    assert inc["mode"] == "incremental"
+    assert inc["deletes_since_full"] == 10
+    assert inc["columns"]["grp"]["ndv"] == 100  # sketch can't forget
+
+    # big delete crosses the gate: the SAME call escalates to full
+    t.delete(F.col("fid") < "f050")
+    doc = t.analyze_incremental()
+    assert doc.get("mode") != "incremental"
+    assert doc["deletes_since_full"] == 0 and "kmv" in doc
+    assert doc["columns"]["grp"]["ndv"] == 50  # exact again
+    assert doc["rows"] == 50
+    # and the next tick is incremental again off the fresh seed
+    assert t.analyze_incremental() == doc
+
+
+def test_cow_tombstone_hygiene_periodic_and_fence_expiry(
+    spark, tmp_path, monkeypatch
+):
+    """Tombstone hygiene is periodic, correctness is not: (a) expiry is
+    enforced in the FENCE (an expired tombstone never fences even while
+    it still sits in the store un-purged); (b) the txn-fenced creating
+    path replays cleanly (the first batch is fenced like every later
+    one); (c) the purge+vacuum sweep runs only once the store's
+    manifest chain crosses the cadence, then trims it."""
+    import os
+    import re
+    import time
+
+    import openverse_catalog_spark.streaming.incremental as inc
+    from openverse_catalog_spark.streaming.incremental import apply_changes
+
+    sch = "fid string, val double, seq long, op string"
+    t = CowTable.create(
+        spark, str(tmp_path / "ph"),
+        spark.createDataFrame(
+            [(f"k{i}", float(i), 0) for i in range(20)],
+            "fid string, val double, seq long",
+        ),
+        keys=("fid",), target_files=1,
+    )
+
+    # (b) first delete batch creates the store through the FENCED merge:
+    # replaying the same (txn_app, txn_version) is a no-op on the store
+    apply_changes(
+        t, spark.createDataFrame([("k0", None, 10, "D")], sch),
+        sequence_by="seq", tombstone_retention=3600,
+        txn_app="cdc", txn_version=1,
+    )
+    ts_root = str(tmp_path / "ph" / "_tombstones")
+    ts = CowTable(spark, ts_root, keys=("fid",))
+    v_after_create = ts.version
+    apply_changes(
+        t, spark.createDataFrame([("k0", None, 10, "D")], sch),
+        sequence_by="seq", tombstone_retention=3600,
+        txn_app="cdc", txn_version=1,
+    )
+    assert ts.version == v_after_create, (
+        "a replayed first batch must be fenced on the tombstone store"
+    )
+
+    # (a) fence-level expiry: the k0 tombstone is seconds old; under a
+    # microscopic retention it must NOT fence — and the store still
+    # holds it (no purge ran: the chain is short of the cadence)
+    time.sleep(0.01)
+    apply_changes(
+        t, spark.createDataFrame([("k0", -1.0, 5, "U")], sch),
+        sequence_by="seq", tombstone_retention=1e-9,
+    )
+    assert {r["fid"] for r in t.read().collect()} >= {"k0"}, (
+        "an expired tombstone must not fence, purged or not"
+    )
+    mdir = f"{ts_root}/manifests"
+
+    def manifests():
+        return [
+            n for n in os.listdir(mdir) if re.fullmatch(r"v\d+\.json", n)
+        ]
+
+    assert ts.read(version=v_after_create) is not None  # un-vacuumed
+
+    # (c) cross the cadence: the sweep fires once, trims the chain
+    monkeypatch.setattr(inc, "_TOMBSTONE_VACUUM_EVERY", 4)
+    for i in range(1, 6):
+        apply_changes(
+            t, spark.createDataFrame([(f"k{i}", None, 100 + i, "D")], sch),
+            sequence_by="seq", tombstone_retention=3600,
+        )
+    names = manifests()
+    assert "v1.json" not in names and len(names) <= 6, (
+        f"the periodic sweep must have vacuumed the chain (got {names})"
+    )
+    # fences still live after the sweep
+    apply_changes(
+        t, spark.createDataFrame([("k3", -9.0, 50, "U")], sch),
+        sequence_by="seq", tombstone_retention=3600,
+    )
+    assert "k3" not in {r["fid"] for r in t.read().collect()}
+
+
+def test_cdc_stream_trigger_size_independence(spark):
+    """The CDC stream's final state is independent of the trigger size:
+    maxFilesPerTrigger=1 (worst case — one merge commit per landing
+    file, what the registry fixtures pin) and an unbounded trigger (the
+    amortized production path — ALL pending files collapse latest-wins
+    into ONE merge commit) land identical tables. This is what makes
+    files-per-trigger a pure throughput knob at scale: fewer, larger
+    merges amortize the fixed per-commit machinery without changing
+    results."""
+    from openverse_catalog_spark.plans import stream_queries  # noqa: F401
+    from openverse_catalog_spark.plans.analytics import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    for name in ("stream_cdc_apply", "stream_cdc_tombstones"):
+        chopped = QUERIES[name](spark, sf, _max_files_per_trigger=1)
+        rows1 = {tuple(r) for r in chopped.collect()}
+        wide = QUERIES[name](spark, sf, _max_files_per_trigger=None)
+        rows2 = {tuple(r) for r in wide.collect()}
+        assert rows1 == rows2, f"{name}: trigger size changed the state"
+        assert rows1, name

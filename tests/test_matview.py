@@ -738,3 +738,56 @@ def test_composite_group_key_mv(spark, tmp_path):
         F.min("val").alias("lo"),
     )
     assert snap(mv.read()) == snap(truth)
+
+
+def test_mv_refresh_rejects_null_group_keys(spark, tmp_path):
+    """Runtime guard: _validate checks the base at BUILD, but churn can
+    introduce NULL group keys later (the LEFT-join feed case); refresh
+    must fail loudly instead of merging a NULL group."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from openverse_catalog_spark.operators.cowtable import CowTable
+    from openverse_catalog_spark.operators.matview import (
+        AggSpec,
+        MaterializedView,
+    )
+    from openverse_catalog_spark.schemas.columns import (
+        ColumnSpec,
+        Datatype,
+        UpsertStrategy,
+    )
+
+    base = CowTable.create(
+        spark, str(tmp_path / "b"),
+        spark.createDataFrame(
+            [(f"k{n}", f"g{n % 3}", float(n)) for n in range(12)],
+            "k string, grp string, v double",
+        ),
+        keys=("k",), target_files=1,
+    )
+    mv = MaterializedView(
+        spark, base, str(tmp_path / "mv"), ["grp"],
+        [AggSpec("n", "count", None), AggSpec("total", "sum", "v")],
+    )
+    mv.build()
+    cols = [
+        ColumnSpec("k", Datatype.char,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("grp", Datatype.char),
+        ColumnSpec("v", Datatype.double),
+    ]
+    base.merge(
+        spark.createDataFrame(
+            [("kx", None, 99.0)], "k string, grp string, v double"
+        ),
+        cols, deterministic=True,
+    )
+    with pytest.raises(ValueError, match="NULL group keys"):
+        mv.refresh()
+    # cleaning the offending churn lets refresh proceed
+    base.delete(F.col("k") == "kx")
+    res = mv.refresh()
+    assert res["refreshed"] is True or res["refreshed"] is False
+    got = {r["grp"]: r["n"] for r in mv.read().collect()}
+    assert got == {"g0": 4, "g1": 4, "g2": 4}

@@ -950,3 +950,270 @@ def test_facade_show_and_drop_materialized_views(spark, tmp_path):
 
     with pytest.raises(Exception):
         f.sql("SELECT * FROM agg1").collect()
+
+
+def test_facade_broadcast_hint_cannot_go_stale(spark, tmp_path):
+    """The forced broadcast hint is bounded by the MANIFEST's exact
+    live row count at the queried version, not by the analyzed
+    snapshot's count: a dimension analyzed while small that then grows
+    past the bound drops out of broadcast planning on the very next
+    facade query with NO re-ANALYZE — stale statistics can never pin a
+    driver-OOM-sized broadcast. A stale-but-still-small table keeps
+    the hint (the stats stay the opt-in; the manifest answers size)."""
+    from openverse_catalog_spark.schemas.columns import (
+        ColumnSpec,
+        Datatype,
+        UpsertStrategy,
+    )
+
+    big = CowTable.create(
+        spark, str(tmp_path / "big"),
+        spark.range(2000).select(
+            F.concat(F.lit("k"), (F.col("id") % 50).cast("string"))
+            .alias("k"),
+            F.col("id").alias("v"),
+        ),
+        keys=("k", "v"), target_files=4,
+    )
+    dim = CowTable.create(
+        spark, str(tmp_path / "dim"),
+        spark.range(50).select(
+            F.concat(F.lit("k"), F.col("id").cast("string")).alias("k"),
+            F.concat(F.lit("label"), F.col("id").cast("string"))
+            .alias("label"),
+        ),
+        keys=("k",), target_files=1,
+    )
+    dcols = [
+        ColumnSpec("k", Datatype.char,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("label", Datatype.char),
+    ]
+    q = (
+        "SELECT d.label, count(*) AS n FROM facts x JOIN dim d "
+        "ON x.k = d.k GROUP BY d.label"
+    )
+
+    def plan(f):
+        return f.sql(q)._jdf.queryExecution().executedPlan().toString()
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.openverse.sql.autoBroadcastRows", "500")
+    try:
+        f = SqlFacade(spark)
+        f.register_table("facts", big)
+        f.register_table("dim", dim, columns=dcols)
+        dim.analyze()
+        assert "BroadcastHashJoin" in plan(f)
+        rows0 = {(r["label"], r["n"]) for r in f.sql(q).collect()}
+
+        # stale-but-still-small: growth UNDER the bound keeps the hint
+        # without re-analyzing (manifest answers the size question)
+        dim.merge(
+            spark.range(100).select(
+                F.concat(F.lit("s"), F.col("id").cast("string"))
+                .alias("k"),
+                F.lit("extra").alias("label"),
+            ),
+            dcols, deterministic=True,
+        )
+        assert dim.stats()["version"] < dim.version  # stats ARE stale
+        assert "BroadcastHashJoin" in plan(f)
+
+        # 10x backfill past the bound, still no re-ANALYZE: the hint
+        # must drop on the next facade query
+        dim.merge(
+            spark.range(5000).select(
+                F.concat(F.lit("g"), F.col("id").cast("string"))
+                .alias("k"),
+                F.lit("grown").alias("label"),
+            ),
+            dcols, deterministic=True,
+        )
+        assert dim.stats()["rows"] <= 500 < dim.live_rows()
+        assert "BroadcastHashJoin" not in plan(f), (
+            "stale ANALYZE stats must not pin a forced broadcast on a "
+            "table that has grown past the bound"
+        )
+        # results stay identical either way (big side only joins k0..49)
+        assert {(r["label"], r["n"]) for r in f.sql(q).collect()} == rows0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset("spark.openverse.sql.autoBroadcastRows")
+
+
+def test_facade_describe_detail_and_tombstones(spark, tmp_path):
+    """DESCRIBE DETAIL surfaces the operational state SQL could not
+    see: snapshot size, tombstone-store liveness + sequence horizon,
+    ANALYZE freshness; TABLE_TOMBSTONES exposes the delete fences as a
+    queryable relation (and errors usefully when no store exists)."""
+    import pytest
+
+    from openverse_catalog_spark.streaming.incremental import apply_changes
+
+    t = CowTable.create(
+        spark, str(tmp_path / "d"),
+        spark.createDataFrame(
+            [(f"k{i}", float(i), 0) for i in range(10)],
+            "fid string, val double, seq long",
+        ),
+        keys=("fid",), target_files=2,
+    )
+    f = SqlFacade(spark)
+    f.register_table("t", t)
+
+    # fresh table: no tombstones, no stats
+    d0 = f.sql("DESCRIBE DETAIL t").collect()[0]
+    assert d0["version"] == 1 and d0["rows"] == 10
+    assert d0["has_tombstones"] is False and d0["tombstones"] == 0
+    assert d0["tombstone_horizon"] is None
+    assert d0["stats_version"] is None and d0["stats_lag"] is None
+    with pytest.raises(ValueError, match="no live tombstone store"):
+        f.sql("SELECT * FROM TABLE_TOMBSTONES('t')")
+
+    # CDC deletes with retention create the store; stats get analyzed
+    sch = "fid string, val double, seq long, op string"
+    apply_changes(
+        t,
+        spark.createDataFrame(
+            [("k1", None, 50, "D"), ("k2", None, 70, "D"),
+             ("k3", 9.9, 30, "U")], sch,
+        ),
+        sequence_by="seq", tombstone_retention=3600,
+    )
+    t.analyze()
+    d1 = f.sql("DESCRIBE DETAIL t").collect()[0]
+    assert d1["has_tombstones"] is True and d1["tombstones"] == 2
+    assert d1["tombstone_horizon"] == "70"  # max fenced sequence
+    assert d1["stats_version"] == t.version and d1["stats_lag"] == 0
+
+    tomb = f.sql(
+        "SELECT fid, __ts_seq FROM TABLE_TOMBSTONES('t') ORDER BY fid"
+    ).collect()
+    assert [(r["fid"], r["__ts_seq"]) for r in tomb] == [
+        ("k1", 50), ("k2", 70),
+    ]
+    # composes like any relation: horizon via plain SQL
+    h = f.sql(
+        "SELECT max(__ts_seq) AS h FROM TABLE_TOMBSTONES('t')"
+    ).collect()[0]["h"]
+    assert h == 70
+    # stats_lag counts commits since ANALYZE
+    t.delete(F.col("fid") == "k5")
+    d2 = f.sql("DESCRIBE DETAIL t").collect()[0]
+    assert d2["stats_lag"] == 1
+
+
+def test_facade_show_mvs_staleness(spark, tmp_path):
+    """SHOW MATERIALIZED VIEWS reports each view's applied version(s)
+    and its staleness (base commits not yet applied), matching the
+    MV's own state file; REFRESH brings staleness back to 0."""
+    base = CowTable.create(
+        spark, str(tmp_path / "b"),
+        spark.createDataFrame(
+            [(f"k{n}", n % 3, float(n)) for n in range(9)],
+            "k string, grp int, v double",
+        ),
+        keys=("k",), target_files=1,
+    )
+    dim = CowTable.create(
+        spark, str(tmp_path / "dim"),
+        spark.createDataFrame(
+            [(f"k{n}", f"lab{n}") for n in range(9)],
+            "k string, label string",
+        ),
+        keys=("k",), target_files=1,
+    )
+    f = SqlFacade(spark)
+    f.register_table("t", base)
+    f.register_table("d", dim)
+    f.sql(
+        "CREATE MATERIALIZED VIEW agg1 AS "
+        "SELECT grp, count(*) AS n FROM t GROUP BY grp"
+    )
+    f.sql(
+        "CREATE MATERIALIZED VIEW j1 AS "
+        "SELECT * FROM t JOIN d ON t.k = d.k"
+    )
+    rows = {
+        r["view"]: r for r in f.sql("SHOW MATERIALIZED VIEWS").collect()
+    }
+    st = f._mvs["agg1"]._load_state()
+    assert rows["agg1"]["applied"] == f"v{st['applied_base']}"
+    assert rows["agg1"]["staleness"] == 0
+    assert rows["j1"]["staleness"] == 0
+
+    # base commits the MVs have not applied -> staleness counts them
+    base.delete(F.col("k") == "k0")
+    base.delete(F.col("k") == "k1")
+    dim.delete(F.col("k") == "k2")
+    rows = {
+        r["view"]: r for r in f.sql("SHOW MATERIALIZED VIEWS").collect()
+    }
+    st = f._mvs["agg1"]._load_state()
+    assert rows["agg1"]["staleness"] == base.version - st["applied_base"]
+    assert rows["agg1"]["staleness"] == 2
+    assert rows["j1"]["staleness"] == 3  # 2 left + 1 right commits
+    jst = f._mvs["j1"]._load_state()
+    assert rows["j1"]["applied"] == (
+        f"L{jst['applied_left']}/R{jst['applied_right']}"
+    )
+
+    f.sql("REFRESH MATERIALIZED VIEW agg1")
+    f.sql("REFRESH MATERIALIZED VIEW j1")
+    rows = {
+        r["view"]: r for r in f.sql("SHOW MATERIALIZED VIEWS").collect()
+    }
+    assert rows["agg1"]["staleness"] == 0
+    assert rows["j1"]["staleness"] == 0
+
+
+def test_facade_left_join_agg_mv_rejects_right_group_cols(
+    spark, tmp_path
+):
+    """A LEFT JOIN join+agg MV grouping by a right-sourced column is
+    rejected at CREATE time: a right-side delete would NULL that group
+    key in the change feed and break the aggregate stage's non-NULL
+    contract at refresh (also guarded there). Grouping by join or
+    left-side columns stays allowed."""
+    import pytest
+
+    left = CowTable.create(
+        spark, str(tmp_path / "l"),
+        spark.createDataFrame(
+            [(f"k{n}", n % 3, float(n)) for n in range(9)],
+            "k string, grp int, v double",
+        ),
+        keys=("k",), target_files=1,
+    )
+    right = CowTable.create(
+        spark, str(tmp_path / "r"),
+        spark.createDataFrame(
+            [(f"k{n}", f"lab{n % 2}") for n in range(9)],
+            "k string, label string",
+        ),
+        keys=("k",), target_files=1,
+    )
+    f = SqlFacade(spark)
+    f.register_table("l", left)
+    f.register_table("r", right)
+    with pytest.raises(ValueError, match="right-sourced"):
+        f.sql(
+            "CREATE MATERIALIZED VIEW bad AS "
+            "SELECT label, count(*) AS n FROM l LEFT JOIN r "
+            "ON l.k = r.k GROUP BY label"
+        )
+    # left-side grouping is fine; inner join on right col is fine
+    f.sql(
+        "CREATE MATERIALIZED VIEW ok1 AS "
+        "SELECT grp, count(*) AS n FROM l LEFT JOIN r "
+        "ON l.k = r.k GROUP BY grp"
+    )
+    f.sql(
+        "CREATE MATERIALIZED VIEW ok2 AS "
+        "SELECT label, count(*) AS n FROM l JOIN r "
+        "ON l.k = r.k GROUP BY label"
+    )
+    got = {r["view"] for r in f.sql("SHOW MATERIALIZED VIEWS").collect()}
+    assert got == {"ok1", "ok2"}
