@@ -1014,10 +1014,11 @@ def clean_sub_provider_update(spark, sf_dir):
         ).alias("creator_url"),
         provider.alias("source"),
     )
-    dim = spark.createDataFrame(
-        [(f"https://www.flickr.com/photos/u{n}", s) for n, s in _SUB_PROV_DIM],
-        "creator_url string, sub_provider string",
-    )
+    # the dim is a literal VALUES relation, not createDataFrame: a
+    # python-RDD-backed 4-row frame costs a Python worker round-trip
+    # (Scan ExistingRDD) on EVERY invocation, ~0.3s of pure overhead on
+    # a query whose real work is one map-side pass (r7 A/B finding)
+    dim = spark.sql(_SUB_PROV_DIM_SQL)
     hit = (F.col("provider") == "flickr") & F.col("sub_provider").isNotNull()
     return (
         catalog.join(F.broadcast(dim), "creator_url", "left")
@@ -1066,10 +1067,8 @@ def agg_sub_provider_audit(spark, sf_dir):
         .groupBy(nsid)
         .agg(F.count(F.lit(1)).alias("cc_count"))
     )
-    dim = spark.createDataFrame(
-        [(f"https://www.flickr.com/photos/u{n}", s) for n, s in _SUB_PROV_DIM],
-        "creator_url string, sub_provider string",
-    )
+    dim = spark.sql(_SUB_PROV_DIM_SQL)  # literal VALUES: LocalTableScan,
+    # no per-call Python-RDD round-trip (see clean_sub_provider_update)
     return (
         cc.join(
             F.broadcast(dim),
