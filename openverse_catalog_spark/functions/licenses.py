@@ -82,9 +82,15 @@ def license_pairs() -> list[tuple[str, str, str]]:
 
 
 def license_dim(spark: SparkSession) -> DataFrame:
-    """Tiny broadcastable dimension of valid (license, version, url)."""
-    return spark.createDataFrame(
-        license_pairs(), "license string, license_version string, license_url string"
+    """Tiny broadcastable dimension of valid (license, version, url) —
+    a literal VALUES relation (LocalTableScan), not createDataFrame, so
+    every clean query that joins it skips the per-call python-RDD
+    round-trip."""
+    from openverse_catalog_spark.functions.dims import values_dim
+
+    return values_dim(
+        spark, license_pairs(),
+        "license string, license_version string, license_url string",
     )
 
 

@@ -40,7 +40,11 @@ _TLD_RE = r"\.[A-Za-z]{2,}$"
 
 
 def tls_dim(spark: SparkSession, domains: tuple[str, ...] = TLS_DOMAINS) -> DataFrame:
-    return spark.createDataFrame([(d,) for d in domains], "__tls_domain string")
+    from openverse_catalog_spark.functions.dims import values_dim
+
+    return values_dim(
+        spark, [(d,) for d in domains], "__tls_domain string"
+    )
 
 
 def domain_expr(url: Column) -> Column:

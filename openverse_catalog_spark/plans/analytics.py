@@ -1575,7 +1575,10 @@ def pipeline_inaturalist_bulk(spark, sf_dir):
     li, o, s, c = t["lineitem"], t["orders"], t["supplier"], t["customer"]
     solo = _inat_photos(li)
 
-    license_codes = spark.createDataFrame(
+    from openverse_catalog_spark.functions.dims import values_dim
+
+    license_codes = values_dim(
+        spark,
         [
             ("AF", "by", "4.0", "https://creativecommons.org/licenses/by/4.0/"),
             ("NF", "by-nc", "4.0", "https://creativecommons.org/licenses/by-nc/4.0/"),

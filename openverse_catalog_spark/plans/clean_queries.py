@@ -634,7 +634,11 @@ def clean_domain_blocklist(spark, sf_dir):
             F.lower("url_raw"), r"^(?:https?://)?(?:www\.)?([^/?]+)", 1
         ).alias("domain"),
     )
-    blocked = o.sparkSession.createDataFrame([("cdn.example",)], "domain string")
+    from openverse_catalog_spark.functions.dims import values_dim
+
+    blocked = values_dim(
+        o.sparkSession, [("cdn.example",)], "domain string"
+    )
     return (
         d.join(F.broadcast(blocked), "domain", "left_anti")
         .groupBy("domain")

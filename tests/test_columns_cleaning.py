@@ -172,3 +172,32 @@ def test_license_normalize_pairs(spark):
     assert (out[2]["license"], out[2]["license_version"]) == ("cc0", "1.0")
     assert out[3]["license"] is None and out[3]["license_version"] is None
     assert out[4]["license"] is None
+
+
+def test_values_dim_literal_relation(spark):
+    """values_dim plans as a LocalTableScan (no python-RDD scan: the
+    whole point is skipping the per-call Python worker round-trip) and
+    round-trips types/NULLs/quotes exactly like createDataFrame."""
+    from openverse_catalog_spark.functions.dims import values_dim
+
+    rows = [
+        ("o'brien", 1, 2.5, True, None),
+        ("plain", -3, 0.0, False, "x"),
+    ]
+    schema = "name string, n int, v double, flag boolean, note string"
+    df = values_dim(spark, rows, schema)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan and "ExistingRDD" not in plan
+    ref = spark.createDataFrame(rows, schema)
+    # names and types match createDataFrame; nullability may be TIGHTER
+    # (VALUES proves a column never-null — strictly more planner info)
+    assert [(f.name, f.dataType) for f in df.schema.fields] == [
+        (f.name, f.dataType) for f in ref.schema.fields
+    ]
+    assert sorted(map(tuple, df.collect())) == sorted(
+        map(tuple, ref.collect())
+    )
+    import pytest
+
+    with pytest.raises(ValueError):
+        values_dim(spark, [], schema)

@@ -95,11 +95,23 @@ def cdc_main() -> None:
 
 
 def deep_main() -> None:
+    from openverse_catalog_spark.session import load_tables
+
     spark = get_spark("probe_r7_deep")
     tmp = tempfile.mkdtemp(prefix="sf100x_r7_")
     needed: dict[str, list[str]] = {}
     for _, offs in DEEP_PROBES:
         needed.update(offs)
+    # non-replicated tables copy through unchanged (dimensions stay
+    # 1x against the 100x facts, as in every probe batch)
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        if t not in needed:
+            load_tables(spark, SF_DIR, (t,))[t].write.mode(
+                "overwrite"
+            ).parquet(f"{tmp}/{t}.parquet")
     replicate(spark, SF_DIR, tmp, needed, copies=DEEP_COPIES)
     lines = [
         "",
