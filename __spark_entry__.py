@@ -39,7 +39,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _driver_checked() -> dict[str, int]:
-    """Name -> earliest round with a driver CORRECTNESS row for it."""
+    """Name -> LATEST round with a driver CORRECTNESS row for it.
+
+    Latest, not earliest: the post-exhaustion freshness rotation sorts
+    checked names by this value, so a re-check must push the name to
+    the BACK of the queue (its evidence is now the newest). Keyed on
+    the earliest round, a re-checked name would keep its original sort
+    position and the same window would re-verify forever while every
+    other query's driver evidence went stale."""
     import glob
     import json
     import os
@@ -56,7 +63,7 @@ def _driver_checked() -> dict[str, int]:
         except (OSError, ValueError):
             continue
         for n in names:
-            if n not in seen or rnd < seen[n]:
+            if n not in seen or rnd > seen[n]:
                 seen[n] = rnd
     return seen
 
@@ -74,9 +81,10 @@ def _rotated_names() -> list[str]:
     POST-EXHAUSTION POLICY: once every registry name has a driver row
     (the fresh buckets are empty), the rotation flips from coverage to
     FRESHNESS — already-checked names are ordered by the round that
-    first checked them, oldest first, so each subsequent round re-checks
-    the stalest driver evidence against the current code. New queries
-    added later still jump the queue (they land in the fresh buckets).
+    LAST checked them, stalest evidence first, so each subsequent round
+    re-checks the oldest rows against the current code and a re-check
+    sends the name to the back of the queue. New queries added later
+    still jump the queue (they land in the fresh buckets).
     """
     seen = _driver_checked()
     names = list(QUERIES)

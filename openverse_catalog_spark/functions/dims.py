@@ -28,6 +28,23 @@ def _sql_literal(v) -> str:
     return "'" + str(v).replace("'", "''") + "'"
 
 
+def _split_cols(schema: str) -> list[str]:
+    """Split a DDL column list on TOP-LEVEL commas only, so
+    parameterized types (``decimal(10,2)``, ``map<string,int>``,
+    ``array<struct<a:int,b:int>>``) stay intact."""
+    out, depth, start = [], 0, 0
+    for i, ch in enumerate(schema):
+        if ch in "(<":
+            depth += 1
+        elif ch in ")>":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append(schema[start:i])
+            start = i + 1
+    out.append(schema[start:])
+    return [c for c in (c.strip() for c in out) if c]
+
+
 def values_dim(
     spark: SparkSession,
     rows: Iterable[Sequence],
@@ -36,17 +53,22 @@ def values_dim(
     """A literal dimension from ``rows`` with the DDL ``schema``
     ("name type, name type"): planned as a LocalTableScan. Values are
     CAST to the declared types so the frame's schema matches what the
-    same call to ``createDataFrame`` would have produced. Supports
+    same call to ``createDataFrame`` would have produced; zero rows
+    yield an empty relation (same contract as createDataFrame — an
+    empty blocklist is a valid dimension). Supports
     str/int/float/bool/None cells — the row shapes static config dims
     actually have."""
-    cols = [c.strip().split(None, 1) for c in schema.split(",")]
+    cols = [c.split(None, 1) for c in _split_cols(schema)]
     names = [c[0] for c in cols]
     types = [c[1] for c in cols]
     body = ", ".join(
         "(" + ", ".join(_sql_literal(v) for v in r) + ")" for r in rows
     )
     if not body:
-        raise ValueError("values_dim needs at least one row")
+        sel = ", ".join(
+            f"CAST(NULL AS {t}) AS {n}" for n, t in zip(names, types)
+        )
+        return spark.sql(f"SELECT {sel} WHERE 1 = 0")
     sel = ", ".join(
         f"CAST(v.{n} AS {t}) AS {n}" for n, t in zip(names, types)
     )

@@ -3598,7 +3598,16 @@ class CowTable:
                 # spec (each run only sees its own churn; the drifted
                 # mass already written under old bounds persists), and
                 # the gate fraction is that total over the TABLE's
-                # live rows.
+                # live rows. Semantics: the counter tallies CLAMPED
+                # WRITES since the last retighten. A merge that
+                # rewrites an already-counted clustered file re-exposes
+                # those rows as churn and this path clamp-writes them
+                # AGAIN — the re-count mirrors real rewrite work wasted
+                # on out-of-bounds data, which is exactly what the gate
+                # weighs against a full re-cluster. maintain() compacts
+                # z-maintained tables through this same incremental
+                # path, so routine bin-packing never untags files and
+                # never inflates the counter.
                 flags = [
                     F.coalesce(
                         ((F.col(c) < F.lit(lo)) | (F.col(c) > F.lit(hi)))
@@ -3937,10 +3946,24 @@ class CowTable:
                 )).alias(f"__tie_max_{c}"),
             ]
         row = feed.agg(*aggs).head()
+        k = int(prev.get("kmv_k") or kmv_k)
+        new_rows = int(prev["rows"]) + int(row["__d_rows"])
+        dels = int(prev.get("deletes_since_full", 0)) + int(
+            row["__d_dels"]
+        )
+        if dels > STATS_NDV_RETIGHTEN * max(1, new_rows):
+            # NDV drift gate, checked the moment the delete count is
+            # known (before sketch merges and min/max bound repair —
+            # escalation must not pay for work it throws away): enough
+            # of the corpus was deleted since the last full seed that
+            # the sketch NDV (an upper bound — deletes can't leave a
+            # KMV) has drifted. One full ANALYZE: exact NDV, fresh
+            # sketches, drift counter reset. O(table) at a bounded
+            # cadence (every ~20% deleted), not per tick.
+            return self.analyze(cols, approx=False, kmv_k=k)
 
         # merge inserted values into the per-column KMV sketches (the
         # feed's inserts are churn-sized; the sketch union is exact)
-        k = int(prev.get("kmv_k") or kmv_k)
         inserted = feed.filter(w > 0)
         fresh = self._kmv_sketches(inserted, cols, k)
         kmv = {}
@@ -4048,18 +4071,6 @@ class CowTable:
                     columns[c]["min"] = fix[f"__mn_{c}"]
                 for c in scan_max:
                     columns[c]["max"] = fix[f"__mx_{c}"]
-        new_rows = int(prev["rows"]) + int(row["__d_rows"])
-        dels = int(prev.get("deletes_since_full", 0)) + int(
-            row["__d_dels"]
-        )
-        if dels > STATS_NDV_RETIGHTEN * max(1, new_rows):
-            # NDV drift gate: enough of the corpus was deleted since
-            # the last full seed that the sketch NDV (an upper bound —
-            # deletes can't leave a KMV) has drifted. Escalate this
-            # tick to a full ANALYZE: exact NDV, fresh sketches,
-            # drift counter reset. One O(table) pass at a bounded
-            # cadence (every ~20% deleted), not per tick.
-            return self.analyze(cols, approx=False, kmv_k=k)
         doc = {
             "version": v_to,
             "rows": new_rows,
@@ -4145,7 +4156,34 @@ class CowTable:
             clamp and clamp.get("fraction", 0.0) > ZORDER_CLAMP_RETIGHTEN
         )
         if needs_compact and not will_retighten:
-            out["compact_result"] = self.compact(target_rows=target_rows)
+            if clamp:
+                # a z-maintained table compacts THROUGH the incremental
+                # z-order path: merge-written (untagged) churn clusters
+                # under the pinned bounds and gets tagged; already-
+                # clustered files carry by reference. A PLAIN compact
+                # here would bin-pack tagged files into untagged output
+                # — destroying clustering every tick AND making the
+                # next incremental run re-count their out-of-bounds
+                # rows into the drift counter (a counter that only ever
+                # grows without new drift would force a spurious
+                # O(table) retighten).
+                try:
+                    out["compact_result"] = self.compact(
+                        target_rows=target_rows,
+                        zorder_by=list(clamp["cols"]),
+                        zorder_bits=int(clamp["bits"]),
+                        zorder_incremental=True,
+                    )
+                except ValueError:
+                    # z column dropped/stats stripped: fall back to the
+                    # plain bin-pack rather than skipping maintenance
+                    out["compact_result"] = self.compact(
+                        target_rows=target_rows
+                    )
+            else:
+                out["compact_result"] = self.compact(
+                    target_rows=target_rows
+                )
             out["compacted"] = out["compact_result"]["files_written"] > 0
         if will_retighten:
             try:

@@ -269,6 +269,25 @@ def _split_assignments(text: str) -> list[tuple[str, str]]:
     return out
 
 
+def _live_tombstones(ts) -> DataFrame:
+    """The store's rows filtered to fences that still FENCE: expired
+    tombstones (past the retention the last apply recorded) are kept on
+    disk until the periodic sweep but are ignored by the apply fence,
+    so observability must ignore them too. Stores written before the
+    retention sidecar existed report raw rows (no window to judge by)."""
+    import time
+
+    from openverse_catalog_spark.streaming.incremental import (
+        tombstone_retention_of,
+    )
+
+    df = ts.read()
+    retention = tombstone_retention_of(ts.root)
+    if retention is None:
+        return df
+    return df.filter(F.col("__ts_at") >= time.time() - retention)
+
+
 def _mv_staleness(mv) -> tuple[str | None, int | None]:
     """(applied, staleness) for SHOW MATERIALIZED VIEWS: the versions
     the MV last applied (from its own state file) and how many base
@@ -495,9 +514,12 @@ class SqlFacade:
         def tombstones_of(match: re.Match) -> str:
             # the CDC delete fences as a queryable relation (key cols +
             # __ts_seq + __ts_at) — `SELECT max(__ts_seq) ...` is the
-            # store's sequence horizon. Absence is an error here (the
-            # store's schema depends on the table's keys + sequence
-            # type); DESCRIBE DETAIL reports liveness without erroring.
+            # store's sequence horizon. LIVE fences only: an expired
+            # tombstone the lazy purge has not yet removed fences
+            # nothing, so exposing it would misstate what the next
+            # apply drops. Absence is an error here (the store's schema
+            # depends on the table's keys + sequence type); DESCRIBE
+            # DETAIL reports liveness without erroring.
             from openverse_catalog_spark.streaming.incremental import (
                 _tombstone_store,
             )
@@ -512,7 +534,7 @@ class SqlFacade:
                     "DESCRIBE DETAIL to check liveness"
                 )
             view = f"{name}__tombstones_{ts.version}"
-            ts.read().createOrReplaceTempView(view)
+            _live_tombstones(ts).createOrReplaceTempView(view)
             return view
 
         text = _TABLE_CHANGES.sub(changes_of, text)
@@ -534,7 +556,11 @@ class SqlFacade:
         size, tombstone-store liveness + sequence horizon, ANALYZE
         freshness (stats_lag = commits since the stats were computed).
         Everything comes from manifests/state files except the
-        tombstone horizon (one aggregate over the small side table)."""
+        tombstone horizon (one aggregate over the small side table).
+        Tombstone count/horizon cover LIVE fences only: a stored
+        tombstone past its retention no longer fences (the physical
+        purge is lazy), and reporting it would claim a drop the apply
+        will not make."""
         from openverse_catalog_spark.streaming.incremental import (
             _tombstone_store,
         )
@@ -544,7 +570,7 @@ class SqlFacade:
         ts = _tombstone_store(t, t.keys)
         n_tomb, horizon = 0, None
         if ts is not None:
-            r = ts.read().agg(
+            r = _live_tombstones(ts).agg(
                 F.count(F.lit(1)).alias("n"),
                 F.max("__ts_seq").cast("string").alias("h"),
             ).head()

@@ -645,6 +645,32 @@ _TOMBSTONE_HUSK_RETENTION = 3600.0
 _TOMBSTONE_VACUUM_EVERY = 12
 
 
+def tombstone_retention_of(ts_root: str) -> float | None:
+    """The retention window the store's fences are evaluated under —
+    persisted by ``apply_changes`` (latest apply wins, matching the
+    fence, which uses the caller's current retention). None for stores
+    written before the sidecar existed: observability then reports the
+    raw stored fences."""
+    import json as _json
+
+    try:
+        with open(f"{ts_root}/retention.json") as fh:
+            return float(_json.load(fh)["retention"])
+    except (OSError, ValueError, KeyError):
+        return None
+
+
+def _save_tombstone_retention(ts_root: str, retention: float) -> None:
+    import json as _json
+    import os as _os
+    import uuid as _uuid
+
+    tmp = f"{ts_root}/.retention.{_uuid.uuid4().hex}.json"
+    with open(tmp, "w") as fh:
+        _json.dump({"retention": float(retention)}, fh)
+    _os.replace(tmp, f"{ts_root}/retention.json")
+
+
 def _tombstone_store(table, keys):
     """The tombstone side table if it EXISTS (any committed manifest —
     vacuum legitimately drops v1.json once the store passes the keep
@@ -806,6 +832,10 @@ def apply_changes(
                 ts_src.drop("__op").limit(0), keys=keys, target_files=2,
             )
         if ts is not None:
+            # record the window the fences are judged under, so
+            # DESCRIBE DETAIL / TABLE_TOMBSTONES can report LIVE fences
+            # (a stored-but-expired tombstone no longer fences anything)
+            _save_tombstone_retention(ts_root, tombstone_retention)
             # winning deletes upsert their tombstone (never lowering a
             # newer one); surviving upserts clear theirs (key re-lives)
             ts.merge_when(

@@ -197,7 +197,21 @@ def test_values_dim_literal_relation(spark):
     assert sorted(map(tuple, df.collect())) == sorted(
         map(tuple, ref.collect())
     )
-    import pytest
-
-    with pytest.raises(ValueError):
-        values_dim(spark, [], schema)
+    # zero rows: an empty relation with the right schema (an empty
+    # blocklist is a valid dimension — createDataFrame contract)
+    empty = values_dim(spark, [], schema)
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [
+        f.name for f in ref.schema.fields
+    ]
+    # parameterized types survive the DDL split (cells stay in the
+    # supported scalar set; complex-typed columns can carry NULL)
+    dec = values_dim(
+        spark, [(1.5, None)],
+        "amt decimal(10,2), kv map<string,int>",
+    )
+    row = dec.collect()[0]
+    assert str(row["amt"]) == "1.50" and row["kv"] is None
+    assert dict(dec.dtypes) == {
+        "amt": "decimal(10,2)", "kv": "map<string,int>",
+    }

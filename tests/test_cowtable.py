@@ -3644,3 +3644,125 @@ def test_cdc_stream_trigger_size_independence(spark):
         rows2 = {tuple(r) for r in wide.collect()}
         assert rows1 == rows2, f"{name}: trigger size changed the state"
         assert rows1, name
+
+
+def test_cow_maintain_z_table_compacts_incrementally(spark, tmp_path):
+    """maintain() on a z-maintained table compacts THROUGH the
+    incremental z-order path: already-clustered files carry by
+    reference (a plain bin-pack would untag them — destroying
+    clustering every tick and re-counting their out-of-bounds rows
+    into the drift counter until a spurious full retighten fired)."""
+    from openverse_catalog_spark.schemas.columns import (
+        ColumnSpec,
+        Datatype,
+        UpsertStrategy,
+    )
+
+    t = CowTable.create(
+        spark, str(tmp_path / "zm"),
+        spark.createDataFrame(
+            [(f"f{i:04d}", float(i % 100)) for i in range(1000)],
+            "fid string, x double",
+        ),
+        keys=("fid",), target_files=4, stats_cols=("x",),
+    )
+    t.compact(target_rows=300, zorder_by=["x"], zorder_incremental=True)
+    cols = [
+        ColumnSpec("fid", Datatype.char,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("x", Datatype.double),
+    ]
+    # small out-of-bounds churn, measured once: drifted_rows = 60
+    t.merge(
+        spark.createDataFrame(
+            [(f"n{i:04d}", float(500 + i)) for i in range(60)],
+            "fid string, x double",
+        ),
+        cols, deterministic=True,
+    )
+    t.compact(target_rows=300, zorder_by=["x"], zorder_incremental=True)
+    assert t._manifest()["zorder_clamp"]["drifted_rows"] == 60
+    tagged_before = {
+        e["path"] for e in t._manifest()["files"] if e.get("cluster")
+    }
+
+    # in-bounds churn + a maintenance tick with everything "small":
+    # the tick must cluster the churn, CARRY the tagged files, and the
+    # drift counter must not move (no re-count)
+    t.merge(
+        spark.createDataFrame(
+            [(f"m{i:04d}", float(i % 100)) for i in range(50)],
+            "fid string, x double",
+        ),
+        cols, deterministic=True,
+    )
+    out = t.maintain(target_rows=100_000, keep_versions=50)
+    assert out["compacted"] is True and out["retightened"] is False
+    m = t._manifest()
+    survived = tagged_before & {e["path"] for e in m["files"]}
+    assert survived == tagged_before, (
+        "maintenance must not untag clustered files"
+    )
+    assert all(e.get("cluster") for e in m["files"]), (
+        "churn must come out clustered"
+    )
+    assert m["zorder_clamp"]["drifted_rows"] == 60, (
+        "a maintenance tick with in-bounds churn must not inflate the "
+        "drift counter"
+    )
+    # second idle-ish tick: counter still stable
+    out2 = t.maintain(target_rows=100_000, keep_versions=50)
+    assert t._manifest()["zorder_clamp"]["drifted_rows"] == 60
+    assert out2["retightened"] is False
+
+
+def test_cow_tombstone_observability_live_fences_only(spark, tmp_path):
+    """DESCRIBE DETAIL and TABLE_TOMBSTONES report fences that still
+    FENCE: a stored tombstone past the recorded retention (purge is
+    lazy/periodic) is excluded, so the horizon never claims a drop the
+    next apply will not make."""
+    from openverse_catalog_spark.sql_facade import SqlFacade
+    from openverse_catalog_spark.streaming.incremental import (
+        apply_changes,
+        tombstone_retention_of,
+    )
+
+    sch = "fid string, val double, seq long, op string"
+    t = CowTable.create(
+        spark, str(tmp_path / "ob"),
+        spark.createDataFrame(
+            [(f"k{i}", float(i), 0) for i in range(6)],
+            "fid string, val double, seq long",
+        ),
+        keys=("fid",), target_files=1,
+    )
+    apply_changes(
+        t, spark.createDataFrame(
+            [("k1", None, 10, "D"), ("k2", None, 20, "D")], sch
+        ),
+        sequence_by="seq", tombstone_retention=3600.0,
+    )
+    f = SqlFacade(spark)
+    f.register_table("t", t)
+    d = f.sql("DESCRIBE DETAIL t").collect()[0]
+    assert d["tombstones"] == 2 and d["tombstone_horizon"] == "20"
+
+    # a later apply under a microscopic window: every stored fence is
+    # now expired — observability must report none, even though the
+    # periodic sweep has not physically purged them yet
+    import time
+
+    time.sleep(0.01)
+    apply_changes(
+        t, spark.createDataFrame([("k3", None, 30, "D")], sch),
+        sequence_by="seq", tombstone_retention=1e-9,
+    )
+    assert tombstone_retention_of(str(tmp_path / "ob" / "_tombstones")) == 1e-9
+    ts = CowTable(spark, str(tmp_path / "ob" / "_tombstones"))
+    assert ts.read().count() >= 2, "fixture: rows must still be stored"
+    d2 = f.sql("DESCRIBE DETAIL t").collect()[0]
+    assert d2["has_tombstones"] is True
+    assert d2["tombstones"] == 0 and d2["tombstone_horizon"] is None
+    assert f.sql(
+        "SELECT count(*) AS n FROM TABLE_TOMBSTONES('t')"
+    ).collect()[0]["n"] == 0
