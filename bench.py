@@ -191,6 +191,7 @@ HEADLINE = [
     "sql_describe_detail",
     "sql_table_tombstones",
     "sql_mv_staleness",
+    "sql_maintain_tick",
 ]
 
 

@@ -494,3 +494,72 @@ def sql_mv_staleness(spark, sf_dir):
     return f.sql("SHOW MATERIALIZED VIEWS").select(
         "view", "kind", "staleness"
     )
+
+
+@register(
+    "sql_maintain_tick",
+    """
+    WITH base AS (
+      SELECT CAST(c_custkey AS VARCHAR) AS fid,
+             round(CAST(c_acctbal AS DOUBLE), 2) AS val
+      FROM customer),
+    churn AS (
+      SELECT CAST(c_custkey AS VARCHAR) AS fid,
+             round(CAST(c_acctbal AS DOUBLE) + 100, 2) AS val
+      FROM customer WHERE c_custkey % 5 = 0)
+    SELECT b.fid,
+           coalesce(c.val, b.val) AS val
+    FROM base b LEFT JOIN churn c ON b.fid = c.fid
+    """,
+)
+def sql_maintain_tick(spark, sf_dir):
+    """``MAINTAIN <t>``: the reference's maintenance DAG loop as one
+    facade statement — small-file compact (z-aware), drift-gated
+    re-cluster, incremental ANALYZE advance, vacuum. The oracle pins
+    the tick's core contract: maintenance operations are data-identical
+    (compaction re-binpacks, stats/vacuum touch metadata), so the table
+    reads back exactly the merge-applied state derived from the raw
+    source. The returned stats are asserted fresh in-query (stats_lag
+    0 after the tick — the autoanalyze analog)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from openverse_catalog_spark.operators.cowtable import CowTable
+    from openverse_catalog_spark.schemas.columns import (
+        ColumnSpec,
+        Datatype,
+        UpsertStrategy,
+    )
+    from openverse_catalog_spark.sql_facade import SqlFacade
+
+    c = _t(spark, sf_dir, "customer")["customer"]
+    base = c.select(
+        F.col("c_custkey").cast("string").alias("fid"),
+        F.round(F.col("c_acctbal").cast("double"), 2).alias("val"),
+    )
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_sql_mtick")
+    shutil.rmtree(root, ignore_errors=True)
+    t = CowTable.create(spark, root, base, keys=("fid",), target_files=6)
+    t.analyze(kmv_k=128)
+    cols = [
+        ColumnSpec("fid", Datatype.char,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("val", Datatype.double),
+    ]
+    t.merge(
+        c.filter(F.col("c_custkey") % 5 == 0).select(
+            F.col("c_custkey").cast("string").alias("fid"),
+            F.round(F.col("c_acctbal").cast("double") + 100, 2)
+            .alias("val"),
+        ),
+        cols, deterministic=True,
+    )
+    f = SqlFacade(spark)
+    f.register_table("media", t)
+    row = f.sql("MAINTAIN media RETAIN 50 VERSIONS").collect()[0]
+    assert row["stats_version"] == t.version, "stats must reach head"
+    assert f.sql("DESCRIBE DETAIL media").collect()[0]["stats_lag"] == 0
+    return f.sql("SELECT fid, val FROM media")

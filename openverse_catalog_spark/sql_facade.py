@@ -53,6 +53,11 @@ reference runs as dedicated DAGs:
                                            queryable relation
   ``OPTIMIZE <t> [ZORDER BY (c, ...)]``    bin-pack / z-order compaction
   ``VACUUM <t> [RETAIN n VERSIONS]``       manifest + orphan-file GC
+  ``MAINTAIN <t> [TARGET n ROWS]
+              [RETAIN n VERSIONS]``        the whole unattended tick:
+                                           z-aware compact, drift-gated
+                                           re-cluster, stats advance,
+                                           vacuum — one statement
 
 plus the derived-table lifecycle: ``CREATE MATERIALIZED VIEW`` in all
 three shapes (GROUP BY over a lake table; ``SELECT * FROM a JOIN b``;
@@ -178,6 +183,12 @@ _APPLY_CHANGES = re.compile(
 )
 _VACUUM = re.compile(
     r"^\s*VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*$",
+    re.IGNORECASE,
+)
+_MAINTAIN = re.compile(
+    r"^\s*MAINTAIN\s+(\w+)"
+    r"(?:\s+TARGET\s+(\d+)\s+ROWS)?"
+    r"(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*$",
     re.IGNORECASE,
 )
 _ALTER_RENAME = re.compile(
@@ -1168,6 +1179,32 @@ class SqlFacade:
             deleted = self._tables[m.group(1)].vacuum(keep_versions=keep)
             return self.spark.createDataFrame(
                 [(len(deleted),)], "files_deleted long"
+            )
+        m = _MAINTAIN.match(text)
+        if m and m.group(1) in self._tables:
+            # the unattended steady-state tick as ONE statement — the
+            # scheduler loop the reference runs as dedicated DAGs:
+            # small-file compact (z-aware: clustered tables compact
+            # through the incremental z-order path), drift-gated
+            # re-cluster, ANALYZE advance from the change feed, vacuum
+            name = m.group(1)
+            kw: dict = {}
+            if m.group(2):
+                kw["target_rows"] = int(m.group(2))
+            if m.group(3):
+                kw["keep_versions"] = int(m.group(3))
+            res = self._tables[name].maintain(**kw)
+            self._refresh_head(name)
+            return self.spark.createDataFrame(
+                [(
+                    name,
+                    bool(res.get("compacted")),
+                    bool(res.get("retightened")),
+                    res.get("stats_version"),
+                    len(res.get("vacuumed") or []),
+                )],
+                "name string, compacted boolean, retightened boolean, "
+                "stats_version long, files_vacuumed long",
             )
         for pat, call in (
             (_ALTER_RENAME,

@@ -1217,3 +1217,49 @@ def test_facade_left_join_agg_mv_rejects_right_group_cols(
     )
     got = {r["view"] for r in f.sql("SHOW MATERIALIZED VIEWS").collect()}
     assert got == {"ok1", "ok2"}
+
+
+def test_facade_maintain_statement(spark, tmp_path):
+    """MAINTAIN <t> runs the whole unattended tick as one statement:
+    small-file compact, stats advance (for ANALYZEd tables), vacuum —
+    and the head view re-resolves so the next query sees the tick's
+    commits."""
+    from openverse_catalog_spark.schemas.columns import (
+        ColumnSpec,
+        Datatype,
+        UpsertStrategy,
+    )
+
+    t = CowTable.create(
+        spark, str(tmp_path / "mt"),
+        spark.createDataFrame(
+            [(f"k{i:03d}", float(i)) for i in range(100)],
+            "fid string, v double",
+        ),
+        keys=("fid",), target_files=4,
+    )
+    t.analyze(kmv_k=64)
+    cols = [
+        ColumnSpec("fid", Datatype.char,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("v", Datatype.double),
+    ]
+    for i in range(3):  # small-file churn + stats staleness
+        t.merge(
+            spark.createDataFrame(
+                [(f"n{i}{j}", float(j)) for j in range(5)],
+                "fid string, v double",
+            ),
+            cols, deterministic=True,
+        )
+    f = SqlFacade(spark)
+    f.register_table("t", t)
+    out = f.sql("MAINTAIN t TARGET 1000 ROWS RETAIN 50 VERSIONS")
+    row = out.collect()[0]
+    assert row["compacted"] is True
+    assert row["stats_version"] == t.version, (
+        "the tick must advance ANALYZE stats to head"
+    )
+    assert f.sql("SELECT count(*) AS n FROM t").collect()[0]["n"] == 115
+    d = f.sql("DESCRIBE DETAIL t").collect()[0]
+    assert d["stats_lag"] == 0
