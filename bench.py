@@ -192,6 +192,7 @@ HEADLINE = [
     "sql_table_tombstones",
     "sql_mv_staleness",
     "sql_maintain_tick",
+    "sql_clone_diverge",
 ]
 
 

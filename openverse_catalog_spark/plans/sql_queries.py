@@ -563,3 +563,65 @@ def sql_maintain_tick(spark, sf_dir):
     assert row["stats_version"] == t.version, "stats must reach head"
     assert f.sql("DESCRIBE DETAIL media").collect()[0]["stats_lag"] == 0
     return f.sql("SELECT fid, val FROM media")
+
+
+@register(
+    "sql_clone_diverge",
+    """
+    WITH base AS (
+      SELECT CAST(c_custkey AS VARCHAR) AS fid,
+             round(CAST(c_acctbal AS DOUBLE), 2) AS val
+      FROM customer)
+    SELECT fid,
+           CASE WHEN c_custkey % 4 = 0 THEN round(val + 50, 2)
+                ELSE val END AS val,
+           CAST(c_custkey % 4 = 0 AS BOOLEAN) AS boosted
+    FROM base JOIN customer ON fid = CAST(c_custkey AS VARCHAR)
+    WHERE c_custkey % 9 <> 0
+    """,
+)
+def sql_clone_diverge(spark, sf_dir):
+    """``CREATE TABLE c SHALLOW CLONE t``: Delta's zero-copy branch as
+    facade text — the clone's first manifest references the source's
+    files (no data copied; branching a 100 TB table is one metadata
+    write), then diverges independently. The fixture clones, then runs
+    UPDATE and DELETE text against the CLONE ONLY; the oracle
+    recomputes the diverged state from the raw source, and the query
+    asserts in-flight that the SOURCE still reads its original rows —
+    the isolation half of the contract."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from openverse_catalog_spark.operators.cowtable import CowTable
+    from openverse_catalog_spark.sql_facade import SqlFacade
+
+    c = _t(spark, sf_dir, "customer")["customer"]
+    base = c.select(
+        F.col("c_custkey").cast("string").alias("fid"),
+        F.round(F.col("c_acctbal").cast("double"), 2).alias("val"),
+        F.lit(False).alias("boosted"),
+    )
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_sql_clone")
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(root + "_c", ignore_errors=True)
+    t = CowTable.create(
+        spark, root, base, keys=("fid",), target_files=6
+    )
+    n_src = t.live_rows()
+    f = SqlFacade(spark)
+    f.register_table("media", t)
+    f.sql(
+        "CREATE TABLE branch SHALLOW CLONE media "
+        f"LOCATION '{root}_c'"
+    )
+    f.sql(
+        "UPDATE branch SET val = round(val + 50, 2), boosted = true "
+        "WHERE CAST(fid AS BIGINT) % 4 = 0"
+    )
+    f.sql("DELETE FROM branch WHERE CAST(fid AS BIGINT) % 9 = 0")
+    # isolation: the source never saw the branch's commits
+    assert t.live_rows() == n_src and t.version == 1
+    return f.sql("SELECT fid, val, boosted FROM branch")

@@ -58,6 +58,10 @@ reference runs as dedicated DAGs:
                                            z-aware compact, drift-gated
                                            re-cluster, stats advance,
                                            vacuum — one statement
+  ``CREATE TABLE c SHALLOW CLONE t
+    [VERSION AS OF n] [LOCATION '...']``   zero-copy branch (Delta
+                                           CLONE): one manifest write,
+                                           no data copied
 
 plus the derived-table lifecycle: ``CREATE MATERIALIZED VIEW`` in all
 three shapes (GROUP BY over a lake table; ``SELECT * FROM a JOIN b``;
@@ -243,6 +247,12 @@ _ALTER_SET_PART = re.compile(
 )
 _DROP_TABLE = re.compile(
     r"^\s*DROP\s+TABLE\s+(\w+)\s*$", re.IGNORECASE
+)
+_CLONE_TABLE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(\w+)\s+SHALLOW\s+CLONE\s+(\w+)"
+    r"(?:\s+VERSION\s+AS\s+OF\s+(\d+))?"
+    r"(?:\s+LOCATION\s+'([^']+)')?\s*$",
+    re.IGNORECASE,
 )
 _RESTORE_TABLE = re.compile(
     r"^\s*RESTORE\s+TABLE\s+(\w+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*$",
@@ -930,6 +940,9 @@ class SqlFacade:
         """Run SQL text: refresh head views, rewrite lake constructs,
         hand reads to Catalyst and DML to the lake table's commit
         protocol. DML returns a one-row (version, rows) summary frame."""
+        m = _CLONE_TABLE.match(text)
+        if m and m.group(2) in self._tables:
+            return self._clone_table(m)
         m = _CREATE_TABLE.match(text)
         if m:
             return self._create_table(m)
@@ -1322,6 +1335,50 @@ class SqlFacade:
         return self.spark.createDataFrame(
             [(name, t.version, t.read().count())],
             "table string, version long, rows long",
+        )
+
+    def _clone_table(self, m: re.Match) -> DataFrame:
+        """``CREATE TABLE c SHALLOW CLONE t [VERSION AS OF n]
+        [LOCATION '<dir>']`` — Delta's zero-copy branch: a NEW lake
+        table whose first manifest references the source snapshot's
+        files (one metadata write, no data copied — branching a 100 TB
+        table for an experiment is instant), evolving independently
+        from there. The clone registers like any CTAS result, with the
+        source's upsert specs when the facade knows them."""
+        import os
+
+        name, src_name, version, location = m.groups()
+        if name in self._tables:
+            raise ValueError(f"table {name!r} already exists")
+        src = self._tables[src_name]
+        root = location or (
+            os.path.join(self.workdir, name) if self.workdir else None
+        )
+        if root is None:
+            raise ValueError(
+                "SHALLOW CLONE needs LOCATION '<dir>' or a facade "
+                "workdir"
+            )
+        if os.path.exists(root):
+            raise ValueError(
+                f"SHALLOW CLONE location {root!r} already exists; pick "
+                "a new LOCATION or remove the directory first"
+            )
+        t = src.clone(root, version=int(version) if version else None)
+        cols = self._columns.get(src_name) or self._specs_from_schema(
+            t.read().schema, t.keys
+        )
+        self._columns[name] = cols
+        if self._catalog is not None:
+            self._catalog.register(name, t)
+            self._tables[name] = t
+            self._catalog_names.add(name)
+            self._refresh_head(name)
+        else:
+            self.register_table(name, t, columns=cols)
+        return self.spark.createDataFrame(
+            [(name, src_name, t.version, t.live_rows())],
+            "table string, source string, version long, rows long",
         )
 
     def _drop_table(self, name: str) -> DataFrame:

@@ -1263,3 +1263,48 @@ def test_facade_maintain_statement(spark, tmp_path):
     assert f.sql("SELECT count(*) AS n FROM t").collect()[0]["n"] == 115
     d = f.sql("DESCRIBE DETAIL t").collect()[0]
     assert d["stats_lag"] == 0
+
+
+def test_facade_shallow_clone_statement(spark, tmp_path):
+    """CREATE TABLE c SHALLOW CLONE t: zero-copy branch — the clone
+    reads the source snapshot, diverges independently (DML on the
+    clone never touches the source), and VERSION AS OF clones a past
+    snapshot. Name collisions and existing locations are refused."""
+    import pytest
+
+    t = CowTable.create(
+        spark, str(tmp_path / "src"),
+        spark.createDataFrame(
+            [(f"k{i}", float(i)) for i in range(20)],
+            "fid string, v double",
+        ),
+        keys=("fid",), target_files=2,
+    )
+    t.delete(F.col("fid") == "k0")  # v2: 19 rows
+    f = SqlFacade(spark)
+    f.register_table("t", t)
+    out = f.sql(
+        f"CREATE TABLE c SHALLOW CLONE t LOCATION '{tmp_path / 'c'}'"
+    ).collect()[0]
+    assert out["source"] == "t" and out["rows"] == 19
+
+    # the clone diverges; the source stays put
+    f.sql("DELETE FROM c WHERE v < 5")
+    assert f.sql("SELECT count(*) AS n FROM c").collect()[0]["n"] == 15
+    assert f.sql("SELECT count(*) AS n FROM t").collect()[0]["n"] == 19
+
+    # time-travel clone: the pre-delete snapshot
+    out2 = f.sql(
+        "CREATE TABLE c0 SHALLOW CLONE t VERSION AS OF 1 "
+        f"LOCATION '{tmp_path / 'c0'}'"
+    ).collect()[0]
+    assert out2["rows"] == 20
+
+    with pytest.raises(ValueError, match="already exists"):
+        f.sql(
+            f"CREATE TABLE c SHALLOW CLONE t LOCATION '{tmp_path / 'x'}'"
+        )
+    with pytest.raises(ValueError, match="location"):
+        f.sql(
+            f"CREATE TABLE c2 SHALLOW CLONE t LOCATION '{tmp_path / 'c'}'"
+        )
