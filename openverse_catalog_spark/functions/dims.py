@@ -19,13 +19,24 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _sql_literal(v) -> str:
+    import math
+
     if v is None:
         return "NULL"
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
+    if isinstance(v, float) and not math.isfinite(v):
+        # repr(nan/inf) would render a bare identifier; Spark's DOUBLE
+        # cast accepts these spellings
+        word = "NaN" if math.isnan(v) else (
+            "Infinity" if v > 0 else "-Infinity"
+        )
+        return f"CAST('{word}' AS DOUBLE)"
     if isinstance(v, (int, float)):
         return repr(v)
-    return "'" + str(v).replace("'", "''") + "'"
+    # backslash FIRST (Spark's parser unescapes string literals: a lone
+    # '\b' in the SQL text would arrive as backspace), then quotes
+    return "'" + str(v).replace("\\", "\\\\").replace("'", "''") + "'"
 
 
 def _split_cols(schema: str) -> list[str]:

@@ -3481,6 +3481,7 @@ class CowTable:
         cluster_tag = None
         bounds_reused = False
         retightened = False
+        measure_entries = None  # drift-measured slice (fresh churn only)
         if zorder_by:
             if zorder_where is not None:
                 # predicate-scoped OPTIMIZE: only files intersecting the
@@ -3552,13 +3553,42 @@ class CowTable:
                 "bounds": {c: list(b) for c, b in zorder_by.items()},
             }
             if zorder_incremental:
-                already = [
+                matching = [
                     e for e in small if e.get("cluster") == cluster_tag
                 ]
-                small = [
+                fresh_in = [
                     e for e in small if e.get("cluster") != cluster_tag
                 ]
-                keep = keep + already
+                # already-clustered files normally carry by reference,
+                # but they must not escape maintenance forever: DV
+                # carriers re-enter (the rewrite is what materializes
+                # vectors away) and tagged SMALL files re-enter when
+                # bin-packing would actually REDUCE their count — the
+                # convergence criterion, without which a set of files
+                # already packed at ~target size would rewrite on every
+                # tick forever. Their rows are NOT re-measured for
+                # drift below — the out-of-bounds mass was counted when
+                # first clustered.
+                dv_rehab = [e for e in matching if e.get("dv")]
+                small_tagged = [
+                    e for e in matching
+                    if not e.get("dv") and e["rows"] < target_rows
+                ]
+                packed = -(-sum(
+                    e["rows"] for e in small_tagged
+                ) // target_rows) if small_tagged else 0
+                rehab = dv_rehab + (
+                    small_tagged
+                    if len(small_tagged) >= 2
+                    and packed < len(small_tagged)
+                    else []
+                )
+                rehab_paths = {e["path"] for e in rehab}
+                measure_entries = fresh_in
+                small = fresh_in + rehab
+                keep = keep + [
+                    e for e in matching if e["path"] not in rehab_paths
+                ]
         else:
             # deletion-vector carriers are compaction candidates
             # regardless of size: OPTIMIZE is what materializes DVs
@@ -3619,7 +3649,14 @@ class CowTable:
                 out_row = (
                     flags[0] if len(flags) == 1 else F.greatest(*flags)
                 )
-                n_out = df.agg(F.sum(out_row).alias("n")).head()["n"]
+                # measure FRESH churn only: rehabilitated tagged files
+                # (DV materialization / small-file bin-packing) were
+                # counted when first clustered
+                n_out = 0
+                if measure_entries:
+                    n_out = self._read_entries(measure_entries, m).agg(
+                        F.sum(out_row).alias("n")
+                    ).head()["n"]
                 prev_c = m.get("zorder_clamp")
                 carry = (
                     int(prev_c.get("drifted_rows", 0))

@@ -189,6 +189,12 @@ _VACUUM = re.compile(
     r"^\s*VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*$",
     re.IGNORECASE,
 )
+_MAINTAIN_CATALOG = re.compile(
+    r"^\s*MAINTAIN\s+CATALOG"
+    r"(?:\s+TARGET\s+(\d+)\s+ROWS)?"
+    r"(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*$",
+    re.IGNORECASE,
+)
 _MAINTAIN = re.compile(
     r"^\s*MAINTAIN\s+(\w+)"
     r"(?:\s+TARGET\s+(\d+)\s+ROWS)?"
@@ -1193,6 +1199,28 @@ class SqlFacade:
             return self.spark.createDataFrame(
                 [(len(deleted),)], "files_deleted long"
             )
+        m = _MAINTAIN_CATALOG.match(text)
+        if m and "catalog" not in {n.lower() for n in self._tables}:
+            # catalog-integrated tick: per-table compaction publishes
+            # inside a transaction (a bare maintain() would look like a
+            # torn txn to recover()) and vacuum protects every version
+            # a surviving catalog commit pins
+            if self._catalog is None:
+                raise ValueError("MAINTAIN CATALOG needs attach_catalog()")
+            kw: dict = {}
+            if m.group(1):
+                kw["target_rows"] = int(m.group(1))
+            if m.group(2):
+                kw["keep_versions"] = int(m.group(2))
+            rep = self._catalog.maintain_tables(**kw)
+            self._head_version.clear()
+            rows = [
+                (n, bool(r.get("compacted")), r.get("version"))
+                for n, r in rep.items() if n != "vacuumed"
+            ]
+            return self.spark.createDataFrame(
+                rows, "name string, compacted boolean, version long"
+            )
         m = _MAINTAIN.match(text)
         if m and m.group(1) in self._tables:
             # the unattended steady-state tick as ONE statement — the
@@ -1201,7 +1229,17 @@ class SqlFacade:
             # through the incremental z-order path), drift-gated
             # re-cluster, ANALYZE advance from the change feed, vacuum
             name = m.group(1)
-            kw: dict = {}
+            if name in self._catalog_names:
+                # a bare maintain() on a catalog table would vacuum the
+                # version the catalog pins (breaking every catalog
+                # read) and land unpublished commits recover() treats
+                # as torn transactions
+                raise ValueError(
+                    f"{name!r} is catalog-managed: use MAINTAIN "
+                    "CATALOG (pin-protected vacuum, transactional "
+                    "compaction) instead of per-table MAINTAIN"
+                )
+            kw = {}
             if m.group(2):
                 kw["target_rows"] = int(m.group(2))
             if m.group(3):
@@ -1350,7 +1388,19 @@ class SqlFacade:
         name, src_name, version, location = m.groups()
         if name in self._tables:
             raise ValueError(f"table {name!r} already exists")
+        if self._txn is not None:
+            raise ValueError(
+                "SHALLOW CLONE inside a transaction is not supported"
+            )
         src = self._tables[src_name]
+        v = int(version) if version else None
+        if v is None and src_name in self._catalog_names:
+            # a catalog table's visible state is the PINNED version,
+            # not the raw head: a rolled-back transaction can leave an
+            # orphaned head version no catalog reader sees (and whose
+            # files recover()/vacuum legitimately delete) — cloning it
+            # would expose aborted data through an unreadable branch
+            v = self._catalog._entry(src_name)["version"]
         root = location or (
             os.path.join(self.workdir, name) if self.workdir else None
         )
@@ -1364,10 +1414,16 @@ class SqlFacade:
                 f"SHALLOW CLONE location {root!r} already exists; pick "
                 "a new LOCATION or remove the directory first"
             )
-        t = src.clone(root, version=int(version) if version else None)
-        cols = self._columns.get(src_name) or self._specs_from_schema(
-            t.read().schema, t.keys
-        )
+        t = src.clone(root, version=v)
+        # a version-pinned clone may carry a HISTORICAL schema (columns
+        # renamed/added since): derive its upsert specs from the cloned
+        # snapshot, never from the source's current registration
+        if v is not None and v != src.version:
+            cols = self._specs_from_schema(t.read().schema, t.keys)
+        else:
+            cols = self._columns.get(src_name) or self._specs_from_schema(
+                t.read().schema, t.keys
+            )
         self._columns[name] = cols
         if self._catalog is not None:
             self._catalog.register(name, t)

@@ -656,7 +656,10 @@ def tombstone_retention_of(ts_root: str) -> float | None:
     try:
         with open(f"{ts_root}/retention.json") as fh:
             return float(_json.load(fh)["retention"])
-    except (OSError, ValueError, KeyError):
+    except (OSError, ValueError, KeyError, TypeError):
+        # TypeError included: a malformed sidecar ({"retention": null},
+        # a bare list) must degrade to the legacy raw-fence report, not
+        # crash DESCRIBE DETAIL
         return None
 
 

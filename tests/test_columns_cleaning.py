@@ -215,3 +215,15 @@ def test_values_dim_literal_relation(spark):
     assert dict(dec.dtypes) == {
         "amt": "decimal(10,2)", "kv": "map<string,int>",
     }
+    # backslashes survive Spark's string-literal unescaping, and
+    # non-finite floats round-trip (repr would render bare identifiers)
+    import math
+
+    tricky = values_dim(
+        spark,
+        [("a\\b", float("nan")), ("c:\\tmp\\x", float("-inf"))],
+        "s string, f double",
+    ).collect()
+    assert tricky[0]["s"] == "a\\b" and math.isnan(tricky[0]["f"])
+    assert tricky[1]["s"] == "c:\\tmp\\x"
+    assert tricky[1]["f"] == float("-inf")

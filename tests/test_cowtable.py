@@ -3699,12 +3699,12 @@ def test_cow_maintain_z_table_compacts_incrementally(spark, tmp_path):
     out = t.maintain(target_rows=100_000, keep_versions=50)
     assert out["compacted"] is True and out["retightened"] is False
     m = t._manifest()
-    survived = tagged_before & {e["path"] for e in m["files"]}
-    assert survived == tagged_before, (
-        "maintenance must not untag clustered files"
-    )
     assert all(e.get("cluster") for e in m["files"]), (
-        "churn must come out clustered"
+        "maintenance must keep every file clustered (a plain bin-pack "
+        "would strip the tags)"
+    )
+    assert len(m["files"]) < len(tagged_before) + 2, (
+        "small tagged files must consolidate, not multiply"
     )
     assert m["zorder_clamp"]["drifted_rows"] == 60, (
         "a maintenance tick with in-bounds churn must not inflate the "
@@ -3766,3 +3766,67 @@ def test_cow_tombstone_observability_live_fences_only(spark, tmp_path):
     assert f.sql(
         "SELECT count(*) AS n FROM TABLE_TOMBSTONES('t')"
     ).collect()[0]["n"] == 0
+
+
+def test_cow_z_maintenance_consolidates_tagged_files(spark, tmp_path):
+    """Tagged files must not escape maintenance forever: two or more
+    small clustered files bin-pack through the incremental z path (tag
+    preserved), a tagged DV carrier gets its vector materialized — and
+    neither re-inflates the drift counter."""
+    from openverse_catalog_spark.schemas.columns import (
+        ColumnSpec,
+        Datatype,
+        UpsertStrategy,
+    )
+
+    t = CowTable.create(
+        spark, str(tmp_path / "zc"),
+        spark.createDataFrame(
+            [(f"f{i:04d}", float(i % 100)) for i in range(400)],
+            "fid string, x double",
+        ),
+        keys=("fid",), target_files=2, stats_cols=("x",),
+    )
+    t.compact(target_rows=5000, zorder_by=["x"], zorder_incremental=True)
+    cols = [
+        ColumnSpec("fid", Datatype.char,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("x", Datatype.double),
+    ]
+    # two churn waves, each clustered into its own small tagged file
+    for s in (0, 1):
+        t.merge(
+            spark.createDataFrame(
+                [(f"n{s}{i:03d}", float(150 + i)) for i in range(30)],
+                "fid string, x double",
+            ),
+            cols, deterministic=True,
+        )
+        t.compact(
+            target_rows=5000, zorder_by=["x"], zorder_incremental=True
+        )
+    # wave 1's compact found TWO small tagged files (the wave-0 output
+    # and the base) and bin-packed them together with the fresh churn —
+    # consolidation happens inline, and the drift counter reflects ONLY
+    # the fresh out-of-bounds rows (2 x 30), not the re-clustered ones
+    m = t._manifest()
+    assert m["zorder_clamp"]["drifted_rows"] == 60, (
+        "re-clustering counted rows must not re-count them"
+    )
+    assert all(e.get("cluster") for e in m["files"])
+    assert len(m["files"]) == 1, (
+        "small tagged files must bin-pack together"
+    )
+
+    # a tagged DV carrier re-enters and materializes
+    t.delete(F.col("fid") == "f0001", mode="dv")
+    assert any(e.get("dv") for e in t._manifest()["files"])
+    t.compact(
+        target_rows=5000, zorder_by=["x"], zorder_incremental=True
+    )
+    m3 = t._manifest()
+    assert not any(e.get("dv") for e in m3["files"]), (
+        "OPTIMIZE must materialize DVs on tagged files too"
+    )
+    assert m3["zorder_clamp"]["drifted_rows"] == 60
+    assert t.read().count() == 459

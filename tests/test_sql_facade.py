@@ -1308,3 +1308,89 @@ def test_facade_shallow_clone_statement(spark, tmp_path):
         f.sql(
             f"CREATE TABLE c2 SHALLOW CLONE t LOCATION '{tmp_path / 'c'}'"
         )
+
+
+def test_facade_maintain_and_clone_respect_catalog(spark, tmp_path):
+    """Catalog-managed tables route maintenance through the catalog:
+    per-table MAINTAIN is rejected (its vacuum would delete the version
+    the catalog pins; its commits look like torn transactions to
+    recover()) and MAINTAIN CATALOG runs the pin-protected tick.
+    SHALLOW CLONE of a catalog table clones the PINNED version, never a
+    rolled-back head."""
+    import pytest
+    from pyspark.sql import Row
+
+    from openverse_catalog_spark.operators.catalog import LakeCatalog
+    from openverse_catalog_spark.schemas.columns import (
+        ColumnSpec,
+        Datatype,
+        UpsertStrategy,
+    )
+
+    cols = [
+        ColumnSpec("id", Datatype.int, required=True,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("val", Datatype.int),
+    ]
+
+    def rows(*pairs):
+        return spark.createDataFrame(
+            [Row(id=i, val=v) for i, v in pairs], "id bigint, val bigint"
+        )
+
+    cat = LakeCatalog.create(spark, str(tmp_path / "lake"))
+    cat.register("img", CowTable.create(
+        spark, str(tmp_path / "ta"), rows((1, 10), (2, 20)),
+        keys=("id",), target_files=2,
+    ))
+    f = SqlFacade(spark)
+    f.attach_catalog(cat, columns={"img": cols})
+
+    with pytest.raises(ValueError, match="MAINTAIN\\s+CATALOG"):
+        f.sql("MAINTAIN img")
+    out = {r["name"]: r for r in f.sql("MAINTAIN CATALOG").collect()}
+    assert "img" in out
+
+    # a rolled-back txn leaves an orphaned head version: the clone must
+    # take the catalog-pinned state, not the aborted one
+    f.register_df("batch", rows((3, 30)))
+    f.sql("BEGIN TRANSACTION")
+    f.sql("INSERT INTO img SELECT * FROM batch")
+    f.sql("ROLLBACK")
+    out = f.sql(
+        f"CREATE TABLE b SHALLOW CLONE img LOCATION '{tmp_path / 'b'}'"
+    ).collect()[0]
+    assert out["rows"] == 2, (
+        "clone must capture the pinned snapshot, not the aborted head"
+    )
+    assert {r["id"] for r in f.sql("SELECT * FROM b").collect()} == {1, 2}
+
+
+def test_facade_version_pinned_clone_uses_snapshot_schema(
+    spark, tmp_path
+):
+    """A VERSION AS OF clone derives its upsert specs from the cloned
+    snapshot's (historical) schema, so DML text against the branch
+    works even after the source renamed columns."""
+    t = CowTable.create(
+        spark, str(tmp_path / "s"),
+        spark.createDataFrame(
+            [(f"k{i}", float(i)) for i in range(10)],
+            "fid string, old_name double",
+        ),
+        keys=("fid",), target_files=1,
+    )
+    t.rename_column("old_name", "new_name")  # v2
+    f = SqlFacade(spark)
+    f.register_table("t", t)
+    f.sql(
+        "CREATE TABLE hist SHALLOW CLONE t VERSION AS OF 1 "
+        f"LOCATION '{tmp_path / 'h'}'"
+    )
+    # the branch speaks the HISTORICAL schema
+    f.sql("UPDATE hist SET old_name = old_name + 1 WHERE fid = 'k1'")
+    got = {
+        r["fid"]: r["old_name"]
+        for r in f.sql("SELECT fid, old_name FROM hist").collect()
+    }
+    assert got["k1"] == 2.0 and got["k0"] == 0.0
