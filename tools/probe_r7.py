@@ -144,9 +144,101 @@ def deep_main() -> None:
     spark.stop()
 
 
+
+
+def zmaint_main() -> None:
+    """O(churn) z-maintenance probe: fixed-size churn against a 1x vs
+    10x z-clustered table; the maintain() tick (z-aware compact +
+    drift measure + stats advance + vacuum) must cost ~the churn, not
+    the table — flat wall across the 10x base is the evidence."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    spark = get_spark("probe_r7_zmaint")
+
+    def base_df(n):
+        return spark.range(n).select(
+            F.concat(F.lit("k"), F.col("id").cast("string")).alias("fid"),
+            (F.col("id") % 100_000).cast("double").alias("x"),
+        )
+
+    def churn_df(n, seed):
+        # half in-bounds, half beyond (exercises the drift measure)
+        return spark.range(n).select(
+            F.concat(F.lit(f"c{seed}_"), F.col("id").cast("string"))
+            .alias("fid"),
+            ((F.col("id") % 2) * 200_000 + F.col("id") % 100_000)
+            .cast("double").alias("x"),
+        )
+
+    from openverse_catalog_spark.operators.cowtable import CowTable
+    from openverse_catalog_spark.schemas.columns import (
+        ColumnSpec,
+        Datatype,
+        UpsertStrategy,
+    )
+
+    cols = [
+        ColumnSpec("fid", Datatype.char,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("x", Datatype.double),
+    ]
+    results = []
+    for label, rows in (("1x", 150_000), ("10x", 1_500_000)):
+        root = tempfile.mkdtemp(prefix=f"zmaint_{label}_")
+        shutil.rmtree(root, ignore_errors=True)
+        t = CowTable.create(
+            spark, root, base_df(rows), keys=("fid",),
+            target_files=max(2, rows // 50_000), stats_cols=("x",),
+        )
+        t.compact(
+            target_rows=50_000, zorder_by=["x"], zorder_incremental=True
+        )
+        t.analyze(kmv_k=256)
+        ticks = []
+        for wave in range(3):
+            t.merge(churn_df(5_000, wave), cols, deterministic=True)
+            t0 = time.time()
+            t.maintain(target_rows=50_000, keep_versions=50)
+            ticks.append(time.time() - t0)
+        results.append((label, rows, ticks))
+        print(f"{label} ({rows} rows): ticks "
+              + ", ".join(f"{s:.2f}s" for s in ticks))
+    (l1, n1, t1), (l10, n10, t10) = results
+    import statistics
+
+    r = statistics.median(t10) / statistics.median(t1)
+    lines = [
+        "",
+        "## Round-7 z-maintenance O(churn) probe",
+        "",
+        "Fixed 5k-row churn waves (half out-of-bounds, exercising the  ",
+        "drift measure) against a z-clustered 150k vs 1.5M-row table;  ",
+        "each tick = maintain() (z-aware incremental compact + drift   ",
+        "accounting + incremental ANALYZE + vacuum). A churn-  ",
+        "proportional tick stays ~flat across the 10x base.",
+        "",
+        "| base rows | tick walls (s) | median |",
+        "|---|---|---|",
+        f"| {n1} | " + ", ".join(f"{s:.2f}" for s in t1)
+        + f" | {statistics.median(t1):.2f} |",
+        f"| {n10} | " + ", ".join(f"{s:.2f}" for s in t10)
+        + f" | {statistics.median(t10):.2f} |",
+        "",
+        f"10x-base / 1x-base median tick ratio: **{r:.2f}x** "
+        "(O(table) would read ~10x).",
+    ]
+    with open("/root/repo/SCALING.md", "a") as f:
+        f.write("\n".join(lines) + "\n")
+    spark.stop()
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "cdc"
     if mode == "deep":
         deep_main()
+    elif mode == "zmaint":
+        zmaint_main()
     else:
         cdc_main()
