@@ -18,7 +18,7 @@ from collections.abc import Iterable, Sequence
 from pyspark.sql import DataFrame, SparkSession
 
 
-def _sql_literal(v) -> str:
+def _sql_literal(v, escape_backslash: bool = True) -> str:
     import math
 
     if v is None:
@@ -34,9 +34,15 @@ def _sql_literal(v) -> str:
         return f"CAST('{word}' AS DOUBLE)"
     if isinstance(v, (int, float)):
         return repr(v)
-    # backslash FIRST (Spark's parser unescapes string literals: a lone
-    # '\b' in the SQL text would arrive as backspace), then quotes
-    return "'" + str(v).replace("\\", "\\\\").replace("'", "''") + "'"
+    # backslash FIRST (in the default parser mode string literals are
+    # unescaped: a lone '\b' in the SQL text would arrive as
+    # backspace) — but ONLY then: under escapedStringLiterals=true the
+    # parser takes backslashes verbatim and doubling would corrupt the
+    # value the other way. Then quotes.
+    s = str(v)
+    if escape_backslash:
+        s = s.replace("\\", "\\\\")
+    return "'" + s.replace("'", "''") + "'"
 
 
 def _split_cols(schema: str) -> list[str]:
@@ -72,8 +78,12 @@ def values_dim(
     cols = [c.split(None, 1) for c in _split_cols(schema)]
     names = [c[0] for c in cols]
     types = [c[1] for c in cols]
+    esc = str(spark.conf.get(
+        "spark.sql.parser.escapedStringLiterals", "false"
+    )).lower() != "true"
     body = ", ".join(
-        "(" + ", ".join(_sql_literal(v) for v in r) + ")" for r in rows
+        "(" + ", ".join(_sql_literal(v, escape_backslash=esc) for v in r)
+        + ")" for r in rows
     )
     if not body:
         sel = ", ".join(

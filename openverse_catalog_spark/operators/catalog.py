@@ -230,33 +230,83 @@ class LakeCatalog:
         retention_seconds: float = 3600.0,
         catalog_history: int | None = None,
     ) -> dict:
-        """The catalog-integrated maintenance tick. Per-table
-        compaction runs INSIDE a transaction so the compacted version
-        PUBLISHES atomically — a bare ``table.maintain()`` on a
-        catalog-managed table would advance the head without a catalog
-        commit, making the compaction indistinguishable from a torn
-        transaction (``recover()`` would roll it back). Afterwards,
-        pin-protected ``vacuum_tables`` GCs history. The decision reads
-        only manifests; tables needing nothing get no catalog commit."""
+        """The catalog-integrated maintenance tick. Runs ``recover()``
+        FIRST: compaction reads the table HEAD, so a torn transaction's
+        orphaned head (rolled-back rows the catalog never published)
+        would otherwise be compacted and PUBLISHED by this very tick —
+        recover restores every drifted head to its pinned content
+        before any rewrite. Per-table compaction then runs INSIDE a
+        transaction so the compacted version publishes atomically (a
+        bare ``table.maintain()`` would advance the head without a
+        catalog commit, indistinguishable from a torn transaction), and
+        it is Z-AWARE: a table under incremental z-order maintenance
+        (a recorded ``zorder_clamp`` spec) compacts through the
+        incremental z path — tags preserved, drift-gated retighten
+        honored — never a plain bin-pack that would strip cluster tags
+        and inflate the drift counter. ANALYZEd tables get their stats
+        advanced O(churn) (the autoanalyze tick), then pin-protected
+        ``vacuum_tables`` GCs history. The decision reads only
+        manifests; tables needing nothing get no catalog commit."""
+        from openverse_catalog_spark.operators.cowtable import (
+            ZORDER_CLAMP_RETIGHTEN,
+        )
+
+        report: dict = {"recovered": self.recover()["rolled_back"]}
         cur = self._load()
-        report: dict = {}
         for name, e in cur["tables"].items():
             t = CowTable(self.spark, e["root"], keys=tuple(e["keys"]))
-            files = t._manifest(e["version"])["files"]
+            m = t._manifest(e["version"])
+            files = m["files"]
+            clamp = m.get("zorder_clamp")
             small = sum(
                 1 for f in files
                 if f["rows"] < target_rows or f.get("dv")
             )
-            if not files or small / len(files) <= small_file_ratio:
+            retighten = bool(
+                clamp
+                and clamp.get("fraction", 0.0) > ZORDER_CLAMP_RETIGHTEN
+            )
+            if not files or (
+                small / len(files) <= small_file_ratio
+                and not retighten
+            ):
                 report[name] = {"compacted": False, "files_small": small}
-                continue
-            with self.transaction() as txn:
-                res = txn.table(name).compact(target_rows=target_rows)
-            report[name] = {
-                "compacted": res["files_written"] > 0,
-                "files_small": small,
-                "version": res["version"],
-            }
+            else:
+                with self.transaction() as txn:
+                    h = txn.table(name)
+                    if clamp:
+                        try:
+                            res = h.compact(
+                                target_rows=target_rows,
+                                zorder_by=list(clamp["cols"]),
+                                zorder_bits=int(clamp["bits"]),
+                                zorder_incremental=True,
+                            )
+                        except ValueError:
+                            # z column dropped/stats stripped since the
+                            # clamp was recorded: plain bin-pack rather
+                            # than skipping maintenance
+                            res = h.compact(target_rows=target_rows)
+                    else:
+                        res = h.compact(target_rows=target_rows)
+                report[name] = {
+                    "compacted": res["files_written"] > 0,
+                    "files_small": small,
+                    "version": res["version"],
+                    "retightened": bool(res.get("retightened")),
+                }
+            # stats freshness (version-pinned side files, not catalog
+            # state): advance through the O(churn) incremental path so
+            # planner statistics track the published pin
+            st = t.stats()
+            if st is not None and int(st.get("version", 0)) < t.version:
+                try:
+                    adv = t.analyze_incremental(
+                        kmv_k=int(st.get("kmv_k") or 1024)
+                    )
+                    report[name]["stats_version"] = adv["version"]
+                except Exception as exc:  # noqa: BLE001 - unattended
+                    report[name]["stats_error"] = str(exc)
         report["vacuumed"] = self.vacuum_tables(
             keep_versions=keep_versions,
             retention_seconds=retention_seconds,
@@ -266,14 +316,25 @@ class LakeCatalog:
 
     def recover(self) -> dict:
         """Durably abort torn transactions: restore every registered
-        table whose head drifted past its pinned version. Run at
-        coordinator startup, before admitting new transactions (a
-        concurrent un-published transaction would be rolled back)."""
+        table whose head CONTENT drifted from its pinned version. Run
+        at coordinator startup, before admitting new transactions (a
+        concurrent un-published transaction would be rolled back).
+
+        Content, not version numbers: a restore itself advances the
+        head, so after one recovery the head version permanently
+        exceeds the pin — comparing versions would make every later
+        recover() commit another (identical) restore, growing an
+        unbounded restore chain out of routine rollbacks. The file
+        lists of the two manifests are the cheap exact equality."""
         cur = self._load()
         rolled = {}
         for name, e in cur["tables"].items():
             t = CowTable(self.spark, e["root"], keys=tuple(e["keys"]))
             if t.version > e["version"]:
+                head_m = t._manifest()
+                pin_m = t._manifest(e["version"])
+                if head_m["files"] == pin_m["files"]:
+                    continue  # a prior recovery already restored this
                 t.restore(e["version"])
                 rolled[name] = e["version"]
         return {"rolled_back": rolled}

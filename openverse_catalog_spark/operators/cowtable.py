@@ -4391,12 +4391,15 @@ class CowTable:
             self._write_checkpoint(v)
         keep |= protected
         # dropping a kept version's segment chain would break its
-        # resolution — materialize the oldest kept version as a
-        # checkpoint side file FIRST (idempotent), then every older
-        # commit manifest is safe to drop
-        oldest_kept = min(keep)
-        if oldest_kept >= 1:
-            self._write_checkpoint(oldest_kept)
+        # resolution — materialize a checkpoint side file FIRST
+        # (idempotent) for EVERY kept version whose parent is about to
+        # be dropped, not just the oldest: protected pins make the keep
+        # set non-contiguous (e.g. pins {2,4} + head {6}), and a kept
+        # segment above a dropped gap (v6 over a dropped v5) would
+        # otherwise be unresolvable after the drop
+        for v in sorted(keep):
+            if v >= 1 and (v - 1) not in keep:
+                self._write_checkpoint(v)
         live: set[str] = set()
         referenced_ever: set[str] = set()
         live_dv: set[str] = set()

@@ -190,7 +190,7 @@ _VACUUM = re.compile(
     re.IGNORECASE,
 )
 _MAINTAIN_CATALOG = re.compile(
-    r"^\s*MAINTAIN\s+CATALOG"
+    r"^\s*MAINTAIN\s+(CATALOG)"
     r"(?:\s+TARGET\s+(\d+)\s+ROWS)?"
     r"(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*$",
     re.IGNORECASE,
@@ -1161,10 +1161,16 @@ class SqlFacade:
                 if m.group(2)
                 else None
             )
-            res = self._tables[m.group(1)].compact(
+            # catalog tables OPTIMIZE through a (possibly implicit)
+            # transaction: a bare compact would advance the head
+            # without a catalog commit — an unpublished version
+            # recover() rolls back as a torn transaction
+            target, finalize = self._dml_table(m.group(1))
+            res = target.compact(
                 zorder_by=zorder,
                 zorder_incremental=bool(m.group(3)),
             )
+            finalize()
             return self._summary(res)
         m = _APPLY_CHANGES.match(text)
         if m and m.group(1) in self._tables:
@@ -1194,29 +1200,47 @@ class SqlFacade:
             return self._summary(res)
         m = _VACUUM.match(text)
         if m and m.group(1) in self._tables:
+            if m.group(1) in self._catalog_names:
+                # a bare vacuum knows nothing about catalog pins: it
+                # would delete the very version a published snapshot
+                # (or a time-travel target) resolves through
+                raise ValueError(
+                    f"{m.group(1)!r} is catalog-managed: use MAINTAIN "
+                    "CATALOG (pin-protected vacuum_tables) instead of "
+                    "per-table VACUUM"
+                )
             keep = int(m.group(2)) if m.group(2) else 1
             deleted = self._tables[m.group(1)].vacuum(keep_versions=keep)
             return self.spark.createDataFrame(
                 [(len(deleted),)], "files_deleted long"
             )
         m = _MAINTAIN_CATALOG.match(text)
-        if m and "catalog" not in {n.lower() for n in self._tables}:
-            # catalog-integrated tick: per-table compaction publishes
-            # inside a transaction (a bare maintain() would look like a
-            # torn txn to recover()) and vacuum protects every version
-            # a surviving catalog commit pins
+        if m and m.group(1) not in self._tables:
+            # catalog-integrated tick: recover() first (an orphaned
+            # head would otherwise be compacted and published), then
+            # per-table z-aware compaction inside transactions, stats
+            # advance, and pin-protected vacuum. The exact-spelling
+            # guard lets a table literally registered under the typed
+            # name take the per-table path instead.
             if self._catalog is None:
                 raise ValueError("MAINTAIN CATALOG needs attach_catalog()")
+            if self._txn is not None:
+                raise ValueError(
+                    "MAINTAIN CATALOG inside a transaction is not "
+                    "supported (it would compact and publish the open "
+                    "transaction's unpublished writes)"
+                )
             kw: dict = {}
-            if m.group(1):
-                kw["target_rows"] = int(m.group(1))
             if m.group(2):
-                kw["keep_versions"] = int(m.group(2))
+                kw["target_rows"] = int(m.group(2))
+            if m.group(3):
+                kw["keep_versions"] = int(m.group(3))
             rep = self._catalog.maintain_tables(**kw)
             self._head_version.clear()
             rows = [
                 (n, bool(r.get("compacted")), r.get("version"))
-                for n, r in rep.items() if n != "vacuumed"
+                for n, r in rep.items()
+                if n not in ("vacuumed", "recovered")
             ]
             return self.spark.createDataFrame(
                 rows, "name string, compacted boolean, version long"
@@ -1416,14 +1440,18 @@ class SqlFacade:
             )
         t = src.clone(root, version=v)
         # a version-pinned clone may carry a HISTORICAL schema (columns
-        # renamed/added since): derive its upsert specs from the cloned
-        # snapshot, never from the source's current registration
-        if v is not None and v != src.version:
-            cols = self._specs_from_schema(t.read().schema, t.keys)
+        # renamed/added since): keep the source's registered upsert
+        # specs (custom strategies, required flags) whenever the cloned
+        # snapshot still speaks the registration's column set, and fall
+        # back to schema-derived defaults only when it does not —
+        # comparing schemas, not version numbers, so a pin that merely
+        # lags the head (post-rollback) keeps its strategies
+        clone_cols = {f.name for f in t.read().schema.fields}
+        known = self._columns.get(src_name)
+        if known is not None and {c.name for c in known} <= clone_cols:
+            cols = known
         else:
-            cols = self._columns.get(src_name) or self._specs_from_schema(
-                t.read().schema, t.keys
-            )
+            cols = self._specs_from_schema(t.read().schema, t.keys)
         self._columns[name] = cols
         if self._catalog is not None:
             self._catalog.register(name, t)

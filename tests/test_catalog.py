@@ -198,3 +198,71 @@ def test_catalog_maintain_compacts_inside_txn(spark, cat):
     )
     assert not rep2["img"]["compacted"]
     assert cat.version == v2
+
+
+def test_catalog_maintain_z_aware_and_recover_content(spark, tmp_path):
+    """maintain_tables: (a) recover() runs first so a torn head's
+    aborted rows are never compacted into a published version; (b) a
+    z-maintained table compacts through the incremental z path (tags
+    preserved); (c) stats advance; (d) recover() compares CONTENT, so
+    repeated rollbacks do not grow an unbounded restore chain."""
+    from pyspark.sql import functions as F
+
+    from openverse_catalog_spark.operators.catalog import LakeCatalog
+    from openverse_catalog_spark.operators.cowtable import CowTable
+    from openverse_catalog_spark.schemas.columns import (
+        ColumnSpec,
+        Datatype,
+        UpsertStrategy,
+    )
+
+    t = CowTable.create(
+        spark, str(tmp_path / "z"),
+        spark.createDataFrame(
+            [(f"k{i:03d}", float(i % 50)) for i in range(300)],
+            "fid string, x double",
+        ),
+        keys=("fid",), target_files=3, stats_cols=("x",),
+    )
+    t.compact(target_rows=200, zorder_by=["x"], zorder_incremental=True)
+    t.analyze(kmv_k=64)
+    cat = LakeCatalog.create(spark, str(tmp_path / "lake"))
+    cat.register("z", t)
+
+    # torn transaction: head advances, never published
+    cols = [
+        ColumnSpec("fid", Datatype.char,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("x", Datatype.double),
+    ]
+    with cat.transaction() as txn:
+        txn.table("z").merge(
+            spark.createDataFrame(
+                [("torn", -1.0)], "fid string, x double"
+            ),
+            cols, deterministic=True,
+        )
+        # crash before publish: abandon without __exit__ bookkeeping
+        txn._touched.clear()
+
+    rep = cat.maintain_tables(
+        target_rows=400, small_file_ratio=0.0, keep_versions=3
+    )
+    assert rep["z"]["compacted"] is True
+    assert "torn" not in {
+        r["fid"] for r in cat.read("z").collect()
+    }, "aborted rows must never be compacted into a published version"
+    assert cat.read("z").count() == 300
+    # z-awareness: published files carry cluster tags
+    pub = CowTable(spark, str(tmp_path / "z"), keys=("fid",))
+    m = pub._manifest(cat._entry("z")["version"])
+    assert all(e.get("cluster") for e in m["files"]), (
+        "catalog maintenance must preserve z clustering"
+    )
+    assert rep["z"].get("stats_version"), "stats must advance"
+
+    # recover() idempotence: a second recover after the restore must
+    # not commit another restore (content already matches the pin)
+    v0 = pub.version
+    assert cat.recover()["rolled_back"] == {}
+    assert pub.version == v0

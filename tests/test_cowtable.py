@@ -3830,3 +3830,31 @@ def test_cow_z_maintenance_consolidates_tagged_files(spark, tmp_path):
     )
     assert m3["zorder_clamp"]["drifted_rows"] == 60
     assert t.read().count() == 459
+
+
+def test_cow_vacuum_checkpoints_every_gap_start(spark, tmp_path):
+    """Vacuum with protected pins makes the keep set NON-contiguous;
+    every kept version sitting above a dropped parent must be
+    checkpoint-materialized or its segment chain dies with the vacuum
+    (the v6-over-dropped-v5 shape a catalog's pins + restores produce).
+    Every kept version must resolve afterwards — from a FRESH handle."""
+    import os
+
+    df = spark.createDataFrame(
+        [(f"k{i}", float(i)) for i in range(20)], "fid string, v double"
+    )
+    t = CowTable.create(spark, str(tmp_path / "g"), df, keys=("fid",),
+                        target_files=1)
+    for i in range(6):  # v2..v7, all incremental segments
+        t.delete(F.col("fid") == f"k{i}")
+    # protect v2 and v4; keep only the head v7 -> v5, v6 drop, so both
+    # v4 (gap over v3) and v7 (gap over v6) need side checkpoints
+    t.vacuum(keep_versions=1, retention_seconds=0, protect=(2, 4))
+    names = set(os.listdir(str(tmp_path / "g" / "manifests")))
+    assert "v7.checkpoint.json" in names or "v7.json" in names
+    fresh = CowTable(spark, str(tmp_path / "g"), keys=("fid",))
+    for v in (2, 4, 7):
+        m = fresh._manifest(v)  # must resolve without v3/v5/v6
+        assert m["version"] == v
+    assert fresh.read(version=4).count() == 17
+    assert fresh.read().count() == 14

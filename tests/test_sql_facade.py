@@ -1351,6 +1351,15 @@ def test_facade_maintain_and_clone_respect_catalog(spark, tmp_path):
     out = {r["name"]: r for r in f.sql("MAINTAIN CATALOG").collect()}
     assert "img" in out
 
+    # per-table VACUUM is equally rejected: a bare vacuum would delete
+    # the version the catalog pins
+    with pytest.raises(ValueError, match="MAINTAIN\\s+CATALOG"):
+        f.sql("VACUUM img")
+    # OPTIMIZE publishes through an implicit transaction — its commit
+    # is catalog-visible, never a torn head for recover() to roll back
+    f.sql("OPTIMIZE img")
+    assert cat._entry("img")["version"] == cat.table("img").version
+
     # a rolled-back txn leaves an orphaned head version: the clone must
     # take the catalog-pinned state, not the aborted one
     f.register_df("batch", rows((3, 30)))
@@ -1364,6 +1373,24 @@ def test_facade_maintain_and_clone_respect_catalog(spark, tmp_path):
         "clone must capture the pinned snapshot, not the aborted head"
     )
     assert {r["id"] for r in f.sql("SELECT * FROM b").collect()} == {1, 2}
+    # ...and the clone keeps the source's registered upsert specs when
+    # the snapshot still speaks the registration's columns (a pin that
+    # merely lags the head must not lose custom strategies)
+    assert f._columns["b"] is cols
+
+    # MAINTAIN CATALOG after the rollback must not publish the aborted
+    # rows (recover() runs first; compaction reads restored heads)
+    f.sql("BEGIN TRANSACTION")
+    f.sql("INSERT INTO img SELECT * FROM batch")
+    f.sql("ROLLBACK")
+    f.sql("MAINTAIN CATALOG TARGET 1 ROWS")
+    got = {r["id"] for r in f.sql("SELECT * FROM img").collect()}
+    assert got == {1, 2}, "maintenance must never publish aborted rows"
+    # and inside an open transaction it is refused outright
+    f.sql("BEGIN TRANSACTION")
+    with pytest.raises(ValueError, match="inside a transaction"):
+        f.sql("MAINTAIN CATALOG")
+    f.sql("ROLLBACK")
 
 
 def test_facade_version_pinned_clone_uses_snapshot_schema(

@@ -200,8 +200,20 @@ def zmaint_main() -> None:
         for wave in range(3):
             t.merge(churn_df(5_000, wave), cols, deterministic=True)
             t0 = time.time()
-            t.maintain(target_rows=50_000, keep_versions=50)
+            out = t.maintain(
+                target_rows=50_000, small_file_ratio=0.0,
+                keep_versions=50,
+            )
             ticks.append(time.time() - t0)
+            # the probe must exercise the z-compact + drift-measure
+            # path, not just ANALYZE+vacuum: small_file_ratio=0 forces
+            # the compact decision whenever churn files exist, and the
+            # asserts pin that the tick really clustered and counted
+            assert out["compacted"], f"{label} wave {wave}: no compact"
+        clamp = t._manifest()["zorder_clamp"]
+        assert clamp["drifted_rows"] > 0, "drift must have been measured"
+        print(f"{label}: drifted_rows={clamp['drifted_rows']} "
+              f"fraction={clamp['fraction']:.4f}")
         results.append((label, rows, ticks))
         print(f"{label} ({rows} rows): ticks "
               + ", ".join(f"{s:.2f}s" for s in ticks))
@@ -215,9 +227,11 @@ def zmaint_main() -> None:
         "",
         "Fixed 5k-row churn waves (half out-of-bounds, exercising the  ",
         "drift measure) against a z-clustered 150k vs 1.5M-row table;  ",
-        "each tick = maintain() (z-aware incremental compact + drift   ",
-        "accounting + incremental ANALYZE + vacuum). A churn-  ",
-        "proportional tick stays ~flat across the 10x base.",
+        "each tick = maintain(small_file_ratio=0) — the z-aware        ",
+        "incremental compact + drift accounting + incremental ANALYZE  ",
+        "+ vacuum, with compaction ASSERTED to have run and drift      ",
+        "ASSERTED measured each wave. A churn-proportional tick stays  ",
+        "~flat across the 10x base.",
         "",
         "| base rows | tick walls (s) | median |",
         "|---|---|---|",
