@@ -783,13 +783,21 @@ class CowTable:
         stats_cols: tuple[str, ...] = (),
         bloom_cols: tuple[str, ...] = (),
         partition_by: tuple[str, ...] = (),
+        txn: tuple[str, int] | None = None,
     ) -> "CowTable":
         """Initialize version 1: range-cluster the data on the merge key
         (so per-file key ranges are tight and file skipping bites) and
         write the first manifest. ``stats_cols`` become a TABLE PROPERTY:
         every commit collects per-file min/max/null stats for them, and
         ``read_where`` uses those stats to skip files — Delta-style
-        data skipping for numeric/string predicate columns."""
+        data skipping for numeric/string predicate columns.
+
+        ``txn`` records an idempotency token (app, version) in the v1
+        manifest — Delta's txnAppId/txnVersion on the CREATING write —
+        so an at-least-once stream that crashes between create and its
+        follow-up merge can replay the batch and have the merge's fence
+        skip work the create already landed (see apply_changes'
+        tombstone-store bootstrap)."""
         t = cls(
             spark, root, keys,
             stats_cols=tuple(stats_cols), bloom_cols=tuple(bloom_cols),
@@ -813,7 +821,9 @@ class CowTable:
         # an EMPTY create initializes a zero-file snapshot (the schema in
         # the manifest keeps it readable) — the streaming-ingest path
         # starts from this and lets micro-batch merges populate it
-        t._commit(1, entries, op="create", schema_json=df.schema.json())
+        t._commit(
+            1, entries, op="create", schema_json=df.schema.json(), txn=txn
+        )
         return t
 
     # -- manifest plumbing --------------------------------------------------

@@ -823,22 +823,31 @@ def apply_changes(
         ts_txn = (f"{txn_app}:tombstones", txn_version) if (
             txn_app is not None
         ) else (None, None)
+        created = False
         if ts is None and ts_src.filter(
             F.col("__op") == "D"
         ).head(1):
-            # first tombstones: create the store EMPTY, then land them
-            # through the same fenced merge as every later batch — the
-            # creating write gets the txn fence too (before, replay
-            # safety of the first batch rested on idempotence alone)
+            # first tombstones: ONE clustered write carrying the same
+            # txn token the merge below would have recorded (Delta's
+            # txnAppId on the creating commit), so a replayed batch's
+            # merge fence skips what the create already landed. A
+            # fresh store has no fences for upserts to clear, so
+            # inserting the winning deletes IS the full first merge —
+            # r7 ran create-empty + merge_when here for the fence, and
+            # the extra merge cost ~3.3 s/stream (SCALING.md r8 A/B).
             ts = CowTable.create(
                 table.spark, ts_root,
-                ts_src.drop("__op").limit(0), keys=keys, target_files=2,
+                ts_src.filter(F.col("__op") == "D").drop("__op"),
+                keys=keys, target_files=2,
+                txn=(ts_txn if ts_txn[0] is not None else None),
             )
+            created = True
         if ts is not None:
             # record the window the fences are judged under, so
             # DESCRIBE DETAIL / TABLE_TOMBSTONES can report LIVE fences
             # (a stored-but-expired tombstone no longer fences anything)
             _save_tombstone_retention(ts_root, tombstone_retention)
+        if ts is not None and not created:
             # winning deletes upsert their tombstone (never lowering a
             # newer one); surviving upserts clear theirs (key re-lives)
             ts.merge_when(

@@ -2793,6 +2793,56 @@ def test_cow_apply_changes_tombstone_retention(spark, tmp_path, monkeypatch):
     assert not os.path.isdir(str(tmp_path / "legacy" / "_tombstones"))
 
 
+def test_cow_tombstone_create_txn_fenced(spark, tmp_path):
+    """The tombstone store's CREATING write carries the batch's txn
+    token (Delta txnAppId on v1), so a replayed first batch — the
+    foreachBatch at-least-once crash window between store create and
+    checkpoint advance — txn-skips the store merge instead of minting
+    a new store version. r7 bought this fence with create-empty +
+    merge_when (+3.3 s/stream fixed cost, SCALING.md r8 A/B); r8 moved
+    the token onto the create commit itself: one clustered write, same
+    replay guarantee."""
+    from openverse_catalog_spark.streaming.incremental import (
+        apply_changes,
+    )
+
+    sch = "fid string, val double, seq long, op string"
+    base = spark.createDataFrame(
+        [("a", 1.0, 0), ("b", 2.0, 0), ("c", 3.0, 0)],
+        "fid string, val double, seq long",
+    )
+    t = CowTable.create(
+        spark, str(tmp_path / "t"), base, keys=("fid",), target_files=2
+    )
+    b0 = [("a", None, 10, "D"), ("b", 5.0, 3, "U")]
+    apply_changes(
+        t, spark.createDataFrame(b0, sch), sequence_by="seq",
+        txn_app="cdc", txn_version=0, tombstone_retention=3600,
+    )
+    ts = CowTable(spark, str(tmp_path / "t" / "_tombstones"))
+    assert ts._manifest(1)["txns"] == {"cdc:tombstones": 0}, (
+        "the creating commit records the batch token"
+    )
+    v_store, v_main = ts.version, t.version
+    # replay the exact same batch (crash between merge and checkpoint):
+    # both the store and the main table must txn-skip — no new versions
+    apply_changes(
+        t, spark.createDataFrame(b0, sch), sequence_by="seq",
+        txn_app="cdc", txn_version=0, tombstone_retention=3600,
+    )
+    assert (ts.version, t.version) == (v_store, v_main)
+    got = {r["fid"]: (r["val"], r["seq"]) for r in t.read().collect()}
+    assert got == {"b": (5.0, 3), "c": (3.0, 0)}
+    # a genuinely NEW batch still lands through the fenced merge
+    apply_changes(
+        t, spark.createDataFrame([("c", None, 4, "D")], sch),
+        sequence_by="seq", txn_app="cdc", txn_version=1,
+        tombstone_retention=3600,
+    )
+    assert {r["fid"] for r in ts.read().collect()} == {"a", "c"}
+    assert {r["fid"] for r in t.read().collect()} == {"b"}
+
+
 def test_cow_zorder_clamp_drift_retighten(spark, tmp_path):
     """Incremental OPTIMIZE ZORDER drift gate: each incremental run
     records the fraction of rewritten rows clamping outside the pinned
