@@ -180,6 +180,38 @@ class LakeCatalog:
     def transaction(self) -> "CatalogTransaction":
         return CatalogTransaction(self)
 
+    def _external_refs(self) -> set[str]:
+        """Absolute paths every registered table's SURVIVING manifests
+        reference outside the table's own root. Only shallow clones
+        produce these (clone v1 records the source snapshot's files by
+        absolute path; later commits carry them until a rewrite
+        localizes them; RESTORE can revive them from an older surviving
+        manifest — which this scan also reads). Metadata-only:
+        resolution walks manifest JSONs in ascending order so each
+        segment replays from its cached parent; no data file is
+        touched. The union is what ``vacuum_tables`` must keep alive in
+        the SOURCE tables so vacuuming a source never orphans a
+        registered clone."""
+        refs: set[str] = set()
+        for name, e in self._load()["tables"].items():
+            t = CowTable(self.spark, e["root"], keys=tuple(e["keys"]))
+            root_prefix = t.root + "/"
+            for mname in t._manifest_names():
+                v = int(mname.removeprefix("v").removesuffix(".json"))
+                for f in t._manifest(v)["files"]:
+                    for p in (
+                        f["path"],
+                        (f.get("dv") or {}).get("path"),
+                        f.get("bloom_sc"),
+                    ):
+                        if (
+                            p
+                            and p.startswith("/")
+                            and not p.startswith(root_prefix)
+                        ):
+                            refs.add(p)
+        return refs
+
     def vacuum_tables(
         self,
         keep_versions: int = 1,
@@ -194,7 +226,20 @@ class LakeCatalog:
         the exact state transactions promised was durable.
         ``catalog_history`` additionally drops catalog commits older
         than the newest N (pins in dropped commits stop being
-        protected). Returns {table: deleted_file_count}."""
+        protected). Returns {table: deleted_file_count}.
+
+        CLONE PROTECTION: stock Delta documents that vacuuming a
+        shallow clone's SOURCE can delete files the clone still
+        references (cowtable.py clone docstring). This engine has a
+        catalog that can know both tables, so the caveat closes for
+        REGISTERED clones: every registered table's surviving manifests
+        are scanned for absolute (external) file references, and each
+        source's vacuum receives the union as ``protect_files`` — the
+        clone-referenced data files, DV dirs, and bloom sidecars
+        survive any retention setting for as long as a registered clone
+        manifest references them, and reclaim automatically once the
+        clone is compacted (localized), vacuumed past those manifests,
+        or unregistered. Unregistered clones keep the Delta caveat."""
         cur_v = self.version
         versions = range(1, cur_v + 1)
         if catalog_history is not None:
@@ -212,13 +257,18 @@ class LakeCatalog:
                 continue
             for name, e in doc["tables"].items():
                 pins.setdefault(name, set()).add(e["version"])
+        ext = self._external_refs()
         deleted = {}
         for name, e in self._load(cur_v)["tables"].items():
             t = CowTable(self.spark, e["root"], keys=tuple(e["keys"]))
+            root_prefix = e["root"].rstrip("/") + "/"
             deleted[name] = len(t.vacuum(
                 keep_versions=keep_versions,
                 retention_seconds=retention_seconds,
                 protect=tuple(sorted(pins.get(name, ()))),
+                protect_files=tuple(sorted(
+                    p for p in ext if p.startswith(root_prefix)
+                )),
             ))
         return deleted
 

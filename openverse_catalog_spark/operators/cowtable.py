@@ -4357,6 +4357,7 @@ class CowTable:
         keep_versions: int = 1,
         retention_seconds: float = 3600.0,
         protect: tuple[int, ...] = (),
+        protect_files: tuple[str, ...] = (),
     ) -> list[str]:
         """Drop manifests older than the newest ``keep_versions`` and
         delete data files no surviving manifest references. Returns the
@@ -4364,7 +4365,15 @@ class CowTable:
         keep window (a lake catalog's published snapshots — see
         LakeCatalog.vacuum_tables); each survives with its own
         checkpoint side file so resolution never needs a dropped
-        segment chain.
+        segment chain. ``protect_files`` pins individual paths under
+        THIS root that an external reader still references — shallow
+        clones record absolute paths into their source's data/blooms
+        dirs, and a catalog that knows both tables passes the clones'
+        keep-sets here so vacuuming the source cannot orphan a
+        registered clone (stock Delta's documented clone-vs-vacuum
+        caveat, closed when a catalog is attached). Accepts data files,
+        deletion-vector dirs, and bloom sidecar dirs, absolute or
+        root-relative.
 
         CONCURRENT-WRITER SAFETY (Delta's VACUUM retention): files that
         were referenced by a now-vacuumed manifest are committed history
@@ -4416,6 +4425,19 @@ class CowTable:
         ever_dv: set[str] = set()
         live_sc: set[str] = set()
         ever_sc: set[str] = set()
+        for p in protect_files:
+            # normalize to root-relative; paths outside this root are a
+            # caller grouping bug — ignore rather than mis-protect
+            if p.startswith("/"):
+                if not p.startswith(self.root + "/"):
+                    continue
+                p = p[len(self.root) + 1:]
+            if p.startswith("blooms/"):
+                live_sc.add(p)      # sidecar dir granularity
+            elif p.endswith(".parquet"):
+                live.add(p)         # a data file
+            else:
+                live_dv.add(p)      # a deletion-vector dir
         drop_manifests = []
         for name in self._manifest_names():
             v = int(name.removeprefix("v").removesuffix(".json"))

@@ -625,3 +625,101 @@ def sql_clone_diverge(spark, sf_dir):
     # isolation: the source never saw the branch's commits
     assert t.live_rows() == n_src and t.version == 1
     return f.sql("SELECT fid, val, boosted FROM branch")
+
+
+@register(
+    "sql_clone_vacuum_safe",
+    """
+    WITH base AS (
+      SELECT CAST(c_custkey AS VARCHAR) AS fid,
+             round(CAST(c_acctbal AS DOUBLE), 2) AS val,
+             c_custkey AS k
+      FROM customer),
+    v2 AS (
+      SELECT fid,
+             CASE WHEN k % 5 = 0 THEN round(val + 100, 2) ELSE val END
+               AS val,
+             k
+      FROM base)
+    SELECT fid, val, 'branch' AS side FROM v2 WHERE k % 9 <> 0
+    UNION ALL
+    SELECT fid,
+           CASE WHEN k % 3 = 0 THEN round(val - 50, 2) ELSE val END AS val,
+           'media' AS side
+    FROM v2
+    """,
+)
+def sql_clone_vacuum_safe(spark, sf_dir):
+    """Clone-protected vacuum: stock Delta documents that vacuuming a
+    shallow clone's SOURCE can delete files the clone still references
+    (delta.io shallow-clone caveat; the reference has no branching at
+    all). With a catalog registering both tables, the caveat closes:
+    ``LakeCatalog.vacuum_tables`` unions every registered clone's
+    external file references into the source's keep-set (a manifest-
+    only scan). The fixture churns the source, branches it via SHALLOW
+    CLONE text, diverges both sides, COMPACTS the source (so its head
+    drops the branched files), then vacuums past retention AND past
+    catalog-pin history — the branch must read back exactly its
+    diverged snapshot, which the oracle recomputes from raw customer.
+    ``MAINTAIN CATALOG`` runs the same protected vacuum as the
+    unattended tick."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from openverse_catalog_spark.operators.catalog import LakeCatalog
+    from openverse_catalog_spark.operators.cowtable import CowTable
+    from openverse_catalog_spark.sql_facade import SqlFacade
+
+    c = _t(spark, sf_dir, "customer")["customer"]
+    base = c.select(
+        F.col("c_custkey").cast("string").alias("fid"),
+        F.round(F.col("c_acctbal").cast("double"), 2).alias("val"),
+    )
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_sql_clvac")
+    shutil.rmtree(root, ignore_errors=True)
+    cat = LakeCatalog.create(spark, os.path.join(root, "lake"))
+    t = CowTable.create(
+        spark, os.path.join(root, "media"), base,
+        keys=("fid",), target_files=6,
+    )
+    cat.register("media", t)
+    f = SqlFacade(spark)
+    f.attach_catalog(cat)
+    # churn the source, then branch at the published pin
+    f.sql(
+        "UPDATE media SET val = round(val + 100, 2) "
+        "WHERE CAST(fid AS BIGINT) % 5 = 0"
+    )
+    f.sql(
+        "CREATE TABLE branch SHALLOW CLONE media "
+        f"LOCATION '{os.path.join(root, 'branch')}'"
+    )
+    f.sql("DELETE FROM branch WHERE CAST(fid AS BIGINT) % 9 = 0")
+    # source diverges past the branch point and compacts: its HEAD no
+    # longer references the files the branch pinned
+    f.sql(
+        "UPDATE media SET val = round(val - 50, 2) "
+        "WHERE CAST(fid AS BIGINT) % 3 = 0"
+    )
+    f.sql("OPTIMIZE media")
+    ext = cat._external_refs()
+    assert ext, "the registered branch must reference source files"
+    # vacuum past retention AND past catalog-pin history: without clone
+    # protection the branched files are committed history of dropped
+    # manifests — deleted regardless of age
+    cat.vacuum_tables(keep_versions=1, retention_seconds=0,
+                      catalog_history=1)
+    assert all(os.path.exists(p) for p in ext), (
+        "clone-referenced source files must survive source vacuum"
+    )
+    # the unattended tick runs the same protected vacuum
+    f.sql("MAINTAIN CATALOG RETAIN 1 VERSIONS")
+    assert all(os.path.exists(p) for p in ext)
+    return f.sql(
+        "SELECT fid, val, 'branch' AS side FROM branch "
+        "UNION ALL "
+        "SELECT fid, val, 'media' AS side FROM media"
+    )

@@ -266,3 +266,75 @@ def test_catalog_maintain_z_aware_and_recover_content(spark, tmp_path):
     v0 = pub.version
     assert cat.recover()["rolled_back"] == {}
     assert pub.version == v0
+
+
+def test_catalog_vacuum_protects_registered_clones(spark, cat, tmp_path):
+    """Shallow-clone-vs-source-vacuum (stock Delta's documented caveat,
+    closed when the catalog knows both tables): a registered clone's
+    manifests reference the source's data files by absolute path;
+    catalog vacuum must union those into the source's keep-set so
+    compact + vacuum past retention on the SOURCE never orphans the
+    clone — and must RECLAIM the files once the clone localizes
+    (compacts) past them. MAINTAIN CATALOG (maintain_tables) runs the
+    same pin-protected vacuum, covered below."""
+    import os
+
+    img = cat.table("img")
+    with cat.transaction() as txn:
+        txn.table("img").merge(rows(spark, (3, 30)), COLS,
+                               deterministic=True)
+    # branch at the published pin, register it — the clone's v1 points
+    # at the source's files absolutely (zero copy)
+    pin_v = cat._entry("img")["version"]
+    clone = img.clone(str(tmp_path / "branch"), version=pin_v)
+    cat.register("img_branch", clone)
+    ext = {p for p in cat._external_refs()}
+    assert ext and all(p.startswith(str(tmp_path / "ta")) for p in ext)
+    assert all(os.path.exists(p) for p in ext)
+    # clone diverges (through a txn: catalog tables are txn-managed)
+    with cat.transaction() as txn:
+        txn.table("img_branch").merge(rows(spark, (9, 90)), COLS,
+                                      deterministic=True)
+    # source churns on and COMPACTS: its head no longer references the
+    # files the clone branched from
+    for i in (4, 5):
+        with cat.transaction() as txn:
+            txn.table("img").merge(rows(spark, (i, i * 10)), COLS,
+                                   deterministic=True)
+    with cat.transaction() as txn:
+        txn.table("img").compact(target_rows=1_000)
+    # vacuum the source past retention AND past catalog-pin history —
+    # only clone protection can keep the branched files now
+    # (keep_versions=2 so the CLONE's own v1 — the branch point —
+    # survives its vacuum and stays time-travelable; the source still
+    # drops every manifest that referenced the branched files)
+    cat.vacuum_tables(keep_versions=2, retention_seconds=0,
+                      catalog_history=1)
+    assert all(os.path.exists(p) for p in ext), (
+        "clone-referenced source files must survive source vacuum"
+    )
+    assert vals(cat.read("img_branch")) == {1: 10, 2: 20, 3: 30, 9: 90}
+    assert vals(cat.read("img")) == {1: 10, 2: 20, 3: 30, 4: 40, 5: 50}
+    # the clone's own time travel to its branch point still resolves
+    branch = cat.table("img_branch")
+    assert vals(branch.read(1)) == {1: 10, 2: 20, 3: 30}
+
+    # MAINTAIN CATALOG drives the same protected vacuum
+    rep = cat.maintain_tables(target_rows=1_000, keep_versions=1,
+                              retention_seconds=0, catalog_history=1)
+    assert all(os.path.exists(p) for p in ext)
+    assert vals(cat.read("img_branch")) == {1: 10, 2: 20, 3: 30, 9: 90}
+
+    # RECLAIM: localize the clone (compact rewrites every file into the
+    # clone's own root), vacuum its external-referencing history, and
+    # the source files become garbage on the next catalog vacuum
+    with cat.transaction() as txn:
+        txn.table("img_branch").compact(target_rows=1_000)
+    cat.vacuum_tables(keep_versions=1, retention_seconds=0,
+                      catalog_history=1)
+    assert cat._external_refs() == set()
+    assert not any(os.path.exists(p) for p in ext), (
+        "localized clone must release the source's old files"
+    )
+    assert vals(cat.read("img_branch")) == {1: 10, 2: 20, 3: 30, 9: 90}
+    assert vals(cat.read("img")) == {1: 10, 2: 20, 3: 30, 4: 40, 5: 50}
