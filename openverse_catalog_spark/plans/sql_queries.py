@@ -723,3 +723,65 @@ def sql_clone_vacuum_safe(spark, sf_dir):
         "UNION ALL "
         "SELECT fid, val, 'media' AS side FROM media"
     )
+
+
+@register(
+    "sql_create_empty",
+    """
+    WITH src AS (
+      SELECT CAST(c_custkey AS VARCHAR) AS fid,
+             round(CAST(c_acctbal AS DOUBLE), 2) AS val,
+             c_custkey AS k
+      FROM customer)
+    SELECT fid,
+           CASE WHEN k % 7 = 0 THEN round(val + 25, 2) ELSE val END AS val,
+           CAST(k % 7 = 0 AS BOOLEAN) AS boosted
+    FROM src
+    """,
+)
+def sql_create_empty(spark, sf_dir):
+    """Empty-table DDL: ``CREATE TABLE t (col type, ...) PRIMARY KEY
+    (k) [LOCATION ...]`` with no AS SELECT — the reference's canonical
+    tables are created EMPTY by DDL scripts and populated by loader
+    upserts (docker/local_postgres/0003_openledger_image_schema.sql:
+    16-54); until r8 the facade only had CTAS. The v1 manifest records
+    the declared schema with zero data files, so the statement is one
+    metadata write at any scale; INSERT (the upsert merge) and ANSI
+    MERGE land on it immediately, which the fixture exercises before
+    the oracle compare."""
+    import os
+    import shutil
+    import tempfile
+
+    from openverse_catalog_spark.sql_facade import SqlFacade
+
+    f = SqlFacade(spark)
+    f.register_df("customer", _t(spark, sf_dir, "customer")["customer"])
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_sql_empty")
+    shutil.rmtree(root, ignore_errors=True)
+    row = f.sql(
+        "CREATE TABLE media (fid string, val double, boosted boolean) "
+        f"PRIMARY KEY (fid) LOCATION '{root}'"
+    ).collect()[0]
+    assert (row["version"], row["rows"]) == (1, 0)
+    assert f.sql("SELECT * FROM media").count() == 0, (
+        "the zero-file v1 snapshot must be readable"
+    )
+    # INSERT INTO = the upsert merge, landing on the empty snapshot
+    f.sql(
+        "INSERT INTO media "
+        "SELECT CAST(c_custkey AS STRING) AS fid, "
+        "round(CAST(c_acctbal AS DOUBLE), 2) AS val, "
+        "false AS boosted FROM customer"
+    )
+    # ANSI MERGE churn on top
+    f.sql(
+        "MERGE INTO media AS t USING ("
+        "SELECT CAST(c_custkey AS STRING) AS fid, "
+        "round(CAST(c_acctbal AS DOUBLE) + 25, 2) AS val, "
+        "true AS boosted FROM customer WHERE c_custkey % 7 = 0"
+        ") AS s ON t.fid = s.fid "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    return f.sql("SELECT fid, val, boosted FROM media")

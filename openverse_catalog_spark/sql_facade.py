@@ -62,6 +62,13 @@ reference runs as dedicated DAGs:
     [VERSION AS OF n] [LOCATION '...']``   zero-copy branch (Delta
                                            CLONE): one manifest write,
                                            no data copied
+  ``CREATE TABLE t (col type, ...)
+    PRIMARY KEY (k, ...) [PARTITIONED BY
+    (...)] [LOCATION '...']``              EMPTY table from a declared
+                                           column list (the reference's
+                                           DDL-first posture); INSERT /
+                                           MERGE / streams land on the
+                                           zero-file v1 snapshot
 
 plus the derived-table lifecycle: ``CREATE MATERIALIZED VIEW`` in all
 three shapes (GROUP BY over a lake table; ``SELECT * FROM a JOIN b``;
@@ -244,6 +251,13 @@ _CREATE_TABLE = re.compile(
     r"^\s*CREATE\s+TABLE\s+(\w+)\s+PRIMARY\s+KEY\s*\(([\w\s,]+?)\)\s+"
     r"(?:PARTITIONED\s+BY\s*\(((?:[^()]|\([^()]*\))*)\)\s+)?"
     r"(?:LOCATION\s+'([^']+)'\s+)?AS\s+(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_CREATE_TABLE_EMPTY = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(\w+)\s*\(((?:[^()]|\([^()]*\))*)\)\s*"
+    r"PRIMARY\s+KEY\s*\(([\w\s,]+?)\)\s*"
+    r"(?:PARTITIONED\s+BY\s*\(((?:[^()]|\([^()]*\))*)\)\s*)?"
+    r"(?:LOCATION\s+'([^']+)')?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _ALTER_SET_PART = re.compile(
@@ -952,6 +966,9 @@ class SqlFacade:
         m = _CREATE_TABLE.match(text)
         if m:
             return self._create_table(m)
+        m = _CREATE_TABLE_EMPTY.match(text)
+        if m:
+            return self._create_table_empty(m)
         m = _DROP_TABLE.match(text)
         if m and m.group(1) in self._tables:
             return self._drop_table(m.group(1))
@@ -1396,6 +1413,74 @@ class SqlFacade:
             self.register_table(name, t, columns=self._columns[name])
         return self.spark.createDataFrame(
             [(name, t.version, t.read().count())],
+            "table string, version long, rows long",
+        )
+
+    def _create_table_empty(self, m: re.Match) -> DataFrame:
+        """``CREATE TABLE t (col type, ...) PRIMARY KEY (k, ...)
+        [PARTITIONED BY (...)] [LOCATION '<dir>']`` — an EMPTY lake
+        table from an explicit column list, the reference's canonical
+        posture (its media tables are created empty by DDL scripts —
+        docker/local_postgres/0003_openledger_image_schema.sql:16-54 —
+        and populated by loader upserts). The v1 manifest records the
+        schema with zero data files, so INSERT / MERGE / streaming
+        ingest work immediately; default upsert specs derive from the
+        declared types exactly as for CTAS."""
+        import os
+
+        from pyspark.sql.types import StructType
+
+        name, cols_text, keys_text, part_text, location = m.groups()
+        if name in self._tables:
+            raise ValueError(f"table {name!r} already exists")
+        keys = tuple(k.strip() for k in keys_text.split(","))
+        partition_by = tuple(
+            p.strip() for p in _split_top_level(part_text)
+        ) if part_text else ()
+        root = location or (
+            os.path.join(self.workdir, name) if self.workdir else None
+        )
+        if root is None:
+            raise ValueError(
+                "CREATE TABLE needs LOCATION '<dir>' or a facade workdir"
+            )
+        if os.path.exists(root):
+            raise ValueError(
+                f"CREATE TABLE location {root!r} already exists (DROP "
+                "TABLE leaves files on disk for time travel); pick a new "
+                "LOCATION or remove the directory first"
+            )
+        try:
+            schema = StructType.fromDDL(cols_text)
+        except Exception as exc:
+            raise ValueError(
+                f"CREATE TABLE column list {cols_text!r} is not a valid "
+                f"'name type, ...' DDL list: {exc}"
+            ) from None
+        for k in keys:
+            if k not in schema.fieldNames():
+                raise ValueError(
+                    f"PRIMARY KEY column {k!r} not in declared columns "
+                    f"{schema.fieldNames()}"
+                )
+        # derive upsert specs FIRST: an exotic declared type must fail
+        # the statement before any directory is created
+        cols = self._specs_from_schema(schema, keys)
+        t = CowTable.create(
+            self.spark, root,
+            self.spark.createDataFrame([], schema),
+            keys=keys, partition_by=partition_by,
+        )
+        self._columns[name] = cols
+        if self._catalog is not None:
+            self._catalog.register(name, t)
+            self._tables[name] = t
+            self._catalog_names.add(name)
+            self._refresh_head(name)
+        else:
+            self.register_table(name, t, columns=cols)
+        return self.spark.createDataFrame(
+            [(name, t.version, 0)],
             "table string, version long, rows long",
         )
 

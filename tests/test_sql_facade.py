@@ -1421,3 +1421,65 @@ def test_facade_version_pinned_clone_uses_snapshot_schema(
         for r in f.sql("SELECT fid, old_name FROM hist").collect()
     }
     assert got["k1"] == 2.0 and got["k0"] == 0.0
+
+
+def test_facade_create_empty_table_ddl(spark, tmp_path):
+    """CREATE TABLE with a declared column list and NO AS SELECT: a
+    zero-file v1 snapshot (readable, one metadata write), immediately
+    accepting INSERT / MERGE / UPDATE text; PARTITIONED BY applies the
+    hidden-partition transforms; catalog attachment registers the new
+    table; declared-but-unsupported types and mis-declared keys fail
+    BEFORE any directory lands on disk."""
+    import os
+
+    from openverse_catalog_spark.operators.catalog import LakeCatalog
+
+    f = SqlFacade(spark, workdir=str(tmp_path))
+    row = f.sql(
+        "CREATE TABLE media (fid string, val double, ts timestamp) "
+        "PRIMARY KEY (fid)"
+    ).collect()[0]
+    assert (row["table"], row["version"], row["rows"]) == ("media", 1, 0)
+    assert f.sql("SELECT * FROM media").count() == 0
+    assert [x.name for x in f.sql("SELECT * FROM media").schema.fields] \
+        == ["fid", "val", "ts"]
+    f.sql(
+        "INSERT INTO media SELECT 'a' AS fid, 1.5 AS val, "
+        "CAST('2024-01-01' AS TIMESTAMP) AS ts"
+    )
+    f.sql("UPDATE media SET val = 2.5 WHERE fid = 'a'")
+    got = f.sql("SELECT fid, val FROM media").collect()
+    assert [(r["fid"], r["val"]) for r in got] == [("a", 2.5)]
+
+    # hidden partitioning from the DDL
+    f.sql(
+        "CREATE TABLE events (eid string, ts timestamp, n bigint) "
+        "PRIMARY KEY (eid) PARTITIONED BY (day(ts)) "
+        f"LOCATION '{tmp_path / 'ev'}'"
+    )
+    t = CowTable(spark, str(tmp_path / "ev"), keys=("eid",))
+    assert [s["transform"] for s in t.partition_spec] == ["day"]
+
+    # failures: duplicate name, bad key, exotic type, existing location
+    with pytest.raises(ValueError, match="already exists"):
+        f.sql("CREATE TABLE media (x string) PRIMARY KEY (x)")
+    with pytest.raises(ValueError, match="PRIMARY KEY column"):
+        f.sql("CREATE TABLE t2 (x string) PRIMARY KEY (y)")
+    with pytest.raises(ValueError, match="no default upsert spec"):
+        f.sql("CREATE TABLE t3 (x string, m map<string,string>) "
+              "PRIMARY KEY (x)")
+    assert not os.path.exists(tmp_path / "t3"), (
+        "a failed CREATE must not leave a table directory"
+    )
+    with pytest.raises(ValueError, match="location.*already exists"):
+        f.sql(f"CREATE TABLE t4 (x string) PRIMARY KEY (x) "
+              f"LOCATION '{tmp_path / 'ev'}'")
+
+    # catalog attachment: the empty table registers and reads via pins
+    cat = LakeCatalog.create(spark, str(tmp_path / "lake"))
+    fc = SqlFacade(spark, workdir=str(tmp_path / "cw"))
+    fc.attach_catalog(cat)
+    fc.sql("CREATE TABLE dim (k bigint, v string) PRIMARY KEY (k)")
+    assert cat._entry("dim")["version"] == 1
+    fc.sql("INSERT INTO dim SELECT 1 AS k, 'x' AS v")
+    assert {r["k"]: r["v"] for r in cat.read("dim").collect()} == {1: "x"}
