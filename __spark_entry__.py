@@ -38,7 +38,7 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["join_5way_enrich"](spark, "/root/testdata/sf0.001")
 
 
-def _driver_checked() -> dict[str, int]:
+def _driver_checked(root: str | None = None) -> dict[str, int]:
     """Name -> LATEST round with a driver CORRECTNESS row for it.
 
     Latest, not earliest: the post-exhaustion freshness rotation sorts
@@ -46,13 +46,14 @@ def _driver_checked() -> dict[str, int]:
     the BACK of the queue (its evidence is now the newest). Keyed on
     the earliest round, a re-checked name would keep its original sort
     position and the same window would re-verify forever while every
-    other query's driver evidence went stale."""
+    other query's driver evidence went stale. ``root`` overrides the
+    scan directory (tests); default is this file's directory."""
     import glob
     import json
     import os
     import re
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    here = root or os.path.dirname(os.path.abspath(__file__))
     seen: dict[str, int] = {}
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
