@@ -58,6 +58,15 @@ reference runs as dedicated DAGs:
                                            z-aware compact, drift-gated
                                            re-cluster, stats advance,
                                            vacuum — one statement
+  ``MAINTAIN CATALOG [TARGET n ROWS]
+    [RETAIN n VERSIONS]
+    [HISTORY h COMMITS]``                  the catalog-integrated tick:
+                                           recover() first, per-table
+                                           transactional compaction,
+                                           pin- AND clone-protected
+                                           vacuum; HISTORY trims old
+                                           catalog commits (their pins
+                                           stop protecting versions)
   ``CREATE TABLE c SHALLOW CLONE t
     [VERSION AS OF n] [LOCATION '...']``   zero-copy branch (Delta
                                            CLONE): one manifest write,
@@ -199,7 +208,8 @@ _VACUUM = re.compile(
 _MAINTAIN_CATALOG = re.compile(
     r"^\s*MAINTAIN\s+(CATALOG)"
     r"(?:\s+TARGET\s+(\d+)\s+ROWS)?"
-    r"(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*$",
+    r"(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?"
+    r"(?:\s+HISTORY\s+(\d+)\s+COMMITS)?\s*$",
     re.IGNORECASE,
 )
 _MAINTAIN = re.compile(
@@ -1252,6 +1262,11 @@ class SqlFacade:
                 kw["target_rows"] = int(m.group(2))
             if m.group(3):
                 kw["keep_versions"] = int(m.group(3))
+            if m.group(4):
+                # HISTORY h COMMITS: trim catalog commits beyond the
+                # newest h, unprotecting the pins they carried (clone
+                # keep-sets still protect registered branches)
+                kw["catalog_history"] = int(m.group(4))
             rep = self._catalog.maintain_tables(**kw)
             self._head_version.clear()
             rows = [

@@ -1483,3 +1483,41 @@ def test_facade_create_empty_table_ddl(spark, tmp_path):
     assert cat._entry("dim")["version"] == 1
     fc.sql("INSERT INTO dim SELECT 1 AS k, 'x' AS v")
     assert {r["k"]: r["v"] for r in cat.read("dim").collect()} == {1: "x"}
+
+
+def test_facade_maintain_catalog_history_clause(spark, tmp_path):
+    """``MAINTAIN CATALOG ... HISTORY h COMMITS`` trims the catalog's
+    commit log to the newest h as part of the tick (the pins dropped
+    commits carried stop protecting table versions on the next
+    vacuum), while the surviving pins keep reading."""
+    import os
+
+    from openverse_catalog_spark.operators.catalog import LakeCatalog
+
+    cat = LakeCatalog.create(spark, str(tmp_path / "lake"))
+    t = CowTable.create(
+        spark, str(tmp_path / "t"),
+        spark.createDataFrame([(1, 10)], "id bigint, val bigint"),
+        keys=("id",), target_files=2,
+    )
+    cat.register("media", t)
+    f = SqlFacade(spark)
+    f.attach_catalog(cat)
+    for v in (20, 30, 40):
+        f.sql(f"UPDATE media SET val = {v} WHERE id = 1")
+    n_before = len([
+        n for n in os.listdir(cat._dir) if n.startswith("c")
+    ])
+    assert n_before >= 4
+    f.sql("MAINTAIN CATALOG TARGET 1000 ROWS RETAIN 1 VERSIONS "
+          "HISTORY 2 COMMITS")
+    survivors = sorted(
+        n for n in os.listdir(cat._dir)
+        if n.startswith("c") and n.endswith(".json")
+    )
+    # newest 2 at MAINTAIN time (+ any commit the tick itself
+    # published); the oldest commits are gone
+    assert "c1.json" not in survivors and "c2.json" not in survivors
+    assert len(survivors) <= 3
+    assert {r["val"] for r in f.sql("SELECT val FROM media").collect()} \
+        == {40}
