@@ -2343,6 +2343,50 @@ class CowTable:
             "column_mapping": dict(self.column_mapping),
         }
 
+    def add_column(self, name: str, dtype: str) -> dict:
+        """ALTER TABLE ADD COLUMN — metadata-only: the manifest schema
+        gains a NULLABLE field, no file is rewritten, and reads apply
+        the manifest schema so every existing row returns NULL for the
+        new column (Delta/Iceberg add-column semantics; the implicit
+        alternative, merge(allow_new_columns=True), requires a data
+        batch). If the name collides with a PHYSICAL column still
+        present in old files (a tombstoned drop or a renamed-away
+        source), the new logical column gets a fresh physical identity
+        via the column mapping — the dead data can never leak into the
+        new column."""
+        import uuid as _uuid
+
+        from pyspark.sql import types as T
+
+        m = self._manifest()
+        schema = self._schema(m)
+        if schema is None:
+            raise ValueError(
+                "table has no recorded schema; write data before "
+                "evolving columns"
+            )
+        if name in set(schema.fieldNames()):
+            raise ValueError(f"column {name!r} already exists")
+        try:
+            new_field = T.StructType.fromDDL(f"`{name}` {dtype}")[0]
+        except Exception as exc:
+            raise ValueError(
+                f"ADD COLUMN type {dtype!r} is not a valid Spark DDL "
+                f"type: {exc}"
+            ) from None
+        field = T.StructField(name, new_field.dataType, nullable=True)
+        if name in self.dropped_cols or name in set(
+            self.column_mapping.values()
+        ):
+            mapping = dict(self.column_mapping)
+            phys = f"__c{_uuid.uuid4().hex[:12]}"
+            mapping[name] = phys
+            self._column_mapping = mapping
+        return self._alter_schema_commit(
+            f"add_column({name} {dtype})",
+            list(schema.fields) + [field],
+        )
+
     def rename_column(self, old: str, new: str) -> dict:
         """ALTER TABLE RENAME COLUMN — metadata-only (Delta's column
         mapping): no file is rewritten; the manifest schema carries the

@@ -785,3 +785,54 @@ def sql_create_empty(spark, sf_dir):
         "WHEN NOT MATCHED THEN INSERT *"
     )
     return f.sql("SELECT fid, val, boosted FROM media")
+
+
+@register(
+    "sql_alter_add_column",
+    """
+    WITH base AS (
+      SELECT CAST(c_custkey AS VARCHAR) AS fid,
+             round(CAST(c_acctbal AS DOUBLE), 2) AS val,
+             c_custkey AS k
+      FROM customer)
+    SELECT fid, val,
+           CASE WHEN k % 6 = 0 THEN 'vip' ELSE NULL END AS tier
+    FROM base
+    """,
+)
+def sql_alter_add_column(spark, sf_dir):
+    """``ALTER TABLE t ADD COLUMN c <type>`` — metadata-only schema
+    evolution as facade text (Delta/Iceberg add-column semantics: no
+    file rewritten, existing rows read NULL through the manifest
+    schema; the reference evolves its media schema the same way —
+    docker/local_postgres migration files add columns to live tables).
+    The fixture CTAS-es a table, ADDs a column, populates it for a
+    subset via UPDATE text, and the oracle pins the exact NULL/value
+    split the old and new rows must show."""
+    import os
+    import shutil
+    import tempfile
+
+    from openverse_catalog_spark.sql_facade import SqlFacade
+
+    f = SqlFacade(spark)
+    f.register_df("customer", _t(spark, sf_dir, "customer")["customer"])
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_sql_addcol")
+    shutil.rmtree(root, ignore_errors=True)
+    f.sql(
+        "CREATE TABLE media PRIMARY KEY (fid) "
+        f"LOCATION '{root}' AS "
+        "SELECT CAST(c_custkey AS STRING) AS fid, "
+        "round(CAST(c_acctbal AS DOUBLE), 2) AS val FROM customer"
+    )
+    n_files = len(
+        f._tables["media"]._manifest()["files"]
+    )
+    f.sql("ALTER TABLE media ADD COLUMN tier string")
+    assert len(f._tables["media"]._manifest()["files"]) == n_files, (
+        "ADD COLUMN must be metadata-only"
+    )
+    f.sql(
+        "UPDATE media SET tier = 'vip' WHERE CAST(fid AS BIGINT) % 6 = 0"
+    )
+    return f.sql("SELECT fid, val, tier FROM media")

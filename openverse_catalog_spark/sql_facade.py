@@ -218,6 +218,11 @@ _MAINTAIN = re.compile(
     r"(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*$",
     re.IGNORECASE,
 )
+_ALTER_ADD_COL = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(\w+)\s+"
+    r"([\w<>(),\s]+?)\s*$",
+    re.IGNORECASE,
+)
 _ALTER_RENAME = re.compile(
     r"^\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*$",
     re.IGNORECASE,
@@ -1313,6 +1318,11 @@ class SqlFacade:
                 "name string, compacted boolean, retightened boolean, "
                 "stats_version long, files_vacuumed long",
             )
+        m = _ALTER_ADD_COL.match(text)
+        if m and m.group(1) in self._tables:
+            return self._alter_add_column(
+                m.group(1), m.group(2), m.group(3).strip()
+            )
         for pat, call in (
             (_ALTER_RENAME,
              lambda t, a, b: t.rename_column(a, b)),
@@ -1327,13 +1337,56 @@ class SqlFacade:
         ):
             m = pat.match(text)
             if m and m.group(1) in self._tables:
-                t = self._tables[m.group(1)]
-                res = call(t, *m.groups()[1:])
+                # route through _dml_table: a catalog-managed table's
+                # schema commit must PUBLISH (an implicit transaction),
+                # or the next recover() rolls the ALTER back as a torn
+                # head — same contract as every other DML statement
+                target, finalize = self._dml_table(m.group(1))
+                res = call(target, *m.groups()[1:])
+                finalize()
                 # ALTERs return {version, ...}; surface the version
                 return self.spark.createDataFrame(
                     [(res["version"],)], "version long"
                 )
         return self.spark.sql(self._rewrite(text))
+
+    def _alter_add_column(
+        self, name: str, col: str, dtype: str
+    ) -> DataFrame:
+        """``ALTER TABLE t ADD COLUMN c <type>`` — metadata-only schema
+        evolution (no file rewritten; existing rows read NULL). The
+        facade additionally extends the table's upsert specs so INSERT
+        / MERGE text can carry the new column immediately, which caps
+        the accepted types at the default-spec set — exactly the CTAS
+        gate; exotic types go through the API's add_column with
+        explicit ColumnSpecs."""
+        from pyspark.sql.types import StructType
+
+        try:
+            simple = StructType.fromDDL(
+                f"`{col}` {dtype}"
+            )[0].dataType.simpleString()
+        except Exception as exc:
+            raise ValueError(
+                f"ADD COLUMN type {dtype!r} is not valid DDL: {exc}"
+            ) from None
+        dt = self._SPEC_TYPES.get(simple)
+        if dt is None:
+            raise ValueError(
+                f"ADD COLUMN type {dtype!r} has no default upsert "
+                "spec; evolve via the API's add_column + explicit "
+                "ColumnSpecs"
+            )
+        target, finalize = self._dml_table(name)
+        res = target.add_column(col, dtype)
+        finalize()
+        specs = self._columns.get(name)
+        if specs is not None:
+            self._columns[name] = list(specs) + [ColumnSpec(col, dt)]
+        self._refresh_head(name)
+        return self.spark.createDataFrame(
+            [(res["version"],)], "version long"
+        )
 
     # -- DDL -----------------------------------------------------------------
 

@@ -3908,3 +3908,98 @@ def test_cow_vacuum_checkpoints_every_gap_start(spark, tmp_path):
         assert m["version"] == v
     assert fresh.read(version=4).count() == 17
     assert fresh.read().count() == 14
+
+
+def test_cow_add_column_metadata_only(spark, tmp_path):
+    """ALTER TABLE ADD COLUMN: metadata-only (no file rewritten),
+    existing rows read NULL, time travel keeps the old schema, writes
+    carry the new column, and re-adding a DROPPED column's name mints
+    a fresh physical identity — the dead data in old files must never
+    leak into the new logical column."""
+    import pytest
+
+    rows = [
+        row(provider="met", fid=f"f{i:03d}", url=f"http://u/{i}",
+            title=f"t{i}")
+        for i in range(10)
+    ]
+    t = CowTable.create(
+        spark, str(tmp_path / "tbl"), mk(spark, rows), target_files=2
+    )
+    paths = {e["path"] for e in t._manifest()["files"]}
+    res = t.add_column("rating", "double")
+    assert res["version"] == 2
+    assert {e["path"] for e in t._manifest()["files"]} == paths, (
+        "ADD COLUMN must not rewrite any file"
+    )
+    assert t.read().filter(F.col("rating").isNull()).count() == 10
+    assert "rating" not in t.read(version=1).columns
+    # writes land the new column; old rows keep NULL
+    t.update(F.col("foreign_identifier") == "f003", {"rating": F.lit(4.5)})
+    got = {r["foreign_identifier"]: r["rating"] for r in t.read().collect()}
+    assert got["f003"] == 4.5 and got["f004"] is None
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_column("rating", "double")
+    with pytest.raises(ValueError, match="not a valid"):
+        t.add_column("bad", "quintuple")
+
+    # dead-data isolation: drop a populated column, re-add the name —
+    # every row must read NULL even though old files still carry the
+    # dropped physical column with data
+    t.drop_column("title")
+    t.add_column("title", "string")
+    t2 = CowTable(spark, t.root)
+    assert t2.read().filter(F.col("title").isNotNull()).count() == 0, (
+        "re-added column must not leak the dropped column's data"
+    )
+    assert t2.column_mapping.get("title", "").startswith("__c"), (
+        "the re-added column needs a fresh physical identity"
+    )
+    t2.update(F.col("foreign_identifier") == "f001", {"title": F.lit("fresh")})
+    assert {
+        r["foreign_identifier"] for r in
+        t2.read().filter(F.col("title") == "fresh").collect()
+    } == {"f001"}
+
+
+def test_facade_alter_add_column_and_catalog_publish(spark, tmp_path):
+    """ALTER TABLE ... ADD COLUMN as facade text: INSERT/MERGE text
+    carries the new column immediately (specs extend), exotic types are
+    gated, and — for a catalog-managed table — the ALTER publishes
+    through an implicit transaction so recover() keeps it (the old
+    direct-head dispatch would have rolled every catalog ALTER back as
+    a torn transaction)."""
+    import pytest
+
+    from openverse_catalog_spark.operators.catalog import LakeCatalog
+    from openverse_catalog_spark.sql_facade import SqlFacade
+
+    f = SqlFacade(spark, workdir=str(tmp_path))
+    f.sql("CREATE TABLE media (fid string, val double) PRIMARY KEY (fid)")
+    f.sql("INSERT INTO media SELECT 'a' AS fid, 1.0 AS val")
+    f.sql("ALTER TABLE media ADD COLUMN note string")
+    f.sql("INSERT INTO media SELECT 'b' AS fid, 2.0 AS val, 'n' AS note")
+    got = {r["fid"]: r["note"]
+           for r in f.sql("SELECT fid, note FROM media").collect()}
+    assert got == {"a": None, "b": "n"}
+    with pytest.raises(ValueError, match="no default upsert spec"):
+        f.sql("ALTER TABLE media ADD COLUMN m map<string,string>")
+
+    # catalog-managed: the ALTER must survive recover()
+    cat = LakeCatalog.create(spark, str(tmp_path / "lake"))
+    fc = SqlFacade(spark, workdir=str(tmp_path / "cw"))
+    fc.attach_catalog(cat)
+    fc.sql("CREATE TABLE dim (k bigint, v string) PRIMARY KEY (k)")
+    fc.sql("INSERT INTO dim SELECT 1 AS k, 'x' AS v")
+    fc.sql("ALTER TABLE dim ADD COLUMN w double")
+    assert cat.recover()["rolled_back"] == {}, (
+        "a published ALTER is not a torn transaction"
+    )
+    fc.sql("INSERT INTO dim SELECT 2 AS k, 'y' AS v, 9.0 AS w")
+    assert {(r["k"], r["w"]) for r in cat.read("dim").collect()} \
+        == {(1, None), (2, 9.0)}
+    # the same holds for the OTHER ALTERs now routed through the
+    # implicit transaction: a catalog-managed RENAME survives recover
+    fc.sql("ALTER TABLE dim RENAME COLUMN w TO weight")
+    assert cat.recover()["rolled_back"] == {}
+    assert "weight" in cat.read("dim").columns
