@@ -198,6 +198,14 @@ class LakeCatalog:
             root_prefix = t.root + "/"
             for mname in t._manifest_names():
                 v = int(mname.removeprefix("v").removesuffix(".json"))
+                # every commit records whether its snapshot references
+                # files outside this root; an explicit False skips the
+                # O(files) resolution — local-only tables (the common
+                # case) cost one raw-JSON key read per manifest. A
+                # missing key (pre-flag manifest) resolves
+                # conservatively.
+                if t._raw_manifest(v).get("external_refs") is False:
+                    continue
                 for f in t._manifest(v)["files"]:
                     for p in (
                         f["path"],

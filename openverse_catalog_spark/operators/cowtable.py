@@ -1044,6 +1044,18 @@ class CowTable:
         }
         if zorder_clamp is not None:
             manifest["zorder_clamp"] = zorder_clamp
+        # does this snapshot reference any file OUTSIDE this root
+        # (a shallow clone's zero-copy branch point)? Recorded on every
+        # commit so catalog-level scans (clone-protected vacuum) can
+        # skip local-only manifests from the raw JSON — one key read
+        # instead of resolving O(files) entries per version. Computed
+        # from the FULL entry list, so segments carry it too.
+        manifest["external_refs"] = any(
+            e["path"].startswith("/")
+            or ((e.get("dv") or {}).get("path") or "").startswith("/")
+            or (e.get("bloom_sc") or "").startswith("/")
+            for e in entries
+        )
         if version == 1 or version % self.checkpoint_interval == 0:
             manifest["files"] = entries
         else:

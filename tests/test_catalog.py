@@ -291,6 +291,10 @@ def test_catalog_vacuum_protects_registered_clones(spark, cat, tmp_path):
     ext = {p for p in cat._external_refs()}
     assert ext and all(p.startswith(str(tmp_path / "ta")) for p in ext)
     assert all(os.path.exists(p) for p in ext)
+    # commits record external-ref liveness so the catalog scan skips
+    # local-only manifests without resolving them
+    assert clone._raw_manifest(1)["external_refs"] is True
+    assert img._raw_manifest(img.version)["external_refs"] is False
     # clone diverges (through a txn: catalog tables are txn-managed)
     with cat.transaction() as txn:
         txn.table("img_branch").merge(rows(spark, (9, 90)), COLS,
@@ -333,6 +337,9 @@ def test_catalog_vacuum_protects_registered_clones(spark, cat, tmp_path):
     cat.vacuum_tables(keep_versions=1, retention_seconds=0,
                       catalog_history=1)
     assert cat._external_refs() == set()
+    branch_t = cat.table("img_branch")
+    assert branch_t._raw_manifest(branch_t.version)["external_refs"] \
+        is False, "a localized clone's head must drop the flag"
     assert not any(os.path.exists(p) for p in ext), (
         "localized clone must release the source's old files"
     )
