@@ -100,7 +100,14 @@ class LakeCatalog:
             return json.load(f)
 
     def _commit_slot(self, version: int, tables: dict, op: str) -> None:
-        doc = {"version": version, "operation": op, "tables": tables}
+        import time
+
+        doc = {
+            "version": version,
+            "operation": op,
+            "committed_at": time.time(),
+            "tables": tables,
+        }
         tmp = f"{self._dir}/.tmp.{uuid.uuid4().hex}.json"
         with open(tmp, "w") as f:
             json.dump(doc, f, indent=1)
@@ -166,11 +173,39 @@ class LakeCatalog:
         e = self._entry(name)
         return CowTable(self.spark, e["root"], keys=tuple(e["keys"]))
 
+    def version_as_of(self, ts: float) -> int:
+        """The newest SURVIVING catalog version committed at or before
+        the epoch-seconds timestamp — cross-table time travel's
+        resolution step (the table-level ``version_as_of`` lifted a
+        level). Commits written before the ``committed_at`` field
+        existed sort as epoch 0 (always in range)."""
+        best = None
+        for v in range(1, self.version + 1):
+            try:
+                doc = self._load(v)
+            except FileNotFoundError:
+                continue  # trimmed by catalog_history
+            if float(doc.get("committed_at") or 0.0) <= ts:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"no catalog commit at or before timestamp {ts} "
+                f"(history may have been trimmed)"
+            )
+        return best
+
     def read(
-        self, name: str, catalog_version: int | None = None
+        self,
+        name: str,
+        catalog_version: int | None = None,
+        as_of: float | None = None,
     ) -> DataFrame:
         """The table AS PINNED by the (current or historical) catalog
-        snapshot — never a version a transaction hasn't published."""
+        snapshot — never a version a transaction hasn't published.
+        ``as_of`` (epoch seconds) resolves the catalog version by
+        commit time; with both given, ``catalog_version`` wins."""
+        if catalog_version is None and as_of is not None:
+            catalog_version = self.version_as_of(as_of)
         e = self._entry(name, catalog_version)
         t = CowTable(self.spark, e["root"], keys=tuple(e["keys"]))
         return t.read(e["version"])

@@ -345,3 +345,40 @@ def test_catalog_vacuum_protects_registered_clones(spark, cat, tmp_path):
     )
     assert vals(cat.read("img_branch")) == {1: 10, 2: 20, 3: 30, 9: 90}
     assert vals(cat.read("img")) == {1: 10, 2: 20, 3: 30, 4: 40, 5: 50}
+
+
+def test_catalog_timestamp_time_travel(spark, cat):
+    """Cross-table time travel by TIMESTAMP: read(name, as_of=ts)
+    resolves the newest catalog commit at or before ts — the whole
+    multi-table snapshot a moment in time pinned, exactly the
+    table-level as_of lifted a level. Trimmed history raises rather
+    than silently resolving to a wrong epoch."""
+    import time
+
+    import pytest
+
+    t0 = time.time()
+    time.sleep(0.02)
+    with cat.transaction() as txn:
+        txn.table("img").merge(rows(spark, (3, 30)), COLS,
+                               deterministic=True)
+    time.sleep(0.02)
+    t1 = time.time()
+    time.sleep(0.02)
+    with cat.transaction() as txn:
+        txn.table("img").merge(rows(spark, (4, 40)), COLS,
+                               deterministic=True)
+        txn.table("aud").merge(rows(spark, (2, 200)), COLS,
+                               deterministic=True)
+    # before the first txn: the registration-time snapshot
+    assert vals(cat.read("img", as_of=t0)) == {1: 10, 2: 20}
+    # between the txns: img has 3, aud unchanged — the CROSS-table
+    # snapshot at t1 is consistent
+    v1 = cat.version_as_of(t1)
+    assert vals(cat.read("img", as_of=t1)) == {1: 10, 2: 20, 3: 30}
+    assert vals(cat.read("aud", catalog_version=v1)) == {1: 100}
+    # now: both tables advanced
+    assert vals(cat.read("img")) == {1: 10, 2: 20, 3: 30, 4: 40}
+    assert vals(cat.read("aud")) == {1: 100, 2: 200}
+    with pytest.raises(ValueError, match="no catalog commit"):
+        cat.version_as_of(t0 - 10_000)
