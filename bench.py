@@ -193,6 +193,9 @@ HEADLINE = [
     "sql_mv_staleness",
     "sql_maintain_tick",
     "sql_clone_diverge",
+    "sql_clone_vacuum_safe",
+    "sql_create_empty",
+    "sql_alter_add_column",
 ]
 
 
