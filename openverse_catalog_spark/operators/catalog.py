@@ -227,6 +227,25 @@ class LakeCatalog:
         touched. The union is what ``vacuum_tables`` must keep alive in
         the SOURCE tables so vacuuming a source never orphans a
         registered clone."""
+        import re as _re
+
+        def _flag(path: str) -> bool | None:
+            """The manifest's external_refs boolean WITHOUT parsing the
+            whole file: _commit writes the flag before the files/add
+            arrays, so it sits in the head of the JSON — one bounded
+            read instead of an O(files) parse per manifest per tick.
+            The quoted-key match cannot false-positive inside a JSON
+            string value (embedded quotes are escaped), and a miss
+            (pre-flag manifest, or a schema blob pushing the key past
+            the window) returns None = resolve conservatively."""
+            try:
+                with open(path) as fh:
+                    head = fh.read(65536)
+            except OSError:
+                return None
+            m = _re.search(r'"external_refs":\s*(true|false)', head)
+            return None if m is None else m.group(1) == "true"
+
         refs: set[str] = set()
         for name, e in self._load()["tables"].items():
             t = CowTable(self.spark, e["root"], keys=tuple(e["keys"]))
@@ -236,10 +255,8 @@ class LakeCatalog:
                 # every commit records whether its snapshot references
                 # files outside this root; an explicit False skips the
                 # O(files) resolution — local-only tables (the common
-                # case) cost one raw-JSON key read per manifest. A
-                # missing key (pre-flag manifest) resolves
-                # conservatively.
-                if t._raw_manifest(v).get("external_refs") is False:
+                # case) cost one bounded head-read per manifest.
+                if _flag(f"{t.root}/manifests/{mname}") is False:
                     continue
                 for f in t._manifest(v)["files"]:
                     for p in (

@@ -815,9 +815,17 @@ class CowTable:
         os.makedirs(f"{t.root}/manifests", exist_ok=True)
         entries: list[dict] = []
         if df.head(1):
-            data_dir = f"{t.root}/data/v1"
+            # a UNIQUE dir per attempt, like every later commit: a
+            # writer that crashes between the data write and the v1
+            # manifest link leaves an unreferenced orphan dir (swept
+            # age-gated by vacuum), and the RETRY writes a fresh dir
+            # instead of failing on the husk for the whole retention
+            # window — an at-least-once stream that bootstraps a side
+            # table (apply_changes' tombstone store) replays cleanly
+            rel_dir = f"data/c{uuid.uuid4().hex[:12]}"
+            data_dir = f"{t.root}/{rel_dir}"
             t._write_clustered(df, target_files, data_dir)
-            entries = t._collect_entries(data_dir, "data/v1")
+            entries = t._collect_entries(data_dir, rel_dir)
         # an EMPTY create initializes a zero-file snapshot (the schema in
         # the manifest keeps it readable) — the streaming-ingest path
         # starts from this and lets micro-batch merges populate it
@@ -2229,10 +2237,15 @@ class CowTable:
                     op=f"add_constraint({name})",
                     schema_json=m.get("schema"),
                 )
+                committed = m["version"] + 1
                 break
             except CommitConflict:
                 continue
-        return {"version": self.version, "constraints": dict(trial)}
+        # the version THIS commit claimed, never the shared head pointer
+        # (a concurrent writer may already have advanced it; a catalog
+        # transaction pins the returned version — leaking the head would
+        # publish someone else's unpublished commit)
+        return {"version": committed, "constraints": dict(trial)}
 
     def drop_constraint(self, name: str) -> dict:
         """ALTER TABLE DROP CONSTRAINT: metadata-only commit."""
@@ -2250,10 +2263,11 @@ class CowTable:
                     op=f"drop_constraint({name})",
                     schema_json=m.get("schema"),
                 )
+                committed = m["version"] + 1
                 break
             except CommitConflict:
                 continue
-        return {"version": self.version, "constraints": dict(trial)}
+        return {"version": committed, "constraints": dict(trial)}
 
     def set_partition_spec(self, partition_by: tuple[str, ...]) -> dict:
         """ALTER TABLE ... SET PARTITION SPEC — partition EVOLUTION as a
@@ -2293,11 +2307,12 @@ class CowTable:
                     op="set_partition_spec",
                     schema_json=m.get("schema"),
                 )
+                committed = m["version"] + 1
                 break
             except CommitConflict:
                 continue
         return {
-            "version": self.version,
+            "version": committed,
             "partition_spec": [s["name"] for s in specs],
         }
 
@@ -2347,11 +2362,12 @@ class CowTable:
                     m["version"] + 1, m["files"], op=op,
                     schema_json=schema_json,
                 )
+                committed = m["version"] + 1
                 break
             except CommitConflict:
                 continue
         return {
-            "version": self.version,
+            "version": committed,
             "column_mapping": dict(self.column_mapping),
         }
 

@@ -220,7 +220,7 @@ _MAINTAIN = re.compile(
 )
 _ALTER_ADD_COL = re.compile(
     r"^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(\w+)\s+"
-    r"([\w<>(),\s]+?)\s*$",
+    r"([\w<>(),:\s]+?)\s*$",
     re.IGNORECASE,
 )
 _ALTER_RENAME = re.compile(
@@ -1377,6 +1377,16 @@ class SqlFacade:
                 "spec; evolve via the API's add_column + explicit "
                 "ColumnSpecs"
             )
+        if self._txn is not None and name in self._catalog_names:
+            # the facade's column specs extend eagerly below; a later
+            # ROLLBACK would restore the table head but not the specs,
+            # leaving a phantom column that breaks every INSERT/MERGE.
+            # Schema DDL goes outside explicit transactions.
+            raise ValueError(
+                "ALTER TABLE ... ADD COLUMN on a catalog table inside "
+                "an explicit transaction is not supported; COMMIT or "
+                "ROLLBACK first"
+            )
         target, finalize = self._dml_table(name)
         res = target.add_column(col, dtype)
         finalize()
@@ -1426,6 +1436,39 @@ class SqlFacade:
                 specs.append(ColumnSpec(f.name, dt))
         return specs
 
+    def _resolve_new_root(self, name: str, location, stmt: str) -> str:
+        """LOCATION / workdir resolution + the exists guard, shared by
+        every table-creating statement (CTAS, empty DDL, clone)."""
+        import os
+
+        root = location or (
+            os.path.join(self.workdir, name) if self.workdir else None
+        )
+        if root is None:
+            raise ValueError(
+                f"{stmt} needs LOCATION '<dir>' or a facade workdir"
+            )
+        if os.path.exists(root):
+            raise ValueError(
+                f"{stmt} location {root!r} already exists (DROP TABLE "
+                "leaves files on disk for time travel); pick a new "
+                "LOCATION or remove the directory first"
+            )
+        return root
+
+    def _register_new_table(self, name: str, t: CowTable, cols) -> None:
+        """Register a just-created table with the facade AND the
+        attached catalog (when any) — one copy of the block every
+        creating statement needs."""
+        self._columns[name] = cols
+        if self._catalog is not None:
+            self._catalog.register(name, t)
+            self._tables[name] = t
+            self._catalog_names.add(name)
+            self._refresh_head(name)
+        else:
+            self.register_table(name, t, columns=cols)
+
     def _create_table(self, m: re.Match) -> DataFrame:
         """``CREATE TABLE t PRIMARY KEY (k, ...)
         [PARTITIONED BY (day(ts), bucket(16, col), ...)]
@@ -1437,8 +1480,6 @@ class SqlFacade:
         immediately. PARTITIONED BY takes Iceberg-style hidden partition
         transforms; ``ALTER TABLE t SET PARTITION SPEC (...)`` evolves
         them metadata-only."""
-        import os
-
         name, keys_text, part_text, location, query = m.groups()
         if name in self._tables:
             raise ValueError(f"table {name!r} already exists")
@@ -1446,19 +1487,7 @@ class SqlFacade:
         partition_by = tuple(
             p.strip() for p in _split_top_level(part_text)
         ) if part_text else ()
-        root = location or (
-            os.path.join(self.workdir, name) if self.workdir else None
-        )
-        if root is None:
-            raise ValueError(
-                "CREATE TABLE needs LOCATION '<dir>' or a facade workdir"
-            )
-        if os.path.exists(root):
-            raise ValueError(
-                f"CREATE TABLE location {root!r} already exists (DROP "
-                "TABLE leaves files on disk for time travel); pick a new "
-                "LOCATION or remove the directory first"
-            )
+        root = self._resolve_new_root(name, location, "CREATE TABLE")
         df = self.spark.sql(self._rewrite(query))
         for k in keys:
             if k not in df.columns:
@@ -1469,16 +1498,9 @@ class SqlFacade:
         t = CowTable.create(
             self.spark, root, df, keys=keys, partition_by=partition_by
         )
-        self._columns[name] = self._specs_from_schema(
-            t.read().schema, keys
+        self._register_new_table(
+            name, t, self._specs_from_schema(t.read().schema, keys)
         )
-        if self._catalog is not None:
-            self._catalog.register(name, t)
-            self._tables[name] = t
-            self._catalog_names.add(name)
-            self._refresh_head(name)
-        else:
-            self.register_table(name, t, columns=self._columns[name])
         return self.spark.createDataFrame(
             [(name, t.version, t.read().count())],
             "table string, version long, rows long",
@@ -1494,8 +1516,6 @@ class SqlFacade:
         schema with zero data files, so INSERT / MERGE / streaming
         ingest work immediately; default upsert specs derive from the
         declared types exactly as for CTAS."""
-        import os
-
         from pyspark.sql.types import StructType
 
         name, cols_text, keys_text, part_text, location = m.groups()
@@ -1505,19 +1525,7 @@ class SqlFacade:
         partition_by = tuple(
             p.strip() for p in _split_top_level(part_text)
         ) if part_text else ()
-        root = location or (
-            os.path.join(self.workdir, name) if self.workdir else None
-        )
-        if root is None:
-            raise ValueError(
-                "CREATE TABLE needs LOCATION '<dir>' or a facade workdir"
-            )
-        if os.path.exists(root):
-            raise ValueError(
-                f"CREATE TABLE location {root!r} already exists (DROP "
-                "TABLE leaves files on disk for time travel); pick a new "
-                "LOCATION or remove the directory first"
-            )
+        root = self._resolve_new_root(name, location, "CREATE TABLE")
         try:
             schema = StructType.fromDDL(cols_text)
         except Exception as exc:
@@ -1539,14 +1547,7 @@ class SqlFacade:
             self.spark.createDataFrame([], schema),
             keys=keys, partition_by=partition_by,
         )
-        self._columns[name] = cols
-        if self._catalog is not None:
-            self._catalog.register(name, t)
-            self._tables[name] = t
-            self._catalog_names.add(name)
-            self._refresh_head(name)
-        else:
-            self.register_table(name, t, columns=cols)
+        self._register_new_table(name, t, cols)
         return self.spark.createDataFrame(
             [(name, t.version, 0)],
             "table string, version long, rows long",
@@ -1560,8 +1561,6 @@ class SqlFacade:
         table for an experiment is instant), evolving independently
         from there. The clone registers like any CTAS result, with the
         source's upsert specs when the facade knows them."""
-        import os
-
         name, src_name, version, location = m.groups()
         if name in self._tables:
             raise ValueError(f"table {name!r} already exists")
@@ -1578,19 +1577,7 @@ class SqlFacade:
             # files recover()/vacuum legitimately delete) — cloning it
             # would expose aborted data through an unreadable branch
             v = self._catalog._entry(src_name)["version"]
-        root = location or (
-            os.path.join(self.workdir, name) if self.workdir else None
-        )
-        if root is None:
-            raise ValueError(
-                "SHALLOW CLONE needs LOCATION '<dir>' or a facade "
-                "workdir"
-            )
-        if os.path.exists(root):
-            raise ValueError(
-                f"SHALLOW CLONE location {root!r} already exists; pick "
-                "a new LOCATION or remove the directory first"
-            )
+        root = self._resolve_new_root(name, location, "SHALLOW CLONE")
         t = src.clone(root, version=v)
         # a version-pinned clone may carry a HISTORICAL schema (columns
         # renamed/added since): keep the source's registered upsert
@@ -1605,14 +1592,7 @@ class SqlFacade:
             cols = known
         else:
             cols = self._specs_from_schema(t.read().schema, t.keys)
-        self._columns[name] = cols
-        if self._catalog is not None:
-            self._catalog.register(name, t)
-            self._tables[name] = t
-            self._catalog_names.add(name)
-            self._refresh_head(name)
-        else:
-            self.register_table(name, t, columns=cols)
+        self._register_new_table(name, t, cols)
         return self.spark.createDataFrame(
             [(name, src_name, t.version, t.live_rows())],
             "table string, source string, version long, rows long",

@@ -679,9 +679,11 @@ def _tombstone_store(table, keys):
     vacuum legitimately drops v1.json once the store passes the keep
     window, so probing v1 specifically would misread a live store as
     debris), else None. A manifest-less husk older than the retention
-    is cleared; a young husk is left alone — the caller's create will
-    fail loudly on it and the at-least-once stream retries until the
-    husk ages out or its writer finishes."""
+    is cleared as debris; a young husk is left alone and is HARMLESS
+    to the caller's create — create writes each attempt into a unique
+    data dir and claims v1 by exclusive manifest link, so a replay
+    after a crash mid-first-create succeeds immediately (the husk's
+    orphan dir ages out under vacuum's never-referenced sweep)."""
     import os as _os
     import re as _re
     import shutil as _shutil

@@ -382,3 +382,40 @@ def test_catalog_timestamp_time_travel(spark, cat):
     assert vals(cat.read("aud")) == {1: 100, 2: 200}
     with pytest.raises(ValueError, match="no catalog commit"):
         cat.version_as_of(t0 - 10_000)
+
+
+def test_alter_returns_own_committed_version_not_head(
+    spark, tmp_path, monkeypatch
+):
+    """Metadata-only ALTERs must return the version THEIR commit
+    claimed, never the shared head pointer — TxnTable pins the returned
+    version at publish, so returning the head would let an implicit-
+    transaction ALTER publish a CONCURRENT writer's unpublished (maybe
+    torn) commit into the catalog."""
+    t = CowTable.create(
+        spark, str(tmp_path / "t"),
+        rows(spark, (1, 10)), keys=("id",), target_files=1,
+    )
+    orig = t._commit
+
+    def commit_then_concurrent_writer(version, entries, **kw):
+        orig(version, entries, **kw)
+        # a concurrent writer lands the NEXT version before the ALTER
+        # reads any shared state
+        other = CowTable(spark, t.root, keys=t.keys)
+        m = other._manifest()
+        other._commit(
+            m["version"] + 1, m["files"], op="concurrent",
+            schema_json=m.get("schema"),
+        )
+
+    monkeypatch.setattr(t, "_commit", commit_then_concurrent_writer)
+    for res in (
+        t.add_constraint("v_pos", "val >= 0"),      # -> v2 (+v3 race)
+        t.add_column("w", "double"),                # -> v4 (+v5 race)
+        t.drop_constraint("v_pos"),                 # -> v6 (+v7 race)
+        t.set_partition_spec(("bucket(4, id)",)),   # -> v8 (+v9 race)
+    ):
+        assert res["version"] % 2 == 0, (
+            f"ALTER leaked the concurrent head: {res}"
+        )
