@@ -121,7 +121,16 @@ class LakeCatalog:
             os.remove(tmp)
 
     def history(self) -> list[dict]:
-        return [self._load(v) for v in range(1, self.version + 1)]
+        """Surviving catalog commits in order — gaps where
+        ``catalog_history`` trimmed old commits are skipped, not
+        errors."""
+        out = []
+        for v in range(1, self.version + 1):
+            try:
+                out.append(self._load(v))
+            except FileNotFoundError:
+                continue
+        return out
 
     # -- table registry -----------------------------------------------------
 
@@ -216,17 +225,22 @@ class LakeCatalog:
         return CatalogTransaction(self)
 
     def _external_refs(self) -> set[str]:
-        """Absolute paths every registered table's SURVIVING manifests
+        """Absolute paths any CATALOG-KNOWN table's surviving manifests
         reference outside the table's own root. Only shallow clones
         produce these (clone v1 records the source snapshot's files by
         absolute path; later commits carry them until a rewrite
         localizes them; RESTORE can revive them from an older surviving
-        manifest — which this scan also reads). Metadata-only:
-        resolution walks manifest JSONs in ascending order so each
-        segment replays from its cached parent; no data file is
+        manifest — which this scan also reads). Catalog-known = every
+        table named by ANY surviving catalog commit, not just the
+        current one: ``unregister()`` promises historical commits still
+        resolve the table for time travel, so an unregistered-but-
+        still-pinned clone keeps its source-file protection until the
+        pinning commits are trimmed (``catalog_history``). Metadata-
+        only: resolution walks manifest JSONs in ascending order so
+        each segment replays from its cached parent; no data file is
         touched. The union is what ``vacuum_tables`` must keep alive in
         the SOURCE tables so vacuuming a source never orphans a
-        registered clone."""
+        catalog-known clone."""
         import re as _re
 
         def _flag(path: str) -> bool | None:
@@ -246,11 +260,23 @@ class LakeCatalog:
             m = _re.search(r'"external_refs":\s*(true|false)', head)
             return None if m is None else m.group(1) == "true"
 
+        known: dict[str, tuple[str, ...]] = {}
+        for v in range(1, self.version + 1):
+            try:
+                doc = self._load(v)
+            except FileNotFoundError:
+                continue  # trimmed by catalog_history
+            for e in doc["tables"].values():
+                known[e["root"]] = tuple(e["keys"])
         refs: set[str] = set()
-        for name, e in self._load()["tables"].items():
-            t = CowTable(self.spark, e["root"], keys=tuple(e["keys"]))
+        for root, keys in known.items():
+            t = CowTable(self.spark, root, keys=keys)
             root_prefix = t.root + "/"
-            for mname in t._manifest_names():
+            try:
+                names = t._manifest_names()
+            except OSError:
+                continue  # table directory purged out-of-band
+            for mname in names:
                 v = int(mname.removeprefix("v").removesuffix(".json"))
                 # every commit records whether its snapshot references
                 # files outside this root; an explicit False skips the

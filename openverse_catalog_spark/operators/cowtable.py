@@ -2227,10 +2227,16 @@ class CowTable:
                     f"cannot add CHECK {name!r} to {self.root}: "
                     f"{n_bad} existing rows violate {expr_sql!r}"
                 )
-        trial = {**self.constraints, name: expr_sql}
-        self._constraints = trial
         while True:
+            # re-derive from the FRESH head each attempt: committing a
+            # constraint map computed before a concurrent add/drop
+            # would silently revert the winner (lost update)
             m = self._manifest()
+            self._refresh_props(m)
+            if name in self.constraints:
+                raise ValueError(f"constraint {name!r} already exists")
+            trial = {**self.constraints, name: expr_sql}
+            self._constraints = trial
             try:
                 self._commit(
                     m["version"] + 1, m["files"],
@@ -2251,12 +2257,13 @@ class CowTable:
         """ALTER TABLE DROP CONSTRAINT: metadata-only commit."""
         if name not in self.constraints:
             raise ValueError(f"no constraint {name!r}")
-        trial = {
-            k: v for k, v in self.constraints.items() if k != name
-        }
-        self._constraints = trial
         while True:
             m = self._manifest()
+            self._refresh_props(m)
+            trial = {
+                k: v for k, v in self.constraints.items() if k != name
+            }
+            self._constraints = trial
             try:
                 self._commit(
                     m["version"] + 1, m["files"],
@@ -2297,6 +2304,8 @@ class CowTable:
                 _partition_field_expr(s, s["col"], names[s["col"]])
         while True:
             m = self._manifest()
+            self._refresh_props(m)  # keep concurrent mapping/constraint
+            # commits (the retry must not revert them via stale cache)
             fields = dict(m.get("partition_fields") or {})
             fields.update({s["name"]: dict(s) for s in specs})
             self._partition_spec = tuple(dict(s) for s in specs)
@@ -2351,16 +2360,26 @@ class CowTable:
                 f"constraint(s) {hit}"
             )
 
-    def _alter_schema_commit(self, op: str, new_fields: list) -> dict:
+    def _alter_schema_commit(self, op: str, prepare) -> dict:
+        """Commit a metadata-only schema change. ``prepare(schema)``
+        derives the new field list (and may set this handle's mapping/
+        dropped-cols properties); it is re-run against the FRESH head
+        on every CommitConflict retry, with the handle's cached
+        properties re-pinned first — deriving once outside the loop
+        would silently revert a concurrent schema commit (the classic
+        lost update: the loser's retry re-reads the files but would
+        re-commit a schema computed before the winner's column
+        existed)."""
         from pyspark.sql import types as T
 
-        schema_json = T.StructType(new_fields).json()
         while True:
             m = self._manifest()
+            self._refresh_props(m)
+            new_fields = prepare(self._schema(m))
             try:
                 self._commit(
                     m["version"] + 1, m["files"], op=op,
-                    schema_json=schema_json,
+                    schema_json=T.StructType(new_fields).json(),
                 )
                 committed = m["version"] + 1
                 break
@@ -2386,15 +2405,6 @@ class CowTable:
 
         from pyspark.sql import types as T
 
-        m = self._manifest()
-        schema = self._schema(m)
-        if schema is None:
-            raise ValueError(
-                "table has no recorded schema; write data before "
-                "evolving columns"
-            )
-        if name in set(schema.fieldNames()):
-            raise ValueError(f"column {name!r} already exists")
         try:
             new_field = T.StructType.fromDDL(f"`{name}` {dtype}")[0]
         except Exception as exc:
@@ -2403,16 +2413,25 @@ class CowTable:
                 f"type: {exc}"
             ) from None
         field = T.StructField(name, new_field.dataType, nullable=True)
-        if name in self.dropped_cols or name in set(
-            self.column_mapping.values()
-        ):
-            mapping = dict(self.column_mapping)
-            phys = f"__c{_uuid.uuid4().hex[:12]}"
-            mapping[name] = phys
-            self._column_mapping = mapping
+
+        def prepare(schema):
+            if schema is None:
+                raise ValueError(
+                    "table has no recorded schema; write data before "
+                    "evolving columns"
+                )
+            if name in set(schema.fieldNames()):
+                raise ValueError(f"column {name!r} already exists")
+            if name in self.dropped_cols or name in set(
+                self.column_mapping.values()
+            ):
+                mapping = dict(self.column_mapping)
+                mapping[name] = f"__c{_uuid.uuid4().hex[:12]}"
+                self._column_mapping = mapping
+            return list(schema.fields) + [field]
+
         return self._alter_schema_commit(
-            f"add_column({name} {dtype})",
-            list(schema.fields) + [field],
+            f"add_column({name} {dtype})", prepare
         )
 
     def rename_column(self, old: str, new: str) -> dict:
@@ -2420,29 +2439,31 @@ class CowTable:
         mapping): no file is rewritten; the manifest schema carries the
         new LOGICAL name and the mapping pins the column's stable
         PHYSICAL name, which reads/writes translate at the boundary."""
-        m = self._manifest()
-        schema = self._schema(m)
-        names = set(schema.fieldNames())
-        if old not in names:
-            raise ValueError(f"no column {old!r}")
-        if new in names:
-            raise ValueError(f"column {new!r} already exists")
-        self._guard_remappable(old)
-        mapping = dict(self.column_mapping)
-        physical = mapping.pop(old, old)
-        if new in self.dropped_cols or new in mapping.values():
-            raise ValueError(
-                f"{new!r} collides with a physical column name still "
-                "present in old files"
-            )
-        mapping[new] = physical
-        fields = [
-            f if f.name != old else f.__class__(new, f.dataType, f.nullable)
-            for f in schema.fields
-        ]
-        self._column_mapping = mapping
+
+        def prepare(schema):
+            names = set(schema.fieldNames())
+            if old not in names:
+                raise ValueError(f"no column {old!r}")
+            if new in names:
+                raise ValueError(f"column {new!r} already exists")
+            self._guard_remappable(old)
+            mapping = dict(self.column_mapping)
+            physical = mapping.pop(old, old)
+            if new in self.dropped_cols or new in mapping.values():
+                raise ValueError(
+                    f"{new!r} collides with a physical column name "
+                    "still present in old files"
+                )
+            mapping[new] = physical
+            self._column_mapping = mapping
+            return [
+                f if f.name != old
+                else f.__class__(new, f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+
         return self._alter_schema_commit(
-            f"rename_column({old}->{new})", fields
+            f"rename_column({old}->{new})", prepare
         )
 
     def drop_column(self, name: str) -> dict:
@@ -2450,17 +2471,18 @@ class CowTable:
         physical column (readers prune it via the manifest schema); the
         physical name is tombstoned so a later schema evolution cannot
         reuse it against files that still carry the dead data."""
-        m = self._manifest()
-        schema = self._schema(m)
-        if name not in set(schema.fieldNames()):
-            raise ValueError(f"no column {name!r}")
-        self._guard_remappable(name)
-        mapping = dict(self.column_mapping)
-        physical = mapping.pop(name, name)
-        self._column_mapping = mapping
-        self._dropped_cols = tuple(self.dropped_cols) + (physical,)
-        fields = [f for f in schema.fields if f.name != name]
-        return self._alter_schema_commit(f"drop_column({name})", fields)
+
+        def prepare(schema):
+            if name not in set(schema.fieldNames()):
+                raise ValueError(f"no column {name!r}")
+            self._guard_remappable(name)
+            mapping = dict(self.column_mapping)
+            physical = mapping.pop(name, name)
+            self._column_mapping = mapping
+            self._dropped_cols = tuple(self.dropped_cols) + (physical,)
+            return [f for f in schema.fields if f.name != name]
+
+        return self._alter_schema_commit(f"drop_column({name})", prepare)
 
     # -- logical conflict resolution -----------------------------------------
 

@@ -1337,13 +1337,42 @@ class SqlFacade:
         ):
             m = pat.match(text)
             if m and m.group(1) in self._tables:
+                tname = m.group(1)
+                if (
+                    pat in (_ALTER_RENAME, _ALTER_DROP_COL)
+                    and self._txn is not None
+                    and tname in self._catalog_names
+                ):
+                    # the spec sync below is eager; a later ROLLBACK
+                    # would restore the table head but not the specs
+                    raise ValueError(
+                        "ALTER TABLE ... RENAME/DROP COLUMN on a "
+                        "catalog table inside an explicit transaction "
+                        "is not supported; COMMIT or ROLLBACK first"
+                    )
                 # route through _dml_table: a catalog-managed table's
                 # schema commit must PUBLISH (an implicit transaction),
                 # or the next recover() rolls the ALTER back as a torn
                 # head — same contract as every other DML statement
-                target, finalize = self._dml_table(m.group(1))
+                target, finalize = self._dml_table(tname)
                 res = call(target, *m.groups()[1:])
                 finalize()
+                # keep the upsert specs in step with the schema, or
+                # INSERT/MERGE text breaks on the renamed/dropped name
+                specs = self._columns.get(tname)
+                if specs is not None and pat is _ALTER_RENAME:
+                    import dataclasses
+
+                    old_c, new_c = m.group(2), m.group(3)
+                    self._columns[tname] = [
+                        dataclasses.replace(c, name=new_c)
+                        if c.name == old_c else c
+                        for c in specs
+                    ]
+                elif specs is not None and pat is _ALTER_DROP_COL:
+                    self._columns[tname] = [
+                        c for c in specs if c.name != m.group(2)
+                    ]
                 # ALTERs return {version, ...}; surface the version
                 return self.spark.createDataFrame(
                     [(res["version"],)], "version long"

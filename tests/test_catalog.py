@@ -419,3 +419,39 @@ def test_alter_returns_own_committed_version_not_head(
         assert res["version"] % 2 == 0, (
             f"ALTER leaked the concurrent head: {res}"
         )
+
+
+def test_alter_retry_does_not_revert_concurrent_schema(
+    spark, tmp_path, monkeypatch
+):
+    """A CommitConflict retry must re-derive the schema from the fresh
+    head: committing a field list computed BEFORE a concurrent
+    add_column would silently erase the winner's column (lost
+    update)."""
+    from openverse_catalog_spark.operators.cowtable import (
+        CommitConflict,
+        CowTable,
+    )
+
+    t = CowTable.create(
+        spark, str(tmp_path / "t"),
+        rows(spark, (1, 10)), keys=("id",), target_files=1,
+    )
+    orig = t._commit
+    state = {"raced": False}
+
+    def conflict_once_with_concurrent_schema(version, entries, **kw):
+        if not state["raced"]:
+            state["raced"] = True
+            # the concurrent writer lands ITS schema change first
+            other = CowTable(spark, t.root, keys=t.keys)
+            other.add_column("won", "double")
+            raise CommitConflict("simulated lost slot")
+        orig(version, entries, **kw)
+
+    monkeypatch.setattr(t, "_commit", conflict_once_with_concurrent_schema)
+    t.add_column("mine", "string")
+    cols = CowTable(spark, t.root, keys=t.keys).read().columns
+    assert "won" in cols and "mine" in cols, (
+        f"retry reverted the concurrent column: {cols}"
+    )

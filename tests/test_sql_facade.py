@@ -1521,3 +1521,24 @@ def test_facade_maintain_catalog_history_clause(spark, tmp_path):
     assert len(survivors) <= 3
     assert {r["val"] for r in f.sql("SELECT val FROM media").collect()} \
         == {40}
+
+
+def test_facade_rename_drop_sync_specs(spark, tmp_path):
+    """RENAME/DROP COLUMN keep the facade's upsert specs in step with
+    the schema — INSERT text with the NEW name must work right after
+    the ALTER (previously the stale spec made every later INSERT/MERGE
+    fail on the old name)."""
+    f = SqlFacade(spark, workdir=str(tmp_path))
+    f.sql("CREATE TABLE media (fid string, val double, note string) "
+          "PRIMARY KEY (fid)")
+    f.sql("INSERT INTO media SELECT 'a' AS fid, 1.0 AS val, 'x' AS note")
+    f.sql("ALTER TABLE media RENAME COLUMN val TO score")
+    f.sql("INSERT INTO media SELECT 'b' AS fid, 2.0 AS score, "
+          "'y' AS note")
+    got = {r["fid"]: r["score"]
+           for r in f.sql("SELECT fid, score FROM media").collect()}
+    assert got == {"a": 1.0, "b": 2.0}
+    f.sql("ALTER TABLE media DROP COLUMN note")
+    f.sql("INSERT INTO media SELECT 'c' AS fid, 3.0 AS score")
+    assert f.sql("SELECT * FROM media").count() == 3
+    assert "note" not in f.sql("SELECT * FROM media").columns
