@@ -120,17 +120,30 @@ class LakeCatalog:
         finally:
             os.remove(tmp)
 
+    def _surviving_commits(self) -> list[dict]:
+        """Every catalog commit still on disk, in version order — the
+        one iteration history()/version_as_of()/vacuum_tables() all
+        need (``catalog_history`` leaves gaps; one listdir finds the
+        survivors instead of probing every version number)."""
+        vs = sorted(
+            int(n[1:-5])
+            for n in os.listdir(self._dir)
+            if n.startswith("c") and n.endswith(".json")
+            and n[1:-5].isdigit()
+        )
+        out = []
+        for v in vs:
+            try:
+                out.append(self._load(v))
+            except FileNotFoundError:
+                continue  # trimmed between listdir and read
+        return out
+
     def history(self) -> list[dict]:
         """Surviving catalog commits in order — gaps where
         ``catalog_history`` trimmed old commits are skipped, not
         errors."""
-        out = []
-        for v in range(1, self.version + 1):
-            try:
-                out.append(self._load(v))
-            except FileNotFoundError:
-                continue
-        return out
+        return self._surviving_commits()
 
     # -- table registry -----------------------------------------------------
 
@@ -189,13 +202,9 @@ class LakeCatalog:
         level). Commits written before the ``committed_at`` field
         existed sort as epoch 0 (always in range)."""
         best = None
-        for v in range(1, self.version + 1):
-            try:
-                doc = self._load(v)
-            except FileNotFoundError:
-                continue  # trimmed by catalog_history
+        for doc in self._surviving_commits():
             if float(doc.get("committed_at") or 0.0) <= ts:
-                best = v
+                best = doc["version"]
         if best is None:
             raise ValueError(
                 f"no catalog commit at or before timestamp {ts} "
@@ -224,7 +233,7 @@ class LakeCatalog:
     def transaction(self) -> "CatalogTransaction":
         return CatalogTransaction(self)
 
-    def _external_refs(self) -> set[str]:
+    def _external_refs(self, commits=None) -> set[str]:
         """Absolute paths any CATALOG-KNOWN table's surviving manifests
         reference outside the table's own root. Only shallow clones
         produce these (clone v1 records the source snapshot's files by
@@ -261,11 +270,8 @@ class LakeCatalog:
             return None if m is None else m.group(1) == "true"
 
         known: dict[str, tuple[str, ...]] = {}
-        for v in range(1, self.version + 1):
-            try:
-                doc = self._load(v)
-            except FileNotFoundError:
-                continue  # trimmed by catalog_history
+        for doc in (commits if commits is not None
+                    else self._surviving_commits()):
             for e in doc["tables"].values():
                 known[e["root"]] = tuple(e["keys"])
         refs: set[str] = set()
@@ -274,8 +280,11 @@ class LakeCatalog:
             root_prefix = t.root + "/"
             try:
                 names = t._manifest_names()
-            except OSError:
-                continue  # table directory purged out-of-band
+            except FileNotFoundError:
+                continue  # table directory purged out-of-band; any
+                # OTHER OSError (EIO, EACCES) must abort the vacuum
+                # loudly — silently dropping a clone's refs would let
+                # the source vacuum delete files the clone needs
             for mname in names:
                 v = int(mname.removeprefix("v").removesuffix(".json"))
                 # every commit records whether its snapshot references
@@ -327,23 +336,18 @@ class LakeCatalog:
         clone is compacted (localized), vacuumed past those manifests,
         or unregistered. Unregistered clones keep the Delta caveat."""
         cur_v = self.version
-        versions = range(1, cur_v + 1)
         if catalog_history is not None:
             lo = max(1, cur_v - catalog_history + 1)
             for v in range(1, lo):
                 path = f"{self._dir}/c{v}.json"
                 if os.path.exists(path):
                     os.remove(path)
-            versions = range(lo, cur_v + 1)
+        commits = self._surviving_commits()
         pins: dict[str, set[int]] = {}
-        for v in versions:
-            try:
-                doc = self._load(v)
-            except FileNotFoundError:
-                continue
+        for doc in commits:
             for name, e in doc["tables"].items():
                 pins.setdefault(name, set()).add(e["version"])
-        ext = self._external_refs()
+        ext = self._external_refs(commits)
         deleted = {}
         for name, e in self._load(cur_v)["tables"].items():
             t = CowTable(self.spark, e["root"], keys=tuple(e["keys"]))
@@ -460,20 +464,41 @@ class LakeCatalog:
         head, so after one recovery the head version permanently
         exceeds the pin — comparing versions would make every later
         recover() commit another (identical) restore, growing an
-        unbounded restore chain out of routine rollbacks. The file
-        lists of the two manifests are the cheap exact equality."""
+        unbounded restore chain out of routine rollbacks. Content =
+        the file list PLUS the snapshot's metadata (schema,
+        constraints, column mapping, partition spec): a torn
+        metadata-only ALTER changes no file, and comparing files alone
+        would keep the aborted schema on the head, where the next DML
+        would silently publish it."""
         cur = self._load()
         rolled = {}
         for name, e in cur["tables"].items():
             t = CowTable(self.spark, e["root"], keys=tuple(e["keys"]))
             if t.version > e["version"]:
-                head_m = t._manifest()
-                pin_m = t._manifest(e["version"])
-                if head_m["files"] == pin_m["files"]:
+                if self._snapshot_sig(
+                    t._manifest()
+                ) == self._snapshot_sig(t._manifest(e["version"])):
                     continue  # a prior recovery already restored this
                 t.restore(e["version"])
                 rolled[name] = e["version"]
         return {"rolled_back": rolled}
+
+    @staticmethod
+    def _snapshot_sig(m: dict) -> tuple:
+        """Everything restore() reproduces — the drift equality for
+        recover(). Operation name / commit time / txn tokens are NOT
+        content (a restore legitimately differs in those)."""
+        return (
+            m["files"],
+            m.get("schema"),
+            m.get("constraints") or {},
+            m.get("column_mapping") or {},
+            tuple(m.get("dropped_cols") or ()),
+            list(m.get("partition_spec") or ()),
+            m.get("partition_fields") or {},
+            tuple(m.get("stats_cols") or ()),
+            tuple(m.get("bloom_cols") or ()),
+        )
 
 
 class TxnTable:

@@ -2210,31 +2210,33 @@ class CowTable:
         enforces it against its new rows. Delta's CHECK constraint."""
         if name in self.constraints:
             raise ValueError(f"constraint {name!r} already exists")
-        cur = self._manifest()
-        if cur["files"]:
-            n_bad = (
-                self._read_entries(cur["files"], cur)
-                .agg(
-                    F.sum(
-                        (~F.coalesce(F.expr(expr_sql), F.lit(True)))
-                        .cast("long")
-                    ).alias("n")
-                )
-                .head()["n"]
-            )
-            if n_bad:
-                raise ConstraintViolation(
-                    f"cannot add CHECK {name!r} to {self.root}: "
-                    f"{n_bad} existing rows violate {expr_sql!r}"
-                )
         while True:
-            # re-derive from the FRESH head each attempt: committing a
-            # constraint map computed before a concurrent add/drop
-            # would silently revert the winner (lost update)
+            # re-derive AND re-validate from the FRESH head each
+            # attempt: committing a constraint map computed before a
+            # concurrent add/drop would silently revert the winner
+            # (lost update), and a conflict-losing retry that skipped
+            # re-validation could attach a CHECK the winner's new rows
+            # already violate
             m = self._manifest()
             self._refresh_props(m)
             if name in self.constraints:
                 raise ValueError(f"constraint {name!r} already exists")
+            if m["files"]:
+                n_bad = (
+                    self._read_entries(m["files"], m)
+                    .agg(
+                        F.sum(
+                            (~F.coalesce(F.expr(expr_sql), F.lit(True)))
+                            .cast("long")
+                        ).alias("n")
+                    )
+                    .head()["n"]
+                )
+                if n_bad:
+                    raise ConstraintViolation(
+                        f"cannot add CHECK {name!r} to {self.root}: "
+                        f"{n_bad} existing rows violate {expr_sql!r}"
+                    )
             trial = {**self.constraints, name: expr_sql}
             self._constraints = trial
             try:
@@ -4391,12 +4393,22 @@ class CowTable:
         m = self._manifest(version)
         t = CowTable(self.spark, new_root, tuple(m["keys"]))
         # the clone inherits the source snapshot's table properties
-        # (they are part of the snapshot, not the handle)
+        # (they are part of the snapshot, not the handle) — INCLUDING
+        # the hidden-partition spec: the lazy property would read the
+        # clone's not-yet-written head and silently commit an empty
+        # spec into v1
         t._stats_cols = tuple(m.get("stats_cols") or ())
         t._bloom_cols = tuple(m.get("bloom_cols") or ())
         t._constraints = dict(m.get("constraints") or {})
         t._column_mapping = dict(m.get("column_mapping") or {})
         t._dropped_cols = tuple(m.get("dropped_cols") or ())
+        t._partition_spec = tuple(
+            dict(s) for s in (m.get("partition_spec") or ())
+        )
+        t._partition_fields = {
+            n: dict(s)
+            for n, s in (m.get("partition_fields") or {}).items()
+        }
         os.makedirs(f"{t.root}/manifests", exist_ok=True)
         entries = []
         for e in m["files"]:
@@ -4423,12 +4435,24 @@ class CowTable:
         Metadata-only, so a commit conflict just recomputes the next
         free version number and relinks — no data work to redo."""
         m = self._manifest(version)
-        # restore restores the SNAPSHOT, schema + table properties
+        # restore restores the SNAPSHOT, schema + ALL table properties
         # included (a head-state mapping against a pre-rename schema
-        # would mistranslate physical names)
+        # would mistranslate physical names; keeping the head's
+        # partition spec would leave a torn SET PARTITION SPEC in
+        # force after its rollback — and recover()'s content equality
+        # would then never converge)
         self._constraints = dict(m.get("constraints") or {})
         self._column_mapping = dict(m.get("column_mapping") or {})
         self._dropped_cols = tuple(m.get("dropped_cols") or ())
+        self._stats_cols = tuple(m.get("stats_cols") or ())
+        self._bloom_cols = tuple(m.get("bloom_cols") or ())
+        self._partition_spec = tuple(
+            dict(s) for s in (m.get("partition_spec") or ())
+        )
+        self._partition_fields = {
+            n: dict(s)
+            for n, s in (m.get("partition_fields") or {}).items()
+        }
         while True:
             new_version = self.version + 1
             try:

@@ -1512,6 +1512,15 @@ class SqlFacade:
         name, keys_text, part_text, location, query = m.groups()
         if name in self._tables:
             raise ValueError(f"table {name!r} already exists")
+        if self._txn is not None and self._catalog is not None:
+            # registration is its own catalog commit OUTSIDE the open
+            # transaction — ROLLBACK could not undo it, and the head
+            # refresh would KeyError on the pre-CREATE snapshot
+            raise ValueError(
+                "CREATE TABLE with an attached catalog inside an "
+                "explicit transaction is not supported; COMMIT or "
+                "ROLLBACK first"
+            )
         keys = tuple(k.strip() for k in keys_text.split(","))
         partition_by = tuple(
             p.strip() for p in _split_top_level(part_text)
@@ -1550,6 +1559,15 @@ class SqlFacade:
         name, cols_text, keys_text, part_text, location = m.groups()
         if name in self._tables:
             raise ValueError(f"table {name!r} already exists")
+        if self._txn is not None and self._catalog is not None:
+            # registration is its own catalog commit OUTSIDE the open
+            # transaction — ROLLBACK could not undo it, and the head
+            # refresh would KeyError on the pre-CREATE snapshot
+            raise ValueError(
+                "CREATE TABLE with an attached catalog inside an "
+                "explicit transaction is not supported; COMMIT or "
+                "ROLLBACK first"
+            )
         keys = tuple(k.strip() for k in keys_text.split(","))
         partition_by = tuple(
             p.strip() for p in _split_top_level(part_text)

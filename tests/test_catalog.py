@@ -455,3 +455,56 @@ def test_alter_retry_does_not_revert_concurrent_schema(
     assert "won" in cols and "mine" in cols, (
         f"retry reverted the concurrent column: {cols}"
     )
+
+
+def test_recover_rolls_back_torn_metadata_only_alter(spark, cat):
+    """A crash between a metadata-only ALTER's table commit and its
+    catalog publish must be recoverable: the ALTER changes NO file, so
+    recover()'s drift equality has to compare the snapshot's metadata
+    (schema, constraints, mapping, partition spec), not the file list
+    alone — otherwise the aborted schema stays on the head and the
+    next DML silently publishes it."""
+    img = cat.table("img")
+    pin = cat._entry("img")["version"]
+    # simulate the torn implicit transaction: the table commit landed,
+    # the catalog publish never did
+    img.add_column("phantom", "double")
+    img.add_constraint("v_pos", "val >= 0")
+    assert img.version > pin
+    rep = cat.recover()
+    assert rep["rolled_back"] == {"img": pin}
+    fresh = cat.table("img")
+    assert "phantom" not in fresh.read().columns
+    assert "v_pos" not in fresh.constraints
+    # idempotence: recover again -> content matches, no restore chain
+    v_after = fresh.version
+    assert cat.recover()["rolled_back"] == {}
+    assert cat.table("img").version == v_after
+    # same for a torn SET PARTITION SPEC (restore must put the OLD
+    # spec back or recover would re-restore forever)
+    fresh.set_partition_spec(("bucket(4, id)",))
+    assert cat.recover()["rolled_back"] == {"img": pin}
+    assert cat.table("img").partition_spec == ()
+    assert cat.recover()["rolled_back"] == {}
+
+
+def test_clone_and_restore_keep_partition_spec(spark, tmp_path):
+    """A shallow clone inherits the source snapshot's hidden-partition
+    spec (the lazy property must not read the clone's unwritten head
+    and commit an empty spec); RESTORE across a SET PARTITION SPEC
+    puts the old spec back."""
+    t = CowTable.create(
+        spark, str(tmp_path / "t"),
+        rows(spark, (1, 10), (2, 20)), keys=("id",), target_files=1,
+        partition_by=("bucket(4, id)",),
+    )
+    c = t.clone(str(tmp_path / "c"))
+    assert [s["transform"] for s in
+            CowTable(spark, str(tmp_path / "c")).partition_spec] \
+        == ["bucket"]
+    v_before = t.version
+    t.set_partition_spec(("truncate(2, id)",))
+    t.restore(v_before)
+    assert [s["transform"] for s in
+            CowTable(spark, str(tmp_path / "t")).partition_spec] \
+        == ["bucket"]

@@ -1542,3 +1542,24 @@ def test_facade_rename_drop_sync_specs(spark, tmp_path):
     f.sql("INSERT INTO media SELECT 'c' AS fid, 3.0 AS score")
     assert f.sql("SELECT * FROM media").count() == 3
     assert "note" not in f.sql("SELECT * FROM media").columns
+
+
+def test_facade_create_refused_inside_explicit_txn(spark, tmp_path):
+    """CREATE TABLE (CTAS and empty DDL) with an attached catalog is
+    refused inside an explicit transaction: registration is its own
+    catalog commit ROLLBACK cannot undo."""
+    import pytest
+
+    from openverse_catalog_spark.operators.catalog import LakeCatalog
+
+    cat = LakeCatalog.create(spark, str(tmp_path / "lake"))
+    f = SqlFacade(spark, workdir=str(tmp_path / "w"))
+    f.attach_catalog(cat)
+    f.sql("BEGIN TRANSACTION")
+    with pytest.raises(ValueError, match="explicit transaction"):
+        f.sql("CREATE TABLE t1 (k bigint) PRIMARY KEY (k)")
+    with pytest.raises(ValueError, match="explicit transaction"):
+        f.sql("CREATE TABLE t2 PRIMARY KEY (k) AS SELECT 1 AS k")
+    f.sql("ROLLBACK")
+    f.sql("CREATE TABLE t1 (k bigint) PRIMARY KEY (k)")
+    assert cat._entry("t1")["version"] == 1
