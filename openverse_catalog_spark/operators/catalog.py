@@ -82,14 +82,19 @@ class LakeCatalog:
         cat._commit_slot(1, {}, "create")
         return cat
 
-    @property
-    def version(self) -> int:
-        vs = [
+    def _versions_on_disk(self) -> list[int]:
+        """Catalog commit numbers still on disk, sorted (gaps where
+        catalog_history trimmed are simply absent)."""
+        return sorted(
             int(n[1:-5])
             for n in os.listdir(self._dir)
             if n.startswith("c") and n.endswith(".json")
             and n[1:-5].isdigit()
-        ]
+        )
+
+    @property
+    def version(self) -> int:
+        vs = self._versions_on_disk()
         if not vs:
             raise FileNotFoundError(f"no catalog at {self._dir}")
         return max(vs)
@@ -125,12 +130,7 @@ class LakeCatalog:
         one iteration history()/version_as_of()/vacuum_tables() all
         need (``catalog_history`` leaves gaps; one listdir finds the
         survivors instead of probing every version number)."""
-        vs = sorted(
-            int(n[1:-5])
-            for n in os.listdir(self._dir)
-            if n.startswith("c") and n.endswith(".json")
-            and n[1:-5].isdigit()
-        )
+        vs = self._versions_on_disk()
         out = []
         for v in vs:
             try:
@@ -489,7 +489,11 @@ class LakeCatalog:
         recover(). Operation name / commit time / txn tokens are NOT
         content (a restore legitimately differs in those)."""
         return (
-            m["files"],
+            # path-sorted: segment resolution sorts file lists but raw
+            # checkpoint manifests keep commit order — comparing
+            # unsorted would report spurious drift between identical
+            # snapshots and re-restore forever
+            sorted(m["files"], key=lambda e: e["path"]),
             m.get("schema"),
             m.get("constraints") or {},
             m.get("column_mapping") or {},

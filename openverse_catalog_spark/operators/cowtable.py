@@ -4397,18 +4397,7 @@ class CowTable:
         # the hidden-partition spec: the lazy property would read the
         # clone's not-yet-written head and silently commit an empty
         # spec into v1
-        t._stats_cols = tuple(m.get("stats_cols") or ())
-        t._bloom_cols = tuple(m.get("bloom_cols") or ())
-        t._constraints = dict(m.get("constraints") or {})
-        t._column_mapping = dict(m.get("column_mapping") or {})
-        t._dropped_cols = tuple(m.get("dropped_cols") or ())
-        t._partition_spec = tuple(
-            dict(s) for s in (m.get("partition_spec") or ())
-        )
-        t._partition_fields = {
-            n: dict(s)
-            for n, s in (m.get("partition_fields") or {}).items()
-        }
+        t._refresh_props(m)
         os.makedirs(f"{t.root}/manifests", exist_ok=True)
         entries = []
         for e in m["files"]:
@@ -4441,18 +4430,7 @@ class CowTable:
         # partition spec would leave a torn SET PARTITION SPEC in
         # force after its rollback — and recover()'s content equality
         # would then never converge)
-        self._constraints = dict(m.get("constraints") or {})
-        self._column_mapping = dict(m.get("column_mapping") or {})
-        self._dropped_cols = tuple(m.get("dropped_cols") or ())
-        self._stats_cols = tuple(m.get("stats_cols") or ())
-        self._bloom_cols = tuple(m.get("bloom_cols") or ())
-        self._partition_spec = tuple(
-            dict(s) for s in (m.get("partition_spec") or ())
-        )
-        self._partition_fields = {
-            n: dict(s)
-            for n, s in (m.get("partition_fields") or {}).items()
-        }
+        self._refresh_props(m)
         while True:
             new_version = self.version + 1
             try:

@@ -1465,6 +1465,18 @@ class SqlFacade:
                 specs.append(ColumnSpec(f.name, dt))
         return specs
 
+    def _refuse_create_in_txn(self) -> None:
+        """Registration is its own catalog commit OUTSIDE any open
+        transaction — ROLLBACK could not undo it, and the head refresh
+        would KeyError on the pre-CREATE snapshot. Shared by every
+        table-creating statement."""
+        if self._txn is not None and self._catalog is not None:
+            raise ValueError(
+                "CREATE TABLE with an attached catalog inside an "
+                "explicit transaction is not supported; COMMIT or "
+                "ROLLBACK first"
+            )
+
     def _resolve_new_root(self, name: str, location, stmt: str) -> str:
         """LOCATION / workdir resolution + the exists guard, shared by
         every table-creating statement (CTAS, empty DDL, clone)."""
@@ -1512,15 +1524,7 @@ class SqlFacade:
         name, keys_text, part_text, location, query = m.groups()
         if name in self._tables:
             raise ValueError(f"table {name!r} already exists")
-        if self._txn is not None and self._catalog is not None:
-            # registration is its own catalog commit OUTSIDE the open
-            # transaction — ROLLBACK could not undo it, and the head
-            # refresh would KeyError on the pre-CREATE snapshot
-            raise ValueError(
-                "CREATE TABLE with an attached catalog inside an "
-                "explicit transaction is not supported; COMMIT or "
-                "ROLLBACK first"
-            )
+        self._refuse_create_in_txn()
         keys = tuple(k.strip() for k in keys_text.split(","))
         partition_by = tuple(
             p.strip() for p in _split_top_level(part_text)
@@ -1559,15 +1563,7 @@ class SqlFacade:
         name, cols_text, keys_text, part_text, location = m.groups()
         if name in self._tables:
             raise ValueError(f"table {name!r} already exists")
-        if self._txn is not None and self._catalog is not None:
-            # registration is its own catalog commit OUTSIDE the open
-            # transaction — ROLLBACK could not undo it, and the head
-            # refresh would KeyError on the pre-CREATE snapshot
-            raise ValueError(
-                "CREATE TABLE with an attached catalog inside an "
-                "explicit transaction is not supported; COMMIT or "
-                "ROLLBACK first"
-            )
+        self._refuse_create_in_txn()
         keys = tuple(k.strip() for k in keys_text.split(","))
         partition_by = tuple(
             p.strip() for p in _split_top_level(part_text)

@@ -508,3 +508,18 @@ def test_clone_and_restore_keep_partition_spec(spark, tmp_path):
     assert [s["transform"] for s in
             CowTable(spark, str(tmp_path / "t")).partition_spec] \
         == ["bucket"]
+
+
+def test_snapshot_sig_is_file_order_insensitive():
+    """Segment resolution path-sorts file lists; raw checkpoint
+    manifests keep commit order. The drift equality must not see that
+    as drift (it would re-restore identical snapshots forever)."""
+    a = {"files": [{"path": "data/c2/x.parquet", "rows": 1},
+                   {"path": "data/c1/a.parquet", "rows": 2}],
+         "schema": "s", "constraints": {}, "partition_spec": []}
+    b = {"files": [{"path": "data/c1/a.parquet", "rows": 2},
+                   {"path": "data/c2/x.parquet", "rows": 1}],
+         "schema": "s", "constraints": {}, "partition_spec": []}
+    assert LakeCatalog._snapshot_sig(a) == LakeCatalog._snapshot_sig(b)
+    b["files"][0]["rows"] = 3
+    assert LakeCatalog._snapshot_sig(a) != LakeCatalog._snapshot_sig(b)
