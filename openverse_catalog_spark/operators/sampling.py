@@ -390,3 +390,172 @@ def temperature_mix(
         .filter(_keyhash(F.col(key_col), salt) < threshold(F.col("rate")))
         .drop("rate")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS 2023)
+# ---------------------------------------------------------------------------
+# Select raw-corpus documents whose hashed-ngram distribution looks like a
+# small TARGET domain sample: fit bag-of-hashed-ngrams models p (target) and
+# q (raw), weight each raw doc by sum over its grams of ln p_b - ln q_b, then
+# Gumbel-top-k resample. Everything below is hash60-deterministic so the
+# DuckDB oracle verifies the exact selected SET, like every other sampler in
+# this module.
+
+
+def dsir_gram_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 512,
+    salt: str = "dsir",
+    keep: Sequence[str] = (),
+) -> DataFrame:
+    """Hashed unigram+bigram feature buckets, one row per gram occurrence.
+
+    The gram list is built entirely inside the token ARRAY (zip_with on two
+    slices — no posexplode + lag window, so no token-level shuffle), then
+    exploded once to (id, bucket). Docs with zero tokens contribute no
+    features and are absent downstream (their importance weight is an empty
+    product, exactly the paper's behavior for empty text).
+    """
+    from openverse_catalog_spark.functions import text as tx
+
+    toks = tx.tokens(F.col(text_col))
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = F.concat(toks, bigrams)
+    bucket = F.explode(
+        F.transform(
+            grams,
+            lambda g: F.pmod(
+                hash60(F.concat(F.lit(f"{salt}|"), g)), F.lit(n_buckets)
+            ),
+        )
+    ).alias("bucket")
+    return df.select(F.col(id_col), *[F.col(c) for c in keep], bucket)
+
+
+def dsir_grams_sql(
+    table: str, id_expr: str, text_expr: str, n_buckets: int = 512,
+    salt: str = "dsir", keep: str = "",
+) -> str:
+    """DuckDB CTE body producing the same (id, bucket) relation.
+
+    ``keep`` is an optional ', col, ...' suffix carried through (e.g. the
+    domain column the caller splits target/raw on).
+    """
+    h = hash60_sql(f"'{salt}|' || g")
+    return f"""
+      SELECT {id_expr}{keep}, {h} % {n_buckets} AS bucket
+      FROM (
+        SELECT *, list_filter(
+                 string_split_regex(lower({text_expr}), '[^a-z0-9]+'),
+                 x -> x <> '') AS t
+        FROM {table}
+      ) tl, LATERAL (
+        SELECT g FROM unnest(t) AS u(g)
+        UNION ALL
+        SELECT t[i] || ' ' || t[i + 1] FROM unnest(range(1, len(t))) AS r(i)
+      ) gr
+    """
+
+
+def dsir_logweights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 512,
+    alpha: float = 0.5,
+    salt: str = "dsir",
+) -> DataFrame:
+    """Per-raw-doc DSIR log importance weight.
+
+    log w(doc) = sum over the doc's gram occurrences of
+    ln((ct_b + a)/(Nt + a*B)) - ln((cr_b + a)/(Nr + a*B)) — additively
+    smoothed hashed-ngram LMs of the target and raw corpora
+    (arxiv 2302.03169 §2; counts, not presence, per the paper's
+    bag-of-hashed-ngrams parameterization).
+
+    Plan at scale: both sides explode their gram arrays once; the two count
+    tables aggregate map-side down to <= B rows each; the weight table is a
+    B-row broadcast joined to the raw gram relation (narrow), and the only
+    data-sized shuffle is the final groupBy(id). Returns
+    (id, n_grams, logweight).
+    """
+    rb = dsir_gram_buckets(raw, id_col, text_col, n_buckets, salt)
+    tb = dsir_gram_buckets(target, id_col, text_col, n_buckets, salt)
+    tcnt = tb.groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
+    rcnt = rb.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    tt = tcnt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt"))
+    rt = rcnt.agg(F.coalesce(F.sum("cr"), F.lit(0)).alias("nr"))
+    ab = float(alpha * n_buckets)
+    w = (
+        rcnt.join(tcnt, "bucket", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(rt))
+        .select(
+            "bucket",
+            (
+                F.log((F.coalesce(F.col("ct"), F.lit(0)) + alpha)
+                      / (F.col("nt") + ab))
+                - F.log((F.col("cr") + alpha) / (F.col("nr") + ab))
+            ).alias("logw"),
+        )
+    )
+    return (
+        rb.join(F.broadcast(w), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("logw").alias("logweight"),
+        )
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    n_buckets: int = 512,
+    alpha: float = 0.5,
+    salt: str = "dsir",
+    gumbel_salt: str = "dsirg",
+    keep: Sequence[str] = (),
+) -> DataFrame:
+    """Gumbel-top-k resample of ``raw`` toward the target distribution.
+
+    score = logweight + Gumbel(0,1) where the Gumbel draw is the
+    deterministic inverse-CDF of the doc's salted key hash,
+    u = (hash60 + 0.5) / 2^60 in (0,1) — so selection is a pure function
+    of the corpus and the salts (engine/partitioning/run independent),
+    and sampling WITHOUT replacement proportional-to-weight, the
+    Gumbel-top-k identity the paper relies on. TakeOrdered top-k: no
+    global sort materializes. Returns (id, keep..., score) rows, k of them.
+    """
+    lw = dsir_logweights(raw, target, id_col, text_col, n_buckets, alpha, salt)
+    if keep:
+        lw = lw.join(raw.select(id_col, *keep), id_col)
+    u = (_keyhash(F.col(id_col), gumbel_salt) + 0.5) / F.lit(float(HASH_SPACE))
+    score = (F.col("logweight") - F.log(-F.log(u))).alias("score")
+    return (
+        lw.select(F.col(id_col), *[F.col(c) for c in keep], score)
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def dsir_gumbel_sql(id_expr: str, gumbel_salt: str = "dsirg") -> str:
+    """DuckDB SQL for the same deterministic Gumbel(0,1) draw."""
+    h = keyhash_sql(id_expr, gumbel_salt)
+    return f"-ln(-ln(({h} + 0.5) / {float(HASH_SPACE)!r}))"

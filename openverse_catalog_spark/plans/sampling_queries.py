@@ -354,3 +354,106 @@ def corpus_mix_temperature(spark, sf_dir):
     return smp.temperature_mix(d, "doc_id", "lang", alpha=0.5).select(
         "doc_id", "lang"
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — importance resampling toward a target domain (operators/sampling.py)
+# ---------------------------------------------------------------------------
+
+_DSIR_TGT = "('src1', 'src2', 'src3')"
+_DSIR_TGT_LIST = ["src1", "src2", "src3"]
+_DSIR_B = 512
+_DSIR_A = 0.5
+_DSIR_K = 80
+
+
+def _dsir_weights_cte() -> str:
+    """Shared oracle CTE chain ending in lw(doc_id, n_grams, logweight)."""
+    ab = _DSIR_A * _DSIR_B
+    return f"""
+    WITH bk AS (
+      {smp.dsir_grams_sql("documents", "doc_id", "text",
+                          n_buckets=_DSIR_B, keep=", source")}
+    ),
+    tc AS (SELECT bucket, count(*) AS ct FROM bk
+           WHERE source IN {_DSIR_TGT} GROUP BY bucket),
+    rc AS (SELECT bucket, count(*) AS cr FROM bk
+           WHERE source NOT IN {_DSIR_TGT} GROUP BY bucket),
+    tt AS (SELECT count(*) AS nt FROM bk WHERE source IN {_DSIR_TGT}),
+    rt AS (SELECT count(*) AS nr FROM bk WHERE source NOT IN {_DSIR_TGT}),
+    w AS (
+      SELECT rc.bucket,
+             ln((coalesce(tc.ct, 0) + {_DSIR_A}) / (tt.nt + {ab}))
+             - ln((rc.cr + {_DSIR_A}) / (rt.nr + {ab})) AS logw
+      FROM rc LEFT JOIN tc USING (bucket) CROSS JOIN tt CROSS JOIN rt
+    ),
+    lw AS (
+      SELECT b.doc_id, count(*) AS n_grams, sum(w.logw) AS logweight
+      FROM bk b JOIN w USING (bucket)
+      WHERE b.source NOT IN {_DSIR_TGT}
+      GROUP BY b.doc_id
+    )
+    """
+
+
+def _dsir_frames(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")["documents"]
+    tgt = d.filter(F.col("source").isin(*_DSIR_TGT_LIST))
+    raw = d.filter(~F.col("source").isin(*_DSIR_TGT_LIST))
+    return raw, tgt
+
+
+@register(
+    "sample_dsir_weights",
+    _dsir_weights_cte()
+    + """
+    SELECT doc_id, n_grams, round(logweight, 4) AS logweight FROM lw
+    """,
+)
+def sample_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023, arxiv 2302.03169): score
+    every raw document by how much its hashed unigram+bigram distribution
+    looks like the target domain (here sources src1-3) — log w = sum over
+    gram occurrences of ln p_target(bucket) - ln p_raw(bucket), additively
+    smoothed, B=512 buckets. THE published recipe for "give me more data
+    like this domain sample" corpus construction. Plan: gram arrays built
+    inside the token array (zip_with on slices — no token shuffle), one
+    explode per side, two <=B-row map-side-combined count tables, a B-row
+    broadcast weight join, and a single doc_id shuffle for the per-doc sum.
+    Oracle verifies every doc's weight to 4 decimals."""
+    raw, tgt = _dsir_frames(spark, sf_dir)
+    lw = smp.dsir_logweights(raw, tgt, "doc_id", "text",
+                             n_buckets=_DSIR_B, alpha=_DSIR_A)
+    return lw.select(
+        "doc_id", "n_grams", F.round("logweight", 4).alias("logweight")
+    )
+
+
+@register(
+    "sample_dsir_select",
+    _dsir_weights_cte()
+    + f"""
+    SELECT doc_id, source, round(score, 4) AS score
+    FROM (
+      SELECT lw.doc_id, d.source,
+             lw.logweight + {smp.dsir_gumbel_sql("lw.doc_id")} AS score
+      FROM lw JOIN documents d USING (doc_id)
+    )
+    ORDER BY score DESC, doc_id
+    LIMIT {_DSIR_K}
+    """,
+)
+def sample_dsir_select(spark, sf_dir):
+    """DSIR selection step: Gumbel-top-k over the importance weights —
+    score = logweight + Gumbel(0,1), the standard identity for sampling k
+    docs WITHOUT replacement proportionally to their importance weight.
+    The Gumbel draw is the inverse-CDF of the doc's salted hash60, so the
+    selected SET is a pure function of (corpus, salts): reproducible on
+    any cluster size, any partitioning — and the oracle verifies exact
+    membership, not just the count. TakeOrdered top-k; no global sort."""
+    raw, tgt = _dsir_frames(spark, sf_dir)
+    sel = smp.dsir_select(
+        raw, tgt, "doc_id", "text", _DSIR_K,
+        n_buckets=_DSIR_B, alpha=_DSIR_A, keep=["source"],
+    )
+    return sel.select("doc_id", "source", F.round("score", 4).alias("score"))

@@ -285,3 +285,68 @@ def test_temperature_mix_flattens_distribution(spark):
     assert {r["doc_id"] for r in out2.collect()} == {
         r["doc_id"] for r in out.collect()
     }
+
+
+# --- DSIR importance resampling -------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def dsir_split(docs):
+    tgt = docs.filter(F.col("source").isin("src1", "src2", "src3"))
+    raw = docs.filter(~F.col("source").isin("src1", "src2", "src3"))
+    return raw, tgt
+
+
+def test_dsir_weights_partition_independent(dsir_split):
+    raw, tgt = dsir_split
+    a = smp.dsir_logweights(raw, tgt, "doc_id", "text").collect()
+    b = smp.dsir_logweights(
+        raw.repartition(17, "source"), tgt.repartition(5), "doc_id", "text"
+    ).collect()
+    av = {r.doc_id: (r.n_grams, round(r.logweight, 9)) for r in a}
+    bv = {r.doc_id: (r.n_grams, round(r.logweight, 9)) for r in b}
+    assert av == bv and len(av) > 0
+
+
+def test_dsir_prefers_target_like_text(spark):
+    """A raw doc written in the target's vocabulary must outscore one
+    written in a disjoint vocabulary."""
+    tgt = spark.createDataFrame(
+        [(100 + i, "quantum flux capacitor entangled qubit lattice")
+         for i in range(5)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [(1, "quantum flux capacitor entangled qubit lattice"),
+         (2, "banana smoothie recipe with yogurt and honey")],
+        "doc_id long, text string",
+    )
+    w = {r.doc_id: r.logweight
+         for r in smp.dsir_logweights(raw, tgt, "doc_id", "text").collect()}
+    assert w[1] > w[2]
+
+
+def test_dsir_select_exact_k_and_deterministic(dsir_split):
+    raw, tgt = dsir_split
+    a = smp.dsir_select(raw, tgt, "doc_id", "text", 25)
+    b = smp.dsir_select(
+        raw.repartition(13, "doc_id"), tgt, "doc_id", "text", 25
+    )
+    ia = sorted(r.doc_id for r in a.collect())
+    ib = sorted(r.doc_id for r in b.collect())
+    assert ia == ib and len(ia) == 25
+
+
+def test_dsir_empty_and_short_docs_absent(spark):
+    """Zero-token docs contribute no grams and drop out; a one-token doc
+    still scores via its unigram (bigram list is empty, not an error)."""
+    tgt = spark.createDataFrame(
+        [(10, "alpha beta gamma")], "doc_id long, text string"
+    )
+    raw = spark.createDataFrame(
+        [(1, ""), (2, "   !!! "), (3, "alpha"), (4, "alpha beta")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.n_grams
+           for r in smp.dsir_logweights(raw, tgt, "doc_id", "text").collect()}
+    assert set(out) == {3, 4} and out[3] == 1 and out[4] == 3
