@@ -196,6 +196,11 @@ HEADLINE = [
     "sql_clone_vacuum_safe",
     "sql_create_empty",
     "sql_alter_add_column",
+    "sql_ddl_roundtrip",
+    "sql_rename_table",
+    "sample_dsir_weights",
+    "sample_dsir_select",
+    "sample_dsir_incremental",
 ]
 
 

@@ -166,6 +166,30 @@ class LakeCatalog:
             except TxnConflict:
                 continue
 
+    def rename(self, old: str, new: str) -> int:
+        """Rename a mapping entry in ONE catalog commit — the entry
+        (root, PINNED version, keys) moves verbatim, so readers of the
+        new name resolve exactly the snapshot the old name pinned; no
+        table file or manifest is touched. Historical catalog versions
+        keep the old name for time travel."""
+        while True:
+            cur = self._load()
+            if old not in cur["tables"]:
+                raise KeyError(f"table {old!r} not in catalog {self.root}")
+            if new in cur["tables"]:
+                raise ValueError(
+                    f"table {new!r} already in catalog {self.root}"
+                )
+            tables = dict(cur["tables"])
+            tables[new] = tables.pop(old)
+            try:
+                self._commit_slot(
+                    cur["version"] + 1, tables, f"rename({old}->{new})"
+                )
+                return cur["version"] + 1
+            except TxnConflict:
+                continue
+
     def unregister(self, name: str) -> int:
         """Remove ``name`` from the mapping (its own catalog commit).
         The table's files and log stay on disk — historical catalog

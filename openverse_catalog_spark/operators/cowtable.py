@@ -2603,6 +2603,37 @@ class CowTable:
         df = self._to_logical(reader.parquet(*paths), phys, logical)
         return not df.filter(condition).head(1)
 
+    def _conform_widths(
+        self, merged: DataFrame, table_schema, new_fields
+    ) -> DataFrame:
+        """Cast the merge output back to the TABLE's declared column
+        types before writing. The upsert's spec expressions widen
+        numerics (Datatype.int is LongType engine-wide, double is
+        FP64), and on a batch that touches NO existing file the merge
+        input is built from the SPEC schema — so an int32 table would
+        get an INT64 data file while its manifest schema still says
+        int, and the next read of that column fails
+        (PARQUET_COLUMN_DATA_TYPE_MISMATCH: parquet can upcast
+        int32->long but never the reverse). Conforming at the write
+        boundary keeps every file of a column at ONE physical width —
+        the manifest schema's. Evolution columns (``new_fields``) keep
+        their spec type; they ARE the new schema. Values that genuinely
+        overflow a narrow table column fail the cast loudly under ANSI
+        rather than corrupting silently."""
+        if table_schema is None:
+            return merged
+        want = {f.name: f.dataType for f in table_schema.fields}
+        for f in new_fields:
+            want[f.name] = f.dataType
+        have = {f.name: f.dataType for f in merged.schema.fields}
+        if all(have[c] == want.get(c, have[c]) for c in have):
+            return merged
+        return merged.select(*[
+            F.col(c).cast(want[c]).alias(c)
+            if c in want and have[c] != want[c] else F.col(c)
+            for c in merged.columns
+        ])
+
     def merge(
         self,
         source: DataFrame,
@@ -2795,6 +2826,7 @@ class CowTable:
             **kwargs,
         )
 
+        merged = self._conform_widths(merged, table_schema, new_fields)
         # CHECK constraints reject the write before any file lands
         # (cost: one agg pass over the rewrite set — only when
         # constraints exist)
@@ -3026,6 +3058,9 @@ class CowTable:
                 ]
             )
             out = out.unionByName(ins)
+        # UPDATE SET expressions can widen a column (when/otherwise
+        # coercion); keep every written file at the manifest width
+        out = self._conform_widths(out, schema, [])
         self._enforce_constraints(out, "merge_when")
         new_version = m["version"] + 1
         rel_dir = f"data/c{uuid.uuid4().hex[:12]}"
@@ -3236,6 +3271,9 @@ class CowTable:
         else:
             out = slice_df.filter(~F.coalesce(condition, F.lit(False)))
         if op == "update":
+            # SET expressions can widen (when/otherwise coercion) —
+            # conform to the manifest width before writing
+            out = self._conform_widths(out, self._schema(m), [])
             self._enforce_constraints(out, "update")
         new_version = m["version"] + 1
         rel_dir = f"data/c{uuid.uuid4().hex[:12]}"
@@ -3412,6 +3450,8 @@ class CowTable:
                     for c in data_cols
                 ]
             )
+            # SET expressions can widen — conform to the manifest width
+            upd = self._conform_widths(upd, self._schema(m), [])
             self._enforce_constraints(upd, "update")
             self._write_clustered(
                 self._to_physical(upd), target_files, data_dir
@@ -4413,6 +4453,33 @@ class CowTable:
         )
         return t
 
+    def truncate(self) -> dict:
+        """TRUNCATE TABLE: commit a NEW version with an EMPTY file list —
+        metadata-only (one manifest JSON, no data file touched), so
+        truncating a 100 TB table is instant. Schema and table
+        properties carry over from the head, and history stays linear:
+        the pre-truncate snapshot remains time-travelable (and
+        RESTORE-able) until vacuum, exactly like restore()."""
+        while True:
+            m = self._manifest()
+            # a conflicting writer may have evolved schema/properties:
+            # re-pin to the CURRENT head on every attempt
+            self._refresh_props(m)
+            new_version = self.version + 1
+            try:
+                self._commit(
+                    new_version, [], op="truncate",
+                    schema_json=m.get("schema"),
+                )
+                break
+            except CommitConflict:
+                continue  # metadata-only: nothing to recompute, re-slot
+        return {
+            "version": new_version,
+            "rows": 0,
+            "rows_deleted": int(m["rows"]),
+        }
+
     def restore(self, version: int) -> dict:
         """ROLLBACK: commit a NEW version whose file list is the target
         version's — a metadata-only operation (no data file is read or
@@ -4454,10 +4521,17 @@ class CowTable:
         retention_seconds: float = 3600.0,
         protect: tuple[int, ...] = (),
         protect_files: tuple[str, ...] = (),
+        dry_run: bool = False,
     ) -> list[str]:
         """Drop manifests older than the newest ``keep_versions`` and
         delete data files no surviving manifest references. Returns the
-        deleted file paths. ``protect`` pins extra versions OUTSIDE the
+        deleted file paths. ``dry_run=True`` (Delta's VACUUM ... DRY
+        RUN) mutates NOTHING — no deletion, no pointer repair, no
+        checkpoint side files — and returns the deterministic
+        committed-history delete set (files referenced only by
+        dropped manifests); the age-gated debris sweeps are excluded
+        from the preview because their outcome depends on wall-clock
+        age at the moment the real vacuum runs. ``protect`` pins extra versions OUTSIDE the
         keep window (a lake catalog's published snapshots — see
         LakeCatalog.vacuum_tables); each survives with its own
         checkpoint side file so resolution never needs a dropped
@@ -4493,7 +4567,8 @@ class CowTable:
         # pointer and the kept window — the contiguous roll-forward in
         # ``version`` would then stop at the stale pointer, resolving
         # the table to a vacuumed (unreadable) version
-        self._advance_pointer(current)
+        if not dry_run:
+            self._advance_pointer(current)
         keep = {current - i for i in range(keep_versions)}
         existing = {
             int(n.removeprefix("v").removesuffix(".json"))
@@ -4503,7 +4578,8 @@ class CowTable:
         for v in sorted(protected):
             # a protected version below the window must resolve without
             # its (about to be dropped) segment-chain parents
-            self._write_checkpoint(v)
+            if not dry_run:
+                self._write_checkpoint(v)
         keep |= protected
         # dropping a kept version's segment chain would break its
         # resolution — materialize a checkpoint side file FIRST
@@ -4513,7 +4589,7 @@ class CowTable:
         # segment above a dropped gap (v6 over a dropped v5) would
         # otherwise be unresolvable after the drop
         for v in sorted(keep):
-            if v >= 1 and (v - 1) not in keep:
+            if v >= 1 and (v - 1) not in keep and not dry_run:
                 self._write_checkpoint(v)
         live: set[str] = set()
         referenced_ever: set[str] = set()
@@ -4551,7 +4627,7 @@ class CowTable:
             else:
                 drop_manifests.append(name)
                 stale_cp = f"{self.root}/manifests/v{v}.checkpoint.json"
-                if os.path.exists(stale_cp):
+                if os.path.exists(stale_cp) and not dry_run:
                     os.remove(stale_cp)
         deleted = []
 
@@ -4571,8 +4647,16 @@ class CowTable:
                 if rel in live or _under(rel, live_dv):
                     continue
                 if rel in referenced_ever or _under(rel, ever_dv):
-                    os.remove(full)
+                    if not dry_run:
+                        os.remove(full)
                     deleted.append(rel)
+        if dry_run:
+            # the debris sweeps below (never-referenced data dirs, tmp
+            # manifests, bloom sidecars) are age-gated against `now`, so
+            # previewing them would race live writers for no benefit;
+            # DRY RUN reports the deterministic committed-history set,
+            # exactly the entries the real vacuum deletes unguarded
+            return sorted(deleted)
         for name in drop_manifests:
             os.remove(f"{self.root}/manifests/{name}")
         # tmp manifests from writers that died before their link are

@@ -559,3 +559,68 @@ def dsir_gumbel_sql(id_expr: str, gumbel_salt: str = "dsirg") -> str:
     """DuckDB SQL for the same deterministic Gumbel(0,1) draw."""
     h = keyhash_sql(id_expr, gumbel_salt)
     return f"-ln(-ln(({h} + 0.5) / {float(HASH_SPACE)!r}))"
+
+
+def dsir_model(
+    spark,
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 512,
+    alpha: float = 0.5,
+    salt: str = "dsir",
+) -> DataFrame:
+    """DENSE B-row DSIR importance model: (bucket, logw) for EVERY
+    bucket 0..B-1, not just buckets the fitting corpora happened to
+    hit — an arriving batch can contain grams neither corpus saw, and
+    those must score at the smoothing floor rather than drop out.
+    Persist with ``.write.parquet(dir)`` and score later batches
+    against the frozen model (the production shape: fit once on the
+    corpus snapshot, stream-score forever after)."""
+    rb = dsir_gram_buckets(raw, id_col, text_col, n_buckets, salt)
+    tb = dsir_gram_buckets(target, id_col, text_col, n_buckets, salt)
+    tcnt = tb.groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
+    rcnt = rb.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    tt = tcnt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt"))
+    rt = rcnt.agg(F.coalesce(F.sum("cr"), F.lit(0)).alias("nr"))
+    ab = float(alpha * n_buckets)
+    all_b = spark.range(n_buckets).select(F.col("id").alias("bucket"))
+    return (
+        all_b.join(tcnt, "bucket", "left")
+        .join(rcnt, "bucket", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(rt))
+        .select(
+            "bucket",
+            (
+                F.log((F.coalesce(F.col("ct"), F.lit(0)) + alpha)
+                      / (F.col("nt") + ab))
+                - F.log((F.coalesce(F.col("cr"), F.lit(0)) + alpha)
+                        / (F.col("nr") + ab))
+            ).alias("logw"),
+        )
+    )
+
+
+def dsir_score(
+    batch: DataFrame,
+    model: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 512,
+    salt: str = "dsir",
+) -> DataFrame:
+    """Score an ARRIVING batch against a frozen DSIR model: gram
+    explode, broadcast join on the B-row model, one id shuffle for the
+    per-doc sum — the corpus that fit the model is never rescanned.
+    Returns (id, n_grams, logweight)."""
+    bb = dsir_gram_buckets(batch, id_col, text_col, n_buckets, salt)
+    return (
+        bb.join(F.broadcast(model), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("logw").alias("logweight"),
+        )
+    )

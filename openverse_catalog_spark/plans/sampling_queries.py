@@ -367,9 +367,9 @@ _DSIR_A = 0.5
 _DSIR_K = 80
 
 
-def _dsir_weights_cte() -> str:
-    """Shared oracle CTE chain ending in lw(doc_id, n_grams, logweight)."""
-    ab = _DSIR_A * _DSIR_B
+def _dsir_counts_cte() -> str:
+    """Shared oracle CTE prefix: gram buckets + target/raw counts and
+    totals (bk, tc, rc, tt, rt) — NO trailing comma."""
     return f"""
     WITH bk AS (
       {smp.dsir_grams_sql("documents", "doc_id", "text",
@@ -380,7 +380,14 @@ def _dsir_weights_cte() -> str:
     rc AS (SELECT bucket, count(*) AS cr FROM bk
            WHERE source NOT IN {_DSIR_TGT} GROUP BY bucket),
     tt AS (SELECT count(*) AS nt FROM bk WHERE source IN {_DSIR_TGT}),
-    rt AS (SELECT count(*) AS nr FROM bk WHERE source NOT IN {_DSIR_TGT}),
+    rt AS (SELECT count(*) AS nr FROM bk WHERE source NOT IN {_DSIR_TGT})
+    """
+
+
+def _dsir_weights_cte() -> str:
+    """Shared oracle CTE chain ending in lw(doc_id, n_grams, logweight)."""
+    ab = _DSIR_A * _DSIR_B
+    return _dsir_counts_cte() + f""",
     w AS (
       SELECT rc.bucket,
              ln((coalesce(tc.ct, 0) + {_DSIR_A}) / (tt.nt + {ab}))
@@ -457,3 +464,62 @@ def sample_dsir_select(spark, sf_dir):
         n_buckets=_DSIR_B, alpha=_DSIR_A, keep=["source"],
     )
     return sel.select("doc_id", "source", F.round("score", 4).alias("score"))
+
+
+@register(
+    "sample_dsir_incremental",
+    _dsir_counts_cte()
+    + f""",
+    wd AS (
+      SELECT allb.bucket,
+             ln((coalesce(tc.ct, 0) + {_DSIR_A}) / (tt.nt + {_DSIR_A * _DSIR_B}))
+             - ln((coalesce(rc.cr, 0) + {_DSIR_A}) / (rt.nr + {_DSIR_A * _DSIR_B}))
+               AS logw
+      FROM (SELECT CAST(u.b AS BIGINT) AS bucket
+            FROM unnest(range(0, {_DSIR_B})) AS u(b)) allb
+      LEFT JOIN tc USING (bucket)
+      LEFT JOIN rc USING (bucket)
+      CROSS JOIN tt CROSS JOIN rt
+    ),
+    batch AS (
+      SELECT doc_id + 100000 AS doc_id, bucket
+      FROM bk WHERE source IN ('src4', 'src5')
+    )
+    SELECT b.doc_id, count(*) AS n_grams,
+           round(sum(wd.logw), 4) AS logweight
+    FROM batch b JOIN wd USING (bucket)
+    GROUP BY b.doc_id
+    """,
+)
+def sample_dsir_incremental(spark, sf_dir):
+    """The PRODUCTION DSIR shape: fit the importance model ONCE on the
+    corpus snapshot, persist it (a dense B-row parquet — every bucket
+    0..B-1 carries a weight so unseen grams score at the smoothing
+    floor instead of dropping), then score an ARRIVING batch against
+    the frozen model without rescanning the fitting corpus. The batch
+    here is src4/src5 docs re-keyed as new arrivals. Plan: the batch
+    side explodes its grams once, joins the B-row broadcast model, and
+    shuffles only the per-doc sum — batch cost is independent of corpus
+    size, exactly what a 100 TB corpus's ingest tick needs."""
+    import os
+    import shutil
+    import tempfile
+
+    raw, tgt = _dsir_frames(spark, sf_dir)
+    model_dir = os.path.join(
+        tempfile.gettempdir(), "spark_graft_dsir_model"
+    )
+    shutil.rmtree(model_dir, ignore_errors=True)
+    smp.dsir_model(
+        spark, raw, tgt, "doc_id", "text",
+        n_buckets=_DSIR_B, alpha=_DSIR_A,
+    ).write.parquet(model_dir)
+    d = _t(spark, sf_dir, "documents")["documents"]
+    batch = d.filter(F.col("source").isin("src4", "src5")).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    model = spark.read.parquet(model_dir)
+    sc = smp.dsir_score(batch, model, "doc_id", "text", n_buckets=_DSIR_B)
+    return sc.select(
+        "doc_id", "n_grams", F.round("logweight", 4).alias("logweight")
+    )

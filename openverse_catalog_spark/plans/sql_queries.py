@@ -836,3 +836,107 @@ def sql_alter_add_column(spark, sf_dir):
         "UPDATE media SET tier = 'vip' WHERE CAST(fid AS BIGINT) % 6 = 0"
     )
     return f.sql("SELECT fid, val, tier FROM media")
+
+
+@register(
+    "sql_ddl_roundtrip",
+    """
+    SELECT CAST(s_suppkey AS VARCHAR) AS fid,
+           round(CAST(s_acctbal AS DOUBLE), 2) AS val,
+           s_nationkey AS grp
+    FROM supplier
+    """,
+)
+def sql_ddl_roundtrip(spark, sf_dir):
+    """The DDL lifecycle as facade text: ``SHOW CREATE TABLE`` emits an
+    executable reproduction script (CREATE TABLE + ALTER ... ADD
+    CONSTRAINT), which is replayed under a new name/location to build
+    an empty twin; the twin is populated by INSERT, ``TRUNCATE
+    TABLE``-ed (metadata-only empty commit, rows_deleted asserted),
+    repopulated with a subset, then ``RESTORE ... TO TIMESTAMP AS OF``
+    rolls it back to the full snapshot by commit time. ``VACUUM ... DRY
+    RUN`` previews the superseded files without deleting anything
+    (manifest count asserted unchanged). The returned rows are the
+    restored twin's content; the oracle recomputes them straight from
+    supplier — every statement in the chain must behave for the hashes
+    to meet."""
+    import os
+    import shutil
+    import tempfile
+
+    from openverse_catalog_spark.sql_facade import SqlFacade
+
+    f = SqlFacade(spark)
+    f.register_df("supplier", _t(spark, sf_dir, "supplier")["supplier"])
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_sql_ddl_rt")
+    shutil.rmtree(base, ignore_errors=True)
+    f.sql(
+        "CREATE TABLE media PRIMARY KEY (fid) "
+        f"LOCATION '{base}/media' AS "
+        "SELECT CAST(s_suppkey AS STRING) AS fid, "
+        "round(CAST(s_acctbal AS DOUBLE), 2) AS val, "
+        "s_nationkey AS grp FROM supplier"
+    )
+    f.sql("ALTER TABLE media ADD CONSTRAINT grp_ok CHECK (grp >= 0)")
+    script = f.sql("SHOW CREATE TABLE media").head()["ddl"]
+    script = script.replace("TABLE media", "TABLE twin").replace(
+        f"{base}/media", f"{base}/twin"
+    )
+    for stmt in script.split(";\n"):
+        f.sql(stmt)
+    f.sql("INSERT INTO twin SELECT * FROM media")
+    n_rows = f.sql("SELECT count(*) AS n FROM twin").head()["n"]
+    tw = f._tables["twin"]
+    ts_full = tw._manifest()["committed_at"]
+    tr = f.sql("TRUNCATE TABLE twin").head()
+    assert tr["rows_deleted"] == n_rows, "TRUNCATE must report the old rows"
+    f.sql("INSERT INTO twin SELECT * FROM media WHERE grp < 5")
+    n_manifests = len(os.listdir(os.path.join(tw.root, "manifests")))
+    preview = f.sql("VACUUM twin DRY RUN").head()["files_would_delete"]
+    assert preview > 0, "superseded files must be previewable"
+    assert (
+        len(os.listdir(os.path.join(tw.root, "manifests"))) == n_manifests
+    ), "DRY RUN must not touch manifests"
+    f.sql(f"RESTORE TABLE twin TO TIMESTAMP AS OF {ts_full}")
+    return f.sql("SELECT fid, val, grp FROM twin")
+
+
+@register(
+    "sql_rename_table",
+    """
+    SELECT CAST(n_nationkey AS VARCHAR) AS fid, n_name AS name,
+           CASE WHEN n_regionkey >= 3 THEN 'late' ELSE 'early' END AS wave
+    FROM nation
+    """,
+)
+def sql_rename_table(spark, sf_dir):
+    """``ALTER TABLE t RENAME TO u`` — registration-level rename (no
+    file or manifest moves; a catalog rename is ONE catalog commit that
+    carries the pinned version verbatim). The fixture CTAS-es half the
+    nations, renames the table, then lands the second half by INSERT
+    under the NEW name — the oracle's full-nation expectation only
+    holds if the rename kept the table, its upsert specs, and its head
+    view intact across the name change."""
+    import os
+    import shutil
+    import tempfile
+
+    from openverse_catalog_spark.sql_facade import SqlFacade
+
+    f = SqlFacade(spark)
+    f.register_df("nation", _t(spark, sf_dir, "nation")["nation"])
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_sql_rename")
+    shutil.rmtree(root, ignore_errors=True)
+    f.sql(
+        "CREATE TABLE staging PRIMARY KEY (fid) "
+        f"LOCATION '{root}' AS "
+        "SELECT CAST(n_nationkey AS STRING) AS fid, n_name AS name, "
+        "'early' AS wave FROM nation WHERE n_regionkey < 3"
+    )
+    f.sql("ALTER TABLE staging RENAME TO published")
+    f.sql(
+        "INSERT INTO published "
+        "SELECT CAST(n_nationkey AS STRING) AS fid, n_name AS name, "
+        "'late' AS wave FROM nation WHERE n_regionkey >= 3"
+    )
+    return f.sql("SELECT fid, name, wave FROM published")

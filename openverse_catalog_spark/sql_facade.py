@@ -202,8 +202,15 @@ _APPLY_CHANGES = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _VACUUM = re.compile(
-    r"^\s*VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*$",
+    r"^\s*VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?"
+    r"(\s+DRY\s+RUN)?\s*$",
     re.IGNORECASE,
+)
+_TRUNCATE = re.compile(
+    r"^\s*TRUNCATE\s+TABLE\s+(\w+)\s*$", re.IGNORECASE
+)
+_SHOW_CREATE = re.compile(
+    r"^\s*SHOW\s+CREATE\s+TABLE\s+(\w+)\s*$", re.IGNORECASE
 )
 _MAINTAIN_CATALOG = re.compile(
     r"^\s*MAINTAIN\s+(CATALOG)"
@@ -225,6 +232,10 @@ _ALTER_ADD_COL = re.compile(
 )
 _ALTER_RENAME = re.compile(
     r"^\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*$",
+    re.IGNORECASE,
+)
+_ALTER_RENAME_TABLE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+TO\s+(\w+)\s*$",
     re.IGNORECASE,
 )
 _ALTER_DROP_COL = re.compile(
@@ -290,7 +301,8 @@ _CLONE_TABLE = re.compile(
     re.IGNORECASE,
 )
 _RESTORE_TABLE = re.compile(
-    r"^\s*RESTORE\s+TABLE\s+(\w+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*$",
+    r"^\s*RESTORE\s+TABLE\s+(\w+)\s+TO\s+(?:VERSION\s+AS\s+OF\s+(\d+)"
+    r"|TIMESTAMP\s+AS\s+OF\s+([0-9]+(?:\.[0-9]+)?))\s*$",
     re.IGNORECASE,
 )
 
@@ -646,6 +658,46 @@ class SqlFacade:
             "stats_lag long",
         )
 
+    def _show_create(self, name: str) -> DataFrame:
+        """SHOW CREATE TABLE: one (table, ddl) row whose ddl text is an
+        EXECUTABLE reproduction script — a CREATE TABLE statement in
+        this facade's own empty-table dialect (declared columns,
+        PRIMARY KEY, PARTITIONED BY transforms, LOCATION), followed by
+        one ALTER TABLE ... ADD CONSTRAINT per CHECK constraint,
+        ';'-joined. Feeding each statement back through sql() (with a
+        fresh name/location) recreates an equivalent empty table —
+        pinned by test. Everything reads from cached manifest state;
+        no data is scanned."""
+        t = self._tables[name]
+        schema = t.read().schema
+        cols = ",\n  ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in schema.fields
+        )
+        parts = []
+        for s in t.partition_spec:
+            if s["transform"] == "identity":
+                parts.append(f"identity({s['col']})")
+            elif s.get("arg") is not None:
+                parts.append(f"{s['transform']}({s['arg']}, {s['col']})")
+            else:
+                parts.append(f"{s['transform']}({s['col']})")
+        ddl = (
+            f"CREATE TABLE {name} (\n  {cols}\n) "
+            f"PRIMARY KEY ({', '.join(t.keys)})"
+        )
+        if parts:
+            ddl += f"\nPARTITIONED BY ({', '.join(parts)})"
+        ddl += f"\nLOCATION '{t.root}'"
+        stmts = [ddl]
+        for cname in sorted(t.constraints):
+            stmts.append(
+                f"ALTER TABLE {name} ADD CONSTRAINT {cname} "
+                f"CHECK ({t.constraints[cname]})"
+            )
+        return self.spark.createDataFrame(
+            [(name, ";\n".join(stmts))], "table string, ddl string"
+        )
+
     def _merge_into(self, m: re.Match) -> DataFrame:
         """``MERGE INTO t [AS a] USING (<query>)|<view> [AS b]
         ON a.k = b.k [AND ...]`` followed by WHEN clauses. Two forms:
@@ -989,7 +1041,12 @@ class SqlFacade:
             return self._drop_table(m.group(1))
         m = _RESTORE_TABLE.match(text)
         if m and m.group(1) in self._tables:
-            name, v = m.group(1), int(m.group(2))
+            name = m.group(1)
+            if m.group(2) is not None:
+                v = int(m.group(2))
+            else:
+                # TIMESTAMP AS OF: newest commit at or before the epoch
+                v = self._tables[name].version_as_of(float(m.group(3)))
             target, finalize = self._dml_table(name)
             res = target.restore(v)
             finalize()
@@ -998,6 +1055,22 @@ class SqlFacade:
                 [(res["version"], res["restored_from"])],
                 "version long, restored_from long",
             )
+        m = _TRUNCATE.match(text)
+        if m and m.group(1) in self._tables:
+            # metadata-only empty commit; schema/properties retained and
+            # the pre-truncate snapshot stays RESTORE-able until vacuum
+            name = m.group(1)
+            target, finalize = self._dml_table(name)
+            res = target.truncate()
+            finalize()
+            self._refresh_head(name)
+            return self.spark.createDataFrame(
+                [(res["version"], res["rows_deleted"])],
+                "version long, rows_deleted long",
+            )
+        m = _SHOW_CREATE.match(text)
+        if m and m.group(1) in self._tables:
+            return self._show_create(m.group(1))
         if _BEGIN_TXN.match(text):
             if self._catalog is None:
                 raise ValueError("BEGIN TRANSACTION needs attach_catalog()")
@@ -1242,6 +1315,13 @@ class SqlFacade:
                     "per-table VACUUM"
                 )
             keep = int(m.group(2)) if m.group(2) else 1
+            if m.group(3):  # DRY RUN: read-only preview, nothing mutated
+                would = self._tables[m.group(1)].vacuum(
+                    keep_versions=keep, dry_run=True
+                )
+                return self.spark.createDataFrame(
+                    [(len(would),)], "files_would_delete long"
+                )
             deleted = self._tables[m.group(1)].vacuum(keep_versions=keep)
             return self.spark.createDataFrame(
                 [(len(deleted),)], "files_deleted long"
@@ -1323,6 +1403,9 @@ class SqlFacade:
             return self._alter_add_column(
                 m.group(1), m.group(2), m.group(3).strip()
             )
+        m = _ALTER_RENAME_TABLE.match(text)
+        if m and m.group(1) in self._tables:
+            return self._rename_table(m.group(1), m.group(2))
         for pat, call in (
             (_ALTER_RENAME,
              lambda t, a, b: t.rename_column(a, b)),
@@ -1417,7 +1500,13 @@ class SqlFacade:
                 "ROLLBACK first"
             )
         target, finalize = self._dml_table(name)
-        res = target.add_column(col, dtype)
+        # record the PHYSICAL type the engine's writes will produce:
+        # every integer-spec merge writes INT64 (Datatype.int maps to
+        # LongType engine-wide) and float specs write doubles, so a
+        # manifest schema keeping the declared narrow width would make
+        # the first post-ALTER write unreadable (parquet INT64 read
+        # through an int field)
+        res = target.add_column(col, self._PHYSICAL_DDL.get(simple, dtype))
         finalize()
         specs = self._columns.get(name)
         if specs is not None:
@@ -1428,6 +1517,18 @@ class SqlFacade:
         )
 
     # -- DDL -----------------------------------------------------------------
+
+    #: declared DDL width -> the width the engine physically writes.
+    #: Integer upsert specs coerce to LongType and float specs to
+    #: DoubleType (the reference's pg_int4 guard posture, engine-wide),
+    #: so declared-schema DDL must normalize or the manifest schema and
+    #: the parquet files would disagree after the first write.
+    _PHYSICAL_DDL = {
+        "int": "bigint",
+        "smallint": "bigint",
+        "tinyint": "bigint",
+        "float": "double",
+    }
 
     _SPEC_TYPES = {
         "string": Datatype.char,
@@ -1537,6 +1638,21 @@ class SqlFacade:
                     f"PRIMARY KEY column {k!r} not in CTAS result "
                     f"columns {df.columns}"
                 )
+        # widen narrow numerics to the engine's physical types before
+        # the v1 write: later INSERT/MERGE upserts coerce through the
+        # default specs (int->LongType, float->DoubleType), and a table
+        # whose v1 files are INT32 while merge files are INT64 cannot
+        # be read through its one manifest schema
+        casts = {
+            f.name: self._PHYSICAL_DDL[f.dataType.simpleString()]
+            for f in df.schema.fields
+            if f.dataType.simpleString() in self._PHYSICAL_DDL
+        }
+        if casts:
+            df = df.select(*[
+                F.col(c).cast(casts[c]).alias(c) if c in casts else F.col(c)
+                for c in df.columns
+            ])
         t = CowTable.create(
             self.spark, root, df, keys=keys, partition_by=partition_by
         )
@@ -1576,6 +1692,17 @@ class SqlFacade:
                 f"CREATE TABLE column list {cols_text!r} is not a valid "
                 f"'name type, ...' DDL list: {exc}"
             ) from None
+        # normalize declared widths to what the engine physically
+        # writes (int->bigint, float->double): the v1 manifest schema
+        # must match the INT64/double parquet the first INSERT's merge
+        # will produce, or the table becomes unreadable on arrival
+        schema = StructType.fromDDL(", ".join(
+            f"`{f.name}` "
+            + self._PHYSICAL_DDL.get(
+                f.dataType.simpleString(), f.dataType.simpleString()
+            )
+            for f in schema.fields
+        ))
         for k in keys:
             if k not in schema.fieldNames():
                 raise ValueError(
@@ -1639,6 +1766,37 @@ class SqlFacade:
         return self.spark.createDataFrame(
             [(name, src_name, t.version, t.live_rows())],
             "table string, source string, version long, rows long",
+        )
+
+    def _rename_table(self, old: str, new: str) -> DataFrame:
+        """``ALTER TABLE t RENAME TO u`` — registration-level rename:
+        no table file, manifest, or root path moves. Catalog-managed
+        tables rename in ONE catalog commit that carries the entry
+        (root, pinned version, keys) verbatim, so the new name resolves
+        exactly the snapshot the old name pinned; facade state
+        (specs, head view) moves with it. Refused inside an explicit
+        transaction for the same reason as the other registration DDL:
+        ROLLBACK could not undo the eager facade/view moves."""
+        if new in self._tables:
+            raise ValueError(f"table {new!r} already exists")
+        if self._txn is not None and old in self._catalog_names:
+            raise ValueError(
+                "ALTER TABLE ... RENAME TO on a catalog table inside "
+                "an explicit transaction is not supported; COMMIT or "
+                "ROLLBACK first"
+            )
+        if old in self._catalog_names:
+            self._catalog.rename(old, new)
+            self._catalog_names.discard(old)
+            self._catalog_names.add(new)
+        self._tables[new] = self._tables.pop(old)
+        if old in self._columns:
+            self._columns[new] = self._columns.pop(old)
+        self._head_version.pop(old, None)
+        self.spark.catalog.dropTempView(old)
+        self._refresh_head(new)
+        return self.spark.createDataFrame(
+            [(old, new)], "renamed_from string, renamed_to string"
         )
 
     def _drop_table(self, name: str) -> DataFrame:

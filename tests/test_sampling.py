@@ -350,3 +350,38 @@ def test_dsir_empty_and_short_docs_absent(spark):
     out = {r.doc_id: r.n_grams
            for r in smp.dsir_logweights(raw, tgt, "doc_id", "text").collect()}
     assert set(out) == {3, 4} and out[3] == 1 and out[4] == 3
+
+
+def test_dsir_model_scores_unseen_grams_at_floor(spark):
+    """The persisted model is DENSE: a batch doc made of grams neither
+    fitting corpus saw still scores (every bucket carries the smoothing
+    floor), and scoring equals the direct logweights path for docs the
+    corpora did see."""
+    tgt = spark.createDataFrame(
+        [(10, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    raw = spark.createDataFrame(
+        [(1, "epsilon zeta eta theta"), (2, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    model = smp.dsir_model(spark, raw, tgt, "doc_id", "text", n_buckets=64)
+    assert model.count() == 64  # dense: every bucket present
+    # novel-vocabulary batch doc: must score, not vanish
+    batch = spark.createDataFrame(
+        [(100, "totally novel words here"), (101, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r
+           for r in smp.dsir_score(batch, model, "doc_id", "text",
+                                   n_buckets=64).collect()}
+    assert set(got) == {100, 101}
+    # target-like doc outscores the novel one (which sits at the floor)
+    assert got[101].logweight > got[100].logweight
+    # model path == direct path for the raw docs themselves
+    direct = {r.doc_id: round(r.logweight, 9)
+              for r in smp.dsir_logweights(raw, tgt, "doc_id", "text",
+                                           n_buckets=64).collect()}
+    via_model = {r.doc_id: round(r.logweight, 9)
+                 for r in smp.dsir_score(raw, model, "doc_id", "text",
+                                         n_buckets=64).collect()}
+    assert direct == via_model

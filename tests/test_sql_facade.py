@@ -1563,3 +1563,237 @@ def test_facade_create_refused_inside_explicit_txn(spark, tmp_path):
     f.sql("ROLLBACK")
     f.sql("CREATE TABLE t1 (k bigint) PRIMARY KEY (k)")
     assert cat._entry("t1")["version"] == 1
+
+
+def test_facade_show_create_roundtrip(spark, tmp_path):
+    """SHOW CREATE TABLE emits an executable reproduction script:
+    running each ';'-joined statement under a fresh name/location
+    builds an empty table with identical schema, keys, partition spec,
+    and CHECK constraints."""
+    base = spark.range(50).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).alias("v"),
+        (F.col("id") % 5).cast("string").alias("d"),
+    )
+    t = CowTable.create(
+        spark, str(tmp_path / "src"), base, keys=("k",),
+        partition_by=("bucket(4, d)",), target_files=2,
+    )
+    f = SqlFacade(spark)
+    f.register_table("src", t)
+    f.sql("ALTER TABLE src ADD CONSTRAINT v_nonneg CHECK (v >= 0)")
+    row = f.sql("SHOW CREATE TABLE src").collect()[0]
+    assert row["table"] == "src"
+    script = row["ddl"].replace("TABLE src", "TABLE dup").replace(
+        t.root, str(tmp_path / "dup")
+    )
+    for stmt in script.split(";\n"):
+        f.sql(stmt)
+    dup = f._tables["dup"]
+    assert f.sql("SELECT * FROM dup").schema == t.read().schema
+    assert dup.keys == t.keys
+    assert dup.partition_spec == t.partition_spec
+    assert dup.constraints == t.constraints
+    # the recreated table is live: a violating insert must fail its CHECK
+    f.sql("INSERT INTO dup SELECT * FROM src")
+    assert f.sql("SELECT count(*) AS n FROM dup").collect()[0]["n"] == 50
+    with pytest.raises(Exception, match="v_nonneg|CHECK|constraint"):
+        f.sql(
+            "INSERT INTO dup SELECT CAST(999 AS BIGINT) AS k, "
+            "CAST(-1 AS BIGINT) AS v, '0' AS d"
+        )
+
+
+def test_facade_truncate_and_restore_timestamp(spark, tmp_path):
+    """TRUNCATE is a metadata-only empty commit (schema kept, old
+    snapshot time-travelable); RESTORE ... TO TIMESTAMP AS OF resolves
+    the newest commit at-or-before the epoch and relinks it."""
+    base = spark.range(80).select(
+        F.col("id").alias("k"), (F.col("id") % 9).alias("v")
+    )
+    t = CowTable.create(spark, str(tmp_path / "t"), base, keys=("k",))
+    f = SqlFacade(spark)
+    f.register_table(
+        "t", t, columns=f._specs_from_schema(t.read().schema, t.keys)
+    )
+    ts_full = t._manifest()["committed_at"]
+    r = f.sql("TRUNCATE TABLE t").collect()[0]
+    assert r["rows_deleted"] == 80 and r["version"] == 2
+    assert f.sql("SELECT count(*) AS n FROM t").collect()[0]["n"] == 0
+    # schema survived: an INSERT with the declared columns works
+    f.sql("INSERT INTO t SELECT CAST(1 AS BIGINT) k, CAST(7 AS BIGINT) v")
+    assert f.sql("SELECT count(*) AS n FROM t").collect()[0]["n"] == 1
+    # pre-truncate snapshot still reachable, then restorable by time
+    assert (
+        f.sql("SELECT count(*) AS n FROM t VERSION AS OF 1").collect()[0]["n"]
+        == 80
+    )
+    rr = f.sql(f"RESTORE TABLE t TO TIMESTAMP AS OF {ts_full}").collect()[0]
+    assert rr["restored_from"] == 1
+    assert f.sql("SELECT count(*) AS n FROM t").collect()[0]["n"] == 80
+
+
+def test_facade_vacuum_dry_run_previews_without_deleting(spark, tmp_path):
+    """VACUUM ... DRY RUN reports the committed-history delete set and
+    mutates nothing; the following real VACUUM deletes exactly that
+    many files."""
+    import glob
+    import os
+
+    base = spark.range(60).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("v")
+    )
+    t = CowTable.create(
+        spark, str(tmp_path / "t"), base, keys=("k",), target_files=3
+    )
+    f = SqlFacade(spark)
+    f.register_table("t", t)
+    f.sql("UPDATE t SET v = v + 1 WHERE k % 2 = 0")  # rewrites files
+    files = lambda: sorted(  # noqa: E731
+        glob.glob(os.path.join(t.root, "data", "**", "*.parquet"),
+                  recursive=True)
+    )
+    manifests = lambda: sorted(  # noqa: E731
+        os.listdir(os.path.join(t.root, "manifests"))
+    )
+    before_f, before_m = files(), manifests()
+    n_preview = f.sql("VACUUM t DRY RUN").collect()[0]["files_would_delete"]
+    assert n_preview > 0
+    assert files() == before_f and manifests() == before_m  # untouched
+    n_real = f.sql("VACUUM t").collect()[0]["files_deleted"]
+    assert n_real == n_preview
+    assert len(files()) == len(before_f) - n_real
+
+
+def test_facade_ddl_normalizes_narrow_widths(spark, tmp_path):
+    """Declared int/float columns normalize to bigint/double at every
+    DDL entry (CREATE empty, CTAS, ADD COLUMN): upsert merges write
+    INT64/FP64 engine-wide, so a manifest keeping the narrow width
+    would make the table unreadable after its first INSERT."""
+    f = SqlFacade(spark)
+    f.sql(
+        f"CREATE TABLE e (k bigint, g int, x float) PRIMARY KEY (k) "
+        f"LOCATION '{tmp_path / 'e'}'"
+    )
+    f.sql("INSERT INTO e SELECT CAST(1 AS BIGINT) k, "
+          "CAST(5 AS INT) g, CAST(0.5 AS FLOAT) x")
+    got = {fld.name: fld.dataType.simpleString()
+           for fld in f.sql("SELECT * FROM e").schema.fields}
+    assert got == {"k": "bigint", "g": "bigint", "x": "double"}
+    assert f.sql("SELECT g, x FROM e").collect()[0]["g"] == 5
+
+    f.register_df(
+        "src",
+        spark.range(10).select(
+            F.col("id").cast("string").alias("fid"),
+            (F.col("id") % 3).cast("int").alias("grp"),
+        ),
+    )
+    f.sql(
+        f"CREATE TABLE c PRIMARY KEY (fid) LOCATION '{tmp_path / 'c'}' "
+        "AS SELECT fid, grp FROM src"
+    )
+    f.sql("INSERT INTO c SELECT '99' AS fid, CAST(1 AS INT) AS grp")
+    assert [r["grp"] for r in
+            f.sql("SELECT grp FROM c WHERE fid = '99'").collect()] == [1]
+
+    f.sql("ALTER TABLE c ADD COLUMN extra int")
+    f.sql("UPDATE c SET extra = 7 WHERE fid = '99'")
+    assert (
+        f.sql("SELECT * FROM c").schema["extra"].dataType.simpleString()
+        == "bigint"
+    )
+    assert f.sql(
+        "SELECT extra FROM c WHERE fid = '99'"
+    ).collect()[0]["extra"] == 7
+
+
+def test_merge_conforms_width_to_table_schema(spark, tmp_path):
+    """Writes conform to the TABLE's declared column width: an int32
+    table stays int32 through (a) a new-keys-only spec merge (the path
+    that builds its input from the SPEC schema, which is LongType) and
+    (b) an UPDATE whose SET expression coerces wide — parquet can
+    upcast int32->long at read but never the reverse, so ONE widened
+    file bricks the column for every narrow-schema read."""
+    import pyarrow.parquet as pq
+
+    from openverse_catalog_spark.schemas.columns import (
+        ColumnSpec,
+        Datatype,
+        UpsertStrategy,
+    )
+
+    base = spark.range(10).select(
+        F.col("id").cast("string").alias("fid"),
+        (F.col("id") % 3).cast("int").alias("grp"),
+    )
+    t = CowTable.create(spark, str(tmp_path / "t"), base, keys=("fid",))
+    cols = [
+        ColumnSpec("fid", Datatype.char, required=True,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("grp", Datatype.int),
+    ]
+    # (a) a batch of only-new keys far outside every file's range:
+    # target slice is empty, so the merge input carries SPEC widths
+    batch = spark.createDataFrame([("zzz9", 1)], "fid string, grp int")
+    t.merge(batch, cols)
+    # (b) SET expression that coerces long
+    t.update(F.col("fid") == "zzz9", {"grp": F.expr("CAST(2 AS BIGINT)")})
+    m = t._manifest()
+    for e in m["files"]:
+        got = pq.read_schema(f"{t.root}/{e['path']}").field("grp").type
+        assert str(got) == "int32", f"{e['path']} widened to {got}"
+    assert t.read().schema["grp"].dataType.simpleString() == "int"
+    got = {r.fid: r.grp for r in t.read().collect()}
+    assert got["zzz9"] == 2 and len(got) == 11
+
+
+def test_facade_rename_table(spark, tmp_path):
+    """ALTER TABLE ... RENAME TO moves the registration (specs, head
+    view) without touching files; the old name is gone, DML works on
+    the new name immediately."""
+    base = spark.range(30).select(
+        F.col("id").cast("string").alias("fid"),
+        (F.col("id") % 3).alias("v"),
+    )
+    t = CowTable.create(spark, str(tmp_path / "t"), base, keys=("fid",))
+    f = SqlFacade(spark)
+    f.register_table(
+        "olda", t, columns=f._specs_from_schema(t.read().schema, t.keys)
+    )
+    r = f.sql("ALTER TABLE olda RENAME TO newb").collect()[0]
+    assert (r["renamed_from"], r["renamed_to"]) == ("olda", "newb")
+    assert f.sql("SELECT count(*) AS n FROM newb").collect()[0]["n"] == 30
+    f.sql("INSERT INTO newb SELECT '99' AS fid, CAST(9 AS BIGINT) AS v")
+    assert f.sql("SELECT count(*) AS n FROM newb").collect()[0]["n"] == 31
+    with pytest.raises(Exception):
+        f.sql("SELECT count(*) AS n FROM olda").collect()
+    # root unchanged: rename is registration-only
+    assert f._tables["newb"].root == t.root
+
+
+def test_catalog_rename_preserves_pin(spark, tmp_path):
+    """A catalog rename carries the PINNED version verbatim: if the
+    table head advanced past the pin (e.g. a rolled-back writer), the
+    new name must still resolve the pinned snapshot, not the head."""
+    from openverse_catalog_spark.operators.catalog import LakeCatalog
+
+    base = spark.range(20).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("v")
+    )
+    t = CowTable.create(spark, str(tmp_path / "t"), base, keys=("k",))
+    cat = LakeCatalog.create(spark, str(tmp_path / "cat"))
+    cat.register("a", t)
+    pinned = cat._entry("a")["version"]
+    # advance the RAW head without a catalog publish (orphaned head)
+    t.update(F.col("k") < 5, {"v": F.lit(99)})
+    assert t.version > pinned
+    cat.rename("a", "b")
+    e = cat._entry("b")
+    assert e["version"] == pinned and e["root"] == t.root
+    assert cat.read("b").filter("v = 99").count() == 0  # pin, not head
+    with pytest.raises(KeyError):
+        cat._entry("a")
+    # old catalog versions still resolve the old name (time travel)
+    hist_v = cat.version - 1
+    assert cat._entry("a", catalog_version=hist_v)["version"] == pinned

@@ -176,6 +176,14 @@ AUDIT = [
         "join, so the rank-fusion full-outer join is constant-size "
         "regardless of corpus scale.",
     ),
+    (
+        "sample_dsir_weights",
+        "DSIR importance weights: grams are built INSIDE the token array "
+        "(zip_with on slices — no token-level shuffle) and exploded once "
+        "per side; both count tables aggregate map-side to <= B rows; "
+        "the weight table joins back as a B-row BROADCAST, so the only "
+        "data-sized exchange is the final per-doc groupBy.",
+    ),
 ]
 
 
