@@ -622,6 +622,16 @@ class CatalogTransaction:
         while True:
             latest = self.catalog._load()
             for name in self._touched:
+                if name not in latest["tables"]:
+                    # a concurrent rename/unregister took the name: a
+                    # blind re-insert under the OLD name would leave
+                    # the table registered twice (old + renamed) with
+                    # divergent pins — conflict out like any overlap
+                    raise TxnConflict(
+                        f"table {name!r} was renamed or unregistered "
+                        "by a concurrent catalog commit since this "
+                        "transaction began"
+                    )
                 if (
                     latest["tables"][name]["version"]
                     != self._snap["tables"][name]["version"]

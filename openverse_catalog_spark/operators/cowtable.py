@@ -2617,22 +2617,50 @@ class CowTable:
         int32->long but never the reverse). Conforming at the write
         boundary keeps every file of a column at ONE physical width —
         the manifest schema's. Evolution columns (``new_fields``) keep
-        their spec type; they ARE the new schema. Values that genuinely
-        overflow a narrow table column fail the cast loudly under ANSI
-        rather than corrupting silently."""
+        their spec type; they ARE the new schema. Integral NARROWING
+        casts carry a per-row roundtrip guard that raises on a value
+        the narrow type cannot hold — the engine's sessions run with
+        ANSI off, where a bare cast silently WRAPS (CAST(3000000000L
+        AS INT) = -1294967296), which would be worse than the
+        corruption this method exists to prevent. Float narrowing
+        (double->float) conforms without a guard: an FP32 table column
+        declares reduced precision by construction."""
+        from pyspark.sql import types as T
+
         if table_schema is None:
             return merged
+        int_width = {
+            T.ByteType(): 1, T.ShortType(): 2,
+            T.IntegerType(): 4, T.LongType(): 8,
+        }
         want = {f.name: f.dataType for f in table_schema.fields}
         for f in new_fields:
             want[f.name] = f.dataType
         have = {f.name: f.dataType for f in merged.schema.fields}
         if all(have[c] == want.get(c, have[c]) for c in have):
             return merged
-        return merged.select(*[
-            F.col(c).cast(want[c]).alias(c)
-            if c in want and have[c] != want[c] else F.col(c)
-            for c in merged.columns
-        ])
+
+        def conform(c):
+            w, h = want.get(c), have[c]
+            if w is None or h == w:
+                return F.col(c)
+            cast = F.col(c).cast(w)
+            if (
+                h in int_width and w in int_width
+                and int_width[w] < int_width[h]
+            ):
+                bad = F.col(c).isNotNull() & (cast.cast(h) != F.col(c))
+                return F.when(
+                    bad,
+                    F.raise_error(F.concat(
+                        F.lit(f"value overflows {w.simpleString()} "
+                              f"column {c}: "),
+                        F.col(c).cast("string"),
+                    )).cast(w),
+                ).otherwise(cast).alias(c)
+            return cast.alias(c)
+
+        return merged.select(*[conform(c) for c in merged.columns])
 
     def merge(
         self,

@@ -468,6 +468,39 @@ def dsir_grams_sql(
     """
 
 
+def _dsir_counts(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int,
+    salt: str,
+):
+    """Shared fitting stage: the raw gram relation plus the four count
+    frames (target/raw per-bucket counts and totals) BOTH weight-table
+    shapes derive from — the formula and the counting exist once, so
+    the direct path and the persisted model can never drift."""
+    rb = dsir_gram_buckets(raw, id_col, text_col, n_buckets, salt)
+    tb = dsir_gram_buckets(target, id_col, text_col, n_buckets, salt)
+    tcnt = tb.groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
+    rcnt = rb.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    tt = tcnt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt"))
+    rt = rcnt.agg(F.coalesce(F.sum("cr"), F.lit(0)).alias("nr"))
+    return rb, tcnt, rcnt, tt, rt
+
+
+def _dsir_logw(alpha: float, n_buckets: int) -> Column:
+    """The ONE smoothed log-ratio expression (over ct/cr/nt/nr cols):
+    ln((ct + a)/(Nt + aB)) - ln((cr + a)/(Nr + aB))."""
+    ab = float(alpha * n_buckets)
+    return (
+        F.log((F.coalesce(F.col("ct"), F.lit(0)) + alpha)
+              / (F.col("nt") + ab))
+        - F.log((F.coalesce(F.col("cr"), F.lit(0)) + alpha)
+                / (F.col("nr") + ab))
+    ).alias("logw")
+
+
 def dsir_logweights(
     raw: DataFrame,
     target: DataFrame,
@@ -491,25 +524,15 @@ def dsir_logweights(
     data-sized shuffle is the final groupBy(id). Returns
     (id, n_grams, logweight).
     """
-    rb = dsir_gram_buckets(raw, id_col, text_col, n_buckets, salt)
-    tb = dsir_gram_buckets(target, id_col, text_col, n_buckets, salt)
-    tcnt = tb.groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
-    rcnt = rb.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
-    tt = tcnt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt"))
-    rt = rcnt.agg(F.coalesce(F.sum("cr"), F.lit(0)).alias("nr"))
-    ab = float(alpha * n_buckets)
+    rb, tcnt, rcnt, tt, rt = _dsir_counts(
+        raw, target, id_col, text_col, n_buckets, salt
+    )
+    # sparse weight table: raw docs only ever hit raw-seen buckets
     w = (
         rcnt.join(tcnt, "bucket", "left")
         .crossJoin(F.broadcast(tt))
         .crossJoin(F.broadcast(rt))
-        .select(
-            "bucket",
-            (
-                F.log((F.coalesce(F.col("ct"), F.lit(0)) + alpha)
-                      / (F.col("nt") + ab))
-                - F.log((F.col("cr") + alpha) / (F.col("nr") + ab))
-            ).alias("logw"),
-        )
+        .select("bucket", _dsir_logw(alpha, n_buckets))
     )
     return (
         rb.join(F.broadcast(w), "bucket")
@@ -544,15 +567,19 @@ def dsir_select(
     global sort materializes. Returns (id, keep..., score) rows, k of them.
     """
     lw = dsir_logweights(raw, target, id_col, text_col, n_buckets, alpha, salt)
-    if keep:
-        lw = lw.join(raw.select(id_col, *keep), id_col)
     u = (_keyhash(F.col(id_col), gumbel_salt) + 0.5) / F.lit(float(HASH_SPACE))
     score = (F.col("logweight") - F.log(-F.log(u))).alias("score")
-    return (
-        lw.select(F.col(id_col), *[F.col(c) for c in keep], score)
+    top = (
+        lw.select(F.col(id_col), score)
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
     )
+    if keep:
+        # label columns join AFTER the top-k: k rows against the corpus
+        # (the k-row side broadcasts), never a corpus-sized exchange for
+        # columns that affect neither score nor tie-break
+        top = top.join(raw.select(id_col, *keep), id_col)
+    return top.select(F.col(id_col), *[F.col(c) for c in keep], "score")
 
 
 def dsir_gumbel_sql(id_expr: str, gumbel_salt: str = "dsirg") -> str:
@@ -578,28 +605,16 @@ def dsir_model(
     Persist with ``.write.parquet(dir)`` and score later batches
     against the frozen model (the production shape: fit once on the
     corpus snapshot, stream-score forever after)."""
-    rb = dsir_gram_buckets(raw, id_col, text_col, n_buckets, salt)
-    tb = dsir_gram_buckets(target, id_col, text_col, n_buckets, salt)
-    tcnt = tb.groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
-    rcnt = rb.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
-    tt = tcnt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt"))
-    rt = rcnt.agg(F.coalesce(F.sum("cr"), F.lit(0)).alias("nr"))
-    ab = float(alpha * n_buckets)
+    _, tcnt, rcnt, tt, rt = _dsir_counts(
+        raw, target, id_col, text_col, n_buckets, salt
+    )
     all_b = spark.range(n_buckets).select(F.col("id").alias("bucket"))
     return (
         all_b.join(tcnt, "bucket", "left")
         .join(rcnt, "bucket", "left")
         .crossJoin(F.broadcast(tt))
         .crossJoin(F.broadcast(rt))
-        .select(
-            "bucket",
-            (
-                F.log((F.coalesce(F.col("ct"), F.lit(0)) + alpha)
-                      / (F.col("nt") + ab))
-                - F.log((F.coalesce(F.col("cr"), F.lit(0)) + alpha)
-                        / (F.col("nr") + ab))
-            ).alias("logw"),
-        )
+        .select("bucket", _dsir_logw(alpha, n_buckets))
     )
 
 

@@ -1779,6 +1779,21 @@ class SqlFacade:
         ROLLBACK could not undo the eager facade/view moves."""
         if new in self._tables:
             raise ValueError(f"table {new!r} already exists")
+        if new in self._mvs:
+            raise ValueError(
+                f"{new!r} is a materialized view; renaming a table onto "
+                "it would clobber the view registration"
+            )
+        try:
+            taken = self.spark.catalog.tableExists(new)
+        except Exception:
+            taken = False
+        if taken:
+            # a register_df frame or any other temp view under this
+            # name: _refresh_head(new) would silently replace it
+            raise ValueError(
+                f"{new!r} is already a registered view/frame"
+            )
         if self._txn is not None and old in self._catalog_names:
             raise ValueError(
                 "ALTER TABLE ... RENAME TO on a catalog table inside "

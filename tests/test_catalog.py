@@ -523,3 +523,21 @@ def test_snapshot_sig_is_file_order_insensitive():
     assert LakeCatalog._snapshot_sig(a) == LakeCatalog._snapshot_sig(b)
     b["files"][0]["rows"] = 3
     assert LakeCatalog._snapshot_sig(a) != LakeCatalog._snapshot_sig(b)
+
+
+def test_rename_during_open_txn_conflicts_cleanly(spark, cat):
+    """A concurrent rename (or unregister) of a txn-touched table must
+    surface as TxnConflict at publish — not a KeyError, and never a
+    re-insert of the old name (which would register the table twice
+    with divergent pins)."""
+    txn = cat.transaction().__enter__()
+    txn.table("img").merge(rows(spark, (8, 80)), COLS, deterministic=True)
+    cat.rename("img", "img2")
+    with pytest.raises(TxnConflict, match="renamed or unregistered"):
+        txn.__exit__(None, None, None)
+    # exactly ONE registration survives, under the new name
+    tables = cat._load()["tables"]
+    assert "img" not in tables and "img2" in tables
+    assert vals(cat.read("img2")) == {1: 10, 2: 20}  # txn never landed
+    rep = cat.recover()  # the orphaned head rolls back durably
+    assert "img2" in rep["rolled_back"] or rep["rolled_back"] == []

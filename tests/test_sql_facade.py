@@ -1797,3 +1797,45 @@ def test_catalog_rename_preserves_pin(spark, tmp_path):
     # old catalog versions still resolve the old name (time travel)
     hist_v = cat.version - 1
     assert cat._entry("a", catalog_version=hist_v)["version"] == pinned
+
+
+def test_conform_width_raises_on_overflow_not_wrap(spark, tmp_path):
+    """Conforming a wide SET value into an int32 column must RAISE when
+    the value cannot fit — the session runs ANSI-off, where a bare cast
+    would silently wrap to a negative number."""
+    base = spark.range(5).select(
+        F.col("id").cast("string").alias("fid"),
+        (F.col("id") % 3).cast("int").alias("grp"),
+    )
+    t = CowTable.create(spark, str(tmp_path / "t"), base, keys=("fid",))
+    with pytest.raises(Exception, match="overflow|OVERFLOW"):
+        t.update(
+            F.col("fid") == "1",
+            {"grp": F.expr("CAST(3000000000 AS BIGINT)")},
+        )
+    # in-range wide values conform fine
+    t.update(F.col("fid") == "1", {"grp": F.expr("CAST(7 AS BIGINT)")})
+    got = {r.fid: r.grp for r in t.read().collect()}
+    assert got["1"] == 7
+    assert t.read().schema["grp"].dataType.simpleString() == "int"
+
+
+def test_rename_refuses_existing_view_names(spark, tmp_path):
+    """RENAME TO must not clobber a materialized view or a registered
+    frame: both live behind temp views that _refresh_head would
+    silently replace."""
+    base = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("v")
+    )
+    t = CowTable.create(spark, str(tmp_path / "t"), base, keys=("k",))
+    f = SqlFacade(spark)
+    f.register_table("t", t)
+    f.register_df("somedf", spark.range(3).toDF("x"))
+    f.sql("CREATE MATERIALIZED VIEW mv1 AS "
+          "SELECT v, count(*) AS n FROM t GROUP BY v")
+    with pytest.raises(ValueError, match="materialized view"):
+        f.sql("ALTER TABLE t RENAME TO mv1")
+    with pytest.raises(ValueError, match="view/frame"):
+        f.sql("ALTER TABLE t RENAME TO somedf")
+    # the guards left everything intact
+    assert f.sql("SELECT count(*) AS n FROM t").collect()[0]["n"] == 10
