@@ -633,6 +633,18 @@ class CatalogTransaction:
                         "transaction began"
                     )
                 if (
+                    latest["tables"][name]["root"]
+                    != self._snap["tables"][name]["root"]
+                ):
+                    # same name, DIFFERENT table: a concurrent
+                    # unregister+register swapped the storage under the
+                    # name — the version numbers are on unrelated
+                    # chains, so even an equal number is a conflict
+                    raise TxnConflict(
+                        f"table {name!r} was re-registered at a "
+                        "different root by a concurrent catalog commit"
+                    )
+                if (
                     latest["tables"][name]["version"]
                     != self._snap["tables"][name]["version"]
                 ):

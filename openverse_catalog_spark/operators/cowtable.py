@@ -2645,11 +2645,17 @@ class CowTable:
             if w is None or h == w:
                 return F.col(c)
             cast = F.col(c).cast(w)
-            if (
-                h in int_width and w in int_width
-                and int_width[w] < int_width[h]
-            ):
-                bad = F.col(c).isNotNull() & (cast.cast(h) != F.col(c))
+            narrowing = w in int_width and isinstance(h, T.NumericType) and (
+                h not in int_width or int_width[w] < int_width[h]
+            )
+            if narrowing:
+                # ANY numeric source narrowing into an integral column
+                # gets the roundtrip guard: non-ANSI long->int WRAPS,
+                # double->int CLAMPS to INT_MAX, decimal->int NULLS —
+                # all three are caught by value-changed-or-nulled
+                bad = F.col(c).isNotNull() & (
+                    cast.isNull() | (cast.cast(h) != F.col(c))
+                )
                 return F.when(
                     bad,
                     F.raise_error(F.concat(
@@ -3080,11 +3086,18 @@ class CowTable:
             by_name = {f.name: f.dataType for f in schema.fields}
             ins = anti.select(
                 *[
-                    (F.col(c) if c in anti.columns else F.lit(None))
-                    .cast(by_name[c]).alias(c)
+                    (
+                        F.col(c) if c in anti.columns
+                        else F.lit(None).cast(by_name[c])
+                    ).alias(c)
                     for c in table_cols
                 ]
             )
+            # conform the INSERT side BEFORE the union: a bare
+            # pre-cast to the table type would silently wrap an
+            # out-of-range source value (ANSI off), bypassing the
+            # overflow guard the write-boundary conform provides
+            ins = self._conform_widths(ins, schema, [])
             out = out.unionByName(ins)
         # UPDATE SET expressions can widen a column (when/otherwise
         # coercion); keep every written file at the manifest width

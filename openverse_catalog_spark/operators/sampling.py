@@ -577,8 +577,13 @@ def dsir_select(
     if keep:
         # label columns join AFTER the top-k: k rows against the corpus
         # (the k-row side broadcasts), never a corpus-sized exchange for
-        # columns that affect neither score nor tie-break
-        top = top.join(raw.select(id_col, *keep), id_col)
+        # columns that affect neither score nor tie-break. Duplicate ids
+        # in `raw` would fan the join out past k rows (and make the
+        # weights ill-defined to begin with) — dedupe the k-row result,
+        # which picks an arbitrary label among a duplicate's rows
+        top = top.join(
+            raw.select(id_col, *keep), id_col
+        ).dropDuplicates([id_col])
     return top.select(F.col(id_col), *[F.col(c) for c in keep], "score")
 
 

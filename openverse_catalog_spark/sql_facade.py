@@ -1786,8 +1786,12 @@ class SqlFacade:
             )
         try:
             taken = self.spark.catalog.tableExists(new)
-        except Exception:
-            taken = False
+        except Exception as exc:
+            # fail CLOSED: a guard that cannot verify the name is free
+            # must refuse, not silently clobber whatever lives there
+            raise ValueError(
+                f"cannot verify name {new!r} is free: {exc}"
+            ) from exc
         if taken:
             # a register_df frame or any other temp view under this
             # name: _refresh_head(new) would silently replace it

@@ -540,4 +540,25 @@ def test_rename_during_open_txn_conflicts_cleanly(spark, cat):
     assert "img" not in tables and "img2" in tables
     assert vals(cat.read("img2")) == {1: 10, 2: 20}  # txn never landed
     rep = cat.recover()  # the orphaned head rolls back durably
-    assert "img2" in rep["rolled_back"] or rep["rolled_back"] == []
+    assert "img2" in rep["rolled_back"] or not rep["rolled_back"]
+
+
+def test_reregistered_name_conflicts_even_at_same_version(spark, cat, tmp_path):
+    """unregister + register of a DIFFERENT table under the same name
+    while a txn holds it: the publish must conflict on entry IDENTITY
+    (root), not just version numbers — the fresh table's head can
+    coincidentally equal the snapshot's pinned version."""
+    txn = cat.transaction().__enter__()
+    txn.table("img").merge(rows(spark, (9, 90)), COLS, deterministic=True)
+    pinned_v = cat._entry("img")["version"]
+    cat.unregister("img")
+    other = CowTable.create(
+        spark, str(tmp_path / "other"), rows(spark, (1, 1)), keys=("id",)
+    )
+    # force the impostor's head to the pinned version number
+    while other.version < pinned_v:
+        other.update(F.lit(True), {})
+    cat.register("img", other)
+    assert cat._entry("img")["version"] == pinned_v  # same NUMBER
+    with pytest.raises(TxnConflict, match="different root"):
+        txn.__exit__(None, None, None)

@@ -1839,3 +1839,33 @@ def test_rename_refuses_existing_view_names(spark, tmp_path):
         f.sql("ALTER TABLE t RENAME TO somedf")
     # the guards left everything intact
     assert f.sql("SELECT count(*) AS n FROM t").collect()[0]["n"] == 10
+
+
+def test_conform_width_guards_fractional_and_insert_paths(spark, tmp_path):
+    """The overflow guard covers non-integral sources (double->int
+    clamps to INT_MAX under ANSI-off) and merge_when's INSERT branch
+    (whose old pre-cast wrapped before the write-boundary conform could
+    see the value)."""
+    base = spark.range(5).select(
+        F.col("id").cast("string").alias("fid"),
+        (F.col("id") % 3).cast("int").alias("grp"),
+    )
+    t = CowTable.create(spark, str(tmp_path / "t"), base, keys=("fid",))
+    # double SET value out of int range: clamp would be silent — raise
+    with pytest.raises(Exception, match="overflow|OVERFLOW"):
+        t.update(
+            F.col("fid") == "1",
+            {"grp": F.expr("CAST(3000000000 AS DOUBLE)")},
+        )
+    # merge_when INSERT with an out-of-range bigint source value
+    src = spark.createDataFrame(
+        [("zzz1", 3_000_000_000)], "fid string, grp bigint"
+    )
+    with pytest.raises(Exception, match="overflow|OVERFLOW"):
+        t.merge_when(src, update_set="*", insert=True)
+    # in-range values land through the same paths
+    ok = spark.createDataFrame([("zzz2", 12)], "fid string, grp bigint")
+    t.merge_when(ok, update_set="*", insert=True)
+    got = {r.fid: r.grp for r in t.read().collect()}
+    assert got["zzz2"] == 12 and len(got) == 6
+    assert t.read().schema["grp"].dataType.simpleString() == "int"
