@@ -2650,12 +2650,25 @@ class CowTable:
             )
             if narrowing:
                 # ANY numeric source narrowing into an integral column
-                # gets the roundtrip guard: non-ANSI long->int WRAPS,
-                # double->int CLAMPS to INT_MAX, decimal->int NULLS —
-                # all three are caught by value-changed-or-nulled
-                bad = F.col(c).isNotNull() & (
-                    cast.isNull() | (cast.cast(h) != F.col(c))
-                )
+                # gets an out-of-range guard. Integral sources use the
+                # exact cast roundtrip (non-ANSI long->int WRAPS; a wrap
+                # never roundtrips). Fractional/decimal sources use a
+                # RANGE test against the target's bounds in double —
+                # a roundtrip would both miss the representability-
+                # boundary clamp (float 2^31 clamps to INT_MAX, which
+                # rounds BACK to 2^31 in float) and mis-raise on plain
+                # SQL cast truncation (3.7 -> 3), which stays allowed.
+                # cast.isNull() catches decimal->int NULLing either way.
+                if h in int_width:
+                    bad = F.col(c).isNotNull() & (
+                        cast.isNull() | (cast.cast(h) != F.col(c))
+                    )
+                else:
+                    hi = float(2 ** (int_width[w] * 8 - 1))
+                    d = F.col(c).cast("double")
+                    bad = F.col(c).isNotNull() & (
+                        cast.isNull() | (d >= hi) | (d < -hi)
+                    )
                 return F.when(
                     bad,
                     F.raise_error(F.concat(
@@ -3093,10 +3106,13 @@ class CowTable:
                     for c in table_cols
                 ]
             )
-            # conform the INSERT side BEFORE the union: a bare
-            # pre-cast to the table type would silently wrap an
-            # out-of-range source value (ANSI off), bypassing the
-            # overflow guard the write-boundary conform provides
+            # conform the INSERT side BEFORE the union (the old bare
+            # pre-cast silently wrapped out-of-range values). Doing it
+            # here rather than relying on the write-boundary conform
+            # keeps the union coercion-free: both sides already carry
+            # the table's widths, so the outer conform is a no-op and
+            # the per-row guard runs over insert rows only, never the
+            # (usually much larger) rewritten-target side
             ins = self._conform_widths(ins, schema, [])
             out = out.unionByName(ins)
         # UPDATE SET expressions can widen a column (when/otherwise

@@ -579,11 +579,15 @@ def dsir_select(
         # (the k-row side broadcasts), never a corpus-sized exchange for
         # columns that affect neither score nor tie-break. Duplicate ids
         # in `raw` would fan the join out past k rows (and make the
-        # weights ill-defined to begin with) — dedupe the k-row result,
-        # which picks an arbitrary label among a duplicate's rows
-        top = top.join(
-            raw.select(id_col, *keep), id_col
-        ).dropDuplicates([id_col])
+        # weights ill-defined to begin with) — collapse back to k with
+        # min() per label so even the degenerate case stays a pure
+        # function of the data, never of partitioning (keep columns
+        # must therefore be orderable types)
+        top = (
+            top.join(raw.select(id_col, *keep), id_col)
+            .groupBy(id_col, "score")
+            .agg(*[F.min(c).alias(c) for c in keep])
+        )
     return top.select(F.col(id_col), *[F.col(c) for c in keep], "score")
 
 

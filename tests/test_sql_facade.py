@@ -1869,3 +1869,32 @@ def test_conform_width_guards_fractional_and_insert_paths(spark, tmp_path):
     got = {r.fid: r.grp for r in t.read().collect()}
     assert got["zzz2"] == 12 and len(got) == 6
     assert t.read().schema["grp"].dataType.simpleString() == "int"
+
+
+def test_conform_width_truncates_fractions_but_raises_on_clamp(spark, tmp_path):
+    """Fractional sources keep SQL cast-truncation semantics (3.7 -> 3,
+    no error); only genuinely out-of-range values raise — including the
+    representability-boundary clamp a roundtrip check cannot see
+    (float/double 2^31 clamps to INT_MAX and rounds back to 2^31)."""
+    base = spark.range(5).select(
+        F.col("id").cast("string").alias("fid"),
+        (F.col("id") % 3).cast("int").alias("grp"),
+    )
+    t = CowTable.create(spark, str(tmp_path / "t"), base, keys=("fid",))
+    # plain truncation is ALLOWED (non-ANSI SQL cast semantics)
+    t.update(F.col("fid") == "1", {"grp": F.expr("CAST(3.7 AS DOUBLE)")})
+    got = {r.fid: r.grp for r in t.read().collect()}
+    assert got["1"] == 3
+    # the boundary clamp raises (2^31 as double is out of int range)
+    with pytest.raises(Exception, match="overflow|OVERFLOW"):
+        t.update(
+            F.col("fid") == "2",
+            {"grp": F.expr("CAST(2147483648.0 AS DOUBLE)")},
+        )
+    # int min itself is in range and fine
+    t.update(
+        F.col("fid") == "2",
+        {"grp": F.expr("CAST(-2147483648.0 AS DOUBLE)")},
+    )
+    got = {r.fid: r.grp for r in t.read().collect()}
+    assert got["2"] == -2147483648
