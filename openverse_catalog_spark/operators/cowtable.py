@@ -2650,25 +2650,44 @@ class CowTable:
             )
             if narrowing:
                 # ANY numeric source narrowing into an integral column
-                # gets an out-of-range guard. Integral sources use the
-                # exact cast roundtrip (non-ANSI long->int WRAPS; a wrap
-                # never roundtrips). Fractional/decimal sources use a
-                # RANGE test against the target's bounds in double —
-                # a roundtrip would both miss the representability-
-                # boundary clamp (float 2^31 clamps to INT_MAX, which
-                # rounds BACK to 2^31 in float) and mis-raise on plain
-                # SQL cast truncation (3.7 -> 3), which stays allowed.
-                # cast.isNull() catches decimal->int NULLing either way.
+                # gets an out-of-range guard; plain SQL cast truncation
+                # (3.7 -> 3, toward zero) stays allowed. The test is
+                # exact per source type — out of range means
+                # trunc(value) outside [min, max], i.e. value >= max+1
+                # or value <= min-1:
+                #  * integral source: exact cast roundtrip (a non-ANSI
+                #    wrap never roundtrips);
+                #  * decimal source: compare in the DECIMAL domain —
+                #    routing through double rounds Long.MAX up to 2^63
+                #    (false overflow) and -2^63-1 up to -2^63 (missed
+                #    wrap: non-ANSI decimal->long WRAPS, it does not
+                #    NULL on this Spark);
+                #  * float/double source: bounds chosen for exact
+                #    representability (max+1 = 2^(bits-1) is always a
+                #    double; for long, min-1 isn't, but no double lies
+                #    strictly between min-1 and min, so `< min` is the
+                #    same predicate).
+                # cast.isNull() stays as a cross-version backstop only.
+                bits = int_width[w] * 8
                 if h in int_width:
-                    bad = F.col(c).isNotNull() & (
-                        cast.isNull() | (cast.cast(h) != F.col(c))
+                    bad_val = cast.cast(h) != F.col(c)
+                elif isinstance(h, T.DecimalType):
+                    hi_lit = F.lit(str(2 ** (bits - 1))).cast(
+                        "decimal(38,0)"
                     )
+                    lo_lit = F.lit(str(-(2 ** (bits - 1)) - 1)).cast(
+                        "decimal(38,0)"
+                    )
+                    bad_val = (F.col(c) >= hi_lit) | (F.col(c) <= lo_lit)
                 else:
-                    hi = float(2 ** (int_width[w] * 8 - 1))
                     d = F.col(c).cast("double")
-                    bad = F.col(c).isNotNull() & (
-                        cast.isNull() | (d >= hi) | (d < -hi)
-                    )
+                    hi_out = d >= float(2 ** (bits - 1))
+                    if bits < 64:
+                        lo_out = d <= float(-(2 ** (bits - 1)) - 1)
+                    else:
+                        lo_out = d < float(-(2 ** 63))
+                    bad_val = hi_out | lo_out
+                bad = F.col(c).isNotNull() & (cast.isNull() | bad_val)
                 return F.when(
                     bad,
                     F.raise_error(F.concat(

@@ -1898,3 +1898,45 @@ def test_conform_width_truncates_fractions_but_raises_on_clamp(spark, tmp_path):
     )
     got = {r.fid: r.grp for r in t.read().collect()}
     assert got["2"] == -2147483648
+
+
+def test_conform_width_decimal_boundaries_exact(spark, tmp_path):
+    """Decimal sources are guarded in the DECIMAL domain: Long.MAX is
+    valid (a double-based test would round it up to 2^63 and raise a
+    false overflow), while values past the long range raise (a
+    double-based test would round -2^63-1 back onto the boundary and
+    let the wrap through)."""
+    base = spark.range(3).select(
+        F.col("id").cast("string").alias("fid"),
+        F.col("id").alias("big"),
+    )
+    t = CowTable.create(spark, str(tmp_path / "t"), base, keys=("fid",))
+    # Long.MAX as DECIMAL(20,0): exactly representable, must NOT raise
+    t.update(
+        F.col("fid") == "0",
+        {"big": F.expr("CAST('9223372036854775807' AS DECIMAL(20,0))")},
+    )
+    got = {r.fid: r.big for r in t.read().collect()}
+    assert got["0"] == 9223372036854775807
+    # one past Long.MIN: silently wraps under non-ANSI cast — must raise
+    with pytest.raises(Exception, match="overflow|OVERFLOW"):
+        t.update(
+            F.col("fid") == "1",
+            {"big": F.expr(
+                "CAST('-9223372036854775809' AS DECIMAL(20,0))"
+            )},
+        )
+    # one past Long.MAX — must raise
+    with pytest.raises(Exception, match="overflow|OVERFLOW"):
+        t.update(
+            F.col("fid") == "1",
+            {"big": F.expr(
+                "CAST('9223372036854775808' AS DECIMAL(20,0))"
+            )},
+        )
+    # fractional decimal truncation stays allowed
+    t.update(
+        F.col("fid") == "2", {"big": F.expr("CAST(41.7 AS DECIMAL(5,1))")}
+    )
+    got = {r.fid: r.big for r in t.read().collect()}
+    assert got["2"] == 41
