@@ -2672,13 +2672,22 @@ class CowTable:
                 if h in int_width:
                     bad_val = cast.cast(h) != F.col(c)
                 elif isinstance(h, T.DecimalType):
-                    hi_lit = F.lit(str(2 ** (bits - 1))).cast(
+                    # compare the TRUNCATED value (sign-aware floor/
+                    # ceil — exact on decimals, and trunc-toward-zero
+                    # is what the cast itself does) against min/max:
+                    # comparing the raw column against scale-0 bounds
+                    # would let Spark's comparison coercion ROUND the
+                    # column first, flagging min-0.9 as out of range
+                    tr = F.when(
+                        F.col(c) < 0, F.ceil(F.col(c))
+                    ).otherwise(F.floor(F.col(c)))
+                    hi_lit = F.lit(str(2 ** (bits - 1) - 1)).cast(
                         "decimal(38,0)"
                     )
-                    lo_lit = F.lit(str(-(2 ** (bits - 1)) - 1)).cast(
+                    lo_lit = F.lit(str(-(2 ** (bits - 1)))).cast(
                         "decimal(38,0)"
                     )
-                    bad_val = (F.col(c) >= hi_lit) | (F.col(c) <= lo_lit)
+                    bad_val = (tr > hi_lit) | (tr < lo_lit)
                 else:
                     d = F.col(c).cast("double")
                     hi_out = d >= float(2 ** (bits - 1))
@@ -2686,7 +2695,11 @@ class CowTable:
                         lo_out = d <= float(-(2 ** (bits - 1)) - 1)
                     else:
                         lo_out = d < float(-(2 ** 63))
-                    bad_val = hi_out | lo_out
+                    # NaN raises too, explicitly: a plain non-ANSI cast
+                    # maps NaN to 0 — silent corruption, not truncation.
+                    # (Spark's ordering already sends NaN into hi_out;
+                    # the clause states the intent.)
+                    bad_val = hi_out | lo_out | F.isnan(F.col(c))
                 bad = F.col(c).isNotNull() & (cast.isNull() | bad_val)
                 return F.when(
                     bad,

@@ -1940,3 +1940,47 @@ def test_conform_width_decimal_boundaries_exact(spark, tmp_path):
     )
     got = {r.fid: r.big for r in t.read().collect()}
     assert got["2"] == 41
+
+
+def test_conform_width_subword_and_boundary_fractions(spark, tmp_path):
+    """The decimal guard at sub-long widths and at fractional
+    boundaries: values that TRUNCATE into range conform (min-0.9 into
+    int, Long.MAX+0.5 into long), one past the bound raises, and NaN
+    raises rather than silently becoming 0."""
+    base = spark.range(4).select(
+        F.col("id").cast("string").alias("fid"),
+        F.col("id").cast("int").alias("grp"),
+        F.col("id").alias("big"),
+    )
+    t = CowTable.create(spark, str(tmp_path / "t"), base, keys=("fid",))
+    # decimal min-0.9 into int: truncates toward zero to INT_MIN, valid
+    t.update(
+        F.col("fid") == "0",
+        {"grp": F.expr("CAST('-2147483648.9' AS DECIMAL(11,1))")},
+    )
+    # decimal max+0.9 into int: truncates to INT_MAX, valid
+    t.update(
+        F.col("fid") == "1",
+        {"grp": F.expr("CAST('2147483647.9' AS DECIMAL(11,1))")},
+    )
+    got = {r.fid: r.grp for r in t.read().collect()}
+    assert got["0"] == -2147483648 and got["1"] == 2147483647
+    # one past INT_MIN raises
+    with pytest.raises(Exception, match="overflow|OVERFLOW"):
+        t.update(
+            F.col("fid") == "2",
+            {"grp": F.expr("CAST('-2147483649' AS DECIMAL(11,0))")},
+        )
+    # Long.MAX + 0.5 truncates to Long.MAX, valid
+    t.update(
+        F.col("fid") == "2",
+        {"big": F.expr("CAST('9223372036854775807.5' AS DECIMAL(21,1))")},
+    )
+    assert {r.fid: r.big for r in t.read().collect()}["2"] \
+        == 9223372036854775807
+    # NaN into an integral column raises (plain cast would write 0)
+    with pytest.raises(Exception, match="overflow|OVERFLOW|NaN"):
+        t.update(
+            F.col("fid") == "3",
+            {"grp": F.expr("CAST('NaN' AS DOUBLE)")},
+        )
