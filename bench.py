@@ -201,6 +201,7 @@ HEADLINE = [
     "sample_dsir_weights",
     "sample_dsir_select",
     "sample_dsir_incremental",
+    "search_index_bm25",
 ]
 
 

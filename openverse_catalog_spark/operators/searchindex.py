@@ -1,0 +1,262 @@
+"""Incrementally-maintained inverted index: the Spark-native stand-in
+for the reference's Elasticsearch handoff.
+
+The reference rebuilds its search index by re-shipping whole tables to
+an external indexer per data refresh (data_refresh_task_factory.py:
+183-240 — REINDEX then alias swap). This module keeps the index INSIDE
+the lakehouse and maintains it from the base table's CHANGE FEED, so an
+index refresh costs O(changed documents), never O(corpus):
+
+* ``postings`` — a CoW lake table keyed ``(term, doc_id)`` holding per-
+  document term frequencies. Merge-key range clustering means posting
+  files are term-ordered, so a query's ``read_pruned(terms)`` opens
+  only the files whose term range can contain a query term — the same
+  file-skipping dividend every other keyed read in the engine gets.
+* ``doclen`` — a CoW table keyed ``doc_id`` with each document's token
+  count (the BM25 length normalizer); corpus totals (N, avgdl) derive
+  from it at query time with one thin-table aggregate.
+* a ``state.json`` recording the base version the index reflects.
+
+``refresh()`` reads the base's CDF span since the applied version and
+reduces it to a NET per-document transition: the index currently holds
+each dirty document's state at the applied version (= the span's FIRST
+pre-image, or nothing for docs born inside the span), and must end at
+the span's FINAL post-image (or nothing after a trailing delete). Old
+and new postings are both tokenized from feed row images — the index
+itself is never scanned to find what to remove — and reconciled in ONE
+``merge_when`` commit per table (matched+gone -> DELETE, matched ->
+UPDATE tf, unmatched+new -> INSERT). A crash between the table commits
+and the state write is safe: replaying the span recomputes the same
+net transition and the keyed merges converge to the identical state.
+
+Tokenization matches plans/search_queries.py (lowercase, [a-z]+ runs of
+length >= 3) so index-served BM25 is oracle-comparable against a full
+corpus scan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from openverse_catalog_spark.operators.cowtable import CowTable
+
+K1 = 1.2
+B = 0.75
+
+
+def _tokens(text: Column) -> Column:
+    return F.filter(
+        F.split(F.lower(text), "[^a-z]+"), lambda x: F.length(x) >= 3
+    )
+
+
+def _postings_of(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(term, doc_id, tf) rows for a frame of documents."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_tokens(F.col(text_col))).alias("term"),
+    )
+    return toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+
+
+def _doclens_of(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(_tokens(F.col(text_col))).alias("dl"),
+    )
+
+
+class SearchIndex:
+    """Inverted index over a documents CowTable, CDF-maintained."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        base: CowTable,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.base = base
+        self.id_col = id_col
+        self.text_col = text_col
+        self.postings = CowTable(
+            spark, f"{self.root}/postings", keys=("term", "doc_id")
+        )
+        self.doclen = CowTable(
+            spark, f"{self.root}/doclen", keys=("doc_id",)
+        )
+
+    # -- construction ---------------------------------------------------
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        base: CowTable,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        target_files: int = 8,
+    ) -> "SearchIndex":
+        """Build the index from the base's CURRENT snapshot (pin the
+        version FIRST so a concurrent base write between the two scans
+        cannot tear the build)."""
+        idx = cls(spark, root, base, id_col, text_col)
+        v = base.version
+        snap = base.read(v)
+        CowTable.create(
+            spark, idx.postings.root,
+            _postings_of(snap, id_col, text_col),
+            keys=("term", "doc_id"), target_files=target_files,
+        )
+        CowTable.create(
+            spark, idx.doclen.root,
+            _doclens_of(snap, id_col, text_col),
+            keys=("doc_id",), target_files=max(2, target_files // 2),
+        )
+        idx._write_state(v)
+        return idx
+
+    # -- state ------------------------------------------------------------
+
+    @property
+    def applied_version(self) -> int:
+        with open(f"{self.root}/state.json") as fh:
+            return int(json.load(fh)["applied"])
+
+    def _write_state(self, v: int) -> None:
+        tmp = f"{self.root}/.tmp.state.json"
+        with open(tmp, "w") as fh:
+            json.dump({"applied": int(v)}, fh)
+        os.replace(tmp, f"{self.root}/state.json")
+
+    # -- maintenance --------------------------------------------------------
+
+    def refresh(self) -> dict:
+        """Advance the index to the base's current version from the
+        change feed. O(changed docs): the feed is the manifest diff,
+        old postings come from feed PRE-IMAGES (never an index scan),
+        and the reconciling merges file-skip on their key ranges."""
+        applied = self.applied_version
+        head = self.base.version
+        if head <= applied:
+            return {"applied": applied, "refreshed": False}
+        feed = self.base.read_changes(applied, head)
+        idc, txc = self.id_col, self.text_col
+
+        # net transition per dirty doc over the span:
+        #   old = the FIRST pre-image (the state the index holds);
+        #   new = the LAST post-state, unless the final event deletes.
+        pre = feed.filter(
+            F.col("_change_type").isin("update_preimage", "delete")
+        )
+        w_first = F.row_number().over(
+            Window.partitionBy(idc).orderBy("_commit_version")
+        )
+        old_docs = (
+            pre.withColumn("__rn", w_first).filter(F.col("__rn") == 1)
+            .select(idc, txc)
+        )
+        post = feed.filter(
+            F.col("_change_type").isin(
+                "insert", "update_postimage", "delete"
+            )
+        )
+        w_last = F.row_number().over(
+            Window.partitionBy(idc).orderBy(F.desc("_commit_version"))
+        )
+        new_docs = (
+            post.withColumn("__rn", w_last).filter(
+                (F.col("__rn") == 1)
+                & (F.col("_change_type") != "delete")
+            ).select(idc, txc)
+        )
+
+        old_p = _postings_of(old_docs, idc, txc)
+        new_p = _postings_of(new_docs, idc, txc)
+        src = (
+            new_p.withColumnRenamed("tf", "new_tf")
+            .join(old_p.select("term", "doc_id"), ["term", "doc_id"],
+                  "full")
+            .select("term", "doc_id", F.col("new_tf").alias("tf"))
+        )
+        self.postings.merge_when(
+            src,
+            update_set={"tf": "s.tf"},
+            delete_cond="s.tf IS NULL",
+            insert=True,
+            insert_cond="s.tf IS NOT NULL",
+            check_duplicate_keys=False,  # key-unique by construction
+        )
+
+        new_l = _doclens_of(new_docs, idc, txc).withColumnRenamed(
+            "dl", "new_dl"
+        )
+        lsrc = (
+            old_docs.select(F.col(idc).alias("doc_id"))
+            .join(new_l, ["doc_id"], "full")
+            .select("doc_id", F.col("new_dl").alias("dl"))
+        )
+        self.doclen.merge_when(
+            lsrc,
+            update_set={"dl": "s.dl"},
+            delete_cond="s.dl IS NULL",
+            insert=True,
+            insert_cond="s.dl IS NOT NULL",
+            check_duplicate_keys=False,
+        )
+        self._write_state(head)
+        return {"applied": head, "refreshed": True, "from": applied}
+
+    # -- query --------------------------------------------------------------
+
+    def bm25(self, terms: list[str], k: int) -> DataFrame:
+        """Top-k BM25 served FROM THE INDEX: the corpus is never
+        tokenized at query time. Postings files are pruned by the term
+        key range; doc-frequency and idf derive from the pruned
+        postings; (N, avgdl) is one aggregate over the thin doclen
+        table; the final top-k is TakeOrdered."""
+        post = self.postings.read_pruned(list(terms)).filter(
+            F.col("term").isin(list(terms))
+        )
+        dl = self.doclen.read()
+        stats = dl.agg(
+            F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+        )
+        idf = (
+            post.groupBy("term")
+            .agg(F.countDistinct("doc_id").alias("df"))
+            .crossJoin(F.broadcast(stats.select("n")))
+            .select(
+                "term",
+                F.log(
+                    1.0 + (F.col("n") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                ).alias("idf"),
+            )
+        )
+        scored = (
+            post.join(F.broadcast(idf), "term")
+            .join(dl, "doc_id")
+            .crossJoin(F.broadcast(stats.select("avgdl")))
+            .select(
+                "doc_id",
+                (
+                    F.col("idf") * F.col("tf") * (K1 + 1.0)
+                    / (
+                        F.col("tf")
+                        + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl"))
+                    )
+                ).alias("term_score"),
+            )
+            .groupBy("doc_id")
+            .agg(F.round(F.sum("term_score"), 6).alias("score"))
+        )
+        return scored.orderBy(F.col("score").desc(), "doc_id").limit(k)

@@ -421,3 +421,103 @@ def search_hybrid_rrf(spark, sf_dir):
         ).alias("rrf"),
     )
     return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(20)
+
+
+@register(
+    "search_index_bm25",
+    f"""
+    WITH final AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 17 = 0
+                  THEN text || ' spark vector hash join'
+                  ELSE text END AS text
+      FROM documents WHERE source <> 'src4'
+      UNION ALL
+      SELECT 100000 + i AS doc_id,
+             'spark hash join vector quantum flux ' || repeat('pad ', i)
+               AS text
+      FROM unnest(range(0, 5)) AS u(i)
+    ),
+    toks AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM final
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks
+      WHERE term IN ('join', 'hash', 'vector', 'spark') GROUP BY 1, 2
+    ),
+    idf AS (
+      SELECT tf.term,
+             ln(1.0 + (stats.n - count(DISTINCT tf.doc_id) + 0.5)
+                      / (count(DISTINCT tf.doc_id) + 0.5)) AS idf
+      FROM tf, stats GROUP BY tf.term, stats.n
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             sum(idf.idf * tf.tf * ({_K1} + 1.0)
+                 / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.dl / stats.avgdl)))
+               AS score
+      FROM tf
+      JOIN idf USING (term)
+      JOIN dl USING (doc_id), stats
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, round(score, 6) AS score
+    FROM scored ORDER BY round(score, 6) DESC, doc_id LIMIT 20
+    """,
+)
+def search_index_bm25(spark, sf_dir):
+    """BM25 served from an INCREMENTALLY-MAINTAINED inverted index —
+    the Spark-native replacement for the reference's Elasticsearch
+    handoff (data_refresh_task_factory.py:183-240 re-ships whole tables
+    to an external indexer per refresh). The fixture builds the index
+    from a documents snapshot, churns the base (DELETE one source,
+    UPDATE every 17th doc's text, INSERT five new docs), refreshes the
+    index FROM THE CHANGE FEED (cost O(changed docs): old postings come
+    from feed pre-images, never an index scan; one file-skipped
+    merge_when per index table), then answers top-20 BM25 from postings
+    alone — the corpus is never re-tokenized at query time, and posting
+    files are term-range pruned. The oracle recomputes BM25 over the
+    post-churn corpus from scratch: the index must equal the scan."""
+    import os
+    import shutil
+    import tempfile
+
+    from openverse_catalog_spark.operators.cowtable import CowTable
+    from openverse_catalog_spark.operators.searchindex import SearchIndex
+    from openverse_catalog_spark.schemas.columns import (
+        ColumnSpec,
+        Datatype,
+        UpsertStrategy,
+    )
+
+    d = _t(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "text", "source"
+    )
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_searchidx")
+    shutil.rmtree(root, ignore_errors=True)
+    base = CowTable.create(
+        spark, os.path.join(root, "docs"), d,
+        keys=("doc_id",), target_files=4,
+    )
+    idx = SearchIndex.create(spark, os.path.join(root, "idx"), base)
+    base.delete(F.col("source") == "src4")
+    base.update(
+        F.col("doc_id") % 17 == 0,
+        {"text": F.concat(F.col("text"), F.lit(" spark vector hash join"))},
+    )
+    cols = [
+        ColumnSpec("doc_id", Datatype.int, required=True,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("text", Datatype.char),
+        ColumnSpec("source", Datatype.char),
+    ]
+    newdocs = spark.createDataFrame(
+        [(100000 + i, "spark hash join vector quantum flux " + "pad " * i,
+          "srcX") for i in range(5)],
+        "doc_id long, text string, source string",
+    )
+    base.merge(newdocs, cols)
+    idx.refresh()
+    return idx.bm25(["join", "hash", "vector", "spark"], 20)

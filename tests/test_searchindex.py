@@ -1,0 +1,154 @@
+"""Incremental inverted index (operators/searchindex.py): refresh from
+the change feed must equal a from-scratch rebuild through any churn,
+replays must converge, and queries must prune posting files by term."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from openverse_catalog_spark.operators.cowtable import CowTable
+from openverse_catalog_spark.operators.searchindex import (
+    SearchIndex,
+    _doclens_of,
+    _postings_of,
+)
+from openverse_catalog_spark.schemas.columns import (
+    ColumnSpec,
+    Datatype,
+    UpsertStrategy,
+)
+
+COLS = [
+    ColumnSpec("doc_id", Datatype.int, required=True,
+               upsert_strategy=UpsertStrategy.no_change),
+    ColumnSpec("text", Datatype.char),
+]
+
+
+def mk_docs(spark, *rows):
+    return spark.createDataFrame(
+        list(rows), "doc_id long, text string"
+    )
+
+
+def postings_dict(df):
+    return {(r.term, r.doc_id): r.tf for r in df.collect()}
+
+
+def _assert_index_matches_base(idx, base):
+    want_p = postings_dict(
+        _postings_of(base.read(), "doc_id", "text")
+    )
+    got_p = postings_dict(idx.postings.read())
+    assert got_p == want_p
+    want_l = {r.doc_id: r.dl
+              for r in _doclens_of(base.read(), "doc_id", "text").collect()}
+    got_l = {r.doc_id: r.dl for r in idx.doclen.read().collect()}
+    assert got_l == want_l
+
+
+def test_refresh_equals_rebuild_through_churn(spark, tmp_path):
+    base = CowTable.create(
+        spark, str(tmp_path / "docs"),
+        mk_docs(spark,
+                (1, "alpha beta gamma alpha"),
+                (2, "beta delta epsilon"),
+                (3, "gamma gamma zeta")),
+        keys=("doc_id",),
+    )
+    idx = SearchIndex.create(spark, str(tmp_path / "idx"), base)
+    _assert_index_matches_base(idx, base)
+    # churn: update 1 (term set changes), delete 2, insert 4
+    base.update(F.col("doc_id") == 1,
+                {"text": F.lit("alpha omega omega")})
+    base.delete(F.col("doc_id") == 2)
+    base.merge(mk_docs(spark, (4, "zeta eta theta")), COLS)
+    r = idx.refresh()
+    assert r["refreshed"] and r["applied"] == base.version
+    _assert_index_matches_base(idx, base)
+    # removed terms really left the index
+    assert ("beta", 1) not in postings_dict(idx.postings.read())
+    assert all(d != 2 for (_, d) in postings_dict(idx.postings.read()))
+
+
+def test_refresh_nets_multi_commit_spans(spark, tmp_path):
+    """A doc inserted-then-updated, one deleted-then-reinserted, and one
+    updated twice inside ONE refresh span all land at their final
+    state."""
+    base = CowTable.create(
+        spark, str(tmp_path / "docs"),
+        mk_docs(spark, (1, "one uno eins"), (2, "two dos zwei")),
+        keys=("doc_id",),
+    )
+    idx = SearchIndex.create(spark, str(tmp_path / "idx"), base)
+    base.merge(mk_docs(spark, (3, "born fresh")), COLS)          # insert
+    base.update(F.col("doc_id") == 3, {"text": F.lit("born again")})
+    base.delete(F.col("doc_id") == 2)
+    base.merge(mk_docs(spark, (2, "two reborn")), COLS)          # revive
+    base.update(F.col("doc_id") == 1, {"text": F.lit("one mid")})
+    base.update(F.col("doc_id") == 1, {"text": F.lit("one final")})
+    idx.refresh()
+    _assert_index_matches_base(idx, base)
+    p = postings_dict(idx.postings.read())
+    assert ("again", 3) in p and ("fresh", 3) not in p
+    assert ("reborn", 2) in p and ("dos", 2) not in p
+    assert ("final", 1) in p and ("mid", 1) not in p
+
+
+def test_refresh_idempotent_and_crash_replay(spark, tmp_path):
+    base = CowTable.create(
+        spark, str(tmp_path / "docs"),
+        mk_docs(spark, (1, "alpha beta"), (2, "gamma delta")),
+        keys=("doc_id",),
+    )
+    idx = SearchIndex.create(spark, str(tmp_path / "idx"), base)
+    applied0 = idx.applied_version
+    base.update(F.col("doc_id") == 1, {"text": F.lit("alpha zeta")})
+    idx.refresh()
+    # no new base commits: refresh is a no-op
+    assert idx.refresh() == {
+        "applied": base.version, "refreshed": False,
+    }
+    snapshot = postings_dict(idx.postings.read())
+    # crash between table commits and the state write: the state file
+    # still names the OLD version, so the span replays — and must
+    # converge to the same content
+    idx._write_state(applied0)
+    idx.refresh()
+    assert postings_dict(idx.postings.read()) == snapshot
+    _assert_index_matches_base(idx, base)
+
+
+def test_bm25_query_prunes_posting_files(spark, tmp_path):
+    """Posting files are key-clustered on term, so a query for a couple
+    of terms must open a strict subset of the posting files."""
+    docs = [
+        (i, " ".join(
+            w for w in ("alpha", "bravo", "charlie", "delta", "echo",
+                        "foxtrot", "golf", "hotel", "india", "juliet")
+            if (i + hash(w)) % 3 != 0
+        ) or "alpha")
+        for i in range(200)
+    ]
+    base = CowTable.create(
+        spark, str(tmp_path / "docs"), mk_docs(spark, *docs),
+        keys=("doc_id",),
+    )
+    idx = SearchIndex.create(
+        spark, str(tmp_path / "idx"), base, target_files=8
+    )
+    all_files = set(idx.postings.read().inputFiles())
+    pruned = set(
+        idx.postings.read_pruned(["alpha"]).inputFiles()
+    )
+    assert pruned and pruned < all_files
+    # and the pruned read answers correctly
+    got = {r.doc_id for r in idx.bm25(["alpha"], 1000).collect()}
+    want = {
+        r.doc_id
+        for r in base.read()
+        .filter(F.array_contains(F.split("text", " "), "alpha"))
+        .collect()
+    }
+    assert got == want

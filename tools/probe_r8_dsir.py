@@ -44,5 +44,79 @@ def main() -> None:
     spark.stop()
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and (len(sys.argv) < 2 or sys.argv[1] != "index"):
     main()
+
+
+def index_probe() -> None:
+    """O(churn) evidence for the incremental search index: build once
+    on 1x and 10x corpora, apply the SAME fixed-size churn (500 doc
+    updates + 100 new docs), and time refresh(). O(corpus) maintenance
+    would scale the refresh ~10x; O(churn) keeps it flat."""
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from openverse_catalog_spark.operators.cowtable import CowTable
+    from openverse_catalog_spark.operators.searchindex import SearchIndex
+    from openverse_catalog_spark.schemas.columns import (
+        ColumnSpec, Datatype, UpsertStrategy,
+    )
+    from openverse_catalog_spark.session import load_tables
+
+    spark = get_spark("probe_searchindex")
+    cols = [
+        ColumnSpec("doc_id", Datatype.int, required=True,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("text", Datatype.char),
+        ColumnSpec("source", Datatype.char),
+    ]
+    print("| corpus | build (s) | refresh after fixed churn (s) "
+          "| query (s) |")
+    print("|---|---|---|---|")
+    for copies in (1, 10):
+        tmp = tempfile.mkdtemp(prefix=f"sidx{copies}x_")
+        d = load_tables(spark, SF_DIR, ("documents",))["documents"].select(
+            "doc_id", "text", "source"
+        )
+        if copies > 1:
+            mx = d.agg(F.max("doc_id")).head()[0] + 1
+            parts = [
+                d.withColumn("doc_id", F.col("doc_id") + F.lit(i * mx))
+                for i in range(copies)
+            ]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            d = out
+        base = CowTable.create(
+            spark, f"{tmp}/docs", d, keys=("doc_id",), target_files=16
+        )
+        t0 = time.time()
+        idx = SearchIndex.create(spark, f"{tmp}/idx", base)
+        t_build = time.time() - t0
+        # FIXED-SIZE churn independent of corpus size
+        base.update(
+            F.col("doc_id") < 500,
+            {"text": F.concat(F.col("text"), F.lit(" spark vector"))},
+        )
+        newdocs = spark.createDataFrame(
+            [(10_000_000 + i, "spark hash join vector " + "pad " * (i % 7),
+              "srcX") for i in range(100)],
+            "doc_id long, text string, source string",
+        )
+        base.merge(newdocs, cols)
+        t0 = time.time()
+        idx.refresh()
+        t_refresh = time.time() - t0
+        t0 = time.time()
+        idx.bm25(["join", "hash", "vector", "spark"], 20).collect()
+        t_query = time.time() - t0
+        print(f"| {copies}x | {t_build:.2f} | {t_refresh:.2f} "
+              f"| {t_query:.2f} |")
+    spark.stop()
+
+
+if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "index":
+    index_probe()
