@@ -64,10 +64,14 @@ def _postings_of(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def _doclens_of(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, dl) for docs with >= 1 qualifying token. Token-less and
+    NULL-text docs are EXCLUDED (size() of a null array is -1 with ANSI
+    off): BM25's N and avgdl count indexed documents only, matching the
+    full-scan definition where such docs never produce a dl row."""
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(_tokens(F.col(text_col))).alias("dl"),
-    )
+    ).filter(F.col("dl") > 0)
 
 
 class SearchIndex:
@@ -128,13 +132,19 @@ class SearchIndex:
 
     @property
     def applied_version(self) -> int:
-        with open(f"{self.root}/state.json") as fh:
-            return int(json.load(fh)["applied"])
+        return int(self._state()["applied"])
 
-    def _write_state(self, v: int) -> None:
+    def _state(self) -> dict:
+        with open(f"{self.root}/state.json") as fh:
+            return json.load(fh)
+
+    def _write_state(self, applied: int, pending: int | None = None) -> None:
+        st = {"applied": int(applied)}
+        if pending is not None:
+            st["pending"] = int(pending)
         tmp = f"{self.root}/.tmp.state.json"
         with open(tmp, "w") as fh:
-            json.dump({"applied": int(v)}, fh)
+            json.dump(st, fh)
         os.replace(tmp, f"{self.root}/state.json")
 
     # -- maintenance --------------------------------------------------------
@@ -143,12 +153,45 @@ class SearchIndex:
         """Advance the index to the base's current version from the
         change feed. O(changed docs): the feed is the manifest diff,
         old postings come from feed PRE-IMAGES (never an index scan),
-        and the reconciling merges file-skip on their key ranges."""
-        applied = self.applied_version
+        and the reconciling merges file-skip on their key ranges.
+
+        CRASH SAFETY is the matview pending-WAL protocol: the span
+        [applied, head] is recorded in state.json BEFORE any merge, and
+        both merges carry a txn fence keyed on the span's end version.
+        A crash at any point replays exactly the PENDING span on the
+        next refresh — already-landed merges txn-skip, lost ones apply
+        — so the netting baseline ("old = what the index holds") can
+        never drift even if the base advanced in the meantime: new
+        commits wait in a fresh span behind the pending one.
+
+        A base vacuumed past the unapplied span (the consumer fell
+        behind CDF retention) triggers a FULL RESYNC against the
+        current snapshot, then the feed resumes from there — the same
+        protocol the incremental MVs follow."""
+        st = self._state()
+        replayed = False
+        if "pending" in st:
+            # finish (or redo) the torn span before anything newer
+            self._apply_span(int(st["applied"]), int(st["pending"]))
+            self._write_state(int(st["pending"]))
+            st = self._state()
+            replayed = True
+        applied = int(st["applied"])
         head = self.base.version
         if head <= applied:
-            return {"applied": applied, "refreshed": False}
-        feed = self.base.read_changes(applied, head)
+            return {"applied": applied, "refreshed": replayed}
+        self._write_state(applied, pending=head)
+        try:
+            self._apply_span(applied, head)
+        except ValueError:
+            # feed span vacuumed away: resync from the snapshot the
+            # head pins, then resume incrementally from there
+            self._full_resync(head)
+        self._write_state(head)
+        return {"applied": head, "refreshed": True, "from": applied}
+
+    def _apply_span(self, from_v: int, to_v: int) -> None:
+        feed = self.base.read_changes(from_v, to_v)
         idc, txc = self.id_col, self.text_col
 
         # net transition per dirty doc over the span:
@@ -163,6 +206,7 @@ class SearchIndex:
         old_docs = (
             pre.withColumn("__rn", w_first).filter(F.col("__rn") == 1)
             .select(idc, txc)
+            .localCheckpoint(eager=False)  # feeds postings AND doclen
         )
         post = feed.filter(
             F.col("_change_type").isin(
@@ -177,10 +221,24 @@ class SearchIndex:
                 (F.col("__rn") == 1)
                 & (F.col("_change_type") != "delete")
             ).select(idc, txc)
+            .localCheckpoint(eager=False)
         )
-
         old_p = _postings_of(old_docs, idc, txc)
         new_p = _postings_of(new_docs, idc, txc)
+        new_l = _doclens_of(new_docs, idc, txc)
+        self._reconcile(old_docs.select(F.col(idc).alias("doc_id")),
+                        old_p, new_p, new_l, to_v)
+
+    def _reconcile(
+        self,
+        old_ids: DataFrame,
+        old_p: DataFrame,
+        new_p: DataFrame,
+        new_l: DataFrame,
+        to_v: int,
+    ) -> None:
+        """One merge_when per index table, txn-fenced on the span end so
+        a replayed span txn-skips instead of double-applying."""
         src = (
             new_p.withColumnRenamed("tf", "new_tf")
             .join(old_p.select("term", "doc_id"), ["term", "doc_id"],
@@ -194,14 +252,13 @@ class SearchIndex:
             insert=True,
             insert_cond="s.tf IS NOT NULL",
             check_duplicate_keys=False,  # key-unique by construction
-        )
-
-        new_l = _doclens_of(new_docs, idc, txc).withColumnRenamed(
-            "dl", "new_dl"
+            txn_app="searchindex-postings",
+            txn_version=to_v,
         )
         lsrc = (
-            old_docs.select(F.col(idc).alias("doc_id"))
-            .join(new_l, ["doc_id"], "full")
+            old_ids
+            .join(new_l.withColumnRenamed("dl", "new_dl"),
+                  ["doc_id"], "full")
             .select("doc_id", F.col("new_dl").alias("dl"))
         )
         self.doclen.merge_when(
@@ -211,9 +268,22 @@ class SearchIndex:
             insert=True,
             insert_cond="s.dl IS NOT NULL",
             check_duplicate_keys=False,
+            txn_app="searchindex-doclen",
+            txn_version=to_v,
         )
-        self._write_state(head)
-        return {"applied": head, "refreshed": True, "from": applied}
+
+    def _full_resync(self, to_v: int) -> None:
+        """Rebuild the index CONTENT from the base snapshot at ``to_v``
+        through the same reconcile merges (old = everything currently
+        indexed — the one case that legitimately scans the index)."""
+        snap = self.base.read(to_v)
+        self._reconcile(
+            self.doclen.read().select("doc_id"),
+            self.postings.read().select("term", "doc_id"),
+            _postings_of(snap, self.id_col, self.text_col),
+            _doclens_of(snap, self.id_col, self.text_col),
+            to_v,
+        )
 
     # -- query --------------------------------------------------------------
 
@@ -223,9 +293,9 @@ class SearchIndex:
         key range; doc-frequency and idf derive from the pruned
         postings; (N, avgdl) is one aggregate over the thin doclen
         table; the final top-k is TakeOrdered."""
-        post = self.postings.read_pruned(list(terms)).filter(
-            F.col("term").isin(list(terms))
-        )
+        # read_pruned appends the exact residual isin itself — the
+        # pruned read is already filtered, not just file-skipped
+        post = self.postings.read_pruned(list(terms))
         dl = self.doclen.read()
         stats = dl.agg(
             F.count("*").alias("n"), F.avg("dl").alias("avgdl")

@@ -431,7 +431,7 @@ def search_hybrid_rrf(spark, sf_dir):
              CASE WHEN doc_id % 17 = 0
                   THEN text || ' spark vector hash join'
                   ELSE text END AS text
-      FROM documents WHERE source <> 'src4'
+      FROM documents WHERE source IS DISTINCT FROM 'src4'
       UNION ALL
       SELECT 100000 + i AS doc_id,
              'spark hash join vector quantum flux ' || repeat('pad ', i)

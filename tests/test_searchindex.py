@@ -152,3 +152,68 @@ def test_bm25_query_prunes_posting_files(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_crash_replay_with_later_base_commits_stays_exact(spark, tmp_path):
+    """The found-bug scenario: a refresh lands BOTH merges but crashes
+    before the state write; the base then advances; the next refresh
+    must replay the PENDING span first (txn-skipped — no double apply)
+    and only then consume the new commits — naive renetting of the
+    combined span would leave the mid-state term in the index."""
+    base = CowTable.create(
+        spark, str(tmp_path / "docs"), mk_docs(spark, (1, "alpha")),
+        keys=("doc_id",),
+    )
+    idx = SearchIndex.create(spark, str(tmp_path / "idx"), base)
+    base.update(F.col("doc_id") == 1, {"text": F.lit("bravo")})
+    idx.refresh()
+    # simulate the crash-before-state-write: restore the pre-refresh
+    # state file WITH the pending marker the real refresh wrote
+    idx._write_state(1, pending=base.version)
+    # base moves on: doc flips back to alpha
+    base.update(F.col("doc_id") == 1, {"text": F.lit("alpha")})
+    idx.refresh()
+    p = postings_dict(idx.postings.read())
+    assert p == {("alpha", 1): 1}, p  # no stale ('bravo', 1) survivor
+    _assert_index_matches_base(idx, base)
+
+
+def test_vacuumed_feed_span_triggers_full_resync(spark, tmp_path):
+    """A base vacuumed past the unapplied span can no longer serve the
+    feed: refresh() must fall back to a snapshot resync instead of
+    wedging forever."""
+    base = CowTable.create(
+        spark, str(tmp_path / "docs"),
+        mk_docs(spark, (1, "alpha beta"), (2, "gamma")),
+        keys=("doc_id",),
+    )
+    idx = SearchIndex.create(spark, str(tmp_path / "idx"), base)
+    base.update(F.col("doc_id") == 1, {"text": F.lit("delta")})
+    base.delete(F.col("doc_id") == 2)
+    base.merge(mk_docs(spark, (3, "epsilon zeta")), COLS)
+    base.vacuum(keep_versions=1, retention_seconds=0)
+    with pytest.raises(ValueError):
+        base.read_changes(idx.applied_version, base.version)
+    r = idx.refresh()
+    assert r["refreshed"]
+    _assert_index_matches_base(idx, base)
+    p = postings_dict(idx.postings.read())
+    assert ("delta", 1) in p and ("alpha", 1) not in p
+    assert ("epsilon", 3) in p and all(d != 2 for (_, d) in p)
+
+
+def test_doclen_excludes_tokenless_and_null_docs(spark, tmp_path):
+    """Docs with no qualifying token (or NULL text) never enter doclen:
+    BM25's N/avgdl count indexed documents only, like the full scan."""
+    base = CowTable.create(
+        spark, str(tmp_path / "docs"),
+        mk_docs(spark, (1, "alpha beta"), (2, "a b"), (3, None)),
+        keys=("doc_id",),
+    )
+    idx = SearchIndex.create(spark, str(tmp_path / "idx"), base)
+    assert {r.doc_id for r in idx.doclen.read().collect()} == {1}
+    # an update INTO token-lessness removes the doclen row
+    base.update(F.col("doc_id") == 1, {"text": F.lit("x y")})
+    idx.refresh()
+    assert idx.doclen.read().count() == 0
+    assert idx.postings.read().count() == 0

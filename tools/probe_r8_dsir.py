@@ -77,19 +77,12 @@ def index_probe() -> None:
     print("|---|---|---|---|")
     for copies in (1, 10):
         tmp = tempfile.mkdtemp(prefix=f"sidx{copies}x_")
-        d = load_tables(spark, SF_DIR, ("documents",))["documents"].select(
+        # same key-offset replication harness as every other probe
+        replicate(spark, SF_DIR, tmp, {"documents": ["doc_id"]},
+                  copies=copies)
+        d = load_tables(spark, tmp, ("documents",))["documents"].select(
             "doc_id", "text", "source"
         )
-        if copies > 1:
-            mx = d.agg(F.max("doc_id")).head()[0] + 1
-            parts = [
-                d.withColumn("doc_id", F.col("doc_id") + F.lit(i * mx))
-                for i in range(copies)
-            ]
-            out = parts[0]
-            for p in parts[1:]:
-                out = out.unionByName(p)
-            d = out
         base = CowTable.create(
             spark, f"{tmp}/docs", d, keys=("doc_id",), target_files=16
         )
