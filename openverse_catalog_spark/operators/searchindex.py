@@ -169,26 +169,48 @@ class SearchIndex:
         current snapshot, then the feed resumes from there — the same
         protocol the incremental MVs follow."""
         st = self._state()
+        applied = int(st["applied"])
         replayed = False
         if "pending" in st:
-            # finish (or redo) the torn span before anything newer
-            self._apply_span(int(st["applied"]), int(st["pending"]))
-            self._write_state(int(st["pending"]))
-            st = self._state()
+            # finish (or redo) the torn span before anything newer.
+            # The pending span itself may have been vacuumed away
+            # (including by a crash DURING a resync, whose pending span
+            # is vacuumed by definition) — fall back to resyncing at
+            # the CURRENT head, which covers the torn span and
+            # everything after it
+            pend = int(st["pending"])
+            try:
+                self._apply_span(applied, pend)
+            except ValueError:
+                head = self.base.version
+                self._full_resync(head)
+                self._write_state(head)
+                return {
+                    "applied": head, "refreshed": True, "resync": True,
+                }
+            self._write_state(pend)
+            applied = pend
             replayed = True
-        applied = int(st["applied"])
         head = self.base.version
         if head <= applied:
             return {"applied": applied, "refreshed": replayed}
         self._write_state(applied, pending=head)
+        resynced = False
         try:
             self._apply_span(applied, head)
         except ValueError:
             # feed span vacuumed away: resync from the snapshot the
             # head pins, then resume incrementally from there
             self._full_resync(head)
+            resynced = True
         self._write_state(head)
-        return {"applied": head, "refreshed": True, "from": applied}
+        out = {"applied": head, "refreshed": True, "from": applied}
+        if resynced:
+            # an O(corpus) rebuild, not an O(churn) feed apply — the
+            # caller's monitoring must be able to tell (the consumer
+            # fell behind the base's CDF retention)
+            out["resync"] = True
+        return out
 
     def _apply_span(self, from_v: int, to_v: int) -> None:
         feed = self.base.read_changes(from_v, to_v)

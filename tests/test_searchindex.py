@@ -217,3 +217,28 @@ def test_doclen_excludes_tokenless_and_null_docs(spark, tmp_path):
     idx.refresh()
     assert idx.doclen.read().count() == 0
     assert idx.postings.read().count() == 0
+
+
+def test_vacuumed_pending_span_resyncs_instead_of_wedging(spark, tmp_path):
+    """A crash leaves a pending span; the base then advances AND
+    vacuums past it. The replay path must fall back to a full resync
+    at the current head (and say so), not raise forever."""
+    base = CowTable.create(
+        spark, str(tmp_path / "docs"), mk_docs(spark, (1, "alpha")),
+        keys=("doc_id",),
+    )
+    idx = SearchIndex.create(spark, str(tmp_path / "idx"), base)
+    base.update(F.col("doc_id") == 1, {"text": F.lit("bravo")})
+    # crash before the merges: pending recorded, nothing applied
+    idx._write_state(1, pending=base.version)
+    base.update(F.col("doc_id") == 1, {"text": F.lit("charlie")})
+    base.merge(mk_docs(spark, (2, "delta echo")), COLS)
+    base.vacuum(keep_versions=1, retention_seconds=0)
+    r = idx.refresh()
+    assert r.get("resync") is True and r["refreshed"]
+    _assert_index_matches_base(idx, base)
+    # recovered: subsequent refreshes are incremental again
+    base.update(F.col("doc_id") == 2, {"text": F.lit("foxtrot")})
+    r2 = idx.refresh()
+    assert r2["refreshed"] and "resync" not in r2
+    _assert_index_matches_base(idx, base)
