@@ -2670,7 +2670,13 @@ class CowTable:
                 # cast.isNull() stays as a cross-version backstop only.
                 bits = int_width[w] * 8
                 if h in int_width:
-                    bad_val = cast.cast(h) != F.col(c)
+                    # range compare in the SOURCE integral domain —
+                    # exact, and cheaper than a cast-roundtrip (one
+                    # comparison pair per row instead of two casts)
+                    bad_val = (
+                        (F.col(c) > F.lit(2 ** (bits - 1) - 1))
+                        | (F.col(c) < F.lit(-(2 ** (bits - 1))))
+                    )
                 elif isinstance(h, T.DecimalType):
                     # compare the TRUNCATED value (sign-aware floor/
                     # ceil — exact on decimals, and trunc-toward-zero
