@@ -173,47 +173,51 @@ class SearchIndex:
         replayed = False
         if "pending" in st:
             # finish (or redo) the torn span before anything newer.
-            # The pending span itself may have been vacuumed away
-            # (including by a crash DURING a resync, whose pending span
-            # is vacuumed by definition) — fall back to resyncing at
-            # the CURRENT head, which covers the torn span and
-            # everything after it
+            # ONLY the feed read is guarded: a vacuumed pending span
+            # (including one torn by a crash DURING a resync) skips the
+            # replay and falls through — the main span below is a
+            # superset, so its feed read raises the same way and the
+            # single resync path handles it. Merge-side errors
+            # (constraints, config) propagate — they are not retention
+            # misses and must never be papered over by a rebuild.
             pend = int(st["pending"])
-            try:
-                self._apply_span(applied, pend)
-            except ValueError:
-                head = self.base.version
-                self._full_resync(head)
-                self._write_state(head)
-                return {
-                    "applied": head, "refreshed": True, "resync": True,
-                }
-            self._write_state(pend)
-            applied = pend
-            replayed = True
+            feed = self._try_feed(applied, pend)
+            if feed is not None:
+                self._apply_feed(feed, pend)
+                self._write_state(pend)
+                applied = pend
+                replayed = True
         head = self.base.version
         if head <= applied:
             return {"applied": applied, "refreshed": replayed}
         self._write_state(applied, pending=head)
-        resynced = False
-        try:
-            self._apply_span(applied, head)
-        except ValueError:
-            # feed span vacuumed away: resync from the snapshot the
-            # head pins, then resume incrementally from there
+        feed = self._try_feed(applied, head)
+        if feed is not None:
+            self._apply_feed(feed, head)
+        else:
+            # feed span vacuumed away (the consumer fell behind CDF
+            # retention): resync from the snapshot the head pins, then
+            # resume incrementally from there
             self._full_resync(head)
-            resynced = True
         self._write_state(head)
         out = {"applied": head, "refreshed": True, "from": applied}
-        if resynced:
+        if feed is None:
             # an O(corpus) rebuild, not an O(churn) feed apply — the
-            # caller's monitoring must be able to tell (the consumer
-            # fell behind the base's CDF retention)
+            # caller's monitoring must be able to tell
             out["resync"] = True
         return out
 
-    def _apply_span(self, from_v: int, to_v: int) -> None:
-        feed = self.base.read_changes(from_v, to_v)
+    def _try_feed(self, from_v: int, to_v: int):
+        """The base's change feed for the span, or None if retention
+        already dropped part of it (read_changes resolves the span's
+        manifests eagerly, so the miss surfaces HERE, never from the
+        downstream merges)."""
+        try:
+            return self.base.read_changes(from_v, to_v)
+        except ValueError:
+            return None
+
+    def _apply_feed(self, feed: DataFrame, to_v: int) -> None:
         idc, txc = self.id_col, self.text_col
 
         # net transition per dirty doc over the span:

@@ -49,6 +49,7 @@ def main() -> None:
     print("|---|---|---|---|---|")
     for name, committed, cold in FLAGS:
         fn = QUERIES[name]
+        fn(spark, SF_DIR).count()  # per-query warm-up, not timed
         walls = []
         for _ in range(3):
             t0 = time.time()
