@@ -202,6 +202,7 @@ HEADLINE = [
     "sample_dsir_select",
     "sample_dsir_incremental",
     "search_index_bm25",
+    "sql_search_index",
 ]
 
 

@@ -423,9 +423,7 @@ def search_hybrid_rrf(spark, sf_dir):
     return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(20)
 
 
-@register(
-    "search_index_bm25",
-    f"""
+_SIDX_ORACLE = f"""
     WITH final AS (
       SELECT doc_id,
              CASE WHEN doc_id % 17 = 0
@@ -465,7 +463,12 @@ def search_hybrid_rrf(spark, sf_dir):
     )
     SELECT doc_id, round(score, 6) AS score
     FROM scored ORDER BY round(score, 6) DESC, doc_id LIMIT 20
-    """,
+    """
+
+
+@register(
+    "search_index_bm25",
+    _SIDX_ORACLE,
 )
 def search_index_bm25(spark, sf_dir):
     """BM25 served from an INCREMENTALLY-MAINTAINED inverted index —
@@ -521,3 +524,55 @@ def search_index_bm25(spark, sf_dir):
     base.merge(newdocs, cols)
     idx.refresh()
     return idx.bm25(["join", "hash", "vector", "spark"], 20)
+
+
+@register(
+    "sql_search_index",
+    _SIDX_ORACLE,
+)
+def sql_search_index(spark, sf_dir):
+    """The search-index lifecycle as pure facade text: ``CREATE SEARCH
+    INDEX`` over a CTAS'd documents table, the SAME churn as
+    search_index_bm25 applied via DELETE / UPDATE / INSERT statements,
+    ``REFRESH SEARCH INDEX`` (O(changed docs), result row carries the
+    resync flag), and the inline ``SEARCH_INDEX('idx', 'terms', k)``
+    relation — the reference's index handoff as five SQL statements.
+    Shares search_index_bm25's oracle: the SQL surface must produce the
+    byte-same top-20 as the API surface and the from-scratch scan."""
+    import os
+    import shutil
+    import tempfile
+
+    from openverse_catalog_spark.sql_facade import SqlFacade
+
+    f = SqlFacade(spark)
+    f.register_df("documents", _t(spark, sf_dir, "documents")["documents"])
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_sql_sidx")
+    shutil.rmtree(base, ignore_errors=True)
+    f.sql(
+        "CREATE TABLE docs PRIMARY KEY (doc_id) "
+        f"LOCATION '{base}/docs' AS "
+        "SELECT doc_id, text, source FROM documents"
+    )
+    f.sql(
+        "CREATE SEARCH INDEX idx ON docs (text) "
+        f"LOCATION '{base}/idx'"
+    )
+    f.sql("DELETE FROM docs WHERE source = 'src4'")
+    f.sql(
+        "UPDATE docs SET text = text || ' spark vector hash join' "
+        "WHERE doc_id % 17 = 0"
+    )
+    f.sql(
+        "INSERT INTO docs "
+        "SELECT 100000 + id AS doc_id, "
+        "concat('spark hash join vector quantum flux ', "
+        "repeat('pad ', CAST(id AS INT))) AS text, "
+        "'srcX' AS source FROM range(0, 5)"
+    )
+    r = f.sql("REFRESH SEARCH INDEX idx").head()
+    assert r["refreshed"] and not r["resync"], r
+    return f.sql(
+        "SELECT doc_id, score "
+        "FROM SEARCH_INDEX('idx', 'join hash vector spark', 20)"
+    )

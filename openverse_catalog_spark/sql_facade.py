@@ -209,6 +209,21 @@ _VACUUM = re.compile(
 _TRUNCATE = re.compile(
     r"^\s*TRUNCATE\s+TABLE\s+(\w+)\s*$", re.IGNORECASE
 )
+_CREATE_SIDX = re.compile(
+    r"^\s*CREATE\s+SEARCH\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s*\(\s*(\w+)\s*\)"
+    r"(?:\s+LOCATION\s+'([^']+)')?\s*$",
+    re.IGNORECASE,
+)
+_REFRESH_SIDX = re.compile(
+    r"^\s*REFRESH\s+SEARCH\s+INDEX\s+(\w+)\s*$", re.IGNORECASE
+)
+_DROP_SIDX = re.compile(
+    r"^\s*DROP\s+SEARCH\s+INDEX\s+(\w+)\s*$", re.IGNORECASE
+)
+_SEARCH_TVF = re.compile(
+    r"\bSEARCH_INDEX\s*\(\s*'(\w+)'\s*,\s*'([^']+)'\s*,\s*(\d+)\s*\)",
+    re.IGNORECASE,
+)
 _SHOW_CREATE = re.compile(
     r"^\s*SHOW\s+CREATE\s+TABLE\s+(\w+)\s*$", re.IGNORECASE
 )
@@ -402,6 +417,7 @@ class SqlFacade:
         # identity; re-registers when either half changes
         self._head_version: dict[str, tuple[int, bool]] = {}
         self._mvs: dict = {}
+        self._sidx: dict = {}
         self._catalog = None
         self._catalog_names: set[str] = set()
         self._txn = None
@@ -605,6 +621,28 @@ class SqlFacade:
             _live_tombstones(ts).createOrReplaceTempView(view)
             return view
 
+        def search_of(match: re.Match) -> str:
+            # SEARCH_INDEX('idx', 'space separated terms', k): top-k
+            # BM25 served from the named index's postings (term-range
+            # file pruning; the corpus is never tokenized at query
+            # time) as an inline relation (doc_id, score)
+            name, terms_text, k = match.groups()
+            if name not in self._sidx:
+                raise ValueError(
+                    f"{name!r} is not a registered search index "
+                    f"(have: {sorted(self._sidx)}); CREATE SEARCH "
+                    "INDEX first"
+                )
+            terms = [t for t in terms_text.split() if t]
+            if not terms:
+                raise ValueError("SEARCH_INDEX needs >= 1 term")
+            view = f"{name}__search_{abs(hash((terms_text, k)))}"
+            self._sidx[name].bm25(terms, int(k)).createOrReplaceTempView(
+                view
+            )
+            return view
+
+        text = _SEARCH_TVF.sub(search_of, text)
         text = _TABLE_CHANGES.sub(changes_of, text)
         text = _TABLE_FILES.sub(files_of, text)
         text = _TABLE_PARTITIONS.sub(partitions_of, text)
@@ -656,6 +694,44 @@ class SqlFacade:
             "has_tombstones boolean, tombstones long, "
             "tombstone_horizon string, stats_version long, "
             "stats_lag long",
+        )
+
+    def _create_search_index(self, m: re.Match) -> DataFrame:
+        """``CREATE SEARCH INDEX i ON t (text_col) [LOCATION '...']`` —
+        builds the CDF-maintained inverted index (operators/
+        searchindex.py) over a registered lake table's current
+        snapshot; ``REFRESH SEARCH INDEX i`` advances it O(changed
+        docs) and ``SEARCH_INDEX('i', 'terms', k)`` queries it inline.
+        The Spark-native replacement for the reference's external
+        Elasticsearch handoff, as facade text."""
+        from openverse_catalog_spark.operators.searchindex import (
+            SearchIndex,
+        )
+
+        name, tbl, col, location = m.groups()
+        if name in self._sidx:
+            raise ValueError(f"search index {name!r} already exists")
+        if tbl not in self._tables:
+            raise ValueError(
+                f"{tbl!r} is not a registered lake table "
+                f"(have: {sorted(self._tables)})"
+            )
+        base = self._tables[tbl]
+        if len(base.keys) != 1:
+            raise ValueError(
+                "search indexes need a single-column document key; "
+                f"{tbl!r} is keyed {base.keys}"
+            )
+        if col not in base.read().columns:
+            raise ValueError(f"{tbl!r} has no column {col!r}")
+        root = self._resolve_new_root(name, location, "CREATE SEARCH INDEX")
+        idx = SearchIndex.create(
+            self.spark, root, base, id_col=base.keys[0], text_col=col
+        )
+        self._sidx[name] = idx
+        return self.spark.createDataFrame(
+            [(name, tbl, idx.applied_version)],
+            "index string, table string, applied long",
         )
 
     def _show_create(self, name: str) -> DataFrame:
@@ -1071,6 +1147,26 @@ class SqlFacade:
         m = _SHOW_CREATE.match(text)
         if m and m.group(1) in self._tables:
             return self._show_create(m.group(1))
+        m = _CREATE_SIDX.match(text)
+        if m:
+            return self._create_search_index(m)
+        m = _REFRESH_SIDX.match(text)
+        if m and m.group(1) in self._sidx:
+            r = self._sidx[m.group(1)].refresh()
+            return self.spark.createDataFrame(
+                [(int(r["applied"]), bool(r["refreshed"]),
+                  bool(r.get("resync", False)))],
+                "applied long, refreshed boolean, resync boolean",
+            )
+        m = _DROP_SIDX.match(text)
+        if m and m.group(1) in self._sidx:
+            import shutil
+
+            idx = self._sidx.pop(m.group(1))
+            shutil.rmtree(idx.root, ignore_errors=True)
+            return self.spark.createDataFrame(
+                [(m.group(1),)], "dropped string"
+            )
         if _BEGIN_TXN.match(text):
             if self._catalog is None:
                 raise ValueError("BEGIN TRANSACTION needs attach_catalog()")

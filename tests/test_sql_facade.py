@@ -1984,3 +1984,47 @@ def test_conform_width_subword_and_boundary_fractions(spark, tmp_path):
             F.col("fid") == "3",
             {"grp": F.expr("CAST('NaN' AS DOUBLE)")},
         )
+
+
+def test_facade_search_index_statements(spark, tmp_path):
+    """CREATE/REFRESH/DROP SEARCH INDEX + the inline SEARCH_INDEX
+    relation: results come from postings, refresh is incremental, and
+    guards catch unknown indexes/tables and multi-key bases."""
+    f = SqlFacade(spark, workdir=str(tmp_path))
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta delta"), (3, "alpha alpha")],
+        "doc_id long, text string",
+    )
+    f.register_df("src", docs)
+    f.sql("CREATE TABLE docs PRIMARY KEY (doc_id) AS SELECT * FROM src")
+    r = f.sql("CREATE SEARCH INDEX si ON docs (text)").collect()[0]
+    assert r["index"] == "si" and r["table"] == "docs"
+    got = {
+        r["doc_id"]
+        for r in f.sql(
+            "SELECT doc_id FROM SEARCH_INDEX('si', 'alpha', 10)"
+        ).collect()
+    }
+    assert got == {1, 3}
+    # churn + refresh: doc 2 gains alpha, doc 3 loses it
+    f.sql("UPDATE docs SET text = 'alpha beta' WHERE doc_id = 2")
+    f.sql("UPDATE docs SET text = 'zeta' WHERE doc_id = 3")
+    rr = f.sql("REFRESH SEARCH INDEX si").collect()[0]
+    assert rr["refreshed"] and not rr["resync"]
+    got = {
+        r["doc_id"]
+        for r in f.sql(
+            "SELECT doc_id FROM SEARCH_INDEX('si', 'alpha', 10)"
+        ).collect()
+    }
+    assert got == {1, 2}
+    with pytest.raises(ValueError, match="not a registered search index"):
+        f.sql("SELECT * FROM SEARCH_INDEX('nope', 'alpha', 5)")
+    with pytest.raises(ValueError, match="not a registered lake table"):
+        f.sql("CREATE SEARCH INDEX s2 ON ghost (text)")
+    f.sql("DROP SEARCH INDEX si")
+    import os
+
+    assert not os.path.exists(str(tmp_path / "si"))
+    with pytest.raises(ValueError, match="not a registered search index"):
+        f.sql("SELECT * FROM SEARCH_INDEX('si', 'alpha', 5)")
