@@ -108,12 +108,16 @@ class SearchIndex:
         id_col: str = "doc_id",
         text_col: str = "text",
         target_files: int = 8,
+        version: int | None = None,
     ) -> "SearchIndex":
-        """Build the index from the base's CURRENT snapshot (pin the
-        version FIRST so a concurrent base write between the two scans
-        cannot tear the build)."""
+        """Build the index from a base snapshot (pin the version FIRST
+        so a concurrent base write between the two scans cannot tear
+        the build). ``version`` overrides the raw head — a catalog-
+        managed base must pass its PINNED version, or the index would
+        tokenize an unpublished (possibly aborted) head no catalog
+        reader sees."""
         idx = cls(spark, root, base, id_col, text_col)
-        v = base.version
+        v = base.version if version is None else int(version)
         snap = base.read(v)
         CowTable.create(
             spark, idx.postings.root,
@@ -126,6 +130,26 @@ class SearchIndex:
             keys=("doc_id",), target_files=max(2, target_files // 2),
         )
         idx._write_state(v)
+        return idx
+
+    @classmethod
+    def open(
+        cls,
+        spark: SparkSession,
+        root: str,
+        base: CowTable,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> "SearchIndex":
+        """Attach an EXISTING persisted index (a new session resuming
+        O(churn) maintenance — the whole point of persisting it).
+        Validates the root actually holds one."""
+        idx = cls(spark, root, base, id_col, text_col)
+        if not os.path.exists(f"{idx.root}/state.json"):
+            raise ValueError(
+                f"{root!r} holds no search index (no state.json); "
+                "build one with SearchIndex.create"
+            )
         return idx
 
     # -- state ------------------------------------------------------------
@@ -149,9 +173,11 @@ class SearchIndex:
 
     # -- maintenance --------------------------------------------------------
 
-    def refresh(self) -> dict:
-        """Advance the index to the base's current version from the
-        change feed. O(changed docs): the feed is the manifest diff,
+    def refresh(self, to_version: int | None = None) -> dict:
+        """Advance the index to the base's current version (or the
+        given ``to_version`` — a catalog-managed base passes its PINNED
+        version so unpublished/aborted heads never leak into query
+        results) from the change feed. O(changed docs): the feed is the manifest diff,
         old postings come from feed PRE-IMAGES (never an index scan),
         and the reconciling merges file-skip on their key ranges.
 
@@ -187,7 +213,7 @@ class SearchIndex:
                 self._write_state(pend)
                 applied = pend
                 replayed = True
-        head = self.base.version
+        head = self.base.version if to_version is None else int(to_version)
         if head <= applied:
             return {"applied": applied, "refreshed": replayed}
         self._write_state(applied, pending=head)

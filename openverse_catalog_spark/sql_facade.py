@@ -210,8 +210,8 @@ _TRUNCATE = re.compile(
     r"^\s*TRUNCATE\s+TABLE\s+(\w+)\s*$", re.IGNORECASE
 )
 _CREATE_SIDX = re.compile(
-    r"^\s*CREATE\s+SEARCH\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s*\(\s*(\w+)\s*\)"
-    r"(?:\s+LOCATION\s+'([^']+)')?\s*$",
+    r"^\s*(CREATE|ATTACH)\s+SEARCH\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s*"
+    r"\(\s*(\w+)\s*\)(?:\s+LOCATION\s+'([^']+)')?\s*$",
     re.IGNORECASE,
 )
 _REFRESH_SIDX = re.compile(
@@ -418,6 +418,7 @@ class SqlFacade:
         self._head_version: dict[str, tuple[int, bool]] = {}
         self._mvs: dict = {}
         self._sidx: dict = {}
+        self._sidx_views: dict[str, set] = {}
         self._catalog = None
         self._catalog_names: set[str] = set()
         self._txn = None
@@ -640,6 +641,7 @@ class SqlFacade:
             self._sidx[name].bm25(terms, int(k)).createOrReplaceTempView(
                 view
             )
+            self._sidx_views.setdefault(name, set()).add(view)
             return view
 
         text = _SEARCH_TVF.sub(search_of, text)
@@ -696,19 +698,33 @@ class SqlFacade:
             "stats_lag long",
         )
 
+    def _sidx_pin(self, name: str) -> int | None:
+        """The version the index may advance to: catalog-managed bases
+        stop at the catalog PIN (an unpublished/aborted head must never
+        leak into search results); plain tables follow the raw head."""
+        base_root = self._sidx[name].base.root
+        for tbl in self._catalog_names:
+            if self._tables[tbl].root == base_root:
+                return int(self._catalog._entry(tbl)["version"])
+        return None
+
     def _create_search_index(self, m: re.Match) -> DataFrame:
         """``CREATE SEARCH INDEX i ON t (text_col) [LOCATION '...']`` —
         builds the CDF-maintained inverted index (operators/
-        searchindex.py) over a registered lake table's current
-        snapshot; ``REFRESH SEARCH INDEX i`` advances it O(changed
-        docs) and ``SEARCH_INDEX('i', 'terms', k)`` queries it inline.
-        The Spark-native replacement for the reference's external
+        searchindex.py) over a registered lake table's snapshot (the
+        catalog PIN when the table is catalog-managed — same aborted-
+        head rule as SHALLOW CLONE); ``ATTACH SEARCH INDEX`` reopens a
+        persisted one in a new session (LOCATION required);
+        ``REFRESH SEARCH INDEX i`` advances it O(changed docs) and
+        ``SEARCH_INDEX('i', 'terms', k)`` queries it inline. The
+        Spark-native replacement for the reference's external
         Elasticsearch handoff, as facade text."""
         from openverse_catalog_spark.operators.searchindex import (
             SearchIndex,
         )
 
-        name, tbl, col, location = m.groups()
+        verb, name, tbl, col, location = m.groups()
+        attach = verb.upper() == "ATTACH"
         if name in self._sidx:
             raise ValueError(f"search index {name!r} already exists")
         if tbl not in self._tables:
@@ -716,6 +732,7 @@ class SqlFacade:
                 f"{tbl!r} is not a registered lake table "
                 f"(have: {sorted(self._tables)})"
             )
+        self._refuse_create_in_txn()
         base = self._tables[tbl]
         if len(base.keys) != 1:
             raise ValueError(
@@ -724,10 +741,27 @@ class SqlFacade:
             )
         if col not in base.read().columns:
             raise ValueError(f"{tbl!r} has no column {col!r}")
-        root = self._resolve_new_root(name, location, "CREATE SEARCH INDEX")
-        idx = SearchIndex.create(
-            self.spark, root, base, id_col=base.keys[0], text_col=col
-        )
+        if attach:
+            if not location:
+                raise ValueError(
+                    "ATTACH SEARCH INDEX needs LOCATION '<dir>'"
+                )
+            idx = SearchIndex.open(
+                self.spark, location, base,
+                id_col=base.keys[0], text_col=col,
+            )
+        else:
+            root = self._resolve_new_root(
+                name, location, "CREATE SEARCH INDEX"
+            )
+            pin = (
+                int(self._catalog._entry(tbl)["version"])
+                if tbl in self._catalog_names else None
+            )
+            idx = SearchIndex.create(
+                self.spark, root, base,
+                id_col=base.keys[0], text_col=col, version=pin,
+            )
         self._sidx[name] = idx
         return self.spark.createDataFrame(
             [(name, tbl, idx.applied_version)],
@@ -1152,7 +1186,18 @@ class SqlFacade:
             return self._create_search_index(m)
         m = _REFRESH_SIDX.match(text)
         if m and m.group(1) in self._sidx:
-            r = self._sidx[m.group(1)].refresh()
+            if self._txn is not None:
+                # txn writes advance the base's raw version chain
+                # before COMMIT publishes them; refreshing here would
+                # leak uncommitted postings that survive ROLLBACK
+                raise ValueError(
+                    "REFRESH SEARCH INDEX inside an explicit "
+                    "transaction is not supported; COMMIT or ROLLBACK "
+                    "first"
+                )
+            r = self._sidx[m.group(1)].refresh(
+                to_version=self._sidx_pin(m.group(1))
+            )
             return self.spark.createDataFrame(
                 [(int(r["applied"]), bool(r["refreshed"]),
                   bool(r.get("resync", False)))],
@@ -1162,10 +1207,16 @@ class SqlFacade:
         if m and m.group(1) in self._sidx:
             import shutil
 
-            idx = self._sidx.pop(m.group(1))
+            name = m.group(1)
+            idx = self._sidx.pop(name)
+            # drop the inline-query views FIRST: a view over rmtree'd
+            # parquet fails with FileNotFound instead of the facade's
+            # clear unknown-index error
+            for view in self._sidx_views.pop(name, ()):
+                self.spark.catalog.dropTempView(view)
             shutil.rmtree(idx.root, ignore_errors=True)
             return self.spark.createDataFrame(
-                [(m.group(1),)], "dropped string"
+                [(name,)], "dropped string"
             )
         if _BEGIN_TXN.match(text):
             if self._catalog is None:

@@ -2028,3 +2028,95 @@ def test_facade_search_index_statements(spark, tmp_path):
     assert not os.path.exists(str(tmp_path / "si"))
     with pytest.raises(ValueError, match="not a registered search index"):
         f.sql("SELECT * FROM SEARCH_INDEX('si', 'alpha', 5)")
+
+
+def test_facade_search_index_guards_and_attach(spark, tmp_path):
+    """Multi-key and unknown-column guards fire; ATTACH reopens a
+    persisted index in a NEW facade session and resumes O(churn)
+    refresh instead of forcing a rebuild."""
+    f = SqlFacade(spark, workdir=str(tmp_path / "w1"))
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "doc_id long, text string"
+    )
+    f.register_df("src", docs)
+    f.sql("CREATE TABLE docs PRIMARY KEY (doc_id) AS SELECT * FROM src")
+    f.sql(
+        "CREATE TABLE two PRIMARY KEY (doc_id, text) AS SELECT * FROM src"
+    )
+    with pytest.raises(ValueError, match="single-column document key"):
+        f.sql("CREATE SEARCH INDEX s ON two (text)")
+    with pytest.raises(ValueError, match="no column"):
+        f.sql("CREATE SEARCH INDEX s ON docs (ghost)")
+    f.sql("CREATE SEARCH INDEX si ON docs (text)")
+    idx_root = f._sidx["si"].root
+    base = f._tables["docs"]
+
+    # a NEW session: attach instead of rebuild
+    f2 = SqlFacade(spark)
+    f2.register_table(
+        "docs", base,
+        columns=f2._specs_from_schema(base.read().schema, base.keys),
+    )
+    with pytest.raises(ValueError, match="LOCATION"):
+        f2.sql("ATTACH SEARCH INDEX si ON docs (text)")
+    f2.sql(f"ATTACH SEARCH INDEX si ON docs (text) LOCATION '{idx_root}'")
+    got = {r["doc_id"] for r in f2.sql(
+        "SELECT doc_id FROM SEARCH_INDEX('si', 'alpha', 10)"
+    ).collect()}
+    assert got == {1}
+    f2.sql("UPDATE docs SET text = 'alpha delta' WHERE doc_id = 2")
+    assert f2.sql("REFRESH SEARCH INDEX si").collect()[0]["refreshed"]
+    got = {r["doc_id"] for r in f2.sql(
+        "SELECT doc_id FROM SEARCH_INDEX('si', 'alpha', 10)"
+    ).collect()}
+    assert got == {1, 2}
+    # attaching garbage fails with the named error
+    with pytest.raises(ValueError, match="no search index"):
+        f2.sql(
+            "ATTACH SEARCH INDEX sx ON docs (text) "
+            f"LOCATION '{tmp_path / 'nothing'}'"
+        )
+
+
+def test_facade_search_index_respects_catalog_pins(spark, tmp_path):
+    """On a catalog-managed base the index pins like every reader:
+    CREATE uses the catalog pin, REFRESH refuses inside an open txn and
+    never consumes a rolled-back head; a published txn's rows arrive on
+    the next refresh."""
+    from openverse_catalog_spark.operators.catalog import LakeCatalog
+
+    cat = LakeCatalog.create(spark, str(tmp_path / "cat"))
+    f = SqlFacade(spark, workdir=str(tmp_path / "w"))
+    f.attach_catalog(cat)
+    f.register_df(
+        "src",
+        spark.createDataFrame(
+            [(1, "alpha beta"), (2, "gamma delta")],
+            "doc_id long, text string",
+        ),
+    )
+    f.sql("CREATE TABLE docs PRIMARY KEY (doc_id) AS SELECT * FROM src")
+    f.sql("CREATE SEARCH INDEX si ON docs (text)")
+    # an ABORTED txn advances the raw head; the index must never see it
+    f.sql("BEGIN")
+    f.sql("UPDATE docs SET text = 'poison apple' WHERE doc_id = 1")
+    with pytest.raises(ValueError, match="inside an explicit"):
+        f.sql("REFRESH SEARCH INDEX si")
+    with pytest.raises(ValueError, match="not supported"):
+        f.sql("CREATE SEARCH INDEX s2 ON docs (text)")
+    f.sql("ROLLBACK")
+    r = f.sql("REFRESH SEARCH INDEX si").collect()[0]
+    assert not r["refreshed"]  # pin unchanged; aborted head invisible
+    got = {x["doc_id"] for x in f.sql(
+        "SELECT doc_id FROM SEARCH_INDEX('si', 'poison', 10)"
+    ).collect()}
+    assert got == set()
+    # a PUBLISHED txn's rows arrive on the next refresh
+    f.sql("BEGIN")
+    f.sql("UPDATE docs SET text = 'alpha poison' WHERE doc_id = 2")
+    f.sql("COMMIT")
+    assert f.sql("REFRESH SEARCH INDEX si").collect()[0]["refreshed"]
+    got = {x["doc_id"] for x in f.sql(
+        "SELECT doc_id FROM SEARCH_INDEX('si', 'poison', 10)"
+    ).collect()}
+    assert got == {2}
