@@ -143,12 +143,25 @@ class SearchIndex:
     ) -> "SearchIndex":
         """Attach an EXISTING persisted index (a new session resuming
         O(churn) maintenance — the whole point of persisting it).
-        Validates the root actually holds one."""
+        Validates the root holds one AND that it was built from THIS
+        base table and these columns — binding a persisted index to a
+        different table or column would serve wrong results and then
+        corrupt the index at the first refresh."""
         idx = cls(spark, root, base, id_col, text_col)
         if not os.path.exists(f"{idx.root}/state.json"):
             raise ValueError(
                 f"{root!r} holds no search index (no state.json); "
                 "build one with SearchIndex.create"
+            )
+        st = idx._state()
+        want = {
+            "base_root": base.root, "id_col": id_col, "text_col": text_col,
+        }
+        got = {k: st.get(k) for k in want}
+        if got != want:
+            raise ValueError(
+                f"search index at {root!r} was built over {got}, not "
+                f"{want}; attach it to the table/columns it indexes"
             )
         return idx
 
@@ -163,7 +176,14 @@ class SearchIndex:
             return json.load(fh)
 
     def _write_state(self, applied: int, pending: int | None = None) -> None:
-        st = {"applied": int(applied)}
+        # identity metadata rides along so open() can verify an ATTACH
+        # binds the index to the table/columns it was built from
+        st = {
+            "applied": int(applied),
+            "base_root": self.base.root,
+            "id_col": self.id_col,
+            "text_col": self.text_col,
+        }
         if pending is not None:
             st["pending"] = int(pending)
         tmp = f"{self.root}/.tmp.state.json"
@@ -207,6 +227,20 @@ class SearchIndex:
             # (constraints, config) propagate — they are not retention
             # misses and must never be papered over by a rebuild.
             pend = int(st["pending"])
+            if to_version is not None and pend > int(to_version):
+                # a recorded span past the caller's cap means the index
+                # was advanced OUTSIDE this discipline (e.g. a raw-API
+                # refresh of a catalog-managed base, whose head can
+                # carry unpublished versions); the span end is fixed by
+                # its txn fence, so it cannot be partially applied —
+                # refuse loudly instead of replaying data the cap
+                # exists to exclude
+                raise ValueError(
+                    f"pending span ends at v{pend}, past the requested "
+                    f"cap v{int(to_version)}; the index was refreshed "
+                    "outside the cap's discipline — finish it with an "
+                    "uncapped refresh() or rebuild the index"
+                )
             feed = self._try_feed(applied, pend)
             if feed is not None:
                 self._apply_feed(feed, pend)

@@ -698,14 +698,23 @@ class SqlFacade:
             "stats_lag long",
         )
 
+    def _catalog_pin(self, tbl: str) -> int | None:
+        """The catalog-pinned version of a table name, or None for a
+        plain (non-catalog) registration — THE rule for what a search
+        index may see, shared by CREATE and REFRESH."""
+        if tbl in self._catalog_names:
+            return int(self._catalog._entry(tbl)["version"])
+        return None
+
     def _sidx_pin(self, name: str) -> int | None:
-        """The version the index may advance to: catalog-managed bases
-        stop at the catalog PIN (an unpublished/aborted head must never
-        leak into search results); plain tables follow the raw head."""
+        """The version index ``name`` may advance to: catalog-managed
+        bases stop at the catalog PIN (an unpublished/aborted head must
+        never leak into search results); plain tables follow the raw
+        head."""
         base_root = self._sidx[name].base.root
         for tbl in self._catalog_names:
             if self._tables[tbl].root == base_root:
-                return int(self._catalog._entry(tbl)["version"])
+                return self._catalog_pin(tbl)
         return None
 
     def _create_search_index(self, m: re.Match) -> DataFrame:
@@ -739,7 +748,14 @@ class SqlFacade:
                 "search indexes need a single-column document key; "
                 f"{tbl!r} is keyed {base.keys}"
             )
-        if col not in base.read().columns:
+        pin = self._catalog_pin(tbl)
+        # validate against the snapshot that will actually be indexed
+        # (the pin): an orphaned raw head may have drifted schema
+        snap_cols = (
+            base.read(pin).columns if pin is not None
+            else base.read().columns
+        )
+        if col not in snap_cols:
             raise ValueError(f"{tbl!r} has no column {col!r}")
         if attach:
             if not location:
@@ -754,14 +770,18 @@ class SqlFacade:
             root = self._resolve_new_root(
                 name, location, "CREATE SEARCH INDEX"
             )
-            pin = (
-                int(self._catalog._entry(tbl)["version"])
-                if tbl in self._catalog_names else None
-            )
-            idx = SearchIndex.create(
-                self.spark, root, base,
-                id_col=base.keys[0], text_col=col, version=pin,
-            )
+            try:
+                idx = SearchIndex.create(
+                    self.spark, root, base,
+                    id_col=base.keys[0], text_col=col, version=pin,
+                )
+            except Exception:
+                # a failed build must not leave a husk directory that
+                # blocks the retry via the exists guard
+                import shutil
+
+                shutil.rmtree(root, ignore_errors=True)
+                raise
         self._sidx[name] = idx
         return self.spark.createDataFrame(
             [(name, tbl, idx.applied_version)],
@@ -1186,18 +1206,19 @@ class SqlFacade:
             return self._create_search_index(m)
         m = _REFRESH_SIDX.match(text)
         if m and m.group(1) in self._sidx:
-            if self._txn is not None:
-                # txn writes advance the base's raw version chain
-                # before COMMIT publishes them; refreshing here would
-                # leak uncommitted postings that survive ROLLBACK
+            pin = self._sidx_pin(m.group(1))
+            if self._txn is not None and pin is not None:
+                # a CATALOG base's txn writes advance the raw version
+                # chain before COMMIT publishes them; refreshing here
+                # would leak uncommitted postings that survive
+                # ROLLBACK. Plain-table bases commit immediately even
+                # inside a txn — nothing uncommitted exists to leak
                 raise ValueError(
-                    "REFRESH SEARCH INDEX inside an explicit "
-                    "transaction is not supported; COMMIT or ROLLBACK "
-                    "first"
+                    "REFRESH SEARCH INDEX on a catalog-managed base "
+                    "inside an explicit transaction is not supported; "
+                    "COMMIT or ROLLBACK first"
                 )
-            r = self._sidx[m.group(1)].refresh(
-                to_version=self._sidx_pin(m.group(1))
-            )
+            r = self._sidx[m.group(1)].refresh(to_version=pin)
             return self.spark.createDataFrame(
                 [(int(r["applied"]), bool(r["refreshed"]),
                   bool(r.get("resync", False)))],
@@ -1207,6 +1228,12 @@ class SqlFacade:
         if m and m.group(1) in self._sidx:
             import shutil
 
+            if self._txn is not None:
+                # rmtree is the one thing ROLLBACK can never undo
+                raise ValueError(
+                    "DROP SEARCH INDEX inside an explicit transaction "
+                    "is not supported; COMMIT or ROLLBACK first"
+                )
             name = m.group(1)
             idx = self._sidx.pop(name)
             # drop the inline-query views FIRST: a view over rmtree'd

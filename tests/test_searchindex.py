@@ -242,3 +242,45 @@ def test_vacuumed_pending_span_resyncs_instead_of_wedging(spark, tmp_path):
     r2 = idx.refresh()
     assert r2["refreshed"] and "resync" not in r2
     _assert_index_matches_base(idx, base)
+
+
+def test_open_verifies_index_identity(spark, tmp_path):
+    """ATTACH-style open refuses an index built over a different table
+    or column — binding the wrong pair would serve wrong results and
+    corrupt the index at the first refresh."""
+    base = CowTable.create(
+        spark, str(tmp_path / "docs"), mk_docs(spark, (1, "alpha")),
+        keys=("doc_id",),
+    )
+    other = CowTable.create(
+        spark, str(tmp_path / "other"), mk_docs(spark, (1, "beta")),
+        keys=("doc_id",),
+    )
+    idx = SearchIndex.create(spark, str(tmp_path / "idx"), base)
+    # correct identity reopens fine
+    re = SearchIndex.open(spark, idx.root, base)
+    assert re.applied_version == idx.applied_version
+    with pytest.raises(ValueError, match="built over"):
+        SearchIndex.open(spark, idx.root, other)
+    with pytest.raises(ValueError, match="built over"):
+        SearchIndex.open(spark, idx.root, base, text_col="body")
+
+
+def test_capped_refresh_refuses_overreaching_pending_span(spark, tmp_path):
+    """A pending span recorded past the caller's version cap (the
+    catalog-pin discipline) is refused loudly instead of replaying the
+    very versions the cap excludes."""
+    base = CowTable.create(
+        spark, str(tmp_path / "docs"), mk_docs(spark, (1, "alpha")),
+        keys=("doc_id",),
+    )
+    idx = SearchIndex.create(spark, str(tmp_path / "idx"), base)
+    base.update(F.col("doc_id") == 1, {"text": F.lit("bravo")})
+    # an uncapped (raw-API) refresh crashed mid-span at the raw head
+    idx._write_state(1, pending=base.version)
+    with pytest.raises(ValueError, match="past the requested cap"):
+        idx.refresh(to_version=1)
+    # the uncapped refresh it directs you to finishes the span
+    r = idx.refresh()
+    assert r["refreshed"]
+    _assert_index_matches_base(idx, base)
