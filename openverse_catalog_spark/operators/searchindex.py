@@ -155,9 +155,22 @@ class SearchIndex:
             )
         st = idx._state()
         want = {
-            "base_root": base.root, "id_col": id_col, "text_col": text_col,
+            "base_root": os.path.realpath(base.root),
+            "id_col": id_col,
+            "text_col": text_col,
         }
-        got = {k: st.get(k) for k in want}
+        got = {
+            "base_root": (
+                os.path.realpath(st["base_root"])
+                if st.get("base_root") is not None else None
+            ),
+            "id_col": st.get("id_col"),
+            "text_col": st.get("text_col"),
+        }
+        if any(v is None for v in got.values()):
+            # a pre-metadata state file: nothing to verify against; the
+            # next _write_state backfills the identity keys
+            return idx
         if got != want:
             raise ValueError(
                 f"search index at {root!r} was built over {got}, not "
@@ -238,8 +251,9 @@ class SearchIndex:
                 raise ValueError(
                     f"pending span ends at v{pend}, past the requested "
                     f"cap v{int(to_version)}; the index was refreshed "
-                    "outside the cap's discipline — finish it with an "
-                    "uncapped refresh() or rebuild the index"
+                    "outside the cap's discipline — rebuild it, or "
+                    "finish with an uncapped refresh() ONLY if every "
+                    "version in the span is published"
                 )
             feed = self._try_feed(applied, pend)
             if feed is not None:
@@ -248,6 +262,17 @@ class SearchIndex:
                 applied = pend
                 replayed = True
         head = self.base.version if to_version is None else int(to_version)
+        if to_version is not None and applied > int(to_version):
+            # the COMPLETED twin of the pending-past-cap case: an
+            # uncapped refresh already consumed versions the cap
+            # excludes (possibly aborted ones no catalog reader sees).
+            # Returning quietly would serve them indefinitely
+            raise ValueError(
+                f"index already applied v{applied}, past the requested "
+                f"cap v{int(to_version)}; it was refreshed outside the "
+                "cap's discipline — rebuild it (or re-create from the "
+                "capped snapshot) to restore pinned reads"
+            )
         if head <= applied:
             return {"applied": applied, "refreshed": replayed}
         self._write_state(applied, pending=head)

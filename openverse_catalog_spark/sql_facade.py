@@ -750,12 +750,9 @@ class SqlFacade:
             )
         pin = self._catalog_pin(tbl)
         # validate against the snapshot that will actually be indexed
-        # (the pin): an orphaned raw head may have drifted schema
-        snap_cols = (
-            base.read(pin).columns if pin is not None
-            else base.read().columns
-        )
-        if col not in snap_cols:
+        # (the pin; read(None) is the head, so one call covers both):
+        # an orphaned raw head may have drifted schema
+        if col not in base.read(pin).columns:
             raise ValueError(f"{tbl!r} has no column {col!r}")
         if attach:
             if not location:

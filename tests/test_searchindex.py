@@ -284,3 +284,42 @@ def test_capped_refresh_refuses_overreaching_pending_span(spark, tmp_path):
     r = idx.refresh()
     assert r["refreshed"]
     _assert_index_matches_base(idx, base)
+
+
+def test_capped_refresh_refuses_already_overreached_index(spark, tmp_path):
+    """The COMPLETED twin of the overreaching-pending case: an uncapped
+    refresh already consumed past-cap versions; a later capped refresh
+    must raise, not silently keep serving them."""
+    base = CowTable.create(
+        spark, str(tmp_path / "docs"), mk_docs(spark, (1, "alpha")),
+        keys=("doc_id",),
+    )
+    idx = SearchIndex.create(spark, str(tmp_path / "idx"), base)
+    base.update(F.col("doc_id") == 1, {"text": F.lit("bravo")})
+    idx.refresh()  # uncapped: applied = v2
+    with pytest.raises(ValueError, match="already applied"):
+        idx.refresh(to_version=1)
+    # once the pin catches up, capped refresh is a clean no-op again
+    assert idx.refresh(to_version=base.version) == {
+        "applied": base.version, "refreshed": False,
+    }
+
+
+def test_open_accepts_legacy_state_without_metadata(spark, tmp_path):
+    """A pre-metadata state file ({'applied': N} only) attaches without
+    identity verification and the next refresh backfills the keys."""
+    import json
+
+    base = CowTable.create(
+        spark, str(tmp_path / "docs"), mk_docs(spark, (1, "alpha")),
+        keys=("doc_id",),
+    )
+    idx = SearchIndex.create(spark, str(tmp_path / "idx"), base)
+    applied = idx.applied_version
+    with open(f"{idx.root}/state.json", "w") as fh:
+        json.dump({"applied": applied}, fh)
+    re = SearchIndex.open(spark, idx.root, base)
+    base.update(F.col("doc_id") == 1, {"text": F.lit("bravo")})
+    re.refresh()
+    assert re._state()["base_root"] == base.root  # backfilled
+    _assert_index_matches_base(re, base)
