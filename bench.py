@@ -203,6 +203,7 @@ HEADLINE = [
     "sample_dsir_incremental",
     "search_index_bm25",
     "sql_search_index",
+    "stream_search_maintenance",
 ]
 
 

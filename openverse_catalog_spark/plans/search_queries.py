@@ -576,3 +576,70 @@ def sql_search_index(spark, sf_dir):
         "SELECT doc_id, score "
         "FROM SEARCH_INDEX('idx', 'join hash vector spark', 20)"
     )
+
+
+@register(
+    "stream_search_maintenance",
+    _SIDX_ORACLE,
+)
+def stream_search_maintenance(spark, sf_dir):
+    """SCHEDULER-LESS index maintenance: the base table's own commit
+    log, followed as a file stream, triggers each incremental index
+    refresh — no cron, no external indexer queue. The fixture applies
+    the standard churn in TWO waves with a maintenance drain after
+    each (the second drain's stream checkpoint proves ticks are
+    exactly-once across restarts of the same checkpoint), then answers
+    the same BM25 query; the oracle is identical to search_index_bm25,
+    so the streamed maintenance path must land the byte-same index
+    state as the synchronous one."""
+    import os
+    import shutil
+    import tempfile
+
+    from openverse_catalog_spark.operators.cowtable import CowTable
+    from openverse_catalog_spark.operators.searchindex import SearchIndex
+    from openverse_catalog_spark.schemas.columns import (
+        ColumnSpec,
+        Datatype,
+        UpsertStrategy,
+    )
+    from openverse_catalog_spark.streaming.incremental import (
+        stream_index_maintenance,
+    )
+
+    d = _t(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "text", "source"
+    )
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_stream_sidx")
+    shutil.rmtree(root, ignore_errors=True)
+    base = CowTable.create(
+        spark, os.path.join(root, "docs"), d,
+        keys=("doc_id",), target_files=4,
+    )
+    idx = SearchIndex.create(spark, os.path.join(root, "idx"), base)
+    ckpt = os.path.join(root, "ckpt")
+    # wave 1: delete + update, then drain the commit log
+    base.delete(F.col("source") == "src4")
+    base.update(
+        F.col("doc_id") % 17 == 0,
+        {"text": F.concat(F.col("text"), F.lit(" spark vector hash join"))},
+    )
+    r1 = stream_index_maintenance(idx, ckpt)
+    assert r1["refreshes"] >= 1 and r1["applied"] == base.version, r1
+    # wave 2: the insert lands, the SAME checkpoint drains only the new
+    # commit (exactly-once ticks across drains)
+    cols = [
+        ColumnSpec("doc_id", Datatype.int, required=True,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("text", Datatype.char),
+        ColumnSpec("source", Datatype.char),
+    ]
+    newdocs = spark.createDataFrame(
+        [(100000 + i, "spark hash join vector quantum flux " + "pad " * i,
+          "srcX") for i in range(5)],
+        "doc_id long, text string, source string",
+    )
+    base.merge(newdocs, cols)
+    r2 = stream_index_maintenance(idx, ckpt)
+    assert r2["applied"] == base.version, r2
+    return idx.bm25(["join", "hash", "vector", "spark"], 20)

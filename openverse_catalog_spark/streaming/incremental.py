@@ -1124,3 +1124,57 @@ def stream_mv_maintenance(
         "refreshes": counts["refreshes"],
         "applied_base": mv._load_state()["applied_base"],
     }
+
+
+def stream_index_maintenance(
+    idx,
+    checkpoint_dir: str,
+    spark: SparkSession | None = None,
+) -> dict:
+    """CONTINUOUS search-index maintenance: follow the index's base
+    table's commit log as a stream (the manifests directory is an
+    append-only log of immutable ``v<N>.json`` files) and run an
+    incremental :meth:`~..operators.searchindex.SearchIndex.refresh`
+    whenever new commits land — the scheduler-less version of the
+    reference's per-data-refresh Elasticsearch reindex
+    (``data_refresh_task_factory.py:183-240``), at O(changed docs) per
+    tick instead of a full-table re-ship.
+
+    Exactly-once composes the same way as ``stream_mv_maintenance``:
+    the file-source checkpoint makes manifest delivery at-least-once,
+    and the index's pending-span WAL + txn-fenced merges make
+    ``refresh()`` idempotent — the stream is purely a TRIGGER; the
+    refresh re-reads the feed span from its own durable high-water
+    mark. AvailableNow: drains all new commits and stops. Returns
+    {ticks, refreshes, applied}."""
+    import os as _os
+
+    spark = spark or idx.spark
+    counts = {"ticks": 0, "refreshes": 0}
+
+    def on_batch(bdf: DataFrame, batch_id: int) -> None:
+        if not bdf.select("version").head(1):
+            return
+        counts["ticks"] += 1
+        res = idx.refresh()
+        if res.get("refreshed"):
+            counts["refreshes"] += 1
+
+    stream = (
+        spark.readStream.schema("version long, operation string")
+        .option("pathGlobFilter", "v*.json")
+        .option("multiLine", "true")
+        .json(f"{idx.base.root}/manifests")
+    )
+    q = (
+        stream.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", _os.path.join(checkpoint_dir, "files"))
+        .foreachBatch(on_batch)
+        .start()
+    )
+    q.awaitTermination()
+    return {
+        "ticks": counts["ticks"],
+        "refreshes": counts["refreshes"],
+        "applied": idx.applied_version,
+    }

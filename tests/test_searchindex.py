@@ -323,3 +323,33 @@ def test_open_accepts_legacy_state_without_metadata(spark, tmp_path):
     re.refresh()
     assert re._state()["base_root"] == base.root  # backfilled
     _assert_index_matches_base(re, base)
+
+
+def test_stream_maintenance_triggers_and_is_exactly_once(spark, tmp_path):
+    """The commit-log stream triggers refreshes; a second drain on the
+    same checkpoint sees only NEW commits, and a wiped checkpoint's
+    redelivery is harmless (refresh no-ops at the high-water mark)."""
+    from openverse_catalog_spark.streaming.incremental import (
+        stream_index_maintenance,
+    )
+
+    base = CowTable.create(
+        spark, str(tmp_path / "docs"), mk_docs(spark, (1, "alpha")),
+        keys=("doc_id",),
+    )
+    idx = SearchIndex.create(spark, str(tmp_path / "idx"), base)
+    ckpt = str(tmp_path / "ckpt")
+    base.update(F.col("doc_id") == 1, {"text": F.lit("bravo")})
+    r1 = stream_index_maintenance(idx, ckpt)
+    assert r1["refreshes"] == 1 and r1["applied"] == base.version
+    _assert_index_matches_base(idx, base)
+    # no new commits: the same checkpoint delivers nothing
+    r2 = stream_index_maintenance(idx, ckpt)
+    assert r2["ticks"] == 0 and r2["refreshes"] == 0
+    # wiped checkpoint redelivers every manifest; refresh() no-ops
+    import shutil
+
+    shutil.rmtree(ckpt)
+    r3 = stream_index_maintenance(idx, str(tmp_path / "ckpt2"))
+    assert r3["refreshes"] == 0 and r3["applied"] == base.version
+    _assert_index_matches_base(idx, base)
