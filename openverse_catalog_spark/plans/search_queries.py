@@ -587,11 +587,12 @@ def stream_search_maintenance(spark, sf_dir):
     log, followed as a file stream, triggers each incremental index
     refresh — no cron, no external indexer queue. The fixture applies
     the standard churn in TWO waves with a maintenance drain after
-    each (the second drain's stream checkpoint proves ticks are
-    exactly-once across restarts of the same checkpoint), then answers
-    the same BM25 query; the oracle is identical to search_index_bm25,
-    so the streamed maintenance path must land the byte-same index
-    state as the synchronous one."""
+    each, sharing one stream checkpoint (tick exactly-once across
+    drains is pinned by the unit test; here the second drain's
+    refreshed count proves the new commit was consumed incrementally),
+    then answers the same BM25 query; the oracle is identical to
+    search_index_bm25, so the streamed maintenance path must land the
+    byte-same index state as the synchronous one."""
     import os
     import shutil
     import tempfile
@@ -641,5 +642,5 @@ def stream_search_maintenance(spark, sf_dir):
     )
     base.merge(newdocs, cols)
     r2 = stream_index_maintenance(idx, ckpt)
-    assert r2["applied"] == base.version, r2
+    assert r2["applied"] == base.version and r2["refreshes"] == 1, r2
     return idx.bm25(["join", "hash", "vector", "spark"], 20)

@@ -1043,13 +1043,26 @@ def stream_cow_changes(
         _os.replace(tmp, hwm_path)
         applied["n"] += 1
 
+    _drain_commit_log(spark, f"{table.root}/manifests",
+                      checkpoint_dir, on_batch)
+    return {"high_water": read_hwm(), "batches_applied": applied["n"]}
+
+
+def _drain_commit_log(spark, manifests_dir, checkpoint_dir, on_batch):
+    """ONE AvailableNow drain of a table's commit log (the append-only
+    ``v<N>.json`` manifests directory) into ``on_batch`` — the shared
+    scaffold under the CDF streaming source, MV maintenance, and
+    search-index maintenance triggers, so the glob/schema/parse rules
+    exist once."""
+    import os as _os
+
     stream = (
         spark.readStream.schema("version long, operation string")
         .option("pathGlobFilter", "v*.json")
         # manifests are pretty-printed (multi-line) JSON documents, not
         # JSON-lines — without this every line fails to parse to NULL
         .option("multiLine", "true")
-        .json(f"{table.root}/manifests")
+        .json(manifests_dir)
     )
     q = (
         stream.writeStream.trigger(availableNow=True)
@@ -1058,7 +1071,6 @@ def stream_cow_changes(
         .start()
     )
     q.awaitTermination()
-    return {"high_water": read_hwm(), "batches_applied": applied["n"]}
 
 
 def stream_mv_maintenance(
@@ -1093,8 +1105,6 @@ def stream_mv_maintenance(
     AvailableNow trigger: drains all new commits and stops — call it
     after ingest waves, or in a loop for continuous maintenance.
     Returns {ticks, refreshes, applied_base}."""
-    import os as _os
-
     spark = spark or mv.spark
     counts = {"ticks": 0, "refreshes": 0}
 
@@ -1106,19 +1116,8 @@ def stream_mv_maintenance(
         if res.get("refreshed"):
             counts["refreshes"] += 1
 
-    stream = (
-        spark.readStream.schema("version long, operation string")
-        .option("pathGlobFilter", "v*.json")
-        .option("multiLine", "true")
-        .json(f"{mv.base.root}/manifests")
-    )
-    q = (
-        stream.writeStream.trigger(availableNow=True)
-        .option("checkpointLocation", _os.path.join(checkpoint_dir, "files"))
-        .foreachBatch(on_batch)
-        .start()
-    )
-    q.awaitTermination()
+    _drain_commit_log(spark, f"{mv.base.root}/manifests",
+                      checkpoint_dir, on_batch)
     return {
         "ticks": counts["ticks"],
         "refreshes": counts["refreshes"],
@@ -1130,6 +1129,7 @@ def stream_index_maintenance(
     idx,
     checkpoint_dir: str,
     spark: SparkSession | None = None,
+    pin_fn=None,
 ) -> dict:
     """CONTINUOUS search-index maintenance: follow the index's base
     table's commit log as a stream (the manifests directory is an
@@ -1145,10 +1145,15 @@ def stream_index_maintenance(
     and the index's pending-span WAL + txn-fenced merges make
     ``refresh()`` idempotent — the stream is purely a TRIGGER; the
     refresh re-reads the feed span from its own durable high-water
-    mark. AvailableNow: drains all new commits and stops. Returns
-    {ticks, refreshes, applied}."""
-    import os as _os
+    mark. AvailableNow: drains all new commits and stops.
 
+    CATALOG-MANAGED bases must pass ``pin_fn`` (a callable returning
+    the catalog's CURRENT pinned version, evaluated per tick —
+    ``lambda: facade._catalog_pin('docs')``): an uncapped refresh on
+    such a base would index unpublished/aborted raw-head versions that
+    no catalog reader sees, exactly what the facade's own REFRESH
+    refuses to do. Plain tables omit it. Returns
+    {ticks, refreshes, applied}."""
     spark = spark or idx.spark
     counts = {"ticks": 0, "refreshes": 0}
 
@@ -1156,23 +1161,14 @@ def stream_index_maintenance(
         if not bdf.select("version").head(1):
             return
         counts["ticks"] += 1
-        res = idx.refresh()
+        res = idx.refresh(
+            to_version=pin_fn() if pin_fn is not None else None
+        )
         if res.get("refreshed"):
             counts["refreshes"] += 1
 
-    stream = (
-        spark.readStream.schema("version long, operation string")
-        .option("pathGlobFilter", "v*.json")
-        .option("multiLine", "true")
-        .json(f"{idx.base.root}/manifests")
-    )
-    q = (
-        stream.writeStream.trigger(availableNow=True)
-        .option("checkpointLocation", _os.path.join(checkpoint_dir, "files"))
-        .foreachBatch(on_batch)
-        .start()
-    )
-    q.awaitTermination()
+    _drain_commit_log(spark, f"{idx.base.root}/manifests",
+                      checkpoint_dir, on_batch)
     return {
         "ticks": counts["ticks"],
         "refreshes": counts["refreshes"],

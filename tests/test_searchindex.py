@@ -346,10 +346,12 @@ def test_stream_maintenance_triggers_and_is_exactly_once(spark, tmp_path):
     # no new commits: the same checkpoint delivers nothing
     r2 = stream_index_maintenance(idx, ckpt)
     assert r2["ticks"] == 0 and r2["refreshes"] == 0
-    # wiped checkpoint redelivers every manifest; refresh() no-ops
+    # wiping and REUSING the checkpoint path redelivers every manifest
+    # (ticks fire) but refresh() no-ops at its own high-water mark
     import shutil
 
     shutil.rmtree(ckpt)
-    r3 = stream_index_maintenance(idx, str(tmp_path / "ckpt2"))
-    assert r3["refreshes"] == 0 and r3["applied"] == base.version
+    r3 = stream_index_maintenance(idx, ckpt)
+    assert r3["ticks"] >= 1 and r3["refreshes"] == 0
+    assert r3["applied"] == base.version
     _assert_index_matches_base(idx, base)
