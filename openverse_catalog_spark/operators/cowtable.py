@@ -67,6 +67,15 @@ class ConstraintViolation(ValueError):
     drop the constraint."""
 
 
+class RetentionError(ValueError):
+    """A change-feed span (or time-travel target) was vacuumed past —
+    the consumer fell behind retention. Subclasses ValueError for
+    backward compatibility, but incremental consumers (matview, search
+    index) catch THIS type specifically so an unrelated ValueError (a
+    misconfigured span, a merge-side bug) surfaces instead of being
+    silently converted into an O(corpus) full resync."""
+
+
 class CommitConflict(RuntimeError):
     """Another writer claimed the version this commit attempt computed.
     Retryable: re-read the snapshot and recompute the change against it
@@ -1850,7 +1859,7 @@ class CowTable:
                     f"{self.root}/manifests/v{v}.checkpoint.json"
                 )
             ):
-                raise ValueError(
+                raise RetentionError(
                     f"change feed for {self.root} needs versions "
                     f"{from_version}..{to_version}, but version {v} has "
                     "been vacuumed — a consumer that fell behind "
@@ -4179,7 +4188,9 @@ class CowTable:
             return self.analyze(keep or None, approx=False, kmv_k=kmv_k)
         try:
             feed = self.read_changes(prev["version"], v_to)
-        except ValueError:
+        except RetentionError:
+            # stats seed fell behind CDF retention: re-seed full scan.
+            # Other ValueErrors are real bugs and propagate
             return self.analyze(cols, approx=False, kmv_k=kmv_k)
         w = F.when(
             F.col("_change_type").isin("insert", "update_postimage"),

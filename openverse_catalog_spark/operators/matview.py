@@ -59,7 +59,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from openverse_catalog_spark.operators.cowtable import CowTable
+from openverse_catalog_spark.operators.cowtable import CowTable, RetentionError
 from openverse_catalog_spark.schemas.columns import (
     ColumnSpec,
     Datatype,
@@ -304,8 +304,10 @@ class MaterializedView:
             return {"refreshed": False, "base_version": b_to}
         try:
             feed = self.base.read_changes(b_from, b_to)
-        except ValueError:
-            # span vacuumed: consumer fell behind retention — resync
+        except RetentionError:
+            # span vacuumed: consumer fell behind retention — resync.
+            # ONLY the dedicated retention miss takes this path; any
+            # other ValueError is a real bug and must propagate
             return self._full_resync(b_to)
         return self._apply(feed, b_from, b_to, purge_tombstones)
 
@@ -678,7 +680,8 @@ class JoinMaterializedView:
                 self.right.read_changes(r_from, r_to)
                 if r_to > r_from else None
             )
-        except ValueError:
+        except RetentionError:
+            # vacuumed span only; other ValueErrors propagate
             return self._full_resync(l_to, r_to)
         keys = list(self.left.keys)
         ldf, rdf = self.left.read(l_to), self.right.read(r_to)

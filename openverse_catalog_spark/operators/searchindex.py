@@ -17,17 +17,16 @@ index refresh costs O(changed documents), never O(corpus):
   from it at query time with one thin-table aggregate.
 * a ``state.json`` recording the base version the index reflects.
 
-``refresh()`` reads the base's CDF span since the applied version and
-reduces it to a NET per-document transition: the index currently holds
-each dirty document's state at the applied version (= the span's FIRST
-pre-image, or nothing for docs born inside the span), and must end at
-the span's FINAL post-image (or nothing after a trailing delete). Old
-and new postings are both tokenized from feed row images — the index
-itself is never scanned to find what to remove — and reconciled in ONE
+The maintenance protocol (pending-span WAL, txn-fenced reconcile,
+capped refresh, vacuum->resync) is the shared
+:class:`~.incindex.IncrementalIndex`; this module contributes the
+TOKENIZED net-transition: ``refresh()`` reduces the CDF span to a NET
+per-document transition (old = the span's FIRST pre-image — the state
+the index holds; new = the FINAL post-image, or nothing after a
+trailing delete), tokenizes both from feed row images — the index
+itself is never scanned to find what to remove — and reconciles in ONE
 ``merge_when`` commit per table (matched+gone -> DELETE, matched ->
-UPDATE tf, unmatched+new -> INSERT). A crash between the table commits
-and the state write is safe: replaying the span recomputes the same
-net transition and the keyed merges converge to the identical state.
+UPDATE tf, unmatched+new -> INSERT).
 
 Tokenization matches plans/search_queries.py (lowercase, [a-z]+ runs of
 length >= 3) so index-served BM25 is oracle-comparable against a full
@@ -36,13 +35,13 @@ corpus scan.
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from openverse_catalog_spark.operators.cowtable import CowTable
+from openverse_catalog_spark.operators.incindex import IncrementalIndex
 
 K1 = 1.2
 B = 0.75
@@ -74,7 +73,7 @@ def _doclens_of(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ).filter(F.col("dl") > 0)
 
 
-class SearchIndex:
+class SearchIndex(IncrementalIndex):
     """Inverted index over a documents CowTable, CDF-maintained."""
 
     def __init__(
@@ -85,9 +84,7 @@ class SearchIndex:
         id_col: str = "doc_id",
         text_col: str = "text",
     ):
-        self.spark = spark
-        self.root = root.rstrip("/")
-        self.base = base
+        super().__init__(spark, root, base)
         self.id_col = id_col
         self.text_col = text_col
         self.postings = CowTable(
@@ -96,6 +93,13 @@ class SearchIndex:
         self.doclen = CowTable(
             spark, f"{self.root}/doclen", keys=("doc_id",)
         )
+
+    def _identity(self) -> dict:
+        return {
+            "base_root": self.base.root,
+            "id_col": self.id_col,
+            "text_col": self.text_col,
+        }
 
     # -- construction ---------------------------------------------------
 
@@ -146,161 +150,50 @@ class SearchIndex:
         Validates the root holds one AND that it was built from THIS
         base table and these columns — binding a persisted index to a
         different table or column would serve wrong results and then
-        corrupt the index at the first refresh."""
+        corrupt the index at the first refresh.
+
+        A PRE-METADATA state file (written before identity keys
+        existed) has nothing recorded to verify against, and the next
+        ``_write_state`` backfills the attach-time arguments —
+        permanently legitimizing whatever binding this call made. So a
+        legacy attach is SANITY-CHECKED instead of waved through: the
+        claimed id/text columns must exist on the base, and a sample of
+        the persisted doclen's doc_ids must actually occur in the base
+        table (a wrong-table attach fails the overlap probe)."""
         idx = cls(spark, root, base, id_col, text_col)
         if not os.path.exists(f"{idx.root}/state.json"):
             raise ValueError(
                 f"{root!r} holds no search index (no state.json); "
                 "build one with SearchIndex.create"
             )
-        st = idx._state()
-        want = {
-            "base_root": os.path.realpath(base.root),
-            "id_col": id_col,
-            "text_col": text_col,
-        }
-        got = {
-            "base_root": (
-                os.path.realpath(st["base_root"])
-                if st.get("base_root") is not None else None
-            ),
-            "id_col": st.get("id_col"),
-            "text_col": st.get("text_col"),
-        }
-        if any(v is None for v in got.values()):
-            # a pre-metadata state file: nothing to verify against; the
-            # next _write_state backfills the identity keys
+        if idx._verify_identity():
             return idx
-        if got != want:
+        # legacy state: verify the binding empirically before the next
+        # state write backfills it as truth
+        snap = base.read()
+        missing = [c for c in (id_col, text_col) if c not in snap.columns]
+        if missing:
             raise ValueError(
-                f"search index at {root!r} was built over {got}, not "
-                f"{want}; attach it to the table/columns it indexes"
+                f"legacy search index at {root!r}: base table "
+                f"{base.root!r} has no column(s) {missing}; refusing "
+                "the attach"
             )
+        sample = idx.doclen.read().select("doc_id").limit(20)
+        if sample.head(1):
+            hits = sample.join(
+                snap.select(F.col(id_col).alias("doc_id")), "doc_id",
+                "semi",
+            ).count()
+            if hits == 0:
+                raise ValueError(
+                    f"legacy search index at {root!r}: none of its "
+                    f"indexed doc_ids occur in {base.root!r}.{id_col} "
+                    "— this looks like a wrong-table attach; refusing "
+                    "to backfill its identity"
+                )
         return idx
 
-    # -- state ------------------------------------------------------------
-
-    @property
-    def applied_version(self) -> int:
-        return int(self._state()["applied"])
-
-    def _state(self) -> dict:
-        with open(f"{self.root}/state.json") as fh:
-            return json.load(fh)
-
-    def _write_state(self, applied: int, pending: int | None = None) -> None:
-        # identity metadata rides along so open() can verify an ATTACH
-        # binds the index to the table/columns it was built from
-        st = {
-            "applied": int(applied),
-            "base_root": self.base.root,
-            "id_col": self.id_col,
-            "text_col": self.text_col,
-        }
-        if pending is not None:
-            st["pending"] = int(pending)
-        tmp = f"{self.root}/.tmp.state.json"
-        with open(tmp, "w") as fh:
-            json.dump(st, fh)
-        os.replace(tmp, f"{self.root}/state.json")
-
     # -- maintenance --------------------------------------------------------
-
-    def refresh(self, to_version: int | None = None) -> dict:
-        """Advance the index to the base's current version (or the
-        given ``to_version`` — a catalog-managed base passes its PINNED
-        version so unpublished/aborted heads never leak into query
-        results) from the change feed. O(changed docs): the feed is the manifest diff,
-        old postings come from feed PRE-IMAGES (never an index scan),
-        and the reconciling merges file-skip on their key ranges.
-
-        CRASH SAFETY is the matview pending-WAL protocol: the span
-        [applied, head] is recorded in state.json BEFORE any merge, and
-        both merges carry a txn fence keyed on the span's end version.
-        A crash at any point replays exactly the PENDING span on the
-        next refresh — already-landed merges txn-skip, lost ones apply
-        — so the netting baseline ("old = what the index holds") can
-        never drift even if the base advanced in the meantime: new
-        commits wait in a fresh span behind the pending one.
-
-        A base vacuumed past the unapplied span (the consumer fell
-        behind CDF retention) triggers a FULL RESYNC against the
-        current snapshot, then the feed resumes from there — the same
-        protocol the incremental MVs follow."""
-        st = self._state()
-        applied = int(st["applied"])
-        replayed = False
-        if "pending" in st:
-            # finish (or redo) the torn span before anything newer.
-            # ONLY the feed read is guarded: a vacuumed pending span
-            # (including one torn by a crash DURING a resync) skips the
-            # replay and falls through — the main span below is a
-            # superset, so its feed read raises the same way and the
-            # single resync path handles it. Merge-side errors
-            # (constraints, config) propagate — they are not retention
-            # misses and must never be papered over by a rebuild.
-            pend = int(st["pending"])
-            if to_version is not None and pend > int(to_version):
-                # a recorded span past the caller's cap means the index
-                # was advanced OUTSIDE this discipline (e.g. a raw-API
-                # refresh of a catalog-managed base, whose head can
-                # carry unpublished versions); the span end is fixed by
-                # its txn fence, so it cannot be partially applied —
-                # refuse loudly instead of replaying data the cap
-                # exists to exclude
-                raise ValueError(
-                    f"pending span ends at v{pend}, past the requested "
-                    f"cap v{int(to_version)}; the index was refreshed "
-                    "outside the cap's discipline — rebuild it, or "
-                    "finish with an uncapped refresh() ONLY if every "
-                    "version in the span is published"
-                )
-            feed = self._try_feed(applied, pend)
-            if feed is not None:
-                self._apply_feed(feed, pend)
-                self._write_state(pend)
-                applied = pend
-                replayed = True
-        head = self.base.version if to_version is None else int(to_version)
-        if to_version is not None and applied > int(to_version):
-            # the COMPLETED twin of the pending-past-cap case: an
-            # uncapped refresh already consumed versions the cap
-            # excludes (possibly aborted ones no catalog reader sees).
-            # Returning quietly would serve them indefinitely
-            raise ValueError(
-                f"index already applied v{applied}, past the requested "
-                f"cap v{int(to_version)}; it was refreshed outside the "
-                "cap's discipline — rebuild it (or re-create from the "
-                "capped snapshot) to restore pinned reads"
-            )
-        if head <= applied:
-            return {"applied": applied, "refreshed": replayed}
-        self._write_state(applied, pending=head)
-        feed = self._try_feed(applied, head)
-        if feed is not None:
-            self._apply_feed(feed, head)
-        else:
-            # feed span vacuumed away (the consumer fell behind CDF
-            # retention): resync from the snapshot the head pins, then
-            # resume incrementally from there
-            self._full_resync(head)
-        self._write_state(head)
-        out = {"applied": head, "refreshed": True, "from": applied}
-        if feed is None:
-            # an O(corpus) rebuild, not an O(churn) feed apply — the
-            # caller's monitoring must be able to tell
-            out["resync"] = True
-        return out
-
-    def _try_feed(self, from_v: int, to_v: int):
-        """The base's change feed for the span, or None if retention
-        already dropped part of it (read_changes resolves the span's
-        manifests eagerly, so the miss surfaces HERE, never from the
-        downstream merges)."""
-        try:
-            return self.base.read_changes(from_v, to_v)
-        except ValueError:
-            return None
 
     def _apply_feed(self, feed: DataFrame, to_v: int) -> None:
         idc, txc = self.id_col, self.text_col
@@ -403,10 +296,23 @@ class SearchIndex:
         tokenized at query time. Postings files are pruned by the term
         key range; doc-frequency and idf derive from the pruned
         postings; (N, avgdl) is one aggregate over the thin doclen
-        table; the final top-k is TakeOrdered."""
+        table; the final top-k is TakeOrdered.
+
+        Query terms pass through the SAME tokenizer the index applied
+        at build time (lowercase, [a-z] runs of length >= 3), so
+        ``bm25(['Spark'])`` finds the indexed 'spark' instead of
+        silently matching nothing; terms the tokenizer would never
+        index drop out here too (they cannot have postings)."""
+        import re as _re
+
+        qt: list[str] = []
+        for t in terms:
+            for run in _re.findall(r"[a-z]+", str(t).lower()):
+                if len(run) >= 3 and run not in qt:
+                    qt.append(run)
         # read_pruned appends the exact residual isin itself — the
         # pruned read is already filtered, not just file-skipped
-        post = self.postings.read_pruned(list(terms))
+        post = self.postings.read_pruned(qt)
         dl = self.doclen.read()
         stats = dl.agg(
             F.count("*").alias("n"), F.avg("dl").alias("avgdl")

@@ -1,0 +1,403 @@
+"""Incrementally-maintained IVF vector index: the ANN twin of the
+inverted text index (:mod:`.searchindex`), giving the persisted IVF
+layout (:func:`~.knn.ivf_build_index`) the same lakehouse lifecycle —
+CDF-driven refresh, crash-safe WAL, catalog pinning, SQL surface.
+
+Layout:
+
+* ``lists`` — a CoW lake table keyed ``(centroid_id, neighbor_id)``
+  holding each corpus vector under its nearest centroid. Merge-key
+  range clustering means list files are centroid-ordered, so a probe's
+  ``read_pruned(probed_centroids)`` opens only the files whose
+  centroid range can contain a probed list — the index is never
+  scanned whole.
+* ``centroids`` — a small parquet of the deterministic sampled
+  centroids (``id % centroid_mod == 0``, same math as
+  :func:`~.knn.ivf_topk`), broadcast for assignment GEMMs. Frozen at
+  create: IVF practice (FAISS add-with-ids) keeps centroids fixed and
+  rebuilds when recall drifts, which is what keeps every incremental
+  step — and the SQL oracle — exactly replayable.
+* ``state.json`` — the applied base version + identity metadata
+  (shared :class:`~.incindex.IncrementalIndex` protocol).
+
+``refresh()`` reduces the base's CDF span to a NET per-vector
+transition: old assignments are recomputed from feed PRE-IMAGES (the
+index is never scanned to find what to remove — the same GEMM that
+assigned them at create, against the frozen centroids, reproduces the
+stored keys exactly), new assignments from the FINAL post-images, and
+ONE txn-fenced ``merge_when`` reconciles the lists (moved vector ->
+DELETE old list entry + INSERT new one; updated-in-place -> UPDATE;
+deleted -> DELETE). Cost O(changed vectors) per refresh; a vacuumed
+span falls back to one full resync.
+
+The reference has no vector index (its search handoff is lexical
+Elasticsearch, ``data_refresh_task_factory.py:183-240``); this is the
+similarity-search half a training-data engine needs, given the same
+first-class treatment r8 gave the text index.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from openverse_catalog_spark.operators.cowtable import CowTable
+from openverse_catalog_spark.operators.incindex import IncrementalIndex
+from openverse_catalog_spark.operators.knn import (
+    MAX_BROADCAST_QUERIES,
+    _as_double,
+    _stack_normalized,
+    cosine_expr,
+)
+
+
+class VectorIndex(IncrementalIndex):
+    """Persisted IVF index over an embeddings CowTable, CDF-maintained."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        base: CowTable,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ):
+        super().__init__(spark, root, base)
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.lists = CowTable(
+            spark, f"{self.root}/lists", keys=("centroid_id", "neighbor_id")
+        )
+
+    def _identity(self) -> dict:
+        return {
+            "base_root": self.base.root,
+            "id_col": self.id_col,
+            "vec_col": self.vec_col,
+        }
+
+    # -- centroids --------------------------------------------------------
+
+    def _centroid_matrix(self):
+        """(ids, normalized matrix) of the frozen centroid set — one
+        small parquet load per refresh/probe, broadcast for GEMMs."""
+        pdf = (
+            self.spark.read.parquet(f"{self.root}/centroids")
+            .toPandas()
+            .sort_values("centroid_id")
+        )
+        return _stack_normalized(pdf, "centroid_id", "vector")
+
+    def _assign(self, docs: DataFrame) -> DataFrame:
+        """Nearest-centroid assignment of a frame of vectors: one GEMM
+        per Arrow batch against the broadcast centroid matrix — cost
+        proportional to the BATCH, the corpus is never touched."""
+        idc, vcc = self.id_col, self.vec_col
+        bc = self.spark.sparkContext.broadcast(self._centroid_matrix())
+
+        def assign_gen(batches):
+            import pandas as pd
+
+            b_ids, b_mat = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                ids, mat = _stack_normalized(pdf, idc, vcc)
+                best = (mat @ b_mat.T).argmax(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "centroid_id": b_ids[best],
+                        "neighbor_id": ids,
+                        "vector": pdf[vcc].to_numpy(),
+                    }
+                )
+
+        return _as_double(docs, vcc).select(idc, vcc).mapInPandas(
+            assign_gen,
+            "centroid_id long, neighbor_id long, vector array<double>",
+        )
+
+    # -- construction ---------------------------------------------------
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        base: CowTable,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        centroid_mod: int = 40,
+        target_files: int = 8,
+        version: int | None = None,
+    ) -> "VectorIndex":
+        """Build the index from a base snapshot (pin the version FIRST
+        so a concurrent base write between the centroid scan and the
+        assignment scan cannot tear the build). ``version`` overrides
+        the raw head — a catalog-managed base must pass its PINNED
+        version. Centroids are the deterministic
+        ``id % centroid_mod == 0`` sample (C should grow ~sqrt(n));
+        they freeze at create and every later assignment — incremental
+        or resync — runs against them, so incremental == rebuilt-from-
+        scratch for fixed centroids."""
+        idx = cls(spark, root, base, id_col, vec_col)
+        v = base.version if version is None else int(version)
+        snap = _as_double(base.read(v), vec_col)
+        cents = snap.filter(F.col(id_col) % centroid_mod == 0).select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("vector"),
+        )
+        n_cents = cents.limit(MAX_BROADCAST_QUERIES + 1).count()
+        if n_cents == 0:
+            raise ValueError(
+                f"no centroids: no {id_col} % {centroid_mod} == 0 rows"
+            )
+        if n_cents > MAX_BROADCAST_QUERIES:
+            raise ValueError(
+                f"centroid count exceeds {MAX_BROADCAST_QUERIES}; raise "
+                "centroid_mod (C should grow ~sqrt(n), not n)"
+            )
+        os.makedirs(idx.root, exist_ok=True)
+        cents.write.mode("overwrite").parquet(f"{idx.root}/centroids")
+        CowTable.create(
+            spark, idx.lists.root, idx._assign(snap),
+            keys=("centroid_id", "neighbor_id"),
+            target_files=target_files,
+        )
+        idx._centroid_mod = int(centroid_mod)
+        idx._write_state(v)
+        return idx
+
+    def _state_extra(self) -> dict:
+        # carry centroid_mod through every state write (it documents
+        # how the frozen centroid set was sampled)
+        mod = getattr(self, "_centroid_mod", None)
+        if mod is None:
+            try:
+                mod = self._state().get("centroid_mod")
+            except FileNotFoundError:
+                mod = None
+            self._centroid_mod = mod
+        return {} if mod is None else {"centroid_mod": int(mod)}
+
+    @classmethod
+    def open(
+        cls,
+        spark: SparkSession,
+        root: str,
+        base: CowTable,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "VectorIndex":
+        """Attach an EXISTING persisted index; validates the root holds
+        one and that it was built from THIS base table and columns
+        (wrong-table attaches would serve wrong neighbors and then
+        corrupt the index at the first refresh)."""
+        idx = cls(spark, root, base, id_col, vec_col)
+        if not os.path.exists(f"{idx.root}/state.json"):
+            raise ValueError(
+                f"{root!r} holds no vector index (no state.json); "
+                "build one with VectorIndex.create"
+            )
+        # vector indexes never shipped without identity metadata, so a
+        # legacy (pre-metadata) state here is itself suspect
+        if not idx._verify_identity():
+            raise ValueError(
+                f"vector index at {root!r} has no identity metadata; "
+                "rebuild it with VectorIndex.create"
+            )
+        return idx
+
+    # -- maintenance --------------------------------------------------------
+
+    def _apply_feed(self, feed: DataFrame, to_v: int) -> None:
+        idc, vcc = self.id_col, self.vec_col
+
+        # net transition per dirty vector over the span: old = the
+        # FIRST pre-image (what the index holds — re-assigning it
+        # against the frozen centroids reproduces the stored key); new
+        # = the LAST post-state, unless the final event deletes.
+        pre = feed.filter(
+            F.col("_change_type").isin("update_preimage", "delete")
+        )
+        w_first = F.row_number().over(
+            Window.partitionBy(idc).orderBy("_commit_version")
+        )
+        old_docs = (
+            pre.withColumn("__rn", w_first).filter(F.col("__rn") == 1)
+            .select(idc, vcc)
+        )
+        post = feed.filter(
+            F.col("_change_type").isin(
+                "insert", "update_postimage", "delete"
+            )
+        )
+        w_last = F.row_number().over(
+            Window.partitionBy(idc).orderBy(F.desc("_commit_version"))
+        )
+        new_docs = (
+            post.withColumn("__rn", w_last).filter(
+                (F.col("__rn") == 1)
+                & (F.col("_change_type") != "delete")
+            ).select(idc, vcc)
+        )
+        self._reconcile(
+            self._assign(old_docs).select("centroid_id", "neighbor_id"),
+            self._assign(new_docs),
+            to_v,
+        )
+
+    def _reconcile(
+        self, old_a: DataFrame, new_a: DataFrame, to_v: int
+    ) -> None:
+        """One merge_when on the lists table, txn-fenced on the span end
+        so a replayed span txn-skips instead of double-applying. A
+        vector whose assignment MOVED appears as (old key, NULL) ->
+        DELETE plus (new key, vector) -> INSERT; updated-in-place ->
+        UPDATE; deleted -> DELETE."""
+        src = (
+            new_a.withColumnRenamed("vector", "new_vec")
+            .join(
+                old_a.select("centroid_id", "neighbor_id"),
+                ["centroid_id", "neighbor_id"], "full",
+            )
+            .select(
+                "centroid_id", "neighbor_id",
+                F.col("new_vec").alias("vector"),
+            )
+        )
+        self.lists.merge_when(
+            src,
+            update_set={"vector": "s.vector"},
+            delete_cond="s.vector IS NULL",
+            insert=True,
+            insert_cond="s.vector IS NOT NULL",
+            check_duplicate_keys=False,  # key-unique by construction
+            txn_app="vectorindex-lists",
+            txn_version=to_v,
+        )
+
+    def _full_resync(self, to_v: int) -> None:
+        """Rebuild the index CONTENT from the base snapshot at ``to_v``
+        through the same reconcile merge (old = everything currently
+        listed — the one case that legitimately scans the index).
+        Centroids stay frozen: a resync restores content, not
+        clustering; rebuild with ``create`` to re-sample centroids."""
+        snap = self.base.read(to_v)
+        self._reconcile(
+            self.lists.read().select("centroid_id", "neighbor_id"),
+            self._assign(snap),
+            to_v,
+        )
+
+    # -- query --------------------------------------------------------------
+
+    def probe(
+        self,
+        queries: DataFrame,
+        k: int = 3,
+        nprobe: int = 2,
+        rank_quantize: int | None = None,
+    ) -> DataFrame:
+        """Batch ANN probe served FROM THE INDEX (the
+        :func:`~.knn.ivf_probe_index` contract over the CoW lists):
+        nprobe nearest centroids per query (one GEMM per Arrow batch
+        against the broadcast centroid matrix), then exact cosine
+        ranking WITHIN the probed inverted lists only. The probed-
+        centroid set (bounded by the centroid count) drives a manifest-
+        pruned ``read_pruned`` on the lists table — only files whose
+        centroid range can contain a probed list are opened.
+        ``rank_quantize`` rounds the rank key so exact-duplicate
+        neighbors tie deterministically (id tie-break)."""
+        idc, vcc = self.id_col, self.vec_col
+        bc = self.spark.sparkContext.broadcast(self._centroid_matrix())
+
+        def probe_gen(batches):
+            import numpy as np
+            import pandas as pd
+
+            b_ids, b_mat = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                ids, mat = _stack_normalized(pdf, idc, vcc)
+                order = np.argsort(
+                    -(mat @ b_mat.T), axis=1, kind="stable"
+                )[:, :nprobe]
+                reps = order.shape[1]
+                yield pd.DataFrame(
+                    {
+                        "query_id": ids.repeat(reps),
+                        "centroid_id": b_ids[order.reshape(-1)],
+                        "__qv": pdf[vcc].to_numpy().repeat(reps),
+                    }
+                )
+
+        probe = (
+            _as_double(queries, vcc).select(idc, vcc)
+            .mapInPandas(
+                probe_gen,
+                "query_id long, centroid_id long, __qv array<double>",
+            )
+            .localCheckpoint(eager=False)
+        )
+        probed = sorted(
+            r[0] for r in probe.select("centroid_id").distinct().collect()
+        )
+        lists = self.lists.read_pruned(probed)
+        cand = probe.join(lists, "centroid_id").filter(
+            F.col("query_id") != F.col("neighbor_id")
+        )
+        scored = cand.select(
+            "query_id",
+            "neighbor_id",
+            cosine_expr(F.col("__qv"), F.col("vector")).alias("cosine"),
+        )
+        rank_key = (
+            F.round(F.col("cosine"), rank_quantize)
+            if rank_quantize is not None
+            else F.col("cosine")
+        )
+        wk = Window.partitionBy("query_id").orderBy(
+            rank_key.desc(), F.col("neighbor_id")
+        )
+        return scored.withColumn("rank", F.row_number().over(wk)).filter(
+            F.col("rank") <= k
+        )
+
+    def search(
+        self, qvec: list[float], k: int, nprobe: int = 2
+    ) -> DataFrame:
+        """Single-vector top-k, the inline-SQL shape
+        (``VECTOR_SEARCH('i', '...', k)``): the nprobe nearest
+        centroids resolve DRIVER-side against the small centroid
+        matrix (no Spark job), the lists read is manifest-pruned to
+        those centroids, and scoring is a pure JVM expression against
+        the query literal — no Python in the scan. Returns
+        (neighbor_id, cosine) ranked by the 9-decimal-rounded score
+        with an id tie-break (duplicate vectors rank
+        deterministically)."""
+        import numpy as np
+
+        c_ids, c_mat = self._centroid_matrix()
+        q = np.asarray([float(x) for x in qvec], dtype="float64")
+        nrm = float(np.sqrt((q * q).sum()))
+        if nrm == 0.0:
+            raise ValueError("zero query vector has no cosine neighbors")
+        sims = c_mat @ (q / nrm)
+        order = np.argsort(-sims, kind="stable")[:nprobe]
+        probed = sorted(int(c_ids[i]) for i in order)
+        qarr = F.array(*[F.lit(float(x)) for x in qvec])
+        scored = self.lists.read_pruned(probed).select(
+            "neighbor_id",
+            cosine_expr(qarr, F.col("vector")).alias("cosine"),
+        )
+        return (
+            scored.orderBy(
+                F.round(F.col("cosine"), 9).desc(), "neighbor_id"
+            )
+            .limit(k)
+            .select("neighbor_id", F.round("cosine", 6).alias("cosine"))
+        )

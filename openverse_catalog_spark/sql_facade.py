@@ -419,6 +419,10 @@ class SqlFacade:
         self._mvs: dict = {}
         self._sidx: dict = {}
         self._sidx_views: dict[str, set] = {}
+        # monotonic suffix for inline index-TVF temp views: two
+        # different term/k (or vector/k) substitutions in one statement
+        # must never collide the way a salted hash() could
+        self._idx_view_seq = 0
         self._catalog = None
         self._catalog_names: set[str] = set()
         self._txn = None
@@ -637,7 +641,8 @@ class SqlFacade:
             terms = [t for t in terms_text.split() if t]
             if not terms:
                 raise ValueError("SEARCH_INDEX needs >= 1 term")
-            view = f"{name}__search_{abs(hash((terms_text, k)))}"
+            self._idx_view_seq += 1
+            view = f"{name}__search_{self._idx_view_seq}"
             self._sidx[name].bm25(terms, int(k)).createOrReplaceTempView(
                 view
             )

@@ -1,0 +1,238 @@
+"""Incremental IVF vector index (operators/vectorindex.py): refresh
+from the change feed must equal a from-scratch assignment through any
+churn (fixed centroids => incremental == rebuilt), replays must
+converge, probes must prune list files by centroid, and attach must
+verify identity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from openverse_catalog_spark.operators.cowtable import CowTable
+from openverse_catalog_spark.operators.vectorindex import VectorIndex
+DIM = 8
+
+
+def _vec(seed: int) -> list[float]:
+    rng = np.random.default_rng(seed)
+    return [float(x) for x in rng.normal(size=DIM)]
+
+
+def mk_vecs(spark, ids):
+    return spark.createDataFrame(
+        [(i, _vec(i)) for i in ids],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def _expected_assign(base, idx):
+    """From-scratch nearest-centroid assignment of the CURRENT base
+    snapshot against the index's frozen centroids — what the lists
+    table must hold after any refresh chain."""
+    c_ids, c_mat = idx._centroid_matrix()
+    out = {}
+    for r in base.read().collect():
+        v = np.asarray(r.embedding, dtype="float64")
+        v = v / np.sqrt((v * v).sum())
+        out[int(r.vec_id)] = int(c_ids[int((c_mat @ v).argmax())])
+    return out
+
+
+def _lists_assign(idx):
+    return {
+        int(r.neighbor_id): int(r.centroid_id)
+        for r in idx.lists.read().collect()
+    }
+
+
+def test_refresh_equals_rebuild_through_churn(spark, tmp_path):
+    base = CowTable.create(
+        spark, str(tmp_path / "vecs"), mk_vecs(spark, range(20)),
+        keys=("vec_id",),
+    )
+    idx = VectorIndex.create(
+        spark, str(tmp_path / "idx"), base, centroid_mod=5,
+    )
+    assert _lists_assign(idx) == _expected_assign(base, idx)
+    # churn avoids centroid ids (multiples of 5): update 7 (vector
+    # moves lists), delete 3, insert 21/22
+    base.update(F.col("vec_id") == 7,
+                {"embedding": F.lit(_vec(999)).cast("array<double>")})
+    base.delete(F.col("vec_id") == 3)
+    base.merge_when(mk_vecs(spark, [21, 22]), insert=True)
+    r = idx.refresh()
+    assert r["refreshed"] and r["applied"] == base.version
+    assert not r.get("resync")
+    got = _lists_assign(idx)
+    assert got == _expected_assign(base, idx)
+    assert 3 not in got and 21 in got and 22 in got
+
+
+def test_refresh_nets_multi_commit_spans(spark, tmp_path):
+    """insert-then-update, delete-then-reinsert, and update-twice inside
+    ONE span all land at their final assignment."""
+    base = CowTable.create(
+        spark, str(tmp_path / "vecs"), mk_vecs(spark, range(10)),
+        keys=("vec_id",),
+    )
+    idx = VectorIndex.create(
+        spark, str(tmp_path / "idx"), base, centroid_mod=5,
+    )
+    base.merge_when(mk_vecs(spark, [11]), insert=True)     # insert
+    base.update(F.col("vec_id") == 11,
+                {"embedding": F.lit(_vec(501)).cast("array<double>")})
+    base.delete(F.col("vec_id") == 2)
+    base.merge_when(spark.createDataFrame(
+        [(2, _vec(502))], "vec_id long, embedding array<double>"),
+        insert=True)
+    base.update(F.col("vec_id") == 4,
+                {"embedding": F.lit(_vec(503)).cast("array<double>")})
+    base.update(F.col("vec_id") == 4,
+                {"embedding": F.lit(_vec(504)).cast("array<double>")})
+    r = idx.refresh()
+    assert r["refreshed"] and not r.get("resync")
+    assert _lists_assign(idx) == _expected_assign(base, idx)
+
+
+def test_pending_span_replay_converges(spark, tmp_path):
+    """A torn refresh (state says pending, merges already landed) must
+    replay idempotently: the txn fence skips the landed merge."""
+    base = CowTable.create(
+        spark, str(tmp_path / "vecs"), mk_vecs(spark, range(10)),
+        keys=("vec_id",),
+    )
+    idx = VectorIndex.create(
+        spark, str(tmp_path / "idx"), base, centroid_mod=5,
+    )
+    base.update(F.col("vec_id") == 7,
+                {"embedding": F.lit(_vec(777)).cast("array<double>")})
+    head = base.version
+    applied = idx.applied_version
+    # run the real refresh, then rewind state to simulate a crash
+    # between the merges and the state finalize
+    idx.refresh()
+    idx._write_state(applied, pending=head)
+    r = idx.refresh()
+    assert r["applied"] == head
+    assert _lists_assign(idx) == _expected_assign(base, idx)
+
+
+def test_vacuumed_span_full_resync(spark, tmp_path):
+    base = CowTable.create(
+        spark, str(tmp_path / "vecs"), mk_vecs(spark, range(20)),
+        keys=("vec_id",),
+    )
+    idx = VectorIndex.create(
+        spark, str(tmp_path / "idx"), base, centroid_mod=5,
+    )
+    for s in (601, 602, 603):
+        base.update(F.col("vec_id") == 7,
+                    {"embedding": F.lit(_vec(s)).cast("array<double>")})
+    base.delete(F.col("vec_id") == 9)
+    base.vacuum(keep_versions=1, retention_seconds=0.0)
+    r = idx.refresh()
+    assert r["refreshed"] and r.get("resync")
+    assert _lists_assign(idx) == _expected_assign(base, idx)
+    # and the NEXT refresh resumes incrementally
+    base.merge_when(mk_vecs(spark, [31]), insert=True)
+    r2 = idx.refresh()
+    assert r2["refreshed"] and not r2.get("resync")
+    assert _lists_assign(idx) == _expected_assign(base, idx)
+
+
+def test_capped_refresh_and_past_cap_refusal(spark, tmp_path):
+    base = CowTable.create(
+        spark, str(tmp_path / "vecs"), mk_vecs(spark, range(10)),
+        keys=("vec_id",),
+    )
+    idx = VectorIndex.create(
+        spark, str(tmp_path / "idx"), base, centroid_mod=5,
+    )
+    pin = base.version
+    base.merge_when(mk_vecs(spark, [41]), insert=True)  # unpublished head
+    r = idx.refresh(to_version=pin)
+    assert r["applied"] == pin and not r["refreshed"]
+    assert 41 not in _lists_assign(idx)
+    # uncapped refresh consumes the head; a later capped call refuses
+    idx.refresh()
+    with pytest.raises(ValueError, match="past the requested cap"):
+        idx.refresh(to_version=pin)
+
+
+def test_open_verifies_identity(spark, tmp_path):
+    base = CowTable.create(
+        spark, str(tmp_path / "vecs"), mk_vecs(spark, range(10)),
+        keys=("vec_id",),
+    )
+    other = CowTable.create(
+        spark, str(tmp_path / "other"), mk_vecs(spark, range(10)),
+        keys=("vec_id",),
+    )
+    idx = VectorIndex.create(
+        spark, str(tmp_path / "idx"), base, centroid_mod=5,
+    )
+    re = VectorIndex.open(spark, idx.root, base)
+    assert re.applied_version == idx.applied_version
+    with pytest.raises(ValueError, match="attach it to the table"):
+        VectorIndex.open(spark, idx.root, other)
+    with pytest.raises(ValueError, match="holds no vector index"):
+        VectorIndex.open(spark, str(tmp_path / "nope"), base)
+
+
+def test_probe_matches_ivf_and_prunes(spark, tmp_path):
+    """The index probe must equal knn.ivf_topk (same deterministic
+    math) and read only the files whose centroid range matches."""
+    from openverse_catalog_spark.operators import knn
+
+    base = CowTable.create(
+        spark, str(tmp_path / "vecs"), mk_vecs(spark, range(60)),
+        keys=("vec_id",), target_files=6,
+    )
+    idx = VectorIndex.create(
+        spark, str(tmp_path / "idx"), base, centroid_mod=10,
+        target_files=6,
+    )
+    queries = base.read().filter(F.col("vec_id") % 20 == 0)
+    got = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in idx.probe(queries, k=3, nprobe=2).collect()
+    }
+    want = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in knn.ivf_topk(
+            base.read(), "vec_id", "embedding",
+            k=3, centroid_mod=10, query_mod=20, nprobe=2,
+        ).collect()
+    }
+    assert got == want
+    # pruning: a single-centroid read opens a strict subset of files
+    m = idx.lists._manifest()
+    probed = [int(r.centroid_id) for r in
+              idx.lists.read().select("centroid_id").distinct().collect()]
+    one = idx.lists.read_pruned([probed[0]])
+    # files whose recorded range admits the centroid
+    admit = [
+        e for e in m["files"]
+        if e["min"]["centroid_id"] <= probed[0] <= e["max"]["centroid_id"]
+    ]
+    assert len(admit) < len(m["files"])
+    assert one.count() > 0
+
+
+def test_single_vector_search(spark, tmp_path):
+    base = CowTable.create(
+        spark, str(tmp_path / "vecs"), mk_vecs(spark, range(30)),
+        keys=("vec_id",),
+    )
+    idx = VectorIndex.create(
+        spark, str(tmp_path / "idx"), base, centroid_mod=6,
+    )
+    q = _vec(3)  # an indexed vector: its own row must rank first
+    rows = idx.search(q, k=3, nprobe=2).collect()
+    assert rows[0].neighbor_id == 3
+    assert rows[0].cosine == pytest.approx(1.0, abs=1e-6)
+    assert len(rows) == 3
+    with pytest.raises(ValueError, match="zero query vector"):
+        idx.search([0.0] * DIM, k=3)
