@@ -149,7 +149,11 @@ class LakeCatalog:
 
     def register(self, name: str, table: CowTable) -> int:
         """Point ``name`` at the table's current head (its own catalog
-        commit; metadata-only retry under concurrency)."""
+        commit; metadata-only retry under concurrency). A marker file
+        (``.catalog.json``) lands in the TABLE root so out-of-band
+        consumers (stream-driven index maintenance) can detect that
+        this table's raw head may run ahead of a published pin and
+        refuse to follow it unpinned."""
         while True:
             cur = self._load()
             tables = dict(cur["tables"])
@@ -162,9 +166,21 @@ class LakeCatalog:
                 self._commit_slot(
                     cur["version"] + 1, tables, f"register({name})"
                 )
+                self._write_managed_marker(table.root)
                 return cur["version"] + 1
             except TxnConflict:
                 continue
+
+    def _write_managed_marker(self, table_root: str) -> None:
+        try:
+            tmp = f"{table_root}/.tmp.catalog.json"
+            with open(tmp, "w") as fh:
+                json.dump({"catalog": self.root}, fh)
+            os.replace(tmp, f"{table_root}/.catalog.json")
+        except OSError:
+            # the marker is advisory (a read-only table mount must not
+            # fail registration); consumers just lose the cheap check
+            pass
 
     def rename(self, old: str, new: str) -> int:
         """Rename a mapping entry in ONE catalog commit — the entry
@@ -205,6 +221,14 @@ class LakeCatalog:
                 self._commit_slot(
                     cur["version"] + 1, tables, f"unregister({name})"
                 )
+                # drop the managed marker only when no OTHER current
+                # entry still points at the same root (aliases)
+                root = cur["tables"][name]["root"]
+                if all(e["root"] != root for e in tables.values()):
+                    try:
+                        os.remove(f"{root}/.catalog.json")
+                    except OSError:
+                        pass
                 return cur["version"] + 1
             except TxnConflict:
                 continue

@@ -2689,6 +2689,257 @@ def knn_ivf_index_upsert(spark, sf_dir):
 
 
 
+# --- incrementally-maintained vector index (operators/vectorindex.py) ------
+#
+# The churn is chosen so it never touches a centroid id (vec_id % 40 = 0)
+# or a query id (vec_id % 20 = 0): the frozen centroid set and the query
+# set stay byte-identical across the churn, so the oracle replays the
+# IVF math over the POST-churn corpus with the CREATE-time centroids.
+
+_VIDX_CORPUS_SQL = """
+  SELECT vec_id,
+         CASE WHEN vec_id % 10 = 7 THEN list_reverse(embedding)
+              ELSE embedding END AS embedding
+  FROM embeddings WHERE vec_id % 10 <> 3
+  UNION ALL
+  SELECT vec_id + 1000001 AS vec_id, list_reverse(embedding) AS embedding
+  FROM embeddings WHERE vec_id % 5 = 1
+"""
+
+
+def _vidx_churn(base, e):
+    """The standard vector-index churn (Spark side of _VIDX_CORPUS_SQL):
+    DELETE vec_id%10=3, UPDATE vec_id%10=7 to the reversed vector, and
+    INSERT reversed copies of vec_id%5=1 under salted ids (genuinely
+    new points — no exact twins, so ranking is ULP-robust)."""
+    base.delete(F.col("vec_id") % 10 == 3)
+    base.update(
+        F.col("vec_id") % 10 == 7,
+        {"embedding": F.reverse(F.col("embedding"))},
+    )
+    batch = e.filter(F.col("vec_id") % 5 == 1).select(
+        (F.col("vec_id") + 1000001).alias("vec_id"),
+        F.reverse(F.col("embedding")).alias("embedding"),
+    )
+    base.merge_when(batch, insert=True)
+
+
+def _vidx_fixture(spark, sf_dir, slug):
+    import os
+    import shutil
+    import tempfile
+
+    from openverse_catalog_spark.operators.cowtable import CowTable
+    from openverse_catalog_spark.operators.vectorindex import VectorIndex
+
+    e = _t(spark, sf_dir, "embeddings")["embeddings"].select(
+        "vec_id", "embedding"
+    )
+    root = os.path.join(tempfile.gettempdir(), slug)
+    shutil.rmtree(root, ignore_errors=True)
+    base = CowTable.create(
+        spark, os.path.join(root, "vecs"), e,
+        keys=("vec_id",), target_files=4,
+    )
+    idx = VectorIndex.create(
+        spark, os.path.join(root, "idx"), base, centroid_mod=40,
+    )
+    return e, base, idx
+
+
+@register(
+    "vector_index_refresh",
+    _ivf_oracle(nprobe=2, corpus_sql=_VIDX_CORPUS_SQL, rank_quantize=9),
+)
+def vector_index_refresh(spark, sf_dir):
+    """ANN served from an INCREMENTALLY-MAINTAINED IVF index
+    (operators/vectorindex.py) — the vector twin of search_index_bm25:
+    build the index from an embeddings snapshot, churn the base
+    (DELETE / UPDATE-to-reversed / INSERT salted reversed copies),
+    refresh FROM THE CHANGE FEED (cost O(changed vectors): old list
+    entries re-derive from feed pre-images against the frozen
+    centroids — the index is never scanned to find what to remove; ONE
+    file-skipped merge_when reconciles the lists), then probe. The
+    oracle assigns the POST-churn corpus to the create-time centroids
+    from scratch: fixed centroids make incremental == rebuilt, so the
+    feed-maintained index must match exactly."""
+    e, base, idx = _vidx_fixture(spark, sf_dir, "spark_graft_vecidx")
+    _vidx_churn(base, e)
+    r = idx.refresh()
+    assert r["refreshed"] and not r.get("resync"), r
+    queries = base.read().filter(F.col("vec_id") % 20 == 0)
+    out = idx.probe(queries, k=3, nprobe=2, rank_quantize=9)
+    return out.select(
+        "query_id", "neighbor_id", "rank",
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
+@register(
+    "stream_vector_index_maintenance",
+    _ivf_oracle(nprobe=2, corpus_sql=_VIDX_CORPUS_SQL, rank_quantize=9),
+)
+def stream_vector_index_maintenance(spark, sf_dir):
+    """SCHEDULER-LESS vector-index maintenance: the base table's own
+    commit log, followed as a file stream, triggers each incremental
+    refresh (streaming/incremental.stream_vector_maintenance). The
+    standard churn lands in TWO waves with a drain after each, sharing
+    one checkpoint (the second drain's refreshed count proves the new
+    commit was consumed incrementally), then the same probe answers
+    from the streamed index state; the oracle is identical to
+    vector_index_refresh, so the streamed path must land the byte-same
+    lists as the synchronous one."""
+    import os
+    import tempfile
+
+    from openverse_catalog_spark.streaming.incremental import (
+        stream_vector_maintenance,
+    )
+
+    e, base, idx = _vidx_fixture(
+        spark, sf_dir, "spark_graft_stream_vecidx"
+    )
+    ckpt = os.path.join(
+        tempfile.gettempdir(), "spark_graft_stream_vecidx", "ckpt"
+    )
+    # wave 1: delete + update, then drain the commit log
+    base.delete(F.col("vec_id") % 10 == 3)
+    base.update(
+        F.col("vec_id") % 10 == 7,
+        {"embedding": F.reverse(F.col("embedding"))},
+    )
+    r1 = stream_vector_maintenance(idx, ckpt)
+    assert r1["refreshes"] >= 1 and r1["applied"] == base.version, r1
+    # wave 2: the insert lands, the SAME checkpoint drains only the
+    # new commit (exactly-once ticks across drains)
+    batch = e.filter(F.col("vec_id") % 5 == 1).select(
+        (F.col("vec_id") + 1000001).alias("vec_id"),
+        F.reverse(F.col("embedding")).alias("embedding"),
+    )
+    base.merge_when(batch, insert=True)
+    r2 = stream_vector_maintenance(idx, ckpt)
+    assert r2["applied"] == base.version and r2["refreshes"] == 1, r2
+    queries = base.read().filter(F.col("vec_id") % 20 == 0)
+    out = idx.probe(queries, k=3, nprobe=2, rank_quantize=9)
+    return out.select(
+        "query_id", "neighbor_id", "rank",
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
+#: static 64-dim query literal for the SQL-surface vector search (pi
+#: digits): identical text on both engines, so the oracle replays the
+#: single-vector probe exactly.
+_VQ = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7, 9, 3, 2, 3, 8, 4,
+       6, 2, 6, 4, 3, 3, 8, 3, 2, 7, 9, 5, 0, 2, 8, 8, 4, 1, 9, 7,
+       1, 6, 9, 3, 9, 9, 3, 7, 5, 1, 0, 5, 8, 2, 0, 9, 7, 4, 9, 4,
+       4, 5, 9, 2]
+
+_VQ_TEXT = " ".join(str(v) for v in _VQ)
+
+_SQL_VIDX_ORACLE = f"""
+    WITH corpus AS ({_VIDX_CORPUS_SQL}),
+    ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+                FROM corpus, generate_series(1, 64) AS t(i)),
+    norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
+    q AS (SELECT i, qv[i] AS x
+          FROM (SELECT CAST([{", ".join(str(v) for v in _VQ)}]
+                            AS DOUBLE[]) AS qv),
+               generate_series(1, 64) AS t(i)),
+    qn AS (SELECT sqrt(sum(x * x)) AS nrm FROM q),
+    cex AS (SELECT vec_id AS centroid_id, i, x FROM ex
+            WHERE vec_id % 40 = 0),
+    ccos AS (SELECT c.centroid_id,
+                    sum(c.x * q.x) / (n.nrm * qn.nrm) AS c
+             FROM cex c JOIN q USING (i)
+                  JOIN norms n ON n.vec_id = c.centroid_id, qn
+             GROUP BY c.centroid_id, n.nrm, qn.nrm),
+    probe AS (SELECT centroid_id FROM (
+                SELECT centroid_id,
+                       row_number() OVER (ORDER BY c DESC, centroid_id)
+                         AS r
+                FROM ccos) WHERE r <= 2),
+    adot AS (SELECT e.vec_id, c.centroid_id, sum(e.x * c.x) AS dot
+             FROM ex e JOIN cex c ON e.i = c.i GROUP BY 1, 2),
+    acos AS (SELECT adot.vec_id, adot.centroid_id,
+                    dot / (n1.nrm * n2.nrm) AS c
+             FROM adot JOIN norms n1 ON n1.vec_id = adot.vec_id
+                       JOIN norms n2 ON n2.vec_id = adot.centroid_id),
+    assign AS (SELECT vec_id AS neighbor_id, centroid_id FROM (
+                 SELECT vec_id, centroid_id,
+                        row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY c DESC, centroid_id)
+                          AS r
+                 FROM acos) WHERE r = 1),
+    cand AS (SELECT a.neighbor_id
+             FROM assign a JOIN probe p USING (centroid_id)),
+    qdot AS (SELECT e.vec_id AS neighbor_id, sum(e.x * q.x) AS dot
+             FROM ex e JOIN q ON q.i = e.i
+             WHERE e.vec_id IN (SELECT neighbor_id FROM cand)
+             GROUP BY e.vec_id),
+    scored AS (SELECT qdot.neighbor_id,
+                      dot / (n.nrm * qn.nrm) AS cosine
+               FROM qdot JOIN norms n ON n.vec_id = qdot.neighbor_id, qn)
+    SELECT neighbor_id, round(cosine, 6) AS cosine
+    FROM scored ORDER BY round(cosine, 9) DESC, neighbor_id LIMIT 10
+    """
+
+
+@register("sql_vector_index", _SQL_VIDX_ORACLE)
+def sql_vector_index(spark, sf_dir):
+    """The vector-index lifecycle as pure facade text: ``CREATE VECTOR
+    INDEX`` over a CTAS'd embeddings table, the SAME churn as
+    vector_index_refresh applied via DELETE / UPDATE / INSERT
+    statements, ``REFRESH VECTOR INDEX`` (O(changed vectors), result
+    row carries the resync flag), and the inline
+    ``VECTOR_SEARCH('idx', '<floats>', k, nprobe)`` relation — every
+    persisted artifact in the engine is SQL-addressable, the text
+    index's r8 treatment extended to ANN. The oracle replays the
+    single-vector IVF probe (frozen centroids, nprobe=2) against the
+    post-churn corpus with the same static query literal."""
+    import os
+    import shutil
+    import tempfile
+
+    from openverse_catalog_spark.sql_facade import SqlFacade
+
+    f = SqlFacade(spark)
+    f.register_df(
+        "embeddings",
+        _t(spark, sf_dir, "embeddings")["embeddings"].select(
+            "vec_id", "embedding"
+        ),
+    )
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_sql_vidx")
+    shutil.rmtree(base, ignore_errors=True)
+    f.sql(
+        "CREATE TABLE vecs PRIMARY KEY (vec_id) "
+        f"LOCATION '{base}/vecs' AS "
+        "SELECT vec_id, embedding FROM embeddings"
+    )
+    f.sql(
+        "CREATE VECTOR INDEX vidx ON vecs (embedding) "
+        f"CENTROID MOD 40 LOCATION '{base}/idx'"
+    )
+    f.sql("DELETE FROM vecs WHERE vec_id % 10 = 3")
+    f.sql(
+        "UPDATE vecs SET embedding = reverse(embedding) "
+        "WHERE vec_id % 10 = 7"
+    )
+    f.sql(
+        "INSERT INTO vecs "
+        "SELECT vec_id + 1000001 AS vec_id, "
+        "reverse(embedding) AS embedding "
+        "FROM vecs WHERE vec_id % 5 = 1"
+    )
+    r = f.sql("REFRESH VECTOR INDEX vidx").head()
+    assert r["refreshed"] and not r["resync"], r
+    return f.sql(
+        "SELECT neighbor_id, cosine "
+        f"FROM VECTOR_SEARCH('vidx', '{_VQ_TEXT}', 10, 2)"
+    )
+
+
 def _pca_oracle(rounds: int = 3) -> str:
     """Power iteration unrolled round by round in SQL — value-exact for
     an iterative numeric algorithm (same discipline as the k-means and

@@ -644,3 +644,154 @@ def stream_search_maintenance(spark, sf_dir):
     r2 = stream_index_maintenance(idx, ckpt)
     assert r2["applied"] == base.version and r2["refreshes"] == 1, r2
     return idx.bm25(["join", "hash", "vector", "spark"], 20)
+
+
+_HYBRID_IDX_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks
+      WHERE term IN ('join', 'hash', 'vector', 'spark') GROUP BY 1, 2
+    ),
+    idf AS (
+      SELECT tf.term,
+             ln(1.0 + (stats.n - count(DISTINCT tf.doc_id) + 0.5)
+                      / (count(DISTINCT tf.doc_id) + 0.5)) AS idf
+      FROM tf, stats GROUP BY tf.term, stats.n
+    ),
+    bm AS (
+      SELECT tf.doc_id,
+             round(sum(idf.idf * tf.tf * ({_K1} + 1.0)
+                 / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.dl / stats.avgdl))), 6)
+               AS score
+      FROM tf
+      JOIN idf USING (term)
+      JOIN dl USING (doc_id), stats
+      GROUP BY tf.doc_id
+    ),
+    lex AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r_lex
+      FROM bm QUALIFY r_lex <= {_HYBRID_DEPTH}
+    ),
+    ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+           FROM embeddings, generate_series(1, 64) AS t(i)),
+    norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
+    cex AS (SELECT vec_id AS centroid_id, i, x FROM ex WHERE vec_id % 40 = 0),
+    adot AS (SELECT e.vec_id, c.centroid_id, sum(e.x * c.x) AS dot
+             FROM ex e JOIN cex c ON e.i = c.i GROUP BY 1, 2),
+    acos AS (SELECT adot.vec_id, adot.centroid_id,
+                    dot / (n1.nrm * n2.nrm) AS c
+             FROM adot JOIN norms n1 ON n1.vec_id = adot.vec_id
+                       JOIN norms n2 ON n2.vec_id = adot.centroid_id),
+    assign AS (SELECT vec_id AS neighbor_id, centroid_id FROM (
+                 SELECT vec_id, centroid_id,
+                        row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY c DESC, centroid_id) AS r
+                 FROM acos) WHERE r = 1),
+    probe AS (SELECT centroid_id FROM (
+                SELECT centroid_id,
+                       row_number() OVER (ORDER BY c DESC, centroid_id) AS r
+                FROM acos WHERE vec_id = 0) WHERE r <= 2),
+    cand AS (SELECT a.neighbor_id
+             FROM assign a JOIN probe p USING (centroid_id)
+             WHERE a.neighbor_id <> 0),
+    cdot AS (SELECT e.vec_id AS doc_id, sum(e.x * q.x) AS dot
+             FROM ex e JOIN ex q ON q.i = e.i AND q.vec_id = 0
+             WHERE e.vec_id IN (SELECT neighbor_id FROM cand)
+             GROUP BY e.vec_id),
+    cos AS (SELECT cdot.doc_id,
+                   round(dot / (na.nrm * nb.nrm), 6) AS cosine
+            FROM cdot JOIN norms na ON na.vec_id = 0
+                      JOIN norms nb ON nb.vec_id = cdot.doc_id),
+    vec AS (
+      SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id) AS r_vec
+      FROM cos QUALIFY r_vec <= {_HYBRID_DEPTH}
+    ),
+    fused AS (
+      SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+             lex.r_lex, vec.r_vec,
+             round(coalesce(1.0 / ({_RRF_K} + lex.r_lex), 0)
+                   + coalesce(1.0 / ({_RRF_K} + vec.r_vec), 0), 6) AS rrf
+      FROM lex FULL OUTER JOIN vec USING (doc_id)
+    )
+    SELECT doc_id, r_lex, r_vec, rrf
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT 20
+"""
+
+
+@register("search_hybrid_indexed", _HYBRID_IDX_ORACLE)
+def search_hybrid_indexed(spark, sf_dir):
+    """Hybrid BM25 + vector retrieval served FROM BOTH PERSISTED
+    INDEXES — the index-served twin of search_hybrid_rrf, which scans
+    the corpus for each arm. Here the lexical arm answers from the
+    incrementally-maintained inverted index (term-pruned postings: only
+    files whose term range matches a query term are opened; the corpus
+    is never tokenized at query time) and the vector arm answers from
+    the IVF index (nprobe=2 of ~C centroid lists, manifest-pruned: the
+    lists table is never scanned whole). Fusion is the same RRF over
+    2x{_HYBRID_DEPTH} candidate rows. At 100 TB this is the shape that
+    matters: the full-scan variant's arms are single-scans of the
+    corpus, the indexed variant's arms read files proportional to the
+    QUERY (a few postings files + 2 inverted lists). The vector arm is
+    honestly IVF-approximate, so the oracle replays the IVF math
+    (deterministic centroids vec_id %% 40 = 0) rather than brute force;
+    the lexical arm must byte-match the full-scan BM25."""
+    import os
+    import shutil
+    import tempfile
+
+    from openverse_catalog_spark.operators.cowtable import CowTable
+    from openverse_catalog_spark.operators.searchindex import SearchIndex
+    from openverse_catalog_spark.operators.vectorindex import VectorIndex
+
+    d = _t(spark, sf_dir, "documents")["documents"].select("doc_id", "text")
+    e = _t(spark, sf_dir, "embeddings")["embeddings"].select(
+        "vec_id", "embedding"
+    )
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_hybrid_idx")
+    shutil.rmtree(root, ignore_errors=True)
+    docs = CowTable.create(
+        spark, os.path.join(root, "docs"), d, keys=("doc_id",),
+        target_files=4,
+    )
+    vecs = CowTable.create(
+        spark, os.path.join(root, "vecs"), e, keys=("vec_id",),
+        target_files=4,
+    )
+    sidx = SearchIndex.create(spark, os.path.join(root, "sidx"), docs)
+    vidx = VectorIndex.create(
+        spark, os.path.join(root, "vidx"), vecs, centroid_mod=40,
+    )
+
+    # lexical arm: index-served BM25, rank over the top-50 rows only
+    w_lex = Window.orderBy(F.col("score").desc(), "doc_id")
+    lex = (
+        sidx.bm25(_BM25_TERMS, _HYBRID_DEPTH)
+        .withColumn("r_lex", F.row_number().over(w_lex))
+        .select("doc_id", "r_lex")
+    )
+
+    # vector arm: IVF probe for the vec_id=0 query embedding; the rank
+    # key quantizes to the same 6 decimals the oracle ranks on
+    queries = vecs.read().filter(F.col("vec_id") == 0)
+    vec = vidx.probe(
+        queries, k=_HYBRID_DEPTH, nprobe=2, rank_quantize=6
+    ).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("r_vec"),
+    )
+
+    fused = lex.join(vec, "doc_id", "full_outer").select(
+        "doc_id",
+        "r_lex",
+        "r_vec",
+        F.round(
+            F.coalesce(1.0 / (_RRF_K + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("r_vec")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(20)

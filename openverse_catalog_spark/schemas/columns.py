@@ -39,6 +39,7 @@ class Datatype(Enum):
     jsonb_struct = "jsonb_struct"  # audio_set: single object, fixed keys
     jsonb_structs = "jsonb_structs"  # alt_files: array of fixed-key objects
     array_str = "array_str"  # varchar[] (genres)
+    array_double = "array_double"  # embedding vectors (beyond-reference)
     double = "double"  # numeric/double precision (iNaturalist DDL)
     timestamp = "timestamp"
     uuid = "uuid"
@@ -101,6 +102,7 @@ def _spark_type(dt: Datatype) -> T.DataType:
         Datatype.jsonb_struct: AUDIO_SET_STRUCT,
         Datatype.jsonb_structs: T.ArrayType(ALT_FILE_STRUCT),
         Datatype.array_str: T.ArrayType(T.StringType()),
+        Datatype.array_double: T.ArrayType(T.DoubleType()),
         Datatype.double: T.DoubleType(),
         Datatype.timestamp: T.TimestampType(),
         Datatype.uuid: T.StringType(),

@@ -224,6 +224,23 @@ _SEARCH_TVF = re.compile(
     r"\bSEARCH_INDEX\s*\(\s*'(\w+)'\s*,\s*'([^']+)'\s*,\s*(\d+)\s*\)",
     re.IGNORECASE,
 )
+_CREATE_VIDX = re.compile(
+    r"^\s*(CREATE|ATTACH)\s+VECTOR\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s*"
+    r"\(\s*(\w+)\s*\)(?:\s+CENTROID\s+MOD\s+(\d+))?"
+    r"(?:\s+LOCATION\s+'([^']+)')?\s*$",
+    re.IGNORECASE,
+)
+_REFRESH_VIDX = re.compile(
+    r"^\s*REFRESH\s+VECTOR\s+INDEX\s+(\w+)\s*$", re.IGNORECASE
+)
+_DROP_VIDX = re.compile(
+    r"^\s*DROP\s+VECTOR\s+INDEX\s+(\w+)\s*$", re.IGNORECASE
+)
+_VECTOR_TVF = re.compile(
+    r"\bVECTOR_SEARCH\s*\(\s*'(\w+)'\s*,\s*'([^']+)'\s*,\s*(\d+)"
+    r"(?:\s*,\s*(\d+))?\s*\)",
+    re.IGNORECASE,
+)
 _SHOW_CREATE = re.compile(
     r"^\s*SHOW\s+CREATE\s+TABLE\s+(\w+)\s*$", re.IGNORECASE
 )
@@ -419,6 +436,8 @@ class SqlFacade:
         self._mvs: dict = {}
         self._sidx: dict = {}
         self._sidx_views: dict[str, set] = {}
+        self._vidx: dict = {}
+        self._vidx_views: dict[str, set] = {}
         # monotonic suffix for inline index-TVF temp views: two
         # different term/k (or vector/k) substitutions in one statement
         # must never collide the way a salted hash() could
@@ -649,7 +668,37 @@ class SqlFacade:
             self._sidx_views.setdefault(name, set()).add(view)
             return view
 
+        def vector_of(match: re.Match) -> str:
+            # VECTOR_SEARCH('idx', '<space separated floats>', k[, nprobe]):
+            # top-k cosine neighbors served from the named IVF index
+            # (centroid-range file pruning; the corpus is never scanned
+            # at query time) as an inline relation (neighbor_id, cosine)
+            name, vec_text, k, nprobe = match.groups()
+            if name not in self._vidx:
+                raise ValueError(
+                    f"{name!r} is not a registered vector index "
+                    f"(have: {sorted(self._vidx)}); CREATE VECTOR "
+                    "INDEX first"
+                )
+            try:
+                qvec = [float(x) for x in vec_text.split()]
+            except ValueError:
+                raise ValueError(
+                    "VECTOR_SEARCH query must be space-separated "
+                    f"numbers, got {vec_text!r}"
+                ) from None
+            if not qvec:
+                raise ValueError("VECTOR_SEARCH needs a query vector")
+            self._idx_view_seq += 1
+            view = f"{name}__vsearch_{self._idx_view_seq}"
+            self._vidx[name].search(
+                qvec, int(k), nprobe=int(nprobe) if nprobe else 2
+            ).createOrReplaceTempView(view)
+            self._vidx_views.setdefault(name, set()).add(view)
+            return view
+
         text = _SEARCH_TVF.sub(search_of, text)
+        text = _VECTOR_TVF.sub(vector_of, text)
         text = _TABLE_CHANGES.sub(changes_of, text)
         text = _TABLE_FILES.sub(files_of, text)
         text = _TABLE_PARTITIONS.sub(partitions_of, text)
@@ -711,16 +760,18 @@ class SqlFacade:
             return int(self._catalog._entry(tbl)["version"])
         return None
 
-    def _sidx_pin(self, name: str) -> int | None:
-        """The version index ``name`` may advance to: catalog-managed
-        bases stop at the catalog PIN (an unpublished/aborted head must
-        never leak into search results); plain tables follow the raw
-        head."""
-        base_root = self._sidx[name].base.root
+    def _index_pin(self, idx) -> int | None:
+        """The version an index may advance to: catalog-managed bases
+        stop at the catalog PIN (an unpublished/aborted head must never
+        leak into query results); plain tables follow the raw head."""
+        base_root = idx.base.root
         for tbl in self._catalog_names:
             if self._tables[tbl].root == base_root:
                 return self._catalog_pin(tbl)
         return None
+
+    def _sidx_pin(self, name: str) -> int | None:
+        return self._index_pin(self._sidx[name])
 
     def _create_search_index(self, m: re.Match) -> DataFrame:
         """``CREATE SEARCH INDEX i ON t (text_col) [LOCATION '...']`` —
@@ -785,6 +836,86 @@ class SqlFacade:
                 shutil.rmtree(root, ignore_errors=True)
                 raise
         self._sidx[name] = idx
+        return self.spark.createDataFrame(
+            [(name, tbl, idx.applied_version)],
+            "index string, table string, applied long",
+        )
+
+    def _create_vector_index(self, m: re.Match) -> DataFrame:
+        """``CREATE VECTOR INDEX i ON t (vec_col) [CENTROID MOD n]
+        [LOCATION '...']`` — builds the CDF-maintained IVF index
+        (operators/vectorindex.py) over a registered lake table's
+        snapshot (the catalog PIN when the table is catalog-managed —
+        same aborted-head rule as SEARCH INDEX); ``ATTACH VECTOR
+        INDEX`` reopens a persisted one (LOCATION required); ``REFRESH
+        VECTOR INDEX i`` advances it O(changed vectors) and
+        ``VECTOR_SEARCH('i', '<floats>', k[, nprobe])`` queries it
+        inline. The ANN twin of the SEARCH INDEX family — every
+        persisted artifact in the engine is SQL-addressable."""
+        from pyspark.sql import types as T
+
+        from openverse_catalog_spark.operators.vectorindex import (
+            VectorIndex,
+        )
+
+        verb, name, tbl, col, mod, location = m.groups()
+        attach = verb.upper() == "ATTACH"
+        if name in self._vidx:
+            raise ValueError(f"vector index {name!r} already exists")
+        if tbl not in self._tables:
+            raise ValueError(
+                f"{tbl!r} is not a registered lake table "
+                f"(have: {sorted(self._tables)})"
+            )
+        self._refuse_create_in_txn()
+        base = self._tables[tbl]
+        if len(base.keys) != 1:
+            raise ValueError(
+                "vector indexes need a single-column vector key; "
+                f"{tbl!r} is keyed {base.keys}"
+            )
+        pin = self._catalog_pin(tbl)
+        snap = base.read(pin)
+        if col not in snap.columns:
+            raise ValueError(f"{tbl!r} has no column {col!r}")
+        if not isinstance(snap.schema[col].dataType, T.ArrayType):
+            raise ValueError(
+                f"{tbl}.{col} is {snap.schema[col].dataType.simpleString()}"
+                ", not an array vector column"
+            )
+        if attach:
+            if not location:
+                raise ValueError(
+                    "ATTACH VECTOR INDEX needs LOCATION '<dir>'"
+                )
+            if mod:
+                raise ValueError(
+                    "ATTACH VECTOR INDEX reopens a persisted index; "
+                    "CENTROID MOD is fixed at CREATE"
+                )
+            idx = VectorIndex.open(
+                self.spark, location, base,
+                id_col=base.keys[0], vec_col=col,
+            )
+        else:
+            root = self._resolve_new_root(
+                name, location, "CREATE VECTOR INDEX"
+            )
+            try:
+                idx = VectorIndex.create(
+                    self.spark, root, base,
+                    id_col=base.keys[0], vec_col=col,
+                    centroid_mod=int(mod) if mod else 40,
+                    version=pin,
+                )
+            except Exception:
+                # a failed build must not leave a husk directory that
+                # blocks the retry via the exists guard
+                import shutil
+
+                shutil.rmtree(root, ignore_errors=True)
+                raise
+        self._vidx[name] = idx
         return self.spark.createDataFrame(
             [(name, tbl, idx.applied_version)],
             "index string, table string, applied long",
@@ -1242,6 +1373,45 @@ class SqlFacade:
             # parquet fails with FileNotFound instead of the facade's
             # clear unknown-index error
             for view in self._sidx_views.pop(name, ()):
+                self.spark.catalog.dropTempView(view)
+            shutil.rmtree(idx.root, ignore_errors=True)
+            return self.spark.createDataFrame(
+                [(name,)], "dropped string"
+            )
+        m = _CREATE_VIDX.match(text)
+        if m:
+            return self._create_vector_index(m)
+        m = _REFRESH_VIDX.match(text)
+        if m and m.group(1) in self._vidx:
+            pin = self._index_pin(self._vidx[m.group(1)])
+            if self._txn is not None and pin is not None:
+                # same rule as REFRESH SEARCH INDEX: a catalog base's
+                # txn writes advance the raw chain before COMMIT
+                # publishes them; refreshing here would index
+                # uncommitted vectors that survive ROLLBACK
+                raise ValueError(
+                    "REFRESH VECTOR INDEX on a catalog-managed base "
+                    "inside an explicit transaction is not supported; "
+                    "COMMIT or ROLLBACK first"
+                )
+            r = self._vidx[m.group(1)].refresh(to_version=pin)
+            return self.spark.createDataFrame(
+                [(int(r["applied"]), bool(r["refreshed"]),
+                  bool(r.get("resync", False)))],
+                "applied long, refreshed boolean, resync boolean",
+            )
+        m = _DROP_VIDX.match(text)
+        if m and m.group(1) in self._vidx:
+            import shutil
+
+            if self._txn is not None:
+                raise ValueError(
+                    "DROP VECTOR INDEX inside an explicit transaction "
+                    "is not supported; COMMIT or ROLLBACK first"
+                )
+            name = m.group(1)
+            idx = self._vidx.pop(name)
+            for view in self._vidx_views.pop(name, ()):
                 self.spark.catalog.dropTempView(view)
             shutil.rmtree(idx.root, ignore_errors=True)
             return self.spark.createDataFrame(
@@ -1716,6 +1886,11 @@ class SqlFacade:
         "float": Datatype.double,
         "boolean": Datatype.bool,
         "timestamp": Datatype.timestamp,
+        # embedding vectors: FP32 widens to FP64 like scalar float ->
+        # double (the engine-wide width posture); merges keep whatever
+        # width the table physically holds via _conform_widths
+        "array<double>": Datatype.array_double,
+        "array<float>": Datatype.array_double,
     }
 
     def _specs_from_schema(self, schema, keys: tuple[str, ...]) -> list:

@@ -1130,6 +1130,7 @@ def stream_index_maintenance(
     checkpoint_dir: str,
     spark: SparkSession | None = None,
     pin_fn=None,
+    allow_unpinned: bool = False,
 ) -> dict:
     """CONTINUOUS search-index maintenance: follow the index's base
     table's commit log as a stream (the manifests directory is an
@@ -1152,9 +1153,60 @@ def stream_index_maintenance(
     ``lambda: facade._catalog_pin('docs')``): an uncapped refresh on
     such a base would index unpublished/aborted raw-head versions that
     no catalog reader sees, exactly what the facade's own REFRESH
-    refuses to do. Plain tables omit it. Returns
+    refuses to do. This is ENFORCED, not just documented: a base
+    carrying the catalog's ``.catalog.json`` marker with no ``pin_fn``
+    raises unless the caller opts out explicitly with
+    ``allow_unpinned=True`` (only correct when every head version is
+    known published). Plain tables omit it. Returns
     {ticks, refreshes, applied}."""
+    return _stream_index_ticks(
+        idx, checkpoint_dir, spark, pin_fn, allow_unpinned
+    )
+
+
+def stream_vector_maintenance(
+    idx,
+    checkpoint_dir: str,
+    spark: SparkSession | None = None,
+    pin_fn=None,
+    allow_unpinned: bool = False,
+) -> dict:
+    """CONTINUOUS vector-index maintenance — the ANN twin of
+    :func:`stream_index_maintenance`: the base embeddings table's
+    commit log, followed as a file stream, triggers each incremental
+    :meth:`~..operators.vectorindex.VectorIndex.refresh` (O(changed
+    vectors): feed pre-images re-assign against the frozen centroids,
+    one txn-fenced merge reconciles the lists). Same exactly-once
+    composition (file-source checkpoint x pending-span WAL), same
+    catalog-pin enforcement. Returns {ticks, refreshes, applied}."""
+    return _stream_index_ticks(
+        idx, checkpoint_dir, spark, pin_fn, allow_unpinned
+    )
+
+
+def _stream_index_ticks(
+    idx, checkpoint_dir, spark, pin_fn, allow_unpinned
+) -> dict:
+    """Shared commit-log-driven refresh loop for any IncrementalIndex
+    (text or vector): the stream is purely a TRIGGER — refresh()
+    re-reads its feed span from its own durable high-water mark."""
+    import os as _os
+
     spark = spark or idx.spark
+    if (
+        pin_fn is None
+        and not allow_unpinned
+        and _os.path.exists(f"{idx.base.root}/.catalog.json")
+    ):
+        raise ValueError(
+            f"base table {idx.base.root!r} is catalog-managed (it "
+            "carries a .catalog.json marker): its raw head can hold "
+            "unpublished/aborted versions no catalog reader sees, so "
+            "unpinned maintenance would leak them into the index. Pass "
+            "pin_fn=lambda: <catalog pinned version>, or "
+            "allow_unpinned=True ONLY if every head version is "
+            "published"
+        )
     counts = {"ticks": 0, "refreshes": 0}
 
     def on_batch(bdf: DataFrame, batch_id: int) -> None:

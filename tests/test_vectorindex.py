@@ -236,3 +236,55 @@ def test_single_vector_search(spark, tmp_path):
     assert len(rows) == 3
     with pytest.raises(ValueError, match="zero query vector"):
         idx.search([0.0] * DIM, k=3)
+
+
+def test_stream_vector_maintenance_and_pin_enforcement(spark, tmp_path):
+    """The commit-log stream triggers vector refreshes exactly-once; a
+    catalog-managed base (marker file) REFUSES unpinned maintenance
+    and follows the catalog pin when pin_fn is given."""
+    from openverse_catalog_spark.operators.catalog import LakeCatalog
+    from openverse_catalog_spark.streaming.incremental import (
+        stream_vector_maintenance,
+    )
+
+    base = CowTable.create(
+        spark, str(tmp_path / "vecs"), mk_vecs(spark, range(20)),
+        keys=("vec_id",),
+    )
+    idx = VectorIndex.create(
+        spark, str(tmp_path / "idx"), base, centroid_mod=5,
+    )
+    ckpt = str(tmp_path / "ckpt")
+    base.update(F.col("vec_id") == 7,
+                {"embedding": F.lit(_vec(901)).cast("array<double>")})
+    r1 = stream_vector_maintenance(idx, ckpt)
+    assert r1["refreshes"] == 1 and r1["applied"] == base.version
+    assert _lists_assign(idx) == _expected_assign(base, idx)
+    # no new commits: same checkpoint delivers nothing
+    r2 = stream_vector_maintenance(idx, ckpt)
+    assert r2["ticks"] == 0 and r2["refreshes"] == 0
+
+    # registering the base in a catalog writes the managed marker:
+    # unpinned maintenance now refuses
+    cat = LakeCatalog.create(spark, str(tmp_path / "cat"))
+    cat.register("vecs", base)
+    base.merge_when(mk_vecs(spark, [51]), insert=True)  # unpublished
+    with pytest.raises(ValueError, match="catalog-managed"):
+        stream_vector_maintenance(idx, str(tmp_path / "ckpt2"))
+    # pinned maintenance caps at the published version (51 invisible)
+    pin = cat._entry("vecs")["version"]
+    r3 = stream_vector_maintenance(
+        idx, str(tmp_path / "ckpt2"), pin_fn=lambda: pin
+    )
+    assert r3["applied"] == pin
+    assert 51 not in _lists_assign(idx)
+    # the explicit opt-out works (everything here IS published safely
+    # for the test's purposes)
+    r4 = stream_vector_maintenance(
+        idx, str(tmp_path / "ckpt3"), allow_unpinned=True
+    )
+    assert r4["applied"] == base.version
+    # unregistering removes the marker
+    cat.unregister("vecs")
+    import os
+    assert not os.path.exists(f"{base.root}/.catalog.json")
