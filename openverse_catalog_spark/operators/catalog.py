@@ -233,6 +233,101 @@ class LakeCatalog:
             except TxnConflict:
                 continue
 
+    # -- index registry -------------------------------------------------
+    #
+    # Derived-index entries (search / vector) live in an OPERATIONAL
+    # side file, not the versioned commit chain: an index is not part
+    # of any cross-table snapshot (queries resolve it by name at its
+    # own applied version), but the catalog must know it exists so the
+    # unattended maintenance tick keeps it fresh and the vacuum never
+    # deletes the CDF span its next refresh needs. Last-writer-wins on
+    # concurrent registration (registrations are rare admin actions).
+
+    def _indexes_path(self) -> str:
+        return f"{self._dir}/indexes.json"
+
+    def indexes(self) -> dict:
+        """name -> {kind, root, base, columns} for every registered
+        derived index."""
+        try:
+            with open(self._indexes_path()) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return {}
+
+    def register_index(
+        self,
+        name: str,
+        kind: str,
+        root: str,
+        base_name: str,
+        columns: dict | None = None,
+    ) -> None:
+        """Register a derived index over a catalog-managed base table:
+        ``maintain_tables`` will refresh it (capped at the base's PIN)
+        on every tick, and ``vacuum_tables`` protects the base's
+        unapplied change-feed span so a stale index can always resume
+        incrementally instead of being forced into an O(corpus)
+        resync."""
+        if kind not in ("search", "vector"):
+            raise ValueError(f"unknown index kind {kind!r}")
+        self._entry(base_name)  # must be a registered table
+        idx = self.indexes()
+        idx[name] = {
+            "kind": kind,
+            "root": root.rstrip("/"),
+            "base": base_name,
+            "columns": dict(columns or {}),
+        }
+        tmp = f"{self._dir}/.tmp.indexes.{uuid.uuid4().hex}.json"
+        with open(tmp, "w") as fh:
+            json.dump(idx, fh, indent=1)
+        os.replace(tmp, self._indexes_path())
+
+    def unregister_index(self, name: str) -> None:
+        idx = self.indexes()
+        if name not in idx:
+            raise KeyError(f"index {name!r} not in catalog {self.root}")
+        del idx[name]
+        tmp = f"{self._dir}/.tmp.indexes.{uuid.uuid4().hex}.json"
+        with open(tmp, "w") as fh:
+            json.dump(idx, fh, indent=1)
+        os.replace(tmp, self._indexes_path())
+
+    def _open_index(self, e: dict):
+        """Instantiate a registered index handle bound to its base's
+        catalog entry (identity-verified by the index's own open())."""
+        from openverse_catalog_spark.operators.searchindex import (
+            SearchIndex,
+        )
+        from openverse_catalog_spark.operators.vectorindex import (
+            VectorIndex,
+        )
+
+        be = self._entry(e["base"])
+        base = CowTable(self.spark, be["root"], keys=tuple(be["keys"]))
+        cols = e.get("columns") or {}
+        if e["kind"] == "search":
+            return SearchIndex.open(
+                self.spark, e["root"], base,
+                id_col=cols.get("id", base.keys[0]),
+                text_col=cols.get("text", "text"),
+            )
+        return VectorIndex.open(
+            self.spark, e["root"], base,
+            id_col=cols.get("id", base.keys[0]),
+            vec_col=cols.get("vector", "embedding"),
+        )
+
+    def _index_applied(self, e: dict) -> int | None:
+        """An index's applied base version straight from its state file
+        (no handle, no Spark) — what vacuum protection needs."""
+        try:
+            with open(f"{e['root']}/state.json") as fh:
+                return int(json.load(fh)["applied"])
+        except (OSError, ValueError, KeyError):
+            return None
+
     def _entry(self, name: str, catalog_version: int | None = None) -> dict:
         tables = self._load(catalog_version)["tables"]
         if name not in tables:
@@ -395,6 +490,20 @@ class LakeCatalog:
         for doc in commits:
             for name, e in doc["tables"].items():
                 pins.setdefault(name, set()).add(e["version"])
+        # REGISTERED-CONSUMER PROTECTION: a derived index's next
+        # refresh reads the base's change feed from its applied version
+        # to the pin; vacuuming any version in that span would force an
+        # O(corpus) resync. Protect the span (the lakehouse version of
+        # "retention never outruns a registered consumer group") — it
+        # reclaims automatically once the index catches up.
+        cur_tables = self._load(cur_v)["tables"]
+        for ie in self.indexes().values():
+            be = cur_tables.get(ie["base"])
+            applied = self._index_applied(ie)
+            if be is None or applied is None:
+                continue
+            span = range(applied, int(be["version"]) + 1)
+            pins.setdefault(ie["base"], set()).update(span)
         ext = self._external_refs(commits)
         deleted = {}
         for name, e in self._load(cur_v)["tables"].items():
@@ -495,6 +604,22 @@ class LakeCatalog:
                     report[name]["stats_version"] = adv["version"]
                 except Exception as exc:  # noqa: BLE001 - unattended
                     report[name]["stats_error"] = str(exc)
+        # registered derived indexes refresh CAPPED AT THE PIN — the
+        # unattended tick leaves indexes fresh, not just tables
+        # compacted, and it runs BEFORE vacuum so the feed span each
+        # refresh consumes still exists. O(churn) per index: the
+        # refresh reads only the manifest diff and feed images.
+        for iname, e in self.indexes().items():
+            try:
+                pin = int(self._entry(e["base"])["version"])
+                res = self._open_index(e).refresh(to_version=pin)
+                report[f"index:{iname}"] = {
+                    "refreshed": bool(res.get("refreshed")),
+                    "applied": int(res["applied"]),
+                    "resync": bool(res.get("resync", False)),
+                }
+            except Exception as exc:  # noqa: BLE001 - unattended tick
+                report[f"index:{iname}"] = {"error": str(exc)}
         report["vacuumed"] = self.vacuum_tables(
             keep_versions=keep_versions,
             retention_seconds=retention_seconds,

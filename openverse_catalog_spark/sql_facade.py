@@ -773,6 +773,13 @@ class SqlFacade:
     def _sidx_pin(self, name: str) -> int | None:
         return self._index_pin(self._sidx[name])
 
+    def _unregister_catalog_index(self, name: str) -> None:
+        if self._catalog is not None:
+            try:
+                self._catalog.unregister_index(name)
+            except KeyError:
+                pass  # plain-table index, never catalog-registered
+
     def _create_search_index(self, m: re.Match) -> DataFrame:
         """``CREATE SEARCH INDEX i ON t (text_col) [LOCATION '...']`` —
         builds the CDF-maintained inverted index (operators/
@@ -836,6 +843,14 @@ class SqlFacade:
                 shutil.rmtree(root, ignore_errors=True)
                 raise
         self._sidx[name] = idx
+        if tbl in self._catalog_names:
+            # the catalog's unattended tick (MAINTAIN CATALOG) keeps
+            # registered indexes fresh and its vacuum protects the
+            # unapplied feed span
+            self._catalog.register_index(
+                name, "search", idx.root, tbl,
+                {"id": base.keys[0], "text": col},
+            )
         return self.spark.createDataFrame(
             [(name, tbl, idx.applied_version)],
             "index string, table string, applied long",
@@ -916,6 +931,11 @@ class SqlFacade:
                 shutil.rmtree(root, ignore_errors=True)
                 raise
         self._vidx[name] = idx
+        if tbl in self._catalog_names:
+            self._catalog.register_index(
+                name, "vector", idx.root, tbl,
+                {"id": base.keys[0], "vector": col},
+            )
         return self.spark.createDataFrame(
             [(name, tbl, idx.applied_version)],
             "index string, table string, applied long",
@@ -1374,6 +1394,7 @@ class SqlFacade:
             # clear unknown-index error
             for view in self._sidx_views.pop(name, ()):
                 self.spark.catalog.dropTempView(view)
+            self._unregister_catalog_index(name)
             shutil.rmtree(idx.root, ignore_errors=True)
             return self.spark.createDataFrame(
                 [(name,)], "dropped string"
@@ -1413,6 +1434,7 @@ class SqlFacade:
             idx = self._vidx.pop(name)
             for view in self._vidx_views.pop(name, ()):
                 self.spark.catalog.dropTempView(view)
+            self._unregister_catalog_index(name)
             shutil.rmtree(idx.root, ignore_errors=True)
             return self.spark.createDataFrame(
                 [(name,)], "dropped string"
@@ -1700,11 +1722,20 @@ class SqlFacade:
                 kw["catalog_history"] = int(m.group(4))
             rep = self._catalog.maintain_tables(**kw)
             self._head_version.clear()
-            rows = [
-                (n, bool(r.get("compacted")), r.get("version"))
-                for n, r in rep.items()
-                if n not in ("vacuumed", "recovered")
-            ]
+            rows = []
+            for n, r in rep.items():
+                if n in ("vacuumed", "recovered"):
+                    continue
+                if n.startswith("index:"):
+                    # registered-index tick: "compacted" reads as
+                    # "refreshed", version as the applied base version
+                    rows.append(
+                        (n, bool(r.get("refreshed")), r.get("applied"))
+                    )
+                else:
+                    rows.append(
+                        (n, bool(r.get("compacted")), r.get("version"))
+                    )
             return self.spark.createDataFrame(
                 rows, "name string, compacted boolean, version long"
             )

@@ -562,3 +562,165 @@ def test_reregistered_name_conflicts_even_at_same_version(spark, cat, tmp_path):
     assert cat._entry("img")["version"] == pinned_v  # same NUMBER
     with pytest.raises(TxnConflict, match="different root"):
         txn.__exit__(None, None, None)
+
+
+def _docs(spark, *rws):
+    return spark.createDataFrame(list(rws), "doc_id long, text string")
+
+
+def test_maintain_catalog_ticks_registered_indexes(spark, tmp_path):
+    """Churn + MAINTAIN (catalog tick) must leave a registered search
+    index answering the post-churn query with NO explicit REFRESH —
+    the unattended tick keeps indexes fresh, not just tables compact."""
+    from openverse_catalog_spark.operators.searchindex import (
+        SearchIndex,
+        _postings_of,
+    )
+
+    cat = LakeCatalog.create(spark, str(tmp_path / "lake"))
+    docs = CowTable.create(
+        spark, str(tmp_path / "docs"),
+        _docs(spark, (1, "alpha beta"), (2, "beta gamma"),
+              (3, "gamma delta")),
+        keys=("doc_id",),
+    )
+    cat.register("docs", docs)
+    pin = cat._entry("docs")["version"]
+    idx = SearchIndex.create(
+        spark, str(tmp_path / "idx"), docs, version=pin,
+    )
+    cat.register_index(
+        "idx", "search", idx.root, "docs",
+        {"id": "doc_id", "text": "text"},
+    )
+    # churn through a transaction (the published pin advances)
+    with cat.transaction() as txn:
+        txn.table("docs").update(
+            F.col("doc_id") == 1, {"text": F.lit("alpha omega")}
+        )
+        txn.table("docs").delete(F.col("doc_id") == 2)
+    rep = cat.maintain_tables(retention_seconds=3600.0)
+    new_pin = cat._entry("docs")["version"]
+    assert rep["index:idx"]["refreshed"]
+    assert rep["index:idx"]["applied"] == new_pin
+    assert not rep["index:idx"]["resync"]
+    # the index answers the post-churn state with no explicit refresh
+    re = SearchIndex.open(spark, idx.root, docs)
+    got = {(r.term, r.doc_id): r.tf for r in re.postings.read().collect()}
+    want = {
+        (r.term, r.doc_id): r.tf
+        for r in _postings_of(
+            cat.read("docs"), "doc_id", "text"
+        ).collect()
+    }
+    assert got == want
+
+
+def test_vacuum_protects_registered_index_feed_span(spark, tmp_path):
+    """A STALE registered index's unapplied CDF span must survive an
+    aggressive catalog vacuum (registered-consumer protection), so the
+    next refresh stays incremental instead of resyncing; once the
+    index catches up the protection lapses and history reclaims."""
+    from openverse_catalog_spark.operators.searchindex import SearchIndex
+
+    cat = LakeCatalog.create(spark, str(tmp_path / "lake"))
+    docs = CowTable.create(
+        spark, str(tmp_path / "docs"),
+        _docs(spark, (1, "alpha beta"), (2, "beta gamma")),
+        keys=("doc_id",),
+    )
+    cat.register("docs", docs)
+    idx = SearchIndex.create(
+        spark, str(tmp_path / "idx"), docs,
+        version=cat._entry("docs")["version"],
+    )
+    cat.register_index(
+        "idx", "search", idx.root, "docs",
+        {"id": "doc_id", "text": "text"},
+    )
+    # several published commits while the index stays stale
+    for i, word in enumerate(["delta", "epsilon", "zeta"]):
+        with cat.transaction() as txn:
+            txn.table("docs").update(
+                F.col("doc_id") == 1, {"text": F.lit(f"alpha {word}")}
+            )
+    # catalog_history=1 trims the per-commit pins that would otherwise
+    # keep every version alive; only the index-span protection remains
+    cat.vacuum_tables(
+        keep_versions=1, retention_seconds=0.0, catalog_history=1
+    )
+    pin = cat._entry("docs")["version"]
+    r = idx.refresh(to_version=pin)
+    assert r["refreshed"] and not r.get("resync"), r
+    # an UNREGISTERED consumer gets no such protection: the same churn
+    # + vacuum forces the resync path (control for the test above)
+    docs2 = CowTable.create(
+        spark, str(tmp_path / "docs2"),
+        _docs(spark, (1, "alpha beta"), (2, "beta gamma")),
+        keys=("doc_id",),
+    )
+    cat.register("docs2", docs2)
+    idx2 = SearchIndex.create(
+        spark, str(tmp_path / "idx2"), docs2,
+        version=cat._entry("docs2")["version"],
+    )
+    for i, word in enumerate(["delta", "epsilon", "zeta"]):
+        with cat.transaction() as txn:
+            txn.table("docs2").update(
+                F.col("doc_id") == 1, {"text": F.lit(f"alpha {word}")}
+            )
+    cat.vacuum_tables(
+        keep_versions=1, retention_seconds=0.0, catalog_history=1
+    )
+    r2 = idx2.refresh(to_version=cat._entry("docs2")["version"])
+    assert r2["refreshed"] and r2.get("resync"), r2
+
+
+def test_facade_create_index_registers_with_catalog(spark, tmp_path):
+    """CREATE SEARCH/VECTOR INDEX on a catalog-managed table registers
+    the index with the catalog (MAINTAIN CATALOG reports its tick);
+    DROP unregisters."""
+    import numpy as np
+
+    from openverse_catalog_spark.sql_facade import SqlFacade
+
+    cat = LakeCatalog.create(spark, str(tmp_path / "lake"))
+    docs = CowTable.create(
+        spark, str(tmp_path / "docs"),
+        _docs(spark, (1, "alpha beta"), (2, "beta gamma")),
+        keys=("doc_id",),
+    )
+    rng = np.random.default_rng(3)
+    vecs = CowTable.create(
+        spark, str(tmp_path / "vecs"),
+        spark.createDataFrame(
+            [(i, [float(x) for x in rng.normal(size=8)])
+             for i in range(20)],
+            "vec_id long, embedding array<double>",
+        ),
+        keys=("vec_id",),
+    )
+    cat.register("docs", docs)
+    cat.register("vecs", vecs)
+    f = SqlFacade(spark)
+    f.attach_catalog(cat)
+    f.sql(
+        "CREATE SEARCH INDEX sidx ON docs (text) "
+        f"LOCATION '{tmp_path / 'sidx'}'"
+    )
+    f.sql(
+        "CREATE VECTOR INDEX vidx ON vecs (embedding) CENTROID MOD 5 "
+        f"LOCATION '{tmp_path / 'vidx'}'"
+    )
+    assert set(cat.indexes()) == {"sidx", "vidx"}
+    f.sql("UPDATE docs SET text = 'alpha omega' WHERE doc_id = 1")
+    rows_ = {r["name"]: r for r in f.sql("MAINTAIN CATALOG").collect()}
+    assert rows_["index:sidx"]["compacted"]  # refreshed via the tick
+    assert rows_["index:sidx"]["version"] == cat._entry("docs")["version"]
+    out = f.sql(
+        "SELECT doc_id, score FROM SEARCH_INDEX('sidx', 'omega', 5)"
+    ).collect()
+    assert [r.doc_id for r in out] == [1]
+    f.sql("DROP SEARCH INDEX sidx")
+    f.sql("DROP VECTOR INDEX vidx")
+    assert cat.indexes() == {}
