@@ -355,3 +355,101 @@ def test_stream_maintenance_triggers_and_is_exactly_once(spark, tmp_path):
     assert r3["ticks"] >= 1 and r3["refreshes"] == 0
     assert r3["applied"] == base.version
     _assert_index_matches_base(idx, base)
+
+
+def _scan_bm25(docs_df, terms, k):
+    """From-scratch BM25 over a documents frame — the full-scan oracle
+    (plans/search_queries.py formula) the index must equal exactly."""
+    from pyspark.sql import Window
+
+    from openverse_catalog_spark.operators.searchindex import (
+        B,
+        K1,
+        _doclens_of,
+        _postings_of,
+    )
+
+    dl = _doclens_of(docs_df, "doc_id", "text")
+    post = _postings_of(docs_df, "doc_id", "text").filter(
+        F.col("term").isin(list(terms))
+    )
+    stats = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
+    idf = (
+        post.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .crossJoin(F.broadcast(stats.select("n")))
+        .select(
+            "term",
+            F.log(1.0 + (F.col("n") - F.col("df") + 0.5)
+                  / (F.col("df") + 0.5)).alias("idf"),
+        )
+    )
+    scored = (
+        post.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .select(
+            "doc_id",
+            (F.col("idf") * F.col("tf") * (K1 + 1.0)
+             / (F.col("tf")
+                + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl")))
+             ).alias("ts"),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("ts"), 6).alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), "doc_id").limit(k)
+
+
+def test_bm25_index_equals_scan_under_random_churn(spark, tmp_path):
+    """PROPERTY: after ANY sequence of random insert/update/delete
+    waves — including one where the base is vacuumed past the unapplied
+    span (forced resync) — index-served BM25 equals the from-scratch
+    full-scan BM25 for random term sets. Pins the equivalence the
+    search_index_bm25 / sql_search_index oracles ride on."""
+    import random
+
+    rng = random.Random(90210)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+             "eta", "theta", "iota", "kappa", "lam", "mux"]
+
+    def soup():
+        return " ".join(rng.choices(vocab, k=rng.randint(3, 12)))
+
+    live = {i: soup() for i in range(1, 25)}
+    base = CowTable.create(
+        spark, str(tmp_path / "docs"),
+        mk_docs(spark, *[(i, t) for i, t in live.items()]),
+        keys=("doc_id",), target_files=3,
+    )
+    idx = SearchIndex.create(spark, str(tmp_path / "idx"), base)
+    next_id = 100
+    for wave in range(6):
+        # random churn: each commit kind fires independently
+        dels = rng.sample(sorted(live), k=min(len(live) // 4, 3))
+        if dels:
+            base.delete(F.col("doc_id").isin(dels))
+            for i in dels:
+                del live[i]
+        upds = rng.sample(sorted(live), k=min(len(live) // 3, 4))
+        for i in upds:
+            live[i] = soup()
+            base.update(F.col("doc_id") == i, {"text": F.lit(live[i])})
+        news = [(next_id + j, soup()) for j in range(rng.randint(1, 3))]
+        next_id += len(news)
+        base.merge(mk_docs(spark, *news), COLS)
+        live.update(dict(news))
+        forced_resync = wave == 3
+        if forced_resync:
+            # drop the unapplied span: the refresh must resync and
+            # STILL land the exact scan-equivalent state
+            base.vacuum(keep_versions=1, retention_seconds=0.0)
+        r = idx.refresh()
+        assert r["refreshed"]
+        assert bool(r.get("resync", False)) == forced_resync, (wave, r)
+        terms = rng.sample(vocab, k=rng.randint(1, 4))
+        got = [(r.doc_id, r.score)
+               for r in idx.bm25(terms, 10).collect()]
+        want = [(r.doc_id, r.score)
+                for r in _scan_bm25(base.read(), terms, 10).collect()]
+        assert got == want, (wave, terms, got, want)
