@@ -103,9 +103,21 @@ def _rotated_names() -> list[str]:
         "merge_cow_", "mv_", "sql_", "stream_cdc_", "stream_cow_",
         "corpus_unigram_", "knn_ivf_pq", "multimodal_",
     )
-    lead = [n for n in fresh_oracle if n.startswith(prio)]
-    tail = [n for n in fresh_oracle if not n.startswith(prio)]
-    return lead + tail + fresh_plain + done
+    # round-9 additions queue BEHIND the pre-r9 stragglers: the driver
+    # window is 50/round and exactly 46 older names still lack a
+    # driver row — new queries must not push one of them past the
+    # window and strand it
+    back = {
+        "sql_vector_index", "vector_index_refresh",
+        "stream_vector_index_maintenance", "search_hybrid_indexed",
+        "dedup_semantic_indexed",
+    }
+    lead = [n for n in fresh_oracle
+            if n.startswith(prio) and n not in back]
+    tail = [n for n in fresh_oracle
+            if not n.startswith(prio) and n not in back]
+    newest = [n for n in fresh_oracle if n in back]
+    return lead + tail + newest + fresh_plain + done
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -204,6 +204,11 @@ HEADLINE = [
     "search_index_bm25",
     "sql_search_index",
     "stream_search_maintenance",
+    "vector_index_refresh",
+    "dedup_semantic_indexed",
+    "sql_vector_index",
+    "stream_vector_index_maintenance",
+    "search_hybrid_indexed",
 ]
 
 

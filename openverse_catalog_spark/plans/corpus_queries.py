@@ -2827,6 +2827,123 @@ def stream_vector_index_maintenance(spark, sf_dir):
     )
 
 
+@register("dedup_semantic_indexed", """
+    WITH corpus AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+               AS embedding
+      FROM embeddings
+      UNION ALL
+      SELECT 3000000 + vec_id * 40 + 1,
+             list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.5)
+      FROM embeddings WHERE vec_id % 7 = 0
+      UNION ALL
+      SELECT 4000000 + vec_id * 40 + 2,
+             list_transform(embedding,
+                            (x, i) -> CASE WHEN i = 1 THEN 0.0
+                                           ELSE CAST(x AS DOUBLE) END)
+      FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    ex AS (SELECT vec_id, i, embedding[i] AS x
+           FROM corpus, generate_series(1, 64) AS t(i)),
+    norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
+    cex AS (SELECT vec_id AS centroid_id, i, x FROM ex
+            WHERE vec_id % 40 = 0 AND vec_id < 3000000),
+    adot AS (SELECT e.vec_id, c.centroid_id, sum(e.x * c.x) AS dot
+             FROM ex e JOIN cex c ON e.i = c.i GROUP BY 1, 2),
+    acos AS (SELECT adot.vec_id, adot.centroid_id,
+                    dot / (n1.nrm * n2.nrm) AS c
+             FROM adot JOIN norms n1 ON n1.vec_id = adot.vec_id
+                       JOIN norms n2 ON n2.vec_id = adot.centroid_id),
+    assign AS (SELECT vec_id AS neighbor_id, centroid_id FROM (
+                 SELECT vec_id, centroid_id,
+                        row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY c DESC, centroid_id) AS r
+                 FROM acos) WHERE r = 1),
+    pairs AS (SELECT a.neighbor_id AS id_a, b.neighbor_id AS id_b
+              FROM assign a JOIN assign b
+                ON a.centroid_id = b.centroid_id
+               AND a.neighbor_id < b.neighbor_id),
+    dots AS (SELECT p.id_a, p.id_b, sum(ea.x * eb.x) AS dot
+             FROM pairs p
+             JOIN ex ea ON ea.vec_id = p.id_a
+             JOIN ex eb ON eb.vec_id = p.id_b AND ea.i = eb.i
+             GROUP BY 1, 2),
+    scored AS (SELECT id_a, id_b, dot / (na.nrm * nb.nrm) AS cosine
+               FROM dots JOIN norms na ON na.vec_id = id_a
+                         JOIN norms nb ON nb.vec_id = id_b)
+    SELECT id_a, id_b, round(cosine, 6) AS cosine
+    FROM scored WHERE round(cosine, 6) >= 0.9
+    """)
+def dedup_semantic_indexed(spark, sf_dir):
+    """Embedding near-dup pairs BLOCKED BY THE PERSISTED IVF INDEX: the
+    inverted lists that already serve ANN double as the dedup blocker —
+    candidate pairs are same-list rows (a self-join keyed on
+    centroid_id, partition-local under the lists table's key
+    clustering), exact cosine verifies within blocks only. Versus
+    dedup_embedding_lsh this re-uses an index the pipeline already
+    maintains (no per-run plane projections or bucket recompute), and
+    versus the clustering-based blocker it needs no k-means pass —
+    at 100 TB the blocker is O(index read), pairs are
+    O(sum list_size^2) with list size held ~constant by growing C.
+    The corpus is salted with exact-scaled copies (cosine 1.0) and
+    dim-zeroed near copies under ids ≡ 1, 2 (mod 40) so no salted row
+    can become a centroid and create normalized-twin assignment ties;
+    the oracle replays assignment, blocking, and verification exactly."""
+    import os
+    import shutil
+    import tempfile
+
+    from openverse_catalog_spark.operators.cowtable import CowTable
+    from openverse_catalog_spark.operators.vectorindex import VectorIndex
+
+    e = _t(spark, sf_dir, "embeddings")["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    scaled = e.filter(F.col("vec_id") % 7 == 0).select(
+        (F.lit(3_000_000) + F.col("vec_id") * 40 + 1).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * 1.5)
+        .alias("embedding"),
+    )
+    near = e.filter(F.col("vec_id") % 10 == 0).select(
+        (F.lit(4_000_000) + F.col("vec_id") * 40 + 2).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: F.when(i == 0, F.lit(0.0)).otherwise(x),
+        ).alias("embedding"),
+    )
+    corpus = e.unionByName(scaled).unionByName(near)
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_semidx")
+    shutil.rmtree(root, ignore_errors=True)
+    base = CowTable.create(
+        spark, os.path.join(root, "vecs"), corpus,
+        keys=("vec_id",), target_files=4,
+    )
+    idx = VectorIndex.create(
+        spark, os.path.join(root, "idx"), base, centroid_mod=40,
+    )
+    lists = idx.lists.read().select(
+        "centroid_id",
+        F.col("neighbor_id").alias("id_a"),
+        F.col("vector").alias("va"),
+    )
+    other = idx.lists.read().select(
+        "centroid_id",
+        F.col("neighbor_id").alias("id_b"),
+        F.col("vector").alias("vb"),
+    )
+    pairs = (
+        lists.join(other, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(knn.cosine_expr(F.col("va"), F.col("vb")), 6)
+            .alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.9)
+    )
+    return pairs
+
+
 #: static 64-dim query literal for the SQL-surface vector search (pi
 #: digits): identical text on both engines, so the oracle replays the
 #: single-vector probe exactly.

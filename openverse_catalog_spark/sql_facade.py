@@ -289,6 +289,9 @@ _BEGIN_TXN = re.compile(
 _COMMIT_TXN = re.compile(r"^\s*COMMIT\s*;?\s*$", re.IGNORECASE)
 _ROLLBACK_TXN = re.compile(r"^\s*ROLLBACK\s*;?\s*$", re.IGNORECASE)
 _SHOW_TABLES = re.compile(r"^\s*SHOW\s+TABLES\s*$", re.IGNORECASE)
+_SHOW_IDX = re.compile(
+    r"^\s*SHOW\s+INDEXES\s*$", re.IGNORECASE
+)
 _SHOW_MVS = re.compile(
     r"^\s*SHOW\s+MATERIALIZED\s+VIEWS\s*$", re.IGNORECASE
 )
@@ -1497,6 +1500,28 @@ class SqlFacade:
                 [(res["left_version"], res["right_version"],
                   bool(res["refreshed"]))],
                 "left_version long, right_version long, refreshed boolean",
+            )
+        if _SHOW_IDX.match(text):
+            # one row per registered index (search + vector): where it
+            # lives, the base version it reflects, and how many base
+            # commits behind the pin/head it is — the operational view
+            # the reference reads from its ES cluster + Airflow state
+            rows = []
+            for kind, reg in (("search", self._sidx),
+                              ("vector", self._vidx)):
+                for n in sorted(reg):
+                    idx = reg[n]
+                    applied = idx.applied_version
+                    pin = self._index_pin(idx)
+                    head = pin if pin is not None else idx.base.version
+                    rows.append((
+                        n, kind, idx.root, applied,
+                        max(0, int(head) - int(applied)),
+                    ))
+            schema = ("index string, kind string, location string, "
+                      "applied long, staleness long")
+            return self.spark.createDataFrame(
+                rows if rows else [], schema
             )
         if _SHOW_MVS.match(text):
             rows = []

@@ -288,3 +288,69 @@ def test_stream_vector_maintenance_and_pin_enforcement(spark, tmp_path):
     cat.unregister("vecs")
     import os
     assert not os.path.exists(f"{base.root}/.catalog.json")
+
+
+def test_facade_show_indexes_and_attach(spark, tmp_path):
+    """SHOW INDEXES reports both index kinds with applied/staleness;
+    ATTACH VECTOR INDEX reopens a persisted index in a NEW facade."""
+    from openverse_catalog_spark.sql_facade import SqlFacade
+
+    f = SqlFacade(spark)
+    f.register_df("emb", mk_vecs(spark, range(20)))
+    f.register_df(
+        "docs_src",
+        spark.createDataFrame(
+            [(1, "alpha beta"), (2, "beta gamma")],
+            "doc_id long, text string",
+        ),
+    )
+    f.sql(
+        "CREATE TABLE vecs PRIMARY KEY (vec_id) "
+        f"LOCATION '{tmp_path / 'vecs'}' AS SELECT * FROM emb"
+    )
+    f.sql(
+        "CREATE TABLE docs PRIMARY KEY (doc_id) "
+        f"LOCATION '{tmp_path / 'docs'}' AS SELECT * FROM docs_src"
+    )
+    f.sql(
+        "CREATE VECTOR INDEX vi ON vecs (embedding) CENTROID MOD 5 "
+        f"LOCATION '{tmp_path / 'vi'}'"
+    )
+    f.sql(
+        "CREATE SEARCH INDEX si ON docs (text) "
+        f"LOCATION '{tmp_path / 'si'}'"
+    )
+    rows = {r["index"]: r for r in f.sql("SHOW INDEXES").collect()}
+    assert rows["vi"]["kind"] == "vector" and rows["vi"]["staleness"] == 0
+    assert rows["si"]["kind"] == "search"
+    # churn makes the index stale; SHOW INDEXES reports the lag
+    f.sql("DELETE FROM vecs WHERE vec_id = 3")
+    rows = {r["index"]: r for r in f.sql("SHOW INDEXES").collect()}
+    assert rows["vi"]["staleness"] == 1
+    # a NEW facade reattaches the persisted index and can query it
+    f2 = SqlFacade(spark)
+    from openverse_catalog_spark.operators.cowtable import CowTable
+
+    f2.register_table(
+        "vecs", CowTable(spark, str(tmp_path / "vecs"), keys=("vec_id",))
+    )
+    f2.sql(
+        "ATTACH VECTOR INDEX vi ON vecs (embedding) "
+        f"LOCATION '{tmp_path / 'vi'}'"
+    )
+    f2.sql("REFRESH VECTOR INDEX vi")
+    q = " ".join(str(x) for x in _vec(4))
+    out = f2.sql(
+        f"SELECT neighbor_id, cosine FROM VECTOR_SEARCH('vi', '{q}', 2)"
+    ).collect()
+    assert out[0].neighbor_id == 4
+    # wrong-column attach refuses
+    f3 = SqlFacade(spark)
+    f3.register_table(
+        "docs", CowTable(spark, str(tmp_path / "docs"), keys=("doc_id",))
+    )
+    with pytest.raises(ValueError, match="not an array vector column"):
+        f3.sql(
+            "ATTACH VECTOR INDEX vx ON docs (text) "
+            f"LOCATION '{tmp_path / 'vi'}'"
+        )
