@@ -187,7 +187,10 @@ class LakeCatalog:
         (root, PINNED version, keys) moves verbatim, so readers of the
         new name resolve exactly the snapshot the old name pinned; no
         table file or manifest is touched. Historical catalog versions
-        keep the old name for time travel."""
+        keep the old name for time travel. Registered derived indexes
+        keyed on the old base name are re-pointed at the new name, so
+        they keep their maintenance ticks and vacuum feed-span
+        protection across the rename."""
         while True:
             cur = self._load()
             if old not in cur["tables"]:
@@ -202,6 +205,17 @@ class LakeCatalog:
                 self._commit_slot(
                     cur["version"] + 1, tables, f"rename({old}->{new})"
                 )
+                idx = self.indexes()
+                hit = False
+                for e in idx.values():
+                    if e.get("base") == old:
+                        e["base"] = new
+                        hit = True
+                if hit:
+                    tmp = f"{self._dir}/.tmp.indexes.{uuid.uuid4().hex}.json"
+                    with open(tmp, "w") as fh:
+                        json.dump(idx, fh, indent=1)
+                    os.replace(tmp, self._indexes_path())
                 return cur["version"] + 1
             except TxnConflict:
                 continue
@@ -209,7 +223,19 @@ class LakeCatalog:
     def unregister(self, name: str) -> int:
         """Remove ``name`` from the mapping (its own catalog commit).
         The table's files and log stay on disk — historical catalog
-        versions still resolve it for time travel."""
+        versions still resolve it for time travel. Refuses while a
+        registered derived index still points at the base: silently
+        orphaning it would end its maintenance ticks AND its vacuum
+        feed-span protection — the caller must unregister_index (or
+        rename) first, an explicit decision."""
+        holders = sorted(
+            n for n, e in self.indexes().items() if e.get("base") == name
+        )
+        if holders:
+            raise ValueError(
+                f"table {name!r} has registered derived indexes "
+                f"{holders}; unregister_index them first"
+            )
         while True:
             cur = self._load()
             if name not in cur["tables"]:
@@ -222,12 +248,17 @@ class LakeCatalog:
                     cur["version"] + 1, tables, f"unregister({name})"
                 )
                 # drop the managed marker only when no OTHER current
-                # entry still points at the same root (aliases)
+                # entry still points at the same root (aliases) AND the
+                # marker belongs to THIS catalog — a root registered in
+                # two catalogs keeps the other's marker alive
                 root = cur["tables"][name]["root"]
                 if all(e["root"] != root for e in tables.values()):
                     try:
-                        os.remove(f"{root}/.catalog.json")
-                    except OSError:
+                        with open(f"{root}/.catalog.json") as fh:
+                            owner = json.load(fh).get("catalog")
+                        if owner == self.root:
+                            os.remove(f"{root}/.catalog.json")
+                    except (OSError, ValueError):
                         pass
                 return cur["version"] + 1
             except TxnConflict:
@@ -273,6 +304,20 @@ class LakeCatalog:
             raise ValueError(f"unknown index kind {kind!r}")
         self._entry(base_name)  # must be a registered table
         idx = self.indexes()
+        prior = idx.get(name)
+        if prior is not None and (
+            prior["kind"] != kind
+            or prior["root"] != root.rstrip("/")
+        ):
+            # names are the registry key: silently clobbering a
+            # DIFFERENT index would stop its maintenance ticks and drop
+            # its vacuum feed-span protection. Re-registering the SAME
+            # index (an ATTACH in a new session) is idempotent.
+            raise ValueError(
+                f"index name {name!r} is already registered as a "
+                f"{prior['kind']} index at {prior['root']!r}; "
+                "unregister it first or pick another name"
+            )
         idx[name] = {
             "kind": kind,
             "root": root.rstrip("/"),
@@ -646,6 +691,12 @@ class LakeCatalog:
         cur = self._load()
         rolled = {}
         for name, e in cur["tables"].items():
+            # marker backfill: tables registered before the marker
+            # existed gain it here (recover runs at coordinator startup
+            # and at the top of every maintenance tick), so the
+            # unpinned-stream-maintenance refusal covers old catalogs
+            if not os.path.exists(f"{e['root']}/.catalog.json"):
+                self._write_managed_marker(e["root"])
             t = CowTable(self.spark, e["root"], keys=tuple(e["keys"]))
             if t.version > e["version"]:
                 if self._snapshot_sig(

@@ -144,6 +144,7 @@ class SearchIndex(IncrementalIndex):
         base: CowTable,
         id_col: str = "doc_id",
         text_col: str = "text",
+        allow_legacy: bool = False,
     ) -> "SearchIndex":
         """Attach an EXISTING persisted index (a new session resuming
         O(churn) maintenance — the whole point of persisting it).
@@ -158,8 +159,12 @@ class SearchIndex(IncrementalIndex):
         permanently legitimizing whatever binding this call made. So a
         legacy attach is SANITY-CHECKED instead of waved through: the
         claimed id/text columns must exist on the base, and a sample of
-        the persisted doclen's doc_ids must actually occur in the base
-        table (a wrong-table attach fails the overlap probe)."""
+        the persisted doclen's doc_ids must occur in the base table.
+        The overlap probe CAN false-refuse a correct-but-very-stale
+        index whose sampled docs all churned out of the base since its
+        last refresh; a caller who has verified the binding out of
+        band passes ``allow_legacy=True`` to skip the probe (the
+        column-existence check still applies)."""
         idx = cls(spark, root, base, id_col, text_col)
         if not os.path.exists(f"{idx.root}/state.json"):
             raise ValueError(
@@ -178,6 +183,8 @@ class SearchIndex(IncrementalIndex):
                 f"{base.root!r} has no column(s) {missing}; refusing "
                 "the attach"
             )
+        if allow_legacy:
+            return idx
         sample = idx.doclen.read().select("doc_id").limit(20)
         if sample.head(1):
             hits = sample.join(
@@ -187,9 +194,10 @@ class SearchIndex(IncrementalIndex):
             if hits == 0:
                 raise ValueError(
                     f"legacy search index at {root!r}: none of its "
-                    f"indexed doc_ids occur in {base.root!r}.{id_col} "
-                    "— this looks like a wrong-table attach; refusing "
-                    "to backfill its identity"
+                    f"sampled doc_ids occur in {base.root!r}.{id_col} "
+                    "— either a wrong-table attach, or a correct index "
+                    "so stale every sampled doc churned out; verify "
+                    "the binding and re-open with allow_legacy=True"
                 )
         return idx
 

@@ -81,21 +81,38 @@ class VectorIndex(IncrementalIndex):
     # -- centroids --------------------------------------------------------
 
     def _centroid_matrix(self):
-        """(ids, normalized matrix) of the frozen centroid set — one
-        small parquet load per refresh/probe, broadcast for GEMMs."""
-        pdf = (
-            self.spark.read.parquet(f"{self.root}/centroids")
-            .toPandas()
-            .sort_values("centroid_id")
-        )
-        return _stack_normalized(pdf, "centroid_id", "vector")
+        """(ids, normalized matrix) of the frozen centroid set,
+        MEMOIZED on the handle: centroids never change after create
+        (rebuilds go through a new ``create``), so one parquet load
+        serves every assignment GEMM, probe, and refresh this handle
+        ever runs — a refresh's old- and new-image assignments share
+        it instead of loading and broadcasting twice."""
+        cached = getattr(self, "_cents", None)
+        if cached is None:
+            pdf = (
+                self.spark.read.parquet(f"{self.root}/centroids")
+                .toPandas()
+                .sort_values("centroid_id")
+            )
+            cached = _stack_normalized(pdf, "centroid_id", "vector")
+            self._cents = cached
+        return cached
+
+    def _centroid_broadcast(self):
+        """One broadcast of the frozen centroid matrix per handle —
+        shared by every assignment/probe GEMM."""
+        bc = getattr(self, "_cents_bc", None)
+        if bc is None:
+            bc = self.spark.sparkContext.broadcast(self._centroid_matrix())
+            self._cents_bc = bc
+        return bc
 
     def _assign(self, docs: DataFrame) -> DataFrame:
         """Nearest-centroid assignment of a frame of vectors: one GEMM
         per Arrow batch against the broadcast centroid matrix — cost
         proportional to the BATCH, the corpus is never touched."""
         idc, vcc = self.id_col, self.vec_col
-        bc = self.spark.sparkContext.broadcast(self._centroid_matrix())
+        bc = self._centroid_broadcast()
 
         def assign_gen(batches):
             import pandas as pd
@@ -312,7 +329,7 @@ class VectorIndex(IncrementalIndex):
         ``rank_quantize`` rounds the rank key so exact-duplicate
         neighbors tie deterministically (id tie-break)."""
         idc, vcc = self.id_col, self.vec_col
-        bc = self.spark.sparkContext.broadcast(self._centroid_matrix())
+        bc = self._centroid_broadcast()
 
         def probe_gen(batches):
             import numpy as np

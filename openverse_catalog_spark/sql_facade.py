@@ -438,13 +438,17 @@ class SqlFacade:
         self._head_version: dict[str, tuple[int, bool]] = {}
         self._mvs: dict = {}
         self._sidx: dict = {}
-        self._sidx_views: dict[str, set] = {}
         self._vidx: dict = {}
-        self._vidx_views: dict[str, set] = {}
         # monotonic suffix for inline index-TVF temp views: two
         # different term/k (or vector/k) substitutions in one statement
-        # must never collide the way a salted hash() could
+        # must never collide the way a salted hash() could. Views are
+        # PER-STATEMENT: recorded here during _rewrite and dropped
+        # right after analysis (_run_rewritten) — spark.sql resolves
+        # views at analysis time, so the returned lazy frame keeps
+        # working and a long-lived facade never accumulates one temp
+        # view per inline index query
         self._idx_view_seq = 0
+        self._stmt_views: list[str] = []
         self._catalog = None
         self._catalog_names: set[str] = set()
         self._txn = None
@@ -668,7 +672,7 @@ class SqlFacade:
             self._sidx[name].bm25(terms, int(k)).createOrReplaceTempView(
                 view
             )
-            self._sidx_views.setdefault(name, set()).add(view)
+            self._stmt_views.append(view)
             return view
 
         def vector_of(match: re.Match) -> str:
@@ -697,7 +701,7 @@ class SqlFacade:
             self._vidx[name].search(
                 qvec, int(k), nprobe=int(nprobe) if nprobe else 2
             ).createOrReplaceTempView(view)
-            self._vidx_views.setdefault(name, set()).add(view)
+            self._stmt_views.append(view)
             return view
 
         text = _SEARCH_TVF.sub(search_of, text)
@@ -709,6 +713,18 @@ class SqlFacade:
         text = _VERSION_AS_OF.sub(version_of, text)
         text = _TIMESTAMP_AS_OF.sub(timestamp_of, text)
         return text
+
+    def _run_rewritten(self, text: str) -> DataFrame:
+        """Analyze rewritten SQL, then drop the per-statement index-TVF
+        views it created. spark.sql resolves temp views at ANALYSIS
+        time, so the returned lazy frame is unaffected; without the
+        drop, a facade running inline SEARCH_INDEX/VECTOR_SEARCH in a
+        loop accumulates one temp view per call."""
+        df = self.spark.sql(self._rewrite(text))
+        for view in self._stmt_views:
+            self.spark.catalog.dropTempView(view)
+        self._stmt_views.clear()
+        return df
 
     def _summary(self, res: dict) -> DataFrame:
         return self.spark.createDataFrame(
@@ -776,12 +792,16 @@ class SqlFacade:
     def _sidx_pin(self, name: str) -> int | None:
         return self._index_pin(self._sidx[name])
 
-    def _unregister_catalog_index(self, name: str) -> None:
-        if self._catalog is not None:
-            try:
-                self._catalog.unregister_index(name)
-            except KeyError:
-                pass  # plain-table index, never catalog-registered
+    def _unregister_catalog_index(self, name: str, kind: str) -> None:
+        if self._catalog is None:
+            return
+        e = self._catalog.indexes().get(name)
+        if e is not None and e.get("kind") == kind:
+            # kind-checked: never remove a same-named entry of the
+            # other kind (the catalog refuses such collisions for
+            # entries IT registers, but a foreign registry edit or an
+            # older catalog must not be clobbered by the wrong DROP)
+            self._catalog.unregister_index(name)
 
     def _create_search_index(self, m: re.Match) -> DataFrame:
         """``CREATE SEARCH INDEX i ON t (text_col) [LOCATION '...']`` —
@@ -800,8 +820,11 @@ class SqlFacade:
 
         verb, name, tbl, col, location = m.groups()
         attach = verb.upper() == "ATTACH"
-        if name in self._sidx:
-            raise ValueError(f"search index {name!r} already exists")
+        if name in self._sidx or name in self._vidx:
+            # one namespace across both kinds: the catalog registry is
+            # keyed by name alone, and a cross-kind collision would
+            # clobber the other index's maintenance registration
+            raise ValueError(f"index {name!r} already exists")
         if tbl not in self._tables:
             raise ValueError(
                 f"{tbl!r} is not a registered lake table "
@@ -878,8 +901,8 @@ class SqlFacade:
 
         verb, name, tbl, col, mod, location = m.groups()
         attach = verb.upper() == "ATTACH"
-        if name in self._vidx:
-            raise ValueError(f"vector index {name!r} already exists")
+        if name in self._sidx or name in self._vidx:
+            raise ValueError(f"index {name!r} already exists")
         if tbl not in self._tables:
             raise ValueError(
                 f"{tbl!r} is not a registered lake table "
@@ -1035,8 +1058,8 @@ class SqlFacade:
                 f"MERGE INTO {name} must join on exactly its merge keys "
                 f"{sorted(want)}, got {sorted(got)}"
             )
-        batch = self.spark.sql(
-            self._rewrite(subquery if subquery else f"SELECT * FROM {view}")
+        batch = self._run_rewritten(
+            subquery if subquery else f"SELECT * FROM {view}"
         )
 
         # -- WHEN clause parsing -------------------------------------------
@@ -1392,12 +1415,7 @@ class SqlFacade:
                 )
             name = m.group(1)
             idx = self._sidx.pop(name)
-            # drop the inline-query views FIRST: a view over rmtree'd
-            # parquet fails with FileNotFound instead of the facade's
-            # clear unknown-index error
-            for view in self._sidx_views.pop(name, ()):
-                self.spark.catalog.dropTempView(view)
-            self._unregister_catalog_index(name)
+            self._unregister_catalog_index(name, "search")
             shutil.rmtree(idx.root, ignore_errors=True)
             return self.spark.createDataFrame(
                 [(name,)], "dropped string"
@@ -1435,9 +1453,7 @@ class SqlFacade:
                 )
             name = m.group(1)
             idx = self._vidx.pop(name)
-            for view in self._vidx_views.pop(name, ()):
-                self.spark.catalog.dropTempView(view)
-            self._unregister_catalog_index(name)
+            self._unregister_catalog_index(name, "vector")
             shutil.rmtree(idx.root, ignore_errors=True)
             return self.spark.createDataFrame(
                 [(name,)], "dropped string"
@@ -1562,7 +1578,7 @@ class SqlFacade:
                     f"INSERT INTO {name} needs the table's ColumnSpec "
                     "list: register_table(name, table, columns=[...])"
                 )
-            batch = self.spark.sql(self._rewrite(query))
+            batch = self._run_rewritten(query)
             target, finalize = self._dml_table(name)
             res = target.merge(batch, cols)
             finalize()
@@ -1592,7 +1608,7 @@ class SqlFacade:
         m = _COPY_TO.match(text)
         if m:
             query, dest, fmt = m.group(1), m.group(2), m.group(3).upper()
-            df = self.spark.sql(self._rewrite(query))
+            df = self._run_rewritten(query)
             if fmt == "PARQUET":
                 df.write.mode("overwrite").parquet(dest)
             else:
@@ -1681,10 +1697,8 @@ class SqlFacade:
             )
 
             name, subquery, view, seq_col, op_col, retention = m.groups()
-            batch = self.spark.sql(
-                self._rewrite(
-                    subquery if subquery else f"SELECT * FROM {view}"
-                )
+            batch = self._run_rewritten(
+                subquery if subquery else f"SELECT * FROM {view}"
             )
             target, finalize = self._dml_table(name)
             res = apply_changes(
@@ -1862,7 +1876,7 @@ class SqlFacade:
                 return self.spark.createDataFrame(
                     [(res["version"],)], "version long"
                 )
-        return self.spark.sql(self._rewrite(text))
+        return self._run_rewritten(text)
 
     def _alter_add_column(
         self, name: str, col: str, dtype: str
@@ -2038,7 +2052,7 @@ class SqlFacade:
             p.strip() for p in _split_top_level(part_text)
         ) if part_text else ()
         root = self._resolve_new_root(name, location, "CREATE TABLE")
-        df = self.spark.sql(self._rewrite(query))
+        df = self._run_rewritten(query)
         for k in keys:
             if k not in df.columns:
                 raise ValueError(

@@ -724,3 +724,78 @@ def test_facade_create_index_registers_with_catalog(spark, tmp_path):
     f.sql("DROP SEARCH INDEX sidx")
     f.sql("DROP VECTOR INDEX vidx")
     assert cat.indexes() == {}
+
+
+def test_index_registry_collision_rename_and_unregister_guards(
+    spark, tmp_path
+):
+    """Review-pass pins: (a) a cross-kind same-name registration is
+    refused (it would clobber the other index's ticks/protection) but
+    same-index re-registration (ATTACH) is idempotent; (b) rename()
+    re-points registered indexes at the new base name; (c) unregister()
+    refuses while indexes still reference the base; (d) unregister
+    only removes a marker owned by THIS catalog."""
+    from openverse_catalog_spark.operators.searchindex import SearchIndex
+
+    cat = LakeCatalog.create(spark, str(tmp_path / "lake"))
+    docs = CowTable.create(
+        spark, str(tmp_path / "docs"),
+        _docs(spark, (1, "alpha beta"), (2, "beta gamma")),
+        keys=("doc_id",),
+    )
+    cat.register("docs", docs)
+    idx = SearchIndex.create(
+        spark, str(tmp_path / "idx"), docs,
+        version=cat._entry("docs")["version"],
+    )
+    cat.register_index("idx", "search", idx.root, "docs",
+                       {"id": "doc_id", "text": "text"})
+    # idempotent re-register (ATTACH in a new session)
+    cat.register_index("idx", "search", idx.root, "docs",
+                       {"id": "doc_id", "text": "text"})
+    # cross-kind / cross-root collision refused
+    with pytest.raises(ValueError, match="already registered"):
+        cat.register_index("idx", "vector", str(tmp_path / "other"),
+                           "docs", {})
+    # unregister of the base refuses while the index references it
+    with pytest.raises(ValueError, match="registered derived indexes"):
+        cat.unregister("docs")
+    # rename re-points the index entry; the tick keeps working
+    cat.rename("docs", "corpus")
+    assert cat.indexes()["idx"]["base"] == "corpus"
+    with cat.transaction() as txn:
+        txn.table("corpus").update(
+            F.col("doc_id") == 1, {"text": F.lit("alpha omega")}
+        )
+    rep = cat.maintain_tables(retention_seconds=3600.0)
+    assert rep["index:idx"]["applied"] == cat._entry("corpus")["version"]
+    # marker ownership: a SECOND catalog registering the same root owns
+    # the marker last; the first catalog's unregister must not remove it
+    import json as _json
+    import os as _os
+
+    cat2 = LakeCatalog.create(spark, str(tmp_path / "lake2"))
+    cat2.register("corpus_alias", CowTable(
+        spark, docs.root, keys=("doc_id",)
+    ))
+    cat.unregister_index("idx")
+    cat.unregister("corpus")
+    marker = f"{docs.root}/.catalog.json"
+    assert _os.path.exists(marker)
+    assert _json.load(open(marker))["catalog"] == cat2.root
+
+
+def test_recover_backfills_managed_marker(spark, tmp_path):
+    """Tables registered before the marker existed gain it via
+    recover() (start of every maintenance tick), so the unpinned
+    stream-maintenance refusal covers old catalogs too."""
+    import os as _os
+
+    cat = LakeCatalog.create(spark, str(tmp_path / "lake"))
+    t = CowTable.create(
+        spark, str(tmp_path / "t"), rows(spark, (1, 10)), keys=("id",),
+    )
+    cat.register("t", t)
+    _os.remove(f"{t.root}/.catalog.json")  # simulate a pre-marker registry
+    cat.recover()
+    assert _os.path.exists(f"{t.root}/.catalog.json")
