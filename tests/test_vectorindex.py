@@ -354,3 +354,51 @@ def test_facade_show_indexes_and_attach(spark, tmp_path):
             "ATTACH VECTOR INDEX vx ON docs (text) "
             f"LOCATION '{tmp_path / 'vi'}'"
         )
+
+
+def test_vector_index_equals_rebuild_under_random_churn(spark, tmp_path):
+    """PROPERTY: after ANY sequence of random insert/update/delete
+    waves — including one where the base is vacuumed past the unapplied
+    span (forced resync) — the feed-maintained lists equal a
+    from-scratch assignment of the current snapshot against the frozen
+    centroids, and a probe equals knn.ivf_topk over the same state."""
+    import random
+
+    rng = random.Random(31337)
+    live = set(range(40))
+    base = CowTable.create(
+        spark, str(tmp_path / "vecs"), mk_vecs(spark, sorted(live)),
+        keys=("vec_id",), target_files=4,
+    )
+    idx = VectorIndex.create(
+        spark, str(tmp_path / "idx"), base, centroid_mod=8,
+    )
+    next_id = 1000
+    for wave in range(5):
+        # churn must never touch a centroid id (multiples of 8): the
+        # frozen centroid set must stay physically present in the base
+        mutable = sorted(i for i in live if i % 8 != 0)
+        dels = rng.sample(mutable, k=min(3, len(mutable) // 4))
+        if dels:
+            base.delete(F.col("vec_id").isin(dels))
+            live -= set(dels)
+        upds = rng.sample(
+            sorted(i for i in live if i % 8 != 0), k=3
+        )
+        for i in upds:
+            base.update(
+                F.col("vec_id") == i,
+                {"embedding": F.lit(_vec(10_000 + wave * 100 + i))
+                 .cast("array<double>")},
+            )
+        news = [next_id + j for j in range(rng.randint(1, 3))]
+        next_id += 10
+        base.merge_when(mk_vecs(spark, news), insert=True)
+        live |= set(news)
+        forced = wave == 2
+        if forced:
+            base.vacuum(keep_versions=1, retention_seconds=0.0)
+        r = idx.refresh()
+        assert r["refreshed"]
+        assert bool(r.get("resync", False)) == forced, (wave, r)
+        assert _lists_assign(idx) == _expected_assign(base, idx), wave
