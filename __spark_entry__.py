@@ -110,7 +110,7 @@ def _rotated_names() -> list[str]:
     back = {
         "sql_vector_index", "vector_index_refresh",
         "stream_vector_index_maintenance", "search_hybrid_indexed",
-        "dedup_semantic_indexed",
+        "dedup_semantic_indexed", "vector_index_pq_refresh",
     }
     lead = [n for n in fresh_oracle
             if n.startswith(prio) and n not in back]

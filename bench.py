@@ -205,6 +205,7 @@ HEADLINE = [
     "sql_search_index",
     "stream_search_maintenance",
     "vector_index_refresh",
+    "vector_index_pq_refresh",
     "dedup_semantic_indexed",
     "sql_vector_index",
     "stream_vector_index_maintenance",

@@ -30,6 +30,18 @@ DELETE old list entry + INSERT new one; updated-in-place -> UPDATE;
 deleted -> DELETE). Cost O(changed vectors) per refresh; a vacuumed
 span falls back to one full resync.
 
+PQ MODE (``create(pq_m=m)``) stores each list entry as ``m`` ordinal
+codes instead of the raw vector — FAISS's IVFPQ, the layout a
+billion-vector corpus actually needs (~64x fewer probe-scan bytes for
+64-dim float64 at m=8). Codebooks are the deterministic id-sampled
+normalized sub-vectors (:func:`~.knn._pq_codebooks`), frozen at create
+like the centroids, so incremental encodes replay exactly and the SQL
+oracle can reproduce every stage. Probes score by ADC (per-subspace
+query-codeword dot lookups over the pruned code lists) and exactly
+re-rank only the top-shortlist candidates against the BASE table's raw
+vectors at the index's applied version — the index itself never stores
+a raw vector.
+
 The reference has no vector index (its search handoff is lexical
 Elasticsearch, ``data_refresh_task_factory.py:183-240``); this is the
 similarity-search half a training-data engine needs, given the same
@@ -48,6 +60,8 @@ from openverse_catalog_spark.operators.incindex import IncrementalIndex
 from openverse_catalog_spark.operators.knn import (
     MAX_BROADCAST_QUERIES,
     _as_double,
+    _pq_codebooks,
+    _pq_encode,
     _stack_normalized,
     cosine_expr,
 )
@@ -107,33 +121,98 @@ class VectorIndex(IncrementalIndex):
             self._cents_bc = bc
         return bc
 
+    @property
+    def pq_m(self):
+        """PQ subspace count, or None for a raw-vector index —
+        recorded in state.json at create, immutable after."""
+        mod = getattr(self, "_pq_m", -1)
+        if mod == -1:
+            try:
+                mod = self._state().get("pq_m")
+            except FileNotFoundError:
+                mod = None
+            self._pq_m = mod
+        return mod
+
+    def _payload_col(self) -> str:
+        return "codes" if self.pq_m else "vector"
+
+    def _codebook_tensor(self):
+        """(n_k, m, dsub) PQ codebook tensor, memoized (frozen at
+        create like the centroids)."""
+        import numpy as np
+
+        cb = getattr(self, "_cb", None)
+        if cb is None:
+            pdf = self.spark.read.parquet(
+                f"{self.root}/codebooks"
+            ).toPandas()
+            m = int(pdf["subspace"].max()) + 1
+            n_k = int(pdf["code"].max()) + 1
+            dim = len(pdf["subvector"].iloc[0]) * m
+            cb = np.zeros((n_k, m, dim // m))
+            for r in pdf.itertuples():
+                cb[r.code, r.subspace] = np.asarray(r.subvector)
+            self._cb = cb
+        return cb
+
     def _assign(self, docs: DataFrame) -> DataFrame:
         """Nearest-centroid assignment of a frame of vectors: one GEMM
         per Arrow batch against the broadcast centroid matrix — cost
-        proportional to the BATCH, the corpus is never touched."""
+        proportional to the BATCH, the corpus is never touched. PQ mode
+        additionally encodes each vector to its per-subspace codes (the
+        frozen codebooks replay the stored codes exactly, so feed
+        pre-images reproduce what the index holds)."""
         idc, vcc = self.id_col, self.vec_col
-        bc = self._centroid_broadcast()
+        if not self.pq_m:
+            bc = self._centroid_broadcast()
 
-        def assign_gen(batches):
+            def assign_gen(batches):
+                import pandas as pd
+
+                b_ids, b_mat = bc.value
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    ids, mat = _stack_normalized(pdf, idc, vcc)
+                    best = (mat @ b_mat.T).argmax(axis=1)
+                    yield pd.DataFrame(
+                        {
+                            "centroid_id": b_ids[best],
+                            "neighbor_id": ids,
+                            "vector": pdf[vcc].to_numpy(),
+                        }
+                    )
+
+            return _as_double(docs, vcc).select(idc, vcc).mapInPandas(
+                assign_gen,
+                "centroid_id long, neighbor_id long, vector array<double>",
+            )
+        bc = self.spark.sparkContext.broadcast(
+            (*self._centroid_matrix(), self._codebook_tensor())
+        )
+
+        def encode_gen(batches):
             import pandas as pd
 
-            b_ids, b_mat = bc.value
+            b_ids, b_mat, b_cb = bc.value
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
                 ids, mat = _stack_normalized(pdf, idc, vcc)
                 best = (mat @ b_mat.T).argmax(axis=1)
+                codes = _pq_encode(mat, b_cb)
                 yield pd.DataFrame(
                     {
                         "centroid_id": b_ids[best],
                         "neighbor_id": ids,
-                        "vector": pdf[vcc].to_numpy(),
+                        "codes": list(codes),
                     }
                 )
 
         return _as_double(docs, vcc).select(idc, vcc).mapInPandas(
-            assign_gen,
-            "centroid_id long, neighbor_id long, vector array<double>",
+            encode_gen,
+            "centroid_id long, neighbor_id long, codes array<int>",
         )
 
     # -- construction ---------------------------------------------------
@@ -149,6 +228,8 @@ class VectorIndex(IncrementalIndex):
         centroid_mod: int = 40,
         target_files: int = 8,
         version: int | None = None,
+        pq_m: int | None = None,
+        codebook_mod: int = 25,
     ) -> "VectorIndex":
         """Build the index from a base snapshot (pin the version FIRST
         so a concurrent base write between the centroid scan and the
@@ -158,7 +239,13 @@ class VectorIndex(IncrementalIndex):
         ``id % centroid_mod == 0`` sample (C should grow ~sqrt(n));
         they freeze at create and every later assignment — incremental
         or resync — runs against them, so incremental == rebuilt-from-
-        scratch for fixed centroids."""
+        scratch for fixed centroids.
+
+        ``pq_m`` switches the index to PQ MODE: list entries store m
+        ordinal codes instead of raw vectors (the 100 TB layout),
+        codebooks sampled ``id % codebook_mod == 0`` and frozen like
+        the centroids. Probes then ADC-score codes and exactly re-rank
+        a shortlist against the base table."""
         idx = cls(spark, root, base, id_col, vec_col)
         v = base.version if version is None else int(version)
         snap = _as_double(base.read(v), vec_col)
@@ -178,18 +265,42 @@ class VectorIndex(IncrementalIndex):
             )
         os.makedirs(idx.root, exist_ok=True)
         cents.write.mode("overwrite").parquet(f"{idx.root}/centroids")
+        idx._pq_m = int(pq_m) if pq_m else None
+        if pq_m:
+            import pandas as _pd
+
+            cb_ids, cb = _pq_codebooks(
+                snap, id_col, vec_col, int(pq_m), int(codebook_mod)
+            )
+            rows = [
+                (s_, int(k_), int(cb_ids[k_]),
+                 [float(x) for x in cb[k_, s_]])
+                for s_ in range(int(pq_m))
+                for k_ in range(cb.shape[0])
+            ]
+            spark.createDataFrame(
+                _pd.DataFrame(
+                    rows,
+                    columns=["subspace", "code", "source_id", "subvector"],
+                ),
+                "subspace int, code int, source_id long, "
+                "subvector array<double>",
+            ).write.mode("overwrite").parquet(f"{idx.root}/codebooks")
+            idx._cb = cb
         CowTable.create(
             spark, idx.lists.root, idx._assign(snap),
             keys=("centroid_id", "neighbor_id"),
             target_files=target_files,
         )
         idx._centroid_mod = int(centroid_mod)
+        idx._codebook_mod = int(codebook_mod) if pq_m else None
         idx._write_state(v)
         return idx
 
     def _state_extra(self) -> dict:
-        # carry centroid_mod through every state write (it documents
-        # how the frozen centroid set was sampled)
+        # carry the frozen sampling parameters through every state
+        # write (centroid_mod always; pq_m/codebook_mod in PQ mode)
+        out = {}
         mod = getattr(self, "_centroid_mod", None)
         if mod is None:
             try:
@@ -197,7 +308,20 @@ class VectorIndex(IncrementalIndex):
             except FileNotFoundError:
                 mod = None
             self._centroid_mod = mod
-        return {} if mod is None else {"centroid_mod": int(mod)}
+        if mod is not None:
+            out["centroid_mod"] = int(mod)
+        if self.pq_m:
+            out["pq_m"] = int(self.pq_m)
+            cbm = getattr(self, "_codebook_mod", None)
+            if cbm is None:
+                try:
+                    cbm = self._state().get("codebook_mod")
+                except FileNotFoundError:
+                    cbm = None
+                self._codebook_mod = cbm
+            if cbm is not None:
+                out["codebook_mod"] = int(cbm)
+        return out
 
     @classmethod
     def open(
@@ -274,23 +398,24 @@ class VectorIndex(IncrementalIndex):
         vector whose assignment MOVED appears as (old key, NULL) ->
         DELETE plus (new key, vector) -> INSERT; updated-in-place ->
         UPDATE; deleted -> DELETE."""
+        pc = self._payload_col()
         src = (
-            new_a.withColumnRenamed("vector", "new_vec")
+            new_a.withColumnRenamed(pc, "new_payload")
             .join(
                 old_a.select("centroid_id", "neighbor_id"),
                 ["centroid_id", "neighbor_id"], "full",
             )
             .select(
                 "centroid_id", "neighbor_id",
-                F.col("new_vec").alias("vector"),
+                F.col("new_payload").alias(pc),
             )
         )
         self.lists.merge_when(
             src,
-            update_set={"vector": "s.vector"},
-            delete_cond="s.vector IS NULL",
+            update_set={pc: f"s.{pc}"},
+            delete_cond=f"s.{pc} IS NULL",
             insert=True,
-            insert_cond="s.vector IS NOT NULL",
+            insert_cond=f"s.{pc} IS NOT NULL",
             check_duplicate_keys=False,  # key-unique by construction
             txn_app="vectorindex-lists",
             txn_version=to_v,
@@ -317,6 +442,7 @@ class VectorIndex(IncrementalIndex):
         k: int = 3,
         nprobe: int = 2,
         rank_quantize: int | None = None,
+        shortlist: int = 10,
     ) -> DataFrame:
         """Batch ANN probe served FROM THE INDEX (the
         :func:`~.knn.ivf_probe_index` contract over the CoW lists):
@@ -367,6 +493,10 @@ class VectorIndex(IncrementalIndex):
         cand = probe.join(lists, "centroid_id").filter(
             F.col("query_id") != F.col("neighbor_id")
         )
+        if self.pq_m:
+            return self._probe_pq_rerank(
+                cand, k, shortlist, rank_quantize
+            )
         scored = cand.select(
             "query_id",
             "neighbor_id",
@@ -384,8 +514,93 @@ class VectorIndex(IncrementalIndex):
             F.col("rank") <= k
         )
 
+    def _probe_pq_rerank(
+        self, cand: DataFrame, k: int, shortlist: int, rank_quantize
+    ) -> DataFrame:
+        """PQ scoring: ADC over the pruned code lists (per-subspace
+        query-codeword dot lookups — the scan reads codes, never raw
+        vectors), shortlist by round(adc, 9), then an EXACT cosine
+        re-rank of |q| x shortlist rows against the BASE table's raw
+        vectors at the index's APPLIED version (what the codes were
+        encoded from). The asymmetric-distance + re-rank split is what
+        makes PQ usable at 100 TB: the cheap pass touches ~64x fewer
+        bytes, the expensive pass touches a bounded shortlist."""
+        bc = self.spark.sparkContext.broadcast(self._codebook_tensor())
+
+        def adc_gen(batches):
+            import numpy as np
+            import pandas as pd
+
+            b_cb = bc.value
+            m = b_cb.shape[1]
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                qmat = np.stack(pdf["__qv"].to_numpy()).astype("float64")
+                qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+                qsub = qmat.reshape(len(pdf), m, -1)
+                codes = np.stack(pdf["codes"].to_numpy()).astype("int64")
+                cw = b_cb[codes, np.arange(m)[None, :]]  # (B, m, dsub)
+                yield pd.DataFrame(
+                    {
+                        "query_id": pdf["query_id"],
+                        "neighbor_id": pdf["neighbor_id"],
+                        "adc": np.einsum("bmd,bmd->b", qsub, cw),
+                    }
+                )
+
+        scored = cand.select(
+            "query_id", "neighbor_id", "codes", "__qv"
+        ).mapInPandas(
+            adc_gen, "query_id long, neighbor_id long, adc double"
+        )
+        ws = Window.partitionBy("query_id").orderBy(
+            F.round(F.col("adc"), 9).desc(), F.col("neighbor_id")
+        )
+        short = (
+            scored.withColumn("__r", F.row_number().over(ws))
+            .filter(F.col("__r") <= shortlist)
+            .select("query_id", "neighbor_id")
+            .localCheckpoint(eager=False)
+        )
+        # exact re-rank against the base snapshot the codes reflect;
+        # the shortlist id set is bounded (|q| x shortlist), so a keyed
+        # pruned read skips every base file outside the id ranges
+        ids = [r[0] for r in
+               short.select("neighbor_id").distinct().collect()]
+        nv = _as_double(
+            self.base.read_pruned(ids, version=self.applied_version),
+            self.vec_col,
+        ).select(
+            F.col(self.id_col).alias("neighbor_id"),
+            F.col(self.vec_col).alias("__nv"),
+        )
+        qv = cand.select("query_id", "__qv").distinct()
+        exact = (
+            F.broadcast(short)
+            .join(qv, "query_id")
+            .join(nv, "neighbor_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                cosine_expr(F.col("__qv"), F.col("__nv")).alias("cosine"),
+            )
+        )
+        rank_key = (
+            F.round(F.col("cosine"), rank_quantize)
+            if rank_quantize is not None
+            else F.round(F.col("cosine"), 9)
+        )
+        wk = Window.partitionBy("query_id").orderBy(
+            rank_key.desc(), F.col("neighbor_id")
+        )
+        return exact.withColumn("rank", F.row_number().over(wk)).filter(
+            F.col("rank") <= k
+        )
+
     def search(
-        self, qvec: list[float], k: int, nprobe: int = 2
+        self, qvec: list[float], k: int, nprobe: int = 2,
+        shortlist: int | None = None,
     ) -> DataFrame:
         """Single-vector top-k, the inline-SQL shape
         (``VECTOR_SEARCH('i', '...', k)``): the nprobe nearest
@@ -403,6 +618,21 @@ class VectorIndex(IncrementalIndex):
         nrm = float(np.sqrt((q * q).sum()))
         if nrm == 0.0:
             raise ValueError("zero query vector has no cosine neighbors")
+        if self.pq_m:
+            # PQ single-vector search rides the batch probe (ADC +
+            # exact re-rank) with a one-row query frame under an id no
+            # corpus row carries
+            qdf = self.spark.createDataFrame(
+                [(-1, [float(x) for x in qvec])],
+                f"{self.id_col} long, {self.vec_col} array<double>",
+            )
+            out = self.probe(
+                qdf, k=k, nprobe=nprobe,
+                shortlist=shortlist if shortlist else max(10, 4 * k),
+            )
+            return out.orderBy("rank").select(
+                "neighbor_id", F.round("cosine", 6).alias("cosine")
+            )
         sims = c_mat @ (q / nrm)
         order = np.argsort(-sims, kind="stable")[:nprobe]
         probed = sorted(int(c_ids[i]) for i in order)

@@ -2465,6 +2465,7 @@ def _ivf_pq_oracle(
     shortlist: int = 10,
     k: int = 3,
     residual: bool = False,
+    corpus_sql: str = "SELECT vec_id, embedding FROM embeddings",
 ) -> str:
     """DuckDB replay of the FULL IVF-PQ pipeline: normalized expansion,
     IVF assignment + probing (as _ivf_oracle), per-subspace codeword
@@ -2513,7 +2514,7 @@ def _ivf_pq_oracle(
             JOIN nx q ON q.vec_id = cand.query_id AND q.i = c.i
             GROUP BY 1, 2),"""
     return f"""
-    WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+    WITH corpus AS ({corpus_sql}),
     ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
                 FROM corpus, generate_series(1, 64) AS t(i)),
     norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
@@ -2942,6 +2943,54 @@ def dedup_semantic_indexed(spark, sf_dir):
         .filter(F.col("cosine") >= 0.9)
     )
     return pairs
+
+
+@register(
+    "vector_index_pq_refresh",
+    _ivf_pq_oracle(nprobe=2, corpus_sql=_VIDX_CORPUS_SQL),
+)
+def vector_index_pq_refresh(spark, sf_dir):
+    """The PQ-MODE incremental vector index — the billion-vector
+    layout with the full lakehouse lifecycle: list entries are pq_m=8
+    ordinal codes (~64x fewer probe-scan bytes than raw float64),
+    maintained from the CHANGE FEED exactly like the raw-mode index
+    (old codes re-derive from feed pre-images against the frozen
+    centroids + codebooks; ONE txn-fenced merge_when reconciles), and
+    probed by ADC over the pruned code lists + an exact cosine re-rank
+    of the top-shortlist against the BASE table at the applied
+    version. Standard churn (delete/update-to-reversed/insert salted
+    copies — ids never hit the centroid %40 or codebook %25 samples),
+    then probe; the oracle replays assignment, codeword encode, ADC,
+    shortlist, and re-rank over the post-churn corpus from scratch."""
+    import os
+    import shutil
+    import tempfile
+
+    from openverse_catalog_spark.operators.cowtable import CowTable
+    from openverse_catalog_spark.operators.vectorindex import VectorIndex
+
+    e = _t(spark, sf_dir, "embeddings")["embeddings"].select(
+        "vec_id", "embedding"
+    )
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_vecidx_pq")
+    shutil.rmtree(root, ignore_errors=True)
+    base = CowTable.create(
+        spark, os.path.join(root, "vecs"), e,
+        keys=("vec_id",), target_files=4,
+    )
+    idx = VectorIndex.create(
+        spark, os.path.join(root, "idx"), base,
+        centroid_mod=40, pq_m=8, codebook_mod=25,
+    )
+    _vidx_churn(base, e)
+    r = idx.refresh()
+    assert r["refreshed"] and not r.get("resync"), r
+    queries = base.read().filter(F.col("vec_id") % 20 == 0)
+    out = idx.probe(queries, k=3, nprobe=2, shortlist=10)
+    return out.select(
+        "query_id", "neighbor_id", "rank",
+        F.round("cosine", 6).alias("cosine"),
+    )
 
 
 #: static 64-dim query literal for the SQL-surface vector search (pi

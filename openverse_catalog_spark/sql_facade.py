@@ -227,6 +227,7 @@ _SEARCH_TVF = re.compile(
 _CREATE_VIDX = re.compile(
     r"^\s*(CREATE|ATTACH)\s+VECTOR\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s*"
     r"\(\s*(\w+)\s*\)(?:\s+CENTROID\s+MOD\s+(\d+))?"
+    r"(?:\s+PQ\s+(\d+))?"
     r"(?:\s+LOCATION\s+'([^']+)')?\s*$",
     re.IGNORECASE,
 )
@@ -884,7 +885,10 @@ class SqlFacade:
 
     def _create_vector_index(self, m: re.Match) -> DataFrame:
         """``CREATE VECTOR INDEX i ON t (vec_col) [CENTROID MOD n]
-        [LOCATION '...']`` — builds the CDF-maintained IVF index
+        [PQ m] [LOCATION '...']`` — builds the CDF-maintained IVF index
+        (``PQ m`` = product-quantized lists: m ordinal codes per vector
+        instead of raw floats, ADC + exact shortlist re-rank at query
+        time — the billion-vector layout)
         (operators/vectorindex.py) over a registered lake table's
         snapshot (the catalog PIN when the table is catalog-managed —
         same aborted-head rule as SEARCH INDEX); ``ATTACH VECTOR
@@ -899,7 +903,7 @@ class SqlFacade:
             VectorIndex,
         )
 
-        verb, name, tbl, col, mod, location = m.groups()
+        verb, name, tbl, col, mod, pq, location = m.groups()
         attach = verb.upper() == "ATTACH"
         if name in self._sidx or name in self._vidx:
             raise ValueError(f"index {name!r} already exists")
@@ -929,10 +933,10 @@ class SqlFacade:
                 raise ValueError(
                     "ATTACH VECTOR INDEX needs LOCATION '<dir>'"
                 )
-            if mod:
+            if mod or pq:
                 raise ValueError(
                     "ATTACH VECTOR INDEX reopens a persisted index; "
-                    "CENTROID MOD is fixed at CREATE"
+                    "CENTROID MOD / PQ are fixed at CREATE"
                 )
             idx = VectorIndex.open(
                 self.spark, location, base,
@@ -947,6 +951,7 @@ class SqlFacade:
                     self.spark, root, base,
                     id_col=base.keys[0], vec_col=col,
                     centroid_mod=int(mod) if mod else 40,
+                    pq_m=int(pq) if pq else None,
                     version=pin,
                 )
             except Exception:

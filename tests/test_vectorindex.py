@@ -402,3 +402,121 @@ def test_vector_index_equals_rebuild_under_random_churn(spark, tmp_path):
         assert r["refreshed"]
         assert bool(r.get("resync", False)) == forced, (wave, r)
         assert _lists_assign(idx) == _expected_assign(base, idx), wave
+
+
+def _expected_codes(base, idx):
+    """From-scratch (assignment, codes) of the CURRENT base snapshot
+    against the frozen centroids + codebooks."""
+    from openverse_catalog_spark.operators.knn import _pq_encode
+
+    c_ids, c_mat = idx._centroid_matrix()
+    cb = idx._codebook_tensor()
+    out = {}
+    for r in base.read().collect():
+        v = np.asarray(r.embedding, dtype="float64")
+        v = v / np.sqrt((v * v).sum())
+        cid = int(c_ids[int((c_mat @ v).argmax())])
+        codes = _pq_encode(v[None, :], cb)[0]
+        out[int(r.vec_id)] = (cid, tuple(int(c) for c in codes))
+    return out
+
+
+def _lists_codes(idx):
+    return {
+        int(r.neighbor_id): (int(r.centroid_id),
+                             tuple(int(c) for c in r.codes))
+        for r in idx.lists.read().collect()
+    }
+
+
+def test_pq_refresh_equals_rebuild(spark, tmp_path):
+    """PQ mode: the feed-maintained code lists equal a from-scratch
+    encode of the current snapshot (frozen centroids + codebooks =>
+    incremental == rebuilt), through delete/update/insert churn that
+    never touches a centroid (mult of 5) or codebook (mult of 3) id."""
+    base = CowTable.create(
+        spark, str(tmp_path / "vecs"), mk_vecs(spark, range(20)),
+        keys=("vec_id",),
+    )
+    idx = VectorIndex.create(
+        spark, str(tmp_path / "idx"), base,
+        centroid_mod=5, pq_m=4, codebook_mod=3,
+    )
+    assert idx.pq_m == 4
+    assert _lists_codes(idx) == _expected_codes(base, idx)
+    base.delete(F.col("vec_id") == 7)
+    base.update(F.col("vec_id") == 11,
+                {"embedding": F.lit(_vec(888)).cast("array<double>")})
+    base.merge_when(mk_vecs(spark, [22, 23]), insert=True)
+    r = idx.refresh()
+    assert r["refreshed"] and not r.get("resync")
+    got = _lists_codes(idx)
+    assert got == _expected_codes(base, idx)
+    assert 7 not in got and 22 in got and 23 in got
+    # reopen verifies identity and keeps PQ mode
+    re = VectorIndex.open(spark, idx.root, base)
+    assert re.pq_m == 4
+
+
+def test_pq_probe_matches_knn_ivf_pq(spark, tmp_path):
+    """The CoW-backed PQ probe must equal knn.ivf_pq_probe_index built
+    from the same snapshot with the same frozen sampling."""
+    from openverse_catalog_spark.operators import knn
+
+    base = CowTable.create(
+        spark, str(tmp_path / "vecs"), mk_vecs(spark, range(60)),
+        keys=("vec_id",), target_files=4,
+    )
+    idx = VectorIndex.create(
+        spark, str(tmp_path / "idx"), base,
+        centroid_mod=10, pq_m=4, codebook_mod=7,
+    )
+    path = str(tmp_path / "knnidx")
+    knn.ivf_pq_build_index(
+        base.read(), path, "vec_id", "embedding",
+        centroid_mod=10, pq_m=4, codebook_mod=7,
+    )
+    queries = base.read().filter(F.col("vec_id") % 20 == 0)
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, round(r.cosine, 6))
+        for r in idx.probe(queries, k=3, nprobe=2, shortlist=8).collect()
+    }
+    want = {
+        (r.query_id, r.rank): (r.neighbor_id, round(r.cosine, 6))
+        for r in knn.ivf_pq_probe_index(
+            spark, path, queries, base.read(), "vec_id", "embedding",
+            k=3, nprobe=2, shortlist=8,
+        ).collect()
+    }
+    assert got == want
+
+
+def test_pq_facade_lifecycle(spark, tmp_path):
+    """CREATE VECTOR INDEX ... PQ m as facade text; VECTOR_SEARCH
+    routes through ADC + exact re-rank; self-query ranks first."""
+    from openverse_catalog_spark.sql_facade import SqlFacade
+
+    f = SqlFacade(spark)
+    f.register_df("emb", mk_vecs(spark, range(30)))
+    f.sql(
+        "CREATE TABLE vecs PRIMARY KEY (vec_id) "
+        f"LOCATION '{tmp_path / 'vecs'}' AS SELECT * FROM emb"
+    )
+    f.sql(
+        "CREATE VECTOR INDEX vq ON vecs (embedding) "
+        f"CENTROID MOD 6 PQ 4 LOCATION '{tmp_path / 'vq'}'"
+    )
+    f.sql("DELETE FROM vecs WHERE vec_id = 13")
+    r = f.sql("REFRESH VECTOR INDEX vq").head()
+    assert r["refreshed"] and not r["resync"]
+    q = " ".join(str(x) for x in _vec(4))
+    out = f.sql(
+        f"SELECT neighbor_id, cosine FROM VECTOR_SEARCH('vq', '{q}', 3)"
+    ).collect()
+    assert out[0].neighbor_id == 4
+    assert out[0].cosine == pytest.approx(1.0, abs=1e-6)
+    with pytest.raises(ValueError, match="fixed at CREATE"):
+        f.sql(
+            "ATTACH VECTOR INDEX vq2 ON vecs (embedding) PQ 4 "
+            f"LOCATION '{tmp_path / 'vq'}'"
+        )
