@@ -657,11 +657,22 @@ class LakeCatalog:
         for iname, e in self.indexes().items():
             try:
                 pin = int(self._entry(e["base"])["version"])
-                res = self._open_index(e).refresh(to_version=pin)
+                idx = self._open_index(e)
+                res = idx.refresh(to_version=pin)
+                # then compact + vacuum the index's own sub-tables:
+                # churn-wave refreshes fragment them exactly like any
+                # micro-batch merge target
+                mnt = idx.maintain(
+                    target_rows=target_rows,
+                    retention_seconds=retention_seconds,
+                )
                 report[f"index:{iname}"] = {
                     "refreshed": bool(res.get("refreshed")),
                     "applied": int(res["applied"]),
                     "resync": bool(res.get("resync", False)),
+                    "compacted": any(
+                        v.get("compacted") for v in mnt.values()
+                    ),
                 }
             except Exception as exc:  # noqa: BLE001 - unattended tick
                 report[f"index:{iname}"] = {"error": str(exc)}

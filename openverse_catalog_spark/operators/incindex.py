@@ -218,3 +218,37 @@ class IncrementalIndex:
 
     def _full_resync(self, to_v: int) -> None:
         raise NotImplementedError
+
+    # -- self-maintenance -------------------------------------------------
+
+    def _index_tables(self) -> list:
+        """(name, CowTable) pairs of the index's own storage —
+        subclasses enumerate them for :meth:`maintain`."""
+        raise NotImplementedError
+
+    def maintain(
+        self,
+        target_rows: int = 1_000_000,
+        small_file_ratio: float = 0.5,
+        keep_versions: int = 3,
+        retention_seconds: float = 3600.0,
+    ) -> dict:
+        """Compact + vacuum the index's OWN CoW sub-tables: every
+        churn-wave refresh lands a small-file merge commit in the
+        postings/lists exactly like any other micro-batch merge target,
+        so an index under continuous maintenance fragments and its
+        version history grows without this tick. Compaction re-clusters
+        on the merge key, so the key-range file pruning queries rely on
+        (terms, centroids) stays tight; vacuum keeps ``keep_versions``
+        so replay fences in recent manifests survive. The catalog's
+        ``maintain_tables`` runs this after each registered index's
+        refresh — unattended ticks leave indexes fresh AND compact."""
+        return {
+            name: t.maintain(
+                target_rows=target_rows,
+                small_file_ratio=small_file_ratio,
+                keep_versions=keep_versions,
+                vacuum_retention_seconds=retention_seconds,
+            )
+            for name, t in self._index_tables()
+        }

@@ -101,6 +101,9 @@ class SearchIndex(IncrementalIndex):
             "text_col": self.text_col,
         }
 
+    def _index_tables(self) -> list:
+        return [("postings", self.postings), ("doclen", self.doclen)]
+
     # -- construction ---------------------------------------------------
 
     @classmethod

@@ -92,6 +92,9 @@ class VectorIndex(IncrementalIndex):
             "vec_col": self.vec_col,
         }
 
+    def _index_tables(self) -> list:
+        return [("lists", self.lists)]
+
     # -- centroids --------------------------------------------------------
 
     def _centroid_matrix(self):

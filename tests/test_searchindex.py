@@ -453,3 +453,38 @@ def test_bm25_index_equals_scan_under_random_churn(spark, tmp_path):
         want = [(r.doc_id, r.score)
                 for r in _scan_bm25(base.read(), terms, 10).collect()]
         assert got == want, (wave, terms, got, want)
+
+
+def test_index_maintain_compacts_and_preserves_results(spark, tmp_path):
+    """Churn-wave refreshes fragment the postings/doclen tables (each
+    refresh is a small-file merge commit); idx.maintain() compacts them
+    back and vacuums history, and BM25 answers identically after."""
+    base = CowTable.create(
+        spark, str(tmp_path / "docs"),
+        mk_docs(spark, *[(i, f"alpha beta w{i}") for i in range(1, 13)]),
+        keys=("doc_id",), target_files=3,
+    )
+    idx = SearchIndex.create(spark, str(tmp_path / "idx"), base)
+    for wave in range(4):
+        base.update(
+            F.col("doc_id") == wave + 1,
+            {"text": F.lit(f"gamma delta wave{wave}")},
+        )
+        idx.refresh()
+    before = len(idx.postings._manifest()["files"])
+    want = [(r.doc_id, r.score)
+            for r in idx.bm25(["alpha", "gamma"], 10).collect()]
+    rep = idx.maintain(target_rows=1_000_000, retention_seconds=0.0,
+                       keep_versions=1)
+    assert rep["postings"]["compacted"]
+    after = len(idx.postings._manifest()["files"])
+    assert after < before
+    got = [(r.doc_id, r.score)
+           for r in idx.bm25(["alpha", "gamma"], 10).collect()]
+    assert got == want
+    # and the index still refreshes incrementally after its own vacuum
+    # (the BASE feed is untouched — only index-table history was GC'd)
+    base.update(F.col("doc_id") == 9, {"text": F.lit("epsilon zeta")})
+    r = idx.refresh()
+    assert r["refreshed"] and not r.get("resync")
+    _assert_index_matches_base(idx, base)

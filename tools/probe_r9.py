@@ -111,6 +111,52 @@ def probe_vecidx(spark) -> None:
               f"| {t_probe:.2f} |")
 
 
+def probe_pq(spark) -> None:
+    from openverse_catalog_spark.operators.cowtable import CowTable
+    from openverse_catalog_spark.operators.vectorindex import VectorIndex
+
+    print("| corpus | pq build (s) | pq refresh fixed churn (s) "
+          "| pq probe 100q (s) |")
+    print("|---|---|---|---|")
+    for copies in (1, 10):
+        tmp = tempfile.mkdtemp(prefix=f"vpq{copies}x_")
+        replicate(spark, SF_DIR, tmp, {"embeddings": ["vec_id"]},
+                  copies=copies)
+        e = load_tables(spark, tmp, ("embeddings",))["embeddings"].select(
+            "vec_id", "embedding"
+        )
+        base = CowTable.create(
+            spark, f"{tmp}/vecs", e, keys=("vec_id",), target_files=16
+        )
+        t0 = time.time()
+        idx = VectorIndex.create(
+            spark, f"{tmp}/idx", base, centroid_mod=40,
+            pq_m=8, codebook_mod=25, target_files=16,
+        )
+        t_build = time.time() - t0
+        base.update(
+            F.col("vec_id") < 300,
+            {"embedding": F.reverse(F.col("embedding"))},
+        )
+        newvecs = e.filter(F.col("vec_id") < 100).select(
+            (F.col("vec_id") + 50_000_000).alias("vec_id"),
+            F.reverse(F.col("embedding")).alias("embedding"),
+        )
+        base.merge_when(newvecs, insert=True)
+        t0 = time.time()
+        r = idx.refresh()
+        t_refresh = time.time() - t0
+        assert r["refreshed"] and not r.get("resync"), r
+        queries = base.read().filter(
+            (F.col("vec_id") % 20 == 0) & (F.col("vec_id") < 2000)
+        )
+        t0 = time.time()
+        idx.probe(queries, k=3, nprobe=2, shortlist=10).count()
+        t_probe = time.time() - t0
+        print(f"| {copies}x | {t_build:.2f} | {t_refresh:.2f} "
+              f"| {t_probe:.2f} |")
+
+
 def probe_cattick(spark) -> None:
     from openverse_catalog_spark.operators.catalog import LakeCatalog
     from openverse_catalog_spark.operators.cowtable import CowTable
@@ -183,6 +229,8 @@ def main() -> None:
         probe_dsir(spark)
     if which in ("vecidx", "all"):
         probe_vecidx(spark)
+    if which in ("pq", "all"):
+        probe_pq(spark)
     if which in ("cattick", "all"):
         probe_cattick(spark)
     spark.stop()
