@@ -228,8 +228,10 @@ class LakeCatalog:
         orphaning it would end its maintenance ticks AND its vacuum
         feed-span protection — the caller must unregister_index (or
         rename) first, an explicit decision."""
+        cur_tables = self._load()["tables"]
         holders = sorted(
-            n for n, e in self.indexes().items() if e.get("base") == name
+            n for n, e in self.indexes().items()
+            if self._resolve_index_base(e, cur_tables)[0] == name
         )
         if holders:
             raise ValueError(
@@ -302,28 +304,31 @@ class LakeCatalog:
         resync."""
         if kind not in ("search", "vector"):
             raise ValueError(f"unknown index kind {kind!r}")
-        self._entry(base_name)  # must be a registered table
-        idx = self.indexes()
-        prior = idx.get(name)
-        if prior is not None and (
-            prior["kind"] != kind
-            or prior["root"] != root.rstrip("/")
-        ):
-            # names are the registry key: silently clobbering a
-            # DIFFERENT index would stop its maintenance ticks and drop
-            # its vacuum feed-span protection. Re-registering the SAME
-            # index (an ATTACH in a new session) is idempotent.
-            raise ValueError(
-                f"index name {name!r} is already registered as a "
-                f"{prior['kind']} index at {prior['root']!r}; "
-                "unregister it first or pick another name"
-            )
-        idx[name] = {
+        be = self._entry(base_name)  # must be a registered table
+        entry = {
             "kind": kind,
             "root": root.rstrip("/"),
             "base": base_name,
+            # base ROOT rides along so a lost/raced rename of the base
+            # NAME can self-heal by root (maintain_tables resolves it)
+            "base_root": be["root"],
             "columns": dict(columns or {}),
         }
+        idx = self.indexes()
+        prior = idx.get(name)
+        if prior is not None and {
+            k: prior.get(k) for k in entry
+        } != entry:
+            # names are the registry key: silently clobbering a
+            # DIFFERENT registration (other kind/root, or the same
+            # index re-pointed at a different base/columns) would stop
+            # or corrupt its maintenance. Re-registering the IDENTICAL
+            # entry (an ATTACH in a new session) is idempotent.
+            raise ValueError(
+                f"index name {name!r} is already registered as "
+                f"{prior}; unregister it first or pick another name"
+            )
+        idx[name] = entry
         tmp = f"{self._dir}/.tmp.indexes.{uuid.uuid4().hex}.json"
         with open(tmp, "w") as fh:
             json.dump(idx, fh, indent=1)
@@ -349,7 +354,9 @@ class LakeCatalog:
             VectorIndex,
         )
 
-        be = self._entry(e["base"])
+        _, be = self._resolve_index_base(e, self._load()["tables"])
+        if be is None:
+            raise KeyError(f"base table {e.get('base')!r} not in catalog")
         base = CowTable(self.spark, be["root"], keys=tuple(be["keys"]))
         cols = e.get("columns") or {}
         if e["kind"] == "search":
@@ -363,6 +370,23 @@ class LakeCatalog:
             id_col=cols.get("id", base.keys[0]),
             vec_col=cols.get("vector", "embedding"),
         )
+
+    def _resolve_index_base(self, e: dict, tables: dict):
+        """The CURRENT catalog entry (name, table-entry) an index's
+        base resolves to: by stored name first; else by the stored
+        base ROOT (a rename whose indexes.json re-point was lost — the
+        second write is not atomic with the catalog commit — or raced
+        by a concurrent registration). Returns (name, entry) or
+        (None, None) when the base is gone entirely."""
+        be = tables.get(e.get("base"))
+        if be is not None:
+            return e.get("base"), be
+        root = e.get("base_root")
+        if root:
+            for n, t in tables.items():
+                if t["root"] == root:
+                    return n, t
+        return None, None
 
     def _index_applied(self, e: dict) -> int | None:
         """An index's applied base version straight from its state file
@@ -543,12 +567,12 @@ class LakeCatalog:
         # reclaims automatically once the index catches up.
         cur_tables = self._load(cur_v)["tables"]
         for ie in self.indexes().values():
-            be = cur_tables.get(ie["base"])
+            bname, be = self._resolve_index_base(ie, cur_tables)
             applied = self._index_applied(ie)
             if be is None or applied is None:
                 continue
             span = range(applied, int(be["version"]) + 1)
-            pins.setdefault(ie["base"], set()).update(span)
+            pins.setdefault(bname, set()).update(span)
         ext = self._external_refs(commits)
         deleted = {}
         for name, e in self._load(cur_v)["tables"].items():
@@ -654,9 +678,21 @@ class LakeCatalog:
         # compacted, and it runs BEFORE vacuum so the feed span each
         # refresh consumes still exists. O(churn) per index: the
         # refresh reads only the manifest diff and feed images.
-        for iname, e in self.indexes().items():
+        cur_tables = self._load()["tables"]
+        healed = False
+        idxmap = self.indexes()
+        for iname, e in idxmap.items():
             try:
-                pin = int(self._entry(e["base"])["version"])
+                bname, be = self._resolve_index_base(e, cur_tables)
+                if be is None:
+                    raise KeyError(
+                        f"base table {e.get('base')!r} not in catalog"
+                    )
+                if bname != e.get("base"):
+                    # self-heal a lost rename re-point
+                    e["base"] = bname
+                    healed = True
+                pin = int(be["version"])
                 idx = self._open_index(e)
                 res = idx.refresh(to_version=pin)
                 # then compact + vacuum the index's own sub-tables:
@@ -676,6 +712,11 @@ class LakeCatalog:
                 }
             except Exception as exc:  # noqa: BLE001 - unattended tick
                 report[f"index:{iname}"] = {"error": str(exc)}
+        if healed:
+            tmp = f"{self._dir}/.tmp.indexes.{uuid.uuid4().hex}.json"
+            with open(tmp, "w") as fh:
+                json.dump(idxmap, fh, indent=1)
+            os.replace(tmp, self._indexes_path())
         report["vacuumed"] = self.vacuum_tables(
             keep_versions=keep_versions,
             retention_seconds=retention_seconds,

@@ -1077,6 +1077,90 @@ def _pq_encode(mat, cb):
     return codes
 
 
+def _write_codebooks(spark, path: str, cb_ids, cb, pq_m: int) -> None:
+    """Persist PQ codebooks as (subspace, code ordinal, source id,
+    normalized subvector) rows — shared by the standalone IVF-PQ build
+    and the CoW-backed VectorIndex so the on-disk layout (and any
+    future dtype/rounding change) exists once. Local rows go through a
+    PANDAS frame (Arrow -> LocalTableScan, one write task): a plain
+    createDataFrame parallelizes across all cores and coalesce(1) then
+    replays every tiny Python partition SERIALLY through the worker
+    round-trip — seconds of overhead for 1-row data."""
+    import pandas as _pd
+
+    rows = [
+        (s_, int(k_), int(cb_ids[k_]), [float(x) for x in cb[k_, s_]])
+        for s_ in range(pq_m)
+        for k_ in range(cb.shape[0])
+    ]
+    spark.createDataFrame(
+        _pd.DataFrame(
+            rows, columns=["subspace", "code", "source_id", "subvector"]
+        ),
+        "subspace int, code int, source_id long, subvector array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def _load_codebook_tensor(spark, path: str):
+    """(n_k, m, dsub) codebook tensor from the persisted layout —
+    the read twin of _write_codebooks."""
+    import numpy as np
+
+    pdf = spark.read.parquet(f"{path}/codebooks").toPandas()
+    m = int(pdf["subspace"].max()) + 1
+    n_k = int(pdf["code"].max()) + 1
+    dsub = len(pdf["subvector"].iloc[0])
+    cb = np.zeros((n_k, m, dsub))
+    for r in pdf.itertuples():
+        cb[r.code, r.subspace] = np.asarray(r.subvector)
+    return cb
+
+
+def _adc_generator(bc, residual: bool):
+    """mapInPandas generator scoring (query_id, neighbor_id,
+    centroid_id, codes, __qv) batches by ADC — the sum over subspaces
+    of dot(query subvector, codeword). ``bc.value`` must be
+    (centroid_ids, normalized centroid matrix, codebook tensor);
+    ``residual`` adds the query-centroid dot back per probed list
+    (FAISS IVFPQ residual encoding). One definition serves the
+    standalone probe and the CoW-backed VectorIndex."""
+
+    def adc_gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        b_c_ids, b_c_mat, b_cb = bc.value
+        m = b_cb.shape[1]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qmat = np.stack(pdf["__qv"].to_numpy()).astype("float64")
+            qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+            qsub = qmat.reshape(len(pdf), m, -1)
+            codes = np.stack(pdf["codes"].to_numpy()).astype("int64")
+            cw = b_cb[codes, np.arange(m)[None, :]]  # (B, m, dsub)
+            adc = np.einsum("bmd,bmd->b", qsub, cw)
+            if residual:
+                # codes quantize x - c(x): add back the query-centroid
+                # dot so adc approximates dot(q, x) = dot(q, c) +
+                # dot(q, residual)
+                pos = np.searchsorted(
+                    b_c_ids, pdf["centroid_id"].to_numpy()
+                )
+                adc = adc + np.einsum(
+                    "bd,bd->b", qmat, b_c_mat[pos]
+                )
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "adc": adc,
+                }
+            )
+
+    return adc_gen
+
+
 def ivf_pq_build_index(
     corpus: DataFrame,
     path: str,
@@ -1155,24 +1239,9 @@ def ivf_pq_build_index(
     base.filter(F.col(id_col) % centroid_mod == 0).select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("vector")
     ).write.mode("overwrite").parquet(f"{path}/centroids")
-    # codebooks: (subspace, code ordinal, source id, normalized subvector).
-    # Local rows go through a PANDAS frame (Arrow -> LocalTableScan, one
-    # write task): a plain createDataFrame parallelizes across all cores
-    # and coalesce(1) then replays every tiny Python partition SERIALLY
-    # through the worker round-trip — seconds of overhead for 1-row data.
+    _write_codebooks(spark, path, cb_ids, cb, pq_m)
     import pandas as _pd
 
-    rows = [
-        (s, int(k_), int(cb_ids[k_]), [float(x) for x in cb[k_, s]])
-        for s in range(pq_m)
-        for k_ in range(cb.shape[0])
-    ]
-    spark.createDataFrame(
-        _pd.DataFrame(
-            rows, columns=["subspace", "code", "source_id", "subvector"]
-        ),
-        "subspace int, code int, source_id long, subvector array<double>",
-    ).write.mode("overwrite").parquet(f"{path}/codebooks")
     spark.createDataFrame(
         _pd.DataFrame(
             [(bool(residual), pq_m)], columns=["residual", "pq_m"]
@@ -1225,12 +1294,7 @@ def ivf_pq_probe_index(
         residual = bool(
             spark.read.parquet(f"{path}/meta").head()["residual"]
         )
-    cb_pdf = spark.read.parquet(f"{path}/codebooks").toPandas()
-    pq_m = int(cb_pdf["subspace"].max()) + 1
-    n_k = int(cb_pdf["code"].max()) + 1
-    cb = np.zeros((n_k, pq_m, c_mat.shape[1] // pq_m))
-    for r in cb_pdf.itertuples():
-        cb[r.code, r.subspace] = np.asarray(r.subvector)
+    cb = _load_codebook_tensor(spark, path)
     bc = spark.sparkContext.broadcast((c_ids, c_mat, cb))
     base = _as_double(queries, vec_col)
 
@@ -1268,38 +1332,7 @@ def ivf_pq_probe_index(
         F.col("query_id") != F.col("neighbor_id")
     )
 
-    def adc_gen(batches):
-        import numpy as np
-        import pandas as pd
-
-        b_c_ids, b_c_mat, b_cb = bc.value
-        m = b_cb.shape[1]
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            qmat = np.stack(pdf["__qv"].to_numpy()).astype("float64")
-            qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
-            qsub = qmat.reshape(len(pdf), m, -1)
-            codes = np.stack(pdf["codes"].to_numpy()).astype("int64")
-            cw = b_cb[codes, np.arange(m)[None, :]]  # (B, m, dsub)
-            adc = np.einsum("bmd,bmd->b", qsub, cw)
-            if residual:
-                # codes quantize x - c(x): add back the query-centroid
-                # dot so adc approximates dot(q, x) = dot(q, c) +
-                # dot(q, residual)
-                pos = np.searchsorted(
-                    b_c_ids, pdf["centroid_id"].to_numpy()
-                )
-                adc = adc + np.einsum(
-                    "bd,bd->b", qmat, b_c_mat[pos]
-                )
-            yield pd.DataFrame(
-                {
-                    "query_id": pdf["query_id"],
-                    "neighbor_id": pdf["neighbor_id"],
-                    "adc": adc,
-                }
-            )
+    adc_gen = _adc_generator(bc, residual)
 
     scored = cand.select(
         "query_id", "neighbor_id", "centroid_id", "codes", "__qv"

@@ -59,10 +59,13 @@ from openverse_catalog_spark.operators.cowtable import CowTable
 from openverse_catalog_spark.operators.incindex import IncrementalIndex
 from openverse_catalog_spark.operators.knn import (
     MAX_BROADCAST_QUERIES,
+    _adc_generator,
     _as_double,
+    _load_codebook_tensor,
     _pq_codebooks,
     _pq_encode,
     _stack_normalized,
+    _write_codebooks,
     cosine_expr,
 )
 
@@ -142,22 +145,27 @@ class VectorIndex(IncrementalIndex):
 
     def _codebook_tensor(self):
         """(n_k, m, dsub) PQ codebook tensor, memoized (frozen at
-        create like the centroids)."""
-        import numpy as np
-
+        create like the centroids) — the shared knn loader, so the
+        on-disk layout exists once."""
         cb = getattr(self, "_cb", None)
         if cb is None:
-            pdf = self.spark.read.parquet(
-                f"{self.root}/codebooks"
-            ).toPandas()
-            m = int(pdf["subspace"].max()) + 1
-            n_k = int(pdf["code"].max()) + 1
-            dim = len(pdf["subvector"].iloc[0]) * m
-            cb = np.zeros((n_k, m, dim // m))
-            for r in pdf.itertuples():
-                cb[r.code, r.subspace] = np.asarray(r.subvector)
+            cb = _load_codebook_tensor(self.spark, self.root)
             self._cb = cb
         return cb
+
+    def _pq_broadcast(self):
+        """One broadcast of (centroid ids, normalized centroid
+        matrix, codebook tensor) per handle — shared by every PQ
+        assignment/encode GEMM and every ADC pass, mirroring
+        _centroid_broadcast: an unattended per-tick maintenance loop
+        must not accumulate a fresh broadcast per refresh."""
+        bc = getattr(self, "_pq_bc", None)
+        if bc is None:
+            bc = self.spark.sparkContext.broadcast(
+                (*self._centroid_matrix(), self._codebook_tensor())
+            )
+            self._pq_bc = bc
+        return bc
 
     def _assign(self, docs: DataFrame) -> DataFrame:
         """Nearest-centroid assignment of a frame of vectors: one GEMM
@@ -191,9 +199,7 @@ class VectorIndex(IncrementalIndex):
                 assign_gen,
                 "centroid_id long, neighbor_id long, vector array<double>",
             )
-        bc = self.spark.sparkContext.broadcast(
-            (*self._centroid_matrix(), self._codebook_tensor())
-        )
+        bc = self._pq_broadcast()
 
         def encode_gen(batches):
             import pandas as pd
@@ -270,25 +276,10 @@ class VectorIndex(IncrementalIndex):
         cents.write.mode("overwrite").parquet(f"{idx.root}/centroids")
         idx._pq_m = int(pq_m) if pq_m else None
         if pq_m:
-            import pandas as _pd
-
             cb_ids, cb = _pq_codebooks(
                 snap, id_col, vec_col, int(pq_m), int(codebook_mod)
             )
-            rows = [
-                (s_, int(k_), int(cb_ids[k_]),
-                 [float(x) for x in cb[k_, s_]])
-                for s_ in range(int(pq_m))
-                for k_ in range(cb.shape[0])
-            ]
-            spark.createDataFrame(
-                _pd.DataFrame(
-                    rows,
-                    columns=["subspace", "code", "source_id", "subvector"],
-                ),
-                "subspace int, code int, source_id long, "
-                "subvector array<double>",
-            ).write.mode("overwrite").parquet(f"{idx.root}/codebooks")
+            _write_codebooks(spark, idx.root, cb_ids, cb, int(pq_m))
             idx._cb = cb
         CowTable.create(
             spark, idx.lists.root, idx._assign(snap),
@@ -498,7 +489,7 @@ class VectorIndex(IncrementalIndex):
         )
         if self.pq_m:
             return self._probe_pq_rerank(
-                cand, k, shortlist, rank_quantize
+                probe, cand, k, shortlist, rank_quantize
             )
         scored = cand.select(
             "query_id",
@@ -518,7 +509,8 @@ class VectorIndex(IncrementalIndex):
         )
 
     def _probe_pq_rerank(
-        self, cand: DataFrame, k: int, shortlist: int, rank_quantize
+        self, probe: DataFrame, cand: DataFrame, k: int,
+        shortlist: int, rank_quantize,
     ) -> DataFrame:
         """PQ scoring: ADC over the pruned code lists (per-subspace
         query-codeword dot lookups — the scan reads codes, never raw
@@ -528,32 +520,12 @@ class VectorIndex(IncrementalIndex):
         encoded from). The asymmetric-distance + re-rank split is what
         makes PQ usable at 100 TB: the cheap pass touches ~64x fewer
         bytes, the expensive pass touches a bounded shortlist."""
-        bc = self.spark.sparkContext.broadcast(self._codebook_tensor())
-
-        def adc_gen(batches):
-            import numpy as np
-            import pandas as pd
-
-            b_cb = bc.value
-            m = b_cb.shape[1]
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                qmat = np.stack(pdf["__qv"].to_numpy()).astype("float64")
-                qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
-                qsub = qmat.reshape(len(pdf), m, -1)
-                codes = np.stack(pdf["codes"].to_numpy()).astype("int64")
-                cw = b_cb[codes, np.arange(m)[None, :]]  # (B, m, dsub)
-                yield pd.DataFrame(
-                    {
-                        "query_id": pdf["query_id"],
-                        "neighbor_id": pdf["neighbor_id"],
-                        "adc": np.einsum("bmd,bmd->b", qsub, cw),
-                    }
-                )
-
+        shortlist = max(int(shortlist), int(k))  # k results need >= k
+        # candidates surviving the ADC cut — silent truncation
+        # otherwise
+        adc_gen = _adc_generator(self._pq_broadcast(), residual=False)
         scored = cand.select(
-            "query_id", "neighbor_id", "codes", "__qv"
+            "query_id", "neighbor_id", "centroid_id", "codes", "__qv"
         ).mapInPandas(
             adc_gen, "query_id long, neighbor_id long, adc double"
         )
@@ -578,7 +550,10 @@ class VectorIndex(IncrementalIndex):
             F.col(self.id_col).alias("neighbor_id"),
             F.col(self.vec_col).alias("__nv"),
         )
-        qv = cand.select("query_id", "__qv").distinct()
+        # query vectors come from the already-checkpointed probe frame
+        # — re-deriving them from cand would re-run the probe-to-lists
+        # join (a second pruned lists read) for data one hop upstream
+        qv = probe.select("query_id", "__qv").distinct()
         exact = (
             F.broadcast(short)
             .join(qv, "query_id")

@@ -721,10 +721,15 @@ class SqlFacade:
         time, so the returned lazy frame is unaffected; without the
         drop, a facade running inline SEARCH_INDEX/VECTOR_SEARCH in a
         loop accumulates one temp view per call."""
-        df = self.spark.sql(self._rewrite(text))
-        for view in self._stmt_views:
-            self.spark.catalog.dropTempView(view)
-        self._stmt_views.clear()
+        try:
+            df = self.spark.sql(self._rewrite(text))
+        finally:
+            # drop even when rewrite/analysis raises: a leaked view
+            # would outlive DROP INDEX's rmtree and fail later with
+            # FileNotFound instead of the facade's clear error
+            for view in self._stmt_views:
+                self.spark.catalog.dropTempView(view)
+            self._stmt_views.clear()
         return df
 
     def _summary(self, res: dict) -> DataFrame:
@@ -869,15 +874,26 @@ class SqlFacade:
 
                 shutil.rmtree(root, ignore_errors=True)
                 raise
-        self._sidx[name] = idx
         if tbl in self._catalog_names:
             # the catalog's unattended tick (MAINTAIN CATALOG) keeps
             # registered indexes fresh and its vacuum protects the
-            # unapplied feed span
-            self._catalog.register_index(
-                name, "search", idx.root, tbl,
-                {"id": base.keys[0], "text": col},
-            )
+            # unapplied feed span. Register BEFORE exposing: a
+            # registration refusal (name collision in the shared
+            # catalog) must not leave this facade serving an orphan the
+            # catalog will never maintain — and a CREATE's husk
+            # directory must not survive the failure
+            try:
+                self._catalog.register_index(
+                    name, "search", idx.root, tbl,
+                    {"id": base.keys[0], "text": col},
+                )
+            except Exception:
+                if not attach:
+                    import shutil
+
+                    shutil.rmtree(idx.root, ignore_errors=True)
+                raise
+        self._sidx[name] = idx
         return self.spark.createDataFrame(
             [(name, tbl, idx.applied_version)],
             "index string, table string, applied long",
@@ -961,12 +977,19 @@ class SqlFacade:
 
                 shutil.rmtree(root, ignore_errors=True)
                 raise
-        self._vidx[name] = idx
         if tbl in self._catalog_names:
-            self._catalog.register_index(
-                name, "vector", idx.root, tbl,
-                {"id": base.keys[0], "vector": col},
-            )
+            try:
+                self._catalog.register_index(
+                    name, "vector", idx.root, tbl,
+                    {"id": base.keys[0], "vector": col},
+                )
+            except Exception:
+                if not attach:
+                    import shutil
+
+                    shutil.rmtree(idx.root, ignore_errors=True)
+                raise
+        self._vidx[name] = idx
         return self.spark.createDataFrame(
             [(name, tbl, idx.applied_version)],
             "index string, table string, applied long",

@@ -799,3 +799,78 @@ def test_recover_backfills_managed_marker(spark, tmp_path):
     _os.remove(f"{t.root}/.catalog.json")  # simulate a pre-marker registry
     cat.recover()
     assert _os.path.exists(f"{t.root}/.catalog.json")
+
+
+def test_index_base_self_heals_after_lost_rename_repoint(spark, tmp_path):
+    """The rename->indexes.json re-point is a second, non-atomic write;
+    if it is lost (crash between the two), the maintenance tick must
+    resolve the base BY ROOT, keep refreshing, and heal the stored
+    name — and vacuum protection must keep covering the span."""
+    import json as _json
+
+    from openverse_catalog_spark.operators.searchindex import SearchIndex
+
+    cat = LakeCatalog.create(spark, str(tmp_path / "lake"))
+    docs = CowTable.create(
+        spark, str(tmp_path / "docs"),
+        _docs(spark, (1, "alpha beta"), (2, "beta gamma")),
+        keys=("doc_id",),
+    )
+    cat.register("docs", docs)
+    idx = SearchIndex.create(
+        spark, str(tmp_path / "idx"), docs,
+        version=cat._entry("docs")["version"],
+    )
+    cat.register_index("idx", "search", idx.root, "docs",
+                       {"id": "doc_id", "text": "text"})
+    cat.rename("docs", "corpus")
+    # simulate the lost second write: put the OLD base name back
+    reg = cat.indexes()
+    reg["idx"]["base"] = "docs"
+    with open(cat._indexes_path(), "w") as fh:
+        _json.dump(reg, fh)
+    with cat.transaction() as txn:
+        txn.table("corpus").update(
+            F.col("doc_id") == 1, {"text": F.lit("alpha omega")}
+        )
+    rep = cat.maintain_tables(retention_seconds=3600.0)
+    assert rep["index:idx"]["applied"] == cat._entry("corpus")["version"]
+    assert not rep["index:idx"].get("resync")
+    # the tick healed the stored name
+    assert cat.indexes()["idx"]["base"] == "corpus"
+
+
+def test_facade_create_index_cleans_up_on_registration_refusal(
+    spark, tmp_path
+):
+    """A catalog-level name collision surfacing from register_index
+    must not leave the refusing facade serving an orphan index, and
+    the freshly built directory must be removed."""
+    import os as _os
+
+    from openverse_catalog_spark.sql_facade import SqlFacade
+
+    cat = LakeCatalog.create(spark, str(tmp_path / "lake"))
+    docs = CowTable.create(
+        spark, str(tmp_path / "docs"),
+        _docs(spark, (1, "alpha beta"), (2, "beta gamma")),
+        keys=("doc_id",),
+    )
+    cat.register("docs", docs)
+    f1 = SqlFacade(spark)
+    f1.attach_catalog(cat)
+    f1.sql(
+        "CREATE SEARCH INDEX idx ON docs (text) "
+        f"LOCATION '{tmp_path / 'i1'}'"
+    )
+    f2 = SqlFacade(spark)
+    f2.attach_catalog(cat)
+    with pytest.raises(ValueError, match="already registered"):
+        f2.sql(
+            "CREATE SEARCH INDEX idx ON docs (text) "
+            f"LOCATION '{tmp_path / 'i2'}'"
+        )
+    assert "idx" not in f2._sidx  # not exposed
+    assert not _os.path.exists(str(tmp_path / "i2"))  # husk removed
+    # the original registration is untouched
+    assert cat.indexes()["idx"]["root"] == str(tmp_path / "i1")
