@@ -111,6 +111,7 @@ def _rotated_names() -> list[str]:
         "sql_vector_index", "vector_index_refresh",
         "stream_vector_index_maintenance", "search_hybrid_indexed",
         "dedup_semantic_indexed", "vector_index_pq_refresh",
+        "vector_index_pq_residual",
     }
     lead = [n for n in fresh_oracle
             if n.startswith(prio) and n not in back]

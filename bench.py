@@ -206,6 +206,7 @@ HEADLINE = [
     "stream_search_maintenance",
     "vector_index_refresh",
     "vector_index_pq_refresh",
+    "vector_index_pq_residual",
     "dedup_semantic_indexed",
     "sql_vector_index",
     "stream_vector_index_maintenance",

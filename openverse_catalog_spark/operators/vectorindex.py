@@ -140,6 +140,19 @@ class VectorIndex(IncrementalIndex):
             self._pq_m = mod
         return mod
 
+    @property
+    def pq_residual(self) -> bool:
+        """True when PQ codes quantize x - c(x) (FAISS residual
+        encoding) instead of raw normalized vectors."""
+        r = getattr(self, "_pq_res", -1)
+        if r == -1:
+            try:
+                r = bool(self._state().get("pq_residual", False))
+            except FileNotFoundError:
+                r = False
+            self._pq_res = r
+        return r
+
     def _payload_col(self) -> str:
         return "codes" if self.pq_m else "vector"
 
@@ -200,6 +213,7 @@ class VectorIndex(IncrementalIndex):
                 "centroid_id long, neighbor_id long, vector array<double>",
             )
         bc = self._pq_broadcast()
+        residual = self.pq_residual
 
         def encode_gen(batches):
             import pandas as pd
@@ -210,7 +224,8 @@ class VectorIndex(IncrementalIndex):
                     continue
                 ids, mat = _stack_normalized(pdf, idc, vcc)
                 best = (mat @ b_mat.T).argmax(axis=1)
-                codes = _pq_encode(mat, b_cb)
+                enc = mat - b_mat[best] if residual else mat
+                codes = _pq_encode(enc, b_cb)
                 yield pd.DataFrame(
                     {
                         "centroid_id": b_ids[best],
@@ -239,6 +254,7 @@ class VectorIndex(IncrementalIndex):
         version: int | None = None,
         pq_m: int | None = None,
         codebook_mod: int = 25,
+        pq_residual: bool = False,
     ) -> "VectorIndex":
         """Build the index from a base snapshot (pin the version FIRST
         so a concurrent base write between the centroid scan and the
@@ -254,7 +270,12 @@ class VectorIndex(IncrementalIndex):
         ordinal codes instead of raw vectors (the 100 TB layout),
         codebooks sampled ``id % codebook_mod == 0`` and frozen like
         the centroids. Probes then ADC-score codes and exactly re-rank
-        a shortlist against the base table."""
+        a shortlist against the base table. ``pq_residual`` trains the
+        codebooks on (and encodes) ``x - c(x)`` — FAISS's IVFPQ
+        residual encoding: within one list all vectors share a
+        centroid, so the residual distribution is tighter and the same
+        code budget quantizes it with less error; ADC adds the
+        query-centroid dot back per probed list."""
         idx = cls(spark, root, base, id_col, vec_col)
         v = base.version if version is None else int(version)
         snap = _as_double(base.read(v), vec_col)
@@ -276,8 +297,13 @@ class VectorIndex(IncrementalIndex):
         cents.write.mode("overwrite").parquet(f"{idx.root}/centroids")
         idx._pq_m = int(pq_m) if pq_m else None
         if pq_m:
+            idx._pq_res = bool(pq_residual)
+            c_for_res = (
+                idx._centroid_matrix()[1] if pq_residual else None
+            )
             cb_ids, cb = _pq_codebooks(
-                snap, id_col, vec_col, int(pq_m), int(codebook_mod)
+                snap, id_col, vec_col, int(pq_m), int(codebook_mod),
+                c_mat=c_for_res,
             )
             _write_codebooks(spark, idx.root, cb_ids, cb, int(pq_m))
             idx._cb = cb
@@ -306,6 +332,7 @@ class VectorIndex(IncrementalIndex):
             out["centroid_mod"] = int(mod)
         if self.pq_m:
             out["pq_m"] = int(self.pq_m)
+            out["pq_residual"] = bool(self.pq_residual)
             cbm = getattr(self, "_codebook_mod", None)
             if cbm is None:
                 try:
@@ -523,7 +550,9 @@ class VectorIndex(IncrementalIndex):
         shortlist = max(int(shortlist), int(k))  # k results need >= k
         # candidates surviving the ADC cut — silent truncation
         # otherwise
-        adc_gen = _adc_generator(self._pq_broadcast(), residual=False)
+        adc_gen = _adc_generator(
+            self._pq_broadcast(), residual=self.pq_residual
+        )
         scored = cand.select(
             "query_id", "neighbor_id", "centroid_id", "codes", "__qv"
         ).mapInPandas(

@@ -2993,6 +2993,53 @@ def vector_index_pq_refresh(spark, sf_dir):
     )
 
 
+@register(
+    "vector_index_pq_residual",
+    _ivf_pq_oracle(
+        nprobe=2, residual=True, corpus_sql=_VIDX_CORPUS_SQL
+    ),
+)
+def vector_index_pq_residual(spark, sf_dir):
+    """RESIDUAL-encoded PQ incremental index — the full FAISS IVFPQ:
+    codebooks train on (and codes quantize) ``x - c(x)``, the tighter
+    within-list distribution, and ADC adds the query-centroid dot back
+    per probed list. Same lifecycle as vector_index_pq_refresh
+    (standard churn, CDF refresh — pre-image re-encode reproduces the
+    stored residual codes because centroids AND codebooks are frozen —
+    probe with exact shortlist re-rank); the oracle replays residual
+    codebook training, encoding, two-term ADC, shortlist, and re-rank
+    over the post-churn corpus."""
+    import os
+    import shutil
+    import tempfile
+
+    from openverse_catalog_spark.operators.cowtable import CowTable
+    from openverse_catalog_spark.operators.vectorindex import VectorIndex
+
+    e = _t(spark, sf_dir, "embeddings")["embeddings"].select(
+        "vec_id", "embedding"
+    )
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_vecidx_pqr")
+    shutil.rmtree(root, ignore_errors=True)
+    base = CowTable.create(
+        spark, os.path.join(root, "vecs"), e,
+        keys=("vec_id",), target_files=4,
+    )
+    idx = VectorIndex.create(
+        spark, os.path.join(root, "idx"), base,
+        centroid_mod=40, pq_m=8, codebook_mod=25, pq_residual=True,
+    )
+    _vidx_churn(base, e)
+    r = idx.refresh()
+    assert r["refreshed"] and not r.get("resync"), r
+    queries = base.read().filter(F.col("vec_id") % 20 == 0)
+    out = idx.probe(queries, k=3, nprobe=2, shortlist=10)
+    return out.select(
+        "query_id", "neighbor_id", "rank",
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
 #: static 64-dim query literal for the SQL-surface vector search (pi
 #: digits): identical text on both engines, so the oracle replays the
 #: single-vector probe exactly.

@@ -227,7 +227,7 @@ _SEARCH_TVF = re.compile(
 _CREATE_VIDX = re.compile(
     r"^\s*(CREATE|ATTACH)\s+VECTOR\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s*"
     r"\(\s*(\w+)\s*\)(?:\s+CENTROID\s+MOD\s+(\d+))?"
-    r"(?:\s+PQ\s+(\d+))?"
+    r"(?:\s+PQ\s+(\d+)(\s+RESIDUAL)?)?"
     r"(?:\s+LOCATION\s+'([^']+)')?\s*$",
     re.IGNORECASE,
 )
@@ -919,7 +919,7 @@ class SqlFacade:
             VectorIndex,
         )
 
-        verb, name, tbl, col, mod, pq, location = m.groups()
+        verb, name, tbl, col, mod, pq, pq_res, location = m.groups()
         attach = verb.upper() == "ATTACH"
         if name in self._sidx or name in self._vidx:
             raise ValueError(f"index {name!r} already exists")
@@ -949,7 +949,7 @@ class SqlFacade:
                 raise ValueError(
                     "ATTACH VECTOR INDEX needs LOCATION '<dir>'"
                 )
-            if mod or pq:
+            if mod or pq or pq_res:
                 raise ValueError(
                     "ATTACH VECTOR INDEX reopens a persisted index; "
                     "CENTROID MOD / PQ are fixed at CREATE"
@@ -968,6 +968,7 @@ class SqlFacade:
                     id_col=base.keys[0], vec_col=col,
                     centroid_mod=int(mod) if mod else 40,
                     pq_m=int(pq) if pq else None,
+                    pq_residual=bool(pq_res),
                     version=pin,
                 )
             except Exception:

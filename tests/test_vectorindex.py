@@ -520,3 +520,50 @@ def test_pq_facade_lifecycle(spark, tmp_path):
             "ATTACH VECTOR INDEX vq2 ON vecs (embedding) PQ 4 "
             f"LOCATION '{tmp_path / 'vq'}'"
         )
+
+
+def test_pq_residual_refresh_and_probe(spark, tmp_path):
+    """Residual PQ: churn==rebuild on the residual codes, and the probe
+    equals knn.ivf_pq_probe_index over a residual index built from the
+    same snapshot with the same frozen sampling."""
+    from openverse_catalog_spark.operators import knn
+
+    base = CowTable.create(
+        spark, str(tmp_path / "vecs"), mk_vecs(spark, range(60)),
+        keys=("vec_id",), target_files=4,
+    )
+    idx = VectorIndex.create(
+        spark, str(tmp_path / "idx"), base,
+        centroid_mod=10, pq_m=4, codebook_mod=7, pq_residual=True,
+    )
+    assert idx.pq_residual
+    path = str(tmp_path / "knnidx")
+    knn.ivf_pq_build_index(
+        base.read(), path, "vec_id", "embedding",
+        centroid_mod=10, pq_m=4, codebook_mod=7, residual=True,
+    )
+    queries = base.read().filter(F.col("vec_id") % 20 == 0)
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, round(r.cosine, 6))
+        for r in idx.probe(queries, k=3, nprobe=2, shortlist=8).collect()
+    }
+    want = {
+        (r.query_id, r.rank): (r.neighbor_id, round(r.cosine, 6))
+        for r in knn.ivf_pq_probe_index(
+            spark, path, queries, base.read(), "vec_id", "embedding",
+            k=3, nprobe=2, shortlist=8,
+        ).collect()
+    }
+    assert got == want
+    # churn (ids avoid centroid mult-of-10 and codebook mult-of-7) and
+    # refresh: reopen in a fresh handle and probe again — residual
+    # mode survives the round-trip and the feed refresh
+    base.update(F.col("vec_id") == 13,
+                {"embedding": F.lit(_vec(777)).cast("array<double>")})
+    base.delete(F.col("vec_id") == 11)
+    r = idx.refresh()
+    assert r["refreshed"] and not r.get("resync")
+    re = VectorIndex.open(spark, idx.root, base)
+    assert re.pq_residual and re.pq_m == 4
+    rows = re.search(_vec(4), k=2, nprobe=2)
+    assert rows.collect()[0].neighbor_id == 4

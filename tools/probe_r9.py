@@ -16,7 +16,7 @@
    vacuum) must stay O(churn + manifests), now including the index
    refresh it performs.
 
-Usage: python tools/probe_r9.py [dsir|vecidx|cattick|all]
+Usage: python tools/probe_r9.py [dsir|vecidx|pq|cattick|all]
 """
 
 from __future__ import annotations
