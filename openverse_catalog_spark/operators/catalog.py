@@ -316,9 +316,16 @@ class LakeCatalog:
         }
         idx = self.indexes()
         prior = idx.get(name)
+        # legacy entries predate base_root: treat its absence as a
+        # wildcard (this write backfills it) so an identical re-ATTACH
+        # stays idempotent
+        cmp_keys = [
+            k for k in entry
+            if k != "base_root" or (prior and "base_root" in prior)
+        ]
         if prior is not None and {
-            k: prior.get(k) for k in entry
-        } != entry:
+            k: prior.get(k) for k in cmp_keys
+        } != {k: entry[k] for k in cmp_keys}:
             # names are the registry key: silently clobbering a
             # DIFFERENT registration (other kind/root, or the same
             # index re-pointed at a different base/columns) would stop
@@ -334,6 +341,18 @@ class LakeCatalog:
             json.dump(idx, fh, indent=1)
         os.replace(tmp, self._indexes_path())
 
+    def _heal_index_base(self, name: str, new_base: str) -> None:
+        """Re-point one index entry's base name (a lost rename
+        re-point detected by root resolution) — fresh read-modify-write
+        of just this entry so concurrent registry writes survive."""
+        idx = self.indexes()
+        if name in idx and idx[name].get("base") != new_base:
+            idx[name]["base"] = new_base
+            tmp = f"{self._dir}/.tmp.indexes.{uuid.uuid4().hex}.json"
+            with open(tmp, "w") as fh:
+                json.dump(idx, fh, indent=1)
+            os.replace(tmp, self._indexes_path())
+
     def unregister_index(self, name: str) -> None:
         idx = self.indexes()
         if name not in idx:
@@ -344,9 +363,12 @@ class LakeCatalog:
             json.dump(idx, fh, indent=1)
         os.replace(tmp, self._indexes_path())
 
-    def _open_index(self, e: dict):
+    def _open_index(self, e: dict, be: dict | None = None):
         """Instantiate a registered index handle bound to its base's
-        catalog entry (identity-verified by the index's own open())."""
+        catalog entry (identity-verified by the index's own open()).
+        ``be`` passes an ALREADY-RESOLVED base entry so the maintenance
+        tick's pin and the opened handle come from the same catalog
+        snapshot (and the tick skips a redundant catalog read)."""
         from openverse_catalog_spark.operators.searchindex import (
             SearchIndex,
         )
@@ -354,7 +376,8 @@ class LakeCatalog:
             VectorIndex,
         )
 
-        _, be = self._resolve_index_base(e, self._load()["tables"])
+        if be is None:
+            _, be = self._resolve_index_base(e, self._load()["tables"])
         if be is None:
             raise KeyError(f"base table {e.get('base')!r} not in catalog")
         base = CowTable(self.spark, be["root"], keys=tuple(be["keys"]))
@@ -378,14 +401,20 @@ class LakeCatalog:
         second write is not atomic with the catalog commit — or raced
         by a concurrent registration). Returns (name, entry) or
         (None, None) when the base is gone entirely."""
-        be = tables.get(e.get("base"))
-        if be is not None:
-            return e.get("base"), be
         root = e.get("base_root")
+        be = tables.get(e.get("base"))
+        if be is not None and (not root or be["root"] == root):
+            return e.get("base"), be
+        # name miss OR an IMPOSTOR (a different table registered under
+        # the index's old base name after a lost rename re-point):
+        # resolve by the recorded root
         if root:
             for n, t in tables.items():
                 if t["root"] == root:
                     return n, t
+        # no root recorded (legacy entry): the name match is all we have
+        if be is not None:
+            return e.get("base"), be
         return None, None
 
     def _index_applied(self, e: dict) -> int | None:
@@ -679,9 +708,7 @@ class LakeCatalog:
         # refresh consumes still exists. O(churn) per index: the
         # refresh reads only the manifest diff and feed images.
         cur_tables = self._load()["tables"]
-        healed = False
-        idxmap = self.indexes()
-        for iname, e in idxmap.items():
+        for iname, e in self.indexes().items():
             try:
                 bname, be = self._resolve_index_base(e, cur_tables)
                 if be is None:
@@ -689,11 +716,15 @@ class LakeCatalog:
                         f"base table {e.get('base')!r} not in catalog"
                     )
                 if bname != e.get("base"):
-                    # self-heal a lost rename re-point
-                    e["base"] = bname
-                    healed = True
+                    # self-heal a lost rename re-point IMMEDIATELY and
+                    # narrowly (re-read/modify/write just this entry) —
+                    # holding the whole map and rewriting it at
+                    # tick-end would clobber any register/unregister
+                    # that lands during the (minutes-long) tick
+                    self._heal_index_base(iname, bname)
+                    e = dict(e, base=bname)
                 pin = int(be["version"])
-                idx = self._open_index(e)
+                idx = self._open_index(e, be)
                 res = idx.refresh(to_version=pin)
                 # then compact + vacuum the index's own sub-tables:
                 # churn-wave refreshes fragment them exactly like any
@@ -712,11 +743,6 @@ class LakeCatalog:
                 }
             except Exception as exc:  # noqa: BLE001 - unattended tick
                 report[f"index:{iname}"] = {"error": str(exc)}
-        if healed:
-            tmp = f"{self._dir}/.tmp.indexes.{uuid.uuid4().hex}.json"
-            with open(tmp, "w") as fh:
-                json.dump(idxmap, fh, indent=1)
-            os.replace(tmp, self._indexes_path())
         report["vacuumed"] = self.vacuum_tables(
             keep_versions=keep_versions,
             retention_seconds=retention_seconds,

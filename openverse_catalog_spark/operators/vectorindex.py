@@ -239,6 +239,34 @@ class VectorIndex(IncrementalIndex):
             "centroid_id long, neighbor_id long, codes array<int>",
         )
 
+    def _assign_keys(self, docs: DataFrame) -> DataFrame:
+        """(centroid_id, neighbor_id) only — what feed PRE-IMAGES
+        need. In PQ mode this skips the per-subspace codeword search
+        entirely (m BLAS matmuls per batch that an opaque mapInPandas
+        could never column-prune away), halving a refresh's encode
+        cost; raw mode just prunes the payload column."""
+        idc, vcc = self.id_col, self.vec_col
+        if not self.pq_m:
+            return self._assign(docs).select("centroid_id", "neighbor_id")
+        bc = self._pq_broadcast()
+
+        def assign_only_gen(batches):
+            import pandas as pd
+
+            b_ids, b_mat, _ = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                ids, mat = _stack_normalized(pdf, idc, vcc)
+                best = (mat @ b_mat.T).argmax(axis=1)
+                yield pd.DataFrame(
+                    {"centroid_id": b_ids[best], "neighbor_id": ids}
+                )
+
+        return _as_double(docs, vcc).select(idc, vcc).mapInPandas(
+            assign_only_gen, "centroid_id long, neighbor_id long"
+        )
+
     # -- construction ---------------------------------------------------
 
     @classmethod
@@ -406,7 +434,7 @@ class VectorIndex(IncrementalIndex):
             ).select(idc, vcc)
         )
         self._reconcile(
-            self._assign(old_docs).select("centroid_id", "neighbor_id"),
+            self._assign_keys(old_docs),
             self._assign(new_docs),
             to_v,
         )
@@ -476,13 +504,16 @@ class VectorIndex(IncrementalIndex):
         ``rank_quantize`` rounds the rank key so exact-duplicate
         neighbors tie deterministically (id tie-break)."""
         idc, vcc = self.id_col, self.vec_col
-        bc = self._centroid_broadcast()
+        # PQ mode reuses the (centroids, codebooks) broadcast the ADC
+        # pass needs anyway — two broadcast copies of the centroid
+        # matrix per handle otherwise
+        bc = self._pq_broadcast() if self.pq_m else self._centroid_broadcast()
 
         def probe_gen(batches):
             import numpy as np
             import pandas as pd
 
-            b_ids, b_mat = bc.value
+            b_ids, b_mat = bc.value[0], bc.value[1]
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
