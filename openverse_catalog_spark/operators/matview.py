@@ -285,11 +285,22 @@ class MaterializedView:
             out.append(F.when(live, val).alias(a.name))
         return rows.select(out)
 
-    def refresh(self, purge_tombstones: bool = False) -> dict:
+    def refresh(
+        self,
+        purge_tombstones: bool = False,
+        to_version: int | None = None,
+    ) -> dict:
         """Advance the MV to the base's current version by applying the
         change feed; falls back to a full resync when the span has been
         vacuumed. Single-refresher protocol (concurrent BASE writers
-        are fine; run one MV maintainer at a time)."""
+        are fine; run one MV maintainer at a time).
+
+        ``to_version`` caps the refresh at a catalog PIN — a
+        catalog-managed base's raw head can hold unpublished/aborted
+        versions no catalog reader sees, and an uncapped refresh would
+        aggregate them into the view (the same discipline the
+        search/vector indexes enforce). A view already past the cap
+        refuses loudly instead of serving excluded data."""
         st = self._load_state()
         if st.get("pending"):
             p = st["pending"]
@@ -299,7 +310,15 @@ class MaterializedView:
             else:
                 st = {"applied_base": st["applied_base"], "pending": None}
             self._save_state(st)
-        b_from, b_to = st["applied_base"], self.base.version
+        b_from = st["applied_base"]
+        b_to = self.base.version if to_version is None else int(to_version)
+        if to_version is not None and b_from > b_to:
+            raise ValueError(
+                f"materialized view already applied base v{b_from}, "
+                f"past the requested cap v{b_to}; it was refreshed "
+                "outside the cap's discipline — rebuild it to restore "
+                "pinned reads"
+            )
         if b_to == b_from:
             return {"refreshed": False, "base_version": b_to}
         try:
@@ -664,10 +683,29 @@ class JoinMaterializedView:
     def read(self, version: int | None = None) -> DataFrame:
         return self.table.read(version)
 
-    def refresh(self) -> dict:
+    def refresh(
+        self,
+        to_left: int | None = None,
+        to_right: int | None = None,
+    ) -> dict:
+        """``to_left``/``to_right`` cap each side at its catalog PIN
+        (unpublished raw-head versions of a catalog-managed base must
+        not leak into the joined view)."""
         st = self._load_state()
         l_from, r_from = st["applied_left"], st["applied_right"]
-        l_to, r_to = self.left.version, self.right.version
+        l_to = self.left.version if to_left is None else int(to_left)
+        r_to = self.right.version if to_right is None else int(to_right)
+        for side, frm, cap, given in (
+            ("left", l_from, l_to, to_left),
+            ("right", r_from, r_to, to_right),
+        ):
+            if given is not None and frm > cap:
+                raise ValueError(
+                    f"join view already applied {side} v{frm}, past "
+                    f"the requested cap v{cap}; it was refreshed "
+                    "outside the cap's discipline — rebuild it to "
+                    "restore pinned reads"
+                )
         if (l_from, r_from) == (l_to, r_to):
             return {"refreshed": False, "left_version": l_to,
                     "right_version": r_to}
@@ -851,7 +889,15 @@ class JoinAggMaterializedView:
     def read(self, version: int | None = None) -> DataFrame:
         return self.agg_mv.read(version)
 
-    def refresh(self, purge_tombstones: bool = False) -> dict:
-        j = self.join_mv.refresh()
+    def refresh(
+        self,
+        purge_tombstones: bool = False,
+        to_left: int | None = None,
+        to_right: int | None = None,
+    ) -> dict:
+        """Caps apply to the OUTER bases (the join's two sides); the
+        aggregate stage's base is the join MV's own table — internal,
+        never catalog-managed — so it follows that table's head."""
+        j = self.join_mv.refresh(to_left=to_left, to_right=to_right)
         a = self.agg_mv.refresh(purge_tombstones=purge_tombstones)
         return {"join": j, "agg": a}

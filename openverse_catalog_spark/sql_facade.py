@@ -785,15 +785,20 @@ class SqlFacade:
             return int(self._catalog._entry(tbl)["version"])
         return None
 
+    def _pin_for_root(self, root: str) -> int | None:
+        """The catalog PIN for whichever registered catalog table owns
+        ``root``, or None for plain tables — THE rule for how far any
+        derived structure (index, materialized view) may advance."""
+        for tbl in self._catalog_names:
+            if self._tables[tbl].root == root:
+                return self._catalog_pin(tbl)
+        return None
+
     def _index_pin(self, idx) -> int | None:
         """The version an index may advance to: catalog-managed bases
         stop at the catalog PIN (an unpublished/aborted head must never
         leak into query results); plain tables follow the raw head."""
-        base_root = idx.base.root
-        for tbl in self._catalog_names:
-            if self._tables[tbl].root == base_root:
-                return self._catalog_pin(tbl)
-        return None
+        return self._pin_for_root(idx.base.root)
 
     def _sidx_pin(self, name: str) -> int | None:
         return self._index_pin(self._sidx[name])
@@ -1525,7 +1530,34 @@ class SqlFacade:
         m = _REFRESH_MV.match(text)
         if m and m.group(1) in self._mvs:
             mv = self._mvs[m.group(1)]
-            res = mv.refresh()
+            # catalog-managed bases cap the refresh at the PIN: a raw
+            # head can carry a transaction's unpublished (or aborted)
+            # versions, and an uncapped refresh would aggregate them
+            # into the view — the same rule REFRESH SEARCH/VECTOR
+            # INDEX enforces. Inside an explicit txn such a refresh is
+            # refused outright (uncommitted rows would survive
+            # ROLLBACK in the view).
+            if hasattr(mv, "join_mv"):
+                pins = {
+                    "to_left": self._pin_for_root(mv.join_mv.left.root),
+                    "to_right": self._pin_for_root(mv.join_mv.right.root),
+                }
+            elif hasattr(mv, "left"):
+                pins = {
+                    "to_left": self._pin_for_root(mv.left.root),
+                    "to_right": self._pin_for_root(mv.right.root),
+                }
+            else:
+                pins = {"to_version": self._pin_for_root(mv.base.root)}
+            if self._txn is not None and any(
+                v is not None for v in pins.values()
+            ):
+                raise ValueError(
+                    "REFRESH MATERIALIZED VIEW on a catalog-managed "
+                    "base inside an explicit transaction is not "
+                    "supported; COMMIT or ROLLBACK first"
+                )
+            res = mv.refresh(**pins)
             mv.read().createOrReplaceTempView(m.group(1))
             if "join" in res and "agg" in res:  # composed join+agg MV
                 return self.spark.createDataFrame(

@@ -1077,6 +1077,8 @@ def stream_mv_maintenance(
     mv,
     checkpoint_dir: str,
     spark: SparkSession | None = None,
+    pin_fn=None,
+    allow_unpinned: bool = False,
 ) -> dict:
     """CONTINUOUS materialized-view maintenance: follow the MV's base
     table's commit log as a stream (the manifests directory is an
@@ -1104,15 +1106,40 @@ def stream_mv_maintenance(
 
     AvailableNow trigger: drains all new commits and stops — call it
     after ingest waves, or in a loop for continuous maintenance.
-    Returns {ticks, refreshes, applied_base}."""
+    Returns {ticks, refreshes, applied_base}.
+
+    CATALOG-MANAGED bases must pass ``pin_fn`` (the catalog's CURRENT
+    pinned version, evaluated per tick) — ENFORCED via the base's
+    ``.catalog.json`` marker exactly like the index maintenance
+    streams: an unpinned refresh would aggregate unpublished/aborted
+    raw-head versions into the view. ``allow_unpinned=True`` is the
+    explicit opt-out."""
+    import os as _os
+
     spark = spark or mv.spark
+    if (
+        pin_fn is None
+        and not allow_unpinned
+        and _os.path.exists(f"{mv.base.root}/.catalog.json")
+    ):
+        raise ValueError(
+            f"base table {mv.base.root!r} is catalog-managed (it "
+            "carries a .catalog.json marker): its raw head can hold "
+            "unpublished/aborted versions no catalog reader sees, so "
+            "unpinned maintenance would leak them into the view. Pass "
+            "pin_fn=lambda: <catalog pinned version>, or "
+            "allow_unpinned=True ONLY if every head version is "
+            "published"
+        )
     counts = {"ticks": 0, "refreshes": 0}
 
     def on_batch(bdf: DataFrame, batch_id: int) -> None:
         if not bdf.select("version").head(1):
             return
         counts["ticks"] += 1
-        res = mv.refresh()
+        res = mv.refresh(
+            to_version=pin_fn() if pin_fn is not None else None
+        )
         if res.get("refreshed"):
             counts["refreshes"] += 1
 

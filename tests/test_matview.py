@@ -791,3 +791,86 @@ def test_mv_refresh_rejects_null_group_keys(spark, tmp_path):
     assert res["refreshed"] is True or res["refreshed"] is False
     got = {r["grp"]: r["n"] for r in mv.read().collect()}
     assert got == {"g0": 4, "g1": 4, "g2": 4}
+
+
+def test_capped_refresh_pins_unpublished_head(spark, mv_pair):
+    """refresh(to_version=pin) must leave versions past the pin
+    invisible in the view; an uncapped refresh past a later cap then
+    refuses — the catalog-pin discipline the index family enforces,
+    extended to MVs."""
+    base, mv = mv_pair(rows(spark, (1, "a", 1.0), (2, "b", 2.0)))
+    pin = base.version
+    base.merge(rows(spark, (3, "a", 10.0)), COLS)  # unpublished
+    r = mv.refresh(to_version=pin)
+    assert not r["refreshed"] and r["base_version"] == pin
+    assert as_map(mv.read())["a"][0] == 1  # the 10.0 row is invisible
+    # uncapped consumes the head; a later capped call refuses
+    mv.refresh()
+    with pytest.raises(ValueError, match="past the requested cap"):
+        mv.refresh(to_version=pin)
+
+
+def test_stream_mv_maintenance_enforces_catalog_pin(spark, tmp_path):
+    """A catalog-managed base (marker) refuses unpinned streamed MV
+    maintenance; with pin_fn the view caps at the published version."""
+    from openverse_catalog_spark.operators.catalog import LakeCatalog
+    from openverse_catalog_spark.streaming.incremental import (
+        stream_mv_maintenance,
+    )
+
+    base = CowTable.create(
+        spark, str(tmp_path / "base"),
+        rows(spark, (1, "a", 1.0), (2, "b", 2.0)),
+        keys=("id",),
+    )
+    mv = MaterializedView(
+        spark, base, str(tmp_path / "mv"), ["grp"], AGGS
+    )
+    mv.build()
+    cat = LakeCatalog.create(spark, str(tmp_path / "cat"))
+    cat.register("base", base)
+    pin = cat._entry("base")["version"]
+    base.merge(rows(spark, (3, "a", 10.0)), COLS)  # unpublished
+    with pytest.raises(ValueError, match="catalog-managed"):
+        stream_mv_maintenance(mv, str(tmp_path / "ck1"))
+    r = stream_mv_maintenance(
+        mv, str(tmp_path / "ck2"), pin_fn=lambda: pin
+    )
+    assert r["applied_base"] == pin
+    assert as_map(mv.read())["a"][0] == 1
+    # the opt-out works
+    r2 = stream_mv_maintenance(
+        mv, str(tmp_path / "ck3"), allow_unpinned=True
+    )
+    assert r2["applied_base"] == base.version
+
+
+def test_facade_refresh_mv_caps_at_catalog_pin(spark, tmp_path):
+    """REFRESH MATERIALIZED VIEW over a catalog-managed base advances
+    only to the published pin; inside an explicit transaction it is
+    refused outright."""
+    from openverse_catalog_spark.operators.catalog import LakeCatalog
+    from openverse_catalog_spark.sql_facade import SqlFacade
+
+    cat = LakeCatalog.create(spark, str(tmp_path / "cat"))
+    base = CowTable.create(
+        spark, str(tmp_path / "base"),
+        rows(spark, (1, "a", 1.0), (2, "b", 2.0), (3, "a", 3.0)),
+        keys=("id",),
+    )
+    cat.register("t", base)
+    f = SqlFacade(spark, workdir=str(tmp_path / "wd"))
+    f.attach_catalog(cat, columns={"t": COLS})
+    f.sql(
+        "CREATE MATERIALIZED VIEW m AS "
+        "SELECT grp, count(*) AS n, sum(val) AS total FROM t GROUP BY grp"
+    )
+    f.sql("BEGIN TRANSACTION")
+    f.sql("INSERT INTO t SELECT 9 AS id, 'a' AS grp, 50.0 AS val")
+    with pytest.raises(ValueError, match="inside an explicit transaction"):
+        f.sql("REFRESH MATERIALIZED VIEW m")
+    f.sql("ROLLBACK")
+    # outside a txn: unpublished raw-head versions (none now — rollback
+    # restored the head) and future txn writes stay capped at the pin
+    r = f.sql("REFRESH MATERIALIZED VIEW m").head()
+    assert r["base_version"] == cat._entry("t")["version"]
