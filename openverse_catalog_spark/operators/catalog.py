@@ -412,8 +412,10 @@ class LakeCatalog:
             for n, t in tables.items():
                 if t["root"] == root:
                     return n, t
-        # no root recorded (legacy entry): the name match is all we have
-        if be is not None:
+        # no root recorded (legacy entry): the name match is all we
+        # have. With a root recorded but unresolvable, a name-only
+        # match would be the impostor case — return nothing instead
+        if be is not None and not root:
             return e.get("base"), be
         return None, None
 

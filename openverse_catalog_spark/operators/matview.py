@@ -253,9 +253,14 @@ class MaterializedView:
 
     # -- build / refresh ----------------------------------------------------
 
-    def build(self) -> dict:
-        """Full initial materialization at the base's current version."""
-        base_v = self.base.version
+    def build(self, to_version: int | None = None) -> dict:
+        """Full initial materialization at the base's current version
+        (or at the given catalog PIN — building from a raw head that
+        carries unpublished transaction writes would bake them into
+        the view AND strand it past every later capped refresh)."""
+        base_v = (
+            self.base.version if to_version is None else int(to_version)
+        )
         df = self.base.read(base_v)
         self._validate(df)
         stored = df.groupBy(*self.group_cols).agg(*self._full_agg_exprs())
@@ -665,8 +670,13 @@ class JoinMaterializedView:
         j = ldf.join(rdf, on=self.on, how=self.how)
         return j.select(*cols)
 
-    def build(self) -> dict:
-        lv, rv = self.left.version, self.right.version
+    def build(
+        self,
+        to_left: int | None = None,
+        to_right: int | None = None,
+    ) -> dict:
+        lv = self.left.version if to_left is None else int(to_left)
+        rv = self.right.version if to_right is None else int(to_right)
         ldf, rdf = self.left.read(lv), self.right.read(rv)
         self._check_right_unique(rdf)
         os.makedirs(self.root, exist_ok=True)
@@ -881,8 +891,12 @@ class JoinAggMaterializedView:
             )
         return self._agg_mv
 
-    def build(self) -> dict:
-        j = self.join_mv.build()
+    def build(
+        self,
+        to_left: int | None = None,
+        to_right: int | None = None,
+    ) -> dict:
+        j = self.join_mv.build(to_left=to_left, to_right=to_right)
         a = self.agg_mv.build()
         return {"join": j, "agg": a}
 

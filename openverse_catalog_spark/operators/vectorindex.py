@@ -241,19 +241,22 @@ class VectorIndex(IncrementalIndex):
 
     def _assign_keys(self, docs: DataFrame) -> DataFrame:
         """(centroid_id, neighbor_id) only — what feed PRE-IMAGES
-        need. In PQ mode this skips the per-subspace codeword search
-        entirely (m BLAS matmuls per batch that an opaque mapInPandas
-        could never column-prune away), halving a refresh's encode
-        cost; raw mode just prunes the payload column."""
+        need. The payload never crosses the Arrow boundary (mapInPandas
+        output cannot be column-pruned, so a select-after would still
+        ship every old vector/code): raw mode skips copying the vector
+        column, PQ mode additionally skips the per-subspace codeword
+        search — m BLAS matmuls per batch for codes that would be
+        immediately dropped."""
         idc, vcc = self.id_col, self.vec_col
-        if not self.pq_m:
-            return self._assign(docs).select("centroid_id", "neighbor_id")
-        bc = self._pq_broadcast()
+        bc = (
+            self._pq_broadcast() if self.pq_m
+            else self._centroid_broadcast()
+        )
 
         def assign_only_gen(batches):
             import pandas as pd
 
-            b_ids, b_mat, _ = bc.value
+            b_ids, b_mat = bc.value[0], bc.value[1]
             for pdf in batches:
                 if len(pdf) == 0:
                     continue

@@ -1208,13 +1208,20 @@ class SqlFacade:
         group_cols = [c.strip() for c in group_text.split(",")]
         aggs = self._parse_mv_items(items_text, group_cols)
         base = self._tables[base_name]
+        pin = self._pin_for_root(base.root)
+        if pin is not None:
+            # a catalog base: build at the PIN (the raw head can carry
+            # unpublished txn writes — baking them in would both serve
+            # rolled-back rows and strand the view past every later
+            # capped REFRESH), and never inside an open transaction
+            self._refuse_create_in_txn()
         mv = MaterializedView(
             self.spark, base, f"{base.root}_mv_{name}", group_cols, aggs
         )
         import shutil
 
         shutil.rmtree(mv.root, ignore_errors=True)
-        mv.build()
+        mv.build(to_version=pin)
         self._mvs[name] = mv
         mv.read().createOrReplaceTempView(name)
         return self.spark.createDataFrame(
@@ -1316,6 +1323,10 @@ class SqlFacade:
                     "by left-side columns, use an inner join, or "
                     "coalesce upstream."
                 )
+        lpin = self._pin_for_root(left.root)
+        rpin = self._pin_for_root(right.root)
+        if lpin is not None or rpin is not None:
+            self._refuse_create_in_txn()
         mv = JoinAggMaterializedView(
             self.spark, left, right, f"{left.root}_jamv_{name}",
             on=on_cols, group_cols=group_cols, aggs=aggs,
@@ -1324,7 +1335,7 @@ class SqlFacade:
         import shutil
 
         shutil.rmtree(mv.root, ignore_errors=True)
-        mv.build()
+        mv.build(to_left=lpin, to_right=rpin)
         self._mvs[name] = mv
         mv.read().createOrReplaceTempView(name)
         return self.spark.createDataFrame(
@@ -1352,6 +1363,10 @@ class SqlFacade:
                 )
         on_cols = self._parse_join_on(on_text, lname, rname)
         left, right = self._tables[lname], self._tables[rname]
+        lpin = self._pin_for_root(left.root)
+        rpin = self._pin_for_root(right.root)
+        if lpin is not None or rpin is not None:
+            self._refuse_create_in_txn()
         mv = JoinMaterializedView(
             self.spark, left, right, f"{left.root}_jmv_{name}",
             on=on_cols, how="left" if left_kw else "inner",
@@ -1359,7 +1374,7 @@ class SqlFacade:
         import shutil
 
         shutil.rmtree(mv.root, ignore_errors=True)
-        mv.build()
+        mv.build(to_left=lpin, to_right=rpin)
         self._mvs[name] = mv
         mv.read().createOrReplaceTempView(name)
         return self.spark.createDataFrame(

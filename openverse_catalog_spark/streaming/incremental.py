@@ -1111,45 +1111,15 @@ def stream_mv_maintenance(
     CATALOG-MANAGED bases must pass ``pin_fn`` (the catalog's CURRENT
     pinned version, evaluated per tick) — ENFORCED via the base's
     ``.catalog.json`` marker exactly like the index maintenance
-    streams: an unpinned refresh would aggregate unpublished/aborted
-    raw-head versions into the view. ``allow_unpinned=True`` is the
-    explicit opt-out."""
-    import os as _os
-
+    streams (one shared ticker, ``_stream_pinned_ticks``): an unpinned
+    refresh would aggregate unpublished/aborted raw-head versions into
+    the view. ``allow_unpinned=True`` is the explicit opt-out."""
     spark = spark or mv.spark
-    if (
-        pin_fn is None
-        and not allow_unpinned
-        and _os.path.exists(f"{mv.base.root}/.catalog.json")
-    ):
-        raise ValueError(
-            f"base table {mv.base.root!r} is catalog-managed (it "
-            "carries a .catalog.json marker): its raw head can hold "
-            "unpublished/aborted versions no catalog reader sees, so "
-            "unpinned maintenance would leak them into the view. Pass "
-            "pin_fn=lambda: <catalog pinned version>, or "
-            "allow_unpinned=True ONLY if every head version is "
-            "published"
-        )
-    counts = {"ticks": 0, "refreshes": 0}
-
-    def on_batch(bdf: DataFrame, batch_id: int) -> None:
-        if not bdf.select("version").head(1):
-            return
-        counts["ticks"] += 1
-        res = mv.refresh(
-            to_version=pin_fn() if pin_fn is not None else None
-        )
-        if res.get("refreshed"):
-            counts["refreshes"] += 1
-
-    _drain_commit_log(spark, f"{mv.base.root}/manifests",
-                      checkpoint_dir, on_batch)
-    return {
-        "ticks": counts["ticks"],
-        "refreshes": counts["refreshes"],
-        "applied_base": mv._load_state()["applied_base"],
-    }
+    counts = _stream_pinned_ticks(
+        mv.base.root, checkpoint_dir, spark, pin_fn, allow_unpinned,
+        "view", lambda pin: mv.refresh(to_version=pin),
+    )
+    return {**counts, "applied_base": mv._load_state()["applied_base"]}
 
 
 def stream_index_maintenance(
@@ -1211,26 +1181,31 @@ def stream_vector_maintenance(
     )
 
 
-def _stream_index_ticks(
-    idx, checkpoint_dir, spark, pin_fn, allow_unpinned
+def _stream_pinned_ticks(
+    base_root, checkpoint_dir, spark, pin_fn, allow_unpinned,
+    noun, do_refresh,
 ) -> dict:
-    """Shared commit-log-driven refresh loop for any IncrementalIndex
-    (text or vector): the stream is purely a TRIGGER — refresh()
-    re-reads its feed span from its own durable high-water mark."""
+    """Shared commit-log-driven refresh loop for any pinned derived
+    structure (search/vector index, materialized view): the stream is
+    purely a TRIGGER — each refresh re-reads its feed span from its
+    own durable high-water mark. Enforces the catalog-pin discipline
+    once: a base carrying the catalog's ``.catalog.json`` marker
+    refuses unpinned maintenance (its raw head can hold unpublished/
+    aborted versions no catalog reader sees) unless the caller opts
+    out explicitly."""
     import os as _os
 
-    spark = spark or idx.spark
     if (
         pin_fn is None
         and not allow_unpinned
-        and _os.path.exists(f"{idx.base.root}/.catalog.json")
+        and _os.path.exists(f"{base_root}/.catalog.json")
     ):
         raise ValueError(
-            f"base table {idx.base.root!r} is catalog-managed (it "
+            f"base table {base_root!r} is catalog-managed (it "
             "carries a .catalog.json marker): its raw head can hold "
             "unpublished/aborted versions no catalog reader sees, so "
-            "unpinned maintenance would leak them into the index. Pass "
-            "pin_fn=lambda: <catalog pinned version>, or "
+            f"unpinned maintenance would leak them into the {noun}. "
+            "Pass pin_fn=lambda: <catalog pinned version>, or "
             "allow_unpinned=True ONLY if every head version is "
             "published"
         )
@@ -1240,16 +1215,21 @@ def _stream_index_ticks(
         if not bdf.select("version").head(1):
             return
         counts["ticks"] += 1
-        res = idx.refresh(
-            to_version=pin_fn() if pin_fn is not None else None
-        )
+        res = do_refresh(pin_fn() if pin_fn is not None else None)
         if res.get("refreshed"):
             counts["refreshes"] += 1
 
-    _drain_commit_log(spark, f"{idx.base.root}/manifests",
+    _drain_commit_log(spark, f"{base_root}/manifests",
                       checkpoint_dir, on_batch)
-    return {
-        "ticks": counts["ticks"],
-        "refreshes": counts["refreshes"],
-        "applied": idx.applied_version,
-    }
+    return counts
+
+
+def _stream_index_ticks(
+    idx, checkpoint_dir, spark, pin_fn, allow_unpinned
+) -> dict:
+    spark = spark or idx.spark
+    counts = _stream_pinned_ticks(
+        idx.base.root, checkpoint_dir, spark, pin_fn, allow_unpinned,
+        "index", lambda pin: idx.refresh(to_version=pin),
+    )
+    return {**counts, "applied": idx.applied_version}

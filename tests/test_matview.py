@@ -874,3 +874,86 @@ def test_facade_refresh_mv_caps_at_catalog_pin(spark, tmp_path):
     # restored the head) and future txn writes stay capped at the pin
     r = f.sql("REFRESH MATERIALIZED VIEW m").head()
     assert r["base_version"] == cat._entry("t")["version"]
+
+
+def test_join_mv_capped_refresh_and_facade_pins(spark, tmp_path):
+    """Join-MV side caps: refresh(to_left/to_right) pins each side,
+    past-cap refuses per side; the facade resolves BOTH pins for a
+    join MV over catalog-managed bases and CREATE builds at the pins
+    (a raw head carrying unpublished writes must neither bake into the
+    build nor strand the view past later capped refreshes)."""
+    from openverse_catalog_spark.operators.catalog import LakeCatalog
+    from openverse_catalog_spark.operators.matview import (
+        JoinMaterializedView,
+    )
+    from openverse_catalog_spark.sql_facade import SqlFacade
+
+    left = CowTable.create(
+        spark, str(tmp_path / "l"),
+        spark.createDataFrame(
+            [(f"i{n:02d}", n % 2, 10.0 * n) for n in range(8)],
+            "iid string, cat bigint, price double",
+        ),
+        keys=("iid",), target_files=2,
+    )
+    right = CowTable.create(
+        spark, str(tmp_path / "r"),
+        spark.createDataFrame(
+            [(0, "zero"), (1, "one")], "cat bigint, label string",
+        ),
+        keys=("cat",),
+    )
+    mv = JoinMaterializedView(
+        spark, left, right, str(tmp_path / "mv"), on=["cat"],
+        how="inner",
+    )
+    mv.build()
+    lpin, rpin = left.version, right.version
+    left.merge_when(spark.createDataFrame(
+        [("i99", 0, 990.0)], "iid string, cat bigint, price double"),
+        insert=True)
+    right.update(F.col("cat") == 0, {"label": F.lit("ZERO")})
+    r = mv.refresh(to_left=lpin, to_right=rpin)
+    assert not r["refreshed"]
+    assert mv.read().filter(F.col("iid") == "i99").count() == 0
+    assert mv.read().filter(F.col("label") == "ZERO").count() == 0
+    mv.refresh()  # uncapped consumes both heads
+    with pytest.raises(ValueError, match="left .* past the requested cap"):
+        mv.refresh(to_left=lpin)
+    with pytest.raises(ValueError, match="right .* past the requested cap"):
+        mv.refresh(to_right=rpin)
+
+    # facade: join MV over catalog-managed bases builds AND refreshes
+    # at the pins
+    cat = LakeCatalog.create(spark, str(tmp_path / "cat"))
+    lt = CowTable.create(
+        spark, str(tmp_path / "lt"),
+        spark.createDataFrame(
+            [("a", 0, 1.0), ("b", 1, 2.0)],
+            "iid string, cat bigint, price double",
+        ),
+        keys=("iid",),
+    )
+    rt = CowTable.create(
+        spark, str(tmp_path / "rt"),
+        spark.createDataFrame(
+            [(0, "zero"), (1, "one")], "cat bigint, label string",
+        ),
+        keys=("cat",),
+    )
+    cat.register("lt", lt)
+    cat.register("rt", rt)
+    f = SqlFacade(spark, workdir=str(tmp_path / "wd"))
+    f.attach_catalog(cat)
+    # raw-head drift past the pin before CREATE: the build must not see it
+    lt.merge_when(spark.createDataFrame(
+        [("zz", 0, 99.0)], "iid string, cat bigint, price double"),
+        insert=True)
+    f.sql(
+        "CREATE MATERIALIZED VIEW jm AS "
+        "SELECT * FROM lt JOIN rt ON lt.cat = rt.cat"
+    )
+    assert f.sql("SELECT * FROM jm WHERE iid = 'zz'").count() == 0
+    # and REFRESH stays capped at the pins (no past-cap brick)
+    r2 = f.sql("REFRESH MATERIALIZED VIEW jm").head()
+    assert r2["left_version"] == cat._entry("lt")["version"]
