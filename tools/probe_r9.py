@@ -10,7 +10,10 @@
    updates + 100 inserts), time refresh() and a probe. O(corpus)
    maintenance would scale the refresh ~10x; O(churn) keeps it flat.
    (The twin of probe_r8_dsir.py's search-index probe.)
-3. ``cattick`` — the catalog maintenance tick WITH a registered search
+3. ``pq``      — PQ-mode vector index: same harness as ``vecidx`` but
+   with product-quantized lists (codes instead of raw vectors); both
+   the refresh and the ADC probe must stay flat at 10x.
+4. ``cattick`` — the catalog maintenance tick WITH a registered search
    index attached: 10x base corpus, fixed churn wave per tick; the
    tick (recover + compact decisions + index refresh + protected
    vacuum) must stay O(churn + manifests), now including the index
