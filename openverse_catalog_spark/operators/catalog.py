@@ -205,17 +205,16 @@ class LakeCatalog:
                 self._commit_slot(
                     cur["version"] + 1, tables, f"rename({old}->{new})"
                 )
-                idx = self.indexes()
-                hit = False
-                for e in idx.values():
-                    if e.get("base") == old:
-                        e["base"] = new
-                        hit = True
-                if hit:
-                    tmp = f"{self._dir}/.tmp.indexes.{uuid.uuid4().hex}.json"
-                    with open(tmp, "w") as fh:
-                        json.dump(idx, fh, indent=1)
-                    os.replace(tmp, self._indexes_path())
+
+                def repoint(idx: dict):
+                    hit = False
+                    for e in idx.values():
+                        if e.get("base") == old:
+                            e["base"] = new
+                            hit = True
+                    return idx if hit else None
+
+                self._mutate_indexes(repoint)
                 return cur["version"] + 1
             except TxnConflict:
                 continue
@@ -279,6 +278,53 @@ class LakeCatalog:
     def _indexes_path(self) -> str:
         return f"{self._dir}/indexes.json"
 
+    def _mutate_indexes(self, fn) -> None:
+        """Serialized read-modify-write of the index registry. Two
+        concurrent unlocked writers would last-writer-win and silently
+        drop one registration — permanently ending its maintenance
+        ticks and vacuum feed-span protection — so every registry write
+        funnels through an O_EXCL lock file (the registry is a side
+        file, not a catalog commit, so ``_commit_slot``'s version-slot
+        conflict detection cannot cover it). ``fn`` receives the
+        freshly-read registry dict and returns the dict to persist, or
+        None to skip the write; validation raises inside the critical
+        section so checks run against the same snapshot the write
+        replaces. Stale locks (a crashed holder) break after 30 s."""
+        import time
+
+        lock = f"{self._indexes_path()}.lock"
+        deadline = time.time() + 30.0
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(lock) > 30.0:
+                        os.remove(lock)
+                        continue
+                except OSError:
+                    continue  # holder released between stat and now
+                if time.time() > deadline:
+                    raise TxnConflict(
+                        f"index registry lock {lock!r} held too long"
+                    )
+                time.sleep(0.02)
+        try:
+            out = fn(self.indexes())
+            if out is None:
+                return
+            tmp = f"{self._dir}/.tmp.indexes.{uuid.uuid4().hex}.json"
+            with open(tmp, "w") as fh:
+                json.dump(out, fh, indent=1)
+            os.replace(tmp, self._indexes_path())
+        finally:
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
+
     def indexes(self) -> dict:
         """name -> {kind, root, base, columns} for every registered
         derived index."""
@@ -314,54 +360,55 @@ class LakeCatalog:
             "base_root": be["root"],
             "columns": dict(columns or {}),
         }
-        idx = self.indexes()
-        prior = idx.get(name)
-        # legacy entries predate base_root: treat its absence as a
-        # wildcard (this write backfills it) so an identical re-ATTACH
-        # stays idempotent
-        cmp_keys = [
-            k for k in entry
-            if k != "base_root" or (prior and "base_root" in prior)
-        ]
-        if prior is not None and {
-            k: prior.get(k) for k in cmp_keys
-        } != {k: entry[k] for k in cmp_keys}:
-            # names are the registry key: silently clobbering a
-            # DIFFERENT registration (other kind/root, or the same
-            # index re-pointed at a different base/columns) would stop
-            # or corrupt its maintenance. Re-registering the IDENTICAL
-            # entry (an ATTACH in a new session) is idempotent.
-            raise ValueError(
-                f"index name {name!r} is already registered as "
-                f"{prior}; unregister it first or pick another name"
-            )
-        idx[name] = entry
-        tmp = f"{self._dir}/.tmp.indexes.{uuid.uuid4().hex}.json"
-        with open(tmp, "w") as fh:
-            json.dump(idx, fh, indent=1)
-        os.replace(tmp, self._indexes_path())
+        def mutate(idx: dict):
+            prior = idx.get(name)
+            # legacy entries predate base_root: treat its absence as a
+            # wildcard (this write backfills it) so an identical
+            # re-ATTACH stays idempotent
+            cmp_keys = [
+                k for k in entry
+                if k != "base_root" or (prior and "base_root" in prior)
+            ]
+            if prior is not None and {
+                k: prior.get(k) for k in cmp_keys
+            } != {k: entry[k] for k in cmp_keys}:
+                # names are the registry key: silently clobbering a
+                # DIFFERENT registration (other kind/root, or the same
+                # index re-pointed at a different base/columns) would
+                # stop or corrupt its maintenance. Re-registering the
+                # IDENTICAL entry (an ATTACH in a new session) is
+                # idempotent.
+                raise ValueError(
+                    f"index name {name!r} is already registered as "
+                    f"{prior}; unregister it first or pick another name"
+                )
+            idx[name] = entry
+            return idx
+
+        self._mutate_indexes(mutate)
 
     def _heal_index_base(self, name: str, new_base: str) -> None:
         """Re-point one index entry's base name (a lost rename
         re-point detected by root resolution) — fresh read-modify-write
         of just this entry so concurrent registry writes survive."""
-        idx = self.indexes()
-        if name in idx and idx[name].get("base") != new_base:
-            idx[name]["base"] = new_base
-            tmp = f"{self._dir}/.tmp.indexes.{uuid.uuid4().hex}.json"
-            with open(tmp, "w") as fh:
-                json.dump(idx, fh, indent=1)
-            os.replace(tmp, self._indexes_path())
+        def mutate(idx: dict):
+            if name in idx and idx[name].get("base") != new_base:
+                idx[name]["base"] = new_base
+                return idx
+            return None
+
+        self._mutate_indexes(mutate)
 
     def unregister_index(self, name: str) -> None:
-        idx = self.indexes()
-        if name not in idx:
-            raise KeyError(f"index {name!r} not in catalog {self.root}")
-        del idx[name]
-        tmp = f"{self._dir}/.tmp.indexes.{uuid.uuid4().hex}.json"
-        with open(tmp, "w") as fh:
-            json.dump(idx, fh, indent=1)
-        os.replace(tmp, self._indexes_path())
+        def mutate(idx: dict):
+            if name not in idx:
+                raise KeyError(
+                    f"index {name!r} not in catalog {self.root}"
+                )
+            del idx[name]
+            return idx
+
+        self._mutate_indexes(mutate)
 
     def _open_index(self, e: dict, be: dict | None = None):
         """Instantiate a registered index handle bound to its base's

@@ -82,6 +82,16 @@ class VectorIndex(IncrementalIndex):
         vec_col: str = "embedding",
     ):
         super().__init__(spark, root, base)
+        if tuple(base.keys) != (id_col,):
+            # the PQ re-rank fetch (read_pruned by neighbor ids), feed
+            # grouping, and manifest pruning all key on the BASE table's
+            # merge key — a mismatched id_col would silently fetch
+            # nothing (or the wrong rows) on re-rank. The SQL facade
+            # enforces this alignment; the direct API must too.
+            raise ValueError(
+                f"vector index id_col {id_col!r} must be the base "
+                f"table's single merge key (base keys: {base.keys})"
+            )
         self.id_col = id_col
         self.vec_col = vec_col
         self.lists = CowTable(
@@ -192,6 +202,7 @@ class VectorIndex(IncrementalIndex):
             bc = self._centroid_broadcast()
 
             def assign_gen(batches):
+                import numpy as np
                 import pandas as pd
 
                 b_ids, b_mat = bc.value
@@ -199,7 +210,13 @@ class VectorIndex(IncrementalIndex):
                     if len(pdf) == 0:
                         continue
                     ids, mat = _stack_normalized(pdf, idc, vcc)
-                    best = (mat @ b_mat.T).argmax(axis=1)
+                    # round before argmax (the _pq_encode ULP guard):
+                    # refresh re-derives stored keys by re-running this
+                    # GEMM on feed pre-images, so a near-tie flipped by
+                    # a different BLAS build (index created on one host,
+                    # refreshed on another) would miss the DELETE and
+                    # strand a stale entry in the old list
+                    best = np.round(mat @ b_mat.T, 9).argmax(axis=1)
                     yield pd.DataFrame(
                         {
                             "centroid_id": b_ids[best],
@@ -216,6 +233,7 @@ class VectorIndex(IncrementalIndex):
         residual = self.pq_residual
 
         def encode_gen(batches):
+            import numpy as np
             import pandas as pd
 
             b_ids, b_mat, b_cb = bc.value
@@ -223,7 +241,8 @@ class VectorIndex(IncrementalIndex):
                 if len(pdf) == 0:
                     continue
                 ids, mat = _stack_normalized(pdf, idc, vcc)
-                best = (mat @ b_mat.T).argmax(axis=1)
+                # rounded-argmax: see assign_gen
+                best = np.round(mat @ b_mat.T, 9).argmax(axis=1)
                 enc = mat - b_mat[best] if residual else mat
                 codes = _pq_encode(enc, b_cb)
                 yield pd.DataFrame(
@@ -254,6 +273,7 @@ class VectorIndex(IncrementalIndex):
         )
 
         def assign_only_gen(batches):
+            import numpy as np
             import pandas as pd
 
             b_ids, b_mat = bc.value[0], bc.value[1]
@@ -261,7 +281,8 @@ class VectorIndex(IncrementalIndex):
                 if len(pdf) == 0:
                     continue
                 ids, mat = _stack_normalized(pdf, idc, vcc)
-                best = (mat @ b_mat.T).argmax(axis=1)
+                # rounded-argmax: see assign_gen
+                best = np.round(mat @ b_mat.T, 9).argmax(axis=1)
                 yield pd.DataFrame(
                     {"centroid_id": b_ids[best], "neighbor_id": ids}
                 )
@@ -495,6 +516,8 @@ class VectorIndex(IncrementalIndex):
         nprobe: int = 2,
         rank_quantize: int | None = None,
         shortlist: int = 10,
+        exclude_self: bool = True,
+        where: str | None = None,
     ) -> DataFrame:
         """Batch ANN probe served FROM THE INDEX (the
         :func:`~.knn.ivf_probe_index` contract over the CoW lists):
@@ -505,7 +528,21 @@ class VectorIndex(IncrementalIndex):
         pruned ``read_pruned`` on the lists table — only files whose
         centroid range can contain a probed list are opened.
         ``rank_quantize`` rounds the rank key so exact-duplicate
-        neighbors tie deterministically (id tie-break)."""
+        neighbors tie deterministically (id tie-break).
+        ``exclude_self`` drops candidates whose neighbor_id equals the
+        query_id — right for corpus-against-itself probes (dedup); an
+        EXTERNAL query batch must pass False, because its ids share no
+        namespace with the corpus and a coincidental id collision would
+        silently drop a legitimate neighbor.
+        ``where`` is a FILTERED probe (the filtered-ANN every real
+        vector workload runs — license/provider/date predicates): the
+        predicate resolves against the BASE table at the index's
+        applied version (column-pruned, pushed to the parquet scan) and
+        the probed candidates are semi-joined to the match set BEFORE
+        scoring — ranking never wastes work on non-matching vectors and
+        every returned neighbor satisfies the predicate. Fixed nprobe
+        (batch semantics); ``search(where=...)`` adds the nprobe
+        escalation that guarantees the recall floor."""
         idc, vcc = self.id_col, self.vec_col
         # PQ mode reuses the (centroids, codebooks) broadcast the ADC
         # pass needs anyway — two broadcast copies of the centroid
@@ -545,9 +582,13 @@ class VectorIndex(IncrementalIndex):
             r[0] for r in probe.select("centroid_id").distinct().collect()
         )
         lists = self.lists.read_pruned(probed)
-        cand = probe.join(lists, "centroid_id").filter(
-            F.col("query_id") != F.col("neighbor_id")
-        )
+        cand = probe.join(lists, "centroid_id")
+        if exclude_self:
+            cand = cand.filter(
+                F.col("query_id") != F.col("neighbor_id")
+            )
+        if where is not None:
+            cand = cand.join(self._match_set(where), "neighbor_id", "semi")
         if self.pq_m:
             return self._probe_pq_rerank(
                 probe, cand, k, shortlist, rank_quantize
@@ -639,9 +680,23 @@ class VectorIndex(IncrementalIndex):
             F.col("rank") <= k
         )
 
+    def _match_set(self, where: str) -> DataFrame:
+        """The PRE-FILTER match set: ids of base rows satisfying the
+        predicate, resolved at the index's APPLIED version (what the
+        lists reflect — filtering at the raw head would drop neighbors
+        the index still holds). Column-pruned to (predicate cols ->
+        id), so Catalyst pushes the filter and the projection into the
+        parquet scan; at 100 TB this reads only the predicate/id
+        columns of files whose stats can match."""
+        return (
+            self.base.read(self.applied_version)
+            .where(where)
+            .select(F.col(self.id_col).alias("neighbor_id"))
+        )
+
     def search(
         self, qvec: list[float], k: int, nprobe: int = 2,
-        shortlist: int | None = None,
+        shortlist: int | None = None, where: str | None = None,
     ) -> DataFrame:
         """Single-vector top-k, the inline-SQL shape
         (``VECTOR_SEARCH('i', '...', k)``): the nprobe nearest
@@ -651,7 +706,16 @@ class VectorIndex(IncrementalIndex):
         the query literal — no Python in the scan. Returns
         (neighbor_id, cosine) ranked by the 9-decimal-rounded score
         with an id tie-break (duplicate vectors rank
-        deterministically)."""
+        deterministically).
+
+        ``where`` runs a FILTERED search with a recall floor: the
+        predicate pre-filters against the base (see ``_match_set``) and
+        nprobe DOUBLES — n, 2n, 4n, ... capped at the centroid count —
+        until the probed lists hold at least min(k, total matches)
+        matching vectors. A rare filter therefore escalates toward the
+        exact filtered scan instead of silently under-filling k (the
+        failure mode of over-fetch-and-post-filter); geometric growth
+        bounds total probe work at <= 2x the final level."""
         import numpy as np
 
         c_ids, c_mat = self._centroid_matrix()
@@ -659,10 +723,14 @@ class VectorIndex(IncrementalIndex):
         nrm = float(np.sqrt((q * q).sum()))
         if nrm == 0.0:
             raise ValueError("zero query vector has no cosine neighbors")
+        if where is not None:
+            return self._search_filtered(qvec, k, nprobe, shortlist, where)
         if self.pq_m:
             # PQ single-vector search rides the batch probe (ADC +
-            # exact re-rank) with a one-row query frame under an id no
-            # corpus row carries
+            # exact re-rank) as a one-row query frame. exclude_self is
+            # OFF: the query is external, so its placeholder id shares
+            # no namespace with the corpus — a corpus that legitimately
+            # holds vec_id == -1 must still be searchable
             qdf = self.spark.createDataFrame(
                 [(-1, [float(x) for x in qvec])],
                 f"{self.id_col} long, {self.vec_col} array<double>",
@@ -670,6 +738,7 @@ class VectorIndex(IncrementalIndex):
             out = self.probe(
                 qdf, k=k, nprobe=nprobe,
                 shortlist=shortlist if shortlist else max(10, 4 * k),
+                exclude_self=False,
             )
             return out.orderBy("rank").select(
                 "neighbor_id", F.round("cosine", 6).alias("cosine")
@@ -679,6 +748,65 @@ class VectorIndex(IncrementalIndex):
         probed = sorted(int(c_ids[i]) for i in order)
         qarr = F.array(*[F.lit(float(x)) for x in qvec])
         scored = self.lists.read_pruned(probed).select(
+            "neighbor_id",
+            cosine_expr(qarr, F.col("vector")).alias("cosine"),
+        )
+        return (
+            scored.orderBy(
+                F.round(F.col("cosine"), 9).desc(), "neighbor_id"
+            )
+            .limit(k)
+            .select("neighbor_id", F.round("cosine", 6).alias("cosine"))
+        )
+
+    def _search_filtered(
+        self, qvec: list[float], k: int, nprobe: int,
+        shortlist: int | None, where: str,
+    ) -> DataFrame:
+        """Filtered single-vector search (see ``search``): pre-filter
+        match set, nprobe-doubling escalation to the recall floor, then
+        the mode's exact ranking over the matching candidates only."""
+        import numpy as np
+
+        c_ids, c_mat = self._centroid_matrix()
+        q = np.asarray([float(x) for x in qvec], dtype="float64")
+        q = q / float(np.sqrt((q * q).sum()))
+        order = np.argsort(-(c_mat @ q), kind="stable")
+        n_cents = len(c_ids)
+        # materialize the match set once — every escalation level
+        # semi-joins against it; without the checkpoint each level
+        # would re-run the filtered base scan
+        match = self._match_set(where).localCheckpoint(eager=True)
+        need = min(int(k), match.count())
+        n = max(1, min(int(nprobe), n_cents))
+        while True:
+            probed = sorted(int(c_ids[i]) for i in order[:n])
+            cand = self.lists.read_pruned(probed).join(
+                match, "neighbor_id", "semi"
+            )
+            if n >= n_cents or cand.count() >= need:
+                break
+            n = min(2 * n, n_cents)
+        qarr = F.array(*[F.lit(float(x)) for x in qvec])
+        if self.pq_m:
+            # ride the shared ADC + exact-re-rank path as a one-row
+            # query group; candidates are already match-filtered, so
+            # the shortlist and the re-rank fetch touch matches only
+            probe_df = self.spark.createDataFrame(
+                [(-1, [float(x) for x in qvec])],
+                "query_id long, __qv array<double>",
+            )
+            cand = cand.withColumn("query_id", F.lit(-1)).withColumn(
+                "__qv", qarr
+            )
+            out = self._probe_pq_rerank(
+                probe_df, cand, k,
+                shortlist if shortlist else max(10, 4 * k), None,
+            )
+            return out.orderBy("rank").select(
+                "neighbor_id", F.round("cosine", 6).alias("cosine")
+            )
+        scored = cand.select(
             "neighbor_id",
             cosine_expr(qarr, F.col("vector")).alias("cosine"),
         )

@@ -527,12 +527,16 @@ def _ivf_oracle(
     centroid_filter: str = "vec_id % 40 = 0",
     query_filter: str = "vec_id % 20 = 0",
     rank_quantize: int | None = None,
+    match_filter: str | None = None,
 ) -> str:
     rank_key = (
         f"round(cosine, {rank_quantize})"
         if rank_quantize is not None
         else "cosine"
     )
+    # filtered ANN: the predicate restricts NEIGHBORS (written against
+    # alias a.neighbor_id), mirroring the engine's pre-filter semi-join
+    extra = f" AND ({match_filter})" if match_filter else ""
     return f"""
     WITH corpus AS ({corpus_sql}),
     ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
@@ -556,7 +560,7 @@ def _ivf_oracle(
                 FROM acos WHERE {query_filter}) WHERE r <= {nprobe}),
     cand AS (SELECT p.query_id, a.neighbor_id
              FROM probe p JOIN assign a USING (centroid_id)
-             WHERE p.query_id <> a.neighbor_id),
+             WHERE p.query_id <> a.neighbor_id{extra}),
     cdot AS (SELECT query_id, neighbor_id, sum(qa.x * nb.x) AS dot
              FROM cand JOIN ex qa ON qa.vec_id = cand.query_id
                        JOIN ex nb ON nb.vec_id = cand.neighbor_id AND nb.i = qa.i
@@ -3150,6 +3154,180 @@ def sql_vector_index(spark, sf_dir):
     return f.sql(
         "SELECT neighbor_id, cosine "
         f"FROM VECTOR_SEARCH('vidx', '{_VQ_TEXT}', 10, 2)"
+    )
+
+
+@register(
+    "vector_index_filtered",
+    _ivf_oracle(
+        nprobe=2, rank_quantize=9,
+        match_filter="a.neighbor_id % 3 = 0",
+    ),
+)
+def vector_index_filtered(spark, sf_dir):
+    """FILTERED batch ANN from the persisted IVF index — the query
+    shape real vector workloads run almost always (the reference's
+    search handoff feeds an ES index whose consumers filter by
+    license/provider on every request,
+    reference catalog/dags/data_refresh/data_refresh_task_factory.py:183-240):
+    the predicate PRE-FILTERS against the base table at the index's
+    applied version (pushed-down, column-pruned scan of predicate+id
+    cols only) and probed candidates semi-join the match set BEFORE
+    scoring, so ranking never touches a non-matching vector and every
+    neighbor satisfies the predicate — not over-fetch-and-post-filter.
+    The oracle replays assignment + probe with the same neighbor
+    restriction."""
+    import os
+    import shutil
+    import tempfile
+
+    from openverse_catalog_spark.operators.cowtable import CowTable
+    from openverse_catalog_spark.operators.vectorindex import VectorIndex
+
+    e = _t(spark, sf_dir, "embeddings")["embeddings"].select(
+        "vec_id", "embedding",
+        F.expr(
+            "CASE WHEN vec_id % 3 = 0 THEN 'en' "
+            "WHEN vec_id % 3 = 1 THEN 'de' ELSE 'fr' END"
+        ).alias("lang"),
+    )
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_vecidx_flt")
+    shutil.rmtree(root, ignore_errors=True)
+    base = CowTable.create(
+        spark, os.path.join(root, "vecs"), e,
+        keys=("vec_id",), target_files=4,
+    )
+    idx = VectorIndex.create(
+        spark, os.path.join(root, "idx"), base, centroid_mod=40,
+    )
+    queries = base.read().filter(F.col("vec_id") % 20 == 0)
+    out = idx.probe(
+        queries, k=3, nprobe=2, rank_quantize=9, where="lang = 'en'"
+    )
+    return out.select(
+        "query_id", "neighbor_id", "rank",
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
+#: oracle for the ESCALATING filtered single-vector search: the engine
+#: doubles nprobe (n, 2n, 4n, ... capped at the centroid count) until
+#: the probed lists hold >= min(k, total matches) matching vectors;
+#: the closed form of that loop is "the smallest doubling level whose
+#: CUMULATIVE match count (centroids in query-similarity rank order)
+#: reaches the need" — expressible directly in SQL, so even the
+#: adaptive path is hash-gated.
+_SQL_VIDX_FILTERED_ORACLE = f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding,
+             CASE WHEN vec_id % 97 = 0 THEN 'gd'
+                  WHEN vec_id % 3 = 0 THEN 'en' ELSE 'de' END AS lang
+      FROM embeddings),
+    ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+           FROM corpus, generate_series(1, 64) AS t(i)),
+    norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
+    q AS (SELECT i, qv[i] AS x
+          FROM (SELECT CAST([{", ".join(str(v) for v in _VQ)}]
+                            AS DOUBLE[]) AS qv),
+               generate_series(1, 64) AS t(i)),
+    qn AS (SELECT sqrt(sum(x * x)) AS nrm FROM q),
+    cex AS (SELECT vec_id AS centroid_id, i, x FROM ex
+            WHERE vec_id % 40 = 0),
+    ccos AS (SELECT c.centroid_id,
+                    sum(c.x * q.x) / (n.nrm * qn.nrm) AS c
+             FROM cex c JOIN q USING (i)
+                  JOIN norms n ON n.vec_id = c.centroid_id, qn
+             GROUP BY c.centroid_id, n.nrm, qn.nrm),
+    crank AS (SELECT centroid_id,
+                     row_number() OVER (ORDER BY c DESC, centroid_id) AS r
+              FROM ccos),
+    nc AS (SELECT count(*) AS n_cents FROM crank),
+    adot AS (SELECT e.vec_id, c.centroid_id, sum(e.x * c.x) AS dot
+             FROM ex e JOIN cex c ON e.i = c.i GROUP BY 1, 2),
+    acos AS (SELECT adot.vec_id, adot.centroid_id,
+                    dot / (n1.nrm * n2.nrm) AS c
+             FROM adot JOIN norms n1 ON n1.vec_id = adot.vec_id
+                       JOIN norms n2 ON n2.vec_id = adot.centroid_id),
+    assign AS (SELECT vec_id AS neighbor_id, centroid_id FROM (
+                 SELECT vec_id, centroid_id,
+                        row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY c DESC, centroid_id)
+                          AS r
+                 FROM acos) WHERE r = 1),
+    mset AS (SELECT vec_id AS neighbor_id FROM corpus WHERE lang = 'gd'),
+    need AS (SELECT least(10, count(*)) AS need FROM mset),
+    cmatch AS (SELECT a.centroid_id, count(*) AS cnt
+               FROM assign a JOIN mset m USING (neighbor_id)
+               GROUP BY 1),
+    cum AS (SELECT cr.r,
+                   sum(coalesce(cm.cnt, 0)) OVER (ORDER BY cr.r) AS cum
+            FROM crank cr LEFT JOIN cmatch cm USING (centroid_id)),
+    levels AS (SELECT DISTINCT
+                 least(CAST(2 * power(2, j) AS BIGINT), nc.n_cents) AS n
+               FROM (SELECT unnest(range(0, 24)) AS j), nc),
+    chosen AS (SELECT min(lv.n) AS n
+               FROM levels lv JOIN cum ON cum.r = lv.n, need, nc
+               WHERE cum.cum >= need.need OR lv.n = nc.n_cents),
+    probe AS (SELECT centroid_id FROM crank, chosen
+              WHERE crank.r <= chosen.n),
+    cand AS (SELECT a.neighbor_id
+             FROM assign a JOIN probe USING (centroid_id)
+                           JOIN mset m USING (neighbor_id)),
+    qdot AS (SELECT e.vec_id AS neighbor_id, sum(e.x * q.x) AS dot
+             FROM ex e JOIN q ON q.i = e.i
+             WHERE e.vec_id IN (SELECT neighbor_id FROM cand)
+             GROUP BY e.vec_id),
+    scored AS (SELECT qdot.neighbor_id,
+                      dot / (n.nrm * qn.nrm) AS cosine
+               FROM qdot JOIN norms n ON n.vec_id = qdot.neighbor_id, qn)
+    SELECT neighbor_id, round(cosine, 6) AS cosine
+    FROM scored ORDER BY round(cosine, 9) DESC, neighbor_id LIMIT 10
+    """
+
+
+@register("sql_vector_search_filtered", _SQL_VIDX_FILTERED_ORACLE)
+def sql_vector_search_filtered(spark, sf_dir):
+    """Filtered ANN as pure facade text with the RECALL FLOOR:
+    ``VECTOR_SEARCH('vidx', '<floats>', k, nprobe, WHERE "pred")``
+    pre-filters the base, then DOUBLES nprobe until the probed lists
+    hold min(k, matches) matching vectors — a rare predicate ('gd' is
+    ~1%% of the corpus) escalates toward the exact filtered scan
+    instead of under-filling k, which is precisely what
+    over-fetch-and-post-filter cannot guarantee. The oracle computes
+    the escalation's closed form (smallest doubling level whose
+    cumulative match count reaches the need) and replays the probe at
+    that level."""
+    import os
+    import shutil
+    import tempfile
+
+    from openverse_catalog_spark.sql_facade import SqlFacade
+
+    f = SqlFacade(spark)
+    f.register_df(
+        "embeddings",
+        _t(spark, sf_dir, "embeddings")["embeddings"].select(
+            "vec_id", "embedding"
+        ),
+    )
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_sql_vflt")
+    shutil.rmtree(base, ignore_errors=True)
+    f.sql(
+        "CREATE TABLE vecs PRIMARY KEY (vec_id) "
+        f"LOCATION '{base}/vecs' AS "
+        "SELECT vec_id, embedding, "
+        "CASE WHEN vec_id % 97 = 0 THEN 'gd' "
+        "WHEN vec_id % 3 = 0 THEN 'en' ELSE 'de' END AS lang "
+        "FROM embeddings"
+    )
+    f.sql(
+        "CREATE VECTOR INDEX vidx ON vecs (embedding) "
+        f"CENTROID MOD 40 LOCATION '{base}/idx'"
+    )
+    return f.sql(
+        "SELECT neighbor_id, cosine "
+        f"FROM VECTOR_SEARCH('vidx', '{_VQ_TEXT}', 10, 2, "
+        "WHERE \"lang = 'gd'\")"
     )
 
 

@@ -239,7 +239,8 @@ _DROP_VIDX = re.compile(
 )
 _VECTOR_TVF = re.compile(
     r"\bVECTOR_SEARCH\s*\(\s*'(\w+)'\s*,\s*'([^']+)'\s*,\s*(\d+)"
-    r"(?:\s*,\s*(\d+))?\s*\)",
+    r"(?:\s*,\s*(\d+))?"
+    r'(?:\s*,\s*WHERE\s+"([^"]+)")?\s*\)',
     re.IGNORECASE,
 )
 _SHOW_CREATE = re.compile(
@@ -677,11 +678,17 @@ class SqlFacade:
             return view
 
         def vector_of(match: re.Match) -> str:
-            # VECTOR_SEARCH('idx', '<space separated floats>', k[, nprobe]):
-            # top-k cosine neighbors served from the named IVF index
-            # (centroid-range file pruning; the corpus is never scanned
-            # at query time) as an inline relation (neighbor_id, cosine)
-            name, vec_text, k, nprobe = match.groups()
+            # VECTOR_SEARCH('idx', '<floats>', k[, nprobe]
+            #               [, WHERE "predicate"]): top-k cosine
+            # neighbors served from the named IVF index (centroid-range
+            # file pruning; the corpus is never scanned at query time)
+            # as an inline relation (neighbor_id, cosine). The WHERE
+            # arm is FILTERED ANN: the double-quoted predicate resolves
+            # against the index's BASE table at its applied version and
+            # nprobe escalates until the probed lists hold min(k,
+            # matches) matching vectors — a recall floor, not
+            # over-fetch-and-post-filter
+            name, vec_text, k, nprobe, where = match.groups()
             if name not in self._vidx:
                 raise ValueError(
                     f"{name!r} is not a registered vector index "
@@ -700,7 +707,8 @@ class SqlFacade:
             self._idx_view_seq += 1
             view = f"{name}__vsearch_{self._idx_view_seq}"
             self._vidx[name].search(
-                qvec, int(k), nprobe=int(nprobe) if nprobe else 2
+                qvec, int(k), nprobe=int(nprobe) if nprobe else 2,
+                where=where,
             ).createOrReplaceTempView(view)
             self._stmt_views.append(view)
             return view

@@ -874,3 +874,38 @@ def test_facade_create_index_cleans_up_on_registration_refusal(
     assert not _os.path.exists(str(tmp_path / "i2"))  # husk removed
     # the original registration is untouched
     assert cat.indexes()["idx"]["root"] == str(tmp_path / "i1")
+
+
+def test_concurrent_index_registrations_all_survive(spark, tmp_path):
+    """register_index serializes through the registry lock file: two
+    unlocked concurrent registrations last-writer-won and one entry was
+    silently dropped — permanently ending its maintenance ticks and
+    vacuum feed-span protection."""
+    import threading
+
+    cat = LakeCatalog.create(spark, str(tmp_path / "lake"))
+    docs = CowTable.create(
+        spark, str(tmp_path / "docs"), _docs(spark, (1, "alpha")),
+        keys=("doc_id",),
+    )
+    cat.register("docs", docs)
+    errs = []
+
+    def reg(n):
+        try:
+            cat.register_index(
+                f"i{n}", "search", str(tmp_path / f"i{n}"), "docs",
+                {"id": "doc_id", "text": "text"},
+            )
+        except Exception as exc:  # noqa: BLE001 - surfaced below
+            errs.append(exc)
+
+    threads = [
+        threading.Thread(target=reg, args=(n,)) for n in range(8)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert sorted(cat.indexes()) == [f"i{n}" for n in range(8)]

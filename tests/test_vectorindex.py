@@ -567,3 +567,96 @@ def test_pq_residual_refresh_and_probe(spark, tmp_path):
     assert re.pq_residual and re.pq_m == 4
     rows = re.search(_vec(4), k=2, nprobe=2)
     assert rows.collect()[0].neighbor_id == 4
+
+
+def test_id_col_must_be_base_merge_key(spark, tmp_path):
+    """The PQ re-rank fetch, feed grouping, and manifest pruning all
+    key on the base's merge key; an unaligned id_col silently served
+    wrong/empty re-rank results before the create/open guard."""
+    base = CowTable.create(
+        spark, str(tmp_path / "vecs"), mk_vecs(spark, range(10)),
+        keys=("vec_id",),
+    )
+    with pytest.raises(ValueError, match="merge key"):
+        VectorIndex.create(
+            spark, str(tmp_path / "idx"), base, id_col="embedding",
+        )
+
+
+def test_pq_search_serves_corpus_with_vec_id_minus_one(spark, tmp_path):
+    """PQ single-vector search rides the batch probe under a
+    placeholder query id of -1; the old self-exclusion filter silently
+    dropped a legitimate corpus row whose vec_id == -1."""
+    rows = [(-1, _vec(12345))] + [(i, _vec(i)) for i in range(15)]
+    base = CowTable.create(
+        spark, str(tmp_path / "vecs"),
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ),
+        keys=("vec_id",),
+    )
+    idx = VectorIndex.create(
+        spark, str(tmp_path / "idx"), base,
+        centroid_mod=5, pq_m=4, codebook_mod=3,
+    )
+    hits = idx.search(_vec(12345), k=3, nprobe=8, shortlist=16).collect()
+    assert hits and hits[0].neighbor_id == -1
+    assert hits[0].cosine == pytest.approx(1.0, abs=1e-6)
+
+
+def test_filtered_search_recall_floor_vs_postfilter(spark, tmp_path):
+    """Filtered ANN (search(where=...)): a rare class placed OPPOSITE
+    the query escapes the unfiltered top-k entirely, so naive
+    over-fetch + post-filter returns nothing — the filtered search must
+    escalate nprobe until the probed lists hold min(k, matches)
+    matching vectors and return the exact filtered top-k, in BOTH raw
+    and PQ modes."""
+    rng = np.random.default_rng(31)
+    q = [float(x) for x in rng.normal(size=DIM)]
+    qn = np.asarray(q)
+    qn = qn / np.sqrt((qn * qn).sum())
+    rows = []
+    for i in range(100):
+        if i % 25 == 1:  # rare class, anti-aligned with the query
+            v = -qn + rng.normal(scale=0.05, size=DIM)
+        else:
+            v = rng.normal(size=DIM)
+        rows.append((i, [float(x) for x in v],
+                     "gd" if i % 25 == 1 else "en"))
+    base = CowTable.create(
+        spark, str(tmp_path / "vecs"),
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, lang string"
+        ),
+        keys=("vec_id",),
+    )
+    brute = sorted(
+        (
+            (i, round(float(
+                np.asarray(v) / np.sqrt((np.asarray(v) ** 2).sum()) @ qn
+            ), 6))
+            for i, v, lang in rows if lang == "gd"
+        ),
+        key=lambda t: (-round(t[1], 9), t[0]),
+    )
+    for pq in (None, 4):
+        idx = VectorIndex.create(
+            spark, str(tmp_path / f"idx{pq}"), base,
+            centroid_mod=10, pq_m=pq, codebook_mod=7,
+        )
+        # post-filter of the unfiltered top-k finds nothing
+        post = {
+            r.neighbor_id
+            for r in idx.search(q, k=3, nprobe=1, shortlist=12).collect()
+        }
+        assert not {i for i, _, lang in rows if lang == "gd"} & post
+        # filtered search escalates to the exact filtered top-k
+        got = [
+            (r.neighbor_id, r.cosine)
+            for r in idx.search(
+                q, k=3, nprobe=1, where="lang = 'gd'", shortlist=12
+            ).collect()
+        ]
+        assert [g[0] for g in got] == [b[0] for b in brute[:3]], (pq, got)
+        for (_, gc), (_, bc) in zip(got, brute[:3]):
+            assert gc == pytest.approx(bc, abs=2e-6)
