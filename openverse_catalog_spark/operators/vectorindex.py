@@ -13,10 +13,14 @@ Layout:
   scanned whole.
 * ``centroids`` — a small parquet of the deterministic sampled
   centroids (``id % centroid_mod == 0``, same math as
-  :func:`~.knn.ivf_topk`), broadcast for assignment GEMMs. Frozen at
-  create: IVF practice (FAISS add-with-ids) keeps centroids fixed and
-  rebuilds when recall drifts, which is what keeps every incremental
-  step — and the SQL oracle — exactly replayable.
+  :func:`~.knn.ivf_topk`), broadcast for assignment GEMMs. Frozen
+  per epoch: IVF practice (FAISS add-with-ids) keeps centroids fixed
+  between rebuilds, which is what keeps every incremental step — and
+  the SQL oracle — exactly replayable. Under corpus drift hot lists
+  grow; ``list_stats()`` (surfaced by ``SHOW INDEXES``) measures the
+  skew and ``recluster()`` / ``REINDEX VECTOR INDEX`` heals it by
+  re-sampling centroids at the current corpus and swapping in the
+  rebuilt lists as one atomic epoch re-point.
 * ``state.json`` — the applied base version + identity metadata
   (shared :class:`~.incindex.IncrementalIndex` protocol).
 
@@ -94,9 +98,42 @@ class VectorIndex(IncrementalIndex):
             )
         self.id_col = id_col
         self.vec_col = vec_col
-        self.lists = CowTable(
-            spark, f"{self.root}/lists", keys=("centroid_id", "neighbor_id")
-        )
+
+    # -- epoch layout -----------------------------------------------------
+    #
+    # recluster() rebuilds centroids + lists as a NEW EPOCH directory
+    # and re-points state.json atomically (the index's own publish
+    # swap); epoch 0 is the legacy bare layout (lists/, centroids/,
+    # codebooks/ directly under root), epoch N>0 lives under root/eN/.
+
+    @property
+    def epoch(self) -> int:
+        e = getattr(self, "_epoch", None)
+        if e is None:
+            try:
+                e = int(self._state().get("epoch", 0))
+            except FileNotFoundError:
+                e = 0
+            self._epoch = e
+        return e
+
+    def _edir(self, epoch: int | None = None) -> str:
+        e = self.epoch if epoch is None else epoch
+        return self.root if e == 0 else f"{self.root}/e{e}"
+
+    @property
+    def lists(self) -> CowTable:
+        """The current epoch's inverted-lists CoW table (re-resolved
+        after a recluster swaps epochs)."""
+        cur = getattr(self, "_lists", None)
+        if cur is None or getattr(self, "_lists_epoch", -1) != self.epoch:
+            cur = CowTable(
+                self.spark, f"{self._edir()}/lists",
+                keys=("centroid_id", "neighbor_id"),
+            )
+            self._lists = cur
+            self._lists_epoch = self.epoch
+        return cur
 
     def _identity(self) -> dict:
         return {
@@ -112,15 +149,16 @@ class VectorIndex(IncrementalIndex):
 
     def _centroid_matrix(self):
         """(ids, normalized matrix) of the frozen centroid set,
-        MEMOIZED on the handle: centroids never change after create
-        (rebuilds go through a new ``create``), so one parquet load
+        MEMOIZED on the handle: centroids never change within an epoch
+        (``recluster`` swaps epochs and drops these memos), so one
+        parquet load
         serves every assignment GEMM, probe, and refresh this handle
         ever runs — a refresh's old- and new-image assignments share
         it instead of loading and broadcasting twice."""
         cached = getattr(self, "_cents", None)
         if cached is None:
             pdf = (
-                self.spark.read.parquet(f"{self.root}/centroids")
+                self.spark.read.parquet(f"{self._edir()}/centroids")
                 .toPandas()
                 .sort_values("centroid_id")
             )
@@ -172,7 +210,7 @@ class VectorIndex(IncrementalIndex):
         on-disk layout exists once."""
         cb = getattr(self, "_cb", None)
         if cb is None:
-            cb = _load_codebook_tensor(self.spark, self.root)
+            cb = _load_codebook_tensor(self.spark, self._edir())
             self._cb = cb
         return cb
 
@@ -316,7 +354,9 @@ class VectorIndex(IncrementalIndex):
         ``id % centroid_mod == 0`` sample (C should grow ~sqrt(n));
         they freeze at create and every later assignment — incremental
         or resync — runs against them, so incremental == rebuilt-from-
-        scratch for fixed centroids.
+        scratch for fixed centroids. ``recluster()`` re-samples them
+        at the current corpus (drift/skew heal) as an atomic epoch
+        swap; ``list_stats()`` tells you when.
 
         ``pq_m`` switches the index to PQ MODE: list entries store m
         ordinal codes instead of raw vectors (the 100 TB layout),
@@ -346,7 +386,7 @@ class VectorIndex(IncrementalIndex):
                 "centroid_mod (C should grow ~sqrt(n), not n)"
             )
         os.makedirs(idx.root, exist_ok=True)
-        cents.write.mode("overwrite").parquet(f"{idx.root}/centroids")
+        cents.write.mode("overwrite").parquet(f"{idx._edir()}/centroids")
         idx._pq_m = int(pq_m) if pq_m else None
         if pq_m:
             idx._pq_res = bool(pq_residual)
@@ -357,7 +397,7 @@ class VectorIndex(IncrementalIndex):
                 snap, id_col, vec_col, int(pq_m), int(codebook_mod),
                 c_mat=c_for_res,
             )
-            _write_codebooks(spark, idx.root, cb_ids, cb, int(pq_m))
+            _write_codebooks(spark, idx._edir(), cb_ids, cb, int(pq_m))
             idx._cb = cb
         CowTable.create(
             spark, idx.lists.root, idx._assign(snap),
@@ -371,8 +411,11 @@ class VectorIndex(IncrementalIndex):
 
     def _state_extra(self) -> dict:
         # carry the frozen sampling parameters through every state
-        # write (centroid_mod always; pq_m/codebook_mod in PQ mode)
+        # write (centroid_mod always; pq_m/codebook_mod in PQ mode),
+        # plus the recluster epoch when one has happened
         out = {}
+        if self.epoch:
+            out["epoch"] = int(self.epoch)
         mod = getattr(self, "_centroid_mod", None)
         if mod is None:
             try:
@@ -506,6 +549,136 @@ class VectorIndex(IncrementalIndex):
             self._assign(snap),
             to_v,
         )
+
+    # -- balance telemetry + heal ----------------------------------------
+
+    def list_stats(self) -> dict:
+        """Inverted-list balance telemetry: (lists, max_list,
+        median_list, skew = max/median). The ``id % centroid_mod``
+        centroid sample FREEZES at create, so a drifting or naturally
+        clustered corpus grows hot lists without bound — probe cost is
+        proportional to the probed lists' sizes, so unmeasured skew is
+        an unbounded query regression. One column-pruned aggregate over
+        the lists table's centroid_id column (the vectors/codes columns
+        are never read); the result is C rows reduced to one, never a
+        corpus scan."""
+        row = (
+            self.lists.read()
+            .groupBy("centroid_id").count()
+            .agg(
+                F.count("*").alias("lists"),
+                F.max("count").alias("max_list"),
+                F.expr("percentile(count, 0.5)").alias("median_list"),
+            )
+            .head()
+        )
+        if row is None or row["lists"] is None or row["lists"] == 0:
+            return {"lists": 0, "max_list": 0,
+                    "median_list": 0.0, "skew": 0.0}
+        med = float(row["median_list"])
+        return {
+            "lists": int(row["lists"]),
+            "max_list": int(row["max_list"]),
+            "median_list": med,
+            "skew": float(row["max_list"]) / med if med else float("inf"),
+        }
+
+    def recluster(
+        self,
+        centroid_mod: int | None = None,
+        target_files: int = 8,
+    ) -> dict:
+        """HEAL list skew by re-sampling centroids at the CURRENT
+        corpus and rebuilding the lists — as one atomic epoch swap (the
+        index's own publish_swap): the new centroids + codebooks +
+        lists build under ``root/eN/`` while queries keep serving the
+        old epoch, then ONE state.json replace re-points the handle.
+        A crash at any point leaves the old epoch intact (a torn new
+        epoch dir is cleaned by the next attempt). Content rebuilds at
+        the APPLIED version, so the feed protocol is untouched — the
+        next refresh resumes incrementally from the same span.
+
+        ``centroid_mod`` overrides the frozen sampling density (grow C
+        ~sqrt(n) as the corpus grows — the other reason to recluster
+        besides drift)."""
+        import shutil
+
+        st = self._state()
+        if "pending" in st:
+            raise ValueError(
+                "a refresh span is pending; finish it with refresh() "
+                "before recluster()"
+            )
+        v = self.applied_version
+        mod = int(centroid_mod or st.get("centroid_mod") or 40)
+        old_epoch = self.epoch
+        new_epoch = old_epoch + 1
+        edir = self._edir(new_epoch)
+        shutil.rmtree(edir, ignore_errors=True)  # torn prior attempt
+        snap = _as_double(self.base.read(v), self.vec_col)
+        cents = snap.filter(F.col(self.id_col) % mod == 0).select(
+            F.col(self.id_col).alias("centroid_id"),
+            F.col(self.vec_col).alias("vector"),
+        )
+        n_cents = cents.limit(MAX_BROADCAST_QUERIES + 1).count()
+        if n_cents == 0:
+            raise ValueError(
+                f"no centroids: no {self.id_col} % {mod} == 0 rows"
+            )
+        if n_cents > MAX_BROADCAST_QUERIES:
+            raise ValueError(
+                f"centroid count exceeds {MAX_BROADCAST_QUERIES}; raise "
+                "centroid_mod (C should grow ~sqrt(n), not n)"
+            )
+        os.makedirs(edir, exist_ok=True)
+        cents.write.mode("overwrite").parquet(f"{edir}/centroids")
+        # swap the in-memory handle to the new epoch for the build
+        # GEMMs; disk state still points at the old epoch until the
+        # final atomic write, and any failure restores the handle
+        pq_m, pq_res = self.pq_m, self.pq_residual
+        cbm = st.get("codebook_mod")
+        self._epoch = new_epoch
+        self._drop_epoch_caches()
+        try:
+            if pq_m:
+                c_for_res = (
+                    self._centroid_matrix()[1] if pq_res else None
+                )
+                cb_ids, cb = _pq_codebooks(
+                    snap, self.id_col, self.vec_col, int(pq_m),
+                    int(cbm or 25), c_mat=c_for_res,
+                )
+                _write_codebooks(self.spark, edir, cb_ids, cb, int(pq_m))
+                self._cb = cb
+            CowTable.create(
+                self.spark, f"{edir}/lists", self._assign(snap),
+                keys=("centroid_id", "neighbor_id"),
+                target_files=target_files,
+            )
+            self._centroid_mod = mod
+            self._write_state(v)  # the atomic re-point
+        except BaseException:
+            self._epoch = old_epoch
+            self._drop_epoch_caches()
+            shutil.rmtree(edir, ignore_errors=True)
+            raise
+        # old epoch is dead; reclaim best-effort (a failure here costs
+        # disk, never correctness)
+        if old_epoch == 0:
+            for sub in ("lists", "centroids", "codebooks"):
+                shutil.rmtree(
+                    f"{self.root}/{sub}", ignore_errors=True
+                )
+        else:
+            shutil.rmtree(self._edir(old_epoch), ignore_errors=True)
+        return {"epoch": new_epoch, "centroids": n_cents, "applied": v}
+
+    def _drop_epoch_caches(self) -> None:
+        """Invalidate every epoch-bound memo (centroid matrix,
+        broadcasts, codebooks, lists handle)."""
+        for attr in ("_cents", "_cents_bc", "_cb", "_pq_bc", "_lists"):
+            if hasattr(self, attr):
+                delattr(self, attr)
 
     # -- query --------------------------------------------------------------
 

@@ -237,6 +237,11 @@ _REFRESH_VIDX = re.compile(
 _DROP_VIDX = re.compile(
     r"^\s*DROP\s+VECTOR\s+INDEX\s+(\w+)\s*$", re.IGNORECASE
 )
+_REINDEX_VIDX = re.compile(
+    r"^\s*REINDEX\s+VECTOR\s+INDEX\s+(\w+)"
+    r"(?:\s+CENTROID\s+MOD\s+(\d+))?\s*$",
+    re.IGNORECASE,
+)
 _VECTOR_TVF = re.compile(
     r"\bVECTOR_SEARCH\s*\(\s*'(\w+)'\s*,\s*'([^']+)'\s*,\s*(\d+)"
     r"(?:\s*,\s*(\d+))?"
@@ -1499,6 +1504,27 @@ class SqlFacade:
                   bool(r.get("resync", False)))],
                 "applied long, refreshed boolean, resync boolean",
             )
+        m = _REINDEX_VIDX.match(text)
+        if m and m.group(1) in self._vidx:
+            # heal list skew: re-sample centroids at the current corpus
+            # and rebuild the lists as one atomic epoch swap (queries
+            # keep serving the old epoch until the re-point); CENTROID
+            # MOD also re-densifies the sample as the corpus grows
+            if self._txn is not None:
+                raise ValueError(
+                    "REINDEX VECTOR INDEX inside an explicit "
+                    "transaction is not supported; COMMIT or ROLLBACK "
+                    "first"
+                )
+            mod = m.group(2)
+            r = self._vidx[m.group(1)].recluster(
+                centroid_mod=int(mod) if mod else None
+            )
+            return self.spark.createDataFrame(
+                [(int(r["epoch"]), int(r["centroids"]),
+                  int(r["applied"]))],
+                "epoch long, centroids long, applied long",
+            )
         m = _DROP_VIDX.match(text)
         if m and m.group(1) in self._vidx:
             import shutil
@@ -1603,9 +1629,14 @@ class SqlFacade:
             )
         if _SHOW_IDX.match(text):
             # one row per registered index (search + vector): where it
-            # lives, the base version it reflects, and how many base
+            # lives, the base version it reflects, how many base
             # commits behind the pin/head it is — the operational view
-            # the reference reads from its ES cluster + Airflow state
+            # the reference reads from its ES cluster + Airflow state —
+            # and, for vector indexes, the LIST-BALANCE telemetry
+            # (max/median inverted-list size + skew ratio): frozen
+            # centroids under a drifting corpus grow hot lists without
+            # bound, and probe cost follows list size, so skew must be
+            # visible here before REINDEX VECTOR INDEX heals it
             rows = []
             for kind, reg in (("search", self._sidx),
                               ("vector", self._vidx)):
@@ -1614,12 +1645,19 @@ class SqlFacade:
                     applied = idx.applied_version
                     pin = self._index_pin(idx)
                     head = pin if pin is not None else idx.base.version
+                    bal = (
+                        idx.list_stats() if kind == "vector" else None
+                    )
                     rows.append((
                         n, kind, idx.root, applied,
                         max(0, int(head) - int(applied)),
+                        bal["max_list"] if bal else None,
+                        float(bal["median_list"]) if bal else None,
+                        round(bal["skew"], 3) if bal else None,
                     ))
             schema = ("index string, kind string, location string, "
-                      "applied long, staleness long")
+                      "applied long, staleness long, max_list long, "
+                      "median_list double, skew double")
             return self.spark.createDataFrame(
                 rows if rows else [], schema
             )

@@ -406,7 +406,8 @@ def test_vector_index_equals_rebuild_under_random_churn(spark, tmp_path):
 
 def _expected_codes(base, idx):
     """From-scratch (assignment, codes) of the CURRENT base snapshot
-    against the frozen centroids + codebooks."""
+    against the frozen centroids + codebooks (residual mode encodes
+    x - c(x), matching the engine)."""
     from openverse_catalog_spark.operators.knn import _pq_encode
 
     c_ids, c_mat = idx._centroid_matrix()
@@ -415,8 +416,10 @@ def _expected_codes(base, idx):
     for r in base.read().collect():
         v = np.asarray(r.embedding, dtype="float64")
         v = v / np.sqrt((v * v).sum())
-        cid = int(c_ids[int((c_mat @ v).argmax())])
-        codes = _pq_encode(v[None, :], cb)[0]
+        best = int((c_mat @ v).argmax())
+        cid = int(c_ids[best])
+        enc = v - c_mat[best] if idx.pq_residual else v
+        codes = _pq_encode(enc[None, :], cb)[0]
         out[int(r.vec_id)] = (cid, tuple(int(c) for c in codes))
     return out
 
@@ -660,3 +663,131 @@ def test_filtered_search_recall_floor_vs_postfilter(spark, tmp_path):
         assert [g[0] for g in got] == [b[0] for b in brute[:3]], (pq, got)
         for (_, gc), (_, bc) in zip(got, brute[:3]):
             assert gc == pytest.approx(bc, abs=2e-6)
+
+
+def test_list_skew_telemetry_and_recluster_heal(spark, tmp_path):
+    """Frozen centroids under a hot-cluster churn grow one list without
+    bound; list_stats() must report the skew, recluster() must heal it
+    by re-sampling centroids at the current corpus as an atomic epoch
+    swap, and the feed protocol must continue incrementally across the
+    swap."""
+    base = CowTable.create(
+        spark, str(tmp_path / "vecs"), mk_vecs(spark, range(40)),
+        keys=("vec_id",),
+    )
+    idx = VectorIndex.create(
+        spark, str(tmp_path / "idx"), base, centroid_mod=10,
+    )
+    s0 = idx.list_stats()
+    assert s0["lists"] == 4 and s0["max_list"] > 0
+    # hot-cluster churn: 120 inserts tightly packed around one
+    # direction — they all land in a single frozen list
+    rng = np.random.default_rng(99)
+    hot = np.asarray(_vec(0))
+    hot = hot / np.sqrt((hot * hot).sum())
+    batch = spark.createDataFrame(
+        [
+            (100 + j,
+             [float(x) for x in 2.0 * hot
+              + rng.normal(scale=0.02, size=DIM)])
+            for j in range(120)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    base.merge_when(batch, insert=True)
+    r = idx.refresh()
+    assert r["refreshed"] and not r.get("resync")
+    s1 = idx.list_stats()
+    assert s1["skew"] > 4.0, s1  # the hot list is visible
+    # heal: re-sample at the current corpus (hot ids 100..219 now
+    # contribute %10 centroids that split the hot cluster)
+    r = idx.recluster()
+    assert r["epoch"] == 1 and r["centroids"] == 16
+    s2 = idx.list_stats()
+    assert s2["lists"] == 16
+    assert s2["skew"] < s1["skew"] / 2, (s1, s2)
+    # content == from-scratch assignment against the NEW centroids
+    assert _lists_assign(idx) == _expected_assign(base, idx)
+    # the feed resumes incrementally across the epoch swap
+    base.delete(F.col("vec_id") == 5)
+    base.merge_when(mk_vecs(spark, [300]), insert=True)
+    r2 = idx.refresh()
+    assert r2["refreshed"] and not r2.get("resync")
+    assert _lists_assign(idx) == _expected_assign(base, idx)
+    # reopen resolves the new epoch (and the old bare layout is gone)
+    re = VectorIndex.open(spark, idx.root, base)
+    assert re.epoch == 1
+    assert _lists_assign(re) == _expected_assign(base, re)
+    import os
+    assert not os.path.exists(str(tmp_path / "idx" / "lists"))
+
+
+def test_pq_recluster_retrains_codebooks(spark, tmp_path):
+    """PQ-mode recluster retrains codebooks (residual codes depend on
+    the centroid set) and the swapped epoch's lists equal a
+    from-scratch encode; search still serves exact top-k."""
+    base = CowTable.create(
+        spark, str(tmp_path / "vecs"), mk_vecs(spark, range(60)),
+        keys=("vec_id",),
+    )
+    idx = VectorIndex.create(
+        spark, str(tmp_path / "idx"), base,
+        centroid_mod=10, pq_m=4, codebook_mod=7, pq_residual=True,
+    )
+    base.merge_when(mk_vecs(spark, range(60, 90)), insert=True)
+    idx.refresh()
+    r = idx.recluster(centroid_mod=15)
+    assert r["epoch"] == 1 and r["centroids"] == 6
+    assert _lists_codes(idx) == _expected_codes(base, idx)
+    got = idx.search(_vec(4), k=2, nprobe=3, shortlist=20)
+    assert got.collect()[0].neighbor_id == 4
+
+
+def test_facade_reindex_and_skew_columns(spark, tmp_path):
+    """SHOW INDEXES carries the list-balance telemetry (max/median/
+    skew) for vector indexes; REINDEX VECTOR INDEX heals a hot cluster
+    and the index keeps serving through the epoch swap."""
+    from openverse_catalog_spark.sql_facade import SqlFacade
+
+    f = SqlFacade(spark)
+    f.register_df("emb", mk_vecs(spark, range(40)))
+    f.sql(
+        "CREATE TABLE vecs PRIMARY KEY (vec_id) "
+        f"LOCATION '{tmp_path / 'vecs'}' AS SELECT * FROM emb"
+    )
+    f.sql(
+        "CREATE VECTOR INDEX vi ON vecs (embedding) CENTROID MOD 10 "
+        f"LOCATION '{tmp_path / 'vi'}'"
+    )
+    rows = {r["index"]: r for r in f.sql("SHOW INDEXES").collect()}
+    assert rows["vi"]["max_list"] >= 1 and rows["vi"]["skew"] >= 1.0
+    # hot cluster -> skew visible
+    rng = np.random.default_rng(5)
+    hot = np.asarray(_vec(0))
+    hot = hot / np.sqrt((hot * hot).sum())
+    f.register_df(
+        "hot",
+        spark.createDataFrame(
+            [
+                (100 + j,
+                 [float(x) for x in 2.0 * hot
+                  + rng.normal(scale=0.02, size=DIM)])
+                for j in range(120)
+            ],
+            "vec_id long, embedding array<double>",
+        ),
+    )
+    f.sql("INSERT INTO vecs SELECT * FROM hot")
+    f.sql("REFRESH VECTOR INDEX vi")
+    before = {r["index"]: r for r in f.sql("SHOW INDEXES").collect()}
+    assert before["vi"]["skew"] > 4.0
+    r = f.sql("REINDEX VECTOR INDEX vi").head()
+    assert r["epoch"] == 1 and r["centroids"] == 16
+    after = {r["index"]: r for r in f.sql("SHOW INDEXES").collect()}
+    assert after["vi"]["skew"] < before["vi"]["skew"] / 2
+    # still serves correct neighbors from the new epoch
+    q = " ".join(str(x) for x in _vec(7))
+    out = f.sql(
+        f"SELECT neighbor_id, cosine FROM VECTOR_SEARCH('vi', '{q}', 2)"
+    ).collect()
+    assert out[0].neighbor_id == 7
