@@ -211,6 +211,10 @@ HEADLINE = [
     "sql_vector_index",
     "stream_vector_index_maintenance",
     "search_hybrid_indexed",
+    # round 10
+    "vector_index_filtered",
+    "sql_vector_search_filtered",
+    "search_index_phrase",
 ]
 
 
@@ -245,12 +249,27 @@ def main() -> None:
     ).values():
         tdf.count()
 
+    from openverse_catalog_spark.plans import timing
+
     timings: dict[str, float] = {}
+    splits: dict[str, dict[str, float]] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
+        timing.clear()
         t0 = time.time()
         fn(spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        mark = timing.pop_mark()
+        if mark is not None:
+            # fixture-building query: split out the build cost so a
+            # statement regression is visible instead of drowned in
+            # 70-90% fixture time (statement = churn + maintenance +
+            # query — the operator's actual cost at scale)
+            splits[name] = {
+                "fixture_sec": round(mark - t0, 3),
+                "statement_sec": round(dt - (mark - t0), 3),
+            }
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -258,6 +277,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "splits": splits,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # The driver captures a bounded tail of stdout, which truncates the

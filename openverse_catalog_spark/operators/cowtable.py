@@ -2642,16 +2642,39 @@ class CowTable:
             T.ByteType(): 1, T.ShortType(): 2,
             T.IntegerType(): 4, T.LongType(): 8,
         }
+        def no_null(dt):
+            # compare types MODULO nullability: a full-join/CASE WHEN
+            # reconcile makes array elements (or struct fields)
+            # nullable that the created table declared non-null, and a
+            # nullability-only difference neither needs a physical cast
+            # nor survives one (Spark refuses casting a nullable
+            # element into a non-null array type)
+            if isinstance(dt, T.ArrayType):
+                return T.ArrayType(no_null(dt.elementType), True)
+            if isinstance(dt, T.MapType):
+                return T.MapType(
+                    no_null(dt.keyType), no_null(dt.valueType), True
+                )
+            if isinstance(dt, T.StructType):
+                return T.StructType([
+                    T.StructField(f.name, no_null(f.dataType), True)
+                    for f in dt.fields
+                ])
+            return dt
+
         want = {f.name: f.dataType for f in table_schema.fields}
         for f in new_fields:
             want[f.name] = f.dataType
         have = {f.name: f.dataType for f in merged.schema.fields}
-        if all(have[c] == want.get(c, have[c]) for c in have):
+        if all(
+            no_null(have[c]) == no_null(want.get(c, have[c]))
+            for c in have
+        ):
             return merged
 
         def conform(c):
             w, h = want.get(c), have[c]
-            if w is None or h == w:
+            if w is None or no_null(h) == no_null(w):
                 return F.col(c)
             cast = F.col(c).cast(w)
             narrowing = w in int_width and isinstance(h, T.NumericType) and (

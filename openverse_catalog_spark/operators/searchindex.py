@@ -8,9 +8,11 @@ the lakehouse and maintains it from the base table's CHANGE FEED, so an
 index refresh costs O(changed documents), never O(corpus):
 
 * ``postings`` — a CoW lake table keyed ``(term, doc_id)`` holding per-
-  document term frequencies. Merge-key range clustering means posting
-  files are term-ordered, so a query's ``read_pruned(terms)`` opens
-  only the files whose term range can contain a query term — the same
+  document term frequencies AND positional postings (0-based offsets
+  in the filtered token sequence — what exact-phrase queries verify
+  against). Merge-key range clustering means posting files are
+  term-ordered, so a query's ``read_pruned(terms)`` opens only the
+  files whose term range can contain a query term — the same
   file-skipping dividend every other keyed read in the engine gets.
 * ``doclen`` — a CoW table keyed ``doc_id`` with each document's token
   count (the BM25 length normalizer); corpus totals (N, avgdl) derive
@@ -54,12 +56,21 @@ def _tokens(text: Column) -> Column:
 
 
 def _postings_of(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(term, doc_id, tf) rows for a frame of documents."""
+    """(term, doc_id, tf, positions) rows for a frame of documents.
+    ``positions`` are 0-based offsets within the FILTERED token
+    sequence (sub-3-char tokens never get a position — a phrase query
+    therefore matches adjacency among indexed tokens, on both the
+    index and the from-scratch oracle). Positions are row-local, so
+    the CDF net-transition maintenance covers them for free: a changed
+    doc's postings re-derive wholesale from its row image."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(_tokens(F.col(text_col))).alias("term"),
+        F.posexplode(_tokens(F.col(text_col))).alias("pos", "term"),
     )
-    return toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    return toks.groupBy("term", "doc_id").agg(
+        F.count("*").alias("tf"),
+        F.sort_array(F.collect_list("pos")).alias("positions"),
+    )
 
 
 def _doclens_of(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -256,13 +267,17 @@ class SearchIndex(IncrementalIndex):
         a replayed span txn-skips instead of double-applying."""
         src = (
             new_p.withColumnRenamed("tf", "new_tf")
+            .withColumnRenamed("positions", "new_positions")
             .join(old_p.select("term", "doc_id"), ["term", "doc_id"],
                   "full")
-            .select("term", "doc_id", F.col("new_tf").alias("tf"))
+            .select(
+                "term", "doc_id", F.col("new_tf").alias("tf"),
+                F.col("new_positions").alias("positions"),
+            )
         )
         self.postings.merge_when(
             src,
-            update_set={"tf": "s.tf"},
+            update_set={"tf": "s.tf", "positions": "s.positions"},
             delete_cond="s.tf IS NULL",
             insert=True,
             insert_cond="s.tf IS NOT NULL",
@@ -358,3 +373,52 @@ class SearchIndex(IncrementalIndex):
             .agg(F.round(F.sum("term_score"), 6).alias("score"))
         )
         return scored.orderBy(F.col("score").desc(), "doc_id").limit(k)
+
+    def phrase(self, text: str, k: int) -> DataFrame:
+        """Top-k EXACT-PHRASE match served from the positional
+        postings: candidate docs come from the term-range-pruned
+        postings of the phrase's terms only (the corpus is never
+        re-tokenized), adjacency verifies against the stored positions
+        — token i of the phrase must sit at offset (start + i) for one
+        shared start. Returns (doc_id, hits) where hits counts the
+        phrase's occurrences, ranked hits desc with a doc_id tie-break.
+
+        The phrase passes through the index tokenizer, so sub-3-char
+        words carry no position: '"spark of fire"' matches docs where
+        'spark' and 'fire' are adjacent among INDEXED tokens — the same
+        definition a from-scratch scan of the filtered token sequence
+        yields. The join against a broadcast (term, slot) frame keys
+        the postings read on the phrase's terms; cost ~ the phrase
+        terms' posting sizes, independent of corpus size."""
+        import re as _re
+
+        qt = [
+            run
+            for run in _re.findall(r"[a-z]+", str(text).lower())
+            if len(run) >= 3
+        ]
+        if not qt:
+            raise ValueError(
+                f"phrase {text!r} has no indexable terms (tokenizer "
+                "keeps [a-z]+ runs of length >= 3)"
+            )
+        slots = self.spark.createDataFrame(
+            [(t, i) for i, t in enumerate(qt)], "term string, slot int"
+        )
+        post = self.postings.read_pruned(sorted(set(qt)))
+        occ = (
+            post.join(F.broadcast(slots), "term")
+            .select(
+                "doc_id", "slot", F.explode("positions").alias("pos")
+            )
+            .select(
+                "doc_id", "slot",
+                (F.col("pos") - F.col("slot")).alias("start"),
+            )
+            .groupBy("doc_id", "start")
+            .agg(F.countDistinct("slot").alias("nslots"))
+            .filter(F.col("nslots") == len(qt))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("hits"))
+        )
+        return occ.orderBy(F.col("hits").desc(), "doc_id").limit(k)

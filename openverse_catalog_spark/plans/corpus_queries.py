@@ -2749,6 +2749,11 @@ def _vidx_fixture(spark, sf_dir, slug):
     idx = VectorIndex.create(
         spark, os.path.join(root, "idx"), base, centroid_mod=40,
     )
+    # bench fixture/statement split: base + index now exist; what
+    # follows (churn, refresh/drain, probe) is the measured statement
+    from openverse_catalog_spark.plans.timing import mark_fixture_done
+
+    mark_fixture_done()
     return e, base, idx
 
 
@@ -2926,6 +2931,9 @@ def dedup_semantic_indexed(spark, sf_dir):
     idx = VectorIndex.create(
         spark, os.path.join(root, "idx"), base, centroid_mod=40,
     )
+    from openverse_catalog_spark.plans.timing import mark_fixture_done
+
+    mark_fixture_done()
     lists = idx.lists.read().select(
         "centroid_id",
         F.col("neighbor_id").alias("id_a"),
@@ -2986,6 +2994,9 @@ def vector_index_pq_refresh(spark, sf_dir):
         spark, os.path.join(root, "idx"), base,
         centroid_mod=40, pq_m=8, codebook_mod=25,
     )
+    from openverse_catalog_spark.plans.timing import mark_fixture_done
+
+    mark_fixture_done()
     _vidx_churn(base, e)
     r = idx.refresh()
     assert r["refreshed"] and not r.get("resync"), r
@@ -3033,6 +3044,9 @@ def vector_index_pq_residual(spark, sf_dir):
         spark, os.path.join(root, "idx"), base,
         centroid_mod=40, pq_m=8, codebook_mod=25, pq_residual=True,
     )
+    from openverse_catalog_spark.plans.timing import mark_fixture_done
+
+    mark_fixture_done()
     _vidx_churn(base, e)
     r = idx.refresh()
     assert r["refreshed"] and not r.get("resync"), r
@@ -3138,6 +3152,9 @@ def sql_vector_index(spark, sf_dir):
         "CREATE VECTOR INDEX vidx ON vecs (embedding) "
         f"CENTROID MOD 40 LOCATION '{base}/idx'"
     )
+    from openverse_catalog_spark.plans.timing import mark_fixture_done
+
+    mark_fixture_done()
     f.sql("DELETE FROM vecs WHERE vec_id % 10 = 3")
     f.sql(
         "UPDATE vecs SET embedding = reverse(embedding) "
@@ -3200,6 +3217,9 @@ def vector_index_filtered(spark, sf_dir):
     idx = VectorIndex.create(
         spark, os.path.join(root, "idx"), base, centroid_mod=40,
     )
+    from openverse_catalog_spark.plans.timing import mark_fixture_done
+
+    mark_fixture_done()
     queries = base.read().filter(F.col("vec_id") % 20 == 0)
     out = idx.probe(
         queries, k=3, nprobe=2, rank_quantize=9, where="lang = 'en'"
@@ -3324,6 +3344,9 @@ def sql_vector_search_filtered(spark, sf_dir):
         "CREATE VECTOR INDEX vidx ON vecs (embedding) "
         f"CENTROID MOD 40 LOCATION '{base}/idx'"
     )
+    from openverse_catalog_spark.plans.timing import mark_fixture_done
+
+    mark_fixture_done()
     return f.sql(
         "SELECT neighbor_id, cosine "
         f"FROM VECTOR_SEARCH('vidx', '{_VQ_TEXT}', 10, 2, "

@@ -106,6 +106,9 @@ def _mv_build_and_churn(spark, sf_dir, name, refresh=None):
         ],
     )
     mv.build()
+    from openverse_catalog_spark.plans.timing import mark_fixture_done
+
+    mark_fixture_done()
     updates = base_df.filter(F.col("k") % 10 == 0).withColumn(
         "price", F.col("price") + F.lit(5.0)
     )
@@ -223,6 +226,9 @@ def sql_mv_refresh(spark, sf_dir):
         "MERGE INTO orders_lake AS t USING staging AS s ON t.k = s.k "
         "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
     )
+    from openverse_catalog_spark.plans.timing import mark_fixture_done
+
+    mark_fixture_done()
     f.sql("REFRESH MATERIALIZED VIEW cust_stats")
     f.sql("DELETE FROM orders_lake WHERE ck % 7 = 0")
     f.sql("REFRESH MATERIALIZED VIEW cust_stats")
@@ -365,6 +371,9 @@ def mv_join_incremental(spark, sf_dir):
         how="inner",
     )
     mv.build()
+    from openverse_catalog_spark.plans.timing import mark_fixture_done
+
+    mark_fixture_done()
     cols = [
         ColumnSpec("k", Datatype.int,
                    upsert_strategy=UpsertStrategy.no_change),
@@ -488,6 +497,9 @@ def mv_join_agg_incremental(spark, sf_dir):
         how="inner",
     )
     mv.build()
+    from openverse_catalog_spark.plans.timing import mark_fixture_done
+
+    mark_fixture_done()
     cols = [
         ColumnSpec("k", Datatype.int,
                    upsert_strategy=UpsertStrategy.no_change),
@@ -601,6 +613,9 @@ def sql_mv_join_agg(spark, sf_dir):
         "FROM fact_orders JOIN dim_cust ON fact_orders.ck = dim_cust.ck "
         "GROUP BY seg"
     )
+    from openverse_catalog_spark.plans.timing import mark_fixture_done
+
+    mark_fixture_done()
     f.sql("UPDATE fact_orders SET price = price + 7 WHERE k % 10 = 1")
     f.sql("DELETE FROM fact_orders WHERE k % 20 = 6")
     f.sql("REFRESH MATERIALIZED VIEW seg_rollup")

@@ -505,6 +505,9 @@ def search_index_bm25(spark, sf_dir):
         keys=("doc_id",), target_files=4,
     )
     idx = SearchIndex.create(spark, os.path.join(root, "idx"), base)
+    from openverse_catalog_spark.plans.timing import mark_fixture_done
+
+    mark_fixture_done()
     base.delete(F.col("source") == "src4")
     base.update(
         F.col("doc_id") % 17 == 0,
@@ -524,6 +527,103 @@ def search_index_bm25(spark, sf_dir):
     base.merge(newdocs, cols)
     idx.refresh()
     return idx.bm25(["join", "hash", "vector", "spark"], 20)
+
+
+#: exact-phrase oracle over the SAME post-churn corpus as
+#: _SIDX_ORACLE: rebuild the filtered token sequence with 0-based
+#: positions from scratch, then a phrase occurrence is one shared
+#: start offset where token i of the phrase sits at (start + i) —
+#: exactly what the index verifies against its stored positions.
+_SIDX_PHRASE_ORACLE = f"""
+    WITH final AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 17 = 0
+                  THEN text || ' spark vector hash join'
+                  ELSE text END AS text
+      FROM documents WHERE source IS DISTINCT FROM 'src4'
+      UNION ALL
+      SELECT 100000 + i AS doc_id,
+             'spark hash join vector quantum flux ' || repeat('pad ', i)
+               AS text
+      FROM unnest(range(0, 5)) AS u(i)
+    ),
+    arrs AS (SELECT doc_id, {_TOKS_SQL} AS arr FROM final
+             WHERE text IS NOT NULL),
+    tok AS (SELECT doc_id, arr[i] AS term, i - 1 AS pos
+            FROM arrs, unnest(range(1, len(arr) + 1)) AS t(i)),
+    slots AS (SELECT * FROM (VALUES ('hash', 0), ('join', 1))
+              AS v(term, slot)),
+    occ AS (SELECT t.doc_id, t.pos - s.slot AS start
+            FROM tok t JOIN slots s USING (term)
+            GROUP BY t.doc_id, t.pos - s.slot
+            HAVING count(DISTINCT s.slot) = 2),
+    hits AS (SELECT doc_id, count(*) AS hits FROM occ GROUP BY doc_id)
+    SELECT doc_id, hits FROM hits
+    ORDER BY hits DESC, doc_id LIMIT 20
+    """
+
+
+@register(
+    "search_index_phrase",
+    _SIDX_PHRASE_ORACLE,
+)
+def search_index_phrase(spark, sf_dir):
+    """EXACT-PHRASE search served from the POSITIONAL postings — the
+    capability BM25's bag-of-terms OR cannot express (the reference's
+    ES handoff serves phrase queries via its own positional index,
+    data_refresh_task_factory.py:183-240; this is the in-lake twin).
+    Same fixture + churn as search_index_bm25 — the positions ride the
+    identical CDF net-transition maintenance (they are row-local, so a
+    changed doc's postings re-derive wholesale) — then
+    ``phrase('hash join', 20)``: candidates from the term-range-pruned
+    postings of the phrase's two terms only, adjacency verified against
+    stored positions, hits = occurrence count. The oracle rebuilds the
+    filtered token sequence from scratch and counts shared-start
+    matches — the index must equal the scan."""
+    import os
+    import shutil
+    import tempfile
+
+    from openverse_catalog_spark.operators.cowtable import CowTable
+    from openverse_catalog_spark.operators.searchindex import SearchIndex
+    from openverse_catalog_spark.schemas.columns import (
+        ColumnSpec,
+        Datatype,
+        UpsertStrategy,
+    )
+
+    d = _t(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "text", "source"
+    )
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_phraseidx")
+    shutil.rmtree(root, ignore_errors=True)
+    base = CowTable.create(
+        spark, os.path.join(root, "docs"), d,
+        keys=("doc_id",), target_files=4,
+    )
+    idx = SearchIndex.create(spark, os.path.join(root, "idx"), base)
+    from openverse_catalog_spark.plans.timing import mark_fixture_done
+
+    mark_fixture_done()
+    base.delete(F.col("source") == "src4")
+    base.update(
+        F.col("doc_id") % 17 == 0,
+        {"text": F.concat(F.col("text"), F.lit(" spark vector hash join"))},
+    )
+    cols = [
+        ColumnSpec("doc_id", Datatype.int, required=True,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("text", Datatype.char),
+        ColumnSpec("source", Datatype.char),
+    ]
+    newdocs = spark.createDataFrame(
+        [(100000 + i, "spark hash join vector quantum flux " + "pad " * i,
+          "srcX") for i in range(5)],
+        "doc_id long, text string, source string",
+    )
+    base.merge(newdocs, cols)
+    idx.refresh()
+    return idx.phrase("hash join", 20)
 
 
 @register(
@@ -558,6 +658,9 @@ def sql_search_index(spark, sf_dir):
         "CREATE SEARCH INDEX idx ON docs (text) "
         f"LOCATION '{base}/idx'"
     )
+    from openverse_catalog_spark.plans.timing import mark_fixture_done
+
+    mark_fixture_done()
     f.sql("DELETE FROM docs WHERE source = 'src4'")
     f.sql(
         "UPDATE docs SET text = text || ' spark vector hash join' "
@@ -618,6 +721,9 @@ def stream_search_maintenance(spark, sf_dir):
         keys=("doc_id",), target_files=4,
     )
     idx = SearchIndex.create(spark, os.path.join(root, "idx"), base)
+    from openverse_catalog_spark.plans.timing import mark_fixture_done
+
+    mark_fixture_done()
     ckpt = os.path.join(root, "ckpt")
     # wave 1: delete + update, then drain the commit log
     base.delete(F.col("source") == "src4")
@@ -765,6 +871,9 @@ def search_hybrid_indexed(spark, sf_dir):
     vidx = VectorIndex.create(
         spark, os.path.join(root, "vidx"), vecs, centroid_mod=40,
     )
+    from openverse_catalog_spark.plans.timing import mark_fixture_done
+
+    mark_fixture_done()
 
     # lexical arm: index-served BM25, rank over the top-50 rows only
     w_lex = Window.orderBy(F.col("score").desc(), "doc_id")

@@ -874,6 +874,9 @@ def q_stream_cdc_apply(spark, sf_dir, _max_files_per_trigger=1):
         .coalesce(1).write.mode("overwrite")
         .parquet(os.path.join(cdc_dir, "batch=1"))
     )
+    from openverse_catalog_spark.plans.timing import mark_fixture_done
+
+    mark_fixture_done()
     stream_cdc_apply(
         spark, cdc_dir, t, sequence_by="seq",
         max_files_per_trigger=_max_files_per_trigger,
@@ -981,6 +984,9 @@ def q_stream_cdc_tombstones(spark, sf_dir, _max_files_per_trigger=1):
         .coalesce(1).write.mode("overwrite")
         .parquet(os.path.join(cdc_dir, "batch=1"))
     )
+    from openverse_catalog_spark.plans.timing import mark_fixture_done
+
+    mark_fixture_done()
     stream_cdc_apply(
         spark, cdc_dir, t, sequence_by="seq",
         max_files_per_trigger=_max_files_per_trigger,

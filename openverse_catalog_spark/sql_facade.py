@@ -663,7 +663,10 @@ class SqlFacade:
             # SEARCH_INDEX('idx', 'space separated terms', k): top-k
             # BM25 served from the named index's postings (term-range
             # file pruning; the corpus is never tokenized at query
-            # time) as an inline relation (doc_id, score)
+            # time) as an inline relation (doc_id, score).
+            # SEARCH_INDEX('idx', '"an exact phrase"', k): the
+            # double-quoted form runs an EXACT-PHRASE query against the
+            # positional postings instead — relation (doc_id, hits)
             name, terms_text, k = match.groups()
             if name not in self._sidx:
                 raise ValueError(
@@ -671,14 +674,21 @@ class SqlFacade:
                     f"(have: {sorted(self._sidx)}); CREATE SEARCH "
                     "INDEX first"
                 )
-            terms = [t for t in terms_text.split() if t]
-            if not terms:
-                raise ValueError("SEARCH_INDEX needs >= 1 term")
             self._idx_view_seq += 1
             view = f"{name}__search_{self._idx_view_seq}"
-            self._sidx[name].bm25(terms, int(k)).createOrReplaceTempView(
-                view
-            )
+            stripped = terms_text.strip()
+            if (
+                len(stripped) >= 2
+                and stripped.startswith('"')
+                and stripped.endswith('"')
+            ):
+                out = self._sidx[name].phrase(stripped[1:-1], int(k))
+            else:
+                terms = [t for t in terms_text.split() if t]
+                if not terms:
+                    raise ValueError("SEARCH_INDEX needs >= 1 term")
+                out = self._sidx[name].bm25(terms, int(k))
+            out.createOrReplaceTempView(view)
             self._stmt_views.append(view)
             return view
 

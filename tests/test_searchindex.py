@@ -33,7 +33,12 @@ def mk_docs(spark, *rows):
 
 
 def postings_dict(df):
-    return {(r.term, r.doc_id): r.tf for r in df.collect()}
+    # (tf, positions) both compared: churn==rebuild must hold for the
+    # positional postings too, or phrase queries drift under churn
+    return {
+        (r.term, r.doc_id): (r.tf, tuple(r.positions))
+        for r in df.collect()
+    }
 
 
 def _assert_index_matches_base(idx, base):
@@ -174,7 +179,8 @@ def test_crash_replay_with_later_base_commits_stays_exact(spark, tmp_path):
     base.update(F.col("doc_id") == 1, {"text": F.lit("alpha")})
     idx.refresh()
     p = postings_dict(idx.postings.read())
-    assert p == {("alpha", 1): 1}, p  # no stale ('bravo', 1) survivor
+    # no stale ('bravo', 1) survivor
+    assert p == {("alpha", 1): (1, (0,))}, p
     _assert_index_matches_base(idx, base)
 
 
@@ -488,3 +494,76 @@ def test_index_maintain_compacts_and_preserves_results(spark, tmp_path):
     r = idx.refresh()
     assert r["refreshed"] and not r.get("resync")
     _assert_index_matches_base(idx, base)
+
+
+def test_phrase_query_exact_adjacency(spark, tmp_path):
+    """phrase(): exact adjacency among INDEXED tokens (sub-3-char words
+    drop out of the position sequence), occurrence counting, term-order
+    sensitivity, and survival through incremental churn."""
+    base = CowTable.create(
+        spark, str(tmp_path / "docs"),
+        mk_docs(spark,
+                (1, "spark streaming joins spark streaming"),
+                (2, "streaming spark"),                  # reversed
+                (3, "spark of streaming"),               # 'of' dropped
+                (4, "spark fast streaming"),             # not adjacent
+                (5, "nothing relevant")),
+        keys=("doc_id",),
+    )
+    idx = SearchIndex.create(spark, str(tmp_path / "idx"), base)
+    got = {r.doc_id: r.hits
+           for r in idx.phrase("spark streaming", 10).collect()}
+    # doc 1: two occurrences; doc 3: 'of' carries no position, so
+    # spark/streaming are adjacent among indexed tokens; doc 2 is
+    # reversed, doc 4 has a token between
+    assert got == {1: 2, 3: 1}
+    # phrase through the tokenizer: punctuation/case normalize
+    assert {r.doc_id
+            for r in idx.phrase("Spark, STREAMING!", 10).collect()} \
+        == {1, 3}
+    with pytest.raises(ValueError, match="no indexable terms"):
+        idx.phrase("a of", 5)
+    # churn: doc 4 becomes a match, doc 1 stops matching
+    base.update(F.col("doc_id") == 4,
+                {"text": F.lit("now spark streaming here")})
+    base.update(F.col("doc_id") == 1,
+                {"text": F.lit("spark alone and streaming apart")})
+    idx.refresh()
+    got = {r.doc_id: r.hits
+           for r in idx.phrase("spark streaming", 10).collect()}
+    assert got == {3: 1, 4: 1}
+
+
+def test_facade_phrase_search(spark, tmp_path):
+    """SEARCH_INDEX('i', '"exact phrase"', k): the double-quoted form
+    routes to the positional phrase query as an inline relation."""
+    from openverse_catalog_spark.sql_facade import SqlFacade
+
+    f = SqlFacade(spark)
+    f.register_df(
+        "src",
+        mk_docs(spark,
+                (1, "spark streaming pipelines"),
+                (2, "streaming spark pipelines"),
+                (3, "spark streaming spark streaming")),
+    )
+    f.sql(
+        "CREATE TABLE docs PRIMARY KEY (doc_id) "
+        f"LOCATION '{tmp_path / 'docs'}' AS SELECT * FROM src"
+    )
+    f.sql(
+        "CREATE SEARCH INDEX si ON docs (text) "
+        f"LOCATION '{tmp_path / 'si'}'"
+    )
+    rows = f.sql(
+        "SELECT doc_id, hits FROM "
+        "SEARCH_INDEX('si', '\"spark streaming\"', 5) "
+        "ORDER BY hits DESC, doc_id"
+    ).collect()
+    assert [(r.doc_id, r.hits) for r in rows] == [(3, 2), (1, 1)]
+    # the unquoted form still runs BM25 (doc_id, score)
+    bm = f.sql(
+        "SELECT doc_id, score FROM "
+        "SEARCH_INDEX('si', 'spark streaming', 5)"
+    ).collect()
+    assert {r.doc_id for r in bm} == {1, 2, 3}

@@ -1,0 +1,177 @@
+"""Round-10 scale probes (append results to SCALING.md):
+
+1. ``decade`` — the 100x DECADE probe for the vector index: build on
+   1x / 10x / 100x embedding corpora (key-offset replication), apply
+   the SAME fixed-size churn (300 updates + 100 inserts), time
+   refresh() and a fixed 100-query probe, and record the index's
+   file/byte envelope. centroid_mod grows ~sqrt(n) per the index's own
+   guidance, so per-list size is ~sqrt(n): the refresh must stay FLAT
+   across both decades (O(churn), never O(corpus)) and the probe must
+   grow sublinearly (~sqrt at worst). All prior evidence was one
+   decade (10x); this is the second decade the 100 TB claim rests on.
+2. ``heal``  — recluster skew heal: a 10x corpus plus a 20k-vector HOT
+   CLUSTER aimed at one frozen centroid; probe queries point at the
+   hot direction, so the probed list IS the hot list. Measures probe
+   cost + skew stat before and after recluster(): the stat must report
+   the imbalance and the heal must re-flatten probe cost.
+
+Usage: python tools/probe_r10.py [decade|heal|all]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from openverse_catalog_spark.session import get_spark, load_tables  # noqa: E402
+from tools.scale_probe import SF_DIR, replicate  # noqa: E402
+
+
+def _tree_stats(root: str) -> tuple[int, float]:
+    files, size = 0, 0
+    for dirpath, _dirs, names in os.walk(root):
+        for n in names:
+            if n.endswith(".parquet"):
+                files += 1
+                size += os.path.getsize(os.path.join(dirpath, n))
+    return files, size / 1e6
+
+
+def probe_decade(spark) -> None:
+    from openverse_catalog_spark.operators.cowtable import CowTable
+    from openverse_catalog_spark.operators.vectorindex import VectorIndex
+
+    print("| corpus | rows | C | build (s) | refresh fixed churn (s) "
+          "| probe 100q (s) | list files | list MB |")
+    print("|---|---|---|---|---|---|---|---|")
+    for copies in (1, 10, 100):
+        tmp = tempfile.mkdtemp(prefix=f"vdec{copies}x_")
+        replicate(spark, SF_DIR, tmp, {"embeddings": ["vec_id"]},
+                  copies=copies)
+        e = load_tables(spark, tmp, ("embeddings",))["embeddings"].select(
+            "vec_id", "embedding"
+        )
+        n = e.count()
+        # C grows ~sqrt(n) (the index's own scaling guidance), so
+        # per-list size is ~sqrt(n) and the probed-bytes growth is the
+        # sublinear one the design promises
+        mod = max(1, int(math.sqrt(n)))
+        base = CowTable.create(
+            spark, f"{tmp}/vecs", e, keys=("vec_id",),
+            target_files=min(64, 16 * copies),
+        )
+        t0 = time.time()
+        idx = VectorIndex.create(
+            spark, f"{tmp}/idx", base, centroid_mod=mod,
+            target_files=min(64, 16 * copies),
+        )
+        t_build = time.time() - t0
+        n_cents = len(idx._centroid_matrix()[0])
+        # FIXED-SIZE churn independent of corpus size
+        base.update(
+            F.col("vec_id") < 300,
+            {"embedding": F.reverse(F.col("embedding"))},
+        )
+        newvecs = e.filter(F.col("vec_id") < 100).select(
+            (F.col("vec_id") + 50_000_000).alias("vec_id"),
+            F.reverse(F.col("embedding")).alias("embedding"),
+        )
+        base.merge_when(newvecs, insert=True)
+        t0 = time.time()
+        r = idx.refresh()
+        t_refresh = time.time() - t0
+        assert r["refreshed"] and not r.get("resync"), r
+        # FIXED query batch (same 100 ids at every scale)
+        queries = base.read().filter(
+            (F.col("vec_id") % 20 == 0) & (F.col("vec_id") < 2000)
+        )
+        t0 = time.time()
+        idx.probe(queries, k=3, nprobe=2).count()
+        t_probe = time.time() - t0
+        lf, lmb = _tree_stats(f"{tmp}/idx")
+        print(f"| {copies}x | {n} | {n_cents} | {t_build:.2f} "
+              f"| {t_refresh:.2f} | {t_probe:.2f} | {lf} | {lmb:.1f} |")
+
+
+def probe_heal(spark) -> None:
+    from openverse_catalog_spark.operators.cowtable import CowTable
+    from openverse_catalog_spark.operators.vectorindex import VectorIndex
+
+    tmp = tempfile.mkdtemp(prefix="vheal_")
+    replicate(spark, SF_DIR, tmp, {"embeddings": ["vec_id"]}, copies=10)
+    e = load_tables(spark, tmp, ("embeddings",))["embeddings"].select(
+        "vec_id", "embedding"
+    )
+    base = CowTable.create(
+        spark, f"{tmp}/vecs", e, keys=("vec_id",), target_files=16
+    )
+    idx = VectorIndex.create(
+        spark, f"{tmp}/idx", base, centroid_mod=141, target_files=16
+    )
+    # hot cluster: 20k near-copies of one direction -> one frozen list
+    rng = np.random.default_rng(7)
+    hot = rng.normal(size=64)
+    hot = hot / np.sqrt((hot * hot).sum())
+    hot_rows = [
+        (60_000_000 + j,
+         [float(x) for x in 2.0 * hot + rng.normal(scale=0.02, size=64)])
+        for j in range(20_000)
+    ]
+    base.merge_when(
+        spark.createDataFrame(
+            hot_rows, "vec_id long, embedding array<double>"
+        ),
+        insert=True,
+    )
+    idx.refresh()
+    # queries AIMED at the hot direction: the probed list is the hot one
+    qrows = [
+        (70_000_000 + j,
+         [float(x) for x in hot + rng.normal(scale=0.05, size=64)])
+        for j in range(100)
+    ]
+    queries = spark.createDataFrame(
+        qrows, "vec_id long, embedding array<double>"
+    )
+
+    def timed_probe() -> float:
+        t0 = time.time()
+        idx.probe(queries, k=3, nprobe=2, exclude_self=False).count()
+        return time.time() - t0
+
+    s_before = idx.list_stats()
+    t_before = min(timed_probe(), timed_probe())
+    t0 = time.time()
+    r = idx.recluster()
+    t_heal = time.time() - t0
+    s_after = idx.list_stats()
+    t_after = min(timed_probe(), timed_probe())
+    print("| stage | skew (max/median) | max list | hot-probe 100q (s) |")
+    print("|---|---|---|---|")
+    print(f"| before heal | {s_before['skew']:.1f} "
+          f"| {s_before['max_list']} | {t_before:.2f} |")
+    print(f"| after recluster ({t_heal:.1f} s, epoch {r['epoch']}, "
+          f"C {r['centroids']}) | {s_after['skew']:.1f} "
+          f"| {s_after['max_list']} | {t_after:.2f} |")
+
+
+def main() -> None:
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    spark = get_spark("probe_r10")
+    if which in ("decade", "all"):
+        probe_decade(spark)
+    if which in ("heal", "all"):
+        probe_heal(spark)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
