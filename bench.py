@@ -215,6 +215,7 @@ HEADLINE = [
     "vector_index_filtered",
     "sql_vector_search_filtered",
     "search_index_phrase",
+    "pipeline_end_to_end",
 ]
 
 

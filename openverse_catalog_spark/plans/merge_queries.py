@@ -2492,3 +2492,282 @@ def stats_incremental_analyze(spark, sf_dir):
         "col string, n_rows long, nulls long, min_v long, max_v long, "
         "ndv long",
     )
+
+
+# --- the full catalog pipeline, end to end ---------------------------------
+# Every stage the reference's DAG surface implies, walked by ONE oracle-
+# gated query: raw landing batch -> record cleaning (license pair
+# validation P2/P11, string sanitization P3, required-field drop P1) ->
+# canonical CoW table registered in a LakeCatalog -> a second landing
+# batch upserted with per-column strategies (J7/§2.4) INSIDE a catalog
+# transaction (publish pin) -> the unattended MAINTAIN tick refreshing
+# the registered search index AT the pin -> popularity constants +
+# standardized scoring (A7/A8) over the published snapshot -> top-k
+# BM25 served FROM THE INDEX joined with the popularity scores. The
+# unit suites cover each seam pairwise; this pins the integration:
+# the oracle recomputes the final published+indexed state from the raw
+# landing fixture alone.
+
+
+def _e2e_oracle() -> str:
+    from openverse_catalog_spark.functions.licenses import license_pairs
+
+    dim_rows = ",\n      ".join(
+        f"('{lic}', '{ver}', '{url}')" for lic, ver, url in license_pairs()
+    )
+    return f"""
+    WITH ks AS (SELECT o_orderkey AS k,
+                       CAST(o_totalprice AS DOUBLE) AS metric
+                FROM orders),
+    base AS (
+      SELECT k, metric,
+        CASE k % 3 WHEN 0 THEN 'flickr' WHEN 1 THEN 'museum'
+                   ELSE 'archive' END AS provider,
+        CASE WHEN k % 31 = 0 THEN NULL
+             ELSE 'f' || CAST(k AS VARCHAR) END AS fid,
+        'http://m/' || CAST(k AS VARCHAR) AS url,
+        CASE k % 7 WHEN 0 THEN 'BY' WHEN 1 THEN 'by-nc-sa'
+                   WHEN 2 THEN 'cc0' WHEN 3 THEN 'by-nd'
+                   WHEN 4 THEN 'PDM' WHEN 5 THEN 'junklicense'
+                   ELSE ' By-Sa ' END AS lic_raw,
+        CASE k % 7 WHEN 0 THEN '2.0' WHEN 1 THEN '4'
+                   WHEN 2 THEN CAST(NULL AS VARCHAR)
+                   WHEN 3 THEN '5.0' WHEN 4 THEN '1.00'
+                   WHEN 5 THEN '1.0' ELSE '3.0' END AS ver_raw,
+        'Item  "' || CAST(k AS VARCHAR) || '"   ' ||
+          CASE k % 5 WHEN 0 THEN 'sunset landscape'
+                     WHEN 1 THEN 'portrait study'
+                     WHEN 2 THEN 'landscape panorama'
+                     WHEN 3 THEN 'macro detail'
+                     ELSE 'street scene' END AS title1,
+        CASE WHEN k % 20 = 11 THEN NULL
+             ELSE 'Remastered   "' || CAST(k AS VARCHAR)
+                  || '"  landscape  edition' END AS title2
+      FROM ks),
+    norm AS (
+      SELECT k, lower(trim(lic_raw)) AS lic,
+             COALESCE(
+               CASE WHEN try_cast(ver_raw AS DOUBLE) IS NOT NULL THEN
+                 CAST(CAST(floor(try_cast(ver_raw AS DOUBLE)) AS BIGINT)
+                      AS VARCHAR)
+                 || '.' ||
+                 CAST(CAST((try_cast(ver_raw AS DOUBLE)
+                            - floor(try_cast(ver_raw AS DOUBLE))) * 10
+                           AS INT) AS VARCHAR)
+               END,
+               CASE WHEN lower(trim(lic_raw)) IN ('cc0', 'pdm') THEN '1.0'
+                    WHEN lower(trim(lic_raw)) = 'publicdomain'
+                      THEN 'N/A' END) AS ver
+      FROM base),
+    dim AS (SELECT * FROM (VALUES
+      {dim_rows}) AS v(license, license_version, license_url)),
+    valid AS (
+      SELECT n.k, d.license, d.license_version
+      FROM norm n JOIN dim d
+        ON d.license = n.lic AND d.license_version = n.ver),
+    c1 AS (
+      SELECT b.k, b.provider, b.fid, b.url, v.license, v.license_version,
+             replace(trim(regexp_replace(b.title1, '\\s+', ' ', 'g')),
+                     '"', '''') AS title,
+             b.metric
+      FROM base b JOIN valid v USING (k)
+      WHERE b.k % 4 <> 3 AND b.fid IS NOT NULL),
+    c2 AS (
+      SELECT b.k, b.provider, b.fid, b.url, v.license, v.license_version,
+             replace(trim(regexp_replace(
+               CASE WHEN b.k % 10 = 1 THEN b.title2 ELSE b.title1 END,
+               '\\s+', ' ', 'g')), '"', '''') AS title,
+             CASE WHEN b.k % 10 = 1 THEN b.metric + 50
+                  ELSE b.metric END AS metric
+      FROM base b JOIN valid v USING (k)
+      WHERE (b.k % 4 = 3 OR b.k % 10 = 1) AND b.fid IS NOT NULL),
+    final AS (
+      -- per-column upsert strategies over the keyed full outer join:
+      -- no_change -> target wins on match, source seeds the insert;
+      -- newest_non_null -> COALESCE(source, target)
+      SELECT COALESCE(c1.k, c2.k) AS media_id,
+             COALESCE(c1.provider, c2.provider) AS provider,
+             COALESCE(c2.title, c1.title) AS title,
+             COALESCE(c2.metric, c1.metric) AS metric
+      FROM c1 FULL OUTER JOIN c2 ON c1.k = c2.k),
+    p AS (SELECT provider, quantile_disc(metric, 0.85) AS raw_value
+          FROM final WHERE metric IS NOT NULL GROUP BY provider),
+    pc AS (SELECT provider,
+                  ((1 - 0.85) / 0.85) * (CASE WHEN raw_value = 0 THEN 1
+                                              ELSE raw_value END)
+                    AS constant
+           FROM p),
+    toks AS (
+      SELECT media_id AS doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(title),
+                                                      '[^a-z]+'),
+                                x -> length(x) >= 3)) AS term
+      FROM final WHERE title IS NOT NULL),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           WHERE term IN ('landscape', 'portrait', 'macro')
+           GROUP BY 1, 2),
+    idf AS (SELECT tf.term,
+                   ln(1.0 + (stats.n - count(DISTINCT tf.doc_id) + 0.5)
+                            / (count(DISTINCT tf.doc_id) + 0.5)) AS idf
+            FROM tf, stats GROUP BY tf.term, stats.n),
+    bm AS (SELECT tf.doc_id,
+                  sum(idf.idf * tf.tf * (1.2 + 1.0)
+                      / (tf.tf + 1.2 * (1.0 - 0.75
+                                        + 0.75 * dl.dl / stats.avgdl)))
+                    AS score
+           FROM tf JOIN idf USING (term)
+                   JOIN dl USING (doc_id), stats
+           GROUP BY tf.doc_id),
+    top AS (SELECT doc_id, round(score, 6) AS score FROM bm
+            ORDER BY round(score, 6) DESC, doc_id LIMIT 20)
+    SELECT t.doc_id AS media_id, f.title, t.score, f.provider,
+           round(f.metric / (f.metric + pc.constant), 6) AS popularity
+    FROM top t
+    JOIN final f ON f.media_id = t.doc_id
+    JOIN pc ON pc.provider = f.provider
+    """
+
+
+@register("pipeline_end_to_end", _e2e_oracle())
+def pipeline_end_to_end(spark, sf_dir):
+    """THE CATALOG SHOWCASE: landing -> clean -> canonical upsert ->
+    catalog publish pin -> MAINTAIN-ticked search index -> popularity
+    -> index-served retrieval, one oracle over the whole chain (the
+    reference runs this as separate Airflow DAGs: provider ingestion
+    ``provider_dag_factory.py``, loader upsert ``loader/sql.py``,
+    popularity refresh ``popularity/sql.py``, data refresh + index
+    handoff ``data_refresh_task_factory.py``). Integration seams this
+    pins that unit suites only cover pairwise: the index builds at the
+    FIRST publish pin and the maintenance tick advances it exactly to
+    the SECOND (never the raw head), the upsert's per-column strategies
+    feed both the index churn (a title nulled by newest-wins leaves the
+    postings) and the popularity facts, and the final result joins
+    index hits back to published rows."""
+    import os
+    import shutil
+    import tempfile
+
+    from openverse_catalog_spark.functions.licenses import normalize_license
+    from openverse_catalog_spark.operators.catalog import LakeCatalog
+    from openverse_catalog_spark.operators.cowtable import CowTable
+    from openverse_catalog_spark.operators.popularity import (
+        percentile_disc_by_group,
+        popularity_constants,
+        standardized_popularity,
+    )
+    from openverse_catalog_spark.operators.searchindex import SearchIndex
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    k = F.col("o_orderkey")
+    kind = (
+        F.when(k % 5 == 0, "sunset landscape")
+        .when(k % 5 == 1, "portrait study")
+        .when(k % 5 == 2, "landscape panorama")
+        .when(k % 5 == 3, "macro detail")
+        .otherwise("street scene")
+    )
+    title1 = F.concat(
+        F.lit('Item  "'), k.cast("string"), F.lit('"   '), kind
+    )
+    title2 = F.when(k % 20 == 11, F.lit(None).cast("string")).otherwise(
+        F.concat(
+            F.lit('Remastered   "'), k.cast("string"),
+            F.lit('"  landscape  edition'),
+        )
+    )
+    common = [
+        k.alias("media_id"),
+        F.when(k % 3 == 0, "flickr").when(k % 3 == 1, "museum")
+        .otherwise("archive").alias("provider"),
+        F.when(k % 31 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("f"), k.cast("string"))).alias("fid"),
+        F.concat(F.lit("http://m/"), k.cast("string")).alias("url"),
+        F.when(k % 7 == 0, "BY").when(k % 7 == 1, "by-nc-sa")
+        .when(k % 7 == 2, "cc0").when(k % 7 == 3, "by-nd")
+        .when(k % 7 == 4, "PDM").when(k % 7 == 5, "junklicense")
+        .otherwise(" By-Sa ").alias("license"),
+        F.when(k % 7 == 0, "2.0").when(k % 7 == 1, "4")
+        .when(k % 7 == 2, F.lit(None).cast("string"))
+        .when(k % 7 == 3, "5.0").when(k % 7 == 4, "1.00")
+        .when(k % 7 == 5, "1.0").otherwise("3.0")
+        .alias("license_version"),
+    ]
+    raw1 = o.filter(k % 4 != 3).select(
+        *common,
+        title1.alias("title_raw"),
+        F.col("o_totalprice").cast("double").alias("metric"),
+    )
+    raw2 = o.filter((k % 4 == 3) | (k % 10 == 1)).select(
+        *common,
+        F.when(k % 10 == 1, title2).otherwise(title1).alias("title_raw"),
+        F.when(k % 10 == 1, F.col("o_totalprice").cast("double") + 50)
+        .otherwise(F.col("o_totalprice").cast("double")).alias("metric"),
+    )
+
+    def clean(raw):
+        # P2/P11 pair validation nulls invalid licenses, P1 drops
+        # records missing required fields, P3 sanitizes strings
+        out = normalize_license(raw, spark)
+        return out.filter(
+            F.col("license").isNotNull() & F.col("fid").isNotNull()
+        ).select(
+            "media_id", "provider", "fid", "url",
+            "license", "license_version", "license_url",
+            clean_string_expr(F.col("title_raw"), None, False)
+            .alias("title"),
+            "metric",
+        )
+
+    c1, c2 = clean(raw1), clean(raw2)
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_e2e")
+    shutil.rmtree(root, ignore_errors=True)
+    cat = LakeCatalog.create(spark, os.path.join(root, "lake"))
+    media = CowTable.create(
+        spark, os.path.join(root, "media"), c1,
+        keys=("media_id",), target_files=4,
+    )
+    cat.register("media", media)
+    pin1 = cat._entry("media")["version"]
+    idx = SearchIndex.create(
+        spark, os.path.join(root, "idx"), media,
+        id_col="media_id", text_col="title", version=pin1,
+    )
+    cat.register_index(
+        "idx", "search", idx.root, "media",
+        {"id": "media_id", "text": "title"},
+    )
+    from openverse_catalog_spark.plans.timing import mark_fixture_done
+
+    mark_fixture_done()
+    cols = [
+        ColumnSpec("media_id", Datatype.int, required=True,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("provider", Datatype.char,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("fid", Datatype.char,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("url", Datatype.char),
+        ColumnSpec("license", Datatype.char),
+        ColumnSpec("license_version", Datatype.char),
+        ColumnSpec("license_url", Datatype.char),
+        ColumnSpec("title", Datatype.char),
+        ColumnSpec("metric", Datatype.double),
+    ]
+    with cat.transaction() as txn:
+        txn.table("media").merge(c2, cols)
+    pin2 = cat._entry("media")["version"]
+    tick = cat.maintain_tables(target_rows=1, retention_seconds=3600.0)
+    assert tick["index:idx"]["applied"] == pin2, tick["index:idx"]
+    assert not tick["index:idx"].get("resync"), tick["index:idx"]
+    snap = media.read(pin2)
+    p = percentile_disc_by_group(snap, ["provider"], "metric", 0.85)
+    pc = popularity_constants(p, 0.85)
+    scored = standardized_popularity(snap, pc, ["provider"], "metric")
+    hits = idx.bm25(["landscape", "portrait", "macro"], 20) \
+        .withColumnRenamed("doc_id", "media_id")
+    return hits.join(scored, "media_id").select(
+        "media_id", "title", "score", "provider",
+        F.round("standardized_popularity", 6).alias("popularity"),
+    )
