@@ -659,6 +659,10 @@ class VectorIndex(IncrementalIndex):
             self._write_state(v)  # the atomic re-point
         except BaseException:
             self._epoch = old_epoch
+            # restore the sampling memo too: a later refresh's state
+            # write must not persist the failed attempt's mod against
+            # the surviving old-epoch centroids
+            self._centroid_mod = st.get("centroid_mod")
             self._drop_epoch_caches()
             shutil.rmtree(edir, ignore_errors=True)
             raise
@@ -721,6 +725,17 @@ class VectorIndex(IncrementalIndex):
         # pass needs anyway — two broadcast copies of the centroid
         # matrix per handle otherwise
         bc = self._pq_broadcast() if self.pq_m else self._centroid_broadcast()
+        # query-vector shipping: a BOUNDED batch emits bare
+        # (query_id, centroid_id) pairs and re-attaches the vector via
+        # a broadcast join keyed on query_id — otherwise the probe
+        # output repeats each query vector nprobe times (dim x 8 x
+        # nprobe bytes per query) through the checkpoint and the lists
+        # join. An UNBOUNDED batch keeps the ride-along shape: the
+        # vector then reaches the cosine in the lists-join stage
+        # without shuffling the (much larger) candidate rows by
+        # query_id first.
+        nq = queries.count()
+        ship_qv = nq > MAX_BROADCAST_QUERIES
 
         def probe_gen(batches):
             import numpy as np
@@ -735,20 +750,20 @@ class VectorIndex(IncrementalIndex):
                     -(mat @ b_mat.T), axis=1, kind="stable"
                 )[:, :nprobe]
                 reps = order.shape[1]
-                yield pd.DataFrame(
-                    {
-                        "query_id": ids.repeat(reps),
-                        "centroid_id": b_ids[order.reshape(-1)],
-                        "__qv": pdf[vcc].to_numpy().repeat(reps),
-                    }
-                )
+                data = {
+                    "query_id": ids.repeat(reps),
+                    "centroid_id": b_ids[order.reshape(-1)],
+                }
+                if ship_qv:
+                    data["__qv"] = pdf[vcc].to_numpy().repeat(reps)
+                yield pd.DataFrame(data)
 
+        schema = "query_id long, centroid_id long"
+        if ship_qv:
+            schema += ", __qv array<double>"
         probe = (
             _as_double(queries, vcc).select(idc, vcc)
-            .mapInPandas(
-                probe_gen,
-                "query_id long, centroid_id long, __qv array<double>",
-            )
+            .mapInPandas(probe_gen, schema)
             .localCheckpoint(eager=False)
         )
         probed = sorted(
@@ -756,6 +771,13 @@ class VectorIndex(IncrementalIndex):
         )
         lists = self.lists.read_pruned(probed)
         cand = probe.join(lists, "centroid_id")
+        if ship_qv:
+            qv = probe.select("query_id", "__qv").distinct()
+        else:
+            qv = _as_double(queries, vcc).select(
+                F.col(idc).alias("query_id"), F.col(vcc).alias("__qv")
+            )
+            cand = cand.join(F.broadcast(qv), "query_id")
         if exclude_self:
             cand = cand.filter(
                 F.col("query_id") != F.col("neighbor_id")
@@ -764,7 +786,7 @@ class VectorIndex(IncrementalIndex):
             cand = cand.join(self._match_set(where), "neighbor_id", "semi")
         if self.pq_m:
             return self._probe_pq_rerank(
-                probe, cand, k, shortlist, rank_quantize
+                qv, cand, k, shortlist, rank_quantize
             )
         scored = cand.select(
             "query_id",
@@ -784,7 +806,7 @@ class VectorIndex(IncrementalIndex):
         )
 
     def _probe_pq_rerank(
-        self, probe: DataFrame, cand: DataFrame, k: int,
+        self, qv: DataFrame, cand: DataFrame, k: int,
         shortlist: int, rank_quantize,
     ) -> DataFrame:
         """PQ scoring: ADC over the pruned code lists (per-subspace
@@ -827,10 +849,11 @@ class VectorIndex(IncrementalIndex):
             F.col(self.id_col).alias("neighbor_id"),
             F.col(self.vec_col).alias("__nv"),
         )
-        # query vectors come from the already-checkpointed probe frame
-        # — re-deriving them from cand would re-run the probe-to-lists
-        # join (a second pruned lists read) for data one hop upstream
-        qv = probe.select("query_id", "__qv").distinct()
+        # query vectors arrive as the caller's (query_id, __qv) frame —
+        # either the bounded batch's source projection or the unbounded
+        # batch's checkpointed probe distinct; re-deriving them from
+        # cand would re-run the probe-to-lists join for data one hop
+        # upstream
         exact = (
             F.broadcast(short)
             .join(qv, "query_id")
