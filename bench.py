@@ -216,6 +216,7 @@ HEADLINE = [
     "sql_vector_search_filtered",
     "search_index_phrase",
     "pipeline_end_to_end",
+    "search_index_filtered",
 ]
 
 

@@ -317,7 +317,21 @@ class SearchIndex(IncrementalIndex):
 
     # -- query --------------------------------------------------------------
 
-    def bm25(self, terms: list[str], k: int) -> DataFrame:
+    def _match_set(self, where: str) -> DataFrame:
+        """Pre-filter match set for FILTERED retrieval: ids of base
+        rows satisfying the predicate, resolved at the index's APPLIED
+        version (what the postings reflect). Column-pruned to
+        (predicate cols -> id), so the filter and projection push into
+        the parquet scan."""
+        return (
+            self.base.read(self.applied_version)
+            .where(where)
+            .select(F.col(self.id_col).alias("doc_id"))
+        )
+
+    def bm25(
+        self, terms: list[str], k: int, where: str | None = None
+    ) -> DataFrame:
         """Top-k BM25 served FROM THE INDEX: the corpus is never
         tokenized at query time. Postings files are pruned by the term
         key range; doc-frequency and idf derive from the pruned
@@ -328,7 +342,15 @@ class SearchIndex(IncrementalIndex):
         at build time (lowercase, [a-z] runs of length >= 3), so
         ``bm25(['Spark'])`` finds the indexed 'spark' instead of
         silently matching nothing; terms the tokenizer would never
-        index drop out here too (they cannot have postings)."""
+        index drop out here too (they cannot have postings).
+
+        ``where`` runs a FILTERED search (ES-style filter context —
+        the reference's index consumers filter by license/provider on
+        every request): the predicate pre-filters against the BASE at
+        the applied version and candidates semi-join the match set
+        BEFORE scoring. Corpus statistics (idf, N, avgdl) stay
+        CORPUS-WIDE — the Lucene/ES convention: a filter restricts
+        candidates, it does not re-weigh term rarity."""
         import re as _re
 
         qt: list[str] = []
@@ -355,8 +377,13 @@ class SearchIndex(IncrementalIndex):
                 ).alias("idf"),
             )
         )
+        cand = post
+        if where is not None:
+            # candidates restricted BEFORE scoring; idf above derives
+            # from the unfiltered postings (corpus-wide term rarity)
+            cand = post.join(self._match_set(where), "doc_id", "semi")
         scored = (
-            post.join(F.broadcast(idf), "term")
+            cand.join(F.broadcast(idf), "term")
             .join(dl, "doc_id")
             .crossJoin(F.broadcast(stats.select("avgdl")))
             .select(
@@ -374,7 +401,9 @@ class SearchIndex(IncrementalIndex):
         )
         return scored.orderBy(F.col("score").desc(), "doc_id").limit(k)
 
-    def phrase(self, text: str, k: int) -> DataFrame:
+    def phrase(
+        self, text: str, k: int, where: str | None = None
+    ) -> DataFrame:
         """Top-k EXACT-PHRASE match served from the positional
         postings: candidate docs come from the term-range-pruned
         postings of the phrase's terms only (the corpus is never
@@ -389,7 +418,10 @@ class SearchIndex(IncrementalIndex):
         definition a from-scratch scan of the filtered token sequence
         yields. The join against a broadcast (term, slot) frame keys
         the postings read on the phrase's terms; cost ~ the phrase
-        terms' posting sizes, independent of corpus size."""
+        terms' posting sizes, independent of corpus size.
+
+        ``where`` pre-filters candidates against the BASE table at the
+        applied version (same contract as ``bm25(where=)``)."""
         import re as _re
 
         qt = [
@@ -406,6 +438,8 @@ class SearchIndex(IncrementalIndex):
             [(t, i) for i, t in enumerate(qt)], "term string, slot int"
         )
         post = self.postings.read_pruned(sorted(set(qt)))
+        if where is not None:
+            post = post.join(self._match_set(where), "doc_id", "semi")
         occ = (
             post.join(F.broadcast(slots), "term")
             .select(

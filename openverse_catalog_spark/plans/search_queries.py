@@ -626,6 +626,120 @@ def search_index_phrase(spark, sf_dir):
     return idx.phrase("hash join", 20)
 
 
+#: filtered-BM25 oracle: same post-churn corpus, candidates restricted
+#: to the predicate's docs BEFORE scoring, while idf/N/avgdl stay
+#: corpus-wide (the Lucene/ES filter-context rule the engine follows).
+_SIDX_FILTERED_ORACLE = f"""
+    WITH final AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 17 = 0
+                  THEN text || ' spark vector hash join'
+                  ELSE text END AS text,
+             source
+      FROM documents WHERE source IS DISTINCT FROM 'src4'
+      UNION ALL
+      SELECT 100000 + i AS doc_id,
+             'spark hash join vector quantum flux ' || repeat('pad ', i)
+               AS text,
+             'srcX' AS source
+      FROM unnest(range(0, 5)) AS u(i)
+    ),
+    toks AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM final
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks
+      WHERE term IN ('join', 'hash', 'vector', 'spark') GROUP BY 1, 2
+    ),
+    idf AS (
+      SELECT tf.term,
+             ln(1.0 + (stats.n - count(DISTINCT tf.doc_id) + 0.5)
+                      / (count(DISTINCT tf.doc_id) + 0.5)) AS idf
+      FROM tf, stats GROUP BY tf.term, stats.n
+    ),
+    mset AS (SELECT doc_id FROM final WHERE source <> 'srcX'),
+    scored AS (
+      SELECT tf.doc_id,
+             sum(idf.idf * tf.tf * ({_K1} + 1.0)
+                 / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.dl / stats.avgdl)))
+               AS score
+      FROM tf
+      JOIN mset USING (doc_id)
+      JOIN idf USING (term)
+      JOIN dl USING (doc_id), stats
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, round(score, 6) AS score
+    FROM scored ORDER BY round(score, 6) DESC, doc_id LIMIT 20
+    """
+
+
+@register(
+    "search_index_filtered",
+    _SIDX_FILTERED_ORACLE,
+)
+def search_index_filtered(spark, sf_dir):
+    """FILTERED BM25 from the index — the lexical twin of
+    vector_index_filtered (the reference's ES consumers filter by
+    license/provider on every request,
+    data_refresh_task_factory.py:183-240): the predicate pre-filters
+    against the BASE table at the index's applied version and
+    candidates semi-join the match set BEFORE scoring, while idf/N/
+    avgdl stay CORPUS-WIDE (the Lucene filter-context rule — a filter
+    restricts candidates, it does not re-weigh term rarity). The churn
+    inserts 'srcX' docs that would dominate the unfiltered top-k; the
+    filter excludes them, so the filtered ranking differs materially
+    and the oracle pins the exact contract."""
+    import os
+    import shutil
+    import tempfile
+
+    from openverse_catalog_spark.operators.cowtable import CowTable
+    from openverse_catalog_spark.operators.searchindex import SearchIndex
+    from openverse_catalog_spark.schemas.columns import (
+        ColumnSpec,
+        Datatype,
+        UpsertStrategy,
+    )
+
+    d = _t(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "text", "source"
+    )
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_fltsidx")
+    shutil.rmtree(root, ignore_errors=True)
+    base = CowTable.create(
+        spark, os.path.join(root, "docs"), d,
+        keys=("doc_id",), target_files=4,
+    )
+    idx = SearchIndex.create(spark, os.path.join(root, "idx"), base)
+    from openverse_catalog_spark.plans.timing import mark_fixture_done
+
+    mark_fixture_done()
+    base.delete(F.col("source") == "src4")
+    base.update(
+        F.col("doc_id") % 17 == 0,
+        {"text": F.concat(F.col("text"), F.lit(" spark vector hash join"))},
+    )
+    cols = [
+        ColumnSpec("doc_id", Datatype.int, required=True,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("text", Datatype.char),
+        ColumnSpec("source", Datatype.char),
+    ]
+    newdocs = spark.createDataFrame(
+        [(100000 + i, "spark hash join vector quantum flux " + "pad " * i,
+          "srcX") for i in range(5)],
+        "doc_id long, text string, source string",
+    )
+    base.merge(newdocs, cols)
+    idx.refresh()
+    return idx.bm25(
+        ["join", "hash", "vector", "spark"], 20, where="source <> 'srcX'"
+    )
+
+
 @register(
     "sql_search_index",
     _SIDX_ORACLE,

@@ -221,7 +221,8 @@ _DROP_SIDX = re.compile(
     r"^\s*DROP\s+SEARCH\s+INDEX\s+(\w+)\s*$", re.IGNORECASE
 )
 _SEARCH_TVF = re.compile(
-    r"\bSEARCH_INDEX\s*\(\s*'(\w+)'\s*,\s*'([^']+)'\s*,\s*(\d+)\s*\)",
+    r"\bSEARCH_INDEX\s*\(\s*'(\w+)'\s*,\s*'([^']+)'\s*,\s*(\d+)"
+    r'(?:\s*,\s*WHERE\s+"([^"]+)")?\s*\)',
     re.IGNORECASE,
 )
 _CREATE_VIDX = re.compile(
@@ -666,8 +667,12 @@ class SqlFacade:
             # time) as an inline relation (doc_id, score).
             # SEARCH_INDEX('idx', '"an exact phrase"', k): the
             # double-quoted form runs an EXACT-PHRASE query against the
-            # positional postings instead — relation (doc_id, hits)
-            name, terms_text, k = match.groups()
+            # positional postings instead — relation (doc_id, hits).
+            # Either form takes an optional trailing `, WHERE "pred"`
+            # — FILTERED retrieval: the predicate pre-filters the BASE
+            # table at the applied version (candidates only; idf/N
+            # stay corpus-wide, the Lucene/ES filter-context rule)
+            name, terms_text, k, where = match.groups()
             if name not in self._sidx:
                 raise ValueError(
                     f"{name!r} is not a registered search index "
@@ -682,12 +687,14 @@ class SqlFacade:
                 and stripped.startswith('"')
                 and stripped.endswith('"')
             ):
-                out = self._sidx[name].phrase(stripped[1:-1], int(k))
+                out = self._sidx[name].phrase(
+                    stripped[1:-1], int(k), where=where
+                )
             else:
                 terms = [t for t in terms_text.split() if t]
                 if not terms:
                     raise ValueError("SEARCH_INDEX needs >= 1 term")
-                out = self._sidx[name].bm25(terms, int(k))
+                out = self._sidx[name].bm25(terms, int(k), where=where)
             out.createOrReplaceTempView(view)
             self._stmt_views.append(view)
             return view

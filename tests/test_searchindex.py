@@ -567,3 +567,57 @@ def test_facade_phrase_search(spark, tmp_path):
         "SEARCH_INDEX('si', 'spark streaming', 5)"
     ).collect()
     assert {r.doc_id for r in bm} == {1, 2, 3}
+
+
+def test_filtered_bm25_and_phrase(spark, tmp_path):
+    """bm25/phrase(where=...): candidates pre-filter against the base
+    at the applied version; idf and corpus stats stay corpus-wide (the
+    Lucene filter-context rule); facade WHERE arm routes both forms."""
+    from openverse_catalog_spark.sql_facade import SqlFacade
+
+    rows = [
+        (1, "spark streaming joins", "a"),
+        (2, "spark streaming windows", "b"),
+        (3, "spark streaming spark streaming", "b"),
+        (4, "plain text here", "a"),
+    ]
+    base = CowTable.create(
+        spark, str(tmp_path / "docs"),
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ),
+        keys=("doc_id",),
+    )
+    idx = SearchIndex.create(spark, str(tmp_path / "idx"), base)
+    # unfiltered top-1 is doc 3 (highest tf); filtering source='a'
+    # excludes it and must surface doc 1, NOT re-rank by filtered idf
+    top = idx.bm25(["spark", "streaming"], 1).collect()
+    assert top[0].doc_id == 3
+    flt = idx.bm25(["spark", "streaming"], 10, where="source = 'a'")
+    assert [r.doc_id for r in flt.collect()] == [1]
+    # the filtered score equals the UNFILTERED score of the same doc
+    # (corpus-wide stats): doc 1's score must match in both runs
+    unf = {r.doc_id: r.score
+           for r in idx.bm25(["spark", "streaming"], 10).collect()}
+    assert flt.collect()[0].score == unf[1]
+    # phrase with filter
+    ph = idx.phrase("spark streaming", 10, where="source = 'b'")
+    assert {(r.doc_id, r.hits) for r in ph.collect()} == {(2, 1), (3, 2)}
+    # facade WHERE arm, both forms
+    f = SqlFacade(spark)
+    f.register_table("docs", base)
+    f.sql(
+        "ATTACH SEARCH INDEX si ON docs (text) "
+        f"LOCATION '{tmp_path / 'idx'}'"
+    )
+    got = f.sql(
+        "SELECT doc_id FROM "
+        "SEARCH_INDEX('si', 'spark streaming', 10, WHERE \"source = 'a'\")"
+    ).collect()
+    assert [r.doc_id for r in got] == [1]
+    got = f.sql(
+        "SELECT doc_id, hits FROM "
+        "SEARCH_INDEX('si', '\"spark streaming\"', 10, "
+        "WHERE \"source = 'b'\") ORDER BY hits DESC"
+    ).collect()
+    assert [(r.doc_id, r.hits) for r in got] == [(3, 2), (2, 1)]
