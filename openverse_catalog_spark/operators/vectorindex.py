@@ -695,6 +695,7 @@ class VectorIndex(IncrementalIndex):
         shortlist: int = 10,
         exclude_self: bool = True,
         where: str | None = None,
+        ship_queries: bool | None = None,
     ) -> DataFrame:
         """Batch ANN probe served FROM THE INDEX (the
         :func:`~.knn.ivf_probe_index` contract over the CoW lists):
@@ -733,9 +734,13 @@ class VectorIndex(IncrementalIndex):
         # join. An UNBOUNDED batch keeps the ride-along shape: the
         # vector then reaches the cosine in the lists-join stage
         # without shuffling the (much larger) candidate rows by
-        # query_id first.
-        nq = queries.count()
-        ship_qv = nq > MAX_BROADCAST_QUERIES
+        # query_id first. ``ship_queries`` overrides the size-based
+        # choice (tests pin both paths without a 65k-row fixture).
+        ship_qv = (
+            queries.count() > MAX_BROADCAST_QUERIES
+            if ship_queries is None
+            else bool(ship_queries)
+        )
 
         def probe_gen(batches):
             import numpy as np

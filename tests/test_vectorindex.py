@@ -791,3 +791,43 @@ def test_facade_reindex_and_skew_columns(spark, tmp_path):
         f"SELECT neighbor_id, cosine FROM VECTOR_SEARCH('vi', '{q}', 2)"
     ).collect()
     assert out[0].neighbor_id == 7
+
+
+def test_probe_qv_shipping_paths_agree(spark, tmp_path):
+    """Both query-vector shipping modes (bounded broadcast re-join vs
+    unbounded ride-along) must return identical results in raw AND PQ
+    mode, filtered and not — ship_queries pins the path explicitly so
+    the ride-along branch stays tested without a 65k-row fixture."""
+    rows = [(i, _vec(i), "en" if i % 2 == 0 else "de")
+            for i in range(60)]
+    base = CowTable.create(
+        spark, str(tmp_path / "vecs"),
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, lang string"
+        ),
+        keys=("vec_id",),
+    )
+    queries = base.read().filter(F.col("vec_id") % 20 == 0)
+    for pq in (None, 4):
+        idx = VectorIndex.create(
+            spark, str(tmp_path / f"idx{pq}"), base,
+            centroid_mod=10, pq_m=pq, codebook_mod=7,
+        )
+        for where in (None, "lang = 'en'"):
+            got = {
+                (r.query_id, r.rank): (r.neighbor_id,
+                                       round(r.cosine, 6))
+                for r in idx.probe(
+                    queries, k=3, nprobe=2, shortlist=10,
+                    rank_quantize=9, where=where, ship_queries=False,
+                ).collect()
+            }
+            want = {
+                (r.query_id, r.rank): (r.neighbor_id,
+                                       round(r.cosine, 6))
+                for r in idx.probe(
+                    queries, k=3, nprobe=2, shortlist=10,
+                    rank_quantize=9, where=where, ship_queries=True,
+                ).collect()
+            }
+            assert got == want and got, (pq, where)

@@ -14,8 +14,14 @@
    hot direction, so the probed list IS the hot list. Measures probe
    cost + skew stat before and after recluster(): the stat must report
    the imbalance and the heal must re-flatten probe cost.
+3. ``filtered`` — filtered ANN at 1x and 10x: a COMMON predicate
+   (~1/3 of the corpus — no escalation) and a RARE one (~1%% — nprobe
+   escalates to the recall floor), single-vector search(where=) each,
+   vs the brute-force exact filtered scan. The filtered search must
+   stay near-flat at 10x (pre-filter scan is column-pruned; probe
+   reads only probed lists) and far under the exact scan.
 
-Usage: python tools/probe_r10.py [decade|heal|all]
+Usage: python tools/probe_r10.py [decade|heal|filtered|all]
 """
 
 from __future__ import annotations
@@ -163,6 +169,61 @@ def probe_heal(spark) -> None:
           f"| {s_after['max_list']} | {t_after:.2f} |")
 
 
+def probe_filtered(spark) -> None:
+    from openverse_catalog_spark.operators.cowtable import CowTable
+    from openverse_catalog_spark.operators.knn import cosine_expr
+    from openverse_catalog_spark.operators.vectorindex import VectorIndex
+
+    q = [float((i * 37 % 19) - 9) for i in range(64)]
+    print("| corpus | common filter search (s) | rare filter search (s) "
+          "| exact filtered scan (s) |")
+    print("|---|---|---|---|")
+    for copies in (1, 10):
+        tmp = tempfile.mkdtemp(prefix=f"vflt{copies}x_")
+        replicate(spark, SF_DIR, tmp, {"embeddings": ["vec_id"]},
+                  copies=copies)
+        e = load_tables(spark, tmp, ("embeddings",))["embeddings"].select(
+            "vec_id", "embedding",
+            F.expr(
+                "CASE WHEN vec_id % 97 = 0 THEN 'gd' "
+                "WHEN vec_id % 3 = 0 THEN 'en' ELSE 'de' END"
+            ).alias("lang"),
+        )
+        base = CowTable.create(
+            spark, f"{tmp}/vecs", e, keys=("vec_id",), target_files=16
+        )
+        idx = VectorIndex.create(
+            spark, f"{tmp}/idx", base,
+            centroid_mod=40 if copies == 1 else 141, target_files=16,
+        )
+
+        def timed(fn):
+            t0 = time.time()
+            fn()
+            a = time.time() - t0
+            t0 = time.time()
+            fn()
+            return min(a, time.time() - t0)  # warm best-of-2
+
+        t_common = timed(
+            lambda: idx.search(q, k=10, nprobe=2,
+                               where="lang = 'en'").count()
+        )
+        t_rare = timed(
+            lambda: idx.search(q, k=10, nprobe=2,
+                               where="lang = 'gd'").count()
+        )
+        qarr = F.array(*[F.lit(float(x)) for x in q])
+        t_exact = timed(
+            lambda: base.read()
+            .filter("lang = 'gd'")
+            .select(cosine_expr(qarr, F.col("embedding")).alias("c"))
+            .orderBy(F.col("c").desc()).limit(10).count()
+        )
+        print(f"| {copies}x | {t_common:.2f} | {t_rare:.2f} "
+              f"| {t_exact:.2f} |")
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = get_spark("probe_r10")
@@ -170,6 +231,8 @@ def main() -> None:
         probe_decade(spark)
     if which in ("heal", "all"):
         probe_heal(spark)
+    if which in ("filtered", "all"):
+        probe_filtered(spark)
     spark.stop()
 
 
