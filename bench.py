@@ -217,6 +217,7 @@ HEADLINE = [
     "search_index_phrase",
     "pipeline_end_to_end",
     "search_index_filtered",
+    "search_hybrid_filtered",
 ]
 
 

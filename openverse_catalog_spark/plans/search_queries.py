@@ -942,6 +942,109 @@ _HYBRID_IDX_ORACLE = f"""
 """
 
 
+#: filtered-hybrid oracle: the SAME predicate (id % 3 == 0 -> 'en')
+#: restricts BOTH arms' candidates; lexical idf/N/avgdl stay
+#: corpus-wide (the filter-context rule), the vector arm restricts the
+#: probed candidates exactly like the engine's pre-filter semi-join.
+_HYBRID_FLT_ORACLE = _HYBRID_IDX_ORACLE.replace(
+    """    bm AS (
+      SELECT tf.doc_id,""",
+    """    mset AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+    bm AS (
+      SELECT tf.doc_id,""",
+).replace(
+    """      FROM tf
+      JOIN idf USING (term)""",
+    """      FROM tf
+      JOIN mset USING (doc_id)
+      JOIN idf USING (term)""",
+).replace(
+    """    cand AS (SELECT a.neighbor_id
+             FROM assign a JOIN probe p USING (centroid_id)
+             WHERE a.neighbor_id <> 0),""",
+    """    cand AS (SELECT a.neighbor_id
+             FROM assign a JOIN probe p USING (centroid_id)
+             WHERE a.neighbor_id <> 0 AND a.neighbor_id % 3 = 0),""",
+)
+
+
+@register("search_hybrid_filtered", _HYBRID_FLT_ORACLE)
+def search_hybrid_filtered(spark, sf_dir):
+    """FILTERED hybrid retrieval — one predicate pushed through BOTH
+    index-served arms (the complete filtered-retrieval story: every
+    real consumer of the reference's search handoff filters by
+    license/provider on each request, and a hybrid ranker must apply
+    the filter consistently on both sides or fusion re-surfaces
+    excluded docs). Lexical arm: bm25(where=) — candidates pre-filter
+    against the base, idf stays corpus-wide; vector arm:
+    probe(where=) — candidates semi-join the match set inside the
+    probed lists. Fusion is the same RRF; the oracle replays both
+    filtered arms and the fusion exactly."""
+    import os
+    import shutil
+    import tempfile
+
+    from openverse_catalog_spark.operators.cowtable import CowTable
+    from openverse_catalog_spark.operators.searchindex import SearchIndex
+    from openverse_catalog_spark.operators.vectorindex import VectorIndex
+
+    d = _t(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "text",
+        F.expr("CASE WHEN doc_id % 3 = 0 THEN 'en' "
+               "WHEN doc_id % 3 = 1 THEN 'de' ELSE 'fr' END")
+        .alias("lang"),
+    )
+    e = _t(spark, sf_dir, "embeddings")["embeddings"].select(
+        "vec_id", "embedding",
+        F.expr("CASE WHEN vec_id % 3 = 0 THEN 'en' "
+               "WHEN vec_id % 3 = 1 THEN 'de' ELSE 'fr' END")
+        .alias("lang"),
+    )
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_hybrid_flt")
+    shutil.rmtree(root, ignore_errors=True)
+    docs = CowTable.create(
+        spark, os.path.join(root, "docs"), d, keys=("doc_id",),
+        target_files=4,
+    )
+    vecs = CowTable.create(
+        spark, os.path.join(root, "vecs"), e, keys=("vec_id",),
+        target_files=4,
+    )
+    sidx = SearchIndex.create(spark, os.path.join(root, "sidx"), docs)
+    vidx = VectorIndex.create(
+        spark, os.path.join(root, "vidx"), vecs, centroid_mod=40,
+    )
+    from openverse_catalog_spark.plans.timing import mark_fixture_done
+
+    mark_fixture_done()
+
+    w_lex = Window.orderBy(F.col("score").desc(), "doc_id")
+    lex = (
+        sidx.bm25(_BM25_TERMS, _HYBRID_DEPTH, where="lang = 'en'")
+        .withColumn("r_lex", F.row_number().over(w_lex))
+        .select("doc_id", "r_lex")
+    )
+    queries = vecs.read().filter(F.col("vec_id") == 0)
+    vec = vidx.probe(
+        queries, k=_HYBRID_DEPTH, nprobe=2, rank_quantize=6,
+        where="lang = 'en'",
+    ).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("r_vec"),
+    )
+    fused = lex.join(vec, "doc_id", "full_outer").select(
+        "doc_id",
+        "r_lex",
+        "r_vec",
+        F.round(
+            F.coalesce(1.0 / (_RRF_K + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("r_vec")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(20)
+
+
 @register("search_hybrid_indexed", _HYBRID_IDX_ORACLE)
 def search_hybrid_indexed(spark, sf_dir):
     """Hybrid BM25 + vector retrieval served FROM BOTH PERSISTED
