@@ -673,6 +673,7 @@ class LakeCatalog:
         keep_versions: int = 1,
         retention_seconds: float = 3600.0,
         catalog_history: int | None = None,
+        reindex_skew: float | None = None,
     ) -> dict:
         """The catalog-integrated maintenance tick. Runs ``recover()``
         FIRST: compaction reads the table HEAD, so a torn transaction's
@@ -690,7 +691,16 @@ class LakeCatalog:
         and inflate the drift counter. ANALYZEd tables get their stats
         advanced O(churn) (the autoanalyze tick), then pin-protected
         ``vacuum_tables`` GCs history. The decision reads only
-        manifests; tables needing nothing get no catalog commit."""
+        manifests; tables needing nothing get no catalog commit.
+
+        ``reindex_skew`` (opt-in, default off): after refreshing each
+        registered VECTOR index, check its list-balance telemetry and
+        recluster() when max/median skew reaches the bound — the
+        telemetry->heal loop closed for unattended operation. Off by
+        default because a recluster is an O(corpus) rebuild: an
+        operator must explicitly accept that a tick may occasionally
+        pay it (the heal itself is an atomic epoch swap; queries keep
+        serving the old epoch throughout)."""
         from openverse_catalog_spark.operators.cowtable import (
             ZORDER_CLAMP_RETIGHTEN,
         )
@@ -790,6 +800,20 @@ class LakeCatalog:
                         v.get("compacted") for v in mnt.values()
                     ),
                 }
+                if reindex_skew is not None and e["kind"] == "vector":
+                    bal = idx.list_stats()
+                    report[f"index:{iname}"]["skew"] = round(
+                        bal["skew"], 3
+                    )
+                    if (
+                        bal["median_list"] > 0
+                        and bal["skew"] >= float(reindex_skew)
+                    ):
+                        # the refresh above resolved any pending span,
+                        # so the heal's precondition holds; content
+                        # rebuilds at the applied (= pinned) version
+                        heal = idx.recluster()
+                        report[f"index:{iname}"]["reindexed"] = heal
             except Exception as exc:  # noqa: BLE001 - unattended tick
                 report[f"index:{iname}"] = {"error": str(exc)}
         report["vacuumed"] = self.vacuum_tables(

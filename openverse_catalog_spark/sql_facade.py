@@ -256,7 +256,8 @@ _MAINTAIN_CATALOG = re.compile(
     r"^\s*MAINTAIN\s+(CATALOG)"
     r"(?:\s+TARGET\s+(\d+)\s+ROWS)?"
     r"(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?"
-    r"(?:\s+HISTORY\s+(\d+)\s+COMMITS)?\s*$",
+    r"(?:\s+HISTORY\s+(\d+)\s+COMMITS)?"
+    r"(?:\s+REINDEX\s+SKEW\s+(\d+(?:\.\d+)?))?\s*$",
     re.IGNORECASE,
 )
 _MAINTAIN = re.compile(
@@ -1898,6 +1899,12 @@ class SqlFacade:
                 # newest h, unprotecting the pins they carried (clone
                 # keep-sets still protect registered branches)
                 kw["catalog_history"] = int(m.group(4))
+            if m.group(5):
+                # REINDEX SKEW s: opt-in auto-heal — recluster a
+                # registered vector index whose max/median list skew
+                # reaches s (an O(corpus) rebuild the operator
+                # explicitly accepts; atomic epoch swap)
+                kw["reindex_skew"] = float(m.group(5))
             rep = self._catalog.maintain_tables(**kw)
             self._head_version.clear()
             rows = []

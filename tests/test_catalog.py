@@ -909,3 +909,80 @@ def test_concurrent_index_registrations_all_survive(spark, tmp_path):
         t.join()
     assert not errs
     assert sorted(cat.indexes()) == [f"i{n}" for n in range(8)]
+
+
+def test_maintain_reindex_skew_heals_vector_index(spark, tmp_path):
+    """MAINTAIN with reindex_skew: the tick reports each vector
+    index's list skew and — only when the opt-in bound is hit —
+    reclusters it as an atomic epoch swap; without the opt-in the
+    frozen centroids stay."""
+    import numpy as np
+
+    from openverse_catalog_spark.operators.vectorindex import VectorIndex
+
+    def vec(seed):
+        rng = np.random.default_rng(seed)
+        return [float(x) for x in rng.normal(size=8)]
+
+    cat = LakeCatalog.create(spark, str(tmp_path / "lake"))
+    vecs = CowTable.create(
+        spark, str(tmp_path / "vecs"),
+        spark.createDataFrame(
+            [(i, vec(i)) for i in range(40)],
+            "vec_id long, embedding array<double>",
+        ),
+        keys=("vec_id",),
+    )
+    cat.register("vecs", vecs)
+    idx = VectorIndex.create(
+        spark, str(tmp_path / "vi"), vecs, centroid_mod=10,
+        version=cat._entry("vecs")["version"],
+    )
+    cat.register_index("vi", "vector", idx.root, "vecs",
+                       {"id": "vec_id", "vector": "embedding"})
+    # hot cluster through a catalog txn (publishes the pin)
+    rng = np.random.default_rng(3)
+    hot = np.asarray(vec(0))
+    hot = hot / np.sqrt((hot * hot).sum())
+    batch = spark.createDataFrame(
+        [(100 + j, [float(x) for x in 2.0 * hot
+                    + rng.normal(scale=0.02, size=8)])
+         for j in range(120)],
+        "vec_id long, embedding array<double>",
+    )
+    with cat.transaction() as txn:
+        txn.table("vecs").merge_when(batch, insert=True)
+    # tick WITHOUT the opt-in: refreshed at the pin, skew NOT healed
+    rep = cat.maintain_tables(target_rows=1, retention_seconds=3600.0)
+    assert rep["index:vi"]["applied"] == cat._entry("vecs")["version"]
+    assert "reindexed" not in rep["index:vi"]
+    re1 = VectorIndex.open(spark, idx.root, vecs)
+    s1 = re1.list_stats()
+    assert re1.epoch == 0 and s1["skew"] > 8.0
+    # tick WITH the opt-in: skew reported and healed (assert the
+    # RELATIVE drop — a 160-row fixture's median is small-sample
+    # noisy, so an absolute bound would flake)
+    rep = cat.maintain_tables(
+        target_rows=1, retention_seconds=3600.0, reindex_skew=8.0
+    )
+    assert rep["index:vi"]["skew"] > 8.0
+    assert rep["index:vi"]["reindexed"]["epoch"] == 1
+    re2 = VectorIndex.open(spark, idx.root, vecs)
+    s2 = re2.list_stats()
+    assert re2.epoch == 1
+    assert s2["skew"] < s1["skew"] / 2
+    assert s2["max_list"] < s1["max_list"] / 3
+    # now below the bound: no further reindex
+    rep = cat.maintain_tables(
+        target_rows=1, retention_seconds=3600.0, reindex_skew=8.0
+    )
+    assert "reindexed" not in rep["index:vi"]
+    # facade arm parses and routes the threshold
+    from openverse_catalog_spark.sql_facade import SqlFacade
+
+    f = SqlFacade(spark)
+    f.attach_catalog(cat)
+    out = {r["name"]: r for r in f.sql(
+        "MAINTAIN CATALOG TARGET 1 ROWS REINDEX SKEW 8.0"
+    ).collect()}
+    assert "index:vi" in out
