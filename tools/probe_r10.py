@@ -21,7 +21,15 @@
    stay near-flat at 10x (pre-filter scan is column-pruned; probe
    reads only probed lists) and far under the exact scan.
 
-Usage: python tools/probe_r10.py [decade|heal|filtered|all]
+4. ``sdecade`` — the 100x decade probe for the SEARCH index: same
+   harness shape as ``decade`` over replicated documents (fixed churn
+   = 500 text updates + 100 inserts; fixed BM25 + phrase queries).
+   Refresh must stay flat across both decades; query cost tracks the
+   query terms' posting sizes (~linear in corpus for a fixed term —
+   the honest bound for an inverted index; file PRUNING keeps the
+   constant small).
+
+Usage: python tools/probe_r10.py [decade|heal|filtered|sdecade|all]
 """
 
 from __future__ import annotations
@@ -224,6 +232,70 @@ def probe_filtered(spark) -> None:
               f"| {t_exact:.2f} |")
 
 
+def probe_sdecade(spark) -> None:
+    from openverse_catalog_spark.operators.cowtable import CowTable
+    from openverse_catalog_spark.operators.searchindex import SearchIndex
+    from openverse_catalog_spark.schemas.columns import (
+        ColumnSpec,
+        Datatype,
+        UpsertStrategy,
+    )
+
+    cols = [
+        ColumnSpec("doc_id", Datatype.int, required=True,
+                   upsert_strategy=UpsertStrategy.no_change),
+        ColumnSpec("text", Datatype.char),
+        ColumnSpec("source", Datatype.char),
+    ]
+    print("| corpus | docs | build (s) | refresh fixed churn (s) "
+          "| bm25 (s) | phrase (s) | postings files | postings MB |")
+    print("|---|---|---|---|---|---|---|---|")
+    for copies in (1, 10, 100):
+        tmp = tempfile.mkdtemp(prefix=f"sdec{copies}x_")
+        replicate(spark, SF_DIR, tmp, {"documents": ["doc_id"]},
+                  copies=copies)
+        d = load_tables(spark, tmp, ("documents",))["documents"].select(
+            "doc_id", "text", "source"
+        )
+        n = d.count()
+        base = CowTable.create(
+            spark, f"{tmp}/docs", d, keys=("doc_id",),
+            target_files=min(64, 16 * copies),
+        )
+        t0 = time.time()
+        idx = SearchIndex.create(
+            spark, f"{tmp}/idx", base,
+            target_files=min(64, 16 * copies),
+        )
+        t_build = time.time() - t0
+        # FIXED-SIZE churn independent of corpus size
+        base.update(
+            F.col("doc_id") < 500,
+            {"text": F.concat(F.col("text"),
+                              F.lit(" spark vector hash join"))},
+        )
+        newdocs = spark.createDataFrame(
+            [(90_000_000 + i,
+              "spark hash join vector quantum flux " + "pad " * (i % 5),
+              "srcX") for i in range(100)],
+            "doc_id long, text string, source string",
+        )
+        base.merge(newdocs, cols)
+        t0 = time.time()
+        r = idx.refresh()
+        t_refresh = time.time() - t0
+        assert r["refreshed"] and not r.get("resync"), r
+        t0 = time.time()
+        idx.bm25(["spark", "hash", "join", "vector"], 20).count()
+        t_bm = time.time() - t0
+        t0 = time.time()
+        idx.phrase("hash join", 20).count()
+        t_ph = time.time() - t0
+        pf, pmb = _tree_stats(f"{tmp}/idx/postings")
+        print(f"| {copies}x | {n} | {t_build:.2f} | {t_refresh:.2f} "
+              f"| {t_bm:.2f} | {t_ph:.2f} | {pf} | {pmb:.1f} |")
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = get_spark("probe_r10")
@@ -233,6 +305,8 @@ def main() -> None:
         probe_heal(spark)
     if which in ("filtered", "all"):
         probe_filtered(spark)
+    if which in ("sdecade", "all"):
+        probe_sdecade(spark)
     spark.stop()
 
 
