@@ -469,6 +469,24 @@ class VectorIndex(IncrementalIndex):
 
     # -- maintenance --------------------------------------------------------
 
+    def refresh(self, to_version: int | None = None) -> dict:
+        """Epoch-aware refresh: re-sync the epoch memo from durable
+        state first — another process may have recluster()'d since
+        this handle was opened, and a refresh against the vanished old
+        epoch's lists would strand the update (stale QUERIES fail
+        loudly on the removed files; a stale WRITE must not). Caches
+        drop only when the epoch actually moved, so the broadcast
+        reuse across an unattended tick loop survives."""
+        try:
+            disk = int(self._state().get("epoch", 0))
+        except FileNotFoundError:
+            disk = 0
+        if disk != getattr(self, "_epoch", disk):
+            self._epoch = disk
+            self._drop_epoch_caches()
+        self._epoch = disk
+        return super().refresh(to_version)
+
     def _apply_feed(self, feed: DataFrame, to_v: int) -> None:
         idc, vcc = self.id_col, self.vec_col
 

@@ -831,3 +831,30 @@ def test_probe_qv_shipping_paths_agree(spark, tmp_path):
                 ).collect()
             }
             assert got == want and got, (pq, where)
+
+
+def test_stale_handle_refresh_survives_foreign_recluster(spark, tmp_path):
+    """A handle opened before another process reclusters must not
+    write to the vanished old epoch: refresh() re-syncs the epoch from
+    durable state and lands the update in the NEW epoch's lists."""
+    base = CowTable.create(
+        spark, str(tmp_path / "vecs"), mk_vecs(spark, range(30)),
+        keys=("vec_id",),
+    )
+    VectorIndex.create(
+        spark, str(tmp_path / "idx"), base, centroid_mod=10,
+    )
+    stale = VectorIndex.open(spark, str(tmp_path / "idx"), base)
+    assert stale.epoch == 0  # memoized pre-recluster
+    # "another process": a fresh handle reclusters (epoch 0 dirs gone)
+    other = VectorIndex.open(spark, str(tmp_path / "idx"), base)
+    assert other.recluster(centroid_mod=6)["epoch"] == 1
+    # churn, then refresh through the STALE handle
+    base.merge_when(mk_vecs(spark, [100, 101]), insert=True)
+    base.delete(F.col("vec_id") == 3)
+    r = stale.refresh()
+    assert r["refreshed"] and not r.get("resync")
+    assert stale.epoch == 1
+    got = _lists_assign(stale)
+    assert got == _expected_assign(base, stale)
+    assert 100 in got and 3 not in got
