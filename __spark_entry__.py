@@ -103,10 +103,12 @@ def _rotated_names() -> list[str]:
         "merge_cow_", "mv_", "sql_", "stream_cdc_", "stream_cow_",
         "corpus_unigram_", "knn_ivf_pq", "multimodal_",
     )
-    # round-9 additions queue BEHIND the pre-r9 stragglers: the driver
-    # window is 50/round and exactly 46 older names still lack a
-    # driver row — new queries must not push one of them past the
-    # window and strand it
+    # r10 note: the pre-r9 straggler queue drained in r9 (cumulative
+    # driver coverage 259/262 going into r10), so `back` now only
+    # orders the remaining never-checked r9 trio behind nothing — all
+    # fresh names (3 r9 + the r10 additions) fit well inside the
+    # 50-name window, after which the stalest-first freshness
+    # re-checking fills the rest
     back = {
         "sql_vector_index", "vector_index_refresh",
         "stream_vector_index_maintenance", "search_hybrid_indexed",
