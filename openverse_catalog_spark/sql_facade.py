@@ -1666,15 +1666,27 @@ class SqlFacade:
                     bal = (
                         idx.list_stats() if kind == "vector" else None
                     )
+                    if kind == "vector":
+                        mode = "ivf"
+                        if idx.pq_m:
+                            mode = f"ivf-pq{idx.pq_m}" + (
+                                "-residual" if idx.pq_residual else ""
+                            )
+                        epoch = idx.epoch
+                    else:
+                        mode, epoch = "inverted", None
                     rows.append((
-                        n, kind, idx.root, applied,
+                        n, kind, mode, idx.root, applied,
                         max(0, int(head) - int(applied)),
+                        epoch,
                         bal["max_list"] if bal else None,
                         float(bal["median_list"]) if bal else None,
                         round(bal["skew"], 3) if bal else None,
                     ))
-            schema = ("index string, kind string, location string, "
-                      "applied long, staleness long, max_list long, "
+            schema = ("index string, kind string, mode string, "
+                      "location string, "
+                      "applied long, staleness long, epoch long, "
+                      "max_list long, "
                       "median_list double, skew double")
             return self.spark.createDataFrame(
                 rows if rows else [], schema

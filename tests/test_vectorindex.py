@@ -322,7 +322,9 @@ def test_facade_show_indexes_and_attach(spark, tmp_path):
     )
     rows = {r["index"]: r for r in f.sql("SHOW INDEXES").collect()}
     assert rows["vi"]["kind"] == "vector" and rows["vi"]["staleness"] == 0
+    assert rows["vi"]["mode"] == "ivf" and rows["vi"]["epoch"] == 0
     assert rows["si"]["kind"] == "search"
+    assert rows["si"]["mode"] == "inverted" and rows["si"]["epoch"] is None
     # churn makes the index stale; SHOW INDEXES reports the lag
     f.sql("DELETE FROM vecs WHERE vec_id = 3")
     rows = {r["index"]: r for r in f.sql("SHOW INDEXES").collect()}
