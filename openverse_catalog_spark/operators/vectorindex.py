@@ -616,6 +616,13 @@ class VectorIndex(IncrementalIndex):
         the APPLIED version, so the feed protocol is untouched — the
         next refresh resumes incrementally from the same span.
 
+        The old epoch's files are reclaimed IMMEDIATELY after the
+        re-point: an in-flight query planned against the old epoch
+        fails loudly (FileNotFound) rather than serving a torn mix —
+        recluster is an administrative operation; schedule it like one
+        (a grace window would trade that loud failure for retained
+        disk, and can be layered on by deferring the rmtree).
+
         ``centroid_mod`` overrides the frozen sampling density (grow C
         ~sqrt(n) as the corpus grows — the other reason to recluster
         besides drift)."""

@@ -860,3 +860,35 @@ def test_stale_handle_refresh_survives_foreign_recluster(spark, tmp_path):
     got = _lists_assign(stale)
     assert got == _expected_assign(base, stale)
     assert 100 in got and 3 not in got
+
+
+def test_filtered_probe_prunes_lists_and_base_columns(spark, tmp_path):
+    """PLAN PIN for filtered ANN: the probed-lists read opens a strict
+    subset of list files, and the match-set's base scan reads only the
+    predicate + id columns (never the vectors)."""
+    rows = [(i, _vec(i), "en" if i % 2 == 0 else "de")
+            for i in range(120)]
+    base = CowTable.create(
+        spark, str(tmp_path / "vecs"),
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, lang string"
+        ),
+        keys=("vec_id",), target_files=6,
+    )
+    idx = VectorIndex.create(
+        spark, str(tmp_path / "idx"), base, centroid_mod=12,
+        target_files=6,
+    )
+    # the match-set frame (pre-checkpoint): base scan reads only
+    # [predicate col -> id], the vectors never load, the filter is in
+    # the scan's data filters
+    mplan = idx._match_set("lang = 'en'")._jdf.queryExecution() \
+        .executedPlan().toString()
+    scan = [ln for ln in mplan.splitlines() if "FileScan" in ln]
+    assert scan and all("embedding" not in ln for ln in scan), mplan
+    assert any("lang" in ln for ln in scan)
+    # the final filtered search reads a strict subset of list files
+    out = idx.search(_vec(7), k=3, nprobe=2, where="lang = 'en'")
+    all_files = set(idx.lists.read().inputFiles())
+    lists_files = {f for f in out.inputFiles() if "/lists/" in f}
+    assert lists_files and lists_files < all_files
