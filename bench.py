@@ -218,6 +218,7 @@ HEADLINE = [
     "pipeline_end_to_end",
     "search_index_filtered",
     "search_hybrid_filtered",
+    "mine_bitext_margin",
 ]
 
 

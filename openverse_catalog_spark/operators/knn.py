@@ -1370,3 +1370,79 @@ def ivf_pq_probe_index(
     return exact.withColumn("rank", F.row_number().over(wk)).filter(
         F.col("rank") <= k
     )
+
+
+def mine_bitext_margin(
+    src: DataFrame,
+    tgt: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    threshold: float = 1.05,
+    max_queries: int = MAX_BROADCAST_QUERIES,
+    queries: DataFrame | None = None,
+) -> DataFrame:
+    """Margin-based parallel-pair (bitext) mining — the ratio-margin
+    criterion of Artetxe & Schwenk 2019 ("Margin-based Parallel Corpus
+    Mining with Multilingual Sentence Embeddings"), the standard recipe
+    for mining translation pairs out of two monolingual embedding
+    sets (CCMatrix/WikiMatrix-style):
+
+        margin(x, y) = cos(x, y) /
+            (0.5 * (avg_k cos(x, NN_k(x; tgt))
+                    + avg_k cos(y, NN_k(y; src))))
+
+    Each src row's BEST tgt neighbor is scored; pairs whose rounded
+    margin reaches ``threshold`` are mined. Dividing by the two
+    neighborhood averages corrects HUBNESS — a y globally close to
+    everything carries a high backward average, deflating every margin
+    it appears in — which raw cosine thresholds cannot.
+
+    Plan: two :func:`cosine_topk` passes (each one broadcast-GEMM over
+    the other side's partitions, no corpus shuffle; the query side is
+    bounded by ``max_queries``), two neighborhood-average aggregates
+    over k-row groups, and a pair-sized margin join. At 100 TB the
+    query side batches through the bound and the corpus side rides the
+    IVF index (:class:`~.vectorindex.VectorIndex.probe`) instead of
+    the exact GEMM — the margin arithmetic is identical.
+
+    Note the output column ``cosine`` is rounded for presentation
+    while the margin divides the RAW cosine (both expressions evaluate
+    against the input frame), matching the from-scratch definition.
+
+    ``queries`` mines for a BATCH of src rows (the incremental shape —
+    newly arrived sentences mined against the standing corpus) while
+    BOTH neighborhood terms keep their full-language definition: the
+    backward average always runs over all of ``src``, never just the
+    batch, or the margin would inflate as the batch shrank."""
+    fwd = cosine_topk(
+        tgt, queries if queries is not None else src,
+        id_col, vec_col, k=k, max_queries=max_queries,
+    )
+    bwd = cosine_topk(
+        src, tgt, id_col, vec_col, k=k, max_queries=max_queries
+    )
+    favg = fwd.groupBy("query_id").agg(F.avg("cosine").alias("__favg"))
+    bavg = bwd.groupBy("query_id").agg(F.avg("cosine").alias("__bavg"))
+    best = fwd.filter(F.col("rank") == 1).select(
+        F.col("query_id").alias("src_id"),
+        F.col("neighbor_id").alias("tgt_id"),
+        "cosine",
+    )
+    out = (
+        best.join(
+            favg.withColumnRenamed("query_id", "src_id"), "src_id"
+        )
+        .join(bavg.withColumnRenamed("query_id", "tgt_id"), "tgt_id")
+        .select(
+            "src_id",
+            "tgt_id",
+            F.round("cosine", 6).alias("cosine"),
+            F.round(
+                F.col("cosine")
+                / (0.5 * (F.col("__favg") + F.col("__bavg"))),
+                6,
+            ).alias("margin"),
+        )
+    )
+    return out.filter(F.col("margin") >= threshold)

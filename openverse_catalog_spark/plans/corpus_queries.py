@@ -3768,3 +3768,57 @@ def corpus_unigram_encode(spark, sf_dir):
         "doc_id", "n_words", "n_tokens",
         F.md5(F.col("toks")).alias("toks_md5"),
     )
+
+
+@register("mine_bitext_margin", """
+    WITH ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+                FROM embeddings, generate_series(1, 64) AS t(i)),
+    norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id),
+    dots AS (SELECT s.vec_id AS sid, t.vec_id AS tid, sum(s.x * t.x) AS dot
+             FROM ex s JOIN ex t ON s.i = t.i
+             WHERE s.vec_id % 2 = 0 AND t.vec_id % 2 = 1
+             GROUP BY 1, 2),
+    cos AS (SELECT sid, tid, dot / (ns.nrm * nt.nrm) AS c
+            FROM dots JOIN norms ns ON ns.vec_id = sid
+                      JOIN norms nt ON nt.vec_id = tid),
+    fwd AS (SELECT sid, tid, c,
+                   row_number() OVER (PARTITION BY sid
+                                      ORDER BY c DESC, tid) AS r
+            FROM cos WHERE sid % 10 = 0),
+    favg AS (SELECT sid, avg(c) AS favg FROM fwd WHERE r <= 4 GROUP BY sid),
+    bwd AS (SELECT sid, tid, c,
+                   row_number() OVER (PARTITION BY tid
+                                      ORDER BY c DESC, sid) AS r
+            FROM cos),
+    bavg AS (SELECT tid, avg(c) AS bavg FROM bwd WHERE r <= 4 GROUP BY tid),
+    best AS (SELECT sid, tid, c FROM fwd WHERE r = 1),
+    m AS (SELECT b.sid AS src_id, b.tid AS tgt_id,
+                 round(b.c, 6) AS cosine,
+                 round(b.c / (0.5 * (f.favg + g.bavg)), 6) AS margin
+          FROM best b JOIN favg f USING (sid)
+                      JOIN bavg g ON g.tid = b.tid)
+    SELECT src_id, tgt_id, cosine, margin FROM m WHERE margin >= 1.2
+    """)
+def mine_bitext_margin(spark, sf_dir):
+    """Margin-based PARALLEL-PAIR MINING (Artetxe & Schwenk 2019 — the
+    CCMatrix/WikiMatrix recipe): treat the even/odd halves of the
+    embeddings table as two monolingual sides, score each queried src
+    row's best tgt neighbor by the RATIO MARGIN — cosine divided by
+    the mean of both directions' k=4 neighborhood averages — and mine
+    pairs past the threshold. The denominator corrects hubness (a tgt
+    close to everything carries a high backward average, deflating its
+    margins), which a raw cosine threshold cannot. Plan: two
+    broadcast-GEMM cosine_topk passes (no corpus shuffle), k-row
+    neighborhood aggregates, pair-sized margin join; at 100 TB the
+    corpus side rides the IVF index probe instead of the exact GEMM.
+    The oracle replays both directions' neighborhoods and the margin
+    arithmetic from scratch."""
+    from openverse_catalog_spark.operators import knn
+
+    e = _t(spark, sf_dir, "embeddings")["embeddings"].select(
+        "vec_id", "embedding"
+    )
+    src = e.filter(F.col("vec_id") % 2 == 0)
+    tgt = e.filter(F.col("vec_id") % 2 == 1)
+    src_q = src.filter(F.col("vec_id") % 10 == 0)
+    return knn.mine_bitext_margin(src, tgt, k=4, threshold=1.2, queries=src_q)

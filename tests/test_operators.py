@@ -991,3 +991,49 @@ def test_unigram_viterbi_em(spark):
     )
     e10 = unigram_encode(long, "text", tok, sc2).collect()[0]
     assert e10["n_words"] == 2  # 'extraordinarily' dropped
+
+
+def test_mine_bitext_margin_hubness_correction(spark):
+    """The ratio margin's point: a HUB target (globally close to every
+    src) is deflated by its high backward neighborhood average, while
+    a clean one-to-one pair keeps a high margin — a raw cosine
+    threshold cannot make that distinction."""
+    import numpy as np
+
+    from openverse_catalog_spark.operators.knn import mine_bitext_margin
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(8, 16))
+    # src side (even ids): 8 distinct directions
+    src_rows = [
+        (2 * i, [float(x) for x in base[i]]) for i in range(8)
+    ]
+    # tgt: id 1 = clean translation of src 0 (near-copy); id 3 = HUB,
+    # the normalized mean of ALL src directions (cosine ~equal to
+    # everything); ids 5.. = noise
+    hub = base.mean(axis=0)
+    tgt_rows = [
+        (1, [float(x) for x in base[0] + rng.normal(scale=0.01, size=16)]),
+        (3, [float(x) for x in hub]),
+    ] + [
+        (5 + 2 * j, [float(x) for x in rng.normal(size=16)])
+        for j in range(6)
+    ]
+    src = spark.createDataFrame(
+        src_rows, "vec_id long, embedding array<double>"
+    )
+    tgt = spark.createDataFrame(
+        tgt_rows, "vec_id long, embedding array<double>"
+    )
+    out = {
+        r.src_id: r
+        for r in mine_bitext_margin(
+            src, tgt, k=3, threshold=0.0
+        ).collect()
+    }
+    # src 0's best is its clean translation, with a strong margin
+    assert out[0].tgt_id == 1 and out[0].margin > 1.1
+    # every src whose best match is the HUB gets a deflated margin:
+    # the hub's backward average is itself hub-high
+    hub_margins = [r.margin for r in out.values() if r.tgt_id == 3]
+    assert hub_margins and all(m < out[0].margin for m in hub_margins)
