@@ -103,12 +103,13 @@ def _rotated_names() -> list[str]:
         "merge_cow_", "mv_", "sql_", "stream_cdc_", "stream_cow_",
         "corpus_unigram_", "knn_ivf_pq", "multimodal_",
     )
-    # r10 note: the pre-r9 straggler queue drained in r9 (cumulative
-    # driver coverage 259/262 going into r10), so `back` now only
-    # orders the remaining never-checked r9 trio behind nothing — all
-    # fresh names (3 r9 + the r10 additions) fit well inside the
-    # 50-name window, after which the stalest-first freshness
-    # re-checking fills the rest
+    # r11 note: the rotation CLOSED in r10 (269/269 cumulative driver
+    # coverage; freshness floor r5), so the fresh buckets now hold only
+    # queries added this round (they jump the queue) and the window is
+    # otherwise filled stalest-evidence-first — r11 should re-check the
+    # 19 r5-evidence names plus the oldest r6 cohort. `back` is inert
+    # (every name in it has driver evidence) and kept only so a future
+    # resync of DRIVER_CHECKED cannot resurface it ahead of new work
     back = {
         "sql_vector_index", "vector_index_refresh",
         "stream_vector_index_maintenance", "search_hybrid_indexed",

@@ -255,6 +255,23 @@ def main() -> None:
 
     from openverse_catalog_spark.plans import timing
 
+    # Drift canary: a fixed handful of cheap, long-stable queries timed
+    # FIRST and again LAST. Same-tree totals have swung 1.3x+ with
+    # machine load across rounds; the canary ratio lets cross-session
+    # comparisons normalize mechanically instead of by adjudication.
+    CANARY = [
+        "agg_pricing_summary", "window_running_sum",
+        "clean_coerce_types", "json_metric_extract", "dedup_keep_latest",
+    ]
+
+    def run_canary() -> float:
+        t0 = time.time()
+        for name in CANARY:
+            QUERIES[name](spark, sf_dir).count()
+        return round(time.time() - t0, 3)
+
+    canary_first = run_canary()
+
     timings: dict[str, float] = {}
     splits: dict[str, dict[str, float]] = {}
     for name in HEADLINE:
@@ -275,6 +292,9 @@ def main() -> None:
                 "statement_sec": round(dt - (mark - t0), 3),
             }
 
+    canary_last = run_canary()
+    drift = round(canary_last / canary_first, 3) if canary_first else 1.0
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "headline_suite_total",
@@ -283,6 +303,12 @@ def main() -> None:
         "queries": timings,
         "splits": splits,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "canary": {
+            "queries": CANARY,
+            "first_sec": canary_first,
+            "last_sec": canary_last,
+            "drift_factor": drift,
+        },
     }
     # The driver captures a bounded tail of stdout, which truncates the
     # per-query dict past ~64 entries; persist the FULL result alongside
@@ -298,6 +324,18 @@ def main() -> None:
     except OSError:
         pass  # read-only checkout: stdout line still carries the summary
     print(json.dumps(result))
+    # The driver's bounded stdout tail truncates the full line above
+    # (194+ query timings push the opening brace out of the window), so
+    # BENCH_r8..r10 all recorded `parsed: null`. The tail always keeps
+    # the LAST line — emit a compact machine-parseable summary there.
+    print(json.dumps({
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "sf": result["sf"],
+        "n": len(timings),
+        "drift_factor": drift,
+    }))
     spark.stop()
 
 

@@ -205,19 +205,27 @@ class LakeCatalog:
                 self._commit_slot(
                     cur["version"] + 1, tables, f"rename({old}->{new})"
                 )
-
-                def repoint(idx: dict):
-                    hit = False
-                    for e in idx.values():
-                        if e.get("base") == old:
-                            e["base"] = new
-                            hit = True
-                    return idx if hit else None
-
-                self._mutate_indexes(repoint)
-                return cur["version"] + 1
             except TxnConflict:
                 continue
+            # the rename is COMMITTED; the index re-point runs OUTSIDE
+            # the retry try-block: _mutate_indexes can itself raise
+            # TxnConflict (registry lock held past its deadline), and
+            # inside the loop that would retry the already-committed
+            # rename — _load() no longer has `old`, so the caller got a
+            # spurious KeyError while the re-point was silently lost.
+            # Here a lock timeout surfaces AS the lock error (the
+            # rename stands; maintain_tables' root-based resolution
+            # self-heals the re-point on the next tick).
+            def repoint(idx: dict):
+                hit = False
+                for e in idx.values():
+                    if e.get("base") == old:
+                        e["base"] = new
+                        hit = True
+                return idx if hit else None
+
+            self._mutate_indexes(repoint)
+            return cur["version"] + 1
 
     def unregister(self, name: str) -> int:
         """Remove ``name`` from the mapping (its own catalog commit).
@@ -289,7 +297,15 @@ class LakeCatalog:
         freshly-read registry dict and returns the dict to persist, or
         None to skip the write; validation raises inside the critical
         section so checks run against the same snapshot the write
-        replaces. Stale locks (a crashed holder) break after 30 s."""
+        replaces. Stale locks (a crashed holder) break after 30 s —
+        via STEAL-BY-RENAME, not remove: two waiters that both observe
+        a stale mtime could each os.remove(), and the second remove
+        would delete the first waiter's freshly-acquired lock, letting
+        two writers into the critical section. rename() is atomic, so
+        exactly one waiter claims the stale file; the claim re-verifies
+        the renamed file's mtime (the stale holder may have released
+        and a NEW waiter acquired between the stat and the rename) and
+        gives a live lock back through an exclusive link."""
         import time
 
         lock = f"{self._indexes_path()}.lock"
@@ -301,11 +317,35 @@ class LakeCatalog:
                 break
             except FileExistsError:
                 try:
-                    if time.time() - os.path.getmtime(lock) > 30.0:
-                        os.remove(lock)
-                        continue
+                    stale_seen = time.time() - os.path.getmtime(lock) > 30.0
                 except OSError:
                     continue  # holder released between stat and now
+                if stale_seen:
+                    claim = f"{lock}.stale.{uuid.uuid4().hex}"
+                    try:
+                        os.rename(lock, claim)
+                    except OSError:
+                        continue  # another waiter claimed it first
+                    try:
+                        live = (
+                            time.time() - os.path.getmtime(claim) <= 30.0
+                        )
+                    except OSError:
+                        live = False
+                    if live:
+                        # raced: we stole a FRESH lock — restore it
+                        # (exclusive link; if yet another waiter took
+                        # the slot meanwhile the restore is skipped and
+                        # the live holder's release tolerates the loss)
+                        try:
+                            os.link(claim, lock)
+                        except OSError:
+                            pass
+                    try:
+                        os.remove(claim)
+                    except OSError:
+                        pass
+                    continue
                 if time.time() > deadline:
                     raise TxnConflict(
                         f"index registry lock {lock!r} held too long"
@@ -784,6 +824,12 @@ class LakeCatalog:
                     e = dict(e, base=bname)
                 pin = int(be["version"])
                 idx = self._open_index(e, be)
+                reclaimed = (
+                    # reclaim epochs a PREVIOUS tick's auto-heal
+                    # retired — one tick interval of grace for queries
+                    # other processes planned against the old epoch
+                    idx.reclaim_epochs() if e["kind"] == "vector" else []
+                )
                 res = idx.refresh(to_version=pin)
                 # then compact + vacuum the index's own sub-tables:
                 # churn-wave refreshes fragment them exactly like any
@@ -800,6 +846,8 @@ class LakeCatalog:
                         v.get("compacted") for v in mnt.values()
                     ),
                 }
+                if reclaimed:
+                    report[f"index:{iname}"]["reclaimed_epochs"] = reclaimed
                 if reindex_skew is not None and e["kind"] == "vector":
                     bal = idx.list_stats()
                     report[f"index:{iname}"]["skew"] = round(
@@ -811,8 +859,12 @@ class LakeCatalog:
                     ):
                         # the refresh above resolved any pending span,
                         # so the heal's precondition holds; content
-                        # rebuilds at the applied (= pinned) version
-                        heal = idx.recluster()
+                        # rebuilds at the applied (= pinned) version.
+                        # reclaim=False: the unattended tick RETIRES
+                        # the old epoch instead of rmtree-ing it under
+                        # concurrently planned queries — the next
+                        # tick's reclaim_epochs() collects it
+                        heal = idx.recluster(reclaim=False)
                         report[f"index:{iname}"]["reindexed"] = heal
             except Exception as exc:  # noqa: BLE001 - unattended tick
                 report[f"index:{iname}"] = {"error": str(exc)}

@@ -62,6 +62,39 @@ def assign_clusters(vec: Column, centroids: list[list[float]]) -> Column:
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
+def lloyd_rounds(
+    base: DataFrame,
+    centroids: list[list[float]],
+    n_iter: int,
+    dim: int,
+) -> list[list[float]]:
+    """``n_iter`` Lloyd rounds over a frame carrying the vector as
+    ``__v`` (array<double>), seeded from the given centroid list —
+    returns the final centroids. Each round is one assignment pass
+    (pure expression: :func:`assign_clusters`) + one groupBy whose
+    map-side partials reduce every partition to <= k rows before the
+    shuffle; the k x dim centroid state round-trips through the driver
+    (kilobytes). Empty clusters keep their previous centroid — the
+    determinism contract the DuckDB oracle CTE chain replays exactly."""
+    k = len(centroids)
+    for _ in range(n_iter):
+        assigned = base.withColumn(
+            "__cid", assign_clusters(F.col("__v"), centroids)
+        )
+        stats = assigned.groupBy("__cid").agg(
+            F.count("*").alias("__n"),
+            *[
+                F.sum(F.element_at("__v", i + 1)).alias(f"__s{i}")
+                for i in range(dim)
+            ],
+        )
+        new: dict[int, list[float]] = {}
+        for r in stats.collect():
+            new[r["__cid"]] = [r[f"__s{i}"] / r["__n"] for i in range(dim)]
+        centroids = [new.get(c, centroids[c]) for c in range(k)]
+    return centroids
+
+
 def kmeans(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -91,19 +124,7 @@ def kmeans(
     # fewer rows than k: every row is its own (valid) cluster seed
     k = min(k, len(centroids))
 
-    for _ in range(n_iter):
-        assigned = base.withColumn("__cid", assign_clusters(F.col("__v"), centroids))
-        stats = assigned.groupBy("__cid").agg(
-            F.count("*").alias("__n"),
-            *[
-                F.sum(F.element_at("__v", i + 1)).alias(f"__s{i}")
-                for i in range(dim)
-            ],
-        )
-        new: dict[int, list[float]] = {}
-        for r in stats.collect():
-            new[r["__cid"]] = [r[f"__s{i}"] / r["__n"] for i in range(dim)]
-        centroids = [new.get(c, centroids[c]) for c in range(k)]
+    centroids = lloyd_rounds(base, centroids, n_iter, dim)
 
     return base.select(
         id_col, assign_clusters(F.col("__v"), centroids).alias("cid")

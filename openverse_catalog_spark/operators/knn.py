@@ -1414,13 +1414,31 @@ def mine_bitext_margin(
     newly arrived sentences mined against the standing corpus) while
     BOTH neighborhood terms keep their full-language definition: the
     backward average always runs over all of ``src``, never just the
-    batch, or the margin would inflate as the batch shrank."""
+    batch, or the margin would inflate as the batch shrank.
+
+    The backward pass is BOUNDED TO THE FORWARD WINNERS: only tgt ids
+    that appear as some query's rank-1 forward neighbor ever reach the
+    margin join, so ``tgt`` is semi-joined down to that id set
+    (<= the query count) before the backward GEMM. Each surviving y
+    still scores against ALL of ``src`` — the neighborhood definition
+    (and every margin value) is unchanged — but the backward cost is
+    O(|winners| x |src|) instead of O(|tgt| x |src|), and the
+    ``max_queries`` driver bound now applies to the mined batch, not
+    the whole target corpus: batch mining stays flat as tgt grows."""
     fwd = cosine_topk(
         tgt, queries if queries is not None else src,
         id_col, vec_col, k=k, max_queries=max_queries,
+    ).localCheckpoint(eager=False)  # reused by the semi-join AND the
+    # margin join below — without the pin the forward GEMM would run
+    # twice
+    bwd_queries = tgt.join(
+        fwd.filter(F.col("rank") == 1).select(
+            F.col("neighbor_id").alias(id_col)
+        ),
+        id_col, "semi",
     )
     bwd = cosine_topk(
-        src, tgt, id_col, vec_col, k=k, max_queries=max_queries
+        src, bwd_queries, id_col, vec_col, k=k, max_queries=max_queries
     )
     favg = fwd.groupBy("query_id").agg(F.avg("cosine").alias("__favg"))
     bavg = bwd.groupBy("query_id").agg(F.avg("cosine").alias("__bavg"))

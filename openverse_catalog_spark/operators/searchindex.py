@@ -380,8 +380,15 @@ class SearchIndex(IncrementalIndex):
         cand = post
         if where is not None:
             # candidates restricted BEFORE scoring; idf above derives
-            # from the unfiltered postings (corpus-wide term rarity)
-            cand = post.join(self._match_set(where), "doc_id", "semi")
+            # from the unfiltered postings (corpus-wide term rarity).
+            # INNER join, not semi: the match frame is unique on doc_id
+            # and single-column, so the joins are equivalent — but
+            # inner leaves the optimizer free to broadcast the SMALL
+            # term-pruned postings side into the streaming predicate
+            # scan when the filter is non-selective (a semi-join could
+            # only broadcast the match side, which for a 90% filter is
+            # most of the corpus)
+            cand = post.join(self._match_set(where), "doc_id")
         scored = (
             cand.join(F.broadcast(idf), "term")
             .join(dl, "doc_id")
@@ -439,7 +446,9 @@ class SearchIndex(IncrementalIndex):
         )
         post = self.postings.read_pruned(sorted(set(qt)))
         if where is not None:
-            post = post.join(self._match_set(where), "doc_id", "semi")
+            # inner == semi (unique single-column match frame); see
+            # bm25(where=) for why inner is the scale-safe choice
+            post = post.join(self._match_set(where), "doc_id")
         occ = (
             post.join(F.broadcast(slots), "term")
             .select(

@@ -416,6 +416,8 @@ class VectorIndex(IncrementalIndex):
         out = {}
         if self.epoch:
             out["epoch"] = int(self.epoch)
+        if self.retired_epochs:
+            out["retired_epochs"] = [int(e) for e in self.retired_epochs]
         mod = getattr(self, "_centroid_mod", None)
         if mod is None:
             try:
@@ -605,6 +607,8 @@ class VectorIndex(IncrementalIndex):
         self,
         centroid_mod: int | None = None,
         target_files: int = 8,
+        reclaim: bool = True,
+        learned: int = 0,
     ) -> dict:
         """HEAL list skew by re-sampling centroids at the CURRENT
         corpus and rebuilding the lists — as one atomic epoch swap (the
@@ -616,16 +620,38 @@ class VectorIndex(IncrementalIndex):
         the APPLIED version, so the feed protocol is untouched — the
         next refresh resumes incrementally from the same span.
 
-        The old epoch's files are reclaimed IMMEDIATELY after the
-        re-point: an in-flight query planned against the old epoch
-        fails loudly (FileNotFound) rather than serving a torn mix —
-        recluster is an administrative operation; schedule it like one
-        (a grace window would trade that loud failure for retained
-        disk, and can be layered on by deferring the rmtree).
+        ``reclaim=True`` (the administrative default) removes the old
+        epoch's files IMMEDIATELY after the re-point: an in-flight
+        query planned against the old epoch fails loudly
+        (FileNotFound) rather than serving a torn mix — schedule a
+        manual recluster like the admin operation it is.
+        ``reclaim=False`` (what the unattended ``maintain_tables``
+        auto-heal passes) RETIRES the old epoch instead: its files
+        stay on disk, recorded in state as ``retired_epochs``, so
+        queries other handles/processes already planned keep reading;
+        ``reclaim_epochs()`` — run at the top of the next maintenance
+        tick — reclaims them after that grace window.
 
         ``centroid_mod`` overrides the frozen sampling density (grow C
         ~sqrt(n) as the corpus grows — the other reason to recluster
-        besides drift)."""
+        besides drift).
+
+        ``learned=N`` refines the re-sampled centroids with N Lloyd
+        rounds of k-means on the UNIT-NORMALIZED corpus before the
+        lists build (k-means on the unit sphere — the assignment
+        discipline the index's cosine GEMM then applies is the
+        spherical update's own). Seeds are the ``id % mod`` sample in
+        id order; learned centroids get ordinal ids 0..C-1. On
+        naturally clustered / drifted embeddings the learned centroids
+        cut residual skew below what re-sampling alone reaches (the
+        sampled heal only relocates centroids to corpus points — a hot
+        region keeps as many centroids as it has sample hits, not as
+        many as its mass deserves). Deterministic end to end (seed
+        order, expression-only assignment, empty cluster keeps its
+        previous centroid), so the SQL oracle replays every round.
+        Cost per round: one corpus scan + a C-row aggregate, with the
+        C x dim centroid literal riding the plan — bounded by the same
+        MAX_BROADCAST_QUERIES cap as the sample itself."""
         import shutil
 
         st = self._state()
@@ -656,12 +682,18 @@ class VectorIndex(IncrementalIndex):
                 "centroid_mod (C should grow ~sqrt(n), not n)"
             )
         os.makedirs(edir, exist_ok=True)
+        if learned:
+            cents = self._learn_centroids(snap, cents, int(learned))
         cents.write.mode("overwrite").parquet(f"{edir}/centroids")
         # swap the in-memory handle to the new epoch for the build
         # GEMMs; disk state still points at the old epoch until the
         # final atomic write, and any failure restores the handle
         pq_m, pq_res = self.pq_m, self.pq_residual
         cbm = st.get("codebook_mod")
+        # from the freshly-read state doc, not the handle memo: another
+        # process may have retired/reclaimed epochs since this handle
+        # last read state
+        prior_retired = [int(e) for e in (st.get("retired_epochs") or [])]
         self._epoch = new_epoch
         self._drop_epoch_caches()
         try:
@@ -681,6 +713,11 @@ class VectorIndex(IncrementalIndex):
                 target_files=target_files,
             )
             self._centroid_mod = mod
+            if not reclaim:
+                # the retired record must land IN the re-point write:
+                # a crash between two writes would either resurrect or
+                # leak the old epoch
+                self._retired = prior_retired + [old_epoch]
             self._write_state(v)  # the atomic re-point
         except BaseException:
             self._epoch = old_epoch
@@ -688,24 +725,113 @@ class VectorIndex(IncrementalIndex):
             # write must not persist the failed attempt's mod against
             # the surviving old-epoch centroids
             self._centroid_mod = st.get("centroid_mod")
+            self._retired = prior_retired
             self._drop_epoch_caches()
             shutil.rmtree(edir, ignore_errors=True)
             raise
-        # old epoch is dead; reclaim best-effort (a failure here costs
-        # disk, never correctness)
-        if old_epoch == 0:
+        if reclaim:
+            # old epoch is dead; reclaim best-effort (a failure here
+            # costs disk, never correctness)
+            self._rm_epoch_dirs(old_epoch)
+        return {
+            "epoch": new_epoch, "centroids": n_cents, "applied": v,
+            "learned_rounds": int(learned),
+        }
+
+    def _learn_centroids(self, snap, cents, rounds: int):
+        """Lloyd-refine the sampled seed centroids on the normalized
+        corpus (see ``recluster(learned=)``); returns the learned
+        (centroid_id 0..C-1, vector) frame."""
+        from openverse_catalog_spark.operators.clustering import (
+            lloyd_rounds,
+        )
+
+        seed_rows = cents.orderBy("centroid_id").collect()
+        if not seed_rows:
+            raise ValueError("no seed centroids to learn from")
+        dim = len(seed_rows[0]["vector"])
+
+        def unit(col):
+            nrm = F.sqrt(F.aggregate(
+                F.transform(col, lambda x: x * x),
+                F.lit(0.0), lambda a, b: a + b,
+            ))
+            return F.transform(col, lambda x: x / nrm)
+
+        def unit_py(vec):
+            import math
+
+            n = math.sqrt(sum(x * x for x in vec))
+            return [float(x) / n for x in vec]
+
+        seeds = [unit_py(r["vector"]) for r in seed_rows]
+        base = snap.select(
+            unit(F.col(self.vec_col)).alias("__v")
+        ).localCheckpoint(eager=False)
+        final = lloyd_rounds(base, seeds, rounds, dim)
+        return self.spark.createDataFrame(
+            [(i, c) for i, c in enumerate(final)],
+            "centroid_id long, vector array<double>",
+        )
+
+    @property
+    def retired_epochs(self) -> list[int]:
+        """Epochs superseded by a ``recluster(reclaim=False)`` whose
+        files still await ``reclaim_epochs()``."""
+        r = getattr(self, "_retired", None)
+        if r is None:
+            try:
+                r = list(self._state().get("retired_epochs") or [])
+            except FileNotFoundError:
+                r = []
+            self._retired = r
+        return r
+
+    def reclaim_epochs(self) -> list[int]:
+        """Remove every retired epoch's files and clear the record —
+        the deferred half of ``recluster(reclaim=False)``. Run it at
+        the top of a maintenance tick so epochs retired on the
+        PREVIOUS tick get at least one tick interval of grace for
+        in-flight queries planned against them. Preserves the rest of
+        the state doc verbatim (in particular a pending refresh
+        span)."""
+        st = self._state()
+        retired = [
+            int(e) for e in (st.get("retired_epochs") or [])
+            if int(e) != self.epoch  # never the serving epoch
+        ]
+        if not retired:
+            return []
+        for e in retired:
+            self._rm_epoch_dirs(e)
+        st.pop("retired_epochs", None)
+        import json as _json
+
+        tmp = f"{self.root}/.tmp.state.json"
+        with open(tmp, "w") as fh:
+            _json.dump(st, fh)
+        os.replace(tmp, f"{self.root}/state.json")
+        self._retired = []
+        return retired
+
+    def _rm_epoch_dirs(self, epoch: int) -> None:
+        import shutil
+
+        if epoch == 0:
+            # the legacy bare layout lives directly under root
             for sub in ("lists", "centroids", "codebooks"):
-                shutil.rmtree(
-                    f"{self.root}/{sub}", ignore_errors=True
-                )
+                shutil.rmtree(f"{self.root}/{sub}", ignore_errors=True)
         else:
-            shutil.rmtree(self._edir(old_epoch), ignore_errors=True)
-        return {"epoch": new_epoch, "centroids": n_cents, "applied": v}
+            shutil.rmtree(self._edir(epoch), ignore_errors=True)
 
     def _drop_epoch_caches(self) -> None:
         """Invalidate every epoch-bound memo (centroid matrix,
-        broadcasts, codebooks, lists handle)."""
-        for attr in ("_cents", "_cents_bc", "_cb", "_pq_bc", "_lists"):
+        broadcasts, codebooks, lists handle) plus the retired-epoch
+        memo (another process's recluster may have retired/reclaimed
+        epochs since this handle read state)."""
+        for attr in (
+            "_cents", "_cents_bc", "_cb", "_pq_bc", "_lists", "_retired"
+        ):
             if hasattr(self, attr):
                 delattr(self, attr)
 
@@ -761,8 +887,13 @@ class VectorIndex(IncrementalIndex):
         # without shuffling the (much larger) candidate rows by
         # query_id first. ``ship_queries`` overrides the size-based
         # choice (tests pin both paths without a 65k-row fixture).
+        # The size check is a BOUNDED limit-count, not a full count():
+        # the decision only needs "more than the broadcast bound?", and
+        # the common bounded batch would otherwise pay a full Spark job
+        # over the query frame before the probe job even starts.
         ship_qv = (
-            queries.count() > MAX_BROADCAST_QUERIES
+            queries.limit(MAX_BROADCAST_QUERIES + 1).count()
+            > MAX_BROADCAST_QUERIES
             if ship_queries is None
             else bool(ship_queries)
         )
@@ -813,7 +944,11 @@ class VectorIndex(IncrementalIndex):
                 F.col("query_id") != F.col("neighbor_id")
             )
         if where is not None:
-            cand = cand.join(self._match_set(where), "neighbor_id", "semi")
+            # inner == semi (match ids are unique, single column) but
+            # leaves the optimizer free to broadcast EITHER side — for
+            # a non-selective predicate the candidate side is the small
+            # one and a semi-join could only broadcast the match side
+            cand = cand.join(self._match_set(where), "neighbor_id")
         if self.pq_m:
             return self._probe_pq_rerank(
                 qv, cand, k, shortlist, rank_quantize
@@ -985,13 +1120,47 @@ class VectorIndex(IncrementalIndex):
             .select("neighbor_id", F.round("cosine", 6).alias("cosine"))
         )
 
+    # pre-filter only below this match-set fraction of the corpus: a
+    # non-selective predicate (most of a 100 TB corpus matches) would
+    # make the match-id materialization dwarf the probe itself
+    PREFILTER_SELECTIVITY = 0.5
+
     def _search_filtered(
         self, qvec: list[float], k: int, nprobe: int,
         shortlist: int | None, where: str,
     ) -> DataFrame:
-        """Filtered single-vector search (see ``search``): pre-filter
-        match set, nprobe-doubling escalation to the recall floor, then
-        the mode's exact ranking over the matching candidates only."""
+        """Filtered single-vector search (see ``search``): probe-first
+        with nprobe-doubling escalation to the recall floor, then the
+        mode's exact ranking over the matching candidates only.
+
+        ADAPTIVE SELECTIVITY SWITCH — every arm returns IDENTICAL
+        results (same candidates, same ranking); only the physical
+        strategy differs:
+
+        * FIRST LEVEL is always optimistic POST-FILTER: rank the probed
+          lists inner-joined against the LAZY column-pruned predicate
+          scan and collect the <= k result rows. If k fills — the
+          overwhelmingly common case for a non-selective predicate
+          (say 90% of a 100 TB corpus matches) — that ONE job is the
+          whole search: the match set is never counted, let alone
+          materialized; Catalyst/AQE broadcasts the small candidate
+          side into the streaming predicate scan.
+        * UNDER-FILL pays the match-set count — exactly then does the
+          recall floor min(k, total matches) need it — and the measured
+          fraction picks the escalation arm: SELECTIVE (fraction <=
+          PREFILTER_SELECTIVITY) materializes the (small) match-id set
+          once and semi-joins each further level against it, so the
+          filtered base scan runs once, not per level; NON-SELECTIVE
+          keeps the lazy inner join (a huge match set is never worth
+          materializing — the per-level predicate scan is the cheaper
+          arm).
+
+        The escalation decision compares RANKED row count to the floor,
+        which is equivalent to comparing candidate count (ranked =
+        min(k, candidates) and the floor is <= k), so the level
+        sequence — and therefore the result — is identical to counting
+        candidates directly; collecting the <= k ranked rows just makes
+        the fill check and the final result the SAME job."""
         import numpy as np
 
         c_ids, c_mat = self._centroid_matrix()
@@ -999,21 +1168,52 @@ class VectorIndex(IncrementalIndex):
         q = q / float(np.sqrt((q * q).sum()))
         order = np.argsort(-(c_mat @ q), kind="stable")
         n_cents = len(c_ids)
-        # materialize the match set once — every escalation level
-        # semi-joins against it; without the checkpoint each level
-        # would re-run the filtered base scan
-        match = self._match_set(where).localCheckpoint(eager=True)
-        need = min(int(k), match.count())
+        match = self._match_set(where)
+        # corpus size straight from the lists manifest (live rows; one
+        # entry per vector) — metadata-only, no job
+        total = int(self.lists._manifest().get("rows") or 0)
+        n_match: int | None = None  # counted only on first under-fill
+        selective = False
+        qarr = F.array(*[F.lit(float(x)) for x in qvec])
         n = max(1, min(int(nprobe), n_cents))
         while True:
             probed = sorted(int(c_ids[i]) for i in order[:n])
-            cand = self.lists.read_pruned(probed).join(
-                match, "neighbor_id", "semi"
-            )
-            if n >= n_cents or cand.count() >= need:
+            lists_read = self.lists.read_pruned(probed)
+            if selective:
+                cand = lists_read.join(match, "neighbor_id", "semi")
+            else:
+                # inner == semi here (base merge-key ids are unique and
+                # the match frame carries only neighbor_id), but inner
+                # lets the optimizer broadcast the SMALL candidate side
+                # into the streaming predicate scan — a semi-join could
+                # only broadcast the (huge) match side or shuffle both
+                cand = lists_read.join(match, "neighbor_id")
+            rows = self._rank_filtered(cand, qarr, qvec, k, shortlist)
+            if len(rows) >= int(k) or n >= n_cents:
+                break
+            if n_match is None:
+                n_match = match.count()
+                selective = (
+                    total == 0
+                    or n_match <= self.PREFILTER_SELECTIVITY * total
+                )
+                if selective:
+                    match = match.localCheckpoint(eager=True)
+            if len(rows) >= min(int(k), n_match):
                 break
             n = min(2 * n, n_cents)
-        qarr = F.array(*[F.lit(float(x)) for x in qvec])
+        return self.spark.createDataFrame(
+            rows, "neighbor_id long, cosine double"
+        )
+
+    def _rank_filtered(
+        self, cand: DataFrame, qarr, qvec: list[float], k: int,
+        shortlist: int | None,
+    ) -> list:
+        """One escalation level's exact ranking (the mode's own: flat
+        cosine or ADC + re-rank), COLLECTED — the <= k returned rows
+        double as the fill check, so a filled first level costs exactly
+        one job (see ``_search_filtered``)."""
         if self.pq_m:
             # ride the shared ADC + exact-re-rank path as a one-row
             # query group; candidates are already match-filtered, so
@@ -1031,7 +1231,7 @@ class VectorIndex(IncrementalIndex):
             )
             return out.orderBy("rank").select(
                 "neighbor_id", F.round("cosine", 6).alias("cosine")
-            )
+            ).collect()
         scored = cand.select(
             "neighbor_id",
             cosine_expr(qarr, F.col("vector")).alias("cosine"),
@@ -1042,4 +1242,5 @@ class VectorIndex(IncrementalIndex):
             )
             .limit(k)
             .select("neighbor_id", F.round("cosine", 6).alias("cosine"))
+            .collect()
         )

@@ -3058,6 +3058,150 @@ def vector_index_pq_residual(spark, sf_dir):
     )
 
 
+def _ivf_learned_oracle(
+    nprobe: int = 2,
+    corpus_sql: str = _VIDX_CORPUS_SQL,
+    seed_filter: str = "vec_id % 40 = 0",
+    query_filter: str = "vec_id % 20 = 0",
+    rounds: int = 2,
+    dim: int = 64,
+) -> str:
+    """Oracle for the LEARNED-centroid recluster: unit-normalize the
+    post-churn corpus, seed centroids from the ``seed_filter`` sample
+    in vec_id order (cid 0..C-1), replay ``rounds`` Lloyd rounds of
+    k-means on the unit sphere (squared-L2 assignment, lowest-cid tie
+    break, empty cluster keeps its previous centroid — the
+    clustering.py determinism contract), then run the IVF probe math
+    against the LEARNED centroids: cosine assignment with the engine's
+    round-at-9 argmax guard, nprobe probing, exact in-list ranking."""
+    def dist(e: str, c: str) -> str:
+        return " + ".join(
+            f"({e}.v[{i + 1}] - {c}.v[{i + 1}])"
+            f" * ({e}.v[{i + 1}] - {c}.v[{i + 1}])"
+            for i in range(dim)
+        )
+
+    means = ", ".join(f"avg(e.v[{i + 1}])" for i in range(dim))
+    steps = []
+    for it in range(rounds):
+        steps.append(
+            f"""a{it} AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {dist('e', 'c')} ASC, c.cid ASC
+               ) AS rn
+        FROM e CROSS JOIN c{it} c
+      ) WHERE rn = 1
+    ),
+    u{it} AS (
+      SELECT a.cid, list_value({means}) AS v
+      FROM a{it} a JOIN e ON e.vec_id = a.vec_id
+      GROUP BY a.cid
+    ),
+    c{it + 1} AS (
+      SELECT c.cid, coalesce(u.v, c.v) AS v
+      FROM c{it} c LEFT JOIN u{it} u ON u.cid = c.cid
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH corpus AS ({corpus_sql}),
+    ev AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS raw
+           FROM corpus),
+    e AS (SELECT vec_id, list_transform(raw, x -> x / nrm) AS v
+          FROM (SELECT vec_id, raw,
+                       sqrt(list_sum(list_transform(raw, y -> y * y)))
+                         AS nrm
+                FROM ev)),
+    c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+           FROM e WHERE {seed_filter}),
+    {chain},
+    cex AS (SELECT cid AS centroid_id, i, v[i] AS x
+            FROM c{rounds}, generate_series(1, {dim}) AS t(i)),
+    cnorm AS (SELECT centroid_id, sqrt(sum(x * x)) AS nrm
+              FROM cex GROUP BY centroid_id),
+    ex AS (SELECT vec_id, i, raw[i] AS x
+           FROM ev, generate_series(1, {dim}) AS t(i)),
+    norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm
+              FROM ex GROUP BY vec_id),
+    adot AS (SELECT e2.vec_id, c.centroid_id, sum(e2.x * c.x) AS dot
+             FROM ex e2 JOIN cex c ON e2.i = c.i GROUP BY 1, 2),
+    acos AS (SELECT adot.vec_id, adot.centroid_id,
+                    dot / (n1.nrm * n2.nrm) AS c
+             FROM adot JOIN norms n1 ON n1.vec_id = adot.vec_id
+                       JOIN cnorm n2
+                         ON n2.centroid_id = adot.centroid_id),
+    assign AS (SELECT vec_id AS neighbor_id, centroid_id FROM (
+                 SELECT vec_id, centroid_id,
+                        row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY round(c, 9) DESC,
+                                                    centroid_id) AS r
+                 FROM acos) WHERE r = 1),
+    probe AS (SELECT vec_id AS query_id, centroid_id FROM (
+                SELECT vec_id, centroid_id,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY c DESC,
+                                                   centroid_id) AS r
+                FROM acos WHERE {query_filter}) WHERE r <= {nprobe}),
+    cand AS (SELECT p.query_id, a.neighbor_id
+             FROM probe p JOIN assign a USING (centroid_id)
+             WHERE p.query_id <> a.neighbor_id),
+    cdot AS (SELECT query_id, neighbor_id, sum(qa.x * nb.x) AS dot
+             FROM cand JOIN ex qa ON qa.vec_id = cand.query_id
+                       JOIN ex nb ON nb.vec_id = cand.neighbor_id
+                                 AND nb.i = qa.i
+             GROUP BY 1, 2),
+    scored AS (SELECT query_id, neighbor_id,
+                      dot / (na.nrm * nb.nrm) AS cosine
+               FROM cdot JOIN norms na ON na.vec_id = cdot.query_id
+                         JOIN norms nb ON nb.vec_id = cdot.neighbor_id),
+    ranked AS (SELECT query_id, neighbor_id, cosine,
+                      row_number() OVER (
+                        PARTITION BY query_id
+                        ORDER BY round(cosine, 9) DESC, neighbor_id
+                      ) AS rank
+               FROM scored)
+    SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
+    FROM ranked WHERE rank <= 3
+    """
+
+
+@register("vector_index_recluster_learned", _ivf_learned_oracle())
+def vector_index_recluster_learned(spark, sf_dir):
+    """LEARNED-centroid recluster lifecycle (operators/vectorindex.py
+    ``recluster(learned=2)`` / ``REINDEX VECTOR INDEX i LEARNED 2``):
+    build the index, run the standard churn + CDF refresh, then heal
+    with centroids REFINED by two Lloyd rounds of k-means on the
+    unit-normalized corpus (seeded from the ``id % 40`` sample in id
+    order) instead of raw re-sampling — sampled centroids only ever
+    sit ON corpus points, so a hot region keeps as many centroids as
+    it had sample hits; the learned update moves them toward the
+    region's mass. The swap is the same atomic epoch re-point, and the
+    probe answers from the learned epoch. The oracle replays the whole
+    chain — normalization, seeded Lloyd rounds (the clustering.py
+    determinism contract: expression-only assignment, lowest-cid tie
+    break, empty cluster keeps its centroid), cosine assignment with
+    the engine's round-at-9 argmax guard, probing, exact ranking —
+    from scratch in SQL, so even the iterative heal is value-gated."""
+    e, base, idx = _vidx_fixture(
+        spark, sf_dir, "spark_graft_vecidx_learned"
+    )
+    _vidx_churn(base, e)
+    r = idx.refresh()
+    assert r["refreshed"] and not r.get("resync"), r
+    heal = idx.recluster(learned=2)
+    assert heal["epoch"] == 1 and heal["learned_rounds"] == 2, heal
+    queries = base.read().filter(F.col("vec_id") % 20 == 0)
+    out = idx.probe(queries, k=3, nprobe=2, rank_quantize=9)
+    return out.select(
+        "query_id", "neighbor_id", "rank",
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
 #: static 64-dim query literal for the SQL-surface vector search (pi
 #: digits): identical text on both engines, so the oracle replays the
 #: single-vector probe exactly.

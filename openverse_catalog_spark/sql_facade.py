@@ -240,7 +240,8 @@ _DROP_VIDX = re.compile(
 )
 _REINDEX_VIDX = re.compile(
     r"^\s*REINDEX\s+VECTOR\s+INDEX\s+(\w+)"
-    r"(?:\s+CENTROID\s+MOD\s+(\d+))?\s*$",
+    r"(?:\s+CENTROID\s+MOD\s+(\d+))?"
+    r"(?:\s+(LEARNED)(?:\s+(\d+))?)?\s*$",
     re.IGNORECASE,
 )
 _VECTOR_TVF = re.compile(
@@ -251,6 +252,11 @@ _VECTOR_TVF = re.compile(
 )
 _SHOW_CREATE = re.compile(
     r"^\s*SHOW\s+CREATE\s+TABLE\s+(\w+)\s*$", re.IGNORECASE
+)
+_EXPLAIN = re.compile(
+    r"^\s*EXPLAIN(?:\s+(EXTENDED|FORMATTED|CODEGEN|COST))?\s+"
+    r"((?:SELECT|WITH|VALUES|TABLE)\b.*)$",
+    re.IGNORECASE | re.DOTALL,
 )
 _MAINTAIN_CATALOG = re.compile(
     r"^\s*MAINTAIN\s+(CATALOG)"
@@ -762,6 +768,29 @@ class SqlFacade:
                 self.spark.catalog.dropTempView(view)
             self._stmt_views.clear()
         return df
+
+    def _explain(self, query: str, mode: str) -> DataFrame:
+        """``EXPLAIN [EXTENDED|FORMATTED|CODEGEN|COST] <select>`` — the
+        plan of the REWRITTEN query as a one-column frame, one row per
+        plan line. The query routes through the exact rewrite path
+        ``sql()`` runs (time travel pins resolve to snapshot views,
+        TABLE_CHANGES / SEARCH_INDEX / VECTOR_SEARCH TVFs expand), so a
+        SQL user finally sees what a ``VERSION AS OF`` or TVF query
+        actually scans — the last observability surface DESCRIBE
+        HISTORY / DETAIL / SHOW did not cover. Default mode is
+        Catalyst's FORMATTED physical rendering (the one that shows
+        PushedFilters / ReadSchema per scan)."""
+        import contextlib
+        import io
+
+        df = self._run_rewritten(query)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode=mode)
+        lines = buf.getvalue().rstrip("\n").split("\n")
+        return self.spark.createDataFrame(
+            [(ln,) for ln in lines], "plan string"
+        )
 
     def _summary(self, res: dict) -> DataFrame:
         return self.spark.createDataFrame(
@@ -1527,7 +1556,12 @@ class SqlFacade:
             # heal list skew: re-sample centroids at the current corpus
             # and rebuild the lists as one atomic epoch swap (queries
             # keep serving the old epoch until the re-point); CENTROID
-            # MOD also re-densifies the sample as the corpus grows
+            # MOD also re-densifies the sample as the corpus grows;
+            # LEARNED [n] refines the sample with n (default 2) Lloyd
+            # rounds of spherical k-means before the lists build —
+            # sampled centroids only ever sit ON corpus points, so a
+            # hot region keeps as many centroids as it had sample hits;
+            # the learned update moves them toward the region's mass
             if self._txn is not None:
                 raise ValueError(
                     "REINDEX VECTOR INDEX inside an explicit "
@@ -1535,13 +1569,19 @@ class SqlFacade:
                     "first"
                 )
             mod = m.group(2)
+            learned = (
+                int(m.group(4)) if m.group(4)
+                else (2 if m.group(3) else 0)
+            )
             r = self._vidx[m.group(1)].recluster(
-                centroid_mod=int(mod) if mod else None
+                centroid_mod=int(mod) if mod else None,
+                learned=learned,
             )
             return self.spark.createDataFrame(
                 [(int(r["epoch"]), int(r["centroids"]),
-                  int(r["applied"]))],
-                "epoch long, centroids long, applied long",
+                  int(r["applied"]), int(r["learned_rounds"]))],
+                "epoch long, centroids long, applied long, "
+                "learned_rounds long",
             )
         m = _DROP_VIDX.match(text)
         if m and m.group(1) in self._vidx:
@@ -1591,6 +1631,11 @@ class SqlFacade:
             )
         for name in self._tables:
             self._refresh_head(name)
+        m = _EXPLAIN.match(text)
+        if m:
+            return self._explain(
+                m.group(2), (m.group(1) or "formatted").lower()
+            )
         m = _CREATE_MV.match(text)
         if m:
             return self._create_mv(m.group(1), m.group(2))

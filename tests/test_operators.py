@@ -1037,3 +1037,52 @@ def test_mine_bitext_margin_hubness_correction(spark):
     # the hub's backward average is itself hub-high
     hub_margins = [r.margin for r in out.values() if r.tgt_id == 3]
     assert hub_margins and all(m < out[0].margin for m in hub_margins)
+
+
+def test_mine_bitext_backward_bounded_to_winners(spark):
+    """The backward GEMM is restricted to forward rank-1 winner ids:
+    (a) margins are unchanged vs the definition (each winner still
+    scores against ALL of src), and (b) a tgt side LARGER than
+    max_queries mines fine when the winner set is small — before the
+    bound, batch mining against a big standing corpus raised on the
+    backward pass's query-side cap."""
+    import numpy as np
+
+    from openverse_catalog_spark.operators.knn import mine_bitext_margin
+
+    rng = np.random.default_rng(23)
+    base = rng.normal(size=(6, 16))
+    src = spark.createDataFrame(
+        [(2 * i, [float(x) for x in base[i]]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    # 40 tgt rows: 6 near-copies of the src directions + 34 noise rows
+    tgt_rows = [
+        (1 + 2 * i,
+         [float(x) for x in base[i] + rng.normal(scale=0.01, size=16)])
+        for i in range(6)
+    ] + [
+        (101 + 2 * j, [float(x) for x in rng.normal(size=16)])
+        for j in range(34)
+    ]
+    tgt = spark.createDataFrame(
+        tgt_rows, "vec_id long, embedding array<double>"
+    )
+    queries = src.filter(F.col("vec_id") < 6)  # batch of 3
+    # max_queries=10 < |tgt|=40: only the winner bound makes this run
+    got = {
+        r.src_id: (r.tgt_id, r.cosine, r.margin)
+        for r in mine_bitext_margin(
+            src, tgt, k=3, threshold=0.0, queries=queries, max_queries=10
+        ).collect()
+    }
+    assert set(got) == {0, 2, 4}
+    # margins equal the unbounded full-mining values for those queries
+    full = {
+        r.src_id: (r.tgt_id, r.cosine, r.margin)
+        for r in mine_bitext_margin(
+            src, tgt, k=3, threshold=0.0
+        ).collect()
+    }
+    for sid, row in got.items():
+        assert row == full[sid], (sid, row, full[sid])

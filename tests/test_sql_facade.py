@@ -2120,3 +2120,58 @@ def test_facade_search_index_respects_catalog_pins(spark, tmp_path):
         "SELECT doc_id FROM SEARCH_INDEX('si', 'poison', 10)"
     ).collect()}
     assert got == {2}
+
+
+def test_facade_explain_shows_rewritten_plan(spark, tmp_path):
+    """EXPLAIN routes through the SAME rewrite path as sql(): a
+    VERSION AS OF query explains as the PINNED snapshot's file scan
+    (not the head's), with the predicate pushed and the projection
+    pruned to the two referenced columns; EXTENDED returns the full
+    four-section rendering; a TABLE_CHANGES TVF query explains without
+    leaking its per-statement temp view."""
+    t = CowTable.create(
+        spark, str(tmp_path / "tbl"), mk(spark, _base_rows()),
+        target_files=2,
+    )
+    t.merge(mk(spark, _batch_rows()), COLS, deterministic=True)
+    f = SqlFacade(spark)
+    f.register_table("media", t)
+
+    def plan_text(stmt: str) -> str:
+        df = f.sql(stmt)
+        assert df.columns == ["plan"]
+        return "\n".join(r["plan"] for r in df.collect())
+
+    q = ("SELECT foreign_identifier FROM media{pin} "
+         "WHERE provider = 'met'")
+    pinned = plan_text("EXPLAIN " + q.format(pin=" VERSION AS OF 1"))
+    head = plan_text("EXPLAIN " + q.format(pin=""))
+    # pushdown + pruning survive the rewrite, for both plans
+    for text in (pinned, head):
+        assert "EqualTo(provider,met)" in text
+        assert (
+            "ReadSchema: struct<provider:string,"
+            "foreign_identifier:string>" in text
+        )
+    # the pinned plan scans the v1 file set, not the head's: the two
+    # Location lines name different data directories
+    def loc(text: str) -> str:
+        return next(
+            ln for ln in text.split("\n") if "Location" in ln
+        )
+    assert loc(pinned) != loc(head)
+    ext = plan_text(
+        "EXPLAIN EXTENDED " + q.format(pin=" VERSION AS OF 1")
+    )
+    assert "== Parsed Logical Plan ==" in ext
+    assert "== Physical Plan ==" in ext
+    # TVF queries explain too, and the per-statement view is dropped
+    ch = plan_text(
+        "EXPLAIN SELECT _change_type FROM TABLE_CHANGES('media', 1)"
+    )
+    assert "== Physical Plan ==" in ch
+    leaked = [
+        v.name for v in spark.catalog.listTables()
+        if v.name.startswith("__tc_") or v.name.startswith("__sidx_")
+    ]
+    assert not leaked

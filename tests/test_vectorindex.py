@@ -887,8 +887,208 @@ def test_filtered_probe_prunes_lists_and_base_columns(spark, tmp_path):
     scan = [ln for ln in mplan.splitlines() if "FileScan" in ln]
     assert scan and all("embedding" not in ln for ln in scan), mplan
     assert any("lang" in ln for ln in scan)
-    # the final filtered search reads a strict subset of list files
-    out = idx.search(_vec(7), k=3, nprobe=2, where="lang = 'en'")
+    # the filtered search's level frame reads a strict subset of list
+    # files (search() itself now collects the <= k rows — the fill
+    # check IS the result job — so the pin reconstructs the exact
+    # level-0 frame _search_filtered ranks: pruned lists inner-joined
+    # against the lazy match scan)
+    import numpy as np
+
+    c_ids, c_mat = idx._centroid_matrix()
+    qv = np.asarray(_vec(7), dtype="float64")
+    qv = qv / np.sqrt((qv * qv).sum())
+    order = np.argsort(-(c_mat @ qv), kind="stable")[:2]
+    cand = idx.lists.read_pruned(
+        sorted(int(c_ids[i]) for i in order)
+    ).join(idx._match_set("lang = 'en'"), "neighbor_id")
     all_files = set(idx.lists.read().inputFiles())
-    lists_files = {f for f in out.inputFiles() if "/lists/" in f}
+    lists_files = {f for f in cand.inputFiles() if "/lists/" in f}
     assert lists_files and lists_files < all_files
+    # and the search itself still fills k from that level
+    assert idx.search(_vec(7), k=3, nprobe=2,
+                      where="lang = 'en'").count() == 3
+
+
+def test_recluster_learned_heals_below_sampled(spark, tmp_path):
+    """recluster(learned=N) must (a) land lists equal to a from-scratch
+    cosine assignment against the LEARNED centroids, (b) cut hot-
+    cluster skew at least as far as the sampled heal (sampled centroids
+    only sit ON corpus points; the Lloyd update moves them toward the
+    hot region's mass), and (c) keep the feed protocol incremental
+    across the epoch swap."""
+    rng = np.random.default_rng(41)
+    hot = np.asarray(_vec(0))
+    hot = hot / np.sqrt((hot * hot).sum())
+    hot_batch = spark.createDataFrame(
+        [
+            (100 + j,
+             [float(x) for x in 2.0 * hot
+              + rng.normal(scale=0.02, size=DIM)])
+            for j in range(120)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+
+    def healed_skew(slug, **kw):
+        base = CowTable.create(
+            spark, str(tmp_path / f"{slug}_vecs"),
+            mk_vecs(spark, range(40)), keys=("vec_id",),
+        )
+        idx = VectorIndex.create(
+            spark, str(tmp_path / f"{slug}_idx"), base, centroid_mod=10,
+        )
+        base.merge_when(hot_batch, insert=True)
+        idx.refresh()
+        r = idx.recluster(**kw)
+        return base, idx, r, idx.list_stats()
+
+    _, _, r_s, s_sampled = healed_skew("sampled")
+    assert r_s["learned_rounds"] == 0
+    base, idx, r_l, s_learned = healed_skew("learned", learned=2)
+    assert r_l["epoch"] == 1 and r_l["learned_rounds"] == 2
+    # learned centroid ids are ordinals 0..C-1
+    c_ids, _ = idx._centroid_matrix()
+    assert list(c_ids) == list(range(r_l["centroids"]))
+    # content == from-scratch assignment against the learned centroids
+    assert _lists_assign(idx) == _expected_assign(base, idx)
+    # the learned heal is at least as flat as the sampled one
+    assert s_learned["skew"] <= s_sampled["skew"] + 1e-9, (
+        s_learned, s_sampled,
+    )
+    # feed resumes incrementally across the learned swap
+    base.delete(F.col("vec_id") == 5)
+    base.merge_when(mk_vecs(spark, [300]), insert=True)
+    r2 = idx.refresh()
+    assert r2["refreshed"] and not r2.get("resync")
+    assert _lists_assign(idx) == _expected_assign(base, idx)
+    # search serves from the learned epoch
+    got = idx.search(_vec(7), k=2, nprobe=3)
+    assert got.collect()[0].neighbor_id == 7
+
+
+def test_recluster_deferred_reclaim(spark, tmp_path):
+    """recluster(reclaim=False) must retire the old epoch instead of
+    deleting it (in-flight readers keep their files), record it
+    durably, and reclaim_epochs() must collect it later — preserving
+    the rest of the state doc."""
+    import os
+
+    base = CowTable.create(
+        spark, str(tmp_path / "vecs"), mk_vecs(spark, range(30)),
+        keys=("vec_id",),
+    )
+    idx = VectorIndex.create(
+        spark, str(tmp_path / "idx"), base, centroid_mod=10,
+    )
+    # a reader planned against epoch 0 before the heal
+    old_reader = idx.lists.read()
+    n_before = old_reader.count()
+    r = idx.recluster(reclaim=False)
+    assert r["epoch"] == 1
+    # old epoch intact on disk and still readable
+    assert os.path.exists(str(tmp_path / "idx" / "lists"))
+    assert old_reader.count() == n_before
+    assert idx.retired_epochs == [0]
+    # a FRESH handle sees the retired record through durable state
+    re = VectorIndex.open(spark, str(tmp_path / "idx"), base)
+    assert re.retired_epochs == [0]
+    # queries serve the new epoch throughout
+    assert idx.search(_vec(3), k=1, nprobe=3).collect()[0].neighbor_id == 3
+    # reclaim collects the retired epoch and clears the record
+    assert re.reclaim_epochs() == [0]
+    assert not os.path.exists(str(tmp_path / "idx" / "lists"))
+    assert re.reclaim_epochs() == []
+    assert VectorIndex.open(
+        spark, str(tmp_path / "idx"), base
+    ).retired_epochs == []
+    # chained heal: e1 retires, e2 serves, reclaim removes e1 only
+    r2 = re.recluster(centroid_mod=6, reclaim=False)
+    assert r2["epoch"] == 2 and re.retired_epochs == [1]
+    assert os.path.exists(str(tmp_path / "idx" / "e1"))
+    assert re.reclaim_epochs() == [1]
+    assert not os.path.exists(str(tmp_path / "idx" / "e1"))
+    assert os.path.exists(str(tmp_path / "idx" / "e2"))
+    assert re.search(_vec(4), k=1, nprobe=3).collect()[0].neighbor_id == 4
+
+
+def test_facade_reindex_learned(spark, tmp_path):
+    """REINDEX VECTOR INDEX ... LEARNED [n] routes the Lloyd-refined
+    heal and reports the round count."""
+    from openverse_catalog_spark.sql_facade import SqlFacade
+
+    f = SqlFacade(spark)
+    f.register_df("emb", mk_vecs(spark, range(40)))
+    f.sql(
+        "CREATE TABLE vecs PRIMARY KEY (vec_id) "
+        f"LOCATION '{tmp_path / 'vecs'}' AS SELECT * FROM emb"
+    )
+    f.sql(
+        "CREATE VECTOR INDEX vi ON vecs (embedding) CENTROID MOD 10 "
+        f"LOCATION '{tmp_path / 'vi'}'"
+    )
+    r = f.sql("REINDEX VECTOR INDEX vi LEARNED").head()
+    assert r["epoch"] == 1 and r["learned_rounds"] == 2
+    r = f.sql("REINDEX VECTOR INDEX vi CENTROID MOD 8 LEARNED 3").head()
+    assert r["epoch"] == 2 and r["learned_rounds"] == 3
+    q = " ".join(str(x) for x in _vec(7))
+    out = f.sql(
+        f"SELECT neighbor_id, cosine FROM VECTOR_SEARCH('vi', '{q}', 2)"
+    ).collect()
+    assert out[0].neighbor_id == 7
+
+
+def test_filtered_search_selectivity_arms_agree(spark, tmp_path):
+    """Every physical arm of the adaptive selectivity switch must
+    return IDENTICAL results: the optimistic post-filter first level,
+    the pre-filter escalation (forced via PREFILTER_SELECTIVITY=1.0),
+    and the post-filter escalation (forced via 0.0) all match the
+    brute-force exact filtered scan — the switch changes the physical
+    strategy, never the candidates or ranking."""
+    from openverse_catalog_spark.operators.knn import cosine_expr
+
+    rows = [(i, _vec(i), "rare" if i % 10 == 0 else "common")
+            for i in range(60)]
+    base = CowTable.create(
+        spark, str(tmp_path / "vecs"),
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, lang string"
+        ),
+        keys=("vec_id",),
+    )
+    idx = VectorIndex.create(
+        spark, str(tmp_path / "idx"), base, centroid_mod=10,
+    )
+    q = _vec(777)
+    qarr = F.array(*[F.lit(float(x)) for x in q])
+    for where in ("lang = 'common'", "lang = 'rare'"):
+        # brute-force truth: exact cosine over the filtered corpus,
+        # nprobe forced to every centroid so recall is total
+        exact = [
+            (r.neighbor_id, r.cosine)
+            for r in base.read().filter(where).select(
+                F.col("vec_id").alias("neighbor_id"),
+                cosine_expr(qarr, F.col("embedding")).alias("c"),
+            ).orderBy(F.round(F.col("c"), 9).desc(), "neighbor_id")
+            .limit(5)
+            .select("neighbor_id", F.round("c", 6).alias("cosine"))
+            .collect()
+        ]
+        got = {}
+        for arm, sel in (("pre", 1.0), ("post", 0.0), ("adaptive", None)):
+            if sel is not None:
+                idx.PREFILTER_SELECTIVITY = sel
+            out = idx.search(
+                q, k=5, nprobe=len(idx._centroid_matrix()[0]),
+                where=where,
+            )
+            got[arm] = [(r.neighbor_id, r.cosine) for r in out.collect()]
+            if sel is not None:
+                del idx.PREFILTER_SELECTIVITY
+        assert got["pre"] == got["post"] == got["adaptive"] == exact, (
+            where, got, exact,
+        )
+        assert len(exact) == 5
+    # the rare predicate under-fills the first (single-probe) level and
+    # escalates to the recall floor: all 6 matches surface for k=10
+    rare = idx.search(q, k=10, nprobe=1, where="lang = 'rare'")
+    assert rare.count() == 6
