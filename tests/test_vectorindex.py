@@ -1092,3 +1092,35 @@ def test_filtered_search_selectivity_arms_agree(spark, tmp_path):
     # escalates to the recall floor: all 6 matches surface for k=10
     rare = idx.search(q, k=10, nprobe=1, where="lang = 'rare'")
     assert rare.count() == 6
+
+
+def test_pq_recluster_learned(spark, tmp_path):
+    """recluster(learned=N) in PQ-RESIDUAL mode: codebooks retrain
+    against the LEARNED centroids (residual codes depend on the
+    centroid set), the swapped epoch's lists equal a from-scratch
+    encode, and search still serves exact top-k through the ADC +
+    re-rank path."""
+    base = CowTable.create(
+        spark, str(tmp_path / "vecs"), mk_vecs(spark, range(60)),
+        keys=("vec_id",),
+    )
+    idx = VectorIndex.create(
+        spark, str(tmp_path / "idx"), base,
+        centroid_mod=10, pq_m=4, codebook_mod=7, pq_residual=True,
+    )
+    base.merge_when(mk_vecs(spark, range(60, 90)), insert=True)
+    idx.refresh()
+    r = idx.recluster(learned=2)
+    assert r["epoch"] == 1 and r["learned_rounds"] == 2
+    # learned centroids are ordinals and the PQ encode matches a
+    # from-scratch encode against them
+    c_ids, _ = idx._centroid_matrix()
+    assert list(c_ids) == list(range(r["centroids"]))
+    assert _lists_codes(idx) == _expected_codes(base, idx)
+    got = idx.search(_vec(4), k=2, nprobe=3, shortlist=20)
+    assert got.collect()[0].neighbor_id == 4
+    # feed resumes incrementally across the learned swap
+    base.merge_when(mk_vecs(spark, [200]), insert=True)
+    r2 = idx.refresh()
+    assert r2["refreshed"] and not r2.get("resync")
+    assert _lists_codes(idx) == _expected_codes(base, idx)
