@@ -345,6 +345,7 @@ class VectorIndex(IncrementalIndex):
         pq_m: int | None = None,
         codebook_mod: int = 25,
         pq_residual: bool = False,
+        learned: int = 0,
     ) -> "VectorIndex":
         """Build the index from a base snapshot (pin the version FIRST
         so a concurrent base write between the centroid scan and the
@@ -357,6 +358,15 @@ class VectorIndex(IncrementalIndex):
         scratch for fixed centroids. ``recluster()`` re-samples them
         at the current corpus (drift/skew heal) as an atomic epoch
         swap; ``list_stats()`` tells you when.
+
+        ``learned=N`` refines the sampled seeds with N Lloyd rounds of
+        spherical k-means on the unit-normalized snapshot BEFORE
+        anything derives from them (codebooks in PQ/residual mode train
+        against the learned centroids; lists assign to them) — the
+        create-time twin of ``recluster(learned=N)``, for corpora whose
+        clustering is known up front. Learned centroids get ordinal ids
+        0..C-1 and freeze exactly like sampled ones, so the
+        incremental == rebuilt contract is unchanged.
 
         ``pq_m`` switches the index to PQ MODE: list entries store m
         ordinal codes instead of raw vectors (the 100 TB layout),
@@ -385,6 +395,8 @@ class VectorIndex(IncrementalIndex):
                 f"centroid count exceeds {MAX_BROADCAST_QUERIES}; raise "
                 "centroid_mod (C should grow ~sqrt(n), not n)"
             )
+        if learned:
+            cents = idx._learn_centroids(snap, cents, int(learned))
         os.makedirs(idx.root, exist_ok=True)
         cents.write.mode("overwrite").parquet(f"{idx._edir()}/centroids")
         idx._pq_m = int(pq_m) if pq_m else None

@@ -3202,6 +3202,59 @@ def vector_index_recluster_learned(spark, sf_dir):
     )
 
 
+@register(
+    "vector_index_create_learned",
+    _ivf_learned_oracle(
+        corpus_sql="SELECT vec_id, embedding FROM embeddings",
+    ),
+)
+def vector_index_create_learned(spark, sf_dir):
+    """CREATE-time learned centroids (the symmetric twin of
+    ``vector_index_recluster_learned``): ``CREATE VECTOR INDEX ...
+    CENTROID MOD 40 LEARNED 2`` refines the id-sampled seeds with two
+    Lloyd rounds of spherical k-means BEFORE the first lists build —
+    for corpora whose clustering is known up front, the index is born
+    balanced instead of healed later. Exercises the facade CREATE arm
+    (operators/vectorindex.py ``create(learned=)``,
+    sql_facade.py ``LEARNED [n]`` clause) and the batch probe against
+    ordinal learned centroids. The oracle replays seeding, the Lloyd
+    rounds, cosine assignment with the round-at-9 argmax guard, and
+    the probe ranking from scratch in SQL."""
+    import os
+    import shutil
+    import tempfile
+
+    from openverse_catalog_spark.sql_facade import SqlFacade
+
+    f = SqlFacade(spark)
+    f.register_df(
+        "embeddings",
+        _t(spark, sf_dir, "embeddings")["embeddings"].select(
+            "vec_id", "embedding"
+        ),
+    )
+    base = os.path.join(
+        tempfile.gettempdir(), "spark_graft_vidx_clearned"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    f.sql(
+        "CREATE TABLE vecs PRIMARY KEY (vec_id) "
+        f"LOCATION '{base}/vecs' AS "
+        "SELECT vec_id, embedding FROM embeddings"
+    )
+    f.sql(
+        "CREATE VECTOR INDEX vlidx ON vecs (embedding) "
+        f"CENTROID MOD 40 LEARNED 2 LOCATION '{base}/idx'"
+    )
+    idx = f._vidx["vlidx"]
+    queries = idx.base.read().filter(F.col("vec_id") % 20 == 0)
+    out = idx.probe(queries, k=3, nprobe=2, rank_quantize=9)
+    return out.select(
+        "query_id", "neighbor_id", "rank",
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
 #: static 64-dim query literal for the SQL-surface vector search (pi
 #: digits): identical text on both engines, so the oracle replays the
 #: single-vector probe exactly.

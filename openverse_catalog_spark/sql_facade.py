@@ -229,6 +229,7 @@ _CREATE_VIDX = re.compile(
     r"^\s*(CREATE|ATTACH)\s+VECTOR\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s*"
     r"\(\s*(\w+)\s*\)(?:\s+CENTROID\s+MOD\s+(\d+))?"
     r"(?:\s+PQ\s+(\d+)(\s+RESIDUAL)?)?"
+    r"(?:\s+(LEARNED)(?:\s+(\d+))?)?"
     r"(?:\s+LOCATION\s+'([^']+)')?\s*$",
     re.IGNORECASE,
 )
@@ -984,7 +985,8 @@ class SqlFacade:
             VectorIndex,
         )
 
-        verb, name, tbl, col, mod, pq, pq_res, location = m.groups()
+        (verb, name, tbl, col, mod, pq, pq_res, learned_kw,
+         learned_n, location) = m.groups()
         attach = verb.upper() == "ATTACH"
         if name in self._sidx or name in self._vidx:
             raise ValueError(f"index {name!r} already exists")
@@ -1014,10 +1016,10 @@ class SqlFacade:
                 raise ValueError(
                     "ATTACH VECTOR INDEX needs LOCATION '<dir>'"
                 )
-            if mod or pq or pq_res:
+            if mod or pq or pq_res or learned_kw:
                 raise ValueError(
                     "ATTACH VECTOR INDEX reopens a persisted index; "
-                    "CENTROID MOD / PQ are fixed at CREATE"
+                    "CENTROID MOD / PQ / LEARNED are fixed at CREATE"
                 )
             idx = VectorIndex.open(
                 self.spark, location, base,
@@ -1035,6 +1037,10 @@ class SqlFacade:
                     pq_m=int(pq) if pq else None,
                     pq_residual=bool(pq_res),
                     version=pin,
+                    learned=(
+                        int(learned_n) if learned_n
+                        else (2 if learned_kw else 0)
+                    ),
                 )
             except Exception:
                 # a failed build must not leave a husk directory that

@@ -1124,3 +1124,50 @@ def test_pq_recluster_learned(spark, tmp_path):
     r2 = idx.refresh()
     assert r2["refreshed"] and not r2.get("resync")
     assert _lists_codes(idx) == _expected_codes(base, idx)
+
+
+def test_create_learned_and_facade_clause(spark, tmp_path):
+    """create(learned=N) refines seeds before the FIRST build: lists
+    equal a from-scratch assignment against the learned (ordinal)
+    centroids, refresh stays incremental, and the facade's CREATE
+    VECTOR INDEX ... LEARNED [n] clause routes it (ATTACH refuses the
+    clause like the other fixed-at-create options)."""
+    import pytest as _pytest
+
+    from openverse_catalog_spark.sql_facade import SqlFacade
+
+    base = CowTable.create(
+        spark, str(tmp_path / "vecs"), mk_vecs(spark, range(50)),
+        keys=("vec_id",),
+    )
+    idx = VectorIndex.create(
+        spark, str(tmp_path / "idx"), base, centroid_mod=10, learned=2,
+    )
+    c_ids, _ = idx._centroid_matrix()
+    assert list(c_ids) == list(range(len(c_ids)))  # ordinal ids
+    assert _lists_assign(idx) == _expected_assign(base, idx)
+    base.merge_when(mk_vecs(spark, [100, 101]), insert=True)
+    r = idx.refresh()
+    assert r["refreshed"] and not r.get("resync")
+    assert _lists_assign(idx) == _expected_assign(base, idx)
+
+    f = SqlFacade(spark)
+    f.register_df("emb", mk_vecs(spark, range(40)))
+    f.sql(
+        "CREATE TABLE vecs PRIMARY KEY (vec_id) "
+        f"LOCATION '{tmp_path / 'fvecs'}' AS SELECT * FROM emb"
+    )
+    f.sql(
+        "CREATE VECTOR INDEX vl ON vecs (embedding) CENTROID MOD 10 "
+        f"LEARNED LOCATION '{tmp_path / 'fvl'}'"
+    )
+    got = f.sql(
+        f"SELECT neighbor_id FROM VECTOR_SEARCH("
+        f"'vl', '{' '.join(str(x) for x in _vec(7))}', 1)"
+    ).collect()
+    assert got[0].neighbor_id == 7
+    with _pytest.raises(ValueError, match="LEARNED are fixed"):
+        f.sql(
+            "ATTACH VECTOR INDEX va ON vecs (embedding) LEARNED "
+            f"LOCATION '{tmp_path / 'fvl'}'"
+        )
