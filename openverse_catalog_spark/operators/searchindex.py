@@ -315,6 +315,40 @@ class SearchIndex(IncrementalIndex):
             to_v,
         )
 
+    def posting_stats(self) -> dict:
+        """Posting-length telemetry, the lexical twin of the vector
+        index's ``list_stats``: (terms, max_df, median_df, skew =
+        max/median). BM25/phrase cost tracks the query terms' posting
+        sizes — the honest inverted-index bound — so a corpus whose
+        vocabulary Zipf-curve puts a stop-word-like term in every
+        document shows up HERE before it shows up as a slow query.
+        Unlike list skew this is not healable by re-clustering (term
+        assignment is the text, not a centroid choice); the operational
+        responses are query-side (prune/require rarer terms) or
+        schema-side (stop-term policies at ingest). One column-pruned
+        aggregate over the postings table's term column — positions,
+        tf, doc ids are never read; C rows reduce to one."""
+        row = (
+            self.postings.read()
+            .groupBy("term").count()
+            .agg(
+                F.count("*").alias("terms"),
+                F.max("count").alias("max_df"),
+                F.expr("percentile(count, 0.5)").alias("median_df"),
+            )
+            .head()
+        )
+        if row is None or row["terms"] is None or row["terms"] == 0:
+            return {"terms": 0, "max_df": 0,
+                    "median_df": 0.0, "skew": 0.0}
+        med = float(row["median_df"])
+        return {
+            "terms": int(row["terms"]),
+            "max_df": int(row["max_df"]),
+            "median_df": med,
+            "skew": float(row["max_df"]) / med if med else float("inf"),
+        }
+
     # -- query --------------------------------------------------------------
 
     def _match_set(self, where: str) -> DataFrame:

@@ -264,7 +264,8 @@ _MAINTAIN_CATALOG = re.compile(
     r"(?:\s+TARGET\s+(\d+)\s+ROWS)?"
     r"(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?"
     r"(?:\s+HISTORY\s+(\d+)\s+COMMITS)?"
-    r"(?:\s+REINDEX\s+SKEW\s+(\d+(?:\.\d+)?))?\s*$",
+    r"(?:\s+REINDEX\s+SKEW\s+(\d+(?:\.\d+)?)"
+    r"(?:\s+(LEARNED)(?:\s+(\d+))?)?)?\s*$",
     re.IGNORECASE,
 )
 _MAINTAIN = re.compile(
@@ -1701,11 +1702,13 @@ class SqlFacade:
             # lives, the base version it reflects, how many base
             # commits behind the pin/head it is — the operational view
             # the reference reads from its ES cluster + Airflow state —
-            # and, for vector indexes, the LIST-BALANCE telemetry
-            # (max/median inverted-list size + skew ratio): frozen
-            # centroids under a drifting corpus grow hot lists without
-            # bound, and probe cost follows list size, so skew must be
-            # visible here before REINDEX VECTOR INDEX heals it
+            # and the BALANCE telemetry for BOTH families — vector:
+            # max/median inverted-LIST size + skew (frozen centroids
+            # under drift grow hot lists; probe cost follows list size;
+            # REINDEX heals it), search: max/median posting DF + skew
+            # (BM25/phrase cost tracks posting sizes — the honest
+            # inverted-index bound; not healable, but it must be
+            # visible before it is a slow query)
             rows = []
             for kind, reg in (("search", self._sidx),
                               ("vector", self._vidx)):
@@ -1714,9 +1717,13 @@ class SqlFacade:
                     applied = idx.applied_version
                     pin = self._index_pin(idx)
                     head = pin if pin is not None else idx.base.version
-                    bal = (
-                        idx.list_stats() if kind == "vector" else None
-                    )
+                    if kind == "vector":
+                        bal = idx.list_stats()
+                    else:
+                        ps = idx.posting_stats()
+                        bal = {"max_list": ps["max_df"],
+                               "median_list": ps["median_df"],
+                               "skew": ps["skew"]}
                     if kind == "vector":
                         mode = "ivf"
                         if idx.pq_m:
@@ -1963,11 +1970,17 @@ class SqlFacade:
                 # keep-sets still protect registered branches)
                 kw["catalog_history"] = int(m.group(4))
             if m.group(5):
-                # REINDEX SKEW s: opt-in auto-heal — recluster a
-                # registered vector index whose max/median list skew
-                # reaches s (an O(corpus) rebuild the operator
-                # explicitly accepts; atomic epoch swap)
+                # REINDEX SKEW s [LEARNED [n]]: opt-in auto-heal —
+                # recluster a registered vector index whose max/median
+                # list skew reaches s (an O(corpus) rebuild the
+                # operator explicitly accepts; atomic epoch swap);
+                # LEARNED refines the re-sampled centroids with n
+                # (default 2) Lloyd rounds before the lists build
                 kw["reindex_skew"] = float(m.group(5))
+                if m.group(6):
+                    kw["reindex_learned"] = (
+                        int(m.group(7)) if m.group(7) else 2
+                    )
             rep = self._catalog.maintain_tables(**kw)
             self._head_version.clear()
             rows = []

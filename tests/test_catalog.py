@@ -986,3 +986,70 @@ def test_maintain_reindex_skew_heals_vector_index(spark, tmp_path):
         "MAINTAIN CATALOG TARGET 1 ROWS REINDEX SKEW 8.0"
     ).collect()}
     assert "index:vi" in out
+
+
+def test_maintain_reindex_skew_learned(spark, tmp_path):
+    """MAINTAIN ... REINDEX SKEW s LEARNED [n]: the unattended
+    auto-heal runs the Lloyd-refined recluster (learned centroids get
+    ordinal ids), still retires the old epoch instead of deleting it,
+    and the facade clause routes the round count."""
+    import numpy as np
+
+    from openverse_catalog_spark.operators.vectorindex import VectorIndex
+    from openverse_catalog_spark.sql_facade import SqlFacade
+
+    def vec(seed):
+        rng = np.random.default_rng(seed)
+        return [float(x) for x in rng.normal(size=8)]
+
+    cat = LakeCatalog.create(spark, str(tmp_path / "lake"))
+    vecs = CowTable.create(
+        spark, str(tmp_path / "vecs"),
+        spark.createDataFrame(
+            [(i, vec(i)) for i in range(40)],
+            "vec_id long, embedding array<double>",
+        ),
+        keys=("vec_id",),
+    )
+    cat.register("vecs", vecs)
+    idx = VectorIndex.create(
+        spark, str(tmp_path / "vi"), vecs, centroid_mod=10,
+        version=cat._entry("vecs")["version"],
+    )
+    cat.register_index("vi", "vector", idx.root, "vecs",
+                       {"id": "vec_id", "vector": "embedding"})
+    rng = np.random.default_rng(3)
+    hot = np.asarray(vec(0))
+    hot = hot / np.sqrt((hot * hot).sum())
+    batch = spark.createDataFrame(
+        [(100 + j, [float(x) for x in 2.0 * hot
+                    + rng.normal(scale=0.02, size=8)])
+         for j in range(120)],
+        "vec_id long, embedding array<double>",
+    )
+    with cat.transaction() as txn:
+        txn.table("vecs").merge_when(batch, insert=True)
+    rep = cat.maintain_tables(
+        target_rows=1, retention_seconds=3600.0,
+        reindex_skew=8.0, reindex_learned=2,
+    )
+    heal = rep["index:vi"]["reindexed"]
+    assert heal["epoch"] == 1 and heal["learned_rounds"] == 2
+    re1 = VectorIndex.open(spark, idx.root, vecs)
+    c_ids, _ = re1._centroid_matrix()
+    assert list(c_ids) == list(range(heal["centroids"]))  # ordinals
+    # retired, not deleted: the next tick reclaims
+    assert re1.retired_epochs == [0]
+    rep2 = cat.maintain_tables(
+        target_rows=1, retention_seconds=3600.0,
+        reindex_skew=8.0, reindex_learned=2,
+    )
+    assert rep2["index:vi"].get("reclaimed_epochs") == [0]
+    assert "reindexed" not in rep2["index:vi"]  # healed below bound
+    # facade clause: LEARNED default rounds
+    f = SqlFacade(spark)
+    f.attach_catalog(cat)
+    out = {r["name"]: r for r in f.sql(
+        "MAINTAIN CATALOG TARGET 1 ROWS REINDEX SKEW 8.0 LEARNED 3"
+    ).collect()}
+    assert "index:vi" in out

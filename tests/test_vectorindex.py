@@ -325,6 +325,11 @@ def test_facade_show_indexes_and_attach(spark, tmp_path):
     assert rows["vi"]["mode"] == "ivf" and rows["vi"]["epoch"] == 0
     assert rows["si"]["kind"] == "search"
     assert rows["si"]["mode"] == "inverted" and rows["si"]["epoch"] is None
+    # search indexes carry posting-DF balance in the same columns:
+    # 'beta' posts in both docs (max_df 2), the others in one each
+    assert rows["si"]["max_list"] == 2
+    assert rows["si"]["median_list"] == 1.0
+    assert rows["si"]["skew"] == 2.0
     # churn makes the index stale; SHOW INDEXES reports the lag
     f.sql("DELETE FROM vecs WHERE vec_id = 3")
     rows = {r["index"]: r for r in f.sql("SHOW INDEXES").collect()}
