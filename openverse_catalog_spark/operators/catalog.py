@@ -310,9 +310,16 @@ class LakeCatalog:
 
         lock = f"{self._indexes_path()}.lock"
         deadline = time.time() + 30.0
+        my_ino = None
         while True:
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                # remember the inode: release removes the lock only if
+                # it is still OURS — a stealer that renamed this lock
+                # away (double-stale race) may have let another waiter
+                # create a fresh one, and removing THAT would re-open
+                # the two-writer hole one level down
+                my_ino = os.fstat(fd).st_ino
                 os.close(fd)
                 break
             except FileExistsError:
@@ -321,6 +328,16 @@ class LakeCatalog:
                 except OSError:
                     continue  # holder released between stat and now
                 if stale_seen:
+                    # re-stat IMMEDIATELY before the steal: the first
+                    # stat may be arbitrarily old by now (another
+                    # stealer + fresh acquirer can have cycled the
+                    # lock), and stealing a live lock is the one move
+                    # the restore path below cannot fully undo
+                    try:
+                        if time.time() - os.path.getmtime(lock) <= 30.0:
+                            continue
+                    except OSError:
+                        continue
                     claim = f"{lock}.stale.{uuid.uuid4().hex}"
                     try:
                         os.rename(lock, claim)
@@ -361,7 +378,11 @@ class LakeCatalog:
             os.replace(tmp, self._indexes_path())
         finally:
             try:
-                os.remove(lock)
+                # inode check: only remove a lock we still own (see
+                # acquire); a mismatch means a stealer rotated it and
+                # some other waiter now legitimately holds the name
+                if my_ino is not None and os.stat(lock).st_ino == my_ino:
+                    os.remove(lock)
             except OSError:
                 pass
 
@@ -751,6 +772,15 @@ class LakeCatalog:
             ZORDER_CLAMP_RETIGHTEN,
         )
 
+        if reindex_learned and reindex_skew is None:
+            # reindex_learned only refines a heal reindex_skew
+            # triggers; silently ignoring it would let an operator
+            # believe learned auto-heals are running when no heal can
+            # ever fire
+            raise ValueError(
+                "reindex_learned requires reindex_skew (the skew "
+                "bound is what triggers the heal it refines)"
+            )
         report: dict = {"recovered": self.recover()["rolled_back"]}
         cur = self._load()
         for name, e in cur["tables"].items():

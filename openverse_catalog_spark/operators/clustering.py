@@ -81,16 +81,30 @@ def lloyd_rounds(
         assigned = base.withColumn(
             "__cid", assign_clusters(F.col("__v"), centroids)
         )
+        # means ROUND to 9 decimals (Spark HALF_UP == the oracle's
+        # round-half-away) before feeding the next round: float sums
+        # accumulate in partition order, so unrounded means differ in
+        # the last ulps between partitionings AND between engines —
+        # enough to flip a near-equidistant point's argmin and break
+        # the oracle replay. 1e-9 is far above the ~1e-15 accumulation
+        # noise and far below any meaningful centroid distinction.
         stats = assigned.groupBy("__cid").agg(
             F.count("*").alias("__n"),
             *[
                 F.sum(F.element_at("__v", i + 1)).alias(f"__s{i}")
                 for i in range(dim)
             ],
+        ).select(
+            "__cid",
+            *[
+                F.round(F.col(f"__s{i}") / F.col("__n"), 9)
+                .alias(f"__m{i}")
+                for i in range(dim)
+            ],
         )
         new: dict[int, list[float]] = {}
         for r in stats.collect():
-            new[r["__cid"]] = [r[f"__s{i}"] / r["__n"] for i in range(dim)]
+            new[r["__cid"]] = [r[f"__m{i}"] for i in range(dim)]
         centroids = [new.get(c, centroids[c]) for c in range(k)]
     return centroids
 

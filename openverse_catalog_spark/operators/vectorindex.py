@@ -1186,6 +1186,7 @@ class VectorIndex(IncrementalIndex):
         total = int(self.lists._manifest().get("rows") or 0)
         n_match: int | None = None  # counted only on first under-fill
         selective = False
+        persisted = None
         qarr = F.array(*[F.lit(float(x)) for x in qvec])
         n = max(1, min(int(nprobe), n_cents))
         while True:
@@ -1204,16 +1205,30 @@ class VectorIndex(IncrementalIndex):
             if len(rows) >= int(k) or n >= n_cents:
                 break
             if n_match is None:
+                # ONE filtered scan: persist the match ids WHILE the
+                # count job materializes them — count-then-checkpoint
+                # would run the predicate scan twice, and checkpoint-
+                # then-count would materialize a corpus-sized id set
+                # for a non-selective predicate before knowing it. A
+                # non-selective under-fill (rare: a 90% filter almost
+                # always fills level one) drops the cache immediately,
+                # so its storage cost is one transient write.
+                match = match.persist()
+                persisted = match
                 n_match = match.count()
                 selective = (
                     total == 0
                     or n_match <= self.PREFILTER_SELECTIVITY * total
                 )
-                if selective:
-                    match = match.localCheckpoint(eager=True)
+                if not selective:
+                    persisted.unpersist()
+                    persisted = None
             if len(rows) >= min(int(k), n_match):
                 break
             n = min(2 * n, n_cents)
+        if persisted is not None:
+            # rows are already collected; never leak cache across calls
+            persisted.unpersist()
         return self.spark.createDataFrame(
             rows, "neighbor_id long, cosine double"
         )

@@ -38,7 +38,12 @@ def _kmeans_chain() -> str:
     that needs the final centroid table c{_ITER}."""
     steps = []
     for it in range(_ITER):
-        mean_list = ", ".join(f"avg(e.v[{i + 1}])" for i in range(_DIM))
+        # round-9 means: the engine rounds each round's means before
+        # feeding the next (partition-order float noise), so the
+        # oracle must too
+        mean_list = ", ".join(
+            f"round(avg(e.v[{i + 1}]), 9)" for i in range(_DIM)
+        )
         steps.append(
             f"""a{it} AS (
       SELECT vec_id, cid FROM (

@@ -3081,7 +3081,11 @@ def _ivf_learned_oracle(
             for i in range(dim)
         )
 
-    means = ", ".join(f"avg(e.v[{i + 1}])" for i in range(dim))
+    # round-9 means each round, matching lloyd_rounds (see
+    # clustering_queries._kmeans_chain)
+    means = ", ".join(
+        f"round(avg(e.v[{i + 1}]), 9)" for i in range(dim)
+    )
     steps = []
     for it in range(rounds):
         steps.append(

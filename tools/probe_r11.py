@@ -42,7 +42,6 @@ Usage: python tools/probe_r11.py [learned|selswitch|bitext|e2e|all]
 
 from __future__ import annotations
 
-import math
 import os
 import sys
 import tempfile
@@ -116,7 +115,7 @@ def probe_learned(spark) -> None:
     s = idx.list_stats()
     rows.append(("before heal", None, s, hot_probe()))
     t0 = time.time()
-    r = idx.recluster()
+    idx.recluster()
     rows.append(
         ("sampled recluster", time.time() - t0, idx.list_stats(),
          hot_probe())
@@ -232,16 +231,14 @@ def probe_bitext(spark) -> None:
         batch = src.limit(50)
         # max_queries=4096 << n_tgt at 10x: only the winner bound on
         # the backward pass lets this run at all
+        counts = []
         t = _timed(
-            lambda: mine_bitext_margin(
+            lambda: counts.append(mine_bitext_margin(
                 src, tgt, k=4, threshold=0.0,
                 queries=batch, max_queries=4096,
-            ).count()
+            ).count())
         )
-        n_pairs = mine_bitext_margin(
-            src, tgt, k=4, threshold=0.0,
-            queries=batch, max_queries=4096,
-        ).count()
+        n_pairs = counts[-1]  # from the timed runs; no third mining job
         print(f"| {copies}x | {n_tgt} | {t:.2f} | {n_pairs} |")
 
 

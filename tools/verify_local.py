@@ -33,6 +33,12 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     # at 16GB and can fill /tmp.
     con.execute("SET memory_limit='48GB'")
     con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    # cap worker threads: sharing the machine with a local[32] Spark
+    # JVM + 32 python workers, DuckDB's default thread-per-core spawns
+    # into transient EAGAIN windows (observed: jemalloc "background
+    # thread creation failed (11)" -> bad_alloc on KB-sized blocks);
+    # 8 threads keeps every oracle comfortably fast at sf<=0.1
+    con.execute("SET threads TO 8")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
@@ -54,6 +60,46 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         df[c] = df[c].map(norm)
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+
+
+def subprocess_oracle(sf_dir: str, sql: str) -> pd.DataFrame:
+    """Run one oracle in a FRESH JVM-free python process (see the
+    OOM-fallback comment in main) and hand the frame back via a
+    parquet temp file."""
+    import subprocess
+    import sys as _sys
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".sql", delete=False) as fh:
+        fh.write(sql.encode())
+        sql_path = fh.name
+    out_path = sql_path + ".parquet"
+    code = (
+        "import duckdb, sys\n"
+        f"con = duckdb.connect()\n"
+        f"con.execute(\"SET temp_directory='/tmp/duckdb_spill'\")\n"
+        "con.execute('SET threads TO 8')\n"
+        + "".join(
+            f"con.execute(\"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{sf_dir}/{t}.parquet'\")\n"
+            for t in TABLES
+        )
+        + f"sql = open({sql_path!r}).read()\n"
+        f"con.execute(f\"COPY ({{sql}}) TO '{out_path}' "
+        f"(FORMAT PARQUET)\")\n"
+    )
+    subprocess.run(
+        [_sys.executable, "-c", code], check=True, timeout=600,
+        capture_output=True,
+    )
+    df = pd.read_parquet(out_path)
+    import os as _os
+
+    _os.unlink(sql_path)
+    _os.unlink(out_path)
     return df
 
 
@@ -108,11 +154,25 @@ def main():
         except duckdb.OutOfMemoryException:
             # a prior heavy oracle can leave the shared connection's
             # buffers pinned; a fresh connection releases them — retry
-            # once before declaring failure
+            # once, then fall back to a SUBPROCESS oracle: sharing the
+            # process with a 32-thread Spark JVM makes small mallocs
+            # flaky under allocation bursts (observed: bad_alloc on
+            # 2 KB blocks with 100+ GB free), and a fresh connection
+            # in the same address space does not always clear it
             con.close()
             con = duck_con(sf_dir)
             try:
                 odf = con.execute(oracles[name]).fetchdf()
+            except duckdb.OutOfMemoryException:
+                try:
+                    odf = subprocess_oracle(sf_dir, oracles[name])
+                except Exception as e:
+                    print(
+                        f"FAIL {name}: oracle error (subprocess): "
+                        f"{type(e).__name__}: {str(e)[:300]}"
+                    )
+                    n_fail += 1
+                    continue
             except Exception as e:
                 print(
                     f"FAIL {name}: oracle error: "
