@@ -648,22 +648,24 @@ class VectorIndex(IncrementalIndex):
         ~sqrt(n) as the corpus grows — the other reason to recluster
         besides drift).
 
-        ``learned=N`` refines the re-sampled centroids with N Lloyd
-        rounds of k-means on the UNIT-NORMALIZED corpus before the
-        lists build (k-means on the unit sphere — the assignment
-        discipline the index's cosine GEMM then applies is the
-        spherical update's own). Seeds are the ``id % mod`` sample in
-        id order; learned centroids get ordinal ids 0..C-1. On
-        naturally clustered / drifted embeddings the learned centroids
-        cut residual skew below what re-sampling alone reaches (the
-        sampled heal only relocates centroids to corpus points — a hot
-        region keeps as many centroids as it has sample hits, not as
-        many as its mass deserves). Deterministic end to end (seed
-        order, expression-only assignment, empty cluster keeps its
-        previous centroid), so the SQL oracle replays every round.
-        Cost per round: one corpus scan + a C-row aggregate, with the
-        C x dim centroid literal riding the plan — bounded by the same
-        MAX_BROADCAST_QUERIES cap as the sample itself."""
+        ``learned=N`` refines the re-sampled centroids with N
+        SPHERICAL k-means rounds on the unit-normalized corpus before
+        the lists build — assignment rides the index's own
+        broadcast-GEMM round-at-9 cosine argmax (on unit vectors
+        cosine argmax IS L2 argmin), so the discipline the built index
+        then applies to these centroids is the spherical update's own.
+        Seeds are the ``id % mod`` sample in id order; learned
+        centroids get ordinal ids 0..C-1. On naturally clustered /
+        drifted embeddings the learned centroids cut residual skew
+        below what re-sampling alone reaches (the sampled heal only
+        relocates centroids to corpus points — a hot region keeps as
+        many centroids as it has sample hits, not as many as its mass
+        deserves). Deterministic end to end (seed order, round-9
+        guards on cosines and means, empty cluster keeps its previous
+        centroid), so the SQL oracle replays every round. Cost per
+        round: one corpus scan (GEMM against the broadcast C x dim
+        matrix — no centroid literals in the plan, so C scales to the
+        ~sqrt(corpus) a 100 TB index needs) + a C-row aggregate."""
         import shutil
 
         st = self._state()
@@ -751,38 +753,88 @@ class VectorIndex(IncrementalIndex):
         }
 
     def _learn_centroids(self, snap, cents, rounds: int):
-        """Lloyd-refine the sampled seed centroids on the normalized
-        corpus (see ``recluster(learned=)``); returns the learned
-        (centroid_id 0..C-1, vector) frame."""
-        from openverse_catalog_spark.operators.clustering import (
-            lloyd_rounds,
-        )
+        """SPHERICAL-k-means-refine the sampled seed centroids (see
+        ``recluster(learned=)``); returns the learned
+        (centroid_id 0..C-1, vector) frame.
+
+        Each round: normalize the current centroids, assign every
+        (normalized) corpus vector to its highest-cosine centroid via
+        the SAME broadcast-GEMM + round-at-9 argmax discipline every
+        index assignment uses — cost one corpus scan regardless of C,
+        where an expression-literal argmin would put C x dim literals
+        in the plan (fine at C=50, impossible at the C~sqrt(10^11) a
+        100 TB corpus needs) — then take the per-cluster mean of the
+        normalized vectors, ROUNDED to 9 decimals (partition-order
+        float noise absorbed; the oracle replays the identical
+        normalize -> round-9 cosine argmax (lowest-cid tie) -> round-9
+        mean chain in SQL). On unit vectors cosine argmax IS L2
+        argmin, so this is Lloyd's update on the unit sphere — and the
+        assignment the built index then applies to these centroids is
+        the same spherical rule. Empty clusters keep their previous
+        centroid."""
+        import numpy as np
 
         seed_rows = cents.orderBy("centroid_id").collect()
         if not seed_rows:
             raise ValueError("no seed centroids to learn from")
         dim = len(seed_rows[0]["vector"])
 
-        def unit(col):
-            nrm = F.sqrt(F.aggregate(
-                F.transform(col, lambda x: x * x),
-                F.lit(0.0), lambda a, b: a + b,
-            ))
-            return F.transform(col, lambda x: x / nrm)
+        def unit(vec):
+            v = np.asarray(vec, dtype="float64")
+            return v / np.sqrt((v * v).sum())
 
-        def unit_py(vec):
-            import math
+        cur = [unit(r["vector"]) for r in seed_rows]
+        k = len(cur)
+        idc, vcc = self.id_col, self.vec_col
+        base = _as_double(snap, vcc).select(idc, vcc).localCheckpoint(
+            eager=False
+        )
+        for _ in range(int(rounds)):
+            cm = np.stack([unit(c) for c in cur])
+            bc = self.spark.sparkContext.broadcast(cm)
 
-            n = math.sqrt(sum(x * x for x in vec))
-            return [float(x) / n for x in vec]
+            def assign_gen(batches, _bc=bc):
+                import numpy as np
+                import pandas as pd
 
-        seeds = [unit_py(r["vector"]) for r in seed_rows]
-        base = snap.select(
-            unit(F.col(self.vec_col)).alias("__v")
-        ).localCheckpoint(eager=False)
-        final = lloyd_rounds(base, seeds, rounds, dim)
+                cmat = _bc.value
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    _ids, mat = _stack_normalized(pdf, idc, vcc)
+                    best = np.round(mat @ cmat.T, 9).argmax(axis=1)
+                    yield pd.DataFrame(
+                        {"__cid": best.astype("int64"), "__v": list(mat)}
+                    )
+
+            assigned = base.mapInPandas(
+                assign_gen, "__cid long, __v array<double>"
+            )
+            stats = assigned.groupBy("__cid").agg(
+                F.count("*").alias("__n"),
+                *[
+                    F.sum(F.element_at("__v", i + 1)).alias(f"__s{i}")
+                    for i in range(dim)
+                ],
+            ).select(
+                "__cid",
+                *[
+                    F.round(F.col(f"__s{i}") / F.col("__n"), 9)
+                    .alias(f"__m{i}")
+                    for i in range(dim)
+                ],
+            )
+            new = {
+                int(r["__cid"]): [r[f"__m{i}"] for i in range(dim)]
+                for r in stats.collect()
+            }
+            cur = [
+                np.asarray(new[c], dtype="float64")
+                if c in new else cur[c]
+                for c in range(k)
+            ]
         return self.spark.createDataFrame(
-            [(i, c) for i, c in enumerate(final)],
+            [(i, [float(x) for x in c]) for i, c in enumerate(cur)],
             "centroid_id long, vector array<double>",
         )
 

@@ -3074,29 +3074,36 @@ def _ivf_learned_oracle(
     clustering.py determinism contract), then run the IVF probe math
     against the LEARNED centroids: cosine assignment with the engine's
     round-at-9 argmax guard, nprobe probing, exact in-list ranking."""
-    def dist(e: str, c: str) -> str:
+    def dot(e: str, c: str) -> str:
         return " + ".join(
-            f"({e}.v[{i + 1}] - {c}.v[{i + 1}])"
-            f" * ({e}.v[{i + 1}] - {c}.v[{i + 1}])"
-            for i in range(dim)
+            f"{e}.v[{i + 1}] * {c}.v[{i + 1}]" for i in range(dim)
         )
 
-    # round-9 means each round, matching lloyd_rounds (see
-    # clustering_queries._kmeans_chain)
+    # round-9 means each round, and assignment = round-9 COSINE argmax
+    # against the round's NORMALIZED centroids (lowest-cid tie) — the
+    # engine's spherical rounds ride the index's broadcast-GEMM
+    # assignment discipline, and on unit vectors cosine argmax is L2
+    # argmin, so this replays Lloyd's update on the unit sphere
     means = ", ".join(
         f"round(avg(e.v[{i + 1}]), 9)" for i in range(dim)
     )
     steps = []
     for it in range(rounds):
         steps.append(
-            f"""a{it} AS (
+            f"""n{it} AS (
+      SELECT cid, list_transform(v, x -> x / nrm) AS v
+      FROM (SELECT cid, v,
+                   sqrt(list_sum(list_transform(v, y -> y * y))) AS nrm
+            FROM c{it})
+    ),
+    a{it} AS (
       SELECT vec_id, cid FROM (
-        SELECT e.vec_id, c.cid,
+        SELECT e.vec_id, n.cid,
                row_number() OVER (
                  PARTITION BY e.vec_id
-                 ORDER BY {dist('e', 'c')} ASC, c.cid ASC
+                 ORDER BY round({dot('e', 'n')}, 9) DESC, n.cid ASC
                ) AS rn
-        FROM e CROSS JOIN c{it} c
+        FROM e CROSS JOIN n{it} n
       ) WHERE rn = 1
     ),
     u{it} AS (
