@@ -334,6 +334,131 @@ def _file_stats(
     return sorted(entries, key=lambda e: e["path"])
 
 
+#: parquet logical/physical types whose chunk statistics reproduce the
+#: Spark min/max/null aggregate EXACTLY (empirically verified: Spark 4's
+#: parquet-java writes untruncated chunk stats even for 200-byte
+#: strings). Deliberately excluded: INT96 timestamps (no stats written),
+#: FLOAT/DOUBLE (a NaN in the data is dropped from footer stats while
+#: Spark's max() returns it — the manifest bound would silently exclude
+#: rows from pruning), decimals and nested types.
+_FOOTER_SAFE_PHYSICAL = {"INT32", "INT64", "BOOLEAN", "BYTE_ARRAY"}
+
+
+def _footer_file_stats(
+    dir_path: str,
+    keys: tuple[str, ...],
+    rel_dir: str,
+    stats_cols: tuple[str, ...] = (),
+) -> list[dict] | None:
+    """Per-file manifest entries read from parquet FOOTERS — the
+    driver-side twin of :func:`_file_stats`. Every commit needs (rows,
+    min/max/null-count per merge key + stats col) for the files it just
+    wrote; the parquet writer already computed all of it into chunk
+    statistics, so reading footers replaces a whole Spark job per
+    commit (guide §1.2: remove passes — the stats scan re-read every
+    written byte to recompute numbers sitting in the footer).
+
+    Returns None when fidelity cannot be guaranteed — a needed column
+    has a type outside ``_FOOTER_SAFE_PHYSICAL``, a chunk lacks
+    statistics, or exactness is in doubt — and the caller falls back to
+    the Spark scan. A column missing from a file's schema contributes
+    (None, None, rows) exactly as the scan's NULL-fill would."""
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover - pyarrow ships with pyspark
+        return None
+    try:
+        names = sorted(
+            n for n in os.listdir(dir_path) if n.endswith(".parquet")
+        )
+    except OSError:
+        return None
+    entries: list[dict] = []
+    needed = (*keys, *stats_cols)
+    seen_cols: set[str] = set()
+    for name in names:
+        try:
+            md = pq.ParquetFile(os.path.join(dir_path, name)).metadata
+        except Exception:
+            return None
+        rows = md.num_rows
+        if rows == 0:
+            # the Spark scan produces no group (and no entry) for a
+            # row-less file; mirror that
+            continue
+        # leaf-column lookup: top-level primitives have path == name
+        col_idx: dict[str, int] = {}
+        safe: dict[str, bool] = {}
+        sch = md.schema
+        for ci in range(len(sch)):
+            c = sch.column(ci)
+            p = c.path
+            if "." not in p:
+                col_idx[p] = ci
+                logical = str(c.logical_type)
+                safe[p] = c.physical_type in _FOOTER_SAFE_PHYSICAL and (
+                    # BYTE_ARRAY must be a real string (binary min/max
+                    # would JSON-serialize differently than Spark's);
+                    # INT64 must not be a micros timestamp in disguise
+                    logical == "String"
+                    if c.physical_type == "BYTE_ARRAY"
+                    else "Time" not in logical
+                )
+        seen_cols.update(col_idx)
+        agg: dict[str, tuple] = {}
+        for col in needed:
+            if col not in col_idx:
+                agg[col] = (None, None, rows)  # schema-evolved file
+                continue
+            if not safe[col]:
+                return None
+            lo = hi = None
+            nulls = 0
+            n_vals = 0
+            for gi in range(md.num_row_groups):
+                st = md.row_group(gi).column(col_idx[col]).statistics
+                if st is None or st.null_count is None:
+                    return None
+                nulls += st.null_count
+                n_vals += md.row_group(gi).num_rows
+                if st.has_min_max:
+                    mn, mx = st.min, st.max
+                    lo = mn if lo is None or mn < lo else lo
+                    hi = mx if hi is None or mx > hi else hi
+                elif st.null_count != md.row_group(gi).num_rows:
+                    # values exist but no bounds recorded: cannot
+                    # reproduce the aggregate faithfully
+                    return None
+            agg[col] = (lo, hi, nulls)
+        entry = {
+            "path": f"{rel_dir}/{name}",
+            "rows": rows,
+            "min": {k: agg[k][0] for k in keys},
+            "max": {k: agg[k][1] for k in keys},
+            "null_keys": {k: agg[k][2] for k in keys},
+        }
+        if stats_cols:
+            entry["stats"] = {
+                c: {
+                    "min": agg[c][0],
+                    "max": agg[c][1],
+                    "nulls": agg[c][2],
+                }
+                for c in stats_cols
+            }
+        entries.append(entry)
+    # the Spark path silently drops a stats col absent from EVERY file
+    # (its union-schema filter); mirror that so entries are byte-equal
+    ghost = [c for c in stats_cols if c not in seen_cols]
+    if ghost:
+        for e in entries:
+            for c in ghost:
+                e["stats"].pop(c, None)
+            if not e["stats"]:
+                del e["stats"]
+    return sorted(entries, key=lambda e: e["path"])
+
+
 #: every Nth commit materializes the FULL file list; the commits between
 #: are incremental segments (base + add/remove). Bounds both the
 #: per-commit write cost (O(files changed), not O(files total)) and the
@@ -713,12 +838,34 @@ class CowTable:
 
     def _collect_entries(self, data_dir: str, rel_dir: str) -> list[dict]:
         """Stats + blooms for a freshly-written data directory — the
-        one manifest-entry builder every commit path uses."""
-        entries = _file_stats(
-            self.spark, data_dir, self.keys, rel_dir, self.stats_cols,
-            part_specs=self.partition_spec, colmap=self.column_mapping,
-        )
-        if self.bloom_cols:
+        one manifest-entry builder every commit path uses.
+
+        Footer fast path: for unpartitioned tables whose keys/stats
+        cols have footer-faithful types, entries come straight from the
+        parquet footers (driver-side metadata reads) instead of a Spark
+        stats job — at maintenance-commit grain the stats job was a
+        fixed ~0.3-1 s tax per commit re-reading bytes the writer had
+        already summarized. Partitioned tables (derived ``pmin``/
+        ``pmax`` transforms) and unsupported types take the scan path
+        unchanged. An empty directory (write-first commit of an empty
+        result set) yields [] without planning a scan — reading a
+        part-less dir would raise UNABLE_TO_INFER_SCHEMA."""
+        entries = None
+        if not self.partition_spec:
+            entries = _footer_file_stats(
+                data_dir, self.keys, rel_dir, self.stats_cols,
+            )
+        if entries is None:
+            has_parquet = any(
+                f.endswith(".parquet")
+                for _, _, fs in os.walk(data_dir)
+                for f in fs
+            )
+            entries = _file_stats(
+                self.spark, data_dir, self.keys, rel_dir, self.stats_cols,
+                part_specs=self.partition_spec, colmap=self.column_mapping,
+            ) if has_parquet else []
+        if self.bloom_cols and entries:
             sc_rel = f"blooms/{uuid.uuid4().hex}"
             written = _write_bloom_sidecar(
                 self.spark, data_dir, rel_dir, self.bloom_cols,
@@ -822,19 +969,19 @@ class CowTable:
             # type gate now, not at first write
             _partition_field_expr(s, s["col"], df.schema[s["col"]].dataType)
         os.makedirs(f"{t.root}/manifests", exist_ok=True)
-        entries: list[dict] = []
-        if df.head(1):
-            # a UNIQUE dir per attempt, like every later commit: a
-            # writer that crashes between the data write and the v1
-            # manifest link leaves an unreferenced orphan dir (swept
-            # age-gated by vacuum), and the RETRY writes a fresh dir
-            # instead of failing on the husk for the whole retention
-            # window — an at-least-once stream that bootstraps a side
-            # table (apply_changes' tombstone store) replays cleanly
-            rel_dir = f"data/c{uuid.uuid4().hex[:12]}"
-            data_dir = f"{t.root}/{rel_dir}"
-            t._write_clustered(df, target_files, data_dir)
-            entries = t._collect_entries(data_dir, rel_dir)
+        # a UNIQUE dir per attempt, like every later commit: a
+        # writer that crashes between the data write and the v1
+        # manifest link leaves an unreferenced orphan dir (swept
+        # age-gated by vacuum), and the RETRY writes a fresh dir
+        # instead of failing on the husk for the whole retention
+        # window — an at-least-once stream that bootstraps a side
+        # table (apply_changes' tombstone store) replays cleanly.
+        # Write-first, no head(1) probe: an empty frame writes no part
+        # files and _collect_entries returns [] from the part-less dir
+        rel_dir = f"data/c{uuid.uuid4().hex[:12]}"
+        data_dir = f"{t.root}/{rel_dir}"
+        t._write_clustered(df, target_files, data_dir)
+        entries = t._collect_entries(data_dir, rel_dir)
         # an EMPTY create initializes a zero-file snapshot (the schema in
         # the manifest keeps it readable) — the streaming-ingest path
         # starts from this and lets micro-batch merges populate it
@@ -2857,20 +3004,25 @@ class CowTable:
                     "names still present in old files (dropped or "
                     "renamed); pick different names"
                 )
-        if not source.head(1):
+        # checkpoint BEFORE the emptiness probe so the probe's partial
+        # job caches what it computes instead of re-deriving the source
+        # lineage (often a whole netted change feed) on every later
+        # action
+        source = source.localCheckpoint(eager=False)
+        empty_noop = {
             # empty batch: nothing to rewrite, no new version (the
             # reference's loader likewise skips the upsert on an empty
-            # load) — keeps parquet-write-of-zero-partitions out of the
-            # stats scan
-            return {
-                "version": m["version"],
-                "files_rewritten": 0,
-                "files_skipped": len(m["files"]),
-                "files_written": 0,
-                "rows": m["rows"],
-            }
+            # load)
+            "version": m["version"],
+            "files_rewritten": 0,
+            "files_skipped": len(m["files"]),
+            "files_written": 0,
+            "rows": m["rows"],
+        }
         rows_rejected = 0
         validate_rules = kwargs.pop("validate_rules", None)
+        if not validate_rules and not source.head(1):
+            return empty_noop
         if validate_rules:
             # declarative ingestion gate: rows violating ANY row-level
             # rule are rejected BEFORE the merge (NULL predicate =
@@ -2886,10 +3038,17 @@ class CowTable:
             ok = F.lit(True)
             for r in validate_rules:
                 ok = ok & F.coalesce(r.cond(), F.lit(False))
-            source = source.localCheckpoint(eager=False)
-            n_before = source.count()
+            # one aggregate instead of head-count-filter-count: the
+            # same numbers (and the emptiness probe) in a single job
+            # over the checkpointed source
+            row = source.agg(
+                F.count(F.lit(1)).alias("__n"),
+                F.sum(ok.cast("long")).alias("__ok"),
+            ).head()
+            if int(row["__n"]) == 0:
+                return empty_noop
+            rows_rejected = int(row["__n"]) - int(row["__ok"] or 0)
             source = source.filter(ok)
-            rows_rejected = n_before - source.count()
         if kwargs.pop("dedupe_source_on_url", True) and "url" in source.columns:
             source = distinct_on(source, ["url"], [F.col(k) for k in keys])
         guard_urls = (
@@ -2898,11 +3057,13 @@ class CowTable:
         if guard_urls:
             source = url_conflict_filter(source, self.read(m["version"]), keys)
         source = source.localCheckpoint(eager=False)
-        if not source.head(1):
-            # the batch can be FULLY eliminated by the dedupe/url guard
-            # (every row a url thief): same no-op as an empty load —
-            # writing an empty frame would leave a part-less data dir
-            # whose stats scan cannot infer a schema
+        boxes, batch_has_null = self._batch_boxes(source)
+        if not boxes and not batch_has_null:
+            # the batch can be FULLY eliminated by the validation rules
+            # or the dedupe/url guard (every row a url thief): same
+            # no-op as an empty load. Emptiness falls out of the batch
+            # boxes (no box ⇔ no row) — the collect runs anyway, so the
+            # old head(1) probe was a pure extra job
             return {
                 "version": m["version"],
                 "files_rewritten": 0,
@@ -2911,8 +3072,6 @@ class CowTable:
                 "rows": m["rows"],
                 "rows_rejected": rows_rejected,
             }
-
-        boxes, batch_has_null = self._batch_boxes(source)
         affected, untouched = [], []
         for e in m["files"]:
             hit = self._entry_hit(e, boxes, batch_has_null)
@@ -3096,8 +3255,11 @@ class CowTable:
             int((m.get("txns") or {}).get(txn[0], -(2**63))) >= txn[1]
         ):
             return {**noop, "txn_skipped": True}
-        if not source.head(1):
-            return noop
+        # checkpoint FIRST so every downstream action (dup check, batch
+        # boxes, the merge join, the clustered write) computes the
+        # source lineage once and reads the cached blocks after;
+        # emptiness is decided by _batch_boxes below (its collect is
+        # needed anyway) instead of a dedicated head(1) job
         source = source.localCheckpoint(eager=False)
         if check_duplicate_keys and (
             source.groupBy(*keys).count().filter("count > 1").head(1)
@@ -3126,6 +3288,8 @@ class CowTable:
             }
 
         boxes, batch_has_null = self._batch_boxes(source)
+        if not boxes and not batch_has_null:
+            return noop  # empty source: no box ⇔ no row
         affected, untouched = [], []
         for e in m["files"]:
             (affected if self._entry_hit(e, boxes, batch_has_null)
@@ -3192,13 +3356,17 @@ class CowTable:
         new_version = m["version"] + 1
         rel_dir = f"data/c{uuid.uuid4().hex[:12]}"
         data_dir = f"{self.root}/{rel_dir}"
-        new_entries: list[dict] = []
-        if out.head(1):
-            self._write_clustered(
-                self._to_physical(out), target_files, data_dir
-            )
-            new_entries = self._collect_entries(data_dir, rel_dir)
-        elif not affected:
+        # write FIRST instead of probing emptiness with head(1): the
+        # probe cost a full extra pass over the merge join, while an
+        # empty result writes no part files at all (empty tasks emit
+        # nothing) and _collect_entries returns [] from the part-less
+        # dir without planning a scan
+        self._write_clustered(
+            self._to_physical(out), target_files, data_dir
+        )
+        new_entries = self._collect_entries(data_dir, rel_dir)
+        if not new_entries and not affected:
+            shutil.rmtree(data_dir, ignore_errors=True)
             return noop
         if pre_commit_hook is not None:
             pre_commit_hook()
@@ -3405,14 +3573,14 @@ class CowTable:
         new_version = m["version"] + 1
         rel_dir = f"data/c{uuid.uuid4().hex[:12]}"
         data_dir = f"{self.root}/{rel_dir}"
-        new_entries: list[dict] = []
-        if out.head(1):
-            self._write_clustered(
-                self._to_physical(out), target_files, data_dir
-            )
-            new_entries = self._collect_entries(data_dir, rel_dir)
-        # else: a delete emptied every touched file — the commit simply
-        # drops them (no part-less directory to stat)
+        # write FIRST (no head(1) emptiness probe — it cost an extra
+        # pass over the rewrite): a delete that emptied every touched
+        # file writes no part files and _collect_entries returns []
+        # from the part-less dir, so the commit simply drops them
+        self._write_clustered(
+            self._to_physical(out), target_files, data_dir
+        )
+        new_entries = self._collect_entries(data_dir, rel_dir)
         if pre_commit_hook is not None:
             pre_commit_hook()
         relinked = False
@@ -3505,15 +3673,6 @@ class CowTable:
         victims = live.filter(
             F.coalesce(condition, F.lit(False))
         ).localCheckpoint(eager=False)
-        if not victims.head(1):
-            # every matching row is already DV-dead: nothing to commit
-            return {
-                "version": m["version"],
-                "files_rewritten": 0,
-                "files_skipped": len(m["files"]),
-                "files_written": 0,
-                "rows": m["rows"],
-            }
         data_cols = [c for c in victims.columns
                      if c not in ("__dv_file", "__dv_pos")]
         if op == "update":
@@ -3541,7 +3700,9 @@ class CowTable:
         allpos.coalesce(1).write.mode("error").parquet(dv_dir)
         dead = {
             r["file"]: r["n"]
-            for r in self.spark.read.parquet(dv_dir)
+            # explicit schema: a no-victim no-prior-DV write leaves a
+            # part-less dir, which schema inference would reject
+            for r in self.spark.read.schema(allpos.schema).parquet(dv_dir)
             .groupBy("file").agg(F.count(F.lit(1)).alias("n")).collect()
         }
         new_touched = []
@@ -3565,6 +3726,18 @@ class CowTable:
                     "dv": {"path": rel_dv, "deleted": n_dead},
                 }
             )
+        if n_dv_changed == 0:
+            # every matching row was already DV-dead: nothing to commit
+            # (no dedicated head(1) probe — emptiness falls out of the
+            # per-file dead counts, which are computed anyway)
+            shutil.rmtree(dv_dir, ignore_errors=True)
+            return {
+                "version": m["version"],
+                "files_rewritten": 0,
+                "files_skipped": len(m["files"]),
+                "files_written": 0,
+                "rows": m["rows"],
+            }
         new_entries: list[dict] = []
         rel_dir = f"data/c{uuid.uuid4().hex[:12]}"
         data_dir = f"{self.root}/{rel_dir}"

@@ -38,7 +38,49 @@ from __future__ import annotations
 import json
 import os
 
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
 from openverse_catalog_spark.operators.cowtable import RetentionError
+
+
+def net_feed_transitions(
+    feed: DataFrame, id_col: str, payload_col: str
+) -> DataFrame:
+    """Reduce a CDF span to ONE net-transition row per dirty id:
+    ``__old`` = the span's FIRST pre-image (the state the index holds —
+    struct(v, p), NULL when the id is new), ``__new`` = the LAST
+    post-event (struct(v, del, p); ``del`` marks a trailing delete —
+    the id leaves the index).
+
+    One keyed aggregation. The former formulation ran TWO window
+    functions (row_number first/last) over the feed plus two
+    localCheckpoints — two shuffles and two cached materializations
+    where one shuffle suffices (guide §2.4: two operations keyed the
+    same way share one exchange; here they fuse into one aggregate).
+    Struct min/max is exact: a commit emits at most one pre and one
+    post event per id, so ``_commit_version`` alone decides the order
+    and the remaining struct fields never break a tie."""
+    pre = F.when(
+        F.col("_change_type").isin("update_preimage", "delete"),
+        F.struct(
+            F.col("_commit_version").alias("v"),
+            F.col(payload_col).alias("p"),
+        ),
+    )
+    post = F.when(
+        F.col("_change_type").isin(
+            "insert", "update_postimage", "delete"
+        ),
+        F.struct(
+            F.col("_commit_version").alias("v"),
+            (F.col("_change_type") == "delete").alias("del"),
+            F.col(payload_col).alias("p"),
+        ),
+    )
+    return feed.groupBy(id_col).agg(
+        F.min(pre).alias("__old"), F.max(post).alias("__new")
+    )
 
 
 class IncrementalIndex:

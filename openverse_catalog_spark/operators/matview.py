@@ -373,9 +373,6 @@ class MaterializedView:
                 )
         delta = feed.groupBy(*g).agg(*delta_exprs)
         delta = delta.localCheckpoint(eager=False)
-        # one count job materializes the checkpoint (reused by every
-        # join below) AND measures the dirty set for the broadcast guard
-        n_delta = delta.count()
         # runtime re-validation (build-time _validate cannot see future
         # churn): a NULL group key in the feed — e.g. a right-side
         # delete under a LEFT join base NULLing a right-sourced group
@@ -390,7 +387,18 @@ class MaterializedView:
         for c in g:
             cond = F.col(c).isNull()
             null_any = cond if null_any is None else (null_any | cond)
-        if delta.filter(null_any & (F.col("__d_cnt") > 0)).head(1):
+        # ONE job materializes the checkpoint (reused by every join
+        # below), measures the dirty set for the broadcast guard AND
+        # runs the NULL-group check — the former count + filter-head
+        # pair re-ran the scan for a boolean
+        probe = delta.agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.max(
+                (null_any & (F.col("__d_cnt") > 0)).cast("int")
+            ).alias("__bad"),
+        ).head()
+        n_delta = int(probe["__n"])
+        if probe["__bad"]:
             raise ValueError(
                 "materialized-view refresh saw NULL group keys in the "
                 "change feed (a LEFT-join base NULLs right-sourced "
@@ -764,12 +772,16 @@ class JoinMaterializedView:
                                self.on, "leftsemi")
             d2 = hit.select(*keys).distinct()
             dirty = d2 if dirty is None else dirty.union(d2).distinct()
-        if dirty is None or not dirty.head(1):
+        if dirty is not None:
+            # one count materializes the checkpoint, sizes the
+            # broadcast guard AND answers the emptiness probe the old
+            # head(1) ran as its own job
+            dirty = dirty.localCheckpoint(eager=False)
+            n_dirty = dirty.count()
+        if dirty is None or n_dirty == 0:
             self._save_state({"applied_left": l_to, "applied_right": r_to})
             return {"refreshed": False, "left_version": l_to,
                     "right_version": r_to}
-        dirty = dirty.localCheckpoint(eager=False)
-        n_dirty = dirty.count()
         live = ldf.join(_hint_if_small(dirty, n_dirty, bmax), keys, "leftsemi")
         result = self._joined(live, rdf)
         gone = dirty.join(result.select(*keys), keys, "left_anti")

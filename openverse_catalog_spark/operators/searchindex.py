@@ -39,7 +39,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from openverse_catalog_spark.operators.cowtable import CowTable
@@ -220,35 +220,25 @@ class SearchIndex(IncrementalIndex):
     def _apply_feed(self, feed: DataFrame, to_v: int) -> None:
         idc, txc = self.id_col, self.text_col
 
-        # net transition per dirty doc over the span:
-        #   old = the FIRST pre-image (the state the index holds);
-        #   new = the LAST post-state, unless the final event deletes.
-        pre = feed.filter(
-            F.col("_change_type").isin("update_preimage", "delete")
+        # net transition per dirty doc over the span (old = the FIRST
+        # pre-image — the state the index holds; new = the LAST
+        # post-state, unless the final event deletes): ONE keyed
+        # aggregation, checkpointed once for its four consumers — the
+        # former two-window formulation shuffled the feed twice and
+        # materialized two separate checkpoints
+        from openverse_catalog_spark.operators.incindex import (
+            net_feed_transitions,
         )
-        w_first = F.row_number().over(
-            Window.partitionBy(idc).orderBy("_commit_version")
+
+        net = net_feed_transitions(feed, idc, txc).localCheckpoint(
+            eager=False
         )
-        old_docs = (
-            pre.withColumn("__rn", w_first).filter(F.col("__rn") == 1)
-            .select(idc, txc)
-            .localCheckpoint(eager=False)  # feeds postings AND doclen
+        old_docs = net.filter(F.col("__old").isNotNull()).select(
+            F.col(idc), F.col("__old.p").alias(txc)
         )
-        post = feed.filter(
-            F.col("_change_type").isin(
-                "insert", "update_postimage", "delete"
-            )
-        )
-        w_last = F.row_number().over(
-            Window.partitionBy(idc).orderBy(F.desc("_commit_version"))
-        )
-        new_docs = (
-            post.withColumn("__rn", w_last).filter(
-                (F.col("__rn") == 1)
-                & (F.col("_change_type") != "delete")
-            ).select(idc, txc)
-            .localCheckpoint(eager=False)
-        )
+        new_docs = net.filter(
+            F.col("__new").isNotNull() & ~F.col("__new.del")
+        ).select(F.col(idc), F.col("__new.p").alias(txc))
         old_p = _postings_of(old_docs, idc, txc)
         new_p = _postings_of(new_docs, idc, txc)
         new_l = _doclens_of(new_docs, idc, txc)

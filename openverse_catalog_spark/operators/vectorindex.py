@@ -504,34 +504,25 @@ class VectorIndex(IncrementalIndex):
     def _apply_feed(self, feed: DataFrame, to_v: int) -> None:
         idc, vcc = self.id_col, self.vec_col
 
-        # net transition per dirty vector over the span: old = the
-        # FIRST pre-image (what the index holds — re-assigning it
-        # against the frozen centroids reproduces the stored key); new
-        # = the LAST post-state, unless the final event deletes.
-        pre = feed.filter(
-            F.col("_change_type").isin("update_preimage", "delete")
+        # net transition per dirty vector over the span (old = the
+        # FIRST pre-image — re-assigning it against the frozen
+        # centroids reproduces the stored key; new = the LAST
+        # post-state, unless the final event deletes): ONE keyed
+        # aggregation instead of the former two-window formulation,
+        # which shuffled the feed twice
+        from openverse_catalog_spark.operators.incindex import (
+            net_feed_transitions,
         )
-        w_first = F.row_number().over(
-            Window.partitionBy(idc).orderBy("_commit_version")
+
+        net = net_feed_transitions(feed, idc, vcc).localCheckpoint(
+            eager=False
         )
-        old_docs = (
-            pre.withColumn("__rn", w_first).filter(F.col("__rn") == 1)
-            .select(idc, vcc)
+        old_docs = net.filter(F.col("__old").isNotNull()).select(
+            F.col(idc), F.col("__old.p").alias(vcc)
         )
-        post = feed.filter(
-            F.col("_change_type").isin(
-                "insert", "update_postimage", "delete"
-            )
-        )
-        w_last = F.row_number().over(
-            Window.partitionBy(idc).orderBy(F.desc("_commit_version"))
-        )
-        new_docs = (
-            post.withColumn("__rn", w_last).filter(
-                (F.col("__rn") == 1)
-                & (F.col("_change_type") != "delete")
-            ).select(idc, vcc)
-        )
+        new_docs = net.filter(
+            F.col("__new").isNotNull() & ~F.col("__new.del")
+        ).select(F.col(idc), F.col("__new.p").alias(vcc))
         self._reconcile(
             self._assign_keys(old_docs),
             self._assign(new_docs),
