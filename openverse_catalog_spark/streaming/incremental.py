@@ -466,13 +466,24 @@ def publish_swap_incremental(
         ch.filter(F.col("_change_type") != "update_preimage")
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
+        .localCheckpoint(eager=False)  # three consumers: counts,
+        # anti-join keys, upsert rows — without the pin the netting
+        # window over the whole feed span would run three times
     )
     upserts = last.filter(
         F.col("_change_type").isin("insert", "update_postimage")
     ).drop("_change_type", "_commit_version", "__rn")
     touched = last.select(*keys)
-    n_up = upserts.count()
-    n_del = last.filter(F.col("_change_type") == "delete").count()
+    # one aggregate for both counters (upserts + deletes)
+    cnt = last.agg(
+        F.sum(
+            F.col("_change_type").isin("insert", "update_postimage")
+            .cast("long")
+        ).alias("up"),
+        F.sum((F.col("_change_type") == "delete").cast("long")).alias("de"),
+    ).head()
+    n_up = int(cnt["up"] or 0)
+    n_del = int(cnt["de"] or 0)
     merged = prev.join(touched, list(keys), "left_anti").unionByName(
         upserts, allowMissingColumns=True
     )
