@@ -137,16 +137,26 @@ class SearchIndex(IncrementalIndex):
         idx = cls(spark, root, base, id_col, text_col)
         v = base.version if version is None else int(version)
         snap = base.read(v)
-        CowTable.create(
-            spark, idx.postings.root,
-            _postings_of(snap, id_col, text_col),
-            keys=("term", "doc_id"), target_files=target_files,
-        )
-        CowTable.create(
-            spark, idx.doclen.root,
-            _doclens_of(snap, id_col, text_col),
-            keys=("doc_id",), target_files=max(2, target_files // 2),
-        )
+        # independent tables, concurrent builds (guide §2.6); the
+        # pinned-version read keeps both consistent regardless of order
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            futs = [
+                ex.submit(
+                    CowTable.create, spark, idx.postings.root,
+                    _postings_of(snap, id_col, text_col),
+                    keys=("term", "doc_id"), target_files=target_files,
+                ),
+                ex.submit(
+                    CowTable.create, spark, idx.doclen.root,
+                    _doclens_of(snap, id_col, text_col),
+                    keys=("doc_id",),
+                    target_files=max(2, target_files // 2),
+                ),
+            ]
+            for f in futs:
+                f.result()
         idx._write_state(v)
         return idx
 
@@ -254,7 +264,17 @@ class SearchIndex(IncrementalIndex):
         to_v: int,
     ) -> None:
         """One merge_when per index table, txn-fenced on the span end so
-        a replayed span txn-skips instead of double-applying."""
+        a replayed span txn-skips instead of double-applying. The two
+        merges target INDEPENDENT tables fed by the same checkpointed
+        net transition, so they run CONCURRENTLY from a 2-thread pool
+        (guide §2.6: actions are only sequential because driver code
+        calls them sequentially) — the doclen commit's fixed costs hide
+        under the postings commit's. Crash/failure semantics are
+        unchanged: the pending-span WAL replays the span and each
+        merge's txn fence skips the half that already landed, exactly
+        as for a crash between the formerly-sequential merges."""
+        from concurrent.futures import ThreadPoolExecutor
+
         src = (
             new_p.withColumnRenamed("tf", "new_tf")
             .withColumnRenamed("positions", "new_positions")
@@ -265,32 +285,41 @@ class SearchIndex(IncrementalIndex):
                 F.col("new_positions").alias("positions"),
             )
         )
-        self.postings.merge_when(
-            src,
-            update_set={"tf": "s.tf", "positions": "s.positions"},
-            delete_cond="s.tf IS NULL",
-            insert=True,
-            insert_cond="s.tf IS NOT NULL",
-            check_duplicate_keys=False,  # key-unique by construction
-            txn_app="searchindex-postings",
-            txn_version=to_v,
-        )
         lsrc = (
             old_ids
             .join(new_l.withColumnRenamed("dl", "new_dl"),
                   ["doc_id"], "full")
             .select("doc_id", F.col("new_dl").alias("dl"))
         )
-        self.doclen.merge_when(
-            lsrc,
-            update_set={"dl": "s.dl"},
-            delete_cond="s.dl IS NULL",
-            insert=True,
-            insert_cond="s.dl IS NOT NULL",
-            check_duplicate_keys=False,
-            txn_app="searchindex-doclen",
-            txn_version=to_v,
-        )
+
+        def _postings() -> None:
+            self.postings.merge_when(
+                src,
+                update_set={"tf": "s.tf", "positions": "s.positions"},
+                delete_cond="s.tf IS NULL",
+                insert=True,
+                insert_cond="s.tf IS NOT NULL",
+                check_duplicate_keys=False,  # key-unique by construction
+                txn_app="searchindex-postings",
+                txn_version=to_v,
+            )
+
+        def _doclen() -> None:
+            self.doclen.merge_when(
+                lsrc,
+                update_set={"dl": "s.dl"},
+                delete_cond="s.dl IS NULL",
+                insert=True,
+                insert_cond="s.dl IS NOT NULL",
+                check_duplicate_keys=False,
+                txn_app="searchindex-doclen",
+                txn_version=to_v,
+            )
+
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            futs = [ex.submit(_postings), ex.submit(_doclen)]
+            for f in futs:
+                f.result()
 
     def _full_resync(self, to_v: int) -> None:
         """Rebuild the index CONTENT from the base snapshot at ``to_v``

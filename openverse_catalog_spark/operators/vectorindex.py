@@ -74,6 +74,36 @@ from openverse_catalog_spark.operators.knn import (
 )
 
 
+def _sample_centroids(
+    spark: SparkSession,
+    snap: DataFrame,
+    id_col: str,
+    vec_col: str,
+    mod: int,
+) -> tuple[DataFrame, int]:
+    """The deterministic ``id % mod == 0`` centroid sample as a
+    DRIVER-LOCAL (centroid_id, vector) frame, plus its count. ONE
+    bounded collect: the former count-probe / learned-seed collect /
+    centroids write each re-scanned the corpus for the same <= 4096
+    rows (guide §1.2 — don't compute things twice). Raises on an empty
+    or over-cap sample exactly like the probes it replaces. File order
+    of the eventual centroids write changes (collect order vs scan
+    order); every reader sorts by centroid_id, so nothing observes it."""
+    cents = snap.filter(F.col(id_col) % mod == 0).select(
+        F.col(id_col).alias("centroid_id"),
+        F.col(vec_col).alias("vector"),
+    )
+    rows = cents.limit(MAX_BROADCAST_QUERIES + 1).collect()
+    if not rows:
+        raise ValueError(f"no centroids: no {id_col} % {mod} == 0 rows")
+    if len(rows) > MAX_BROADCAST_QUERIES:
+        raise ValueError(
+            f"centroid count exceeds {MAX_BROADCAST_QUERIES}; raise "
+            "centroid_mod (C should grow ~sqrt(n), not n)"
+        )
+    return spark.createDataFrame(rows, cents.schema), len(rows)
+
+
 class VectorIndex(IncrementalIndex):
     """Persisted IVF index over an embeddings CowTable, CDF-maintained."""
 
@@ -381,20 +411,12 @@ class VectorIndex(IncrementalIndex):
         idx = cls(spark, root, base, id_col, vec_col)
         v = base.version if version is None else int(version)
         snap = _as_double(base.read(v), vec_col)
-        cents = snap.filter(F.col(id_col) % centroid_mod == 0).select(
-            F.col(id_col).alias("centroid_id"),
-            F.col(vec_col).alias("vector"),
+        # ONE bounded collect serves the cap check, the learned seeds
+        # and the centroids write — the count-then-learn-then-write
+        # chain used to scan the corpus three times for <= 4096 rows
+        cents, _ = _sample_centroids(
+            spark, snap, id_col, vec_col, centroid_mod
         )
-        n_cents = cents.limit(MAX_BROADCAST_QUERIES + 1).count()
-        if n_cents == 0:
-            raise ValueError(
-                f"no centroids: no {id_col} % {centroid_mod} == 0 rows"
-            )
-        if n_cents > MAX_BROADCAST_QUERIES:
-            raise ValueError(
-                f"centroid count exceeds {MAX_BROADCAST_QUERIES}; raise "
-                "centroid_mod (C should grow ~sqrt(n), not n)"
-            )
         if learned:
             cents = idx._learn_centroids(snap, cents, int(learned))
         os.makedirs(idx.root, exist_ok=True)
@@ -672,20 +694,9 @@ class VectorIndex(IncrementalIndex):
         edir = self._edir(new_epoch)
         shutil.rmtree(edir, ignore_errors=True)  # torn prior attempt
         snap = _as_double(self.base.read(v), self.vec_col)
-        cents = snap.filter(F.col(self.id_col) % mod == 0).select(
-            F.col(self.id_col).alias("centroid_id"),
-            F.col(self.vec_col).alias("vector"),
+        cents, n_cents = _sample_centroids(
+            self.spark, snap, self.id_col, self.vec_col, mod
         )
-        n_cents = cents.limit(MAX_BROADCAST_QUERIES + 1).count()
-        if n_cents == 0:
-            raise ValueError(
-                f"no centroids: no {self.id_col} % {mod} == 0 rows"
-            )
-        if n_cents > MAX_BROADCAST_QUERIES:
-            raise ValueError(
-                f"centroid count exceeds {MAX_BROADCAST_QUERIES}; raise "
-                "centroid_mod (C should grow ~sqrt(n), not n)"
-            )
         os.makedirs(edir, exist_ok=True)
         if learned:
             cents = self._learn_centroids(snap, cents, int(learned))
