@@ -1,0 +1,195 @@
+"""Round-11 optimization pins: the commit-machinery internals changed
+(footer-based manifest stats, write-first commits, one-aggregation CDF
+netting), so each change gets a focused equivalence test here.
+"""
+
+import datetime
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from openverse_catalog_spark.operators.cowtable import (
+    CowTable,
+    _file_stats,
+    _footer_file_stats,
+)
+from openverse_catalog_spark.operators.incindex import net_feed_transitions
+
+
+@pytest.fixture()
+def table_dir(tmp_path):
+    return str(tmp_path / "t")
+
+
+def _entries_both_ways(spark, t):
+    """(scan entries, footer entries) for the newest data dir of t."""
+    import glob
+    import os
+
+    dirs = sorted(
+        glob.glob(f"{t.root}/data/c*"), key=os.path.getmtime
+    )
+    d = dirs[-1]
+    rel = "data/" + os.path.basename(d)
+    scan = _file_stats(
+        spark, d, t.keys, rel, t.stats_cols,
+        part_specs=t.partition_spec, colmap=t.column_mapping,
+    )
+    footer = _footer_file_stats(d, t.keys, rel, t.stats_cols)
+    return scan, footer
+
+
+def test_footer_stats_match_scan_stats(spark, table_dir):
+    """Footer-derived manifest entries must be BYTE-EQUAL to the scan's
+    for supported types — long strings (>64B, truncation hazard),
+    NULL keys, dates, booleans, multi-file dirs."""
+    df = spark.createDataFrame(
+        [
+            ("k" * 120 + "aa", 1, datetime.date(2023, 1, 2), True, None),
+            ("k" * 120 + "zz", 2, datetime.date(2024, 3, 4), False, 7),
+            (None, 3, None, None, 8),
+            ("mid", 4, datetime.date(2023, 6, 1), True, None),
+        ],
+        "sk string, ik long, d date, b boolean, n int",
+    )
+    t = CowTable.create(
+        spark, table_dir, df, keys=("sk", "ik"),
+        stats_cols=("d", "b", "n"), target_files=3,
+    )
+    scan, footer = _entries_both_ways(spark, t)
+    assert footer is not None
+    assert footer == scan
+
+
+def test_footer_stats_fall_back_on_floats_and_timestamps(
+    spark, table_dir
+):
+    """Floats (NaN dropped from footer stats while Spark max() keeps
+    it) and timestamps (INT96, no footer stats) must NOT take the
+    footer path."""
+    df = spark.createDataFrame(
+        [(1, 1.5, datetime.datetime(2024, 1, 1))],
+        "k long, f double, ts timestamp",
+    )
+    t = CowTable.create(
+        spark, table_dir, df, keys=("k",), stats_cols=("f", "ts"),
+        target_files=1,
+    )
+    scan, footer = _entries_both_ways(spark, t)
+    assert footer is None  # caller falls back to the scan path
+    assert scan and scan[0]["stats"]["f"]["min"] == 1.5
+
+
+def test_write_first_empty_results_keep_noop_semantics(
+    spark, table_dir
+):
+    """The head(1) probes are gone; empty batches / fully-deleting
+    rewrites must still produce the exact pre-change result dicts and
+    manifest states."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    t = CowTable.create(spark, table_dir, df, keys=("k",), target_files=2)
+    v1 = t.version
+    empty = spark.createDataFrame([], "k long, v string")
+    # empty merge_when: noop, no new version, no rows_rejected key
+    r = t.merge_when(empty, update_set={"v": "s.v"}, insert=True)
+    assert r["version"] == v1 and r["files_written"] == 0
+    assert t.version == v1
+    # delete that empties every touched file: commit drops them
+    r = t.delete(F.col("k").isNotNull())
+    assert r["version"] == v1 + 1
+    assert r["files_rewritten"] > 0 and r["files_written"] == 0
+    assert t.read().count() == 0
+    # dv-mode delete with zero surviving matches: noop, no new version
+    t2root = table_dir + "2"
+    t2 = CowTable.create(
+        spark, t2root, df, keys=("k",), target_files=1
+    )
+    v1 = t2.version
+    t2.delete(F.col("k") == 1, mode="dv")
+    v2 = t2.version
+    r = t2.delete(F.col("k") == 1, mode="dv")  # already dead
+    assert r["version"] == v2 == v1 + 1
+    assert t2.version == v2
+
+
+def test_net_feed_transitions_equals_window_formulation(
+    spark, table_dir
+):
+    """The one-aggregation netting must reproduce the two-window
+    netting row for row over a real multi-commit CDF span (insert,
+    update, delete, update-then-delete, delete-then-reinsert)."""
+    df = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(1, 7)], "doc_id long, text string"
+    )
+    t = CowTable.create(spark, table_dir, df, keys=("doc_id",),
+                        target_files=1)
+    v0 = t.version
+    t.update(F.col("doc_id") == 1, {"text": F.lit("t1b")})
+    t.delete(F.col("doc_id") == 2)
+    t.update(F.col("doc_id") == 3, {"text": F.lit("t3b")})
+    t.delete(F.col("doc_id") == 3)  # update then delete
+    from openverse_catalog_spark.schemas.columns import (
+        ColumnSpec,
+        Datatype,
+    )
+
+    cols = [
+        ColumnSpec("doc_id", Datatype.int, required=True),
+        ColumnSpec("text", Datatype.char),
+    ]
+    t.merge(
+        spark.createDataFrame([(2, "t2-re")], "doc_id long, text string"),
+        cols,
+    )  # delete then re-insert
+    feed = t.read_changes(v0, t.version)
+
+    net = net_feed_transitions(feed, "doc_id", "text")
+    got_old = {
+        (r["doc_id"], r["p"])
+        for r in net.filter(F.col("__old").isNotNull())
+        .select("doc_id", F.col("__old.p").alias("p")).collect()
+    }
+    got_new = {
+        (r["doc_id"], r["p"])
+        for r in net.filter(
+            F.col("__new").isNotNull() & ~F.col("__new.del")
+        ).select("doc_id", F.col("__new.p").alias("p")).collect()
+    }
+
+    # reference: the pre-round two-window formulation
+    pre = feed.filter(
+        F.col("_change_type").isin("update_preimage", "delete")
+    )
+    w_first = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("_commit_version")
+    )
+    want_old = {
+        (r["doc_id"], r["text"])
+        for r in pre.withColumn("__rn", w_first)
+        .filter("__rn = 1").select("doc_id", "text").collect()
+    }
+    post = feed.filter(
+        F.col("_change_type").isin(
+            "insert", "update_postimage", "delete"
+        )
+    )
+    w_last = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.desc("_commit_version"))
+    )
+    want_new = {
+        (r["doc_id"], r["text"])
+        for r in post.withColumn("__rn", w_last)
+        .filter("__rn = 1").filter("_change_type <> 'delete'")
+        .select("doc_id", "text").collect()
+    }
+    assert got_old == want_old
+    assert got_new == want_new
+    # sanity on the span's content: 1 updated, 2 delete+reinsert,
+    # 3 updated-then-deleted (old only), others untouched
+    assert (3, "t3") in got_old and not any(
+        d == 3 for d, _ in got_new
+    )
+    assert (2, "t2-re") in got_new
