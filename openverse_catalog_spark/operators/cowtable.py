@@ -43,11 +43,13 @@ new snapshot, never a mix; historical versions stay readable until
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import re
 import shutil
 import uuid
+from urllib.parse import quote
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -343,12 +345,22 @@ def _file_stats(
 #: rows from pruning), decimals and nested types.
 _FOOTER_SAFE_PHYSICAL = {"INT32", "INT64", "BOOLEAN", "BYTE_ARRAY"}
 
+#: URI path characters java.net.URI leaves unencoded (RFC 2396 pchar +
+#: separators) — an on-disk name made only of these is byte-identical
+#: to the Spark-side identity (input_file_name / _metadata.file_path).
+#: quote() additionally always keeps ASCII alphanumerics, '_', '.',
+#: '-' and '~'.
+_URI_PATH_SAFE = "/!*'():@&=+$,;"
+
 
 def _footer_file_stats(
     dir_path: str,
     keys: tuple[str, ...],
     rel_dir: str,
     stats_cols: tuple[str, ...] = (),
+    part_specs: tuple[dict, ...] = (),
+    colmap: dict | None = None,
+    utc_session: bool = False,
 ) -> list[dict] | None:
     """Per-file manifest entries read from parquet FOOTERS — the
     driver-side twin of :func:`_file_stats`. Every commit needs (rows,
@@ -358,23 +370,51 @@ def _footer_file_stats(
     commit (guide §1.2: remove passes — the stats scan re-read every
     written byte to recompute numbers sitting in the footer).
 
+    Partitioned tables take the same path: files are PARTITION-PURE
+    (``_write_clustered`` routes every row of a file through one
+    partition tuple), so each partition field is CONSTANT within a
+    file and ``pmin == pmax == _transform_probe(spec, footer_min)`` —
+    the footer min is an actual row value, and the probe is the exact
+    driver-side twin of the Spark transform for every type the table
+    admits as a partition source. ``probe(min) == probe(max)`` is
+    checked per file as a purity invariant; any mismatch (or a type
+    the probe cannot transform faithfully) falls back to the scan.
+
     Returns None when fidelity cannot be guaranteed — a needed column
     has a type outside ``_FOOTER_SAFE_PHYSICAL``, a chunk lacks
     statistics, or exactness is in doubt — and the caller falls back to
-    the Spark scan. A column missing from a file's schema contributes
-    (None, None, rows) exactly as the scan's NULL-fill would."""
+    the Spark scan. A key/stats column missing from a file's schema
+    contributes (None, None, rows) exactly as the scan's NULL-fill
+    would; a missing partition SOURCE column bails to the scan."""
     try:
         import pyarrow.parquet as pq
     except ImportError:  # pragma: no cover - pyarrow ships with pyspark
         return None
     try:
+        # partition-pure writes nest files under __p_*=value dirs;
+        # walk keeps the unpartitioned layout (top-level files) intact
         names = sorted(
-            n for n in os.listdir(dir_path) if n.endswith(".parquet")
+            os.path.relpath(os.path.join(r, f), dir_path)
+            for r, _dirs, fs in os.walk(dir_path)
+            for f in fs
+            if f.endswith(".parquet")
         )
     except OSError:
         return None
+    for name in names:
+        # manifest paths follow the Spark-side identity convention
+        # (input_file_name / _metadata.file_path), which is the
+        # URI-ENCODED form of the on-disk name; a name the encoding
+        # would alter (e.g. an hour-transform dir's space) cannot be
+        # reproduced from the raw walk byte-for-byte — take the scan
+        if quote(name, safe=_URI_PATH_SAFE) != name:
+            return None
+    spec_phys = [
+        (colmap or {}).get(s["col"], s["col"]) for s in part_specs
+    ]
     entries: list[dict] = []
     needed = (*keys, *stats_cols)
+    agg_cols = (*needed, *(p for p in spec_phys if p not in needed))
     seen_cols: set[str] = set()
     for name in names:
         try:
@@ -396,17 +436,27 @@ def _footer_file_stats(
             if "." not in p:
                 col_idx[p] = ci
                 logical = str(c.logical_type)
-                safe[p] = c.physical_type in _FOOTER_SAFE_PHYSICAL and (
-                    # BYTE_ARRAY must be a real string (binary min/max
-                    # would JSON-serialize differently than Spark's);
-                    # INT64 must not be a micros timestamp in disguise
-                    logical == "String"
-                    if c.physical_type == "BYTE_ARRAY"
-                    else "Time" not in logical
-                )
+                if c.physical_type == "BYTE_ARRAY":
+                    # must be a real string (binary min/max would
+                    # JSON-serialize differently than Spark's)
+                    safe[p] = logical == "String"
+                elif logical.startswith("Timestamp"):
+                    # micros/millis INT64 stats are exact (Spark's own
+                    # precision); an isAdjustedToUTC=true (LTZ) value
+                    # renders through the session tz on the Spark side,
+                    # so it is only byte-equal under a UTC session.
+                    # INT96 (physical, no stats) never reaches here.
+                    safe[p] = c.physical_type == "INT64" and (
+                        "isAdjustedToUTC=false" in logical or utc_session
+                    )
+                else:
+                    safe[p] = (
+                        c.physical_type in _FOOTER_SAFE_PHYSICAL
+                        and "Time" not in logical
+                    )
         seen_cols.update(col_idx)
         agg: dict[str, tuple] = {}
-        for col in needed:
+        for col in agg_cols:
             if col not in col_idx:
                 agg[col] = (None, None, rows)  # schema-evolved file
                 continue
@@ -423,6 +473,17 @@ def _footer_file_stats(
                 n_vals += md.row_group(gi).num_rows
                 if st.has_min_max:
                     mn, mx = st.min, st.max
+                    if isinstance(mn, datetime.datetime) and mn.tzinfo:
+                        # pyarrow returns LTZ stats tz-aware (UTC);
+                        # Spark's collect returns naive session-tz
+                        # values — identical instants under the UTC
+                        # session the gate above requires
+                        mn = mn.astimezone(
+                            datetime.timezone.utc
+                        ).replace(tzinfo=None)
+                        mx = mx.astimezone(
+                            datetime.timezone.utc
+                        ).replace(tzinfo=None)
                     lo = mn if lo is None or mn < lo else lo
                     hi = mx if hi is None or mx > hi else hi
                 elif st.null_count != md.row_group(gi).num_rows:
@@ -430,6 +491,33 @@ def _footer_file_stats(
                     # reproduce the aggregate faithfully
                     return None
             agg[col] = (lo, hi, nulls)
+        part: dict[str, list] | None = None
+        if part_specs:
+            part = {}
+            for s, p in zip(part_specs, spec_phys):
+                if p not in col_idx:
+                    # the scan path's union-schema handling for a
+                    # missing SOURCE column is not reproducible from
+                    # this file alone — take the scan
+                    return None
+                lo, hi, nulls = agg[p]
+                if lo is None:
+                    # transform(NULL) routes to the null partition, so
+                    # a file there is all-NULL in the source column;
+                    # anything else means the footer gave no bounds
+                    if nulls != rows:
+                        return None
+                    part[s["name"]] = [None, None]
+                    continue
+                pv_lo = _transform_probe(s, lo)
+                pv_hi = _transform_probe(s, hi)
+                if (
+                    pv_lo is NotImplemented
+                    or pv_hi is NotImplemented
+                    or pv_lo != pv_hi  # partition purity invariant
+                ):
+                    return None
+                part[s["name"]] = [pv_lo, pv_hi]
         entry = {
             "path": f"{rel_dir}/{name}",
             "rows": rows,
@@ -446,6 +534,8 @@ def _footer_file_stats(
                 }
                 for c in stats_cols
             }
+        if part:
+            entry["part"] = part
         entries.append(entry)
     # the Spark path silently drops a stats col absent from EVERY file
     # (its union-schema filter); mirror that so entries are byte-equal
@@ -840,21 +930,30 @@ class CowTable:
         """Stats + blooms for a freshly-written data directory — the
         one manifest-entry builder every commit path uses.
 
-        Footer fast path: for unpartitioned tables whose keys/stats
+        Footer fast path: for tables whose keys/stats/partition-source
         cols have footer-faithful types, entries come straight from the
         parquet footers (driver-side metadata reads) instead of a Spark
         stats job — at maintenance-commit grain the stats job was a
         fixed ~0.3-1 s tax per commit re-reading bytes the writer had
-        already summarized. Partitioned tables (derived ``pmin``/
-        ``pmax`` transforms) and unsupported types take the scan path
+        already summarized. Partitioned tables ride the same path:
+        files are partition-pure, so the per-field ``pmin``/``pmax``
+        is the transform probe of any row value (the footer min), with
+        a ``probe(min) == probe(max)`` purity check per file.
+        Unsupported types (and any purity doubt) take the scan path
         unchanged. An empty directory (write-first commit of an empty
         result set) yields [] without planning a scan — reading a
         part-less dir would raise UNABLE_TO_INFER_SCHEMA."""
-        entries = None
-        if not self.partition_spec:
-            entries = _footer_file_stats(
-                data_dir, self.keys, rel_dir, self.stats_cols,
-            )
+        try:
+            utc = self.spark.conf.get(
+                "spark.sql.session.timeZone", ""
+            ) == "UTC"
+        except Exception:
+            utc = False
+        entries = _footer_file_stats(
+            data_dir, self.keys, rel_dir, self.stats_cols,
+            part_specs=self.partition_spec, colmap=self.column_mapping,
+            utc_session=utc,
+        )
         if entries is None:
             has_parquet = any(
                 f.endswith(".parquet")

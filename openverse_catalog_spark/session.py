@@ -75,6 +75,13 @@ def get_spark(
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # INT96 (the legacy default) writes NO parquet chunk statistics,
+        # so timestamp columns forced every commit's manifest stats onto
+        # the Spark-scan path; TIMESTAMP_MICROS matches Spark's internal
+        # microsecond precision exactly (identical roundtrip) AND gives
+        # footer min/max, so driver-side footer stats cover timestamp
+        # keys/stats/partition-source columns too
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # testdata events.parquet stores TIMESTAMP(NANOS) which the Parquet
         # reader rejects; read as long and convert (load_tables).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -95,6 +102,7 @@ def ensure_runtime_confs(spark: SparkSession) -> None:
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.ansi.enabled", "false"),
         ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
         ("spark.sql.adaptive.enabled", "true"),
     ]

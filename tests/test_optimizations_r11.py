@@ -36,7 +36,12 @@ def _entries_both_ways(spark, t):
         spark, d, t.keys, rel, t.stats_cols,
         part_specs=t.partition_spec, colmap=t.column_mapping,
     )
-    footer = _footer_file_stats(d, t.keys, rel, t.stats_cols)
+    footer = _footer_file_stats(
+        d, t.keys, rel, t.stats_cols,
+        part_specs=t.partition_spec, colmap=t.column_mapping,
+        utc_session=spark.conf.get("spark.sql.session.timeZone", "")
+        == "UTC",
+    )
     return scan, footer
 
 
@@ -66,8 +71,9 @@ def test_footer_stats_fall_back_on_floats_and_timestamps(
     spark, table_dir
 ):
     """Floats (NaN dropped from footer stats while Spark max() keeps
-    it) and timestamps (INT96, no footer stats) must NOT take the
-    footer path."""
+    it) and legacy INT96 timestamps (no footer stats at all) must NOT
+    take the footer path; micros timestamps (the session's write type)
+    MUST — they carry exact stats at Spark's own precision."""
     df = spark.createDataFrame(
         [(1, 1.5, datetime.datetime(2024, 1, 1))],
         "k long, f double, ts timestamp",
@@ -79,6 +85,99 @@ def test_footer_stats_fall_back_on_floats_and_timestamps(
     scan, footer = _entries_both_ways(spark, t)
     assert footer is None  # caller falls back to the scan path
     assert scan and scan[0]["stats"]["f"]["min"] == 1.5
+    # micros timestamps (incl. microsecond precision + NULLs) are
+    # footer-faithful
+    df2 = spark.createDataFrame(
+        [
+            (1, datetime.datetime(2024, 1, 1, 2, 3, 4, 123456)),
+            (2, None),
+        ],
+        "k long, ts timestamp",
+    )
+    t2 = CowTable.create(
+        spark, table_dir + "_ts", df2, keys=("k",),
+        stats_cols=("ts",), target_files=1,
+    )
+    scan, footer = _entries_both_ways(spark, t2)
+    assert footer == scan
+    assert footer[0]["stats"]["ts"]["min"] == datetime.datetime(
+        2024, 1, 1, 2, 3, 4, 123456
+    )
+    # a legacy INT96 file bails (stats missing in the footer)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try:
+        t3 = CowTable.create(
+            spark, table_dir + "_96", df2, keys=("k",),
+            stats_cols=("ts",), target_files=1,
+        )
+        scan, footer = _entries_both_ways(spark, t3)
+        assert footer is None
+        assert scan and scan[0]["stats"]["ts"]["min"] is not None
+    finally:
+        spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
+
+
+def test_footer_stats_partitioned_match_scan(spark, table_dir):
+    """Partition-pure files let the footer path derive pmin/pmax from
+    the transform probe of the footer min — entries must be byte-equal
+    to the scan's for every transform family, incl. NULL partition
+    values and a multi-commit table."""
+    rows = [
+        (
+            f"p{i % 3}",
+            f"o{i:03d}",
+            datetime.datetime(1995, 6 + i % 3, 1 + i % 27, i % 24)
+            if i % 7
+            else None,
+            i if i % 5 else None,
+        )
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(
+        rows, "prov string, fid string, created_on timestamp, n long"
+    )
+    t = CowTable.create(
+        spark, table_dir, df, keys=("prov", "fid"),
+        stats_cols=("created_on",), target_files=4,
+        partition_by=("month(created_on)",),
+    )
+    src = spark.createDataFrame(
+        [("p1", "o001", datetime.datetime(1995, 7, 2), 99)],
+        "prov string, fid string, created_on timestamp, n long",
+    )
+    t.merge_when(
+        src, update_set={"created_on": "s.created_on"}, insert=True
+    )
+    scan, footer = _entries_both_ways(spark, t)
+    assert footer is not None and footer == scan
+    assert all("part" in e for e in footer)
+    # bucket + truncate + identity with NULL sources
+    t2 = CowTable.create(
+        spark, table_dir + "_b", df, keys=("fid",), target_files=3,
+        partition_by=("bucket(4, prov)", "truncate(5, fid)", "n"),
+    )
+    scan, footer = _entries_both_ways(spark, t2)
+    assert footer is not None and footer == scan
+
+
+def test_footer_stats_bail_on_uri_altering_names(spark, table_dir):
+    """A partition value whose directory name URI-encoding would alter
+    (hour transform's space) cannot be reproduced from the raw walk —
+    the footer path must bail so manifests keep the Spark-side
+    (input_file_name) identity convention."""
+    df = spark.createDataFrame(
+        [(1, "a", datetime.datetime(2024, 1, 1, 5))],
+        "k long, v string, ts timestamp",
+    )
+    t = CowTable.create(
+        spark, table_dir, df, keys=("k",), target_files=1,
+        partition_by=("hour(ts)",),
+    )
+    scan, footer = _entries_both_ways(spark, t)
+    assert footer is None
+    assert scan and "%20" in scan[0]["path"]
 
 
 def test_write_first_empty_results_keep_noop_semantics(
