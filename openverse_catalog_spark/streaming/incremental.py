@@ -895,6 +895,10 @@ def apply_changes(
         update_set="*",
         update_cond=f"NOT {is_del} AND {fresh}",
         insert_cond=f"NOT {is_del}",
+        # latest-wins row_number already made keys unique — the merge's
+        # duplicate-key aggregation would re-shuffle the batch to prove
+        # what the window above guarantees
+        check_duplicate_keys=False,
         txn_app=txn_app,
         txn_version=txn_version,
     )
