@@ -1057,6 +1057,7 @@ class CowTable:
         bloom_cols: tuple[str, ...] = (),
         partition_by: tuple[str, ...] = (),
         txn: tuple[str, int] | None = None,
+        checkpoint: bool = False,
     ) -> "CowTable":
         """Initialize version 1: range-cluster the data on the merge key
         (so per-file key ranges are tight and file skipping bites) and
@@ -1097,7 +1098,12 @@ class CowTable:
         # files and _collect_entries returns [] from the part-less dir
         rel_dir = f"data/c{uuid.uuid4().hex[:12]}"
         data_dir = f"{t.root}/{rel_dir}"
-        t._write_clustered(df, target_files, data_dir)
+        # checkpoint=True: callers whose df lineage is expensive
+        # (tokenize/aggregate/GEMM pipelines) opt in so the range
+        # sample doesn't execute that lineage a second time; the
+        # default stays off for scan-like frames where re-scanning
+        # parquet beats caching
+        t._write_clustered(df, target_files, data_dir, checkpoint=checkpoint)
         entries = t._collect_entries(data_dir, rel_dir)
         # an EMPTY create initializes a zero-file snapshot (the schema in
         # the manifest keeps it readable) — the streaming-ingest path

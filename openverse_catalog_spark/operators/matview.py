@@ -268,6 +268,9 @@ class MaterializedView:
         self._table = CowTable.create(
             self.spark, f"{self.root}/table", stored,
             keys=tuple(self.group_cols), target_files=self.target_files,
+            # full-aggregation lineage: one shuffle the range sample
+            # must not repeat
+            checkpoint=True,
         )
         self._save_state({"applied_base": base_v, "pending": None})
         return {"base_version": base_v, "mv_version": self._table.version}
@@ -691,6 +694,7 @@ class JoinMaterializedView:
         self._table = CowTable.create(
             self.spark, f"{self.root}/table", self._joined(ldf, rdf),
             keys=self.left.keys, target_files=self.target_files,
+            checkpoint=True,  # join lineage, see MaterializedView.build
         )
         self._save_state({"applied_left": lv, "applied_right": rv})
         return {

@@ -227,9 +227,8 @@ def popularity_refresh_pruned(
     # overwrite only replaces partitions present in the output — drop
     # the now-empty partition directories explicitly (bounded by the
     # changed set, one tiny distinct)
-    still_present = {
-        r[0] for r in scored.select(group_col).distinct().collect()
-    }
+    per_group = scored.groupBy(group_col).count().collect()
+    still_present = {r[0] for r in per_group}
     for v in changed:
         if v not in still_present:
             import shutil
@@ -240,7 +239,9 @@ def popularity_refresh_pruned(
     return {
         "changed": changed,
         "files_read": files_read,
-        "rows_rescored": scored.count(),
+        # the per-group counts sum to the rescored total, so the former
+        # separate count() job rides the still-present aggregation
+        "rows_rescored": sum(r["count"] for r in per_group),
     }
 
 
@@ -280,7 +281,13 @@ def popularity_refresh_cdf(
     from pyspark.sql import Window
 
     to_version = table.version if to_version is None else to_version
-    ch = table.read_changes(from_version, to_version)
+    # the O(churn) feed (a keyed full-outer diff of the rewritten
+    # files) feeds TWO window derivations consumed by two separate
+    # actions (the changed-provider collect, the rescore checkpoint);
+    # cache it lazily so the diff computes once, not per action
+    ch = table.read_changes(from_version, to_version).localCheckpoint(
+        eager=False
+    )
     upserts = ch.filter(
         F.col("_change_type").isin("insert", "update_postimage")
     )

@@ -147,12 +147,16 @@ class SearchIndex(IncrementalIndex):
                     CowTable.create, spark, idx.postings.root,
                     _postings_of(snap, id_col, text_col),
                     keys=("term", "doc_id"), target_files=target_files,
+                    # tokenize+aggregate lineage: don't run it twice
+                    # for the range sample (cowtable checkpoint note)
+                    checkpoint=True,
                 ),
                 ex.submit(
                     CowTable.create, spark, idx.doclen.root,
                     _doclens_of(snap, id_col, text_col),
                     keys=("doc_id",),
                     target_files=max(2, target_files // 2),
+                    checkpoint=True,
                 ),
             ]
             for f in futs:

@@ -437,6 +437,9 @@ class VectorIndex(IncrementalIndex):
             spark, idx.lists.root, idx._assign(snap),
             keys=("centroid_id", "neighbor_id"),
             target_files=target_files,
+            # assignment lineage is a broadcast-GEMM mapInPandas pass:
+            # don't run it twice for the range sample
+            checkpoint=True,
         )
         idx._centroid_mod = int(centroid_mod)
         idx._codebook_mod = int(codebook_mod) if pq_m else None
@@ -727,6 +730,7 @@ class VectorIndex(IncrementalIndex):
                 self.spark, f"{edir}/lists", self._assign(snap),
                 keys=("centroid_id", "neighbor_id"),
                 target_files=target_files,
+                checkpoint=True,  # GEMM lineage, see create()
             )
             self._centroid_mod = mod
             if not reclaim:
