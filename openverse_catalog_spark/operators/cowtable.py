@@ -2259,6 +2259,32 @@ class CowTable:
                     all_cols.append(f.name)
         value_cols = [c for c in all_cols if c not in keys]
 
+        def _tag(df, ctype):
+            return df.select(
+                *[
+                    (
+                        F.col(c) if c in df.columns
+                        else F.lit(None).cast(dtypes[c])
+                    ).alias(c)
+                    for c in all_cols
+                ],
+                F.lit(ctype).alias("_change_type"),
+                F.lit(v).cast("long").alias("_commit_version"),
+            )
+
+        # structurally one-sided commits need no diff join at all —
+        # the empty side is known from the MANIFEST, not a probe job:
+        # no added files ⇔ no post row exists, so every live pre row
+        # (dropped-file survivors + newly-dead DV rows) is a delete; no
+        # dropped files and no DV growth ⇔ no pre row exists, so every
+        # added-file row is an insert (blind appends, insert-only
+        # merges). Carried-identical cancellation and the NULL-key
+        # positional diff are both vacuous with one side empty.
+        if not added:
+            return _tag(pre, "delete")
+        if not dropped and not dv_grown:
+            return _tag(post, "insert")
+
         def _side(df, tag):
             cols = [
                 (
@@ -2289,21 +2315,43 @@ class CowTable:
         p_here = F.coalesce(F.col("__p_present"), F.lit(False))
         q_here = F.coalesce(F.col("__q_present"), F.lit(False))
 
-        def _img(tag, ctype):
-            return [
-                F.col(f"{tag}_{c}").alias(c) for c in all_cols
-            ] + [
-                F.lit(ctype).alias("_change_type"),
-                F.lit(v).cast("long").alias("_commit_version"),
-            ]
+        # ONE pass over the join classifies every row (the former
+        # 4-way filtered union planned the whole join subtree — scans,
+        # DV semi-join, both exchanges, the sort-merge — once PER
+        # change-type arm, and the executed plan really did recompute
+        # it 4x: the dv-delete feed cost 4 sequential ~2s jobs for one
+        # ~2s diff). Each row explodes to its change events: one for
+        # insert/delete, the pre+post pair for an update, none for a
+        # carried-identical row (the unmatched WHEN yields NULL and
+        # explode emits nothing). Row multiset, values, and column
+        # order are identical to the union formulation.
+        def _row(tag):
+            return F.struct(
+                *[F.col(f"{tag}_{c}").alias(c) for c in all_cols]
+            )
 
-        inserts = j.filter(q_here & ~p_here).select(*_img("__q", "insert"))
-        deletes = j.filter(p_here & ~q_here).select(*_img("__p", "delete"))
-        upd = j.filter(p_here & q_here & ~same)
-        upd_pre = upd.select(*_img("__p", "update_preimage"))
-        upd_post = upd.select(*_img("__q", "update_postimage"))
-        out = inserts.unionByName(deletes).unionByName(upd_pre).unionByName(
-            upd_post
+        def _ev(ctype, row):
+            return F.struct(F.lit(ctype).alias("t"), row.alias("r"))
+
+        events = (
+            F.when(
+                q_here & ~p_here, F.array(_ev("insert", _row("__q")))
+            )
+            .when(
+                p_here & ~q_here, F.array(_ev("delete", _row("__p")))
+            )
+            .when(
+                p_here & q_here & ~same,
+                F.array(
+                    _ev("update_preimage", _row("__p")),
+                    _ev("update_postimage", _row("__q")),
+                ),
+            )
+        )
+        out = j.select(F.explode(events).alias("__e")).select(
+            *[F.col(f"__e.r.{c}").alias(c) for c in all_cols],
+            F.col("__e.t").alias("_change_type"),
+            F.lit(v).cast("long").alias("_commit_version"),
         )
         if may_have_null_keys:
             # NULL-key rows can't be identity-matched by key, so diff
@@ -2334,8 +2382,18 @@ class CowTable:
             na = F.coalesce(F.col("__p_present"), F.lit(False))
             nb = F.coalesce(F.col("__q_present"), F.lit(False))
             out = out.unionByName(
-                nj.filter(nb & ~na).select(*_img("__q", "insert"))
-            ).unionByName(nj.filter(na & ~nb).select(*_img("__p", "delete")))
+                nj.filter(nb & ~na).select(
+                    *[F.col(f"__q_{c}").alias(c) for c in all_cols],
+                    F.lit("insert").alias("_change_type"),
+                    F.lit(v).cast("long").alias("_commit_version"),
+                )
+            ).unionByName(
+                nj.filter(na & ~nb).select(
+                    *[F.col(f"__p_{c}").alias(c) for c in all_cols],
+                    F.lit("delete").alias("_change_type"),
+                    F.lit(v).cast("long").alias("_commit_version"),
+                )
+            )
         return out
 
     # -- merge --------------------------------------------------------------

@@ -30,6 +30,10 @@ def main() -> None:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": log_dir,
+            # plain JSON lines — the default rolling+zstd layout is
+            # unreadable by the line-folder below
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         }
     )
     import __spark_entry__  # noqa: F401 - registers every plans module
@@ -42,17 +46,20 @@ def main() -> None:
     spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
 
     jobs: dict[int, dict] = {}
+    execs: dict[str, str] = {}
     paths = [
         p
         for p in glob.glob(f"{log_dir}/**", recursive=True)
         if os.path.isfile(p) and os.path.getsize(p) > 0
     ]
     for path in paths:
-        with open(path) as fh:
+        with open(path, errors="ignore") as fh:
             for line in fh:
                 try:
                     ev = json.loads(line)
                 except json.JSONDecodeError:
+                    continue
+                if not isinstance(ev, dict):
                     continue
                 if ev.get("Event") == "SparkListenerJobStart":
                     props = ev.get("Properties") or {}
@@ -62,8 +69,14 @@ def main() -> None:
                             "callSite.short",
                             props.get("spark.job.description", "?"),
                         ),
+                        "exec": props.get("spark.sql.execution.root.id")
+                        or props.get("spark.sql.execution.id"),
                         "stages": len(ev.get("Stage IDs") or []),
                     }
+                elif ev.get("Event", "").endswith("SQLExecutionStart"):
+                    execs[str(ev.get("executionId"))] = (
+                        (ev.get("description") or "?").splitlines()[0][:90]
+                    )
                 elif ev.get("Event") == "SparkListenerJobEnd":
                     j = jobs.get(ev["Job ID"])
                     if j is not None:
@@ -73,12 +86,16 @@ def main() -> None:
     by_site: dict[str, list] = {}
     for jid in sorted(jobs):
         j = jobs[jid]
-        by_site.setdefault(j["site"], [0, 0.0])
-        by_site[j["site"]][0] += 1
-        by_site[j["site"]][1] += j.get("sec", 0.0)
+        site = j["site"]
+        if site == "?" and j.get("exec") is not None:
+            site = execs.get(str(j["exec"]), "?")
+        j["site"] = site
+        by_site.setdefault(site, [0, 0.0])
+        by_site[site][0] += 1
+        by_site[site][1] += j.get("sec", 0.0)
         print(
             f"  job {jid:3d}  {j.get('sec', -1):7.2f}s  "
-            f"stages={j['stages']}  {j['site'][:90]}"
+            f"stages={j['stages']}  ex={j.get('exec')}  {site[:90]}"
         )
     print("--- by call site")
     for site, (n, sec) in sorted(by_site.items(), key=lambda kv: -kv[1][1]):
