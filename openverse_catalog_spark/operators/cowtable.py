@@ -3234,7 +3234,21 @@ class CowTable:
         }
         rows_rejected = 0
         validate_rules = kwargs.pop("validate_rules", None)
-        if not validate_rules and not source.head(1):
+        dedupe_on_url = (
+            kwargs.pop("dedupe_source_on_url", True)
+            and "url" in source.columns
+        )
+        guard_urls = (
+            kwargs.pop("guard_url_conflicts", True) and "url" in source.columns
+        )
+        # emptiness probe ONLY when the url-conflict guard will join the
+        # source against the full table — there an empty batch must not
+        # pay the guard's table scan. Every other merge (index/MV/feed
+        # maintenance tables have no url column) lets emptiness fall out
+        # of the _batch_boxes collect below: no box ⇔ no row, and the
+        # dedicated head(1) job was pure overhead on non-empty batches
+        # (0.5-0.6s each on the checkpointed maintenance feeds)
+        if not validate_rules and guard_urls and not source.head(1):
             return empty_noop
         if validate_rules:
             # declarative ingestion gate: rows violating ANY row-level
@@ -3262,11 +3276,8 @@ class CowTable:
                 return empty_noop
             rows_rejected = int(row["__n"]) - int(row["__ok"] or 0)
             source = source.filter(ok)
-        if kwargs.pop("dedupe_source_on_url", True) and "url" in source.columns:
+        if dedupe_on_url:
             source = distinct_on(source, ["url"], [F.col(k) for k in keys])
-        guard_urls = (
-            kwargs.pop("guard_url_conflicts", True) and "url" in source.columns
-        )
         if guard_urls:
             source = url_conflict_filter(source, self.read(m["version"]), keys)
         source = source.localCheckpoint(eager=False)
