@@ -843,7 +843,8 @@ class LakeCatalog:
         # refresh consumes still exists. O(churn) per index: the
         # refresh reads only the manifest diff and feed images.
         cur_tables = self._load()["tables"]
-        for iname, e in self.indexes().items():
+
+        def _tick_index(iname: str, e: dict) -> dict:
             try:
                 bname, be = self._resolve_index_base(e, cur_tables)
                 if be is None:
@@ -874,7 +875,7 @@ class LakeCatalog:
                     target_rows=target_rows,
                     retention_seconds=retention_seconds,
                 )
-                report[f"index:{iname}"] = {
+                out = {
                     "refreshed": bool(res.get("refreshed")),
                     "applied": int(res["applied"]),
                     "resync": bool(res.get("resync", False)),
@@ -883,12 +884,10 @@ class LakeCatalog:
                     ),
                 }
                 if reclaimed:
-                    report[f"index:{iname}"]["reclaimed_epochs"] = reclaimed
+                    out["reclaimed_epochs"] = reclaimed
                 if reindex_skew is not None and e["kind"] == "vector":
                     bal = idx.list_stats()
-                    report[f"index:{iname}"]["skew"] = round(
-                        bal["skew"], 3
-                    )
+                    out["skew"] = round(bal["skew"], 3)
                     if (
                         bal["median_list"] > 0
                         and bal["skew"] >= float(reindex_skew)
@@ -903,9 +902,29 @@ class LakeCatalog:
                         heal = idx.recluster(
                             reclaim=False, learned=int(reindex_learned)
                         )
-                        report[f"index:{iname}"]["reindexed"] = heal
+                        out["reindexed"] = heal
+                return out
             except Exception as exc:  # noqa: BLE001 - unattended tick
-                report[f"index:{iname}"] = {"error": str(exc)}
+                return {"error": str(exc)}
+
+        # indexes commit only to their OWN sub-tables and the registry
+        # writes funnel through the lock file, so independent indexes
+        # refresh CONCURRENTLY (guide §2.6 — actions are sequential
+        # only because driver code calls them sequentially): one
+        # index's merge tail back-fills with the next index's scans.
+        # 2 in flight is plenty; report keys keep registry order so
+        # the tick report stays deterministic.
+        from concurrent.futures import ThreadPoolExecutor
+
+        idx_items = list(self.indexes().items())
+        if idx_items:
+            with ThreadPoolExecutor(max_workers=2) as ex:
+                futs = [
+                    ex.submit(_tick_index, iname, e)
+                    for iname, e in idx_items
+                ]
+                for (iname, _), fut in zip(idx_items, futs):
+                    report[f"index:{iname}"] = fut.result()
         report["vacuumed"] = self.vacuum_tables(
             keep_versions=keep_versions,
             retention_seconds=retention_seconds,
