@@ -292,3 +292,65 @@ def test_net_feed_transitions_equals_window_formulation(
         d == 3 for d, _ in got_new
     )
     assert (2, "t2-re") in got_new
+
+
+def test_maintain_tick_overlaps_indexes_isolated_and_ordered(
+    spark, tmp_path
+):
+    """The maintenance tick runs per-index refreshes from a thread
+    pool; pin what that must NOT change: every registered index gets
+    a report entry in registry order, one index's failure isolates to
+    its own entry, and the healthy index still refreshes to the pin."""
+    import os
+
+    from openverse_catalog_spark.operators.catalog import LakeCatalog
+    from openverse_catalog_spark.operators.cowtable import CowTable
+    from openverse_catalog_spark.operators.searchindex import SearchIndex
+
+    def docs(*rws):
+        return spark.createDataFrame(
+            list(rws), "doc_id long, text string"
+        )
+
+    cat = LakeCatalog.create(spark, str(tmp_path / "lake"))
+    a = CowTable.create(
+        spark, str(tmp_path / "a"),
+        docs((1, "alpha beta"), (2, "beta gamma")), keys=("doc_id",),
+    )
+    b = CowTable.create(
+        spark, str(tmp_path / "b"),
+        docs((1, "delta eps"), (2, "eps zeta")), keys=("doc_id",),
+    )
+    cat.register("a", a)
+    cat.register("b", b)
+    ia = SearchIndex.create(
+        spark, str(tmp_path / "ia"), a, version=cat._entry("a")["version"]
+    )
+    ib = SearchIndex.create(
+        spark, str(tmp_path / "ib"), b, version=cat._entry("b")["version"]
+    )
+    cat.register_index("ia", "search", ia.root, "a",
+                       {"id": "doc_id", "text": "text"})
+    cat.register_index("ib", "search", ib.root, "b",
+                       {"id": "doc_id", "text": "text"})
+    with cat.transaction() as txn:
+        txn.table("a").update(
+            F.col("doc_id") == 1, {"text": F.lit("alpha omega")}
+        )
+        txn.table("b").update(
+            F.col("doc_id") == 2, {"text": F.lit("eps theta")}
+        )
+    # break ib behind the registry's back: its open must fail while
+    # ia's refresh proceeds on the other thread
+    os.rename(str(tmp_path / "ib"), str(tmp_path / "ib_gone"))
+    rep = cat.maintain_tables(retention_seconds=3600.0)
+    idx_keys = [k for k in rep if k.startswith("index:")]
+    assert idx_keys == ["index:ia", "index:ib"]  # registry order
+    assert rep["index:ia"]["refreshed"]
+    assert rep["index:ia"]["applied"] == cat._entry("a")["version"]
+    assert "error" in rep["index:ib"]
+    # the healthy index answers the post-churn state
+    re = SearchIndex.open(spark, ia.root, a)
+    assert {
+        r.term for r in re.postings.read().filter("doc_id = 1").collect()
+    } == {"alpha", "omega"}
