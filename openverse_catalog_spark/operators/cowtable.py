@@ -3532,6 +3532,16 @@ class CowTable:
             self._read_entries(affected, m) if affected
             else self.spark.createDataFrame([], schema)
         )
+        if affected and insert:
+            # the WHEN-clause rewrite references tgt TWICE — the
+            # matched-side left join and the insert-side anti-join —
+            # so the write's materialization pass read every affected
+            # file twice. A lazy checkpoint makes the second subtree
+            # read cached blocks: affected bytes come off storage once
+            # per commit (at 100 TB the rewrite set is the dominant
+            # read). merge() needs no twin: merge_upsert is a single
+            # full-outer join over tgt.
+            tgt = tgt.localCheckpoint(eager=False)
         marked = source.withColumn("__src_match", F.lit(1)).alias(s_alias)
         t = tgt.alias(t_alias)
         on = [

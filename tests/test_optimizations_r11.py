@@ -354,3 +354,43 @@ def test_maintain_tick_overlaps_indexes_isolated_and_ordered(
     assert {
         r.term for r in re.postings.read().filter("doc_id = 1").collect()
     } == {"alpha", "omega"}
+
+
+def test_merge_when_checkpointed_target_slice_equivalence(
+    spark, table_dir
+):
+    """merge_when lazily checkpoints the affected-files read when an
+    insert clause is present (the matched join and the insert anti-join
+    otherwise each re-read every affected file). Pin that the three-
+    clause rewrite through the checkpointed slice lands the exact
+    expected rows AND that file skipping still bites (the checkpoint
+    wraps only the affected slice, never widens it)."""
+    base = spark.range(0, 60).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).alias("v"),
+    )
+    t = CowTable.create(spark, table_dir, base, keys=("k",), target_files=4)
+    n_files = len(t._manifest()["files"])
+    # source touches only the low half of the key range: updates k<10,
+    # deletes 10<=k<15, inserts 100..104
+    src = spark.createDataFrame(
+        [(k, k * 1000) for k in range(15)]
+        + [(k, k * 1000) for k in range(100, 105)],
+        "k long, v long",
+    )
+    r = t.merge_when(
+        src,
+        update_set={"v": "s.v"},
+        update_cond="s.k < 10",
+        delete_cond="s.k >= 10 AND s.k < 15",
+        insert=True,
+        insert_cond="s.k >= 100",
+    )
+    assert 0 < r["files_rewritten"] < n_files  # skipping intact
+    got = {(row["k"], row["v"]) for row in t.read().collect()}
+    expected = (
+        {(k, k * 1000) for k in range(10)}            # updated
+        | {(k, k * 10) for k in range(15, 60)}        # carried
+        | {(k, k * 1000) for k in range(100, 105)}    # inserted
+    )
+    assert got == expected
