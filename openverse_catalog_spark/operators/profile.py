@@ -25,6 +25,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from openverse_catalog_spark.session import literal_df
+
 from openverse_catalog_spark.operators.packing import pack_offsets
 
 
@@ -76,7 +78,7 @@ def list_files(spark: SparkSession, path: str) -> DataFrame:
         if name.startswith(("_", ".")):
             continue
         rows.append((p.rsplit("/", 1)[0], p, int(st.getLen())))
-    return spark.createDataFrame(rows, "dir string, path string, bytes long")
+    return literal_df(spark, rows, "dir string, path string, bytes long")
 
 
 def compaction_plan(

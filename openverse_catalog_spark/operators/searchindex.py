@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 
 from openverse_catalog_spark.operators.cowtable import CowTable
 from openverse_catalog_spark.operators.incindex import IncrementalIndex
+from openverse_catalog_spark.session import literal_df
 
 K1 = 1.2
 B = 0.75
@@ -498,7 +499,8 @@ class SearchIndex(IncrementalIndex):
                 f"phrase {text!r} has no indexable terms (tokenizer "
                 "keeps [a-z]+ runs of length >= 3)"
             )
-        slots = self.spark.createDataFrame(
+        slots = literal_df(
+            self.spark,
             [(t, i) for i, t in enumerate(qt)], "term string, slot int"
         )
         post = self.postings.read_pruned(sorted(set(qt)))

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from openverse_catalog_spark.session import literal_df
+
 from openverse_catalog_spark.functions.licenses import license_pairs, normalize_license
 from openverse_catalog_spark.functions.urls import upgrade_url
 from openverse_catalog_spark.plans.analytics import _t, register
@@ -1153,7 +1155,7 @@ def workflow_dag_specs_query(spark, sf_dir):
     with its schedule facts and emitted task chain (provider_dag_factory
     analog; structural pins in tests/test_providers_ext.py). Driver-side
     literal frame — config metadata, not table compute."""
-    return spark.createDataFrame(
+    return literal_df(spark, 
         _dag_spec_rows(),
         "dag_id string, schedule string, dated boolean, media_types string, "
         "n_tasks int, task_chain string",

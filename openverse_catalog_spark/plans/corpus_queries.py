@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from openverse_catalog_spark.session import literal_df
+
 from openverse_catalog_spark.functions import text as tx
 from openverse_catalog_spark.functions.hashing import hash60_sql
 from openverse_catalog_spark.operators import dedupe as dd
@@ -2424,7 +2426,7 @@ def corpus_bpe_vocab(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")["documents"]
     merges, _ = bpe_learn(word_frequencies(d), num_merges=_BPE_MERGES)
-    return spark.createDataFrame(
+    return literal_df(spark, 
         [
             (m["step"], m["a"], m["b"], m["merged"], int(m["n"]))
             for m in merges
@@ -3602,7 +3604,7 @@ def embed_pca_power(spark, sf_dir):
 
     e = _t(spark, sf_dir, "embeddings")["embeddings"]
     v, _ = pca_power_top_component(e, "vec_id", "embedding", dim=64, rounds=3)
-    return spark.createDataFrame(
+    return literal_df(spark, 
         [(i + 1, round(x, 6)) for i, x in enumerate(v)],
         "dim long, loading double",
     )
@@ -3761,7 +3763,7 @@ def classifier_logreg_train(spark, sf_dir):
         rounds=_LOGREG_ROUNDS, lr=_LOGREG_LR,
     )
     names = [name for name, _ in _LOGREG_FEATURES]
-    return spark.createDataFrame(
+    return literal_df(spark, 
         [(j, names[j], round(w[j], 6)) for j in range(len(w))],
         "feat_idx int, feature string, weight double",
     )

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from openverse_catalog_spark.session import literal_df
+
 from openverse_catalog_spark.operators.merge import (
     distinct_on,
     merge_upsert,
@@ -2487,7 +2489,7 @@ def stats_incremental_analyze(spark, sf_dir):
         )
         for c in ("ck", "price_cents")
     ]
-    return spark.createDataFrame(
+    return literal_df(spark, 
         rows,
         "col string, n_rows long, nulls long, min_v long, max_v long, "
         "ndv long",

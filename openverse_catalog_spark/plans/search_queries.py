@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from openverse_catalog_spark.session import literal_df
+
 from openverse_catalog_spark.plans.analytics import _t, register
 
 # Identical tokenization on both engines: lowercase, split on non-letters,
@@ -519,7 +521,7 @@ def search_index_bm25(spark, sf_dir):
         ColumnSpec("text", Datatype.char),
         ColumnSpec("source", Datatype.char),
     ]
-    newdocs = spark.createDataFrame(
+    newdocs = literal_df(spark, 
         [(100000 + i, "spark hash join vector quantum flux " + "pad " * i,
           "srcX") for i in range(5)],
         "doc_id long, text string, source string",
@@ -616,7 +618,7 @@ def search_index_phrase(spark, sf_dir):
         ColumnSpec("text", Datatype.char),
         ColumnSpec("source", Datatype.char),
     ]
-    newdocs = spark.createDataFrame(
+    newdocs = literal_df(spark, 
         [(100000 + i, "spark hash join vector quantum flux " + "pad " * i,
           "srcX") for i in range(5)],
         "doc_id long, text string, source string",
@@ -728,7 +730,7 @@ def search_index_filtered(spark, sf_dir):
         ColumnSpec("text", Datatype.char),
         ColumnSpec("source", Datatype.char),
     ]
-    newdocs = spark.createDataFrame(
+    newdocs = literal_df(spark, 
         [(100000 + i, "spark hash join vector quantum flux " + "pad " * i,
           "srcX") for i in range(5)],
         "doc_id long, text string, source string",
@@ -855,7 +857,7 @@ def stream_search_maintenance(spark, sf_dir):
         ColumnSpec("text", Datatype.char),
         ColumnSpec("source", Datatype.char),
     ]
-    newdocs = spark.createDataFrame(
+    newdocs = literal_df(spark, 
         [(100000 + i, "spark hash join vector quantum flux " + "pad " * i,
           "srcX") for i in range(5)],
         "doc_id long, text string, source string",

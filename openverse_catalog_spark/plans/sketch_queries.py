@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from openverse_catalog_spark.session import literal_df
+
 from openverse_catalog_spark.operators import sketches as sk
 from openverse_catalog_spark.plans.analytics import _t, register
 
@@ -209,7 +211,7 @@ def sketch_kmv_setops(spark, sf_dir):
         ("union_exact", float(ex_u)),
         ("intersect_exact", float(ex_i)),
     ]
-    return spark.createDataFrame(rows, "metric string, value double")
+    return literal_df(spark, rows, "metric string, value double")
 
 
 # --- hash-rank sample quantiles --------------------------------------------
@@ -283,7 +285,7 @@ def sketch_quantile_sample(spark, sf_dir):
         (name, float(ests[i]), float(exact[name]))
         for i, (name, _) in enumerate(_QPS)
     ]
-    return spark.createDataFrame(rows, "q string, est double, exact double")
+    return literal_df(spark, rows, "q string, est double, exact double")
 
 
 _QGK = 128

@@ -164,3 +164,49 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
         df.createOrReplaceTempView(n)
         out[n] = df
     return out
+
+
+def literal_df(spark: SparkSession, rows, schema: str):
+    """A small literal frame as a LOCAL RELATION (parameterized VALUES
+    + CAST projection): rows and schema are identical to
+    ``spark.createDataFrame(rows, schema)`` — pinned by test — but
+    actions execute driver-side (``LocalTableScan``) instead of
+    scheduling a job over a parallelized RDD. Measured on local[32]:
+    ``head()`` on a 1-row createDataFrame result costs ~0.7 s PER
+    ACTION; the literal form ~0.04 s. Values bind as named parameters
+    (never string-spliced), the CAST pins each column to the declared
+    type, and the no-ELSE CASE keeps every column nullable exactly
+    like createDataFrame. Non-scalar cells, empty row sets and large
+    row sets (>256: parameter-count blowup) keep the original path."""
+    if (
+        not rows
+        or len(rows) > 256
+        or any(
+            type(v) not in (bool, int, float, str, type(None))
+            for r in rows
+            for v in r
+        )
+    ):
+        return spark.createDataFrame(rows, schema)
+    from pyspark.sql.types import StructType
+
+    sch = StructType.fromDDL(schema)
+    args: dict = {}
+    tuples = []
+    for ri, r in enumerate(rows):
+        names = []
+        for ci, v in enumerate(r):
+            k = f"p{ri}_{ci}"
+            args[k] = v
+            names.append(f":{k}")
+        tuples.append("(" + ",".join(names) + ")")
+    proj = ", ".join(
+        f"CASE WHEN 1=1 THEN CAST(c{i} AS "
+        f"{f.dataType.simpleString()}) END AS `{f.name}`"
+        for i, f in enumerate(sch.fields)
+    )
+    cols = ",".join(f"c{i}" for i in range(len(sch.fields)))
+    return spark.sql(
+        f"SELECT {proj} FROM (VALUES {','.join(tuples)}) AS __v({cols})",
+        args=args,
+    )

@@ -989,7 +989,9 @@ def stream_quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     rows = [(r.name, int(totals.get(r.name, 0))) for r in rules]
-    out = spark.createDataFrame(rows, "check string, violations long")
+    from openverse_catalog_spark.session import literal_df
+
+    out = literal_df(spark, rows, "check string, violations long")
     return out.select(
         "check", "violations", (F.col("violations") == 0).alias("passed")
     )
