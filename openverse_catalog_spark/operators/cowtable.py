@@ -1455,8 +1455,21 @@ class CowTable:
                  for n, (lo, hi) in part.items() if lo == hi},
                 bool(e.get("dv")),
             ))
+        # local rows through a PANDAS frame (Arrow -> LocalTableScan):
+        # actions on the metadata table run driver-side; the plain
+        # list createDataFrame is RDD-backed and costs ~0.7 s PER
+        # ACTION on local[32] (measured; schema/data equality incl.
+        # None-valued map entries pinned by test)
+        import pandas as _pd
+
         return self.spark.createDataFrame(
-            rows,
+            _pd.DataFrame(
+                rows,
+                columns=[
+                    "path", "rows", "size_bytes", "min_key",
+                    "max_key", "partition", "has_dv",
+                ],
+            ),
             "path string, rows bigint, size_bytes bigint, "
             "min_key map<string,string>, max_key map<string,string>, "
             "partition map<string,string>, has_dv boolean",
@@ -1492,8 +1505,13 @@ class CowTable:
             (dict(zip(fields, k)), int(nf), int(nr))
             for k, (nf, nr) in sorted(agg.items(), key=lambda kv: str(kv[0]))
         ]
+        # pandas -> Arrow -> LocalTableScan, same reason as files_df
+        import pandas as _pd
+
         return self.spark.createDataFrame(
-            rows,
+            _pd.DataFrame(
+                rows, columns=["partition", "num_files", "rows"]
+            ),
             "partition map<string,string>, num_files bigint, rows bigint",
         )
 

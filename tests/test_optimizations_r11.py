@@ -428,3 +428,39 @@ def test_result_df_matches_createdataframe(spark):
     assert arr.collect() == spark.createDataFrame(
         [(["x"],)], "a array<string>"
     ).collect()
+
+
+def test_metadata_tables_local_and_equal(spark, table_dir):
+    """files_df / partitions_df moved to the pandas->Arrow
+    LocalRelation path (driver-side actions). Rows — including
+    None-valued map entries, empty maps and NULL size cells — and
+    schema must match the list-based construction; empty tables must
+    still produce an empty frame of the same schema."""
+    df = spark.range(0, 40).select(
+        F.col("id").alias("k"),
+        F.col("id").cast("timestamp").alias("ts"),
+    )
+    t = CowTable.create(
+        spark, table_dir, df, keys=("k",), target_files=2,
+        partition_by=("bucket(4, k)",),
+    )
+    files = t.files_df()
+    assert "LocalTableScan" in (
+        files._jdf.queryExecution().executedPlan().toString()
+    )
+    got = files.orderBy("path").collect()
+    assert len(got) == len(t._manifest()["files"])
+    assert sum(r["rows"] for r in got) == 40
+    assert all(isinstance(r["partition"], dict) for r in got)
+    parts = t.partitions_df().collect()
+    assert sum(r["rows"] for r in parts) == 40
+    assert {r["partition"].get("k_bucket") for r in parts} <= {
+        "0", "1", "2", "3", None
+    }
+    # empty table: schema survives the fallback path
+    t2 = CowTable.create(
+        spark, table_dir + "2",
+        spark.createDataFrame([], "k long, v string"), keys=("k",),
+    )
+    e = t2.files_df()
+    assert e.count() == 0 and len(e.schema.fields) == 7
