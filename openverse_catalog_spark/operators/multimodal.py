@@ -50,6 +50,30 @@ IMAGE_META_SCHEMA = T.StructType(
 )
 
 
+def _python_pass_src(df: DataFrame, cols=("doc_id",)) -> DataFrame:
+    """Projection of ``cols`` with a PARTITION FLOOR for the Python
+    synth/decode passes below. The testdata base tables are
+    single-row-group parquet files, so a bare scan is ONE task and the
+    whole compute-bound mapInPandas chain ran on one core of
+    local[32] (guide §2.5 input skew / §6 scan parallelism; measured:
+    jpeg synth+decode noop 3.2 s → 0.8 s at sf0.1 after the floor).
+    Hash-repartition on doc_id — deterministic, so task retries
+    reproduce the same assignment (a rand-derived key can duplicate or
+    lose rows under fetch-failure replays, guide §2.5) — and only when
+    the input has FEWER partitions than the session's parallelism: a
+    well-partitioned production input passes through untouched, so
+    this never adds a shuffle at scale. Applied ONLY where the Python
+    pass is compute-heavy (full pixel decode paths): for the cheap
+    header-parse passes the floor's own cost (~0.3 s: the partition
+    probe + the shuffle job) exceeds the single-core pass — measured
+    both ways, see OPTIMIZATION_r11.md."""
+    src = df.select(*cols)
+    sc = df.sparkSession.sparkContext
+    if src.rdd.getNumPartitions() < sc.defaultParallelism:
+        return src.repartition(sc.defaultParallelism, "doc_id")
+    return src
+
+
 def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Simulate a binary media column (utf-8 payload of the text) plus
     format metadata — the schema shape a real image table would have."""
@@ -974,7 +998,7 @@ def attach_decodable_image_payload(df: DataFrame) -> DataFrame:
                 {"doc_id": pdf["doc_id"], "fmt": fmts, "payload": payloads}
             )
 
-    return df.select("doc_id").mapInPandas(
+    return _python_pass_src(df).mapInPandas(
         synth, "doc_id long, fmt string, payload binary"
     )
 
@@ -1932,6 +1956,6 @@ def attach_decodable_jpeg_payload(df: DataFrame) -> DataFrame:
                 }
             )
 
-    return df.select("doc_id").mapInPandas(
+    return _python_pass_src(df).mapInPandas(
         synth, "doc_id long, fmt string, payload binary"
     )

@@ -464,3 +464,42 @@ def test_metadata_tables_local_and_equal(spark, table_dir):
     )
     e = t2.files_df()
     assert e.count() == 0 and len(e.schema.fields) == 7
+
+
+def test_python_pass_partition_floor(spark):
+    """The pixel-decode synth paths repartition single-partition scans
+    up to the session parallelism (one row-group parquet = one task =
+    one core for the whole Python chain otherwise). Pin: the floor
+    raises partition count without changing rows, and an input already
+    at/above the floor passes through with NO added shuffle."""
+    from openverse_catalog_spark.operators.multimodal import (
+        _python_pass_src,
+        attach_decodable_jpeg_payload,
+        extract_image_pixels,
+    )
+
+    par = spark.sparkContext.defaultParallelism
+    narrow = spark.range(0, 50).select(F.col("id").alias("doc_id")) \
+        .coalesce(1)
+    floored = _python_pass_src(narrow)
+    assert floored.rdd.getNumPartitions() >= min(par, 50 // 2) or par == 1
+    wide = spark.range(0, 50, 1, par).select(
+        F.col("id").alias("doc_id")
+    )
+    passed_through = _python_pass_src(wide)
+    assert "Exchange" not in passed_through._jdf.queryExecution() \
+        .executedPlan().toString()
+    # end to end: decode over the floored path matches the bare chain
+    got = sorted(
+        (r["doc_id"], r["pixel_sum"])
+        for r in extract_image_pixels(
+            attach_decodable_jpeg_payload(narrow)
+        ).collect()
+    )
+    bare = sorted(
+        (r["doc_id"], r["pixel_sum"])
+        for r in extract_image_pixels(
+            attach_decodable_jpeg_payload(wide)
+        ).collect()
+    )
+    assert got == bare and len(got) == 50
