@@ -353,6 +353,95 @@ _FOOTER_SAFE_PHYSICAL = {"INT32", "INT64", "BOOLEAN", "BYTE_ARRAY"}
 _URI_PATH_SAFE = "/!*'():@&=+$,;"
 
 
+def _m3_hash_int(x: int, seed: int = 42) -> int:
+    """Spark's Murmur3_x86_32.hashInt — the hash behind
+    ``hashpartitioning(int_col, n)`` (seed 42). Pure-Python port so the
+    driver can pre-compute routing values whose ``pmod(hash, n)`` lands
+    on a chosen partition (pinned against ``F.hash`` in tests)."""
+    m = 0xFFFFFFFF
+    k1 = (x * 0xCC9E2D51) & m
+    k1 = ((k1 << 15) | (k1 >> 17)) & m
+    k1 = (k1 * 0x1B873593) & m
+    h1 = (seed ^ k1) & m
+    h1 = ((h1 << 13) | (h1 >> 19)) & m
+    h1 = (h1 * 5 + 0xE6546B64) & m
+    h1 ^= 4  # fmix length in bytes
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & m
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & m
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+_ROUTE_SLOT_CACHE: dict[int, list[int]] = {}
+
+
+def _hash_route_slots(n: int) -> list[int]:
+    """Small ints x_0..x_{n-1} with ``pmod(murmur3(x_j), n) == j`` —
+    routing values that give an EXACT one-partition-per-value hash
+    exchange. ``repartition(n, col)`` hash-partitions, and hashing raw
+    ids 0..n-1 collides (guide §2.5: synthetic keys with too few
+    distinct values); mapping each range-bucket id through its inverse-
+    hash slot makes partition j receive exactly bucket j."""
+    got = _ROUTE_SLOT_CACHE.get(n)
+    if got is not None:
+        return got
+    slots: dict[int, int] = {}
+    x = 0
+    while len(slots) < n:
+        j = _m3_hash_int(x) % n
+        if j not in slots:
+            slots[j] = x
+        x += 1
+    out = [slots[j] for j in range(n)]
+    _ROUTE_SLOT_CACHE[n] = out
+    return out
+
+
+def _sortable_key(kt: tuple) -> tuple:
+    """NULL-safe per-component sort wrapper (None first — Spark's
+    ascending-nulls-first range ordering)."""
+    return tuple((v is not None, v) for v in kt)
+
+
+def _determine_bounds(cands: list[tuple], partitions: int) -> list[tuple]:
+    """Weighted range-split points over candidate keys — a faithful port
+    of RangePartitioner.determineBounds (cumulative weight stepping with
+    duplicate-bound skipping), so driver-derived bounds reproduce what
+    Spark's range-sampling pass computes when the sample covers the full
+    input. ``cands`` = [(key_tuple, weight)]; returns <= partitions-1
+    ascending key tuples."""
+    ordered = sorted(cands, key=lambda c: _sortable_key(c[0]))
+    sum_w = float(sum(w for _, w in ordered))
+    if sum_w <= 0 or partitions <= 1:
+        return []
+    step = sum_w / partitions
+    cum = 0.0
+    target = step
+    bounds: list[tuple] = []
+    prev = None
+    for kt, w in ordered:
+        if len(bounds) >= partitions - 1:
+            break
+        cum += w
+        if cum >= target:
+            sk = _sortable_key(kt)
+            if prev is None or sk > prev:
+                bounds.append(kt)
+                prev = sk
+                target += step
+    return bounds
+
+
+#: Python-side value types the driver-derived range bounds support:
+#: exactly the types whose Python ordering matches Spark's SQL ordering
+#: (str compares by code point == UTF-8 byte order; bool is an int
+#: subclass; date/datetime compare chronologically). Floats are
+#: deliberately out (NaN ordering diverges), as are Decimal/bytes.
+_BOUNDS_SAFE_TYPES = (str, int, datetime.date)
+
+
 def _footer_file_stats(
     dir_path: str,
     keys: tuple[str, ...],
@@ -978,9 +1067,126 @@ class CowTable:
                     e["bloom_sc"] = sc_rel
         return entries
 
+    def _range_bounds(
+        self, multiset, entries: list[dict], target_files: int,
+    ) -> list[tuple] | None:
+        """Driver-derived range-split bounds for a commit's clustered
+        write, replacing ``repartitionByRange``'s sampling pass (one
+        Spark job per commit that re-executed the write lineage — guide
+        §2.4: remove the shuffle's sampling pass outright). Candidates:
+        the batch's exact per-key multiset (``_batch_boxes`` collects it
+        anyway) plus, for rewritten files, the manifest entries' key
+        endpoints weighted by row count (files are range-clustered, so
+        endpoint grain tracks the old layout). Returns None — caller
+        falls back to the sampling write — when the multiset overflowed,
+        the table is partitioned (transform columns aren't derivable
+        driver-side), or any value's Python ordering could diverge from
+        the SQL ordering (floats/decimals)."""
+        if (
+            multiset is None or target_files <= 1 or self.partition_spec
+        ):
+            return None
+        keys = self.keys
+        cands: list[tuple] = []
+        try:
+            for kt, cnt in multiset:
+                for v in kt:
+                    if v is not None and not isinstance(
+                        v, _BOUNDS_SAFE_TYPES
+                    ):
+                        return None
+                cands.append((kt, float(cnt)))
+            # a rewritten file's rows appear as cumulative mass at its
+            # END key (files are range-clustered and disjoint, so "by
+            # this file's max, its rows have passed" is the correct CDF
+            # step); a single INT key additionally interpolates interior
+            # points so bounds can split inside a wide file
+            interp = (
+                len(keys) == 1
+                and all(
+                    isinstance(e["min"].get(keys[0]), int)
+                    and isinstance(e["max"].get(keys[0]), int)
+                    and not isinstance(e["min"].get(keys[0]), bool)
+                    for e in entries
+                )
+                if entries else False
+            )
+            for e in entries:
+                hi = tuple(e["max"].get(k) for k in keys)
+                for v in hi:
+                    if v is not None and not isinstance(
+                        v, _BOUNDS_SAFE_TYPES
+                    ):
+                        return None
+                w = float(e.get("rows") or 0)
+                if w <= 0:
+                    continue
+                if interp:
+                    lo_v, hi_v = e["min"][keys[0]], e["max"][keys[0]]
+                    pts = sorted(
+                        {
+                            lo_v + round((hi_v - lo_v) * i / 7)
+                            for i in range(1, 8)
+                        }
+                    )
+                    for p in pts:
+                        cands.append(((p,), w / len(pts)))
+                else:
+                    cands.append((hi, w))
+            if not cands:
+                return None
+            if not multiset and not interp and len(entries) < target_files:
+                # pure file-end candidates can't split inside a file:
+                # fewer files than buckets would collapse the layout —
+                # let the sampler keep target sizing
+                return None
+            return _determine_bounds(cands, target_files)
+        except (TypeError, KeyError):
+            return None  # mixed/unorderable stat types: sample instead
+
+    def _route_expr(self, phys_df: DataFrame, bounds: list[tuple]):
+        """Partition-routing column for a bounds-driven clustered write:
+        rows compare against the driver-derived bounds (ascending,
+        NULLs first — RangePartitioner's ordering) to get a bucket id,
+        and the bucket id maps through its inverse-hash slot so the
+        following hash ``repartition(n, route)`` places bucket j on
+        partition j exactly. Deterministic in the row's key values, so
+        fetch-failure replays reproduce the assignment (guide §2.5)."""
+        keys = list(self.keys)
+        dtypes = {f.name: f.dataType for f in phys_df.schema.fields}
+        slots = _hash_route_slots(len(bounds) + 1)
+
+        def lit_of(v, k):
+            return (
+                F.lit(v) if v is not None else F.lit(None)
+            ).cast(dtypes[k])
+
+        if len(keys) == 1:
+            k = keys[0]
+            col = F.col(k)
+
+            def le(b):
+                return F.coalesce(col <= lit_of(b[0], k), F.lit(False))
+
+            head = col.isNull() | le(bounds[0])
+        else:
+            sk = F.struct(*[F.col(k).alias(k) for k in keys])
+
+            def le(b):
+                blit = F.struct(
+                    *[lit_of(v, k).alias(k) for k, v in zip(keys, b)]
+                )
+                return F.coalesce(sk <= blit, F.lit(False))
+
+            head = F.col(keys[0]).isNull() | le(bounds[0])
+        w = F.when(head, F.lit(slots[0]))
+        for i in range(1, len(bounds)):
+            w = w.when(le(bounds[i]), F.lit(slots[i]))
+        return w.otherwise(F.lit(slots[len(bounds)]))
+
     def _write_clustered(
         self, phys_df: DataFrame, target_files: int, data_dir: str,
-        checkpoint: bool = False,
+        checkpoint: bool = False, bounds: list[tuple] | None = None,
     ) -> None:
         """The one data-file writer every commit path uses. Without a
         partition spec: the classic merge-key range clustering. With
@@ -1007,7 +1213,34 @@ class CowTable:
         than caching (1.14 -> 1.28 s). Rows, range bounds and file
         counts are unchanged — the sample sees identical values.
         ``target_files == 1`` plans no sampling pass at all, so the
-        checkpoint would be pure overhead; it is skipped."""
+        checkpoint would be pure overhead; it is skipped.
+
+        ``bounds`` (driver-derived via :meth:`_range_bounds`): range-
+        cluster WITHOUT the sampling pass — rows route to buckets by
+        comparing against the known bounds and a plain hash exchange on
+        the inverse-hash slot places each bucket on its own partition.
+        One job fewer per commit AND the write lineage executes exactly
+        once, so the caller's lazy checkpoint becomes unnecessary too.
+        Only for unpartitioned tables (partition transforms aren't
+        derivable driver-side); empty bounds degrade to the single-file
+        write which never sampled anyway."""
+        if (
+            bounds is not None and not self.partition_spec
+            and "__rt" not in phys_df.columns
+        ):
+            if len(bounds) == 0:
+                target_files = 1  # single bucket: no exchange sampling
+            else:
+                n = len(bounds) + 1
+                route = self._route_expr(phys_df, bounds)
+                (
+                    phys_df.withColumn("__rt", route)
+                    .repartition(n, F.col("__rt"))
+                    .drop("__rt")
+                    .write.mode("error")
+                    .parquet(data_dir)
+                )
+                return
         if checkpoint and target_files > 1:
             phys_df = phys_df.localCheckpoint(eager=False)
         exprs: list[Column] = []
@@ -2424,7 +2657,8 @@ class CowTable:
         return tuple((v is not None, v) for v in vals)
 
     def _batch_boxes(
-        self, source: DataFrame, check_dups: bool = False
+        self, source: DataFrame, check_dups: bool = False,
+        want_multiset: bool = False,
     ) -> tuple:
         """The batch's per-``keys[0]`` key boxes + whether any key
         component is NULL — the tiny driver-side summary both the
@@ -2432,12 +2666,67 @@ class CowTable:
 
         ``check_dups=True`` additionally reports whether any full merge
         key appears on more than one source row, fused into the same
-        aggregation (return becomes a 3-tuple): the box aggregation
-        then runs over ``groupBy(*keys).count()`` instead of the raw
-        rows. Boxes and the NULL flag are IDENTICAL either way —
-        min/max and isNull are insensitive to row multiplicity — and
-        merge_when's previously separate duplicate-key job (a second
-        wide shuffle over the source) disappears into this one."""
+        aggregation (return gains a ``has_dup`` element).
+
+        ``want_multiset=True`` (merge paths): the ONE aggregation job
+        groups by the FULL key instead of ``keys[0]`` and the return
+        gains a final element — the batch's exact per-key multiset
+        ``[(key_tuple, count)]`` — from which ``_range_bounds`` derives
+        the clustered write's split points with NO sampling job. Boxes,
+        the NULL flag and the dup flag are derived driver-side from the
+        same rows and are IDENTICAL to the coarse aggregation's (min/
+        max/isNull are insensitive to row multiplicity). A batch with
+        more than MAX_BOXES distinct full keys falls back to the coarse
+        path (multiset None) — there the per-commit sampling job is
+        amortized by the batch size anyway."""
+        if want_multiset:
+            grouped = (
+                source.groupBy(*self.keys)
+                .agg(F.count(F.lit(1)).alias("__cnt"))
+                .limit(65536 + 1)
+                .collect()
+            )
+            if len(grouped) > 65536:
+                res = self._batch_boxes_k0(source, check_dups)
+                return (*res, None)
+            k0, rest = self.keys[0], list(self.keys[1:])
+            per: dict = {}
+            multiset = []
+            has_dup = False
+            for r in grouped:
+                kt = tuple(r[k] for k in self.keys)
+                cnt = int(r["__cnt"])
+                multiset.append((kt, cnt))
+                if cnt > 1:
+                    has_dup = True
+                kv = kt[0]
+                e = per.setdefault(kv, [])
+                if rest:
+                    e.append(kt[1])
+            if rest:
+                boxes = []
+                batch_has_null = False
+                for kv, vals in per.items():
+                    nn = [v for v in vals if v is not None]
+                    if kv is None or len(nn) < len(vals):
+                        batch_has_null = True
+                    boxes.append(
+                        (kv, min(nn) if nn else None,
+                         max(nn) if nn else None)
+                    )
+            else:
+                boxes = [(kv, kv, kv) for kv in per]
+                batch_has_null = any(kv is None for kv in per)
+            dup_tail = (has_dup,) if check_dups else ()
+            return boxes, batch_has_null, *dup_tail, multiset
+        return self._batch_boxes_k0(source, check_dups)
+
+    def _batch_boxes_k0(
+        self, source: DataFrame, check_dups: bool = False
+    ) -> tuple:
+        """Coarse (per-``keys[0]``) box aggregation — the fallback when
+        the full-key multiset would overflow, and the path for callers
+        that never need bounds."""
         k0, rest = self.keys[0], list(self.keys[1:])
         cnt_aggs: list = []
         if check_dups:
@@ -3299,7 +3588,9 @@ class CowTable:
         if guard_urls:
             source = url_conflict_filter(source, self.read(m["version"]), keys)
         source = source.localCheckpoint(eager=False)
-        boxes, batch_has_null = self._batch_boxes(source)
+        boxes, batch_has_null, multiset = self._batch_boxes(
+            source, want_multiset=True
+        )
         if not boxes and not batch_has_null:
             # the batch can be FULLY eliminated by the validation rules
             # or the dedupe/url guard (every row a url thief): same
@@ -3355,9 +3646,14 @@ class CowTable:
         new_version = m["version"] + 1
         rel_dir = f"data/c{uuid.uuid4().hex[:12]}"
         data_dir = f"{self.root}/{rel_dir}"
+        # bounds known -> no range-sampling job AND the join lineage
+        # executes exactly once (the checkpoint existed only because
+        # sampling ran it twice); unknown -> sampling path unchanged
+        bounds = self._range_bounds(multiset, affected, target_files)
         self._write_clustered(
             self._to_physical(merged), target_files, data_dir,
-            checkpoint=True,  # join lineage: source x affected files
+            checkpoint=bounds is None,  # join lineage: source x affected
+            bounds=bounds,
         )
         new_entries = self._collect_entries(data_dir, rel_dir)
         if pre_commit_hook is not None:
@@ -3529,8 +3825,8 @@ class CowTable:
         # boolean); boxes are identical — min/max don't care about row
         # multiplicity — so the affected-file split cannot move
         if check_duplicate_keys:
-            boxes, batch_has_null, has_dup = self._batch_boxes(
-                source, check_dups=True
+            boxes, batch_has_null, has_dup, multiset = self._batch_boxes(
+                source, check_dups=True, want_multiset=True
             )
             if has_dup:
                 raise ValueError(
@@ -3539,7 +3835,9 @@ class CowTable:
                     "ambiguous (dedupe the source first)"
                 )
         else:
-            boxes, batch_has_null = self._batch_boxes(source)
+            boxes, batch_has_null, multiset = self._batch_boxes(
+                source, want_multiset=True
+            )
         if not boxes and not batch_has_null:
             return noop  # empty source: no box ⇔ no row
         affected, untouched = [], []
@@ -3623,9 +3921,11 @@ class CowTable:
         # empty result writes no part files at all (empty tasks emit
         # nothing) and _collect_entries returns [] from the part-less
         # dir without planning a scan
+        bounds = self._range_bounds(multiset, affected, target_files)
         self._write_clustered(
             self._to_physical(out), target_files, data_dir,
-            checkpoint=True,  # join lineage: source x affected files
+            checkpoint=bounds is None,  # join lineage: source x affected
+            bounds=bounds,
         )
         new_entries = self._collect_entries(data_dir, rel_dir)
         if not new_entries and not affected:
@@ -3839,9 +4139,13 @@ class CowTable:
         # write FIRST (no head(1) emptiness probe — it cost an extra
         # pass over the rewrite): a delete that emptied every touched
         # file writes no part files and _collect_entries returns []
-        # from the part-less dir, so the commit simply drops them
+        # from the part-less dir, so the commit simply drops them.
+        # Range bounds derive from the touched entries' own stats (for
+        # a delete the weights overcount the surviving rows — balance
+        # only, never correctness), killing the sampling job
         self._write_clustered(
-            self._to_physical(out), target_files, data_dir
+            self._to_physical(out), target_files, data_dir,
+            bounds=self._range_bounds([], touched, target_files),
         )
         new_entries = self._collect_entries(data_dir, rel_dir)
         if pre_commit_hook is not None:
@@ -4433,7 +4737,13 @@ class CowTable:
                 writer = writer.partitionBy(*pcols)
             writer.parquet(data_dir)
         else:
-            self._write_clustered(self._to_physical(df), n_files, data_dir)
+            # bin-packing many small files into few: the compacted
+            # entries' own stats are file-grain candidates, so the
+            # range split needs no sampling pass
+            self._write_clustered(
+                self._to_physical(df), n_files, data_dir,
+                bounds=self._range_bounds([], small, n_files),
+            )
         new_entries = self._collect_entries(data_dir, rel_dir)
         if cluster_tag is not None:
             # stamp the spec each file was clustered under — what a
