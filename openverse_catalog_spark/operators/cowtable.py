@@ -2138,6 +2138,7 @@ class CowTable:
         col: str,
         version: int | None = None,
         max_keys: int = 10_000,
+        dim_rows: list | None = None,
     ) -> DataFrame:
         """DYNAMIC FILE PRUNING from a join: rows of this table whose
         ``col`` matches some value of ``dim[col]`` — but decided at the
@@ -2151,12 +2152,19 @@ class CowTable:
         ARBITRARY stats columns through the manifest. A dimension wider
         than ``max_keys`` falls back to an exact semi-join over the full
         snapshot (pruning needs a bounded build side; the result
-        contract never changes)."""
+        contract never changes).
+
+        ``dim_rows``: the dim's already-collected rows (each indexable
+        by ``col``) — callers that collected the key set for their own
+        bookkeeping pass it so the prune plans NO extra collect job.
+        Must be the COMPLETE key set of ``dim`` (the residual filter
+        uses only these values)."""
         from bisect import bisect_left
 
         m = self._manifest(version)
         rows = (
             dim.select(col).distinct().limit(max_keys + 1).collect()
+            if dim_rows is None else dim_rows
         )
         if len(rows) > max_keys:
             return self._read_entries(m["files"], m).join(
@@ -2230,6 +2238,7 @@ class CowTable:
         cols: list[str],
         version: int | None = None,
         max_keys: int = 10_000,
+        dim_rows: list | None = None,
     ) -> DataFrame:
         """COMPOSITE-KEY dynamic file pruning: rows of this table whose
         ``cols`` TUPLE matches some row of ``dim`` — pruned at the file
@@ -2249,11 +2258,15 @@ class CowTable:
             raise ValueError("need at least one join column")
         if len(cols) == 1:
             return self.read_join_pruned(
-                dim, cols[0], version=version, max_keys=max_keys
+                dim, cols[0], version=version, max_keys=max_keys,
+                dim_rows=dim_rows,
             )
         m = self._manifest(version)
         dim_keys = dim.select(*cols).distinct()
-        rows = dim_keys.limit(max_keys + 1).collect()
+        rows = (
+            dim_keys.limit(max_keys + 1).collect()
+            if dim_rows is None else dim_rows
+        )
 
         def full():  # built lazily: the pruned path never plans it
             return self._read_entries(m["files"], m)

@@ -380,28 +380,42 @@ class MaterializedView:
         # churn): a NULL group key in the feed — e.g. a right-side
         # delete under a LEFT join base NULLing a right-sourced group
         # column — would merge as its own group and silently corrupt
-        # the aggregate. Churn-sized filter on the checkpointed delta.
-        # A NULL group with NET count <= 0 is benign (it was never in
-        # the MV — _validate pinned that — and zero/negative-count
-        # groups are dropped before the merge), so a value that
-        # transits NULL and back inside one feed span does not wedge
-        # the refresh; only a NULL group that would PERSIST raises.
-        null_any = None
-        for c in g:
-            cond = F.col(c).isNull()
-            null_any = cond if null_any is None else (null_any | cond)
-        # ONE job materializes the checkpoint (reused by every join
-        # below), measures the dirty set for the broadcast guard AND
-        # runs the NULL-group check — the former count + filter-head
-        # pair re-ran the scan for a boolean
-        probe = delta.agg(
-            F.count(F.lit(1)).alias("__n"),
-            F.max(
-                (null_any & (F.col("__d_cnt") > 0)).cast("int")
-            ).alias("__bad"),
-        ).head()
-        n_delta = int(probe["__n"])
-        if probe["__bad"]:
+        # the aggregate. A NULL group with NET count <= 0 is benign (it
+        # was never in the MV — _validate pinned that — and zero/
+        # negative-count groups are dropped before the merge), so a
+        # value that transits NULL and back inside one feed span does
+        # not wedge the refresh; only a NULL group that would PERSIST
+        # raises.
+        # ONE bounded collect of the (grouped, churn-sized) delta keys
+        # materializes the checkpoint, measures the dirty set for the
+        # broadcast guard, runs the NULL-group check DRIVER-SIDE and
+        # feeds the MV file prune its key set — the former probe job
+        # and the prune's internal second collect both disappear into
+        # it. Oversized churn (> prune cap) falls back to the old
+        # aggregate probe, where one extra job is amortized anyway.
+        _CAP = 10_000
+        key_rows = delta.select(*g, "__d_cnt").limit(_CAP + 1).collect()
+        if len(key_rows) <= _CAP:
+            n_delta = len(key_rows)
+            bad = any(
+                any(r[c] is None for c in g) and (r["__d_cnt"] or 0) > 0
+                for r in key_rows
+            )
+        else:
+            null_any = None
+            for c in g:
+                cond = F.col(c).isNull()
+                null_any = cond if null_any is None else (null_any | cond)
+            probe = delta.agg(
+                F.count(F.lit(1)).alias("__n"),
+                F.max(
+                    (null_any & (F.col("__d_cnt") > 0)).cast("int")
+                ).alias("__bad"),
+            ).head()
+            n_delta = int(probe["__n"])
+            bad = bool(probe["__bad"])
+            key_rows = None
+        if bad:
             raise ValueError(
                 "materialized-view refresh saw NULL group keys in the "
                 "change feed (a LEFT-join base NULLs right-sourced "
@@ -423,7 +437,7 @@ class MaterializedView:
         cur_small = None
         try:
             cur_small = self.table.read_join_pruned_multi(
-                delta.select(*g), g
+                delta.select(*g), g, dim_rows=key_rows
             )
         except ValueError:
             pass
@@ -486,7 +500,16 @@ class MaterializedView:
         clean = j.filter(~F.col("__dirty")).select(clean_cols)
 
         dirty_keys = j.filter(F.col("__dirty")).select(*g)
-        n_dirty = dirty_keys.count()
+        # ONE bounded collect: materializes the j checkpoint, counts
+        # the dirty set AND hands the base prune its key rows (the
+        # prune's internal collect was a second job over the same tiny
+        # set); an oversized dirty set falls back to the exact count
+        d_rows = dirty_keys.limit(_CAP + 1).collect()
+        if len(d_rows) <= _CAP:
+            n_dirty = len(d_rows)
+        else:
+            n_dirty = dirty_keys.count()
+            d_rows = None
         if n_dirty:
             # dirty-group recompute reads O(dirty groups' rows): prune
             # base FILES through manifest stats/blooms when the group
@@ -494,7 +517,7 @@ class MaterializedView:
             dirty_rows = None
             try:
                 dirty_rows = self.base.read_join_pruned_multi(
-                    dirty_keys, g, version=b_to
+                    dirty_keys, g, version=b_to, dim_rows=d_rows
                 )
             except ValueError:
                 pass  # no stats/bloom on the group column(s)
@@ -750,12 +773,21 @@ class JoinMaterializedView:
         if lfeed is not None:
             dirty = lfeed.select(*keys).distinct()
         if rfeed is not None:
-            # checkpoint + count once: materializes the dirty join-value
-            # set for its three consumers and sizes the broadcast guard
+            # ONE bounded collect materializes the dirty join-value set,
+            # sizes the broadcast guard AND feeds the left prune its key
+            # rows (the prune's internal collect was a second job over
+            # the same churn-sized set); oversized churn falls back to
+            # the exact count + internal collect
+            _CAP = 10_000
             dirty_jv = (
                 rfeed.select(*self.on).distinct().localCheckpoint(eager=False)
             )
-            n_jv = dirty_jv.count()
+            jv_rows = dirty_jv.limit(_CAP + 1).collect()
+            if len(jv_rows) <= _CAP:
+                n_jv = len(jv_rows)
+            else:
+                n_jv = dirty_jv.count()
+                jv_rows = None
             self._check_right_unique(
                 rdf.join(_hint_if_small(dirty_jv, n_jv, bmax),
                          self.on, "leftsemi")
@@ -767,7 +799,7 @@ class JoinMaterializedView:
             hit = None
             try:
                 hit = self.left.read_join_pruned_multi(
-                    dirty_jv, self.on, version=l_to
+                    dirty_jv, self.on, version=l_to, dim_rows=jv_rows
                 )
             except ValueError:
                 pass  # no stats/bloom on the join column(s)
@@ -777,11 +809,12 @@ class JoinMaterializedView:
             d2 = hit.select(*keys).distinct()
             dirty = d2 if dirty is None else dirty.union(d2).distinct()
         if dirty is not None:
-            # one count materializes the checkpoint, sizes the
-            # broadcast guard AND answers the emptiness probe the old
-            # head(1) ran as its own job
+            # one bounded collect materializes the checkpoint, sizes
+            # the broadcast guard AND answers the emptiness probe the
+            # old head(1) ran as its own job (count fallback past cap)
             dirty = dirty.localCheckpoint(eager=False)
-            n_dirty = dirty.count()
+            d_rows = dirty.limit(10_001).collect()
+            n_dirty = len(d_rows) if len(d_rows) <= 10_000 else dirty.count()
         if dirty is None or n_dirty == 0:
             self._save_state({"applied_left": l_to, "applied_right": r_to})
             return {"refreshed": False, "left_version": l_to,

@@ -238,7 +238,7 @@ class SearchIndex(IncrementalIndex):
         # net transition per dirty doc over the span (old = the FIRST
         # pre-image — the state the index holds; new = the LAST
         # post-state, unless the final event deletes): ONE keyed
-        # aggregation, checkpointed once for its four consumers — the
+        # aggregation, checkpointed once for its consumers — the
         # former two-window formulation shuffled the feed twice and
         # materialized two separate checkpoints
         from openverse_catalog_spark.operators.incindex import (
@@ -248,17 +248,59 @@ class SearchIndex(IncrementalIndex):
         net = net_feed_transitions(feed, idc, txc).localCheckpoint(
             eager=False
         )
-        old_docs = net.filter(F.col("__old").isNotNull()).select(
-            F.col(idc), F.col("__old.p").alias(txc)
+        has_old = F.col("__old").isNotNull()
+        new_live = F.col("__new").isNotNull() & ~F.col("__new.del")
+
+        # FUSED postings diff (guide §2.3: aggregate before you
+        # shuffle, once): the former shape ran TWO (term, doc_id)
+        # aggregations — postings of the old images, postings of the
+        # new — and full-outer-joined them, so the tokenized pairs
+        # crossed three Exchanges. Tokenizing both sides tagged and
+        # aggregating ONCE yields the identical diff rows (tf/positions
+        # from the new side; a pair with only old-side tokens nets tf
+        # NULL -> DELETE) through a single Exchange.
+        old_toks = net.filter(has_old).select(
+            F.col(idc).alias("doc_id"),
+            F.lit(False).alias("__new_side"),
+            F.posexplode(_tokens(F.col("__old.p"))).alias("pos", "term"),
         )
-        new_docs = net.filter(
-            F.col("__new").isNotNull() & ~F.col("__new.del")
-        ).select(F.col(idc), F.col("__new.p").alias(txc))
-        old_p = _postings_of(old_docs, idc, txc)
-        new_p = _postings_of(new_docs, idc, txc)
-        new_l = _doclens_of(new_docs, idc, txc)
-        self._reconcile(old_docs.select(F.col(idc).alias("doc_id")),
-                        old_p, new_p, new_l, to_v)
+        new_toks = net.filter(new_live).select(
+            F.col(idc).alias("doc_id"),
+            F.lit(True).alias("__new_side"),
+            F.posexplode(_tokens(F.col("__new.p"))).alias("pos", "term"),
+        )
+        pairs = old_toks.unionByName(new_toks).groupBy(
+            "term", "doc_id"
+        ).agg(
+            F.count(F.when(F.col("__new_side"), 1)).alias("__ntf"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("__new_side"), F.col("pos")))
+            ).alias("__npos"),
+        )
+        live = F.col("__ntf") > 0
+        src = pairs.select(
+            "term", "doc_id",
+            F.when(live, F.col("__ntf")).alias("tf"),
+            F.when(live, F.col("__npos")).alias("positions"),
+        )
+        # FUSED doclen diff: the former old_ids x new_lens full-outer
+        # join re-derived both sides from the same net frame — the
+        # diff is a pure projection of it (docs the index holds OR docs
+        # gaining a positive token count; dl NULL -> DELETE)
+        dl0 = F.when(new_live, F.size(_tokens(F.col("__new.p"))))
+        lsrc = (
+            net.select(
+                F.col(idc).alias("doc_id"),
+                dl0.alias("__dl0"),
+                has_old.alias("__has_old"),
+            )
+            .filter(F.col("__has_old") | (F.col("__dl0") > 0))
+            .select(
+                "doc_id",
+                F.when(F.col("__dl0") > 0, F.col("__dl0")).alias("dl"),
+            )
+        )
+        self._merge_src(src, lsrc, to_v)
 
     def _reconcile(
         self,
@@ -268,18 +310,10 @@ class SearchIndex(IncrementalIndex):
         new_l: DataFrame,
         to_v: int,
     ) -> None:
-        """One merge_when per index table, txn-fenced on the span end so
-        a replayed span txn-skips instead of double-applying. The two
-        merges target INDEPENDENT tables fed by the same checkpointed
-        net transition, so they run CONCURRENTLY from a 2-thread pool
-        (guide §2.6: actions are only sequential because driver code
-        calls them sequentially) — the doclen commit's fixed costs hide
-        under the postings commit's. Crash/failure semantics are
-        unchanged: the pending-span WAL replays the span and each
-        merge's txn fence skips the half that already landed, exactly
-        as for a crash between the formerly-sequential merges."""
-        from concurrent.futures import ThreadPoolExecutor
-
+        """Resync reconcile (old side comes from an index scan, so the
+        fused single-pass diff of ``_apply_feed`` does not apply): the
+        classic full-outer diff of old vs new postings/doclens, fed to
+        the same pair of txn-fenced merges."""
         src = (
             new_p.withColumnRenamed("tf", "new_tf")
             .withColumnRenamed("positions", "new_positions")
@@ -296,6 +330,22 @@ class SearchIndex(IncrementalIndex):
                   ["doc_id"], "full")
             .select("doc_id", F.col("new_dl").alias("dl"))
         )
+        self._merge_src(src, lsrc, to_v)
+
+    def _merge_src(
+        self, src: DataFrame, lsrc: DataFrame, to_v: int
+    ) -> None:
+        """One merge_when per index table, txn-fenced on the span end so
+        a replayed span txn-skips instead of double-applying. The two
+        merges target INDEPENDENT tables fed by the same checkpointed
+        net transition, so they run CONCURRENTLY from a 2-thread pool
+        (guide §2.6: actions are only sequential because driver code
+        calls them sequentially) — the doclen commit's fixed costs hide
+        under the postings commit's. Crash/failure semantics are
+        unchanged: the pending-span WAL replays the span and each
+        merge's txn fence skips the half that already landed, exactly
+        as for a crash between the formerly-sequential merges."""
+        from concurrent.futures import ThreadPoolExecutor
 
         def _postings() -> None:
             self.postings.merge_when(

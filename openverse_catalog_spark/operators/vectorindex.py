@@ -561,18 +561,24 @@ class VectorIndex(IncrementalIndex):
         so a replayed span txn-skips instead of double-applying. A
         vector whose assignment MOVED appears as (old key, NULL) ->
         DELETE plus (new key, vector) -> INSERT; updated-in-place ->
-        UPDATE; deleted -> DELETE."""
+        UPDATE; deleted -> DELETE.
+
+        The old/new diff is a tagged UNION + one keyed aggregation
+        (guide §2.3/§2.4): the former full-outer join shuffled BOTH
+        assignment outputs into the join's two Exchanges — a
+        NULL-payload old side unioned under the new side nets the
+        identical rows (first non-null payload = the new payload, or
+        NULL -> DELETE) through a single Exchange."""
         pc = self._payload_col()
+        ptype = new_a.schema[pc].dataType
         src = (
-            new_a.withColumnRenamed(pc, "new_payload")
-            .join(
-                old_a.select("centroid_id", "neighbor_id"),
-                ["centroid_id", "neighbor_id"], "full",
-            )
-            .select(
+            old_a.select(
                 "centroid_id", "neighbor_id",
-                F.col("new_payload").alias(pc),
+                F.lit(None).cast(ptype).alias(pc),
             )
+            .unionByName(new_a.select("centroid_id", "neighbor_id", pc))
+            .groupBy("centroid_id", "neighbor_id")
+            .agg(F.first(pc, ignorenulls=True).alias(pc))
         )
         self.lists.merge_when(
             src,
