@@ -3561,15 +3561,18 @@ class CowTable:
         guard_urls = (
             kwargs.pop("guard_url_conflicts", True) and "url" in source.columns
         )
-        # emptiness probe ONLY when the url-conflict guard will join the
-        # source against the full table — there an empty batch must not
-        # pay the guard's table scan. Every other merge (index/MV/feed
-        # maintenance tables have no url column) lets emptiness fall out
-        # of the _batch_boxes collect below: no box ⇔ no row, and the
-        # dedicated head(1) job was pure overhead on non-empty batches
-        # (0.5-0.6s each on the checkpointed maintenance feeds)
-        if not validate_rules and guard_urls and not source.head(1):
-            return empty_noop
+        # NO up-front emptiness probe, even for url-guarded merges: the
+        # dedicated head(1) ran the source's FIRST partition serially
+        # (1.0 s of pipeline_end_to_end's merge — the whole clean
+        # lineage of partition one on one core) while the boxes collect
+        # was about to compute every partition in parallel anyway. The
+        # empty-batch case it protected (don't pay the url guard's
+        # table join on an empty source) is handled lazily: AQE
+        # propagates the materialized-empty source side through the
+        # guard join, and the rare boxes-empty outcome re-probes the
+        # RAW source below only to preserve the historical result-dict
+        # shape (empty load vs fully-eliminated batch).
+        raw_source = source
         if validate_rules:
             # declarative ingestion gate: rows violating ANY row-level
             # rule are rejected BEFORE the merge (NULL predicate =
@@ -3605,11 +3608,18 @@ class CowTable:
             source, want_multiset=True
         )
         if not boxes and not batch_has_null:
-            # the batch can be FULLY eliminated by the validation rules
-            # or the dedupe/url guard (every row a url thief): same
-            # no-op as an empty load. Emptiness falls out of the batch
-            # boxes (no box ⇔ no row) — the collect runs anyway, so the
-            # old head(1) probe was a pure extra job
+            # the batch is empty after validation/dedupe/guard.
+            # Distinguish "empty load" (raw source empty — historical
+            # plain noop dict) from "fully eliminated batch" (the
+            # rows_rejected dict) exactly as the old up-front probe
+            # did; the head(1) now runs ONLY on this rare empty
+            # outcome, never on the hot non-empty path. validate_rules
+            # already decided emptiness via its aggregate.
+            if (
+                not validate_rules and guard_urls
+                and not raw_source.head(1)
+            ):
+                return empty_noop
             return {
                 "version": m["version"],
                 "files_rewritten": 0,
