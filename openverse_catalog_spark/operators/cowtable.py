@@ -1692,7 +1692,10 @@ class CowTable:
         # actions on the metadata table run driver-side; the plain
         # list createDataFrame is RDD-backed and costs ~0.7 s PER
         # ACTION on local[32] (measured; schema/data equality incl.
-        # None-valued map entries pinned by test)
+        # None-valued map entries pinned by test). NOTE: one missing
+        # file makes size_bytes a float64 NaN column in pandas, so
+        # other sizes round-trip through float64 before the int64
+        # cast — exact below 2^53, the practical bound for file sizes
         import pandas as _pd
 
         return self.spark.createDataFrame(
@@ -3879,7 +3882,13 @@ class CowTable:
             # read cached blocks: affected bytes come off storage once
             # per commit (at 100 TB the rewrite set is the dominant
             # read). merge() needs no twin: merge_upsert is a single
-            # full-outer join over tgt.
+            # full-outer join over tgt. ACCEPTED TRADE-OFF (reviewed):
+            # localCheckpoint stores blocks executor-locally with
+            # truncated lineage, so on a real cluster an executor loss
+            # after materialization fails this commit attempt — the
+            # optimistic-retry loop then recomputes the whole attempt;
+            # persist(MEMORY_AND_DISK) would keep lineage but pins the
+            # slice through the commit either way.
             tgt = tgt.localCheckpoint(eager=False)
         marked = source.withColumn("__src_match", F.lit(1)).alias(s_alias)
         t = tgt.alias(t_alias)

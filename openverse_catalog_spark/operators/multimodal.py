@@ -70,7 +70,12 @@ def _python_pass_src(df: DataFrame, cols=("doc_id",)) -> DataFrame:
     src = df.select(*cols)
     sc = df.sparkSession.sparkContext
     if src.rdd.getNumPartitions() < sc.defaultParallelism:
-        return src.repartition(sc.defaultParallelism, "doc_id")
+        # repartition on the projection's FIRST column (not a literal
+        # "doc_id"): both current callers project doc_id first, and a
+        # future caller passing different cols must not hit an
+        # AnalysisException — or worse, silently key on a column it
+        # never projected
+        return src.repartition(sc.defaultParallelism, cols[0])
     return src
 
 

@@ -182,9 +182,15 @@ def literal_df(spark: SparkSession, rows, schema: str):
         not rows
         or len(rows) > 256
         or any(
-            type(v) not in (bool, int, float, str, type(None))
+            # non-sequence rows (dicts, Rows with odd iteration) must
+            # keep the createDataFrame path: iterating a dict yields
+            # its KEYS, which would silently bind as column values
+            not isinstance(r, (tuple, list))
+            or any(
+                type(v) not in (bool, int, float, str, type(None))
+                for v in r
+            )
             for r in rows
-            for v in r
         )
     ):
         return spark.createDataFrame(rows, schema)
