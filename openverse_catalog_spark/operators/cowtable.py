@@ -2696,22 +2696,42 @@ class CowTable:
         path (multiset None) — there the per-commit sampling job is
         amortized by the batch size anyway."""
         if want_multiset:
-            grouped = (
-                source.groupBy(*self.keys)
-                .agg(F.count(F.lit(1)).alias("__cnt"))
-                .limit(65536 + 1)
-                .collect()
-            )
-            if len(grouped) > 65536:
+            from pyspark.sql import types as _T
+
+            key_fields = {
+                f.name: f.dataType for f in source.schema.fields
+            }
+            if any(
+                isinstance(
+                    key_fields.get(k),
+                    (_T.FloatType, _T.DoubleType, _T.DecimalType),
+                )
+                for k in self.keys
+            ):
+                # float/decimal keys: Python min/max diverges from the
+                # SQL ordering on NaN — keep the aggregation path
                 res = self._batch_boxes_k0(source, check_dups)
                 return (*res, None)
+            # NARROW collect of the raw key columns (CollectLimit over
+            # the checkpointed source — ONE job, no shuffle) instead of
+            # a groupBy whose AQE execution costs two stage-jobs per
+            # commit; grouping the <=64k rows is driver-side Counter
+            # work. A larger batch falls back to the aggregation,
+            # amortized by its own size.
+            rows = (
+                source.select(*self.keys).limit(65536 + 1).collect()
+            )
+            if len(rows) > 65536:
+                res = self._batch_boxes_k0(source, check_dups)
+                return (*res, None)
+            from collections import Counter
+
+            counted = Counter(tuple(r) for r in rows)
             k0, rest = self.keys[0], list(self.keys[1:])
             per: dict = {}
             multiset = []
             has_dup = False
-            for r in grouped:
-                kt = tuple(r[k] for k in self.keys)
-                cnt = int(r["__cnt"])
+            for kt, cnt in counted.items():
                 multiset.append((kt, cnt))
                 if cnt > 1:
                     has_dup = True

@@ -72,6 +72,17 @@ def get_spark(
             ),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # bounded driver-side collects (batch key multisets, pruned-read
+        # key sets, matview churn keys) are `limit(cap).collect()` over
+        # small frames; the default CollectLimit ramp (1 partition, then
+        # x4 rounds) turns each into several serial mini-jobs. Scanning
+        # `cores` partitions in the first round costs nothing extra
+        # (the tasks run in parallel on idle cores) and makes the
+        # common <=cores-partition case exactly ONE job — at any scale:
+        # the collects are capped by design, not by data size.
+        .config(
+            "spark.sql.limit.initialNumPartitions", str(cpus)
+        )
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
