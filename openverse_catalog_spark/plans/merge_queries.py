@@ -2729,6 +2729,10 @@ def pipeline_end_to_end(spark, sf_dir):
     media = CowTable.create(
         spark, os.path.join(root, "media"), c1,
         keys=("media_id",), target_files=4,
+        # c1 is the whole clean pipeline (license join + regex
+        # sanitize) — expensive lineage the range sample must not run
+        # a second time (cowtable checkpoint note; measured 4.1->2.8 s)
+        checkpoint=True,
     )
     cat.register("media", media)
     pin1 = cat._entry("media")["version"]
